@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Corpus
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query takes (spark, sfDir) and reads parquet tables from sfDir.
+  * Numeric convention for oracle hash-parity: aggregate in exact DECIMAL,
+  * cast the final value to DOUBLE (both Spark and DuckDB produce the
+  * identical IEEE-754 double from the same exact decimal); never sum raw
+  * doubles (fold order would make the result nondeterministic).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Corpus.load(s, dir, name)
+
+  /** Money-safe cast: exact 2-dp decimal. */
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-A7: hash aggregate with partial (map-side) combine; TPC-H Q1 shape.
+    // Covers SURVEY §2.5 groupBy+agg and §2.8 X5 arithmetic.
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) - dec2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

@@ -1,0 +1,46 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Loader for the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * One parquet directory per scale factor; tables are TPC-H-ish plus an
+  * `events` stream table and `documents`/`embeddings` for the
+  * training-data extension operators.
+  *
+  * Design note (100 TB posture): this reads parquet directly with
+  * `spark.read.parquet` — no driver-side materialization (the reference
+  * downloads one JSON blob per event onto the driver,
+  * top10.py:149-153; that pattern is deliberately NOT reproduced).
+  */
+object Corpus {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables that should always be broadcast in joins. */
+  val broadcastableDims: Set[String] =
+    Set("region", "nation", "supplier", "part", "customer")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalize(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Register every table as a temp view (for the spark.sql surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Parquet INT64(TIMESTAMP(NANOS)) columns are surfaced by Spark as
+    * LongType when `spark.sql.legacy.parquet.nanosAsLong` is set (Spark 4
+    * has no native nanos type); convert back to a proper timestamp.
+    * `div` is integral division — a double-precision `/` would lose
+    * precision at ~1.7e18 ns epoch values (> 2^53).
+    */
+  private def normalize(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) {
+      case (d, StructField(name, LongType, _, _)) if name == "ts" =>
+        d.withColumn(name, expr(s"timestamp_micros($name div 1000)"))
+      case (d, _) => d
+    }
+}
