@@ -1,9 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.ColumnLib._
+import graft.operators.{GroupShare, TopK}
 import graft.tables.Corpus
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,38 +14,216 @@ import graft.tables.Corpus
   * Numeric convention for oracle hash-parity: aggregate in exact DECIMAL,
   * cast the final value to DOUBLE (both Spark and DuckDB produce the
   * identical IEEE-754 double from the same exact decimal); never sum raw
-  * doubles (fold order would make the result nondeterministic).
+  * doubles (fold order would make the result nondeterministic). Ratios
+  * are taken in double, with textually identical operand order on both
+  * sides.
   */
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Corpus.load(s, dir, name)
 
-  /** Money-safe cast: exact 2-dp decimal. */
-  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
-
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q2_top10")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1-A7: hash aggregate with partial (map-side) combine; TPC-H Q1 shape.
-    // Covers SURVEY §2.5 groupBy+agg and §2.8 X5 arithmetic.
+
+    // ── A1-A7 hash aggregate with map-side partial combine (§2.5); X5 ──
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) - dec2(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+          asDouble(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          asDouble(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          asDouble(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) - dec2(col("l_discount")))))
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+    }),
+
+    // ── W1+F1+A1+J1: reference top10 report shape (top10.py:239-253) —
+    // top-10 parts per (ship month, brand) by line count, dense_rank tie
+    // semantics, broadcast dim join ──
+    "q2_top10" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("month", monthKey(col("l_shipdate")))
+      val counts = li
+        .join(broadcast(t(s, dir, "part")), li("l_partkey") === col("p_partkey"))
+        .groupBy("month", "p_brand", "l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+      TopK.denseTopK(counts, Seq("month", "p_brand"), col("cnt").desc, 10)
+        .select("month", "p_brand", "l_partkey", "cnt", "position")
+    }),
+
+    // ── J1/J2 left equi-join with null-preserving aggregate (§2.4) ──
+    "q3_left_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          count(lit(1)).as("row_cnt"),
+          asDouble(sum(dec2(col("o_totalprice")))).as("revenue"))
+    }),
+
+    // ── X5-X8 royalty math (royalties.py:217-254 intent): decimal
+    // price*(1-disc)*percent, promo rows earn 0, /100 after the exact sum ──
+    "q4_royalties" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.join(broadcast(t(s, dir, "part")), li("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), li("l_suppkey") === col("s_suppkey"))
+        .withColumn("month", monthKey(col("l_shipdate")))
+        .withColumn("royalty", royaltyBase(
+          col("l_extendedprice"), col("l_discount"),
+          col("p_size") + lit(5), col("p_type") === "PROMO"))
+        .groupBy("s_name", "month")
+        .agg((asDouble(sum(col("royalty"))) / 100).as("royalty_usd"))
+    }),
+
+    // ── W2/X9: share-of-total via window aggregate — the rewrite of the
+    // reference's six groupBy+join-back pairs (platform_usage.py:118-187) ──
+    "q5_usage_share" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val g = o
+        .join(broadcast(t(s, dir, "customer")), o("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("month", monthKey(col("o_orderdate")))
+        .groupBy("month", "n_name")
+        .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+      GroupShare.withSharePct(g, Seq("month"), "rev", "share_pct")
+        .select(col("month"), col("n_name"), asDouble(col("rev")).as("revenue"), col("share_pct"))
+    }),
+
+    // ── O2/O3/A8 distinct on a join result (§2.7) ──
+    "q6_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.join(broadcast(t(s, dir, "customer")), o("o_custkey") === col("c_custkey"))
+        .select("c_mktsegment", "o_orderpriority")
+        .distinct()
+    }),
+
+    // ── X2-X4 fixed-layout ISO string slicing (platform_usage.py:76-81) ──
+    "q7_datestrings" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("iso", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .withColumn("tz", concat(lit("+0"), (col("user_id") % 10).cast("string"), lit(":00")))
+        .withColumn("full_ts", concat(col("iso"), col("tz")))
+        .select(
+          col("event_id"),
+          substring(col("full_ts"), 1, 10).as("day"),
+          substring(col("full_ts"), 1, 7).as("mon"),
+          tzOffset(col("full_ts")).as("off"))
+    }),
+
+    // ── X1 lookahead-regex id normalization + string funcs (§2.8) ──
+    "q8_regex" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("dotted", concat(col("p_size").cast("string"), lit("."), (col("p_partkey") % 10).cast("string")))
+        .select(
+          col("p_partkey"),
+          col("dotted"),
+          normalizeDottedId(col("dotted")).as("norm_id"),
+          upper(col("p_brand")).as("brand_uc"),
+          length(col("p_name")).as("name_len"),
+          lpad(col("p_partkey").cast("string"), 6, "0").as("padded"))
+    }),
+
+    // ── X7 conditional buckets (when/otherwise chain) ──
+    "q9_case" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("bucket",
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("big"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("l_quantity")))).as("qty"))
+    }),
+
+    // ── events fact table: timestamp handling + derived ratio ──
+    "q10_events_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"), dayKey(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("total"))
+        .withColumn("avg_val", col("total") / col("n"))
+    }),
+
+    // ── lead/lag window (beyond-reference window coverage) ──
+    "q11_window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val g = li
+        .join(broadcast(t(s, dir, "part")), li("l_partkey") === col("p_partkey"))
+        .withColumn("month", monthKey(col("l_shipdate")))
+        .groupBy("p_brand", "month")
+        .agg(asDouble(sum(dec2(col("l_extendedprice")))).as("revenue"))
+      val w = Window.partitionBy("p_brand").orderBy("month")
+      g.withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("delta", col("revenue") - col("prev_revenue"))
+    }),
+
+    // ── left-semi join (EXISTS) ──
+    "q12_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ── left-anti join (NOT EXISTS) ──
+    "q13_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ── set operations: intersect / except / union ──
+    "q14_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+      cn.intersect(sn).withColumn("tag", lit("both"))
+        .unionByName(cn.except(sn).withColumn("tag", lit("cust_only")))
+        .unionByName(sn.except(cn).withColumn("tag", lit("supp_only")))
+        .select("tag", "nationkey")
+    }),
+
+    // ── rollup grouping sets (beyond-reference aggregate coverage) ──
+    "q15_rollup" -> ((s, dir) => {
+      t(s, dir, "part")
+        .rollup("p_brand", "p_type")
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("p_retailprice")))).as("retail"))
+    }),
+
+    // ── TPC-H Q5-shaped 6-table join: broadcast dims, shuffle join on
+    // the two fact tables, selective filters pushed to the scan ──
+    "q16_join5" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(asDouble(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) - dec2(col("l_discount")))))
+          .as("revenue"))
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * DuckDB regex is RE2 (no lookahead): X1's lookahead form is
+    * re-expressed with a capture group, which is semantically identical
+    * for this rewrite.
+    */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -51,6 +231,134 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_top10" ->
+      """SELECT month, p_brand, l_partkey, cnt, position FROM (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month, p_brand, l_partkey, COUNT(*) AS cnt,
+        |    DENSE_RANK() OVER (PARTITION BY strftime(l_shipdate, '%Y-%m'), p_brand ORDER BY COUNT(*) DESC) AS position
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 3
+        |) WHERE position <= 10""".stripMargin,
+
+    "q3_left_join" ->
+      """SELECT c_mktsegment,
+        |  COUNT(o_orderkey) AS order_cnt,
+        |  COUNT(*) AS row_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q4_royalties" ->
+      """SELECT s_name, strftime(l_shipdate, '%Y-%m') AS month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(0 AS DECIMAL(31,4))
+        |    ELSE CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2))) * CAST(p_size + 5 AS DECIMAL(4,0)) AS DECIMAL(31,4))
+        |  END) AS DOUBLE) / 100 AS royalty_usd
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q5_usage_share" ->
+      """WITH g AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT month, n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY month) AS DOUBLE) * 100 AS share_pct
+        |FROM g""".stripMargin,
+
+    "q6_distinct" ->
+      """SELECT DISTINCT c_mktsegment, o_orderpriority
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q7_datestrings" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+0' || CAST(user_id % 10 AS VARCHAR) || ':00' AS full_ts
+        |  FROM events)
+        |SELECT event_id,
+        |  substr(full_ts, 1, 10) AS day,
+        |  substr(full_ts, 1, 7) AS mon,
+        |  substr(full_ts, 20, 6) AS off
+        |FROM e""".stripMargin,
+
+    "q8_regex" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_name,
+        |    CAST(p_size AS VARCHAR) || '.' || CAST(p_partkey % 10 AS VARCHAR) AS dotted
+        |  FROM part)
+        |SELECT p_partkey, dotted,
+        |  regexp_replace(dotted, '\.(\d)', '.0\1', 'g') AS norm_id,
+        |  upper(p_brand) AS brand_uc,
+        |  length(p_name) AS name_len,
+        |  lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS padded
+        |FROM p""".stripMargin,
+
+    "q9_case" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'small'
+        |  WHEN l_quantity < 30 THEN 'mid' ELSE 'big' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q10_events_daily" ->
+      """WITH g AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n, total, total / n AS avg_val FROM g""".stripMargin,
+
+    "q11_window_lag" ->
+      """WITH g AS (
+        |  SELECT p_brand, strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_brand, month, revenue,
+        |  LAG(revenue) OVER (PARTITION BY p_brand ORDER BY month) AS prev_revenue,
+        |  revenue - LAG(revenue) OVER (PARTITION BY p_brand ORDER BY month) AS delta
+        |FROM g""".stripMargin,
+
+    "q12_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q13_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q14_setops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT 'supp_only' AS tag, nationkey FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)""".stripMargin,
+
+    "q15_rollup" ->
+      """SELECT p_brand, p_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS retail
+        |FROM part GROUP BY ROLLUP (p_brand, p_type)""".stripMargin,
+
+    "q16_join5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin
   )
 }
