@@ -20,9 +20,14 @@ object Corpus {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Small dimension tables that should always be broadcast in joins. */
-  val broadcastableDims: Set[String] =
-    Set("region", "nation", "supplier", "part", "customer")
+  /** Tables that are genuinely bounded (constant cardinality regardless
+    * of scale factor) and therefore always safe to broadcast. `part`,
+    * `customer`, `supplier` grow linearly with scale — broadcasting them
+    * is an executor OOM at the 100-TB posture, so they are deliberately
+    * NOT here; AQE picks broadcast-vs-shuffled-hash for them by measured
+    * size at runtime.
+    */
+  val broadcastableDims: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     normalize(spark.read.parquet(s"$dir/$name.parquet"))
