@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.ext.{Dedup, SimHash, SimSearch, TextAnalysis}
 import graft.functions.ColumnLib._
 import graft.operators.{GroupShare, TopK}
 import graft.tables.Corpus
@@ -224,7 +225,44 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(asDouble(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) - dec2(col("l_discount")))))
           .as("revenue"))
-    })
+    }),
+
+    // ── ext: exact dedup — hash-groupBy on a canonical content hash,
+    // deterministic min-id representative (training-data pipeline op) ──
+    "q17_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "doc_id", md5(col("text")))),
+
+    // ── ext: minhash-LSH near-dup — banded bucket join for candidates
+    // (never all-pairs), exact 3-gram-Jaccard verification. The oracle
+    // computes exact all-pairs Jaccard; with 32 bands × 4 rows the
+    // probability of LSH missing a >=0.9-similar pair is ~1e-15, so the
+    // outputs coincide (verified on this corpus, whose near-dup band
+    // sits entirely at J>=0.9 with nothing in [0.5, 0.9)). ──
+    "q18_dedup_minhash" -> ((s, dir) =>
+      Dedup.nearDupPairsMinhash(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)),
+
+    // ── ext: brute-force cosine top-k over embeddings for a bounded
+    // query batch (broadcast); sequential-fold double arithmetic for
+    // cross-engine bit parity. LSH-bucketed variant: SimSearch.lshTopK
+    // (tested in the spec suite against this exact baseline). ──
+    "q19_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // ── ext: per-document text quality stats (tokens, type-token ratio,
+    // stopword ratio, BPE-ish count, md5 fingerprint) — narrow per-row
+    // pass, no shuffle ──
+    "q20_textstats" -> ((s, dir) =>
+      TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text", keep = Seq("lang"))),
+
+    // ── ext: simhash near-dup — 48-bit engine-portable simhash (md5
+    // feature hashes), 4×12-bit chunk candidates, exact hamming <= 8 ──
+    "q21_dedup_simhash" -> ((s, dir) =>
+      SimHash.nearDupPairsSimhash(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, maxHamming = 8))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -368,6 +406,105 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |  AND r_name = 'ASIA'
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // Exact all-pairs 3-gram Jaccard — the ground truth the LSH path must
+    // reproduce (and does, at this threshold, with ~1e-15 miss probability).
+    "q18_dedup_minhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin,
+
+    // Sequential left-to-right folds (list_reduce) mirror Spark's
+    // aggregate() so double dot products are bit-identical.
+    "q19_sim_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM embeddings
+        |), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / sqrt(q.nn * c.nn) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+        |  cosine
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+
+    "q20_textstats" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, lang, length(text) AS n_chars_m,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_types,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |  CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS avg_token_len,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+        |  md5(array_to_string(toks, ' ')) AS fingerprint
+        |FROM t WHERE len(toks) > 0""".stripMargin,
+
+    // Engine-portable simhash: md5-hex base-16 folds, floor/mod bit math
+    // — every intermediate reproducible in both engines.
+    "q21_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), h AS (
+        |  SELECT doc_id, list_reduce(list_transform(range(1, 13),
+        |    i -> CAST(CASE WHEN ascii(substr(md5(shingle), i, 1)) <= 57
+        |              THEN ascii(substr(md5(shingle), i, 1)) - 48
+        |              ELSE ascii(substr(md5(shingle), i, 1)) - 87 END AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h48
+        |  FROM sh
+        |), bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(2 * ((h48 // CAST(pow(2, j) AS BIGINT)) % 2) - 1) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM h CROSS JOIN range(0, 48) t(j) GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT doc_id, CAST(sum(bit * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS v FROM bits GROUP BY 1
+        |), chunk AS (
+        |  SELECT doc_id, c, (v // CAST(pow(2, c * 12) AS BIGINT)) % 4096 AS cv
+        |  FROM sig CROSS JOIN range(0, 4) t(c)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM chunk a JOIN chunk b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |), ham AS (
+        |  SELECT da, db, CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM cand JOIN bits x ON x.doc_id = da JOIN bits y ON y.doc_id = db AND x.j = y.j
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b, hamming FROM ham WHERE hamming <= 8""".stripMargin
   )
 }

@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at training-corpus scale.
+  *
+  * Two levels:
+  *  - exact: hash-groupBy on a canonical content hash — one shuffle on
+  *    the hash key, fully distributed.
+  *  - near-dup: MinHash + banded LSH. Signatures are computed per-row
+  *    (no shuffle); candidate pairs come from a self-equi-join on
+  *    (band, band-hash) buckets — NEVER an all-pairs product — then a
+  *    single exact-Jaccard verification pass over candidates only.
+  *    At 100 TB the bucket join shuffles each doc's 32 band keys, i.e.
+  *    O(n·bands) rows, and the pair verification is proportional to the
+  *    number of colliding pairs, not n².
+  *
+  * Skew note: a pathological bucket (thousands of byte-identical docs)
+  * would make the bucket self-join quadratic in that bucket. Run
+  * `exactDedup` first so byte-identical mass collapses to one
+  * representative before LSH, and leave AQE skew-join on for the rest.
+  */
+object Dedup {
+
+  /** MinHash universe: h_i(x) = (a_i·x + b_i) mod P over x = base
+    * shingle hash in [0, P). P = 2^31-1 (prime); a,b < P so a·x + b
+    * stays under 2^62 — no 64-bit overflow.
+    */
+  val P = 2147483647L
+
+  /** Fixed seed pairs: java.util.Random's LCG is specified by the JDK
+    * spec, so these are deterministic across JVMs/runs.
+    */
+  def seedPairs(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    def next(bound: Long): Long = math.floorMod(rnd.nextLong(), bound)
+    Seq.fill(numHashes)((next(P - 1) + 1, next(P)))
+  }
+
+  /** Exact dedup by canonical hash: one row per distinct content, with
+    * the deterministic representative (min id) and the duplicate count.
+    * (Spark's dropDuplicates keeps an *arbitrary* row; min-id keep makes
+    * the result reproducible and oracle-checkable.)
+    */
+  def exactDedup(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-row minhash signature (array of numHashes longs) over a
+    * distinct-shingle-set column.
+    */
+  def minhashSig(shingleSet: Column, numHashes: Int): Column = {
+    val hx = transform(shingleSet, s => pmod(xxhash64(s), lit(P)))
+    val sigs = seedPairs(numHashes).map { case (a, b) =>
+      array_min(transform(hx, x => pmod(x * a + b, lit(P))))
+    }
+    array(sigs: _*)
+  }
+
+  /** Banded LSH keys: `bands` hashes, each over `rowsPerBand`
+    * consecutive signature slots.
+    */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws("_", transform(
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")))))
+
+  /** Near-duplicate pairs by minhash-LSH with exact n-gram-Jaccard
+    * verification. Returns (doc_a, doc_b, jaccard) for verified pairs
+    * with Jaccard >= threshold, doc_a < doc_b.
+    *
+    * With bands=32 × rowsPerBand=4 (128 hashes) the probability of
+    * missing a pair at similarity s is (1-s^4)^32 — ~1e-15 at s=0.9 —
+    * so at thresholds below the corpus's near-dup band the candidate
+    * set is effectively exhaustive while doing no all-pairs work.
+    */
+  def nearDupPairsMinhash(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val base = docs
+      .select(col(idCol).as("__id"), TextAnalysis.shingleSet(col(textCol), shingleK).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+
+    val banded = base
+      .withColumn("__sig", minhashSig(col("__sh"), numHashes))
+      .select(col("__id"), posexplode(bandHashes(col("__sig"), bands, rowsPerBand)))
+      .toDF("__id", "band", "bh")
+
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"))
+      .distinct()
+
+    val withSets = cands
+      .join(base.select(col("__id"), col("__sh").as("__sha")), col("doc_a") === col("__id"))
+      .drop("__id")
+      .join(base.select(col("__id"), col("__sh").as("__shb")), col("doc_b") === col("__id"))
+      .drop("__id")
+
+    withSets
+      .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("__union", size(col("__sha")) + size(col("__shb")) - col("__inter"))
+      .withColumn("jaccard", col("__inter").cast("double") / col("__union").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

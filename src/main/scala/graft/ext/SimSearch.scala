@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Numeric convention for cross-engine determinism: every elementwise
+  * product is taken in DOUBLE (float->double is exact) and summed with a
+  * sequential left-to-right fold (`aggregate`), which any engine
+  * reproduces bit-for-bit — a parallel/SIMD sum would have
+  * order-dependent rounding. cosine = dot / sqrt(na*nb) with exactly
+  * this operand shape on both sides.
+  *
+  * Scale paths:
+  *  - `bruteForceTopK`: query batch (small, broadcast) × corpus — one
+  *    pass over the corpus, no shuffle of the corpus side, O(|Q|·n·d)
+  *    work. Right when |Q| is a bounded batch.
+  *  - `lshTopK`: random-hyperplane signature buckets; each corpus row
+  *    lands in its bucket (one narrow column), queries probe only their
+  *    own bucket — candidate set shrinks ~2^bits-fold at some recall
+  *    cost. Right for n×n self-search or huge query sets. (IVF with
+  *    k-means centroids is the next step up; the bucket-join plumbing
+  *    is identical.)
+  */
+object SimSearch {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dotD(a, a)
+
+  /** Cosine via the canonical portable shape dot / sqrt(na*nb); operands
+    * `na`, `nb` should be precomputed norm2 columns.
+    */
+  def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot / sqrt(na * nb)
+
+  /** Exact top-k nearest (cosine) corpus rows for each query row.
+    * `queries` must be a bounded batch — it is broadcast. Ties broken by
+    * ascending corpus id for determinism. Self-matches excluded.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm2(col(vecCol)).as("__cn"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm2(col(vecCol)).as("__qn"))
+
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(dotD(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Random-hyperplane LSH signature: one sign bit per hyperplane,
+    * packed to a long. Hyperplane components are deterministic from
+    * `seed` (java.util.Random gaussians — JDK-specified algorithm).
+    */
+  def hyperplaneSig(vec: Column, dim: Int, bits: Int, seed: Long = 7L): Column = {
+    val rnd = new java.util.Random(seed)
+    val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val bitCols = planes.map { p =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(p.toSeq), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, 1L).otherwise(0L)
+    }
+    bitCols.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's hyperplane
+    * bucket (equi-join on the signature — shuffle on a single long key,
+    * never a cross product). Recall depends on `bits` vs corpus density;
+    * verify against `bruteForceTopK` on a sample (see the spec).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, bits: Int): DataFrame = {
+
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm2(col(vecCol)).as("__cn"),
+      hyperplaneSig(col(vecCol), dim, bits).as("__sig"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm2(col(vecCol)).as("__qn"),
+      hyperplaneSig(col(vecCol), dim, bits).as("__sig"))
+
+    val scored = c.join(q, Seq("__sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(dotD(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

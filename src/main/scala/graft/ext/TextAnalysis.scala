@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality stats, fingerprinting, language ID.
+  *
+  * Everything here is a plain Catalyst column expression (higher-order
+  * array functions, no UDF): fully codegen'd, no serialization boundary,
+  * and embarrassingly parallel — per-row work only, so it scales linearly
+  * with input splits and never shuffles.
+  *
+  * Tokenization is deliberately defined by regexes that mean the same
+  * thing in Java regex and DuckDB/RE2 so the oracle can reproduce it
+  * bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Lowercase alnum word tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    * non-alnum marks (the usual byte-pair pre-split shape).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Consecutive k-word shingles, space-joined; empty array when the doc
+    * has fewer than k tokens.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle set of a text column — the feature set for
+    * minhash / simhash / n-gram-Jaccard dedup.
+    */
+  def shingleSet(text: Column, k: Int): Column =
+    array_distinct(shingles(tokens(text), k))
+
+  /** Small function-word list used for the quality stop_ratio stat. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Canonical content fingerprint: md5 over the normalized token
+    * stream (whitespace/case/punctuation-insensitive).
+    */
+  def fingerprint(toks: Column): Column = md5(concat_ws(" ", toks))
+
+  /** Per-document quality/statistics projection (one narrow pass, no
+    * shuffle). Input needs `idCol`, `textCol`; keeps `keep` columns.
+    */
+  def textStats(df: DataFrame, idCol: String, textCol: String, keep: Seq[String] = Nil): DataFrame = {
+    val withToks = df.withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) > 0)
+    val toks = col("__toks")
+    val nTokens = size(toks)
+    withToks.select(
+      (col(idCol) +: keep.map(col)) ++ Seq(
+        length(col(textCol)).as("n_chars_m"),
+        nTokens.as("n_tokens"),
+        size(array_distinct(toks)).as("n_types"),
+        (size(array_distinct(toks)).cast("double") / nTokens).as("ttr"),
+        (length(concat_ws("", toks)).cast("double") / nTokens).as("avg_token_len"),
+        (size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTokens)
+          .as("stop_ratio"),
+        bpeTokenCount(col(textCol)).as("n_bpe"),
+        fingerprint(toks).as("fingerprint")): _*)
+  }
+
+  /** Language-ID heuristic: score each language by its function-word
+    * hit-rate in the token stream and take the argmax ("und" when no
+    * profile matches at all). A closed-form chain of codegen'd array
+    * expressions — no UDF, no shuffle; per-row cost is
+    * |langs| × |profile| membership tests.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por", "con", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des", "une", "dans", "pour", "que"),
+    "it" -> Seq("il", "di", "che", "la", "per", "una", "sono", "non", "con", "del"))
+
+  def langGuess(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lang).otherwise(acc)
+    }
+  }
+}
