@@ -6,7 +6,9 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.ext.{Dedup, SimHash, SimSearch, TextAnalysis}
 import graft.functions.ColumnLib._
+import graft.jobs.{PlatformUsageJob, RoyaltiesJob, Top10Job}
 import graft.operators.{GroupShare, TopK}
+import graft.sources.Sources
 import graft.tables.Corpus
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -262,8 +264,126 @@ object SparkEntry {
     // feature hashes), 4×12-bit chunk candidates, exact hamming <= 8 ──
     "q21_dedup_simhash" -> ((s, dir) =>
       SimHash.nearDupPairsSimhash(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 3, maxHamming = 8))
+        shingleK = 3, maxHamming = 8)),
+
+    // ── report shape over the corpus: A1 counts → J3 composite-key
+    // join-back → W1/F1 rank → O2 dropDuplicates-subset (collapses the
+    // join-back re-expansion; output cols are functionally dependent on
+    // the dedup keys, so the arbitrary-row choice is invisible) →
+    // O1 global sort → P5 withColumnRenamed ──
+    "q22_report_top10" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("month", monthKey(col("l_shipdate")))
+      val joined = li.join(t(s, dir, "part"), li("l_partkey") === col("p_partkey"))
+      val counts = joined.groupBy("month", "p_brand").count()
+      val backed = joined.join(counts, Seq("month", "p_brand"), "left")
+      TopK.denseTopK(backed, Seq("month"), col("count").desc, 3)
+        .dropDuplicates("month", "p_brand")
+        .orderBy("month", "position", "p_brand")
+        .select("position", "month", "p_brand", "count")
+        .withColumnRenamed("month", "date")
+        .withColumnRenamed("count", "cnt")
+    }),
+
+    // ── X8/F5: currency conversion via a rates dim with drop-unknown
+    // inner-join semantics + X6 format_number on an exact scale-2
+    // decimal (rounding pinned: round(x,2) is half-up in both engines;
+    // formatting an already-scale-2 decimal can never hit a tie) ──
+    "q23_currency" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val rates = t(s, dir, "nation").filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey").as("rk"), col("n_name"),
+          ((col("n_nationkey") % 8) * 25 + 75).cast(DecimalType(6, 0))
+            .multiply(lit(0.01).cast(DecimalType(3, 2))).as("rate"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(rates), c("c_nationkey") === col("rk"))
+        .withColumn("month", monthKey(col("o_orderdate")))
+        .withColumn("amount", dec2(col("o_totalprice")) * col("rate"))
+        .groupBy("n_name", "month")
+        .agg(round(sum(col("amount")), 2).as("total"))
+        .select(col("n_name"), col("month"),
+          asDouble(col("total")).as("amount_usd"),
+          format_number(col("total"), 2).as("amount_fmt"))
+    }),
+
+    // ── usage-share report over the events fact: one aggregate at
+    // (month, type, zone) grain, month share via window (W2), zone share
+    // via the literal composite-key join-back (J3) — both formulations
+    // live in one query, proving the rewrite equivalence ──
+    "q24_usage_report" -> ((s, dir) => {
+      val g = t(s, dir, "events")
+        .withColumn("month", monthKey(col("ts")))
+        .withColumn("zone", (col("user_id") % 5).cast("int"))
+        .groupBy("month", "event_type", "zone")
+        .agg(sum(dec2(col("value"))).as("dur"))
+      val shared = GroupShare.withSharePct(g, Seq("month"), "dur", "pct_total")
+      GroupShare.withSharePctJoinBack(shared, Seq("month", "zone"), "dur", "pct_zone")
+        .select(col("month"), col("event_type"), col("zone"),
+          asDouble(col("dur")).as("total_value"), col("pct_total"), col("pct_zone"))
+    }),
+
+    // ── S3 source: multi-file JSON event scan with declared schema
+    // (fixtures authored per FIXTURES.md §A) + F3 null filter + X2-X4
+    // fixed-layout slicing on real ±hh:mm offsets ──
+    "q25_events_json" -> ((s, _) =>
+      Sources.events(s, FixturesDir + "/events_json")
+        .filter(col("userId").isNotNull)
+        .select(
+          col("eventId"),
+          substring(col("processTime"), 1, 10).as("day"),
+          substring(col("eventTime"), 1, 7).as("mon"),
+          substring(col("eventTime"), 20, 6).as("off"),
+          col("userId"), col("countryCode"), col("duration"),
+          asDouble(dec2(col("itemPrice"))).as("price"))),
+
+    // ── S4 CSV source (header + inferSchema) + J5 case-differing equi
+    // join; null group for the unmatched country code ──
+    "q26_countries_csv" -> ((s, _) => {
+      val ev = Sources.events(s, FixturesDir + "/events_json")
+      val ct = Sources.countries(s, FixturesDir + "/countries.csv")
+      ev.join(broadcast(ct), ev("countryCode") === ct("CountryCode"), "left")
+        .groupBy("Country")
+        .agg(count(lit(1)).as("n_events"), sum(col("duration")).cast("bigint").as("total_duration"))
+    }),
+
+    // ── U1 registered Scala UDF + P6 spark.sql over registered temp
+    // views — the SQL-mode surface the reference drives its reports
+    // through (top10.py:264-268, platform_usage.py:104-107) ──
+    "q27_sql_udf" -> ((s, dir) => {
+      Corpus.registerAll(s, dir)
+      s.udf.register("usage_pct", (a: Double, b: Double) => a / b * 100)
+      s.sql(
+        """WITH g AS (SELECT event_type,
+          |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+          |  FROM events GROUP BY event_type),
+          |t AS (SELECT CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS gt FROM events)
+          |SELECT event_type, total, usage_pct(total, gt) AS pct
+          |FROM g CROSS JOIN t""".stripMargin)
+    }),
+
+    // ── the three report jobs end-to-end on the authored fixtures ──
+    "q28_job_top10" -> ((s, _) =>
+      Top10Job.transform(
+        Sources.events(s, FixturesDir + "/events_json"),
+        Sources.resources(s, FixturesDir + "/resources.json"),
+        Sources.categories(s, FixturesDir + "/categories.json"))),
+
+    "q29_job_royalties" -> ((s, _) =>
+      RoyaltiesJob.transform(
+        Sources.events(s, FixturesDir + "/events_json"),
+        Sources.resources(s, FixturesDir + "/resources.json"),
+        Sources.categories(s, FixturesDir + "/categories.json"),
+        Sources.countries(s, FixturesDir + "/countries.csv"),
+        Sources.ratesDf(s, FixturesDir + "/rates.json"))),
+
+    "q30_job_usage" -> ((s, _) =>
+      PlatformUsageJob.byTimeZone(Sources.events(s, FixturesDir + "/events_json")))
   )
+
+  /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
+    * DuckDB oracle can read the identical files.
+    */
+  val FixturesDir = "/root/repo/fixtures"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -505,6 +625,144 @@ object SparkEntry {
         |  SELECT da, db, CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
         |  FROM cand JOIN bits x ON x.doc_id = da JOIN bits y ON y.doc_id = db AND x.j = y.j
         |  GROUP BY 1, 2)
-        |SELECT da AS doc_a, db AS doc_b, hamming FROM ham WHERE hamming <= 8""".stripMargin
+        |SELECT da AS doc_a, db AS doc_b, hamming FROM ham WHERE hamming <= 8""".stripMargin,
+
+    // The join-back + dedup round trip is equivalent to ranking the
+    // aggregated counts directly (dense_rank depends only on distinct
+    // count ordering; dedup keys determine every output column).
+    "q22_report_top10" ->
+      """WITH c AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month, p_brand, COUNT(*) AS cnt
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT CAST(DENSE_RANK() OVER (PARTITION BY month ORDER BY cnt DESC) AS BIGINT) AS position,
+        |  month AS date, p_brand, cnt
+        |FROM c QUALIFY position <= 3""".stripMargin,
+
+    "q23_currency" ->
+      """WITH rates AS (
+        |  SELECT n_nationkey AS rk, n_name,
+        |    CAST((n_nationkey % 8) * 25 + 75 AS DECIMAL(6,0)) * CAST(0.01 AS DECIMAL(3,2)) AS rate
+        |  FROM nation WHERE n_nationkey < 20),
+        |j AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, n_name,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) * rate AS amount
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN rates ON c_nationkey = rk),
+        |g AS (SELECT n_name, month, round(SUM(amount), 2) AS total FROM j GROUP BY 1, 2)
+        |SELECT n_name, month, CAST(total AS DOUBLE) AS amount_usd,
+        |  format('{:,}', CAST(floor(total) AS BIGINT)) || '.' ||
+        |    lpad(CAST(CAST(total * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0') AS amount_fmt
+        |FROM g""".stripMargin,
+
+    "q24_usage_report" ->
+      """WITH g AS (
+        |  SELECT strftime(ts, '%Y-%m') AS month, event_type,
+        |    CAST(user_id % 5 AS INT) AS zone,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS dur
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT month, event_type, zone,
+        |  CAST(dur AS DOUBLE) AS total_value,
+        |  CAST(dur AS DOUBLE) / CAST(SUM(dur) OVER (PARTITION BY month) AS DOUBLE) * 100 AS pct_total,
+        |  CAST(dur AS DOUBLE) / CAST(SUM(dur) OVER (PARTITION BY month, zone) AS DOUBLE) * 100 AS pct_zone
+        |FROM g""".stripMargin,
+
+    "q25_events_json" ->
+      """SELECT eventId,
+        |  substr(processTime, 1, 10) AS day,
+        |  substr(eventTime, 1, 7) AS mon,
+        |  substr(eventTime, 20, 6) AS off,
+        |  userId, countryCode, duration,
+        |  CAST(CAST(itemPrice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |FROM read_json_auto('/root/repo/fixtures/events_json/*.json')
+        |WHERE userId IS NOT NULL""".stripMargin,
+
+    "q26_countries_csv" ->
+      """SELECT Country, COUNT(*) AS n_events, CAST(SUM(duration) AS BIGINT) AS total_duration
+        |FROM read_json_auto('/root/repo/fixtures/events_json/*.json') e
+        |LEFT JOIN read_csv('/root/repo/fixtures/countries.csv', header=true) c
+        |  ON e.countryCode = c.CountryCode
+        |GROUP BY Country""".stripMargin,
+
+    "q27_sql_udf" ->
+      """WITH g AS (SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY event_type),
+        |t AS (SELECT CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS gt FROM events)
+        |SELECT event_type, total, total / gt * 100 AS pct
+        |FROM g CROSS JOIN t""".stripMargin,
+
+    "q28_job_top10" ->
+      """WITH cat AS (
+        |  SELECT regexp_replace(c.id, '\.(\d)', '.0\1', 'g') AS categoryId,
+        |         c.name AS categoryName
+        |  FROM (SELECT unnest(content) AS c
+        |        FROM read_json_auto('/root/repo/fixtures/categories.json'))),
+        |res AS (
+        |  SELECT id AS resourceId, name AS resourceName,
+        |         regexp_replace(categoryId, '\.(\d)', '.0\1', 'g') AS categoryId
+        |  FROM read_json_auto('/root/repo/fixtures/resources.json')),
+        |ev AS (
+        |  SELECT substr(processTime, 1, 10) AS date, resourceId
+        |  FROM read_json_auto('/root/repo/fixtures/events_json/*.json')),
+        |c2 AS (SELECT date, resourceId, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+        |jd AS (
+        |  SELECT c2.date, c2.resourceId, c2.cnt, res.categoryId,
+        |         res.resourceName, cat.categoryName
+        |  FROM c2 LEFT JOIN res USING (resourceId)
+        |  LEFT JOIN cat ON res.categoryId = cat.categoryId)
+        |SELECT CAST(DENSE_RANK() OVER (PARTITION BY date, categoryId ORDER BY cnt DESC) AS BIGINT) AS position,
+        |  date, categoryId, categoryName, resourceId, resourceName
+        |FROM jd QUALIFY position <= 10""".stripMargin,
+
+    "q29_job_royalties" ->
+      """WITH cat AS (
+        |  SELECT regexp_replace(c.id, '\.(\d)', '.0\1', 'g') AS categoryId,
+        |         CAST(c.percent AS DECIMAL(5,2)) AS percent
+        |  FROM (SELECT unnest(content) AS c
+        |        FROM read_json_auto('/root/repo/fixtures/categories.json'))),
+        |res AS (
+        |  SELECT id AS resourceId,
+        |         regexp_replace(categoryId, '\.(\d)', '.0\1', 'g') AS categoryId,
+        |         providerId, promotion
+        |  FROM read_json_auto('/root/repo/fixtures/resources.json')),
+        |ctry AS (SELECT * FROM read_csv('/root/repo/fixtures/countries.csv', header=true)),
+        |rates(Code, rate) AS (VALUES
+        |  ('USD', CAST(1.0 AS DECIMAL(8,4))),
+        |  ('EUR', CAST(1.08 AS DECIMAL(8,4))),
+        |  ('GBP', CAST(1.27 AS DECIMAL(8,4)))),
+        |ev AS (
+        |  SELECT substr(eventTime, 1, 7) AS month, resourceId, countryCode, itemPrice
+        |  FROM read_json_auto('/root/repo/fixtures/events_json/*.json')),
+        |j AS (
+        |  SELECT ev.month, ev.resourceId, ev.itemPrice, res.providerId,
+        |         res.promotion, cat.percent, ctry.Code
+        |  FROM ev LEFT JOIN res USING (resourceId)
+        |  LEFT JOIN cat ON res.categoryId = cat.categoryId
+        |  LEFT JOIN ctry ON ev.countryCode = ctry.CountryCode),
+        |conv AS (
+        |  SELECT month, providerId, resourceId,
+        |    round(CASE WHEN promotion = 'false'
+        |      THEN round(CAST(itemPrice AS DECIMAL(12,2)) * percent * CAST(0.01 AS DECIMAL(3,2)), 2)
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END * rate, 2) AS amount
+        |  FROM j JOIN rates USING (Code))
+        |SELECT month AS date, providerId, resourceId,
+        |  CAST(CAST(SUM(amount) AS DECIMAL(14,2)) AS VARCHAR) AS amount
+        |FROM conv GROUP BY 1, 2, 3""".stripMargin,
+
+    "q30_job_usage" ->
+      """WITH ev AS (
+        |  SELECT substr(eventTime, 1, 7) AS month,
+        |         substr(eventTime, 20, 6) AS timeZone, resourceId, duration
+        |  FROM read_json_auto('/root/repo/fixtures/events_json/*.json')),
+        |g AS (
+        |  SELECT month, timeZone, resourceId,
+        |    CAST(SUM(duration) AS BIGINT) AS totalDurationInSec
+        |  FROM ev GROUP BY 1, 2, 3)
+        |SELECT month, resourceId, timeZone,
+        |  CAST(totalDurationInSec AS DOUBLE) / CAST(SUM(totalDurationInSec) OVER (PARTITION BY month) AS DOUBLE) * 100 AS usagePercentTotal,
+        |  CAST(totalDurationInSec AS DOUBLE) / CAST(SUM(totalDurationInSec) OVER (PARTITION BY month, timeZone) AS DOUBLE) * 100 AS usagePercentRelativeTz,
+        |  totalDurationInSec
+        |FROM g""".stripMargin
   )
 }
