@@ -699,8 +699,7 @@ object SparkEntry {
         |  FROM (SELECT unnest(content) AS c
         |        FROM read_json_auto('/root/repo/fixtures/categories.json'))),
         |res AS (
-        |  SELECT id AS resourceId, name AS resourceName,
-        |         regexp_replace(categoryId, '\.(\d)', '.0\1', 'g') AS categoryId
+        |  SELECT id AS resourceId, name AS resourceName, categoryId
         |  FROM read_json_auto('/root/repo/fixtures/resources.json')),
         |ev AS (
         |  SELECT substr(processTime, 1, 10) AS date, resourceId
@@ -722,9 +721,7 @@ object SparkEntry {
         |  FROM (SELECT unnest(content) AS c
         |        FROM read_json_auto('/root/repo/fixtures/categories.json'))),
         |res AS (
-        |  SELECT id AS resourceId,
-        |         regexp_replace(categoryId, '\.(\d)', '.0\1', 'g') AS categoryId,
-        |         providerId, promotion
+        |  SELECT id AS resourceId, categoryId, providerId, promotion
         |  FROM read_json_auto('/root/repo/fixtures/resources.json')),
         |ctry AS (SELECT * FROM read_csv('/root/repo/fixtures/countries.csv', header=true)),
         |rates(Code, rate) AS (VALUES

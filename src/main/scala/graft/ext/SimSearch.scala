@@ -81,26 +81,33 @@ object SimSearch {
     bitCols.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates restricted to the query's hyperplane
-    * bucket (equi-join on the signature — shuffle on a single long key,
-    * never a cross product). Recall depends on `bits` vs corpus density;
-    * verify against `bruteForceTopK` on a sample (see the spec).
+  /** Approximate top-k: candidates restricted to rows sharing a
+    * hyperplane bucket with the query in at least one of `tables`
+    * independent signatures (OR-amplification — the standard recall
+    * lever: per-table bucket probability p gives overall 1-(1-p)^T).
+    * Each row carries `tables` (table, sig) keys; the candidate join is
+    * an equi-join on them — shuffle on narrow keys, never a cross
+    * product. Tune `bits` down / `tables` up for recall, the reverse
+    * for throughput.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, bits: Int): DataFrame = {
+      k: Int, dim: Int, bits: Int, tables: Int = 8): DataFrame = {
+
+    def sigs(vec: Column): Column =
+      array((0 until tables).map(t =>
+        struct(lit(t).as("t"), hyperplaneSig(vec, dim, bits, seed = 7L + t).as("sig"))): _*)
 
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm2(col(vecCol)).as("__cn"),
-      hyperplaneSig(col(vecCol), dim, bits).as("__sig"))
+      norm2(col(vecCol)).as("__cn"), explode(sigs(col(vecCol))).as("__s"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      norm2(col(vecCol)).as("__qn"),
-      hyperplaneSig(col(vecCol), dim, bits).as("__sig"))
+      norm2(col(vecCol)).as("__qn"), explode(sigs(col(vecCol))).as("__s"))
 
-    val scored = c.join(q, Seq("__sig"))
+    val scored = c.join(q, Seq("__s"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(dotD(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -34,9 +34,10 @@ object RoyaltiesJob {
     val cats = categories.select(
       normalizeDottedId(col("id")).as("categoryId"),
       col("percent").cast(DecimalType(5, 2)).as("percent"))
+    // resources carry normalized category ids already; only the
+    // categories payload needs X1 (mirrors top10.py/royalties.py)
     val res = resources.select(
       col("id").as("resourceId"), col("categoryId"), col("providerId"), col("promotion"))
-      .withColumn("categoryId", normalizeDottedId(col("categoryId")))
 
     val ev = events
       .withColumn("month", substring(col("eventTime"), 1, 7))

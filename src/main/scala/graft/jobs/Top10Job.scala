@@ -29,11 +29,15 @@ object Top10Job {
       normalizeDottedId(col("id")).as("categoryId"),
       col("name").as("categoryName"))
 
+  /** Resources store categoryId already normalized — only the categories
+    * API payload needs the X1 rewrite (the reference normalizes
+    * categories only, top10.py:62-83 vs :118-134).
+    */
   def cleanResources(resources: DataFrame): DataFrame =
     resources.select(
       col("id").as("resourceId"),
       col("name").as("resourceName"),
-      normalizeDottedId(col("categoryId")).as("categoryId"))
+      col("categoryId"))
 
   def transform(events: DataFrame, resources: DataFrame, categories: DataFrame): DataFrame = {
     val ev = events

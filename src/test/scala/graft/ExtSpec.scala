@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, SimHash, SimSearch, TextAnalysis}
+
+/** Extension-operator specs: dedup recall vs ground truth, simhash
+  * invariants, similarity-search correctness + LSH recall, text stats,
+  * language ID.
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  // ── shingles / tokens ────────────────────────────────────────────────
+  test("shingles: consecutive 3-grams; short docs yield empty set") {
+    val df = Seq("one two three four", "a b").toDF("text")
+    val sh = df.select(TextAnalysis.shingleSet($"text", 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) == Seq("one two three", "two three four"))
+    assert(sh(1).isEmpty)
+  }
+
+  test("fingerprint is whitespace/case/punct-insensitive") {
+    val df = Seq("Hello,  World!", "hello world").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(TextAnalysis.tokens($"text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  // ── exact dedup ──────────────────────────────────────────────────────
+  test("exactDedup: groups byte-identical content, keeps min id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", md5($"text"))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  // ── minhash-LSH vs exact ground truth ───────────────────────────────
+  test("minhash-LSH near-dup pairs == exact all-pairs Jaccard at threshold (sf0.001)") {
+    val lsh = Dedup.nearDupPairsMinhash(docs, "doc_id", "text", 3, 128, 32, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // exact all-pairs over shingle sets (fine at 50 docs)
+    val base = docs.select($"doc_id", TextAnalysis.shingleSet($"text", 3).as("sh"))
+    val exact = base.as("a").join(base.as("b"), $"a.doc_id" < $"b.doc_id")
+      .withColumn("i", size(array_intersect($"a.sh", $"b.sh")))
+      .withColumn("u", size($"a.sh") + size($"b.sh") - $"i")
+      .filter($"i".cast("double") / $"u".cast("double") >= 0.8)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  // ── simhash ─────────────────────────────────────────────────────────
+  test("simhash: identical docs have hamming 0 and appear as a pair") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val pairs = SimHash.nearDupPairsSimhash(df, "doc_id", "text", 3, 8)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("simhash: portable h48 matches a reference fold computed in Scala") {
+    // one doc, one shingle -> the simhash of a single feature is the
+    // feature's bit pattern itself
+    val df = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val v = SimHash.withSimhash(
+      df.select($"doc_id", TextAnalysis.shingleSet($"text", 3).as("f")), "f", "bits", "v")
+      .select("v").as[Long].head()
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h48 = md5hex.take(12).foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16))
+    assert(v == h48)
+  }
+
+  // ── similarity search ───────────────────────────────────────────────
+  test("bruteForceTopK: finds the planted nearest neighbor, excludes self") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // nearest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = SimSearch.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.head == 1L)
+    assert(!out.contains(0L))
+  }
+
+  test("lshTopK: bucketed variant reaches usable recall vs brute force (sf0.001)") {
+    val queries = emb.filter($"vec_id" % 10 === 0)
+    val exact = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimSearch.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      dim = 64, bits = 3, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"recall $recall too low for 8 tables x 3 bits")
+    // and every approx hit must be a real corpus pair scored identically:
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  // ── text stats / language ───────────────────────────────────────────
+  test("textStats: counts and ratios are internally consistent") {
+    val df = Seq((1L, "The cat and the dog! 42 times.")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_tokens") == 7)   // the cat and the dog 42 times
+    assert(r.getAs[Int]("n_types") == 6)    // 'the' twice
+    assert(r.getAs[Int]("n_bpe") == 9)      // 7 word runs + '!' + '.'
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 3.0 / 7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ttr") - 6.0 / 7) < 1e-12)
+  }
+
+  test("langGuess: stopword profiles pick the right language") {
+    val df = Seq(
+      "the cat is on the mat and it is warm",
+      "el perro y la casa de los vecinos",
+      "der hund und die katze ist nicht da",
+      "le chat et les maisons dans la ville",
+      "zzz qqq xxx").toDF("text")
+    val out = df.select(TextAnalysis.langGuess($"text")).as[String].collect().toSeq
+    assert(out == Seq("en", "es", "de", "fr", "und"))
+  }
+}

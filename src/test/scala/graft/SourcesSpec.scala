@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+import graft.sources.Sources
+
+/** S1-S5 source specs over the authored fixtures. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  val fix = SparkEntry.FixturesDir
+
+  test("S3: multi-file JSON scan with declared schema; missing userId -> null") {
+    val ev = Sources.events(spark, s"$fix/events_json")
+    assert(ev.count() == 24)
+    assert(ev.schema("duration").dataType == IntegerType)
+    assert(ev.schema("itemPrice").dataType == StringType)
+    assert(ev.filter($"userId".isNull).count() == 4)
+  }
+
+  test("S2: inferred-schema resources dim") {
+    val res = Sources.resources(spark, s"$fix/resources.json")
+    assert(res.count() == 6)
+    assert(res.columns.toSet == Set("id", "name", "categoryId", "providerId", "promotion"))
+  }
+
+  test("S1: categories payload parsed driver-side into the declared schema") {
+    val cats = Sources.categories(spark, s"$fix/categories.json")
+    assert(cats.schema.fieldNames.toSeq == Seq("tenant", "id", "name", "percent"))
+    val byId = cats.select("id", "percent").as[(String, String)].collect().toMap
+    assert(byId == Map("3.1" -> "15", "2.2" -> "10", "7" -> "20"))
+  }
+
+  test("S4: CSV with header + inferSchema keeps PascalCase columns") {
+    val ct = Sources.countries(spark, s"$fix/countries.csv")
+    assert(ct.columns.toSeq == Seq("CountryCode", "Country", "Code"))
+    assert(ct.count() == 5)
+  }
+
+  test("S5: rates map parse + broadcast") {
+    val rates = Sources.exchangeRates(s"$fix/rates.json")
+    assert(rates == Map("USD" -> 1.0, "EUR" -> 1.08, "GBP" -> 1.27))
+    val b = Sources.broadcastRates(spark, s"$fix/rates.json")
+    assert(b.value("EUR") == 1.08)
+    assert(Sources.ratesDf(spark, s"$fix/rates.json").count() == 3)
+  }
+}
