@@ -377,7 +377,21 @@ object SparkEntry {
         Sources.ratesDf(s, FixturesDir + "/rates.json"))),
 
     "q30_job_usage" -> ((s, _) =>
-      PlatformUsageJob.byTimeZone(Sources.events(s, FixturesDir + "/events_json")))
+      PlatformUsageJob.byTimeZone(Sources.events(s, FixturesDir + "/events_json"))),
+
+    // ── multimodal: binaryFile scan → typed decode (mapPartitions over
+    // opaque bytes — deterministic GRF1 stub codec) → narrow feature
+    // projection. No oracleSql entry: binary decode is not
+    // SQL-expressible; the driver records the rows-only check, and the
+    // spec suite pins exact feature values. ──
+    "q31_multimodal" -> ((s, _) => {
+      import graft.ext.Multimodal
+      val files = Multimodal.asMediaFiles(Multimodal.readMedia(s, FixturesDir + "/media"))
+      Multimodal.imageFeatures(Multimodal.decodeImages(files)).toDF()
+        .select(
+          regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("width"), col("height"), col("channels"), col("meanIntensity"))
+    })
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.model.{Event, Schemas}
+
+/** Streaming flavor of the ingestion + top10 pipeline (SURVEY.md §2.11):
+  * the `events/` landing prefix consumed as a Structured Streaming file
+  * source instead of scheduled batch — same declared schema, same
+  * day-keyed counting, plus watermarked late-data handling the batch
+  * reference only approximates via its processTime/eventTime split.
+  *
+  * Scale: the file source lists incrementally; state for the windowed
+  * aggregate is bounded by the watermark (1 day of open windows per
+  * key), and the stateful running-total operator keeps one long per
+  * resource — both shapes survive an unbounded stream.
+  */
+object StreamingReports {
+
+  /** S3, streaming form: schema-on-read JSON dir scan. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Schemas.event).json(dir)
+
+  /** Daily purchase counts per resource over event arrival day
+    * (processTime, as the batch top10 keys on), tumbling 1-day windows
+    * with a 1-day watermark for late files.
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("pts", to_timestamp(col("processTime"), "yyyy-MM-dd'T'HH:mm:ssXXX"))
+      .withWatermark("pts", "1 day")
+      .groupBy(window(col("pts"), "1 day"), col("resourceId"))
+      .count()
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("date"),
+        col("resourceId"), col("count"))
+
+  /** Custom state: running per-resource event totals via
+    * mapGroupsWithState (KeyValueGroupedDataset surface).
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[(String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.resourceId)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (resourceId: String, rows: Iterator[Event], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (resourceId, total)
+      }
+  }
+}

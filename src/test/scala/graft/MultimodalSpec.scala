@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+
+/** Multimodal plumbing: binaryFile ingestion, GRF1 decode, features,
+  * resize, frame sampling — exact values pinned against the generator
+  * formula used to author fixtures/media.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.asMediaFiles(
+    Multimodal.readMedia(spark, s"${SparkEntry.FixturesDir}/media"))
+
+  test("binaryFile source: one row per file, content is binary") {
+    val df = Multimodal.readMedia(spark, s"${SparkEntry.FixturesDir}/media")
+    assert(df.count() == 5)
+    assert(df.schema("content").dataType.typeName == "binary")
+  }
+
+  test("decodeImages: only image payloads, correct dims") {
+    val dims = Multimodal.decodeImages(media)
+      .select(regexp_extract($"path", "[^/]+$", 0), $"width", $"height", $"channels")
+      .as[(String, Int, Int, Int)].collect().toSet
+    assert(dims == Set(
+      ("img_8x8x3.grf", 8, 8, 3), ("img_16x8x3.grf", 16, 8, 3), ("img_4x4x1.grf", 4, 4, 1)))
+  }
+
+  test("imageFeatures: mean matches the fixture generator formula") {
+    // pixel(x, y, ch) = (x*7 + y*13 + ch*31) % 256
+    val expected = (for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+      yield (x * 7 + y * 13 + c * 31) % 256).sum.toDouble / (8 * 8 * 3)
+    val got = Multimodal.imageFeatures(Multimodal.decodeImages(media))
+      .filter($"path".endsWith("img_8x8x3.grf"))
+      .select($"meanIntensity").as[Double].head()
+    assert(got == expected)
+    val hist = Multimodal.imageFeatures(Multimodal.decodeImages(media))
+      .filter($"path".endsWith("img_8x8x3.grf"))
+      .select($"histogram8").as[Array[Long]].head()
+    assert(hist.sum == 8 * 8 * 3)
+  }
+
+  test("resize: nearest-neighbor downsample halves dims, keeps sampled bytes") {
+    val half = Multimodal.resize(Multimodal.decodeImages(media), 2)
+      .filter($"path".endsWith("img_8x8x3.grf")).head()
+    assert(half.width == 4 && half.height == 4 && half.channels == 3)
+    // top-left pixel of channel 1 survives: (0*7 + 0*13 + 1*31) % 256 = 31
+    assert((half.pixels(1) & 0xff) == 31)
+  }
+
+  test("decodeAudio: rate/samples/mean") {
+    val a = Multimodal.decodeAudio(media).head()
+    assert(a.sampleRate == 8000 && a.nSamples == 256)
+    val expected = (0 until 256).map(i => (i * 17) % 256).sum.toDouble / 256
+    assert(a.meanAmplitude == expected)
+  }
+
+  test("frameSample: every 2nd frame of the 6-frame video") {
+    val frames = Multimodal.frameSample(media, 2).collect()
+    assert(frames.map(_.frameIndex).sorted.toSeq == Seq(0, 2, 4))
+    // frame 2, pixel (x=1, y=0) = (2*3 + 1*7 + 0*13) % 256 = 13
+    val f2 = frames.find(_.frameIndex == 2).get
+    assert((f2.pixels(1) & 0xff) == 13)
+  }
+}
