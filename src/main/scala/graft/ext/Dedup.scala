@@ -47,28 +47,18 @@ object Dedup {
     df.groupBy(keyCol.as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-row minhash signature (array of numHashes longs) over a
-    * distinct-shingle-set column.
-    */
-  def minhashSig(shingleSet: Column, numHashes: Int): Column = {
-    val hx = transform(shingleSet, s => pmod(xxhash64(s), lit(P)))
-    val sigs = seedPairs(numHashes).map { case (a, b) =>
-      array_min(transform(hx, x => pmod(x * a + b, lit(P))))
-    }
-    array(sigs: _*)
-  }
-
-  /** Banded LSH keys: `bands` hashes, each over `rowsPerBand`
-    * consecutive signature slots.
-    */
-  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, concat_ws("_", transform(
-        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")))))
-
   /** Near-duplicate pairs by minhash-LSH with exact n-gram-Jaccard
     * verification. Returns (doc_a, doc_b, jaccard) for verified pairs
     * with Jaccard >= threshold, doc_a < doc_b.
+    *
+    * Signature shape: explode the shingle set, hash each shingle ONCE,
+    * then numHashes `min` aggregations grouped by doc (map-side partial
+    * combine, one shuffle keyed by doc id). The tempting per-row
+    * alternative — nested higher-order array expressions — is a trap:
+    * Catalyst's projection collapse inlines the shared base-hash
+    * subexpression into every one of the 128 array_min lambdas,
+    * recomputing xxhash64 |shingles|×128 times per row (measured 20×
+    * slower at sf0.1).
     *
     * With bands=32 × rowsPerBand=4 (128 hashes) the probability of
     * missing a pair at similarity s is (1-s^4)^32 — ~1e-15 at s=0.9 —
@@ -81,14 +71,36 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    val seeds = seedPairs(numHashes)
 
-    val base = docs
-      .select(col(idCol).as("__id"), TextAnalysis.shingleSet(col(textCol), shingleK).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    val base = TextAnalysis.withShingleSet(
+        docs.select(col(idCol).as("__id"), col(textCol).as("__text")), "__text", shingleK, "__sh")
+      .select(col("__id"), col("__sh"))
 
-    val banded = base
-      .withColumn("__sig", minhashSig(col("__sh"), numHashes))
-      .select(col("__id"), posexplode(bandHashes(col("__sig"), bands, rowsPerBand)))
+    // one base hash per (doc, shingle) row, then 128 partial-agg mins.
+    // explode_OUTER + isNotNull on the generator OUTPUT, not a plain
+    // explode: for a plain Generate, InferFiltersFromGenerate
+    // synthesizes `size(input) > 0` and pushdown inlines the entire
+    // shingle expression — per-element regex re-evaluation included —
+    // into a per-row scan predicate (measured ~15s of pure waste at
+    // sf0.1). The outer variant infers nothing, and a predicate on the
+    // generate output cannot be pushed below the Generate.
+    val minAggs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__x") * a + b, lit(P))).as(s"__m$i")
+    }
+    val sig = base
+      .select(col("__id"), explode_outer(col("__sh")).as("__f"))
+      .filter(col("__f").isNotNull)
+      .withColumn("__x", pmod(xxhash64(col("__f")), lit(P)))
+      .groupBy("__id")
+      .agg(minAggs.head, minAggs.tail: _*)
+
+    // band key = hash of the band's rowsPerBand signature slots
+    val bandCols = (0 until bands).map { bd =>
+      xxhash64(lit(bd) +: (0 until rowsPerBand).map(r => col(s"__m${bd * rowsPerBand + r}")): _*)
+    }
+    val banded = sig
+      .select(col("__id"), posexplode(array(bandCols: _*)))
       .toDF("__id", "band", "bh")
 
     val cands = banded.as("x")

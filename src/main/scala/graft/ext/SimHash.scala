@@ -8,8 +8,7 @@ import org.apache.spark.sql.functions._
   * 48-bit simhash over the distinct-shingle feature set, banded into
   * 4×12-bit chunks for candidate generation (docs sharing >=1 chunk),
   * then exact hamming distance over candidates. As with minhash-LSH the
-  * work is per-row signature computation (no shuffle) + an equi-join on
-  * chunk values — never all-pairs.
+  * candidate stage is an equi-join on chunk values — never all-pairs.
   *
   * The feature hash is built from md5 hex (engine-portable) rather than
   * an engine-internal hash so a SQL oracle can reproduce every bit:
@@ -17,6 +16,14 @@ import org.apache.spark.sql.functions._
   * keeps every intermediate (and 2^j scale factors) exactly representable
   * in both BIGINT and DOUBLE, with no signed-64 overflow in either
   * engine.
+  *
+  * Shape: explode features, md5 each ONCE, then 48 per-bit sign-sum
+  * aggregations grouped by doc (map-side partial combine, one shuffle).
+  * A per-row nested-fold formulation gets its shared subexpressions
+  * inlined by projection collapse and recomputes the md5 fold
+  * bits×features times per row — measured 3 orders of magnitude slower
+  * at sf0.1. The aggregate shape is also exactly what the SQL oracle
+  * does, so parity is structural.
   */
 object SimHash {
 
@@ -24,32 +31,45 @@ object SimHash {
   val Chunks = 4
   val ChunkBits = Bits / Chunks
 
-  /** Array of per-feature 48-bit hashes from an array of md5 hex digests
-    * (expression string: needs substring with a dynamic position, which
-    * the SQL surface allows but the Scala functions API does not).
+  /** Base-16 fold of the first 12 hex chars of md5 of the feature
+    * column `__f` (expression string: substring with a dynamic position
+    * is SQL-surface-only).
     */
-  private val h48FromMd5: String =
-    """transform(__md5s, h -> aggregate(sequence(1, 12), 0L, (acc, i) ->
-      |  acc * 16 + CASE WHEN ascii(substring(h, i, 1)) <= 57
-      |                  THEN ascii(substring(h, i, 1)) - 48
-      |                  ELSE ascii(substring(h, i, 1)) - 87 END))""".stripMargin
+  private val h48Expr: String =
+    """aggregate(sequence(1, 12), 0L, (acc, i) ->
+      |  acc * 16 + CASE WHEN ascii(substring(__md5, i, 1)) <= 57
+      |                  THEN ascii(substring(__md5, i, 1)) - 48
+      |                  ELSE ascii(substring(__md5, i, 1)) - 87 END)""".stripMargin
 
-  /** Adds `bitsCol` (array<bigint> of 48 bits, index j = bit j) and
-    * `valueCol` (the assembled 48-bit simhash) for the feature-set
-    * column `featCol`.
+  /** Per-doc simhash from an exploded (docCol, featCol) frame: returns
+    * (docCol, bitsCol array<bigint> indexed by bit j, valueCol bigint).
     */
-  def withSimhash(df: DataFrame, featCol: String, bitsCol: String, valueCol: String): DataFrame =
-    df.withColumn("__md5s", transform(col(featCol), f => md5(f)))
-      .withColumn("__h48s", expr(h48FromMd5))
-      .withColumn(bitsCol, expr(
-        s"""transform(sequence(0, ${Bits - 1}), j ->
-           |  CASE WHEN aggregate(__h48s, 0L, (acc, h) ->
-           |    acc + 2 * ((h div cast(pow(2, j) as bigint)) % 2) - 1) > 0
-           |  THEN 1L ELSE 0L END)""".stripMargin))
-      .withColumn(valueCol, expr(
-        s"""aggregate(sequence(0, ${Bits - 1}), 0L, (acc, j) ->
-           |  acc + element_at($bitsCol, j + 1) * cast(pow(2, j) as bigint))""".stripMargin))
-      .drop("__md5s", "__h48s")
+  def simhashOf(feat: DataFrame, docCol: String, featCol: String,
+      bitsCol: String, valueCol: String): DataFrame = {
+    val withH = feat
+      .withColumn("__md5", md5(col(featCol)))
+      .withColumn("__h", expr(h48Expr))
+    // sign-sum per bit: sum over features of (2*bit_j - 1)
+    val sumAggs = (0 until Bits).map { j =>
+      sum(expr(s"2 * ((__h div ${1L << j}) % 2) - 1")).as(s"__s$j")
+    }
+    val sums = withH.groupBy(col(docCol)).agg(sumAggs.head, sumAggs.tail: _*)
+    val bitCols = (0 until Bits).map(j => when(col(s"__s$j") > 0, 1L).otherwise(0L))
+    sums
+      .withColumn(bitsCol, array(bitCols: _*))
+      .withColumn(valueCol,
+        bitCols.zipWithIndex.map { case (b, j) => b * (1L << j) }.reduce(_ + _))
+      .select(col(docCol), col(bitsCol), col(valueCol))
+  }
+
+  /** Convenience wrapper over a (id, featureSet) frame. */
+  def withSimhash(df: DataFrame, featCol: String, bitsCol: String, valueCol: String): DataFrame = {
+    val idCols = df.columns.filterNot(c => c == featCol).map(col)
+    val feat = df.select((idCols :+ explode(col(featCol)).as("__f")): _*)
+    val keyCol = df.columns.head
+    df.select(df.columns.map(col): _*)
+      .join(simhashOf(feat, keyCol, "__f", bitsCol, valueCol), Seq(keyCol))
+  }
 
   /** Near-dup pairs: simhash chunk-collision candidates with exact
     * hamming distance <= maxHamming. Returns (doc_a, doc_b, hamming).
@@ -58,11 +78,17 @@ object SimHash {
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, maxHamming: Int = 8): DataFrame = {
 
-    val base = withSimhash(
-      docs.select(col(idCol).as("__id"),
-          TextAnalysis.shingleSet(col(textCol), shingleK).as("__sh"))
-        .filter(size(col("__sh")) > 0),
-      "__sh", "__bits", "__v")
+    // explode_outer + isNotNull on the generator output, NOT plain
+    // explode: InferFiltersFromGenerate would otherwise push a
+    // synthesized size(...) filter with the whole shingle expression
+    // inlined down to the scan (see the note in Dedup)
+    val feat = TextAnalysis.withShingleSet(
+        docs.select(col(idCol).as("__id"), col(textCol).as("__text")), "__text", shingleK, "__sh")
+      .select(col("__id"), col("__sh"))
+      .select(col("__id"), explode_outer(col("__sh")).as("__f"))
+      .filter(col("__f").isNotNull)
+
+    val base = simhashOf(feat, "__id", "__f", "__bits", "__v")
 
     val chunked = base.select(
       col("__id"), col("__bits"),
