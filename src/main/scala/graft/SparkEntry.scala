@@ -26,9 +26,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Corpus.load(s, dir, name)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query; driver smoke-checks rows>0 (sf dir overridable). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q2_top10")(spark, "/root/testdata/sf0.001")
+    queries("q2_top10")(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
