@@ -392,7 +392,29 @@ object SparkEntry {
         .select(
           regexp_extract(col("path"), "[^/]+$", 0).as("name"),
           col("width"), col("height"), col("channels"), col("meanIntensity"))
-    })
+    }),
+
+    // ── ext: embedding-space near-dup — exact all-pairs cosine at a
+    // threshold (the oracle-matched baseline; hyperplane-bucketed join
+    // is the 100-TB path, see SimSearch) ──
+    "q32_embed_neardup" -> ((s, dir) =>
+      SimSearch.nearDupPairsCosine(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+
+    // ── salted two-phase aggregation: the skew pattern — deterministic
+    // salt, partial sums, re-aggregate; result provably equals the
+    // plain groupBy (the oracle computes the plain form) ──
+    "q33_salted_agg" -> ((s, dir) => {
+      import graft.operators.SkewSalt
+      SkewSalt.saltedSum(t(s, dir, "events"), Seq("event_type"),
+          dec2(col("value")), "total", col("event_id"), saltBuckets = 16)
+        .select(col("event_type"), asDouble(col("total")).as("total"))
+    }),
+
+    // ── ext: exact n-gram Jaccard via shingle inverted index (posting-
+    // list self-join — candidates share content, never all-pairs) ──
+    "q34_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, threshold = 0.5))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -775,6 +797,49 @@ object SparkEntry {
         |  CAST(totalDurationInSec AS DOUBLE) / CAST(SUM(totalDurationInSec) OVER (PARTITION BY month) AS DOUBLE) * 100 AS usagePercentTotal,
         |  CAST(totalDurationInSec AS DOUBLE) / CAST(SUM(totalDurationInSec) OVER (PARTITION BY month, timeZone) AS DOUBLE) * 100 AS usagePercentRelativeTz,
         |  totalDurationInSec
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q32_embed_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / sqrt(a.nn * b.nn) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / sqrt(a.nn * b.nn) >= 0.45""".stripMargin,
+
+    // The salted two-phase sum is algebraically the plain sum (decimal
+    // addition is exact and associative), so the oracle is the direct
+    // groupBy.
+    "q33_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q34_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin
   )
 }

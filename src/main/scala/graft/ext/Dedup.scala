@@ -47,6 +47,51 @@ object Dedup {
     df.groupBy(keyCol.as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact n-gram-Jaccard near-dup pairs via a shingle inverted index:
+    * pairs come from the self-equi-join on shared shingles (postings),
+    * so work is Σ|posting list|² — candidates share content by
+    * construction, never an all-pairs product. Returns
+    * (doc_a, doc_b, jaccard) with jaccard >= threshold, doc_a < doc_b.
+    *
+    * Scale hazard: a stop-shingle ("of the and"-style) with a huge
+    * posting list makes its join quadratic; `maxShingleDf` drops
+    * shingles whose document frequency exceeds the cap (standard
+    * inverted-index pruning — near-dup pairs still share plenty of rare
+    * shingles; None keeps the operator exact, as the oracle requires).
+    * For corpora where even that is too hot, use the minhash-LSH
+    * variant below.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+
+    val base = TextAnalysis.withShingleSet(
+        docs.select(col(idCol).as("__id"), col(textCol).as("__text")), "__text", shingleK, "__sh")
+      .select(col("__id"), col("__sh"))
+    val feat = base
+      .select(col("__id"), explode_outer(col("__sh")).as("__f"))
+      .filter(col("__f").isNotNull)
+    val posting = maxShingleDf match {
+      case Some(cap) =>
+        val dfreq = feat.groupBy("__f").agg(count(lit(1)).as("__df"))
+        feat.join(dfreq.filter(col("__df") <= cap), Seq("__f")).select("__id", "__f")
+      case None => feat
+    }
+    val sz = feat.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val inter = posting.as("a")
+      .join(posting.as("b"), col("a.__f") === col("b.__f") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .agg(count(lit(1)).as("__i"))
+    inter
+      .join(sz.select(col("__id"), col("__n").as("__na")), col("doc_a") === col("__id")).drop("__id")
+      .join(sz.select(col("__id"), col("__n").as("__nb")), col("doc_b") === col("__id")).drop("__id")
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Near-duplicate pairs by minhash-LSH with exact n-gram-Jaccard
     * verification. Returns (doc_a, doc_b, jaccard) for verified pairs
     * with Jaccard >= threshold, doc_a < doc_b.

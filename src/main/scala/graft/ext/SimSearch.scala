@@ -65,6 +65,23 @@ object SimSearch {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** All pairs with cosine >= threshold — embedding-space near-dup
+    * detection. Exact (shuffle join on id inequality): the oracle-
+    * matched baseline. The LSH-bucketed path (join on `hyperplaneSig`
+    * equality instead, as in `lshTopK`) is the 100-TB variant, at
+    * recall < 1 for thresholds this low.
+    */
+  def nearDupPairsCosine(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val n = corpus.select(
+      col(idCol).as("__id"), col(vecCol).as("__v"), norm2(col(vecCol)).as("__n"))
+    n.as("a").join(n.as("b"), col("a.__id") < col("b.__id"))
+      .select(
+        col("a.__id").as("vec_a"), col("b.__id").as("vec_b"),
+        cosine(dotD(col("a.__v"), col("b.__v")), col("a.__n"), col("b.__n")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Random-hyperplane LSH signature: one sign bit per hyperplane,
     * packed to a long. Hyperplane components are deterministic from
     * `seed` (java.util.Random gaussians — JDK-specified algorithm).

@@ -103,6 +103,41 @@ class ExtSpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("ngramJaccardPairs: inverted-index exact pairs == minhash-verified pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val viaLsh = Dedup.nearDupPairsMinhash(docs, "doc_id", "text", 3, 128, 32, 0.8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(exact == viaLsh)
+  }
+
+  test("ngramJaccardPairs: df-capped postings still find rare-shingle near-dups") {
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, maxShingleDf = Some(10))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(capped) || capped.subsetOf(exact))
+    assert(capped.nonEmpty)
+  }
+
+  test("nearDupPairsCosine: threshold pairs are exactly the brute-force >= tau set") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = SimSearch.nearDupPairsCosine(vecs, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("saltedSum == plain groupBy sum (two-phase algebraic equivalence)") {
+    import graft.operators.SkewSalt
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val salted = SkewSalt.saltedSum(ev, Seq("event_type"),
+      $"value".cast("decimal(12,2)"), "total", $"event_id", 16)
+    val plain = ev.groupBy("event_type").agg(sum($"value".cast("decimal(12,2)")).as("total"))
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+
   // ── text stats / language ───────────────────────────────────────────
   test("textStats: counts and ratios are internally consistent") {
     val df = Seq((1L, "The cat and the dog! 42 times.")).toDF("doc_id", "text")
