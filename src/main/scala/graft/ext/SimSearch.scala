@@ -1,8 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.CosineSimilarity
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -35,10 +37,19 @@ object SimSearch {
   def norm2(a: Column): Column = dotD(a, a)
 
   /** Cosine via the canonical portable shape dot / sqrt(na*nb); operands
-    * `na`, `nb` should be precomputed norm2 columns.
+    * `na`, `nb` should be precomputed norm2 columns. This is the
+    * reference formulation the SQL oracle mirrors; the operators below
+    * use the fused codegen'd CosineSimilarity expression, which is
+    * bit-identical (PlansSpec) and one array traversal instead of three.
     */
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot / sqrt(na * nb)
+
+  /** Native one-pass cosine (graft.plans.CosineSimilarity). */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    CosineSimilarity.register(spark)
+    call_function(CosineSimilarity.fnName, a, b)
+  }
 
   /** Exact top-k nearest (cosine) corpus rows for each query row.
     * `queries` must be a bounded batch — it is broadcast. Ties broken by
@@ -48,15 +59,11 @@ object SimSearch {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
 
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm2(col(vecCol)).as("__cn"))
-    val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      norm2(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
 
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(dotD(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("cosine", cosineSim(corpus.sparkSession, col("__qv"), col("__cv")))
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -73,12 +80,11 @@ object SimSearch {
     */
   def nearDupPairsCosine(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val n = corpus.select(
-      col(idCol).as("__id"), col(vecCol).as("__v"), norm2(col(vecCol)).as("__n"))
+    val n = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     n.as("a").join(n.as("b"), col("a.__id") < col("b.__id"))
       .select(
         col("a.__id").as("vec_a"), col("b.__id").as("vec_b"),
-        cosine(dotD(col("a.__v"), col("b.__v")), col("a.__n"), col("b.__n")).as("cosine"))
+        cosineSim(corpus.sparkSession, col("a.__v"), col("b.__v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -117,15 +123,15 @@ object SimSearch {
 
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm2(col(vecCol)).as("__cn"), explode(sigs(col(vecCol))).as("__s"))
+      explode(sigs(col(vecCol))).as("__s"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      norm2(col(vecCol)).as("__qn"), explode(sigs(col(vecCol))).as("__s"))
+      explode(sigs(col(vecCol))).as("__s"))
 
     val scored = c.join(q, Seq("__s"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(dotD(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("cosine", cosineSim(corpus.sparkSession, col("__qv"), col("__cv")))
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.SimSearch
+import graft.plans.CosineSimilarity
+
+/** Custom codegen'd expression: bit-identical to the composed-builtin
+  * fold formulation, SQL-callable after registration.
+  */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("cosine_sim is bit-identical to the zip_with/aggregate fold recipe") {
+    CosineSimilarity.register(spark)
+    val pairs = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id" && $"b.vec_id" < 20)
+    val both = pairs.select(
+      call_function("cosine_sim", $"a.embedding", $"b.embedding").as("native"),
+      SimSearch.cosine(
+        SimSearch.dotD($"a.embedding", $"b.embedding"),
+        SimSearch.norm2($"a.embedding"), SimSearch.norm2($"b.embedding")).as("folded"))
+    // exact bit equality, not approximate
+    assert(both.filter($"native" =!= $"folded").count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("cosine_sim is SQL-callable and null-safe") {
+    CosineSimilarity.register(spark)
+    emb.limit(5).createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_t").as[Double].collect()
+    viaSql.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+    val nulls = spark.sql(
+      "SELECT cosine_sim(CAST(NULL AS ARRAY<FLOAT>), CAST(NULL AS ARRAY<FLOAT>)) AS c").collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("GraftExtensions injection applies cleanly to a fresh extensions object") {
+    // a full spark.sql.extensions round trip needs an isolated
+    // SparkContext (getOrCreate would return the suite session and
+    // silently skip the config); assert the injection wiring itself,
+    // and the evaluable path it installs
+    new graft.plans.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = CosineSimilarity(
+      Literal.create(Array(1.0f, 0.0f)), Literal.create(Array(0.6f, 0.8f)))
+    val (x, y) = (0.6f.toDouble, 0.8f.toDouble)
+    assert(e.eval(null).asInstanceOf[Double] == x / math.sqrt(1.0 * (x * x + y * y)))
+  }
+}
