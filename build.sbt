@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g showed GC-pressure variance (2.5s -> 47s on one query) when all
+  // 33 bench queries share one local[32] JVM; 16g keeps timings stable
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

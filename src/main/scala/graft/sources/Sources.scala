@@ -1,10 +1,10 @@
 package graft.sources
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import java.nio.file.{Files, Paths}
 
-import graft.model.Schemas
+import graft.model.{Category, Event, Resource, Schemas}
 
 /** Ingestion tier (SURVEY.md §2.1, S1-S5) re-expressed Spark-first.
   *
@@ -47,6 +47,24 @@ object Sources {
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), Schemas.category)
+  }
+
+  /** Typed Dataset views (SURVEY.md §1.3: DataFrame at the edges,
+    * Dataset[T] where type safety helps downstream logic).
+    */
+  def eventsDs(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    events(spark, dir).as[Event]
+  }
+
+  def resourcesDs(spark: SparkSession, path: String): Dataset[Resource] = {
+    import spark.implicits._
+    resources(spark, path).select("id", "name", "categoryId", "providerId", "promotion").as[Resource]
+  }
+
+  def categoriesDs(spark: SparkSession, path: String): Dataset[Category] = {
+    import spark.implicits._
+    categories(spark, path).as[Category]
   }
 
   /** S4 — CSV with header + inferSchema (countries, royalties.py:66-68). */

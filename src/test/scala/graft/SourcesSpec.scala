@@ -38,6 +38,15 @@ class SourcesSpec extends SparkSpec {
     assert(ct.count() == 5)
   }
 
+  test("typed Dataset views round-trip the declared schemas") {
+    val ev = Sources.eventsDs(spark, s"$fix/events_json")
+    assert(ev.filter(_.userId.isEmpty).count() == 4)
+    assert(ev.map(_.duration.getOrElse(0)).reduce(_ + _) > 0)
+    val res = Sources.resourcesDs(spark, s"$fix/resources.json")
+    assert(res.map(_.providerId).distinct().count() == 3)
+    assert(Sources.categoriesDs(spark, s"$fix/categories.json").count() == 3)
+  }
+
   test("S5: rates map parse + broadcast") {
     val rates = Sources.exchangeRates(s"$fix/rates.json")
     assert(rates == Map("USD" -> 1.0, "EUR" -> 1.08, "GBP" -> 1.27))
