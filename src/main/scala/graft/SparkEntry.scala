@@ -414,7 +414,35 @@ object SparkEntry {
     // list self-join — candidates share content, never all-pairs) ──
     "q34_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 3, threshold = 0.5))
+        shingleK = 3, threshold = 0.5)),
+
+    // ── distinct-count aggregate (expand + two-phase agg under the
+    // hood; the exact form — approx_count_distinct is the 100-TB
+    // variant but its HLL sketch is engine-specific, so the oracle
+    // pins the exact one) ──
+    "q35_count_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("n"))),
+
+    // ── pivot with explicit value list (deterministic output columns;
+    // an implicit pivot would scan for values first — one extra pass) ──
+    "q36_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("month", monthKey(col("ts")))
+        .groupBy("month")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(asDouble(sum(dec2(col("value")))))),
+
+    // ── semi-structured: JSON field extraction from a string column +
+    // null-default coalesce (na.fill shape) ──
+    "q37_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k_raw"))
+        .na.fill(Map("k_raw" -> -1L))
+        .withColumnRenamed("k_raw", "k_val"))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -840,6 +868,24 @@ object SparkEntry {
         |SELECT da AS doc_a, db AS doc_b,
         |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q35_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q36_pivot" ->
+      """SELECT strftime(ts, '%Y-%m') AS month,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q37_json_props" ->
+      """SELECT event_id,
+        |  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_val
+        |FROM events""".stripMargin
   )
 }
