@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 
+import graft.jobs.Top10Job
 import graft.model.{Event, Schemas}
 
 /** Streaming flavor of the ingestion + top10 pipeline (SURVEY.md §2.11):
@@ -36,6 +37,26 @@ object StreamingReports {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd").as("date"),
         col("resourceId"), col("count"))
+
+  /** Streaming top10 report: the full batch report logic applied per
+    * micro-batch via foreachBatch, writing the K1 pipe-CSV sink — the
+    * §2.11 shape (ranking needs a full-partition window, which
+    * streaming aggregation can't express incrementally; foreachBatch
+    * gives each batch the complete batch API, and since the file
+    * source replays the whole landing dir per trigger in this bounded
+    * smoke, each batch's output is the complete report; in unbounded
+    * production the source would feed a compacted store keyed by day
+    * before ranking).
+    */
+  def top10Stream(
+      spark: SparkSession, eventsDir: String,
+      resources: DataFrame, categories: DataFrame, outPath: String): StreamingQuery =
+    eventStream(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Top10Job.write(Top10Job.transform(batch, resources, categories), outPath)
+      }
+      .start()
 
   /** Custom state: running per-resource event totals via
     * mapGroupsWithState (KeyValueGroupedDataset surface).

@@ -28,6 +28,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch top10 stream writes the K1 report equal to the batch job") {
+    val out = java.nio.file.Files.createTempDirectory("stream-top10").toString
+    val res = Sources.resources(spark, s"${SparkEntry.FixturesDir}/resources.json")
+    val cats = Sources.categories(spark, s"${SparkEntry.FixturesDir}/categories.json")
+    val q = StreamingReports.top10Stream(spark, dir, res, cats, out)
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.read.option("header", "true").option("sep", "|").csv(out)
+    val batch = graft.jobs.Top10Job.transform(Sources.events(spark, dir), res, cats)
+    assert(streamed.count() == batch.count())
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out, "date=2024-04-01")))
+  }
+
   test("mapGroupsWithState running totals converge to batch counts") {
     val q = StreamingReports.runningTotals(
       StreamingReports.eventStream(spark, dir).as[Event])
