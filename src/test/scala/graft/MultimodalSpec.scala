@@ -57,6 +57,20 @@ class MultimodalSpec extends SparkSpec {
     assert(a.meanAmplitude == expected)
   }
 
+  test("corrupt/truncated payloads are skipped, never fail the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("badmedia")
+    java.nio.file.Files.write(dir.resolve("garbage.grf"), Array.fill[Byte](40)(7))
+    // valid image header claiming 8x8x3 but truncated payload
+    val bad = "GRF1".getBytes("US-ASCII") ++ Array[Byte](0) ++
+      java.nio.ByteBuffer.allocate(12).putInt(8).putInt(8).putInt(3).array() ++
+      Array.fill[Byte](10)(1)
+    java.nio.file.Files.write(dir.resolve("truncated.grf"), bad)
+    val files = Multimodal.asMediaFiles(Multimodal.readMedia(spark, dir.toString))
+    assert(Multimodal.decodeImages(files).count() == 0)
+    assert(Multimodal.decodeAudio(files).count() == 0)
+    assert(Multimodal.frameSample(files, 1).count() == 0)
+  }
+
   test("frameSample: every 2nd frame of the 6-frame video") {
     val frames = Multimodal.frameSample(media, 2).collect()
     assert(frames.map(_.frameIndex).sorted.toSeq == Seq(0, 2, 4))
