@@ -443,6 +443,30 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("bigint").as("k_raw"))
         .na.fill(Map("k_raw" -> -1L))
         .withColumnRenamed("k_raw", "k_val"))
+    ,
+
+    // ── date arithmetic: datediff / date_add / last_day histogram of
+    // order-to-ship lag ──
+    "q38_datemath" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"),
+          dayKey(date_add(col("o_orderdate"), 30)).as("due_day"),
+          dayKey(last_day(col("o_orderdate"))).as("eom"))
+        .groupBy("lag_days")
+        .agg(count(lit(1)).as("n"),
+          min(col("due_day")).as("min_due"),
+          max(col("eom")).as("max_eom"))
+    }),
+
+    // ── cube grouping sets (rollup's sibling — all key combinations) ──
+    "q39_cube" -> ((s, dir) =>
+      t(s, dir, "part")
+        .cube(col("p_brand"), (col("p_size") % 5).as("size_mod"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("p_retailprice")))).as("retail")))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -886,6 +910,20 @@ object SparkEntry {
     "q37_json_props" ->
       """SELECT event_id,
         |  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_val
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q38_datemath" ->
+      """WITH d AS (
+        |  SELECT date_diff('day', o_orderdate, l_shipdate) AS lag_days,
+        |    strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_day,
+        |    strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT lag_days, COUNT(*) AS n, min(due_day) AS min_due, max(eom) AS max_eom
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q39_cube" ->
+      """SELECT p_brand, p_size % 5 AS size_mod, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS retail
+        |FROM part GROUP BY CUBE (p_brand, p_size % 5)""".stripMargin
   )
 }
