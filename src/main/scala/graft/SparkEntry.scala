@@ -52,12 +52,17 @@ object SparkEntry {
     "q2_top10" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .withColumn("month", monthKey(col("l_shipdate")))
-      // no broadcast hint: `part` grows with scale factor; AQE decides.
+      // aggregate BELOW the join: p_brand is functionally dependent on
+      // l_partkey, so counting at (month, partkey) grain first shrinks
+      // the join input from |lineitem| to |distinct keys| — at 100 TB
+      // the join then moves aggregates, not events. No broadcast hint:
+      // `part` grows with scale factor; AQE decides.
       val counts = li
-        .join(t(s, dir, "part"), li("l_partkey") === col("p_partkey"))
-        .groupBy("month", "p_brand", "l_partkey")
+        .groupBy("month", "l_partkey")
         .agg(count(lit(1)).as("cnt"))
-      TopK.denseTopK(counts, Seq("month", "p_brand"), col("cnt").desc, 10)
+      val withBrand = counts
+        .join(t(s, dir, "part"), counts("l_partkey") === col("p_partkey"))
+      TopK.denseTopK(withBrand, Seq("month", "p_brand"), col("cnt").desc, 10)
         .select("month", "p_brand", "l_partkey", "cnt", "position")
     }),
 
@@ -154,15 +159,22 @@ object SparkEntry {
         .withColumn("avg_val", col("total") / col("n"))
     }),
 
-    // ── lead/lag window (beyond-reference window coverage) ──
+    // ── lead/lag window (beyond-reference window coverage). Two-level
+    // aggregation: exact-decimal partials at (partkey, month) below the
+    // join, re-aggregated to brand after — decimal addition is
+    // associative, so the result is bit-identical to the single-level
+    // form while the join moves partials instead of line items ──
     "q11_window_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem")
-      val g = li
-        .join(t(s, dir, "part"), li("l_partkey") === col("p_partkey"))
+      val partial = li
         .withColumn("month", monthKey(col("l_shipdate")))
+        .groupBy("l_partkey", "month")
+        .agg(sum(dec2(col("l_extendedprice"))).as("rev_part"))
+      val g = partial
+        .join(t(s, dir, "part"), partial("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "month")
-        .agg(asDouble(sum(dec2(col("l_extendedprice")))).as("revenue"))
+        .agg(asDouble(sum(col("rev_part"))).as("revenue"))
       val w = Window.partitionBy("p_brand").orderBy("month")
       g.withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
         .withColumn("delta", col("revenue") - col("prev_revenue"))
