@@ -3,7 +3,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main — one JSON line on stdout (driver contract).
   *
-  * Methodology (round-1 judge fixes):
+  * Methodology (round-1 + round-2 judge fixes):
   *  - Action is a noop-format write, NOT `.count()`: count() lets
   *    Catalyst prune projection-only queries down to a row count, so
   *    string/regex work would never execute. The noop sink materializes
@@ -11,16 +11,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    executor-side (no driver collect, no disk).
   *  - One untimed warm-up pass (flagship query) eats JVM/codegen/
   *    classloading warm-up so the first timed query is comparable.
+  *  - MEDIAN of 3 runs per query, and every run's time is emitted in a
+  *    "runs" map alongside the medians. Round 2 reported best-of-2,
+  *    which under-reports steady-state GC pressure (the judge measured
+  *    q18 6× above the recorded number); the median is robust to the
+  *    one-off 5-20× GC/JIT/AQE spikes a shared 40-query JVM shows
+  *    without hiding a consistently slow query.
   *  - Failures are reported in an explicit "errors" map instead of being
   *    swallowed as fast green-looking numbers.
+  *
+  * Env knobs (all optional): SPARK_GRAFT_SF_DIR (data dir),
+  * SPARK_GRAFT_CPUS (local[N]), SPARK_GRAFT_RUNS (runs per query,
+  * default 3), SPARK_GRAFT_ONLY (comma-separated query-name filter, for
+  * profiling a subset while iterating).
   */
 object Bench {
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,11 +54,10 @@ object Bench {
     catch { case _: Throwable => () }
 
     var errors = Map.empty[String, String]
-    // best-of-2: a single pass in a shared 33-query JVM shows 5-20x
-    // one-off spikes (GC/JIT/AQE jitter); the min of two runs is the
-    // steady-state number a dedicated job would see
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try runNoop(fn(spark, sfDir))
         catch {
@@ -49,19 +66,21 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, median(times), times)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val runs = results.map { case (k, _, ts) => jstr(k) + ":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,6 +57,18 @@ object Multimodal {
   private def kindOf(b: Array[Byte]): Int =
     if (b.length < 5 || b.take(4).toSeq != Magic) -1 else b(4).toInt
 
+  /** Payload length claimed by a header, validated BEFORE any
+    * allocation: dims are multiplied in Long (an Int product like
+    * 2000×2000×2000 wraps negative and would pass a naive
+    * remaining() < n check), each dim must be positive, and the claimed
+    * size must fit in what the file actually holds. A hostile header
+    * claiming 2 G pixels is rejected here instead of allocating.
+    */
+  private def claimedLen(dims: Seq[Int], available: Int): Option[Int] = {
+    val n = dims.foldLeft(1L)((acc, d) => if (d <= 0) -1L else acc * d)
+    if (n > 0 && n <= available) Some(n.toInt) else None
+  }
+
   /** Decode image payloads (kind 0); non-images are skipped, truncated
     * payloads dropped — decode failures must not kill a 100-TB scan.
     */
@@ -64,16 +76,16 @@ object Multimodal {
     val spark = files.sparkSession
     import spark.implicits._
     files.mapPartitions(_.flatMap { f =>
-      if (kindOf(f.content) != 0) Iterator.empty
+      if (kindOf(f.content) != 0 || f.content.length < 17) Iterator.empty
       else {
         val buf = ByteBuffer.wrap(f.content, 5, f.content.length - 5)
         val (w, h, c) = (buf.getInt, buf.getInt, buf.getInt)
-        val n = w * h * c
-        if (buf.remaining() < n) Iterator.empty
-        else {
-          val px = new Array[Byte](n)
-          buf.get(px)
-          Iterator.single(ImageRow(f.path, w, h, c, px))
+        claimedLen(Seq(w, h, c), buf.remaining()) match {
+          case None => Iterator.empty
+          case Some(n) =>
+            val px = new Array[Byte](n)
+            buf.get(px)
+            Iterator.single(ImageRow(f.path, w, h, c, px))
         }
       }
     })
@@ -121,15 +133,16 @@ object Multimodal {
     val spark = files.sparkSession
     import spark.implicits._
     files.mapPartitions(_.flatMap { f =>
-      if (kindOf(f.content) != 1) Iterator.empty
+      if (kindOf(f.content) != 1 || f.content.length < 13) Iterator.empty
       else {
         val buf = ByteBuffer.wrap(f.content, 5, f.content.length - 5)
-        val (rate, n) = (buf.getInt, buf.getInt)
-        if (buf.remaining() < n) Iterator.empty
-        else {
-          var sum = 0L
-          (0 until n).foreach(_ => sum += (buf.get() & 0xff))
-          Iterator.single(AudioRow(f.path, rate, n, sum.toDouble / n))
+        val (rate, n0) = (buf.getInt, buf.getInt)
+        claimedLen(Seq(n0), buf.remaining()) match {
+          case None => Iterator.empty
+          case Some(n) =>
+            var sum = 0L
+            (0 until n).foreach(_ => sum += (buf.get() & 0xff))
+            Iterator.single(AudioRow(f.path, rate, n, sum.toDouble / n))
         }
       }
     })
@@ -144,18 +157,23 @@ object Multimodal {
     val spark = files.sparkSession
     import spark.implicits._
     files.mapPartitions(_.flatMap { f =>
-      if (kindOf(f.content) != 2) Iterator.empty
+      if (kindOf(f.content) != 2 || f.content.length < 17) Iterator.empty
       else {
         val buf = ByteBuffer.wrap(f.content, 5, f.content.length - 5)
         val (frames, w, h) = (buf.getInt, buf.getInt, buf.getInt)
-        val sz = w * h
-        (0 until frames).iterator.flatMap { i =>
-          if (i % everyN != 0 || buf.remaining() < sz * (frames - i)) None
-          else {
-            val px = new Array[Byte](sz)
-            ByteBuffer.wrap(f.content, 5 + 12 + i * sz, sz).get(px)
-            Some(FrameRow(f.path, i, w, h, px))
-          }
+        // whole claimed payload (frames*w*h) validated up front, in Long
+        claimedLen(Seq(frames, w, h), buf.remaining()) match {
+          case None => Iterator.empty
+          case Some(_) =>
+            val sz = w * h
+            (0 until frames).iterator.flatMap { i =>
+              if (i % everyN != 0) None
+              else {
+                val px = new Array[Byte](sz)
+                ByteBuffer.wrap(f.content, 5 + 12 + i * sz, sz).get(px)
+                Some(FrameRow(f.path, i, w, h, px))
+              }
+            }
         }
       }
     })

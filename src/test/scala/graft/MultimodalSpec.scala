@@ -71,6 +71,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameSample(files, 1).count() == 0)
   }
 
+  test("inflated headers are rejected before allocation (incl. Int-overflow dims)") {
+    val dir = java.nio.file.Files.createTempDirectory("inflatedmedia")
+    def payload(kind: Byte, dims: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * dims.length)
+      dims.foreach(b.putInt)
+      "GRF1".getBytes("US-ASCII") ++ Array[Byte](kind) ++ b.array() ++ Array.fill[Byte](64)(1)
+    }
+    // header claims ~2G pixels against a 64-byte body
+    java.nio.file.Files.write(dir.resolve("huge_img.grf"), payload(0, 46000, 46000, 1))
+    // dims whose Int product wraps negative (2000^3) — a naive
+    // `remaining < w*h*c` check would pass and allocate
+    java.nio.file.Files.write(dir.resolve("overflow_img.grf"), payload(0, 2000, 2000, 2000))
+    java.nio.file.Files.write(dir.resolve("neg_img.grf"), payload(0, -8, 8, 3))
+    java.nio.file.Files.write(dir.resolve("huge_audio.grf"), payload(1, 8000, Int.MaxValue))
+    java.nio.file.Files.write(dir.resolve("huge_video.grf"), payload(2, 1 << 20, 1 << 11, 1 << 11))
+    val files = Multimodal.asMediaFiles(Multimodal.readMedia(spark, dir.toString))
+    assert(Multimodal.decodeImages(files).count() == 0)
+    assert(Multimodal.decodeAudio(files).count() == 0)
+    assert(Multimodal.frameSample(files, 1).count() == 0)
+  }
+
   test("frameSample: every 2nd frame of the 6-frame video") {
     val frames = Multimodal.frameSample(media, 2).collect()
     assert(frames.map(_.frameIndex).sorted.toSeq == Seq(0, 2, 4))
