@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // corpus events.parquet uses INT64(TIMESTAMP(NANOS)); see Corpus.normalize
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the minhash signature aggregate is 129 flat bigint fields; the
+      // default maxFields=100 silently drops whole-stage codegen for it
+      // (measured 4× slower interpreted). 260 covers every plan here.
+      .config("spark.sql.codegen.maxFields", "260")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -66,8 +66,10 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
 
+    // repartition by doc id first: see the note in nearDupPairsMinhash
     val base = TextAnalysis.withShingleSet(
-        docs.select(col(idCol).as("__id"), col(textCol).as("__text")), "__text", shingleK, "__sh")
+        docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
+          .repartition(col("__id")), "__text", shingleK, "__sh")
       .select(col("__id"), col("__sh"))
     val feat = base
       .select(col("__id"), explode_outer(col("__sh")).as("__f"))
@@ -118,8 +120,18 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val seeds = seedPairs(numHashes)
 
+    // repartition by doc id BEFORE the shingle/hash work: a small corpus
+    // arrives as one parquet split, which would run the whole CPU-heavy
+    // scan-side pipeline (regex tokenize, shingle, hash) on a single
+    // task. Hash-partitioning the raw (id, text) rows spreads that work
+    // across the cluster AND already satisfies the signature aggregate's
+    // clustering, so the exchange that would otherwise sit after the
+    // (much wider) exploded feature stream is elided — the shuffle moves
+    // earlier and smaller. At 100 TB the scan is naturally multi-split,
+    // and pre-clustering by id is still the cheaper place to shuffle.
     val base = TextAnalysis.withShingleSet(
-        docs.select(col(idCol).as("__id"), col(textCol).as("__text")), "__text", shingleK, "__sh")
+        docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
+          .repartition(col("__id")), "__text", shingleK, "__sh")
       .select(col("__id"), col("__sh"))
 
     // one base hash per (doc, shingle) row, then 128 partial-agg mins.

@@ -21,6 +21,8 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide LSH aggregates exceed the default codegen maxFields=100; see Verify
+      .config("spark.sql.codegen.maxFields", "260")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
