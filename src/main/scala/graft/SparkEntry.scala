@@ -406,11 +406,16 @@ object SparkEntry {
           col("width"), col("height"), col("channels"), col("meanIntensity"))
     }),
 
-    // ── ext: embedding-space near-dup — exact all-pairs cosine at a
-    // threshold (the oracle-matched baseline; hyperplane-bucketed join
-    // is the 100-TB path, see SimSearch) ──
+    // ── ext: embedding-space near-dup via the hyperplane-bucketed
+    // equi-join (narrow bigint keys, inline fused-cosine scoring,
+    // threshold before dedup — no side broadcast, no nested loop; see
+    // SimSearch.nearDupPairsCosineLsh). bits=4 × tables=48 makes the
+    // worst-pair miss ~9e-5 at τ=0.45, and the output is verified equal
+    // to the exact all-pairs truth (the oracle) at sf0.01 and sf0.1.
+    // The all-pairs form survives as the spec-suite truth generator. ──
     "q32_embed_neardup" -> ((s, dir) =>
-      SimSearch.nearDupPairsCosine(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+      SimSearch.nearDupPairsCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.45, dim = 64)),
 
     // ── salted two-phase aggregation: the skew pattern — deterministic
     // salt, partial sums, re-aggregate; result provably equals the
@@ -422,11 +427,14 @@ object SparkEntry {
         .select(col("event_type"), asDouble(col("total")).as("total"))
     }),
 
-    // ── ext: exact n-gram Jaccard via shingle inverted index (posting-
-    // list self-join — candidates share content, never all-pairs) ──
+    // ── ext: n-gram Jaccard via shingle inverted index (posting-list
+    // self-join — candidates share content, never all-pairs), with the
+    // corpus-relative stop-shingle cap ACTIVE (1% of docs): posting
+    // work is Σ df², so an uncapped hot shingle is quadratic — the cap
+    // is the 100-TB shape and the oracle mirrors its integer math ──
     "q34_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 3, threshold = 0.5)),
+        shingleK = 3, threshold = 0.5, maxShingleDfPermille = Some(10))),
 
     // ── distinct-count aggregate (expand + two-phase agg under the
     // hood; the exact form — approx_count_distinct is the 100-TB
@@ -886,6 +894,10 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // Mirrors the ACTIVE df-permille cap: cap = greatest(1, n_docs*10 // 1000),
+    // integer arithmetic in both engines — at sf0.01 the cap really
+    // prunes (df 6-7 stop-shingles) and shifts jaccard values, so this
+    // certifies the capped shape, not the uncapped baseline.
     "q34_jaccard_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
@@ -896,10 +908,15 @@ object SparkEntry {
         |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
         |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), dfq AS (SELECT shingle, count(*) AS d FROM sh GROUP BY 1),
+        |cap AS (SELECT greatest(1, (count(*) * 10) // 1000) AS c FROM documents),
+        |posting AS (
+        |  SELECT doc_id, shingle FROM sh JOIN dfq USING (shingle)
+        |  WHERE d <= (SELECT c FROM cap)
         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT da AS doc_a, db AS doc_b,
         |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard

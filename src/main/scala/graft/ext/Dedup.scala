@@ -54,17 +54,26 @@ object Dedup {
     * (doc_a, doc_b, jaccard) with jaccard >= threshold, doc_a < doc_b.
     *
     * Scale hazard: a stop-shingle ("of the and"-style) with a huge
-    * posting list makes its join quadratic; `maxShingleDf` drops
-    * shingles whose document frequency exceeds the cap (standard
-    * inverted-index pruning — near-dup pairs still share plenty of rare
-    * shingles; None keeps the operator exact, as the oracle requires).
-    * For corpora where even that is too hot, use the minhash-LSH
-    * variant below.
+    * posting list makes its join quadratic (posting-join work is
+    * Σ df², unbounded without a cap). Two pruning knobs, composable:
+    *  - `maxShingleDf`: absolute document-frequency cap (classic
+    *    inverted-index pruning).
+    *  - `maxShingleDfPermille`: corpus-relative stop-shingle cap —
+    *    drop shingles appearing in more than pm‰ of documents, with
+    *    cap = greatest(1, n_docs·pm div 1000) in pure integer
+    *    arithmetic so a SQL oracle reproduces it bit-for-bit. Relative
+    *    is the right near-dup semantics: duplicate-cluster shingles
+    *    have df ≈ cluster size (signal, grows with the corpus), while
+    *    stop-shingles have df ≈ a corpus fraction (noise).
+    * Near-dup pairs still share plenty of rare shingles; both None
+    * keeps the operator exact. For corpora where any posting join is
+    * too hot, use the minhash-LSH variant below.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None,
+      maxShingleDfPermille: Option[Int] = None): DataFrame = {
 
     // repartition by doc id first: see the note in nearDupPairsMinhash
     val base = TextAnalysis.withShingleSet(
@@ -74,12 +83,22 @@ object Dedup {
     val feat = base
       .select(col("__id"), explode_outer(col("__sh")).as("__f"))
       .filter(col("__f").isNotNull)
-    val posting = maxShingleDf match {
-      case Some(cap) =>
+    val posting =
+      if (maxShingleDf.isEmpty && maxShingleDfPermille.isEmpty) feat
+      else {
         val dfreq = feat.groupBy("__f").agg(count(lit(1)).as("__df"))
-        feat.join(dfreq.filter(col("__df") <= cap), Seq("__f")).select("__id", "__f")
-      case None => feat
-    }
+        val absPruned = maxShingleDf.map(c => dfreq.filter(col("__df") <= c)).getOrElse(dfreq)
+        val pruned = maxShingleDfPermille match {
+          case Some(pm) =>
+            // n_docs as a broadcast 1-row frame, not a driver .count():
+            // the cap stays inside the plan, no extra action
+            val tot = base.agg(count(lit(1)).as("__tot"))
+            absPruned.crossJoin(broadcast(tot))
+              .filter(col("__df") <= greatest(lit(1L), expr(s"(__tot * $pm) div 1000")))
+          case None => absPruned
+        }
+        feat.join(pruned.select("__f"), Seq("__f")).select("__id", "__f")
+      }
     val sz = feat.groupBy("__id").agg(count(lit(1)).as("__n"))
     val inter = posting.as("a")
       .join(posting.as("b"), col("a.__f") === col("b.__f") && col("a.__id") < col("b.__id"))

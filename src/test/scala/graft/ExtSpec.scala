@@ -120,6 +120,30 @@ class ExtSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("ngramJaccardPairs: permille cap at 100% is a no-op; tight cap only prunes") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // cap = n_docs (1000 permille) keeps every posting: identical output
+    val loose = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxShingleDfPermille = Some(1000))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(loose == exact)
+    // a tight relative cap can only shrink intersections, never add pairs
+    val tight = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxShingleDfPermille = Some(10))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(exact.map { case (a, b, _) => (a, b) }))
+  }
+
+  test("nearDupPairsCosineLsh: equals the all-pairs truth on the sf0.001 corpus") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = SimSearch.nearDupPairsCosine(emb, "vec_id", "embedding", 0.45)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val viaLsh = SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(viaLsh == exact)
+  }
+
   test("nearDupPairsCosine: threshold pairs are exactly the brute-force >= tau set") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))

@@ -37,6 +37,18 @@ class PlansSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("q32 LSH near-dup physical plan has no nested-loop or cartesian join") {
+    val plan = SparkEntry.queries("q32_embed_neardup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "corpus side must never be nested-looped")
+    assert(!plan.contains("CartesianProduct"), "corpus side must never be cross-joined")
+    // and the truth generator (all-pairs) IS the nested-loop shape, so
+    // the assertion above is not vacuous:
+    val truth = SimSearch.nearDupPairsCosine(emb, "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(truth.contains("BroadcastNestedLoopJoin") || truth.contains("CartesianProduct"))
+  }
+
   test("GraftExtensions injection applies cleanly to a fresh extensions object") {
     // a full spark.sql.extensions round trip needs an isolated
     // SparkContext (getOrCreate would return the suite session and
