@@ -394,9 +394,11 @@ object SparkEntry {
 
     // ── multimodal: binaryFile scan → typed decode (mapPartitions over
     // opaque bytes — deterministic GRF1 stub codec) → narrow feature
-    // projection. No oracleSql entry: binary decode is not
-    // SQL-expressible; the driver records the rows-only check, and the
-    // spec suite pins exact feature values. ──
+    // projection. The decode itself is not SQL-expressible, but its
+    // OUTPUT is: the oracle reads fixtures/media_expected.parquet,
+    // authored from the generator formula by tools/gen_media_expected.py
+    // (which also asserts the fixture bytes match the formula), so the
+    // driver's check is rows+schema+hash, not rows-only. ──
     "q31_multimodal" -> ((s, _) => {
       import graft.ext.Multimodal
       val files = Multimodal.asMediaFiles(Multimodal.readMedia(s, FixturesDir + "/media"))
@@ -870,6 +872,13 @@ object SparkEntry {
         |  CAST(totalDurationInSec AS DOUBLE) / CAST(SUM(totalDurationInSec) OVER (PARTITION BY month, timeZone) AS DOUBLE) * 100 AS usagePercentRelativeTz,
         |  totalDurationInSec
         |FROM g""".stripMargin,
+
+    // Expected decoded-feature rows authored from the GRF1 generator
+    // formula (tools/gen_media_expected.py; provenance-checked against
+    // the fixture bytes) — makes the driver's q31 check rows+schema+hash.
+    "q31_multimodal" ->
+      """SELECT name, width, height, channels, meanIntensity
+        |FROM read_parquet('/root/repo/fixtures/media_expected.parquet')""".stripMargin,
 
     "q32_embed_neardup" ->
       """WITH n AS (
