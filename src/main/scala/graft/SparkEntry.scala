@@ -488,7 +488,12 @@ object SparkEntry {
       t(s, dir, "part")
         .cube(col("p_brand"), (col("p_size") % 5).as("size_mod"))
         .agg(count(lit(1)).as("n"),
-          asDouble(sum(dec2(col("p_retailprice")))).as("retail")))
+          asDouble(sum(dec2(col("p_retailprice")))).as("retail"))),
+
+    // ── the by-country usage report (reference platform_usage.py:202-221
+    // ships both variants; q30 certifies byTimeZone, this one byCountry) ──
+    "q40_job_usage_country" -> ((s, _) =>
+      PlatformUsageJob.byCountry(Sources.events(s, FixturesDir + "/events_json")))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -962,6 +967,20 @@ object SparkEntry {
     "q39_cube" ->
       """SELECT p_brand, p_size % 5 AS size_mod, COUNT(*) AS n,
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS retail
-        |FROM part GROUP BY CUBE (p_brand, p_size % 5)""".stripMargin
+        |FROM part GROUP BY CUBE (p_brand, p_size % 5)""".stripMargin,
+
+    "q40_job_usage_country" ->
+      """WITH ev AS (
+        |  SELECT substr(eventTime, 1, 7) AS month, countryCode, resourceId, duration
+        |  FROM read_json_auto('/root/repo/fixtures/events_json/*.json')),
+        |g AS (
+        |  SELECT month, countryCode, resourceId,
+        |    CAST(SUM(duration) AS BIGINT) AS totalDurationInSec
+        |  FROM ev GROUP BY 1, 2, 3)
+        |SELECT month, resourceId, countryCode,
+        |  CAST(totalDurationInSec AS DOUBLE) / CAST(SUM(totalDurationInSec) OVER (PARTITION BY month) AS DOUBLE) * 100 AS usagePercentTotal,
+        |  CAST(totalDurationInSec AS DOUBLE) / CAST(SUM(totalDurationInSec) OVER (PARTITION BY month, countryCode) AS DOUBLE) * 100 AS usagePercentRelativeCountry,
+        |  totalDurationInSec
+        |FROM g""".stripMargin
   )
 }
