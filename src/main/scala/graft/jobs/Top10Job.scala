@@ -39,6 +39,31 @@ object Top10Job {
       col("name").as("resourceName"),
       col("categoryId"))
 
+  /** Day-keyed purchase counts — the compacted grain the report ranks
+    * over: (date, resourceId, count). In streaming this grain is the
+    * running aggregate state (StreamingReports.top10Stream); in batch
+    * it is a plain groupBy.
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("date", substring(col("processTime"), 1, 10))
+      .groupBy("date", "resourceId").count()
+
+  /** The top-10 report from pre-compacted counts. Identical output to
+    * `transform` (JobsSpec asserts it): dense_rank is invariant to the
+    * event-grain duplication that transform's reference-shaped
+    * join-back re-introduces and its O2 dedup collapses again, so
+    * ranking the compacted grain directly skips both steps.
+    */
+  def reportFromCounts(counts: DataFrame, resources: DataFrame, categories: DataFrame): DataFrame = {
+    val withDims = counts
+      .join(broadcast(cleanResources(resources)), Seq("resourceId"), "left")
+      .join(broadcast(cleanCategories(categories)), Seq("categoryId"), "left")
+    TopK.denseTopK(withDims, Seq("date", "categoryId"), col("count").desc, 10)
+      .orderBy("date", "categoryId", "position")
+      .select("position", "date", "categoryId", "categoryName", "resourceId", "resourceName")
+  }
+
   def transform(events: DataFrame, resources: DataFrame, categories: DataFrame): DataFrame = {
     val ev = events
       .withColumn("date", substring(col("processTime"), 1, 10))

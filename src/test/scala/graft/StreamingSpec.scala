@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.model.Event
@@ -28,17 +30,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("foreachBatch top10 stream writes the K1 report equal to the batch job") {
-    val out = java.nio.file.Files.createTempDirectory("stream-top10").toString
+  test("incremental top10 stream: files read once, report converges to the batch job") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val out = Files.createTempDirectory("stream-top10").toString
+    val landing = Files.createTempDirectory("stream-landing")
     val res = Sources.resources(spark, s"${SparkEntry.FixturesDir}/resources.json")
     val cats = Sources.categories(spark, s"${SparkEntry.FixturesDir}/categories.json")
-    val q = StreamingReports.top10Stream(spark, dir, res, cats, out)
-    try { q.processAllAvailable() } finally { q.stop() }
+    val all = Files.list(Paths.get(dir)).iterator().asScala.toSeq.sortBy(_.toString)
+    val (wave1, wave2) = all.splitAt(all.size / 2)
+    def arrive(ps: Seq[java.nio.file.Path]): Unit = ps.foreach(p =>
+      Files.copy(p, landing.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING))
 
+    arrive(wave1)
+    val q = StreamingReports.top10Stream(spark, landing.toString, res, cats, out)
+    try {
+      q.processAllAvailable()
+      arrive(wave2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the file source must NOT re-read already-processed files: summed
+    // per-trigger input rows == rows in the landing dir, exactly once
+    val inputRows = q.recentProgress.map(_.sources.map(_.numInputRows).sum).sum
+    val totalRows = Sources.events(spark, landing.toString).count()
+    assert(inputRows == totalRows,
+      s"source re-read files: $inputRows input rows vs $totalRows distinct")
+
+    // and the final report equals the batch job over ALL files
     val streamed = spark.read.option("header", "true").option("sep", "|").csv(out)
-    val batch = graft.jobs.Top10Job.transform(Sources.events(spark, dir), res, cats)
-    assert(streamed.count() == batch.count())
-    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out, "date=2024-04-01")))
+      .select("position", "categoryId", "resourceId")
+      .as[(String, String, String)].collect().toSet
+    val batch = graft.jobs.Top10Job.transform(Sources.events(spark, landing.toString), res, cats)
+      .select($"position".cast("string"), $"categoryId", $"resourceId")
+      .as[(String, String, String)].collect().toSet
+    assert(streamed == batch)
+    assert(Files.isDirectory(Paths.get(out, "date=2024-04-01")))
+  }
+
+  test("reportFromCounts on the compacted grain == reference-shaped transform") {
+    val res = Sources.resources(spark, s"${SparkEntry.FixturesDir}/resources.json")
+    val cats = Sources.categories(spark, s"${SparkEntry.FixturesDir}/categories.json")
+    val ev = Sources.events(spark, dir)
+    val viaCounts = graft.jobs.Top10Job
+      .reportFromCounts(graft.jobs.Top10Job.dailyCounts(ev), res, cats)
+      .collect().map(_.toString).toSet
+    val viaTransform = graft.jobs.Top10Job.transform(ev, res, cats)
+      .collect().map(_.toString).toSet
+    assert(viaCounts == viaTransform)
   }
 
   test("mapGroupsWithState running totals converge to batch counts") {
