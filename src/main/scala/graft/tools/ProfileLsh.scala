@@ -1,12 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, SimHash, SimSearch}
 import graft.tables.Corpus
 
 /** Dev profiling harness for the LSH family (not part of the driver
-  * contract; run with: sbt "runMain graft.tools.ProfileLsh").
+  * contract; run with: sbt "runMain graft.tools.ProfileLsh"). Also
+  * re-checks that the bucketed cosine path equals the all-pairs truth
+  * at both local scales before any parameter change ships.
   */
 object ProfileLsh {
   def main(args: Array[String]): Unit = {
@@ -30,36 +31,27 @@ object ProfileLsh {
         .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val viaLsh = SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64)
         .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(s"EQCHECK $sf exact=${exact.size} lsh=${viaLsh.size} equal=${exact == viaLsh} " +
-        s"missed=${(exact -- viaLsh).take(5)}")
+      println(s"EQCHECK $sf exact=${exact.size} lsh=${viaLsh.size} equal=${exact == viaLsh}")
     }
-    val emb01 = Corpus.load(spark, "/root/testdata/sf0.1", "embeddings")
-    time("embed_neardup all-pairs (old q32)") {
-      SimSearch.nearDupPairsCosine(emb01, "vec_id", "embedding", 0.45)
+    val dir = "/root/testdata/sf0.1"
+    val docs = Corpus.load(spark, dir, "documents")
+    val emb = Corpus.load(spark, dir, "embeddings")
+    time("minhash 128x32") {
+      Dedup.nearDupPairsMinhash(docs, "doc_id", "text", 3, 128, 32, 0.8)
         .write.format("noop").mode("overwrite").save()
     }
-    time("embed_neardup LSH (new q32)") {
-      SimSearch.nearDupPairsCosineLsh(emb01, "vec_id", "embedding", 0.45, 64)
+    time("simhash") {
+      SimHash.nearDupPairsSimhash(docs, "doc_id", "text", 3, 8)
         .write.format("noop").mode("overwrite").save()
     }
-    // stage breakdown (current shape)
-    locally {
-      val n = emb01.select(col("vec_id").as("__id"), col("embedding").as("__v"))
-        .repartition(col("__id"))
-      val sigArr = array((0 until 48).map(t =>
-        SimSearch.hyperplaneSig(col("__v"), 64, 4, 7L + t)): _*)
-      val keyed = n.select(col("__id"), col("__v"),
-          explode(transform(sigArr, (s, i) => s * 48 + i)).as("__k"))
-        .repartition(col("__k"))
-      time("LSH stage: keyed sigs only") {
-        keyed.write.format("noop").mode("overwrite").save()
-      }
-      time("LSH stage: join ids only") {
-        keyed.as("a").join(keyed.as("b"),
-            col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id"))
-          .select(col("a.__id"), col("b.__id"))
-          .write.format("noop").mode("overwrite").save()
-      }
+    time("jaccard capped 1%") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+          maxShingleDfPermille = Some(10))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("embed_neardup LSH") {
+      SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64)
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

@@ -162,6 +162,35 @@ class ExtSpec extends SparkSpec {
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
   }
 
+  test("salting spreads a hot key's exchange; plain key-clustering does not") {
+    // sf0.1-sized frame with a planted hot key: 90% of rows share it.
+    // Measure the REDUCE-SIDE row distribution of the two clusterings
+    // directly (spark_partition_id after the exchange — deterministic,
+    // no timing noise). Plain hashpartitioning(key) is what a window
+    // or buffer-heavy aggregate does with raw rows: the hot key's whole
+    // mass lands on ONE task. SkewSalt's phase-1 clustering
+    // (key, salt) bounds every task's share. (For codegen'd algebraic
+    // sums Spark's map-side partial agg already collapses hot keys
+    // before the exchange — the salted shape is the insurance for
+    // combiner-less shapes; see BASELINE.md.)
+    val n = 150000
+    val parts = 8
+    val df = spark.range(n).select(
+      when($"id" % 10 =!= 0, lit("hot"))
+        .otherwise(concat(lit("k"), $"id" % 97)).as("k"),
+      $"id")
+    def maxShare(clustering: Seq[org.apache.spark.sql.Column]): Double = {
+      val sizes = df.repartition(parts, clustering: _*)
+        .groupBy(spark_partition_id().as("p")).count()
+        .as[(Int, Long)].collect()
+      sizes.map(_._2).max.toDouble / n
+    }
+    val plainShare = maxShare(Seq($"k"))
+    val saltedShare = maxShare(Seq($"k", pmod(xxhash64($"id"), lit(16))))
+    assert(plainShare >= 0.9, s"hot key should dominate one task, got $plainShare")
+    assert(saltedShare <= 0.35, s"salted clustering should bound task share, got $saltedShare")
+  }
+
   // ── text stats / language ───────────────────────────────────────────
   test("textStats: counts and ratios are internally consistent") {
     val df = Seq((1L, "The cat and the dog! 42 times.")).toDF("doc_id", "text")
