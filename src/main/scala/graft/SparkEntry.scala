@@ -493,7 +493,18 @@ object SparkEntry {
     // ── the by-country usage report (reference platform_usage.py:202-221
     // ships both variants; q30 certifies byTimeZone, this one byCountry) ──
     "q40_job_usage_country" -> ((s, _) =>
-      PlatformUsageJob.byCountry(Sources.events(s, FixturesDir + "/events_json")))
+      PlatformUsageJob.byCountry(Sources.events(s, FixturesDir + "/events_json"))),
+
+    // ── ext: LSH-bucketed similarity top-k — the 100-TB search path
+    // (bounded candidate volume |Q|·tables·n/2^bits, corpus never
+    // broadcast). bits=4 × tables=96 makes the worst-neighbor miss
+    // ~4e-5, and the output EQUALS the brute-force truth (the oracle)
+    // at sf0.01 and sf0.1. q19 certifies the brute-force baseline. ──
+    "q41_sim_topk_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.lshTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 96)
+    })
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -981,6 +992,27 @@ object SparkEntry {
         |  CAST(totalDurationInSec AS DOUBLE) / CAST(SUM(totalDurationInSec) OVER (PARTITION BY month) AS DOUBLE) * 100 AS usagePercentTotal,
         |  CAST(totalDurationInSec AS DOUBLE) / CAST(SUM(totalDurationInSec) OVER (PARTITION BY month, countryCode) AS DOUBLE) * 100 AS usagePercentRelativeCountry,
         |  totalDurationInSec
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // Same truth as q19: the LSH-bucketed path must reproduce the exact
+    // brute-force top-k (it does at these parameters — see SimSearch).
+    "q41_sim_topk_lsh" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM embeddings
+        |), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / sqrt(q.nn * c.nn) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+        |  cosine
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin
   )
 }

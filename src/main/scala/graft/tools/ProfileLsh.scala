@@ -33,6 +33,16 @@ object ProfileLsh {
         .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"EQCHECK $sf exact=${exact.size} lsh=${viaLsh.size} equal=${exact == viaLsh}")
     }
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      import org.apache.spark.sql.functions.col
+      val emb = Corpus.load(spark, sf, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val exact = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+        .collect().map(_.toString).toSet
+      val viaLsh = SimSearch.lshTopK(emb, qs, "vec_id", "embedding", 5, 64, 4, 96)
+        .collect().map(_.toString).toSet
+      println(s"EQCHECK-topk $sf exact=${exact.size} lsh=${viaLsh.size} equal=${exact == viaLsh}")
+    }
     val dir = "/root/testdata/sf0.1"
     val docs = Corpus.load(spark, dir, "documents")
     val emb = Corpus.load(spark, dir, "embeddings")
