@@ -74,4 +74,11 @@ object RoyaltiesJob {
   /** K2 sink: JSON-lines (royalties.py:317). */
   def write(report: DataFrame, path: String): Unit =
     report.write.mode("overwrite").json(path)
+
+  /** O4 debug surface (royalties.py:312 `selected_df.show(5)`): print
+    * the first n report rows as Spark's ASCII table. `show` fetches
+    * only n+1 rows (limit pushdown) — safe against a 100-TB frame.
+    */
+  def preview(report: DataFrame, n: Int = 5): Unit =
+    report.show(n)
 }

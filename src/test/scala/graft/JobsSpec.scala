@@ -94,6 +94,19 @@ class JobsSpec extends SparkSpec {
     assert(back.columns.toSet.subsetOf(Set("date", "providerId", "resourceId", "amount")))
   }
 
+  test("O4 preview: show(n) renders the ASCII table with at most n data rows") {
+    val report = RoyaltiesJob.transform(events, resources, categories, countries, rates)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      RoyaltiesJob.preview(report, 3)
+    }
+    val out = buf.toString("UTF-8")
+    assert(out.contains("providerId") && out.contains("amount"), out.take(200))
+    // header border + header + separator + <=3 rows + footer border
+    assert(out.linesIterator.count(_.startsWith("|")) <= 4)
+    assert(out.linesIterator.count(_.startsWith("+")) == 3)
+  }
+
   test("PlatformUsageJob: per-month shares sum to 100; tz slice on real offsets") {
     val byTz = PlatformUsageJob.byTimeZone(events)
     val sums = byTz.groupBy("month").agg(sum($"usagePercentTotal").as("s"))
