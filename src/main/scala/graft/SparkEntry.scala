@@ -504,6 +504,17 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       SimSearch.lshTopK(emb, emb.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 96)
+    }),
+
+    // ── ext: IVF top-k — coarse-quantizer inverted lists as an equi-join
+    // on list id. Certified in the exhaustive mode (nprobe = nlist:
+    // provably equal to brute force, so the oracle pins every join/agg
+    // stage); the nprobe < nlist candidate-cut mode is spec-covered
+    // (ExtSpec recall) since its output is approximate by design. ──
+    "q42_sim_topk_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
     })
   )
 
@@ -997,6 +1008,26 @@ object SparkEntry {
     // Same truth as q19: the LSH-bucketed path must reproduce the exact
     // brute-force top-k (it does at these parameters — see SimSearch).
     "q41_sim_topk_lsh" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM embeddings
+        |), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / sqrt(q.nn * c.nn) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+        |  cosine
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+
+    // Same truth as q19/q41: IVF with nprobe = nlist is exhaustive.
+    "q42_sim_topk_ivf" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
         |    list_reduce(list_transform(list_zip(embedding, embedding),

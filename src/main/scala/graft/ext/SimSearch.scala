@@ -240,4 +240,68 @@ object SimSearch {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** IVF top-k — the coarse-quantizer scale path. `nlist` anchor
+    * vectors (a deterministic hash-ordered sample of the corpus — a
+    * Voronoi partition on sampled anchors; a Lloyd refinement would
+    * slot in between steps 1 and 2 without changing any join shape)
+    * partition the corpus into inverted lists via argmax-cosine
+    * assignment; each query scores only the lists of its `nprobe`
+    * nearest anchors. Every stage is an equi-join or a bounded
+    * broadcast:
+    *   1. anchors — nlist rows, broadcast (bounded by construction);
+    *   2. assignment — corpus × anchors broadcast join, argmax per row
+    *      (min(struct) aggregate, no window over the corpus);
+    *   3. probe+search — corpus lists join query probes on the LIST ID
+    *      (narrow equi-key); each corpus row lives in exactly one list
+    *      and probes are distinct, so candidates need no dedup.
+    * nprobe = nlist is exhaustive (exact brute-force equality — the
+    * certified mode); nprobe < nlist trades recall for a ~nlist/nprobe
+    * candidate cut (spec-covered).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int, seed: Long = 7L): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .repartition(col("__id"))
+    // deterministic anchors: the nlist smallest xxhash64(seed, id) rows
+    // (a uniform sample independent of id distribution); cid = rank so
+    // anchor ids are dense [0, nlist)
+    val anchors = n
+      .select(col("__id"), col("__v"), xxhash64(lit(seed), col("__id")).as("__h"))
+      .orderBy(col("__h"), col("__id")).limit(nlist)
+      .select(row_number().over(Window.orderBy(col("__h"), col("__id"))).as("__cid"),
+        col("__v").as("__cv"))
+    // argmax-cosine assignment via min(struct(-cos, cid)): one bounded
+    // broadcast cross join + one partial-agg keyed by id (the corpus is
+    // already id-partitioned, so neither the aggregate nor the
+    // vector join-back exchanges anything) — no corpus-wide window
+    val cids = n.crossJoin(broadcast(anchors))
+      .select(col("__id"),
+        struct((-cosineSim(spark, col("__v"), col("__cv"))).as("negCos"),
+          col("__cid").as("cid")).as("__sc"))
+      .groupBy("__id")
+      .agg(min(col("__sc")).getField("cid").as("__cid"))
+    val lists = n.join(cids, Seq("__id"))
+      .select(col("__id").as("neighbor_id"), col("__v").as("__cv2"), col("__cid"))
+    // probe: rank anchors per query, keep nprobe (queries are a bounded
+    // batch, so the per-query window is small)
+    val qn = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(cosineSim(spark, col("__qv"), col("__cv")).desc, col("__cid").asc)
+    val probes = qn.crossJoin(broadcast(anchors))
+      .withColumn("__pr", row_number().over(wq))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__cid"))
+    val scored = lists.join(probes, Seq("__cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(spark, col("__qv"), col("__cv2")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
 }

@@ -103,6 +103,23 @@ class ExtSpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("ivfTopK: exhaustive mode == brute force; probing cuts candidates at bounded recall cost") {
+    val queries = emb.filter($"vec_id" % 10 === 0)
+    val exact = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toString).toSet
+    val full = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", 5, nlist = 8, nprobe = 8)
+      .collect().map(_.toString).toSet
+    assert(full == exact)
+    val probed = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", 5, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactPairs = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exactPairs intersect probed).size.toDouble / exactPairs.size
+    assert(recall > 0.2, s"recall $recall collapsed for nprobe=2 of 8")
+    // every probed hit is a real scored corpus pair
+    assert(probed.forall { case (q, n) => q != n })
+  }
+
   test("ngramJaccardPairs: inverted-index exact pairs == minhash-verified pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
