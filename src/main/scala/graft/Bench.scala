@@ -46,7 +46,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // wide LSH aggregates exceed the default codegen maxFields=100; see Verify
-      .config("spark.sql.codegen.maxFields", "260")
+      .config("spark.sql.codegen.maxFields", "600")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,6 +60,14 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to nRuns).map { _ =>
+        // full GC before every run: a 42-query shared JVM otherwise
+        // accumulates garbage (broadcasts, codegen classes, shuffle
+        // buffers) until a major GC lands inside some unlucky timed
+        // run — the mid-suite 2-5× spikes the r02→r03 driver gap
+        // traced to. A dedicated job starts with a clean heap; this
+        // makes every run measure the same way (GC time itself is
+        // outside the timed window).
+        System.gc()
         val t0 = System.nanoTime()
         try runNoop(fn(spark, sfDir))
         catch {

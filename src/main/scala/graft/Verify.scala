@@ -14,10 +14,11 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // corpus events.parquet uses INT64(TIMESTAMP(NANOS)); see Corpus.normalize
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the minhash signature aggregate is 129 flat bigint fields; the
-      // default maxFields=100 silently drops whole-stage codegen for it
-      // (measured 4× slower interpreted). 260 covers every plan here.
-      .config("spark.sql.codegen.maxFields", "260")
+      // the widest flat aggregate here is 385 bigint fields (q41's LSH
+      // signature matrix); the default maxFields=100 silently drops
+      // whole-stage codegen for anything wider (measured 4× slower
+      // interpreted). 600 covers every plan with headroom.
+      .config("spark.sql.codegen.maxFields", "600")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -88,26 +88,6 @@ object SimSearch {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Near-dup pairs via hyperplane-bucketed candidates — the scale
-    * shape. Each row emits `tables` narrow (table, sig) keys; candidate
-    * pairs come from a self-EQUI-join on those keys (shuffle on narrow
-    * keys — no side is ever broadcast or nested-looped), are deduped
-    * while still narrow (ids only), and only then join the two vectors
-    * back for the exact fused-cosine verify. Output is identical in
-    * shape and semantics to `nearDupPairsCosine`.
-    *
-    * Recall: a pair at cosine c collides per bit with p = 1 - θ/π
-    * (θ = arccos c); per table p^bits; miss = (1 - p^bits)^tables.
-    * The defaults (bits=4, tables=48) give worst-pair miss ≈ 9e-5 at
-    * c = 0.45 — chosen so the output EQUALS the exact all-pairs truth
-    * on the certified corpora (deterministic seeds; verified at sf0.01
-    * and sf0.1 against the all-pairs oracle). τ this low is LSH's worst
-    * case (background pairs collide per bit at ~0.5, signal at ~0.65);
-    * at τ = 0.9 the same operator runs with bits=12, tables=8 and
-    * prunes ~100× harder. The structural property that matters at
-    * 100 TB is unchanged either way: candidate generation is an
-    * equi-join, so no executor ever holds a full corpus side.
-    */
   /** All `tables` bucket keys per row, via ONE codegen'd wide
     * aggregate instead of tables×bits interpreted `aggregate` lambdas:
     * posexplode the vector, compute every plane dot as a partial-agg
@@ -153,6 +133,26 @@ object SimSearch {
     dots.select(col("__id"), explode(array(keyCols: _*)).as("__k"))
   }
 
+  /** Near-dup pairs via hyperplane-bucketed candidates — the scale
+    * shape. Each row emits `tables` narrow (table, sig) keys; candidate
+    * pairs come from a self-EQUI-join on those keys (shuffle on narrow
+    * keys — no side is ever broadcast or nested-looped), are deduped
+    * while still narrow (ids only), and only then join the two vectors
+    * back for the exact fused-cosine verify. Output is identical in
+    * shape and semantics to `nearDupPairsCosine`.
+    *
+    * Recall: a pair at cosine c collides per bit with p = 1 - θ/π
+    * (θ = arccos c); per table p^bits; miss = (1 - p^bits)^tables.
+    * The defaults (bits=4, tables=48) give worst-pair miss ≈ 9e-5 at
+    * c = 0.45 — chosen so the output EQUALS the exact all-pairs truth
+    * on the certified corpora (deterministic seeds; verified at sf0.01
+    * and sf0.1 against the all-pairs oracle). τ this low is LSH's worst
+    * case (background pairs collide per bit at ~0.5, signal at ~0.65);
+    * at τ = 0.9 the same operator runs with bits=12, tables=8 and
+    * prunes ~100× harder. The structural property that matters at
+    * 100 TB is unchanged either way: candidate generation is an
+    * equi-join, so no executor ever holds a full corpus side.
+    */
   def nearDupPairsCosineLsh(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
       dim: Int, bits: Int = 4, tables: Int = 48, seed: Long = 7L): DataFrame = {
@@ -210,9 +210,13 @@ object SimSearch {
     * Tune `bits` down / `tables` up for recall, the reverse for
     * throughput. With a bounded query batch the candidate volume is
     * |Q|·tables·(n/2^bits) — independent of n², so near-exhaustive
-    * parameters stay cheap: bits=4, tables=96 gives worst-pair miss
-    * ~4e-5 even for neighbors at cosine 0.2 (q41 certifies exact
-    * equality with the brute-force oracle on this corpus).
+    * parameters stay cheap: bits=2, tables=24 gives worst-pair miss
+    * ~1e-4 even for neighbors at cosine 0.2 (q41 certifies exact
+    * equality with the brute-force oracle on this corpus). Prefer few
+    * wide-recall tables over many narrow ones: the signature aggregate
+    * has bits·tables fields, and past ~100 fields the generated update
+    * method exceeds the JIT's HugeMethodLimit and runs as interpreted
+    * bytecode.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

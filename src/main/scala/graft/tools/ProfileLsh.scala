@@ -16,7 +16,7 @@ object ProfileLsh {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.codegen.maxFields", "260")
+      .config("spark.sql.codegen.maxFields", "600")
       .appName("profile-lsh").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time(name: String)(f: => Unit): Unit = {
@@ -39,7 +39,7 @@ object ProfileLsh {
       val qs = emb.filter(col("vec_id") % 50 === 0)
       val exact = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
         .collect().map(_.toString).toSet
-      val viaLsh = SimSearch.lshTopK(emb, qs, "vec_id", "embedding", 5, 64, 4, 96)
+      val viaLsh = SimSearch.lshTopK(emb, qs, "vec_id", "embedding", 5, 64, 2, 24)
         .collect().map(_.toString).toSet
       println(s"EQCHECK-topk $sf exact=${exact.size} lsh=${viaLsh.size} equal=${exact == viaLsh}")
     }
@@ -75,9 +75,27 @@ object ProfileLsh {
           maxShingleDfPermille = Some(10))
         .write.format("noop").mode("overwrite").save()
     }
-    time("embed_neardup LSH") {
+    time("embed_neardup LSH (4,48)") {
       SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64)
         .write.format("noop").mode("overwrite").save()
+    }
+    time("embed_neardup LSH (3,32)") {
+      SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64, 3, 32)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("embed_neardup LSH (2,20)") {
+      SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64, 2, 20)
+        .write.format("noop").mode("overwrite").save()
+    }
+    locally {
+      val e01 = Corpus.load(spark, "/root/testdata/sf0.01", "embeddings")
+      for ((b, t) <- Seq((3, 32), (2, 20)); (nm, d) <- Seq(("sf0.01", e01), ("sf0.1", emb))) {
+        val ex = SimSearch.nearDupPairsCosine(d, "vec_id", "embedding", 0.45)
+          .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val ls = SimSearch.nearDupPairsCosineLsh(d, "vec_id", "embedding", 0.45, 64, b, t)
+          .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"EQCHECK-neardup($b,$t) $nm equal=${ex == ls}")
+      }
     }
     spark.stop()
   }

@@ -22,7 +22,7 @@ object SparkSpec {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // wide LSH aggregates exceed the default codegen maxFields=100; see Verify
-      .config("spark.sql.codegen.maxFields", "260")
+      .config("spark.sql.codegen.maxFields", "600")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
