@@ -42,6 +42,15 @@ class PlansSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), "corpus side must never be nested-looped")
     assert(!plan.contains("CartesianProduct"), "corpus side must never be cross-joined")
+    // same structural guarantee for the bucketed top-k search paths
+    for (q <- Seq("q41_sim_topk_lsh", "q42_sim_topk_ivf")) {
+      val p = SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join the corpus")
+      // (q42's bounded nlist-row anchor broadcast is a legitimate
+      // BroadcastNestedLoopJoin; the corpus-sized sides join on keys)
+    }
+    assert(!SparkEntry.queries("q41_sim_topk_lsh")(spark, sf0001)
+      .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
     // and the truth generator (all-pairs) IS the nested-loop shape, so
     // the assertion above is not vacuous:
     val truth = SimSearch.nearDupPairsCosine(emb, "vec_id", "embedding", 0.45)
