@@ -103,6 +103,35 @@ class ExtSpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("hyperplane signatures: per-column fold form == wide-aggregate matrix form") {
+    // lshTopK/nearDupPairsCosineLsh compute signatures via the
+    // codegen'd matrix aggregate; hyperplaneSig is the reference
+    // per-column formulation. Same seeds must give identical buckets:
+    // reconstruct each row's (table, sig) keys both ways and compare.
+    val (bits, tables) = (3, 5)
+    val sigCols = (0 until tables).map(t =>
+      SimSearch.hyperplaneSig($"embedding", 64, bits, seed = 7L + t) * tables + t)
+    val viaFold = emb.limit(50)
+      .select($"vec_id", explode(array(sigCols: _*)).as("__k"))
+      .as[(Long, Long)].collect().toSet
+    // the matrix path is private; observe it through lshTopK's bucket
+    // join by self-searching with k large enough to keep every
+    // candidate — identical buckets <=> identical candidate sets, and
+    // with these tiny parameters a single flipped sign bit would move
+    // a row to a different bucket and change the candidate set
+    val small = emb.limit(50)
+    val viaMatrix = SimSearch.lshTopK(small, small, "vec_id", "embedding",
+        k = 1000, dim = 64, bits = bits, tables = tables)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val expected = {
+      val byBucket = viaFold.groupBy(_._2).values.toSeq
+      (for {
+        bucket <- byBucket; (a, _) <- bucket; (b, _) <- bucket; if a != b
+      } yield (a, b)).toSet
+    }
+    assert(viaMatrix == expected)
+  }
+
   test("ivfTopK: exhaustive mode == brute force; probing cuts candidates at bounded recall cost") {
     val queries = emb.filter($"vec_id" % 10 === 0)
     val exact = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
