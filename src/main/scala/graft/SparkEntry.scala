@@ -518,7 +518,15 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       SimSearch.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
-    })
+    }),
+
+    // ── gap-based sessionization (30-min gap): break flags + cumulative
+    // session ids + per-session aggregate, all sharing ONE
+    // hashpartitioning(user) shuffle; integer-microsecond gap math so
+    // the oracle mirrors it exactly (see operators/Sessionize) ──
+    "q43_sessions" -> ((s, dir) =>
+      graft.operators.Sessionize.sessions(t(s, dir, "events"), "user_id", "ts", 30,
+        Some(asDouble(sum(dec2(col("value")))))))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -1047,6 +1055,27 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
         |  cosine
         |FROM scored
-        |QUALIFY rank <= 5""".stripMargin
+        |QUALIFY rank <= 5""".stripMargin,
+
+    // Integer-microsecond gap math (epoch_us) mirrors Spark's
+    // unix_micros exactly; tie rows carry delta 0 so session boundaries
+    // are order-independent (see Sessionize scaladoc).
+    "q43_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin
   )
 }

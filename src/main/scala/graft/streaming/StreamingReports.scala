@@ -7,6 +7,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQ
 import graft.jobs.Top10Job
 import graft.model.{Event, Schemas}
 
+/** Closed user session emitted by `StreamingReports.sessionStream`. */
+case class UserSession(userId: String, startUs: Long, endUs: Long, nEvents: Long)
+
+/** Open-session state for `sessionStream` — top-level because encoder
+  * codegen cannot instantiate object-nested case classes for state.
+  */
+case class SessionBuf(startUs: Long, lastUs: Long, n: Long)
+
 /** Streaming flavor of the ingestion + top10 pipeline (SURVEY.md §2.11):
   * the `events/` landing prefix consumed as a Structured Streaming file
   * source instead of scheduled batch — same declared schema, same
@@ -64,6 +72,55 @@ object StreamingReports {
         Top10Job.write(Top10Job.reportFromCounts(counts, resources, categories), outPath)
       }
       .start()
+
+  /** Gap-based sessionization over the event stream —
+    * flatMapGroupsWithState with an EVENT-TIME timeout: per-user state
+    * holds only the open session (three longs, bounded regardless of
+    * stream length); a session closes and is emitted either when a
+    * later event of the same user arrives past the gap, or when the
+    * WATERMARK passes sessionEnd + gap (the timeout — so idle users'
+    * sessions still flush without any further events from them).
+    * Append-mode output: each closed session exactly once. The batch
+    * equivalent is `operators/Sessionize`; StreamingSpec asserts they
+    * agree on the replayed landing dir.
+    */
+  def sessionStream(
+      spark: SparkSession, eventsDir: String, gapMinutes: Int): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    eventStream(spark, eventsDir)
+      .withColumn("pts", to_timestamp(col("processTime"), "yyyy-MM-dd'T'HH:mm:ssXXX"))
+      .filter(col("userId").isNotNull)
+      .select(col("userId").as[String], col("pts").as[java.sql.Timestamp])
+      .withWatermark("pts", "0 seconds")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionBuf, UserSession](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (uid, rows, state) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(UserSession(uid, s.startUs, s.lastUs, s.n))
+        } else {
+          // events inside one micro-batch can arrive unordered
+          val ts = rows
+            .map(r => r._2.getTime / 1000L * 1000000L + r._2.getNanos / 1000L)
+            .toSeq.sorted
+          var closed = List.empty[UserSession]
+          var buf = state.getOption.getOrElse(SessionBuf(ts.head, ts.head, 0L))
+          ts.foreach { t =>
+            if (t - buf.lastUs > gapUs) {
+              closed ::= UserSession(uid, buf.startUs, buf.lastUs, buf.n)
+              buf = SessionBuf(t, t, 1L)
+            } else buf = SessionBuf(buf.startUs, math.max(buf.lastUs, t), buf.n + 1)
+          }
+          state.update(buf)
+          // flush when the watermark passes the end of the open gap
+          state.setTimeoutTimestamp(buf.lastUs / 1000L + gapMinutes * 60L * 1000L)
+          closed.reverseIterator
+        }
+      }
+  }
 
   /** Custom state: running per-resource event totals via
     * mapGroupsWithState (KeyValueGroupedDataset surface).

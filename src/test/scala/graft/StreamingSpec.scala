@@ -79,6 +79,46 @@ class StreamingSpec extends SparkSpec {
     assert(viaCounts == viaTransform)
   }
 
+  test("flatMapGroupsWithState sessionization == batch Sessionize on the replayed stream") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val landing = Files.createTempDirectory("stream-sessions")
+    Files.list(Paths.get(dir)).iterator().asScala.foreach(p =>
+      Files.copy(p, landing.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING))
+    def sentinel(n: Int): Unit = Files.writeString(landing.resolve(s"zz-sentinel$n.json"),
+      s"""{"eventId": "sent$n", "eventTime": "2030-01-0${n}T00:00:00+00:00", "processTime": "2030-01-0${n}T00:00:00+00:00", "resourceId": "rX", "userId": "__sentinel", "countryCode": "US", "duration": 0, "itemPrice": "0"}""")
+
+    val q = StreamingReports.sessionStream(spark, landing.toString, gapMinutes = 60)
+      .toDF().writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // event-time timeouts fire on the NEXT trigger after the
+      // watermark advances: two far-future sentinel waves flush every
+      // real session deterministically
+      sentinel(1); q.processAllAvailable()
+      sentinel(2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sessions")
+      .filter($"userId" =!= "__sentinel")
+      .select($"userId",
+        date_format(timestamp_micros($"startUs"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s"),
+        date_format(timestamp_micros($"endUs"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("e"),
+        $"nEvents")
+      .as[(String, String, String, Long)].collect().toSet
+
+    val batch = graft.operators.Sessionize.sessions(
+        Sources.events(spark, dir)
+          .withColumn("pts", to_timestamp($"processTime", "yyyy-MM-dd'T'HH:mm:ssXXX"))
+          .filter($"userId".isNotNull),
+        "userId", "pts", gapMinutes = 60)
+      .select($"userId", $"session_start", $"session_end", $"n_events")
+      .as[(String, String, String, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals converge to batch counts") {
     val q = StreamingReports.runningTotals(
       StreamingReports.eventStream(spark, dir).as[Event])
