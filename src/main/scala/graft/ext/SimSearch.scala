@@ -246,12 +246,11 @@ object SimSearch {
   }
 
   /** IVF top-k — the coarse-quantizer scale path. `nlist` anchor
-    * vectors (a deterministic hash-ordered sample of the corpus — a
-    * Voronoi partition on sampled anchors; a Lloyd refinement would
-    * slot in between steps 1 and 2 without changing any join shape)
-    * partition the corpus into inverted lists via argmax-cosine
-    * assignment; each query scores only the lists of its `nprobe`
-    * nearest anchors. Every stage is an equi-join or a bounded
+    * vectors (a deterministic hash-ordered sample, optionally refined
+    * into true k-means centroids by `lloydIters` distributed Lloyd
+    * iterations — no join shape changes) partition the corpus into
+    * inverted lists via argmax-cosine assignment; each query scores
+    * only the lists of its `nprobe` nearest anchors. Every stage is an equi-join or a bounded
     * broadcast:
     *   1. anchors — nlist rows, broadcast (bounded by construction);
     *   2. assignment — corpus × anchors broadcast join, argmax per row
@@ -265,14 +264,15 @@ object SimSearch {
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int, nprobe: Int, seed: Long = 7L): DataFrame = {
+      k: Int, nlist: Int, nprobe: Int, seed: Long = 7L,
+      lloydIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val n = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .repartition(col("__id"))
-    // deterministic anchors: the nlist smallest xxhash64(seed, id) rows
-    // (a uniform sample independent of id distribution); cid = rank so
-    // anchor ids are dense [0, nlist)
-    val anchors = n
+    // deterministic seed anchors: the nlist smallest xxhash64(seed, id)
+    // rows (a uniform sample independent of id distribution); cid =
+    // rank so anchor ids are dense [0, nlist)
+    val sampled = n
       .select(col("__id"), col("__v"), xxhash64(lit(seed), col("__id")).as("__h"))
       .orderBy(col("__h"), col("__id")).limit(nlist)
       .select(row_number().over(Window.orderBy(col("__h"), col("__id"))).as("__cid"),
@@ -281,13 +281,31 @@ object SimSearch {
     // broadcast cross join + one partial-agg keyed by id (the corpus is
     // already id-partitioned, so neither the aggregate nor the
     // vector join-back exchanges anything) — no corpus-wide window
-    val cids = n.crossJoin(broadcast(anchors))
+    def assign(anchors: DataFrame): DataFrame = n.crossJoin(broadcast(anchors))
       .select(col("__id"),
         struct((-cosineSim(spark, col("__v"), col("__cv"))).as("negCos"),
           col("__cid").as("cid")).as("__sc"))
       .groupBy("__id")
       .agg(min(col("__sc")).getField("cid").as("__cid"))
-    val lists = n.join(cids, Seq("__id"))
+    // optional Lloyd refinement → true k-means centroids: new centroid =
+    // elementwise mean of its members (posexplode + (cid, pos) partial
+    // agg — never a collect of vectors), array rebuilt in position
+    // order via array_sort so collect_list's order-nondeterminism
+    // cannot leak into the result. A list that loses every member
+    // keeps its previous centroid (left join + coalesce).
+    val anchors = (0 until lloydIters).foldLeft(sampled) { (as, _) =>
+      val means = n.join(assign(as), Seq("__id"))
+        .select(col("__cid"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy("__cid", "__p")
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .groupBy("__cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__p"), col("__m")))),
+          s => s.getField("__m").cast("float")).as("__mv"))
+      as.join(means, Seq("__cid"), "left")
+        .select(col("__cid"), coalesce(col("__mv"), col("__cv")).as("__cv"))
+    }
+    val lists = n.join(assign(anchors), Seq("__id"))
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv2"), col("__cid"))
     // probe: rank anchors per query, keep nprobe (queries are a bounded
     // batch, so the per-query window is small)

@@ -149,6 +149,26 @@ class ExtSpec extends SparkSpec {
     assert(probed.forall { case (q, n) => q != n })
   }
 
+  test("ivfTopK: Lloyd-refined centroids keep the exhaustive mode exact") {
+    val queries = emb.filter($"vec_id" % 10 === 0)
+    val exact = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toString).toSet
+    val refined = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 8, lloydIters = 2)
+      .collect().map(_.toString).toSet
+    // nprobe = nlist is exhaustive no matter where the centroids sit
+    assert(refined == exact)
+    // and refinement actually moves the partition: list populations
+    // differ from the sampled-anchor partition for some vectors
+    val probedSampled = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val probedRefined = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 1, lloydIters = 2).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(probedSampled != probedRefined, "Lloyd iterations changed no assignment at all")
+  }
+
   test("ngramJaccardPairs: inverted-index exact pairs == minhash-verified pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
