@@ -58,15 +58,20 @@ object Multimodal {
     if (b.length < 5 || b.take(4).toSeq != Magic) -1 else b(4).toInt
 
   /** Payload length claimed by a header, validated BEFORE any
-    * allocation: dims are multiplied in Long (an Int product like
-    * 2000×2000×2000 wraps negative and would pass a naive
-    * remaining() < n check), each dim must be positive, and the claimed
-    * size must fit in what the file actually holds. A hostile header
-    * claiming 2 G pixels is rejected here instead of allocating.
+    * allocation: each dim must be positive, and the running product is
+    * bounded against `available` at EVERY step — not just at the end —
+    * so it stays under 2^31 before each multiply and can never
+    * overflow even Long (three hostile Int dims can reach ~2^93, which
+    * wraps a plain Long product back to a small value that would pass
+    * an end-only check). A hostile header claiming 2 G pixels is
+    * rejected here instead of allocating.
     */
   private def claimedLen(dims: Seq[Int], available: Int): Option[Int] = {
-    val n = dims.foldLeft(1L)((acc, d) => if (d <= 0) -1L else acc * d)
-    if (n > 0 && n <= available) Some(n.toInt) else None
+    val n = dims.foldLeft(1L) { (acc, d) =>
+      if (acc < 0 || d <= 0) -1L
+      else { val p = acc * d; if (p > available) -1L else p }
+    }
+    if (n > 0) Some(n.toInt) else None
   }
 
   /** Decode image payloads (kind 0); non-images are skipped, truncated

@@ -271,7 +271,7 @@ object SimSearch {
       .repartition(col("__id"))
     // deterministic seed anchors: the nlist smallest xxhash64(seed, id)
     // rows (a uniform sample independent of id distribution); cid =
-    // rank so anchor ids are dense [0, nlist)
+    // row_number, so anchor ids are dense 1..nlist (opaque join keys)
     val sampled = n
       .select(col("__id"), col("__v"), xxhash64(lit(seed), col("__id")).as("__h"))
       .orderBy(col("__h"), col("__id")).limit(nlist)

@@ -82,7 +82,9 @@ object StreamingReports {
     * sessions still flush without any further events from them).
     * Append-mode output: each closed session exactly once. The batch
     * equivalent is `operators/Sessionize`; StreamingSpec asserts they
-    * agree on the replayed landing dir.
+    * agree on the replayed landing dir. Agreement boundary: events
+    * arriving later than the 1-day watermark delay are dropped by the
+    * stream (standard watermark semantics) but counted by batch.
     */
   def sessionStream(
       spark: SparkSession, eventsDir: String, gapMinutes: Int): Dataset[UserSession] = {
@@ -90,9 +92,18 @@ object StreamingReports {
     val gapUs = gapMinutes * 60L * 1000000L
     eventStream(spark, eventsDir)
       .withColumn("pts", to_timestamp(col("processTime"), "yyyy-MM-dd'T'HH:mm:ssXXX"))
-      .filter(col("userId").isNotNull)
+      // drop null users AND unparseable timestamps: a null pts would NPE
+      // inside the state function and kill the query — one bad record
+      // must not take down the stream
+      .filter(col("userId").isNotNull && col("pts").isNotNull)
       .select(col("userId").as[String], col("pts").as[java.sql.Timestamp])
-      .withWatermark("pts", "0 seconds")
+      // a real watermark delay: with 0 seconds, an event arriving one
+      // trigger after a newer event would be silently dropped and the
+      // stream would diverge from the batch operator; 1 day tolerates
+      // routine cross-file disorder (events later than that are dropped
+      // by standard watermark semantics, which IS the documented
+      // stream/batch agreement boundary)
+      .withWatermark("pts", "1 day")
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionBuf, UserSession](
         org.apache.spark.sql.streaming.OutputMode.Append,

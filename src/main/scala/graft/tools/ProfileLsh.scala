@@ -47,14 +47,12 @@ object ProfileLsh {
       import org.apache.spark.sql.functions.col
       val emb = Corpus.load(spark, sf, "embeddings")
       val qs = emb.filter(col("vec_id") % 50 === 0)
-      val exact = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
-        .collect().map(_.toString).toSet
+      val exactRows = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 5).collect()
+      val exact = exactRows.map(_.toString).toSet
+      val exactP = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
       val ivfFull = SimSearch.ivfTopK(emb, qs, "vec_id", "embedding", 5, 16, 16)
         .collect().map(_.toString).toSet
       val ivfProbe = SimSearch.ivfTopK(emb, qs, "vec_id", "embedding", 5, 16, 4)
-        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exactPairs = exact // strings; recompute pairs for recall:
-      val exactP = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
         .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exactP intersect ivfProbe).size.toDouble / exactP.size
       println(s"EQCHECK-ivf $sf full=${ivfFull == exact} recall@nprobe4=${recall}")

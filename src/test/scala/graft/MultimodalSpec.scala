@@ -84,6 +84,11 @@ class MultimodalSpec extends SparkSpec {
     // `remaining < w*h*c` check would pass and allocate
     java.nio.file.Files.write(dir.resolve("overflow_img.grf"), payload(0, 2000, 2000, 2000))
     java.nio.file.Files.write(dir.resolve("neg_img.grf"), payload(0, -8, 8, 3))
+    // dims whose LONG product wraps past 2^64 to a small positive value
+    // (320*107367629*536903681 == 2^64 + 64) — an end-only Long bound
+    // check would accept it and emit a bogus 64-byte "image"
+    java.nio.file.Files.write(dir.resolve("wrap64_img.grf"),
+      payload(0, 320, 107367629, 536903681))
     java.nio.file.Files.write(dir.resolve("huge_audio.grf"), payload(1, 8000, Int.MaxValue))
     java.nio.file.Files.write(dir.resolve("huge_video.grf"), payload(2, 1 << 20, 1 << 11, 1 << 11))
     val files = Multimodal.asMediaFiles(Multimodal.readMedia(spark, dir.toString))
