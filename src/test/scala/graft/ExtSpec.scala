@@ -201,13 +201,32 @@ class ExtSpec extends SparkSpec {
     assert(tight.subsetOf(exact.map { case (a, b, _) => (a, b) }))
   }
 
-  test("nearDupPairsCosineLsh: equals the all-pairs truth on the sf0.001 corpus") {
+  test("nearDupPairsCosineLsh: forced LSH path equals the all-pairs truth on the sf0.001 corpus") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val exact = SimSearch.nearDupPairsCosine(emb, "vec_id", "embedding", 0.45)
       .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
-    val viaLsh = SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64)
+    // exactMaxRows = 0 disables the small-corpus fallback: this is the
+    // certification of the bucketed path itself (with τ-derived params)
+    val viaLsh = SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64,
+        exactMaxRows = 0)
       .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
     assert(viaLsh == exact)
+  }
+
+  test("nearDupPairsCosineLsh: small corpus auto-selects the exact plan; lshParamsForTau prunes harder as tau rises") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // below the threshold the declared call must plan NO bucket join
+    // (no posexplode/signature aggregate) — the exact cartesian wins
+    val autoPlan = SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64)
+      .queryExecution.executedPlan.toString
+    assert(autoPlan.contains("BroadcastNestedLoopJoin") || autoPlan.contains("CartesianProduct"))
+    // τ-aware selection: candidate-volume proxy tables/2^bits must fall
+    // as tau rises, and the field budget must hold
+    val (bLo, tLo) = SimSearch.lshParamsForTau(0.45)
+    val (bHi, tHi) = SimSearch.lshParamsForTau(0.9)
+    assert(bLo * tLo <= 96 && bHi * tHi <= 96)
+    assert(tHi / math.pow(2.0, bHi) < tLo / math.pow(2.0, bLo) / 4,
+      s"tau=0.9 params ($bHi,$tHi) should prune >=4x harder than tau=0.45 ($bLo,$tLo)")
   }
 
   test("nearDupPairsCosine: threshold pairs are exactly the brute-force >= tau set") {

@@ -37,8 +37,12 @@ class PlansSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
-  test("q32 LSH near-dup physical plan has no nested-loop or cartesian join") {
-    val plan = SparkEntry.queries("q32_embed_neardup")(spark, sf0001)
+  test("LSH near-dup physical plan (forced bucketed path) has no nested-loop or cartesian join") {
+    // the declared q32 auto-selects the exact plan below 2^16 rows; the
+    // structural no-cartesian guarantee is a property of the bucketed
+    // path, so force it with exactMaxRows = 0
+    val plan = SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64,
+        exactMaxRows = 0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), "corpus side must never be nested-looped")
     assert(!plan.contains("CartesianProduct"), "corpus side must never be cross-joined")
