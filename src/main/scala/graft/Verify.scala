@@ -23,7 +23,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated query filter (local iteration only; the
+    // driver runs the full map)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce folds into the final
       // stage and serializes the whole upstream plan onto one task;
       // repartition adds a tiny exchange but keeps upstream parallel.

@@ -133,6 +133,40 @@ object StreamingReports {
       }
   }
 
+  /** Bounded replay of `sessionStream` over a directory of landing
+    * files — the certified-query surface (q45): copies the source files
+    * into a fresh landing dir, streams them through the
+    * flatMapGroupsWithState sessionizer, then appends two far-future
+    * sentinel events so the watermark passes every real session's
+    * gap and the event-time timeouts flush the open sessions
+    * deterministically (timeouts fire on the trigger AFTER the
+    * watermark advances, hence two waves). Returns the closed sessions
+    * as a batch DataFrame (userId, startUs, endUs, nEvents) with the
+    * sentinel user filtered back out — byte-comparable against the
+    * batch sessionization SQL over the same files.
+    */
+  def sessionReplay(spark: SparkSession, srcDir: String, gapMinutes: Int): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val landing = Files.createTempDirectory("graft-session-replay")
+    Files.list(Paths.get(srcDir)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING))
+    val mem = s"graft_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessionStream(spark, landing.toString, gapMinutes)
+      .toDF().writeStream.format("memory").queryName(mem).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      for (n <- 1 to 2) {
+        Files.writeString(landing.resolve(s"zz-sentinel$n.json"),
+          s"""{"eventId": "sent$n", "eventTime": "2030-01-0${n}T00:00:00+00:00", "processTime": "2030-01-0${n}T00:00:00+00:00", "resourceId": "rX", "userId": "__sentinel", "countryCode": "US", "duration": 0, "itemPrice": "0"}""")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(mem).filter(col("userId") =!= "__sentinel")
+  }
+
   /** Custom state: running per-resource event totals via
     * mapGroupsWithState (KeyValueGroupedDataset surface).
     */

@@ -33,6 +33,33 @@ class Grf1SourceSpec extends SparkSpec {
     assert(pruned.distinct().as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("DSv2: kind predicate is pushed into the reader — no residual Filter node, rows pruned at source") {
+    val imgs = grf.filter($"kind" === 0)
+    val plan = imgs.queryExecution.executedPlan
+    // the ScanBuilder claimed the predicate (returned no residual), so
+    // Spark must NOT plan a Filter on top — correctness of the result
+    // then PROVES the reader enforced it
+    assert(plan.collect { case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty,
+      s"kind filter was not fully pushed:\n$plan")
+    assert(plan.toString.contains("PushedFilters=[EqualTo(kind,0)]"))
+    val names = imgs.withColumn("name", regexp_extract($"path", "[^/]+$", 0))
+      .select("name").as[String].collect().toSet
+    assert(names == Set("img_4x4x1.grf", "img_8x8x3.grf", "img_16x8x3.grf"))
+  }
+
+  test("DSv2: kind IN (...) pushes; unsupported predicates stay residual") {
+    val av = grf.filter($"kind".isin(1, 2))
+    assert(av.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty)
+    assert(av.count() == 2)
+    // a width predicate is NOT pushable: it must survive as a Filter
+    // node and still evaluate correctly
+    val wide = grf.filter($"width" > 10)
+    assert(wide.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }.nonEmpty)
+    assert(wide.count() == 1) // img_16x8x3 only
+  }
+
   test("DSv2: aggregations over metadata never touch payloads") {
     val stats = grf.groupBy("kind").agg(sum($"payloadBytes").as("bytes"), count(lit(1)).as("n"))
       .as[(Int, Long, Long)].collect().map { case (k, b, n) => k -> (b, n) }.toMap

@@ -119,6 +119,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("sessionReplay (the q45 surface) == batch Sessionize over the fixture dir") {
+    val streamed = StreamingReports.sessionReplay(spark, dir, gapMinutes = 60)
+      .select($"userId", $"startUs", $"endUs", $"nEvents")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Sessionize.sessions(
+        Sources.events(spark, dir)
+          .withColumn("pts", to_timestamp($"processTime", "yyyy-MM-dd'T'HH:mm:ssXXX"))
+          .filter($"userId".isNotNull),
+        "userId", "pts", gapMinutes = 60)
+      .select($"userId",
+        unix_micros(to_timestamp($"session_start")).as("s"),
+        unix_micros(to_timestamp($"session_end")).as("e"),
+        $"n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals converge to batch counts") {
     val q = StreamingReports.runningTotals(
       StreamingReports.eventStream(spark, dir).as[Event])
