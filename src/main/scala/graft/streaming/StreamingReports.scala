@@ -57,10 +57,10 @@ object StreamingReports {
     *
     * State and output are bounded by the report grain (days ×
     * resources), not the event stream. Complete mode re-emits that
-    * grain per trigger, which is the right trade for a rewritten
-    * report; for an unbounded grain the update-mode variant would
-    * upsert changed (date, resourceId) rows into date partitions of a
-    * compacted parquet store and rank those partitions instead.
+    * grain per trigger — acceptable for a small bounded grain, a
+    * scale-killer on a long-lived stream; `top10StreamUpdate` below is
+    * the bounded-output variant (upserts changed rows into date
+    * partitions and re-ranks only touched dates).
     */
   def top10Stream(
       spark: SparkSession, eventsDir: String,
@@ -70,6 +70,60 @@ object StreamingReports {
       .outputMode("complete")
       .foreachBatch { (counts: DataFrame, _: Long) =>
         Top10Job.write(Top10Job.reportFromCounts(counts, resources, categories), outPath)
+      }
+      .start()
+
+  /** Update-mode streaming top10 — per-trigger work and output bounded
+    * by the DATES TOUCHED in the trigger, not the total report grain:
+    *
+    *  1. the watermarked day-window aggregation in update mode emits
+    *     only (date, resourceId, count) rows whose running count
+    *     changed this trigger (state for days older than the watermark
+    *     is evicted — bounded state on an unbounded stream);
+    *  2. foreachBatch upserts them into a date-partitioned parquet
+    *     store: changed rows ∪ (existing rows of the touched dates ∖
+    *     changed keys), written with DYNAMIC partition overwrite so
+    *     only touched date directories are rewritten;
+    *  3. the K1 pipe-CSV report is re-ranked from that merged frame —
+    *     which already holds the touched dates' full grain — and
+    *     likewise dynamically overwrites only those date partitions.
+    *
+    * The merged frame is localCheckpointed before writing: it reads
+    * the same store path it overwrites, and materializing it first is
+    * what makes the read-then-overwrite safe (it is report-grain
+    * small — touched dates × resources). A quiet day therefore costs
+    * nothing: no emitted rows, no partition rewrites.
+    */
+  def top10StreamUpdate(
+      spark: SparkSession, eventsDir: String,
+      resources: DataFrame, categories: DataFrame,
+      storePath: String, reportPath: String): StreamingQuery =
+    dailyCounts(eventStream(spark, eventsDir))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (changed: DataFrame, _: Long) =>
+        val ss = changed.sparkSession
+        if (!changed.isEmpty) {
+          val touched = changed.select("date").distinct()
+          val existing =
+            if (new java.io.File(storePath).exists())
+              ss.read.parquet(storePath)
+                .join(broadcast(touched), Seq("date"), "left_semi")
+            else ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              changed.schema)
+          val merged = changed.unionByName(
+              existing.join(changed.select("date", "resourceId"),
+                Seq("date", "resourceId"), "left_anti"))
+            .localCheckpoint(true)
+          merged.write.partitionBy("date")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(storePath)
+          Top10Job.reportFromCounts(merged, resources, categories)
+            .write.partitionBy("date")
+            .option("header", "true").option("sep", "|")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").csv(reportPath)
+        }
       }
       .start()
 

@@ -67,6 +67,50 @@ class StreamingSpec extends SparkSpec {
     assert(Files.isDirectory(Paths.get(out, "date=2024-04-01")))
   }
 
+  test("update-mode top10 stream: only touched date partitions are rewritten; report converges to batch") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val landing = Files.createTempDirectory("stream-upd-landing")
+    val store = Files.createTempDirectory("stream-upd-store").resolve("store").toString
+    val report = Files.createTempDirectory("stream-upd-report").resolve("report").toString
+    val res = Sources.resources(spark, s"${SparkEntry.FixturesDir}/resources.json")
+    val cats = Sources.categories(spark, s"${SparkEntry.FixturesDir}/categories.json")
+    val all = Files.list(Paths.get(dir)).iterator().asScala.toSeq
+    def arrive(date: String): Unit = all
+      .filter(p => Files.readString(p).contains(s""""processTime": "$date"""))
+      .foreach(p => Files.copy(p, landing.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING))
+
+    arrive("2024-04-01")
+    val q = StreamingReports.top10StreamUpdate(
+      spark, landing.toString, res, cats, store, report)
+    try {
+      q.processAllAvailable()
+      val d1 = Paths.get(report, "date=2024-04-01")
+      assert(Files.isDirectory(d1) && !Files.isDirectory(Paths.get(report, "date=2024-04-02")))
+      // snapshot the day-1 partition (names + mtimes): a second trigger
+      // that only touches day 2 must leave it byte-for-byte alone
+      def snap(p: java.nio.file.Path): Map[String, Long] =
+        Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+          .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+      val day1Before = snap(d1)
+
+      arrive("2024-04-02")
+      q.processAllAvailable()
+      assert(Files.isDirectory(Paths.get(report, "date=2024-04-02")))
+      assert(snap(d1) == day1Before,
+        "an update touching only 2024-04-02 rewrote the 2024-04-01 report partition")
+    } finally q.stop()
+
+    // converged report == the batch job over all files
+    val streamed = spark.read.option("header", "true").option("sep", "|").csv(report)
+      .select($"position".cast("string"), $"categoryId", $"resourceId", $"date".cast("string"))
+      .as[(String, String, String, String)].collect().toSet
+    val batch = graft.jobs.Top10Job.transform(Sources.events(spark, landing.toString), res, cats)
+      .select($"position".cast("string"), $"categoryId", $"resourceId", $"date")
+      .as[(String, String, String, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("reportFromCounts on the compacted grain == reference-shaped transform") {
     val res = Sources.resources(spark, s"${SparkEntry.FixturesDir}/resources.json")
     val cats = Sources.categories(spark, s"${SparkEntry.FixturesDir}/categories.json")
