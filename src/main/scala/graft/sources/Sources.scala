@@ -2,9 +2,29 @@ package graft.sources
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import com.fasterxml.jackson.databind.ObjectMapper
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import graft.model.{Category, Event, Resource, Schemas}
+
+/** Driver-side payload fetch seam (S1/S5). The reference GETs these
+  * tiny payloads over HTTP (top10.py:46, royalties.py:66-68); this
+  * build environment is zero-egress, so the default implementation
+  * resolves the location as a local file. A production deployment
+  * injects an HTTP-client-backed Fetcher — the parsing/DataFrame
+  * construction below only ever sees the trait, so the substitution is
+  * an injection, not a code edit.
+  */
+trait Fetcher {
+  def fetch(location: String): String
+}
+
+/** The zero-egress default: location is a filesystem path. */
+object FileFetcher extends Fetcher {
+  override def fetch(location: String): String =
+    Files.readString(Paths.get(location))
+}
 
 /** Ingestion tier (SURVEY.md §2.1, S1-S5) re-expressed Spark-first.
   *
@@ -35,13 +55,13 @@ object Sources {
   /** S1 — HTTP-JSON dim (categories): the reference GETs a url and
     * builds a DataFrame from the payload's `content` array with an
     * explicit schema (top10.py:35-59). Same mechanism here: a
-    * driver-side fetch of a tiny payload (fixture-backed — zero-egress
-    * environment), parsed on the driver, then `createDataFrame` with
-    * the declared schema.
+    * driver-side fetch of a tiny payload through the `Fetcher` seam
+    * (file-backed by default), parsed on the driver, then
+    * `createDataFrame` with the declared schema.
     */
-  def categories(spark: SparkSession, path: String): DataFrame = {
-    val payload = Files.readString(Paths.get(path))
-    val rows = parseCategoryContent(payload).map { m =>
+  def categories(spark: SparkSession, location: String,
+      fetcher: Fetcher = FileFetcher): DataFrame = {
+    val rows = parseCategoryContent(fetcher.fetch(location)).map { m =>
       Row(m.get("tenant").orNull, m.get("id").orNull,
         m.get("name").orNull, m.get("percent").orNull)
     }
@@ -71,71 +91,49 @@ object Sources {
   def countries(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
-  /** S5 — scalar rates lookup: tiny JSON object fetched driver-side,
-    * exposed both as a broadcast Map (closure lookups, J6) and as a
-    * one-row-per-code DataFrame (broadcast-join conversion, the
-    * Catalyst-friendly form).
+  /** S5 — scalar rates lookup: tiny JSON object fetched driver-side
+    * through the `Fetcher` seam, exposed both as a broadcast Map
+    * (closure lookups, J6) and as a one-row-per-code DataFrame
+    * (broadcast-join conversion, the Catalyst-friendly form).
     */
-  def exchangeRates(path: String): Map[String, Double] =
-    parseRates(Files.readString(Paths.get(path)))
+  def exchangeRates(location: String, fetcher: Fetcher = FileFetcher): Map[String, Double] =
+    parseRates(fetcher.fetch(location))
 
-  def broadcastRates(spark: SparkSession, path: String): Broadcast[Map[String, Double]] =
-    spark.sparkContext.broadcast(exchangeRates(path))
+  def broadcastRates(spark: SparkSession, location: String,
+      fetcher: Fetcher = FileFetcher): Broadcast[Map[String, Double]] =
+    spark.sparkContext.broadcast(exchangeRates(location, fetcher))
 
-  def ratesDf(spark: SparkSession, path: String): DataFrame = {
+  def ratesDf(spark: SparkSession, location: String,
+      fetcher: Fetcher = FileFetcher): DataFrame = {
     import spark.implicits._
-    exchangeRates(path).toSeq.toDF("Code", "rate")
+    exchangeRates(location, fetcher).toSeq.toDF("Code", "rate")
   }
 
-  // ── tiny driver-side JSON parsing (bounded payloads only) ──────────
-  // Hand-rolled flat-object parser: the build has no JSON library on
-  // the compile classpath beyond Spark's shaded ones, and these two
-  // payload shapes are fixed by the reference's API contract.
+  // ── tiny driver-side JSON parsing (bounded payloads only), via the
+  // Jackson that ships with Spark — a real parser, so escaped quotes,
+  // nested values, and unicode in payloads are handled for free.
 
-  /** Extracts the array of flat string-valued objects under "content". */
+  private val mapper = new ObjectMapper()
+
+  /** Extracts the array of objects under "content"; every scalar field
+    * is surfaced as its string form (the declared category schema is
+    * all-string, mirroring the reference payload contract).
+    */
   private[sources] def parseCategoryContent(json: String): Seq[Map[String, String]] = {
-    val content = json.substring(json.indexOf("\"content\""))
-    val arr = content.substring(content.indexOf('[') + 1, matchingBracket(content, content.indexOf('[')))
-    objectSpans(arr).map(parseFlatObject)
+    val content = mapper.readTree(json).path("content")
+    require(content.isArray, "categories payload has no \"content\" array")
+    content.elements.asScala.map { node =>
+      node.fields.asScala
+        .filter(_.getValue.isValueNode)
+        .map(e => e.getKey -> e.getValue.asText)
+        .toMap
+    }.toSeq
   }
 
   /** Extracts the string->double map under "exchange_rate". */
   private[sources] def parseRates(json: String): Map[String, Double] = {
-    val body = json.substring(json.indexOf("\"exchange_rate\""))
-    val obj = body.substring(body.indexOf('{') + 1, matchingBrace(body, body.indexOf('{')))
-    pairRegex.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap
-  }
-
-  private val pairRegex = """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r
-  private val stringPairRegex = """"([^"]+)"\s*:\s*"([^"]*)"""".r
-
-  private def parseFlatObject(s: String): Map[String, String] =
-    stringPairRegex.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
-
-  private def objectSpans(arr: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var i = 0
-    while (i < arr.length) {
-      if (arr(i) == '{') {
-        val end = matchingBrace(arr, i)
-        out += arr.substring(i, end + 1)
-        i = end + 1
-      } else i += 1
-    }
-    out.result()
-  }
-
-  private def matchingBrace(s: String, open: Int): Int = matching(s, open, '{', '}')
-  private def matchingBracket(s: String, open: Int): Int = matching(s, open, '[', ']')
-
-  private def matching(s: String, open: Int, oc: Char, cc: Char): Int = {
-    var depth = 0
-    var i = open
-    while (i < s.length) {
-      if (s(i) == oc) depth += 1
-      else if (s(i) == cc) { depth -= 1; if (depth == 0) return i }
-      i += 1
-    }
-    s.length - 1
+    val rates = mapper.readTree(json).path("exchange_rate")
+    require(rates.isObject, "rates payload has no \"exchange_rate\" object")
+    rates.fields.asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
   }
 }

@@ -32,6 +32,42 @@ class SourcesSpec extends SparkSpec {
     assert(byId == Map("3.1" -> "15", "2.2" -> "10", "7" -> "20"))
   }
 
+  test("S1: escaped quotes and non-string nested values survive the payload parser") {
+    val payload =
+      """{"meta": {"nested": {"deep": [1, 2]}},
+        | "content": [
+        |   {"tenant": "t1", "id": "1.1", "name": "a \"quoted\" cat", "percent": "12"},
+        |   {"tenant": "t1", "id": "2.2", "name": "uniçode", "percent": 7,
+        |    "extra": {"ignored": true}}
+        |]}""".stripMargin
+    val cats = Sources.categories(spark, "inline", new graft.sources.Fetcher {
+      override def fetch(location: String): String = payload
+    })
+    val byId = cats.select("id", "name", "percent").as[(String, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(byId("1.1")._2 == "a \"quoted\" cat")
+    assert(byId("2.2")._2 == "uniçode")
+    // numeric percent surfaces as its string form (all-string schema)
+    assert(byId("2.2")._3 == "7")
+  }
+
+  test("S1/S5: the Fetcher seam injects — consumers never see the transport") {
+    // a recording fetcher standing in for the reference's HTTP GET
+    var fetched = List.empty[String]
+    val viaSeam = new graft.sources.Fetcher {
+      override def fetch(location: String): String = {
+        fetched ::= location
+        graft.sources.FileFetcher.fetch(s"$fix/${location.stripPrefix("https://api.test/")}")
+      }
+    }
+    val cats = Sources.categories(spark, "https://api.test/categories.json", viaSeam)
+    val rates = Sources.exchangeRates("https://api.test/rates.json", viaSeam)
+    assert(cats.count() == 3)
+    assert(rates("EUR") == 1.08)
+    assert(fetched.toSet ==
+      Set("https://api.test/categories.json", "https://api.test/rates.json"))
+  }
+
   test("S4: CSV with header + inferSchema keeps PascalCase columns") {
     val ct = Sources.countries(spark, s"$fix/countries.csv")
     assert(ct.columns.toSeq == Seq("CountryCode", "Country", "Code"))
