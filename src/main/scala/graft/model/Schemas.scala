@@ -46,3 +46,9 @@ case class Resource(
     providerId: String, promotion: String)
 
 case class Category(tenant: String, id: String, name: String, percent: String)
+
+/** users dim — create_user.py:24-29 (keyed by email; the reference
+  * writes it and no job reads it, so it exists for surface
+  * completeness: a consumer migrating from the reference can load it).
+  */
+case class User(email: String, name: String, age: Option[Long])

@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-import graft.model.{Category, Event, Resource, Schemas}
+import graft.model.{Category, Event, Resource, Schemas, User}
 
 /** Driver-side payload fetch seam (S1/S5). The reference GETs these
   * tiny payloads over HTTP (top10.py:46, royalties.py:66-68); this
@@ -85,6 +85,19 @@ object Sources {
   def categoriesDs(spark: SparkSession, path: String): Dataset[Category] = {
     import spark.implicits._
     categories(spark, path).as[Category]
+  }
+
+  /** S7 consumer side — users dim (create_user.py:24-29): the reference
+    * writes it keyed by email and never reads it; modeled here so the
+    * surface is complete for a migrating consumer. Inferred schema like
+    * the other Firestore-backed dim.
+    */
+  def users(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def usersDs(spark: SparkSession, path: String): Dataset[User] = {
+    import spark.implicits._
+    users(spark, path).select("email", "name", "age").as[User]
   }
 
   /** S4 — CSV with header + inferSchema (countries, royalties.py:66-68). */

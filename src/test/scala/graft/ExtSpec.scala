@@ -67,8 +67,11 @@ class ExtSpec extends SparkSpec {
     // one doc, one shingle -> the simhash of a single feature is the
     // feature's bit pattern itself
     val df = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    // feature set deliberately placed FIRST: the explicit idCol must
+    // key the join regardless of column order
     val v = SimHash.withSimhash(
-      df.select($"doc_id", TextAnalysis.shingleSet($"text", 3).as("f")), "f", "bits", "v")
+      df.select(TextAnalysis.shingleSet($"text", 3).as("f"), $"doc_id"),
+      "doc_id", "f", "bits", "v")
       .select("v").as[Long].head()
     val md5hex = java.security.MessageDigest.getInstance("MD5")
       .digest("alpha beta gamma".getBytes("UTF-8"))

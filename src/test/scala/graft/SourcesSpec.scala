@@ -83,6 +83,14 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.categoriesDs(spark, s"$fix/categories.json").count() == 3)
   }
 
+  test("S7 consumer side: users dim loads typed (written-but-never-read in the reference)") {
+    val u = Sources.users(spark, s"$fix/users.json")
+    assert(u.count() == 4)
+    val typed = Sources.usersDs(spark, s"$fix/users.json").collect()
+    assert(typed.map(_.email).toSet.contains("u2@example.com"))
+    assert(typed.find(_.email == "u2@example.com").get.name == "Ben \"BJ\" Jones")
+  }
+
   test("S5: rates map parse + broadcast") {
     val rates = Sources.exchangeRates(s"$fix/rates.json")
     assert(rates == Map("USD" -> 1.0, "EUR" -> 1.08, "GBP" -> 1.27))
