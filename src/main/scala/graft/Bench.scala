@@ -68,7 +68,19 @@ object Bench {
         // traced to. A dedicated job starts with a clean heap; this
         // makes every run measure the same way (GC time itself is
         // outside the timed window).
+        //
+        // The GC also queues ASYNC work — Spark's ContextCleaner
+        // processes broadcast/shuffle/accumulator weak refs on its own
+        // thread after references die — and with 47 queries in one JVM
+        // that cleanup was measured landing INSIDE the next timed
+        // window (a contiguous 1.5-4× band over the queries following
+        // the heavy dedup block, e.g. q2 3.8 s mid-suite vs 1.7 s
+        // isolated, identical plans). A second GC plus a short settle
+        // drains the cleaner before the clock starts.
         System.gc()
+        Thread.sleep(300)
+        System.gc()
+        Thread.sleep(100)
         val t0 = System.nanoTime()
         try runNoop(fn(spark, sfDir))
         catch {
