@@ -590,6 +590,20 @@ object SparkEntry {
         .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
           col("width"), col("height"), col("channels"), col("payloadBytes"))),
 
+    // ── ext: language ID + rolling-hash fingerprint certified (the two
+    // text-analysis features q20 didn't cover). withLangGuess is the
+    // scale-safe form (tokens + score array materialized once — the
+    // naive single-tree form re-runs the tokenizer regex ~15× per row);
+    // the rolling hash is order-SENSITIVE (transposed docs differ)
+    // with every intermediate in signed-64 range in both engines. ──
+    "q48_text_lang" -> ((s, dir) => {
+      val base = TextAnalysis.withLangGuess(
+        t(s, dir, "documents"), "text", "lang_guess")
+      base.select(col("doc_id"), col("lang"), col("lang_guess"),
+        TextAnalysis.rollingFingerprint(TextAnalysis.tokens(col("text")))
+          .as("roll_fp"))
+    }),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1172,6 +1186,40 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // Language scores and the rolling hash mirrored term by term:
+    // list_prepend(0, ...) makes DuckDB's init-less list_reduce fold
+    // exactly like Spark's aggregate(…, 0, …); ties resolve by the
+    // CASE order = profile declaration order on both sides.
+    "q48_text_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, toks,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','with','for'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','por','con','una'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','von','den'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','des','une','dans','pour','que'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('il','di','che','la','per','una','sono','non','con','del'))) AS s_it
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_it) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'fr'
+        |       WHEN s_it = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'it'
+        |       ELSE 'und' END AS lang_guess,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(toks, tok ->
+        |      CAST(list_reduce(list_transform(range(1, 13),
+        |        i -> CAST(CASE WHEN ascii(substr(md5(tok), i, 1)) <= 57
+        |                  THEN ascii(substr(md5(tok), i, 1)) - 48
+        |                  ELSE ascii(substr(md5(tok), i, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b) AS BIGINT))),
+        |    (acc, h) -> (acc * 1000003 + h) % 1099511627776) AS roll_fp
+        |FROM s""".stripMargin,
 
     // n_exact comes from the oracle's own brute-force SQL; n_hit is the
     // PINNED deterministic intersection size measured at sf0.01 (fixed

@@ -112,4 +112,48 @@ object TextAnalysis {
       when(score === best && best > 0, lang).otherwise(acc)
     }
   }
+
+  /** Scale-safe language ID (the certified form): `langGuess` above
+    * builds one tree in which the tokenizer regex is duplicated per
+    * language profile AND per tie-break reference (~15 regex runs per
+    * row — the same no-CSE hazard as `shingleSet`). Here tokens and
+    * the per-language score array are each materialized once in their
+    * own projection; the argmax when-chain then reads the cheap array
+    * column. Ties resolve to the first profile in declaration order;
+    * zero hits (or null text) → "und".
+    */
+  def withLangGuess(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val scored = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__scores", array(LangProfiles.map { case (_, words) =>
+        size(filter(col("__toks"), t => t.isin(words: _*)))
+      }: _*))
+    val best = array_max(col("__scores"))
+    val guess = LangProfiles.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, _), i), acc) =>
+        when(element_at(col("__scores"), i + 1) === best && best > 0, lang).otherwise(acc)
+    }
+    scored.withColumn(outCol, guess).drop("__toks", "__scores")
+  }
+
+  /** Rolling-hash document fingerprint over the normalized token
+    * stream: h = fold(tokens, 0, (acc, t) -> (acc·B + h48(t)) mod M)
+    * with B = 1000003 and M = 2^40. Engine-portable by construction:
+    * h48 is the 48-bit md5 prefix (same primitive as SimHash), and
+    * (M-1)·B + 2^48 < 2^63 keeps every intermediate inside a signed
+    * 64-bit integer in ANY engine — Spark would wrap silently on
+    * overflow while DuckDB errors, so the mod is load-bearing, not
+    * cosmetic. Unlike the order-insensitive md5 `fingerprint`, token
+    * ORDER changes the value, so transposed documents get distinct
+    * fingerprints while whitespace/case/punct noise does not.
+    */
+  val RollBase = 1000003L
+  val RollMod: Long = 1L << 40
+
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t =>
+        conv(substring(md5(t), 1, 12), 16, 10).cast("long")),
+      lit(0L),
+      (acc, h) => (acc * RollBase + h) % RollMod)
 }

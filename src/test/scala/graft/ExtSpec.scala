@@ -80,6 +80,36 @@ class ExtSpec extends SparkSpec {
     assert(v == h48)
   }
 
+  test("withLangGuess: argmax per profile, declaration-order ties, und on zero hits and null text") {
+    val df = Seq(
+      (1L, "the cat and the dog is in that house with it for now"),
+      (2L, "el que de la y los con una por las"),
+      (3L, "zzz qqq xxx"),
+      (4L, "la la la"), // 'la' scores 3 in es, fr AND it -> first declared wins
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.withLangGuess(df, "text", "g")
+      .select("doc_id", "g").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "und", 4L -> "es", 5L -> "und"))
+  }
+
+  test("rollingFingerprint: order-sensitive, matches a reference fold in Scala, stays in 64-bit range") {
+    def h48(s: String): Long = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16))
+    def ref(toks: Seq[String]): Long =
+      toks.foldLeft(0L)((acc, t) => (acc * TextAnalysis.RollBase + h48(t)) % TextAnalysis.RollMod)
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextAnalysis.rollingFingerprint(TextAnalysis.tokens($"text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == ref(Seq("alpha", "beta", "gamma")))
+    assert(got(2L) == ref(Seq("gamma", "beta", "alpha")))
+    assert(got(1L) != got(2L), "transposed tokens must fingerprint differently")
+    assert(got(3L) == 0L)
+  }
+
   // ── similarity search ───────────────────────────────────────────────
   test("bruteForceTopK: finds the planted nearest neighbor, excludes self") {
     val vecs = Seq(
