@@ -590,6 +590,67 @@ object SparkEntry {
         .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
           col("width"), col("height"), col("channels"), col("payloadBytes"))),
 
+    // ── exact DISCRETE percentiles (ordered-set aggregate surface):
+    // percentile_disc returns an actual data value (the first whose
+    // cume_dist ≥ p), so cross-engine parity is exact — the
+    // interpolating percentile_cont would hash-mismatch on FP
+    // operation order. Exact percentile is a full sort per group; at
+    // 100 TB the approximate sketch (approx_percentile/t-digest) is
+    // the right tool, but its sketch is engine-specific, so the oracle
+    // pins the exact form (same reasoning as q35's count-distinct). ──
+    "q51_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"),
+          count(lit(1)).as("n"))),
+
+    // ── RANGE-frame moving window: trailing 7-day revenue per event
+    // type — rangeBetween on a day NUMBER (not rows: gap days must
+    // shrink the window, which a rows frame gets wrong). Sum stays
+    // exact decimal inside the frame, doubles only at the edge; the
+    // avg divides the two already-emitted values, so parity is
+    // structural. ──
+    "q50_moving_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), dayKey(col("ts")).as("day"))
+        .agg(sum(dec2(col("value"))).as("rev"))
+        .withColumn("daynum",
+          datediff(to_date(col("day")), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy("event_type").orderBy("daynum").rangeBetween(-6, 0)
+      daily.select(col("event_type"), col("day"),
+          asDouble(col("rev")).as("day_rev"),
+          asDouble(sum(col("rev")).over(w)).as("rev_7d"),
+          count(lit(1)).over(w).as("n_days_7d"))
+        .withColumn("avg_7d", col("rev_7d") / col("n_days_7d"))
+    }),
+
+    // ── as-of join (operators/AsofJoin): most recent preceding 'view'
+    // per user for every 'purchase' — the union+window rewrite (one
+    // hashpartitioning(user) exchange, no theta-join); right side
+    // pre-aggregated to (user, ts) uniqueness per the operator
+    // contract. The oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+    // rewrite is certified against an independent first-class
+    // implementation of the semantics. ──
+    "q49_asof_join" -> ((s, dir) => {
+      import graft.operators.AsofJoin
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      AsofJoin.asofLeft(purchases, views, "user_id", "ts", "ts", Seq("view_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"),
+          unix_micros(col("asof_time")).as("view_us"),
+          col("view_id"))
+    }),
+
     // ── ext: language ID + rolling-hash fingerprint certified (the two
     // text-analysis features q20 didn't cover). withLangGuess is the
     // scale-safe form (tokens + score array materialized once — the
@@ -1186,6 +1247,43 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q51_percentiles" ->
+      """SELECT event_type,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.9) AS p90,
+        |  quantile_disc(value, 0.99) AS p99,
+        |  min(value) AS vmin, max(value) AS vmax, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q50_moving_window" ->
+      """WITH g AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS daynum FROM g)
+        |SELECT event_type, day, CAST(rev AS DOUBLE) AS day_rev,
+        |  CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d,
+        |  COUNT(*) OVER w AS n_days_7d,
+        |  CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+        |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY daynum
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the independent truth for the
+    // union+window rewrite; both engines compare on the same
+    // microsecond timestamps.
+    "q49_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |p AS (
+        |  SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS t_us,
+        |  epoch_us(v.ts) AS view_us,
+        |  v.view_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
     // Language scores and the rolling hash mirrored term by term:
     // list_prepend(0, ...) makes DuckDB's init-less list_reduce fold

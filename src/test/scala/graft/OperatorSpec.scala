@@ -52,4 +52,37 @@ class OperatorSpec extends SparkSpec {
       .groupBy("m").agg(sum($"pct").as("s")).select("s").as[Double].collect()
     sums.foreach(s => assert(math.abs(s - 100.0) < 1e-9))
   }
+
+  test("asofLeft: inclusive bound, per-key isolation, no-match nulls, atomic right-row carry") {
+    import graft.operators.AsofJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      ("A", ts("2024-01-01 10:00:00"), "l-early"),   // before any right row -> nulls
+      ("A", ts("2024-01-01 12:00:00"), "l-mid"),     // between r1 and r2 -> r1
+      ("A", ts("2024-01-01 13:00:00"), "l-tie"),     // EXACTLY r2's time -> r2 (inclusive)
+      ("B", ts("2024-01-01 12:00:00"), "l-otherkey") // B's rows must not see A's
+    ).toDF("k", "t", "l_val")
+    val right = Seq(
+      ("A", ts("2024-01-01 11:00:00"), Some("r1")),
+      ("A", ts("2024-01-01 13:00:00"), Option.empty[String]), // null VALUE still a real match
+      ("B", ts("2024-01-01 11:30:00"), Some("rB"))
+    ).toDF("k", "rt", "r_val")
+
+    val out = AsofJoin.asofLeft(left, right, "k", "t", "rt", Seq("r_val"))
+      .select($"l_val", date_format($"asof_time", "HH:mm").as("at"), $"r_val")
+      .as[(String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("l-early") == ((None, None)))
+    assert(out("l-mid") == ((Some("11:00"), Some("r1"))))
+    // the 13:00 right row matched (inclusive <=) and its null value rode
+    // along atomically — NOT spliced with r1's non-null value
+    assert(out("l-tie") == ((Some("13:00"), None)))
+    assert(out("l-otherkey") == ((Some("11:30"), Some("rB"))))
+
+    // structural guarantee: one keyed window, never a theta/nested-loop join
+    val plan = AsofJoin.asofLeft(left, right, "k", "t", "rt", Seq("r_val"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"))
+  }
 }
