@@ -590,6 +590,45 @@ object SparkEntry {
         .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
           col("width"), col("height"), col("channels"), col("payloadBytes"))),
 
+    // ── UNPIVOT / melt (q36 pivot's inverse): wide measure columns to
+    // (variable, value) rows. Aggregation after the melt goes back
+    // through exact decimal — value is a double only transiently, and
+    // dec2's half-up round to 2dp is deterministic in both engines. ──
+    "q52_unpivot" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "var", "val")
+        .groupBy("var")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("val")))).as("total"))),
+
+    // ── deterministic string aggregation: collect_list order is
+    // execution-dependent, so the portable form is array_sort before
+    // concat_ws — the same discipline as the IVF centroid rebuild. ──
+    "q53_string_agg" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      n.join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_nations"))
+    }),
+
+    // ── argmax WITHOUT a window: max(struct(value, tiebreak)) is one
+    // partial-aggregable pass — at 100 TB this is a map-side combine
+    // instead of the full per-group sort a row_number window needs.
+    // The struct's field order (value first, id second) IS the
+    // deterministic tie-break, mirrored by the oracle's ORDER BY. ──
+    "q54_argmax" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(max(struct(col("value"), col("event_id"))).as("m"))
+        .select(col("event_type"),
+          col("m.value").as("top_value"),
+          col("m.event_id").as("top_event_id"))),
+
     // ── exact DISCRETE percentiles (ordered-set aggregate surface):
     // percentile_disc returns an actual data value (the first whose
     // cume_dist ≥ p), so cross-engine parity is exact — the
@@ -1247,6 +1286,31 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // The UNION ALL form is the unambiguous spelling of UNPIVOT.
+    "q52_unpivot" ->
+      """WITH u AS (
+        |  SELECT p_partkey, 'p_retailprice' AS var, CAST(p_retailprice AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size' AS var, CAST(p_size AS DOUBLE) AS val FROM part)
+        |SELECT var, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM u GROUP BY var""".stripMargin,
+
+    "q53_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    // argmax tie-break order (value DESC, event_id DESC) mirrors the
+    // struct comparison (value first, id second) exactly.
+    "q54_argmax" ->
+      """SELECT event_type, value AS top_value, event_id AS top_event_id
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY value DESC, event_id DESC) = 1""".stripMargin,
 
     "q51_percentiles" ->
       """SELECT event_type,
