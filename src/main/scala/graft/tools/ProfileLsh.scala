@@ -29,7 +29,10 @@ object ProfileLsh {
       val emb = Corpus.load(spark, sf, "embeddings")
       val exact = SimSearch.nearDupPairsCosine(emb, "vec_id", "embedding", 0.45)
         .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val viaLsh = SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64)
+      // exactMaxRows = 0: certify the genuinely bucketed path — the
+      // declared operator would auto-select the exact plan at these sizes
+      val viaLsh = SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64,
+          exactMaxRows = 0)
         .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"EQCHECK $sf exact=${exact.size} lsh=${viaLsh.size} equal=${exact == viaLsh}")
     }
@@ -73,16 +76,18 @@ object ProfileLsh {
           maxShingleDfPermille = Some(10))
         .write.format("noop").mode("overwrite").save()
     }
-    time("embed_neardup LSH (4,48)") {
+    time("embed_neardup auto (exact fallback)") {
       SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64)
         .write.format("noop").mode("overwrite").save()
     }
-    time("embed_neardup LSH (3,32)") {
-      SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64, 3, 32)
+    time("embed_neardup LSH (tau-aware 3,29)") {
+      SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64,
+          exactMaxRows = 0)
         .write.format("noop").mode("overwrite").save()
     }
     time("embed_neardup LSH (2,20)") {
-      SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64, 2, 20)
+      SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64, 2, 20,
+          exactMaxRows = 0)
         .write.format("noop").mode("overwrite").save()
     }
     locally {
@@ -90,7 +95,8 @@ object ProfileLsh {
       for ((b, t) <- Seq((3, 32), (2, 20)); (nm, d) <- Seq(("sf0.01", e01), ("sf0.1", emb))) {
         val ex = SimSearch.nearDupPairsCosine(d, "vec_id", "embedding", 0.45)
           .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val ls = SimSearch.nearDupPairsCosineLsh(d, "vec_id", "embedding", 0.45, 64, b, t)
+        val ls = SimSearch.nearDupPairsCosineLsh(d, "vec_id", "embedding", 0.45, 64, b, t,
+            exactMaxRows = 0)
           .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         println(s"EQCHECK-neardup($b,$t) $nm equal=${ex == ls}")
       }
