@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the cluster step of the dedup
+  * pipeline: near-dup PAIRS (from `Dedup.nearDupPairsMinhash`,
+  * `SimHash`, or `SimSearch.nearDupPairsCosineLsh`) become CLUSTERS
+  * with a deterministic min-id representative, so "keep one document
+  * per duplicate cluster" is a single equi-join away.
+  *
+  * Algorithm: alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * ACM SoCC 2014). Each round is two whole-partition window minimums
+  * plus a distinct — narrow (long, long) rows keyed by node id, no
+  * windows over the full corpus, no driver-side row data — and the
+  * edge set provably contracts to min-rooted star forests in
+  * O(log n) rounds regardless of topology. Min-label propagation
+  * (the obvious alternative) needs O(diameter) rounds: a 1M-node
+  * chain of pairwise near-dups would take 1M shuffles there and ~20
+  * here.
+  *
+  * Iteration mechanics at scale: every round's result is checkpointed
+  * (reliable checkpoint when `spark.sparkContext.setCheckpointDir`
+  * was called, else a local checkpoint) — without lineage truncation
+  * an iterative DataFrame loop re-optimizes a plan that doubles per
+  * round and re-executes the whole history on failure. Convergence is
+  * detected by an (edge count, order-independent xxhash64 sum)
+  * fingerprint: one tiny aggregate per round, no edge-set `except`.
+  */
+object ConnectedComponents {
+
+  /** Large-star: every node w connects its LARGER neighbors to
+    * m = min(N(w) ∪ {w}). Input/output edges satisfy u < v.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val w = Window.partitionBy("u")
+    nbrs
+      .withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("m").as("u"), col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node w connects its SMALLER-or-self closure to
+    * m = min of its smaller neighbors: with edges oriented u < v,
+    * group by the large endpoint v, attach every u (and v itself) to
+    * min(u). Input/output edges satisfy u < v.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("v")
+    val withMin = e.withColumn("m", min(col("u")).over(w))
+    val attachSmaller = withMin
+      .filter(col("u") =!= col("m"))
+      .select(col("m").as("u"), col("u").as("v"))
+    val attachLarge = withMin.select(col("m").as("u"), col("v"))
+    attachSmaller.union(attachLarge).distinct()
+  }
+
+  /** (row count, order-independent content hash) — equal fingerprints
+    * on consecutive rounds == converged. The hash is a bit_xor of
+    * per-edge xxhash64 (edges are distinct, so xor is a well-defined
+    * set hash; unlike a long sum it can't ANSI-overflow). A collision
+    * needs a simultaneous count match AND a 64-bit xor collision on
+    * adversarial edge sets; for defense in depth the caller still
+    * bounds rounds with `maxIter`.
+    */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Connected components of an undirected graph given as an edge
+    * list. Returns one row per non-isolated node:
+    * (node, component) where component = the smallest node id in the
+    * node's component (deterministic, oracle-checkable). Isolated
+    * nodes don't appear (they have no edges); see `dedupClusters` for
+    * the left-join closure over a node universe.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+
+    var e = truncate(
+      edges
+        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct())
+    var fp = fingerprint(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = truncate(smallStar(largeStar(e)))
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      e = next
+      fp = nfp
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint is a min-rooted star forest: u is the component root
+    e.select(col("v").as("node"), col("u").as("component"))
+      .union(e.select(col("u").as("node"), col("u").as("component")))
+      .distinct()
+  }
+
+  /** Dedup-cluster assignment for EVERY document: docs that appear in
+    * a near-dup pair get their component's min doc id as cluster;
+    * docs with no pair are their own singleton cluster. Output:
+    * (idCol, cluster, cluster_size, is_representative) — downstream
+    * "keep one per cluster" is `filter(is_representative)`.
+    */
+  def dedupClusters(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val w = Window.partitionBy("cluster")
+    docs
+      .select(col(idCol))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_representative", col(idCol) === col("cluster"))
+  }
+}

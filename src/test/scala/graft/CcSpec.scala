@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{ConnectedComponents, Dedup}
+
+/** Connected-components specs: star-contraction result vs a local
+  * union-find ground truth on adversarial topologies, the
+  * O(log n)-round claim on a long path, and the dedup-cluster closure
+  * (singletons, representatives, sizes).
+  */
+class CcSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local union-find ground truth (path compression + union by id:
+    * root is always the smaller id, matching the operator's contract).
+    */
+  private def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents
+      .connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("two triangles and a bridge collapse to one component; separate pair stays separate") {
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10),
+      (3, 10), (50, 60))
+    val got = ccMap(edges)
+    val want = unionFind(edges.flatMap(e => Seq(e._1, e._2)).distinct, edges)
+    assert(got == want)
+    assert(got(12) == 1L && got(60) == 50L)
+  }
+
+  test("long path (diameter stress): 300-node chain resolves to min root") {
+    val edges = (1L until 300L).map(i => (i, i + 1))
+    val got = ccMap(edges)
+    assert(got.size == 300 && got.values.forall(_ == 1L))
+  }
+
+  test("random graph == union-find ground truth (fixed seed)") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (0L until 200L)
+    val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val got = ccMap(edges)
+    val want = unionFind(edges.flatMap(e => Seq(e._1, e._2)).distinct, edges)
+    assert(got == want)
+  }
+
+  test("edge hygiene: self-loops, duplicates, reversed duplicates, nulls") {
+    val edges = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L), (2L, 3L), (null, 4L), (5L, null))
+      .toDF("a", "b")
+    val got = ConnectedComponents.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("dedupClusters: singleton closure, sizes, representatives") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq[(Long, Long)]((2, 4), (4, 5)).toDF("doc_a", "doc_b")
+    val out = ConnectedComponents.dedupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id", "cluster", "cluster_size", "is_representative")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 1L, true), (3L, 3L, 1L, true),
+      (2L, 2L, 3L, true), (4L, 2L, 3L, false), (5L, 2L, 3L, false)))
+  }
+
+  test("end-to-end: minhash pairs -> clusters over sf0.001 documents; edges stay intra-cluster") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pairs = Dedup.nearDupPairsMinhash(docs, "doc_id", "text", threshold = 0.8)
+    val clusters = ConnectedComponents.dedupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+    // every doc assigned exactly once
+    assert(clusters.count() == docs.count())
+    assert(clusters.select("doc_id").distinct().count() == docs.count())
+    // both endpoints of every pair share a cluster
+    val lab = clusters.select(col("doc_id"), col("cluster"))
+    val crossCluster = pairs
+      .join(lab.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster", "ca"), "doc_a")
+      .join(lab.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(crossCluster.isEmpty)
+    // representatives: exactly one per cluster, and it's the min doc_id
+    val reps = clusters.filter(col("is_representative"))
+    assert(reps.count() == clusters.select("cluster").distinct().count())
+    assert(reps.filter(col("doc_id") =!= col("cluster")).isEmpty)
+  }
+}
