@@ -96,14 +96,25 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // Two lines, detail FIRST: the driver keeps only a ~2000-char tail of
+    // stdout and parses the JSON it finds there — rounds 1-4 all came back
+    // "parsed": null because the single line carrying full-precision
+    // medians AND per-run arrays for 50+ queries ran ~4000 chars, so the
+    // tail window cut off the head of the object. The per-run detail line
+    // (full precision, for humans and BASELINE.md) now goes first, and the
+    // LAST stdout line is the driver contract alone: 3-decimal medians, no
+    // runs map — ~25 chars/query keeps even a 70-query suite inside the
+    // tail window alongside sbt's trailing "[success]" line.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val runs = results.map { case (k, _, ts) => jstr(k) + ":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"detail":"per-run seconds","runs":$runs$errJson}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
