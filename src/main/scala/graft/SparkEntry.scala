@@ -704,6 +704,23 @@ object SparkEntry {
           .as("roll_fp"))
     }),
 
+    // ── ext: dedup-cluster assignment — the near-dup PAIRS (q18's
+    // oracle-certified minhash-LSH) become CLUSTERS via alternating
+    // large-star/small-star connected components (O(log n) rounds, no
+    // min-label O(diameter) propagation), with a deterministic min-id
+    // representative and a left-join closure over the full corpus so
+    // singleton docs are their own cluster. "Keep one doc per duplicate
+    // cluster" = filter(is_representative). The oracle computes the
+    // same components independently via a recursive transitive-closure
+    // CTE — feasible there because sf0.01's near-dup graph is small;
+    // the Spark side is the form that scales. ──
+    "q55_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      graft.ext.ConnectedComponents.dedupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+    }),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1433,6 +1450,44 @@ object SparkEntry {
         |    SUM(brk) OVER (PARTITION BY userId ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM d)
         |SELECT userId, min(us) AS startUs, max(us) AS endUs, count(*) AS nEvents
-        |FROM s GROUP BY userId, sid""".stripMargin
+        |FROM s GROUP BY userId, sid""".stripMargin,
+
+    // Connected components as a recursive transitive-closure CTE over
+    // the q18 near-dup pairs (small graph at oracle scale), min node id
+    // per component, left-join closure over all docs for singletons —
+    // independently recomputing what the large-star/small-star
+    // contraction produces distributed-side.
+    "q55_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS a, db AS b
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |assigned AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT doc_id, cluster,
+        |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
+        |  doc_id = cluster AS is_representative
+        |FROM assigned""".stripMargin
   )
 }
