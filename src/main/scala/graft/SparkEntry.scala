@@ -721,6 +721,21 @@ object SparkEntry {
       graft.ext.ConnectedComponents.dedupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
     }),
 
+    // ── Bloom-filter join pruning (the explicit runtime-filter shape):
+    // a compact filter built over the small side's keys prunes the big
+    // side BEFORE the join shuffle; the exact semi join then removes
+    // Bloom false positives, so the result is IDENTICAL to the plain
+    // semi join and the oracle is the plain IN-subquery. At 100 TB this
+    // is the difference between shuffling every orders row and
+    // shuffling only plausible matches. ──
+    "q56_bloom_join" -> ((s, dir) =>
+      graft.operators.BloomJoin.bloomSemiJoin(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_custkey",
+          t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          "c_custkey",
+          expectedItems = 100000L, numBits = 1048576L)),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1488,6 +1503,14 @@ object SparkEntry {
         |SELECT doc_id, cluster,
         |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
         |  doc_id = cluster AS is_representative
-        |FROM assigned""".stripMargin
+        |FROM assigned""".stripMargin,
+
+    // The Bloom pre-filter is result-invisible (exact join removes
+    // false positives), so the oracle is the plain semi join.
+    "q56_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
   )
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BloomJoin
+
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomSemiJoin == plain left-semi join (false positives removed)") {
+    // tiny filter (64 bits for 50 items) forces a high false-positive
+    // rate, so the exact-join cleanup is actually exercised
+    val small = (0L until 50L).map(_ * 3).toDF("k")
+    val big = (0L until 1000L).toDF("j")
+    val got = BloomJoin.bloomSemiJoin(big, "j", small, "k",
+      expectedItems = 50L, numBits = 64L)
+      .as[Long].collect().sorted
+    val want = big.join(small, big("j") === small("k"), "left_semi")
+      .as[Long].collect().sorted
+    assert(got.sameElements(want))
+    assert(got.length == 50)
+  }
+
+  test("null and negative keys survive the hash path unharmed") {
+    val small = Seq(Some(-5L), Some(7L), None).toDF("k")
+    val big = Seq(Some(-5L), Some(7L), Some(8L), None).toDF("j")
+    val got = BloomJoin.bloomSemiJoin(big, "j", small, "k")
+      .as[Option[Long]].collect().flatten.sorted
+    // semi-join semantics: NULL never matches IN
+    assert(got.sameElements(Array(-5L, 7L)))
+  }
+
+  test("physical plan carries the bloom might_contain pre-filter") {
+    val small = (0L until 10L).toDF("k")
+    val big = (0L until 100L).toDF("j")
+    val plan = BloomJoin.bloomSemiJoin(big, "j", small, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom filter in plan:\n$plan")
+  }
+}
