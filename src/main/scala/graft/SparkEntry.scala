@@ -736,6 +736,27 @@ object SparkEntry {
           "c_custkey",
           expectedItems = 100000L, numBits = 1048576L)),
 
+    // ── bucketed range join (point-in-interval): which lineitems
+    // shipped inside each selected order's 4-day window. The naive
+    // theta-join is a BroadcastNestedLoopJoin; the operator's bucketed
+    // rewrite makes it a narrow equi-join on a day bucket (RangeJoinSpec
+    // asserts no nested loop survives in the plan). Day numbers are
+    // integers, the quantity sum goes through exact decimal. ──
+    "q57_range_join" -> ((s, dir) => {
+      val day = (c: Column) => datediff(to_date(c), lit("1970-01-01").cast("date"))
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), day(col("o_orderdate")).cast("long").as("lo"),
+          (day(col("o_orderdate")) + 4).cast("long").as("hi"))
+      val pt = t(s, dir, "lineitem")
+        .select(day(col("l_shipdate")).cast("long").as("ship_day"), col("l_quantity"))
+      graft.operators.RangeJoin.pointInInterval(pt, "ship_day", iv, "lo", "hi",
+          bucketWidth = 4)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"),
+          asDouble(sum(dec2(col("l_quantity")))).as("qty"))
+    }),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1511,6 +1532,22 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE o_custkey IN (
-        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    // The bucketed rewrite is result-invisible; the oracle is the plain
+    // range-predicate join.
+    "q57_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) AS lo,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) + 4 AS hi
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |pt AS (
+        |  SELECT datediff('day', DATE '1970-01-01', l_shipdate) AS d, l_quantity
+        |  FROM lineitem)
+        |SELECT o_orderkey, count(*) AS n_shipped,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM iv JOIN pt ON pt.d >= iv.lo AND pt.d < iv.hi
+        |GROUP BY o_orderkey""".stripMargin
   )
 }
