@@ -757,6 +757,19 @@ object SparkEntry {
           asDouble(sum(dec2(col("l_quantity")))).as("qty"))
     }),
 
+    // ── deterministic stratified sampling (training-data mixing):
+    // per-source keep rates via an md5-hash threshold on the doc id —
+    // a pure per-row predicate (no RNG state, no shuffle, identical
+    // output on any partitioning/retry/cluster), which is what makes
+    // a 100-TB data-mix reproducible AND lets an oracle certify the
+    // exact sampled row set. Rates are the mixing weights. ──
+    "q58_sample_mix" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+          t(s, dir, "documents"), "source", col("doc_id"),
+          rates = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.125),
+          defaultRate = 0.05, salt = "mix-v1")
+        .select("doc_id", "source", "lang")),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1548,6 +1561,19 @@ object SparkEntry {
         |SELECT o_orderkey, count(*) AS n_shipped,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
         |FROM iv JOIN pt ON pt.d >= iv.lo AND pt.d < iv.hi
-        |GROUP BY o_orderkey""".stripMargin
+        |GROUP BY o_orderkey""".stripMargin,
+
+    // Thresholds are floor(rate * 2^32) as 8 lowercase hex digits;
+    // lowercase hex compares order-isomorphically to the number, so the
+    // string compare reproduces the exact sampled set in any engine.
+    "q58_sample_mix" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE CASE
+        |  WHEN source = 'src0' THEN substr(md5(concat_ws(':', 'mix-v1', CAST(doc_id AS VARCHAR))), 1, 8) < 'cccccccc'
+        |  WHEN source = 'src1' THEN substr(md5(concat_ws(':', 'mix-v1', CAST(doc_id AS VARCHAR))), 1, 8) < '80000000'
+        |  WHEN source = 'src2' THEN substr(md5(concat_ws(':', 'mix-v1', CAST(doc_id AS VARCHAR))), 1, 8) < '40000000'
+        |  WHEN source = 'src3' THEN substr(md5(concat_ws(':', 'mix-v1', CAST(doc_id AS VARCHAR))), 1, 8) < '20000000'
+        |  ELSE substr(md5(concat_ws(':', 'mix-v1', CAST(doc_id AS VARCHAR))), 1, 8) < '0ccccccc'
+        |END""".stripMargin
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the training-data mixing
+  * primitive. `df.sample()` draws from a per-task RNG: results change
+  * with partitioning, retries, and scale factor, which makes pipeline
+  * runs unreproducible and oracle checks impossible. The deterministic
+  * form hashes a stable row key to a uniform value in [0, 2^32) — the
+  * first 8 hex chars of md5(salt:key) — and keeps the row iff that
+  * value falls under the rate threshold. Properties a 100-TB pipeline
+  * needs:
+  *
+  *  - Pure per-row predicate: no shuffle, no RNG state, pushes into the
+  *    scan, identical output on any cluster/partitioning/retry.
+  *  - CONSISTENT across runs and tables: the same key always draws the
+  *    same unit value, so rate=0.2 is a strict subset of rate=0.3, and
+  *    downsampling can be re-run incrementally.
+  *  - Salt decorrelates independent samples (different salt ⇒ fresh
+  *    uniform draw per key).
+  *
+  * The threshold compare happens on the hex STRING (lowercase hex is
+  * order-isomorphic to the number), so any engine with md5 reproduces
+  * the exact row set — which is how the oracle certifies it.
+  *
+  * Reference scope: the reference engine has no sampling surface; this
+  * is part of the 100-TB extension family (SURVEY.md north star).
+  */
+object Sampling {
+
+  /** Uniform draw in [0, 2^32) for a key, as an 8-hex-char string. */
+  def hashUnit(key: Column, salt: String): Column =
+    substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 8)
+
+  /** 8-hex-digit threshold: keep iff hashUnit < this. */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0 && rate < 1, s"rate must be in [0,1), got $rate")
+    f"${math.floor(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** Keep each row with probability `rate`, deterministically in the
+    * row's `key`.
+    */
+  def hashSample(df: DataFrame, key: Column, rate: Double, salt: String = ""): DataFrame =
+    if (rate >= 1.0) df
+    else df.filter(hashUnit(key, salt) < lit(thresholdHex(rate)))
+
+  /** Stratified deterministic sample: per-stratum rates (training-data
+    * mixing weights). Strata absent from `rates` fall back to
+    * `defaultRate`. The predicate is a single when-chain in stratum-name
+    * order — still a pure per-row filter.
+    */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val unit = hashUnit(key, salt)
+    def keepAt(rate: Double): Column =
+      if (rate >= 1.0) lit(true) else unit < lit(thresholdHex(rate))
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(true))) {
+      case (acc, (stratum, rate)) => acc.when(col(stratumCol) === stratum, keepAt(rate))
+    }.otherwise(keepAt(defaultRate))
+    df.filter(keep)
+  }
+}

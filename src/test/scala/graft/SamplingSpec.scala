@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 10000L).toDF("id")
+
+  test("rate is honored within binomial noise and is deterministic") {
+    val n1 = Sampling.hashSample(ids, col("id"), 0.2, "s1").count()
+    val n2 = Sampling.hashSample(ids.repartition(7), col("id"), 0.2, "s1").count()
+    assert(n1 == n2, "partitioning changed the sample")
+    // 3 sigma for Binomial(10000, 0.2) is ~120
+    assert(math.abs(n1 - 2000L) < 200, s"rate off: $n1/10000 at 0.2")
+  }
+
+  test("lower rate samples are strict subsets of higher rate samples") {
+    val s02 = Sampling.hashSample(ids, col("id"), 0.2, "s").as[Long].collect().toSet
+    val s05 = Sampling.hashSample(ids, col("id"), 0.5, "s").as[Long].collect().toSet
+    assert(s02.subsetOf(s05))
+  }
+
+  test("different salts decorrelate") {
+    val a = Sampling.hashSample(ids, col("id"), 0.5, "saltA").as[Long].collect().toSet
+    val b = Sampling.hashSample(ids, col("id"), 0.5, "saltB").as[Long].collect().toSet
+    val inter = (a & b).size.toDouble
+    // independent 0.5 samples overlap on ~25% of the universe
+    assert(math.abs(inter / 10000.0 - 0.25) < 0.05, s"overlap ${inter / 10000.0}")
+  }
+
+  test("stratified rates and default rate apply per stratum") {
+    val df = ids.withColumn("stratum",
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+    val out = Sampling.stratifiedSample(df, "stratum", col("id"),
+      Map("a" -> 0.9, "b" -> 0.1), defaultRate = 0.0)
+    val counts = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("a") - 3000L) < 200, s"a: ${counts.get("a")}")
+    assert(math.abs(counts("b") - 333L) < 120, s"b: ${counts.get("b")}")
+    assert(!counts.contains("c"), s"default 0.0 leaked rows: ${counts.get("c")}")
+  }
+
+  test("rate >= 1.0 keeps everything; rate 0.0 keeps nothing") {
+    assert(Sampling.hashSample(ids, col("id"), 1.0).count() == 10000)
+    assert(Sampling.hashSample(ids, col("id"), 0.0).count() == 0)
+  }
+
+  test("sampling filter pushes down to the scan (no shuffle)") {
+    val plan = Sampling.hashSample(ids, col("id"), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling introduced a shuffle:\n$plan")
+  }
+}
