@@ -156,4 +156,74 @@ object TextAnalysis {
         conv(substring(md5(t), 1, 12), 16, 10).cast("long")),
       lit(0L),
       (acc, h) => (acc * RollBase + h) % RollMod)
+
+  /** Top-N TF-IDF terms per document. idf is the DIVISION form
+    * n_docs/df (not log): one double division and one multiply, both
+    * exactly-rounded IEEE ops on the same operands in any engine —
+    * log's last-ulp varies by libm, which would break bit-level
+    * cross-engine parity; the ranking it induces is identical (x ↦
+    * ln x is monotone). Shuffle shape: one (doc, token) aggregate for
+    * tf, a token-keyed aggregate for df, a join back on token (AQE
+    * picks broadcast when the vocabulary is small), and the per-doc
+    * top-N window — all keyed, no driver materialization; the 1-row
+    * n_docs aggregate is the only broadcast.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(count_distinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  /** PII scrubbing: emails, international-format phone numbers, and
+    * 13-16-digit card-like runs replaced by typed placeholder tags.
+    * Patterns avoid every Java-vs-RE2 divergence (no lookaround, no
+    * backreferences, no \d classes) so the oracle reproduces the
+    * rewrite; replacement is global in both engines. A pure per-row
+    * projection — scan-parallel, no shuffle.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val CardRe = "[0-9]{13,16}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      CardRe, "[NUM]")
+
+  def piiCounts(text: Column): (Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
+
+  /** Sequence packing: assign documents to fixed token-budget training
+    * chunks by cumulative token offset — chunk = floor(offset/budget)
+    * where offset is the running token total of all PRECEDING docs in
+    * (partitionCol, order by idCol). Deterministic and one window pass;
+    * the partition column bounds each window (pack per source/shard —
+    * a GLOBAL ordering would funnel 100 TB through one task, which is
+    * why the operator requires a partition key). Docs longer than the
+    * budget simply span chunks (the offset math stays exact).
+    */
+  def packSequences(
+      df: DataFrame, partitionCol: String, idCol: String,
+      nTokens: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(partitionCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tok", nTokens)
+      .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk", floor(col("tok_offset") / lit(budget)))
+  }
 }
