@@ -806,6 +806,58 @@ object SparkEntry {
         .groupBy("source", "chunk")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("chunk_tokens"))),
 
+    // ── approximate-aggregate contracts (q46 pattern): the sketch
+    // values are engine-specific, so the oracle pins the EXACT numbers
+    // (computed independently in SQL) plus the bound checks, and Spark
+    // computes the bound checks from the real sketches in-plan — HLL
+    // (datasketches hll_sketch_agg), sketch-union mergeability (the
+    // property that makes HLL partial-aggregable at 100 TB), and
+    // approx_percentile rank-error bracketing, no driver-side
+    // materialization anywhere. ──
+    "q62_sketch_contract" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val exactUsers = ev.agg(count_distinct(col("user_id")).cast("double").as("exact"))
+      val hllAll = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).cast("double").as("est"))
+      val hllUnion = ev
+        .groupBy(dayKey(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("double").as("est"))
+      def hllRow(method: String, est: DataFrame): DataFrame =
+        exactUsers.crossJoin(est).select(lit(method).as("method"), col("exact"),
+          (abs(col("est") - col("exact")) / col("exact") <= 0.05).as("ok"))
+      val pctile = ev.agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("exact"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap"),
+          expr("percentile_disc(0.47) WITHIN GROUP (ORDER BY value)").as("lo"),
+          expr("percentile_disc(0.53) WITHIN GROUP (ORDER BY value)").as("hi"))
+        .select(lit("approx_p50_value").as("method"), col("exact"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi")).as("ok"))
+      hllRow("hll_users", hllAll)
+        .unionByName(hllRow("hll_union_daily_users", hllUnion))
+        .unionByName(pctile)
+    }),
+
+    // ── int8 scalar quantization of embeddings (the storage/bandwidth
+    // lever for 100-TB ANN): symmetric per-vector scale 127/max|x|,
+    // q = round(x·scale). The certified output is the quantized
+    // integer summary per vector — integers survive any engine's FP
+    // printing, and a single mis-rounded element would shift q_sum —
+    // with the multiply/divide operand order mirrored exactly in the
+    // oracle. Zero vectors keep scale=0 ⇒ all-zero codes. ──
+    "q63_quantize_int8" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .withColumn("__mx", array_max(transform(col("embedding"), x => abs(x))).cast("double"))
+        .withColumn("__scale", when(col("__mx") > 0, lit(127.0) / col("__mx")).otherwise(lit(0.0)))
+        .select(col("vec_id"),
+          aggregate(col("embedding"), lit(0L),
+            (acc, x) => acc + round(x.cast("double") * col("__scale")).cast("long"))
+            .as("q_sum"),
+          array_min(transform(col("embedding"),
+            x => round(x.cast("double") * col("__scale")).cast("long"))).as("q_min"),
+          array_max(transform(col("embedding"),
+            x => round(x.cast("double") * col("__scale")).cast("long"))).as("q_max"))),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1663,6 +1715,41 @@ object SparkEntry {
         |  FROM d)
         |SELECT source, CAST(floor(tok_offset / 256) AS BIGINT) AS chunk,
         |  count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens
-        |FROM o GROUP BY 1, 2""".stripMargin
+        |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // Sketch estimates are engine-specific; the oracle computes the
+    // exact values independently and pins the bound checks (q46
+    // pattern — the booleans are live Spark-side assertions).
+    "q62_sketch_contract" ->
+      """WITH ex AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS exact FROM events),
+        |p AS (SELECT CAST(quantile_disc(value, 0.5) AS DOUBLE) AS exact FROM events)
+        |SELECT 'hll_users' AS method, exact, true AS ok FROM ex
+        |UNION ALL
+        |SELECT 'hll_union_daily_users' AS method, exact, true AS ok FROM ex
+        |UNION ALL
+        |SELECT 'approx_p50_value' AS method, exact, true AS ok FROM p""".stripMargin,
+
+    // Identical multiply/divide operand order; round is
+    // half-away-from-zero on doubles in both engines; integer outputs
+    // make any rounding divergence visible as a whole-unit shift.
+    "q63_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+        |  FROM s),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qs
+        |  FROM sc)
+        |SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), qs), (a, b) -> a + b) AS q_sum,
+        |  list_min(qs) AS q_min,
+        |  list_max(qs) AS q_max
+        |FROM q""".stripMargin
   )
 }
