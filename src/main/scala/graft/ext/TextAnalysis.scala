@@ -206,6 +206,46 @@ object TextAnalysis {
     (size(regexp_extract_all(text, lit(EmailRe), lit(0))),
       size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
 
+  /** Sliding-window token chunking with overlap — context-window prep:
+    * each document becomes ceil(n/stride) chunks of up to `chunkSize`
+    * tokens starting every `stride` tokens (stride < chunkSize ⇒
+    * overlapping context). One explode over per-row start offsets; no
+    * shuffle, ~n/stride output rows per doc. Tokens are materialized
+    * once per row before the explode (the shingleSet CSE lesson).
+    */
+  def chunkTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__start",
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        col("__start").cast("long").as("chunk_start"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkSize))).as("chunk_len"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
+  /** Repetition ratio (boilerplate/spam signal, the Gopher-style
+    * repeated-n-gram quality filter): share of k-gram occurrences that
+    * are duplicates of an earlier k-gram in the same document. Pure
+    * per-row projection; the ratio divides two exact integers, so
+    * cross-engine parity is structural.
+    */
+  def repetitionRatio(df: DataFrame, textCol: String, k: Int, outCol: String): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__grams", shingles(col("__toks"), k))
+      .withColumn(outCol,
+        when(size(col("__grams")) > 0,
+          (size(col("__grams")) - size(array_distinct(col("__grams")))).cast("double")
+            / size(col("__grams")).cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__toks", "__grams")
+
   /** Sequence packing: assign documents to fixed token-budget training
     * chunks by cumulative token offset — chunk = floor(offset/budget)
     * where offset is the running token total of all PRECEDING docs in

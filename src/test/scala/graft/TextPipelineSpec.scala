@@ -46,6 +46,41 @@ class TextPipelineSpec extends SparkSpec {
     assert(counts.map(_._2).toSeq == Seq(0, 2, 0, 0))
   }
 
+  test("chunkTokens: 50% overlap, tail truncation, full coverage") {
+    val docs = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" ")), (2L, "only three words"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 16, stride = 8)
+      .select("doc_id", "chunk_id", "chunk_start", "chunk_len", "chunk_text")
+      .as[(Long, Long, Long, Int, String)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 40 tokens, stride 8 → starts 0,8,16,24,32
+    assert(d1.map(_._3).toSeq == Seq(0L, 8L, 16L, 24L, 32L))
+    assert(d1.map(_._4).toSeq == Seq(16, 16, 16, 16, 8)) // tail truncates
+    assert(d1(1)._5.startsWith("w9 w10")) // chunk at start 8 begins at token 9
+    // consecutive chunks share the stride-sized overlap
+    assert(d1(0)._5.split(" ").drop(8).toSeq == d1(1)._5.split(" ").take(8).toSeq)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 3)
+  }
+
+  test("chunkTokens drops empty docs, keeps single-token docs") {
+    val docs = Seq((1L, ""), (2L, "  ,,  "), (3L, "word")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 4, stride = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(3L))
+  }
+
+  test("repetitionRatio flags repeated bigrams, zero for clean text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // bigrams: 3x "spam spam" → 2/3 repeated
+      (2L, "all fresh words here"), // 3 distinct bigrams
+      (3L, "one"), (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRatio(docs, "text", 2, "r")
+      .select("doc_id", "r").as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 2.0 / 3.0) < 1e-15)
+    assert(got(2L) == 0.0 && got(3L) == 0.0 && got(4L) == 0.0)
+  }
+
   test("packSequences: offsets are exclusive running sums, chunks honor budget") {
     val docs = Seq(
       ("s1", 1L, 100L), ("s1", 2L, 100L), ("s1", 3L, 100L), ("s1", 4L, 50L),
