@@ -879,6 +879,15 @@ object SparkEntry {
       TextAnalysis.repetitionRatio(t(s, dir, "documents"), "text", k = 2, "rep_ratio")
         .select("doc_id", "lang", "rep_ratio")),
 
+    // ── fuzzy string join (edit distance ≤ 1) via symmetric deletion:
+    // candidates from a narrow variant-key equi-join (O(n·L) rows, no
+    // cartesian), exact levenshtein verify — typo-level record linkage
+    // over customer names; the oracle is the all-pairs form, feasible
+    // at its scale ──
+    "q66_fuzzy_pairs" -> ((s, dir) =>
+      graft.ext.FuzzyJoin.editDistance1Pairs(
+        t(s, dir, "customer").filter(col("c_custkey") < 300), "c_name")),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1788,6 +1797,16 @@ object SparkEntry {
         |  len(list_slice(toks, start + 1, start + 32)) AS chunk_len,
         |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
         |FROM s""".stripMargin,
+
+    // All-pairs levenshtein is the independent truth at oracle scale;
+    // the Spark side must produce the identical pair set from deletion
+    // keys + verify.
+    "q66_fuzzy_pairs" ->
+      """WITH v AS (
+        |  SELECT DISTINCT c_name AS s FROM customer WHERE c_custkey < 300)
+        |SELECT a.s AS s_a, b.s AS s_b, levenshtein(a.s, b.s) AS dist
+        |FROM v a JOIN v b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
 
     "q65_repetition" ->
       """WITH t AS (
