@@ -888,6 +888,21 @@ object SparkEntry {
       graft.ext.FuzzyJoin.editDistance1Pairs(
         t(s, dir, "customer").filter(col("c_custkey") < 300), "c_name")),
 
+    // ── data profiling (the ANALYZE pass): per-column row/null/
+    // distinct counts and min/max in ONE aggregate over one scan,
+    // unpivoted to a row per column — never a job per column ──
+    "q67_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
+
+    // ── equi-width histogram (distribution pass for range partitioning
+    // and skew detection): 1-row min/max broadcast back, bucket index,
+    // one groupBy — identical FP operand order on both sides ──
+    "q68_histogram" -> ((s, dir) =>
+      graft.operators.Histogram.equiWidth(t(s, dir, "orders"),
+        col("o_totalprice"), buckets = 20)),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1807,6 +1822,34 @@ object SparkEntry {
         |SELECT a.s AS s_a, b.s AS s_b, levenshtein(a.s, b.s) AS dist
         |FROM v a JOIN v b ON a.s < b.s
         |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
+
+    // Same five metrics per column; min/max rendered as strings on both
+    // sides (Spark cast(string) and DuckDB CAST AS VARCHAR agree for
+    // bigint/double/timestamp/varchar at these magnitudes).
+    "q67_profile" -> Seq(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
+    "q68_histogram" ->
+      """WITH m AS (
+        |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+        |         CAST(max(o_totalprice) AS DOUBLE) AS mx
+        |  FROM orders),
+        |b AS (
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE CAST(least(floor((CAST(o_totalprice AS DOUBLE) - mn) / ((mx - mn) / 20)), 19) AS BIGINT)
+        |    END AS bucket, mn, mx
+        |  FROM orders CROSS JOIN m)
+        |SELECT bucket, mn + bucket * ((mx - mn) / 20) AS bucket_lo, count(*) AS n
+        |FROM b GROUP BY bucket, mn, mx""".stripMargin,
 
     "q65_repetition" ->
       """WITH t AS (

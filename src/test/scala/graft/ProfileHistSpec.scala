@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Histogram, Profile}
+
+class ProfileHistSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile counts rows, nulls, distincts, min/max per column") {
+    val df = Seq(
+      (Some(1), Some("x")), (Some(2), None), (Some(2), Some("a")), (None, Some("a")))
+      .toDF("num", "str")
+    val rows = Profile.profile(df, Seq("num", "str"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("num") == (("num", 4L, 1L, 2L, "1", "2")))
+    assert(rows("str") == (("str", 4L, 1L, 2L, "a", "x")))
+  }
+
+  test("profile is one job: single aggregate, one row per column") {
+    val out = Profile.profile(Seq((1, 2, 3)).toDF("a", "b", "c"), Seq("a", "b", "c"))
+    assert(out.count() == 3)
+  }
+
+  test("histogram: buckets partition the range, max lands in the last bucket") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val h = Histogram.equiWidth(df, col("v"), buckets = 10)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(h.keySet == (0L until 10L).toSet)
+    assert(h.values.sum == 101)
+    assert(h(9L) == 11) // 90..100 inclusive: max closes the last bucket
+    assert((0L until 9L).forall(h(_) == 10))
+  }
+
+  test("histogram degenerate range: everything in bucket 0") {
+    val h = Histogram.equiWidth(Seq(5.0, 5.0, 5.0).toDF("v"), col("v"), 8)
+      .select("bucket", "n").as[(Long, Long)].collect()
+    assert(h.toSeq == Seq((0L, 3L)))
+  }
+}
