@@ -903,6 +903,34 @@ object SparkEntry {
       graft.operators.Histogram.equiWidth(t(s, dir, "orders"),
         col("o_totalprice"), buckets = 20)),
 
+    // ── the CAPSTONE: a full training-data pipeline in one declared
+    // query — quality gate (token floor + repetition ratio) → exact
+    // dedup (min-id keep) → near-dup clustering (minhash-LSH pairs →
+    // connected components, representative keep) → deterministic 50%
+    // sample → 256-token sequence packing per source. Certifies that
+    // the extension operators COMPOSE: every stage's semantics are
+    // reproduced end-to-end by one oracle SQL over the same files. ──
+    "q69_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toked = docs.withColumn("__nt",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      val quality = TextAnalysis.repetitionRatio(toked, "text", 2, "__rep")
+        .filter(col("__nt") >= 30 && col("__rep") < 0.5)
+      val keepIds = Dedup.exactDedup(quality, "doc_id", md5(col("text")))
+        .select(col("keep_id").as("doc_id"))
+      val unique = quality.join(keepIds, "doc_id")
+      val pairs = Dedup.nearDupPairsMinhash(unique, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val reps = graft.ext.ConnectedComponents
+        .dedupClusters(unique, "doc_id", pairs, "doc_a", "doc_b")
+        .filter(col("is_representative")).select("doc_id")
+      val sampled = graft.operators.Sampling.hashSample(
+        unique.join(reps, "doc_id"), col("doc_id"), 0.5, "pipe-v1")
+      TextAnalysis.packSequences(sampled, "source", "doc_id", col("__nt"), budget = 256L)
+        .groupBy("source", "chunk")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("chunk_tokens"))
+    }),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1850,6 +1878,68 @@ object SparkEntry {
         |  FROM orders CROSS JOIN m)
         |SELECT bucket, mn + bucket * ((mx - mn) / 20) AS bucket_lo, count(*) AS n
         |FROM b GROUP BY bucket, mn, mx""".stripMargin,
+
+    // Every pipeline stage recomputed independently: quality gate,
+    // min-id exact dedup, exact-Jaccard pairs (== the minhash-LSH set
+    // at these parameters, same argument as q18), recursive-CTE
+    // connected components, md5-threshold sample, window packing.
+    "q69_pipeline_e2e" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id, source, text, toks, len(toks) AS ntok
+        |  FROM base
+        |  WHERE len(toks) >= 30 AND
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      CAST(len(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+        |        - len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+        |      / CAST(len(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS DOUBLE)
+        |    ELSE 0.0 END < 0.5),
+        |uniq AS (
+        |  SELECT q.* FROM quality q
+        |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |        FROM quality GROUP BY 1) k
+        |    ON q.doc_id = k.keep_id),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        |  FROM uniq),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT da AS a, db AS b
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |reps AS (
+        |  SELECT u.doc_id, u.source, u.ntok
+        |  FROM uniq u LEFT JOIN comp c ON c.node = u.doc_id
+        |  WHERE coalesce(c.component, u.doc_id) = u.doc_id),
+        |samp AS (
+        |  SELECT * FROM reps
+        |  WHERE substr(md5(concat_ws(':', 'pipe-v1', CAST(doc_id AS VARCHAR))), 1, 8) < '80000000'),
+        |off AS (
+        |  SELECT source, doc_id, ntok,
+        |    coalesce(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM samp)
+        |SELECT source, CAST(floor(tok_offset / 256) AS BIGINT) AS chunk,
+        |  count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS chunk_tokens
+        |FROM off GROUP BY 1, 2""".stripMargin,
 
     "q65_repetition" ->
       """WITH t AS (
