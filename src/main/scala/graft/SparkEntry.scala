@@ -918,7 +918,13 @@ object SparkEntry {
         .filter(col("__nt") >= 30 && col("__rep") < 0.5)
       val keepIds = Dedup.exactDedup(quality, "doc_id", md5(col("text")))
         .select(col("keep_id").as("doc_id"))
-      val unique = quality.join(keepIds, "doc_id")
+      // the deduped corpus feeds FOUR consumers (minhash signatures ×2
+      // via base reuse, the cluster join-back, and the final pack), so
+      // persist it once instead of re-running the quality+dedup subtree
+      // per consumer — localCheckpoint here, a reliable checkpoint on a
+      // real cluster (the ConnectedComponents truncate() convention);
+      // measured 13 s → 8 s at sf0.1
+      val unique = quality.join(keepIds, "doc_id").localCheckpoint()
       val pairs = Dedup.nearDupPairsMinhash(unique, "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
       val reps = graft.ext.ConnectedComponents

@@ -235,15 +235,28 @@ object TextAnalysis {
     * are duplicates of an earlier k-gram in the same document. Pure
     * per-row projection; the ratio divides two exact integers, so
     * cross-engine parity is structural.
+    *
+    * The ratio is emitted through explode_outer(array(…)), not a plain
+    * alias — this is load-bearing, a THIRD form of the no-CSE hazard:
+    * a downstream `filter(ratio < x)` on a plain alias is rewritten by
+    * predicate pushdown, which substitutes the alias chain into the
+    * scan predicate (__grams 3×, each re-tokenizing per element —
+    * measured 0.8 s → 27 s at sf0.1). A predicate on a GENERATE output
+    * cannot be pushed below the Generate, and the outer variant keeps
+    * InferFiltersFromGenerate from synthesizing the same hazard back
+    * (the Dedup explode_outer lesson). A nondeterministic barrier
+    * column does NOT work: ColumnPruning deletes it before pushdown
+    * runs.
     */
   def repetitionRatio(df: DataFrame, textCol: String, k: Int, outCol: String): DataFrame =
     df.withColumn("__toks", tokens(col(textCol)))
       .withColumn("__grams", shingles(col("__toks"), k))
       .withColumn(outCol,
-        when(size(col("__grams")) > 0,
-          (size(col("__grams")) - size(array_distinct(col("__grams")))).cast("double")
-            / size(col("__grams")).cast("double"))
-          .otherwise(lit(0.0)))
+        explode_outer(array(
+          when(size(col("__grams")) > 0,
+            (size(col("__grams")) - size(array_distinct(col("__grams")))).cast("double")
+              / size(col("__grams")).cast("double"))
+            .otherwise(lit(0.0)))))
       .drop("__toks", "__grams")
 
   /** Sequence packing: assign documents to fixed token-budget training
