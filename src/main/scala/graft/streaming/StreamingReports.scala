@@ -32,6 +32,22 @@ object StreamingReports {
   def eventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Schemas.event).json(dir)
 
+  /** Streaming exact dedup — the streaming member of the dedup family:
+    * at-least-once sources (file redelivery, kafka replays) re-deliver
+    * events; `dropDuplicatesWithinWatermark` keeps the FIRST arrival
+    * per eventId and drops re-deliveries that arrive within the
+    * watermark delay, with per-key state EXPIRED once the watermark
+    * passes — bounded state on an unbounded stream, unlike plain
+    * `dropDuplicates` whose key set grows forever. Rows flow through
+    * immediately (dedup is not an aggregation), so append mode emits
+    * with no watermark latency.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("pts", to_timestamp(col("processTime"), "yyyy-MM-dd'T'HH:mm:ssXXX"))
+      .withWatermark("pts", "1 day")
+      .dropDuplicatesWithinWatermark("eventId")
+
   /** Daily purchase counts per resource over event arrival day
     * (processTime, as the batch top10 keys on), tumbling 1-day windows
     * with a 1-day watermark for late files.

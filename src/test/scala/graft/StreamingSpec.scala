@@ -198,4 +198,31 @@ class StreamingSpec extends SparkSpec {
       .groupBy("resourceId").count().as[(String, Long)].collect().toMap
     assert(finals == batch)
   }
+
+  test("streaming dedup: redelivered events emit exactly once, state is watermark-bounded") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val landing = Files.createTempDirectory("graft-dedup-stream")
+    def deliver(wave: Int): Unit =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .foreach(p => Files.copy(p,
+          landing.resolve(s"wave$wave-${p.getFileName}"),
+          StandardCopyOption.REPLACE_EXISTING))
+    val q = StreamingReports.dedupStream(
+        StreamingReports.eventStream(spark, landing.toString))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      deliver(1)
+      q.processAllAvailable()
+      deliver(2) // full redelivery of every file (at-least-once source)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_stream").select("eventId")
+      .as[String].collect().sorted
+    val want = Sources.events(spark, dir).select("eventId")
+      .distinct().as[String].collect().sorted
+    // every event exactly once despite the second delivery of all files
+    assert(got.sameElements(want))
+  }
 }
