@@ -937,6 +937,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("chunk_tokens"))
     }),
 
+    // ── epoch-weighted OVERsampling (q58's complement): stratum
+    // weight 2.5 ⇒ two full copies plus a deterministic md5-chosen
+    // half gets a third; emits the epoch index. The exact repeated
+    // row set is engine-reproducible, so the oracle certifies the
+    // mix, not just its size. ──
+    "q70_epoch_mix" -> ((s, dir) =>
+      graft.operators.Sampling.epochMix(
+          t(s, dir, "documents"), "source", col("doc_id"),
+          weights = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.3),
+          defaultWeight = 0.0, salt = "epoch-v1")
+        .select("doc_id", "source", "epoch")),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1946,6 +1958,20 @@ object SparkEntry {
         |SELECT source, CAST(floor(tok_offset / 256) AS BIGINT) AS chunk,
         |  count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS chunk_tokens
         |FROM off GROUP BY 1, 2""".stripMargin,
+
+    // floor(weight) fixed copies + one more when the md5 draw falls
+    // under frac(weight); thresholds are the q58 hex convention.
+    "q70_epoch_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CASE
+        |      WHEN source = 'src0' THEN 2 + CASE WHEN substr(md5(concat_ws(':', 'epoch-v1', CAST(doc_id AS VARCHAR))), 1, 8) < '80000000' THEN 1 ELSE 0 END
+        |      WHEN source = 'src1' THEN 1
+        |      WHEN source = 'src2' THEN CASE WHEN substr(md5(concat_ws(':', 'epoch-v1', CAST(doc_id AS VARCHAR))), 1, 8) < '4ccccccc' THEN 1 ELSE 0 END
+        |      ELSE 0 END AS copies
+        |  FROM documents)
+        |SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch
+        |FROM c WHERE copies >= 1""".stripMargin,
 
     "q65_repetition" ->
       """WITH t AS (

@@ -46,6 +46,37 @@ object Sampling {
     if (rate >= 1.0) df
     else df.filter(hashUnit(key, salt) < lit(thresholdHex(rate)))
 
+  /** Epoch-weighted OVERsampling — the other half of data mixing: a
+    * stratum weight w means each row appears floor(w) times plus one
+    * more with probability frac(w), decided by the same deterministic
+    * md5 draw as `hashSample` (so w = 2.5 ⇒ every row twice, half the
+    * rows — a fixed, reproducible half — a third time). Emits an
+    * `epoch` column (1..copies) so downstream shuffles can
+    * decorrelate repeats. Pure per-row explode, no shuffle; rows with
+    * zero copies are filtered before the explode (Spark's sequence()
+    * would generate a DESCENDING range for copies = 0).
+    */
+  def epochMix(
+      df: DataFrame, stratumCol: String, key: Column,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    val unit = hashUnit(key, salt)
+    def copiesFor(w: Double): Column = {
+      require(w >= 0, s"weight must be >= 0, got $w")
+      val whole = math.floor(w).toLong
+      val frac = w - whole
+      if (frac <= 0) lit(whole)
+      else lit(whole) + when(unit < lit(thresholdHex(frac)), 1L).otherwise(0L)
+    }
+    val copies = weights.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, w)) => acc.when(col(stratumCol) === stratum, copiesFor(w))
+    }.otherwise(copiesFor(defaultWeight))
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Stratified deterministic sample: per-stratum rates (training-data
     * mixing weights). Strata absent from `rates` fall back to
     * `defaultRate`. The predicate is a single when-chain in stratum-name

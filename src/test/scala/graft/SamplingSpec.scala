@@ -46,6 +46,32 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, col("id"), 0.0).count() == 0)
   }
 
+  test("epochMix: whole copies exact, fractional copies at the expected rate, consistent with hashSample") {
+    val df = ids.withColumn("src", lit("a"))
+    val out = Sampling.epochMix(df, "src", col("id"), Map("a" -> 2.5), salt = "em")
+    val perId = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(perId.values.forall(c => c == 2 || c == 3))
+    val n3 = perId.values.count(_ == 3)
+    assert(math.abs(n3 - 5000) < 250, s"frac rate off: $n3/10000")
+    // the extra-copy set IS the hashSample(0.5) set (same draw)
+    val extra = perId.filter(_._2 == 3).keySet
+    val half = Sampling.hashSample(ids, col("id"), 0.5, "em").as[Long].collect().toSet
+    assert(extra == half)
+    // epoch indices are 1..copies
+    val epochs = out.filter(col("id") === extra.head).select("epoch")
+      .as[Long].collect().sorted
+    assert(epochs.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("epochMix: zero-weight strata vanish, integral weights replicate exactly") {
+    val df = ids.withColumn("src",
+      when(col("id") % 2 === 0, "keep").otherwise("drop"))
+    val out = Sampling.epochMix(df, "src", col("id"),
+      Map("keep" -> 3.0), defaultWeight = 0.0)
+    assert(out.filter(col("src") === "drop").count() == 0)
+    assert(out.filter(col("src") === "keep").count() == 5000 * 3)
+  }
+
   test("sampling filter pushes down to the scan (no shuffle)") {
     val plan = Sampling.hashSample(ids, col("id"), 0.3)
       .queryExecution.executedPlan.toString
