@@ -949,6 +949,51 @@ object SparkEntry {
           defaultWeight = 0.0, salt = "epoch-v1")
         .select("doc_id", "source", "epoch")),
 
+    // ── the remaining rank-family windows: ntile / percent_rank /
+    // cume_dist. The order-by includes event_id so NTILE's row
+    // assignment is deterministic under value ties; percent_rank and
+    // cume_dist are rank-based (tie-insensitive) and divide exact
+    // integers, so double parity is structural. ──
+    "q71_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_id") % 7 === 0)
+        .select(col("event_type"), col("event_id"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+    }),
+
+    // ── correlated scalar subquery (decorrelated by Catalyst into an
+    // aggregate + join — .explain shows no per-row subquery): each
+    // customer's max-price orders. max() is order-insensitive, so the
+    // correlated aggregate is hash-parity-safe where avg would not be. ──
+    "q72_correlated" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_q72_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM graft_q72_orders o
+          |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+          |                      FROM graft_q72_orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
+    // ── explicit GROUPING SETS with grouping() disambiguation (beyond
+    // q15 rollup / q39 cube): two one-dimension marginals plus the
+    // grand total in one Expand pass ──
+    "q73_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_q73_lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+          |  count(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+          |FROM graft_q73_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -1972,6 +2017,30 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch
         |FROM c WHERE copies >= 1""".stripMargin,
+
+    "q71_window_ranks" ->
+      """SELECT event_type, event_id, value,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist
+        |FROM events WHERE event_id % 7 = 0
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
+
+    "q72_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q73_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
     "q65_repetition" ->
       """WITH t AS (
