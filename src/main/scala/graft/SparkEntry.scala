@@ -994,6 +994,23 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     }),
 
+    // ── native session_window (the declarative spelling of q43's
+    // manual gap sessionization; also the streaming-aggregation form).
+    // Boundary semantics differ at EXACTLY the gap: session_window
+    // merges while next < last + gap (break at delta >= gap), the
+    // manual form breaks at delta > gap — the oracle mirrors >=.
+    // window.end is last-event + gap, so last_us subtracts the gap
+    // back out to the actual last event. ──
+    "q74_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          asDouble(sum(dec2(col("value")))).as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          (unix_micros(col("sw.end")) - lit(1800L * 1000000L)).as("last_us"),
+          col("n_events"), col("total_value"))),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -2017,6 +2034,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch
         |FROM c WHERE copies >= 1""".stripMargin,
+
+    // break at delta >= gap (session_window semantics; see the query
+    // comment), session bounds as epoch microseconds of actual events.
+    "q74_session_window" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id,
+        |  min(epoch_us(ts)) AS start_us,
+        |  max(epoch_us(ts)) AS last_us,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q71_window_ranks" ->
       """SELECT event_type, event_id, value,

@@ -48,6 +48,29 @@ object StreamingReports {
       .withWatermark("pts", "1 day")
       .dropDuplicatesWithinWatermark("eventId")
 
+  /** Stream-stream interval join: each event matched to the same
+    * user's FOLLOW-UP events arriving within `windowMinutes` — the
+    * attribution/correlation shape (view→purchase, impression→click).
+    * Both sides carry a watermark and the join condition bounds b's
+    * time from both directions relative to a's, which is what lets
+    * Spark expire buffered rows: state per side is bounded by
+    * watermark + window, not the stream's lifetime. Inner join, so
+    * append mode emits matches as soon as both sides arrive.
+    */
+  def followupJoin(spark: SparkSession, dir: String, windowMinutes: Int): DataFrame = {
+    def side(tag: String): DataFrame =
+      eventStream(spark, dir)
+        .withColumn("pts", to_timestamp(col("processTime"), "yyyy-MM-dd'T'HH:mm:ssXXX"))
+        .select(col("eventId").as(s"${tag}_id"), col("userId").as(s"${tag}_user"),
+          col("pts").as(s"${tag}_pts"))
+        .withWatermark(s"${tag}_pts", "1 day")
+    side("a").join(side("b"),
+      col("a_user") === col("b_user") &&
+        col("b_pts") > col("a_pts") &&
+        col("b_pts") <= col("a_pts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "inner")
+  }
+
   /** Daily purchase counts per resource over event arrival day
     * (processTime, as the batch top10 keys on), tumbling 1-day windows
     * with a 1-day watermark for late files.

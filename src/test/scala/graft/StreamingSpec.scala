@@ -225,4 +225,27 @@ class StreamingSpec extends SparkSpec {
     // every event exactly once despite the second delivery of all files
     assert(got.sameElements(want))
   }
+
+  test("stream-stream interval join == the batch interval join on the same files") {
+    val q = StreamingReports.followupJoin(spark, dir, windowMinutes = 120)
+      .writeStream.format("memory").queryName("followup_join")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("followup_join")
+      .select("a_id", "b_id").as[(String, String)].collect().toSet
+
+    val ev = Sources.events(spark, dir)
+      .withColumn("pts", to_timestamp($"processTime", "yyyy-MM-dd'T'HH:mm:ssXXX"))
+    val a = ev.select($"eventId".as("a_id"), $"userId".as("a_user"), $"pts".as("a_pts"))
+    val b = ev.select($"eventId".as("b_id"), $"userId".as("b_user"), $"pts".as("b_pts"))
+    val want = a.join(b,
+        $"a_user" === $"b_user" && $"b_pts" > $"a_pts" &&
+          $"b_pts" <= $"a_pts" + expr("INTERVAL 120 MINUTES"))
+      .select("a_id", "b_id").as[(String, String)].collect().toSet
+
+    assert(got == want)
+    assert(want.nonEmpty, "fixture has no follow-up pairs — test is vacuous")
+    // null-user events never join (SQL null semantics on both paths)
+    assert(!got.exists { case (x, y) => x == null || y == null })
+  }
 }
