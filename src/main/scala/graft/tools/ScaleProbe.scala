@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, SimHash, SimSearch}
+import graft.tables.Corpus
+
+/** Pseudo-scale probe (dev tool, like ProfileLsh): measures how the
+  * dedup/ANN family scales when the corpus grows 10×, using N remapped
+  * AND decorrelated copies of the sf0.1 tables — the only way to probe
+  * super-linear blowups locally, since the driver ships no sf1 data.
+  *
+  * Decorrelation is load-bearing: plain copies would make every doc a
+  * near-dup of its 9 clones, turning the measurement into a C(N,2)
+  * clone-pair explosion instead of a throughput curve. Texts get a
+  * per-copy consonant rotation (translate), which rewrites every
+  * shingle; embeddings get a per-copy cyclic rotation, which
+  * decorrelates cosine while preserving norms. Expected shape for the
+  * banded/bucketed pipelines is O(n·bands) work + one n-keyed shuffle:
+  * ~10-14× wall at 10× rows on fixed local cores (CPU-bound scan side
+  * scales linearly; the candidate join adds the bucket-collision
+  * tail). Quadratic structure would show as ≥50×.
+  */
+object ScaleProbe {
+  private def time[T](f: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "600")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = Corpus.load(spark, sfDir, "documents").select("doc_id", "text")
+    val emb1 = Corpus.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+
+    val consonants = "bcdfghjklmnpqrstvwxz"
+    def docsN: DataFrame = (0 until n).map { i =>
+      val rot = consonants.drop(i % consonants.length) + consonants.take(i % consonants.length)
+      docs1.select(
+        (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+        (if (i == 0) col("text") else translate(col("text"), consonants, rot)).as("text"))
+    }.reduce(_.unionByName(_))
+    def embN: DataFrame = (0 until n).map { i =>
+      val k = i % 64
+      emb1.select(
+        (col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else concat(slice(col("embedding"), k + 1, 64 - k), slice(col("embedding"), 1, k)))
+          .as("embedding"))
+    }.reduce(_.unionByName(_))
+
+    def probe(tag: String, d: DataFrame, e: DataFrame): Map[String, (Double, Long)] = {
+      def run(name: String, df: => DataFrame): (String, (Double, Long)) = {
+        val (t, c) = time(df.count())
+        println(f"PROBE $tag $name%-16s $t%8.2f s  rows=$c")
+        name -> (t, c)
+      }
+      Map(
+        run("minhash", Dedup.nearDupPairsMinhash(d, "doc_id", "text", 3, 128, 32, 0.8)),
+        run("simhash", SimHash.nearDupPairsSimhash(d, "doc_id", "text", 3, 8)),
+        run("cosine_neardup", SimSearch.nearDupPairsCosineLsh(
+          e, "vec_id", "embedding", threshold = 0.97, dim = 64, bits = 12,
+          tables = 8, seed = 7L, exactMaxRows = 0)),
+        run("lsh_topk", SimSearch.lshTopK(e, e.filter(col("vec_id") % 500 === 0),
+          "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 8)))
+    }
+
+    // warm-up: one full discarded 1x pass eats codegen/JIT compilation
+    // (the first minhash run carries ~2-4 s of one-time codegen, which
+    // would otherwise inflate the 1x base and understate the ratios)
+    docs1.count(); emb1.count()
+    probe("1x-discard", docs1, emb1)
+    val base = probe("1x", docs1, emb1)
+    val big = probe(s"${n}x", docsN, embN)
+    val ratios = base.keys.map { k =>
+      f""""$k":${big(k)._1 / base(k)._1}%.1f"""
+    }.mkString("{", ",", "}")
+    println(s"""{"probe":"scale","copies":$n,"wall_ratio":$ratios}""")
+    spark.stop()
+  }
+}
