@@ -1011,6 +1011,40 @@ object SparkEntry {
           (unix_micros(col("sw.end")) - lit(1800L * 1000000L)).as("last_us"),
           col("n_events"), col("total_value"))),
 
+    // ── FULL OUTER join (q3 covers left; this completes the outer
+    // family): regions × a nation subset keyed off-by-design so both
+    // null sides appear; null keys rendered as sentinels for stable
+    // hashing ──
+    "q75_full_outer" -> ((s, dir) => {
+      val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val n = t(s, dir, "nation").filter(col("n_nationkey") < 10)
+        .select((col("n_nationkey") + 2).as("nk"), col("n_name"))
+      r.join(n, col("r_regionkey") === col("nk"), "full_outer")
+        .select(
+          coalesce(col("r_regionkey"), lit(-1L)).as("rk"),
+          coalesce(col("r_name"), lit("<none>")).as("r_name"),
+          coalesce(col("nk"), lit(-1L)).as("nk"),
+          coalesce(col("n_name"), lit("<none>")).as("n_name"))
+    }),
+
+    // ── LATERAL correlated derived table (Spark 3.2+ SQL surface):
+    // for each region, its two first nations by name — the lateral
+    // subquery re-evaluates per outer row; Catalyst plans it as a
+    // decorrelated ranked join ──
+    "q76_lateral" -> ((s, dir) => {
+      t(s, dir, "region").createOrReplaceTempView("graft_q76_region")
+      t(s, dir, "nation").createOrReplaceTempView("graft_q76_nation")
+      s.sql(
+        """SELECT r.r_name, t.n_name, t.n_nationkey
+          |FROM graft_q76_region r,
+          |LATERAL (
+          |  SELECT n_name, n_nationkey
+          |  FROM graft_q76_nation n
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  ORDER BY n_name, n_nationkey
+          |  LIMIT 2) t""".stripMargin)
+    }),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -2034,6 +2068,28 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch
         |FROM c WHERE copies >= 1""".stripMargin,
+
+    "q75_full_outer" ->
+      """SELECT
+        |  coalesce(r_regionkey, -1) AS rk,
+        |  coalesce(r_name, '<none>') AS r_name,
+        |  coalesce(nk, -1) AS nk,
+        |  coalesce(n_name, '<none>') AS n_name
+        |FROM region
+        |FULL OUTER JOIN (
+        |  SELECT n_nationkey + 2 AS nk, n_name
+        |  FROM nation WHERE n_nationkey < 10) n
+        |ON r_regionkey = nk""".stripMargin,
+
+    "q76_lateral" ->
+      """SELECT r.r_name, t.n_name, t.n_nationkey
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n_name, n_nationkey
+        |  FROM nation n
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY n_name, n_nationkey
+        |  LIMIT 2) t""".stripMargin,
 
     // break at delta >= gap (session_window semantics; see the query
     // comment), session bounds as epoch microseconds of actual events.
