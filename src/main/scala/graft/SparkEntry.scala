@@ -1045,6 +1045,32 @@ object SparkEntry {
           |  LIMIT 2) t""".stripMargin)
     }),
 
+    // ── out-of-vocabulary ratio (language-model-flavored quality
+    // filter): vocabulary = the corpus's top-20 tokens by global count
+    // (ties broken by token string), each doc scored by the share of
+    // its tokens outside that vocabulary. The vocab aggregate is tiny
+    // and broadcast; scoring is a per-row membership pass. ──
+    "q77_oov_ratio" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+        .agg(collect_list(col("token")).as("vocab_unsorted"))
+        .select(array_sort(col("vocab_unsorted")).as("vocab"))
+      docs
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .filter(size(col("__toks")) > 0)
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          size(col("__toks")).as("n_tokens"),
+          size(filter(col("__toks"), t => !array_contains(col("vocab"), t)))
+            .as("n_oov"))
+        .withColumn("oov_ratio",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+    }),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -2068,6 +2094,28 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch
         |FROM c WHERE copies >= 1""".stripMargin,
+
+    // top-20 by (count desc, token) on both sides; the membership test
+    // and the integer-ratio division mirror exactly.
+    "q77_oov_ratio" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+        |    ORDER BY cnt DESC, token LIMIT 20)),
+        |d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |v AS (SELECT list(token ORDER BY token) AS vl FROM vocab)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(list_filter(toks, t -> NOT list_contains(vl, t))) AS n_oov,
+        |  CAST(len(list_filter(toks, t -> NOT list_contains(vl, t))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS oov_ratio
+        |FROM d CROSS JOIN v
+        |WHERE len(toks) > 0""".stripMargin,
 
     "q75_full_outer" ->
       """SELECT

@@ -30,6 +30,29 @@ object Profile {
         max(col(c)).cast("string").as(s"${c}__max"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    unpivot(wide, cols)
+  }
+
+  /** Approximate profile: same shape with HLL distinct counts
+    * (rsd ~2.3%) — no multi-distinct Expand, so the aggregate stays a
+    * single narrow pass; the right default when the profile feeds
+    * sizing heuristics rather than exact reporting (see q67's
+    * BASELINE note: the exact form's Expand is ~2× the suite cost).
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__rows"),
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
+  }
+
+  private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and
     // Spark 4 rejects the per-column name differences as a type mismatch
@@ -42,5 +65,4 @@ object Profile {
         col(s"${c}__min").as("min_val"),
         col(s"${c}__max").as("max_val"))
     }: _*)))
-  }
 }

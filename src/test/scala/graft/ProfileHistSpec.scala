@@ -22,6 +22,21 @@ class ProfileHistSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("profileApprox: same shape, HLL distinct within tolerance, no Expand in plan") {
+    val df = (0L until 20000L).map(i => (i, i % 1000)).toDF("id", "k")
+    val rows = Profile.profileApprox(df, Seq("id", "k"))
+    val got = rows.as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id")._2 == 20000L && got("id")._3 == 0L)
+    assert(math.abs(got("id")._4 - 20000L) < 20000 * 0.1)
+    assert(math.abs(got("k")._4 - 1000L) < 1000 * 0.1)
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile still expands:\n$plan")
+    // the exact form DOES expand (multi-distinct) — the contrast is the point
+    assert(Profile.profile(df, Seq("id", "k"))
+      .queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("histogram: buckets partition the range, max lands in the last bucket") {
     val df = (0 to 100).map(_.toDouble).toDF("v")
     val h = Histogram.equiWidth(df, col("v"), buckets = 10)
