@@ -1071,6 +1071,21 @@ object SparkEntry {
           col("n_oov").cast("double") / col("n_tokens").cast("double"))
     }),
 
+    // ── null-safe equi join (<=> / IS NOT DISTINCT FROM): the null
+    // key group must match ITSELF — a plain = join silently drops it,
+    // which is a classic silent-data-loss bug in key-nullable joins.
+    // Nulls are derived deterministically via nullif; the output key
+    // is coalesced to a sentinel only AFTER the join. ──
+    "q78_nullsafe_join" -> ((s, dir) => {
+      def grouped = t(s, dir, "events")
+        .groupBy(expr("nullif(event_type, 'view')").as("k"))
+        .agg(count(lit(1)).as("n"))
+      val l = grouped.select(col("k").as("lk"), col("n").as("n_a"))
+      val r = grouped.select(col("k").as("rk"), col("n").as("n_b"))
+      l.join(r, col("lk") <=> col("rk"))
+        .select(coalesce(col("lk"), lit("<null>")).as("k"), col("n_a"), col("n_b"))
+    }),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -2094,6 +2109,13 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch
         |FROM c WHERE copies >= 1""".stripMargin,
+
+    "q78_nullsafe_join" ->
+      """WITH g AS (
+        |  SELECT nullif(event_type, 'view') AS k, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT coalesce(l.k, '<null>') AS k, l.n AS n_a, r.n AS n_b
+        |FROM g l JOIN g r ON l.k IS NOT DISTINCT FROM r.k""".stripMargin,
 
     // top-20 by (count desc, token) on both sides; the membership test
     // and the integer-ratio division mirror exactly.
