@@ -106,7 +106,12 @@ object Bench {
     // runs map — ~25 chars/query keeps even a 70-query suite inside the
     // tail window alongside sbt's trailing "[success]" line.
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    // 2-decimal medians in the final line: at 78 queries the 3-decimal
+    // form reached 1.86 KB — within ~60 chars of the tail window once
+    // sbt's trailing [success] line is counted. Full precision lives on
+    // the detail line.
+    def r2(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + r2(v) }.mkString("{", ",", "}")
     val runs = results.map { case (k, _, ts) => jstr(k) + ":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errJson =

@@ -86,13 +86,21 @@ object BloomJoin {
     val smallView = s"graft_bloom_small_$id"
     big.createOrReplaceTempView(bigView)
     small.createOrReplaceTempView(smallView)
-    spark.sql(
-      s"""SELECT b.* FROM $bigView b
-         |WHERE graft_might_contain(
-         |        (SELECT graft_bloom_agg(xxhash64(s.$smallKey), ${expectedItems}L, ${numBits}L)
-         |         FROM $smallView s),
-         |        xxhash64(b.$bigKey))
-         |  AND b.$bigKey IN (SELECT s.$smallKey FROM $smallView s)
-         |""".stripMargin)
+    try {
+      // analysis is eager at sql(): the returned frame holds resolved
+      // relations, so the views can be dropped immediately — otherwise
+      // every call leaks a catalog entry into a long-lived session
+      spark.sql(
+        s"""SELECT b.* FROM $bigView b
+           |WHERE graft_might_contain(
+           |        (SELECT graft_bloom_agg(xxhash64(s.$smallKey), ${expectedItems}L, ${numBits}L)
+           |         FROM $smallView s),
+           |        xxhash64(b.$bigKey))
+           |  AND b.$bigKey IN (SELECT s.$smallKey FROM $smallView s)
+           |""".stripMargin)
+    } finally {
+      spark.catalog.dropTempView(bigView)
+      spark.catalog.dropTempView(smallView)
+    }
   }
 }
