@@ -1086,6 +1086,19 @@ object SparkEntry {
         .select(coalesce(col("lk"), lit("<null>")).as("k"), col("n_a"), col("n_b"))
     }),
 
+    // ── INCREMENTAL near-dup (q18's production shape): today's batch
+    // (doc_id % 5 == 0) deduped against the standing corpus — the
+    // banded join is strictly cross-side, so corpus×corpus candidates
+    // never materialize ──
+    "q79_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupPairsMinhashAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", shingleK = 3, numHashes = 128, bands = 32,
+        threshold = 0.8)
+    }),
+
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch
     // lived only in specs): the flatMapGroupsWithState sessionizer
     // replayed over the fixture landing dir, open sessions flushed via
@@ -2109,6 +2122,29 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch
         |FROM c WHERE copies >= 1""".stripMargin,
+
+    // exact cross-side Jaccard — same missing-pair argument as q18
+    // (32×4 bands at J>=0.8 on this corpus's similarity band).
+    "q79_dedup_incremental" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS n_id, b.doc_id AS c_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT n_id AS new_id, c_id AS corpus_id,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = n_id JOIN sz sb ON sb.doc_id = c_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin,
 
     "q78_nullsafe_join" ->
       """WITH g AS (

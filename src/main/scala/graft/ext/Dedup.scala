@@ -131,6 +131,63 @@ object Dedup {
     * so at thresholds below the corpus's near-dup band the candidate
     * set is effectively exhaustive while doing no all-pairs work.
     */
+  /** INCREMENTAL near-dup: pairs (new_id, corpus_id, jaccard) between a
+    * new batch and an existing corpus — the production shape (dedup
+    * today's crawl against the historical index). The banded join is
+    * strictly cross-side, so corpus×corpus candidates NEVER
+    * materialize: per-batch work is O(|new|·bands + matching corpus
+    * buckets), not a full self-join re-run. At real scale the corpus
+    * side's signatures/bands would be precomputed and stored — the
+    * pipeline here recomputes them, but the JOIN shape is already the
+    * incremental one. Ids must be distinct across the two frames.
+    */
+  def nearDupPairsMinhashAgainst(
+      newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val seeds = seedPairs(numHashes)
+    def prep(df: DataFrame, side: String): DataFrame =
+      TextAnalysis.withShingleSet(
+          df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+            .repartition(col("__id")), "__text", shingleK, "__sh")
+        .select(col("__id"), col("__sh"), lit(side).as("__side"))
+    val base = prep(newDocs, "n").unionByName(prep(corpus, "c"))
+    val minAggs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__x") * a + b, lit(P))).as(s"__m$i")
+    }
+    val sig = base
+      .select(col("__id"), col("__side"), explode_outer(col("__sh")).as("__f"))
+      .filter(col("__f").isNotNull)
+      .withColumn("__x", pmod(xxhash64(col("__f")), lit(P)))
+      .groupBy("__id", "__side")
+      .agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { bd =>
+      xxhash64(lit(bd) +: (0 until rowsPerBand).map(r => col(s"__m${bd * rowsPerBand + r}")): _*)
+    }
+    val banded = sig
+      .select(col("__id"), col("__side"), posexplode(array(bandCols: _*)))
+      .toDF("__id", "__side", "band", "bh")
+    val cands = banded.filter(col("__side") === "n").as("x")
+      .join(banded.filter(col("__side") === "c").as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.__id").as("new_id"), col("y.__id").as("corpus_id"))
+      .distinct()
+    cands
+      .join(base.filter(col("__side") === "n")
+        .select(col("__id"), col("__sh").as("__sha")), col("new_id") === col("__id"))
+      .drop("__id", "__side")
+      .join(base.filter(col("__side") === "c")
+        .select(col("__id"), col("__sh").as("__shb")), col("corpus_id") === col("__id"))
+      .drop("__id", "__side")
+      .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("__union", size(col("__sha")) + size(col("__shb")) - col("__inter"))
+      .withColumn("jaccard", col("__inter").cast("double") / col("__union").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   def nearDupPairsMinhash(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,

@@ -330,4 +330,18 @@ class ExtSpec extends SparkSpec {
     val out = df.select(TextAnalysis.langGuess($"text")).as[String].collect().toSeq
     assert(out == Seq("en", "es", "de", "fr", "und"))
   }
+
+  test("incremental minhash emits only cross-side pairs") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // corpus docs 10/11 are near-dups of each other; new doc 1 matches both;
+    // new doc 2 matches nothing
+    val newDocs = Seq((1L, txt), (2L, "totally different words here entirely now")).toDF("doc_id", "text")
+    val corpus = Seq((10L, txt), (11L, txt + " lambda"), (12L, "unrelated corpus content text")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.nearDupPairsMinhashAgainst(
+        newDocs, corpus, "doc_id", "text", shingleK = 3, numHashes = 128,
+        bands = 32, threshold = 0.6)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // the 10~11 corpus-internal pair must NOT appear
+    assert(got == Set((1L, 10L), (1L, 11L)))
+  }
 }
