@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench driver contract: the driver keeps a ~2000-char tail of stdout and
+// parses the JSON it finds there, so the forked program's stdout must reach
+// sbt's stdout RAW (no "[info] " logger prefix) and nothing may print after
+// the final JSON line (no "[success] Total time" epilogue). Both were present
+// in rounds 1-5 and broke the parse (BENCH_r0*.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,9 +29,58 @@ object Bench {
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  private def median(xs: Seq[Double]): Double = {
+  /** Median of the SUCCESSFUL run times; -1.0 when every run failed (the
+    * companion "errors" entry carries the message). Failed runs' wall time
+    * (which includes the exception path, not the query) must not enter the
+    * median — a fast crash would otherwise read as a fast green number.
+    */
+  def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  // All number formatting goes through Locale.ROOT: the f-interpolator uses
+  // the JVM default locale, and a comma-decimal locale (de_DE …) would turn
+  // the contract line into invalid JSON ({"value":1,234}).
+  private def fmt(decimals: Int, v: Double): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
+  /** Max bytes for the driver-contract line. The driver parses a ~2000-char
+    * stdout tail; staying under 1900 leaves headroom for a trailing newline
+    * and any stray decoration.
+    */
+  val LineBudget = 1900
+
+  /** The driver-contract line (printed LAST). Self-consistency: `value` is
+    * the sum of the *printed* per-query medians (summed in integer
+    * centi/milli-seconds, so queries-sum == value exactly). If the line
+    * exceeds [[LineBudget]] it degrades stepwise — drop "sf", then go from
+    * 2-decimal to 1-decimal medians — so adding queries can't silently
+    * overflow the tail window again.
+    */
+  def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String): String = {
+    def line(decimals: Int, withSf: Boolean): String = {
+      val scale = math.pow(10, decimals)
+      val units = medians.map { case (k, v) => (k, math.round(v * scale)) }
+      val qs = units.map { case (k, u) => jstr(k) + ":" + fmt(decimals, u / scale) }
+        .mkString("{", ",", "}")
+      val total = fmt(decimals, units.map(_._2).sum / scale)
+      val errJson =
+        if (errors.isEmpty) ""
+        else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+      val sfJson = if (withSf) s""","sf":${jstr(sf)}""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$sfJson}"""
+    }
+    val candidates = Iterator(line(2, withSf = true), line(2, withSf = false), line(1, withSf = false))
+    candidates.find(_.length <= LineBudget).getOrElse(line(1, withSf = false))
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,44 +131,32 @@ object Bench {
         System.gc()
         Thread.sleep(100)
         val t0 = System.nanoTime()
-        try runNoop(fn(spark, sfDir))
-        catch {
-          case e: Throwable =>
-            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { runNoop(fn(spark, sfDir)); true }
+          catch {
+            case e: Throwable =>
+              errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, median(times), times)
+      // Median over SUCCESSFUL runs only; a failed run's wall time measures
+      // the exception path, not the query (judge r05 finding).
+      (name, median(times.collect { case (t, true) => t }), times.map(_._1))
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     // Two lines, detail FIRST: the driver keeps only a ~2000-char tail of
-    // stdout and parses the JSON it finds there — rounds 1-4 all came back
-    // "parsed": null because the single line carrying full-precision
-    // medians AND per-run arrays for 50+ queries ran ~4000 chars, so the
-    // tail window cut off the head of the object. The per-run detail line
-    // (full precision, for humans and BASELINE.md) now goes first, and the
-    // LAST stdout line is the driver contract alone: 3-decimal medians, no
-    // runs map — ~25 chars/query keeps even a 70-query suite inside the
-    // tail window alongside sbt's trailing "[success]" line.
-    def r3(v: Double): String = f"$v%.3f"
-    // 2-decimal medians in the final line: at 78 queries the 3-decimal
-    // form reached 1.86 KB — within ~60 chars of the tail window once
-    // sbt's trailing [success] line is counted. Full precision lives on
-    // the detail line.
-    def r2(v: Double): String = f"$v%.2f"
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + r2(v) }.mkString("{", ",", "}")
+    // stdout and parses the JSON it finds there. The per-run detail line
+    // (full precision, for humans and BASELINE.md) goes first; the LAST
+    // stdout line is the driver contract alone (contractLine: 2-decimal
+    // medians, budget-guarded, locale-fixed). build.sbt strips sbt's
+    // decoration around it (StdoutOutput + showSuccess := false).
     val runs = results.map { case (k, _, ts) => jstr(k) + ":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     println(s"""{"detail":"per-run seconds","runs":$runs$errJson}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(contractLine(results.map { case (k, v, _) => (k, v) }, errors, sfDir))
     spark.stop()
   }
 }

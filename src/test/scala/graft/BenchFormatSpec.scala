@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the bench driver contract (no Spark session needed).
+  *
+  * The driver keeps a ~2000-char tail of the bench stdout and parses the
+  * JSON on the LAST line. These tests pin the three ways that contract has
+  * broken or could break: line overflow as queries are added, locale-
+  * dependent number formatting, and value/queries inconsistency.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private def fakeMedians(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (s"q${i}_some_longish_query_name", i * 0.137))
+
+  test("contract line stays under budget at 86 queries (future growth)") {
+    // the REAL registered query names, padded with realistic-length extras
+    // up to 86 — this is the line that must survive query growth
+    val real = SparkEntry.queries.keys.toSeq.sorted
+    val extra = (real.size until 86).map(i => s"q${i}_future_query")
+    val meds = (real ++ extra).zipWithIndex.map { case (k, i) => (k, i * 0.137) }
+    val line = Bench.contractLine(meds, Map.empty, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(line.startsWith("{\"metric\":\"total\""))
+  }
+
+  test("contract line degrades rather than overflows at absurd query counts") {
+    val line = Bench.contractLine(fakeMedians(300), Map.empty, "/root/testdata/sf0.1")
+    // 300 × ~30-char names can't fit any budget; it must still be valid JSON
+    // shape and must have dropped the sf field first.
+    assert(!line.contains("\"sf\""))
+    assert(line.endsWith("}"))
+  }
+
+  test("value equals the sum of the printed per-query medians exactly") {
+    val meds = Seq(("q1", 0.375), ("q2", 0.265), ("q3", 1.005))
+    val line = Bench.contractLine(meds, Map.empty, "sf")
+    val value = "\"value\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1)
+    val printed = "\"q[0-9]\":([0-9.]+)".r.findAllMatchIn(line).map(_.group(1).toDouble).toSeq
+    assert(printed.size == 3)
+    // sum in centiseconds (the printed precision) — must match value exactly
+    val sumCenti = printed.map(v => math.round(v * 100)).sum
+    assert(math.round(value.toDouble * 100) == sumCenti, s"value=$value queries=$printed")
+  }
+
+  test("formatting is locale-independent (comma-decimal default locale)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.contractLine(Seq(("q1", 1234.567)), Map.empty, "sf")
+      assert(line.contains("\"q1\":1234.57"), line)
+      assert(!line.contains("1234,57"), s"locale leaked into JSON: $line")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("median of no successful runs is -1 (never a green-looking 0)") {
+    assert(Bench.median(Seq.empty) == -1.0)
+    assert(Bench.median(Seq(2.0, 1.0, 3.0)) == 2.0)
+    assert(Bench.median(Seq(1.0, 2.0)) == 1.5)
+  }
+
+  test("error messages are escaped into valid JSON") {
+    val line = Bench.contractLine(Seq(("q1", 0.1)), Map("q1" -> "boom \"quoted\"\nline2"), "sf")
+    assert(line.contains("\\\"quoted\\\""))
+    assert(line.contains("\\n"))
+    assert(!line.contains("\nline2"))
+  }
+}
