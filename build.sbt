@@ -18,6 +18,9 @@ run / fork := true
 // in rounds 1-5 and broke the parse (BENCH_r0*.json "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by the command loop, not a task — exclude it from
+// the unused-key lint so every sbt invocation doesn't print a warning.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1087,16 +1087,22 @@ object SparkEntry {
     }),
 
     // ── INCREMENTAL near-dup (q18's production shape): today's batch
-    // (doc_id % 5 == 0) deduped against the standing corpus — the
-    // banded join is strictly cross-side, so corpus×corpus candidates
-    // never materialize ──
+    // (doc_id % 5 == 0) deduped against the standing corpus via the
+    // PERSISTED minhash index — the corpus is shingled ONCE into stored
+    // (id, band, bh) + (id, shingles) parquet tables, and the batch
+    // path probes the stored index without ever scanning the corpus
+    // text again (ExtSpec asserts that). The banded join is strictly
+    // cross-side, so corpus×corpus candidates never materialize ──
     "q79_dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Dedup.nearDupPairsMinhashAgainst(
-        docs.filter(col("doc_id") % 5 === 0),
-        docs.filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text", shingleK = 3, numHashes = 128, bands = 32,
-        threshold = 0.8)
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${java.lang.Integer.toHexString(dir.hashCode)}"
+      Dedup.writeMinhashIndex(
+        Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleK = 3, numHashes = 128, bands = 32),
+        idxPath)
+      Dedup.nearDupPairsMinhashAgainstIndex(
+        docs.filter(col("doc_id") % 5 === 0), Dedup.readMinhashIndex(s, idxPath),
+        "doc_id", "text", threshold = 0.8)
     }),
 
     // ── STREAMING under the driver oracle (round-3 judge: stream≡batch

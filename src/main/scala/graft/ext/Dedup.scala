@@ -38,6 +38,44 @@ object Dedup {
     Seq.fill(numHashes)((next(P - 1) + 1, next(P)))
   }
 
+  /** (__id, __sh) shingle sets, pre-partitioned by doc id — see the
+    * repartition note in [[nearDupPairsMinhash]].
+    */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
+    TextAnalysis.withShingleSet(
+        docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
+          .repartition(col("__id")), "__text", shingleK, "__sh")
+      .select(col("__id"), col("__sh"))
+
+  /** (__id, band, bh) LSH band keys from shingle sets. Signature shape:
+    * explode the shingle set, hash each shingle ONCE, then numHashes
+    * `min` aggregations grouped by doc (map-side partial combine, one
+    * shuffle keyed by doc id). The tempting per-row alternative — nested
+    * higher-order array expressions — recomputes xxhash64
+    * |shingles|×numHashes times per row via projection collapse
+    * (measured 20× slower at sf0.1). explode_OUTER + isNotNull, not
+    * plain explode: see the no-CSE pushdown note in
+    * [[nearDupPairsMinhash]].
+    */
+  private def bandedOf(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val seeds = seedPairs(numHashes)
+    val minAggs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__x") * a + b, lit(P))).as(s"__m$i")
+    }
+    val sig = base
+      .select(col("__id"), explode_outer(col("__sh")).as("__f"))
+      .filter(col("__f").isNotNull)
+      .withColumn("__x", pmod(xxhash64(col("__f")), lit(P)))
+      .groupBy("__id")
+      .agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { bd =>
+      xxhash64(lit(bd) +: (0 until rowsPerBand).map(r => col(s"__m${bd * rowsPerBand + r}")): _*)
+    }
+    sig.select(col("__id"), posexplode(array(bandCols: _*))).toDF("__id", "band", "bh")
+  }
+
   /** Exact dedup by canonical hash: one row per distinct content, with
     * the deterministic representative (min id) and the duplicate count.
     * (Spark's dropDuplicates keeps an *arbitrary* row; min-id keep makes
@@ -131,56 +169,82 @@ object Dedup {
     * so at thresholds below the corpus's near-dup band the candidate
     * set is effectively exhaustive while doing no all-pairs work.
     */
-  /** INCREMENTAL near-dup: pairs (new_id, corpus_id, jaccard) between a
-    * new batch and an existing corpus — the production shape (dedup
-    * today's crawl against the historical index). The banded join is
-    * strictly cross-side, so corpus×corpus candidates NEVER
-    * materialize: per-batch work is O(|new|·bands + matching corpus
-    * buckets), not a full self-join re-run. At real scale the corpus
-    * side's signatures/bands would be precomputed and stored — the
-    * pipeline here recomputes them, but the JOIN shape is already the
-    * incremental one. Ids must be distinct across the two frames.
+  /** A minhash-LSH corpus index: `bands` (__id, band, bh) drives the
+    * candidate join; `sets` (__id, __sh) drives exact-Jaccard
+    * verification. Build once per corpus compaction, persist with
+    * [[writeMinhashIndex]], probe every batch with
+    * [[nearDupPairsMinhashAgainstIndex]] — the batch path never touches
+    * the corpus text again (at 100 TB, re-shingling the corpus per
+    * daily batch is the scale-killer this exists to avoid).
     */
-  def nearDupPairsMinhashAgainst(
-      newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+  final case class MinhashIndex(
+      bands: DataFrame, sets: DataFrame,
+      shingleK: Int, numHashes: Int, numBands: Int)
+
+  /** Compute the index frames for a corpus (one corpus scan). */
+  def buildMinhashIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32): MinhashIndex = {
+    val base = shingled(corpus, idCol, textCol, shingleK)
+    MinhashIndex(bandedOf(base, numHashes, bands), base, shingleK, numHashes, bands)
+  }
+
+  /** Persist an index as three parquet tables under `path`:
+    * bands/ (id, band, bh), sets/ (id, shingles), params/ (1 row).
+    * On a real cluster you'd bucket bands/ by (band, bh) at write time
+    * so every batch probe co-locates without a corpus-side shuffle;
+    * plain parquet keeps the sandbox path simple while the read side's
+    * join shape is identical.
+    */
+  def writeMinhashIndex(idx: MinhashIndex, path: String): Unit = {
+    idx.bands.select(col("__id").as("id"), col("band"), col("bh"))
+      .write.mode("overwrite").parquet(path + "/bands")
+    idx.sets.select(col("__id").as("id"), col("__sh").as("shingles"))
+      .write.mode("overwrite").parquet(path + "/sets")
+    val spark = idx.bands.sparkSession
+    import spark.implicits._
+    Seq((idx.shingleK, idx.numHashes, idx.numBands))
+      .toDF("shingle_k", "num_hashes", "num_bands")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/params")
+  }
+
+  /** Load a persisted index; the stored params travel with the data so
+    * a batch probe can never band with mismatched hash geometry.
+    */
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
+    val p = spark.read.parquet(path + "/params").head()
+    MinhashIndex(
+      spark.read.parquet(path + "/bands")
+        .select(col("id").as("__id"), col("band"), col("bh")),
+      spark.read.parquet(path + "/sets")
+        .select(col("id").as("__id"), col("shingles").as("__sh")),
+      p.getInt(0), p.getInt(1), p.getInt(2))
+  }
+
+  /** INCREMENTAL near-dup: pairs (new_id, corpus_id, jaccard) between a
+    * new batch and an existing corpus index — the production shape
+    * (dedup today's crawl against the historical index). Only the BATCH
+    * is shingled/hashed; the corpus side is the stored index. The
+    * banded join is strictly cross-side, so corpus×corpus candidates
+    * never materialize: per-batch work is O(|new|·bands + matching
+    * corpus buckets), not a full self-join re-run. Ids must be distinct
+    * across batch and corpus.
+    */
+  def nearDupPairsMinhashAgainstIndex(
+      newDocs: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
-    require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val seeds = seedPairs(numHashes)
-    def prep(df: DataFrame, side: String): DataFrame =
-      TextAnalysis.withShingleSet(
-          df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-            .repartition(col("__id")), "__text", shingleK, "__sh")
-        .select(col("__id"), col("__sh"), lit(side).as("__side"))
-    val base = prep(newDocs, "n").unionByName(prep(corpus, "c"))
-    val minAggs = seeds.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("__x") * a + b, lit(P))).as(s"__m$i")
-    }
-    val sig = base
-      .select(col("__id"), col("__side"), explode_outer(col("__sh")).as("__f"))
-      .filter(col("__f").isNotNull)
-      .withColumn("__x", pmod(xxhash64(col("__f")), lit(P)))
-      .groupBy("__id", "__side")
-      .agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until bands).map { bd =>
-      xxhash64(lit(bd) +: (0 until rowsPerBand).map(r => col(s"__m${bd * rowsPerBand + r}")): _*)
-    }
-    val banded = sig
-      .select(col("__id"), col("__side"), posexplode(array(bandCols: _*)))
-      .toDF("__id", "__side", "band", "bh")
-    val cands = banded.filter(col("__side") === "n").as("x")
-      .join(banded.filter(col("__side") === "c").as("y"),
+    val nbase = shingled(newDocs, idCol, textCol, idx.shingleK)
+    val nband = bandedOf(nbase, idx.numHashes, idx.numBands)
+    val cands = nband.as("x")
+      .join(idx.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.__id").as("new_id"), col("y.__id").as("corpus_id"))
       .distinct()
     cands
-      .join(base.filter(col("__side") === "n")
-        .select(col("__id"), col("__sh").as("__sha")), col("new_id") === col("__id"))
-      .drop("__id", "__side")
-      .join(base.filter(col("__side") === "c")
-        .select(col("__id"), col("__sh").as("__shb")), col("corpus_id") === col("__id"))
-      .drop("__id", "__side")
+      .join(nbase.select(col("__id"), col("__sh").as("__sha")), col("new_id") === col("__id"))
+      .drop("__id")
+      .join(idx.sets.select(col("__id"), col("__sh").as("__shb")), col("corpus_id") === col("__id"))
+      .drop("__id")
       .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
       .withColumn("__union", size(col("__sha")) + size(col("__shb")) - col("__inter"))
       .withColumn("jaccard", col("__inter").cast("double") / col("__union").cast("double"))
@@ -188,53 +252,34 @@ object Dedup {
       .select("new_id", "corpus_id", "jaccard")
   }
 
+  /** One-shot convenience: build the corpus index in memory and probe it.
+    * Same result as persisting + probing (the q79 path does that); use
+    * the index API directly when the corpus outlives the batch.
+    */
+  def nearDupPairsMinhashAgainst(
+      newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame =
+    nearDupPairsMinhashAgainstIndex(
+      newDocs, buildMinhashIndex(corpus, idCol, textCol, shingleK, numHashes, bands),
+      idCol, textCol, threshold)
+
   def nearDupPairsMinhash(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
-    require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val seeds = seedPairs(numHashes)
-
-    // repartition by doc id BEFORE the shingle/hash work: a small corpus
-    // arrives as one parquet split, which would run the whole CPU-heavy
-    // scan-side pipeline (regex tokenize, shingle, hash) on a single
-    // task. Hash-partitioning the raw (id, text) rows spreads that work
-    // across the cluster AND already satisfies the signature aggregate's
-    // clustering, so the exchange that would otherwise sit after the
-    // (much wider) exploded feature stream is elided — the shuffle moves
-    // earlier and smaller. At 100 TB the scan is naturally multi-split,
-    // and pre-clustering by id is still the cheaper place to shuffle.
-    val base = TextAnalysis.withShingleSet(
-        docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
-          .repartition(col("__id")), "__text", shingleK, "__sh")
-      .select(col("__id"), col("__sh"))
-
-    // one base hash per (doc, shingle) row, then 128 partial-agg mins.
-    // explode_OUTER + isNotNull on the generator OUTPUT, not a plain
-    // explode: for a plain Generate, InferFiltersFromGenerate
-    // synthesizes `size(input) > 0` and pushdown inlines the entire
-    // shingle expression — per-element regex re-evaluation included —
-    // into a per-row scan predicate (measured ~15s of pure waste at
-    // sf0.1). The outer variant infers nothing, and a predicate on the
-    // generate output cannot be pushed below the Generate.
-    val minAggs = seeds.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("__x") * a + b, lit(P))).as(s"__m$i")
-    }
-    val sig = base
-      .select(col("__id"), explode_outer(col("__sh")).as("__f"))
-      .filter(col("__f").isNotNull)
-      .withColumn("__x", pmod(xxhash64(col("__f")), lit(P)))
-      .groupBy("__id")
-      .agg(minAggs.head, minAggs.tail: _*)
-
-    // band key = hash of the band's rowsPerBand signature slots
-    val bandCols = (0 until bands).map { bd =>
-      xxhash64(lit(bd) +: (0 until rowsPerBand).map(r => col(s"__m${bd * rowsPerBand + r}")): _*)
-    }
-    val banded = sig
-      .select(col("__id"), posexplode(array(bandCols: _*)))
-      .toDF("__id", "band", "bh")
+    // repartition by doc id BEFORE the shingle/hash work (inside
+    // `shingled`): a small corpus arrives as one parquet split, which
+    // would run the whole CPU-heavy scan-side pipeline (regex tokenize,
+    // shingle, hash) on a single task. Hash-partitioning the raw
+    // (id, text) rows spreads that work across the cluster AND already
+    // satisfies the signature aggregate's clustering, so the exchange
+    // that would otherwise sit after the (much wider) exploded feature
+    // stream is elided — the shuffle moves earlier and smaller. At
+    // 100 TB the scan is naturally multi-split, and pre-clustering by
+    // id is still the cheaper place to shuffle.
+    val base = shingled(docs, idCol, textCol, shingleK)
+    val banded = bandedOf(base, numHashes, bands)
 
     val cands = banded.as("x")
       .join(banded.as("y"),

@@ -344,4 +344,33 @@ class ExtSpec extends SparkSpec {
     // the 10~11 corpus-internal pair must NOT appear
     assert(got == Set((1L, 10L), (1L, 11L)))
   }
+
+  test("persisted minhash index: batch path never scans corpus text and matches the one-shot result") {
+    import graft.ext.Dedup
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val newDocs = Seq((1L, txt), (2L, "totally different words here entirely now")).toDF("doc_id", "text")
+    val corpus = Seq((10L, txt), (11L, txt + " lambda"), (12L, "unrelated corpus content text")).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    Dedup.writeMinhashIndex(
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text", shingleK = 3, numHashes = 128, bands = 32), dir)
+    val idx = Dedup.readMinhashIndex(spark, dir)
+    assert((idx.shingleK, idx.numHashes, idx.numBands) == ((3, 128, 32)), "params round-trip")
+
+    val probe = Dedup.nearDupPairsMinhashAgainstIndex(newDocs, idx, "doc_id", "text", threshold = 0.6)
+
+    // The incremental promise: the batch plan reads ONLY the stored index
+    // on the corpus side — no file scan in the plan carries a text column
+    // (newDocs is an in-memory relation, so any text-reading FileScan
+    // would be a corpus re-shingle leak).
+    val leaves = probe.queryExecution.executedPlan.collectLeaves()
+    val fileScansWithText = leaves.filter(p =>
+      p.getClass.getSimpleName.contains("FileSourceScan") &&
+        p.output.exists(_.name.toLowerCase.contains("text")))
+    assert(fileScansWithText.isEmpty,
+      s"batch path re-scanned corpus text: ${fileScansWithText.mkString("; ")}")
+
+    val got = probe.select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L)), "index path diverged from one-shot result")
+  }
 }
