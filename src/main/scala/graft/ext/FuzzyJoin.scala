@@ -39,7 +39,11 @@ object FuzzyJoin {
       .where(col("s_a") < col("s_b"))
       .select("s_a", "s_b")
       .distinct()
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+      // compute the distance ONCE, then keep exactly-1 pairs: s_a < s_b
+      // already excludes identical strings, so === 1 states the
+      // "exactly 0 < d <= 1" contract directly (and avoids evaluating
+      // levenshtein twice per candidate)
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") === 1)
   }
 }

@@ -80,10 +80,20 @@ object BloomJoin {
       expectedItems: Long = 1000000L,
       numBits: Long = 8388608L): DataFrame = {
     val spark = big.sparkSession
+    // both views are registered on big's session — a frame from another
+    // session would resolve confusingly or not at all
+    require(small.sparkSession eq spark,
+      "bloomSemiJoin: big and small must come from the same SparkSession")
     register(spark)
     val id = viewSeq.incrementAndGet()
     val bigView = s"graft_bloom_big_$id"
     val smallView = s"graft_bloom_small_$id"
+    // backtick-quote the key identifiers: column names with spaces,
+    // dots, hyphens, or reserved words must not break (or silently
+    // re-resolve) inside the generated SQL
+    def q(ident: String): String = "`" + ident.replace("`", "``") + "`"
+    val bk = q(bigKey)
+    val sk = q(smallKey)
     big.createOrReplaceTempView(bigView)
     small.createOrReplaceTempView(smallView)
     try {
@@ -93,10 +103,10 @@ object BloomJoin {
       spark.sql(
         s"""SELECT b.* FROM $bigView b
            |WHERE graft_might_contain(
-           |        (SELECT graft_bloom_agg(xxhash64(s.$smallKey), ${expectedItems}L, ${numBits}L)
+           |        (SELECT graft_bloom_agg(xxhash64(s.$sk), ${expectedItems}L, ${numBits}L)
            |         FROM $smallView s),
-           |        xxhash64(b.$bigKey))
-           |  AND b.$bigKey IN (SELECT s.$smallKey FROM $smallView s)
+           |        xxhash64(b.$bk))
+           |  AND b.$bk IN (SELECT s.$sk FROM $smallView s)
            |""".stripMargin)
     } finally {
       spark.catalog.dropTempView(bigView)

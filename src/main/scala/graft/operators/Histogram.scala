@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Histogram {
 
+  // NULLs are excluded from the histogram: floor(null) is null and
+  // Spark's least() SKIPS nulls, so without the explicit isNotNull a
+  // null value would silently land in the LAST bucket
+  // (least(null, n-1) = n-1) — overcounting the top bucket on any
+  // nullable column, and diverging from engines where least(NULL, x)
+  // is NULL. min/max already ignore nulls, so dropping them keeps the
+  // histogram consistent with its own bounds.
   def equiWidth(df: DataFrame, valueCol: Column, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val mm = df.agg(
       min(valueCol.cast("double")).as("mn"), max(valueCol.cast("double")).as("mx"))
     df.select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .crossJoin(broadcast(mm))
       .select(
         when(col("mx") === col("mn"), lit(0L))

@@ -29,6 +29,14 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.sameElements(Array(-5L, 7L)))
   }
 
+  test("key columns needing quoting (spaces, dots, reserved words) work") {
+    val small = (0L until 10L).toDF("select")                 // reserved word
+    val big = (0L until 100L).toDF("the key.col")             // space + dot
+    val got = BloomJoin.bloomSemiJoin(big, "the key.col", small, "select")
+      .as[Long].collect().sorted
+    assert(got.sameElements(0L until 10L))
+  }
+
   test("physical plan carries the bloom might_contain pre-filter") {
     val small = (0L until 10L).toDF("k")
     val big = (0L until 100L).toDF("j")

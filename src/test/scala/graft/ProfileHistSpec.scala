@@ -52,4 +52,13 @@ class ProfileHistSpec extends SparkSpec {
       .select("bucket", "n").as[(Long, Long)].collect()
     assert(h.toSeq == Seq((0L, 3L)))
   }
+
+  test("histogram excludes NULLs instead of overcounting the last bucket") {
+    // floor(null) is null and least() skips nulls, so without the
+    // explicit filter each null would land in bucket n-1
+    val df = Seq[Option[Double]](Some(0.0), Some(10.0), None, None).toDF("v")
+    val h = Histogram.equiWidth(df, col("v"), buckets = 2)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(h == Map(0L -> 1L, 1L -> 1L), s"nulls leaked into a bucket: $h")
+  }
 }
