@@ -193,13 +193,33 @@ object SimSearch {
     * no algorithm is sublinear in it; the threshold keeps the cheaper
     * exact plan exactly where it is feasible. Pass exactMaxRows = 0 to
     * force the LSH path (specs do, to certify it against the truth).
-    * The fallback costs one metadata-only count() job on the corpus.
+    *
+    * The switch reads CATALYST STATISTICS, not a count() job: at 100 TB
+    * the row count isn't knowable a priori and a pre-count scan of the
+    * corpus just to pick a plan is itself a full read. rowCount is used
+    * when the relation carries one (in-memory relations, ANALYZEd
+    * tables, CBO); otherwise sizeInBytes is divided by the embedding
+    * row's dominant width (4·dim + 16 — float vectors don't compress,
+    * so file size ÷ vector width over-estimates rows by at most ~2×,
+    * and the threshold only needs order-of-magnitude accuracy: both
+    * plans are correct, they cross over around 2^16 rows).
     */
+  /** Metadata-only row estimate from the optimized plan's statistics.
+    * Exact rowCount when the relation provides one; else
+    * sizeInBytes / bytesPerRow. Never runs a job.
+    */
+  def estimatedRows(df: DataFrame, bytesPerRow: Long): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse(
+      (stats.sizeInBytes / BigInt(math.max(1L, bytesPerRow)))
+        .min(BigInt(Long.MaxValue)).toLong)
+  }
+
   def nearDupPairsCosineLsh(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
       dim: Int, bits: Int = -1, tables: Int = -1, seed: Long = 7L,
       exactMaxRows: Long = 1L << 16): DataFrame = {
-    if (exactMaxRows > 0 && corpus.count() <= exactMaxRows)
+    if (exactMaxRows > 0 && estimatedRows(corpus, 4L * dim + 16) <= exactMaxRows)
       return nearDupPairsCosine(corpus, idCol, vecCol, threshold)
     val (b, t) =
       if (bits > 0 && tables > 0) (bits, tables) else lshParamsForTau(threshold)

@@ -62,6 +62,32 @@ class PlansSpec extends SparkSpec {
     assert(truth.contains("BroadcastNestedLoopJoin") || truth.contains("CartesianProduct"))
   }
 
+  test("exact-vs-LSH switch is driven by catalyst stats, not a count job") {
+    // file-backed relation: no rowCount in stats, so the estimate is
+    // sizeInBytes / (4*dim + 16) — between 1× and ~2× the true count
+    val n = emb.count()
+    val est = SimSearch.estimatedRows(emb, 4L * 64 + 16)
+    assert(est >= n && est <= 3 * n, s"file-stats estimate $est vs true $n")
+
+    // in-memory relation: LocalRelation carries an exact rowCount
+    val local = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "v")
+    assert(SimSearch.estimatedRows(local, 4L * 2 + 16) == 2L)
+
+    // Same data, both plans — chosen from stats alone. Default
+    // threshold (2^16): tiny corpus ⇒ exact all-pairs shape. Threshold
+    // below the estimate ⇒ bucketed LSH shape. Neither call may run a
+    // pre-count scan (nothing here triggers an action).
+    val exact = SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("BroadcastNestedLoopJoin") || exact.contains("CartesianProduct"),
+      "small corpus should pick the exact all-pairs plan")
+    val lsh = SimSearch.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.45, 64,
+        exactMaxRows = 10)
+      .queryExecution.executedPlan.toString
+    assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"),
+      "over-threshold estimate should pick the bucketed LSH plan")
+  }
+
   test("GraftExtensions injection applies cleanly to a fresh extensions object") {
     // a full spark.sql.extensions round trip needs an isolated
     // SparkContext (getOrCreate would return the suite session and
