@@ -41,7 +41,7 @@ object Dedup {
   /** (__id, __sh) shingle sets, pre-partitioned by doc id — see the
     * repartition note in [[nearDupPairsMinhash]].
     */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
+  private[graft] def shingled(docs: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
     TextAnalysis.withShingleSet(
         docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
           .repartition(col("__id")), "__text", shingleK, "__sh")
@@ -57,7 +57,7 @@ object Dedup {
     * plain explode: see the no-CSE pushdown note in
     * [[nearDupPairsMinhash]].
     */
-  private def bandedOf(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandedOf(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val seeds = seedPairs(numHashes)

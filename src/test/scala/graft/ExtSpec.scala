@@ -373,4 +373,48 @@ class ExtSpec extends SparkSpec {
     val got = probe.select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 10L), (1L, 11L)), "index path diverged from one-shot result")
   }
+
+  test("banded self-join spreads a planted hot cluster's quadratic work across tasks") {
+    import graft.ext.Dedup
+    // 400 one-token-edit docs: near-identical (high Jaccard) but NOT
+    // byte-identical, so exactDedup cannot collapse them — the
+    // pathological bucket the Dedup scaladoc warns about. The skew
+    // certification: banding turns the hot cluster into `bands`
+    // INDEPENDENT join keys, so its quadratic candidate volume lands on
+    // many tasks, never one. (AQE skew-join additionally handles
+    // input-byte skew; the quadratic-output hazard is what banding
+    // itself must bound, and that is what's measured here.)
+    val base = (1 to 14).map(i => s"word$i").mkString(" ")
+    val hot = (0 until 400).map(i => (i.toLong, s"$base extra$i"))
+    val cold = (0 until 100).map(i =>
+      (100000L + i, (1 to 12).map(j => s"c${i}x$j").mkString(" ")))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+
+    // precondition: the cluster survives exact dedup (all texts distinct)
+    assert(Dedup.exactDedup(docs, "doc_id", xxhash64(col("text"))).count() == 500)
+
+    val banded = Dedup.bandedOf(Dedup.shingled(docs, "doc_id", "text", 3), 128, 32)
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.__id") < col("y.__id"))
+    // AQE coalesces this KB-scale shuffle to ONE partition locally,
+    // which would measure the coalescer, not the key spread — at 100 TB
+    // these partitions are far above the advisory size and stay apart.
+    // Freeze the partition layout for the measurement only.
+    val byPart =
+      try {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        cand.select(spark_partition_id().as("pid"))
+          .groupBy("pid").agg(count(lit(1)).as("n"))
+          .as[(Int, Long)].collect()
+      } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val total = byPart.map(_._2).sum.toDouble
+    // non-vacuous: the hot cluster must actually have gone quadratic
+    assert(total > 100000, s"hot cluster produced only $total candidate rows")
+    val maxShare = byPart.map(_._2).max / total
+    info(f"candidate rows $total%.0f, partitions ${byPart.length}, max task share $maxShare%.3f")
+    assert(maxShare < 0.30,
+      f"hot-bucket candidate work concentrated on one task: max share $maxShare%.2f over ${byPart.length} partitions")
+  }
 }
