@@ -1114,7 +1114,18 @@ object SparkEntry {
     // semantics are all under the rows+schema+hash check ──
     "q45_sessions_stream" -> ((s, _) =>
       graft.streaming.StreamingReports
-        .sessionReplay(s, FixturesDir + "/events_json", gapMinutes = 60))
+        .sessionReplay(s, FixturesDir + "/events_json", gapMinutes = 60)),
+
+    // ── update-mode streaming top10 under the oracle: the landing dir
+    // replayed in TWO waves through top10StreamUpdate (per-trigger
+    // upsert + dynamic partition overwrite), final report read back
+    // from the K1 pipe-CSV store — must equal the batch Top10Job
+    // report over the same files, which is exactly the q28 oracle ──
+    "q80_top10_stream_update" -> ((s, _) =>
+      graft.streaming.StreamingReports.top10ReplayUpdate(
+        s, FixturesDir + "/events_json",
+        Sources.resources(s, FixturesDir + "/resources.json"),
+        Sources.categories(s, FixturesDir + "/categories.json")))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -2158,6 +2169,31 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT coalesce(l.k, '<null>') AS k, l.n AS n_a, r.n AS n_b
         |FROM g l JOIN g r ON l.k IS NOT DISTINCT FROM r.k""".stripMargin,
+
+    // stream-final == batch: the update-mode replay's merged report must
+    // equal the batch top10 over the same landing files — the oracle is
+    // the q28 batch SQL verbatim.
+    "q80_top10_stream_update" ->
+      """WITH cat AS (
+        |  SELECT regexp_replace(c.id, '\.(\d)', '.0\1', 'g') AS categoryId,
+        |         c.name AS categoryName
+        |  FROM (SELECT unnest(content) AS c
+        |        FROM read_json_auto('/root/repo/fixtures/categories.json'))),
+        |res AS (
+        |  SELECT id AS resourceId, name AS resourceName, categoryId
+        |  FROM read_json_auto('/root/repo/fixtures/resources.json')),
+        |ev AS (
+        |  SELECT substr(processTime, 1, 10) AS date, resourceId
+        |  FROM read_json_auto('/root/repo/fixtures/events_json/*.json')),
+        |c2 AS (SELECT date, resourceId, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+        |jd AS (
+        |  SELECT c2.date, c2.resourceId, c2.cnt, res.categoryId,
+        |         res.resourceName, cat.categoryName
+        |  FROM c2 LEFT JOIN res USING (resourceId)
+        |  LEFT JOIN cat ON res.categoryId = cat.categoryId)
+        |SELECT CAST(DENSE_RANK() OVER (PARTITION BY date, categoryId ORDER BY cnt DESC) AS BIGINT) AS position,
+        |  date, categoryId, categoryName, resourceId, resourceName
+        |FROM jd QUALIFY position <= 10""".stripMargin,
 
     // top-20 by (count desc, token) on both sides; the membership test
     // and the integer-ratio division mirror exactly.

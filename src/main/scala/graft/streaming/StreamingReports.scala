@@ -166,6 +166,47 @@ object StreamingReports {
       }
       .start()
 
+  /** Bounded replay of `top10StreamUpdate` over a directory of landing
+    * files — the certified-query surface (q80). Files are delivered in
+    * TWO waves with a full trigger cycle between them, so the
+    * update-mode machinery is exercised for real across triggers:
+    * wave 2's changed (date, resourceId) counts must upsert into the
+    * store (changed ∪ untouched rows of touched dates), and the re-rank
+    * + dynamic partition overwrite must leave every date's report —
+    * touched or not — equal to what a batch run over all files would
+    * produce. Update mode emits per trigger (no watermark latency), so
+    * no sentinel events are needed, unlike `sessionReplay`'s event-time
+    * timeouts. Returns the final report read back from the K1 pipe-CSV
+    * store, typed to match the batch report.
+    */
+  def top10ReplayUpdate(
+      spark: SparkSession, srcDir: String,
+      resources: DataFrame, categories: DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val landing = Files.createTempDirectory("graft-top10-replay")
+    val work = Files.createTempDirectory("graft-top10-out").toString
+    val (store, report) = (s"$work/store", s"$work/report")
+    val files = Files.list(Paths.get(srcDir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+    val (wave1, wave2) = files.splitAt(math.max(1, files.size / 2))
+    def deliver(ps: Seq[java.nio.file.Path]): Unit =
+      ps.foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING))
+    deliver(wave1)
+    val q = top10StreamUpdate(spark, landing.toString, resources, categories, store, report)
+    try {
+      q.processAllAvailable()
+      deliver(wave2)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.option("header", "true").option("sep", "|").csv(report)
+      .select(col("position").cast("bigint").as("position"),
+        col("date").cast("string").as("date"),
+        col("categoryId"), col("categoryName"),
+        col("resourceId"), col("resourceName"))
+  }
+
   /** Gap-based sessionization over the event stream —
     * flatMapGroupsWithState with an EVENT-TIME timeout: per-user state
     * holds only the open session (three longs, bounded regardless of
