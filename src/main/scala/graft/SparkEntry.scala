@@ -896,6 +896,27 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"))),
 
+    // ── approx profile under a live-bound contract (q62 pattern): the
+    // HLL profile joined to the exact profile per column; rows/nulls/
+    // min/max must agree exactly (same expressions, so string parity is
+    // q67's already-certified rendering) and the HLL distinct must land
+    // within 15% (3×rsd at the default 5%; HLL is hash-deterministic,
+    // so the verdict is stable). The oracle recomputes the exact side
+    // and expects distinct_ok = true. ──
+    "q81_profile_approx_contract" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val exact = graft.operators.Profile.profile(t(s, dir, "orders"), cols)
+        .select(col("column_name"), col("n_distinct").as("__exact"))
+      graft.operators.Profile.profileApprox(t(s, dir, "orders"), cols)
+        .join(exact, Seq("column_name"))
+        .select(col("column_name"), col("n_rows"), col("n_null"),
+          col("min_val"), col("max_val"),
+          (abs(col("n_distinct") - col("__exact")).cast("double") /
+            greatest(col("__exact"), lit(1L)).cast("double") <= 0.15)
+            .as("distinct_ok"))
+    }),
+
     // ── equi-width histogram (distribution pass for range partitioning
     // and skew detection): 1-row min/max broadcast back, bucket index,
     // one groupBy — identical FP operand order on both sides ──
@@ -2048,6 +2069,20 @@ object SparkEntry {
            |  count(DISTINCT $c) AS n_distinct,
            |  CAST(min($c) AS VARCHAR) AS min_val,
            |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
+    // exact side recomputed; the live HLL bound is asserted Spark-side
+    // and surfaces here as distinct_ok = true.
+    "q81_profile_approx_contract" -> Seq(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val,
+           |  true AS distinct_ok
            |FROM orders""".stripMargin)
       .mkString("\nUNION ALL\n"),
 
