@@ -26,6 +26,32 @@ object FileFetcher extends Fetcher {
     Files.readString(Paths.get(location))
 }
 
+/** The production fetcher: GETs http(s) locations with the JDK's own
+  * java.net.http client (no extra dependency). Non-HTTP locations fall
+  * through to [[FileFetcher]], so mixed configs (local fixtures + live
+  * endpoints) need no branching at the call sites. Driver-side only and
+  * bounded by contract — these are the reference's tiny dim/rates
+  * payloads (top10.py:46, royalties.py:66-68), never data-plane reads.
+  */
+class HttpFetcher(timeoutSeconds: Long = 30) extends Fetcher {
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .build()
+  override def fetch(location: String): String =
+    if (location.startsWith("http://") || location.startsWith("https://")) {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(location))
+        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() >= 200 && resp.statusCode() < 300,
+        s"GET $location returned HTTP ${resp.statusCode()}")
+      resp.body()
+    } else FileFetcher.fetch(location)
+}
+object HttpFetcher extends HttpFetcher(30)
+
 /** Ingestion tier (SURVEY.md §2.1, S1-S5) re-expressed Spark-first.
   *
   * The reference downloads one JSON blob per event serially onto the
@@ -36,6 +62,17 @@ object FileFetcher extends Fetcher {
   * body, a rates map) touch the driver, and each is bounded by contract.
   */
 object Sources {
+
+  /** Flag-selected default fetcher for the S1/S4/S5 driver-side
+    * payloads: `-Dgraft.fetcher=http` (or env GRAFT_FETCHER=http)
+    * switches every default-fetcher call site to the HTTP client; the
+    * zero-egress default stays file-backed. Explicit injection at a
+    * call site always wins over the flag.
+    */
+  def defaultFetcher: Fetcher =
+    if (sys.props.get("graft.fetcher").orElse(sys.env.get("GRAFT_FETCHER")).contains("http"))
+      HttpFetcher
+    else FileFetcher
 
   /** S3 — multi-file JSON event scan with the declared schema (replaces
     * the reference's driver download loop). Explicit schema: no
@@ -60,7 +97,7 @@ object Sources {
     * `createDataFrame` with the declared schema.
     */
   def categories(spark: SparkSession, location: String,
-      fetcher: Fetcher = FileFetcher): DataFrame = {
+      fetcher: Fetcher = defaultFetcher): DataFrame = {
     val rows = parseCategoryContent(fetcher.fetch(location)).map { m =>
       Row(m.get("tenant").orNull, m.get("id").orNull,
         m.get("name").orNull, m.get("percent").orNull)
@@ -104,20 +141,32 @@ object Sources {
   def countries(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** S4 over the fetch seam: the reference GETs this CSV from an HTTP
+    * endpoint. A tiny bounded dim — fetched driver-side through the
+    * seam, then parsed with the same header+inferSchema options as the
+    * file path (so the two forms are byte-equivalent on one payload).
+    */
+  def countriesVia(spark: SparkSession, location: String,
+      fetcher: Fetcher = defaultFetcher): DataFrame = {
+    import spark.implicits._
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(fetcher.fetch(location).linesIterator.toSeq.toDS())
+  }
+
   /** S5 — scalar rates lookup: tiny JSON object fetched driver-side
     * through the `Fetcher` seam, exposed both as a broadcast Map
     * (closure lookups, J6) and as a one-row-per-code DataFrame
     * (broadcast-join conversion, the Catalyst-friendly form).
     */
-  def exchangeRates(location: String, fetcher: Fetcher = FileFetcher): Map[String, Double] =
+  def exchangeRates(location: String, fetcher: Fetcher = defaultFetcher): Map[String, Double] =
     parseRates(fetcher.fetch(location))
 
   def broadcastRates(spark: SparkSession, location: String,
-      fetcher: Fetcher = FileFetcher): Broadcast[Map[String, Double]] =
+      fetcher: Fetcher = defaultFetcher): Broadcast[Map[String, Double]] =
     spark.sparkContext.broadcast(exchangeRates(location, fetcher))
 
   def ratesDf(spark: SparkSession, location: String,
-      fetcher: Fetcher = FileFetcher): DataFrame = {
+      fetcher: Fetcher = defaultFetcher): DataFrame = {
     import spark.implicits._
     exchangeRates(location, fetcher).toSeq.toDF("Code", "rate")
   }

@@ -98,4 +98,47 @@ class SourcesSpec extends SparkSpec {
     assert(b.value("EUR") == 1.08)
     assert(Sources.ratesDf(spark, s"$fix/rates.json").count() == 3)
   }
+
+  test("HttpFetcher: S1/S4/S5 via a local HTTP stub equal the file-backed results") {
+    import java.nio.file.{Files, Paths}
+    // loopback-only stub serving the same fixture bytes over HTTP —
+    // exercises the real java.net.http client without any egress
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, file: String): Unit =
+      server.createContext(path, exchange => {
+        val bytes = Files.readAllBytes(Paths.get(s"$fix/$file"))
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+    serve("/categories", "categories.json")
+    serve("/rates", "rates.json")
+    serve("/countries", "countries.csv")
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val http = graft.sources.HttpFetcher
+      assert(Sources.categories(spark, s"$base/categories", http).collect().toSet ==
+        Sources.categories(spark, s"$fix/categories.json").collect().toSet)
+      assert(Sources.exchangeRates(s"$base/rates", http) ==
+        Sources.exchangeRates(s"$fix/rates.json"))
+      assert(Sources.countriesVia(spark, s"$base/countries", http).collect().toSet ==
+        Sources.countries(spark, s"$fix/countries.csv").collect().toSet)
+      // non-HTTP locations fall through to the file fetcher
+      assert(Sources.exchangeRates(s"$fix/rates.json", http)("EUR") == 1.08)
+      // HTTP errors surface, not silently parsed
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.HttpFetcher.fetch(s"$base/nope")
+      }
+      assert(e.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+
+  test("defaultFetcher honors the graft.fetcher flag (file remains the default)") {
+    assert(Sources.defaultFetcher eq graft.sources.FileFetcher)
+    System.setProperty("graft.fetcher", "http")
+    try assert(Sources.defaultFetcher eq graft.sources.HttpFetcher)
+    finally System.clearProperty("graft.fetcher")
+  }
 }
