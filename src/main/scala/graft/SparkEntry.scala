@@ -1146,7 +1146,22 @@ object SparkEntry {
       graft.streaming.StreamingReports.top10ReplayUpdate(
         s, FixturesDir + "/events_json",
         Sources.resources(s, FixturesDir + "/resources.json"),
-        Sources.categories(s, FixturesDir + "/categories.json")))
+        Sources.categories(s, FixturesDir + "/categories.json"))),
+
+    // ── streaming exact dedup under the oracle: every landing file
+    // RE-DELIVERED under a new name after a full trigger cycle (the
+    // at-least-once redelivery the operator exists for);
+    // dropDuplicatesWithinWatermark must emit each eventId exactly
+    // once, which for byte-identical redeliveries is plain DISTINCT ──
+    "q82_dedup_stream" -> ((s, _) =>
+      graft.streaming.StreamingReports.dedupReplay(s, FixturesDir + "/events_json")),
+
+    // ── stream-stream interval join under the oracle: same-user
+    // follow-up events within 60 min, replayed and drained — must equal
+    // the batch self-join over the same files ──
+    "q83_followup_join_stream" -> ((s, _) =>
+      graft.streaming.StreamingReports.followupReplay(
+        s, FixturesDir + "/events_json", windowMinutes = 60))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -2085,6 +2100,24 @@ object SparkEntry {
            |  true AS distinct_ok
            |FROM orders""".stripMargin)
       .mkString("\nUNION ALL\n"),
+
+    // first-arrival-wins == DISTINCT for byte-identical redeliveries
+    // (fixture eventIds are unique; the replay plants the duplicates).
+    "q82_dedup_stream" ->
+      """SELECT DISTINCT eventId, userId, resourceId, countryCode, duration
+        |FROM read_json_auto('/root/repo/fixtures/events_json/*.json')""".stripMargin,
+
+    // epoch_us(CAST(x AS TIMESTAMPTZ)) handles the explicit-offset
+    // processTime strings (q45 convention); strict lower bound and
+    // inclusive upper bound mirror the stream's interval condition.
+    "q83_followup_join_stream" ->
+      """WITH e AS (
+        |  SELECT eventId, userId,
+        |         epoch_us(CAST(processTime AS TIMESTAMPTZ)) AS us
+        |  FROM read_json_auto('/root/repo/fixtures/events_json/*.json'))
+        |SELECT a.eventId AS a_id, b.eventId AS b_id, a.userId AS uid
+        |FROM e a JOIN e b ON a.userId = b.userId
+        |  AND b.us > a.us AND b.us <= a.us + CAST(3600000000 AS BIGINT)""".stripMargin,
 
     "q68_histogram" ->
       """WITH m AS (

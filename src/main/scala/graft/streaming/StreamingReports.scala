@@ -166,6 +166,61 @@ object StreamingReports {
       }
       .start()
 
+  /** Bounded replay of `dedupStream` — the certified-query surface
+    * (q82): the landing files are delivered, a full trigger cycle runs,
+    * then every file is RE-DELIVERED under a new name (the at-least-once
+    * redelivery the operator exists for — same eventIds, same payloads).
+    * dropDuplicatesWithinWatermark must pass each eventId through
+    * exactly once and drop the entire second wave. Returns the deduped
+    * events as a batch frame; the oracle is a plain DISTINCT over the
+    * same JSON files (redelivered payloads are byte-identical, so
+    * first-arrival-wins and DISTINCT agree row-for-row).
+    */
+  def dedupReplay(spark: SparkSession, srcDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val landing = Files.createTempDirectory("graft-dedup-replay")
+    val files = Files.list(Paths.get(srcDir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+    def deliver(suffix: String): Unit =
+      files.foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString + suffix),
+        StandardCopyOption.REPLACE_EXISTING))
+    deliver("")
+    val mem = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = dedupStream(eventStream(spark, landing.toString))
+      .select("eventId", "userId", "resourceId", "countryCode", "duration")
+      .writeStream.format("memory").queryName(mem).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      deliver(".redelivered.json") // same payloads, new filenames
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(mem)
+  }
+
+  /** Bounded replay of `followupJoin` — the certified-query surface
+    * (q83). Stream-stream inner interval joins emit a match as soon as
+    * both sides have arrived (watermarks only bound state eviction), so
+    * a drained replay holds every same-user (a, b) pair with b within
+    * `windowMinutes` after a — byte-comparable against the batch
+    * self-join SQL over the same files.
+    */
+  def followupReplay(spark: SparkSession, srcDir: String, windowMinutes: Int): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val landing = Files.createTempDirectory("graft-followup-replay")
+    Files.list(Paths.get(srcDir)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING))
+    val mem = s"graft_followup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = followupJoin(spark, landing.toString, windowMinutes)
+      .select(col("a_id"), col("b_id"), col("a_user").as("uid"))
+      .writeStream.format("memory").queryName(mem).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(mem)
+  }
+
   /** Bounded replay of `top10StreamUpdate` over a directory of landing
     * files — the certified-query surface (q80). Files are delivered in
     * TWO waves with a full trigger cycle between them, so the

@@ -31,7 +31,9 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    // comma-separated scale points; each probes N decorrelated copies
+    val copiesList = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10,25,50")
+      .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -46,14 +48,23 @@ object ScaleProbe {
     val docs1 = Corpus.load(spark, sfDir, "documents").select("doc_id", "text")
     val emb1 = Corpus.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
 
+    // Two composed rotations — consonants (20 classes) × vowels (5
+    // classes) — give 100 distinct text transforms, so up to 100 copies
+    // stay pairwise decorrelated. A single 20-class rotation would make
+    // copies i and i+20 byte-identical at 25×/50×, planting clone pairs
+    // that turn the probe into a clone-pair count instead of a curve.
     val consonants = "bcdfghjklmnpqrstvwxz"
-    def docsN: DataFrame = (0 until n).map { i =>
-      val rot = consonants.drop(i % consonants.length) + consonants.take(i % consonants.length)
+    val vowels = "aeiou"
+    def docsN(n: Int): DataFrame = (0 until n).map { i =>
+      val cRot = consonants.drop(i % consonants.length) + consonants.take(i % consonants.length)
+      val vShift = (i / consonants.length) % vowels.length
+      val vRot = vowels.drop(vShift) + vowels.take(vShift)
       docs1.select(
         (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
-        (if (i == 0) col("text") else translate(col("text"), consonants, rot)).as("text"))
+        (if (i == 0) col("text")
+         else translate(translate(col("text"), consonants, cRot), vowels, vRot)).as("text"))
     }.reduce(_.unionByName(_))
-    def embN: DataFrame = (0 until n).map { i =>
+    def embN(n: Int): DataFrame = (0 until n).map { i =>
       val k = i % 64
       emb1.select(
         (col("vec_id") + lit(i * 100000000L)).as("vec_id"),
@@ -84,11 +95,16 @@ object ScaleProbe {
     docs1.count(); emb1.count()
     probe("1x-discard", docs1, emb1)
     val base = probe("1x", docs1, emb1)
-    val big = probe(s"${n}x", docsN, embN)
-    val ratios = base.keys.map { k =>
-      f""""$k":${big(k)._1 / base(k)._1}%.1f"""
-    }.mkString("{", ",", "}")
-    println(s"""{"probe":"scale","copies":$n,"wall_ratio":$ratios}""")
+    val points = copiesList.map { n =>
+      n -> probe(s"${n}x", docsN(n), embN(n))
+    }
+    val curve = points.map { case (n, big) =>
+      val ratios = base.keys.toSeq.sorted.map { k =>
+        f""""$k":${big(k)._1 / base(k)._1}%.1f"""
+      }.mkString("{", ",", "}")
+      s""""${n}x":$ratios"""
+    }.mkString(",")
+    println(s"""{"probe":"scale","copies":[${copiesList.mkString(",")}],"wall_ratio":{$curve}}""")
     spark.stop()
   }
 }
