@@ -79,8 +79,10 @@ object Bench {
       val sfJson = if (withSf) s""","sf":${jstr(sf)}""" else ""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$sfJson}"""
     }
-    val candidates = Iterator(line(2, withSf = true), line(2, withSf = false), line(1, withSf = false))
-    candidates.find(_.length <= LineBudget).getOrElse(line(1, withSf = false))
+    val candidates = Iterator(
+      line(2, withSf = true), line(2, withSf = false),
+      line(1, withSf = false), line(0, withSf = false))
+    candidates.find(_.length <= LineBudget).getOrElse(line(0, withSf = false))
   }
 
   def main(args: Array[String]): Unit = {

@@ -1161,7 +1161,14 @@ object SparkEntry {
     // the batch self-join over the same files ──
     "q83_followup_join_stream" -> ((s, _) =>
       graft.streaming.StreamingReports.followupReplay(
-        s, FixturesDir + "/events_json", windowMinutes = 60))
+        s, FixturesDir + "/events_json", windowMinutes = 60)),
+
+    // ── mapGroupsWithState running totals under the oracle: two-wave
+    // replay (state must accumulate across triggers); final cumulative
+    // total per resource == batch count ──
+    "q84_running_totals_stream" -> ((s, _) =>
+      graft.streaming.StreamingReports.runningTotalsReplay(
+        s, FixturesDir + "/events_json"))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -2118,6 +2125,11 @@ object SparkEntry {
         |SELECT a.eventId AS a_id, b.eventId AS b_id, a.userId AS uid
         |FROM e a JOIN e b ON a.userId = b.userId
         |  AND b.us > a.us AND b.us <= a.us + CAST(3600000000 AS BIGINT)""".stripMargin,
+
+    "q84_running_totals_stream" ->
+      """SELECT resourceId, count(*) AS total
+        |FROM read_json_auto('/root/repo/fixtures/events_json/*.json')
+        |GROUP BY resourceId""".stripMargin,
 
     "q68_histogram" ->
       """WITH m AS (

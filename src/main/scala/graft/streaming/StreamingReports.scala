@@ -356,6 +356,37 @@ object StreamingReports {
     spark.table(mem).filter(col("userId") =!= "__sentinel")
   }
 
+  /** Bounded replay of `runningTotals` — the certified-query surface
+    * (q84). Files are delivered in two waves so the per-key state must
+    * genuinely ACCUMULATE across triggers (a single trigger would never
+    * read existing state back). Totals are cumulative and monotone, so
+    * the final value per resource is the max over the per-trigger
+    * emissions — and must equal the batch per-resource event count.
+    */
+  def runningTotalsReplay(spark: SparkSession, srcDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-totals-replay")
+    val files = Files.list(Paths.get(srcDir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+    val (wave1, wave2) = files.splitAt(math.max(1, files.size / 2))
+    def deliver(ps: Seq[java.nio.file.Path]): Unit =
+      ps.foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING))
+    deliver(wave1)
+    val mem = s"graft_totals_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = runningTotals(eventStream(spark, landing.toString).as[Event])
+      .toDF("resourceId", "total")
+      .writeStream.format("memory").queryName(mem).outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      deliver(wave2)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(mem).groupBy("resourceId").agg(max(col("total")).as("total"))
+  }
+
   /** Custom state: running per-resource event totals via
     * mapGroupsWithState (KeyValueGroupedDataset surface).
     */
