@@ -721,6 +721,24 @@ object SparkEntry {
       graft.ext.ConnectedComponents.dedupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
     }),
 
+    // ── contamination-safe train/val/test split: the draw is keyed on
+    // the near-dup CLUSTER representative, so every member of a dup
+    // cluster lands in the same split — per-doc random splits leak
+    // held-out content through near-duplicates; this is the split shape
+    // a training corpus actually needs. Composes minhash-LSH pairs →
+    // connected components → md5-threshold assignment ──
+    "q85_split_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val clusters = graft.ext.ConnectedComponents
+        .dedupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+      graft.operators.Sampling.clusterSafeSplit(
+          docs.select("doc_id"), "doc_id", clusters,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split-v1")
+        .select("doc_id", "cluster", "split")
+    }),
+
     // ── Bloom-filter join pruning (the explicit runtime-filter shape):
     // a compact filter built over the small side's keys prunes the big
     // side BEFORE the join shuffle; the exact semi join then removes
@@ -2125,6 +2143,43 @@ object SparkEntry {
         |SELECT a.eventId AS a_id, b.eventId AS b_id, a.userId AS uid
         |FROM e a JOIN e b ON a.userId = b.userId
         |  AND b.us > a.us AND b.us <= a.us + CAST(3600000000 AS BIGINT)""".stripMargin,
+
+    // q55's transitive-closure clusters + the q58/q70 md5 hex-threshold
+    // convention on the CLUSTER id ('cccccccc' = 0.8, 'e6666666' = 0.9).
+    "q85_split_safe" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS a, db AS b
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |assigned AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT doc_id, cluster,
+        |  CASE
+        |    WHEN substr(md5(concat_ws(':', 'split-v1', CAST(cluster AS VARCHAR))), 1, 8) < 'cccccccc' THEN 'train'
+        |    WHEN substr(md5(concat_ws(':', 'split-v1', CAST(cluster AS VARCHAR))), 1, 8) < 'e6666666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM assigned""".stripMargin,
 
     "q84_running_totals_stream" ->
       """SELECT resourceId, count(*) AS total

@@ -77,6 +77,37 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Contamination-safe train/val/test split. Near-duplicate documents
+    * must land in the SAME split, or the held-out sets leak training
+    * content — the classic train/test contamination bug that per-doc
+    * random splits cannot avoid. The draw is therefore keyed on the
+    * doc's dedup-CLUSTER id (the min-id representative from
+    * `ConnectedComponents.dedupClusters`), so every member of a near-dup
+    * cluster inherits one deterministic draw; docs without a cluster row
+    * fall back to their own id (singleton semantics). `splits` are
+    * (name, weight) in declared order, weights summing to 1; assignment
+    * is the usual cumulative-threshold when-chain on the md5 hex draw,
+    * so any engine with md5 reproduces the exact assignment. One
+    * broadcast-friendly join to the (bounded) cluster map, then a pure
+    * projection — nothing here shuffles the corpus.
+    */
+  def clusterSafeSplit(
+      docs: DataFrame, idCol: String, clusters: DataFrame,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val joined = docs
+      .join(clusters.select(col(idCol), col("cluster")), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val unit = hashUnit(col("cluster"), salt)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = splits.init.zip(cums.init).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), cum)) => acc.when(unit < lit(thresholdHex(cum)), name)
+    }.otherwise(lit(splits.last._1))
+    joined.withColumn("split", assign)
+  }
+
   /** Stratified deterministic sample: per-stratum rates (training-data
     * mixing weights). Strata absent from `rates` fall back to
     * `defaultRate`. The predicate is a single when-chain in stratum-name

@@ -77,4 +77,29 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling introduced a shuffle:\n$plan")
   }
+
+  test("clusterSafeSplit: a near-dup cluster never straddles splits; singletons fall back to own id") {
+    // 1000 docs in 100 clusters of 10 (cluster id = min member), plus
+    // 500 unclustered singletons
+    val docs = (0L until 1500L).toDF("doc_id")
+    val clusters = (0L until 1000L).map(i => (i, i / 10 * 10)).toDF("doc_id", "cluster")
+    val out = Sampling.clusterSafeSplit(docs, "doc_id", clusters,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+      .select("doc_id", "cluster", "split").as[(Long, Long, String)].collect()
+
+    // contamination property: one split per cluster
+    val perCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perCluster.forall(_._2.size == 1),
+      s"clusters straddling splits: ${perCluster.filter(_._2.size > 1).keys.take(5)}")
+    // singleton fallback: cluster == own id for the unclustered tail
+    assert(out.filter(_._1 >= 1000L).forall(r => r._2 == r._1))
+    // rough ratios at the CLUSTER grain (100 + 500 draws)
+    val byDraw = out.groupBy(_._2).map(_._2.head._3).toSeq
+    val train = byDraw.count(_ == "train").toDouble / byDraw.size
+    assert(math.abs(train - 0.8) < 0.06, s"train share $train")
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.clusterSafeSplit(docs, "doc_id", clusters, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
