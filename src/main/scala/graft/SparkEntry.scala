@@ -739,6 +739,16 @@ object SparkEntry {
         .select("doc_id", "cluster", "split")
     }),
 
+    // ── deterministic sharded corpus shuffle ("shuffle once, stream
+    // sequentially"): (shard, shard_rank) addresses form a reproducible
+    // pseudo-random permutation; ranking windows partition per shard —
+    // 256 independent partial sorts, no global sort ──
+    "q86_shuffle_shards" -> ((s, dir) =>
+      graft.operators.Sampling.shuffleShards(
+          t(s, dir, "documents").select("doc_id"), col("doc_id"),
+          salt = "shuf-v1", hexChars = 2)
+        .select("doc_id", "shard", "shard_rank")),
+
     // ── Bloom-filter join pruning (the explicit runtime-filter shape):
     // a compact filter built over the small side's keys prunes the big
     // side BEFORE the join shuffle; the exact semi join then removes
@@ -2180,6 +2190,17 @@ object SparkEntry {
         |    WHEN substr(md5(concat_ws(':', 'split-v1', CAST(cluster AS VARCHAR))), 1, 8) < 'e6666666' THEN 'val'
         |    ELSE 'test' END AS split
         |FROM assigned""".stripMargin,
+
+    // the md5 hex string is order-isomorphic to the draw on both
+    // engines; ties broken by doc_id identically.
+    "q86_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(concat_ws(':', 'shuf-v1', CAST(doc_id AS VARCHAR))) AS hx
+        |  FROM documents)
+        |SELECT doc_id, substr(hx, 1, 2) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY substr(hx, 1, 2) ORDER BY hx, doc_id) AS BIGINT) AS shard_rank
+        |FROM h""".stripMargin,
 
     "q84_running_totals_stream" ->
       """SELECT resourceId, count(*) AS total

@@ -208,6 +208,26 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(path + "/params")
   }
 
+  /** Append a batch's signatures into a persisted index — the
+    * write-back half of the production loop: dedup today's batch
+    * against the index, keep the survivors, fold them in so tomorrow's
+    * batch dedups against them too. The batch is shingled with the
+    * index's own stored geometry; the existing corpus rows are neither
+    * read nor rewritten (parquet append of the new files only). Ids
+    * must be new to the index.
+    */
+  def appendToMinhashIndex(
+      newDocs: DataFrame, path: String, idCol: String, textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    val idx = readMinhashIndex(spark, path)
+    val base = shingled(newDocs, idCol, textCol, idx.shingleK)
+    bandedOf(base, idx.numHashes, idx.numBands)
+      .select(col("__id").as("id"), col("band"), col("bh"))
+      .write.mode("append").parquet(path + "/bands")
+    base.select(col("__id").as("id"), col("__sh").as("shingles"))
+      .write.mode("append").parquet(path + "/sets")
+  }
+
   /** Load a persisted index; the stored params travel with the data so
     * a batch probe can never band with mismatched hash geometry.
     */

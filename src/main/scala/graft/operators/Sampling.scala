@@ -77,6 +77,28 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Deterministic corpus shuffle for training: every row gets a
+    * (shard, shard_rank) address — reading shards in shard order, each
+    * sequentially by rank, yields a reproducible pseudo-random
+    * permutation of the corpus (the "shuffle once, stream sequentially"
+    * layout training jobs want; `df.orderBy(rand())` is neither
+    * reproducible nor oracle-checkable). The shard is the first
+    * `hexChars` characters of the md5 draw (16^hexChars shards) and the
+    * rank orders by the full hex (ties broken by key), so the ranking
+    * window partitions BY SHARD — 16^hexChars independent partial
+    * sorts, never a global single-partition sort. Scale knob: pick
+    * hexChars so corpus/16^hexChars rows fit one task's sort buffer.
+    */
+  def shuffleShards(
+      df: DataFrame, key: Column, salt: String = "", hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars in [1,8], got $hexChars")
+    val h = md5(concat_ws(":", lit(salt), key.cast("string")))
+    df.withColumn("shard", substring(h, 1, hexChars))
+      .withColumn("shard_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(h, key)).cast("long"))
+  }
+
   /** Contamination-safe train/val/test split. Near-duplicate documents
     * must land in the SAME split, or the held-out sets leak training
     * content — the classic train/test contamination bug that per-doc

@@ -374,6 +374,22 @@ class ExtSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (1L, 11L)), "index path diverged from one-shot result")
   }
 
+  test("appendToMinhashIndex folds a batch in; later probes match old AND new corpus") {
+    import graft.ext.Dedup
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpusA = Seq((10L, txt), (12L, "unrelated corpus content text here")).toDF("doc_id", "text")
+    val batchB = Seq((20L, txt + " lambda")).toDF("doc_id", "text")     // near-dup of 10
+    val batchC = Seq((30L, txt + " mu")).toDF("doc_id", "text")        // near-dup of 10 AND 20
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_append").toString
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpusA, "doc_id", "text"), dir)
+    Dedup.appendToMinhashIndex(batchB, dir, "doc_id", "text")
+    val got = Dedup.nearDupPairsMinhashAgainstIndex(
+        batchC, Dedup.readMinhashIndex(spark, dir), "doc_id", "text", threshold = 0.6)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((30L, 10L), (30L, 20L)),
+      s"probe after append should match both original corpus and appended batch: $got")
+  }
+
   test("banded self-join spreads a planted hot cluster's quadratic work across tasks") {
     import graft.ext.Dedup
     // 400 one-token-edit docs: near-identical (high Jaccard) but NOT

@@ -78,6 +78,21 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling introduced a shuffle:\n$plan")
   }
 
+  test("shuffleShards: reproducible permutation, per-shard ranks, no global sort") {
+    val a = Sampling.shuffleShards(ids, col("id"), "s").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val b = Sampling.shuffleShards(ids.repartition(13), col("id"), "s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(a.toSet == b.toSet, "partitioning changed the permutation")
+    // ranks are dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.size))
+    }
+    // the ranking window partitions by shard — never a global sort
+    val plan = Sampling.shuffleShards(ids, col("id"), "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global sort in shuffle plan:\n$plan")
+  }
+
   test("clusterSafeSplit: a near-dup cluster never straddles splits; singletons fall back to own id") {
     // 1000 docs in 100 clusters of 10 (cluster id = min member), plus
     // 500 unclustered singletons
