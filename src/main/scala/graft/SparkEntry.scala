@@ -739,6 +739,20 @@ object SparkEntry {
         .select("doc_id", "cluster", "split")
     }),
 
+    // ── benchmark decontamination: training docs near-dupping an
+    // eval doc (doc_id % 5 == 0 plays the benchmark) are anti-joined
+    // out — eval-driven candidate work, the training side is never
+    // self-joined ──
+    "q87_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", shingleK = 3, numHashes = 128, bands = 32,
+          threshold = 0.8)
+        .select("doc_id")
+    }),
+
     // ── deterministic sharded corpus shuffle ("shuffle once, stream
     // sequentially"): (shard, shard_rank) addresses form a reproducible
     // pseudo-random permutation; ranking windows partition per shard —
@@ -2190,6 +2204,31 @@ object SparkEntry {
         |    WHEN substr(md5(concat_ws(':', 'split-v1', CAST(cluster AS VARCHAR))), 1, 8) < 'e6666666' THEN 'val'
         |    ELSE 'test' END AS split
         |FROM assigned""".stripMargin,
+
+    // q79's exact cross-side Jaccard, inverted: training docs NOT
+    // matched by any eval doc at >= 0.8.
+    "q87_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS e_id, b.doc_id AS t_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT DISTINCT t_id
+        |  FROM inter JOIN sz sa ON sa.doc_id = e_id JOIN sz sb ON sb.doc_id = t_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT t_id FROM hits)""".stripMargin,
 
     // the md5 hex string is order-isomorphic to the draw on both
     // engines; ties broken by doc_id identically.

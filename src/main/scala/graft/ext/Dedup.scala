@@ -272,6 +272,25 @@ object Dedup {
       .select("new_id", "corpus_id", "jaccard")
   }
 
+  /** Benchmark decontamination: remove from TRAINING every doc that is
+    * a near-duplicate of an EVAL/benchmark doc — the step that keeps
+    * held-out benchmarks honest (a benchmark passage that survives in
+    * the training corpus inflates eval scores). Shape: index the
+    * training side once, probe with the (small) eval set, anti-join the
+    * hits out — the training corpus is scanned once for the index and
+    * once for the anti-join; the eval set drives all candidate work, so
+    * cost scales with |eval|·bands, not |training|².
+    */
+  def decontaminate(
+      training: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val idx = buildMinhashIndex(training, idCol, textCol, shingleK, numHashes, bands)
+    val hits = nearDupPairsMinhashAgainstIndex(evalDocs, idx, idCol, textCol, threshold)
+      .select(col("corpus_id").as(idCol)).distinct()
+    training.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** One-shot convenience: build the corpus index in memory and probe it.
     * Same result as persisting + probing (the q79 path does that); use
     * the index API directly when the corpus outlives the batch.

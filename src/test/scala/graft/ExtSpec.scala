@@ -390,6 +390,20 @@ class ExtSpec extends SparkSpec {
       s"probe after append should match both original corpus and appended batch: $got")
   }
 
+  test("decontaminate removes exactly the training docs near-dupping an eval doc") {
+    import graft.ext.Dedup
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val training = Seq(
+      (10L, txt),                                   // near-dup of eval 1 → removed
+      (11L, txt + " lambda"),                       // near-dup of eval 1 → removed
+      (12L, "unrelated corpus content text here")). // clean → kept
+      toDF("doc_id", "text")
+    val evalDocs = Seq((1L, txt)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(training, evalDocs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L), s"kept $kept")
+  }
+
   test("banded self-join spreads a planted hot cluster's quadratic work across tasks") {
     import graft.ext.Dedup
     // 400 one-token-edit docs: near-identical (high Jaccard) but NOT
