@@ -538,6 +538,22 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16, lloydIters = 2)
     }),
 
+    // ── IVF against the PERSISTED index: anchors + inverted lists
+    // written once (the build-once artifact — at 100 TB the corpus
+    // assignment is rebuilt on compaction, not per query batch), then
+    // the query batch probes the stored tables only. Exhaustive
+    // nprobe = nlist, so the oracle is q42's brute-force truth ──
+    "q88_sim_topk_ivf_stored" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${java.lang.Integer.toHexString(dir.hashCode)}"
+      SimSearch.writeIvfIndex(
+        SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16), idxPath)
+      SimSearch.ivfTopKAgainstIndex(
+        SimSearch.readIvfIndex(s, idxPath),
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 16)
+    }),
+
     // ── gap-based sessionization (30-min gap): break flags + cumulative
     // session ids + per-session aggregate, all sharing ONE
     // hashpartitioning(user) shuffle; integer-microsecond gap math so
@@ -1723,6 +1739,28 @@ object SparkEntry {
 
     // Same truth as q19/q41: IVF with nprobe = nlist is exhaustive.
     "q42_sim_topk_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM embeddings
+        |), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / sqrt(q.nn * c.nn) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+        |  cosine
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+
+    // Same truth as q42: the stored index holds exact float vectors
+    // (parquet float round-trip is lossless), and nprobe = nlist is
+    // exhaustive — so probe-from-storage must equal brute force.
+    "q88_sim_topk_ivf_stored" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
         |    list_reduce(list_transform(list_zip(embedding, embedding),

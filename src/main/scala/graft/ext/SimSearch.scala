@@ -329,10 +329,22 @@ object SimSearch {
     * certified mode); nprobe < nlist trades recall for a ~nlist/nprobe
     * candidate cut (spec-covered).
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int, nprobe: Int, seed: Long = 7L,
-      lloydIters: Int = 0): DataFrame = {
+  /** A persisted IVF index: `anchors` (__cid, __cv) is the bounded
+    * coarse quantizer, `lists` (neighbor_id, __cv2, __cid) the
+    * corpus inverted lists. Building it — anchor sampling, optional
+    * Lloyd iterations, and the full-corpus argmax assignment — is the
+    * expensive part; at 100 TB it is a build-once artifact (rebuilt on
+    * corpus compaction), while every query batch pays only the
+    * probe-side joins. [[ivfTopK]] is build+probe in one call;
+    * [[writeIvfIndex]]/[[readIvfIndex]]/[[ivfTopKAgainstIndex]] split
+    * the lifecycle so query batches never re-assign the corpus.
+    */
+  final case class IvfIndex(anchors: DataFrame, lists: DataFrame, nlist: Int)
+
+  /** One corpus pass (plus Lloyd iterations): anchors + inverted lists. */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 7L, lloydIters: Int = 0): IvfIndex = {
     val spark = corpus.sparkSession
     val n = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .repartition(col("__id"))
@@ -374,6 +386,46 @@ object SimSearch {
     }
     val lists = n.join(assign(anchors), Seq("__id"))
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv2"), col("__cid"))
+    IvfIndex(anchors, lists, nlist)
+  }
+
+  /** Persist an IVF index: anchors/ (cid, cvec), lists/ (id, vec, cid),
+    * params/ (1 row). On a real cluster lists/ would be written
+    * bucketed by cid so probes co-locate; plain parquet keeps the
+    * sandbox path simple with the identical join shape on read.
+    */
+  def writeIvfIndex(idx: IvfIndex, path: String): Unit = {
+    idx.anchors.select(col("__cid").as("cid"), col("__cv").as("cvec"))
+      .write.mode("overwrite").parquet(path + "/anchors")
+    idx.lists.select(col("neighbor_id").as("id"), col("__cv2").as("vec"), col("__cid").as("cid"))
+      .write.mode("overwrite").parquet(path + "/lists")
+    val spark = idx.anchors.sparkSession
+    import spark.implicits._
+    Seq(idx.nlist).toDF("nlist").coalesce(1)
+      .write.mode("overwrite").parquet(path + "/params")
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val p = spark.read.parquet(path + "/params").head()
+    IvfIndex(
+      spark.read.parquet(path + "/anchors")
+        .select(col("cid").as("__cid"), col("cvec").as("__cv")),
+      spark.read.parquet(path + "/lists")
+        .select(col("id").as("neighbor_id"), col("vec").as("__cv2"), col("cid").as("__cid")),
+      p.getInt(0))
+  }
+
+  /** Probe-only IVF top-k against a (possibly stored) index: rank
+    * anchors per query, keep `nprobe`, score only those lists. The
+    * corpus is never re-assigned here — query-batch cost is independent
+    * of index-build cost.
+    */
+  def ivfTopKAgainstIndex(
+      idx: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val anchors = idx.anchors
+    val lists = idx.lists
     // probe: rank anchors per query, keep nprobe (queries are a bounded
     // batch, so the per-query window is small)
     val qn = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -393,4 +445,13 @@ object SimSearch {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** Build + probe in one call (the original surface; q42/q44). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int, seed: Long = 7L,
+      lloydIters: Int = 0): DataFrame =
+    ivfTopKAgainstIndex(
+      buildIvfIndex(corpus, idCol, vecCol, nlist, seed, lloydIters),
+      queries, idCol, vecCol, k, nprobe)
 }

@@ -390,6 +390,35 @@ class ExtSpec extends SparkSpec {
       s"probe after append should match both original corpus and appended batch: $got")
   }
 
+  test("persisted IVF index: probe plan never re-assigns the corpus and matches build+probe") {
+    import graft.ext.SimSearch
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    SimSearch.writeIvfIndex(
+      SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8), dir)
+    val idx = SimSearch.readIvfIndex(spark, dir)
+    assert(idx.nlist == 8, "params round-trip")
+
+    // in-memory query batch: any FileScan carrying the raw 'embedding'
+    // column in the probe plan would be a corpus re-assignment leak
+    // (the stored index uses 'cvec'/'vec' names)
+    val qRows = emb.filter(col("vec_id") % 100 === 0).collect().toSeq
+    val qDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows), emb.schema)
+    val probe = SimSearch.ivfTopKAgainstIndex(idx, qDf, "vec_id", "embedding", k = 5, nprobe = 8)
+    val leaks = probe.queryExecution.executedPlan.collectLeaves().filter(p =>
+      p.getClass.getSimpleName.contains("FileSourceScan") &&
+        p.output.exists(_.name == "embedding"))
+    assert(leaks.isEmpty, s"probe re-scanned the corpus embeddings: ${leaks.mkString("; ")}")
+
+    // exhaustive probe from storage == build+probe in memory
+    val got = probe.select("query_id", "neighbor_id", "rank").collect().toSet
+    val want = SimSearch.ivfTopK(emb, qDf, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(got == want, "stored-index probe diverged from one-shot ivfTopK")
+  }
+
   test("decontaminate removes exactly the training docs near-dupping an eval doc") {
     import graft.ext.Dedup
     val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
