@@ -54,10 +54,12 @@ object Bench {
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
   /** Max bytes for the driver-contract line. The driver parses a ~2000-char
-    * stdout tail; staying under 1900 leaves headroom for a trailing newline
-    * and any stray decoration.
+    * stdout tail; since build.sbt strips all sbt decoration, nothing
+    * follows this line but its newline, so 1950 leaves real headroom
+    * while keeping 1-decimal medians available at ~88 queries (1900
+    * forced the 0-decimal rung — too coarse for per-query comparison).
     */
-  val LineBudget = 1900
+  val LineBudget = 1950
 
   /** The driver-contract line (printed LAST). Self-consistency: `value` is
     * the sum of the *printed* per-query medians (summed in integer
