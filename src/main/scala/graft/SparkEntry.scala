@@ -747,8 +747,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      // only non-singleton members join; singletons take the own-id
+      // fallback — same result, and the map side shrinks from |corpus|
+      // to the dup mass (broadcastable at scale)
       val clusters = graft.ext.ConnectedComponents
         .dedupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .filter(col("cluster_size") > 1)
       graft.operators.Sampling.clusterSafeSplit(
           docs.select("doc_id"), "doc_id", clusters,
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split-v1")

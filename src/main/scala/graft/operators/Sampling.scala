@@ -109,9 +109,14 @@ object Sampling {
     * fall back to their own id (singleton semantics). `splits` are
     * (name, weight) in declared order, weights summing to 1; assignment
     * is the usual cumulative-threshold when-chain on the md5 hex draw,
-    * so any engine with md5 reproduces the exact assignment. One
-    * broadcast-friendly join to the (bounded) cluster map, then a pure
-    * projection — nothing here shuffles the corpus.
+    * so any engine with md5 reproduces the exact assignment.
+    *
+    * Scale note: pass only the NON-SINGLETON cluster rows
+    * (cluster_size > 1) — the left join's own-id fallback makes that
+    * equivalent to passing the full doc-grain map, and it shrinks the
+    * join's right side from |corpus| to the dup mass (typically a few
+    * percent), which is what makes it broadcastable. The draw itself is
+    * a pure projection.
     */
   def clusterSafeSplit(
       docs: DataFrame, idCol: String, clusters: DataFrame,
