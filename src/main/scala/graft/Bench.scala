@@ -62,29 +62,38 @@ object Bench {
   val LineBudget = 1950
 
   /** The driver-contract line (printed LAST). Self-consistency: `value` is
-    * the sum of the *printed* per-query medians (summed in integer
-    * centi/milli-seconds, so queries-sum == value exactly). If the line
-    * exceeds [[LineBudget]] it degrades stepwise — drop "sf", then go from
-    * 2-decimal to 1-decimal medians — so adding queries can't silently
-    * overflow the tail window again.
+    * the sum of the *printed* per-query medians of SUCCESSFUL queries
+    * (summed in integer units of the printed precision, so the
+    * non-negative queries sum to value exactly; a failed query's -1
+    * sentinel stays visible in the map but never makes the total read
+    * faster than an all-green round). If the line exceeds [[LineBudget]]
+    * it degrades stepwise — drop "sf", trim decimals, truncate error
+    * messages, and as the last rung replace the errors map with a bare
+    * failure count — so neither query growth nor a burst of long
+    * exception messages can overflow the tail window again (rounds 1-5
+    * each found one of these ways to break the parse).
     */
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String): String = {
-    def line(decimals: Int, withSf: Boolean): String = {
+    def line(decimals: Int, withSf: Boolean, errCap: Int): String = {
       val scale = math.pow(10, decimals)
       val units = medians.map { case (k, v) => (k, math.round(v * scale)) }
       val qs = units.map { case (k, u) => jstr(k) + ":" + fmt(decimals, u / scale) }
         .mkString("{", ",", "}")
-      val total = fmt(decimals, units.map(_._2).sum / scale)
+      val total = fmt(decimals, units.map(_._2).filter(_ >= 0).sum / scale)
       val errJson =
         if (errors.isEmpty) ""
-        else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+        else if (errCap == 0) s""","n_errors":${errors.size}"""
+        else ",\"errors\":" + errors
+          .map { case (k, v) => jstr(k) + ":" + jstr(v.take(errCap)) }
+          .mkString("{", ",", "}")
       val sfJson = if (withSf) s""","sf":${jstr(sf)}""" else ""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$sfJson}"""
     }
     val candidates = Iterator(
-      line(2, withSf = true), line(2, withSf = false),
-      line(1, withSf = false), line(0, withSf = false))
-    candidates.find(_.length <= LineBudget).getOrElse(line(0, withSf = false))
+      line(2, withSf = true, errCap = 200), line(2, withSf = false, errCap = 200),
+      line(1, withSf = false, errCap = 200), line(1, withSf = false, errCap = 40),
+      line(0, withSf = false, errCap = 40), line(0, withSf = false, errCap = 0))
+    candidates.find(_.length <= LineBudget).getOrElse(line(0, withSf = false, errCap = 0))
   }
 
   def main(args: Array[String]): Unit = {

@@ -206,12 +206,19 @@ object SimSearch {
     */
   /** Metadata-only row estimate from the optimized plan's statistics.
     * Exact rowCount when the relation provides one; else
-    * sizeInBytes / bytesPerRow. Never runs a job.
+    * sizeInBytes / bytesPerRow × a 4× compression guard. Never runs a
+    * job. The guard exists because the estimate gates an O(n²) plan:
+    * random float vectors barely compress, but a DUPLICATE-heavy
+    * corpus — exactly what dedup pipelines process — dictionary-encodes
+    * in parquet, and an under-estimated row count would flip a huge
+    * corpus onto the exact all-pairs join (a hang), while the guard's
+    * over-estimate merely picks the bucketed plan a bit early (mildly
+    * slower on small data — always safe).
     */
   def estimatedRows(df: DataFrame, bytesPerRow: Long): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.toLong).getOrElse(
-      (stats.sizeInBytes / BigInt(math.max(1L, bytesPerRow)))
+      (stats.sizeInBytes * 4 / BigInt(math.max(1L, bytesPerRow)))
         .min(BigInt(Long.MaxValue)).toLong)
   }
 

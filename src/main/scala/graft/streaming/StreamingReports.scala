@@ -166,6 +166,35 @@ object StreamingReports {
       }
       .start()
 
+  // ── replay plumbing shared by the five bounded-replay surfaces:
+  // closed directory streams (Files.list holds an open dir handle) and
+  // landing-dir cleanup, so repeated bench runs don't accumulate temp
+  // copies of the fixtures ──
+
+  private def listFixtureFiles(srcDir: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
+    try s.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
+
+  private def deliver(
+      landing: java.nio.file.Path, files: Seq[java.nio.file.Path],
+      suffix: String = ""): Unit =
+    files.foreach(p => java.nio.file.Files.copy(
+      p, landing.resolve(p.getFileName.toString + suffix),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(dir)
+    try s.iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
+  }
+
   /** Bounded replay of `dedupStream` — the certified-query surface
     * (q82): the landing files are delivered, a full trigger cycle runs,
     * then every file is RE-DELIVERED under a new name (the at-least-once
@@ -177,24 +206,21 @@ object StreamingReports {
     * first-arrival-wins and DISTINCT agree row-for-row).
     */
   def dedupReplay(spark: SparkSession, srcDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val landing = Files.createTempDirectory("graft-dedup-replay")
-    val files = Files.list(Paths.get(srcDir)).iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
-    def deliver(suffix: String): Unit =
-      files.foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString + suffix),
-        StandardCopyOption.REPLACE_EXISTING))
-    deliver("")
+    val landing = java.nio.file.Files.createTempDirectory("graft-dedup-replay")
+    val files = listFixtureFiles(srcDir)
+    deliver(landing, files)
     val mem = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = dedupStream(eventStream(spark, landing.toString))
       .select("eventId", "userId", "resourceId", "countryCode", "duration")
       .writeStream.format("memory").queryName(mem).outputMode("append").start()
     try {
       q.processAllAvailable()
-      deliver(".redelivered.json") // same payloads, new filenames
+      deliver(landing, files, ".redelivered.json") // same payloads, new filenames
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      deleteRecursively(landing) // results live in the memory sink
+    }
     spark.table(mem)
   }
 
@@ -206,18 +232,14 @@ object StreamingReports {
     * self-join SQL over the same files.
     */
   def followupReplay(spark: SparkSession, srcDir: String, windowMinutes: Int): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val landing = Files.createTempDirectory("graft-followup-replay")
-    Files.list(Paths.get(srcDir)).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
-        StandardCopyOption.REPLACE_EXISTING))
+    val landing = java.nio.file.Files.createTempDirectory("graft-followup-replay")
+    deliver(landing, listFixtureFiles(srcDir))
     val mem = s"graft_followup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = followupJoin(spark, landing.toString, windowMinutes)
       .select(col("a_id"), col("b_id"), col("a_user").as("uid"))
       .writeStream.format("memory").queryName(mem).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { q.stop(); deleteRecursively(landing) }
     spark.table(mem)
   }
 
@@ -237,24 +259,24 @@ object StreamingReports {
   def top10ReplayUpdate(
       spark: SparkSession, srcDir: String,
       resources: DataFrame, categories: DataFrame): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val landing = Files.createTempDirectory("graft-top10-replay")
-    val work = Files.createTempDirectory("graft-top10-out").toString
+    val landing = java.nio.file.Files.createTempDirectory("graft-top10-replay")
+    val work = java.nio.file.Files.createTempDirectory("graft-top10-out")
     val (store, report) = (s"$work/store", s"$work/report")
-    val files = Files.list(Paths.get(srcDir)).iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+    val files = listFixtureFiles(srcDir)
     val (wave1, wave2) = files.splitAt(math.max(1, files.size / 2))
-    def deliver(ps: Seq[java.nio.file.Path]): Unit =
-      ps.foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
-        StandardCopyOption.REPLACE_EXISTING))
-    deliver(wave1)
+    deliver(landing, wave1)
     val q = top10StreamUpdate(spark, landing.toString, resources, categories, store, report)
     try {
       q.processAllAvailable()
-      deliver(wave2)
+      deliver(landing, wave2)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the returned frame reads the report CSV lazily — clean the
+      // landing copies and the store, keep report/ alive
+      deleteRecursively(landing)
+      deleteRecursively(java.nio.file.Paths.get(store))
+    }
     spark.read.option("header", "true").option("sep", "|").csv(report)
       .select(col("position").cast("bigint").as("position"),
         col("date").cast("string").as("date"),
@@ -335,13 +357,9 @@ object StreamingReports {
     * batch sessionization SQL over the same files.
     */
   def sessionReplay(spark: SparkSession, srcDir: String, gapMinutes: Int): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.Files
     val landing = Files.createTempDirectory("graft-session-replay")
-    Files.list(Paths.get(srcDir)).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
-        StandardCopyOption.REPLACE_EXISTING))
+    deliver(landing, listFixtureFiles(srcDir))
     val mem = s"graft_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = sessionStream(spark, landing.toString, gapMinutes)
       .toDF().writeStream.format("memory").queryName(mem).outputMode("append").start()
@@ -352,7 +370,7 @@ object StreamingReports {
           s"""{"eventId": "sent$n", "eventTime": "2030-01-0${n}T00:00:00+00:00", "processTime": "2030-01-0${n}T00:00:00+00:00", "resourceId": "rX", "userId": "__sentinel", "countryCode": "US", "duration": 0, "itemPrice": "0"}""")
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally { q.stop(); deleteRecursively(landing) }
     spark.table(mem).filter(col("userId") =!= "__sentinel")
   }
 
@@ -364,26 +382,20 @@ object StreamingReports {
     * emissions — and must equal the batch per-resource event count.
     */
   def runningTotalsReplay(spark: SparkSession, srcDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     import spark.implicits._
-    val landing = Files.createTempDirectory("graft-totals-replay")
-    val files = Files.list(Paths.get(srcDir)).iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+    val landing = java.nio.file.Files.createTempDirectory("graft-totals-replay")
+    val files = listFixtureFiles(srcDir)
     val (wave1, wave2) = files.splitAt(math.max(1, files.size / 2))
-    def deliver(ps: Seq[java.nio.file.Path]): Unit =
-      ps.foreach(p => Files.copy(p, landing.resolve(p.getFileName.toString),
-        StandardCopyOption.REPLACE_EXISTING))
-    deliver(wave1)
+    deliver(landing, wave1)
     val mem = s"graft_totals_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = runningTotals(eventStream(spark, landing.toString).as[Event])
       .toDF("resourceId", "total")
       .writeStream.format("memory").queryName(mem).outputMode("update").start()
     try {
       q.processAllAvailable()
-      deliver(wave2)
+      deliver(landing, wave2)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); deleteRecursively(landing) }
     spark.table(mem).groupBy("resourceId").agg(max(col("total")).as("total"))
   }
 

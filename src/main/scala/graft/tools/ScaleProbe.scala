@@ -100,7 +100,12 @@ object ScaleProbe {
     }
     val curve = points.map { case (n, big) =>
       val ratios = base.keys.toSeq.sorted.map { k =>
-        f""""$k":${big(k)._1 / base(k)._1}%.1f"""
+        // Locale.ROOT: a comma-decimal default locale would render 3,5
+        // and break the machine-readable line (same class of bug as the
+        // Bench contract-line fix)
+        val r = String.format(java.util.Locale.ROOT, "%.1f",
+          Double.box(big(k)._1 / base(k)._1))
+        s""""$k":$r"""
       }.mkString("{", ",", "}")
       s""""${n}x":$ratios"""
     }.mkString(",")

@@ -66,4 +66,20 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\\n"))
     assert(!line.contains("\nline2"))
   }
+
+  test("a failed query's -1 sentinel never makes the total read faster") {
+    val line = Bench.contractLine(Seq(("q1", 2.0), ("q2", -1.0)), Map("q2" -> "boom"), "sf")
+    assert(line.contains("\"value\":2.00"), s"failed query leaked into value: $line")
+    assert(line.contains("\"q2\":-1.00"), "sentinel must stay visible in the map")
+  }
+
+  test("a burst of long error messages still fits the budget (errors degrade before overflow)") {
+    val real = SparkEntry.queries.keys.toSeq.sorted
+    val meds = real.zipWithIndex.map { case (k, i) => (k, i * 0.137) }
+    val errors = real.take(6).map(k => k -> ("x" * 200)).toMap
+    val line = Bench.contractLine(meds, errors, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    // failures must remain visible in SOME form on the contract line
+    assert(line.contains("\"errors\"") || line.contains("\"n_errors\""), line)
+  }
 }

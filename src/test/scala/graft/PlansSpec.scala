@@ -64,10 +64,12 @@ class PlansSpec extends SparkSpec {
 
   test("exact-vs-LSH switch is driven by catalyst stats, not a count job") {
     // file-backed relation: no rowCount in stats, so the estimate is
-    // sizeInBytes / (4*dim + 16) — between 1× and ~2× the true count
+    // sizeInBytes×4 / (4*dim + 16) — conservatively ABOVE the true
+    // count (the 4× guard covers dictionary-encoded duplicate-heavy
+    // corpora; an under-estimate would gate an O(n²) plan)
     val n = emb.count()
     val est = SimSearch.estimatedRows(emb, 4L * 64 + 16)
-    assert(est >= n && est <= 3 * n, s"file-stats estimate $est vs true $n")
+    assert(est >= n && est <= 12 * n, s"file-stats estimate $est vs true $n")
 
     // in-memory relation: LocalRelation carries an exact rowCount
     val local = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "v")
