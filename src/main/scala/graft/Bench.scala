@@ -55,11 +55,14 @@ object Bench {
 
   /** Max bytes for the driver-contract line. The driver parses a ~2000-char
     * stdout tail; since build.sbt strips all sbt decoration, nothing
-    * follows this line but its newline, so 1950 leaves real headroom
-    * while keeping 1-decimal medians available at ~88 queries (1900
-    * forced the 0-decimal rung — too coarse for per-query comparison).
+    * follows this line but its newline, so the line itself may use
+    * almost the whole window. 1980 keeps 1-decimal medians available at
+    * the current 88 queries (measured 1954 chars; 1950 pushed it onto
+    * the 0-decimal rung, whose per-query integers are too coarse for
+    * comparison and distort the value sum). The 0-decimal rung remains
+    * the never-overflow backstop if the suite grows past ~89 queries.
     */
-  val LineBudget = 1950
+  val LineBudget = 1980
 
   /** The driver-contract line (printed LAST). Self-consistency: `value` is
     * the sum of the *printed* per-query medians of SUCCESSFUL queries
