@@ -1218,6 +1218,32 @@ object SparkEntry {
         Sources.resources(s, FixturesDir + "/resources.json"),
         Sources.categories(s, FixturesDir + "/categories.json"))),
 
+    // ── the index APPEND path under the oracle: build the stored index
+    // from 3/5 of the corpus, fold another fifth in via
+    // appendToMinhashIndex (no read/rewrite of existing rows), then
+    // probe with the batch. Final semantics == q79 (batch vs the whole
+    // %5≠0 corpus), so q79's oracle SQL applies verbatim — what's
+    // certified is that append-then-probe equals build-all-then-probe ──
+    "q89_idx_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idxap_${java.lang.Integer.toHexString(dir.hashCode)}_k3h128b32"
+      // params/ is written last and acts as the commit marker; append is
+      // not idempotent, so the whole build+append happens once per
+      // (data dir, geometry) — later runs probe the stored index
+      if (!new java.io.File(s"$idxPath/params").exists()) {
+        Dedup.writeMinhashIndex(
+          Dedup.buildMinhashIndex(
+            docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4),
+            "doc_id", "text", shingleK = 3, numHashes = 128, bands = 32),
+          idxPath)
+        Dedup.appendToMinhashIndex(
+          docs.filter(col("doc_id") % 5 === 4), idxPath, "doc_id", "text")
+      }
+      Dedup.nearDupPairsMinhashAgainstIndex(
+        docs.filter(col("doc_id") % 5 === 0), Dedup.readMinhashIndex(s, idxPath),
+        "doc_id", "text", threshold = 0.8)
+    }),
+
     // ── streaming exact dedup under the oracle: every landing file
     // RE-DELIVERED under a new name after a full trigger cycle (the
     // at-least-once redelivery the operator exists for);
@@ -2217,6 +2243,29 @@ object SparkEntry {
         |SELECT a.eventId AS a_id, b.eventId AS b_id, a.userId AS uid
         |FROM e a JOIN e b ON a.userId = b.userId
         |  AND b.us > a.us AND b.us <= a.us + CAST(3600000000 AS BIGINT)""".stripMargin,
+
+    // identical truth to q79: the batch against the whole %5≠0 corpus —
+    // append-then-probe must equal build-all-then-probe.
+    "q89_idx_append" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS n_id, b.doc_id AS c_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT n_id AS new_id, c_id AS corpus_id,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = n_id JOIN sz sb ON sb.doc_id = c_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin,
 
     // q55's transitive-closure clusters + the q58/q70 md5 hex-threshold
     // convention on the CLUSTER id ('cccccccc' = 0.8, 'e6666666' = 0.9).
