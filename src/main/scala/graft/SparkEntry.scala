@@ -546,11 +546,16 @@ object SparkEntry {
     "q88_sim_topk_ivf_stored" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // build-once like q79: runs after the first probe the stored
-      // index, so the bench median measures the probe-only path
-      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${java.lang.Integer.toHexString(dir.hashCode)}_n16"
-      if (!new java.io.File(s"$idxPath/params").exists())
+      // index, so the bench median measures the probe-only path.
+      // Content-keyed path + staged atomic commit (IndexStore): a
+      // regenerated dataset gets a fresh index, and a crash mid-build
+      // can never leave a params-complete but data-incomplete tree.
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/embeddings.parquet")
+      val idxPath = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${fp}_n16") { staging =>
         SimSearch.writeIvfIndex(
-          SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16), idxPath)
+          SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16), staging)
+      }
       SimSearch.ivfTopKAgainstIndex(
         SimSearch.readIvfIndex(s, idxPath),
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
@@ -1181,16 +1186,21 @@ object SparkEntry {
     // cross-side, so corpus×corpus candidates never materialize ──
     "q79_dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // geometry-tagged path; build once per (data dir, geometry) and
-      // reuse — the production shape is build-on-compaction, probe per
-      // batch, so the bench's median-of-3 measures the probe path (run
-      // 1 pays the build; runs 2-3 probe the stored index)
-      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${java.lang.Integer.toHexString(dir.hashCode)}_k3h128b32"
-      if (!new java.io.File(s"$idxPath/params").exists())
+      // geometry-tagged, CONTENT-keyed path (file names+sizes+mtimes —
+      // regenerating the dataset in place invalidates the cache); build
+      // once and reuse — the production shape is build-on-compaction,
+      // probe per batch, so the bench's median-of-3 measures the probe
+      // path (run 1 pays the build; runs 2-3 probe the stored index).
+      // IndexStore stages + atomically renames, so no crash can commit
+      // a partial index.
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/documents.parquet")
+      val idxPath = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${fp}_k3h128b32") { staging =>
         Dedup.writeMinhashIndex(
           Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
             shingleK = 3, numHashes = 128, bands = 32),
-          idxPath)
+          staging)
+      }
       Dedup.nearDupPairsMinhashAgainstIndex(
         docs.filter(col("doc_id") % 5 === 0), Dedup.readMinhashIndex(s, idxPath),
         "doc_id", "text", threshold = 0.8)
@@ -1226,18 +1236,23 @@ object SparkEntry {
     // certified is that append-then-probe equals build-all-then-probe ──
     "q89_idx_append" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idxap_${java.lang.Integer.toHexString(dir.hashCode)}_k3h128b32"
-      // params/ is written last and acts as the commit marker; append is
-      // not idempotent, so the whole build+append happens once per
-      // (data dir, geometry) — later runs probe the stored index
-      if (!new java.io.File(s"$idxPath/params").exists()) {
+      // the append is NOT idempotent, so the whole build+append runs as
+      // ONE staged commit (IndexStore): both steps write into a staging
+      // tree that is atomically renamed only after the append completes.
+      // A crash between build and append — the round-6 advisor's
+      // finding — leaves nothing behind the marker, so the next run
+      // rebuilds from scratch instead of silently probing an index
+      // missing the appended fifth. Content-keyed like q79.
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/documents.parquet")
+      val idxPath = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_mh_idxap_${fp}_k3h128b32") { staging =>
         Dedup.writeMinhashIndex(
           Dedup.buildMinhashIndex(
             docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4),
             "doc_id", "text", shingleK = 3, numHashes = 128, bands = 32),
-          idxPath)
+          staging)
         Dedup.appendToMinhashIndex(
-          docs.filter(col("doc_id") % 5 === 4), idxPath, "doc_id", "text")
+          docs.filter(col("doc_id") % 5 === 4), staging, "doc_id", "text")
       }
       Dedup.nearDupPairsMinhashAgainstIndex(
         docs.filter(col("doc_id") % 5 === 0), Dedup.readMinhashIndex(s, idxPath),

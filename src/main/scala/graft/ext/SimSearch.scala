@@ -222,11 +222,28 @@ object SimSearch {
         .min(BigInt(Long.MaxValue)).toLong)
   }
 
+  /** True iff the relation is small enough for the O(n²) exact all-pairs
+    * plan. Belt and braces (round-6 advisor): the 4× compression guard
+    * in [[estimatedRows]] can still under-count when a duplicate-heavy
+    * corpus dictionary-encodes beyond 4×, so the row estimate is paired
+    * with an ABSOLUTE byte cap — sizeInBytes must also be at most
+    * `maxRows × bytesPerRow` (the raw size of a corpus at the row
+    * limit). A multi-GB relation can therefore never be routed onto the
+    * quadratic plan by any compression ratio; the worst a wrong stats
+    * estimate can now do is pick the bucketed plan early, which is
+    * always safe.
+    */
+  def fitsExactPlan(df: DataFrame, bytesPerRow: Long, maxRows: Long): Boolean = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    estimatedRows(df, bytesPerRow) <= maxRows &&
+      stats.sizeInBytes <= BigInt(maxRows) * BigInt(math.max(1L, bytesPerRow))
+  }
+
   def nearDupPairsCosineLsh(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
       dim: Int, bits: Int = -1, tables: Int = -1, seed: Long = 7L,
       exactMaxRows: Long = 1L << 16): DataFrame = {
-    if (exactMaxRows > 0 && estimatedRows(corpus, 4L * dim + 16) <= exactMaxRows)
+    if (exactMaxRows > 0 && fitsExactPlan(corpus, 4L * dim + 16, exactMaxRows))
       return nearDupPairsCosine(corpus, idCol, vecCol, threshold)
     val (b, t) =
       if (bits > 0 && tables > 0) (bits, tables) else lshParamsForTau(threshold)

@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.io.File
+
+/** Build-once lifecycle for persisted index artifacts (the minhash and
+  * IVF indexes of ext/Dedup.scala and ext/SimSearch.scala).
+  *
+  * Two production hazards this closes (round-6 advisor findings):
+  *
+  *  1. ATOMIC COMMIT. An index is only valid once every table under its
+  *     directory is complete, but a multi-step build (write base index,
+  *     then append a delta) can crash between steps. If the presence
+  *     marker (`params/`) lands before the last step, every later run
+  *     sees a "complete" index that is silently missing rows and
+  *     diverges from the oracle until tmp is cleaned by hand. The fix is
+  *     the standard staging-directory commit: the WHOLE build — however
+  *     many steps — runs inside `<path>.staging-<nonce>`, and only a
+  *     fully built tree is renamed into place. The rename is a
+  *     same-filesystem directory move (atomic on POSIX), so readers see
+  *     either no index or a whole one, never a partial.
+  *
+  *  2. CONTENT KEYING. A cache path derived from the DATA DIRECTORY
+  *     string alone outlives the data: regenerate the dataset in place
+  *     (or collide two dirs on String.hashCode) and later runs probe a
+  *     stale index with no error. [[fingerprint]] folds the source
+  *     files' names, sizes, and mtimes into the path, so regenerated
+  *     inputs get a fresh index automatically. Metadata-only — no data
+  *     is read, so it stays O(#files) however large the table is (at
+  *     100 TB a content hash of the data would itself be a full scan;
+  *     name+size+mtime is the same freshness contract object stores and
+  *     build systems use).
+  */
+object IndexStore {
+
+  /** Cheap content fingerprint of one or more table paths (files or
+    * directories): 16 hex chars of md5 over the sorted
+    * `name:size:mtime` lines of every data file. Hidden and `_*`
+    * entries (parquet `_SUCCESS`, checksums) are skipped so a rewrite
+    * that produces identical data files with new commit markers still
+    * changes mtimes — which is exactly the conservative direction.
+    */
+  def fingerprint(paths: String*): String = {
+    val lines = paths.flatMap { p =>
+      val f = new File(p)
+      val files =
+        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        else if (f.isFile) Seq(f)
+        else Seq.empty
+      files.filter(x => x.isFile && !x.getName.startsWith(".") && !x.getName.startsWith("_"))
+        .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+    }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(lines.mkString("\n").getBytes("UTF-8"))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Ensure a committed index exists at `path`, building it at most once.
+    *
+    * `build` receives a STAGING path and must write the complete index
+    * there (any number of steps — build + append is fine). On return the
+    * staging tree is atomically renamed to `path`. If a concurrent run
+    * committed first, our staging tree is discarded and theirs wins —
+    * both were built from the same inputs, so either is valid.
+    *
+    * `marker` is the subpath whose existence certifies a committed
+    * index (the params table every index format here writes); a `path`
+    * that exists WITHOUT its marker is a damaged artifact from a
+    * pre-staging writer and is deleted before rebuilding.
+    */
+  def ensure(path: String, marker: String = "params")(build: String => Unit): String = {
+    val dest = new File(path)
+    if (new File(dest, marker).exists()) return path
+    if (dest.exists()) deleteRecursively(dest) // damaged: no marker
+    val staging = new File(path + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
+    try {
+      build(staging.getPath)
+      require(new File(staging, marker).exists(),
+        s"index build did not produce its commit marker '$marker' under $staging")
+      if (!staging.renameTo(dest)) {
+        // lost a commit race (dest now exists) — keep the winner's tree
+        require(new File(dest, marker).exists(),
+          s"could not commit index to $path and no valid index is present")
+        deleteRecursively(staging)
+      }
+    } catch {
+      case t: Throwable => deleteRecursively(staging); throw t
+    }
+    path
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

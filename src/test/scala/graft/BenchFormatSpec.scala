@@ -33,6 +33,27 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.endsWith("}"))
   }
 
+  test("mixed rung keeps sub-second precision and stays self-consistent") {
+    // Calibrated so the uniform-1-decimal line is JUST over budget while
+    // the mixed rung (≥0.95 s values print as integers) fits: 93 names
+    // of 14 chars ⇒ 1-decimal ≈ 2000 chars, mixed saves 2 chars on each
+    // of the 31 multi-second values. The sub-second medians must KEEP
+    // their decimal — that is the rung's whole point.
+    val meds = (1 to 93).map { i =>
+      (f"q${i}%02d_abcdefghij", if (i % 3 == 0) 2.4 else 0.3)
+    }
+    val line = Bench.contractLine(meds, Map.empty, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(line.contains(":0.3"), s"sub-second medians must keep their decimal: $line")
+    assert(line.contains(":2,") || line.contains(":2}"),
+      s"multi-second values should print as integers on the mixed rung: $line")
+    val printed = "\"q[0-9]+_[a-z]+\":([0-9.]+)".r
+      .findAllMatchIn(line).map(m => BigDecimal(m.group(1))).toSeq
+    assert(printed.size == 93)
+    val value = "\"value\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1)
+    assert(BigDecimal(value) == printed.sum, s"value=$value sum=${printed.sum}")
+  }
+
   test("value equals the sum of the printed per-query medians exactly") {
     val meds = Seq(("q1", 0.375), ("q2", 0.265), ("q3", 1.005))
     val line = Bench.contractLine(meds, Map.empty, "sf")

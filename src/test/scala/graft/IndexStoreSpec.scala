@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.IndexStore
+import java.io.File
+import java.nio.file.Files
+
+/** IndexStore: atomic build-once commit + content fingerprinting (plain
+  * file ops, no Spark session). These pin the two round-6 advisor
+  * findings: a crash between build steps must never leave a
+  * marker-complete but data-incomplete index, and a regenerated dataset
+  * must never be served a stale index.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+
+  private def tmpDir(): File =
+    Files.createTempDirectory("graft-idxstore").toFile
+
+  test("ensure commits atomically: a failing build leaves nothing behind") {
+    val root = tmpDir()
+    val path = new File(root, "idx").getPath
+    val boom = intercept[RuntimeException] {
+      IndexStore.ensure(path) { staging =>
+        new File(staging, "bands").mkdirs()
+        sys.error("crash between build and append")
+      }
+    }
+    assert(boom.getMessage.contains("crash"))
+    assert(!new File(path).exists(), "no committed index may appear")
+    assert(root.listFiles().forall(!_.getName.contains(".staging")),
+      "failed staging tree must be cleaned up")
+  }
+
+  test("ensure refuses a build that produced no commit marker") {
+    val root = tmpDir()
+    val path = new File(root, "idx").getPath
+    intercept[IllegalArgumentException] {
+      IndexStore.ensure(path) { staging => new File(staging, "bands").mkdirs(): Unit }
+    }
+    assert(!new File(path).exists())
+  }
+
+  test("ensure builds once, then reuses; a damaged tree without marker is rebuilt") {
+    val root = tmpDir()
+    val path = new File(root, "idx").getPath
+    var builds = 0
+    def build(staging: String): Unit = { builds += 1; new File(staging, "params").mkdirs(): Unit }
+    IndexStore.ensure(path)(build)
+    IndexStore.ensure(path)(build)
+    assert(builds == 1, "second ensure must reuse the committed index")
+    // simulate a pre-staging writer's partial artifact: marker removed
+    new File(path, "params").delete()
+    IndexStore.ensure(path)(build)
+    assert(builds == 2, "marker-less tree is damaged and must be rebuilt")
+    assert(new File(path, "params").exists())
+  }
+
+  test("fingerprint changes when a data file's size or mtime changes") {
+    val data = tmpDir()
+    val f = new File(data, "part-00000.parquet")
+    Files.write(f.toPath, "aaaa".getBytes)
+    val fp1 = IndexStore.fingerprint(data.getPath)
+    assert(fp1.matches("[0-9a-f]{16}"))
+    // same content, bumped mtime — conservative invalidation
+    assert(f.setLastModified(f.lastModified() + 5000))
+    val fp2 = IndexStore.fingerprint(data.getPath)
+    assert(fp1 != fp2, "mtime change must change the fingerprint")
+    // size change too
+    Files.write(f.toPath, "aaaaaa".getBytes)
+    val fp3 = IndexStore.fingerprint(data.getPath)
+    assert(fp3 != fp2)
+    // hidden/underscore commit markers are ignored
+    Files.write(new File(data, "_SUCCESS").toPath, Array.emptyByteArray)
+    Files.write(new File(data, ".crc").toPath, Array.emptyByteArray)
+    assert(IndexStore.fingerprint(data.getPath) == fp3)
+  }
+
+  test("fingerprint of a single parquet FILE (the sf layout) works") {
+    val data = tmpDir()
+    val f = new File(data, "documents.parquet")
+    Files.write(f.toPath, "pq".getBytes)
+    assert(IndexStore.fingerprint(f.getPath).matches("[0-9a-f]{16}"))
+  }
+}

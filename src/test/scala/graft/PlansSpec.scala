@@ -88,6 +88,17 @@ class PlansSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"),
       "over-threshold estimate should pick the bucketed LSH plan")
+
+    // Belt-and-braces byte cap: even when the ROW estimate is under the
+    // limit (here it is exact — LocalRelation carries rowCount=2), the
+    // exact plan is refused if sizeInBytes exceeds maxRows×bytesPerRow.
+    // This is the guard against >4× compression under-counting rows:
+    // no compression ratio can route a large relation onto the O(n²)
+    // plan, because the RAW byte size is checked too.
+    assert(SimSearch.fitsExactPlan(local, 4L * 2 + 16, 65536),
+      "tiny relation passes both the row and byte gates")
+    assert(!SimSearch.fitsExactPlan(local, bytesPerRow = 1, maxRows = 2),
+      "row estimate within limit but byte size over maxRows×bytesPerRow must refuse the exact plan")
   }
 
   test("GraftExtensions injection applies cleanly to a fresh extensions object") {
