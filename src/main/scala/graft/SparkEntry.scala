@@ -1279,7 +1279,57 @@ object SparkEntry {
     // total per resource == batch count ──
     "q84_running_totals_stream" -> ((s, _) =>
       graft.streaming.StreamingReports.runningTotalsReplay(
-        s, FixturesDir + "/events_json"))
+        s, FixturesDir + "/events_json")),
+
+    // ── CDC MERGE (upsert/delete changeset onto a snapshot): updates
+    // rewrite matched rows, inserts add unmatched 'U' keys, deletes
+    // drop matched keys, untouched rows pass through. The changeset is
+    // derived from orders deterministically: even keys change (≡2 mod 8
+    // are tombstones — keys the snapshot holds), snapshot = keys
+    // %4 ≠ 0, so updates (≡2 mod 4), inserts (≡0 mod 4, absent from
+    // the snapshot), deletes, and no-op rows are ALL exercised ──
+    "q90_merge" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val snap = orders.filter(col("o_orderkey") % 4 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val chg = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 8 === 2, lit("D")).otherwise(lit("U")).as("op"),
+          col("o_custkey"),
+          (col("o_totalprice") + lit(1.0)).as("o_totalprice"),
+          col("o_orderstatus"))
+      graft.operators.Merge.merge(snap, chg, "o_orderkey", "op")
+    }),
+
+    // ── balanced domain mixture: every source downsampled to the
+    // smallest source's size, rates computed IN-PLAN from the corpus's
+    // own counts (no collect), md5-threshold draw — exact integer/IEEE
+    // arithmetic end to end, so the oracle reproduces the row set ──
+    "q91_mix_bal" -> ((s, dir) =>
+      graft.operators.Sampling.balancedMix(
+          t(s, dir, "documents"), "source", col("doc_id"), salt = "mix-v1")
+        .select("doc_id", "source", "lang")),
+
+    // ── canonical-doc selection: near-dup pairs → connected components
+    // → keep the LONGEST member of each cluster (ties: min doc_id) —
+    // "which copy do we keep" is the half of dedup that min-id
+    // representatives don't answer ──
+    "q92_canon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val clusters = graft.ext.ConnectedComponents
+        .dedupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+      graft.ext.ConnectedComponents.canonicalPerCluster(
+        clusters, "doc_id", docs.select(col("doc_id"), col("n_chars")), "n_chars")
+    }),
+
+    // ── vocabulary-rarity quality score: per-doc mean document
+    // frequency of its distinct tokens — the integer-exact twin of a
+    // "-mean log p" corpus-LM filter (log dropped ⇒ all-BIGINT sums,
+    // one final division, cross-engine exact) ──
+    "q93_rarity" -> ((s, dir) =>
+      graft.ext.TextAnalysis.tokenRarity(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -2606,6 +2656,93 @@ object SparkEntry {
         |  CASE WHEN len(grams) > 0 THEN
         |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
         |  ELSE 0.0 END AS rep_ratio
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // MERGE as its relational definition: full outer join, change side
+    // wins on 'U', 'D' rows (and their matched snapshot rows) dropped,
+    // change-only rows must be upserts. o_totalprice + 1.0 is one IEEE
+    // add on identical operands — exact in both engines.
+    "q90_merge" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 4 <> 0),
+        |chg AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 8 = 2 THEN 'D' ELSE 'U' END AS op,
+        |    o_custkey, o_totalprice + 1.0 AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT coalesce(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN c.op = 'U' THEN c.o_custkey ELSE s.o_custkey END AS o_custkey,
+        |  CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+        |  CASE WHEN c.op = 'U' THEN c.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus
+        |FROM snap s FULL OUTER JOIN chg c ON s.o_orderkey = c.o_orderkey
+        |WHERE coalesce(c.op, '') <> 'D'
+        |  AND (s.o_orderkey IS NOT NULL OR c.op = 'U')""".stripMargin,
+
+    // Same md5 draw as q58; the per-source threshold is
+    // floor((min_n/n)·2^32) in hex — IEEE ÷,×,floor are correctly
+    // rounded, so both engines compute the identical threshold. The
+    // smallest source keeps all rows (no 8-hex threshold equals 1.0).
+    "q91_mix_bal" ->
+      """WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS minn FROM n)
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN n USING (source) CROSS JOIN m
+        |WHERE n.n = m.minn
+        |   OR substr(md5(concat_ws(':', 'mix-v1', CAST(d.doc_id AS VARCHAR))), 1, 8)
+        |      < lpad(lower(hex(CAST(floor(
+        |          (CAST(m.minn AS DOUBLE) / CAST(n.n AS DOUBLE)) * 4294967296.0
+        |        ) AS BIGINT))), 8, '0')""".stripMargin,
+
+    // q55's transitive-closure component oracle + argmax(n_chars, min
+    // doc_id) per cluster; cluster_size is counted BEFORE the argmax
+    // filter, like the Spark window.
+    "q92_canon" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS a, db AS b
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |assigned AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT a.cluster, a.doc_id AS canon_id, d.n_chars,
+        |  count(*) OVER (PARTITION BY a.cluster) AS cluster_size
+        |FROM assigned a JOIN documents d ON d.doc_id = a.doc_id
+        |QUALIFY row_number() OVER (PARTITION BY a.cluster
+        |  ORDER BY d.n_chars DESC, a.doc_id) = 1""".stripMargin,
+
+    // Distinct (doc, token) grain; SUM(df) cast to BIGINT (DuckDB sums
+    // BIGINT into HUGEINT, which pandas would float-ify) and ONE final
+    // division — no other FP op exists in the query.
+    "q93_rarity" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, token FROM raw),
+        |dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_types, CAST(sum(df) AS BIGINT) AS sum_df,
+        |  CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
+        |FROM tok JOIN dfreq USING (token)
+        |GROUP BY doc_id""".stripMargin
   )
 }

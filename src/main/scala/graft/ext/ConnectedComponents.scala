@@ -130,4 +130,27 @@ object ConnectedComponents {
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_representative", col(idCol) === col("cluster"))
   }
+
+  /** Canonical-document selection — "which copy do we KEEP?". The
+    * min-id representative of [[dedupClusters]] is arbitrary; real
+    * dedup keeps the BEST member (longest, highest quality score,
+    * freshest crawl). Picks argmax(`scoreCol`) per cluster, ties broken
+    * by min id so the choice is total and deterministic. One
+    * cluster-keyed window over rows already carrying their cluster —
+    * no extra join beyond scoring; at 100 TB the window partitions by
+    * cluster (millions of small groups), never a global sort.
+    * Output: (cluster, canon_id, score of the canon doc, cluster_size).
+    */
+  def canonicalPerCluster(
+      clusters: DataFrame, idCol: String,
+      scored: DataFrame, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("cluster")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters
+      .join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("cluster"), col(idCol).as("canon_id"),
+        col(scoreCol), col("cluster_size"))
+  }
 }

@@ -279,4 +279,31 @@ object TextAnalysis {
       .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("chunk", floor(col("tok_offset") / lit(budget)))
   }
+
+  /** Vocabulary-rarity quality score: per document, the mean DOCUMENT
+    * FREQUENCY of its distinct tokens — low mean-df docs use rare
+    * vocabulary (jargon, misspellings, other languages), high mean-df
+    * docs are built from corpus-common words. The integer twin of the
+    * perplexity-style "-mean log p(token)" filter: a corpus-statistics
+    * LM score with the log dropped, which keeps every intermediate an
+    * exact BIGINT (sums of counts) so the ONLY floating-point op is the
+    * final division — cross-engine exact, unlike log/exp whose last ulp
+    * is libm-dependent and would break oracle hash parity.
+    *
+    * Shape: distinct (doc, token) aggregate, token-keyed df aggregate
+    * (output = vocabulary size), broadcast-or-shuffle join back on
+    * token, one doc-keyed sum — the same two-aggregate skeleton as
+    * [[tfIdf]], all partial-agg friendly, nothing driver-side.
+    */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val types = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+    val dfreq = types.groupBy("token").agg(count(lit(1)).as("df"))
+    types.join(dfreq, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_types"), sum(col("df")).as("sum_df"))
+      .withColumn("mean_df",
+        col("sum_df").cast("double") / col("n_types").cast("double"))
+  }
 }

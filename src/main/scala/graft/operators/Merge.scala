@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC MERGE — apply a changeset to a snapshot (the `MERGE INTO`
+  * shape incremental pipelines need: upsert today's changed rows into
+  * the standing table, delete tombstoned keys, leave everything else
+  * untouched).
+  *
+  * Semantics: `changes` carries the snapshot's key + value columns plus
+  * an op column with `"U"` (upsert: update if the key exists, insert if
+  * not) or `"D"` (delete; a delete for an absent key is a no-op).
+  * At most one change row per key (enforce upstream — CDC logs compact
+  * to last-op-per-key; a violated precondition would duplicate the key,
+  * not corrupt other rows).
+  *
+  * Plan shape: ONE full-outer join on the key, then a projection that
+  * resolves each column change-side-first. Spark cannot broadcast a
+  * full-outer join (both sides must be complete), so this is a keyed
+  * exchange of both inputs — the honest minimum for a merge that must
+  * also INSERT unmatched change keys. At 100 TB the production wrapper
+  * is storage-side: partition the snapshot on key ranges and rewrite
+  * only partitions that actually contain change keys (semi-join the
+  * change keys against partition values first — Layout.scala's pruning
+  * conventions); the per-partition merge is exactly this operator.
+  * When inserts are impossible (op='D'/'U'-update only), a left join +
+  * broadcast change-side is the cheaper plan; AQE picks it if you
+  * pre-filter and pass only matched updates.
+  *
+  * Reference scope: the reference engine rebuilds dimension snapshots
+  * wholesale (create_resource.py overwrite path); merge is the
+  * at-scale replacement, part of the extension family.
+  */
+object Merge {
+
+  def merge(snapshot: DataFrame, changes: DataFrame, keyCol: String, opCol: String): DataFrame = {
+    val valueCols = snapshot.columns.filterNot(_ == keyCol).toSeq
+    require(valueCols.forall(changes.columns.contains),
+      s"changes must carry the snapshot's value columns: ${valueCols.mkString(", ")}")
+    val s = snapshot.select(
+      col(keyCol).as("__k") +: valueCols.map(c => col(c).as(s"__s_$c")): _*)
+    val c = changes.select(
+      col(keyCol).as("__ck") +: col(opCol).as("__op") +:
+        valueCols.map(v => col(v).as(s"__c_$v")): _*)
+    s.join(c, col("__k") === col("__ck"), "full_outer")
+      // deletes drop matched snapshot rows; unmatched deletes are no-ops
+      .filter(coalesce(col("__op"), lit("")) =!= "D")
+      // snapshot-only rows pass through; change-only rows must be upserts
+      .filter(col("__k").isNotNull || col("__op") === "U")
+      .select(
+        coalesce(col("__ck"), col("__k")).as(keyCol) +:
+          valueCols.map(v =>
+            when(col("__op") === "U", col(s"__c_$v"))
+              .otherwise(col(s"__s_$v")).as(v)): _*)
+  }
+}

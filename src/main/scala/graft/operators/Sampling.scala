@@ -152,4 +152,69 @@ object Sampling {
     }.otherwise(keepAt(defaultRate))
     df.filter(keep)
   }
+
+  /** DATA-DRIVEN stratified sampling — mixing rates computed from the
+    * corpus itself, fully in-plan (no `.collect()`, so the rate table
+    * never rides through the driver and the operator composes into one
+    * lazy query). `stratifiedSample` above takes rates the caller
+    * already knows; at 100 TB the per-domain counts that determine the
+    * rates are themselves a query.
+    *
+    * Shape: one tiny groupBy(stratum) count (combiner-pushed, output =
+    * #domains rows), a 1-row min aggregate, then a BROADCAST join of
+    * the rate table back onto the corpus and a per-row threshold
+    * filter — the big side is never shuffled.
+    *
+    * `balancedMix` downsamples every stratum to the size of the
+    * smallest (uniform domain mixture, the α→0 temperature limit).
+    * Cross-engine-exact by construction: the threshold is
+    * floor((min_n / n) · 2³²) computed with IEEE ÷, ×, floor — all
+    * correctly-rounded ops, so ANY engine evaluating the same
+    * expression produces the identical row set (this is what lets the
+    * DuckDB oracle certify it hash-exactly; pow/log-based weights are
+    * libm-dependent and live in [[temperatureMix]] instead). The
+    * smallest stratum keeps ALL rows via the explicit n = min_n arm —
+    * rate 1.0 has no 8-hex-digit threshold (2³² overflows it).
+    */
+  def balancedMix(
+      df: DataFrame, stratumCol: String, key: Column, salt: String = ""): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__minn"))
+    val rates = counts.crossJoin(broadcast(minN)).withColumn(
+      "__thr",
+      lpad(lower(hex(floor(
+        (col("__minn").cast("double") / col("__n").cast("double")) * lit(4294967296.0)
+      ).cast("long"))), 8, "0"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(col("__n") === col("__minn") || hashUnit(key, salt) < col("__thr"))
+      .drop("__n", "__minn", "__thr")
+  }
+
+  /** Temperature-weighted domain mixture (the general form): target
+    * share of stratum d is q_d ∝ (n_d)^α (α = 1 natural proportions,
+    * α < 1 flattens toward uniform, α = 0 IS uniform — use
+    * [[balancedMix]] for the exact-arithmetic version), and each
+    * stratum is downsampled to rate min(1, budget·q_d / n_d) for a
+    * total expected output of ~`budget` rows. Same no-shuffle shape as
+    * balancedMix; `pow` makes the thresholds libm-dependent in the last
+    * ulp, so this variant is spec-certified (row-count tolerances)
+    * rather than oracle-hashed.
+    */
+  def temperatureMix(
+      df: DataFrame, stratumCol: String, key: Column, alpha: Double,
+      budget: Long, salt: String = ""): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val z = counts.agg(sum(pow(col("__n").cast("double"), lit(alpha))).as("__z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .withColumn("__q", pow(col("__n").cast("double"), lit(alpha)) / col("__z"))
+      .withColumn("__rate",
+        least(lit(1.0), lit(budget.toDouble) * col("__q") / col("__n").cast("double")))
+      .withColumn("__thr",
+        lpad(lower(hex(floor(col("__rate") * lit(4294967296.0)).cast("long"))), 8, "0"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(col("__rate") >= 1.0 || hashUnit(key, salt) < col("__thr"))
+      .drop("__n", "__z", "__q", "__rate", "__thr")
+  }
 }

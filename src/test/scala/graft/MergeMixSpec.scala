@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Merge, Sampling}
+import graft.ext.{ConnectedComponents, TextAnalysis}
+
+/** Round-7 operators: CDC merge, data-driven mixture sampling,
+  * canonical-per-cluster selection, token-rarity scoring.
+  */
+class MergeMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── CDC merge ──
+
+  private def snap = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "name", "v")
+
+  test("merge applies update, insert, delete, and leaves the rest untouched") {
+    val chg = Seq(
+      (2L, "U", "b2", 22.0), // update matched key
+      (4L, "U", "d", 40.0),  // insert unmatched key
+      (3L, "D", "", 0.0),    // delete matched key
+      (9L, "D", "", 0.0)     // delete absent key: no-op
+    ).toDF("k", "op", "name", "v")
+    val out = Merge.merge(snap, chg, "k", "op")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0)))
+  }
+
+  test("merge output schema equals the snapshot schema") {
+    val chg = Seq((2L, "U", "x", 0.0)).toDF("k", "op", "name", "v")
+    assert(Merge.merge(snap, chg, "k", "op").columns.toSeq == Seq("k", "name", "v"))
+  }
+
+  test("merge rejects a changeset missing snapshot value columns") {
+    val chg = Seq((2L, "U")).toDF("k", "op")
+    val e = intercept[IllegalArgumentException] { Merge.merge(snap, chg, "k", "op") }
+    assert(e.getMessage.contains("value columns"))
+  }
+
+  // ── data-driven mixture sampling ──
+
+  // skewed strata: 4000/2000/500 rows
+  private def docs = (0L until 6500L).toDF("id")
+    .withColumn("dom",
+      when(col("id") < 4000, "big").when(col("id") < 6000, "mid").otherwise("small"))
+
+  test("balancedMix keeps the smallest stratum whole and levels the rest") {
+    val out = Sampling.balancedMix(docs, "dom", col("id"), "s1")
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom("small") == 500L, "smallest stratum must keep ALL rows")
+    // 3-sigma binomial noise at n=4000, p=1/8 and n=2000, p=1/4
+    assert(math.abs(byDom("big") - 500L) < 65, s"big leveled to ${byDom("big")}")
+    assert(math.abs(byDom("mid") - 500L) < 60, s"mid leveled to ${byDom("mid")}")
+  }
+
+  test("balancedMix is partition-invariant and joins the rate table by broadcast") {
+    val a = Sampling.balancedMix(docs, "dom", col("id"), "s1").agg(sum("id")).head.getLong(0)
+    val b = Sampling.balancedMix(docs.repartition(13), "dom", col("id"), "s1")
+      .agg(sum("id")).head.getLong(0)
+    assert(a == b, "partitioning changed the sampled row set")
+    val plan = Sampling.balancedMix(docs, "dom", col("id"), "s1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rate table should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle for the rate join")
+  }
+
+  test("temperatureMix: alpha=1 reproduces natural proportions, alpha=0 levels") {
+    val nat = Sampling.temperatureMix(docs, "dom", col("id"), alpha = 1.0,
+        budget = 3250L, salt = "t")
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    // alpha=1 ⇒ every stratum keeps ~budget/N = 1/2 of its rows
+    assert(math.abs(nat("big") - 2000L) < 130, s"big ${nat("big")}")
+    assert(math.abs(nat("small") - 250L) < 50, s"small ${nat("small")}")
+    val flat = Sampling.temperatureMix(docs, "dom", col("id"), alpha = 0.0,
+        budget = 1500L, salt = "t")
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    // alpha=0 ⇒ equal 500-row targets per stratum
+    assert(math.abs(flat("big") - 500L) < 65, s"big ${flat("big")}")
+    assert(math.abs(flat("mid") - 500L) < 60, s"mid ${flat("mid")}")
+    assert(flat("small") == 500L, "rate clamps at 1.0 for the small stratum")
+  }
+
+  // ── canonical-per-cluster ──
+
+  test("canonicalPerCluster picks argmax score with min-id ties") {
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // cluster 1: scores 5,9,9 → id 2 wins tie
+      (7L, 7L, 1L)                              // singleton
+    ).toDF("doc_id", "cluster", "cluster_size")
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L)).toDF("doc_id", "n_chars")
+    val out = ConnectedComponents.canonicalPerCluster(clusters, "doc_id", scored, "n_chars")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 9L, 3L), (7L, 7L, 4L, 1L)))
+  }
+
+  // ── token rarity ──
+
+  test("tokenRarity: integer df sums over distinct tokens, one final division") {
+    val d = Seq(
+      (1L, "common common rare"), // types {common, rare}
+      (2L, "common other"),       // types {common, other}
+      (3L, "common")              // types {common}
+    ).toDF("doc_id", "text")
+    // df: common=3, rare=1, other=1
+    val out = TextAnalysis.tokenRarity(d, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 4L, 2.0),  // (3+1)/2
+      (2L, 2L, 4L, 2.0),  // (3+1)/2
+      (3L, 1L, 3L, 3.0))) // 3/1
+  }
+
+  test("tokenRarity drops token-less documents in both engines' semantics") {
+    val d = Seq((1L, "abc"), (2L, "!!! ???")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenRarity(d, "doc_id", "text").select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L))
+  }
+}
