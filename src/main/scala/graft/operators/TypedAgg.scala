@@ -35,4 +35,41 @@ object TypedAgg {
     override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
+
+  /** One (id, score) candidate for [[TopKByScore]]. */
+  final case class Scored(id: Long, score: Double)
+
+  /** BOUNDED-MEMORY top-k per group — the aggregation answer to the
+    * window-rank top-k (operators/TopK.scala). A rank window must
+    * shuffle and sort EVERY row of every group before the filter throws
+    * away all but k of them; this Aggregator's buffer never exceeds k
+    * rows, `reduce` rejects non-contenders on the map side, and `merge`
+    * keeps partial combine — so the shuffle carries at most k rows per
+    * (partition, group) instead of the group's whole mass. At 100 TB
+    * with millions of rows per hot group that is the difference between
+    * a sort of everything and a near-map-only pass; the window form
+    * stays preferable when you need EVERY row's rank, not the top k.
+    *
+    * Order: score descending, ties to the smaller id (the q2/q54 tie
+    * discipline — total, so the result is deterministic and
+    * oracle-comparable). Insertion keeps the buffer sorted best-first;
+    * O(k) per accepted row, and k is small by the operator's nature.
+    */
+  final class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    private def beats(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
+    override def zero: Seq[Scored] = Seq.empty
+    override def reduce(buf: Seq[Scored], e: Scored): Seq[Scored] =
+      if (buf.size >= k && beats(buf.last, e)) buf // map-side reject, no alloc
+      else ((buf :+ e).sortWith(beats)).take(k)
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      (a ++ b).sortWith(beats).take(k)
+    override def finish(r: Seq[Scored]): Seq[Scored] = r
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
 }

@@ -54,6 +54,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(BigDecimal(value) == printed.sum, s"value=$value sum=${printed.sum}")
   }
 
+  test("detail-only queries exist, are excluded from the map, and are counted visibly") {
+    val real = SparkEntry.queries.keys.toSet
+    assert(Bench.DetailOnlyQueries.subsetOf(real),
+      s"stale DetailOnlyQueries entries: ${Bench.DetailOnlyQueries -- real}")
+    // realistic value mix: about a third of the suite runs multi-second
+    // at sf0.1 (r06 medians) — the mixed rung's savings come from them
+    val tracked = (real -- Bench.DetailOnlyQueries).toSeq.sorted.zipWithIndex
+      .map { case (k, i) => (k, if (i % 3 == 0) 2.4 else 0.4) }
+    val line = Bench.contractLine(tracked, Map.empty, "sf",
+      nDetailOnly = Bench.DetailOnlyQueries.size)
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(line.contains(s""""detail_only":${Bench.DetailOnlyQueries.size}"""),
+      "exclusion must be visible, never silent")
+    Bench.DetailOnlyQueries.foreach(q => assert(!line.contains(q)))
+    // and the REAL tracked set must still fit at sub-second precision
+    // (1-decimal or mixed rung — the whole point of the exclusion)
+    assert(line.contains(":0.4"), s"tracked queries lost sub-second precision: $line")
+  }
+
   test("value equals the sum of the printed per-query medians exactly") {
     val meds = Seq(("q1", 0.375), ("q2", 0.265), ("q3", 1.005))
     val line = Bench.contractLine(meds, Map.empty, "sf")

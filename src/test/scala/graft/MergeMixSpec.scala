@@ -117,4 +117,94 @@ class MergeMixSpec extends SparkSpec {
     val out = TextAnalysis.tokenRarity(d, "doc_id", "text").select("doc_id").as[Long].collect()
     assert(out.toSeq == Seq(1L))
   }
+
+  // ── CDC log compaction ──
+
+  test("compactLog keeps exactly the highest-seq op per key") {
+    val log = Seq(
+      (1L, 1L, "U", 10.0), (1L, 3L, "D", 0.0), (1L, 2L, "U", 11.0),
+      (2L, 5L, "U", 20.0)
+    ).toDF("k", "seq", "op", "v")
+    val out = Merge.compactLog(log, "k", "seq")
+      .as[(Long, Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, "D", 0.0), (2L, 5L, "U", 20.0)))
+  }
+
+  test("compactLog then merge equals applying ops in seq order") {
+    val snapshot = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    // key 1: U 11 then D → net delete; key 3: D then U 30 → net insert
+    val log = Seq(
+      (1L, 1L, "U", 11.0), (1L, 2L, "D", 0.0),
+      (3L, 1L, "D", 0.0), (3L, 2L, "U", 30.0)
+    ).toDF("k", "seq", "op", "v")
+    val out = Merge.merge(snapshot, Merge.compactLog(log, "k", "seq").drop("seq"), "k", "op")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((2L, 20.0), (3L, 30.0)))
+  }
+
+  // ── salted join ──
+
+  private def bigSide = (0L until 4000L).toDF("id")
+    .withColumn("k", when(col("id") < 3000, 1L).otherwise(col("id") % 5)) // hot key 1
+  private def smallSide = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+    .toDF("k", "label")
+
+  test("saltedJoin equals the plain inner join") {
+    val plain = bigSide.join(smallSide, "k")
+      .select("id", "k", "label").as[(Long, Long, String)].collect().toSet
+    val salted = graft.operators.SkewSalt.saltedJoin(bigSide, smallSide, "k", 8)
+      .select("id", "k", "label").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("saltedJoin spreads a hot key across salt buckets") {
+    val b = bigSide.withColumn(
+      "__salt", pmod(xxhash64(col("id"), col("k")), lit(8L)))
+    val buckets = b.filter(col("k") === 1L).select("__salt").distinct().count()
+    assert(buckets == 8L, s"hot key should occupy all 8 salt buckets, got $buckets")
+  }
+
+  test("saltedJoin rejects colliding non-key column names") {
+    val clash = Seq((1L, "x")).toDF("k", "id") // "id" also exists on big side
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SkewSalt.saltedJoin(bigSide, clash, "k")
+    }
+    assert(e.getMessage.contains("join key"))
+  }
+
+  // ── bounded top-k aggregator ──
+
+  test("TopKByScore equals the window-rank top-k on skewed groups") {
+    import org.apache.spark.sql.expressions.Window
+    val data = (0L until 5000L).toDF("event_id")
+      .withColumn("event_type", concat(lit("t"), col("event_id") % 3))
+      .withColumn("value", (col("event_id") * 37 % 101).cast("double"))
+    val topk = udaf(new graft.operators.TypedAgg.TopKByScore(4),
+      org.apache.spark.sql.Encoders.product[graft.operators.TypedAgg.Scored])
+    val agg = data
+      .groupBy("event_type").agg(topk(col("event_id"), col("value")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("event_id"), col("col.score").as("value"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    val win = data
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))).cast("long"))
+      .filter(col("rank") <= 4)
+      .select("event_type", "rank", "event_id", "value")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(agg == win)
+  }
+
+  test("TopKByScore buffer never exceeds k") {
+    val a = new graft.operators.TypedAgg.TopKByScore(2)
+    val buf = (1L to 100L).foldLeft(a.zero) { (b, i) =>
+      val n = a.reduce(b, graft.operators.TypedAgg.Scored(i, (i % 7).toDouble))
+      assert(n.size <= 2, s"buffer grew to ${n.size}")
+      n
+    }
+    // best two of scores i%7: score 6 at ids 6 and 13
+    assert(buf == Seq(
+      graft.operators.TypedAgg.Scored(6L, 6.0), graft.operators.TypedAgg.Scored(13L, 6.0)))
+  }
 }
