@@ -1379,6 +1379,23 @@ object SparkEntry {
         .select(col("event_type"), posexplode(col("top")))
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
           col("col.id").as("event_id"), col("col.score").as("value"))
+    }),
+
+    // ── incremental aggregation: history state + batch state merged by
+    // the accumulators' own combine rules must equal the one-shot
+    // aggregate over everything (the oracle). Exact accumulators only
+    // (count, integer sum, max) so the equality is bit-level ──
+    "q97_inc_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def st(d: DataFrame) = graft.operators.IncrementalAgg.state(
+        d, Seq("event_type"),
+        sums = Map("eid" -> col("event_id")), maxes = Map("value" -> col("value")))
+      graft.operators.IncrementalAgg.merge(
+          st(ev.filter(col("event_id") % 7 =!= 0)), // standing history state
+          st(ev.filter(col("event_id") % 7 === 0)), // today's batch state
+          Seq("event_type"))
+        .withColumn("avg_eid",
+          col("sum_eid").cast("double") / col("cnt").cast("double"))
     })
   )
 
@@ -2826,6 +2843,16 @@ object SparkEntry {
       """SELECT event_type, row_number() OVER w AS rank, event_id, value
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
-        |QUALIFY row_number() OVER w <= 3""".stripMargin
+        |QUALIFY row_number() OVER w <= 3""".stripMargin,
+
+    // merge(state(history), state(batch)) must equal the ONE-SHOT
+    // aggregate over all events — the incremental path is invisible.
+    "q97_inc_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |  max(value) AS max_value,
+        |  CAST(CAST(sum(event_id) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_eid
+        |FROM events
+        |GROUP BY event_type""".stripMargin
   )
 }

@@ -196,6 +196,39 @@ class MergeMixSpec extends SparkSpec {
     assert(agg == win)
   }
 
+  // ── incremental aggregation ──
+
+  test("incremental state merge is associative and equals the one-shot aggregate") {
+    import graft.operators.IncrementalAgg
+    val data = (0L until 3000L).toDF("id")
+      .withColumn("g", concat(lit("g"), col("id") % 4))
+      .withColumn("v", (col("id") * 13 % 97).cast("double"))
+    def st(d: org.apache.spark.sql.DataFrame) = IncrementalAgg.state(
+      d, Seq("g"), sums = Map("id" -> col("id")), maxes = Map("v" -> col("v")),
+      mins = Map("v" -> col("v")))
+    val oneShot = st(data).as[(String, Long, Long, Double, Double)].collect().toSet
+    // three-way fold, including a batch that misses some groups entirely
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.merge(
+        st(data.filter(col("id") < 1000)), st(data.filter(col("id") >= 2500)), Seq("g")),
+      st(data.filter(col("id") >= 1000 && col("id") < 2500)), Seq("g"))
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(merged == oneShot)
+  }
+
+  test("incremental merge refuses schema drift and unmergeable columns") {
+    import graft.operators.IncrementalAgg
+    val a = Seq(("g1", 2L, 5L)).toDF("g", "cnt", "sum_id")
+    val drifted = Seq(("g1", 2L)).toDF("g", "cnt")
+    assert(intercept[IllegalArgumentException] {
+      IncrementalAgg.merge(a, drifted, Seq("g"))
+    }.getMessage.contains("schemas differ"))
+    val alien = Seq(("g1", 2L, 1.5)).toDF("g", "cnt", "median_v")
+    assert(intercept[IllegalArgumentException] {
+      IncrementalAgg.merge(alien, alien, Seq("g"))
+    }.getMessage.contains("no merge rule"))
+  }
+
   test("TopKByScore buffer never exceeds k") {
     val a = new graft.operators.TypedAgg.TopKByScore(2)
     val buf = (1L to 100L).foldLeft(a.zero) { (b, i) =>
