@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.Schemas
+import graft.operators.Layout
 
 /** Storage-layout behaviors the 100-TB posture depends on: partition
   * pruning at the scan, and malformed-input capture at ingest.
@@ -53,6 +54,56 @@ class LayoutSpec extends SparkSpec {
     intercept[Exception] {
       Layout.compactParquet(spark, src, dest)
     }
+  }
+
+  test("z-order layout keeps BOTH columns' per-file ranges narrow (2-D skipping)") {
+    // two independent uniform dims — the adversarial case for 1-D sort
+    val data = (0L until 40000L).toDF("id")
+      .withColumn("a", (col("id") * 48271) % 65536)       // pseudo-random dim A
+      .withColumn("b", (col("id") * 69621) % 65536)       // pseudo-random dim B
+    val zDir = Files.createTempDirectory("graft-zorder").resolve("z").toString
+    val aDir = Files.createTempDirectory("graft-zorder").resolve("a").toString
+    Layout.writeZOrdered(data, "a", "b", zDir, nFiles = 64)
+    data.repartitionByRange(64, col("a")).sortWithinPartitions("a")
+      .write.parquet(aDir) // the 1-D strawman
+
+    // per-FILE min/max of each dim — what parquet footer stats give a
+    // scan planner; a predicate can skip a file iff its range misses it
+    def fileRanges(dir: String, c: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .select("lo", "hi").as[(Long, Long)].collect().toSeq
+    def hitFraction(ranges: Seq[(Long, Long)], lo: Long, hi: Long): Double =
+      ranges.count { case (l, h) => h >= lo && l <= hi }.toDouble / ranges.size
+
+    // a narrow predicate on EACH dim (1/16 of the domain)
+    val (plo, phi) = (30000L, 34095L)
+    val zHitsA = hitFraction(fileRanges(zDir, "a"), plo, phi)
+    val zHitsB = hitFraction(fileRanges(zDir, "b"), plo, phi)
+    val aHitsA = hitFraction(fileRanges(aDir, "a"), plo, phi)
+    val aHitsB = hitFraction(fileRanges(aDir, "b"), plo, phi)
+    // 1-D sort: perfect on its own dim, useless on the other
+    assert(aHitsA <= 0.15, s"a-sorted files should skip a-predicates: $aHitsA")
+    assert(aHitsB > 0.9, s"a-sorted layout cannot skip b-predicates: $aHitsB")
+    // z-order: BOTH dims skip files (range-partition boundaries that
+    // straddle z-cells widen some files' ranges — full alignment would
+    // need quadrant-aware splits — so the bound is "most", not "all")
+    assert(zHitsA <= 0.6, s"z-order should skip files on dim a: $zHitsA")
+    assert(zHitsB <= 0.6, s"z-order should skip files on dim b: $zHitsB")
+    // and 2-D total beats the 1-D layout's total decisively
+    assert(zHitsA + zHitsB < (aHitsA + aHitsB) * 0.8,
+      s"z ($zHitsA + $zHitsB) vs 1-D ($aHitsA + $aHitsB)")
+    // and the data survives the round trip
+    assert(spark.read.parquet(zDir).count() == 40000L)
+  }
+
+  test("mortonInterleave places bits on the expected curve") {
+    val r = Seq((3L, 5L)).toDF("a", "b")
+      .select(Layout.mortonInterleave(col("a"), col("b"), 4).as("z"))
+      .as[Long].head()
+    // a=0011, b=0101 → z = a1 b1 interleaved: bits (a<<odd)|(b<<even)
+    // a bits: 1→pos3? compute: i=0: a&1=1→pos1; b&1=1→pos0. i=1: a=1→pos3; b=0. i=2: a=0; b=1→pos4.
+    assert(r == ((1L << 1) | (1L << 0) | (1L << 3) | (1L << 4)), s"z=$r")
   }
 
   test("malformed ingest rows are captured, not silently dropped or fatal") {
