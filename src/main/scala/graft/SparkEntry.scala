@@ -1396,6 +1396,27 @@ object SparkEntry {
           Seq("event_type"))
         .withColumn("avg_eid",
           col("sum_eid").cast("double") / col("cnt").cast("double"))
+    }),
+
+    // ── SCD type-2 merge: the changeset closes superseded versions
+    // (valid_to = batch 2) and opens new ones instead of overwriting.
+    // The dim seeds both closed history (%3 keys) and current rows;
+    // changes exercise new-version, close-only (D), and brand-new-key
+    // insert (≡0 mod 4 keys absent from the dim) ──
+    "q98_scd2" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val open = orders.filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val hist = orders.filter(col("o_orderkey") % 4 =!= 0 && col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") - lit(5.0)).as("o_totalprice"),
+          lit(0L).as("valid_from"), lit(1L).as("valid_to"))
+      val chg = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 8 === 2, lit("D")).otherwise(lit("U")).as("op"),
+          (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+      graft.operators.Merge.mergeScd2(
+        hist.unionByName(open), chg, "o_orderkey", "op", batchSeq = 2L)
     })
   )
 
@@ -2853,6 +2874,33 @@ object SparkEntry {
         |  max(value) AS max_value,
         |  CAST(CAST(sum(event_id) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_eid
         |FROM events
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    // SCD2 as its relational definition: history passes through, the
+    // changeset closes current rows, 'U' rows open new versions.
+    "q98_scd2" ->
+      """WITH dim AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM orders WHERE o_orderkey % 4 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice - 5.0,
+        |    CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 3 = 0),
+        |chg AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 8 = 2 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice + 1.0 AS v
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey, o_totalprice, valid_from, valid_to
+        |FROM dim WHERE valid_to IS NOT NULL
+        |UNION ALL
+        |SELECT d.o_orderkey, d.o_totalprice, d.valid_from,
+        |  CASE WHEN c.op IS NOT NULL THEN CAST(2 AS BIGINT) ELSE d.valid_to END
+        |FROM dim d LEFT JOIN chg c ON d.o_orderkey = c.k
+        |WHERE d.valid_to IS NULL
+        |UNION ALL
+        |SELECT k, v, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM chg WHERE op = 'U'""".stripMargin
   )
 }

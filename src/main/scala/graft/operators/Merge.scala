@@ -81,4 +81,58 @@ object Merge {
       .filter(col("__rk") === 1)
       .drop("__rk")
   }
+
+  /** SCD TYPE-2 merge — apply a changeset WITHOUT losing history. Where
+    * [[merge]] overwrites, this closes the superseded version and opens
+    * a new one, so the dimension answers "what was this row worth as of
+    * batch N?" — the slowly-changing-dimension discipline warehouse
+    * dims and training-data lineage both need.
+    *
+    * `dim` carries the key, value columns, and validity interval
+    * (`valid_from`, `valid_to`; `valid_to` NULL = current). `changes`
+    * carries key + op ('U' upsert / 'D' delete) + value columns.
+    * `batchSeq` stamps the transition (a monotone batch number or
+    * epoch — a LITERAL, so the output is deterministic and
+    * oracle-checkable):
+    *
+    *  - closed history rows (valid_to set) pass through untouched —
+    *    history is immutable;
+    *  - current rows whose key has a change get valid_to = batchSeq;
+    *  - 'U' changes insert a new current row (valid_from = batchSeq),
+    *    for both existing keys (new version) and new keys (insert);
+    *  - 'D' closes without inserting (key has no current row after).
+    *
+    * Plan: one left join of current rows against the (compacted)
+    * changeset + a union with the insert rows — the history mass is
+    * never joined, only appended past. At 100 TB partition the dim by
+    * open/closed so the current slice (the only join side) stays small
+    * relative to accumulated history.
+    */
+  def mergeScd2(
+      dim: DataFrame, changes: DataFrame, keyCol: String, opCol: String,
+      batchSeq: Long): DataFrame = {
+    val valueCols = dim.columns.filterNot(
+      c => c == keyCol || c == "valid_from" || c == "valid_to").toSeq
+    require(valueCols.forall(changes.columns.contains),
+      s"changes must carry the dim's value columns: ${valueCols.mkString(", ")}")
+    val closed = dim.filter(col("valid_to").isNotNull)
+    val current = dim.filter(col("valid_to").isNull)
+    val chg = changes.select(
+      col(keyCol).as("__ck") +: col(opCol).as("__op") +:
+        valueCols.map(v => col(v).as(s"__c_$v")): _*)
+    // current rows: close those with a change (U supersedes, D removes)
+    val currentOut = current.join(chg, col(keyCol) === col("__ck"), "left")
+      .withColumn("valid_to",
+        when(col("__op").isNotNull, lit(batchSeq)).otherwise(col("valid_to")))
+      .select(dim.columns.map(col): _*)
+    // upserts: one new open row per 'U' change
+    val inserts = chg.filter(col("__op") === "U")
+      .select(
+        col("__ck").as(keyCol) +:
+          valueCols.map(v => col(s"__c_$v").as(v)) :+
+          lit(batchSeq).as("valid_from") :+
+          lit(null).cast("long").as("valid_to"): _*)
+      .select(dim.columns.map(col): _*)
+    closed.unionByName(currentOut).unionByName(inserts)
+  }
 }

@@ -39,6 +39,41 @@ class MergeMixSpec extends SparkSpec {
     assert(e.getMessage.contains("value columns"))
   }
 
+  // ── SCD type-2 merge ──
+
+  test("mergeScd2 closes superseded versions, inserts new ones, keeps history immutable") {
+    val dim = Seq(
+      (1L, "a_v1", 0L, Some(1L)), // closed history: must pass untouched
+      (1L, "a_v2", 1L, None),     // current, will be superseded by U
+      (2L, "b", 1L, None),        // current, deleted by D
+      (3L, "c", 1L, None)         // current, no change
+    ).toDF("k", "name", "valid_from", "valid_to")
+    val chg = Seq(
+      (1L, "U", "a_v3"), (2L, "D", ""), (5L, "U", "e") // 5 = brand-new key
+    ).toDF("k", "op", "name")
+    val out = graft.operators.Merge.mergeScd2(dim, chg, "k", "op", batchSeq = 7L)
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, "a_v1", 0L, Some(1L)),  // history untouched
+      (1L, "a_v2", 1L, Some(7L)),  // closed at batch 7
+      (1L, "a_v3", 7L, None),      // new current version
+      (2L, "b", 1L, Some(7L)),     // closed by delete, no replacement
+      (3L, "c", 1L, None),         // untouched current
+      (5L, "e", 7L, None)))        // brand-new key opens
+  }
+
+  test("mergeScd2 point-in-time queries see the right version") {
+    val dim = Seq((1L, "old", 1L, Option.empty[Long])).toDF("k", "v", "valid_from", "valid_to")
+    val chg = Seq((1L, "U", "new")).toDF("k", "op", "v")
+    val merged = graft.operators.Merge.mergeScd2(dim, chg, "k", "op", batchSeq = 5L)
+    def asOf(seq: Long) = merged
+      .filter(col("valid_from") <= seq &&
+        (col("valid_to").isNull || col("valid_to") > seq))
+      .select("v").as[String].collect().toSeq
+    assert(asOf(3L) == Seq("old"))
+    assert(asOf(5L) == Seq("new"))
+  }
+
   // ── data-driven mixture sampling ──
 
   // skewed strata: 4000/2000/500 rows
