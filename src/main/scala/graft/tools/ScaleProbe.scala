@@ -47,6 +47,12 @@ object ScaleProbe {
 
     val docs1 = Corpus.load(spark, sfDir, "documents").select("doc_id", "text")
     val emb1 = Corpus.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val orders1 = Corpus.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem1 = Corpus.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    val events1 = Corpus.load(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
 
     // Two composed rotations — consonants (20 classes) × vowels (5
     // classes) — give 100 distinct text transforms, so up to 100 copies
@@ -73,12 +79,25 @@ object ScaleProbe {
           .as("embedding"))
     }.reduce(_.unionByName(_))
 
-    def probe(tag: String, d: DataFrame, e: DataFrame): Map[String, (Double, Long)] = {
+    // key-offset copies for the relational family (no decorrelation
+    // needed — no similarity semantics; group COUNT stays fixed while
+    // group SIZE grows, which is exactly the hot-group stress the
+    // bounded top-k and salted shapes exist for)
+    def keyedN(base: DataFrame, keyCols: Seq[String], n: Int): DataFrame =
+      (0 until n).map { i =>
+        keyCols.foldLeft(base)((df, k) =>
+          df.withColumn(k, col(k) + lit(i * 100000000L)))
+      }.reduce(_.unionByName(_))
+
+    def probe(tag: String, d: DataFrame, e: DataFrame,
+        o: DataFrame, l: DataFrame, ev: DataFrame): Map[String, (Double, Long)] = {
       def run(name: String, df: => DataFrame): (String, (Double, Long)) = {
         val (t, c) = time(df.count())
         println(f"PROBE $tag $name%-16s $t%8.2f s  rows=$c")
         name -> (t, c)
       }
+      val topk = udaf(new graft.operators.TypedAgg.TopKByScore(3),
+        org.apache.spark.sql.Encoders.product[graft.operators.TypedAgg.Scored])
       Map(
         run("minhash", Dedup.nearDupPairsMinhash(d, "doc_id", "text", 3, 128, 32, 0.8)),
         run("simhash", SimHash.nearDupPairsSimhash(d, "doc_id", "text", 3, 8)),
@@ -86,17 +105,45 @@ object ScaleProbe {
           e, "vec_id", "embedding", threshold = 0.97, dim = 64, bits = 12,
           tables = 8, seed = 7L, exactMaxRows = 0)),
         run("lsh_topk", SimSearch.lshTopK(e, e.filter(col("vec_id") % 500 === 0),
-          "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 8)))
+          "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 8)),
+        // round-7 relational family: expected ~linear (keyed shuffles)
+        run("cdc_merge", {
+          val snap = o.filter(col("o_orderkey") % 4 =!= 0)
+          val log = l.select(col("l_orderkey").as("o_orderkey"),
+            col("l_linenumber").as("seq"),
+            when(col("l_returnflag") === "R", lit("D")).otherwise(lit("U")).as("op"),
+            col("l_extendedprice").as("o_totalprice"))
+          graft.operators.Merge.merge(snap,
+            graft.operators.Merge.compactLog(log, "o_orderkey", "seq",
+              col("op"), col("o_totalprice")).drop("seq"),
+            "o_orderkey", "op")
+        }),
+        run("topk_agg", ev.groupBy("event_type")
+          .agg(topk(col("event_id"), col("value")).as("top"))
+          .select(posexplode(col("top")))),
+        run("inc_agg", {
+          def st(x: DataFrame) = graft.operators.IncrementalAgg.state(
+            x, Seq("event_type"), sums = Map("eid" -> col("event_id")),
+            maxes = Map("value" -> col("value")))
+          graft.operators.IncrementalAgg.merge(
+            st(ev.filter(col("event_id") % 7 =!= 0)),
+            st(ev.filter(col("event_id") % 7 === 0)), Seq("event_type"))
+        }),
+        run("balanced_mix", graft.operators.Sampling.balancedMix(
+          ev, "event_type", col("event_id"), "probe")))
     }
 
     // warm-up: one full discarded 1x pass eats codegen/JIT compilation
     // (the first minhash run carries ~2-4 s of one-time codegen, which
     // would otherwise inflate the 1x base and understate the ratios)
-    docs1.count(); emb1.count()
-    probe("1x-discard", docs1, emb1)
-    val base = probe("1x", docs1, emb1)
+    docs1.count(); emb1.count(); orders1.count(); lineitem1.count(); events1.count()
+    probe("1x-discard", docs1, emb1, orders1, lineitem1, events1)
+    val base = probe("1x", docs1, emb1, orders1, lineitem1, events1)
     val points = copiesList.map { n =>
-      n -> probe(s"${n}x", docsN(n), embN(n))
+      n -> probe(s"${n}x", docsN(n), embN(n),
+        keyedN(orders1, Seq("o_orderkey"), n),
+        keyedN(lineitem1, Seq("l_orderkey"), n),
+        keyedN(events1, Seq("event_id"), n))
     }
     val curve = points.map { case (n, big) =>
       val ratios = base.keys.toSeq.sorted.map { k =>
