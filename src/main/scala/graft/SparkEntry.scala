@@ -1417,7 +1417,16 @@ object SparkEntry {
           (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
       graft.operators.Merge.mergeScd2(
         hist.unionByName(open), chg, "o_orderkey", "op", batchSeq = 2L)
-    })
+    }),
+
+    // ── STREAMING CDC upsert under the oracle: the landing dir
+    // replayed in two REVERSED waves through foreachBatch
+    // compactLog+merge with the out-of-order guard; the final store
+    // version must equal the batch latest-event-per-resource over the
+    // same files no matter the delivery order ──
+    "q99_cdc_stream" -> ((s, _) =>
+      graft.streaming.StreamingReports.cdcUpsertReplay(
+        s, FixturesDir + "/events_json"))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -2901,6 +2910,21 @@ object SparkEntry {
         |WHERE d.valid_to IS NULL
         |UNION ALL
         |SELECT k, v, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
-        |FROM chg WHERE op = 'U'""".stripMargin
+        |FROM chg WHERE op = 'U'""".stripMargin,
+
+    // Latest event per resource by (processTime µs, eventId) — the
+    // delivery-order-independent truth the guarded streaming upsert
+    // must converge to.
+    "q99_cdc_stream" ->
+      """WITH e AS (
+        |  SELECT resourceId,
+        |    epoch_us(CAST(processTime AS TIMESTAMPTZ)) AS seq,
+        |    eventId, userId, duration
+        |  FROM read_json_auto('/root/repo/fixtures/events_json/*.json')
+        |  WHERE resourceId IS NOT NULL)
+        |SELECT resourceId, seq, eventId, userId, duration
+        |FROM e
+        |QUALIFY row_number() OVER (PARTITION BY resourceId
+        |  ORDER BY seq DESC, eventId DESC) = 1""".stripMargin
   )
 }

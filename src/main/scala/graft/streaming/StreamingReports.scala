@@ -399,6 +399,93 @@ object StreamingReports {
     spark.table(mem).groupBy("resourceId").agg(max(col("total")).as("total"))
   }
 
+  /** STREAMING CDC UPSERT — the streaming member of the Merge family:
+    * each micro-batch of the change stream is compacted to
+    * last-op-per-key ([[graft.operators.Merge.compactLog]]) and merged
+    * into a parquet snapshot store ([[graft.operators.Merge.merge]])
+    * via foreachBatch. The store is maintained as a per-resource
+    * "latest event" dimension (key = resourceId, seq = processTime
+    * epoch-µs, ties by eventId).
+    *
+    * Correctness across batches needs the OUT-OF-ORDER GUARD: the file
+    * source delivers waves in arrival order, not event order, so a
+    * later batch can carry an OLDER change for a key. A change applies
+    * only if its (seq, eventId) exceeds the stored row's — without
+    * this, replaying waves in a different order changes the result;
+    * with it, the final store equals the batch compaction over ALL
+    * events regardless of delivery order (which is exactly what the
+    * q99 oracle checks, and the replay delivers waves REVERSED to make
+    * the guard load-bearing).
+    *
+    * Store layout: write-audit-publish versions (store/v<batchId>);
+    * each batch reads the previous version and writes a new one —
+    * never an in-place overwrite of a directory being read. At scale
+    * the store would be key-partitioned so a batch rewrites only
+    * partitions containing its keys (Merge scaladoc); checkpointed
+    * offsets make the foreachBatch idempotent-by-version on restart.
+    */
+  def cdcUpsertStream(
+      spark: SparkSession, eventsDir: String, storeRoot: String): StreamingQuery =
+    eventStream(spark, eventsDir)
+      .filter(col("resourceId").isNotNull)
+      .withColumn("seq",
+        unix_micros(to_timestamp(col("processTime"), "yyyy-MM-dd'T'HH:mm:ssXXX")))
+      .select(col("resourceId"), col("seq"), col("eventId"), col("userId"), col("duration"))
+      .writeStream
+      .option("checkpointLocation", s"$storeRoot/_chk")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyCdcBatch(batch.toDF(), storeRoot, batchId)
+      }
+      .start()
+
+  private[graft] def applyCdcBatch(
+      batch: DataFrame, storeRoot: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val compacted = graft.operators.Merge.compactLog(
+      batch.withColumn("op", lit("U")), "resourceId", "seq", col("eventId"))
+    val merged = latestCdcVersion(storeRoot) match {
+      case None => compacted.drop("op")
+      case Some(dir) =>
+        val snap = spark.read.parquet(dir)
+        val guarded = compacted
+          .join(snap.select(col("resourceId"),
+              struct(col("seq"), col("eventId")).as("__cur")),
+            Seq("resourceId"), "left")
+          .filter(col("__cur").isNull ||
+            struct(col("seq"), col("eventId")) > col("__cur"))
+          .drop("__cur")
+        graft.operators.Merge.merge(snap, guarded, "resourceId", "op")
+    }
+    merged.write.mode("errorifexists").parquet(f"$storeRoot/v$batchId%09d")
+  }
+
+  private def latestCdcVersion(storeRoot: String): Option[String] =
+    Option(new java.io.File(storeRoot).listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getPath).sorted)
+      .flatMap(_.lastOption)
+
+  /** Replay the landing dir through [[cdcUpsertStream]] in two waves —
+    * REVERSED, so the second wave is older than the first and the
+    * out-of-order guard must reject its stale changes — then read the
+    * final store version. Must equal the batch "latest event per
+    * resource" over the same files (q99's oracle).
+    */
+  def cdcUpsertReplay(spark: SparkSession, srcDir: String): DataFrame = {
+    val landing = java.nio.file.Files.createTempDirectory("graft-cdc-replay")
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-cdc-store").toString
+    val files = listFixtureFiles(srcDir)
+    val (newer, older) = files.reverse.splitAt(math.max(1, files.size / 2))
+    deliver(landing, newer)
+    val q = cdcUpsertStream(spark, landing.toString, storeRoot)
+    try {
+      q.processAllAvailable()
+      deliver(landing, older)
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(landing) }
+    spark.read.parquet(latestCdcVersion(storeRoot).getOrElse(
+      sys.error(s"no CDC store version written under $storeRoot")))
+  }
+
   /** Custom state: running per-resource event totals via
     * mapGroupsWithState (KeyValueGroupedDataset surface).
     */

@@ -114,10 +114,12 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("a burst of long error messages still fits the budget (errors degrade before overflow)") {
-    val real = SparkEntry.queries.keys.toSeq.sorted
-    val meds = real.zipWithIndex.map { case (k, i) => (k, i * 0.137) }
-    val errors = real.take(6).map(k => k -> ("x" * 200)).toMap
-    val line = Bench.contractLine(meds, errors, "/root/testdata/sf0.1")
+    // mirror Bench.main exactly: tracked set + detail_only count
+    val tracked = (SparkEntry.queries.keySet -- Bench.DetailOnlyQueries).toSeq.sorted
+    val meds = tracked.zipWithIndex.map { case (k, i) => (k, i * 0.137) }
+    val errors = tracked.take(6).map(k => k -> ("x" * 200)).toMap
+    val line = Bench.contractLine(meds, errors, "/root/testdata/sf0.1",
+      nDetailOnly = Bench.DetailOnlyQueries.size)
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
     // failures must remain visible in SOME form on the contract line
     assert(line.contains("\"errors\"") || line.contains("\"n_errors\""), line)

@@ -248,4 +248,44 @@ class StreamingSpec extends SparkSpec {
     // null-user events never join (SQL null semantics on both paths)
     assert(!got.exists { case (x, y) => x == null || y == null })
   }
+
+  test("streaming CDC upsert: stale changes in later batches are rejected (out-of-order guard)") {
+    import graft.streaming.StreamingReports
+    val store = java.nio.file.Files.createTempDirectory("graft-cdc-spec").toString
+    def batch(rows: Seq[(String, Long, String, String, Long)]) =
+      rows.toDF("resourceId", "seq", "eventId", "userId", "duration")
+    // batch 0: r1 at seq 100
+    StreamingReports.applyCdcBatch(
+      batch(Seq(("r1", 100L, "e2", "u1", 10L))), store, 0L)
+    // batch 1: STALE change for r1 (seq 50) plus a new key r2 — the
+    // stale row must be rejected, the new key inserted
+    StreamingReports.applyCdcBatch(
+      batch(Seq(("r1", 50L, "e1", "u9", 99L), ("r2", 60L, "e3", "u2", 20L))), store, 1L)
+    // batch 2: same seq as stored for r1, larger eventId — tie goes to
+    // the larger (seq, eventId), so this one APPLIES
+    StreamingReports.applyCdcBatch(
+      batch(Seq(("r1", 100L, "e9", "u3", 30L))), store, 2L)
+    val fin = spark.read.parquet(s"$store/v000000002")
+      .as[(String, Long, String, String, Long)].collect().toSet
+    assert(fin == Set(("r1", 100L, "e9", "u3", 30L), ("r2", 60L, "e3", "u2", 20L)))
+  }
+
+  test("cdcUpsertReplay equals the batch latest-event-per-resource truth") {
+    import graft.streaming.StreamingReports
+    val dir = "/root/repo/fixtures/events_json"
+    val got = StreamingReports.cdcUpsertReplay(spark, dir)
+      .as[(String, Long, String, String, Long)].collect().toSet
+    val want = Sources.events(spark, dir)
+      .filter($"resourceId".isNotNull)
+      .withColumn("seq",
+        unix_micros(to_timestamp($"processTime", "yyyy-MM-dd'T'HH:mm:ssXXX")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"resourceId")
+          .orderBy($"seq".desc, $"eventId".desc)))
+      .filter($"rk" === 1)
+      .select($"resourceId", $"seq", $"eventId", $"userId", $"duration")
+      .as[(String, Long, String, String, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
 }
