@@ -1426,7 +1426,15 @@ object SparkEntry {
     // same files no matter the delivery order ──
     "q99_cdc_stream" -> ((s, _) =>
       graft.streaming.StreamingReports.cdcUpsertReplay(
-        s, FixturesDir + "/events_json"))
+        s, FixturesDir + "/events_json")),
+
+    // ── exact-N per-stratum deterministic sample (eval-set
+    // construction): exactly 30 docs per source, ranked by the md5
+    // draw with key ties — reproducible and engine-independent ──
+    "q100_sample_n" -> ((s, dir) =>
+      graft.operators.Sampling.sampleExactN(
+          t(s, dir, "documents"), "source", col("doc_id"), n = 30, salt = "eval-v1")
+        .select("doc_id", "source", "lang"))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -2925,6 +2933,13 @@ object SparkEntry {
         |SELECT resourceId, seq, eventId, userId, duration
         |FROM e
         |QUALIFY row_number() OVER (PARTITION BY resourceId
-        |  ORDER BY seq DESC, eventId DESC) = 1""".stripMargin
+        |  ORDER BY seq DESC, eventId DESC) = 1""".stripMargin,
+
+    // Same draw as q58/q91 (md5 of salt:key), rank + key tie-break.
+    "q100_sample_n" ->
+      """SELECT doc_id, source, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY substr(md5(concat_ws(':', 'eval-v1', CAST(doc_id AS VARCHAR))), 1, 8),
+        |           doc_id) <= 30""".stripMargin
   )
 }

@@ -190,6 +190,33 @@ object Sampling {
       .drop("__n", "__minn", "__thr")
   }
 
+  /** EXACT-N deterministic sample per stratum — eval/validation-set
+    * construction: "exactly 500 docs per source, reproducibly".
+    * Rate-based sampling ([[hashSample]]/[[stratifiedSample]]) gives
+    * binomial-noise counts; here each stratum's rows are ranked by
+    * their md5 draw (ties by key — total order) and the first `n`
+    * kept, so the count is exact whenever the stratum has ≥ n rows,
+    * and the selection is a deterministic function of (salt, keys) —
+    * stable across runs, partitionings, and engines (the oracle
+    * reproduces it with the same ORDER BY).
+    *
+    * Scale shape: one stratum-keyed rank window. Spark 4 plans a
+    * row_number ≤ n filter as WindowGroupLimit with a PARTIAL pass
+    * before the exchange, so each map task forwards at most n rows per
+    * stratum — the shuffle carries O(#strata · n · #tasks), not the
+    * corpus (PlansSpec asserts the partial limit is present).
+    */
+  def sampleExactN(
+      df: DataFrame, stratumCol: String, key: Column, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(hashUnit(key, salt), key)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Temperature-weighted domain mixture (the general form): target
     * share of stratum d is q_d ∝ (n_d)^α (α = 1 natural proportions,
     * α < 1 flattens toward uniform, α = 0 IS uniform — use

@@ -14,15 +14,19 @@ class BenchFormatSpec extends AnyFunSuite {
   private def fakeMedians(n: Int): Seq[(String, Double)] =
     (1 to n).map(i => (s"q${i}_some_longish_query_name", i * 0.137))
 
-  test("contract line stays under budget at 86 queries (future growth)") {
-    // the REAL registered query names, padded with realistic-length extras
-    // up to 86 — this is the line that must survive query growth
-    val real = SparkEntry.queries.keys.toSeq.sorted
-    val extra = (real.size until 86).map(i => s"q${i}_future_query")
-    val meds = (real ++ extra).zipWithIndex.map { case (k, i) => (k, i * 0.137) }
-    val line = Bench.contractLine(meds, Map.empty, "/root/testdata/sf0.1")
+  test("the frozen tracked set fits the budget at sub-second precision") {
+    // the policy invariant: the REAL tracked map (frozen round-6 set)
+    // must fit without degrading to integer seconds — if this fails,
+    // a query was added to SparkEntry without a DetailOnlyQueries entry
+    val tracked = (SparkEntry.queries.keySet -- Bench.DetailOnlyQueries).toSeq.sorted
+    assert(tracked.size == 89, s"tracked set changed size: ${tracked.size}")
+    val meds = tracked.zipWithIndex.map { case (k, i) => (k, i * 0.137) }
+    val line = Bench.contractLine(meds, Map.empty, "/root/testdata/sf0.1",
+      nDetailOnly = Bench.DetailOnlyQueries.size)
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
     assert(line.startsWith("{\"metric\":\"total\""))
+    assert(line.contains(".1") || line.contains(".4"),
+      s"tracked map degraded to integer seconds: $line")
   }
 
   test("contract line degrades rather than overflows at absurd query counts") {

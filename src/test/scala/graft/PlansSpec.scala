@@ -101,6 +101,26 @@ class PlansSpec extends SparkSpec {
       "row estimate within limit but byte size over maxRows×bytesPerRow must refuse the exact plan")
   }
 
+  test("round-7 shapes keep their bounded pre-shuffle passes") {
+    def plan(q: String) =
+      SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
+    // CDC compaction: Spark 4 plans row_number<=1 as WindowGroupLimit
+    // with a PARTIAL pass — at most one row per key reaches the shuffle.
+    // If this regresses (e.g. the filter stops matching the rank
+    // pattern), compaction silently becomes a full per-key sort.
+    val cdc = plan("q94_cdc")
+    assert(cdc.contains("WindowGroupLimit") && cdc.contains("Partial"),
+      s"compaction lost its partial group limit:\n$cdc")
+    // exact-N sampling rides the same partial limit
+    val sn = plan("q100_sample_n")
+    assert(sn.contains("WindowGroupLimit") && sn.contains("Partial"),
+      s"sampleExactN lost its partial group limit:\n$sn")
+    // bounded top-k aggregator must keep map-side partial aggregation
+    val tk = plan("q96_topk_agg")
+    assert(tk.contains("partial_topkbyscore"),
+      s"TopKByScore lost its partial aggregation:\n$tk")
+  }
+
   test("GraftExtensions injection applies cleanly to a fresh extensions object") {
     // a full spark.sql.extensions round trip needs an isolated
     // SparkContext (getOrCreate would return the suite session and

@@ -117,4 +117,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.clusterSafeSplit(docs, "doc_id", clusters, Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("sampleExactN: exact per-stratum counts, deterministic, short strata kept whole") {
+    val df = (0L until 3000L).toDF("id")
+      .withColumn("s", when(col("id") < 2950, "big").otherwise("tiny")) // tiny has 50 < n
+    val out = Sampling.sampleExactN(df, "s", col("id"), n = 100, salt = "e1")
+    val counts = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts("big") == 100L, s"exact n: ${counts("big")}")
+    assert(counts("tiny") == 50L, "stratum smaller than n keeps all rows")
+    // deterministic across partitioning
+    val a = out.agg(sum("id")).head.getLong(0)
+    val b = Sampling.sampleExactN(df.repartition(17), "s", col("id"), 100, "e1")
+      .agg(sum("id")).head.getLong(0)
+    assert(a == b)
+    // different salt draws a (mostly) different sample
+    val c = Sampling.sampleExactN(df, "s", col("id"), 100, "e2")
+      .select("id").as[Long].collect().toSet
+    val base = out.select("id").as[Long].collect().toSet
+    assert((base & c).size < base.size, "salt must decorrelate the draw")
+  }
 }
