@@ -33,22 +33,33 @@ import java.io.File
 object IndexStore {
 
   /** Cheap content fingerprint of one or more table paths (files or
-    * directories): 16 hex chars of md5 over the sorted
-    * `name:size:mtime` lines of every data file. Hidden and `_*`
-    * entries (parquet `_SUCCESS`, checksums) are skipped so a rewrite
-    * that produces identical data files with new commit markers still
-    * changes mtimes — which is exactly the conservative direction.
+    * directories, RECURSIVE — a partitioned parquet layout's data files
+    * live under `col=value/` subdirectories and must all contribute):
+    * 16 hex chars of md5 over the sorted `relpath:size:mtime` lines of
+    * every data file. Hidden and `_*` entries (parquet `_SUCCESS`,
+    * checksums) are skipped so a rewrite that produces identical data
+    * files with new commit markers still changes mtimes — which is
+    * exactly the conservative direction. A path with NO data files
+    * (missing, empty, or marker-only) is an error: returning a
+    * constant md5("") would silently collide every such dataset onto
+    * one cache key — the stale-index hazard this function exists to
+    * close.
     */
   def fingerprint(paths: String*): String = {
+    def walk(f: File, rel: String): Seq[String] =
+      if (f.getName.startsWith(".") || f.getName.startsWith("_")) Seq.empty
+      else if (f.isFile) Seq(s"$rel:${f.length}:${f.lastModified}")
+      else if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Seq.empty
     val lines = paths.flatMap { p =>
       val f = new File(p)
-      val files =
-        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-        else if (f.isFile) Seq(f)
-        else Seq.empty
-      files.filter(x => x.isFile && !x.getName.startsWith(".") && !x.getName.startsWith("_"))
-        .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      if (f.isFile) Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+      else walk(f, f.getName)
     }.sorted
+    require(lines.nonEmpty,
+      s"no data files under ${paths.mkString(", ")} — refusing a constant fingerprint")
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(lines.mkString("\n").getBytes("UTF-8"))
     md.digest().take(8).map(b => f"$b%02x").mkString

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CDC MERGE — apply a changeset to a snapshot (the `MERGE INTO`
@@ -34,22 +34,35 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Executor-side op validation: anything outside {U, D} fails the
+    * job loudly instead of picking one of two silent behaviors (a
+    * typo'd op must never read as "no-op" here and "delete" in
+    * [[mergeScd2]]).
+    */
+  private def validOp(c: Column): Column =
+    when(c.isin("U", "D"), c)
+      .otherwise(raise_error(concat(lit("unknown CDC op: "), coalesce(c, lit("NULL")))))
+
   def merge(snapshot: DataFrame, changes: DataFrame, keyCol: String, opCol: String): DataFrame = {
     val valueCols = snapshot.columns.filterNot(_ == keyCol).toSeq
     require(valueCols.forall(changes.columns.contains),
       s"changes must carry the snapshot's value columns: ${valueCols.mkString(", ")}")
+    // presence flags, not key-nullness: a null KEY is legal in either
+    // frame and must behave like any other key value (the join is
+    // null-safe), so "row exists on this side" is tracked explicitly
     val s = snapshot.select(
-      col(keyCol).as("__k") +: valueCols.map(c => col(c).as(s"__s_$c")): _*)
+      col(keyCol).as("__k") +: lit(true).as("__sp") +:
+        valueCols.map(c => col(c).as(s"__s_$c")): _*)
     val c = changes.select(
-      col(keyCol).as("__ck") +: col(opCol).as("__op") +:
+      col(keyCol).as("__ck") +: lit(true).as("__cp") +: validOp(col(opCol)).as("__op") +:
         valueCols.map(v => col(v).as(s"__c_$v")): _*)
-    s.join(c, col("__k") === col("__ck"), "full_outer")
+    s.join(c, col("__k") <=> col("__ck"), "full_outer")
       // deletes drop matched snapshot rows; unmatched deletes are no-ops
       .filter(coalesce(col("__op"), lit("")) =!= "D")
       // snapshot-only rows pass through; change-only rows must be upserts
-      .filter(col("__k").isNotNull || col("__op") === "U")
+      .filter(coalesce(col("__sp"), lit(false)) || col("__op") === "U")
       .select(
-        coalesce(col("__ck"), col("__k")).as(keyCol) +:
+        when(coalesce(col("__cp"), lit(false)), col("__ck")).otherwise(col("__k")).as(keyCol) +:
           valueCols.map(v =>
             when(col("__op") === "U", col(s"__c_$v"))
               .otherwise(col(s"__s_$v")).as(v)): _*)
@@ -118,7 +131,7 @@ object Merge {
     val closed = dim.filter(col("valid_to").isNotNull)
     val current = dim.filter(col("valid_to").isNull)
     val chg = changes.select(
-      col(keyCol).as("__ck") +: col(opCol).as("__op") +:
+      col(keyCol).as("__ck") +: validOp(col(opCol)).as("__op") +:
         valueCols.map(v => col(v).as(s"__c_$v")): _*)
     // current rows: close those with a change (U supersedes, D removes)
     val currentOut = current.join(chg, col(keyCol) === col("__ck"), "left")

@@ -441,6 +441,12 @@ object StreamingReports {
   private[graft] def applyCdcBatch(
       batch: DataFrame, storeRoot: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val dest = new java.io.File(f"$storeRoot/v$batchId%09d")
+    // restart idempotency: the checkpoint can re-deliver a batch whose
+    // version already committed — skip instead of failing; a PARTIAL
+    // dest (crash mid-write, no _SUCCESS) is damaged and is replaced
+    if (new java.io.File(dest, "_SUCCESS").exists()) return
+    if (dest.exists()) deleteRecursively(dest.toPath)
     val compacted = graft.operators.Merge.compactLog(
       batch.withColumn("op", lit("U")), "resourceId", "seq", col("eventId"))
     val merged = latestCdcVersion(storeRoot) match {
@@ -456,12 +462,25 @@ object StreamingReports {
           .drop("__cur")
         graft.operators.Merge.merge(snap, guarded, "resourceId", "op")
     }
-    merged.write.mode("errorifexists").parquet(f"$storeRoot/v$batchId%09d")
+    // staged write + atomic rename (the IndexStore discipline): readers
+    // and latestCdcVersion never see a version without its _SUCCESS
+    val staging = new java.io.File(
+      s"$storeRoot/.staging-v$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
+    merged.write.mode("errorifexists").parquet(staging.getPath)
+    if (!staging.renameTo(dest)) {
+      deleteRecursively(staging.toPath)
+      sys.error(s"could not commit CDC store version $dest")
+    }
   }
 
+  /** Latest COMMITTED version: only dirs carrying Spark's _SUCCESS
+    * marker count — a partial tree from a crashed write must never be
+    * served as the snapshot.
+    */
   private def latestCdcVersion(storeRoot: String): Option[String] =
     Option(new java.io.File(storeRoot).listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getPath).sorted)
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists()).map(_.getPath).sorted)
       .flatMap(_.lastOption)
 
   /** Replay the landing dir through [[cdcUpsertStream]] in two waves —
@@ -482,8 +501,15 @@ object StreamingReports {
       deliver(landing, older)
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.read.parquet(latestCdcVersion(storeRoot).getOrElse(
-      sys.error(s"no CDC store version written under $storeRoot")))
+    val latest = latestCdcVersion(storeRoot).getOrElse(
+      sys.error(s"no CDC store version written under $storeRoot"))
+    // vacuum: keep only the latest version (the returned frame reads it
+    // lazily); superseded versions and the checkpoint would otherwise
+    // leak one full snapshot copy per batch per replay into tmp
+    Option(new java.io.File(storeRoot).listFiles()).foreach(_.foreach { f =>
+      if (f.getPath != latest) deleteRecursively(f.toPath)
+    })
+    spark.read.parquet(latest)
   }
 
   /** Custom state: running per-resource event totals via

@@ -81,4 +81,22 @@ class IndexStoreSpec extends AnyFunSuite {
     Files.write(f.toPath, "pq".getBytes)
     assert(IndexStore.fingerprint(f.getPath).matches("[0-9a-f]{16}"))
   }
+
+  test("fingerprint recurses into partitioned layouts and refuses empty inputs") {
+    val data = tmpDir()
+    val part = new File(data, "date=2024-01")
+    part.mkdirs()
+    val f = new File(part, "part-00000.parquet")
+    Files.write(f.toPath, "x".getBytes)
+    val fp1 = IndexStore.fingerprint(data.getPath)
+    // a change INSIDE the partition subdir must change the fingerprint
+    Files.write(f.toPath, "xy".getBytes)
+    assert(IndexStore.fingerprint(data.getPath) != fp1,
+      "partitioned data files must contribute to the fingerprint")
+    // no data files at all → loud failure, never a constant cache key
+    val empty = tmpDir()
+    new File(empty, "_SUCCESS").createNewFile()
+    intercept[IllegalArgumentException] { IndexStore.fingerprint(empty.getPath) }
+    intercept[IllegalArgumentException] { IndexStore.fingerprint("/does/not/exist") }
+  }
 }

@@ -39,6 +39,32 @@ class MergeMixSpec extends SparkSpec {
     assert(e.getMessage.contains("value columns"))
   }
 
+  test("merge treats a null key as a key: untouched null-key rows pass through") {
+    val s = Seq((Some(1L), "a", 1.0), (None, "nullk", 9.0)).toDF("k", "name", "v")
+    val chg = Seq((Some(2L), "U", "b", 2.0)).toDF("k", "op", "name", "v")
+    val out = Merge.merge(s, chg, "k", "op")
+      .as[(Option[Long], String, Double)].collect().toSet
+    assert(out == Set((Some(1L), "a", 1.0), (None, "nullk", 9.0), (Some(2L), "b", 2.0)))
+    // and a null-key CHANGE updates the null-key row (null-safe join)
+    val chg2 = Seq((Option.empty[Long], "U", "nullk2", 10.0)).toDF("k", "op", "name", "v")
+    val out2 = Merge.merge(s, chg2, "k", "op")
+      .as[(Option[Long], String, Double)].collect().toSet
+    assert(out2 == Set((Some(1L), "a", 1.0), (None, "nullk2", 10.0)))
+  }
+
+  test("merge and mergeScd2 fail loudly on unrecognized ops instead of diverging silently") {
+    val chg = Seq((1L, "u", "x", 0.0)).toDF("k", "op", "name", "v") // lowercase typo
+    val e = intercept[Exception] {
+      Merge.merge(snap, chg, "k", "op").collect()
+    }
+    assert(e.getMessage.contains("unknown CDC op"), e.getMessage)
+    val dim = Seq((1L, "a", 1L, Option.empty[Long])).toDF("k", "name", "valid_from", "valid_to")
+    val e2 = intercept[Exception] {
+      Merge.mergeScd2(dim, Seq((1L, "I", "y")).toDF("k", "op", "name"), "k", "op", 2L).collect()
+    }
+    assert(e2.getMessage.contains("unknown CDC op"), e2.getMessage)
+  }
+
   // ── SCD type-2 merge ──
 
   test("mergeScd2 closes superseded versions, inserts new ones, keeps history immutable") {

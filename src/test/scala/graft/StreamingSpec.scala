@@ -268,6 +268,25 @@ class StreamingSpec extends SparkSpec {
     val fin = spark.read.parquet(s"$store/v000000002")
       .as[(String, Long, String, String, Long)].collect().toSet
     assert(fin == Set(("r1", 100L, "e9", "u3", 30L), ("r2", 60L, "e3", "u2", 20L)))
+
+    // restart idempotency: re-applying a committed batch is a no-op
+    StreamingReports.applyCdcBatch(
+      batch(Seq(("r1", 999L, "eX", "uX", 1L))), store, 2L)
+    val again = spark.read.parquet(s"$store/v000000002")
+      .as[(String, Long, String, String, Long)].collect().toSet
+    assert(again == fin, "a committed version must not be rewritten on redelivery")
+
+    // crash recovery: a partial version dir (no _SUCCESS) is not served
+    // as the snapshot and is replaced by the batch's staged commit
+    val partial = new java.io.File(s"$store/v000000003")
+    new java.io.File(partial, "sub").mkdirs() // damaged tree, no _SUCCESS
+    StreamingReports.applyCdcBatch(
+      batch(Seq(("r3", 10L, "e4", "u4", 4L))), store, 3L)
+    assert(new java.io.File(partial, "_SUCCESS").exists(), "batch 3 must commit atomically")
+    val v3 = spark.read.parquet(s"$store/v000000003")
+      .as[(String, Long, String, String, Long)].collect().toSet
+    // snapshot basis was v2 (the last COMMITTED version), not the damaged v3
+    assert(v3 == fin + (("r3", 10L, "e4", "u4", 4L)))
   }
 
   test("cdcUpsertReplay equals the batch latest-event-per-resource truth") {
