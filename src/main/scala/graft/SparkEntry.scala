@@ -1434,7 +1434,13 @@ object SparkEntry {
     "q100_sample_n" -> ((s, dir) =>
       graft.operators.Sampling.sampleExactN(
           t(s, dir, "documents"), "source", col("doc_id"), n = 30, salt = "eval-v1")
-        .select("doc_id", "source", "lang"))
+        .select("doc_id", "source", "lang")),
+
+    // ── key-skew profile ("measure before you salt"): top-8 heaviest
+    // l_orderkey values with table share — the decision input for
+    // SkewSalt/AQE tuning; TakeOrderedAndProject, no global sort ──
+    "q101_skew_profile" -> ((s, dir) =>
+      graft.operators.Profile.keySkew(t(s, dir, "lineitem"), "l_orderkey", topN = 8))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -2940,6 +2946,21 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY substr(md5(concat_ws(':', 'eval-v1', CAST(doc_id AS VARCHAR))), 1, 8),
-        |           doc_id) <= 30""".stripMargin
+        |           doc_id) <= 30""".stripMargin,
+
+    // NOTE: the outer ORDER BY must use the QUALIFIED c.key (BIGINT) —
+    // the bare name would resolve to the output alias, a VARCHAR, and
+    // break ties lexicographically while the window breaks them
+    // numerically (caught by the round-7 oracle run).
+    "q101_skew_profile" ->
+      """WITH c AS (
+        |  SELECT l_orderkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT row_number() OVER (ORDER BY n DESC, c.key ASC NULLS FIRST) AS rank,
+        |  CAST(c.key AS VARCHAR) AS key, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, c.key ASC NULLS FIRST
+        |LIMIT 8""".stripMargin
   )
 }

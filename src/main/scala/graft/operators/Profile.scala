@@ -52,6 +52,35 @@ object Profile {
     unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
   }
 
+  /** KEY-SKEW profile — "measure before you salt": the top-N heaviest
+    * values of a prospective shuffle key with each one's share of the
+    * table and of the heaviest reducer a plain hash partition would
+    * see. The decision input for SkewSalt/AQE-skew-join tuning: a key
+    * with share 0.3 means one reducer gets 30 % of the data however
+    * many partitions you use. One keyed count (combiner-pushed: the
+    * map side emits one row per distinct key per task) + a 1-row total
+    * broadcast + a rank on the COUNTS frame (|distinct keys| rows, not
+    * the table). Null keys count as a group — at 100 TB null-heavy
+    * keys are the single most common skew cause.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    // orderBy+limit plans as TakeOrderedAndProject — per-partition
+    // top-N heaps, never a single-partition sort of the counts frame
+    // (which for a high-cardinality key is itself big). The rank window
+    // then runs over ≤ topN rows.
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__total").cast("double"))
+      .orderBy(col("n").desc, col("key").asc_nulls_first)
+      .limit(topN)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key").asc_nulls_first)).cast("long"))
+      .select(col("rank"), col("key").cast("string").as("key"), col("n"), col("share"))
+  }
+
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and

@@ -61,4 +61,21 @@ class ProfileHistSpec extends SparkSpec {
       .select("bucket", "n").as[(Long, Long)].collect().toMap
     assert(h == Map(0L -> 1L, 1L -> 1L), s"nulls leaked into a bucket: $h")
   }
+
+  test("keySkew ranks hot keys with exact shares, counts nulls, avoids a global sort") {
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("k",
+        when(col("id") < 500, "hot")
+          .when(col("id") < 750, lit(null).cast("string"))
+          .otherwise(concat(lit("k"), col("id") % 50)))
+    val out = Profile.keySkew(df, "k", topN = 3)
+      .as[(Long, String, Long, Double)].collect().toList
+    assert(out.head == (1L, "hot", 500L, 0.5), s"hot key: ${out.head}")
+    assert(out(1)._2 == null && out(1)._3 == 250L,
+      s"null keys must profile as a group: ${out(1)}")
+    assert(out.size == 3 && out(2)._3 == 5L)
+    // distributed top-N, not a single-partition sort of the counts
+    val plan = Profile.keySkew(df, "k", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+  }
 }
