@@ -65,6 +65,85 @@ class MergeMixSpec extends SparkSpec {
     assert(e2.getMessage.contains("unknown CDC op"), e2.getMessage)
   }
 
+  // ── CDC property tests: Spark pipeline vs an in-memory model ──
+
+  test("property: compactLog+merge == sequential model on random logs (nulls, ties, deletes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genKey: Gen[Option[Long]] =
+      Gen.frequency(9 -> Gen.choose(0L, 9L).map(Some(_)), 1 -> Gen.const(None))
+    val genLog = Gen.listOfN(40, for {
+      k <- genKey
+      seq <- Gen.choose(0L, 3L) // deliberate (key, seq) ties
+      op <- Gen.oneOf("U", "D")
+      v <- Gen.choose(0L, 99L)
+    } yield (k, seq, op, s"n$v", v))
+    val genSnap = Gen.listOfN(8, for {
+      k <- genKey; v <- Gen.choose(100L, 199L)
+    } yield (k, s"s$v", v))
+
+    (0 until 10).foreach { i =>
+      val p = Gen.Parameters.default
+      val log = genLog.apply(p, Seed(7L + i)).get
+      val snap = genSnap.apply(p, Seed(1000L + i)).get
+        .groupBy(_._1).map(_._2.head).toSeq // unique keys
+      val snapDf = snap.toDF("k", "name", "v")
+      val logDf = log.toDF("k", "seq", "op", "name", "v")
+      val got = Merge.merge(snapDf,
+          Merge.compactLog(logDf, "k", "seq", col("op"), col("name"), col("v")).drop("seq"),
+          "k", "op")
+        .as[(Option[Long], String, Long)].collect().toSet
+      // model: per key take max (seq, op, name, v); apply U=put, D=remove
+      val lastPerKey = log.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.maxBy(r => (r._2, r._3, r._4, r._5))
+      }
+      val want = lastPerKey.foldLeft(snap.map(r => r._1 -> ((r._2, r._3))).toMap) {
+        case (acc, (k, (_, _, op, name, v))) =>
+          if (op == "D") acc - k else acc + (k -> ((name, v)))
+      }.map { case (k, (name, v)) => (k, name, v) }.toSet
+      assert(got == want, s"iteration $i: got ${got.size} rows, want ${want.size}")
+    }
+  }
+
+  test("property: mergeScd2 keeps at-most-one open row per key and never mutates history") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genDim = Gen.listOfN(10, for {
+      k <- Gen.choose(0L, 6L); v <- Gen.choose(0L, 99L)
+    } yield (k, s"d$v"))
+    val genChg = Gen.listOfN(6, for {
+      k <- Gen.choose(0L, 9L); op <- Gen.oneOf("U", "D"); v <- Gen.choose(100L, 199L)
+    } yield (k, op, s"c$v"))
+    (0 until 10).foreach { i =>
+      val p = Gen.Parameters.default
+      val dimRows = genDim.apply(p, Seed(11L + i)).get
+        .groupBy(_._1).map(_._2.head).toSeq // one current row per key
+      val chgRows = genChg.apply(p, Seed(2000L + i)).get
+        .groupBy(_._1).map(_._2.head).toSeq // compacted changeset
+      // seed dim: closed history (valid 0→1) for even keys + open rows
+      val dim = dimRows.flatMap { case (k, name) =>
+        (if (k % 2 == 0) Seq((k, s"old_$name", 0L, Some(1L))) else Nil) :+
+          ((k, name, 1L, Option.empty[Long]))
+      }.toDF("k", "name", "valid_from", "valid_to")
+      val out = Merge.mergeScd2(dim, chgRows.toDF("k", "op", "name"), "k", "op", batchSeq = 5L)
+        .as[(Long, String, Long, Option[Long])].collect().toSeq
+      // at most one open row per key
+      out.filter(_._4.isEmpty).groupBy(_._1).foreach { case (k, rows) =>
+        assert(rows.size == 1, s"iteration $i: key $k has ${rows.size} open rows")
+      }
+      // history rows pass through byte-identical
+      val history = dim.as[(Long, String, Long, Option[Long])].collect()
+        .filter(_._4.contains(1L)).toSet
+      assert(history.subsetOf(out.toSet), s"iteration $i: history mutated")
+      // every row of the old dim is accounted for: either unchanged or closed at 5
+      val outSet = out.toSet
+      dim.as[(Long, String, Long, Option[Long])].collect().foreach { r =>
+        assert(outSet.contains(r) || outSet.contains((r._1, r._2, r._3, Some(5L))),
+          s"iteration $i: dim row $r vanished")
+      }
+    }
+  }
+
   // ── SCD type-2 merge ──
 
   test("mergeScd2 closes superseded versions, inserts new ones, keeps history immutable") {
