@@ -1440,7 +1440,14 @@ object SparkEntry {
     // l_orderkey values with table share — the decision input for
     // SkewSalt/AQE tuning; TakeOrderedAndProject, no global sort ──
     "q101_skew_profile" -> ((s, dir) =>
-      graft.operators.Profile.keySkew(t(s, dir, "lineitem"), "l_orderkey", topN = 8))
+      graft.operators.Profile.keySkew(t(s, dir, "lineitem"), "l_orderkey", topN = 8)),
+
+    // ── deterministic contrastive negatives: 2 pseudo-random same-
+    // shard partners per document via the md5 permutation — exact,
+    // reproducible, engine-independent ──
+    "q102_neg_pairs" -> ((s, dir) =>
+      graft.operators.Sampling.negativePairs(
+        t(s, dir, "documents"), col("doc_id"), k = 2, salt = "neg-v1"))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -2961,6 +2968,28 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
         |FROM c CROSS JOIN t
         |ORDER BY n DESC, c.key ASC NULLS FIRST
-        |LIMIT 8""".stripMargin
+        |LIMIT 8""".stripMargin,
+
+    // Same md5 permutation as q86's shuffleShards; the negative-rank
+    // walk is pure integer arithmetic (div/mod on BIGINTs).
+    "q102_neg_pairs" ->
+      """WITH a AS (
+        |  SELECT doc_id AS key,
+        |    md5(concat_ws(':', 'neg-v1', CAST(doc_id AS VARCHAR))) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT key, substr(h, 1, 2) AS shard,
+        |    row_number() OVER (PARTITION BY substr(h, 1, 2) ORDER BY h, key) AS shard_rank
+        |  FROM a),
+        |s AS (SELECT shard, count(*) AS shard_size FROM r GROUP BY 1),
+        |n AS (
+        |  SELECT r.key, r.shard, r.shard_rank, j.j,
+        |    (r.shard_rank - 1 + j.j * (s.shard_size // 3) + j.j) % s.shard_size + 1
+        |      AS neg_rank
+        |  FROM r JOIN s USING (shard)
+        |  CROSS JOIN (SELECT unnest([1, 2]) AS j) j)
+        |SELECT n.key, r2.key AS neg_key, CAST(n.j AS BIGINT) AS j
+        |FROM n JOIN r r2 ON r2.shard = n.shard AND r2.shard_rank = n.neg_rank
+        |WHERE n.neg_rank <> n.shard_rank""".stripMargin
   )
 }

@@ -190,6 +190,48 @@ object Sampling {
       .drop("__n", "__minn", "__thr")
   }
 
+  /** Deterministic NEGATIVE-PAIR sampling — contrastive-training prep:
+    * k pseudo-random "negative" partners per anchor row, reproducible
+    * across runs/partitionings/engines (`rand()`-based negatives
+    * change every run, which breaks both replay and the oracle).
+    *
+    * Built on the [[shuffleShards]] permutation: every row gets a
+    * (shard, shard_rank) address; anchor at rank r draws its j-th
+    * negative at rank (r-1 + j·stride + j) mod shard_size + 1 of the
+    * SAME shard, stride = shard_size div (k+1) — spread across the
+    * shard, offset per j so the k draws are distinct for any
+    * shard_size > k+1. Since shard assignment is itself an md5 draw,
+    * a same-shard partner is a uniform random partner. Self-pairs
+    * (possible when the modular walk wraps onto the anchor) are
+    * filtered — an anchor then carries k-1 negatives, never a wrong
+    * one.
+    *
+    * Scale shape: ranks are per-shard (16^hexChars independent
+    * windows, the q86 discipline — no global sort), the shard-size
+    * frame is #shards rows broadcast, and the partner lookup is one
+    * (shard, rank)-keyed equi self-join. Output: (key, neg_key, j).
+    */
+  def negativePairs(
+      df: DataFrame, key: Column, k: Int, salt: String = "",
+      hexChars: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val addressed = shuffleShards(df.select(key.as("__key")), col("__key"), salt, hexChars)
+      .select(col("__key"), col("shard"), col("shard_rank"))
+    val sizes = addressed.groupBy("shard").agg(count(lit(1)).as("shard_size"))
+    val anchors = addressed.join(broadcast(sizes), Seq("shard"))
+      .withColumn("j", explode(sequence(lit(1L), lit(k.toLong))))
+      .withColumn("neg_rank",
+        pmod(col("shard_rank") - 1 +
+            col("j") * expr(s"shard_size div ${k + 1}") + col("j"),
+          col("shard_size")) + 1)
+      .filter(col("neg_rank") =!= col("shard_rank"))
+    anchors.join(
+        addressed.select(col("shard"), col("shard_rank").as("neg_rank"),
+          col("__key").as("neg_key")),
+        Seq("shard", "neg_rank"))
+      .select(col("__key").as("key"), col("neg_key"), col("j"))
+  }
+
   /** EXACT-N deterministic sample per stratum — eval/validation-set
     * construction: "exactly 500 docs per source, reproducibly".
     * Rate-based sampling ([[hashSample]]/[[stratifiedSample]]) gives

@@ -118,6 +118,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("negativePairs: k distinct same-shard partners, never self, deterministic") {
+    val df = (0L until 5000L).toDF("doc_id")
+    val out = Sampling.negativePairs(df, col("doc_id"), k = 3, salt = "n1")
+      .as[(Long, Long, Long)].collect()
+    // never a self-pair
+    assert(out.forall { case (a, b, _) => a != b })
+    // anchors carry k negatives (k-1 tolerated only on wrap collisions)
+    val perAnchor = out.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(n => n == 3 || n == 2))
+    assert(perAnchor.values.count(_ == 3) > perAnchor.size * 0.9,
+      "nearly all anchors should get their full k negatives")
+    // the k draws per anchor are distinct partners
+    out.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._2).distinct.length == rows.length, s"anchor $a drew a duplicate")
+    }
+    // deterministic across partitioning
+    val again = Sampling.negativePairs(df.repartition(13), col("doc_id"), 3, "n1")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == out.toSet)
+    // negatives are spread, not clustered: a fixed anchor's partners
+    // differ under a different salt
+    val other = Sampling.negativePairs(df, col("doc_id"), 3, "n2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(other != out.toSet)
+  }
+
   test("sampleExactN: exact per-stratum counts, deterministic, short strata kept whole") {
     val df = (0L until 3000L).toDF("id")
       .withColumn("s", when(col("id") < 2950, "big").otherwise("tiny")) // tiny has 50 < n
