@@ -1447,7 +1447,23 @@ object SparkEntry {
     // reproducible, engine-independent ──
     "q102_neg_pairs" -> ((s, dir) =>
       graft.operators.Sampling.negativePairs(
-        t(s, dir, "documents"), col("doc_id"), k = 2, salt = "neg-v1"))
+        t(s, dir, "documents"), col("doc_id"), k = 2, salt = "neg-v1")),
+
+    // ── corpus version diff: v2 derived deterministically (every 11th
+    // doc removed, every 7th edited, every 13th re-keyed as new) —
+    // per-key status via side-local md5 fingerprints, so only
+    // key+hash cross the shuffle, never the text ──
+    "q103_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source")))
+      graft.operators.Diff.diff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+    })
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -2990,6 +3006,34 @@ object SparkEntry {
         |  CROSS JOIN (SELECT unnest([1, 2]) AS j) j)
         |SELECT n.key, r2.key AS neg_key, CAST(n.j AS BIGINT) AS j
         |FROM n JOIN r r2 ON r2.shard = n.shard AND r2.shard_rank = n.neg_rank
-        |WHERE n.neg_rank <> n.shard_rank""".stripMargin
+        |WHERE n.neg_rank <> n.shard_rank""".stripMargin,
+
+    // chr(1) field delimiter / chr(2) null marker mirror
+    // Diff.rowFingerprint's \u0001/\u0002 exactly.
+    "q103_diff" ->
+      """WITH v1 AS (SELECT doc_id, text, lang, source FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |o AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(2)),
+        |    coalesce(CAST(lang AS VARCHAR), chr(2)),
+        |    coalesce(CAST(source AS VARCHAR), chr(2)))) AS old_fp FROM v1),
+        |n AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(2)),
+        |    coalesce(CAST(lang AS VARCHAR), chr(2)),
+        |    coalesce(CAST(source AS VARCHAR), chr(2)))) AS new_fp FROM v2)
+        |SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_fp = new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_fp, new_fp
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
   )
 }

@@ -336,6 +336,43 @@ class MergeMixSpec extends SparkSpec {
     assert(agg == win)
   }
 
+  // ── corpus version diff ──
+
+  test("diff classifies added/removed/changed/unchanged, null-safe on keys and values") {
+    import graft.operators.Diff
+    val v1 = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("b")),
+      (Some(3L), Option.empty[String]),  // null VALUE
+      (None, Some("nullkey")),           // null KEY
+      (Some(5L), Some("gone"))
+    ).toDF("k", "v")
+    val v2 = Seq(
+      (Some(1L), Some("a")),        // unchanged
+      (Some(2L), Some("B")),        // changed
+      (Some(3L), Some("")),         // null -> empty string IS a change
+      (None, Some("nullkey")),      // null key matches itself: unchanged
+      (Some(6L), Some("new"))       // added
+    ).toDF("k", "v")
+    val st = Diff.diff(v1, v2, "k", Seq("v"))
+      .select("k", "status").as[(Option[Long], String)].collect().toMap
+    assert(st == Map(
+      Some(1L) -> "unchanged", Some(2L) -> "changed", Some(3L) -> "changed",
+      None -> "unchanged", Some(5L) -> "removed", Some(6L) -> "added"))
+    val sums = Diff.diffSummary(Diff.diff(v1, v2, "k", Seq("v")))
+      .as[(String, Long)].collect().toMap
+    assert(sums == Map("unchanged" -> 2L, "changed" -> 2L, "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("diff fingerprint separates field boundaries") {
+    import graft.operators.Diff
+    // ("ab","") vs ("a","b") must NOT collide
+    val a = Seq((1L, "ab", "")).toDF("k", "x", "y")
+    val b = Seq((1L, "a", "b")).toDF("k", "x", "y")
+    val st = Diff.diff(a, b, "k", Seq("x", "y"))
+      .select("status").as[String].head()
+    assert(st == "changed")
+  }
+
   // ── incremental aggregation ──
 
   test("incremental state merge is associative and equals the one-shot aggregate") {
