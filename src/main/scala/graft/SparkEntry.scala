@@ -1463,6 +1463,36 @@ object SparkEntry {
           .select((col("doc_id") + lit(1000000L)).as("doc_id"),
             col("text"), col("lang"), col("source")))
       graft.operators.Diff.diff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+    }),
+
+    // ── the ROUND-7 CAPSTONE (q69's successor, built from this
+    // round's operators): metadata quality gate → near-dup clustering
+    // → CANONICAL keep (argmax n_chars, not min-id) → BALANCED domain
+    // mixture (rates in-plan) → exact-N eval holdout per source. One
+    // oracle certifies the whole composition. The canonical corpus
+    // feeds three consumers (mix counts, mix join, eval rank), so it
+    // is checkpointed once — the q69 lesson. ──
+    "q104_pipeline_v2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = docs.filter(col("n_chars") >= 200)
+      val pairs = Dedup.nearDupPairsMinhash(quality, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val clusters = graft.ext.ConnectedComponents
+        .dedupClusters(quality, "doc_id", pairs, "doc_a", "doc_b")
+      val canon = graft.ext.ConnectedComponents
+        .canonicalPerCluster(clusters, "doc_id",
+          quality.select(col("doc_id"), col("n_chars")), "n_chars")
+        .select(col("canon_id").as("doc_id"))
+      val kept = quality.select("doc_id", "source").join(canon, "doc_id")
+        .localCheckpoint()
+      val mixed = graft.operators.Sampling.balancedMix(
+        kept, "source", col("doc_id"), salt = "mix-v2")
+      val eval = graft.operators.Sampling.sampleExactN(
+          mixed, "source", col("doc_id"), n = 10, salt = "eval-v2")
+        .select(col("doc_id"), lit(true).as("__e"))
+      mixed.join(eval, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("__e").isNotNull, "eval").otherwise("train").as("split"))
     })
   )
 
@@ -3034,6 +3064,61 @@ object SparkEntry {
         |       WHEN old_fp = new_fp THEN 'unchanged'
         |       ELSE 'changed' END AS status,
         |  old_fp, new_fp
-        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // q55's component closure over the quality slice, then this
+    // round's operators in sequence: argmax-canonical keep, balanced
+    // mix thresholds, exact-N eval rank.
+    "q104_pipeline_v2" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents WHERE n_chars >= 200),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM q),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT da AS a, db AS b
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |assigned AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |    coalesce(c.component, d.doc_id) AS cluster
+        |  FROM q d LEFT JOIN comp c ON c.node = d.doc_id),
+        |canon AS (
+        |  SELECT doc_id, source FROM assigned
+        |  QUALIFY row_number() OVER (PARTITION BY cluster
+        |    ORDER BY n_chars DESC, doc_id) = 1),
+        |nn AS (SELECT source, count(*) AS n FROM canon GROUP BY 1),
+        |m AS (SELECT min(n) AS minn FROM nn),
+        |mixed AS (
+        |  SELECT c.doc_id, c.source
+        |  FROM canon c JOIN nn USING (source) CROSS JOIN m
+        |  WHERE nn.n = m.minn
+        |     OR substr(md5(concat_ws(':', 'mix-v2', CAST(c.doc_id AS VARCHAR))), 1, 8)
+        |        < lpad(lower(hex(CAST(floor(
+        |            (CAST(m.minn AS DOUBLE) / CAST(nn.n AS DOUBLE)) * 4294967296.0
+        |          ) AS BIGINT))), 8, '0'))
+        |SELECT doc_id, source,
+        |  CASE WHEN row_number() OVER (PARTITION BY source
+        |    ORDER BY substr(md5(concat_ws(':', 'eval-v2', CAST(doc_id AS VARCHAR))), 1, 8),
+        |             doc_id) <= 10
+        |  THEN 'eval' ELSE 'train' END AS split
+        |FROM mixed""".stripMargin
   )
 }
