@@ -1493,7 +1493,23 @@ object SparkEntry {
       mixed.join(eval, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"),
           when(col("__e").isNotNull, "eval").otherwise("train").as("split"))
-    })
+    }),
+
+    // ── duplicate n-gram audit: top-20 5-grams by corpus occurrence
+    // count with distinct-doc spread — the boilerplate-vs-repetition
+    // diagnostic behind substring-dedup decisions; TakeOrdered, never
+    // a global sort ──
+    "q105_ngram_hotspots" -> ((s, dir) =>
+      graft.ext.TextAnalysis.ngramHotspots(
+        t(s, dir, "documents"), "doc_id", "text", n = 5, topK = 20)),
+
+    // ── one BPE induction round: corpus-weighted adjacent char-pair
+    // frequencies over the DISTINCT vocabulary (the only corpus-scale
+    // shuffle is the token-count aggregate; the pair explode runs on
+    // |vocab| rows) ──
+    "q106_bpe_pairs" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bpePairStats(
+        t(s, dir, "documents"), "text", topK = 30))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3119,6 +3135,41 @@ object SparkEntry {
         |    ORDER BY substr(md5(concat_ws(':', 'eval-v2', CAST(doc_id AS VARCHAR))), 1, 8),
         |             doc_id) <= 10
         |  THEN 'eval' ELSE 'train' END AS split
-        |FROM mixed""".stripMargin
+        |FROM mixed""".stripMargin,
+
+    // q92's windowed shingle construction, kept NON-distinct (every
+    // occurrence counts) at n=5; count(*) and count(DISTINCT doc_id)
+    // are both BIGINT in both engines; ngram is the unique final
+    // tiebreak so the LIMIT cut is total-order deterministic.
+    "q105_ngram_hotspots" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |      || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS ngram
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 4) OVER w IS NOT NULL)
+        |SELECT ngram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |FROM ng GROUP BY 1
+        |ORDER BY n_occ DESC, ngram LIMIT 20""".stripMargin,
+
+    // Pair = substr(token, i, 2) over the distinct-vocabulary word
+    // counts; sum(wc) cast to BIGINT (DuckDB sums BIGINT into
+    // HUGEINT); pair is the unique final tiebreak.
+    "q106_bpe_pairs" ->
+      """WITH raw AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |wc AS (SELECT token, count(*) AS wc FROM raw GROUP BY 1),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(token)),
+        |    i -> substr(token, CAST(i AS INT), 2))) AS pair, wc
+        |  FROM wc WHERE length(token) >= 2)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+        |FROM p GROUP BY 1
+        |ORDER BY freq DESC, pair LIMIT 30""".stripMargin
   )
 }

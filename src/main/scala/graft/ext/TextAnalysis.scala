@@ -306,4 +306,63 @@ object TextAnalysis {
       .withColumn("mean_df",
         col("sum_df").cast("double") / col("n_types").cast("double"))
   }
+
+  /** Duplicate n-gram audit (the corpus-level view of repetition): the
+    * topK n-grams by total occurrence count across the corpus, with the
+    * number of distinct documents each appears in. This is the
+    * diagnostic behind substring-level dedup decisions — boilerplate
+    * (headers, license blocks, navigation chrome) shows up as n-grams
+    * with huge n_occ spread over many docs, while within-doc repetition
+    * shows high n_occ concentrated in few docs.
+    *
+    * Shape: tokens materialized once per row (the CSE lesson above),
+    * explode to (gram, id), ONE hash aggregate on gram — count(*) is
+    * map-side partial, count(distinct id) is Spark's standard two-phase
+    * distinct expansion — then TakeOrderedAndProject for the topK
+    * (never a global sort: only topK rows per partition cross the final
+    * exchange, so the reduce side is O(topK), not O(|grams|)).
+    */
+  def ngramHotspots(
+      df: DataFrame, idCol: String, textCol: String, n: Int, topK: Int): DataFrame = {
+    require(n >= 1 && topK >= 1, s"n and topK must be >= 1, got n=$n topK=$topK")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(shingles(col("__toks"), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("ngram"))
+      .limit(topK)
+  }
+
+  /** One round of BPE vocabulary induction: corpus-weighted adjacent
+    * character-pair frequencies, topK candidates for the first merge.
+    * The distributed-tokenizer-training trick is the two-level
+    * aggregation: the corpus collapses to DISTINCT (token, count) first
+    * — vocabulary-sized, not corpus-sized — and the quadratic-ish
+    * pair explosion runs over that small side only, weighted by the
+    * count. At 100 TB the token-count aggregate is the only
+    * corpus-scale shuffle (map-side combinable); the pair stage touches
+    * |vocab| rows regardless of corpus size, which is why real BPE
+    * trainers (and this operator) never explode pairs from raw text.
+    *
+    * Pairs are substring(token, i, 2) for i in 1..len-1 — tokens are
+    * lowercase alnum runs, so a 2-char substring IS the symbol pair at
+    * the first merge step. Length-1 tokens are filtered BEFORE the
+    * sequence() explode (sequence(1,0) would generate a descending
+    * range — the epochMix lesson).
+    */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val wordCounts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("wc"))
+    wordCounts
+      .filter(length(col("token")) >= 2)
+      .select(col("wc"),
+        explode(sequence(lit(1), length(col("token")) - 1)).as("i"),
+        col("token"))
+      .select(expr("substring(token, i, 2)").as("pair"), col("wc"))
+      .groupBy("pair").agg(sum(col("wc")).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(topK)
+  }
 }

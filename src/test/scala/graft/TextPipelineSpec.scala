@@ -101,4 +101,30 @@ class TextPipelineSpec extends SparkSpec {
     // a global window would show an Exchange SinglePartition before the Window
     assert(!plan.contains("SinglePartition"), s"global window detected:\n$plan")
   }
+
+  test("ngramHotspots: occurrence vs distinct-doc counts, deterministic cut") {
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: "a b" ×2, "b a", "b c"
+      (2L, "a b x")).toDF("doc_id", "text") // "a b", "b x"
+    val got = TextAnalysis.ngramHotspots(docs, "doc_id", "text", n = 2, topK = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // n_occ desc, then ngram asc — the LIMIT cut is total-order stable
+    assert(got == Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+  }
+
+  test("ngramHotspots plans TakeOrdered, not a global sort") {
+    val docs = (0L until 500L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3}"))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.ngramHotspots(docs, "doc_id", "text", n = 2, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
+
+  test("bpePairStats: pair frequencies weighted by word count; 1-char words skipped") {
+    val docs = Seq((1L, "abc ab abc"), (2L, "a a a")).toDF("doc_id", "text")
+    // wc: abc=2, ab=1, a=3; pairs: abc→{ab,bc}×2, ab→{ab}×1, a→none
+    val got = TextAnalysis.bpePairStats(docs, "text", topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L), ("bc", 2L)))
+  }
 }
