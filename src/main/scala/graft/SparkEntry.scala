@@ -1509,7 +1509,16 @@ object SparkEntry {
     // |vocab| rows) ──
     "q106_bpe_pairs" -> ((s, dir) =>
       graft.ext.TextAnalysis.bpePairStats(
-        t(s, dir, "documents"), "text", topK = 30))
+        t(s, dir, "documents"), "text", topK = 30)),
+
+    // ── weighted sampling without replacement (priority sampling):
+    // 60 docs drawn ∝ n_chars, deterministically — per-row projection
+    // + TakeOrdered, corpus never shuffled ──
+    "q107_priority_sample" -> ((s, dir) =>
+      graft.operators.Sampling.prioritySample(
+          t(s, dir, "documents"), col("doc_id"), col("n_chars"), k = 60,
+          salt = "prio-v1")
+        .select("doc_id", "source", "n_chars", "priority"))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3170,6 +3179,21 @@ object SparkEntry {
         |  FROM wc WHERE length(token) >= 2)
         |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
         |FROM p GROUP BY 1
-        |ORDER BY freq DESC, pair LIMIT 30""".stripMargin
+        |ORDER BY freq DESC, pair LIMIT 30""".stripMargin,
+
+    // Same md5 draw; '0x'||hex → BIGINT mirrors Spark's conv(_,16,10).
+    // priority = (w·2^32)/(v+1): exact multiply (n_chars < 2^21) then
+    // ONE correctly-rounded divide — bit-identical doubles both sides;
+    // doc_id tiebreak makes the LIMIT cut total-order deterministic.
+    "q107_priority_sample" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(('0x' || substr(md5(concat_ws(':', 'prio-v1',
+        |      CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1 AS u
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  CAST(n_chars AS DOUBLE) * 4294967296.0 / CAST(u AS DOUBLE) AS priority
+        |FROM a
+        |ORDER BY priority DESC, doc_id LIMIT 60""".stripMargin
   )
 }

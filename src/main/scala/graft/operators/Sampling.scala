@@ -286,4 +286,37 @@ object Sampling {
       .filter(col("__rate") >= 1.0 || hashUnit(key, salt) < col("__thr"))
       .drop("__n", "__z", "__q", "__rate", "__thr")
   }
+
+  /** Priority sampling (Duffield-Lund-Thorup, JACM 2007): weighted
+    * sampling WITHOUT replacement — each row draws u_i uniform in
+    * (0, 1], gets priority q_i = w_i / u_i, and the k highest
+    * priorities win. Heavy rows are near-certain picks (w_i large ⇒
+    * q_i large for any draw), light rows win only on a lucky small u —
+    * exactly the "sample docs proportional to token count" primitive a
+    * training-data pipeline needs, with the DLT estimator (ŵ = max(w,
+    * τ) for the kept rows, τ = the (k+1)-th priority) available
+    * downstream because the priority column is emitted.
+    *
+    * Determinism and cross-engine exactness: u_i is the md5 draw as an
+    * integer v in [0, 2^32) shifted to v+1 ∈ [1, 2^32], and the
+    * priority is computed as (w · 2^32) / (v+1) — the multiply is
+    * exact in double for integer weights below 2^21 (token/char counts
+    * qualify) and the divide is one correctly-rounded IEEE op, so any
+    * engine reproduces the exact double, and the top-k cut (tie-broken
+    * by key — total order) is engine-independent.
+    *
+    * Shape: pure per-row projection + TakeOrderedAndProject — only k
+    * rows per partition reach the driver-side merge, no global sort,
+    * no shuffle of the corpus.
+    */
+  def prioritySample(
+      df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = conv(hashUnit(key, salt), 16, 10).cast("long")
+    df.withColumn("priority",
+        weight.cast("double") * lit(4294967296.0) / (v + lit(1L)).cast("double"))
+      .orderBy(col("priority").desc, key)
+      .limit(k)
+  }
 }

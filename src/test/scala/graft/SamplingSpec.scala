@@ -162,4 +162,35 @@ class SamplingSpec extends SparkSpec {
     val base = out.select("id").as[Long].collect().toSet
     assert((base & c).size < base.size, "salt must decorrelate the draw")
   }
+
+  test("prioritySample matches the w/u model exactly and is partition-stable") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(salt: String, key: Long): Long = {
+      val h = md.digest(s"$salt:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16)
+    }
+    val rows = (0L until 2000L).map(i => (i, 1L + i % 97)) // (id, weight)
+    val expect = rows
+      .map { case (id, w) => (id, w, w.toDouble * 4294967296.0 / (draw("p", id) + 1).toDouble) }
+      .sortBy { case (id, _, q) => (-q, id) }
+      .take(25)
+    val df = rows.toDF("id", "w")
+    val got = Sampling.prioritySample(df, col("id"), col("w"), k = 25, salt = "p")
+      .select("id", "w", "priority").as[(Long, Long, Double)].collect().toSeq
+    assert(got == expect, "model mismatch (values must be bit-exact)")
+    val gotRepart = Sampling.prioritySample(df.repartition(13), col("id"), col("w"),
+      k = 25, salt = "p").select("id").as[Long].collect().toSeq
+    assert(gotRepart == expect.map(_._1), "partitioning changed the sample")
+  }
+
+  test("prioritySample favors heavy rows and plans TakeOrdered") {
+    // two-point weights: 100 heavy rows (w=1000) among 5000 light (w=1)
+    val df = (0L until 5000L).map(i => (i, if (i % 50 == 0) 1000L else 1L)).toDF("id", "w")
+    val picked = Sampling.prioritySample(df, col("id"), col("w"), k = 50, salt = "h")
+    val heavy = picked.filter(col("w") === 1000L).count()
+    assert(heavy > 30, s"expected mostly heavy rows in the top-50, got $heavy")
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
 }
