@@ -1518,7 +1518,25 @@ object SparkEntry {
       graft.operators.Sampling.prioritySample(
           t(s, dir, "documents"), col("doc_id"), col("n_chars"), k = 60,
           salt = "prio-v1")
-        .select("doc_id", "source", "n_chars", "priority"))
+        .select("doc_id", "source", "n_chars", "priority")),
+
+    // ── interval coalescing: each line item occupies
+    // [shipdate, shipdate + linenumber%14 days] (the synthetic
+    // receipt-date derivation — this lineitem has no receiptdate);
+    // merge overlaps per order, report transit coverage — one keyed
+    // exchange, two windows over one sort, integer day math ──
+    "q108_span_merge" -> ((s, dir) => {
+      val iv = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"),
+          col("l_linenumber"))
+        .select(col("l_orderkey"), col("ship"),
+          date_add(col("ship"), pmod(col("l_linenumber"), lit(14))).as("receipt"))
+      graft.operators.Intervals.coalesceIntervals(iv, "l_orderkey", "ship", "receipt")
+        .groupBy("l_orderkey")
+        .agg(sum(col("n_merged")).as("n_intervals"),
+          count(lit(1)).as("n_spans"),
+          sum(datediff(col("span_end"), col("span_start")) + 1).as("covered_days"))
+    })
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3194,6 +3212,34 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars,
         |  CAST(n_chars AS DOUBLE) * 4294967296.0 / CAST(u AS DOUBLE) AS priority
         |FROM a
-        |ORDER BY priority DESC, doc_id LIMIT 60""".stripMargin
+        |ORDER BY priority DESC, doc_id LIMIT 60""".stripMargin,
+
+    // The same sweep: running max of end over strictly-preceding rows,
+    // open-flag cumulative sum = span id. (start, end) ties need no
+    // tiebreak (see Intervals scaladoc); all outputs are integer
+    // arithmetic — sums cast to BIGINT against DuckDB's HUGEINT.
+    "q108_span_merge" ->
+      """WITH iv AS (
+        |  SELECT l_orderkey AS k, CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE) + (l_linenumber % 14) AS e
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+        |f AS (
+        |  SELECT k, s, e,
+        |    CASE WHEN max(e) OVER pre IS NULL OR s > max(e) OVER pre
+        |      THEN 1 ELSE 0 END AS flag
+        |  FROM iv WINDOW pre AS (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        |  SELECT k, s, e,
+        |    sum(flag) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |  FROM f),
+        |sp AS (
+        |  SELECT k, span, min(s) AS ss, max(e) AS se, count(*) AS n
+        |  FROM g GROUP BY 1, 2)
+        |SELECT k AS l_orderkey, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_spans,
+        |  CAST(sum(date_diff('day', ss, se) + 1) AS BIGINT) AS covered_days
+        |FROM sp GROUP BY 1""".stripMargin
   )
 }

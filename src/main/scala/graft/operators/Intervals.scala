@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval coalescing — merge overlapping/touching [start, end] spans
+  * per key. The span-level primitive behind shipment/validity coverage
+  * ("how many days was this order in transit"), redaction-span merging,
+  * and chunk-overlap accounting.
+  *
+  * Algorithm: the classic sweep as ONE sorted window pass — order
+  * intervals by (start, end) within the key, compute the running max of
+  * `end` over the strictly-preceding rows, open a new span whenever
+  * start exceeds it (inclusive bounds: start == prev-max still merges),
+  * and the running sum of those open-flags is the span id. Both windows
+  * share the same (partition, order) spec, so Catalyst plans one
+  * exchange + one sort and evaluates the second window over the same
+  * sorted run.
+  *
+  * Determinism with duplicate (start, end) rows (the synthetic lineitem
+  * has thousands — the q94 lesson): ties can only produce an open-flag
+  * on whichever duplicate the sort visits first, but every member of
+  * the tie group lands in the SAME span id either way (a duplicate
+  * after the first sees prev-max ≥ its own end, so its flag is 0), and
+  * the span aggregates are order-insensitive — so the OUTPUT is total,
+  * engine-independent, with no tiebreak column needed.
+  *
+  * Scale shape: one hash exchange on the key, per-key sorted windows
+  * (never SinglePartition), then a partial-agg-friendly group on
+  * (key, span). Rows with a null bound are dropped (an interval without
+  * both bounds has no extent); callers wanting null accounting should
+  * count them upstream.
+  */
+object Intervals {
+
+  /** One row per merged span: (key, span_seq, span_start, span_end,
+    * n_merged). `span_seq` numbers spans 1..n in start order within the
+    * key. Intervals are inclusive on both bounds; start must be ≤ end.
+    */
+  def coalesceIntervals(
+      df: DataFrame, keyCol: String, startCol: String, endCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .withColumn("__open",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("span_seq",
+        sum(col("__open")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("span_seq"))
+      .agg(min(col(startCol)).as("span_start"), max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_merged"))
+  }
+}
