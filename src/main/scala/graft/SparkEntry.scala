@@ -1536,6 +1536,18 @@ object SparkEntry {
         .agg(sum(col("n_merged")).as("n_intervals"),
           count(lit(1)).as("n_spans"),
           sum(datediff(col("span_end"), col("span_start")) + 1).as("covered_days"))
+    }),
+
+    // ── compaction planning: pack each month's daily event shards
+    // into ~64 KB merge groups by running byte offset — metadata-grain
+    // window per partition directory, integer arithmetic only ──
+    "q109_compaction_plan" -> ((s, dir) => {
+      val shards = t(s, dir, "events")
+        .groupBy(monthKey(col("ts")).as("month"), dayKey(col("ts")).as("day"))
+        .agg((sum(octet_length(col("props")).cast("long"))
+          + count(lit(1)) * lit(32L)).as("bytes"))
+      graft.operators.Layout.compactionPlan(
+        shards, "month", "day", "bytes", targetBytes = 64L * 1024)
     })
   )
 
@@ -3240,6 +3252,23 @@ object SparkEntry {
         |SELECT k AS l_orderkey, CAST(sum(n) AS BIGINT) AS n_intervals,
         |  count(*) AS n_spans,
         |  CAST(sum(date_diff('day', ss, se) + 1) AS BIGINT) AS covered_days
-        |FROM sp GROUP BY 1""".stripMargin
+        |FROM sp GROUP BY 1""".stripMargin,
+
+    // bin = exclusive-running-sum div target — all-integer window
+    // math; BIGINT casts defuse DuckDB's HUGEINT window/group sums.
+    "q109_compaction_plan" ->
+      """WITH sh AS (
+        |  SELECT strftime(ts, '%Y-%m') AS month, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(strlen(props)) + count(*) * 32 AS BIGINT) AS bytes
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT month, day, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY month ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM sh)
+        |SELECT month, off // 65536 AS bin, count(*) AS n_shards,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  min(day) AS first_shard, max(day) AS last_shard
+        |FROM o GROUP BY 1, 2""".stripMargin
   )
 }

@@ -42,6 +42,44 @@ object Layout {
     spark.read.parquet(destDir).inputFiles.length.toLong
   }
 
+  /** Declarative compaction PLAN over shard metadata: assign each
+    * partition's shards (files, trigger outputs, daily directories) to
+    * ~`targetBytes` merge groups, in shard order, via the exclusive
+    * running byte offset — bin = offset div target, so consecutive
+    * shards land in the same bin until it fills. This is the planning
+    * half of [[compactParquet]] expressed as a dataset operator:
+    * metadata-grain input (one row per shard, millions at most), so it
+    * runs anywhere, and the output is the work list a rewrite job
+    * fans out over.
+    *
+    * Contiguous-by-order packing (not first-fit-decreasing) is
+    * deliberate: compacted files preserve the shard order (time
+    * locality → partition pruning still works after the rewrite), and
+    * the assignment is a pure window function — deterministic,
+    * engine-reproducible, no driver-side loop. The window partitions
+    * by the table partition (per-directory compaction, as real
+    * lakehouse maintenance does), never globally. `orderCol` must be
+    * unique within a partition (it names the shard).
+    *
+    * All arithmetic is integer (BIGINT running sums, integer div), so
+    * the plan is bit-identical across engines.
+    */
+  def compactionPlan(
+      shards: DataFrame, partitionCol: String, orderCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    shards
+      .withColumn("__off", coalesce(sum(col(bytesCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__off div ${targetBytes}"))
+      .groupBy(col(partitionCol), col("bin"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col(bytesCol).cast("long")).as("bin_bytes"),
+        min(col(orderCol)).as("first_shard"), max(col(orderCol)).as("last_shard"))
+  }
+
   /** Morton (Z-order) interleave of two pre-bucketed non-negative
     * values: bit i of `a` lands at position 2i+1, bit i of `b` at 2i.
     * Pure bit arithmetic — codegen'd shifts/ors, no UDF.

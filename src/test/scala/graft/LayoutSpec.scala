@@ -127,4 +127,32 @@ class LayoutSpec extends SparkSpec {
     assert(bad.select("_corrupt_record").as[String].head().contains("BROKEN"))
     rows.unpersist()
   }
+
+  test("compactionPlan packs shards contiguously by running offset, per partition") {
+    val shards = Seq(
+      ("p1", "s1", 60L), ("p1", "s2", 60L), ("p1", "s3", 60L), ("p1", "s4", 60L),
+      ("p2", "s1", 250L), ("p2", "s2", 10L)).toDF("part", "shard", "bytes")
+    val got = graft.operators.Layout
+      .compactionPlan(shards, "part", "shard", "bytes", targetBytes = 100L)
+      .select("part", "bin", "n_shards", "bin_bytes", "first_shard", "last_shard")
+      .as[(String, Long, Long, Long, String, String)].collect().toSet
+    assert(got == Set(
+      // offsets 0,60,120,180 → bins 0,0,1,1 (a bin closes once its offset passes target)
+      ("p1", 0L, 2L, 120L, "s1", "s2"), ("p1", 1L, 2L, 120L, "s3", "s4"),
+      // an oversized shard occupies its own bins; next shard starts at off 250 → bin 2
+      ("p2", 0L, 1L, 250L, "s1", "s1"), ("p2", 2L, 1L, 10L, "s2", "s2")))
+  }
+
+  test("compactionPlan is partition-stable and windows per partition directory") {
+    val shards = (0L until 2000L)
+      .map(i => (s"p${i % 8}", f"s$i%05d", 10L + i % 7)).toDF("part", "shard", "bytes")
+    val plan = graft.operators.Layout
+      .compactionPlan(shards, "part", "shard", "bytes", 100L)
+    assert(!plan.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    val a = plan.agg(sum("bin"), sum("bin_bytes"), count(lit(1))).head.toSeq
+    val b = graft.operators.Layout
+      .compactionPlan(shards.repartition(13), "part", "shard", "bytes", 100L)
+      .agg(sum("bin"), sum("bin_bytes"), count(lit(1))).head.toSeq
+    assert(a == b, "partitioning changed the plan")
+  }
 }
