@@ -105,7 +105,8 @@ object Bench {
     "q94_cdc", "q95_salt_join", "q96_topk_agg", "q97_inc_agg", "q98_scd2",
     "q99_cdc_stream", "q100_sample_n", "q101_skew_profile", "q102_neg_pairs",
     "q103_diff", "q104_pipeline_v2", "q105_ngram_hotspots", "q106_bpe_pairs",
-    "q107_priority_sample", "q108_span_merge", "q109_compaction_plan")
+    "q107_priority_sample", "q108_span_merge", "q109_compaction_plan",
+    "q110_pagerank")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -1548,6 +1548,16 @@ object SparkEntry {
           + count(lit(1)) * lit(32L)).as("bytes"))
       graft.operators.Layout.compactionPlan(
         shards, "month", "day", "bytes", targetBytes = 64L * 1024)
+    }),
+
+    // ── fixed-point integer PageRank, 3 iterations, on a synthetic
+    // 40-node link graph derived from orders — bit-identical on any
+    // partitioning/engine because every step is BIGINT arithmetic ──
+    "q110_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select((col("o_custkey") % 40).as("src"), (col("o_orderkey") % 40).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.PageRank.pageRank(edges, "src", "dst", iterations = 3)
     })
   )
 
@@ -3269,6 +3279,35 @@ object SparkEntry {
         |SELECT month, off // 65536 AS bin, count(*) AS n_shards,
         |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
         |  min(day) AS first_shard, max(day) AS last_shard
-        |FROM o GROUP BY 1, 2""".stripMargin
+        |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // Three unrolled integer-arithmetic iterations: rank // outdeg
+    // summed per dst (CAST from DuckDB's HUGEINT), ·85 // 100 damped,
+    // teleport ((U·15)//100)//n — every op BIGINT, so the oracle is
+    // bit-exact against the Spark loop.
+    "q110_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey % 40 AS src, o_orderkey % 40 AS dst
+        |  FROM orders WHERE o_custkey % 40 <> o_orderkey % 40),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes CROSS JOIN nn),
+        |m1 AS (SELECT e.dst, CAST(sum(r0.rank // od.outdeg) AS BIGINT) AS m
+        |       FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT node,
+        |         ((1000000000000 * 15) // 100) // n + (coalesce(m, 0) * 85) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m1 ON m1.dst = node),
+        |m2 AS (SELECT e.dst, CAST(sum(r1.rank // od.outdeg) AS BIGINT) AS m
+        |       FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT node,
+        |         ((1000000000000 * 15) // 100) // n + (coalesce(m, 0) * 85) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m2 ON m2.dst = node),
+        |m3 AS (SELECT e.dst, CAST(sum(r2.rank // od.outdeg) AS BIGINT) AS m
+        |       FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT node,
+        |         ((1000000000000 * 15) // 100) // n + (coalesce(m, 0) * 85) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m3 ON m3.dst = node)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
   )
 }
