@@ -1558,7 +1558,26 @@ object SparkEntry {
         .select((col("o_custkey") % 40).as("src"), (col("o_orderkey") % 40).as("dst"))
         .filter(col("src") =!= col("dst"))
       graft.operators.PageRank.pageRank(edges, "src", "dst", iterations = 3)
-    })
+    }),
+
+    // ── vocabulary-bounded co-occurrence with integer lift (PMI's
+    // engine-exact twin): pair space capped at vocabK², corpus enters
+    // only through the linear distinct-(doc,token) aggregate ──
+    "q111_cooc_lift" -> ((s, dir) =>
+      graft.ext.TextAnalysis.coocLift(
+        t(s, dir, "documents"), "doc_id", "text", vocabK = 40, topK = 25)),
+
+    // ── pairwise audience overlap across event types: member-keyed
+    // self-join bounded by group-cardinality², integer-ppm Jaccard ──
+    "q112_audience_overlap" -> ((s, dir) =>
+      graft.operators.Profile.setOverlap(t(s, dir, "events"), "event_type", "user_id")),
+
+    // ── cohort retention matrix at epoch-week grain: distinct
+    // (user, week) → min-week cohort → same-key join-back (no third
+    // shuffle) → integer week offsets ──
+    "q113_retention" -> ((s, dir) =>
+      graft.operators.Cohort.retention(t(s, dir, "events"), "user_id",
+        expr("datediff(CAST(ts AS DATE), DATE'1970-01-01') div 7")))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3308,6 +3327,55 @@ object SparkEntry {
         |r3 AS (SELECT node,
         |         ((1000000000000 * 15) // 100) // n + (coalesce(m, 0) * 85) // 100 AS rank
         |       FROM nodes CROSS JOIN nn LEFT JOIN m3 ON m3.dst = node)
-        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
+
+    // q93's distinct-(doc,token) grain; lift in BIGINT // arithmetic,
+    // written with the identical operand order as the Spark expr.
+    "q111_cooc_lift" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, token FROM raw),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM tok GROUP BY 1
+        |  ORDER BY df DESC, token LIMIT 40),
+        |vt AS (SELECT t.doc_id, t.token FROM tok t JOIN vocab USING (token)),
+        |p AS (
+        |  SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+        |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, n_ab, va.df AS df_a, vb.df AS df_b,
+        |  (n_ab * n_docs * 1000000) // (va.df * vb.df) AS lift_ppm
+        |FROM p JOIN vocab va ON va.token = tok_a
+        |  JOIN vocab vb ON vb.token = tok_b CROSS JOIN nd
+        |ORDER BY n_ab DESC, tok_a, tok_b LIMIT 25""".stripMargin,
+
+    // DISTINCT (type, user) grain; Jaccard in integer ppm.
+    "q112_audience_overlap" ->
+      """WITH s AS (
+        |  SELECT DISTINCT event_type AS grp, user_id AS member FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |z AS (SELECT grp, count(*) AS n FROM s GROUP BY 1),
+        |p AS (
+        |  SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common
+        |  FROM s a JOIN s b ON a.member = b.member AND a.grp < b.grp
+        |  GROUP BY 1, 2)
+        |SELECT grp_a, grp_b, za.n AS n_a, zb.n AS n_b, n_common,
+        |  (n_common * 1000000) // (za.n + zb.n - n_common) AS jaccard_ppm
+        |FROM p JOIN z za ON za.grp = grp_a JOIN z zb ON zb.grp = grp_b""".stripMargin,
+
+    // Epoch-week = days-since-1970 // 7 in both engines; offsets are
+    // plain BIGINT subtraction — no date arithmetic in the matrix.
+    "q113_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT)
+        |      AS period
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT u, min(period) AS cohort FROM act GROUP BY 1)
+        |SELECT cohort, period - cohort AS period_offset, count(*) AS n_users
+        |FROM act JOIN c USING (u)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

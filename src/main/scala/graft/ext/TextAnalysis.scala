@@ -307,6 +307,53 @@ object TextAnalysis {
         col("sum_df").cast("double") / col("n_types").cast("double"))
   }
 
+  /** Vocabulary-bounded token co-occurrence with integer lift — the
+    * distributional-association analysis (PMI's integer twin: lift =
+    * P(a,b)/(P(a)P(b)) = (n_ab·n_docs)/(df_a·df_b), scaled to ppm and
+    * kept in BIGINT div arithmetic so it is engine-exact; the log of
+    * PMI would be libm-dependent in the last ulp).
+    *
+    * The scale trick is the VOCABULARY BOUND: pair space is capped at
+    * vocabK² by restricting to the top-vocabK tokens by document
+    * frequency (TakeOrdered + broadcast), so the per-document self-join
+    * fans out at most |doc ∩ vocab|² pairs — corpus size only enters
+    * through the linear distinct-(doc,token) aggregate. Unbounded
+    * co-occurrence over a 100-TB corpus is quadratic in vocabulary and
+    * never viable; every real collocation pipeline prunes vocabulary
+    * first.
+    *
+    * Overflow bound: n_ab·n_docs·10^6 must fit BIGINT — safe to ~3M
+    * docs at full support; at larger corpora compute lift on a
+    * deterministic document sample or move the product to DECIMAL(38).
+    *
+    * Returns the topK pairs by co-occurrence count (ties broken by the
+    * pair — total order): (tok_a, tok_b, n_ab, df_a, df_b, lift_ppm).
+    */
+  def coocLift(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabK: Int, topK: Int): DataFrame = {
+    require(vocabK >= 2 && topK >= 1, s"need vocabK >= 2, topK >= 1; got $vocabK, $topK")
+    val toks = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+    val nDocs = broadcast(df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs")))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(vocabK)
+    val vt = toks.join(broadcast(vocab.select("token")), "token")
+    vt.as("a")
+      .join(vt.as("b"), col("a.__id") === col("b.__id") && col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("tok_a"), col("b.token").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(vocab.select(col("token").as("tok_a"), col("df").as("df_a"))), "tok_a")
+      .join(broadcast(vocab.select(col("token").as("tok_b"), col("df").as("df_b"))), "tok_b")
+      .crossJoin(nDocs)
+      .withColumn("lift_ppm", expr("(n_ab * n_docs * 1000000) div (df_a * df_b)"))
+      .select("tok_a", "tok_b", "n_ab", "df_a", "df_b", "lift_ppm")
+      .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
+
   /** Duplicate n-gram audit (the corpus-level view of repetition): the
     * topK n-grams by total occurrence count across the corpus, with the
     * number of distinct documents each appears in. This is the

@@ -81,6 +81,37 @@ object Profile {
       .select(col("rank"), col("key").cast("string").as("key"), col("n"), col("share"))
   }
 
+  /** Pairwise set overlap between groups ("audience overlap"): for
+    * every pair of groups, how many members they share, with an
+    * integer-exact Jaccard in parts-per-million. The segmentation
+    * primitive behind "do purchase-event users overlap view-event
+    * users" and domain-membership comparisons.
+    *
+    * Shape: the corpus collapses to DISTINCT (group, member) first
+    * (one corpus-scale shuffle, map-side combinable), the self-join
+    * runs member-keyed with fan-out (#groups containing the member)²
+    * per member — bounded by the GROUP cardinality squared, not the
+    * member count, so it scales when groups are few (event types,
+    * domains, splits). The Jaccard is (n_common · 10^6) div
+    * (n_a + n_b − n_common): integer div, engine-exact — no FP.
+    */
+  def setOverlap(df: DataFrame, groupCol: String, memberCol: String): DataFrame = {
+    val sets = df.select(col(groupCol).as("grp"), col(memberCol).as("member"))
+      .filter(col("grp").isNotNull && col("member").isNotNull)
+      .distinct()
+    val sizes = sets.groupBy("grp").agg(count(lit(1)).as("n"))
+    sets.as("a")
+      .join(sets.as("b"),
+        col("a.member") === col("b.member") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("grp").as("grp_a"), col("n").as("n_a"))), "grp_a")
+      .join(broadcast(sizes.select(col("grp").as("grp_b"), col("n").as("n_b"))), "grp_b")
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000) div (n_a + n_b - n_common)"))
+      .select("grp_a", "grp_b", "n_a", "n_b", "n_common", "jaccard_ppm")
+  }
+
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and

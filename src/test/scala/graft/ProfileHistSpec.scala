@@ -78,4 +78,24 @@ class ProfileHistSpec extends SparkSpec {
     val plan = Profile.keySkew(df, "k", 3).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
   }
+
+  test("setOverlap: shared members counted once, ppm Jaccard exact, no zero-overlap rows") {
+    val df = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L), ("A", 3L), // duplicate membership collapses
+      ("B", 2L), ("B", 3L), ("B", 4L),
+      ("C", 9L)).toDF("g", "m")
+    val got = Profile.setOverlap(df, "g", "m")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // only (A,B) overlaps: common {2,3}, |A|=3 |B|=3 → 2e6/(3+3-2)
+    assert(got == Seq(("A", "B", 3L, 3L, 2L, 500000L)))
+  }
+
+  test("setOverlap null groups/members are excluded") {
+    val df = Seq(
+      (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),
+      (Some("B"), Some(1L))).toDF("g", "m")
+    val got = Profile.setOverlap(df, "g", "m")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 1L, 1L, 1L, 1000000L)))
+  }
 }

@@ -120,6 +120,19 @@ class TextPipelineSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
   }
 
+  test("coocLift: vocabulary bound excludes rare tokens, lift is integer-exact") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y"), (3L, "x q"), (4L, "y q")).toDF("doc_id", "text")
+    // df: x=3, y=3, q=2, z=1; vocabK=3 keeps {x, y, q} — z is out
+    val got = TextAnalysis.coocLift(docs, "doc_id", "text", vocabK = 3, topK = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("x", "y", 2L, 3L, 3L, 2L * 4 * 1000000 / 9), // 888888
+      ("q", "x", 1L, 2L, 3L, 1L * 4 * 1000000 / 6), // 666666
+      ("q", "y", 1L, 2L, 3L, 666666L)))
+    assert(!got.exists(r => r._1 == "z" || r._2 == "z"), "rare token escaped the bound")
+  }
+
   test("bpePairStats: pair frequencies weighted by word count; 1-char words skipped") {
     val docs = Seq((1L, "abc ab abc"), (2L, "a a a")).toDF("doc_id", "text")
     // wc: abc=2, ab=1, a=3; pairs: abc→{ab,bc}×2, ab→{ab}×1, a→none
