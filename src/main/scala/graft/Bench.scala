@@ -106,7 +106,8 @@ object Bench {
     "q99_cdc_stream", "q100_sample_n", "q101_skew_profile", "q102_neg_pairs",
     "q103_diff", "q104_pipeline_v2", "q105_ngram_hotspots", "q106_bpe_pairs",
     "q107_priority_sample", "q108_span_merge", "q109_compaction_plan",
-    "q110_pagerank", "q111_cooc_lift", "q112_audience_overlap", "q113_retention")
+    "q110_pagerank", "q111_cooc_lift", "q112_audience_overlap", "q113_retention",
+    "q114_funnel")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

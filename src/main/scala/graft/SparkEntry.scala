@@ -1577,7 +1577,18 @@ object SparkEntry {
     // shuffle) → integer week offsets ──
     "q113_retention" -> ((s, dir) =>
       graft.operators.Cohort.retention(t(s, dir, "events"), "user_id",
-        expr("datediff(CAST(ts AS DATE), DATE'1970-01-01') div 7")))
+        expr("datediff(CAST(ts AS DATE), DATE'1970-01-01') div 7"))),
+
+    // ── ordered funnel: view→click→signup→purchase IN TIME ORDER per
+    // user — one scan, one user-keyed exchange, codegen'd array fold.
+    // Runs on a deterministic 5% event sample (the synthetic users are
+    // so active that the full log funnels everyone to stage 4) ──
+    "q114_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnelStages(
+        graft.operators.Sampling.hashSample(
+          t(s, dir, "events"), col("event_id"), rate = 0.05, salt = "funnel-v1"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "signup", "purchase")))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3376,6 +3387,27 @@ object SparkEntry {
         |c AS (SELECT u, min(period) AS cohort FROM act GROUP BY 1)
         |SELECT cohort, period - cohort AS period_offset, count(*) AS n_users
         |FROM act JOIN c USING (u)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The sorted-walk fold mirrored with list_sort + the q48
+    // list_prepend(0, …) init trick; struct sort order (t, c) ties off
+    // same-instant events identically in both engines.
+    "q114_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, ts,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END AS c
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND substr(md5(concat_ws(':', 'funnel-v1', CAST(event_id AS VARCHAR))),
+        |          1, 8) < '0ccccccc'),
+        |l AS (
+        |  SELECT u, list_transform(list_sort(list({'t': ts, 'c': c})), e -> e.c)
+        |    AS codes
+        |  FROM ev WHERE c > 0 GROUP BY u),
+        |st AS (
+        |  SELECT u, list_reduce(list_prepend(0, codes),
+        |    (acc, e) -> acc + CASE WHEN e = acc + 1 THEN 1 ELSE 0 END) AS stage
+        |  FROM l)
+        |SELECT stage, count(*) AS n_users FROM st GROUP BY 1""".stripMargin
   )
 }
