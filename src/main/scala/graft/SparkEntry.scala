@@ -1588,7 +1588,21 @@ object SparkEntry {
         graft.operators.Sampling.hashSample(
           t(s, dir, "events"), col("event_id"), rate = 0.05, salt = "funnel-v1"),
         "user_id", "ts", "event_type",
-        Seq("view", "click", "signup", "purchase")))
+        Seq("view", "click", "signup", "purchase"))),
+
+    // ── split-document seam detection: tail-fingerprint == head-
+    // fingerprint equi-join — only 32-char hashes cross the shuffle ──
+    "q115_boundary_dups" -> ((s, dir) =>
+      Dedup.boundaryDupPairs(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // ── integer trailing-window spike detection: day n vs 9/8 × the
+    // trailing-7-day mean, tested as 8·7·n > 9·sum — no division ──
+    "q116_spike" -> ((s, dir) =>
+      graft.operators.Profile.trailingSpikes(
+        t(s, dir, "events")
+          .groupBy(col("event_type"), dayKey(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "day", "n", window = 7, num = 9, den = 8))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3408,6 +3422,36 @@ object SparkEntry {
         |  SELECT u, list_reduce(list_prepend(0, codes),
         |    (acc, e) -> acc + CASE WHEN e = acc + 1 THEN 1 ELSE 0 END) AS stage
         |  FROM l)
-        |SELECT stage, count(*) AS n_users FROM st GROUP BY 1""".stripMargin
+        |SELECT stage, count(*) AS n_users FROM st GROUP BY 1""".stripMargin,
+
+    // Head/tail 3-token md5 seams; [1:3] / [-3:] mirror Spark's
+    // slice(toks, 1, 3) / slice(toks, -3, 3).
+    "q115_boundary_dups" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(toks[1:3], ' ')) AS head_fp,
+        |    md5(array_to_string(toks[-3:], ' ')) AS tail_fp
+        |  FROM tk WHERE len(toks) >= 6)
+        |SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc
+        |FROM f a JOIN f b ON a.tail_fp = b.head_fp AND a.doc_id <> b.doc_id""".stripMargin,
+
+    // All-integer comparison: 8·7·n > 9·trail_sum; first 7 days have
+    // an unfull window → spike = false by the trail_n guard.
+    "q116_spike" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    CAST(coalesce(sum(n) OVER tw, 0) AS BIGINT) AS trail_sum,
+        |    count(n) OVER tw AS trail_n
+        |  FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, trail_sum,
+        |  (trail_n = 7 AND 8 * 7 * n > 9 * trail_sum) AS spike
+        |FROM w""".stripMargin
   )
 }

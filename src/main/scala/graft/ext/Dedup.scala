@@ -340,4 +340,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Boundary-duplicate detection — the SPLIT-document case the
+    * whole-document dedup family misses: a crawl/chunking pipeline that
+    * cut one logical document into two records leaves doc A's last k
+    * tokens equal to doc B's first k. Whole-doc minhash/simhash won't
+    * pair them (the halves share only the seam), so this is its own
+    * detector: fingerprint each doc's head and tail k-token windows
+    * (md5 over the space-joined tokens) and equi-join tail-fp ==
+    * head-fp.
+    *
+    * Shape: two per-row projections + ONE fingerprint-keyed equi-join —
+    * O(n) shuffle rows of 32-char hashes, never text; candidates are
+    * exact seam matches (no verify stage needed — the fingerprint IS
+    * the k-token seam). Docs with fewer than 2k tokens are excluded
+    * (head and tail must not overlap, or a short doc pairs with
+    * itself-shaped seams).
+    *
+    * Returns (tail_doc, head_doc): tail_doc's ending = head_doc's
+    * beginning, i.e. read tail_doc then head_doc.
+    */
+  def boundaryDupPairs(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fps = df
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= 2 * k)
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("__toks"), 1, k))).as("head_fp"),
+        md5(concat_ws(" ", slice(col("__toks"), -k, k))).as("tail_fp"))
+    fps.as("a")
+      .join(fps.as("b"),
+        col("a.tail_fp") === col("b.head_fp") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("tail_doc"), col(s"b.$idCol").as("head_doc"))
+  }
 }

@@ -112,6 +112,36 @@ object Profile {
       .select("grp_a", "grp_b", "n_a", "n_b", "n_common", "jaccard_ppm")
   }
 
+  /** Trailing-window spike detection in INTEGER arithmetic: a period is
+    * a spike when its value exceeds num/den × the trailing-`window`
+    * mean — tested as den·window·value > num·trailing_sum, so no
+    * division, no FP, engine-exact. Periods whose trailing window is
+    * not yet full report spike = false (no basis for comparison); the
+    * trailing sum is emitted so downstream can re-threshold without
+    * recomputing the window.
+    *
+    * Shape: one keyed exchange + one sorted window per key — the
+    * monitoring pass a 100-TB ingest runs per (metric, day) AFTER
+    * aggregating to period grain, so the window input is metric-grain
+    * small. `periodCol` must be unique per key.
+    */
+  def trailingSpikes(
+      df: DataFrame, keyCol: String, periodCol: String, valueCol: String,
+      window: Int, num: Long, den: Long): DataFrame = {
+    require(window >= 1 && num > 0 && den > 0,
+      s"need window >= 1 and positive ratio, got $window $num/$den")
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(periodCol).rowsBetween(-window, -1)
+    df.withColumn("trail_sum",
+        coalesce(sum(col(valueCol).cast("long")).over(tw), lit(0L)))
+      .withColumn("__trail_n", count(col(valueCol)).over(tw))
+      .withColumn("spike",
+        col("__trail_n") === window &&
+          lit(den) * lit(window.toLong) * col(valueCol).cast("long") >
+            lit(num) * col("trail_sum"))
+      .drop("__trail_n")
+  }
+
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and

@@ -476,4 +476,16 @@ class ExtSpec extends SparkSpec {
     assert(maxShare < 0.30,
       f"hot-bucket candidate work concentrated on one task: max share $maxShare%.2f over ${byPart.length} partitions")
   }
+
+  test("boundaryDupPairs: tail seam == head seam pairs; short docs excluded") {
+    val df = Seq(
+      (1L, "p q r s t u"), // tail (s t u) == doc 2's head
+      (2L, "s t u v w x"),
+      (3L, "a b c d e"), // 5 tokens < 2k=6 → excluded
+      (4L, "unrelated text entirely here now ok")).toDF("doc_id", "text")
+    val got = Dedup.boundaryDupPairs(df, "doc_id", "text", k = 3)
+      .as[(Long, Long)].collect().toSet
+    // directional: (1,2) only — doc 2's tail (v w x) matches nobody's head
+    assert(got == Set((1L, 2L)))
+  }
 }

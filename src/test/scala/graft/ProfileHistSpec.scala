@@ -90,6 +90,27 @@ class ProfileHistSpec extends SparkSpec {
     assert(got == Seq(("A", "B", 3L, 3L, 2L, 500000L)))
   }
 
+  test("trailingSpikes: strict integer threshold, unfull windows never flag") {
+    val rows = (1 to 10).map(d => ("k", f"d$d%02d", d match {
+      case 8 => 20L // 7·20 vs 2·70: equal → NOT a spike (strict >)
+      case 9 => 21L // vs trailing {d2..d8} sum 80: 7·21=147 > 2·80=160? no
+      case _ => 10L
+    }))
+    val got = Profile.trailingSpikes(rows.toDF("k", "p", "n"), "k", "p", "n",
+        window = 7, num = 2, den = 1)
+      .select("p", "trail_sum", "spike").as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // days 1-7: window unfull → false, trail_sum still emitted
+    assert(got("d01") == (0L, false) && got("d07") == (60L, false))
+    assert(got("d08") == (70L, false), "boundary-equal must not flag (strict >)")
+    assert(got("d09") == (80L, false))
+    // make a real spike: 31 > 2·(81/7) → 7·31=217 > 2·81=162
+    val spiky = rows.map { case (k, p, n) => (k, p, if (p == "d10") 31L else n) }
+    val got2 = Profile.trailingSpikes(spiky.toDF("k", "p", "n"), "k", "p", "n", 7, 2, 1)
+      .filter(col("spike")).select("p").as[String].collect().toSeq
+    assert(got2 == Seq("d10"))
+  }
+
   test("setOverlap null groups/members are excluded") {
     val df = Seq(
       (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),
