@@ -3425,7 +3425,8 @@ object SparkEntry {
         |SELECT stage, count(*) AS n_users FROM st GROUP BY 1""".stripMargin,
 
     // Head/tail 3-token md5 seams; [1:3] / [-3:] mirror Spark's
-    // slice(toks, 1, 3) / slice(toks, -3, 3).
+    // slice(toks, 1, 3) / slice(toks, -3, 3). The stop-seam guard
+    // (df <= 100 on BOTH sides) mirrors boundaryDupPairs' fan-out cap.
     "q115_boundary_dups" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -3434,9 +3435,14 @@ object SparkEntry {
         |  SELECT doc_id,
         |    md5(array_to_string(toks[1:3], ' ')) AS head_fp,
         |    md5(array_to_string(toks[-3:], ' ')) AS tail_fp
-        |  FROM tk WHERE len(toks) >= 6)
+        |  FROM tk WHERE len(toks) >= 6),
+        |ok AS (
+        |  SELECT head_fp AS fp FROM f GROUP BY 1 HAVING count(*) <= 100
+        |  INTERSECT
+        |  SELECT tail_fp AS fp FROM f GROUP BY 1 HAVING count(*) <= 100)
         |SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc
-        |FROM f a JOIN f b ON a.tail_fp = b.head_fp AND a.doc_id <> b.doc_id""".stripMargin,
+        |FROM f a JOIN f b ON a.tail_fp = b.head_fp AND a.doc_id <> b.doc_id
+        |JOIN ok ON ok.fp = a.tail_fp""".stripMargin,
 
     // All-integer comparison: 8·7·n > 9·trail_sum; first 7 days have
     // an unfull window → spike = false by the trail_n guard.

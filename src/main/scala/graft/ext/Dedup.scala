@@ -357,22 +357,41 @@ object Dedup {
     * (head and tail must not overlap, or a short doc pairs with
     * itself-shaped seams).
     *
+    * STOP-SEAM GUARD (the ngramJaccardPairs lesson, re-learned from the
+    * scale probe: sf0.1 already has 892 seam pairs): a seam shared by F
+    * tails and G heads fans the join out F·G — a corpus-common
+    * boilerplate opening ("thank you for reading …") is quadratic in
+    * its popularity. Fingerprints occurring more than `maxSeamDf` times
+    * ON EITHER SIDE are dropped before the join (two tiny fp-keyed
+    * count aggregates), bounding per-seam work at maxSeamDf² and
+    * mirroring how a popular seam is boilerplate, not a split document.
+    *
     * Returns (tail_doc, head_doc): tail_doc's ending = head_doc's
     * beginning, i.e. read tail_doc then head_doc.
     */
   def boundaryDupPairs(
-      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      maxSeamDf: Long = 100L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxSeamDf >= 1, s"maxSeamDf must be >= 1, got $maxSeamDf")
     val fps = df
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .filter(size(col("__toks")) >= 2 * k)
       .select(col(idCol),
         md5(concat_ws(" ", slice(col("__toks"), 1, k))).as("head_fp"),
         md5(concat_ws(" ", slice(col("__toks"), -k, k))).as("tail_fp"))
-    fps.as("a")
-      .join(fps.as("b"),
-        col("a.tail_fp") === col("b.head_fp") &&
-          col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("tail_doc"), col(s"b.$idCol").as("head_doc"))
+    val headOk = fps.groupBy(col("head_fp").as("__fp"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxSeamDf)
+      .select(col("__fp"))
+    val tailOk = fps.groupBy(col("tail_fp").as("__fp"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxSeamDf)
+      .select(col("__fp"))
+    val ok = headOk.intersect(tailOk)
+    fps.as("a").join(ok.as("ta"), col("a.tail_fp") === col("ta.__fp"))
+      .select(col(s"a.$idCol").as("__tid"), col("a.tail_fp"))
+      .join(fps.as("b").join(ok.as("hb"), col("b.head_fp") === col("hb.__fp"))
+          .select(col(s"b.$idCol").as("__hid"), col("b.head_fp")),
+        col("tail_fp") === col("head_fp") && col("__tid") =!= col("__hid"))
+      .select(col("__tid").as("tail_doc"), col("__hid").as("head_doc"))
   }
 }

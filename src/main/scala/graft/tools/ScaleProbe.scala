@@ -50,9 +50,10 @@ object ScaleProbe {
     val orders1 = Corpus.load(spark, sfDir, "orders")
       .select("o_orderkey", "o_totalprice")
     val lineitem1 = Corpus.load(spark, sfDir, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        "l_shipdate")
     val events1 = Corpus.load(spark, sfDir, "events")
-      .select("event_id", "event_type", "value")
+      .select("event_id", "event_type", "value", "user_id", "ts")
 
     // Two composed rotations — consonants (20 classes) × vowels (5
     // classes) — give 100 distinct text transforms, so up to 100 copies
@@ -130,7 +131,28 @@ object ScaleProbe {
             st(ev.filter(col("event_id") % 7 === 0)), Seq("event_type"))
         }),
         run("balanced_mix", graft.operators.Sampling.balancedMix(
-          ev, "event_type", col("event_id"), "probe")))
+          ev, "event_type", col("event_id"), "probe")),
+        // round-7 extension families. Note the copy semantics each one
+        // stresses: text copies are decorrelated (linear new work);
+        // event copies keep the USER SET FIXED, so funnel's per-user
+        // collect and retention's distinct grow group SIZE — the
+        // hot-group stress — while the (user, week) matrix stays
+        // constant-size.
+        run("ngram_hotspots", graft.ext.TextAnalysis
+          .ngramHotspots(d, "doc_id", "text", n = 5, topK = 20)),
+        run("cooc_lift", graft.ext.TextAnalysis
+          .coocLift(d, "doc_id", "text", vocabK = 40, topK = 25)),
+        run("boundary_dups", Dedup.boundaryDupPairs(d, "doc_id", "text", k = 3)),
+        run("funnel", graft.operators.Funnel.funnelStages(
+          ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "signup", "purchase"))),
+        run("retention", graft.operators.Cohort.retention(ev, "user_id",
+          expr("datediff(CAST(ts AS DATE), DATE'1970-01-01') div 7"))),
+        run("span_merge", graft.operators.Intervals.coalesceIntervals(
+          l.select(col("l_orderkey"), col("l_shipdate").cast("date").as("s"),
+            date_add(col("l_shipdate").cast("date"),
+              pmod(col("l_linenumber"), lit(14))).as("e")),
+          "l_orderkey", "s", "e")))
     }
 
     // warm-up: one full discarded 1x pass eats codegen/JIT compilation

@@ -488,4 +488,16 @@ class ExtSpec extends SparkSpec {
     // directional: (1,2) only — doc 2's tail (v w x) matches nobody's head
     assert(got == Set((1L, 2L)))
   }
+
+  test("boundaryDupPairs stop-seam guard drops corpus-common seams") {
+    // 5 docs all OPEN with the same boilerplate seam; one doc's tail matches it
+    val boiler = (10L to 14L).map(i => (i, s"thank you all w$i x$i y$i z$i"))
+    val df = ((1L, "p q r thank you all") +: boiler).toDF("doc_id", "text")
+    val capped = Dedup.boundaryDupPairs(df, "doc_id", "text", k = 3, maxSeamDf = 4)
+      .as[(Long, Long)].collect()
+    assert(capped.isEmpty, s"seam with head-df 5 > cap 4 must be dropped: ${capped.toSeq}")
+    val uncapped = Dedup.boundaryDupPairs(df, "doc_id", "text", k = 3, maxSeamDf = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped == (10L to 14L).map((1L, _)).toSet)
+  }
 }
