@@ -107,7 +107,8 @@ object Bench {
     "q103_diff", "q104_pipeline_v2", "q105_ngram_hotspots", "q106_bpe_pairs",
     "q107_priority_sample", "q108_span_merge", "q109_compaction_plan",
     "q110_pagerank", "q111_cooc_lift", "q112_audience_overlap", "q113_retention",
-    "q114_funnel", "q115_boundary_dups", "q116_spike")
+    "q114_funnel", "q115_boundary_dups", "q116_spike", "q117_attribution",
+    "q118_quality_rules", "q119_trend_slope")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

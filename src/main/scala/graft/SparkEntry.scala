@@ -1602,7 +1602,42 @@ object SparkEntry {
         t(s, dir, "events")
           .groupBy(col("event_type"), dayKey(col("ts")).as("day"))
           .agg(count(lit(1)).as("n")),
-        "event_type", "day", "n", window = 7, num = 9, den = 8))
+        "event_type", "day", "n", window = 7, num = 9, den = 8)),
+
+    // ── last-touch attribution: each purchase as-of-joined to the
+    // user's most recent prior view/click (same-instant touches
+    // collapsed deterministically by min type) — the as-of operator at
+    // event grain, certified against DuckDB's native ASOF ──
+    "q117_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .groupBy(col("user_id"), col("ts").as("tts"))
+        .agg(min(col("event_type")).as("touch_type"))
+      graft.operators.AsofJoin
+        .asofLeft(p, touches, "user_id", "ts", "tts", Seq("touch_type"))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"))
+    }),
+
+    // ── declarative data-quality rules: N expectations in ONE
+    // aggregate over one scan, integer-ppm pass rates ──
+    "q118_quality_rules" -> ((s, dir) =>
+      graft.operators.Quality.ruleReport(t(s, dir, "orders"), Seq(
+        "price_positive" -> (col("o_totalprice") > 0),
+        "custkey_present" -> col("o_custkey").isNotNull,
+        "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "priority_format" -> col("o_orderpriority").rlike("^[1-5]-")),
+        minPassPpm = 990000L)),
+
+    // ── per-metric trend slope with exact integer moments (x = days
+    // into the window, y = cents); the only FP op is the final
+    // division ──
+    "q119_trend_slope" -> ((s, dir) =>
+      graft.operators.Profile.trendSlope(t(s, dir, "events"), "event_type",
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')"),
+        expr("CAST(value * 100 AS BIGINT)")))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3458,6 +3493,59 @@ object SparkEntry {
         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, day, n, trail_sum,
         |  (trail_n = 7 AND 8 * 7 * n > 9 * trail_sum) AS spike
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    // DuckDB's NATIVE ASOF LEFT JOIN as independent truth (the q49
+    // pattern); same-instant touches pre-collapsed by min(type) so the
+    // as-of pick is total in both engines.
+    "q117_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, ts, min(event_type) AS touch_type FROM events
+        |  WHERE event_type IN ('view', 'click') GROUP BY 1, 2)
+        |SELECT coalesce(t.touch_type, 'none') AS touch,
+        |  count(*) AS n_purchases
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND t.ts <= p.ts
+        |GROUP BY 1""".stripMargin,
+
+    // One conditional-sum block per rule; ppm = integer // — null
+    // predicates count as failures via the CASE WHEN TRUE form.
+    "q118_quality_rules" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS r3
+        |  FROM orders)
+        |SELECT rule, n_pass, n_rows, n_pass * 1000000 // n_rows AS pass_ppm,
+        |  (n_pass * 1000000 // n_rows) >= 990000 AS ok
+        |FROM (
+        |  SELECT 'price_positive' AS rule, r0 AS n_pass, n_rows FROM w
+        |  UNION ALL SELECT 'custkey_present', r1, n_rows FROM w
+        |  UNION ALL SELECT 'status_domain', r2, n_rows FROM w
+        |  UNION ALL SELECT 'priority_format', r3, n_rows FROM w)""".stripMargin,
+
+    // Exact integer moments; trunc() mirrors Spark's truncating
+    // double→long cast (DuckDB's bare CAST rounds); the single FP op
+    // is the final num/den divide.
+    "q119_trend_slope" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(trunc(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+        |  CASE WHEN n * sxx - sx * sx <> 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |  END AS slope
+        |FROM a""".stripMargin
   )
 }

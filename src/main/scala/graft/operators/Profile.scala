@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-profiling surface (the ANALYZE-style pass a 100-TB ingest runs
@@ -140,6 +140,34 @@ object Profile {
           lit(den) * lit(window.toLong) * col(valueCol).cast("long") >
             lit(num) * col("trail_sum"))
       .drop("__trail_n")
+  }
+
+  /** Per-key least-squares trend slope with EXACT integer moments:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) where x and y are
+    * integral columns — the five moments are BIGINT sums (associative,
+    * partition-order-independent), the numerator/denominator are BIGINT
+    * products, and the ONLY floating-point operation is the final
+    * division. The usual FP regression accumulates doubles in shuffle
+    * order and drifts between runs/engines; this one is bit-stable and
+    * oracle-exact. Degenerate keys (all x equal → den = 0) report a
+    * null slope rather than ±Inf.
+    *
+    * Callers must pre-scale: center x near 0 (e.g. days since the
+    * window start, not epoch) and quantize y (e.g. cents) so
+    * n·Σxy stays far from 2^63. One groupBy — map-side partial moments,
+    * one shuffle of 5 numbers per key per task.
+    */
+  def trendSlope(df: DataFrame, keyCol: String, x: Column, y: Column): DataFrame = {
+    val withXY = df.select(col(keyCol),
+      x.cast("long").as("__x"), y.cast("long").as("__y"))
+    withXY.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"), sum(col("__x") * col("__x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope",
+        when(col("den") =!= 0L, col("num").cast("double") / col("den").cast("double")))
+      .select(keyCol, "n", "num", "den", "slope")
   }
 
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =

@@ -111,6 +111,35 @@ class ProfileHistSpec extends SparkSpec {
     assert(got2 == Seq("d10"))
   }
 
+  test("trendSlope: exact integer moments, degenerate keys report null slope") {
+    val pts = Seq(
+      ("a", 0L, 0L), ("a", 1L, 10L), ("a", 2L, 20L), // slope exactly 10
+      ("b", 5L, 1L), ("b", 5L, 9L), // all x equal → den 0 → null
+      ("c", 0L, 0L), ("c", 1L, 1L), ("c", 2L, 1L)).toDF("k", "x", "y")
+    val got = Profile.trendSlope(pts, "k", col("x"), col("y"))
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((3L, 60L, 6L, Some(10.0))))
+    assert(got("b") == ((2L, 0L, 0L, None)), "degenerate x must yield null slope")
+    assert(got("c") == ((3L, 3L, 6L, Some(0.5))))
+  }
+
+  test("ruleReport: one row per rule, ppm integer-exact, null predicate fails") {
+    val df = Seq(
+      (1L, Some("x")), (2L, Some("y")), (3L, None), (4L, Some("x")))
+      .toDF("id", "s")
+    val got = graft.operators.Quality.ruleReport(df, Seq(
+        "id_positive" -> (col("id") > 0),
+        "s_is_x" -> (col("s") === "x"), // null s → null predicate → fail
+        "s_present" -> col("s").isNotNull),
+      minPassPpm = 750000L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+    assert(got("id_positive") == ((4L, 1000000L, true)))
+    assert(got("s_is_x") == ((2L, 500000L, false)))
+    assert(got("s_present") == ((3L, 750000L, true)), "threshold is inclusive")
+  }
+
   test("setOverlap null groups/members are excluded") {
     val df = Seq(
       (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),
