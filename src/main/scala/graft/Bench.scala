@@ -108,7 +108,8 @@ object Bench {
     "q107_priority_sample", "q108_span_merge", "q109_compaction_plan",
     "q110_pagerank", "q111_cooc_lift", "q112_audience_overlap", "q113_retention",
     "q114_funnel", "q115_boundary_dups", "q116_spike", "q117_attribution",
-    "q118_quality_rules", "q119_trend_slope")
+    "q118_quality_rules", "q119_trend_slope", "q120_equidepth",
+    "q121_apportion", "q122_budget_mixture")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

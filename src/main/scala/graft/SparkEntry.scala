@@ -1637,7 +1637,28 @@ object SparkEntry {
     "q119_trend_slope" -> ((s, dir) =>
       graft.operators.Profile.trendSlope(t(s, dir, "events"), "event_type",
         expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')"),
-        expr("CAST(value * 100 AS BIGINT)")))
+        expr("CAST(value * 100 AS BIGINT)"))),
+
+    // ── equi-depth histogram: exact percentile_disc boundaries
+    // (actual data values), comparison-only bucket assignment —
+    // deterministic where ntile's tie split is not ──
+    "q120_equidepth" -> ((s, dir) =>
+      graft.operators.Histogram.equiDepth(
+        t(s, dir, "orders"), "o_totalprice", buckets = 8)),
+
+    // ── Hamilton largest-remainder apportionment: Σ alloc == budget
+    // exactly, all-integer, remainder ties total-ordered ──
+    "q121_apportion" -> ((s, dir) =>
+      graft.operators.Sampling.apportion(
+        t(s, dir, "documents"), "source", budget = 120L)),
+
+    // ── exact-budget weighted mixture: apportion 200 across sources,
+    // each stratum keeps its alloc highest-(n_chars/u) docs ──
+    "q122_budget_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.priorityApportion(
+          t(s, dir, "documents"), "source", col("doc_id"), col("n_chars"),
+          budget = 200L, salt = "bm-v1")
+        .select("doc_id", "source", "n_chars", "priority"))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3546,6 +3567,70 @@ object SparkEntry {
         |  CASE WHEN n * sxx - sx * sx <> 0
         |    THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
         |  END AS slope
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // quantile_disc == percentile_disc (actual data values — the SKILL
+    // parity rule); assignment is the same ordered CASE chain.
+    "q120_equidepth" ->
+      """WITH b AS (
+        |  SELECT quantile_disc(o_totalprice, 0.125) AS b0,
+        |    quantile_disc(o_totalprice, 0.25) AS b1,
+        |    quantile_disc(o_totalprice, 0.375) AS b2,
+        |    quantile_disc(o_totalprice, 0.5) AS b3,
+        |    quantile_disc(o_totalprice, 0.625) AS b4,
+        |    quantile_disc(o_totalprice, 0.75) AS b5,
+        |    quantile_disc(o_totalprice, 0.875) AS b6
+        |  FROM orders)
+        |SELECT CASE WHEN o_totalprice <= b0 THEN 0 WHEN o_totalprice <= b1 THEN 1
+        |  WHEN o_totalprice <= b2 THEN 2 WHEN o_totalprice <= b3 THEN 3
+        |  WHEN o_totalprice <= b4 THEN 4 WHEN o_totalprice <= b5 THEN 5
+        |  WHEN o_totalprice <= b6 THEN 6 ELSE 7 END AS bucket,
+        |  count(*) AS n
+        |FROM orders CROSS JOIN b
+        |WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // Hamilton: quota = (b·n) // total, leftover = b − Σ quota units to
+    // the largest remainders (source tiebreak) — all integer.
+    "q121_apportion" ->
+      """WITH c AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+        |q AS (
+        |  SELECT source, n_rows, (120 * n_rows) // total AS quota,
+        |    (120 * n_rows) % total AS rem
+        |  FROM c CROSS JOIN t),
+        |l AS (SELECT 120 - CAST(sum(quota) AS BIGINT) AS leftover FROM q)
+        |SELECT source, n_rows,
+        |  quota + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover
+        |    THEN 1 ELSE 0 END AS alloc
+        |FROM q CROSS JOIN l""".stripMargin,
+
+    // q121's apportionment at budget 200 + q107's exact priority
+    // doubles, ranked per source.
+    "q122_budget_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+        |q AS (
+        |  SELECT source, n_rows, (200 * n_rows) // total AS quota,
+        |    (200 * n_rows) % total AS rem
+        |  FROM c CROSS JOIN t),
+        |l AS (SELECT 200 - CAST(sum(quota) AS BIGINT) AS leftover FROM q),
+        |a AS (
+        |  SELECT source,
+        |    quota + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover
+        |      THEN 1 ELSE 0 END AS alloc
+        |  FROM q CROSS JOIN l),
+        |p AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(n_chars AS DOUBLE) * 4294967296.0 /
+        |      CAST(CAST(('0x' || substr(md5(concat_ws(':', 'bm-v1',
+        |        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1 AS DOUBLE) AS priority
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, priority
+        |FROM (
+        |  SELECT p.*, row_number() OVER (PARTITION BY p.source
+        |    ORDER BY priority DESC, doc_id) AS rk, a.alloc
+        |  FROM p JOIN a USING (source))
+        |WHERE rk <= alloc""".stripMargin
   )
 }

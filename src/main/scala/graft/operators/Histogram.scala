@@ -41,4 +41,34 @@ object Histogram {
         (col("mn") + col("bucket") * ((col("mx") - col("mn")) / buckets)).as("bucket_lo"),
         col("n"))
   }
+
+  /** Equi-DEPTH histogram: bucket boundaries are exact discrete
+    * quantiles (`percentile_disc` — actual data values, never the
+    * interpolating percentile_cont whose FP blend is engine-dependent),
+    * and a value lands in the first bucket whose upper boundary admits
+    * it (v <= b_i). Comparisons only — no arithmetic on the values — so
+    * the assignment is engine-exact, and ties at a boundary all go to
+    * the same bucket (unlike ntile, whose tie split depends on row
+    * order). Buckets can be EMPTY only when boundary values repeat
+    * (heavy ties), which is itself the signal the histogram exists to
+    * show.
+    *
+    * Shape: one ordered-set aggregate for the 1-row boundary frame
+    * (broadcast), one conditional projection + groupBy over the scan.
+    */
+  def equiDepth(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 100, s"buckets in [2,100], got $buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bExprs = qs.zipWithIndex.map { case (q, i) =>
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY `$valueCol`)").as(s"b$i")
+    }
+    val bounds = df.agg(bExprs.head, bExprs.tail: _*)
+    val assign = (0 until buckets - 1).foldRight(lit(buckets - 1L)) {
+      case (i, rest) => when(col("v") <= col(s"b$i"), i.toLong).otherwise(rest)
+    }
+    df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(assign.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
 }

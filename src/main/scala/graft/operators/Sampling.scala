@@ -319,4 +319,60 @@ object Sampling {
       .orderBy(col("priority").desc, key)
       .limit(k)
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer `budget`
+    * across strata, proportional to stratum row counts: quota =
+    * (budget·n_d) div total, and the budget − Σ quota leftover units go
+    * one each to the strata with the largest remainders (ties by
+    * stratum name — total order). Σ alloc == budget EXACTLY whenever
+    * budget ≥ 0 — the property rate-based mixing can't give you, and
+    * all-integer arithmetic, so engine-exact.
+    *
+    * Shape: one corpus-scale count aggregate; everything after runs on
+    * the STRATA frame (metadata-grain — domains/sources, thousands at
+    * most), where the single global remainder-rank window is a
+    * non-issue by construction.
+    */
+  def apportion(df: DataFrame, stratumCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__total"))
+    val q = counts.crossJoin(broadcast(total))
+      .withColumn("quota", expr(s"(${budget}L * n_rows) div __total"))
+      .withColumn("__rem", expr(s"(${budget}L * n_rows) % __total"))
+    val left = q.agg((lit(budget) - sum(col("quota"))).as("__left"))
+    q.crossJoin(broadcast(left))
+      .withColumn("__rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__rem").desc, col(stratumCol))))
+      .withColumn("alloc",
+        col("quota") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select(col(stratumCol), col("n_rows"), col("alloc"))
+  }
+
+  /** Exact-budget weighted mixture: [[apportion]] splits the budget
+    * across strata by size, then each stratum keeps its `alloc`
+    * highest-priority rows under the [[prioritySample]] draw (w/u
+    * priorities — heavy rows win). The output size is EXACTLY
+    * min(budget, corpus) rows, deterministically, with within-stratum
+    * selection weighted by `weight` — the "give me exactly N training
+    * docs, fairly across domains, favoring long docs" primitive.
+    *
+    * Scale note: the per-stratum rank is a dynamic-limit window (alloc
+    * is a column), so unlike [[sampleExactN]]'s static n it gets no
+    * WindowGroupLimit partial — each stratum pays one bounded sort.
+    */
+  def priorityApportion(
+      df: DataFrame, stratumCol: String, key: Column, weight: Column,
+      budget: Long, salt: String = ""): DataFrame = {
+    val alloc = apportion(df, stratumCol, budget)
+      .select(col(stratumCol), col("alloc"))
+    val v = conv(hashUnit(key, salt), 16, 10).cast("long")
+    df.withColumn("priority",
+        weight.cast("double") * lit(4294967296.0) / (v + lit(1L)).cast("double"))
+      .join(broadcast(alloc), Seq(stratumCol))
+      .withColumn("__rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(stratumCol).orderBy(col("priority").desc, key)))
+      .filter(col("__rk") <= col("alloc"))
+      .drop("__rk", "alloc")
+  }
 }

@@ -140,6 +140,18 @@ class ProfileHistSpec extends SparkSpec {
     assert(got("s_present") == ((3L, 750000L, true)), "threshold is inclusive")
   }
 
+  test("equiDepth: uniform data splits evenly; boundary ties share a bucket; nulls drop") {
+    val vals = (1 to 80).map(v => Some(v.toDouble)) :+ None
+    val got = graft.operators.Histogram.equiDepth(vals.toDF("x"), "x", buckets = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 7L).map(_ -> 10L).toMap, s"uneven: $got")
+    // heavy ties: every value equal → all boundaries equal → everything in bucket 0
+    val ties = Seq.fill(50)(5.0).toDF("x")
+    val got2 = graft.operators.Histogram.equiDepth(ties, "x", buckets = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(0L -> 50L), s"ties must collapse into the first bucket: $got2")
+  }
+
   test("setOverlap null groups/members are excluded") {
     val df = Seq(
       (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),

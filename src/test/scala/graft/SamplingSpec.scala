@@ -184,6 +184,37 @@ class SamplingSpec extends SparkSpec {
     assert(gotRepart == expect.map(_._1), "partitioning changed the sample")
   }
 
+  test("apportion: Hamilton quotas + largest remainders, Σ alloc == budget exactly") {
+    // strata 70/20/10 rows, budget 7: quotas 4/1/0, remainders 90/40/70
+    // → leftover 2 goes to a (rem 90) and c (rem 70)
+    val df = (0 until 70).map(i => ("a", i)) ++ (0 until 20).map(i => ("b", i)) ++
+      (0 until 10).map(i => ("c", i))
+    val got = Sampling.apportion(df.toDF("s", "i"), "s", budget = 7L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("a" -> ((70L, 5L)), "b" -> ((20L, 1L)), "c" -> ((10L, 1L))))
+    // exactness holds across budgets, including budget > smallest quota grain
+    for (b <- Seq(0L, 1L, 99L, 100L)) {
+      val total = Sampling.apportion(df.toDF("s", "i"), "s", b)
+        .agg(sum("alloc")).head.getLong(0)
+      assert(total == b, s"budget $b apportioned to $total")
+    }
+  }
+
+  test("priorityApportion: exactly budget rows, per-stratum counts == alloc, stable") {
+    val df = (0L until 1000L)
+      .map(i => (s"s${i % 4}", i, 1L + i % 37)).toDF("s", "id", "w")
+    val alloc = Sampling.apportion(df, "s", 60L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val out = Sampling.priorityApportion(df, "s", col("id"), col("w"), 60L, "bm")
+    val perStratum = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(perStratum == alloc, s"per-stratum counts must equal the apportionment")
+    assert(out.count() == 60L)
+    val a = out.agg(sum("id")).head.getLong(0)
+    val b = Sampling.priorityApportion(df.repartition(13), "s", col("id"), col("w"),
+      60L, "bm").agg(sum("id")).head.getLong(0)
+    assert(a == b, "partitioning changed the mixture")
+  }
+
   test("prioritySample favors heavy rows and plans TakeOrdered") {
     // two-point weights: 100 heavy rows (w=1000) among 5000 light (w=1)
     val df = (0L until 5000L).map(i => (i, if (i % 50 == 0) 1000L else 1L)).toDF("id", "w")
