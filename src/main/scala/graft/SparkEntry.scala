@@ -1658,7 +1658,35 @@ object SparkEntry {
       graft.operators.Sampling.priorityApportion(
           t(s, dir, "documents"), "source", col("doc_id"), col("n_chars"),
           budget = 200L, salt = "bm-v1")
-        .select("doc_id", "source", "n_chars", "priority"))
+        .select("doc_id", "source", "n_chars", "priority")),
+
+    // ── mergeable Misra-Gries heavy hitters under its guarantee
+    // contract (the q62 pattern): a planted 50%-hot key stream; the
+    // sketch must contain every item with freq > n/(k+1), never
+    // overcount, and undercount by at most n div (k+1) ──
+    "q123_heavy_hitters_contract" -> ((s, dir) => {
+      val keyed = t(s, dir, "events").select(
+        when(col("event_id") % 2 === 0, lit("HOT"))
+          .otherwise((col("event_id") % 97).cast("string")).as("k"))
+      val mg = udaf(new graft.operators.TypedAgg.MisraGries(10),
+        org.apache.spark.sql.Encoders.STRING)
+      val sketch = keyed.agg(mg(col("k")).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("est"))
+      val tot = broadcast(keyed.agg(count(lit(1)).as("n")))
+      keyed.groupBy("k").agg(count(lit(1)).as("freq"))
+        .join(sketch, col("k") === col("item"), "left")
+        .crossJoin(tot)
+        .agg(max(col("n")).as("n_rows"),
+          sum(when(col("freq") * 11 > col("n"), 1L).otherwise(0L))
+            .as("n_true_heavy"),
+          (sum(when(col("freq") * 11 > col("n") && col("item").isNull, 1L)
+            .otherwise(0L)) === 0L).as("all_heavy_found"),
+          (max(when(col("item").isNotNull, col("freq") - col("est")))
+            <= expr("max(n) div 11")).as("under_bound_ok"),
+          (sum(when(col("est") > col("freq"), 1L).otherwise(0L)) === 0L)
+            .as("never_overcounts"))
+    })
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3631,6 +3659,23 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY p.source
         |    ORDER BY priority DESC, doc_id) AS rk, a.alloc
         |  FROM p JOIN a USING (source))
-        |WHERE rk <= alloc""".stripMargin
+        |WHERE rk <= alloc""".stripMargin,
+
+    // The oracle computes the exact side and asserts the MG guarantees
+    // as literals — the sketch's COUNTS are merge-order-dependent, its
+    // GUARANTEES are not (q46/q62 contract pattern).
+    "q123_heavy_hitters_contract" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN 'HOT'
+        |    ELSE CAST(event_id % 97 AS VARCHAR) END AS k
+        |  FROM events),
+        |t AS (SELECT count(*) AS n FROM k),
+        |e AS (SELECT k, count(*) AS freq FROM k GROUP BY 1)
+        |SELECT n AS n_rows,
+        |  CAST(sum(CASE WHEN freq * 11 > n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true_heavy,
+        |  TRUE AS all_heavy_found, TRUE AS under_bound_ok,
+        |  TRUE AS never_overcounts
+        |FROM e CROSS JOIN t GROUP BY n""".stripMargin
   )
 }

@@ -72,4 +72,57 @@ object TypedAgg {
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
+
+  /** One Misra-Gries counter. `cnt` is a LOWER BOUND on the item's true
+    * frequency (the sketch only ever undercounts).
+    */
+  final case class MgEntry(item: String, cnt: Long)
+
+  /** MERGEABLE Misra-Gries heavy-hitters sketch with k counters — the
+    * frequent-items companion to the HLL distinct sketch (q62): bounded
+    * memory (k entries per partition-group), map-side partial combine,
+    * and the classic guarantees regardless of partitioning or merge
+    * order:
+    *
+    *  - every item with true frequency > n/(k+1) is IN the sketch;
+    *  - estimates only undercount, by at most n/(k+1).
+    *
+    * reduce: present → +1; room → insert 1; full → decrement all, drop
+    * zeros (the new item is not inserted — standard MG). merge
+    * (Agarwal et al., "Mergeable Summaries"): sum counts by item, and
+    * if over k entries subtract the (k+1)-th largest count from all,
+    * keeping positives — which preserves both guarantees
+    * compositionally.
+    *
+    * The COUNTS depend on merge order (only the guarantees are
+    * deterministic), so this sketch is certified by a CONTRACT query
+    * (the q46/q62 pattern) and spec properties, never by hashing the
+    * raw counters.
+    */
+  final class MisraGries(k: Int) extends Aggregator[String, Seq[MgEntry], Seq[MgEntry]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    override def zero: Seq[MgEntry] = Seq.empty
+    override def reduce(buf: Seq[MgEntry], item: String): Seq[MgEntry] = {
+      val i = buf.indexWhere(_.item == item)
+      if (i >= 0) buf.updated(i, MgEntry(item, buf(i).cnt + 1))
+      else if (buf.size < k) buf :+ MgEntry(item, 1L)
+      else buf.map(e => MgEntry(e.item, e.cnt - 1)).filter(_.cnt > 0)
+    }
+    override def merge(a: Seq[MgEntry], b: Seq[MgEntry]): Seq[MgEntry] = {
+      val summed = (a ++ b).groupBy(_.item)
+        .map { case (it, es) => MgEntry(it, es.map(_.cnt).sum) }.toSeq
+      if (summed.size <= k) summed
+      else {
+        val cut = summed.map(_.cnt).sorted(Ordering[Long].reverse)(k)
+        summed.map(e => MgEntry(e.item, e.cnt - cut)).filter(_.cnt > 0)
+      }
+    }
+    override def finish(r: Seq[MgEntry]): Seq[MgEntry] =
+      r.sortBy(e => (-e.cnt, e.item))
+    override def bufferEncoder: Encoder[Seq[MgEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[MgEntry]]()
+    override def outputEncoder: Encoder[Seq[MgEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[MgEntry]]()
+  }
 }
