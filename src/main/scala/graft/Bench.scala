@@ -109,7 +109,8 @@ object Bench {
     "q110_pagerank", "q111_cooc_lift", "q112_audience_overlap", "q113_retention",
     "q114_funnel", "q115_boundary_dups", "q116_spike", "q117_attribution",
     "q118_quality_rules", "q119_trend_slope", "q120_equidepth",
-    "q121_apportion", "q122_budget_mixture", "q123_heavy_hitters_contract")
+    "q121_apportion", "q122_budget_mixture", "q123_heavy_hitters_contract",
+    "q124_funnel_stream")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -1686,7 +1686,14 @@ object SparkEntry {
             <= expr("max(n) div 11")).as("under_bound_ok"),
           (sum(when(col("est") > col("freq"), 1L).otherwise(0L)) === 0L)
             .as("never_overcounts"))
-    })
+    }),
+
+    // ── STREAMING ordered funnel: q114's fold as a
+    // flatMapGroupsWithState machine, replayed in two event-id-parity
+    // interleaved waves (maximal disorder) + sentinel watermark
+    // flushes — must hash-match the BATCH oracle ──
+    "q124_funnel_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.funnelReplay(s, dir))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3491,6 +3498,26 @@ object SparkEntry {
     // list_prepend(0, …) init trick; struct sort order (t, c) ties off
     // same-instant events identically in both engines.
     "q114_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, ts,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END AS c
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND substr(md5(concat_ws(':', 'funnel-v1', CAST(event_id AS VARCHAR))),
+        |          1, 8) < '0ccccccc'),
+        |l AS (
+        |  SELECT u, list_transform(list_sort(list({'t': ts, 'c': c})), e -> e.c)
+        |    AS codes
+        |  FROM ev WHERE c > 0 GROUP BY u),
+        |st AS (
+        |  SELECT u, list_reduce(list_prepend(0, codes),
+        |    (acc, e) -> acc + CASE WHEN e = acc + 1 THEN 1 ELSE 0 END) AS stage
+        |  FROM l)
+        |SELECT stage, count(*) AS n_users FROM st GROUP BY 1""".stripMargin,
+
+    // Identical truth to q114: the stream must agree with the batch
+    // fold exactly, including the same 5% sample and tie walk.
+    "q124_funnel_stream" ->
       """WITH ev AS (
         |  SELECT user_id AS u, ts,
         |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2

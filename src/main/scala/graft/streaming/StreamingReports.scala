@@ -15,6 +15,15 @@ case class UserSession(userId: String, startUs: Long, endUs: Long, nEvents: Long
   */
 case class SessionBuf(startUs: Long, lastUs: Long, n: Long)
 
+/** One buffered funnel event (micros, stage code) for `funnelStream`. */
+case class FunnelEv(tsUs: Long, code: Int)
+
+/** Per-user funnel buffer state — top-level for encoder codegen. */
+case class FunnelBuf(evs: List[FunnelEv])
+
+/** Final stage emitted per user when the funnel state flushes. */
+case class UserStage(user_id: Long, stage: Int)
+
 /** Streaming flavor of the ingestion + top10 pipeline (SURVEY.md §2.11):
   * the `events/` landing prefix consumed as a Structured Streaming file
   * source instead of scheduled batch — same declared schema, same
@@ -510,6 +519,114 @@ object StreamingReports {
       if (f.getPath != latest) deleteRecursively(f.toPath)
     })
     spark.read.parquet(latest)
+  }
+
+  /** Streaming ordered funnel — q114's sorted-walk fold as a
+    * flatMapGroupsWithState state machine: funnel events buffer per
+    * user until the event-time timeout fires, then the buffer is
+    * sorted (tsUs, code) and folded exactly like the batch operator —
+    * so arrival order CANNOT matter, which the replay proves by
+    * delivering waves interleaved by event-id parity (maximal
+    * disorder). The watermark delay must cover the corpus's time span
+    * (40 days here vs the 30-day synthetic window): with the usual
+    * 1-day delay, a second delivery wave containing day-1 events would
+    * be silently dropped as late once the watermark reached day-29 —
+    * the streaming-vs-batch divergence this design exists to rule out.
+    * State is the user's FUNNEL events only (the stage-code filter
+    * runs before the stateful operator), and the timeout lands 1 h
+    * after the user's last buffered event.
+    */
+  def funnelStream(
+      spark: SparkSession, dir: String, stages: Seq[String],
+      sampleRate: Double, sampleSalt: String): Dataset[UserStage] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType)))
+    val code = stages.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (s, i)) => when(col("event_type") === s, lit(i + 1)).otherwise(acc)
+    }
+    spark.readStream.schema(schema).json(dir)
+      .withColumn("ets", timestamp_micros(col("ts_us")))
+      .withWatermark("ets", "40 days")
+      .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+      .filter(graft.operators.Sampling.hashUnit(col("event_id"), sampleSalt) <
+        lit(graft.operators.Sampling.thresholdHex(sampleRate)))
+      .withColumn("code", code).filter(col("code") > 0)
+      // the watermarked column itself must reach the stateful operator
+      // (Spark refuses event-time timeouts otherwise)
+      .select(col("user_id").as[Long], col("ts_us").as[Long], col("code").as[Int],
+        col("ets").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, UserStage](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (uid, rows, state) =>
+        if (state.hasTimedOut) {
+          val evs = state.get.evs
+          state.remove()
+          var stage = 0
+          evs.sortBy(e => (e.tsUs, e.code))
+            .foreach(e => if (e.code == stage + 1) stage += 1)
+          Iterator.single(UserStage(uid, stage))
+        } else {
+          val evs = state.getOption.map(_.evs).getOrElse(Nil) ++
+            rows.map(r => FunnelEv(r._2, r._3))
+          state.update(FunnelBuf(evs))
+          state.setTimeoutTimestamp(evs.map(_.tsUs).max / 1000L + 60L * 60L * 1000L)
+          Iterator.empty
+        }
+      }
+  }
+
+  /** Bounded replay of [[funnelStream]] over the parquet events table
+    * (q124's certified surface): events are rendered to a JSON landing
+    * dir in TWO interleaved waves (event-id parity — every user's
+    * stream is split across waves, maximal disorder), streamed through
+    * the state machine, then two far-future sentinel waves advance the
+    * watermark so every user's event-time timeout fires (timeouts run
+    * on the trigger AFTER the watermark moves, hence two). Returns
+    * (stage, n_users) with the sentinel user filtered out —
+    * hash-comparable against q114's batch oracle.
+    */
+  def funnelReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("graft-funnel-replay")
+    val mem = s"graft_funnel_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ev = graft.tables.Corpus.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    def renderWave(name: String, wave: DataFrame): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-funnel-$name")
+      wave.coalesce(1).write.mode("overwrite").json(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      Files.move(part.toPath, landing.resolve(s"$name.json"))
+      deleteRecursively(tmp)
+    }
+    renderWave("wave1", ev.filter(col("event_id") % 2 === 0))
+    val q = funnelStream(spark, landing.toString,
+        Seq("view", "click", "signup", "purchase"), 0.05, "funnel-v1")
+      .toDF().writeStream.format("memory").queryName(mem).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      renderWave("wave2", ev.filter(col("event_id") % 2 =!= 0))
+      q.processAllAvailable()
+      // Sentinel ids -48/-61 are chosen to PASS the 5% md5 draw: a
+      // sentinel must be a fully valid row, or the sample filter —
+      // which the optimizer pushes BELOW the watermark operator —
+      // drops it before the event-time stats see it and the watermark
+      // never advances (debugged exactly so; the session replay's
+      // sentinels survive its filters the same way).
+      for ((id, n) <- Seq((-48, 1), (-61, 2))) {
+        Files.writeString(landing.resolve(s"zz-sentinel$n.json"),
+          s"""{"event_id": $id, "user_id": -1, "ts_us": ${1893456000000000L + n}, "event_type": "view"}""")
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); deleteRecursively(landing) }
+    spark.table(mem)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
   }
 
   /** Custom state: running per-resource event totals via
