@@ -1693,7 +1693,25 @@ object SparkEntry {
     // interleaved waves (maximal disorder) + sentinel watermark
     // flushes — must hash-match the BATCH oracle ──
     "q124_funnel_stream" -> ((s, dir) =>
-      graft.streaming.StreamingReports.funnelReplay(s, dir))
+      graft.streaming.StreamingReports.funnelReplay(s, dir)),
+
+    // ── integer EWMA (α = 1/4) over each metric's daily revenue
+    // series: shifts/adds only, so the smoothed value is bit-exact on
+    // any partitioning — FP smoothing is not ──
+    "q125_ewma" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')").as("x"))
+        .agg(sum(expr("CAST(value * 100 AS BIGINT)")).as("y"))
+      graft.operators.Profile.ewma(daily, "event_type", col("x"), col("y"), shift = 2)
+    }),
+
+    // ── order-independent table digest: 2 word sums + count — "are
+    // these two tables equal" as a 3-number compare, mergeable by
+    // addition across shards ──
+    "q126_table_checksum" -> ((s, dir) =>
+      graft.operators.Diff.tableChecksum(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag")))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3514,6 +3532,41 @@ object SparkEntry {
         |    (acc, e) -> acc + CASE WHEN e = acc + 1 THEN 1 ELSE 0 END) AS stage
         |  FROM l)
         |SELECT stage, count(*) AS n_users FROM st GROUP BY 1""".stripMargin,
+
+    // s1 = y1 (list_reduce's init-less fold), then (y + 3·acc) // 4 ==
+    // Spark's shiftright(y + 3·acc, 2) for the non-negative values the
+    // operator enforces; trunc() mirrors the truncating double->long cast.
+    "q125_ewma" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, x, y FROM d
+        |      WHERE x IS NOT NULL AND y IS NOT NULL AND y >= 0),
+        |l AS (
+        |  SELECT event_type, count(*) AS n_points,
+        |    list_transform(list_sort(list({'o': x, 'y': y})), p -> p.y) AS ys
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, CAST(n_points AS INT) AS n_points,
+        |  list_reduce(ys, (acc, y) -> (y + 3 * acc) // 4) AS ewma
+        |FROM l""".stripMargin,
+
+    // chr(1)/chr(2) mirror rowFingerprint's delimiters; '0x'||hex ->
+    // BIGINT mirrors conv(_,16,10); sums cast to defuse HUGEINT.
+    "q126_table_checksum" ->
+      """WITH f AS (
+        |  SELECT md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_suppkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_returnflag AS VARCHAR), chr(2)))) AS fp
+        |  FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(fp, 1, 8)) AS BIGINT)) AS BIGINT) AS sum_a,
+        |  CAST(sum(CAST(('0x' || substr(fp, 17, 8)) AS BIGINT)) AS BIGINT) AS sum_b
+        |FROM f""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

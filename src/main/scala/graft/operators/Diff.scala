@@ -31,6 +31,27 @@ object Diff {
     md5(concat_ws("\u0001",
       cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
 
+  /** ORDER-INDEPENDENT table digest: per-row md5 fingerprints reduced
+    * by two BIGINT sums (the first and third 8-hex words of the hash)
+    * plus the row count. Sums are associative/commutative, so the
+    * digest is identical on any partitioning, any row order, any
+    * engine — the cheap way to answer "are these two 100-TB tables the
+    * same" without a sort or a join (compare 3 numbers), and mergeable
+    * across shards/partitions by addition. Two independent 32-bit word
+    * sums + the count make silent collisions a non-issue for
+    * pipeline-equality checks; this is a drift DETECTOR, not a
+    * cryptographic commitment.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum needs at least one column")
+    val fp = rowFingerprint(cols.map(col))
+    df.select(
+        conv(substring(fp, 1, 8), 16, 10).cast("long").as("__a"),
+        conv(substring(fp, 17, 8), 16, 10).cast("long").as("__b"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__a")).as("sum_a"), sum(col("__b")).as("sum_b"))
+  }
+
   def diff(
       oldDf: DataFrame, newDf: DataFrame, keyCol: String,
       valueCols: Seq[String]): DataFrame = {

@@ -170,6 +170,36 @@ object Profile {
       .select(keyCol, "n", "num", "den", "slope")
   }
 
+  /** Integer exponential smoothing (EWMA) with α = 2^-shift: per key,
+    * walk the series in `orderCol` order and fold
+    * s₁ = y₁, sₜ = (yₜ + (2^shift − 1)·sₜ₋₁) >> shift — all BIGINT
+    * shifts/adds, so the smoothed value is engine- and
+    * partitioning-exact (an FP EWMA drifts in the last ulps per merge
+    * order). Values must be NON-NEGATIVE integers (>> is floor
+    * division only for non-negative operands — enforced).
+    *
+    * Shape: one keyed exchange collecting each key's (order, value)
+    * series, then a codegen'd higher-order fold — the funnel-walk
+    * pattern; series length per key is the state bound (fine for
+    * per-metric daily series; not for per-user raw events).
+    */
+  def ewma(
+      df: DataFrame, keyCol: String, orderCol: Column, valueCol: Column,
+      shift: Int): DataFrame = {
+    require(shift >= 1 && shift <= 30, s"shift in [1,30], got $shift")
+    val mul = (1L << shift) - 1
+    df.select(col(keyCol), struct(orderCol.as("o"), valueCol.cast("long").as("y")).as("p"))
+      .filter(col("p.y").isNotNull && col("p.o").isNotNull)
+      .filter(col("p.y") >= 0)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("ys", transform(col("ps"), p => p("y")))
+      .select(col(keyCol), size(col("ys")).as("n_points"),
+        aggregate(slice(col("ys"), lit(2), greatest(size(col("ys")) - 1, lit(0))),
+          element_at(col("ys"), 1),
+          (acc, y) => shiftright(y + lit(mul) * acc, shift)).as("ewma"))
+  }
+
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and

@@ -417,4 +417,19 @@ class MergeMixSpec extends SparkSpec {
     assert(buf == Seq(
       graft.operators.TypedAgg.Scored(6L, 6.0), graft.operators.TypedAgg.Scored(13L, 6.0)))
   }
+
+  test("tableChecksum: order/partition independent; any cell change moves a sum") {
+    import graft.operators.Diff
+    val df = (0L until 500L).map(i => (i, s"v$i", if (i % 7 == 0) None else Some(i * 3)))
+      .toDF("id", "s", "x")
+    val base = Diff.tableChecksum(df, Seq("id", "s", "x")).as[(Long, Long, Long)].head()
+    val reordered = Diff.tableChecksum(df.orderBy(rand(42)).repartition(13),
+      Seq("id", "s", "x")).as[(Long, Long, Long)].head()
+    assert(base == reordered, "digest must be row-order and partitioning independent")
+    val mutated = df.withColumn("x",
+      when(col("id") === 250L, lit(999L)).otherwise(col("x")))
+    val changed = Diff.tableChecksum(mutated, Seq("id", "s", "x")).as[(Long, Long, Long)].head()
+    assert(base != changed, "a single-cell change must move the digest")
+    assert(base._1 == changed._1, "row count unchanged by an in-place edit")
+  }
 }

@@ -152,6 +152,21 @@ class ProfileHistSpec extends SparkSpec {
     assert(got2 == Map(0L -> 50L), s"ties must collapse into the first bucket: $got2")
   }
 
+  test("ewma: integer fold matches the model; single-point series; order independence") {
+    // model: s1=10, s2=(26+3·10)>>2=14, s3=(2+3·14)>>2=11
+    val pts = Seq(("k", 1L, 10L), ("k", 2L, 26L), ("k", 3L, 2L), ("solo", 9L, 7L))
+      .toDF("k", "o", "y")
+    val got = Profile.ewma(pts, "k", col("o"), col("y"), shift = 2)
+      .as[(String, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("k") == ((3, 11L)))
+    assert(got("solo") == ((1, 7L)), "single point: ewma == the point")
+    // arrival order must not matter (the sort is inside the operator)
+    val shuffled = Seq(("k", 3L, 2L), ("k", 1L, 10L), ("k", 2L, 26L)).toDF("k", "o", "y")
+    val got2 = Profile.ewma(shuffled.repartition(5), "k", col("o"), col("y"), 2)
+      .as[(String, Int, Long)].collect().head
+    assert((got2._2, got2._3) == ((3, 11L)))
+  }
+
   test("setOverlap null groups/members are excluded") {
     val df = Seq(
       (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),
