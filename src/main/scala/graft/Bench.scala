@@ -110,7 +110,8 @@ object Bench {
     "q114_funnel", "q115_boundary_dups", "q116_spike", "q117_attribution",
     "q118_quality_rules", "q119_trend_slope", "q120_equidepth",
     "q121_apportion", "q122_budget_mixture", "q123_heavy_hitters_contract",
-    "q124_funnel_stream", "q125_ewma", "q126_table_checksum")
+    "q124_funnel_stream", "q125_ewma", "q126_table_checksum",
+    "q127_top_p", "q128_transitions")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -1711,7 +1711,24 @@ object SparkEntry {
     // addition across shards ──
     "q126_table_checksum" -> ((s, dir) =>
       graft.operators.Diff.tableChecksum(t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag")))
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag"))),
+
+    // ── top-p (nucleus) coverage: per metric, the smallest set of
+    // days covering 80% of revenue — all-integer threshold test, the
+    // Intervals two-window shape ──
+    "q127_top_p" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), dayKey(col("ts")).as("day"))
+        .agg(sum(expr("CAST(value * 100 AS BIGINT)")).as("cents"))
+      graft.operators.Sampling.topPCoverage(daily, "event_type",
+        col("cents"), col("day"), num = 4, den = 5)
+    }),
+
+    // ── state-transition matrix: what event follows what, per user in
+    // (ts, event_id) total order — one lag window + partial-agg count ──
+    "q128_transitions" -> ((s, dir) =>
+      graft.operators.Profile.transitions(t(s, dir, "events"), "user_id",
+        Seq(col("ts"), col("event_id")), col("event_type")))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3567,6 +3584,33 @@ object SparkEntry {
         |  CAST(sum(CAST(('0x' || substr(fp, 1, 8)) AS BIGINT)) AS BIGINT) AS sum_a,
         |  CAST(sum(CAST(('0x' || substr(fp, 17, 8)) AS BIGINT)) AS BIGINT) AS sum_b
         |FROM f""".stripMargin,
+
+    // Nucleus keep-rule: EXCLUSIVE running sum below 4/5 of the key
+    // total (5·cum < 4·tot — integer), heaviest first, day tiebreak.
+    "q127_top_p" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, cents,
+        |    CAST(coalesce(sum(cents) OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum,
+        |    CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM d)
+        |SELECT event_type, day, cents FROM w WHERE 5 * cum < 4 * tot""".stripMargin,
+
+    // (ts, event_id) makes the per-user order total — lag on ties
+    // would otherwise be engine-dependent (the q94 lesson).
+    "q128_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events)
+        |SELECT prev AS from_state, event_type AS to_state, count(*) AS n
+        |FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

@@ -200,6 +200,28 @@ object Profile {
           (acc, y) => shiftright(y + lit(mul) * acc, shift)).as("ewma"))
   }
 
+  /** State-transition (Markov) matrix: per key, count consecutive
+    * (from → to) state pairs in `orderCols` order — the behavioral
+    * "what follows what" profile (event flows, page paths). The order
+    * columns must form a total order within each key (pass a unique id
+    * as the last tiebreak, or lag() picks an engine-dependent
+    * predecessor on ties — the q94 lesson). One keyed exchange + one
+    * lag window + a partial-agg count; each key's first event has no
+    * predecessor and is excluded.
+    */
+  def transitions(
+      df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      stateCol: Column): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCols: _*)
+    df.withColumn("__to", stateCol)
+      .withColumn("__from", lag(col("__to"), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_state"), col("__to").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and

@@ -320,6 +320,37 @@ object Sampling {
       .limit(k)
   }
 
+  /** Top-p (nucleus) coverage selection: per key, keep the smallest
+    * prefix of rows — heaviest `weight` first — whose cumulative weight
+    * reaches num/den of the key's total. The "which domains cover 95%
+    * of traffic" / nucleus-truncation primitive. A row is kept iff its
+    * EXCLUSIVE running weight is still below the threshold (so the row
+    * that crosses the line is included, and a 100% threshold keeps
+    * everything), tested as den·cum_excl < num·total — all-integer,
+    * engine-exact. `tieCol` must make the per-key order total (weight
+    * ties would otherwise make the boundary row engine-dependent).
+    *
+    * Shape: one keyed exchange, two same-spec windows over one sort
+    * (running sum + partition total) — the Intervals pattern.
+    */
+  def topPCoverage(
+      df: DataFrame, keyCol: String, weight: Column, tieCol: Column,
+      num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      s"threshold num/den must be in [0,1], got $num/$den")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(weight.desc, tieCol)
+    df.withColumn("__w", weight.cast("long"))
+      .withColumn("__cum",
+        coalesce(sum(col("__w")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__tot",
+        sum(col("__w")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol)))
+      .filter(lit(den) * col("__cum") < lit(num) * col("__tot"))
+      .drop("__w", "__cum", "__tot")
+  }
+
   /** Largest-remainder (Hamilton) apportionment of an integer `budget`
     * across strata, proportional to stratum row counts: quota =
     * (budget·n_d) div total, and the budget − Σ quota leftover units go

@@ -167,6 +167,17 @@ class ProfileHistSpec extends SparkSpec {
     assert((got2._2, got2._3) == ((3, 11L)))
   }
 
+  test("transitions: consecutive pairs in total order; first event excluded; key isolation") {
+    val ev = Seq(
+      (1L, 1L, "v"), (1L, 2L, "c"), (1L, 3L, "c"), (1L, 4L, "p"), // v→c, c→c, c→p
+      (2L, 1L, "p"), (2L, 2L, "v"), // p→v (no cross-user pair with u1)
+      (3L, 9L, "v")).toDF("u", "o", "e") // single event → nothing
+    val got = graft.operators.Profile
+      .transitions(ev.repartition(5), "u", Seq(col("o")), col("e"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("v", "c", 1L), ("c", "c", 1L), ("c", "p", 1L), ("p", "v", 1L)))
+  }
+
   test("setOverlap null groups/members are excluded") {
     val df = Seq(
       (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),

@@ -215,6 +215,23 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, "partitioning changed the mixture")
   }
 
+  test("topPCoverage keeps the minimal prefix incl. the boundary row; 100% keeps all") {
+    // key "a": weights 50,30,15,5 — exclusive cums 0,50,80,95 vs 4/5·100=80:
+    // keep 50 (0<80), 30 (50<80), drop 15 (80<80 false), drop 5
+    val df = Seq(("a", "w", 50L), ("a", "x", 30L), ("a", "y", 15L), ("a", "z", 5L),
+      ("b", "q", 1L)).toDF("k", "id", "wt")
+    val got = Sampling.topPCoverage(df, "k", col("wt"), col("id"), num = 4, den = 5)
+      .select("k", "id").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "w"), ("a", "x"), ("b", "q")))
+    val all = Sampling.topPCoverage(df, "k", col("wt"), col("id"), 1, 1).count()
+    assert(all == 5L, "num/den = 1 must keep every row")
+    // boundary inclusion: 60/40 at 50% — the first row alone crosses the line
+    val half = Seq(("c", "a", 60L), ("c", "b", 40L)).toDF("k", "id", "wt")
+    val kept = Sampling.topPCoverage(half, "k", col("wt"), col("id"), 1, 2)
+      .select("id").as[String].collect().toSeq
+    assert(kept == Seq("a"), "the crossing row is kept, nothing after it")
+  }
+
   test("prioritySample favors heavy rows and plans TakeOrdered") {
     // two-point weights: 100 heavy rows (w=1000) among 5000 light (w=1)
     val df = (0L until 5000L).map(i => (i, if (i % 50 == 0) 1000L else 1L)).toDF("id", "w")
