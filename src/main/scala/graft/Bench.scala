@@ -111,7 +111,9 @@ object Bench {
     "q118_quality_rules", "q119_trend_slope", "q120_equidepth",
     "q121_apportion", "q122_budget_mixture", "q123_heavy_hitters_contract",
     "q124_funnel_stream", "q125_ewma", "q126_table_checksum",
-    "q127_top_p", "q128_transitions")
+    "q127_top_p", "q128_transitions", "q129_zorder_tiles", "q130_fk_audit",
+    "q131_grain_check", "q132_winsorize", "q133_gap_fill",
+    "q134_scale_minmax", "q135_vocab", "q136_path_trigrams")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

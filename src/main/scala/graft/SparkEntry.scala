@@ -1728,13 +1728,98 @@ object SparkEntry {
     // (ts, event_id) total order — one lag window + partial-agg count ──
     "q128_transitions" -> ((s, dir) =>
       graft.operators.Profile.transitions(t(s, dir, "events"), "user_id",
-        Seq(col("ts"), col("event_id")), col("event_type")))
+        Seq(col("ts"), col("event_id")), col("event_type"))),
+
+    // ── z-curve tile summary: the oracle-certifiable half of z-order
+    // clustering — all-integer equi-width buckets, Morton interleave
+    // (pure shift/or bit math), per-tile count + z-range ──
+    "q129_zorder_tiles" -> ((s, dir) =>
+      graft.operators.Layout.zTileSummary(
+        t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+        bits = 8, tileShift = 10)),
+
+    // ── referential-integrity audit: orphan/null counts for every
+    // schema FK edge, parent side distinct-ed before the join ──
+    "q130_fk_audit" -> ((s, dir) =>
+      graft.operators.Quality.fkOrphans(Seq(
+        ("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem_part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("lineitem_supplier", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        ("orders_customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("customer_nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        ("events_customer", t(s, dir, "events"), "user_id",
+          t(s, dir, "customer"), "c_custkey")))),
+
+    // ── candidate-key / grain audit: is the declared column set really
+    // the table's grain, and how hot is the worst key (the q94 lineitem
+    // duplicate-grain lesson as a first-class report) ──
+    "q131_grain_check" -> ((s, dir) =>
+      graft.operators.Quality.grainReport(Seq(
+        ("orders_pk", t(s, dir, "orders"), Seq("o_orderkey")),
+        ("lineitem_pk2", t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber")),
+        ("lineitem_pk4", t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+        ("events_pk", t(s, dir, "events"), Seq("event_id")),
+        ("documents_pk", t(s, dir, "documents"), Seq("doc_id"))))),
+
+    // ── winsorize: comparison-only percentile clip at [p05, p95] —
+    // every output value is bit-identical to some input value ──
+    "q132_winsorize" -> ((s, dir) =>
+      graft.operators.Feature.winsorize(
+          t(s, dir, "orders"), "o_totalprice", loQ = 0.05, hiQ = 0.95)
+        .select(col("o_orderkey"), col("o_totalprice"), col("clipped"))),
+
+    // ── forward-fill: carry each user's last purchase amount across
+    // subsequent events in (ts, event_id) total order ──
+    "q133_gap_fill" -> ((s, dir) =>
+      graft.operators.Feature.gapFill(
+          t(s, dir, "events"), "user_id", Seq(col("ts"), col("event_id")),
+          when(col("event_type") === "purchase",
+            expr("CAST(value * 100 AS BIGINT)")),
+          as = "last_purchase_cents")
+        .select(col("event_id"), col("user_id"), col("last_purchase_cents"))),
+
+    // ── per-group integer min-max scaling: event value → permille of
+    // its event_type's range, all-BIGINT ──
+    "q134_scale_minmax" -> ((s, dir) =>
+      graft.operators.Feature.scaleMinMax(
+          t(s, dir, "events"), "event_type",
+          expr("CAST(value * 100 AS BIGINT)"), den = 1000L, as = "permille")
+        .select(col("event_id"), col("event_type"), col("permille"))),
+
+    // ── tokenizer vocabulary: corpus token counts ≥ minCount with
+    // contiguous frequency-ranked ids; the global sort runs on the
+    // post-threshold vocab only, never the corpus ──
+    "q135_vocab" -> ((s, dir) =>
+      graft.ext.TextAnalysis.buildVocab(
+        t(s, dir, "documents"), "text", minCount = 40L)),
+
+    // ── top user journeys: consecutive event-type trigrams per user in
+    // (ts, event_id) total order, global top-20 with total tie order ──
+    "q136_path_trigrams" -> ((s, dir) =>
+      graft.operators.Profile.pathTrigrams(t(s, dir, "events"), "user_id",
+        Seq(col("ts"), col("event_id")), col("event_type"), topN = 20))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
     * DuckDB oracle can read the identical files.
     */
   val FixturesDir = "/root/repo/fixtures"
+
+  /** Morton-interleave SQL over pre-bucketed columns `a`/`b` — bit i of
+    * a at position 2i+1, of b at 2i (mirrors Layout.mortonInterleave;
+    * the terms occupy disjoint bits so + == OR). Generated, not
+    * hand-written: 2·bits terms.
+    */
+  private def mortonSql(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${2 * i + 1})",
+      s"((($b >> $i) & 1) << ${2 * i})")).mkString(" + ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3611,6 +3696,148 @@ object SparkEntry {
         |  FROM events)
         |SELECT prev AS from_state, event_type AS to_state, count(*) AS n
         |FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // All-integer z-curve: equi-width bucket by integer div, Morton
+    // interleave by shift/and — bit-identical in both engines. `//` is
+    // DuckDB's integer division (Spark side uses `div`).
+    "q129_zorder_tiles" ->
+      s"""WITH mm AS (
+        |  SELECT CAST(min(l_partkey) AS BIGINT) AS amin,
+        |    CAST(max(l_partkey) AS BIGINT) AS amax,
+        |    CAST(min(l_suppkey) AS BIGINT) AS bmin,
+        |    CAST(max(l_suppkey) AS BIGINT) AS bmax
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT
+        |    CASE WHEN amax > amin
+        |      THEN ((l_partkey - amin) * 255) // (amax - amin) ELSE 0 END AS ba,
+        |    CASE WHEN bmax > bmin
+        |      THEN ((l_suppkey - bmin) * 255) // (bmax - bmin) ELSE 0 END AS bb
+        |  FROM lineitem CROSS JOIN mm
+        |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |z AS (SELECT CAST(${mortonSql("ba", "bb", 8)} AS BIGINT) AS z FROM b)
+        |SELECT z >> 10 AS tile, count(*) AS n,
+        |  min(z) AS z_min, max(z) AS z_max
+        |FROM z GROUP BY 1""".stripMargin,
+
+    // FK semantics: NULL child keys are not violations (reported
+    // separately); orphan = non-null child key with no parent. Count
+    // arithmetic only — no SUM, no HUGEINT trap.
+    "q130_fk_audit" ->
+      """SELECT 'lineitem_orders' AS edge, count(*) AS child_rows,
+        |  count(*) - count(ck) AS null_keys, count(ck) - count(pk) AS orphan_rows
+        |FROM (SELECT l_orderkey AS ck FROM lineitem) c
+        |LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p ON c.ck = p.pk
+        |UNION ALL
+        |SELECT 'lineitem_part', count(*), count(*) - count(ck), count(ck) - count(pk)
+        |FROM (SELECT l_partkey AS ck FROM lineitem) c
+        |LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p ON c.ck = p.pk
+        |UNION ALL
+        |SELECT 'lineitem_supplier', count(*), count(*) - count(ck), count(ck) - count(pk)
+        |FROM (SELECT l_suppkey AS ck FROM lineitem) c
+        |LEFT JOIN (SELECT DISTINCT s_suppkey AS pk FROM supplier) p ON c.ck = p.pk
+        |UNION ALL
+        |SELECT 'orders_customer', count(*), count(*) - count(ck), count(ck) - count(pk)
+        |FROM (SELECT o_custkey AS ck FROM orders) c
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p ON c.ck = p.pk
+        |UNION ALL
+        |SELECT 'customer_nation', count(*), count(*) - count(ck), count(ck) - count(pk)
+        |FROM (SELECT c_nationkey AS ck FROM customer) c
+        |LEFT JOIN (SELECT DISTINCT n_nationkey AS pk FROM nation) p ON c.ck = p.pk
+        |UNION ALL
+        |SELECT 'events_customer', count(*), count(*) - count(ck), count(ck) - count(pk)
+        |FROM (SELECT user_id AS ck FROM events) c
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p ON c.ck = p.pk""".stripMargin,
+
+    // Grain audit: rows/distinct/dup/max-per-key per declared key set.
+    // sum(count) goes HUGEINT in DuckDB — CAST back to BIGINT.
+    "q131_grain_check" ->
+      """SELECT 'orders_pk' AS grain, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  count(*) AS distinct_keys,
+        |  CAST(sum(n) AS BIGINT) - count(*) AS dup_rows, max(n) AS max_per_key
+        |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_pk2', CAST(sum(n) AS BIGINT), count(*),
+        |  CAST(sum(n) AS BIGINT) - count(*), max(n)
+        |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'lineitem_pk4', CAST(sum(n) AS BIGINT), count(*),
+        |  CAST(sum(n) AS BIGINT) - count(*), max(n)
+        |FROM (SELECT count(*) AS n FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+        |UNION ALL
+        |SELECT 'events_pk', CAST(sum(n) AS BIGINT), count(*),
+        |  CAST(sum(n) AS BIGINT) - count(*), max(n)
+        |FROM (SELECT count(*) AS n FROM events GROUP BY event_id)
+        |UNION ALL
+        |SELECT 'documents_pk', CAST(sum(n) AS BIGINT), count(*),
+        |  CAST(sum(n) AS BIGINT) - count(*), max(n)
+        |FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id)""".stripMargin,
+
+    // quantile_disc == percentile_disc (actual data values); the clip
+    // is comparison-only, so doubles pass through bit-identical.
+    "q132_winsorize" ->
+      """WITH b AS (
+        |  SELECT quantile_disc(o_totalprice, 0.05) AS lo,
+        |    quantile_disc(o_totalprice, 0.95) AS hi
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_totalprice IS NOT NULL
+        |    THEN greatest(lo, least(hi, o_totalprice)) END AS clipped
+        |FROM orders CROSS JOIN b""".stripMargin,
+
+    // Forward fill via last_value IGNORE NULLS over a running frame;
+    // (ts, event_id) makes the per-user order total.
+    "q133_gap_fill" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(trunc(value * 100) AS BIGINT) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_cents
+        |FROM events""".stripMargin,
+
+    // Integer permille min-max scaling per event_type; `//` == Spark
+    // `div` on the non-negative (c - mn).
+    "q134_scale_minmax" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CAST(trunc(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, event_type, c,
+        |    min(c) OVER (PARTITION BY event_type) AS mn,
+        |    max(c) OVER (PARTITION BY event_type) AS mx
+        |  FROM v)
+        |SELECT event_id, event_type,
+        |  CASE WHEN mx > mn THEN ((c - mn) * 1000) // (mx - mn)
+        |    WHEN c IS NOT NULL THEN 0 END AS permille
+        |FROM w""".stripMargin,
+
+    // Vocabulary: token counts >= 40 with contiguous ids in
+    // (cnt desc, token) total order.
+    "q135_vocab" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+        |  HAVING count(*) >= 40)
+        |SELECT token, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id
+        |FROM c""".stripMargin,
+
+    // Trigram journeys: two lags in the same (ts, event_id)-total
+    // window; top-20 under a TOTAL order (n desc, then the trigram).
+    "q136_path_trigrams" ->
+      """WITH s AS (
+        |  SELECT event_type AS s3,
+        |    lag(event_type, 1) OVER w AS s2,
+        |    lag(event_type, 2) OVER w AS s1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s1, s2, s3, count(*) AS n FROM s WHERE s1 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

@@ -412,4 +412,28 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Tokenizer-vocabulary build: corpus token counts, thresholded at
+    * `minCount`, with CONTIGUOUS ids 0..|V|−1 assigned in (count desc,
+    * token) order — a total order, so the id assignment is
+    * engine-exact. This is the vocab table a tokenizer trains against
+    * (ids dense for embedding-matrix rows, frequency-ranked so common
+    * tokens get small ids).
+    *
+    * Shape: the corpus-scale work is ONE token explode + hash groupBy
+    * (partial-agg counts); the global row_number sort runs on the
+    * POST-threshold vocab only — millions of rows at worst, not the
+    * corpus — the same "rank the aggregate, not the data" call as
+    * TopK. For a vocab too big even for that, swap the window for
+    * zipWithIndex over a range-partitioned sort.
+    */
+  def buildVocab(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("token_id", row_number().over(w) - 1)
+  }
 }

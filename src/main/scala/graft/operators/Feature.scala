@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-preparation operators — the normalization passes a
+  * training-data pipeline runs between raw ingest and model input:
+  * outlier clipping, per-group scaling, last-known-value propagation.
+  *
+  * Everything here is deliberately engine-exact: clipping is
+  * COMPARISON-only against exact discrete percentiles (values pass
+  * through bit-identical), scaling is all-integer (permille, integer
+  * div), and gap-fill copies existing values. No FP arithmetic is
+  * invented anywhere, so results certify against an independent SQL
+  * oracle hash-for-hash — the same discipline as Histogram.equiDepth
+  * and Profile.trendSlope.
+  */
+object Feature {
+
+  /** Winsorize (percentile-clip) `valueCol`: values below the loQ
+    * discrete percentile are raised to it, above the hiQ percentile
+    * lowered to it, everything else passes through untouched. Both
+    * bounds are `percentile_disc` — ACTUAL data values, never
+    * percentile_cont's engine-dependent FP blend — and the clip is
+    * comparison-only, so every output value is bit-identical to some
+    * input value. NULL values stay NULL (Spark's greatest/least SKIP
+    * nulls, so an unguarded clip would silently fill nulls with the
+    * upper bound — the Histogram.equiWidth null lesson).
+    *
+    * Shape: one ordered-set aggregate for the 1-row bounds frame
+    * (broadcast back — the fact side never shuffles), one projection.
+    */
+  def winsorize(
+      df: DataFrame, valueCol: String, loQ: Double, hiQ: Double,
+      as: String = "clipped"): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ, s"bad quantiles [$loQ, $hiQ]")
+    val bounds = df.agg(
+      expr(s"percentile_disc($loQ) WITHIN GROUP (ORDER BY `$valueCol`)").as("__lo"),
+      expr(s"percentile_disc($hiQ) WITHIN GROUP (ORDER BY `$valueCol`)").as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(as, when(col(valueCol).isNotNull,
+        greatest(col("__lo"), least(col("__hi"), col(valueCol)))))
+      .drop("__lo", "__hi")
+  }
+
+  /** Per-group min-max scaling to integer permille: out = ((v − min) ·
+    * den) div (max − min) over the row's `keyCol` group — all-BIGINT,
+    * bit-identical on any partitioning where a double (v − min) /
+    * (max − min) would drift. Degenerate groups (max == min) scale to
+    * 0; NULL values scale to NULL. `value` must be integral (cast
+    * upstream — e.g. money as cents).
+    *
+    * Shape: two unordered same-partition windows (min + max) — ONE
+    * keyed exchange, no sort (unordered window frames need none) —
+    * then a pure projection.
+    */
+  def scaleMinMax(
+      df: DataFrame, keyCol: String, value: Column, den: Long = 1000L,
+      as: String = "scaled"): DataFrame = {
+    require(den > 0, s"den must be positive, got $den")
+    val w = Window.partitionBy(keyCol)
+    df.withColumn("__v", value.cast("long"))
+      .withColumn("__mn", min(col("__v")).over(w))
+      .withColumn("__mx", max(col("__v")).over(w))
+      .withColumn(as,
+        when(col("__mx") > col("__mn"),
+          expr(s"((__v - __mn) * ${den}L) div (__mx - __mn)"))
+          .otherwise(when(col("__v").isNotNull, lit(0L))))
+      .drop("__v", "__mn", "__mx")
+  }
+
+  /** Forward-fill: per `keyCol`, carry the last non-null `value`
+    * forward through the rows in `orderCols` order (sensor readings,
+    * last-known account state, slowly-arriving attributes). Rows
+    * before the key's first non-null value stay NULL. `orderCols` must
+    * make the per-key order TOTAL (the q94 tie lesson) or "last" is
+    * engine-dependent.
+    *
+    * Shape: one keyed exchange + one running `last(ignoreNulls)`
+    * window — the AsofJoin.asofLeft fill machinery on a single frame.
+    */
+  def gapFill(
+      df: DataFrame, keyCol: String, orderCols: Seq[Column], value: Column,
+      as: String = "filled"): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, last(value, ignoreNulls = true).over(w))
+  }
+}

@@ -110,6 +110,46 @@ object Layout {
     * the written data; `repartitionByRange` + in-partition sort makes
     * each output file one contiguous z-run.
     */
+  /** Z-curve TILE SUMMARY — the oracle-certifiable half of z-order
+    * clustering: bucket two integral columns equi-width ALL-INTEGER
+    * (((x − min) · scale) div (max − min); degenerate max == min → 0),
+    * Morton-interleave the bucket bits, and aggregate per `2^tileShift`
+    * z-range tile (count + min/max z). This is exactly the per-file
+    * min/max picture [[writeZOrdered]] produces on disk, as a query —
+    * each tile is a small rectangle in (A, B) space, so the tile
+    * histogram shows the clustering a z-ordered layout would give,
+    * and every op is integer shift/or/div — bit-identical in any
+    * engine.
+    *
+    * Shape: 1-row min/max aggregate broadcast back (no fact shuffle),
+    * per-row codegen'd bit math, one groupBy(tile). Overflow bound:
+    * (x − min) · scale must fit a BIGINT — fine for key domains up to
+    * ~2^45 at bits = 16.
+    */
+  def zTileSummary(
+      df: DataFrame, colA: String, colB: String, bits: Int,
+      tileShift: Int): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits in [1,20], got $bits")
+    require(tileShift >= 0 && tileShift < 2 * bits,
+      s"tileShift in [0, ${2 * bits}), got $tileShift")
+    val scale = (1L << bits) - 1
+    val mm = df.agg(
+      min(col(colA)).cast("long").as("__amin"), max(col(colA)).cast("long").as("__amax"),
+      min(col(colB)).cast("long").as("__bmin"), max(col(colB)).cast("long").as("__bmax"))
+    def bucket(c: String, lo: String, hi: String): Column =
+      when(col(hi) > col(lo),
+        expr(s"(($c - $lo) * ${scale}L) div ($hi - $lo)")).otherwise(lit(0L))
+    df.select(col(colA).cast("long").as("__a"), col(colB).cast("long").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .crossJoin(broadcast(mm))
+      .withColumn("__z", mortonInterleave(
+        bucket("__a", "__amin", "__amax"),
+        bucket("__b", "__bmin", "__bmax"), bits))
+      .groupBy(shiftright(col("__z"), tileShift).as("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__z")).as("z_min"), max(col("__z")).as("z_max"))
+  }
+
   def writeZOrdered(
       df: DataFrame, colA: String, colB: String, destDir: String,
       nFiles: Int, bits: Int = 10): Unit = {

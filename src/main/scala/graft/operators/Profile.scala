@@ -222,6 +222,35 @@ object Profile {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Order-3 generalization of [[transitions]]: per key, count each
+    * consecutive state TRIGRAM (a → b → c) in `orderCols` order and
+    * return the global top `topN` by count (count desc, then the
+    * trigram itself — a total order, so the cut is engine-exact). The
+    * "common user journeys" / path-mining primitive. Same contract as
+    * transitions: `orderCols` must be total within each key.
+    *
+    * Shape: ONE keyed exchange + ONE window sort serving two lag()
+    * calls (same window spec ⇒ one physical Window node), partial-agg
+    * count (the trigram domain is |states|³ — tiny — so the aggregate
+    * map-side collapses), then a TakeOrdered topN — no global sort.
+    */
+  def pathTrigrams(
+      df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      stateCol: Column, topN: Int): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCols: _*)
+    df.withColumn("__c", stateCol)
+      .withColumn("__b", lag(col("__c"), 1).over(w))
+      .withColumn("__a", lag(col("__c"), 2).over(w))
+      .filter(col("__a").isNotNull)
+      .groupBy(col("__a").as("s1"), col("__b").as("s2"), col("__c").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(topN)
+  }
+
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and

@@ -41,4 +41,64 @@ object Quality {
       }: _*)))
       .withColumn("ok", col("pass_ppm") >= minPassPpm)
   }
+
+  /** Referential-integrity audit: one row per declared foreign-key
+    * edge — (edge, child_rows, null_keys, orphan_rows). Standard SQL FK
+    * semantics: a NULL child key is not a violation (it is reported
+    * separately); an orphan is a non-null child key with no matching
+    * parent. Each edge is a LEFT join of the child's key column against
+    * the DISTINCT parent keys, folded into a single aggregate — counts
+    * only, so orphan_rows = count(child_key) − count(match) needs no
+    * conditional sum (and no BIGINT-overflow-prone SUM in the oracle).
+    *
+    * Scale shape: the parent side is distinct-ed BEFORE the join, so a
+    * dimension of any width joins as a 1-column key set (broadcast when
+    * small — AQE decides); fact-to-fact edges shuffle on the key, one
+    * exchange per edge. The per-edge 1-row aggregates union for free.
+    */
+  def fkOrphans(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "need at least one edge")
+    require(edges.map(_._1).distinct.size == edges.size, "edge names must be distinct")
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      val p = parent.select(col(parentKey).as("__k")).distinct()
+        .withColumn("__hit", lit(1))
+      child.select(col(childKey).as("__k"))
+        .join(p, Seq("__k"), "left")
+        .agg(
+          count(lit(1)).as("child_rows"),
+          (count(lit(1)) - count(col("__k"))).as("null_keys"),
+          (count(col("__k")) - count(col("__hit"))).as("orphan_rows"))
+        .select(lit(name).as("edge"), col("child_rows"), col("null_keys"),
+          col("orphan_rows"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Candidate-key / grain audit: for each declared grain (name, frame,
+    * key columns), report (grain, n_rows, distinct_keys, dup_rows,
+    * max_per_key) — "is this column set really the table's grain, and
+    * how badly does it leak". dup_rows = n_rows − distinct_keys is the
+    * number of rows a dedup at that grain would drop; max_per_key is
+    * the hottest key (the skew the q94 lineitem lesson was about).
+    * NULL key components group as themselves, exactly as GROUP BY does.
+    *
+    * Shape per grain: one hash groupBy on the keys (partial-agg
+    * counts), then a 1-row re-aggregate — the same two-level plan at
+    * any scale, no window, no sort.
+    */
+  def grainReport(
+      grains: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    require(grains.nonEmpty, "need at least one grain")
+    require(grains.map(_._1).distinct.size == grains.size, "grain names must be distinct")
+    grains.map { case (name, df, keys) =>
+      require(keys.nonEmpty, s"grain $name needs at least one key column")
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n")).cast("long").as("n_rows"),
+          count(lit(1)).as("distinct_keys"),
+          max(col("__n")).as("max_per_key"))
+        .select(lit(name).as("grain"), col("n_rows"), col("distinct_keys"),
+          (col("n_rows") - col("distinct_keys")).as("dup_rows"),
+          col("max_per_key"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -155,4 +155,26 @@ class LayoutSpec extends SparkSpec {
       .agg(sum("bin"), sum("bin_bytes"), count(lit(1))).head.toSeq
     assert(a == b, "partitioning changed the plan")
   }
+
+  test("zTileSummary: hand-computed Morton z-values, degenerate dim, null exclusion") {
+    // domain [0,3] on both dims, bits=2 (scale 3): bucket == the value.
+    // morton(a,b): a-bits at odd positions, b at even.
+    // (0,0)→0, (1,1)→3, (2,1)→9, (3,3)→15, (0,3)→5
+    val df = Seq(
+      (Some(0L), Some(0L)), (Some(1L), Some(1L)), (Some(2L), Some(1L)),
+      (Some(3L), Some(3L)), (Some(0L), Some(3L)),
+      (None, Some(2L)), (Some(2L), None)). // null rows excluded
+      toDF("a", "b")
+    val got = Layout.zTileSummary(df, "a", "b", bits = 2, tileShift = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // tiles of width 4: z 0,3 → tile 0; 5 → 1; 9 → 2; 15 → 3
+    assert(got == Set((0L, 2L, 0L, 3L), (1L, 1L, 5L, 5L),
+      (2L, 1L, 9L, 9L), (3L, 1L, 15L, 15L)))
+    // degenerate dim (max == min) buckets everything to 0 on that axis
+    val deg = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
+    val z = Layout.zTileSummary(deg, "a", "b", bits = 2, tileShift = 0)
+      .select("z_min").as[Long].collect().toSet
+    // b always 0 ⇒ z has only odd-position bits: morton(a,0)
+    assert(z.subsetOf(Set(0L, 2L, 8L, 10L)), s"unexpected z values: $z")
+  }
 }

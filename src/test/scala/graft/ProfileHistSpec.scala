@@ -178,6 +178,38 @@ class ProfileHistSpec extends SparkSpec {
     assert(got == Set(("v", "c", 1L), ("c", "c", 1L), ("c", "p", 1L), ("p", "v", 1L)))
   }
 
+  test("pathTrigrams: windows per key, totals tie order, topN cut") {
+    val ev = Seq(
+      (1L, 1L, "v"), (1L, 2L, "c"), (1L, 3L, "p"), (1L, 4L, "v"), // v,c,p + c,p,v
+      (2L, 1L, "v"), (2L, 2L, "c"), (2L, 3L, "p"),                // v,c,p
+      (3L, 1L, "v"), (3L, 2L, "c")).toDF("u", "o", "e")           // too short
+    val got = Profile.pathTrigrams(ev.repartition(3), "u", Seq(col("o")),
+        col("e"), topN = 1)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == Seq(("v", "c", "p", 2L)), "most common journey wins; 2-event keys contribute nothing")
+  }
+
+  test("fkOrphans: null keys are not orphans; duplicate parent keys don't multiply") {
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("ck")
+    val parent = Seq(1L, 1L, 2L).toDF("pk") // dup parent key: distinct-ed pre-join
+    val got = graft.operators.Quality
+      .fkOrphans(Seq(("e", child, "ck", parent, "pk")))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("e", 4L, 1L, 1L)),
+      "4 child rows, 1 null key, 1 orphan (9); dup parent must not double-count the two 1s")
+  }
+
+  test("grainReport: dup_rows and max_per_key at the declared grain; null keys group as themselves") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(1L), "b"), (Some(1L), "c"),
+      (Some(2L), "d"), (None, "e"), (None, "f")).toDF("k", "x")
+    val got = graft.operators.Quality
+      .grainReport(Seq(("g", df, Seq("k"))))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // keys: 1→3 rows, 2→1, null→2 ⇒ 6 rows, 3 distinct, 3 dups, max 3
+    assert(got == Seq(("g", 6L, 3L, 3L, 3L)))
+  }
+
   test("setOverlap null groups/members are excluded") {
     val df = Seq(
       (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),

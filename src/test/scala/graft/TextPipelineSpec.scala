@@ -140,4 +140,20 @@ class TextPipelineSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("ab", 3L), ("bc", 2L)))
   }
+
+  test("buildVocab: minCount threshold, frequency-ranked contiguous ids, token tiebreak") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"), (2L, "aa bb dd"), (3L, "aa bb cc")).toDF("doc_id", "text")
+    // counts: aa=4, bb=3, cc=2, dd=1
+    val got = TextAnalysis.buildVocab(docs, "text", minCount = 2L)
+      .select("token", "cnt", "token_id").as[(String, Long, Int)]
+      .collect().sortBy(_._3).toSeq
+    assert(got == Seq(("aa", 4L, 0), ("bb", 3L, 1), ("cc", 2L, 2)),
+      "dd below minCount; ids contiguous from 0 in (cnt desc, token) order")
+    // tie: equal counts rank by token
+    val tied = Seq((1L, "xx yy"), (2L, "yy xx")).toDF("doc_id", "text")
+    val ids = TextAnalysis.buildVocab(tied, "text", minCount = 1L)
+      .select("token", "token_id").as[(String, Int)].collect().toMap
+    assert(ids == Map("xx" -> 0, "yy" -> 1))
+  }
 }
