@@ -113,7 +113,8 @@ object Bench {
     "q124_funnel_stream", "q125_ewma", "q126_table_checksum",
     "q127_top_p", "q128_transitions", "q129_zorder_tiles", "q130_fk_audit",
     "q131_grain_check", "q132_winsorize", "q133_gap_fill",
-    "q134_scale_minmax", "q135_vocab", "q136_path_trigrams")
+    "q134_scale_minmax", "q135_vocab", "q136_path_trigrams",
+    "q137_skyline", "q138_dist_drift", "q139_corr", "q140_hier_share")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -1803,7 +1803,40 @@ object SparkEntry {
     // (ts, event_id) total order, global top-20 with total tie order ──
     "q136_path_trigrams" -> ((s, dir) =>
       graft.operators.Profile.pathTrigrams(t(s, dir, "events"), "user_id",
-        Seq(col("ts"), col("event_id")), col("event_type"), topN = 20))
+        Seq(col("ts"), col("event_id")), col("event_type"), topN = 20)),
+
+    // ── 2-D Pareto frontier via the sort-based rewrite (hash agg +
+    // frontier-sized running-max window) — certified against DuckDB's
+    // quadratic NOT EXISTS formulation as independent truth ──
+    "q137_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.frontier2d(t(s, dir, "lineitem"),
+        expr("CAST(l_quantity AS BIGINT)"), col("l_extendedprice"))),
+
+    // ── distribution drift between the first and second half-month:
+    // all-integer TV numerator |n_a·N_b − n_b·N_a| per category ──
+    "q138_dist_drift" -> ((s, dir) =>
+      graft.operators.Profile.distDrift(t(s, dir, "events"),
+        get_json_object(col("props"), "$.k"),
+        expr("ts >= TIMESTAMP'2024-01-16'"))),
+
+    // ── per-key Pearson correlation from exact BIGINT moments; the
+    // only FP is the final fixed-shape num/(√dx·√dy) ──
+    "q139_corr" -> ((s, dir) =>
+      graft.operators.Profile.corrMoments(t(s, dir, "events"), "event_type",
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')"),
+        expr("CAST(value * 100 AS BIGINT)"))),
+
+    // ── hierarchical percent-of-parent rollup: revenue share of each
+    // nation within its region and each region of the total, integer
+    // ppm, windows over the 25-row aggregate only ──
+    "q140_hier_share" -> ((s, dir) => {
+      val leaf = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      graft.operators.GroupShare.rollupShares(leaf, Seq("r_name", "n_name"),
+        expr("CAST(o_totalprice * 100 AS BIGINT)"))
+    })
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3838,6 +3871,76 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT s1, s2, s3, count(*) AS n FROM s WHERE s1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
+
+    // INDEPENDENT truth: the quadratic NOT EXISTS dominance test over
+    // the per-x aggregate — a different algorithm than the engine's
+    // sort-based rewrite, same frontier.
+    "q137_skyline" ->
+      """WITH g AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x, max(l_extendedprice) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT x, y FROM g p
+        |WHERE NOT EXISTS (SELECT 1 FROM g q
+        |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))""".stripMargin,
+
+    // All-integer TV numerator; count FILTER stays BIGINT (no SUM /
+    // HUGEINT trap).
+    "q138_dist_drift" ->
+      """WITH g AS (
+        |  SELECT json_extract_string(props, '$.k') AS category,
+        |    count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS n_a,
+        |    count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS n_b
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |  CAST(sum(n_b) AS BIGINT) AS tb FROM g)
+        |SELECT category, n_a, n_b, abs(n_a * tb - n_b * ta) AS drift_num
+        |FROM g CROSS JOIN t""".stripMargin,
+
+    // The q119 exact-moment discipline; corr's final expression has
+    // the identical IEEE shape both sides.
+    "q139_corr" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(trunc(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n, sx, sy, sxx, syy, sxy,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr
+        |FROM m""".stripMargin,
+
+    // Integer-ppm percent-of-parent at both hierarchy levels; window
+    // sums CAST back to BIGINT (DuckDB window SUM goes HUGEINT).
+    "q140_hier_share" ->
+      """WITH leaf AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_l2
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT r_name, n_name, sum_l2,
+        |    CAST(sum(sum_l2) OVER () AS BIGINT) AS sum_l0,
+        |    CAST(sum(sum_l2) OVER (PARTITION BY r_name) AS BIGINT) AS sum_l1
+        |  FROM leaf)
+        |SELECT r_name, n_name, sum_l2, sum_l0, sum_l1,
+        |  (sum_l1 * 1000000) // sum_l0 AS ppm_l1_of_l0,
+        |  (sum_l2 * 1000000) // sum_l1 AS ppm_l2_of_l1
+        |FROM w""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

@@ -25,6 +25,36 @@ object GroupShare {
     df.withColumn(outCol, sharePct(col(valueCol), sum(col(valueCol)).over(w)))
   }
 
+  /** Percent-of-parent at EVERY level of a hierarchy (region ▸ nation,
+    * domain ▸ host, dataset ▸ shard): aggregate to the leaf grain, then
+    * one window sum per ancestor level, and the share of each level
+    * within its parent as an INTEGER ppm (v_child · 1e6 div v_parent —
+    * engine-exact; the q118 ppm discipline). Output: one row per leaf
+    * with `value`, each ancestor sum `sum_l<i>` (l0 = grand total),
+    * and `ppm_l<i>_of_l<i-1>` for every consecutive pair, where
+    * l<levels.size> is the leaf itself.
+    *
+    * Shape: ONE hash aggregate does the corpus-scale work; the windows
+    * run over the aggregated frame (leaf-cardinality rows). The grand-
+    * total window is an empty partition spec — a SinglePartition pass
+    * over that SMALL frame, not the data. `value` must be integral.
+    */
+  def rollupShares(df: DataFrame, levels: Seq[String], value: Column): DataFrame = {
+    require(levels.nonEmpty, "need at least one level column")
+    val k = levels.size
+    var out = df.groupBy(levels.map(col): _*)
+      .agg(sum(value.cast("long")).as(s"sum_l$k"))
+    (0 until k).foreach { i =>
+      val w = Window.partitionBy(levels.take(i).map(col): _*)
+      out = out.withColumn(s"sum_l$i", sum(col(s"sum_l$k")).over(w))
+    }
+    (1 to k).foreach { i =>
+      out = out.withColumn(s"ppm_l${i}_of_l${i - 1}",
+        expr(s"(sum_l$i * 1000000) div sum_l${i - 1}"))
+    }
+    out
+  }
+
   /** The reference's literal join-back formulation (groupBy + left join
     * on the group keys), kept as a tested-equivalent fallback proving
     * the rewrite (SURVEY.md §7.2 step 3).

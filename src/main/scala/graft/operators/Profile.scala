@@ -251,6 +251,53 @@ object Profile {
       .limit(topN)
   }
 
+  /** Distribution-drift report between two cohorts (epochs, shards,
+    * before/after a pipeline change): per category, the counts in each
+    * cohort and the ALL-INTEGER total-variation numerator
+    * |n_a·N_b − n_b·N_a| — zero iff the category's share is identical
+    * in both cohorts; Σ numerator / (2·N_a·N_b) is the TV distance.
+    * Cross-multiplied counts instead of FP proportions: bit-exact on
+    * any partitioning, no ε-tolerance needed in monitoring.
+    *
+    * `inB` must be a NON-NULL boolean per row (a null would silently
+    * land in cohort A via the otherwise-branch). One hash groupBy +
+    * a 1-row total broadcast back. Overflow bound: n·N < 2^63.
+    */
+  def distDrift(df: DataFrame, cat: Column, inB: Column): DataFrame = {
+    val g = df.groupBy(cat.as("category")).agg(
+      sum(when(inB, 0L).otherwise(1L)).as("n_a"),
+      sum(when(inB, 1L).otherwise(0L)).as("n_b"))
+    val tot = g.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    g.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_a"), col("n_b"),
+        abs(col("n_a") * col("__tb") - col("n_b") * col("__ta")).as("drift_num"))
+  }
+
+  /** Per-key Pearson correlation from EXACT integer moments — the
+    * trendSlope discipline widened to the full second-moment set:
+    * (n, Σx, Σy, Σx², Σy², Σxy) accumulate in BIGINT (bit-stable on
+    * any partitioning; an accumulated-double corr drifts), and the
+    * only FP is the final fixed-shape expression
+    * num / (sqrt(dx) · sqrt(dy)) — identical IEEE ops in any engine.
+    * Degenerate keys (either variance zero) → null. `x`/`y` must be
+    * integral; overflow bound n·Σx·Σy < 2^63.
+    */
+  def corrMoments(
+      df: DataFrame, keyCol: String, x: Column, y: Column): DataFrame =
+    df.select(col(keyCol), x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"),
+        sum(col("__x") * col("__y")).as("sxy"))
+      .withColumn("corr",
+        expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END"""))
+
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and

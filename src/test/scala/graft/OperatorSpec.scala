@@ -85,4 +85,70 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
     assert(plan.contains("Window"))
   }
+
+  test("skyline frontier2d == brute-force NOT-EXISTS dominance on random points") {
+    val gen = Gen.listOfN(300, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L)))
+    val pts = gen(Gen.Parameters.default, Seed(42L)).get
+    val df = pts.toDF("x", "y")
+    val got = graft.operators.Skyline.frontier2d(df, col("x"), col("y"))
+      .as[(Long, Long)].collect().toSet
+    val want = {
+      val g = pts.groupBy(_._1).map { case (x, ps) => (x, ps.map(_._2).max) }.toSet
+      g.filter { case (px, py) => !g.exists { case (qx, qy) =>
+        qx >= px && qy >= py && (qx > px || qy > py) } }
+    }
+    assert(got == want)
+    // no quadratic join in the plan — the whole point of the rewrite
+    val plan = graft.operators.Skyline.frontier2d(df, col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("skyline: duplicate y across x loses to the larger x; nulls excluded") {
+    val df = Seq((Some(1L), Some(9L)), (Some(2L), Some(9L)), // (1,9) dominated by (2,9)
+      (Some(3L), Some(1L)), (None, Some(99L)), (Some(9L), None)).toDF("x", "y")
+    val got = graft.operators.Skyline.frontier2d(df, col("x"), col("y"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 9L), (3L, 1L)))
+  }
+
+  test("distDrift: identical shares -> zero numerator; planted shift -> exact cross-product") {
+    // A: 6 xs + 2 ys (N=8); B: 3 xs + 1 y (N=4) — same 3:1 shares
+    val same = (Seq.fill(6)(("x", false)) ++ Seq.fill(2)(("y", false)) ++
+      Seq.fill(3)(("x", true)) ++ Seq.fill(1)(("y", true))).toDF("c", "b")
+    val z = graft.operators.Profile.distDrift(same, col("c"), col("b"))
+      .select("drift_num").as[Long].collect().toSet
+    assert(z == Set(0L), "proportional cohorts must show zero drift")
+    // A: 3 xs, 1 y (N=4); B: 1 x, 3 ys (N=4): x num = |3*4-1*4| = 8
+    val shifted = (Seq.fill(3)(("x", false)) ++ Seq(("y", false)) ++
+      Seq(("x", true)) ++ Seq.fill(3)(("y", true))).toDF("c", "b")
+    val got = graft.operators.Profile.distDrift(shifted, col("c"), col("b"))
+      .select("category", "drift_num").as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 8L, "y" -> 8L))
+  }
+
+  test("corrMoments: perfect line -> corr 1.0 exactly; degenerate variance -> null") {
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L)).toDF("g", "x", "y")
+    val got = graft.operators.Profile.corrMoments(df, "g", col("x"), col("y"))
+      .select("g", "corr").as[(String, Option[Double])].collect().toMap
+    // the final sqrt·sqrt rounds within an ulp of 1.0 (deterministically —
+    // both engines compute the identical IEEE shape); the MOMENTS are exact
+    assert(got("k").exists(c => math.abs(c - 1.0) < 1e-12),
+      s"y = 10x must be corr 1.0 within an ulp, got ${got("k")}")
+    assert(got("flat").isEmpty, "zero y-variance has no defined correlation")
+  }
+
+  test("rollupShares: ppm within parent; leaf shares sum to 1e6 per parent (up to div truncation)") {
+    val df = Seq(
+      ("r1", "n1", 60L), ("r1", "n2", 40L), ("r2", "n3", 100L)).toDF("r", "n", "v")
+    val out = GroupShare.rollupShares(df, Seq("r", "n"), col("v"))
+    val rows = out.select("r", "n", "sum_l2", "sum_l1", "sum_l0",
+        "ppm_l1_of_l0", "ppm_l2_of_l1")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set(
+      ("r1", "n1", 60L, 100L, 200L, 500000L, 600000L),
+      ("r1", "n2", 40L, 100L, 200L, 500000L, 400000L),
+      ("r2", "n3", 100L, 100L, 200L, 500000L, 1000000L)))
+  }
 }
