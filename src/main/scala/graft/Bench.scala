@@ -114,7 +114,8 @@ object Bench {
     "q127_top_p", "q128_transitions", "q129_zorder_tiles", "q130_fk_audit",
     "q131_grain_check", "q132_winsorize", "q133_gap_fill",
     "q134_scale_minmax", "q135_vocab", "q136_path_trigrams",
-    "q137_skyline", "q138_dist_drift", "q139_corr", "q140_hier_share")
+    "q137_skyline", "q138_dist_drift", "q139_corr", "q140_hier_share",
+    "q141_transitions_stream", "q142_concurrency", "q143_mad", "q144_benford")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

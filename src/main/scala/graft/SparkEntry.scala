@@ -1836,7 +1836,37 @@ object SparkEntry {
         .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
       graft.operators.GroupShare.rollupShares(leaf, Seq("r_name", "n_name"),
         expr("CAST(o_totalprice * 100 AS BIGINT)"))
-    })
+    }),
+
+    // ── q128's transition mining as a STATEFUL STREAM: disorder-proof
+    // replay (interleaved waves), event-time timeouts, pairs ordered at
+    // flush — hash-matches the batch oracle on non-null users ──
+    "q141_transitions_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.transitionsReplay(s, dir)),
+
+    // ── concurrency sweep as a DISTRIBUTED prefix sum (per-day keyed
+    // running sums + a day-grain carry window — never a global sort of
+    // the boundaries): max concurrent 30-min sessions per day ──
+    "q142_concurrency" -> ((s, dir) => {
+      val spans = graft.operators.Sessionize.sessionSpansUs(
+        t(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
+      graft.operators.Intervals.concurrency(spans,
+          col("start_us"), col("end_us"), bucketUsDiv = 86400000000L)
+        .groupBy(col("bucket").as("day_idx"))
+        .agg(max(col("conc")).as("max_concurrent"))
+    }),
+
+    // ── robust center/spread: per-type median + MAD of event cents,
+    // both percentile_disc — integer-exact end to end ──
+    "q143_mad" -> ((s, dir) =>
+      graft.operators.Profile.madRobust(t(s, dir, "events"), "event_type",
+        expr("CAST(value * 100 AS BIGINT)"))),
+
+    // ── Benford first-digit audit on order totals (cents): digit from
+    // the decimal string, integer ppm shares ──
+    "q144_benford" -> ((s, dir) =>
+      graft.operators.Quality.firstDigitReport(t(s, dir, "orders"),
+        expr("CAST(o_totalprice * 100 AS BIGINT)")))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -3941,6 +3971,72 @@ object SparkEntry {
         |  (sum_l1 * 1000000) // sum_l0 AS ppm_l1_of_l0,
         |  (sum_l2 * 1000000) // sum_l1 AS ppm_l2_of_l1
         |FROM w""".stripMargin,
+
+    // Identical truth to q128 restricted to non-null users (a stream
+    // cannot key on a null user); the stream must reproduce the batch
+    // lag() matrix exactly under interleaved replay.
+    "q141_transitions_stream" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT prev AS from_state, event_type AS to_state, count(*) AS n
+        |FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // The oracle runs the textbook GLOBAL sweep (single window over all
+    // boundaries); the engine's day-partitioned prefix sum must agree
+    // at every point. Inclusive ends: −1 lands at end_us + 1.
+    "q142_concurrency" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |sp AS (
+        |  SELECT min(epoch_us(ts)) AS su, max(epoch_us(ts)) AS eu
+        |  FROM s GROUP BY user_id, sid),
+        |b AS (
+        |  SELECT su AS ts_us, 1 AS dd FROM sp
+        |  UNION ALL SELECT eu + 1, -1 FROM sp),
+        |g AS (SELECT ts_us, CAST(sum(dd) AS BIGINT) AS delta FROM b GROUP BY 1),
+        |r AS (SELECT ts_us, CAST(sum(delta) OVER (ORDER BY ts_us
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM g)
+        |SELECT ts_us // 86400000000 AS day_idx, max(conc) AS max_concurrent
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // quantile_disc twice == the engine's two percentile_disc passes;
+    // integral cents keep the whole report integer-exact.
+    "q143_mad" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(trunc(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, quantile_disc(c, 0.5) AS median,
+        |    count(*) AS n
+        |  FROM v GROUP BY 1)
+        |SELECT v.event_type, n, median,
+        |  quantile_disc(abs(c - median), 0.5) AS mad
+        |FROM v JOIN m USING (event_type)
+        |GROUP BY v.event_type, n, median""".stripMargin,
+
+    // Leading digit from the decimal string (exact at power-of-ten
+    // boundaries where floor(log10) float math is not).
+    "q144_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(trunc(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE trunc(o_totalprice * 100) > 0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM g)
+        |SELECT digit, n, (n * 1000000) // tt AS ppm
+        |FROM g CROSS JOIN t""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

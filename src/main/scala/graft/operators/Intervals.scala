@@ -52,4 +52,51 @@ object Intervals {
       .agg(min(col(startCol)).as("span_start"), max(col(endCol)).as("span_end"),
         count(lit(1)).as("n_merged"))
   }
+
+  /** Concurrency sweep — "how many [startUs, endUs] intervals are open
+    * at each moment" (concurrent sessions, active connections, overlap
+    * load) as a DISTRIBUTED prefix sum, never a single global sort of
+    * the data:
+    *
+    *   1. explode each interval into (+1 at start, −1 at end+1µs)
+    *      boundary deltas (inclusive-end convention: a zero-length
+    *      interval still covers its own microsecond);
+    *   2. hash-aggregate net delta per (bucket, ts_us) — the
+    *      corpus-scale work, partial-agg combines;
+    *   3. running sum WITHIN each bucket (keyed window, per-bucket
+    *      sort);
+    *   4. carry-in offset per bucket = running sum of bucket totals
+    *      over the bucket-grain frame (tiny — e.g. one row per day),
+    *      broadcast-joined back.
+    *
+    * conc = carry + within-bucket running sum is the exact global
+    * sweep value at each distinct ts_us, all-integer. Buckets are
+    * `ts_us div bucketUsDiv` (86400000000 = UTC days) — monotone in
+    * ts_us by construction, which the carry order requires. The
+    * carry window itself is bucket-grain (SinglePartition over one
+    * row per day — never the data).
+    */
+  def concurrency(
+      df: DataFrame, startUs: org.apache.spark.sql.Column,
+      endUs: org.apache.spark.sql.Column, bucketUsDiv: Long): DataFrame = {
+    require(bucketUsDiv > 0, s"bucketUsDiv must be positive, got $bucketUsDiv")
+    val deltas = df
+      .filter(startUs.isNotNull && endUs.isNotNull)
+      .select(explode(array(
+        struct(startUs.cast("long").as("ts_us"), lit(1L).as("d")),
+        struct((endUs.cast("long") + 1L).as("ts_us"), lit(-1L).as("d")))).as("e"))
+      .select(col("e.ts_us"), col("e.d"))
+      .groupBy(expr(s"ts_us div ${bucketUsDiv}L").as("bucket"), col("ts_us"))
+      .agg(sum(col("d")).as("delta"))
+    val wIn = Window.partitionBy("bucket").orderBy("ts_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = deltas.groupBy("bucket").agg(sum(col("delta")).as("__bd"))
+      .withColumn("carry", coalesce(sum(col("__bd")).over(wCarry), lit(0L)))
+      .select("bucket", "carry")
+    deltas.join(broadcast(carries), Seq("bucket"))
+      .withColumn("conc", col("carry") + sum(col("delta")).over(wIn))
+      .select("bucket", "ts_us", "conc")
+  }
 }

@@ -298,6 +298,36 @@ object Profile {
                   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
                    sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END"""))
 
+  /** Robust center/spread per key: median and MAD (median absolute
+    * deviation) — the outlier-resistant alternative to mean/stddev for
+    * monitoring skewed pipeline metrics. Both are `percentile_disc`
+    * (ACTUAL data values; on integral inputs the whole report is
+    * integer-exact — no FP anywhere). NULL values are excluded.
+    *
+    * Shape: one grouped ordered-set aggregate for the medians, a
+    * broadcast join back (key-grain frame — tiny), then a second
+    * grouped ordered-set aggregate over |v − med|. Two aggregation
+    * passes is inherent to MAD (the deviation needs the median first);
+    * both are hash-partitioned on the key, never global.
+    */
+  def madRobust(df: DataFrame, keyCol: String, value: Column): DataFrame = {
+    val v = df.select(col(keyCol), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    // percentile_disc picks an ACTUAL data value but TYPES it double —
+    // cast back to the integral input type or the report's exactness
+    // claim dies at the schema (q143 lesson)
+    val med = v.groupBy(keyCol).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __v)")
+        .cast("long").as("median"),
+      count(lit(1)).as("n"))
+    v.join(broadcast(med), Seq(keyCol))
+      .withColumn("__d", abs(col("__v") - col("median")))
+      .groupBy(col(keyCol), col("n"), col("median"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __d)")
+        .cast("long").as("mad"))
+      .select(col(keyCol), col("n"), col("median"), col("mad"))
+  }
+
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and

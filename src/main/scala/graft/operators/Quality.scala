@@ -101,4 +101,24 @@ object Quality {
           col("max_per_key"))
     }.reduce(_ unionByName _)
   }
+
+  /** First-significant-digit (Benford) audit over a positive integral
+    * measure: per leading digit 1–9, the count and integer-ppm share —
+    * fabricated or systematically-generated numeric columns jump out
+    * against the Benford curve (log10(1 + 1/d)). The digit comes from
+    * the value's decimal string, not floor(log10) float math — exact
+    * at every power-of-ten boundary. Non-positive and null values are
+    * excluded (they have no leading significant digit).
+    *
+    * Shape: one projection + 9-group hash agg + a 1-row total
+    * broadcast back.
+    */
+  def firstDigitReport(df: DataFrame, value: Column): DataFrame = {
+    val d = df.select(value.cast("long").as("__v"))
+      .filter(col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    d.crossJoin(broadcast(d.agg(sum(col("n")).as("__t"))))
+      .select(col("digit"), col("n"), expr("(n * 1000000) div __t").as("ppm"))
+  }
 }

@@ -43,4 +43,27 @@ object Sessionize {
       .agg(aggs.head, aggs.tail: _*)
       .drop("__sid")
   }
+
+  /** [[sessions]] at integer-microsecond grain: one row per session
+    * with raw (start_us, end_us, n_events) — the span form downstream
+    * interval math (Intervals.concurrency, duration stats) consumes
+    * without re-parsing formatted timestamps. Same one-exchange shape
+    * and tie semantics as [[sessions]].
+    */
+  def sessionSpansUs(
+      events: DataFrame, userCol: String, tsCol: String,
+      gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(userCol).orderBy(tsCol)
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__brk",
+        when(col("__us") - lag(col("__us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(wc))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(min(col("__us")).as("start_us"), max(col("__us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .drop("__sid")
+  }
 }

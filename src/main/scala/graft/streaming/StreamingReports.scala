@@ -24,6 +24,19 @@ case class FunnelBuf(evs: List[FunnelEv])
 /** Final stage emitted per user when the funnel state flushes. */
 case class UserStage(user_id: Long, stage: Int)
 
+/** One buffered transition event (micros, id tiebreak, state) for
+  * `transitionsStream` — top-level for encoder codegen.
+  */
+case class TransEv(tsUs: Long, eventId: Long, etype: String)
+
+/** Per-user transition buffer state. */
+case class TransBuf(evs: List[TransEv])
+
+/** One consecutive (from → to) pair emitted when a user's state
+  * flushes on event-time timeout.
+  */
+case class TransPair(user_id: Long, from_state: String, to_state: String)
+
 /** Streaming flavor of the ingestion + top10 pipeline (SURVEY.md §2.11):
   * the `events/` landing prefix consumed as a Structured Streaming file
   * source instead of scheduled batch — same declared schema, same
@@ -627,6 +640,92 @@ object StreamingReports {
     spark.table(mem)
       .filter(col("user_id") >= 0)
       .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Streaming state-transition mining (q128's batch operator as a
+    * stateful stream): per user, buffer (ts_us, event_id, type) until
+    * the event-time timeout fires, then sort by the same
+    * (ts_us, event_id) TOTAL order the batch lag() uses and emit every
+    * consecutive (from → to) pair. Disorder-proof by construction —
+    * replay waves can interleave arbitrarily because ordering happens
+    * at flush, not at arrival (the funnelStream discipline).
+    */
+  def transitionsStream(
+      spark: SparkSession, dir: String): Dataset[TransPair] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType)))
+    spark.readStream.schema(schema).json(dir)
+      .withColumn("ets", timestamp_micros(col("ts_us")))
+      .withWatermark("ets", "40 days")
+      .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("ts_us").as[Long], col("event_type").as[String],
+        col("ets").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransBuf, TransPair](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (uid, rows, state) =>
+        if (state.hasTimedOut) {
+          val evs = state.get.evs
+          state.remove()
+          val ordered = evs.sortBy(e => (e.tsUs, e.eventId))
+          ordered.iterator.zip(ordered.iterator.drop(1))
+            .map { case (a, b) => TransPair(uid, a.etype, b.etype) }
+        } else {
+          val evs = state.getOption.map(_.evs).getOrElse(Nil) ++
+            rows.map(r => TransEv(r._3, r._2, r._4))
+          state.update(TransBuf(evs))
+          state.setTimeoutTimestamp(evs.map(_.tsUs).max / 1000L + 60L * 60L * 1000L)
+          Iterator.empty
+        }
+      }
+  }
+
+  /** Bounded replay of [[transitionsStream]] (the funnelReplay
+    * machinery): two event-id-parity interleaved waves, two far-future
+    * sentinel waves to fire every timeout, sentinel user filtered out,
+    * pairs batch-aggregated to the (from, to, n) matrix — hash-
+    * comparable against q128's batch oracle restricted to non-null
+    * users.
+    */
+  def transitionsReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("graft-trans-replay")
+    val mem = s"graft_trans_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ev = graft.tables.Corpus.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    def renderWave(name: String, wave: DataFrame): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-trans-$name")
+      wave.coalesce(1).write.mode("overwrite").json(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      Files.move(part.toPath, landing.resolve(s"$name.json"))
+      deleteRecursively(tmp)
+    }
+    renderWave("wave1", ev.filter(col("event_id") % 2 === 0))
+    val q = transitionsStream(spark, landing.toString)
+      .toDF().writeStream.format("memory").queryName(mem)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      renderWave("wave2", ev.filter(col("event_id") % 2 =!= 0))
+      q.processAllAvailable()
+      // no row filters upstream of the watermark here, but the
+      // sentinels still must be fully-valid rows (funnelReplay note)
+      for (n <- Seq(1, 2)) {
+        Files.writeString(landing.resolve(s"zz-sentinel$n.json"),
+          s"""{"event_id": ${-40 - n}, "user_id": -1, "ts_us": ${1893456000000000L + n}, "event_type": "view"}""")
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); deleteRecursively(landing) }
+    spark.table(mem)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Custom state: running per-resource event totals via

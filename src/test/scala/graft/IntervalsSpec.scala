@@ -53,4 +53,37 @@ class IntervalsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"global window detected:\n$plan")
   }
+
+  test("concurrency: cross-bucket carry equals the global sweep; inclusive ends; zero-length") {
+    // bucket width 10. Intervals: [1,12] spans buckets, [3,4], [4,4]
+    // (zero-length), [15,16]. Sweep: t1:1 t3:2 t4:3 t5:1 t13:0 t15:1 t17:0
+    val iv = Seq((1L, 12L), (3L, 4L), (4L, 4L), (15L, 16L)).toDF("s", "e")
+    val got = Intervals.concurrency(iv.repartition(3), col("s"), col("e"), 10L)
+      .select("ts_us", "conc").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 1L,
+      13L -> 0L, 15L -> 1L, 17L -> 0L))
+    // brute-force cross-check on random intervals: conc at each boundary
+    // == count of intervals whose [s, e] covers it
+    val rnd = new scala.util.Random(7)
+    val ivs = Seq.fill(200)((rnd.nextInt(500).toLong, rnd.nextInt(60).toLong))
+      .map { case (s, d) => (s, s + d) }
+    val gotR = Intervals.concurrency(ivs.toDF("s", "e"), col("s"), col("e"), 100L)
+      .select("ts_us", "conc").as[(Long, Long)].collect().toMap
+    gotR.foreach { case (t, c) =>
+      val want = ivs.count { case (s, e) => s <= t && t <= e }
+      assert(c == want, s"at t=$t: got $c, brute $want")
+    }
+  }
+
+  test("concurrency: the within-bucket window is keyed, not global") {
+    val iv = (0L until 2000L).map(i => (i, i + 5)).toDF("s", "e")
+    val plan = Intervals.concurrency(iv, col("s"), col("e"), 100L)
+      .queryExecution.executedPlan.toString
+    // exactly one SinglePartition window is allowed: the bucket-grain
+    // carry (one row per bucket); the data-grain running sum must be
+    // hash-partitioned by bucket
+    val single = "SinglePartition".r.findAllIn(plan).size
+    assert(plan.contains("hashpartitioning(bucket"), s"no keyed window:\n$plan")
+    assert(single <= 2, s"too many global stages ($single):\n$plan")
+  }
 }

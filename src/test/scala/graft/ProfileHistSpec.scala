@@ -210,6 +210,25 @@ class ProfileHistSpec extends SparkSpec {
     assert(got == Seq(("g", 6L, 3L, 3L, 3L)))
   }
 
+  test("madRobust: integer-exact median and MAD, odd and even counts, nulls excluded") {
+    val df = (Seq(("o", 1L), ("o", 2L), ("o", 9L)) ++            // med 2, |d|=1,0,7 → mad 1
+      Seq(("e", 1L), ("e", 2L), ("e", 3L), ("e", 10L)))          // disc med 2, |d|=1,0,1,8 → mad 1
+      .map { case (k, v) => (k, Some(v)) }.toDF("k", "v")
+      .union(Seq(("o", Option.empty[Long])).toDF("k", "v"))
+    val got = graft.operators.Profile.madRobust(df, "k", col("v"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("o") == (("o", 3L, 2L, 1L)), s"odd: ${got("o")}")
+    assert(got("e") == (("e", 4L, 2L, 1L)), s"even: ${got("e")}")
+  }
+
+  test("firstDigitReport: digit from decimal string, non-positive excluded, integer ppm") {
+    val df = Seq(1L, 19L, 100L, 2L, 9999L, 0L, -5L).toDF("v")
+    val got = graft.operators.Quality.firstDigitReport(df, col("v"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // positives: 1,19,100 → digit 1 (×3); 2 → 2; 9999 → 9. total 5
+    assert(got == Map(1 -> ((3L, 600000L)), 2 -> ((1L, 200000L)), 9 -> ((1L, 200000L))))
+  }
+
   test("setOverlap null groups/members are excluded") {
     val df = Seq(
       (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),
