@@ -115,7 +115,8 @@ object Bench {
     "q131_grain_check", "q132_winsorize", "q133_gap_fill",
     "q134_scale_minmax", "q135_vocab", "q136_path_trigrams",
     "q137_skyline", "q138_dist_drift", "q139_corr", "q140_hier_share",
-    "q141_transitions_stream", "q142_concurrency", "q143_mad", "q144_benford")
+    "q141_transitions_stream", "q142_concurrency", "q143_mad", "q144_benford",
+    "q145_quantile_sketch_contract", "q146_densify_days")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -1866,7 +1866,24 @@ object SparkEntry {
     // the decimal string, integer ppm shares ──
     "q144_benford" -> ((s, dir) =>
       graft.operators.Quality.firstDigitReport(t(s, dir, "orders"),
-        expr("CAST(o_totalprice * 100 AS BIGINT)")))
+        expr("CAST(o_totalprice * 100 AS BIGINT)"))),
+
+    // ── mergeable quantile-sketch contract: approx_percentile's rank
+    // guarantee verified against the data, booleans pinned true ──
+    "q145_quantile_sketch_contract" -> ((s, dir) =>
+      graft.operators.Profile.approxQuantileContract(
+        t(s, dir, "events"), "event_type",
+        expr("CAST(value * 100 AS BIGINT)"), accuracy = 1000)),
+
+    // ── calendar densification: per-category daily counts with every
+    // (category, day) cell present, zero-filled — gap-free series ──
+    "q146_densify_days" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(get_json_object(col("props"), "$.k").as("category"),
+          dayKey(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Feature.densifyDays(daily, "category", "day", "n")
+    })
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -4037,6 +4054,34 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM g)
         |SELECT digit, n, (n * 1000000) // tt AS ppm
         |FROM g CROSS JOIN t""".stripMargin,
+
+    // The q62/q81 live-bound pattern: the oracle computes n exactly and
+    // pins the guarantee booleans TRUE — a sketch violating its rank
+    // bound fails the hash compare.
+    "q145_quantile_sketch_contract" ->
+      """SELECT event_type, count(*) AS n,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // Scaffold = distinct categories × full day range; zero-filled
+    // left join. generate_series end is inclusive on both engines.
+    "q146_densify_days" ->
+      """WITH daily AS (
+        |  SELECT json_extract_string(props, '$.k') AS category,
+        |    strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mm AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |days AS (
+        |  SELECT strftime(CAST(u.d AS DATE), '%Y-%m-%d') AS day
+        |  FROM mm, unnest(generate_series(CAST(lo AS DATE),
+        |    CAST(hi AS DATE), INTERVAL 1 DAY)) AS u(d)),
+        |scaffold AS (
+        |  SELECT category, day FROM (SELECT DISTINCT category FROM daily)
+        |  CROSS JOIN days)
+        |SELECT s.category, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        |FROM scaffold s LEFT JOIN daily d
+        |  ON s.category = d.category AND s.day = d.day""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

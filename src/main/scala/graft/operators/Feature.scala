@@ -70,6 +70,33 @@ object Feature {
       .drop("__v", "__mn", "__mx")
   }
 
+  /** Calendar densification: given a (key, day, measure) aggregate,
+    * emit EVERY (key, day) cell over the data's full [min, max] day
+    * range with `zero` where no row exists — the gap-free series
+    * time-series reporting, EWMA/trend fitting, and chart axes need
+    * (a missing day silently skews any trailing-window stat). Days are
+    * 'yyyy-MM-dd' strings (the dayKey convention).
+    *
+    * Shape: a 1-row min/max aggregate, a distinct-keys frame crossed
+    * with the exploded day scaffold (output-sized — keys × days, which
+    * IS the result cardinality), and one left join back on
+    * (key, day). No corpus-scale shuffle beyond the input aggregate's
+    * own.
+    */
+  def densifyDays(
+      df: DataFrame, keyCol: String, dayCol: String, measureCol: String,
+      zero: Long = 0L): DataFrame = {
+    val mm = df.agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val scaffold = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(mm))
+      .select(col(keyCol), explode(expr(
+        "sequence(CAST(__lo AS DATE), CAST(__hi AS DATE), interval 1 day)"))
+        .as("__d"))
+      .select(col(keyCol), date_format(col("__d"), "yyyy-MM-dd").as(dayCol))
+    scaffold.join(df, Seq(keyCol, dayCol), "left")
+      .withColumn(measureCol, coalesce(col(measureCol), lit(zero)))
+  }
+
   /** Forward-fill: per `keyCol`, carry the last non-null `value`
     * forward through the rows in `orderCols` order (sensor readings,
     * last-known account state, slowly-arriving attributes). Rows

@@ -328,6 +328,51 @@ object Profile {
       .select(col(keyCol), col("n"), col("median"), col("mad"))
   }
 
+  /** Mergeable-quantile-sketch CONTRACT (the q62/q81 discipline for
+    * approx_percentile): per key, run Spark's partial-aggregable
+    * quantile sketch at `accuracy` (relative rank error ε = 1/accuracy)
+    * and verify the guarantee AGAINST THE DATA — the exact rank of each
+    * returned value must lie within (p ± ε)·n (+2 slack for the
+    * boundary). Output (key, n, p50_ok, p95_ok); the oracle pins the
+    * booleans true. This certifies the sketch configuration, not a
+    * specific value — approx results are merge-order-dependent, their
+    * GUARANTEES are not (the Misra-Gries lesson).
+    *
+    * Scale: the sketch map-side combines (one pass); the verify join
+    * back is a broadcast of the key-grain frame + one more aggregate.
+    */
+  def approxQuantileContract(
+      df: DataFrame, keyCol: String, value: Column,
+      accuracy: Int = 1000): DataFrame = {
+    require(accuracy >= 10, s"accuracy >= 10, got $accuracy")
+    val v = df.select(col(keyCol), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val ap = v.groupBy(keyCol).agg(
+      expr(s"approx_percentile(__v, array(0.5D, 0.95D), $accuracy)").as("__ap"),
+      count(lit(1)).as("n"))
+    // With duplicates the returned VALUE occupies a rank INTERVAL
+    // [count(< v), count(<= v)] — a heavily-tied median can have
+    // count(<= v) far above p·n and still be exactly right. The
+    // guarantee is satisfied iff that interval intersects (p ± ε)·n:
+    // count(< v) must not start above the band, count(<= v) must not
+    // end below it.
+    def ok(rLt: Column, rLe: Column, p: Double): Column = {
+      val eps = 1.0 / accuracy
+      (rLt <= (lit(p + eps) * col("n") + 2)) &&
+        (rLe >= (lit(p - eps) * col("n") - 2))
+    }
+    v.join(broadcast(ap), Seq(keyCol))
+      .groupBy(col(keyCol), col("n"), col("__ap"))
+      .agg(
+        sum(when(col("__v") < col("__ap")(0), 1L).otherwise(0L)).as("__lt50"),
+        sum(when(col("__v") <= col("__ap")(0), 1L).otherwise(0L)).as("__le50"),
+        sum(when(col("__v") < col("__ap")(1), 1L).otherwise(0L)).as("__lt95"),
+        sum(when(col("__v") <= col("__ap")(1), 1L).otherwise(0L)).as("__le95"))
+      .select(col(keyCol), col("n"),
+        ok(col("__lt50"), col("__le50"), 0.5).as("p50_ok"),
+        ok(col("__lt95"), col("__le95"), 0.95).as("p95_ok"))
+  }
+
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and

@@ -53,7 +53,7 @@ object ScaleProbe {
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
         "l_shipdate")
     val events1 = Corpus.load(spark, sfDir, "events")
-      .select("event_id", "event_type", "value", "user_id", "ts")
+      .select("event_id", "event_type", "value", "user_id", "ts", "props")
 
     // Two composed rotations — consonants (20 classes) × vowels (5
     // classes) — give 100 distinct text transforms, so up to 100 copies
@@ -152,7 +152,35 @@ object ScaleProbe {
           l.select(col("l_orderkey"), col("l_shipdate").cast("date").as("s"),
             date_add(col("l_shipdate").cast("date"),
               pmod(col("l_linenumber"), lit(14))).as("e")),
-          "l_orderkey", "s", "e")))
+          "l_orderkey", "s", "e")),
+        // round-8 family. Event copies keep the USER SET FIXED, so the
+        // per-user window sorts in transitions/concurrency grow group
+        // SIZE (hot-group stress); the lineitem shapes grow rows with
+        // fixed dictionaries (z-tiles, skyline x-domain, benford).
+        run("transitions", graft.operators.Profile.transitions(
+          ev, "user_id", Seq(col("ts"), col("event_id")), col("event_type"))),
+        run("concurrency", {
+          val spans = graft.operators.Sessionize.sessionSpansUs(
+            ev, "user_id", "ts", gapMinutes = 30)
+          graft.operators.Intervals.concurrency(spans,
+            col("start_us"), col("end_us"), bucketUsDiv = 86400000000L)
+        }),
+        run("z_tiles", graft.operators.Layout.zTileSummary(
+          l.withColumn("l_partkey", col("l_orderkey") % 20000)
+            .withColumn("l_suppkey", col("l_linenumber").cast("long") % 1000),
+          "l_partkey", "l_suppkey", bits = 8, tileShift = 10)),
+        run("skyline", graft.operators.Skyline.frontier2d(l,
+          expr("CAST(l_orderkey % 50 AS BIGINT)"), col("l_extendedprice"))),
+        run("top_p", {
+          val daily = ev.groupBy(col("event_type"),
+              expr("CAST(ts AS DATE)").as("day"))
+            .agg(sum(expr("CAST(value * 100 AS BIGINT)")).as("cents"))
+          graft.operators.Sampling.topPCoverage(daily, "event_type",
+            col("cents"), col("day"), num = 4, den = 5)
+        }),
+        run("dist_drift", graft.operators.Profile.distDrift(ev,
+          get_json_object(col("props"), "$.k"),
+          expr("ts >= TIMESTAMP'2024-01-16'"))))
     }
 
     // warm-up: one full discarded 1x pass eats codegen/JIT compilation

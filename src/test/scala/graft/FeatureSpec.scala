@@ -52,6 +52,23 @@ class FeatureSpec extends SparkSpec {
     assert(got((2L, 2L)).contains(7L))
   }
 
+  test("densifyDays fills every (key, day) cell over the global range with zeros") {
+    val daily = Seq(
+      ("a", "2024-01-01", 5L), ("a", "2024-01-04", 2L), // gaps 01-02, 01-03
+      ("b", "2024-01-02", 7L)                            // b missing the rest
+    ).toDF("k", "day", "n")
+    val got = Feature.densifyDays(daily, "k", "day", "n")
+      .as[(String, String, Long)].collect().toSet
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    assert(got.size == 8, "2 keys x 4 days")
+    assert(got == Set(
+      ("a", "2024-01-01", 5L), ("a", "2024-01-02", 0L),
+      ("a", "2024-01-03", 0L), ("a", "2024-01-04", 2L),
+      ("b", "2024-01-01", 0L), ("b", "2024-01-02", 7L),
+      ("b", "2024-01-03", 0L), ("b", "2024-01-04", 0L)))
+    assert(days.forall(d => got.exists(_._2 == d)))
+  }
+
   test("scaleMinMax plans ONE exchange for both min and max windows") {
     val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
     val plan = Feature.scaleMinMax(df, "k", col("v"))

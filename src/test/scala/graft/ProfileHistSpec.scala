@@ -229,6 +229,19 @@ class ProfileHistSpec extends SparkSpec {
     assert(got == Map(1 -> ((3L, 600000L)), 2 -> ((1L, 200000L)), 9 -> ((1L, 200000L))))
   }
 
+  test("approxQuantileContract: guarantee holds on uniform and heavy-tie data, any partitioning") {
+    val uni = (0L until 2000L).map(i => ("u", i % 1000)).toDF("k", "v")
+    val ties = (0L until 2000L).map(i => ("t", if (i % 10 == 0) i else 7L)).toDF("k", "v")
+    Seq(1, 8).foreach { parts =>
+      val got = graft.operators.Profile
+        .approxQuantileContract(uni.union(ties).repartition(parts), "k", col("v"),
+          accuracy = 100)
+        .as[(String, Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+      assert(got("u") == (("u", 2000L, true, true)), s"parts=$parts: ${got("u")}")
+      assert(got("t") == (("t", 2000L, true, true)), s"parts=$parts: ${got("t")}")
+    }
+  }
+
   test("setOverlap null groups/members are excluded") {
     val df = Seq(
       (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),

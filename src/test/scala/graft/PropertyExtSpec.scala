@@ -88,6 +88,100 @@ class PropertyExtSpec extends SparkSpec {
     }
   }
 
+  test("property: topPCoverage == in-memory nucleus rule on random weighted sets") {
+    val genRows = Gen.listOfN(50, for {
+      k <- Gen.oneOf("a", "b")
+      w <- Gen.choose(0L, 30L)
+      id <- Gen.choose(0, 10000)
+    } yield (k, s"i$id", w))
+    (0 until 10).foreach { i =>
+      val rows = sample(genRows, 91L + i).distinctBy(r => (r._1, r._2))
+      val got = graft.operators.Sampling
+        .topPCoverage(rows.toDF("k", "id", "w").repartition(7), "k",
+          col("w"), col("id"), num = 3, den = 4)
+        .select("k", "id").as[(String, String)].collect().toSet
+      // .toSeq first: flatMap on a Map returning pairs would re-key by
+      // the first tuple element and silently keep one row per group
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(r => (-r._3, r._2))
+        val tot = rs.map(_._3).sum
+        var cum = 0L
+        sorted.flatMap { r =>
+          val keep = 4L * cum < 3L * tot
+          cum += r._3
+          if (keep) Some((k, r._2)) else None
+        }
+      }.toSet
+      assert(got == want, s"case $i")
+    }
+  }
+
+  test("property: transitions == in-memory pair walk on random event streams") {
+    val genEv = Gen.listOfN(80, for {
+      u <- Gen.choose(1L, 6L)
+      o <- Gen.choose(0L, 10000L)
+      s <- Gen.oneOf("v", "c", "p")
+    } yield (u, o, s))
+    (0 until 10).foreach { i =>
+      val evs = sample(genEv, 133L + i).distinctBy(e => (e._1, e._2))
+      val got = graft.operators.Profile
+        .transitions(evs.toDF("u", "o", "s").repartition(5), "u",
+          Seq(col("o")), col("s"))
+        .as[(String, String, Long)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+      val want = evs.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(_._2).map(_._3)
+        ordered.zip(ordered.drop(1))
+      }.groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      assert(got == want, s"case $i")
+    }
+  }
+
+  test("property: scaleMinMax == in-memory formula; output invariant under repartition") {
+    val genRows = Gen.listOfN(60, for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-100L, 100L)
+      id <- Gen.choose(0L, 100000L)
+    } yield (k, id, v))
+    (0 until 10).foreach { i =>
+      val rows = sample(genRows, 57L + i).distinctBy(_._2)
+      val got = graft.operators.Feature
+        .scaleMinMax(rows.toDF("k", "id", "v").repartition(9), "k", col("v"))
+        .select("id", "scaled").as[(Long, Long)].collect().toMap
+      val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val (mn, mx) = (rs.map(_._3).min, rs.map(_._3).max)
+        rs.map(r => r._2 ->
+          (if (mx > mn) ((r._3 - mn) * 1000L) / (mx - mn) else 0L))
+      }
+      assert(got == want, s"case $i")
+    }
+  }
+
+  test("property: madRobust matches the sorted-vector model (disc percentile convention)") {
+    // model mirrors percentile_disc: smallest value whose cume_dist >= 0.5
+    def disc(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((math.ceil(0.5 * s.size) - 1).toInt.max(0))
+    }
+    val genRows = Gen.listOfN(40, for {
+      k <- Gen.oneOf("a", "b")
+      v <- Gen.choose(-50L, 50L)
+    } yield (k, v))
+    (0 until 10).foreach { i =>
+      val rows = sample(genRows, 203L + i)
+      val got = graft.operators.Profile
+        .madRobust(rows.toDF("k", "v").repartition(5), "k", col("v"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val vs = rs.map(_._2)
+        val med = disc(vs)
+        k -> ((vs.size.toLong, med, disc(vs.map(v => math.abs(v - med)))))
+      }
+      assert(got == want, s"case $i")
+    }
+  }
+
   test("property: ewma fold == in-memory recurrence on random non-negative series") {
     val genSeries = Gen.listOfN(40, for {
       k <- Gen.oneOf("m0", "m1", "m2")
