@@ -1883,6 +1883,38 @@ object SparkEntry {
           dayKey(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
       graft.operators.Feature.densifyDays(daily, "category", "day", "n")
+    }),
+
+    // ── inverted index: per token df / tf / canonical posting-list
+    // string, df-capped (the stop-token guard). Indexed over a 50-doc
+    // slice: the synthetic corpus has a ~31-token vocabulary where
+    // every token is a stop-token at full scale (df ≈ n_docs), so the
+    // slice is what gives the df band real members ──
+    "q147_inverted_index" -> ((s, dir) =>
+      graft.ext.TextAnalysis.invertedIndex(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", minDf = 5L, maxDf = 50L)),
+
+    // ── bounce report: per session-start day, sessions / single-event
+    // bounces / integer-ppm bounce rate — composition of the certified
+    // sessionizer at µs span grain ──
+    "q148_bounce" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionSpansUs(
+          t(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
+        .groupBy(expr("start_us div 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .withColumn("bounce_ppm", expr("(n_bounces * 1000000) div n_sessions"))),
+
+    // ── weighted median from a pre-aggregated histogram: median
+    // quantity weighted by revenue cents, per return flag — the
+    // histogram-first shape a 100-TB median needs ──
+    "q149_weighted_median" -> ((s, dir) => {
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"))
+        .agg(sum(expr("CAST(l_extendedprice * 100 AS BIGINT)")).as("cents"))
+      graft.operators.Profile.weightedMedian(hist, "l_returnflag", "qty", "cents")
     })
   )
 
@@ -4082,6 +4114,65 @@ object SparkEntry {
         |SELECT s.category, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
         |FROM scaffold s LEFT JOIN daily d
         |  ON s.category = d.category AND s.day = d.day""".stripMargin,
+
+    // Positions via unnest(range(len)) — 0-based like posexplode; the
+    // posting string is canonical (doc_id, pos) order both sides.
+    "q147_inverted_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT doc_id, toks[i + 1] AS token, i AS pos
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM d)),
+        |g AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf_total,
+        |    string_agg(concat(CAST(doc_id AS VARCHAR), ':',
+        |      CAST(pos AS VARCHAR)), ',' ORDER BY doc_id, pos) AS postings
+        |  FROM p GROUP BY 1)
+        |SELECT token, df, tf_total, postings FROM g
+        |WHERE df BETWEEN 5 AND 50""".stripMargin,
+
+    // The q43 session CTE at µs grain; bounce = 1-event session.
+    // count FILTER stays BIGINT.
+    "q148_bounce" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |sp AS (
+        |  SELECT min(epoch_us(ts)) AS su, count(*) AS ne
+        |  FROM s GROUP BY user_id, sid),
+        |g AS (
+        |  SELECT su // 86400000000 AS day_idx, count(*) AS n_sessions,
+        |    count(*) FILTER (WHERE ne = 1) AS n_bounces
+        |  FROM sp GROUP BY 1)
+        |SELECT day_idx, n_sessions, n_bounces,
+        |  (n_bounces * 1000000) // n_sessions AS bounce_ppm
+        |FROM g""".stripMargin,
+
+    // Histogram-first weighted median: same crossing rule (2·cum ≥
+    // tot, inclusive running weight in qty order) both sides.
+    "q149_weighted_median" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(sum(CAST(trunc(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_returnflag, qty,
+        |    CAST(sum(cents) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cents) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM h)
+        |SELECT l_returnflag, min(qty) AS wmedian, max(tot) AS total_weight
+        |FROM w WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

@@ -436,4 +436,35 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
       .withColumn("token_id", row_number().over(w) - 1)
   }
+
+  /** Inverted index build (the search/retrieval side of a corpus
+    * pipeline): per token, document frequency, total term frequency,
+    * and the full POSTING LIST — (doc:pos) pairs in (doc_id, pos)
+    * order, rendered as one canonical string so the artifact is
+    * byte-comparable across engines. `minDf`/`maxDf` bound the posting
+    * rows: the df cap is the stop-token guard every real index needs
+    * (an uncapped "the" posting row is unboundedly wide — same hazard
+    * as the Jaccard stop-shingle cap in Dedup).
+    *
+    * Shape: one posexplode + one hash groupBy; the per-token
+    * collect_list is bounded by maxDf × positions, enforced BEFORE any
+    * wide row materializes only in the sense that capped tokens are
+    * dropped post-agg — at true stop-word scale, pre-filter with a df
+    * pre-pass (the buildVocab aggregate) before collecting.
+    */
+  def invertedIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      minDf: Long, maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"bad df bounds [$minDf, $maxDf]")
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .groupBy("token")
+      .agg(
+        count_distinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("pos")))),
+          p => concat(p("doc_id"), lit(":"), p("pos")))).as("postings"))
+      .filter(col("df").between(minDf, maxDf))
+  }
 }

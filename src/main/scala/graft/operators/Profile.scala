@@ -373,6 +373,32 @@ object Profile {
         ok(col("__lt95"), col("__le95"), 0.95).as("p95_ok"))
   }
 
+  /** Weighted median from a pre-aggregated (value, weight) histogram —
+    * the way a 100-TB median is actually computed: aggregate the data
+    * to its value histogram first (hash agg, partial combine), then
+    * pick the smallest value whose inclusive running weight reaches
+    * half the total. All-integer (2·cum ≥ tot — no division), one
+    * keyed window over the HISTOGRAM, never a sort of the data.
+    * Non-positive weights are dropped; duplicate (key, value) rows are
+    * safe (any crossing copy yields the same min value).
+    */
+  def weightedMedian(
+      df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(valueCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    df.select(col(keyCol), col(valueCol),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(keyCol)
+      .agg(min(col(valueCol)).as("wmedian"), max(col("__tot")).as("total_weight"))
+  }
+
   private def unpivot(wide: DataFrame, cols: Seq[String]): DataFrame =
     // inline(array(struct…)) with uniform field names, not stack():
     // stack derives struct field names from its argument columns, and

@@ -242,6 +242,22 @@ class ProfileHistSpec extends SparkSpec {
     }
   }
 
+  test("weightedMedian: crossing rule on a histogram; dup values safe; non-positive weights dropped") {
+    // k: (v=1,w=3) (v=2,w=2) (v=3,w=4) tot=9, half-cross at cum*2>=9:
+    // cum 3(no:6<9), 5(yes:10>=9) -> median 2
+    val h = Seq(("k", 1L, 3L), ("k", 2L, 2L), ("k", 3L, 4L),
+      ("z", 5L, 1L), ("z", 9L, 0L), ("z", 4L, -7L)).toDF("g", "v", "w")
+    val got = graft.operators.Profile.weightedMedian(h.repartition(3), "g", "v", "w")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("k") == (("k", 2L, 9L)))
+    assert(got("z") == (("z", 5L, 1L)), "zero/negative weights are excluded")
+    // duplicate (key, value) rows: any crossing copy gives the same min
+    val dup = Seq(("d", 7L, 1L), ("d", 7L, 1L), ("d", 8L, 1L)).toDF("g", "v", "w")
+    val m = graft.operators.Profile.weightedMedian(dup, "g", "v", "w")
+      .as[(String, Long, Long)].collect().head
+    assert(m == (("d", 7L, 3L)))
+  }
+
   test("setOverlap null groups/members are excluded") {
     val df = Seq(
       (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),

@@ -156,4 +156,16 @@ class TextPipelineSpec extends SparkSpec {
       .select("token", "token_id").as[(String, Int)].collect().toMap
     assert(ids == Map("xx" -> 0, "yy" -> 1))
   }
+
+  test("invertedIndex: canonical postings, 0-based positions, df window") {
+    val docs = Seq(
+      (2L, "b a b"), (1L, "a c"), (3L, "c c")).toDF("doc_id", "text")
+    // a: docs {1,2}; b: {2}; c: {1,3}
+    val got = TextAnalysis.invertedIndex(docs.repartition(3), "doc_id", "text",
+        minDf = 2L, maxDf = 2L)
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("a", "c"), "df=1 token b is capped out")
+    assert(got("a") == (("a", 2L, 2L, "1:0,2:1")))
+    assert(got("c") == (("c", 2L, 3L, "1:1,3:0,3:1")))
+  }
 }
