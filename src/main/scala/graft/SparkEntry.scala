@@ -1915,7 +1915,33 @@ object SparkEntry {
           expr("CAST(l_quantity AS BIGINT)").as("qty"))
         .agg(sum(expr("CAST(l_extendedprice * 100 AS BIGINT)")).as("cents"))
       graft.operators.Profile.weightedMedian(hist, "l_returnflag", "qty", "cents")
-    })
+    }),
+
+    // ── daily p10/p50/p90 bands of event cents — exact discrete
+    // percentiles per day (the timeseries envelope chart) ──
+    "q150_daily_bands" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(dayKey(col("ts")).as("day"),
+          expr("CAST(value * 100 AS BIGINT)").as("c"))
+        .filter(col("c").isNotNull)
+        .groupBy("day")
+        .agg(
+          expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY c)")
+            .cast("long").as("p10"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+            .cast("long").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c)")
+            .cast("long").as("p90"),
+          count(lit(1)).as("n"))),
+
+    // ── top-5 categories + OTHER rollup: rank window over the
+    // aggregated category frame only ──
+    "q151_topn_other" -> ((s, dir) =>
+      graft.operators.TopK.topNWithOther(
+        t(s, dir, "events")
+          .groupBy(get_json_object(col("props"), "$.k").as("category"))
+          .agg(count(lit(1)).as("n")),
+        "category", "n", n = 5))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -4173,6 +4199,32 @@ object SparkEntry {
         |  FROM h)
         |SELECT l_returnflag, min(qty) AS wmedian, max(tot) AS total_weight
         |FROM w WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
+
+    // quantile_disc == percentile_disc (actual values, SKILL parity
+    // rule); integral cents keep the bands integer-exact.
+    "q150_daily_bands" ->
+      """WITH v AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(trunc(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT day, quantile_disc(c, 0.1) AS p10, quantile_disc(c, 0.5) AS p50,
+        |  quantile_disc(c, 0.9) AS p90, count(*) AS n
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // (n desc, category) makes the cut total; the OTHER row carries
+    // the tail weight and its label count.
+    "q151_topn_other" ->
+      """WITH g AS (
+        |  SELECT json_extract_string(props, '$.k') AS category,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT category, n,
+        |    row_number() OVER (ORDER BY n DESC, category) AS rk
+        |  FROM g)
+        |SELECT CASE WHEN rk <= 5 THEN category ELSE 'OTHER' END AS category,
+        |  CAST(sum(n) AS BIGINT) AS n, count(*) AS n_labels
+        |FROM r GROUP BY 1""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

@@ -21,4 +21,32 @@ object TopK {
     df.withColumn("position", dense_rank().over(w).cast("bigint"))
       .filter(col("position") <= k)
   }
+
+  /** Top-N-with-OTHER rollup — the reporting shape behind every pie
+    * chart and "top domains" table: keep the `n` heaviest labels of a
+    * pre-aggregated (label, weight) frame, collapse the tail into one
+    * `otherLabel` row carrying the remaining weight and its label
+    * count. Rank order is (weight desc, label) — total, so the cut is
+    * engine-exact (the q94 tie discipline).
+    *
+    * The rank window runs over the AGGREGATED frame (label
+    * cardinality), never the data; the corpus-scale work is whatever
+    * produced `counts` upstream. Output: (label, weight, n_labels)
+    * where n_labels > 1 only on the OTHER row.
+    */
+  def topNWithOther(
+      counts: DataFrame, labelCol: String, weightCol: String, n: Int,
+      otherLabel: String = "OTHER"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = Window.orderBy(col(weightCol).desc, col(labelCol))
+    counts
+      .withColumn("__rk", row_number().over(w))
+      .select(
+        when(col("__rk") <= n, col(labelCol)).otherwise(lit(otherLabel))
+          .as(labelCol),
+        col(weightCol))
+      .groupBy(labelCol)
+      .agg(sum(col(weightCol).cast("long")).as(weightCol),
+        count(lit(1)).as("n_labels"))
+  }
 }

@@ -139,6 +139,17 @@ class OperatorSpec extends SparkSpec {
     assert(got("flat").isEmpty, "zero y-variance has no defined correlation")
   }
 
+  test("topNWithOther: total tie order at the cut; OTHER carries tail weight and label count") {
+    val counts = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 2L), ("e", 1L))
+      .toDF("label", "w")
+    val got = graft.operators.TopK.topNWithOther(counts, "label", "w", n = 2)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // ties at w=10 cut by label: a, b kept; c falls into OTHER
+    assert(got("a") == (("a", 10L, 1L)) && got("b") == (("b", 10L, 1L)))
+    assert(got("OTHER") == (("OTHER", 13L, 3L)), s"got ${got.get("OTHER")}")
+    assert(got.size == 3)
+  }
+
   test("rollupShares: ppm within parent; leaf shares sum to 1e6 per parent (up to div truncation)") {
     val df = Seq(
       ("r1", "n1", 60L), ("r1", "n2", 40L), ("r2", "n3", 100L)).toDF("r", "n", "v")
