@@ -1941,7 +1941,27 @@ object SparkEntry {
         t(s, dir, "events")
           .groupBy(get_json_object(col("props"), "$.k").as("category"))
           .agg(count(lit(1)).as("n")),
-        "category", "n", n = 5))
+        "category", "n", n = 5)),
+
+    // ── time-weighted average: each event's cents weighted by the ms
+    // until the same user's next event (lead in (ts, event_id) total
+    // order; last events carry no span). Integer num/den + one final
+    // divide — the q119 discipline. ms not µs: Σ cents·dur_µs would
+    // overflow BIGINT at ~1500 users × 30 days ──
+    "q152_twa" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("__us", unix_micros(col("ts")))
+        .withColumn("__dur_ms",
+          expr("(lead(__us) OVER (PARTITION BY user_id ORDER BY ts, event_id) - __us) div 1000"))
+        .filter(col("__dur_ms").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          sum(expr("CAST(value * 100 AS BIGINT) * __dur_ms")).as("num"),
+          sum(col("__dur_ms")).as("den"),
+          count(lit(1)).as("n"))
+        .withColumn("twa_cents",
+          when(col("den") > 0,
+            col("num").cast("double") / col("den").cast("double"))))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -4225,6 +4245,22 @@ object SparkEntry {
         |SELECT CASE WHEN rk <= 5 THEN category ELSE 'OTHER' END AS category,
         |  CAST(sum(n) AS BIGINT) AS n, count(*) AS n_labels
         |FROM r GROUP BY 1""".stripMargin,
+
+    // lead in the same (ts, event_id) total order; ms durations keep
+    // Σ cents·dur inside BIGINT; final divide only (q119 discipline).
+    "q152_twa" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(trunc(value * 100) AS BIGINT) AS c,
+        |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id) - epoch_us(ts)) // 1000 AS dur_ms
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(sum(c * dur_ms) AS BIGINT) AS num,
+        |  CAST(sum(dur_ms) AS BIGINT) AS den, count(*) AS n,
+        |  CASE WHEN sum(dur_ms) > 0
+        |    THEN CAST(sum(c * dur_ms) AS DOUBLE) / CAST(sum(dur_ms) AS DOUBLE)
+        |  END AS twa_cents
+        |FROM e WHERE dur_ms IS NOT NULL GROUP BY 1""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.
