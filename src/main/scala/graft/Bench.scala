@@ -118,7 +118,8 @@ object Bench {
     "q141_transitions_stream", "q142_concurrency", "q143_mad", "q144_benford",
     "q145_quantile_sketch_contract", "q146_densify_days",
     "q147_inverted_index", "q148_bounce", "q149_weighted_median",
-    "q150_daily_bands", "q151_topn_other", "q152_twa")
+    "q150_daily_bands", "q151_topn_other", "q152_twa",
+    "q153_minhash_sets_contract")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -1961,7 +1961,14 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .withColumn("twa_cents",
           when(col("den") > 0,
-            col("num").cast("double") / col("den").cast("double"))))
+            col("num").cast("double") / col("den").cast("double")))),
+
+    // ── mergeable minhash set-similarity sketch under its Jaccard
+    // contract: exact columns + pinned verdict (oracle can't reproduce
+    // xxhash64, it CAN pin the guarantee — q62/q145 pattern) ──
+    "q153_minhash_sets_contract" -> ((s, dir) =>
+      graft.operators.Profile.minhashSetContract(
+        t(s, dir, "events"), "event_type", "user_id", k = 128))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -4261,6 +4268,23 @@ object SparkEntry {
         |    THEN CAST(sum(c * dur_ms) AS DOUBLE) / CAST(sum(dur_ms) AS DOUBLE)
         |  END AS twa_cents
         |FROM e WHERE dur_ms IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // Exact set-overlap truth (the q112 shape) + the pinned sketch
+    // verdict.
+    "q153_minhash_sets_contract" ->
+      """WITH s AS (
+        |  SELECT DISTINCT event_type AS grp, user_id AS member
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |sz AS (SELECT grp, count(*) AS n FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common
+        |  FROM s a JOIN s b ON a.member = b.member AND a.grp < b.grp
+        |  GROUP BY 1, 2)
+        |SELECT grp_a, grp_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  (n_common * 1000000) // (sa.n + sb.n - n_common) AS jaccard_ppm,
+        |  TRUE AS sketch_ok
+        |FROM c JOIN sz sa ON sa.grp = grp_a
+        |JOIN sz sb ON sb.grp = grp_b""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

@@ -112,6 +112,46 @@ object Profile {
       .select("grp_a", "grp_b", "n_a", "n_b", "n_common", "jaccard_ppm")
   }
 
+  /** MinHash set-similarity CONTRACT: estimate the Jaccard similarity
+    * of each group pair from k independent min-hash registers (one
+    * xxhash64 seed per register — a MERGEABLE sketch: min combines
+    * map-side, registers union across shards), then verify the
+    * estimate against [[setOverlap]]'s exact Jaccard within `tolPpm`.
+    * Output keeps the exact columns plus the boolean verdict; the
+    * estimate itself stays internal (an oracle cannot reproduce JVM
+    * xxhash64, but it CAN pin the guarantee — the q62/q145 pattern).
+    * With k = 128 the standard error is ≤ 0.045, so tolPpm = 150000
+    * (±0.15) holds with high margin.
+    *
+    * Scale: the sketch is one wide grouped aggregate over the DISTINCT
+    * (group, member) pairs + a group-grain pair join — the exact side's
+    * member-level self-join is the expensive half, which is exactly
+    * why the sketch exists; at production scale you run the sketch
+    * alone and certify it offline on a sample, as here.
+    */
+  def minhashSetContract(
+      df: DataFrame, groupCol: String, memberCol: String, k: Int = 128,
+      tolPpm: Long = 150000L): DataFrame = {
+    require(k >= 16 && k <= 512, s"k in [16,512], got $k")
+    val pairs = df.select(col(groupCol).as("grp"), col(memberCol).as("member"))
+      .filter(col("grp").isNotNull && col("member").isNotNull)
+      .distinct()
+    val sigs = pairs.groupBy("grp").agg(
+      array((0 until k).map(i => min(xxhash64(lit(i), col("member")))): _*)
+        .as("sig"))
+    val est = sigs.as("a")
+      .join(sigs.as("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        size(filter(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => when(x === y, lit(1))), c => c.isNotNull)).as("__match"))
+    setOverlap(df, groupCol, memberCol)
+      .join(est, Seq("grp_a", "grp_b"))
+      .withColumn("sketch_ok",
+        abs(expr(s"(__match * 1000000) div $k") - col("jaccard_ppm"))
+          <= lit(tolPpm))
+      .drop("__match")
+  }
+
   /** Trailing-window spike detection in INTEGER arithmetic: a period is
     * a spike when its value exceeds num/den × the trailing-`window`
     * mean — tested as den·window·value > num·trailing_sum, so no

@@ -258,6 +258,26 @@ class ProfileHistSpec extends SparkSpec {
     assert(m == (("d", 7L, 3L)))
   }
 
+  test("minhashSetContract: identical sets estimate 1.0; random overlap within tolerance; deterministic") {
+    // A == B (jaccard 1e6 ppm); C shares half of A (jaccard ~1/3)
+    val rows = (0L until 200L).flatMap(m => Seq(("A", m), ("B", m))) ++
+      (100L until 300L).map(m => ("C", m))
+    val df = rows.toDF("g", "m")
+    val out = graft.operators.Profile
+      .minhashSetContract(df.repartition(7), "g", "m", k = 128)
+      .select("grp_a", "grp_b", "jaccard_ppm", "sketch_ok")
+      .as[(String, String, Long, Boolean)].collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out(("A", "B"))._3 == 1000000L && out(("A", "B"))._4,
+      "identical sets: exact 1.0 and the sketch must agree (all registers equal)")
+    assert(out(("A", "C"))._4 && out(("B", "C"))._4, s"overlap pairs in tolerance: $out")
+    // determinism: same input, different partitioning, same verdictful row set
+    val out2 = graft.operators.Profile
+      .minhashSetContract(df.repartition(2), "g", "m", k = 128)
+      .select("grp_a", "grp_b", "jaccard_ppm", "sketch_ok")
+      .as[(String, String, Long, Boolean)].collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out == out2, "min registers are order-independent")
+  }
+
   test("setOverlap null groups/members are excluded") {
     val df = Seq(
       (Some("A"), Some(1L)), (None, Some(1L)), (Some("B"), None),
