@@ -119,7 +119,7 @@ object Bench {
     "q145_quantile_sketch_contract", "q146_densify_days",
     "q147_inverted_index", "q148_bounce", "q149_weighted_median",
     "q150_daily_bands", "q151_topn_other", "q152_twa",
-    "q153_minhash_sets_contract")
+    "q153_minhash_sets_contract", "q154_orc_roundtrip", "q155_csv_roundtrip")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -1968,7 +1968,50 @@ object SparkEntry {
     // xxhash64, it CAN pin the guarantee — q62/q145 pattern) ──
     "q153_minhash_sets_contract" -> ((s, dir) =>
       graft.operators.Profile.minhashSetContract(
-        t(s, dir, "events"), "event_type", "user_id", k = 128))
+        t(s, dir, "events"), "event_type", "user_id", k = 128)),
+
+    // ── ORC sink certified THROUGH the oracle: write a day-partitioned
+    // ORC copy (IndexStore atomic staging — build once per dataset
+    // fingerprint), read it back with a partition-pruned + pushed-down
+    // scan, aggregate; the oracle computes the same truth from the
+    // parquet originals, so any roundtrip infidelity breaks the hash ──
+    "q154_orc_roundtrip" -> ((s, dir) => {
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/events.parquet")
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_orc_events_$fp").getPath
+      graft.operators.IndexStore.ensure(out, marker = "_SUCCESS") { stage =>
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            dayKey(col("ts")).as("day"),
+            expr("CAST(value * 100 AS BIGINT)").as("c"))
+          .write.mode("overwrite").partitionBy("day").orc(stage)
+      }
+      s.read.orc(out)
+        .filter(col("event_type") === "purchase")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+    }),
+
+    // ── pipe-CSV sink certified the same way (the reference's K1 sink
+    // shape: sep '|', header). Integer/string columns only — CSV
+    // roundtrips of doubles drift in formatting ──
+    "q155_csv_roundtrip" -> ((s, dir) => {
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/events.parquet")
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_csv_daily_$fp").getPath
+      graft.operators.IndexStore.ensure(out, marker = "_SUCCESS") { stage =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"), dayKey(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").option("sep", "|").option("header", "true")
+          .csv(stage)
+      }
+      s.read.option("sep", "|").option("header", "true")
+        .schema("event_type STRING, day STRING, n BIGINT")
+        .csv(out)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+    })
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -4285,6 +4328,25 @@ object SparkEntry {
         |  TRUE AS sketch_ok
         |FROM c JOIN sz sa ON sa.grp = grp_a
         |JOIN sz sb ON sb.grp = grp_b""".stripMargin,
+
+    // Truth from the parquet originals — the ORC write/read must be a
+    // faithful roundtrip to hash-match.
+    "q154_orc_roundtrip" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
+    // Same discipline for the pipe-CSV sink; integer/string columns
+    // only so the text roundtrip is exact.
+    "q155_csv_roundtrip" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+        |  count(*) AS n_days
+        |FROM daily GROUP BY 1""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

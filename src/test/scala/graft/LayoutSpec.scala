@@ -156,6 +156,20 @@ class LayoutSpec extends SparkSpec {
     assert(a == b, "partitioning changed the plan")
   }
 
+  test("ORC sink: partition pruning and predicate pushdown reach the scan on read-back") {
+    val dir = Files.createTempDirectory("graft-orc").resolve("t").toString
+    (0L until 1000L).map(i => (i, s"d${i % 4}", if (i % 5 == 0) "p" else "v"))
+      .toDF("id", "day", "kind")
+      .write.partitionBy("day").orc(dir)
+    val q = spark.read.orc(dir).filter(col("day") === "d1" && col("kind") === "p")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("d1"),
+      s"day not pruned at the directory level:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("kind"),
+      s"kind predicate not pushed to the ORC reader:\n$plan")
+    assert(q.count() == 50)
+  }
+
   test("zTileSummary: hand-computed Morton z-values, degenerate dim, null exclusion") {
     // domain [0,3] on both dims, bits=2 (scale 3): bucket == the value.
     // morton(a,b): a-bits at odd positions, b at even.
