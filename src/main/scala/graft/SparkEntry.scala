@@ -2011,6 +2011,41 @@ object SparkEntry {
         .csv(out)
         .groupBy("event_type")
         .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+    }),
+
+    // ── packing-efficiency report over q61's packer: per source,
+    // chunks / tokens / signed slack ppm (negative = docs overflowed
+    // the budget — the packer's documented offset-div semantics) ──
+    "q156_pack_stats" -> ((s, dir) => {
+      val chunks = TextAnalysis.packSequences(
+          t(s, dir, "documents").withColumn("__nt",
+            size(TextAnalysis.tokens(col("text"))).cast("long")),
+          "source", "doc_id", col("__nt"), budget = 256L)
+        .groupBy("source", "chunk")
+        .agg(sum(col("n_tok")).as("chunk_tokens"))
+      chunks.groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("total_tokens"))
+        .withColumn("slack_ppm",
+          expr("((n_chunks * 256 - total_tokens) * 1000000) div (n_chunks * 256)"))
+    }),
+
+    // ── dedup observability: the q18 near-dup pairs attributed to
+    // their source pair (order-normalized) — "which sources duplicate
+    // each other" ──
+    "q157_dup_sources" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairsMinhash(t(s, dir, "documents"),
+        "doc_id", "text", shingleK = 3, numHashes = 128, bands = 32,
+        threshold = 0.8)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("__sa")),
+          "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("__sb")),
+          "doc_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
     })
   )
 
@@ -4347,6 +4382,58 @@ object SparkEntry {
         |SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
         |  count(*) AS n_days
         |FROM daily GROUP BY 1""".stripMargin,
+
+    // The q61 packing CTE rolled up to source grain; slack is signed
+    // (overfull chunks make it negative).
+    "q156_pack_stats" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, n_tok,
+        |    coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM d),
+        |c AS (
+        |  SELECT source, CAST(floor(tok_offset / 256) AS BIGINT) AS chunk,
+        |    CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens
+        |  FROM o GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, count(*) AS n_chunks,
+        |    CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_chunks, total_tokens,
+        |  ((n_chunks * 256 - total_tokens) * 1000000) // (n_chunks * 256)
+        |    AS slack_ppm
+        |FROM g""".stripMargin,
+
+    // q18's exact-Jaccard pair truth joined to its sources,
+    // order-normalized.
+    "q157_dup_sources" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT da, db
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8)
+        |SELECT least(x.source, y.source) AS source_a,
+        |  greatest(x.source, y.source) AS source_b, count(*) AS n_pairs
+        |FROM p JOIN documents x ON x.doc_id = da
+        |JOIN documents y ON y.doc_id = db
+        |GROUP BY 1, 2""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.
