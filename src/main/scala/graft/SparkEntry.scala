@@ -3934,7 +3934,7 @@ object SparkEntry {
     "q128_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |      AS prev
         |  FROM events)
         |SELECT prev AS from_state, event_type AS to_state, count(*) AS n
@@ -4035,7 +4035,7 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  last_value(CASE WHEN event_type = 'purchase'
         |      THEN CAST(trunc(value * 100) AS BIGINT) END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS last_purchase_cents
         |FROM events""".stripMargin,
@@ -4078,7 +4078,7 @@ object SparkEntry {
         |    lag(event_type, 1) OVER w AS s2,
         |    lag(event_type, 2) OVER w AS s1
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
         |SELECT s1, s2, s3, count(*) AS n FROM s WHERE s1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
 
@@ -4115,7 +4115,7 @@ object SparkEntry {
         |  SELECT event_type,
         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
         |    CAST(trunc(value * 100) AS BIGINT) AS y
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
         |m AS (
         |  SELECT event_type, count(*) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
@@ -4158,7 +4158,7 @@ object SparkEntry {
     "q141_transitions_stream" ->
       """WITH s AS (
         |  SELECT user_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |      AS prev
         |  FROM events WHERE user_id IS NOT NULL)
         |SELECT prev AS from_state, event_type AS to_state, count(*) AS n
@@ -4301,7 +4301,7 @@ object SparkEntry {
         |    CAST(sum(cents) OVER (PARTITION BY l_returnflag ORDER BY qty
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         |    CAST(sum(cents) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
-        |  FROM h)
+        |  FROM h WHERE cents > 0)
         |SELECT l_returnflag, min(qty) AS wmedian, max(tot) AS total_weight
         |FROM w WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
 
@@ -4337,7 +4337,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT event_type, CAST(trunc(value * 100) AS BIGINT) AS c,
         |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
-        |       ORDER BY ts, event_id) - epoch_us(ts)) // 1000 AS dur_ms
+        |       ORDER BY epoch_us(ts), event_id) - epoch_us(ts)) // 1000 AS dur_ms
         |  FROM events)
         |SELECT event_type,
         |  CAST(sum(c * dur_ms) AS BIGINT) AS num,

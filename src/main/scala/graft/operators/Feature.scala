@@ -86,14 +86,22 @@ object Feature {
   def densifyDays(
       df: DataFrame, keyCol: String, dayCol: String, measureCol: String,
       zero: Long = 0L): DataFrame = {
-    val mm = df.agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
-    val scaffold = df.select(col(keyCol)).distinct()
+    // input is (key, day)-grain — output-sized — so materializing it
+    // once is cheap and the three consumers below (min/max, distinct
+    // keys, join back) don't re-run the caller's aggregation subtree
+    // (the SKILL.md multi-consumer lesson). NULL keys are EXCLUDED
+    // entirely: the scaffold equi-join can never match them, so
+    // keeping them would fabricate zero-filled series while dropping
+    // the real null-key rows — worse than absent.
+    val daily = df.filter(col(keyCol).isNotNull).localCheckpoint()
+    val mm = daily.agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val scaffold = daily.select(col(keyCol)).distinct()
       .crossJoin(broadcast(mm))
       .select(col(keyCol), explode(expr(
         "sequence(CAST(__lo AS DATE), CAST(__hi AS DATE), interval 1 day)"))
         .as("__d"))
       .select(col(keyCol), date_format(col("__d"), "yyyy-MM-dd").as(dayCol))
-    scaffold.join(df, Seq(keyCol, dayCol), "left")
+    scaffold.join(daily, Seq(keyCol, dayCol), "left")
       .withColumn(measureCol, coalesce(col(measureCol), lit(zero)))
   }
 

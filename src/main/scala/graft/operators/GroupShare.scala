@@ -38,6 +38,12 @@ object GroupShare {
     * run over the aggregated frame (leaf-cardinality rows). The grand-
     * total window is an empty partition spec — a SinglePartition pass
     * over that SMALL frame, not the data. `value` must be integral.
+    *
+    * Overflow bound: the ppm multiply needs sum·1e6 < 2^63, i.e.
+    * parent totals below ~9.2e12 units. Above that (possible at
+    * 100 TB with cent-grain money), route the multiply through
+    * DECIMAL(38,0) on BOTH engines — do not mix, the truncation
+    * points differ.
     */
   def rollupShares(df: DataFrame, levels: Seq[String], value: Column): DataFrame = {
     require(levels.nonEmpty, "need at least one level column")

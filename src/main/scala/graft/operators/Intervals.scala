@@ -80,6 +80,11 @@ object Intervals {
       df: DataFrame, startUs: org.apache.spark.sql.Column,
       endUs: org.apache.spark.sql.Column, bucketUsDiv: Long): DataFrame = {
     require(bucketUsDiv > 0, s"bucketUsDiv must be positive, got $bucketUsDiv")
+    // checkpointed: both the carry aggregate and the main join consume
+    // this frame, and without it the interval explode + hash aggregate
+    // (plus whatever produced `df`) re-execute per consumer — the
+    // SKILL.md multi-consumer lesson. The frame is (bucket, ts_us)
+    // grain, already far smaller than the boundary stream.
     val deltas = df
       .filter(startUs.isNotNull && endUs.isNotNull)
       .select(explode(array(
@@ -88,6 +93,7 @@ object Intervals {
       .select(col("e.ts_us"), col("e.d"))
       .groupBy(expr(s"ts_us div ${bucketUsDiv}L").as("bucket"), col("ts_us"))
       .agg(sum(col("d")).as("delta"))
+      .localCheckpoint()
     val wIn = Window.partitionBy("bucket").orderBy("ts_us")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wCarry = Window.orderBy("bucket")

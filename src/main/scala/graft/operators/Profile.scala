@@ -247,7 +247,11 @@ object Profile {
     * as the last tiebreak, or lag() picks an engine-dependent
     * predecessor on ties — the q94 lesson). One keyed exchange + one
     * lag window + a partial-agg count; each key's first event has no
-    * predecessor and is excluded.
+    * predecessor and is excluded. NULL STATES: a null `stateCol` is a
+    * value on the to-side (X→null is counted) but indistinguishable
+    * from "no predecessor" on the from-side, so null→X pairs are
+    * dropped with the firsts — callers with nullable states should
+    * coalesce to a sentinel first (same asymmetry in pathTrigrams).
     */
   def transitions(
       df: DataFrame, keyCol: String, orderCols: Seq[Column],
@@ -299,14 +303,19 @@ object Profile {
     * Cross-multiplied counts instead of FP proportions: bit-exact on
     * any partitioning, no ε-tolerance needed in monitoring.
     *
-    * `inB` must be a NON-NULL boolean per row (a null would silently
-    * land in cohort A via the otherwise-branch). One hash groupBy +
-    * a 1-row total broadcast back. Overflow bound: n·N < 2^63.
+    * Rows where `inB` evaluates NULL belong to NEITHER cohort and are
+    * dropped (SQL FILTER semantics — an otherwise-branch would
+    * silently fold them into cohort A and diverge from any
+    * FILTER-based truth). One hash groupBy + a 1-row total broadcast
+    * back; the category-grain aggregate is checkpointed once so the
+    * totals pass doesn't re-scan the corpus. Overflow: n·N < 2^63.
     */
   def distDrift(df: DataFrame, cat: Column, inB: Column): DataFrame = {
-    val g = df.groupBy(cat.as("category")).agg(
-      sum(when(inB, 0L).otherwise(1L)).as("n_a"),
-      sum(when(inB, 1L).otherwise(0L)).as("n_b"))
+    val g = df.filter(inB.isNotNull)
+      .groupBy(cat.as("category")).agg(
+        sum(when(inB, 0L).otherwise(1L)).as("n_a"),
+        sum(when(inB, 1L).otherwise(0L)).as("n_b"))
+      .localCheckpoint()
     val tot = g.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
     g.crossJoin(broadcast(tot))
       .select(col("category"), col("n_a"), col("n_b"),

@@ -114,10 +114,13 @@ object Quality {
     * broadcast back.
     */
   def firstDigitReport(df: DataFrame, value: Column): DataFrame = {
+    // checkpoint the 9-row digit aggregate: the total pass would
+    // otherwise re-scan the corpus (SKILL.md multi-consumer lesson)
     val d = df.select(value.cast("long").as("__v"))
       .filter(col("__v") > 0)
       .select(substring(col("__v").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     d.crossJoin(broadcast(d.agg(sum(col("n")).as("__t"))))
       .select(col("digit"), col("n"), expr("(n * 1000000) div __t").as("ppm"))
   }

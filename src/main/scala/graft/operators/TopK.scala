@@ -38,7 +38,11 @@ object TopK {
       counts: DataFrame, labelCol: String, weightCol: String, n: Int,
       otherLabel: String = "OTHER"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val w = Window.orderBy(col(weightCol).desc, col(labelCol))
+    // asc_nulls_last pinned explicitly: Spark's asc default is NULLS
+    // FIRST, ANSI/DuckDB's is NULLS LAST — a null label tying on
+    // weight at the n boundary would otherwise be cut differently per
+    // engine (desc sides already agree on NULLS LAST)
+    val w = Window.orderBy(col(weightCol).desc, col(labelCol).asc_nulls_last)
     counts
       .withColumn("__rk", row_number().over(w))
       .select(

@@ -69,6 +69,18 @@ class FeatureSpec extends SparkSpec {
     assert(days.forall(d => got.exists(_._2 == d)))
   }
 
+  test("densifyDays excludes null keys entirely (no zero-faked series, no dropped counts)") {
+    val daily = Seq((Some("a"), "2024-01-01", 5L), (None, "2024-01-02", 7L))
+      .toDF("k", "day", "n")
+    val got = Feature.densifyDays(daily, "k", "day", "n")
+      .as[(String, String, Long)].collect().toSet
+    // the null-key row must not appear at all — an equi-join scaffold
+    // would have emitted a fabricated all-zero series for it while
+    // silently dropping the real count of 7
+    assert(got == Set(("a", "2024-01-01", 5L)),
+      s"null key must be excluded, not zero-faked: $got")
+  }
+
   test("scaleMinMax plans ONE exchange for both min and max windows") {
     val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
     val plan = Feature.scaleMinMax(df, "k", col("v"))
