@@ -2046,6 +2046,45 @@ object SparkEntry {
         .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
           greatest(col("__sa"), col("__sb")).as("source_b"))
         .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // ── root+depth over a parent-pointer forest by POINTER DOUBLING
+    // (O(log depth) self-joins, the ConnectedComponents discipline) —
+    // synthetic 7-root forest: parent(n) = n − 7, chains ~70 deep,
+    // resolved in 7 rounds where a naive walk needs 70 ──
+    "q158_tree_paths" -> ((s, dir) =>
+      graft.operators.TreePaths.rootAndDepth(
+        t(s, dir, "documents").select(col("doc_id").as("node"),
+          when(col("doc_id") < 7, col("doc_id"))
+            .otherwise(col("doc_id") - 7).as("parent")))),
+
+    // ── gaps-and-islands, the gap half: per user, the quiet span
+    // before each session (sessions are disjoint ⇒ start_us is a
+    // total within-user order) ──
+    "q159_session_gaps" -> ((s, dir) => {
+      val spans = graft.operators.Sessionize.sessionSpansUs(
+        t(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("start_us")
+      spans.withColumn("__prev_end", lag(col("end_us"), 1).over(w))
+        .filter(col("__prev_end").isNotNull)
+        .select(col("user_id"), col("start_us"),
+          expr("(start_us - __prev_end) div 1000").as("gap_ms"))
+    }),
+
+    // ── exact pro-rata: split each order's total cents across its
+    // (partkey, suppkey) item groups proportional to item revenue,
+    // largest-remainder exact — Σ alloc == order total PER ORDER ──
+    "q160_prorata" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .agg(sum(expr("CAST(l_extendedprice * 100 AS BIGINT)")).as("item_cents"))
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        expr("CAST(o_totalprice * 100 AS BIGINT)").as("total_cents"))
+      graft.operators.Sampling.prorataAllocate(
+        items.join(orders, col("l_orderkey") === col("o_orderkey")),
+        "l_orderkey", "item_cents", "total_cents",
+        Seq("l_partkey", "l_suppkey"))
     })
   )
 
@@ -4434,6 +4473,72 @@ object SparkEntry {
         |FROM p JOIN documents x ON x.doc_id = da
         |JOIN documents y ON y.doc_id = db
         |GROUP BY 1, 2""".stripMargin,
+
+    // Independent truth by naive recursion — the engine's log-round
+    // doubling must produce the identical forest resolution.
+    "q158_tree_paths" ->
+      """WITH RECURSIVE up AS (
+        |  SELECT doc_id AS node, doc_id AS cur, CAST(0 AS BIGINT) AS depth
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT node, cur - 7, depth + 1 FROM up WHERE cur >= 7)
+        |SELECT node, cur AS root, depth FROM up WHERE cur < 7""".stripMargin,
+
+    // The q43 session CTE; gap = this session's start minus the
+    // previous session's end, per user.
+    "q159_session_gaps" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |sp AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS su, max(epoch_us(ts)) AS eu
+        |  FROM s GROUP BY user_id, sid),
+        |g AS (
+        |  SELECT user_id, su AS start_us,
+        |    (su - lag(eu) OVER (PARTITION BY user_id ORDER BY su)) // 1000
+        |      AS gap_ms
+        |  FROM sp)
+        |SELECT user_id, start_us, gap_ms FROM g
+        |WHERE gap_ms IS NOT NULL""".stripMargin,
+
+    // Hamilton largest-remainder per order with revenue weights; the
+    // (rem desc, partkey, suppkey) rank is total at the aggregated
+    // item grain.
+    "q160_prorata" ->
+      """WITH items AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(sum(CAST(trunc(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS w
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, w,
+        |    CAST(trunc(o_totalprice * 100) AS BIGINT) AS t
+        |  FROM items JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE w >= 0),
+        |q AS (
+        |  SELECT *, CAST(sum(w) OVER (PARTITION BY l_orderkey) AS BIGINT) AS ws
+        |  FROM j),
+        |r AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, w, t,
+        |    (t * w) // ws AS quota, (t * w) % ws AS rem,
+        |    CAST(sum((t * w) // ws) OVER (PARTITION BY l_orderkey) AS BIGINT)
+        |      AS qsum
+        |  FROM q WHERE ws > 0),
+        |k AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY rem DESC, l_partkey, l_suppkey) AS rk
+        |  FROM r)
+        |SELECT l_orderkey, l_partkey, l_suppkey, w AS weight,
+        |  quota + CASE WHEN rk <= t - qsum THEN 1 ELSE 0 END AS alloc
+        |FROM k""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

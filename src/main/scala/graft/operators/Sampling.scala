@@ -380,6 +380,44 @@ object Sampling {
       .select(col(stratumCol), col("n_rows"), col("alloc"))
   }
 
+  /** Exact pro-rata allocation at JOIN grain (payment splitting, cost
+    * attribution, revenue sharing): within each `keyCol` group, split
+    * that group's `totalCol` units across its rows proportionally to
+    * `weightCol`, largest-remainder exact — Σ alloc == total PER KEY,
+    * all-integer (the Hamilton discipline of [[apportion]] applied
+    * per-group with weights instead of counts). `tieCols` must make
+    * the within-key order total (the q94 lesson) or the remainder
+    * units land on engine-dependent rows. Zero-weight-sum groups
+    * allocate everything to rank 1..total? No — they have no basis:
+    * quota is 0 for every row and the leftover goes to the first
+    * `total mod n`… meaningless; such groups are DROPPED (a group
+    * with no positive weight cannot be split pro-rata).
+    *
+    * Shape: one keyed exchange shared by the two window passes (group
+    * sum + remainder rank) and the projection — no joins, no driver.
+    */
+  def prorataAllocate(
+      df: DataFrame, keyCol: String, weightCol: String, totalCol: String,
+      tieCols: Seq[String]): DataFrame = {
+    require(tieCols.nonEmpty, "need tie-break columns for a total order")
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      .orderBy(col("__rem").desc +: tieCols.map(col): _*)
+    df.select(Seq(col(keyCol), col(weightCol).cast("long").as("__w"),
+        col(totalCol).cast("long").as("__t")) ++ tieCols.map(col): _*)
+      .filter(col("__w") >= 0)
+      .withColumn("__ws", sum(col("__w")).over(wKey))
+      .filter(col("__ws") > 0)
+      .withColumn("quota", expr("(__t * __w) div __ws"))
+      .withColumn("__rem", expr("(__t * __w) % __ws"))
+      .withColumn("__left", col("__t") - sum(col("quota")).over(wKey))
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("alloc",
+        col("quota") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select((col(keyCol) +: tieCols.map(col)) ++
+        Seq(col("__w").as("weight"), col("alloc")): _*)
+  }
+
   /** Exact-budget weighted mixture: [[apportion]] splits the budget
     * across strata by size, then each stratum keeps its `alloc`
     * highest-priority rows under the [[prioritySample]] draw (w/u

@@ -100,4 +100,22 @@ class CcSpec extends SparkSpec {
     assert(reps.count() == clusters.select("cluster").distinct().count())
     assert(reps.filter(col("doc_id") =!= col("cluster")).isEmpty)
   }
+
+  test("TreePaths: deep chain + flat star resolve exactly; cycle throws") {
+    import spark.implicits._
+    // one 200-deep chain rooted at 0 (parent = n-1) + a 3-leaf star at 1000
+    val edges = ((0L to 200L).map(n => (n, math.max(0L, n - 1))) ++
+      Seq((1000L, 1000L), (1001L, 1000L), (1002L, 1000L), (1003L, 1000L)))
+      .toDF("node", "parent")
+    val got = graft.operators.TreePaths.rootAndDepth(edges.repartition(7))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(200L) == ((0L, 200L)) && got(1L) == ((0L, 1L)) && got(0L) == ((0L, 0L)))
+    assert(got(1003L) == ((1000L, 1L)) && got(1000L) == ((1000L, 0L)))
+    assert(got.size == 205)
+    // a 2-cycle never converges: the doubling loop must throw, not spin
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("node", "parent")
+    intercept[IllegalStateException] {
+      graft.operators.TreePaths.rootAndDepth(cyc, maxRounds = 8)
+    }
+  }
 }

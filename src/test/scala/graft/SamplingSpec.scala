@@ -232,6 +232,34 @@ class SamplingSpec extends SparkSpec {
     assert(kept == Seq("a"), "the crossing row is kept, nothing after it")
   }
 
+  test("prorataAllocate: per-key sums exact, remainder to largest-rem rows, zero-weight groups dropped") {
+    val df = Seq(
+      // key a: total 10 over weights 1,1,1 → quotas 3,3,3, leftover 1
+      // equal rems → tie on id: id1 gets the unit
+      ("a", 1L, 10L, 1L), ("a", 1L, 10L, 2L), ("a", 1L, 10L, 3L),
+      // key b: total 7 over weights 5,2 → quotas 5,2 exactly
+      ("b", 5L, 7L, 1L), ("b", 2L, 7L, 2L),
+      // key z: all-zero weights → dropped
+      ("z", 0L, 9L, 1L), ("z", 0L, 9L, 2L)
+    ).toDF("k", "w", "t", "id")
+    val got = Sampling.prorataAllocate(df.repartition(5), "k", "w", "t", Seq("id"))
+      .select("k", "id", "alloc").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", 1L)) == 4L && got(("a", 2L)) == 3L && got(("a", 3L)) == 3L)
+    assert(got(("b", 1L)) == 5L && got(("b", 2L)) == 2L)
+    assert(!got.keySet.exists(_._1 == "z"), "no-positive-weight groups have no pro-rata basis")
+    // invariant on random data: per-key Σ alloc == total
+    val rnd = new scala.util.Random(11)
+    val big = (0 until 500).map(i =>
+      (s"k${i % 17}", rnd.nextInt(1000).toLong, 100L + (i % 17) * 13L, i.toLong))
+      .toDF("k", "w", "t", "id")
+    val sums = Sampling.prorataAllocate(big, "k", "w", "t", Seq("id"))
+      .groupBy("k").agg(sum("alloc").as("s")).as[(String, Long)].collect().toMap
+    (0 until 17).foreach { g =>
+      assert(sums(s"k$g") == 100L + g * 13L, s"k$g: ${sums(s"k$g")}")
+    }
+  }
+
   test("prioritySample favors heavy rows and plans TakeOrdered") {
     // two-point weights: 100 heavy rows (w=1000) among 5000 light (w=1)
     val df = (0L until 5000L).map(i => (i, if (i % 50 == 0) 1000L else 1L)).toDF("id", "w")
