@@ -121,7 +121,8 @@ object Bench {
     "q150_daily_bands", "q151_topn_other", "q152_twa",
     "q153_minhash_sets_contract", "q154_orc_roundtrip", "q155_csv_roundtrip",
     "q156_pack_stats", "q157_dup_sources", "q158_tree_paths",
-    "q159_session_gaps", "q160_prorata")
+    "q159_session_gaps", "q160_prorata", "q161_rolling_distinct_contract",
+    "q162_interpolate")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

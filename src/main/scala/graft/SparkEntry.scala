@@ -2072,6 +2072,47 @@ object SparkEntry {
           expr("(start_us - __prev_end) div 1000").as("gap_ms"))
     }),
 
+    // ── rolling distinct users via MERGEABLE daily HLL sketches: one
+    // sketch per day, calendar range-frame union over the trailing
+    // week, estimate checked against the exact trailing distinct —
+    // THE way a 100-TB pipeline does rolling distincts (the window
+    // runs over 30 day-grain sketch rows, never the data) ──
+    "q161_rolling_distinct_contract" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+          col("user_id"))
+        .filter(col("user_id").isNotNull)
+      val daily = ev.groupBy("day_idx")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("__sk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("day_idx").rangeBetween(-6, 0)
+      val est = daily.withColumn("__est",
+          hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false)).over(w)))
+        .select(col("day_idx"), round(col("__est")).cast("long").as("__est_l"))
+      val du = ev.distinct().localCheckpoint()
+      val exact = du.as("a")
+        .join(du.select(col("day_idx").as("__d")).distinct().as("b"),
+          col("a.day_idx").between(col("__d") - 6, col("__d")))
+        .groupBy(col("__d").as("day_idx"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("day_idx"))
+        .withColumn("ok",
+          abs(col("__est_l") - col("n_exact")) * 20 <= col("n_exact"))
+        .select("day_idx", "n_exact", "ok")
+    }),
+
+    // ── integer linear interpolation between nearest observations
+    // (the other half of q133's LOCF): per user, null measures lerp
+    // between neighboring purchase amounts on the µs axis ──
+    "q162_interpolate" -> ((s, dir) =>
+      graft.operators.Feature.interpolateLinear(
+          t(s, dir, "events").withColumn("__us", unix_micros(col("ts"))),
+          "user_id", Seq(col("__us"), col("event_id")), col("__us"),
+          when(col("event_type") === "purchase",
+            expr("CAST(value * 100 AS BIGINT)")),
+          as = "interp_cents")
+        .select(col("event_id"), col("user_id"), col("interp_cents"))),
+
     // ── exact pro-rata: split each order's total cents across its
     // (partkey, suppkey) item groups proportional to item revenue,
     // largest-remainder exact — Σ alloc == order total PER ORDER ──
@@ -4539,6 +4580,51 @@ object SparkEntry {
         |SELECT l_orderkey, l_partkey, l_suppkey, w AS weight,
         |  quota + CASE WHEN rk <= t - qsum THEN 1 ELSE 0 END AS alloc
         |FROM k""".stripMargin,
+
+    // Exact trailing-7-calendar-day distinct; the sketch verdict is
+    // pinned TRUE (q62/q145 pattern — HLL lgK=12 ≈ 1.6% σ vs the 5%
+    // band).
+    "q161_rolling_distinct_contract" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day_idx AS d FROM du)
+        |SELECT d AS day_idx, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS ok
+        |FROM days JOIN du ON du.day_idx BETWEEN d - 6 AND d
+        |GROUP BY 1""".stripMargin,
+
+    // Same frames: running last + following first, both conditioned on
+    // the value-not-null predicate; integer lerp, both engines
+    // truncate div toward zero.
+    "q162_interpolate" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(trunc(value * 100) AS BIGINT) END AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, t, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER pw AS pt,
+        |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER pw AS pv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER nw AS nt,
+        |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER nw AS nv
+        |  FROM e
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    nw AS (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pt IS NOT NULL AND nt > pt
+        |      THEN pv + ((nv - pv) * (t - pt)) // (nt - pt)
+        |    WHEN pt IS NOT NULL AND nt = pt THEN pv
+        |  END AS interp_cents
+        |FROM w""".stripMargin,
 
     // Identical truth to q114: the stream must agree with the batch
     // fold exactly, including the same 5% sample and tie walk.

@@ -105,6 +105,46 @@ object Feature {
       .withColumn(measureCol, coalesce(col(measureCol), lit(zero)))
   }
 
+  /** Linear interpolation of missing values — the other half of
+    * [[gapFill]]'s last-observation-carried-forward: a null `value` is
+    * replaced by the integer lerp between the nearest non-null
+    * neighbors on the `tUs` axis, prev_v + ((next_v − prev_v) ·
+    * (t − prev_t)) div (next_t − prev_t) — all-BIGINT (both engines
+    * truncate integer division toward zero, verified). Rows before the
+    * first or after the last observation stay null (no extrapolation).
+    * `orderCols` must be total per key; the neighbor columns are each
+    * conditioned on the SAME value-not-null predicate, so prev_t and
+    * prev_v always come from the same row without struct plumbing.
+    *
+    * Shape: one keyed exchange, two frames (running last + following
+    * first) over one sort.
+    */
+  def interpolateLinear(
+      df: DataFrame, keyCol: String, orderCols: Seq[Column], tUs: Column,
+      value: Column, as: String = "interp"): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val wPrev = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val v = value.cast("long")
+    val t = tUs.cast("long")
+    df.withColumn("__v", v).withColumn("__t", t)
+      .withColumn("__pt", last(when(col("__v").isNotNull, col("__t")), ignoreNulls = true).over(wPrev))
+      .withColumn("__pv", last(when(col("__v").isNotNull, col("__v")), ignoreNulls = true).over(wPrev))
+      .withColumn("__nt", first(when(col("__v").isNotNull, col("__t")), ignoreNulls = true).over(wNext))
+      .withColumn("__nv", first(when(col("__v").isNotNull, col("__v")), ignoreNulls = true).over(wNext))
+      .withColumn(as,
+        when(col("__v").isNotNull, col("__v"))
+          // degenerate zero-length span (both neighbors at one t —
+          // possible with tied timestamps): take prev, don't divide
+          // (Spark's x div 0 is null but DuckDB's // 0 ERRORS)
+          .when(col("__pt").isNotNull && col("__nt") > col("__pt"),
+            expr("__pv + ((__nv - __pv) * (__t - __pt)) div (__nt - __pt)"))
+          .when(col("__pt").isNotNull && col("__nt") === col("__pt"), col("__pv")))
+      .drop("__v", "__t", "__pt", "__pv", "__nt", "__nv")
+  }
+
   /** Forward-fill: per `keyCol`, carry the last non-null `value`
     * forward through the rows in `orderCols` order (sensor readings,
     * last-known account state, slowly-arriving attributes). Rows

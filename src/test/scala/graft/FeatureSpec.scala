@@ -69,6 +69,30 @@ class FeatureSpec extends SparkSpec {
     assert(days.forall(d => got.exists(_._2 == d)))
   }
 
+  test("interpolateLinear: exact integer lerp, no extrapolation, tied-t degenerate span") {
+    val df = Seq(
+      (1L, 0L, Some(100L)), (1L, 25L, None), (1L, 50L, None), (1L, 100L, Some(300L)),
+      (1L, 150L, None), // after last obs -> null
+      (2L, 5L, None),   // before first obs -> null
+      (2L, 10L, Some(7L))
+    ).toDF("u", "t", "v")
+    val got = Feature.interpolateLinear(df.repartition(3), "u",
+        Seq(col("t")), col("t"), col("v"))
+      .select("u", "t", "interp").as[(Long, Long, Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 25L)).contains(150L), "100 + 200*25/100")
+    assert(got((1L, 50L)).contains(200L))
+    assert(got((1L, 100L)).contains(300L), "observations pass through")
+    assert(got((1L, 150L)).isEmpty && got((2L, 5L)).isEmpty, "no extrapolation")
+    // tied timestamps around a null: prev and next at the same t -> prev value
+    val tied = Seq((9L, 10L, 1L, Some(4L)), (9L, 10L, 2L, None), (9L, 10L, 3L, Some(8L)))
+      .toDF("u", "t", "o", "v")
+    val g2 = Feature.interpolateLinear(tied, "u", Seq(col("t"), col("o")),
+        col("t"), col("v"))
+      .select("o", "interp").as[(Long, Option[Long])].collect().toMap
+    assert(g2(2L).contains(4L), "zero-length span takes prev, never divides by zero")
+  }
+
   test("densifyDays excludes null keys entirely (no zero-faked series, no dropped counts)") {
     val daily = Seq((Some("a"), "2024-01-01", 5L), (None, "2024-01-02", 7L))
       .toDF("k", "day", "n")
