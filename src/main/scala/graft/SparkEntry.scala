@@ -2113,6 +2113,53 @@ object SparkEntry {
           as = "interp_cents")
         .select(col("event_id"), col("user_id"), col("interp_cents"))),
 
+    // ── conversion latency: first view → first purchase per user,
+    // exact discrete latency percentiles + convert count ──
+    "q163_conversion_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firsts = ev
+        .filter(col("event_type").isin("view", "purchase") &&
+          col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", unix_micros(col("ts"))))
+            .as("__v"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("__p"))
+        .filter(col("__v").isNotNull && col("__p") > col("__v"))
+        .select(expr("(__p - __v) div 1000").as("lat_ms"))
+      firsts.agg(
+        count(lit(1)).as("n_converts"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_ms)")
+          .cast("long").as("p50_ms"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_ms)")
+          .cast("long").as("p90_ms"))
+    }),
+
+    // ── clamped running balance — the fold window functions cannot
+    // express (balance = max(0, balance + delta) is non-linear):
+    // per-user ordered fold via aggregate() over the sorted event
+    // list, certified against DuckDB's list_reduce (the q48/q125 fold
+    // parity discipline). Per-key state is the user's OWN events only
+    // (bounded); the fold is a codegen'd higher-order function ──
+    "q164_clamped_balance" -> ((s, dir) => {
+      val delta = expr("""CASE WHEN event_type = 'purchase'
+        THEN CAST(value * 100 AS BIGINT)
+        WHEN event_type = 'error' THEN -CAST(value * 100 AS BIGINT)
+        ELSE 0L END""")
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+            delta.as("d")).as("__e"))
+        .groupBy("user_id")
+        .agg(collect_list(col("__e")).as("__evs"))
+        .select(col("user_id"),
+          expr("""aggregate(
+            transform(array_sort(__evs), e -> e.d),
+            0L, (acc, d) -> greatest(0L, acc + d))""").as("balance"))
+    }),
+
     // ── exact pro-rata: split each order's total cents across its
     // (partkey, suppkey) item groups proportional to item revenue,
     // largest-remainder exact — Σ alloc == order total PER ORDER ──
@@ -4549,6 +4596,46 @@ object SparkEntry {
         |  FROM sp)
         |SELECT user_id, start_us, gap_ms FROM g
         |WHERE gap_ms IS NOT NULL""".stripMargin,
+
+    // First-view → first-purchase latency; quantile_disc == the
+    // engine's percentile_disc on integral ms.
+    "q163_conversion_latency" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |l AS (
+        |  SELECT (p - v) // 1000 AS lat_ms FROM f
+        |  WHERE v IS NOT NULL AND p > v)
+        |SELECT count(*) AS n_converts,
+        |  quantile_disc(lat_ms, 0.5) AS p50_ms,
+        |  quantile_disc(lat_ms, 0.9) AS p90_ms
+        |FROM l""".stripMargin,
+
+    // The q48/q125 fold-parity discipline: list_sort of the struct
+    // list orders (us, eid, d) exactly like Spark's array_sort;
+    // list_prepend(0, …) makes the init-less fold match aggregate().
+    "q164_clamped_balance" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(trunc(value * 100) AS BIGINT)
+        |    WHEN event_type = 'error'
+        |      THEN -CAST(trunc(value * 100) AS BIGINT)
+        |    ELSE 0 END AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (
+        |  SELECT user_id,
+        |    list_transform(list_sort(list({'us': us, 'eid': event_id, 'd': d})),
+        |      x -> x.d) AS ds
+        |  FROM e GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(list_reduce(list_prepend(0, ds),
+        |    (acc, d) -> greatest(0, acc + d)) AS BIGINT) AS balance
+        |FROM g""".stripMargin,
 
     // Hamilton largest-remainder per order with revenue weights; the
     // (rem desc, partkey, suppkey) rank is total at the aggregated
