@@ -189,7 +189,17 @@ object Bench {
     catch { case _: Throwable => () }
 
     var errors = Map.empty[String, String]
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // TRACKED queries first, then detail-only: plain name order runs
+    // every q1xx detail query BEFORE q1_agg ("q100" < "q1_" — '0' <
+    // '_'), so the frozen 89-query map was measuring under the FULL
+    // suite's accumulated JVM pressure and inflated ~35% as the suite
+    // grew (135 s at 164 queries vs 99 s at 152 for the identical
+    // map). Running the frozen map first keeps its cross-round
+    // comparison surface stable no matter how many detail queries the
+    // suite gains.
+    val selected = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (DetailOnlyQueries.contains(name), name)
+    }
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to nRuns).map { _ =>
