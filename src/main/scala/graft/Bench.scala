@@ -122,7 +122,8 @@ object Bench {
     "q153_minhash_sets_contract", "q154_orc_roundtrip", "q155_csv_roundtrip",
     "q156_pack_stats", "q157_dup_sources", "q158_tree_paths",
     "q159_session_gaps", "q160_prorata", "q161_rolling_distinct_contract",
-    "q162_interpolate", "q163_conversion_latency", "q164_clamped_balance")
+    "q162_interpolate", "q163_conversion_latency", "q164_clamped_balance",
+    "q165_decile_lift")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -2160,6 +2160,32 @@ object SparkEntry {
             0L, (acc, d) -> greatest(0L, acc + d))""").as("balance"))
     }),
 
+    // ── decile lift table: users ranked by spend into 10 equal-count
+    // bins via row_number (total order — ntile's tie split is
+    // engine-dependent), per-decile spend + cumulative share ppm; the
+    // ranking windows run over the user-grain aggregate only ──
+    "q165_decile_lift" -> ((s, dir) => {
+      val spend = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(expr("CAST(value * 100 AS BIGINT)")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents").desc, col("user_id"))
+      val deciles = spend
+        .withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("decile", expr("((__rk - 1) * 10) div __n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+      deciles
+        .withColumn("__tot", sum(col("cents")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("cum_share_ppm",
+          expr("(sum(cents) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) div __tot"))
+        .drop("__tot")
+    }),
+
     // ── exact pro-rata: split each order's total cents across its
     // (partkey, suppkey) item groups proportional to item revenue,
     // largest-remainder exact — Σ alloc == order total PER ORDER ──
@@ -4636,6 +4662,29 @@ object SparkEntry {
         |  CAST(list_reduce(list_prepend(0, ds),
         |    (acc, d) -> greatest(0, acc + d)) AS BIGINT) AS balance
         |FROM g""".stripMargin,
+
+    // row_number deciles (total order), integer cumulative share.
+    "q165_decile_lift" ->
+      """WITH spend AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents DESC, user_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM spend),
+        |d AS (
+        |  SELECT ((rk - 1) * 10) // n AS decile, count(*) AS n_users,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM r GROUP BY 1)
+        |SELECT decile, n_users, cents,
+        |  (CAST(sum(cents) OVER (ORDER BY decile
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   * 1000000) // CAST(sum(cents) OVER () AS BIGINT) AS cum_share_ppm
+        |FROM d""".stripMargin,
 
     // Hamilton largest-remainder per order with revenue weights; the
     // (rem desc, partkey, suppkey) rank is total at the aggregated
