@@ -2199,7 +2199,40 @@ object SparkEntry {
         items.join(orders, col("l_orderkey") === col("o_orderkey")),
         "l_orderkey", "item_cents", "total_cents",
         Seq("l_partkey", "l_suppkey"))
-    })
+    }),
+
+    // ── scale-safe equi-depth (the q120 family's 100-TB formulation):
+    // boundaries from exact percentile_disc over the DETERMINISTIC md5
+    // sample — ordered-set buffer bounded at rate·|orders| — counts
+    // over the full table still exact against those boundaries ──
+    "q166_equidepth_sampled" -> ((s, dir) =>
+      graft.operators.Histogram.equiDepthSampled(
+        t(s, dir, "orders"), "o_totalprice", buckets = 8,
+        sampleKey = col("o_orderkey"), rate = 0.2, salt = "eqd-v1")),
+
+    // ── q150's daily bands with NO ordered-set buffer anywhere in the
+    // plan: exact percentile_disc picked from the value histogram's
+    // running weight (rational pick predicate, all-integer) —
+    // IDENTICAL output, same oracle SQL as q150 ──
+    "q167_daily_bands_hist" -> ((s, dir) =>
+      graft.operators.Quantiles.histPercentiles(
+        t(s, dir, "events").select(dayKey(col("ts")).as("day"), col("value")),
+        Seq("day"), expr("CAST(value * 100 AS BIGINT)"),
+        Seq(("p10", 1L, 10L), ("p50", 1L, 2L), ("p90", 9L, 10L)))),
+
+    // ── q143's median+MAD with NO ordered-set buffer: both passes on
+    // the (key, value) histogram — identical output, same oracle ──
+    "q168_mad_hist" -> ((s, dir) =>
+      graft.operators.Quantiles.madRobustHist(t(s, dir, "events"),
+        "event_type", expr("CAST(value * 100 AS BIGINT)"))),
+
+    // ── scale-safe winsorize: clip bounds from the md5-sampled exact
+    // percentiles, comparison-only clip over the full table ──
+    "q169_winsorize_sampled" -> ((s, dir) =>
+      graft.operators.Feature.winsorizeSampled(
+          t(s, dir, "orders"), "o_totalprice", loQ = 0.05, hiQ = 0.95,
+          sampleKey = col("o_orderkey"), rate = 0.2, salt = "win-v1")
+        .select(col("o_orderkey"), col("o_totalprice"), col("clipped")))
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -4950,6 +4983,74 @@ object SparkEntry {
         |    AS n_true_heavy,
         |  TRUE AS all_heavy_found, TRUE AS under_bound_ok,
         |  TRUE AS never_overcounts
-        |FROM e CROSS JOIN t GROUP BY n""".stripMargin
+        |FROM e CROSS JOIN t GROUP BY n""".stripMargin,
+
+    // q120's shape with the boundary CTE restricted to the identical
+    // md5 sample (thresholdHex(0.2) = '33333333' — the q58 predicate
+    // mirroring); counts over the full table.
+    "q166_equidepth_sampled" ->
+      """WITH sm AS (
+        |  SELECT o_totalprice FROM orders
+        |  WHERE substr(md5(concat_ws(':', 'eqd-v1',
+        |    CAST(o_orderkey AS VARCHAR))), 1, 8) < '33333333'),
+        |b AS (
+        |  SELECT quantile_disc(o_totalprice, 0.125) AS b0,
+        |    quantile_disc(o_totalprice, 0.25) AS b1,
+        |    quantile_disc(o_totalprice, 0.375) AS b2,
+        |    quantile_disc(o_totalprice, 0.5) AS b3,
+        |    quantile_disc(o_totalprice, 0.625) AS b4,
+        |    quantile_disc(o_totalprice, 0.75) AS b5,
+        |    quantile_disc(o_totalprice, 0.875) AS b6
+        |  FROM sm)
+        |SELECT CASE WHEN o_totalprice <= b0 THEN 0 WHEN o_totalprice <= b1 THEN 1
+        |  WHEN o_totalprice <= b2 THEN 2 WHEN o_totalprice <= b3 THEN 3
+        |  WHEN o_totalprice <= b4 THEN 4 WHEN o_totalprice <= b5 THEN 5
+        |  WHEN o_totalprice <= b6 THEN 6 ELSE 7 END AS bucket,
+        |  count(*) AS n
+        |FROM orders CROSS JOIN b
+        |WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // IDENTICAL SQL to q150 — the histogram formulation must reproduce
+    // the buffered percentile_disc exactly, ties included.
+    "q167_daily_bands_hist" ->
+      """WITH v AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(trunc(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT day, quantile_disc(c, 0.1) AS p10, quantile_disc(c, 0.5) AS p50,
+        |  quantile_disc(c, 0.9) AS p90, count(*) AS n
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // IDENTICAL SQL to q143 — hist-form MAD must match the buffered
+    // two-pass percentile_disc bit for bit.
+    "q168_mad_hist" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(trunc(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, quantile_disc(c, 0.5) AS median,
+        |    count(*) AS n
+        |  FROM v GROUP BY 1)
+        |SELECT v.event_type, n, median,
+        |  quantile_disc(abs(c - median), 0.5) AS mad
+        |FROM v JOIN m USING (event_type)
+        |GROUP BY v.event_type, n, median""".stripMargin,
+
+    // q132's clip with the bounds CTE on the md5 sample
+    // (thresholdHex(0.2) = '33333333').
+    "q169_winsorize_sampled" ->
+      """WITH sm AS (
+        |  SELECT o_totalprice FROM orders
+        |  WHERE substr(md5(concat_ws(':', 'win-v1',
+        |    CAST(o_orderkey AS VARCHAR))), 1, 8) < '33333333'),
+        |b AS (
+        |  SELECT quantile_disc(o_totalprice, 0.05) AS lo,
+        |    quantile_disc(o_totalprice, 0.95) AS hi
+        |  FROM sm)
+        |SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_totalprice IS NOT NULL
+        |    THEN greatest(lo, least(hi, o_totalprice)) END AS clipped
+        |FROM orders CROSS JOIN b""".stripMargin
   )
 }

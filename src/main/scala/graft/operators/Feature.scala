@@ -33,9 +33,30 @@ object Feature {
     */
   def winsorize(
       df: DataFrame, valueCol: String, loQ: Double, hiQ: Double,
-      as: String = "clipped"): DataFrame = {
+      as: String = "clipped"): DataFrame =
+    winsorizeFrom(df, df, valueCol, loQ, hiQ, as)
+
+  /** Scale-safe winsorize: clip bounds computed on a DETERMINISTIC hash
+    * sample (`Sampling.hashSample` on `sampleKey`) so the ordered-set
+    * buffer holds rate·|df| values, not |df| — the
+    * Histogram.equiDepthSampled knob applied to clipping. The clip over
+    * the full data is still comparison-only against those bounds
+    * (outputs bit-identical to inputs), and the md5 draw is
+    * engine-reproducible, so the oracle certifies the exact rows.
+    */
+  def winsorizeSampled(
+      df: DataFrame, valueCol: String, loQ: Double, hiQ: Double,
+      sampleKey: Column, rate: Double, salt: String = "",
+      as: String = "clipped"): DataFrame =
+    winsorizeFrom(Sampling.hashSample(df, sampleKey, rate, salt),
+      df, valueCol, loQ, hiQ, as)
+
+  /** Bounds from `boundsSrc`, clip applied to `df`. */
+  private def winsorizeFrom(
+      boundsSrc: DataFrame, df: DataFrame, valueCol: String, loQ: Double,
+      hiQ: Double, as: String): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ, s"bad quantiles [$loQ, $hiQ]")
-    val bounds = df.agg(
+    val bounds = boundsSrc.agg(
       expr(s"percentile_disc($loQ) WITHIN GROUP (ORDER BY `$valueCol`)").as("__lo"),
       expr(s"percentile_disc($hiQ) WITHIN GROUP (ORDER BY `$valueCol`)").as("__hi"))
     df.crossJoin(broadcast(bounds))

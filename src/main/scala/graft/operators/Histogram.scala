@@ -56,13 +56,36 @@ object Histogram {
     * Shape: one ordered-set aggregate for the 1-row boundary frame
     * (broadcast), one conditional projection + groupBy over the scan.
     */
-  def equiDepth(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+  def equiDepth(df: DataFrame, valueCol: String, buckets: Int): DataFrame =
+    equiDepthFrom(df, df, valueCol, buckets)
+
+  /** Scale-safe equi-depth: identical shape to [[equiDepth]], but the
+    * percentile boundaries are computed on a DETERMINISTIC hash sample
+    * (`Sampling.hashSample` keyed on `sampleKey`), so the single-reducer
+    * ordered-set buffer holds rate·|df| values instead of |df| — the
+    * knob that keeps exact `percentile_disc` viable at 100 TB (rate
+    * 1e-5 of 100 TB ≈ a bounded in-memory sample; rank error of a
+    * uniform m-row sample is O(1/√m), independent of corpus size).
+    * Bucket COUNTS over the full data are still exact against the
+    * sampled boundaries, and the md5 draw makes the whole result
+    * engine-reproducible — the oracle replays the identical sample.
+    */
+  def equiDepthSampled(
+      df: DataFrame, valueCol: String, buckets: Int, sampleKey: Column,
+      rate: Double, salt: String = ""): DataFrame =
+    equiDepthFrom(Sampling.hashSample(df, sampleKey, rate, salt),
+      df, valueCol, buckets)
+
+  /** Boundaries from `boundsSrc`, bucket counts over `df`. */
+  private def equiDepthFrom(
+      boundsSrc: DataFrame, df: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
     require(buckets >= 2 && buckets <= 100, s"buckets in [2,100], got $buckets")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
     val bExprs = qs.zipWithIndex.map { case (q, i) =>
       expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY `$valueCol`)").as(s"b$i")
     }
-    val bounds = df.agg(bExprs.head, bExprs.tail: _*)
+    val bounds = boundsSrc.agg(bExprs.head, bExprs.tail: _*)
     val assign = (0 until buckets - 1).foldRight(lit(buckets - 1L)) {
       case (i, rest) => when(col("v") <= col(s"b$i"), i.toLong).otherwise(rest)
     }
