@@ -121,6 +121,51 @@ class PlansSpec extends SparkSpec {
       s"TopKByScore lost its partial aggregation:\n$tk")
   }
 
+  // ── catalog-wide global-exchange sweep (round-7 audit item #3) ──
+  // The invariant behind every "window over the aggregated frame only"
+  // comment in the catalog (TopK.topNWithOther, Histogram bounds,
+  // decile lift, …): a SinglePartition shuffle may only ever carry
+  // AGGREGATE-GRAIN or LIMITED rows, never raw corpus rows. Structural
+  // check: every ShuffleExchange(SinglePartition) in every batch query
+  // plan must have an aggregate / group-limit / limit somewhere below
+  // it. String-matching can't express "below", so this walks the tree.
+  private def rowGrainSingles(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val boundedBelow = ".*(Aggregate|WindowGroupLimit|Limit|TakeOrdered).*"
+    plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition &&
+          !e.child.exists(_.getClass.getSimpleName.matches(boundedBelow)) =>
+        e.child.getClass.getSimpleName
+    }
+  }
+
+  test("catalog sweep: no batch query ships row-grain data through a SinglePartition exchange") {
+    // streaming replays execute a full multi-trigger run just to build
+    // the result frame; their plans are asserted in StreamingSpec
+    val names = SparkEntry.queries.keys.toSeq.filterNot(_.contains("stream")).sorted
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain tree: collect() sees the real exchanges
+    try {
+      // negative control first — the detector must actually fire on the
+      // misuse it guards against (topNWithOther over a raw frame):
+      val raw = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select($"l_partkey".cast("string").as("lbl"), $"l_quantity".cast("long").as("w"))
+      assert(rowGrainSingles(
+        graft.operators.TopK.topNWithOther(raw, "lbl", "w", 5)
+          .queryExecution.executedPlan).nonEmpty,
+        "detector failed to flag a global window over a raw corpus frame")
+
+      val offenders = names.flatMap { q =>
+        rowGrainSingles(SparkEntry.queries(q)(spark, sf0001)
+          .queryExecution.executedPlan).map(c => s"$q: SinglePartition over $c")
+      }
+      assert(offenders.isEmpty,
+        s"row-grain SinglePartition exchanges in the catalog:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("GraftExtensions injection applies cleanly to a fresh extensions object") {
     // a full spark.sql.extensions round trip needs an isolated
     // SparkContext (getOrCreate would return the suite session and
