@@ -1374,6 +1374,12 @@ object SparkEntry {
       val topk = udaf(new graft.operators.TypedAgg.TopKByScore(3),
         org.apache.spark.sql.Encoders.product[graft.operators.TypedAgg.Scored])
       t(s, dir, "events")
+        // Scored.score is a primitive Double: a null value would fail at
+        // encoder time with an opaque non-nullable-field error, so
+        // filter defensively like the q139/q150 siblings (round-7
+        // advisory; the corpus has no null values today, so the oracle
+        // mirror below is a no-op on current data)
+        .filter(col("value").isNotNull)
         .groupBy("event_type")
         .agg(topk(col("event_id"), col("value")).as("top"))
         .select(col("event_type"), posexplode(col("top")))
@@ -3688,6 +3694,7 @@ object SparkEntry {
     "q96_topk_agg" ->
       """SELECT event_type, row_number() OVER w AS rank, event_id, value
         |FROM events
+        |WHERE value IS NOT NULL
         |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
         |QUALIFY row_number() OVER w <= 3""".stripMargin,
 
@@ -4544,11 +4551,13 @@ object SparkEntry {
         |  SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common
         |  FROM s a JOIN s b ON a.member = b.member AND a.grp < b.grp
         |  GROUP BY 1, 2)
-        |SELECT grp_a, grp_b, sa.n AS n_a, sb.n AS n_b, n_common,
-        |  (n_common * 1000000) // (sa.n + sb.n - n_common) AS jaccard_ppm,
+        |SELECT sa.grp AS grp_a, sb.grp AS grp_b, sa.n AS n_a, sb.n AS n_b,
+        |  COALESCE(n_common, 0) AS n_common,
+        |  (COALESCE(n_common, 0) * 1000000)
+        |    // (sa.n + sb.n - COALESCE(n_common, 0)) AS jaccard_ppm,
         |  TRUE AS sketch_ok
-        |FROM c JOIN sz sa ON sa.grp = grp_a
-        |JOIN sz sb ON sb.grp = grp_b""".stripMargin,
+        |FROM sz sa JOIN sz sb ON sa.grp < sb.grp
+        |LEFT JOIN c ON c.grp_a = sa.grp AND c.grp_b = sb.grp""".stripMargin,
 
     // Truth from the parquet originals — the ORC write/read must be a
     // faithful roundtrip to hash-match.

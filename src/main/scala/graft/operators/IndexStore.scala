@@ -76,12 +76,19 @@ object IndexStore {
     * `marker` is the subpath whose existence certifies a committed
     * index (the params table every index format here writes); a `path`
     * that exists WITHOUT its marker is a damaged artifact from a
-    * pre-staging writer and is deleted before rebuilding.
+    * pre-staging writer and is removed before rebuilding — by ATOMIC
+    * RENAME to a trash name, never an in-place recursive delete, so a
+    * tree that a concurrent run committed between our marker check and
+    * the removal is captured whole and reinstated instead of destroyed
+    * (round-7 advisory TOCTOU), and concurrent readers never observe a
+    * half-deleted tree. Expected deployment is still one writer per
+    * index path; the rename discipline just makes concurrent misuse
+    * non-destructive.
     */
   def ensure(path: String, marker: String = "params")(build: String => Unit): String = {
     val dest = new File(path)
     if (new File(dest, marker).exists()) return path
-    if (dest.exists()) deleteRecursively(dest) // damaged: no marker
+    if (dest.exists() && removeDamaged(dest, marker)) return path
     val staging = new File(path + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
     try {
       build(staging.getPath)
@@ -97,6 +104,32 @@ object IndexStore {
       case t: Throwable => deleteRecursively(staging); throw t
     }
     path
+  }
+
+  /** Remove a presumed-damaged (marker-less) tree at `dest` via atomic
+    * rename-to-trash. Returns true iff a VALID tree is at `dest` on
+    * return — i.e. a concurrent commit landed inside the check→remove
+    * window and was preserved (reinstated from trash, or a newer winner
+    * already took `dest`). Package-visible so the race arm is testable
+    * without a real race.
+    */
+  private[graft] def removeDamaged(dest: File, marker: String): Boolean = {
+    val trash = new File(
+      dest.getPath + ".trash-" + java.util.UUID.randomUUID().toString.take(8))
+    if (!dest.renameTo(trash))
+      // rename refused: dest vanished or was atomically replaced under
+      // us — valid iff the replacement carries the marker
+      return new File(dest, marker).exists()
+    if (new File(trash, marker).exists()) {
+      // captured a concurrently committed valid tree — put it back; if
+      // yet another commit already took dest, keep that winner instead
+      if (trash.renameTo(dest)) return true
+      if (new File(dest, marker).exists()) { deleteRecursively(trash); return true }
+      throw new IllegalStateException(
+        s"valid index tree for $dest stranded at $trash during damaged-artifact removal")
+    }
+    deleteRecursively(trash)
+    false
   }
 
   private def deleteRecursively(f: File): Unit = {

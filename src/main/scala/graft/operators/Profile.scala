@@ -144,8 +144,22 @@ object Profile {
       .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
         size(filter(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => when(x === y, lit(1))), c => c.isNotNull)).as("__match"))
-    setOverlap(df, groupCol, memberCol)
-      .join(est, Seq("grp_a", "grp_b"))
+    // Verify from the FULL pair frame (the sigs self-join), not from
+    // setOverlap's output: setOverlap only emits pairs with ≥1 shared
+    // member, so DISJOINT pairs — where a spuriously high minhash
+    // estimate is exactly the failure of interest — would never be
+    // checked (round-7 advisory). Missing exact rows mean jaccard = 0.
+    val sizes = pairs.groupBy("grp").agg(count(lit(1)).as("__n"))
+    est
+      .join(setOverlap(df, groupCol, memberCol), Seq("grp_a", "grp_b"), "left")
+      .join(sizes.select(col("grp").as("grp_a"), col("__n").as("__na")), Seq("grp_a"))
+      .join(sizes.select(col("grp").as("grp_b"), col("__n").as("__nb")), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        coalesce(col("n_a"), col("__na")).as("n_a"),
+        coalesce(col("n_b"), col("__nb")).as("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("jaccard_ppm"), lit(0L)).as("jaccard_ppm"),
+        col("__match"))
       .withColumn("sketch_ok",
         abs(expr(s"(__match * 1000000) div $k") - col("jaccard_ppm"))
           <= lit(tolPpm))

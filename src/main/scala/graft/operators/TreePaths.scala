@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
 object TreePaths {
 
   def rootAndDepth(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    // Precondition, validated loudly (round-7 advisory): every parent id
+    // must itself be a node. The jump join below is INNER on `anc`, so a
+    // dangling parent pointer would silently drop its node's row (and,
+    // over rounds, the whole subtree hanging off it) — a cycle fails via
+    // maxRounds but a dangling pointer would be invisible row loss. One
+    // bounded anti-join job on the distinct parent set; id-grain, cheap
+    // next to the doubling rounds themselves.
+    val dangling = edges.select(col("parent")).distinct()
+      .join(edges.select(col("node")), col("parent") === col("node"), "left_anti")
+      .limit(3).collect()
+    require(dangling.isEmpty,
+      s"dangling parent pointer(s) not in the node set, e.g. " +
+        s"${dangling.map(_.get(0)).mkString(", ")} — the forest must have " +
+        "parents ⊆ nodes with roots self-parented")
     var cur = edges
       .select(col("node"), col("parent").as("anc"),
         when(col("node") === col("parent"), 0L).otherwise(1L).as("depth"))

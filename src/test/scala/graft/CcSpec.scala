@@ -117,5 +117,13 @@ class CcSpec extends SparkSpec {
     intercept[IllegalStateException] {
       graft.operators.TreePaths.rootAndDepth(cyc, maxRounds = 8)
     }
+    // a dangling parent pointer (parent id absent from the node set)
+    // must fail LOUDLY up front — the inner jump join would otherwise
+    // silently drop the node and its subtree (round-7 advisory)
+    val dangling = Seq((1L, 1L), (2L, 1L), (3L, 99L)).toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TreePaths.rootAndDepth(dangling)
+    }
+    assert(e.getMessage.contains("99"), s"error should name the dangling id: ${e.getMessage}")
   }
 }

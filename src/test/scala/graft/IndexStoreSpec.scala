@@ -55,6 +55,30 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(new File(path, "params").exists())
   }
 
+  test("removeDamaged preserves a concurrently committed valid tree; removes a marker-less one") {
+    // the round-7 TOCTOU arm: between ensure()'s marker check and the
+    // removal, a concurrent run may commit a valid tree — removeDamaged
+    // must capture it whole (atomic rename) and reinstate it, never
+    // recursively delete it. Exercised directly since a real race window
+    // is not deterministically schedulable.
+    val root = tmpDir()
+    val dest = new File(root, "idx")
+    new File(dest, "params").mkdirs()
+    val payload = new File(dest, "params/data.bin")
+    Files.write(payload.toPath, Array[Byte](1, 2, 3))
+    assert(IndexStore.removeDamaged(dest, "params"),
+      "a valid tree captured mid-removal must be reported as present")
+    assert(new File(dest, "params/data.bin").exists(),
+      "the reinstated tree must be byte-complete at the original path")
+    assert(root.listFiles().forall(!_.getName.contains(".trash")),
+      "no trash residue after reinstatement")
+    // and the actually-damaged shape is removed and reported absent
+    val dmg = new File(root, "idx2")
+    new File(dmg, "bands").mkdirs()
+    assert(!IndexStore.removeDamaged(dmg, "params"))
+    assert(!dmg.exists(), "marker-less tree must be gone")
+  }
+
   test("fingerprint changes when a data file's size or mtime changes") {
     val data = tmpDir()
     val f = new File(data, "part-00000.parquet")

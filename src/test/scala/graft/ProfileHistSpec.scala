@@ -259,9 +259,13 @@ class ProfileHistSpec extends SparkSpec {
   }
 
   test("minhashSetContract: identical sets estimate 1.0; random overlap within tolerance; deterministic") {
-    // A == B (jaccard 1e6 ppm); C shares half of A (jaccard ~1/3)
+    // A == B (jaccard 1e6 ppm); C shares half of A (jaccard ~1/3);
+    // D is DISJOINT from everything — the pair where a spuriously high
+    // estimate is the failure of interest (round-7 advisory: these rows
+    // were previously never verified because setOverlap omits them)
     val rows = (0L until 200L).flatMap(m => Seq(("A", m), ("B", m))) ++
-      (100L until 300L).map(m => ("C", m))
+      (100L until 300L).map(m => ("C", m)) ++
+      (10000L until 10100L).map(m => ("D", m))
     val df = rows.toDF("g", "m")
     val out = graft.operators.Profile
       .minhashSetContract(df.repartition(7), "g", "m", k = 128)
@@ -270,6 +274,10 @@ class ProfileHistSpec extends SparkSpec {
     assert(out(("A", "B"))._3 == 1000000L && out(("A", "B"))._4,
       "identical sets: exact 1.0 and the sketch must agree (all registers equal)")
     assert(out(("A", "C"))._4 && out(("B", "C"))._4, s"overlap pairs in tolerance: $out")
+    assert(out.size == 6, s"ALL 4-choose-2 pairs must be verified, disjoint included: $out")
+    for (p <- Seq(("A", "D"), ("B", "D"), ("C", "D")))
+      assert(out(p)._3 == 0L && out(p)._4,
+        s"disjoint pair $p: exact jaccard 0 and the sketch estimate must stay under tolerance")
     // determinism: same input, different partitioning, same verdictful row set
     val out2 = graft.operators.Profile
       .minhashSetContract(df.repartition(2), "g", "m", k = 128)
