@@ -2238,7 +2238,26 @@ object SparkEntry {
       graft.operators.Feature.winsorizeSampled(
           t(s, dir, "orders"), "o_totalprice", loQ = 0.05, hiQ = 0.95,
           sampleKey = col("o_orderkey"), rate = 0.2, salt = "win-v1")
-        .select(col("o_orderkey"), col("o_totalprice"), col("clipped")))
+        .select(col("o_orderkey"), col("o_totalprice"), col("clipped"))),
+
+    // ── REAL-format multimodal decode: RIFF/WAVE PCM chunk-walk parser
+    // over a binaryFile scan (q31's fixture-oracle discipline — expected
+    // rows authored from the sample generator formula by
+    // tools/gen_wav_fixtures.py, provenance-checked against the bytes).
+    // The fixture dir deliberately contains a float-format and a
+    // truncated file: the decoder must SKIP both, so the row set itself
+    // certifies the hostile-input discipline. Integer-exact features
+    // (sum|amp|, peak|amp|) so the oracle check is rows+schema+hash. ──
+    "q170_wav_decode" -> ((s, _) => {
+      import graft.ext.Multimodal
+      Multimodal.decodeWav(
+          Multimodal.asMediaFiles(Multimodal.readMedia(s, FixturesDir + "/audio")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("bitsPerSample").as("bits"), col("nFrames").as("n_frames"),
+          col("sumAbs").as("sum_abs"), col("peakAbs").as("peak_abs"))
+    })
   )
 
   /** Reference-domain fixtures (FIXTURES.md §A), authored in-repo so the
@@ -5060,6 +5079,13 @@ object SparkEntry {
         |SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_totalprice IS NOT NULL
         |    THEN greatest(lo, least(hi, o_totalprice)) END AS clipped
-        |FROM orders CROSS JOIN b""".stripMargin
+        |FROM orders CROSS JOIN b""".stripMargin,
+
+    // Expected decoded-WAV rows authored from the generator formula
+    // (tools/gen_wav_fixtures.py; provenance-checked) — the adversarial
+    // files' ABSENCE from this parquet is part of the contract.
+    "q170_wav_decode" ->
+      """SELECT name, sample_rate, channels, bits, n_frames, sum_abs, peak_abs
+        |FROM read_parquet('/root/repo/fixtures/audio_expected.parquet')""".stripMargin
   )
 }

@@ -153,6 +153,75 @@ object Multimodal {
     })
   }
 
+  case class WavRow(path: String, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nFrames: Long, sumAbs: Long, peakAbs: Int)
+
+  /** REAL-format audio decode: RIFF/WAVE PCM (the container every
+    * sound tool emits; public spec — RIFF magic, chunk walk, `fmt `,
+    * `data`). This is the non-synthetic decoder the GRF1 stub stands in
+    * for elsewhere: same mapPartitions shape, same hostile-input
+    * discipline (headers validated before any allocation, malformed or
+    * truncated files DROPPED — a bad file must not kill a 100-TB scan).
+    *
+    * Supported: format code 1 (integer PCM), 8-bit unsigned or 16-bit
+    * signed little-endian, any channel count; unknown chunks (LIST,
+    * cue, …) are skipped with odd-size pad bytes honored, so real-world
+    * files with metadata chunks parse. Features are INTEGER-exact
+    * (sum of |amplitude| and peak |amplitude| over all samples; 8-bit
+    * amplitude is value−128) so an oracle can certify them bit-for-bit
+    * — means/RMS are one division away downstream.
+    */
+  def decodeWav(files: Dataset[MediaFile]): Dataset[WavRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f => parseWav(f.path, f.content)))
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. */
+  private[graft] def parseWav(path: String, b: Array[Byte]): Option[WavRow] = {
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+    if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    val buf = ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+    var data: Option[(Int, Int)] = None          // (offset, length)
+    // chunk walk: id(4) size(u32 LE) payload size-padded-to-word
+    while (off + 8 <= b.length && data.isEmpty) {
+      val size = Integer.toUnsignedLong(buf.getInt(off + 4))
+      val payload = off + 8
+      if (payload + size > b.length) return None // truncated chunk: drop file
+      if (ascii(off, "fmt ") && size >= 16)
+        fmt = Some((buf.getShort(payload) & 0xffff,
+          buf.getShort(payload + 2) & 0xffff,
+          buf.getInt(payload + 4),
+          buf.getShort(payload + 14) & 0xffff))
+      else if (ascii(off, "data"))
+        data = Some((payload, size.toInt))
+      off = payload + size.toInt + (size.toInt & 1) // odd chunks carry a pad byte
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate, bits)), Some((dOff, dLen)))
+          if ch >= 1 && rate > 0 && (bits == 8 || bits == 16) =>
+        val bytesPerSample = bits / 8
+        val nSamples = dLen / bytesPerSample
+        val nFrames = nSamples.toLong / ch
+        var sumAbs = 0L
+        var peak = 0
+        var i = 0
+        while (i < nSamples) {
+          val amp =
+            if (bits == 16) math.abs(buf.getShort(dOff + i * 2).toInt)
+            else math.abs((b(dOff + i) & 0xff) - 128)
+          sumAbs += amp
+          if (amp > peak) peak = amp
+          i += 1
+        }
+        Some(WavRow(path, rate, ch, bits, nFrames, sumAbs, peak))
+      case _ => None // non-PCM, float, or no fmt/data chunk: skip
+    }
+  }
+
   /** Sample every Nth frame of video payloads (kind 2) — one output row
     * per kept frame; the flatMap shape is how frame extraction stays
     * distributed (a 2-hour video never materializes as one row

@@ -97,6 +97,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameSample(files, 1).count() == 0)
   }
 
+  test("decodeWav: real RIFF/WAVE fixtures decode to formula-exact features; hostile files skipped") {
+    import graft.ext.Multimodal.{decodeWav, parseWav}
+    val files = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/audio"))
+    val rows = decodeWav(files).collect()
+      .map(r => r.path.split('/').last -> r).toMap
+    // the adversarial float-format and truncated files must be absent
+    assert(rows.keySet == Set(
+      "pcm16_mono_8k.wav", "pcm16_stereo_44k.wav", "pcm8_mono_11k.wav"))
+    // formula truth (mirrors tools/gen_wav_fixtures.py):
+    // 16-bit s(i,ch) = ((i*773 + ch*131) % 4001) - 2000; 8-bit v-128
+    def s16(i: Int, ch: Int) = ((i * 773 + ch * 131) % 4001) - 2000
+    val monoAmps = (0 until 2048).map(i => math.abs(s16(i, 0)))
+    val m = rows("pcm16_mono_8k.wav")
+    assert((m.sampleRate, m.channels, m.bitsPerSample, m.nFrames) == ((8000, 1, 16, 2048L)))
+    assert(m.sumAbs == monoAmps.map(_.toLong).sum && m.peakAbs == monoAmps.max,
+      "LIST chunk with odd payload must be skipped with its pad byte, leaving data intact")
+    val st = rows("pcm16_stereo_44k.wav")
+    val stAmps = (0 until 1000).flatMap(i => Seq(math.abs(s16(i, 0)), math.abs(s16(i, 1))))
+    assert(st.nFrames == 1000L && st.channels == 2 && st.sumAbs == stAmps.map(_.toLong).sum)
+    val p8 = rows("pcm8_mono_11k.wav")
+    assert(p8.bitsPerSample == 8 && p8.nFrames == 500L &&
+      p8.sumAbs == (0 until 500).map(i => math.abs((i * 37 + 11) % 256 - 128).toLong).sum)
+
+    // parser-level hostile inputs (no filesystem round trip needed)
+    assert(parseWav("x", Array.fill[Byte](10)(0)).isEmpty, "short file")
+    assert(parseWav("x", "RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](40)(0)).isEmpty,
+      "no fmt/data chunks")
+    // chunk size that overruns the buffer must drop the file, not throw
+    val overrun = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "data".getBytes ++ Array[Byte](-1, -1, -1, 0x7f) ++ Array.fill[Byte](32)(0)
+    assert(parseWav("x", overrun).isEmpty)
+  }
+
   test("frameSample: every 2nd frame of the 6-frame video") {
     val frames = Multimodal.frameSample(media, 2).collect()
     assert(frames.map(_.frameIndex).sorted.toSeq == Seq(0, 2, 4))
