@@ -445,6 +445,19 @@ object StreamingReports {
     * the store would be key-partitioned so a batch rewrites only
     * partitions containing its keys (Merge scaladoc); checkpointed
     * offsets make the foreachBatch idempotent-by-version on restart.
+    *
+    * EXACTLY-ONCE COMMIT is manifest-based (round-7 audit item #6): a
+    * version exists IFF `_manifest/v<id>.json` exists, and committing
+    * is ONE atomic rename of a manifest temp file. Readers resolve the
+    * snapshot from the manifest directory alone — a bounded METADATA
+    * listing (one small file per version), never a listing of data
+    * directories, which is the operation an object store can serve
+    * inconsistently mid-write (the Delta/Iceberg transaction-log
+    * discipline scaled down). Every crash window replays idempotently:
+    * mid-data-write (partial dir, no Spark _SUCCESS) → rebuilt;
+    * data renamed but manifest missing → manifest re-committed WITHOUT
+    * rewriting the data; manifest committed → batch redelivery is a
+    * no-op.
     */
   def cdcUpsertStream(
       spark: SparkSession, eventsDir: String, storeRoot: String): StreamingQuery =
@@ -464,46 +477,83 @@ object StreamingReports {
       batch: DataFrame, storeRoot: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val dest = new java.io.File(f"$storeRoot/v$batchId%09d")
-    // restart idempotency: the checkpoint can re-deliver a batch whose
-    // version already committed — skip instead of failing; a PARTIAL
-    // dest (crash mid-write, no _SUCCESS) is damaged and is replaced
-    if (new java.io.File(dest, "_SUCCESS").exists()) return
-    if (dest.exists()) deleteRecursively(dest.toPath)
-    val compacted = graft.operators.Merge.compactLog(
-      batch.withColumn("op", lit("U")), "resourceId", "seq", col("eventId"))
-    val merged = latestCdcVersion(storeRoot) match {
-      case None => compacted.drop("op")
-      case Some(dir) =>
-        val snap = spark.read.parquet(dir)
-        val guarded = compacted
-          .join(snap.select(col("resourceId"),
-              struct(col("seq"), col("eventId")).as("__cur")),
-            Seq("resourceId"), "left")
-          .filter(col("__cur").isNull ||
-            struct(col("seq"), col("eventId")) > col("__cur"))
-          .drop("__cur")
-        graft.operators.Merge.merge(snap, guarded, "resourceId", "op")
+    // restart idempotency: committed means MANIFESTED — the checkpoint
+    // can re-deliver a batch whose version already committed; skip
+    if (manifestFile(storeRoot, batchId).exists()) return
+    // crash window: data fully renamed into place (it carries Spark's
+    // _SUCCESS) but the process died before the manifest commit — the
+    // data is whole and was computed from the same prior snapshot this
+    // redelivery sees, so re-commit the manifest WITHOUT rewriting.
+    // Anything else at dest is a partial tree and is replaced.
+    val destWhole = new java.io.File(dest, "_SUCCESS").exists()
+    if (dest.exists() && !destWhole) deleteRecursively(dest.toPath)
+    if (!destWhole) {
+      val compacted = graft.operators.Merge.compactLog(
+        batch.withColumn("op", lit("U")), "resourceId", "seq", col("eventId"))
+      val merged = latestCdcVersion(storeRoot) match {
+        case None => compacted.drop("op")
+        case Some(dir) =>
+          val snap = spark.read.parquet(dir)
+          val guarded = compacted
+            .join(snap.select(col("resourceId"),
+                struct(col("seq"), col("eventId")).as("__cur")),
+              Seq("resourceId"), "left")
+            .filter(col("__cur").isNull ||
+              struct(col("seq"), col("eventId")) > col("__cur"))
+            .drop("__cur")
+          graft.operators.Merge.merge(snap, guarded, "resourceId", "op")
+      }
+      // staged write + atomic rename (the IndexStore discipline):
+      // readers never observe a half-written data directory
+      val staging = new java.io.File(
+        s"$storeRoot/.staging-v$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
+      merged.write.mode("errorifexists").parquet(staging.getPath)
+      if (!staging.renameTo(dest)) {
+        deleteRecursively(staging.toPath)
+        sys.error(s"could not commit CDC store version $dest")
+      }
     }
-    // staged write + atomic rename (the IndexStore discipline): readers
-    // and latestCdcVersion never see a version without its _SUCCESS
-    val staging = new java.io.File(
-      s"$storeRoot/.staging-v$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
-    merged.write.mode("errorifexists").parquet(staging.getPath)
-    if (!staging.renameTo(dest)) {
-      deleteRecursively(staging.toPath)
-      sys.error(s"could not commit CDC store version $dest")
-    }
+    commitManifest(storeRoot, batchId, dest.getPath)
   }
 
-  /** Latest COMMITTED version: only dirs carrying Spark's _SUCCESS
-    * marker count — a partial tree from a crashed write must never be
-    * served as the snapshot.
+  private def manifestFile(storeRoot: String, batchId: Long): java.io.File =
+    new java.io.File(f"$storeRoot/_manifest/v$batchId%09d.json")
+
+  /** Publish a version: write the manifest to a temp name, then one
+    * atomic rename. A lost rename race (or a replayed commit) is
+    * idempotent — the content for a given version is identical.
+    */
+  private def commitManifest(
+      storeRoot: String, batchId: Long, dataDir: String): Unit = {
+    val mf = manifestFile(storeRoot, batchId)
+    mf.getParentFile.mkdirs()
+    val tmp = new java.io.File(mf.getParentFile,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.write(tmp.toPath,
+      s"""{"version":$batchId,"data":"${new java.io.File(dataDir).getName}"}"""
+        .getBytes("UTF-8"))
+    if (!tmp.renameTo(mf) && !mf.exists()) {
+      tmp.delete()
+      sys.error(s"could not commit CDC manifest $mf")
+    }
+    tmp.delete(): Unit // no-op if the rename consumed it
+  }
+
+  /** Latest COMMITTED version, resolved from the manifest directory
+    * alone — a bounded metadata listing (one small file per version).
+    * Data directories are never listed: a whole-looking but
+    * unmanifested tree (crash before manifest commit) must not be
+    * served as the snapshot, and object-store listings of in-progress
+    * data directories are exactly the non-atomic operation the
+    * manifest protocol exists to avoid. Orphan `.tmp-*` files from
+    * crashed manifest writes are ignored by the name filter.
     */
   private def latestCdcVersion(storeRoot: String): Option[String] =
-    Option(new java.io.File(storeRoot).listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        new java.io.File(f, "_SUCCESS").exists()).map(_.getPath).sorted)
+    Option(new java.io.File(storeRoot, "_manifest").listFiles())
+      .map(_.filter(f => f.isFile && f.getName.matches("v\\d{9}\\.json"))
+        .map(_.getName).sorted)
       .flatMap(_.lastOption)
+      .map(n => new java.io.File(storeRoot, n.stripSuffix(".json")).getPath)
 
   /** Replay the landing dir through [[cdcUpsertStream]] in two waves —
     * REVERSED, so the second wave is older than the first and the

@@ -289,6 +289,57 @@ class StreamingSpec extends SparkSpec {
     assert(v3 == fin + (("r3", 10L, "e4", "u4", 4L)))
   }
 
+  test("CDC manifest commit: every crash window replays exactly-once") {
+    import graft.streaming.StreamingReports
+    val store = java.nio.file.Files.createTempDirectory("graft-cdc-crash").toString
+    def batch(rows: Seq[(String, Long, String, String, Long)]) =
+      rows.toDF("resourceId", "seq", "eventId", "userId", "duration")
+    def snapshot(v: String) = spark.read.parquet(s"$store/$v")
+      .as[(String, Long, String, String, Long)].collect().toSet
+    def partFiles(v: String) = new java.io.File(s"$store/$v").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.length).toSet
+
+    StreamingReports.applyCdcBatch(batch(Seq(("r1", 100L, "e1", "u1", 1L))), store, 0L)
+    assert(new java.io.File(s"$store/_manifest/v000000000.json").exists(),
+      "a committed version must be manifested")
+
+    // WINDOW 1 — killed mid-data-write: partial version dir, no Spark
+    // _SUCCESS, no manifest. Replay must rebuild it from scratch.
+    val v1 = new java.io.File(s"$store/v000000001")
+    new java.io.File(v1, "part-junk").mkdirs()
+    StreamingReports.applyCdcBatch(batch(Seq(("r2", 50L, "e2", "u2", 2L))), store, 1L)
+    assert(snapshot("v000000001") ==
+      Set(("r1", 100L, "e1", "u1", 1L), ("r2", 50L, "e2", "u2", 2L)))
+
+    // WINDOW 2 — killed between the data rename and the manifest
+    // commit: whole data dir (has _SUCCESS), manifest missing. Replay
+    // must re-commit the manifest WITHOUT rewriting the data files.
+    StreamingReports.applyCdcBatch(batch(Seq(("r3", 10L, "e3", "u3", 3L))), store, 2L)
+    val mf2 = new java.io.File(s"$store/_manifest/v000000002.json")
+    val before = partFiles("v000000002")
+    assert(mf2.delete(), "simulate the crash by removing the manifest")
+    // with v2 unmanifested, the LATEST committed snapshot must be v1 —
+    // an unmanifested whole-looking tree is never served
+    StreamingReports.applyCdcBatch(batch(Seq(("r3", 10L, "e3", "u3", 3L))), store, 2L)
+    assert(mf2.exists(), "replay must re-commit the missing manifest")
+    assert(partFiles("v000000002") == before,
+      "re-committing an already-whole version must not rewrite its data files")
+    assert(snapshot("v000000002") == Set(("r1", 100L, "e1", "u1", 1L),
+      ("r2", 50L, "e2", "u2", 2L), ("r3", 10L, "e3", "u3", 3L)))
+
+    // WINDOW 3 — manifest committed, batch redelivered anyway (offset
+    // not yet checkpointed): byte-stable no-op even with different rows
+    StreamingReports.applyCdcBatch(batch(Seq(("rX", 1L, "eX", "uX", 9L))), store, 2L)
+    assert(partFiles("v000000002") == before && snapshot("v000000002").size == 3,
+      "a manifested version is immutable under redelivery")
+
+    // orphan manifest tmp from a crashed manifest write is ignored
+    java.nio.file.Files.write(
+      new java.io.File(s"$store/_manifest/.tmp-dead").toPath, "{}".getBytes)
+    StreamingReports.applyCdcBatch(batch(Seq(("r4", 5L, "e4", "u4", 4L))), store, 3L)
+    assert(snapshot("v000000003").map(_._1) == Set("r1", "r2", "r3", "r4"))
+  }
+
   test("cdcUpsertReplay equals the batch latest-event-per-resource truth") {
     import graft.streaming.StreamingReports
     val dir = "/root/repo/fixtures/events_json"
