@@ -2240,6 +2240,41 @@ object SparkEntry {
           sampleKey = col("o_orderkey"), rate = 0.2, salt = "win-v1")
         .select(col("o_orderkey"), col("o_totalprice"), col("clipped"))),
 
+    // ── ANN recall contract on the ADVERSARIAL corpus (round-7 audit
+    // item #7): hub-and-spoke embeddings with skewed cluster sizes
+    // (fixtures/embeddings_clustered.parquet, formula-authored on a
+    // power-of-two value grid so the brute-force truth is bit-exact
+    // cross-engine — tools/gen_clustered_embeddings.py). IVF's seed
+    // sampling is size-proportional, so the dominant hub absorbs
+    // several anchors and its queries' true top-k SPLIT across
+    // inverted lists: nprobe=1 without Lloyd refinement degrades, and
+    // the oracle PINS that degradation alongside the healthy config
+    // (nprobe≥3 + 2 Lloyd iters) — the nlist/nprobe guidance as a
+    // certified contract rather than prose. n_hit provenance: measured
+    // from this query on the fixed fixture (q46 discipline); n_exact
+    // is computed independently by the oracle's own brute-force SQL. ──
+    "q171_ann_recall_clustered" -> ((s, _) => {
+      val emb = s.read.parquet(FixturesDir + "/embeddings_clustered.parquet")
+      // queries: a spread of hub spokes plus EVERY bridge vector (ids
+      // ≥ 1045) — the boundary cases are the whole point of the fixture
+      val qs = emb.filter(col("vec_id") % 43 === 0 || col("vec_id") >= 1045)
+      val exact = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      def contract(method: String, approx: DataFrame): DataFrame =
+        exact.join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+          .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+            (col("n_hit") >= col("n_exact") * 0.9).as("recall_ok"))
+      contract("ivf_probe3_lloyd2",
+          SimSearch.ivfTopK(emb, qs, "vec_id", "embedding", k = 5,
+            nlist = 8, nprobe = 3, lloydIters = 2))
+        .unionByName(contract("ivf_probe1_raw",
+          SimSearch.ivfTopK(emb, qs, "vec_id", "embedding", k = 5,
+            nlist = 8, nprobe = 1, lloydIters = 0)))
+    }),
+
     // ── REAL-format multimodal decode: RIFF/WAVE PCM chunk-walk parser
     // over a binaryFile scan (q31's fixture-oracle discipline — expected
     // rows authored from the sample generator formula by
