@@ -124,7 +124,8 @@ object Bench {
     "q159_session_gaps", "q160_prorata", "q161_rolling_distinct_contract",
     "q162_interpolate", "q163_conversion_latency", "q164_clamped_balance",
     "q165_decile_lift", "q166_equidepth_sampled", "q167_daily_bands_hist",
-    "q168_mad_hist", "q169_winsorize_sampled", "q170_wav_decode")
+    "q168_mad_hist", "q169_winsorize_sampled", "q170_wav_decode",
+    "q171_ann_recall_clustered")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

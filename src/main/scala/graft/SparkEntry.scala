@@ -5121,6 +5121,38 @@ object SparkEntry {
     // files' ABSENCE from this parquet is part of the contract.
     "q170_wav_decode" ->
       """SELECT name, sample_rate, channels, bits, n_frames, sum_abs, peak_abs
-        |FROM read_parquet('/root/repo/fixtures/audio_expected.parquet')""".stripMargin
+        |FROM read_parquet('/root/repo/fixtures/audio_expected.parquet')""".stripMargin,
+
+    // q46 contract discipline on the ADVERSARIAL clustered fixture:
+    // n_exact comes from DuckDB's OWN brute-force top-5 (cosine, the
+    // q46 list_reduce shape; neighbor-id tie-break) — the power-of-two
+    // value grid makes that truth bit-exact cross-engine. n_hit is
+    // measured from the Spark query on the fixed fixture (445 / 372,
+    // stable across repeated runs — IVF seeding is deterministic). The
+    // pinned pair IS the nlist/nprobe guidance as a certified contract:
+    // probe3+lloyd2 recalls every exact pair on the hub-and-spoke
+    // corpus, probe1-without-Lloyd drops 73 of 445 (recall_ok=false).
+    "q171_ann_recall_clustered" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM read_parquet('/root/repo/fixtures/embeddings_clustered.parquet')
+        |), q AS (SELECT * FROM n WHERE vec_id % 43 = 0 OR vec_id >= 1045),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / sqrt(q.nn * c.nn) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored QUALIFY rank <= 5),
+        |hits(method, n_hit) AS (VALUES
+        |  ('ivf_probe3_lloyd2', CAST(445 AS BIGINT)),
+        |  ('ivf_probe1_raw', CAST(372 AS BIGINT)))
+        |SELECT method, n_exact, n_hit, n_hit >= n_exact * 0.9 AS recall_ok
+        |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin
   )
 }

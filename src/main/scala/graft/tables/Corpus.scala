@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.types.{LongType, StructField, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated parquet corpus (TESTDATA.md).
   *
@@ -36,16 +36,28 @@ object Corpus {
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
-  /** Parquet INT64(TIMESTAMP(NANOS)) columns are surfaced by Spark as
-    * LongType when `spark.sql.legacy.parquet.nanosAsLong` is set (Spark 4
-    * has no native nanos type); convert back to a proper timestamp.
-    * `div` is integral division — a double-precision `/` would lose
-    * precision at ~1.7e18 ns epoch values (> 2^53).
+  /** Normalize generator-era timestamp encodings to plain TimestampType:
+    *
+    *  - INT64(TIMESTAMP(NANOS)) surfaced as LongType under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (the pre-round-10 corpus;
+    *    Spark 4 has no native nanos type). `div` is integral division — a
+    *    double-precision `/` would lose precision at ~1.7e18 ns epoch
+    *    values (> 2^53).
+    *  - TIMESTAMP_NTZ (the round-10 regenerated corpus writes
+    *    timestamp[us] without isAdjustedToUTC). Functions like
+    *    unix_micros() accept only TimestampType; under the fixed UTC
+    *    session the cast reinterprets the same wall-clock instant, so
+    *    every downstream value (epoch math, date keys, month strings) is
+    *    identical to the nanos-era certified results. Applied to EVERY
+    *    NTZ column (ts, l_shipdate, o_orderdate) so the whole surface
+    *    keeps one timestamp type.
     */
   private def normalize(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
       case (d, StructField(name, LongType, _, _)) if name == "ts" =>
         d.withColumn(name, expr(s"timestamp_micros($name div 1000)"))
+      case (d, StructField(name, TimestampNTZType, _, _)) =>
+        d.withColumn(name, col(name).cast(TimestampType))
       case (d, _) => d
     }
 }
