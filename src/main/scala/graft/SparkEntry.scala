@@ -2292,6 +2292,33 @@ object SparkEntry {
           col("sampleRate").as("sample_rate"), col("channels"),
           col("bitsPerSample").as("bits"), col("nFrames").as("n_frames"),
           col("sumAbs").as("sum_abs"), col("peakAbs").as("peak_abs"))
+    }),
+
+    // ── multimodal COMPOSITION (round-8 advice #5): decoded audio
+    // features flow through the relational surface — broadcast join to a
+    // speaker dim, per-(speaker, day) aggregate; the platform_usage
+    // shape over audio. The dim deliberately lists the float-format and
+    // truncated files too: they never decode, so the inner join drops
+    // them — certifying that the decoder's hostile-input discipline
+    // COMPOSES downstream (bob's day-3 row must not exist). Duration is
+    // integer math (frames·1000 div rate) so the oracle check stays
+    // rows+schema+hash. Oracle side joins the same dim to the
+    // formula-authored audio_expected.parquet truth. ──
+    "q172_audio_report" -> ((s, _) => {
+      import graft.ext.Multimodal
+      val feats = Multimodal.decodeWav(
+          Multimodal.asMediaFiles(Multimodal.readMedia(s, FixturesDir + "/audio")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("sampleRate"), col("nFrames"), col("sumAbs"), col("peakAbs"))
+      val speakers = s.read.json(FixturesDir + "/audio_speakers.json")
+      feats.join(broadcast(speakers), Seq("name"))
+        .groupBy(col("speaker"), col("recordedDate").as("recorded_date"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("nFrames")).as("total_frames"),
+          sum(expr("nFrames * 1000 div sampleRate")).as("total_ms"),
+          max(col("peakAbs")).as("peak_abs"),
+          sum(col("sumAbs")).as("sum_abs_total"))
     })
   )
 
@@ -5153,6 +5180,21 @@ object SparkEntry {
         |  ('ivf_probe3_lloyd2', CAST(445 AS BIGINT)),
         |  ('ivf_probe1_raw', CAST(372 AS BIGINT)))
         |SELECT method, n_exact, n_hit, n_hit >= n_exact * 0.9 AS recall_ok
-        |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin
+        |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin,
+
+    // The dim lists the hostile files too; the join against the
+    // formula-authored truth (which omits them) drops them — the same
+    // drop the Spark side gets from decodeWav's parser returning None.
+    "q172_audio_report" ->
+      """SELECT s.speaker, CAST(s.recordedDate AS VARCHAR) AS recorded_date,
+        |  COUNT(*) AS n_clips,
+        |  CAST(SUM(a.n_frames) AS BIGINT) AS total_frames,
+        |  CAST(SUM(a.n_frames * 1000 // a.sample_rate) AS BIGINT) AS total_ms,
+        |  MAX(a.peak_abs) AS peak_abs,
+        |  CAST(SUM(a.sum_abs) AS BIGINT) AS sum_abs_total
+        |FROM read_parquet('/root/repo/fixtures/audio_expected.parquet') a
+        |JOIN read_json_auto('/root/repo/fixtures/audio_speakers.json') s
+        |  ON a.name = s.name
+        |GROUP BY 1, 2""".stripMargin
   )
 }

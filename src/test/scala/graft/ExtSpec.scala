@@ -202,6 +202,33 @@ class ExtSpec extends SparkSpec {
     assert(probedSampled != probedRefined, "Lloyd iterations changed no assignment at all")
   }
 
+  test("ivfTopK: the q171 degradation contract survives refactors — on the " +
+      "adversarial clustered fixture, nprobe=1 without Lloyd recalls STRICTLY " +
+      "less than nprobe=3 + 2 Lloyd iters") {
+    // The q171 oracle pins the measured numbers (445/445 vs 372/445);
+    // this spec pins the INEQUALITY itself, so a refactor of seeding or
+    // assignment that accidentally 'fixes' the documented degradation
+    // (or degrades the healthy config) fails here rather than silently
+    // invalidating the certified nlist/nprobe guidance.
+    val cemb = spark.read.parquet("/root/repo/fixtures/embeddings_clustered.parquet")
+    val qs = cemb.filter($"vec_id" % 43 === 0 || $"vec_id" >= 1045)
+    val exact = SimSearch.bruteForceTopK(cemb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(nprobe: Int, lloyd: Int): Double = {
+      val got = SimSearch.ivfTopK(cemb, qs, "vec_id", "embedding", 5,
+          nlist = 8, nprobe = nprobe, lloydIters = lloyd)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val healthy = recallOf(nprobe = 3, lloyd = 2)
+    val raw = recallOf(nprobe = 1, lloyd = 0)
+    assert(healthy >= 0.9, s"healthy config fell out of contract: $healthy")
+    assert(raw < healthy,
+      s"degradation disappeared: nprobe=1 raw recall $raw >= healthy $healthy — " +
+        "the hub-and-spoke fixture no longer splits true neighbors across lists")
+    assert(raw < 0.9, s"nprobe=1 raw recall $raw unexpectedly inside the 0.9 band")
+  }
+
   test("ngramJaccardPairs: inverted-index exact pairs == minhash-verified pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
