@@ -2294,6 +2294,43 @@ object SparkEntry {
           col("sumAbs").as("sum_abs"), col("peakAbs").as("peak_abs"))
     }),
 
+    // ── index DELETE path under the oracle (q89's inverse): build the
+    // stored index from the 4/5 corpus, tombstone the doc_id%10==9
+    // slice (an O(|deleted|) parquet append — bands/sets never
+    // rewritten), then probe with the batch. Result must equal brute
+    // force against corpus MINUS deleted — a tombstoned doc can never
+    // match again, and nothing else shifts. Staged commit like q89;
+    // content-keyed with a delete-generation suffix so the cached
+    // artifact can't be confused with q89's. ──
+    "q174_idx_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/documents.parquet")
+      val idxPath = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_mh_idxdel_${fp}_k3h128b32d1") { staging =>
+        Dedup.writeMinhashIndex(
+          Dedup.buildMinhashIndex(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", shingleK = 3, numHashes = 128, bands = 32),
+          staging)
+        Dedup.deleteFromMinhashIndex(
+          docs.filter(col("doc_id") % 10 === 9).select("doc_id"),
+          staging, "doc_id")
+      }
+      Dedup.nearDupPairsMinhashAgainstIndex(
+        docs.filter(col("doc_id") % 5 === 0), Dedup.readMinhashIndex(s, idxPath),
+        "doc_id", "text", threshold = 0.8)
+    }),
+
+    // ── exact repeated-SUBSTRING spans (Lee et al. arXiv:2107.06499,
+    // n-gram fingerprint form): token positions whose 8-token window
+    // appears in ≥2 distinct docs, merged into maximal per-doc spans —
+    // the boilerplate/quote repetition document-level dedup can't see.
+    // One explode + an md5-keyed df aggregate + a semi join; the span
+    // merge is the q108 islands machinery on token coordinates. ──
+    "q173_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDf = 2)),
+
     // ── multimodal COMPOSITION (round-8 advice #5): decoded audio
     // features flow through the relational surface — broadcast join to a
     // speaker dim, per-(speaker, day) aggregate; the platform_usage
@@ -5181,6 +5218,58 @@ object SparkEntry {
         |  ('ivf_probe1_raw', CAST(372 AS BIGINT)))
         |SELECT method, n_exact, n_hit, n_hit >= n_exact * 0.9 AS recall_ok
         |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin,
+
+    // q89's brute-force truth with the tombstoned slice excluded from
+    // the corpus side — the delete semantics in one predicate.
+    "q174_idx_delete" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS n_id, b.doc_id AS c_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 AND b.doc_id % 10 <> 9
+        |  GROUP BY 1, 2)
+        |SELECT n_id AS new_id, c_id AS corpus_id,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = n_id JOIN sz sb ON sb.doc_id = c_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin,
+
+    // The md5(gram) keys mirror Dedup.repeatedSpans exactly (same
+    // space-joined token windows, q105's tok/lead recipe); the islands
+    // merge is q108's flag/running-sum shape on token coordinates.
+    // span_seq's sum(flag) comes back HUGEINT — cast to BIGINT.
+    "q173_repeated_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, pos, md5(tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+        |    || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w || ' ' || lead(tok,5) OVER w
+        |    || ' ' || lead(tok,6) OVER w || ' ' || lead(tok,7) OVER w) AS g
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 7) OVER w IS NOT NULL),
+        |hot AS (SELECT g FROM ng GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM ng WHERE g IN (SELECT g FROM hot)),
+        |f AS (SELECT doc_id, s, e,
+        |  CASE WHEN max(e) OVER pre IS NULL OR s > max(e) OVER pre THEN 1 ELSE 0 END AS flag
+        |  FROM hits WINDOW pre AS (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g2 AS (SELECT doc_id, s, e,
+        |  CAST(sum(flag) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_seq
+        |  FROM f)
+        |SELECT doc_id, span_seq, min(s) AS span_start, max(e) AS span_end,
+        |  count(*) AS n_merged
+        |FROM g2 GROUP BY 1, 2""".stripMargin,
 
     // The dim lists the hostile files too; the join against the
     // formula-authored truth (which omits them) drops them — the same

@@ -233,13 +233,37 @@ object Dedup {
     */
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
     val p = spark.read.parquet(path + "/params").head()
-    MinhashIndex(
-      spark.read.parquet(path + "/bands")
-        .select(col("id").as("__id"), col("band"), col("bh")),
-      spark.read.parquet(path + "/sets")
-        .select(col("id").as("__id"), col("shingles").as("__sh")),
-      p.getInt(0), p.getInt(1), p.getInt(2))
+    val bands0 = spark.read.parquet(path + "/bands")
+      .select(col("id").as("__id"), col("band"), col("bh"))
+    val sets0 = spark.read.parquet(path + "/sets")
+      .select(col("id").as("__id"), col("shingles").as("__sh"))
+    val tombPath = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (bands, sets) =
+      if (fs.exists(tombPath)) {
+        val tomb = spark.read.parquet(path + "/tombstones").select("id")
+        (bands0.join(tomb, bands0("__id") === tomb("id"), "left_anti"),
+          sets0.join(tomb, sets0("__id") === tomb("id"), "left_anti"))
+      } else (bands0, sets0)
+    MinhashIndex(bands, sets, p.getInt(0), p.getInt(1), p.getInt(2))
   }
+
+  /** Tombstone ids in a persisted index — the RETRACTION path
+    * (takedowns, erasure requests, licence revocation). At 100 TB,
+    * rewriting bands/ and sets/ to remove a sliver is a full-index
+    * job; a tombstone is an O(|deleted|) parquet append of bare ids,
+    * and [[readMinhashIndex]] anti-joins them at load — every
+    * downstream consumer (probe, append-then-probe, decontaminate)
+    * becomes delete-aware with no further code. Tombstones are
+    * PERMANENT for an id: re-adding content requires a new id, or an
+    * index compaction that rewrites bands/sets without the tombstoned
+    * rows and drops the tombstone set. The anti-join's build side is
+    * the tombstone table (bounded by lifetime deletions, broadcast
+    * fodder), never the index.
+    */
+  def deleteFromMinhashIndex(deletedIds: DataFrame, path: String, idCol: String): Unit =
+    deletedIds.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(path + "/tombstones")
 
   /** INCREMENTAL near-dup: pairs (new_id, corpus_id, jaccard) between a
     * new batch and an existing corpus index — the production shape
@@ -393,5 +417,53 @@ object Dedup {
           .select(col(s"b.$idCol").as("__hid"), col("b.head_fp")),
         col("tail_fp") === col("head_fp") && col("__tid") =!= col("__hid"))
       .select(col("__tid").as("tail_doc"), col("__hid").as("head_doc"))
+  }
+
+  /** Exact repeated-SUBSTRING span detection — the n-gram-fingerprint
+    * formulation of suffix-style training-data dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): a token position is flagged when its n-token
+    * window occurs in ≥ `minDf` DISTINCT documents, and flagged
+    * positions merge into maximal repeated spans per document
+    * (inclusive 1-based token coordinates). This catches the
+    * boilerplate/quote/licence-block repetition that document-level
+    * dedup (exact/minhash/simhash above) cannot see, because the
+    * containing documents are globally distinct.
+    *
+    * Scale shape: one shingle explode (O(total tokens) rows), the
+    * gram-df aggregate keyed on md5(gram) — fixed 32-byte keys cross
+    * the shuffle, never raw n-gram strings (at n=8+ a gram is ~50-100+
+    * bytes; md5 bounds the exchange width, is available in DuckDB for
+    * oracle parity, and 128-bit collisions are negligible) — then a
+    * semi join back and a per-doc windowed merge bounded by doc
+    * length. No all-pairs term anywhere: at 100 TB the df aggregate is
+    * the only corpus-scale shuffle and it partial-aggregates map-side.
+    * Distinct-doc counting is exact here; swap `countDistinct` for a
+    * datasketches HLL + a df band when the gram dictionary itself is
+    * shuffle-hot (the q62 contract pattern).
+    *
+    * Spans merge on OVERLAP (start ≤ running max end), the
+    * [[graft.operators.Intervals.coalesceIntervals]] convention: two
+    * flagged windows at positions p and p+k overlap iff k < n. Output:
+    * (id, span_seq, span_start, span_end, n_merged) per merged span —
+    * n_merged is the count of flagged windows inside the span.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    require(n >= 2, s"window must span tokens, got n=$n")
+    require(minDf >= 2, s"a repeat needs at least 2 docs, got minDf=$minDf")
+    val pos = docs
+      .select(col(idCol), posexplode(
+          TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n))
+        .as(Seq("__p0", "__gram")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__s"),
+        md5(col("__gram")).as("__g"))
+    val hot = pos.groupBy("__g")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("__g")
+    val hits = pos.join(hot, Seq("__g"), "left_semi")
+      .select(col(idCol), col("__s"), (col("__s") + (n - 1)).as("__e"))
+    graft.operators.Intervals.coalesceIntervals(hits, idCol, "__s", "__e")
   }
 }

@@ -229,6 +229,46 @@ class ExtSpec extends SparkSpec {
     assert(raw < 0.9, s"nprobe=1 raw recall $raw unexpectedly inside the 0.9 band")
   }
 
+  test("repeatedSpans: planted cross-doc passage recovered at exact token " +
+      "coordinates; doc-INTERNAL repetition is not flagged (df counts docs)") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      // passage at token positions 3..12 (after two lead-in tokens)
+      (1L, s"intro words $passage trailing tail"),
+      // passage at positions 1..10
+      (2L, s"$passage other unrelated closing text here"),
+      // doc-internal repetition of a DIFFERENT 8-gram, twice in ONE doc:
+      // df(distinct docs) = 1 → must NOT be flagged
+      (3L, "one two three four five six seven eight filler one two three four five six seven eight"),
+      (4L, "completely unrelated vocabulary without any shared window at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 8, minDf = 2)
+      .select($"doc_id", $"span_start", $"span_end", $"n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the 10-token passage yields 3 flagged 8-windows per doc, merged
+    // into ONE span covering exactly the passage tokens
+    assert(spans == Set((1L, 3L, 12L, 3L), (2L, 1L, 10L, 3L)),
+      s"got $spans")
+  }
+
+  test("repeatedSpans: overlap-merge keeps separate spans separate and " +
+      "counts merged windows") {
+    // two repeated passages in one doc separated by >n unique tokens
+    // stay TWO spans; a doc pair sharing both passages gets both
+    val p1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val p2 = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val docs = Seq(
+      (10L, s"$p1 u1 u2 u3 u4 u5 u6 u7 u8 u9 $p2"),
+      (20L, s"x0 $p1 y1 y2 y3 y4 y5 y6 y7 y8 y9 $p2 z9")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 8, minDf = 2)
+      .select($"doc_id", $"span_start", $"span_end", $"n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set(
+      (10L, 1L, 8L, 1L), (10L, 18L, 26L, 2L),
+      (20L, 2L, 9L, 1L), (20L, 19L, 27L, 2L)), s"got $spans")
+  }
+
   test("ngramJaccardPairs: inverted-index exact pairs == minhash-verified pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
@@ -415,6 +455,37 @@ class ExtSpec extends SparkSpec {
       .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
     assert(got == Set((30L, 10L), (30L, 20L)),
       s"probe after append should match both original corpus and appended batch: $got")
+  }
+
+  test("deleteFromMinhashIndex: tombstoned docs never match again; equals a " +
+      "rebuild on the remaining corpus; append stays delete-aware") {
+    import graft.ext.Dedup
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((10L, txt), (11L, txt + " lambda"),
+      (12L, "unrelated corpus content text here")).toDF("doc_id", "text")
+    val batch = Seq((1L, txt)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_del").toString
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), dir)
+    Dedup.deleteFromMinhashIndex(Seq(10L).toDF("doc_id"), dir, "doc_id")
+    val got = Dedup.nearDupPairsMinhashAgainstIndex(
+        batch, Dedup.readMinhashIndex(spark, dir), "doc_id", "text", threshold = 0.6)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 11L)), s"tombstoned doc 10 resurfaced (or 11 lost): $got")
+    // equivalence: identical to an index built WITHOUT the deleted doc
+    val dir2 = java.nio.file.Files.createTempDirectory("mh_idx_del_rebuild").toString
+    Dedup.writeMinhashIndex(
+      Dedup.buildMinhashIndex(corpus.filter($"doc_id" =!= 10L), "doc_id", "text"), dir2)
+    val rebuilt = Dedup.nearDupPairsMinhashAgainstIndex(
+        batch, Dedup.readMinhashIndex(spark, dir2), "doc_id", "text", threshold = 0.6)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == rebuilt, "tombstone semantics diverged from a rebuild")
+    // append after delete: new content folds in, tombstone still holds
+    Dedup.appendToMinhashIndex(
+      Seq((20L, txt + " mu")).toDF("doc_id", "text"), dir, "doc_id", "text")
+    val got2 = Dedup.nearDupPairsMinhashAgainstIndex(
+        batch, Dedup.readMinhashIndex(spark, dir), "doc_id", "text", threshold = 0.6)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 11L), (1L, 20L)), s"append-after-delete wrong: $got2")
   }
 
   test("persisted IVF index: probe plan never re-assigns the corpus and matches build+probe") {
