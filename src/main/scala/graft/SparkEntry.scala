@@ -2294,6 +2294,30 @@ object SparkEntry {
           col("sumAbs").as("sum_abs"), col("peakAbs").as("peak_abs"))
     }),
 
+    // ── IVF index DELETE path (q174's discipline on the ANN side):
+    // build the stored index, tombstone the vec_id%10==7 slice
+    // (O(|deleted|) id append; lists/ never rewritten, anchors keep
+    // their geometry), probe EXHAUSTIVELY (nprobe = nlist) — the
+    // result must equal brute force over corpus MINUS deleted,
+    // independent of centroid positions (the q88/q42 exhaustive-mode
+    // truth), which makes the delete semantics oracle-exact. ──
+    "q175_ivf_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/embeddings.parquet")
+      val idxPath = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idxdel_${fp}_n16d1") { staging =>
+        SimSearch.writeIvfIndex(
+          SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16), staging)
+        SimSearch.deleteFromIvfIndex(
+          emb.filter(col("vec_id") % 10 === 7).select("vec_id"),
+          staging, "vec_id")
+      }
+      SimSearch.ivfTopKAgainstIndex(
+        SimSearch.readIvfIndex(s, idxPath),
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 16)
+    }),
+
     // ── index DELETE path under the oracle (q89's inverse): build the
     // stored index from the 4/5 corpus, tombstone the doc_id%10==9
     // slice (an O(|deleted|) parquet append — bands/sets never
@@ -5218,6 +5242,28 @@ object SparkEntry {
         |  ('ivf_probe1_raw', CAST(372 AS BIGINT)))
         |SELECT method, n_exact, n_hit, n_hit >= n_exact * 0.9 AS recall_ok
         |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin,
+
+    // q88's exhaustive-mode truth with the tombstoned slice excluded
+    // from the corpus side; queries themselves are never tombstoned
+    // (%50==0 and %10==7 are disjoint mod 10).
+    "q175_ivf_delete" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM embeddings
+        |), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / sqrt(q.nn * c.nn) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id AND c.vec_id % 10 <> 7)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+        |  cosine
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
 
     // q89's brute-force truth with the tombstoned slice excluded from
     // the corpus side — the delete semantics in one predicate.

@@ -431,13 +431,33 @@ object SimSearch {
 
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val p = spark.read.parquet(path + "/params").head()
+    val lists0 = spark.read.parquet(path + "/lists")
+      .select(col("id").as("neighbor_id"), col("vec").as("__cv2"), col("cid").as("__cid"))
+    val tombPath = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lists =
+      if (fs.exists(tombPath)) {
+        val tomb = spark.read.parquet(path + "/tombstones").select("id")
+        lists0.join(tomb, lists0("neighbor_id") === tomb("id"), "left_anti")
+      } else lists0
     IvfIndex(
       spark.read.parquet(path + "/anchors")
         .select(col("cid").as("__cid"), col("cvec").as("__cv")),
-      spark.read.parquet(path + "/lists")
-        .select(col("id").as("neighbor_id"), col("vec").as("__cv2"), col("cid").as("__cid")),
-      p.getInt(0))
+      lists, p.getInt(0))
   }
+
+  /** Tombstone vector ids in a persisted IVF index — same retraction
+    * discipline as `Dedup.deleteFromMinhashIndex`: an O(|deleted|)
+    * parquet append of bare ids, anti-joined out of lists/ at load, so
+    * probes never return a retracted vector and lists/ is never
+    * rewritten. Anchors keep their positions — a delete changes WHICH
+    * vectors a probe can return, not the partition geometry; recall on
+    * the survivors is unchanged (their assignments never moved).
+    * Tombstones are permanent per id; a compaction rebuild clears them.
+    */
+  def deleteFromIvfIndex(deletedIds: DataFrame, path: String, idCol: String): Unit =
+    deletedIds.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(path + "/tombstones")
 
   /** Probe-only IVF top-k against a (possibly stored) index: rank
     * anchors per query, keep `nprobe`, score only those lists. The

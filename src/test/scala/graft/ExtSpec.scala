@@ -488,6 +488,55 @@ class ExtSpec extends SparkSpec {
     assert(got2 == Set((1L, 11L), (1L, 20L)), s"append-after-delete wrong: $got2")
   }
 
+  test("compactMinhashIndex: probe-identical before/after, tombstones cleared, " +
+      "dead rows physically gone") {
+    import graft.ext.Dedup
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((10L, txt), (11L, txt + " lambda"),
+      (12L, "unrelated corpus content text here")).toDF("doc_id", "text")
+    val batch = Seq((1L, txt)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_cmp").toString + "/idx"
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), dir)
+    Dedup.deleteFromMinhashIndex(Seq(10L).toDF("doc_id"), dir, "doc_id")
+    def probe() = Dedup.nearDupPairsMinhashAgainstIndex(
+        batch, Dedup.readMinhashIndex(spark, dir), "doc_id", "text", threshold = 0.6)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val before = probe()
+    val bandsBefore = spark.read.parquet(dir + "/bands").count()
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(probe() == before, "compaction changed the probe result")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "/tombstones")),
+      "tombstones survived compaction")
+    val bandsAfter = spark.read.parquet(dir + "/bands").count()
+    assert(bandsAfter < bandsBefore, "compaction rewrote nothing")
+    // idempotent no-op when there is nothing to compact
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(probe() == before)
+  }
+
+  test("deleteFromIvfIndex: tombstoned vectors never surface; exhaustive probe " +
+      "equals brute force on the remaining corpus") {
+    import graft.ext.SimSearch
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_del").toString
+    SimSearch.writeIvfIndex(
+      SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8), dir)
+    SimSearch.deleteFromIvfIndex(
+      emb.filter($"vec_id" % 10 === 7).select("vec_id"), dir, "vec_id")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val got = SimSearch.ivfTopKAgainstIndex(
+        SimSearch.readIvfIndex(spark, dir), queries, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(!got.exists(_._2 % 10 == 7), "a tombstoned vector surfaced in top-k")
+    val want = SimSearch.bruteForceTopK(
+        emb.filter($"vec_id" % 10 =!= 7), queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == want, "delete-aware exhaustive probe diverged from brute force on survivors")
+  }
+
   test("persisted IVF index: probe plan never re-assigns the corpus and matches build+probe") {
     import graft.ext.SimSearch
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
