@@ -131,7 +131,8 @@ object Bench {
     "q165_decile_lift", "q166_equidepth_sampled", "q167_daily_bands_hist",
     "q168_mad_hist", "q169_winsorize_sampled", "q170_wav_decode",
     "q171_ann_recall_clustered", "q172_audio_report", "q173_repeated_spans",
-    "q174_idx_delete", "q175_ivf_delete")
+    "q174_idx_delete", "q175_ivf_delete", "q176_repetition_burden",
+    "q177_centroid_drift")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -2294,6 +2294,57 @@ object SparkEntry {
           col("sumAbs").as("sum_abs"), col("peakAbs").as("peak_abs"))
     }),
 
+    // ── repetition-burden report: q173's spans composed with per-doc
+    // token counts into the per-source operational rollup (which
+    // sources ship boilerplate, and how much of their token mass is
+    // repeated). covered_ppm is all-integer (·1e6 div). Docs without
+    // spans count with 0 covered tokens via the left join. ──
+    "q176_repetition_burden" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val perDoc = Dedup.repeatedSpans(docs, "doc_id", "text", n = 8, minDf = 2)
+        .groupBy("doc_id")
+        .agg(sum(col("span_end") - col("span_start") + 1).as("__cov"))
+      docs.select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("__ntok"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("__cov"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__cov") > 0, 1L).otherwise(0L)).as("docs_with_spans"),
+          sum(col("__ntok")).as("total_tokens"),
+          sum(col("__cov")).as("covered_tokens"))
+        .withColumn("covered_ppm",
+          expr("covered_tokens * 1000000 div total_tokens"))
+    }),
+
+    // ── embedding centroid drift between corpus versions (the
+    // monitoring report for an embedding pipeline): per-label mean
+    // vectors of version A (vec_id%2=0) vs B (%2=1), compared WITHOUT
+    // any floating-point accumulation — each component quantizes to
+    // round(x·2^20) (exact: float mantissa ≤ 24 bits, 2^20 shifts the
+    // exponent; the q63 round() parity), then the cross-multiplied L1
+    // distance Σ_p |sa·nb − sb·na| is pure integer arithmetic, so the
+    // oracle check is exact despite double means being fold-order
+    // nondeterministic. ONE corpus pass, one (label, pos)-grain
+    // shuffle (FILTER-style conditional aggregates). ──
+    "q177_centroid_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("label").isNotNull)
+      emb.select((col("vec_id") % 2).as("__ver"), col("label"),
+          posexplode(col("embedding")).as(Seq("__p0", "__x")))
+        .select(col("__ver"), col("label"), (col("__p0") + 1).as("p"),
+          round(col("__x").cast("double") * lit(1048576.0)).cast("long").as("__qx"))
+        .groupBy("label", "p")
+        .agg(sum(when(col("__ver") === 0, col("__qx"))).as("__sa"),
+          count(when(col("__ver") === 0, 1)).as("__na"),
+          sum(when(col("__ver") === 1, col("__qx"))).as("__sb"),
+          count(when(col("__ver") === 1, 1)).as("__nb"))
+        .filter(col("__na") > 0 && col("__nb") > 0)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_pos"),
+          sum(abs(col("__sa") * col("__nb") - col("__sb") * col("__na")))
+            .as("l1_cross"))
+    }),
+
     // ── IVF index DELETE path (q174's discipline on the ANN side):
     // build the stored index, tombstone the vec_id%10==7 slice
     // (O(|deleted|) id append; lists/ never rewritten, anchors keep
@@ -5242,6 +5293,65 @@ object SparkEntry {
         |  ('ivf_probe1_raw', CAST(372 AS BIGINT)))
         |SELECT method, n_exact, n_hit, n_hit >= n_exact * 0.9 AS recall_ok
         |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin,
+
+    // q173's span CTEs + per-doc token counts; covered_ppm via integer
+    // // division. SUMs cast to BIGINT (DuckDB HUGEINT).
+    "q176_repetition_burden" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, pos, md5(tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+        |    || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w || ' ' || lead(tok,5) OVER w
+        |    || ' ' || lead(tok,6) OVER w || ' ' || lead(tok,7) OVER w) AS g
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 7) OVER w IS NOT NULL),
+        |hot AS (SELECT g FROM ng GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM ng WHERE g IN (SELECT g FROM hot)),
+        |f AS (SELECT doc_id, s, e,
+        |  CASE WHEN max(e) OVER pre IS NULL OR s > max(e) OVER pre THEN 1 ELSE 0 END AS flag
+        |  FROM hits WINDOW pre AS (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g2 AS (SELECT doc_id, s, e,
+        |  sum(flag) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS UNBOUNDED PRECEDING) AS span_seq
+        |  FROM f),
+        |spans AS (SELECT doc_id, span_seq, min(s) AS ss, max(e) AS se FROM g2 GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, SUM(se - ss + 1) AS cv FROM spans GROUP BY 1),
+        |ntok AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+        |d AS (
+        |  SELECT doc.source, COALESCE(ntok.nt, 0) AS nt, COALESCE(cov.cv, 0) AS cv
+        |  FROM documents doc
+        |  LEFT JOIN ntok ON ntok.doc_id = doc.doc_id
+        |  LEFT JOIN cov ON cov.doc_id = doc.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN cv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_spans,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(cv) AS BIGINT) AS covered_tokens,
+        |  CAST(SUM(cv) AS BIGINT) * 1000000 // CAST(SUM(nt) AS BIGINT) AS covered_ppm
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // The q63 round() parity + integer cross-multiplied L1: no double
+    // is ever accumulated, so the check is exact. FILTER mirrors the
+    // Spark conditional aggregates; labels in only one version drop.
+    "q177_centroid_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id % 2 AS ver, label,
+        |    generate_subscripts(embedding, 1) AS p,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qx
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |g AS (
+        |  SELECT label, p,
+        |    CAST(SUM(qx) FILTER (WHERE ver = 0) AS BIGINT) AS sa,
+        |    COUNT(*) FILTER (WHERE ver = 0) AS na,
+        |    CAST(SUM(qx) FILTER (WHERE ver = 1) AS BIGINT) AS sb,
+        |    COUNT(*) FILTER (WHERE ver = 1) AS nb
+        |  FROM q GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_pos,
+        |  CAST(SUM(ABS(sa * nb - sb * na)) AS BIGINT) AS l1_cross
+        |FROM g WHERE na > 0 AND nb > 0
+        |GROUP BY 1""".stripMargin,
 
     // q88's exhaustive-mode truth with the tombstoned slice excluded
     // from the corpus side; queries themselves are never tombstoned
