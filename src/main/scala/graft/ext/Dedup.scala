@@ -481,9 +481,16 @@ object Dedup {
       n: Int, minDf: Int): DataFrame = {
     require(n >= 2, s"window must span tokens, got n=$n")
     require(minDf >= 2, s"a repeat needs at least 2 docs, got minDf=$minDf")
+    // __toks MUST be a materialized column (q105's pattern), not an
+    // expression inlined into shingles(): transform()'s lambda captures
+    // its token-array operand, and an inlined tokens() re-runs the
+    // regex per element_at — 8 re-tokenizations per position, measured
+    // 17.6 s vs 0.7 s for the explode at sf0.1 (the expression-tree
+    // duplication postmortem, BASELINE.md).
     val pos = docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol), posexplode(
-          TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n))
+          TextAnalysis.shingles(col("__toks"), n))
         .as(Seq("__p0", "__gram")))
       .select(col(idCol), (col("__p0") + 1).cast("long").as("__s"),
         md5(col("__gram")).as("__g"))

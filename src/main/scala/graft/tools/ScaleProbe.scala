@@ -90,16 +90,22 @@ object ScaleProbe {
           df.withColumn(k, col(k) + lit(i * 100000000L)))
       }.reduce(_.unionByName(_))
 
+    // optional comma-separated op filter (SPARK_GRAFT_SCALE_OPS) for
+    // re-probing a subset after a fix without paying the full sweep
+    val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+
     def probe(tag: String, d: DataFrame, e: DataFrame,
         o: DataFrame, l: DataFrame, ev: DataFrame): Map[String, (Double, Long)] = {
-      def run(name: String, df: => DataFrame): (String, (Double, Long)) = {
+      def run(name: String, df: => DataFrame): Seq[(String, (Double, Long))] = {
+        if (!onlyOps.forall(_.contains(name))) return Seq.empty
         val (t, c) = time(df.count())
         println(f"PROBE $tag $name%-16s $t%8.2f s  rows=$c")
-        name -> (t, c)
+        Seq(name -> (t, c))
       }
       val topk = udaf(new graft.operators.TypedAgg.TopKByScore(3),
         org.apache.spark.sql.Encoders.product[graft.operators.TypedAgg.Scored])
-      Map(
+      Seq(
         run("minhash", Dedup.nearDupPairsMinhash(d, "doc_id", "text", 3, 128, 32, 0.8)),
         run("simhash", SimHash.nearDupPairsSimhash(d, "doc_id", "text", 3, 8)),
         run("cosine_neardup", SimSearch.nearDupPairsCosineLsh(
@@ -180,7 +186,36 @@ object ScaleProbe {
         }),
         run("dist_drift", graft.operators.Profile.distDrift(ev,
           get_json_object(col("props"), "$.k"),
-          expr("ts >= TIMESTAMP'2024-01-16'"))))
+          expr("ts >= TIMESTAMP'2024-01-16'"))),
+        // round-10 family. Text copies are decorrelated, so repeated
+        // spans repeat only WITHIN a copy — gram df distribution is
+        // preserved while corpus mass grows; expected linear (explode +
+        // md5-keyed df agg + semi join + per-doc windows). The drift
+        // probe derives labels from vec_id so the label set stays
+        // FIXED while per-(label, pos) group size grows — hot-group
+        // stress on the integer-quantized aggregate.
+        run("repeated_spans", graft.ext.Dedup.repeatedSpans(
+          d, "doc_id", "text", n = 8, minDf = 2)),
+        run("centroid_drift", {
+          // label from (id div 2): decorrelated from the %2 version
+          // split — label = id%10 would pin every label to ONE parity
+          // and the na>0 && nb>0 filter would empty the result
+          val q = e.select((col("vec_id") % 2).as("__ver"),
+              ((col("vec_id") / 2).cast("long") % 10).as("label"),
+              posexplode(col("embedding")).as(Seq("__p0", "__x")))
+            .select(col("__ver"), col("label"), (col("__p0") + 1).as("p"),
+              round(col("__x").cast("double") * lit(1048576.0)).cast("long").as("__qx"))
+          q.groupBy("label", "p")
+            .agg(sum(when(col("__ver") === 0, col("__qx"))).as("__sa"),
+              count(when(col("__ver") === 0, 1)).as("__na"),
+              sum(when(col("__ver") === 1, col("__qx"))).as("__sb"),
+              count(when(col("__ver") === 1, 1)).as("__nb"))
+            .filter(col("__na") > 0 && col("__nb") > 0)
+            .groupBy("label")
+            .agg(count(lit(1)).as("n_pos"),
+              sum(abs(col("__sa") * col("__nb") - col("__sb") * col("__na")))
+                .as("l1_cross"))
+        })).flatten.toMap
     }
 
     // warm-up: one full discarded 1x pass eats codegen/JIT compilation
