@@ -132,7 +132,9 @@ object Bench {
     "q168_mad_hist", "q169_winsorize_sampled", "q170_wav_decode",
     "q171_ann_recall_clustered", "q172_audio_report", "q173_repeated_spans",
     "q174_idx_delete", "q175_ivf_delete", "q176_repetition_burden",
-    "q177_centroid_drift")
+    "q177_centroid_drift", "q178_bmp_decode", "q179_image_report",
+    "q180_cdc_time_travel", "q181_file_lineage", "q182_quarantine",
+    "q183_schema_evolution")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -2345,6 +2345,116 @@ object SparkEntry {
             .as("l1_cross"))
     }),
 
+    // ── REAL image decode (q170's discipline on the image modality):
+    // uncompressed BMP — bottom-up AND top-down row order, 4-byte row
+    // stride padding, 24/32bpp. The adversarial files (RLE-compressed,
+    // truncated pixel array) must be ABSENT from the result; the
+    // orientation-sensitive top_row_sum_r feature fails if storage row
+    // order is mishandled. Oracle = the formula-authored expected
+    // parquet (tools/gen_bmp_fixtures.py). ──
+    "q178_bmp_decode" -> ((s, _) => {
+      import graft.ext.Multimodal
+      Multimodal.decodeBmp(
+          Multimodal.asMediaFiles(Multimodal.readMedia(s, FixturesDir + "/images")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("width"), col("height"), col("bits"), col("nPx").as("n_px"),
+          col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+          col("sumB").as("sum_b"),
+          col("peakLumaMilli").as("peak_luma_milli"),
+          col("topRowSumR").as("top_row_sum_r"))
+    }),
+
+    // ── image COMPOSITION (q172's shape on the image modality):
+    // decoded BMP features broadcast-joined to a camera dim,
+    // per-(camera, day) rollup. The dim lists the RLE and truncated
+    // files too — they never decode, so the inner join drops them
+    // (cam-b's day-3 row must not exist): the decoder's hostile-input
+    // discipline composes downstream. brightness_ppm is all-integer:
+    // Σ(299r+587g+114b) · 1e6 div (Σpx · 255000). ──
+    "q179_image_report" -> ((s, _) => {
+      import graft.ext.Multimodal
+      val feats = Multimodal.decodeBmp(
+          Multimodal.asMediaFiles(Multimodal.readMedia(s, FixturesDir + "/images")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("nPx"), col("sumR"), col("sumG"), col("sumB"),
+          col("peakLumaMilli"))
+      val cams = s.read.json(FixturesDir + "/image_cameras.json")
+      feats.join(broadcast(cams), Seq("name"))
+        .groupBy(col("camera"), col("capturedDate").as("captured_date"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("nPx")).as("total_px"),
+          expr("sum(sumR*299 + sumG*587 + sumB*114) * 1000000 div (sum(nPx) * 255000)")
+            .as("brightness_ppm"),
+          max(col("peakLumaMilli")).as("peak_luma_milli"))
+    }),
+
+    // ── CDC TIME TRAVEL (the missing arc of the q99 lifecycle): the
+    // manifest protocol keeps superseded versions readable, so "the
+    // table as of version N" is a committed-manifest lookup — here the
+    // first snapshot (stale-reversed wave 1) is diffed against the
+    // final one via the q103 fingerprint diff. `added` rows are keys
+    // whose every event sits in the older half; `changed` rows are
+    // keys whose true latest event the out-of-order guard correctly
+    // accepted from the stale wave; everything else must be
+    // `unchanged`. Oracle rebuilds both snapshots from the raw files
+    // with the same filename split. ──
+    "q180_cdc_time_travel" -> ((s, _) =>
+      graft.streaming.StreamingReports.cdcTimeTravelReplay(
+        s, FixturesDir + "/events_json")),
+
+    // ── row-level FILE LINEAGE from the scan's hidden `_metadata`
+    // column (zero extra I/O — the name rides the split): per-resource
+    // provenance over the multi-file landing zone, null keys included
+    // (lineage must cover rows that would fail FK checks). ──
+    "q181_file_lineage" -> ((s, _) =>
+      Sources.eventsWithLineage(s, FixturesDir + "/events_json")
+        .groupBy(coalesce(col("resourceId"), lit("__none__")).as("resource_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("source_file")).as("n_files"),
+          min(col("source_file")).as("first_file"),
+          max(col("source_file")).as("last_file"))),
+
+    // ── dead-letter triage: malformed JSON lines are ROUTED (kind =
+    // 'corrupt', raw text preserved and fingerprinted), never dropped
+    // and never fatal; a JSON-null field stays a VALID row (d04). The
+    // oracle re-classifies the same lines with json_valid and must
+    // agree line-for-line, fingerprints included. ──
+    "q182_quarantine" -> ((s, _) =>
+      graft.sources.Quarantine.triage(s, FixturesDir + "/events_jsonl_dirty")),
+
+    // ── SCHEMA EVOLUTION read: two corpus dumps written with different
+    // schemas (v2 adds `quality`), read as ONE partitioned tree with
+    // mergeSchema — old rows get typed nulls, every row carries its
+    // dump id from the directory name, no data rewrite. Dump content
+    // derives deterministically from `documents`, so the oracle
+    // rebuilds both dumps as CTEs and must match the rollup exactly. ──
+    "q183_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/documents.parquet")
+      val root = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_dumps_$fp",
+        marker = "_params") { staging => // _-prefixed: invisible to the scan
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("n_chars"))
+          .write.parquet(s"$staging/dump=v1")
+        docs.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("n_chars"),
+            (col("n_chars") % 100).cast("int").as("quality"))
+          .write.parquet(s"$staging/dump=v2")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(staging, "_params"),
+          "dumps=v1,v2 split=doc_id%3 quality=n_chars%100")
+      }
+      graft.sources.Evolving.readDumps(s, root)
+        .groupBy("dump")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_quality"),
+          sum(col("quality")).cast("bigint").as("sum_quality"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+    }),
+
     // ── IVF index DELETE path (q174's discipline on the ANN side):
     // build the stored index, tombstone the vec_id%10==7 slice
     // (O(|deleted|) id append; lists/ never rewritten, anchors keep
@@ -5440,6 +5550,114 @@ object SparkEntry {
         |FROM read_parquet('/root/repo/fixtures/audio_expected.parquet') a
         |JOIN read_json_auto('/root/repo/fixtures/audio_speakers.json') s
         |  ON a.name = s.name
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Expected decoded-BMP rows authored from the pixel generator
+    // formula (tools/gen_bmp_fixtures.py; provenance-checked) — the
+    // adversarial files' ABSENCE from this parquet is part of the
+    // contract, and top_row_sum_r pins bottom-up/top-down row order.
+    "q178_bmp_decode" ->
+      """SELECT name, width, height, bits, n_px, sum_r, sum_g, sum_b,
+        |  peak_luma_milli, top_row_sum_r
+        |FROM read_parquet('/root/repo/fixtures/images_expected.parquet')""".stripMargin,
+
+    "q179_image_report" ->
+      """SELECT c.camera, CAST(c.capturedDate AS VARCHAR) AS captured_date,
+        |  COUNT(*) AS n_images,
+        |  CAST(SUM(i.n_px) AS BIGINT) AS total_px,
+        |  CAST(SUM(i.sum_r*299 + i.sum_g*587 + i.sum_b*114) * 1000000
+        |    // (SUM(i.n_px) * 255000) AS BIGINT) AS brightness_ppm,
+        |  MAX(i.peak_luma_milli) AS peak_luma_milli
+        |FROM read_parquet('/root/repo/fixtures/images_expected.parquet') i
+        |JOIN read_json_auto('/root/repo/fixtures/image_cameras.json') c
+        |  ON i.name = c.name
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Rebuild snapshot v0 (the 12 lexicographically-largest event
+    // files — the Scala replay's files.reverse.splitAt(n/2) wave) and
+    // the final snapshot (all files), then the q103 fingerprint diff.
+    // The filename rank is computed over ALL files (the split happens
+    // before the resourceId filter, exactly as the replay delivers).
+    "q180_cdc_time_travel" ->
+      """WITH raw AS (
+        |  SELECT resourceId,
+        |    epoch_us(CAST(processTime AS TIMESTAMPTZ)) AS seq,
+        |    eventId, userId, duration, filename
+        |  FROM read_json_auto('/root/repo/fixtures/events_json/*.json',
+        |                      filename=true)),
+        |files AS (SELECT DISTINCT filename FROM raw),
+        |nn AS (SELECT greatest(1, count(*) // 6) AS half FROM files),
+        |newer AS (
+        |  SELECT filename FROM files CROSS JOIN nn
+        |  QUALIFY row_number() OVER (ORDER BY filename DESC) <= half),
+        |e AS (SELECT * FROM raw WHERE resourceId IS NOT NULL),
+        |v0 AS (
+        |  SELECT resourceId, seq, eventId, userId, duration FROM e
+        |  WHERE filename IN (SELECT filename FROM newer)
+        |  QUALIFY row_number() OVER (PARTITION BY resourceId
+        |    ORDER BY seq DESC, eventId DESC) = 1),
+        |v1 AS (
+        |  SELECT resourceId, seq, eventId, userId, duration FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY resourceId
+        |    ORDER BY seq DESC, eventId DESC) = 1),
+        |o AS (SELECT resourceId, md5(concat_ws(chr(1),
+        |    coalesce(CAST(seq AS VARCHAR), chr(2)),
+        |    coalesce(CAST(eventId AS VARCHAR), chr(2)),
+        |    coalesce(CAST(userId AS VARCHAR), chr(2)),
+        |    coalesce(CAST(duration AS VARCHAR), chr(2)))) AS old_fp FROM v0),
+        |n2 AS (SELECT resourceId, md5(concat_ws(chr(1),
+        |    coalesce(CAST(seq AS VARCHAR), chr(2)),
+        |    coalesce(CAST(eventId AS VARCHAR), chr(2)),
+        |    coalesce(CAST(userId AS VARCHAR), chr(2)),
+        |    coalesce(CAST(duration AS VARCHAR), chr(2)))) AS new_fp FROM v1)
+        |SELECT coalesce(n2.resourceId, o.resourceId) AS resourceId,
+        |  CASE WHEN o.resourceId IS NULL THEN 'added'
+        |       WHEN n2.resourceId IS NULL THEN 'removed'
+        |       WHEN old_fp = new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_fp, new_fp
+        |FROM o FULL OUTER JOIN n2 ON o.resourceId = n2.resourceId""".stripMargin,
+
+    "q181_file_lineage" ->
+      """SELECT coalesce(resourceId, '__none__') AS resource_id,
+        |  count(*) AS n_events,
+        |  count(DISTINCT parse_filename(filename)) AS n_files,
+        |  min(parse_filename(filename)) AS first_file,
+        |  max(parse_filename(filename)) AS last_file
+        |FROM read_json_auto('/root/repo/fixtures/events_json/*.json',
+        |                    filename=true)
+        |GROUP BY 1""".stripMargin,
+
+    // Re-classify the same lines with json_valid: parsed rows must
+    // match field-for-field, quarantined rows fingerprint-for-
+    // fingerprint (md5 of the preserved raw text).
+    "q182_quarantine" ->
+      """WITH f AS (
+        |  SELECT content FROM read_text('/root/repo/fixtures/events_jsonl_dirty/*.jsonl')),
+        |lines AS (
+        |  SELECT unnest(string_split(rtrim(content, chr(10)), chr(10))) AS line
+        |  FROM f)
+        |SELECT
+        |  CASE WHEN json_valid(line) THEN 'ok' ELSE 'corrupt' END AS kind,
+        |  CASE WHEN json_valid(line) THEN line->>'$.eventId' END AS event_id,
+        |  CASE WHEN json_valid(line) THEN line->>'$.resourceId' END AS resource_id,
+        |  CASE WHEN json_valid(line) THEN line->>'$.userId' END AS user_id,
+        |  CASE WHEN json_valid(line)
+        |    THEN CAST(line->>'$.duration' AS BIGINT) END AS duration,
+        |  CASE WHEN json_valid(line) THEN line->>'$.itemPrice' END AS item_price,
+        |  CASE WHEN NOT json_valid(line) THEN md5(line) END AS line_fp
+        |FROM lines""".stripMargin,
+
+    "q183_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT 'v1' AS dump, doc_id, n_chars, NULL::INTEGER AS quality
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'v2', doc_id, n_chars, CAST(n_chars % 100 AS INTEGER)
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT dump, count(*) AS n_docs, count(quality) AS n_quality,
+        |  CAST(sum(quality) AS BIGINT) AS sum_quality,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM u GROUP BY 1""".stripMargin
   )
 }

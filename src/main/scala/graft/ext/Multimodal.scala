@@ -156,6 +156,79 @@ object Multimodal {
   case class WavRow(path: String, sampleRate: Int, channels: Int,
       bitsPerSample: Int, nFrames: Long, sumAbs: Long, peakAbs: Int)
 
+  case class BmpRow(path: String, width: Int, height: Int, bits: Int,
+      nPx: Long, sumR: Long, sumG: Long, sumB: Long, peakLumaMilli: Long,
+      topRowSumR: Long)
+
+  /** REAL-format image decode: uncompressed Windows BMP (BITMAPFILEHEADER
+    * + BITMAPINFOHEADER, 24/32bpp BI_RGB; public spec). Together with
+    * [[decodeWav]] this is the non-synthetic decoder pair the GRF1 stub
+    * stands in for: same mapPartitions shape, same hostile-input
+    * discipline (header and pixel-array bounds validated BEFORE any
+    * per-pixel work; compressed, paletted, or truncated files DROPPED —
+    * a bad file must not kill a 100-TB scan).
+    *
+    * Format corners handled because real files have them: rows are
+    * stored BOTTOM-UP unless biHeight is negative (top-down), and every
+    * row is padded to a 4-byte stride. Features are INTEGER-exact so an
+    * oracle certifies them bit-for-bit: per-channel sums, peak ITU-R 601
+    * luma ×1000 (r*299+g*587+b*114 — never divided), and
+    * `topRowSumR` = Σ red across the TOP image row, which is
+    * orientation-SENSITIVE: mixing up bottom-up storage order returns
+    * the bottom row's reds and fails the contract.
+    */
+  def decodeBmp(files: Dataset[MediaFile]): Dataset[BmpRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f => parseBmp(f.path, f.content)))
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. */
+  private[graft] def parseBmp(path: String, b: Array[Byte]): Option[BmpRow] = {
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    val buf = ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val offBits = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    val width = buf.getInt(18)
+    val heightSigned = buf.getInt(22)
+    val bits = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    val topDown = heightSigned < 0
+    val height = math.abs(heightSigned)
+    // BI_RGB 24/32bpp only; anything compressed or paletted is skipped
+    if (hdrSize < 40 || compression != 0 || (bits != 24 && bits != 32) ||
+        width <= 0 || height <= 0 || offBits < 54) return None
+    val px = bits / 8
+    // stride in Long FIRST: width=2^30 at 24bpp overflows Int before
+    // the bounds check can reject it (a hostile header must never
+    // overflow into a "fits" answer or a negative index)
+    val strideL = (width.toLong * px + 3) / 4 * 4
+    if (offBits.toLong + strideL * height > b.length) return None
+    val stride = strideL.toInt // fits: bounded by b.length above
+    var sumR, sumG, sumB, peak = 0L
+    var topRowSumR = 0L
+    var y = 0
+    while (y < height) {
+      val storageRow = if (topDown) y else height - 1 - y
+      val base = offBits + storageRow * stride
+      var x = 0
+      while (x < width) {
+        val p = base + x * px
+        val bb = b(p) & 0xff
+        val gg = b(p + 1) & 0xff
+        val rr = b(p + 2) & 0xff
+        sumB += bb; sumG += gg; sumR += rr
+        val luma = rr * 299L + gg * 587L + bb * 114L
+        if (luma > peak) peak = luma
+        if (y == 0) topRowSumR += rr
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpRow(path, width, height, bits, width.toLong * height,
+      sumR, sumG, sumB, peak, topRowSumR))
+  }
+
   /** REAL-format audio decode: RIFF/WAVE PCM (the container every
     * sound tool emits; public spec — RIFF magic, chunk walk, `fmt `,
     * `data`). This is the non-synthetic decoder the GRF1 stub stands in

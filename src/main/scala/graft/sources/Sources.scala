@@ -82,6 +82,17 @@ object Sources {
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(Schemas.event).json(dir)
 
+  /** S3 + provenance: the same event scan with FILE LINEAGE attached
+    * from the scan's hidden `_metadata` column — the file name rides
+    * the split (zero extra I/O, no UDF), which is what makes row-level
+    * provenance viable on a 100k-file landing zone: "which delivery
+    * produced this row" becomes a normal column to group and join on.
+    */
+  def eventsWithLineage(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.schema(Schemas.event).json(dir)
+    df.select(df.col("*"), df.col("_metadata.file_name").as("source_file"))
+  }
+
   /** S2 — dimension load with *inferred* schema (the reference's
     * Firestore-resources path infers, top10.py:97-114). Inference is
     * fine for dims: bounded data, one small pass.

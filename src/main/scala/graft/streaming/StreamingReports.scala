@@ -584,6 +584,71 @@ object StreamingReports {
     spark.read.parquet(latest)
   }
 
+  /** All COMMITTED versions of a CDC store, ascending — resolved from
+    * the manifest directory alone (same bounded metadata listing as
+    * [[latestCdcVersion]]; data directories are never listed).
+    */
+  def committedCdcVersions(storeRoot: String): Seq[Long] =
+    Option(new java.io.File(storeRoot, "_manifest").listFiles())
+      .map(_.filter(f => f.isFile && f.getName.matches("v\\d{9}\\.json"))
+        .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
+        .sorted.toSeq)
+      .getOrElse(Nil)
+
+  /** TIME TRAVEL: read the store AS OF a committed version. The
+    * version is served IFF its manifest exists — a whole-looking but
+    * unmanifested data tree is not a version (the exactly-once
+    * invariant read-side). Superseded versions stay readable until a
+    * retention vacuum removes them, which is what makes audits,
+    * reproducible re-training ("the corpus as the run saw it"), and
+    * version diffs possible at all.
+    */
+  def readCdcVersion(spark: SparkSession, storeRoot: String, version: Long): DataFrame = {
+    if (!manifestFile(storeRoot, version).exists())
+      sys.error(s"CDC store $storeRoot has no committed version $version " +
+        s"(committed: ${committedCdcVersions(storeRoot).mkString(",")})")
+    spark.read.parquet(f"$storeRoot/v$version%09d")
+  }
+
+  /** Replay the landing dir in the same two reversed waves as
+    * [[cdcUpsertReplay]], keep every version, then TIME-TRAVEL: diff
+    * the first committed snapshot against the last via [[Diff]]'s
+    * fingerprint machinery (key + 32-byte hash cross the shuffle,
+    * never the payload). Because wave 2 is deliberately STALE, the
+    * guard rejects its updates for keys wave 1 already wrote — so the
+    * diff must show those keys `unchanged`, and `added` exactly for
+    * keys whose every event sits in the older half; any `changed` row
+    * means a key's true latest event lives in the older wave and the
+    * guard correctly accepted it. The oracle reproduces all of it from
+    * the raw files with the same filename split.
+    */
+  def cdcTimeTravelReplay(spark: SparkSession, srcDir: String): DataFrame = {
+    val landing = java.nio.file.Files.createTempDirectory("graft-cdc-tt")
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-cdc-tt-store").toString
+    val files = listFixtureFiles(srcDir)
+    // wave 1 is the lexicographically-largest SIXTH (not half as in
+    // cdcUpsertReplay): small enough that some keys' only events sit in
+    // the older wave, so the diff exercises `added`, not just
+    // `unchanged` (on the 24-file fixture: 4 added / 3 unchanged)
+    val (newer, older) = files.reverse.splitAt(math.max(1, files.size / 6))
+    deliver(landing, newer)
+    val q = cdcUpsertStream(spark, landing.toString, storeRoot)
+    try {
+      q.processAllAvailable()
+      deliver(landing, older)
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(landing) }
+    val versions = committedCdcVersions(storeRoot)
+    require(versions.size >= 2, s"expected >=2 CDC versions, got $versions")
+    val v0 = readCdcVersion(spark, storeRoot, versions.head).localCheckpoint()
+    val vN = readCdcVersion(spark, storeRoot, versions.last).localCheckpoint()
+    // checkpointed above so the frames survive the store vacuum below
+    Option(new java.io.File(storeRoot).listFiles())
+      .foreach(_.foreach(f => deleteRecursively(f.toPath)))
+    graft.operators.Diff.diff(v0, vN, "resourceId",
+      Seq("seq", "eventId", "userId", "duration"))
+  }
+
   /** Streaming ordered funnel — q114's sorted-walk fold as a
     * flatMapGroupsWithState state machine: funnel events buffer per
     * user until the event-time timeout fires, then the buffer is

@@ -131,6 +131,50 @@ class MultimodalSpec extends SparkSpec {
     assert(parseWav("x", overrun).isEmpty)
   }
 
+  test("decodeBmp: real BMP fixtures decode to formula-exact features; hostile files skipped") {
+    import graft.ext.Multimodal.{decodeBmp, parseBmp}
+    val files = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/images"))
+    val rows = decodeBmp(files).collect()
+      .map(r => r.path.split('/').last -> r).toMap
+    // the adversarial RLE-compressed and truncated files must be absent
+    assert(rows.keySet == Set(
+      "rgb24_37x25.bmp", "rgb24_16x8_topdown.bmp", "rgb32_10x10.bmp"))
+    // formula truth (mirrors tools/gen_bmp_fixtures.py), image-space y-down
+    def rc(x: Int, y: Int) = (x * 11 + y * 2 + 101) % 256
+    def gc(x: Int, y: Int) = (x * 3 + y * 5 + 17) % 256
+    def bc(x: Int, y: Int) = (x * 7 + y * 13) % 256
+    def truth(w: Int, h: Int) = {
+      val px = for (x <- 0 until w; y <- 0 until h) yield (rc(x, y), gc(x, y), bc(x, y))
+      (px.map(_._1.toLong).sum, px.map(_._2.toLong).sum, px.map(_._3.toLong).sum,
+        px.map { case (r, g, b) => r * 299L + g * 587L + b * 114L }.max,
+        (0 until w).map(x => rc(x, 0).toLong).sum)
+    }
+    for ((name, w, h, bits) <- Seq(("rgb24_37x25.bmp", 37, 25, 24),
+        ("rgb24_16x8_topdown.bmp", 16, 8, 24), ("rgb32_10x10.bmp", 10, 10, 32))) {
+      val r = rows(name)
+      val (sr, sg, sb, peak, top) = truth(w, h)
+      assert((r.width, r.height, r.bits, r.nPx) == ((w, h, bits, w.toLong * h)), name)
+      assert((r.sumR, r.sumG, r.sumB) == ((sr, sg, sb)), name)
+      assert(r.peakLumaMilli == peak, name)
+      // orientation-sensitive: bottom-up vs top-down storage must both
+      // resolve to the TOP image row here
+      assert(r.topRowSumR == top, s"$name: row-order (bottom-up/top-down) mishandled")
+    }
+
+    // parser-level hostile inputs (no filesystem round trip needed)
+    assert(parseBmp("x", Array.fill[Byte](10)(0)).isEmpty, "short file")
+    val bm = "BM".getBytes ++ Array.fill[Byte](60)(0)
+    assert(parseBmp("x", bm).isEmpty, "zero-dim header")
+    // hostile dims: width*height*bpp overflows Int — must reject, not allocate
+    val big = java.nio.ByteBuffer.allocate(70).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    big.put('B'.toByte).put('M'.toByte)
+    big.putInt(2, 70).putInt(10, 54).putInt(14, 40)
+    big.putInt(18, 1 << 30).putInt(22, 1 << 30)
+    big.putShort(26, 1).putShort(28, 24).putInt(30, 0)
+    assert(parseBmp("x", big.array()).isEmpty, "overflowing dims must be dropped")
+  }
+
   test("frameSample: every 2nd frame of the 6-frame video") {
     val frames = Multimodal.frameSample(media, 2).collect()
     assert(frames.map(_.frameIndex).sorted.toSeq == Seq(0, 2, 4))

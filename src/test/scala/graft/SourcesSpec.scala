@@ -135,6 +135,53 @@ class SourcesSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("file lineage: _metadata.file_name rides the scan, no extra I/O") {
+    val ev = Sources.eventsWithLineage(spark, s"$fix/events_json")
+    assert(ev.count() == 24)
+    // one object per file in this landing zone: 24 distinct files
+    assert(ev.select("source_file").distinct().count() == 24)
+    assert(ev.filter($"source_file".rlike("^event-e\\d+\\.json$")).count() == 24,
+      "file_name must be the bare name, not a path")
+  }
+
+  test("quarantine: malformed lines are routed with raw text preserved, not dropped/fatal") {
+    import graft.sources.Quarantine
+    val t = Quarantine.triage(spark, s"$fix/events_jsonl_dirty")
+    val byKind = t.groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(byKind == Map("ok" -> 11L, "corrupt" -> 4L))
+    // a JSON-null field is a VALID row with a null column, not quarantine
+    assert(t.filter($"kind" === "ok" && $"resource_id".isNull).count() == 1)
+    // corrupt rows carry a fingerprint of the preserved raw line; ok rows don't
+    assert(t.filter($"kind" === "corrupt" && $"line_fp".isNull).count() == 0)
+    assert(t.filter($"kind" === "ok" && $"line_fp".isNotNull).count() == 0)
+    // the raw text itself survives byte-for-byte in the reader frame —
+    // and corrupt-only projections are legal (the text+from_json shape
+    // has no QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction)
+    val raw = Quarantine.readEventLines(spark, s"$fix/events_jsonl_dirty")
+      .filter(col(Quarantine.CorruptCol).isNotNull)
+      .select(Quarantine.CorruptCol).as[String].collect()
+    assert(raw.contains("this line is not json at all"))
+    assert(raw.contains("<xml>not json either</xml>"))
+  }
+
+  test("schema evolution: mergeSchema unions dump schemas; old dumps read typed nulls") {
+    import graft.sources.Evolving
+    val root = java.nio.file.Files.createTempDirectory("graft-dumps-spec").toString
+    Seq((1L, 10), (2L, 20)).toDF("doc_id", "n_chars")
+      .write.parquet(s"$root/dump=a")
+    Seq((3L, 30, 7), (4L, 40, 9)).toDF("doc_id", "n_chars", "quality")
+      .write.parquet(s"$root/dump=b")
+    val df = Evolving.readDumps(spark, root)
+    assert(df.columns.toSet == Set("doc_id", "n_chars", "quality", "dump"))
+    // rows from the pre-evolution dump read the new column as null
+    assert(df.filter($"dump" === "a" && $"quality".isNull).count() == 2)
+    assert(df.filter($"dump" === "b").agg(sum($"quality")).as[Long].head() == 16L)
+    // column pruning survives the merged schema: a 1-column projection
+    // plans a 1-column (+partition) read schema
+    val plan = df.select("n_chars").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<n_chars:int>"), plan)
+  }
+
   test("defaultFetcher honors the graft.fetcher flag (file remains the default)") {
     assert(Sources.defaultFetcher eq graft.sources.FileFetcher)
     System.setProperty("graft.fetcher", "http")

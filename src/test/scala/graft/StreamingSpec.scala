@@ -289,6 +289,39 @@ class StreamingSpec extends SparkSpec {
     assert(v3 == fin + (("r3", 10L, "e4", "u4", 4L)))
   }
 
+  test("CDC time travel: committed versions stay readable and diff correctly") {
+    import graft.streaming.StreamingReports
+    val store = java.nio.file.Files.createTempDirectory("graft-cdc-tt-spec").toString
+    def batch(rows: Seq[(String, Long, String, String, Long)]) =
+      rows.toDF("resourceId", "seq", "eventId", "userId", "duration")
+    StreamingReports.applyCdcBatch(
+      batch(Seq(("r1", 100L, "e1", "u1", 1L), ("r2", 50L, "e2", "u2", 2L))), store, 0L)
+    StreamingReports.applyCdcBatch(
+      batch(Seq(("r1", 200L, "e5", "u1", 9L), ("r3", 70L, "e6", "u3", 3L))), store, 1L)
+    assert(StreamingReports.committedCdcVersions(store) == Seq(0L, 1L))
+
+    // as-of v0: the superseded snapshot, exactly as batch 0 left it
+    val v0 = StreamingReports.readCdcVersion(spark, store, 0L)
+      .as[(String, Long, String, String, Long)].collect().toSet
+    assert(v0 == Set(("r1", 100L, "e1", "u1", 1L), ("r2", 50L, "e2", "u2", 2L)))
+
+    // a version is its MANIFEST: a whole-looking tree without one (or a
+    // never-written version) must not be served
+    intercept[RuntimeException] {
+      StreamingReports.readCdcVersion(spark, store, 7L)
+    }
+
+    // diff v0 → v1 through the fingerprint machinery: r1 changed
+    // (accepted newer seq), r2 unchanged (upsert keeps absent keys),
+    // r3 added; `removed` is unreachable for pure upserts
+    val d = graft.operators.Diff.diff(
+        StreamingReports.readCdcVersion(spark, store, 0L),
+        StreamingReports.readCdcVersion(spark, store, 1L),
+        "resourceId", Seq("seq", "eventId", "userId", "duration"))
+      .select("resourceId", "status").as[(String, String)].collect().toSet
+    assert(d == Set(("r1", "changed"), ("r2", "unchanged"), ("r3", "added")))
+  }
+
   test("CDC manifest commit: every crash window replays exactly-once") {
     import graft.streaming.StreamingReports
     val store = java.nio.file.Files.createTempDirectory("graft-cdc-crash").toString
