@@ -193,6 +193,20 @@ object StreamingReports {
   // landing-dir cleanup, so repeated bench runs don't accumulate temp
   // copies of the fixtures ──
 
+  /** Bounded-replay session: same SparkContext, isolated SQLConf with
+    * shuffle/state partitions sized to the FIXTURE volume (hundreds of
+    * rows). Every stateful microbatch commits one state-store file per
+    * partition, so 32-wide state on a bounded replay is pure fixed
+    * cost — measured ~2x of several replays' wall time. Production
+    * streams set the same dial to their key cardinality; the stream
+    * operators themselves are partition-agnostic.
+    */
+  private def replaySession(outer: SparkSession): SparkSession = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
   private def listFixtureFiles(srcDir: String): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
@@ -227,7 +241,8 @@ object StreamingReports {
     * same JSON files (redelivered payloads are byte-identical, so
     * first-arrival-wins and DISTINCT agree row-for-row).
     */
-  def dedupReplay(spark: SparkSession, srcDir: String): DataFrame = {
+  def dedupReplay(outer: SparkSession, srcDir: String): DataFrame = {
+    val spark = replaySession(outer)
     val landing = java.nio.file.Files.createTempDirectory("graft-dedup-replay")
     val files = listFixtureFiles(srcDir)
     deliver(landing, files)
@@ -253,7 +268,8 @@ object StreamingReports {
     * `windowMinutes` after a — byte-comparable against the batch
     * self-join SQL over the same files.
     */
-  def followupReplay(spark: SparkSession, srcDir: String, windowMinutes: Int): DataFrame = {
+  def followupReplay(outer: SparkSession, srcDir: String, windowMinutes: Int): DataFrame = {
+    val spark = replaySession(outer)
     val landing = java.nio.file.Files.createTempDirectory("graft-followup-replay")
     deliver(landing, listFixtureFiles(srcDir))
     val mem = s"graft_followup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -279,8 +295,9 @@ object StreamingReports {
     * store, typed to match the batch report.
     */
   def top10ReplayUpdate(
-      spark: SparkSession, srcDir: String,
+      outer: SparkSession, srcDir: String,
       resources: DataFrame, categories: DataFrame): DataFrame = {
+    val spark = replaySession(outer)
     val landing = java.nio.file.Files.createTempDirectory("graft-top10-replay")
     val work = java.nio.file.Files.createTempDirectory("graft-top10-out")
     val (store, report) = (s"$work/store", s"$work/report")
@@ -378,7 +395,8 @@ object StreamingReports {
     * sentinel user filtered back out — byte-comparable against the
     * batch sessionization SQL over the same files.
     */
-  def sessionReplay(spark: SparkSession, srcDir: String, gapMinutes: Int): DataFrame = {
+  def sessionReplay(outer: SparkSession, srcDir: String, gapMinutes: Int): DataFrame = {
+    val spark = replaySession(outer)
     import java.nio.file.Files
     val landing = Files.createTempDirectory("graft-session-replay")
     deliver(landing, listFixtureFiles(srcDir))
@@ -403,7 +421,8 @@ object StreamingReports {
     * the final value per resource is the max over the per-trigger
     * emissions — and must equal the batch per-resource event count.
     */
-  def runningTotalsReplay(spark: SparkSession, srcDir: String): DataFrame = {
+  def runningTotalsReplay(outer: SparkSession, srcDir: String): DataFrame = {
+    val spark = replaySession(outer)
     import spark.implicits._
     val landing = java.nio.file.Files.createTempDirectory("graft-totals-replay")
     val files = listFixtureFiles(srcDir)
@@ -561,7 +580,8 @@ object StreamingReports {
     * final store version. Must equal the batch "latest event per
     * resource" over the same files (q99's oracle).
     */
-  def cdcUpsertReplay(spark: SparkSession, srcDir: String): DataFrame = {
+  def cdcUpsertReplay(outer: SparkSession, srcDir: String): DataFrame = {
+    val spark = replaySession(outer)
     val landing = java.nio.file.Files.createTempDirectory("graft-cdc-replay")
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-cdc-store").toString
     val files = listFixtureFiles(srcDir)
@@ -622,7 +642,8 @@ object StreamingReports {
     * guard correctly accepted it. The oracle reproduces all of it from
     * the raw files with the same filename split.
     */
-  def cdcTimeTravelReplay(spark: SparkSession, srcDir: String): DataFrame = {
+  def cdcTimeTravelReplay(outer: SparkSession, srcDir: String): DataFrame = {
+    val spark = replaySession(outer)
     val landing = java.nio.file.Files.createTempDirectory("graft-cdc-tt")
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-cdc-tt-store").toString
     val files = listFixtureFiles(srcDir)
@@ -717,7 +738,8 @@ object StreamingReports {
     * (stage, n_users) with the sentinel user filtered out —
     * hash-comparable against q114's batch oracle.
     */
-  def funnelReplay(spark: SparkSession, sfDir: String): DataFrame = {
+  def funnelReplay(outer: SparkSession, sfDir: String): DataFrame = {
+    val spark = replaySession(outer)
     import java.nio.file.Files
     val landing = Files.createTempDirectory("graft-funnel-replay")
     val mem = s"graft_funnel_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -806,7 +828,8 @@ object StreamingReports {
     * comparable against q128's batch oracle restricted to non-null
     * users.
     */
-  def transitionsReplay(spark: SparkSession, sfDir: String): DataFrame = {
+  def transitionsReplay(outer: SparkSession, sfDir: String): DataFrame = {
+    val spark = replaySession(outer)
     import java.nio.file.Files
     val landing = Files.createTempDirectory("graft-trans-replay")
     val mem = s"graft_trans_${java.util.UUID.randomUUID().toString.replace("-", "")}"
