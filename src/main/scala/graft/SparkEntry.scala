@@ -2404,6 +2404,25 @@ object SparkEntry {
       graft.streaming.StreamingReports.cdcTimeTravelReplay(
         s, FixturesDir + "/events_json")),
 
+    // ── REAL video-container decode (the triad's third leg after
+    // q170 WAV and q178 BMP): ISO-BMFF box-tree metadata — largesize
+    // mdat, size==0, mvhd/tkhd v0 AND v1, 16.16 track dims; the
+    // truncated-moov and non-BMFF files must be ABSENT. Codec payloads
+    // are never touched (mdat skipped) — the O(box-tree) metadata scan
+    // a 100-TB video corpus profiling pass needs. Oracle = the
+    // spec-authored expected parquet (tools/gen_mp4_fixtures.py). ──
+    "q184_mp4_meta" -> ((s, _) => {
+      import graft.ext.Multimodal
+      Multimodal.decodeMp4(
+          Multimodal.asMediaFiles(Multimodal.readMedia(s, FixturesDir + "/video")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("brand"), col("timescale").cast("int").as("timescale"),
+          col("durationUnits").as("duration_units"),
+          col("durationMs").as("duration_ms"),
+          col("nTracks").as("n_tracks"), col("width"), col("height"))
+    }),
+
     // ── row-level FILE LINEAGE from the scan's hidden `_metadata`
     // column (zero extra I/O — the name rides the split): per-resource
     // provenance over the multi-file landing zone, null keys included
@@ -5617,6 +5636,14 @@ object SparkEntry {
         |       ELSE 'changed' END AS status,
         |  old_fp, new_fp
         |FROM o FULL OUTER JOIN n2 ON o.resourceId = n2.resourceId""".stripMargin,
+
+    // Expected decoded-MP4 rows authored from the generator spec
+    // (tools/gen_mp4_fixtures.py; provenance-checked) — the truncated
+    // and non-BMFF files' ABSENCE is part of the contract.
+    "q184_mp4_meta" ->
+      """SELECT name, brand, timescale, duration_units, duration_ms,
+        |  n_tracks, width, height
+        |FROM read_parquet('/root/repo/fixtures/video_expected.parquet')""".stripMargin,
 
     "q181_file_lineage" ->
       """SELECT coalesce(resourceId, '__none__') AS resource_id,

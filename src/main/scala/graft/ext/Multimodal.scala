@@ -295,6 +295,101 @@ object Multimodal {
     }
   }
 
+  case class Mp4Row(path: String, brand: String, timescale: Long,
+      durationUnits: Long, durationMs: Long, nTracks: Int, width: Int,
+      height: Int)
+
+  /** REAL-format video-container decode: ISO base-media (MP4) box-tree
+    * metadata — ISO/IEC 14496-12, the public spec every .mp4/.mov tool
+    * writes. Completes the real-decoder triad (WAV audio, BMP image,
+    * MP4 video): same mapPartitions shape, same hostile-input
+    * discipline (every box bounds-checked BEFORE its payload is read;
+    * a box whose size overruns the file drops the whole file, never
+    * throws). Codec payloads are NOT decoded — a metadata scan reads
+    * `ftyp`/`moov` and skips `mdat`, which is exactly how a 100-TB
+    * video-corpus profiling pass should behave (bytes touched are
+    * O(box tree), not O(file)).
+    *
+    * Format corners handled because real files have them: the 64-bit
+    * LARGESIZE form (size==1) routinely used for >4 GiB `mdat`,
+    * size==0 ("box extends to end of file"), version-0 AND version-1
+    * `mvhd`/`tkhd` (64-bit times), and 16.16 fixed-point track dims.
+    * Features are integer-exact: duration in native timescale units
+    * plus `duration_ms = units·1000 div timescale`.
+    */
+  def decodeMp4(files: Dataset[MediaFile]): Dataset[Mp4Row] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f => parseMp4(f.path, f.content)))
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. */
+  private[graft] def parseMp4(path: String, b: Array[Byte]): Option[Mp4Row] = {
+    if (b.length < 16) return None
+    val buf = ByteBuffer.wrap(b) // ISO-BMFF is big-endian (buffer default)
+    def u32(off: Int): Long = Integer.toUnsignedLong(buf.getInt(off))
+    var brand: String = null
+    var ts = -1L
+    var dur = -1L
+    var nTracks = 0
+    var w = 0
+    var h = 0
+    // walk one box level in [start, end); cb returns false to flag a
+    // malformed subtree — the whole FILE is then dropped (hostile input
+    // must not half-decode)
+    def walk(start: Int, end: Int)(cb: (String, Int, Int) => Boolean): Boolean = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        var size = u32(off)
+        var payload = off + 8
+        if (size == 1) {
+          if (off + 16 > end) return false
+          size = buf.getLong(off + 8)
+          payload = off + 16
+          if (size < 16) return false
+        } else if (size == 0) size = (end - off).toLong // extends to end
+        else if (size < 8) return false
+        if (size > end - off) return false // overruns the file: drop
+        val boxEnd = off + size.toInt
+        ok = cb(new String(b, off + 4, 4, "ISO-8859-1"), payload, boxEnd)
+        off = boxEnd
+      }
+      ok
+    }
+    val ok = walk(0, b.length) {
+      case ("ftyp", p, e) if e - p >= 4 =>
+        brand = new String(b, p, 4, "ISO-8859-1"); true
+      case ("moov", p, e) => walk(p, e) {
+        case ("mvhd", p2, e2) if e2 - p2 >= 4 =>
+          (b(p2) & 0xff) match {
+            case 0 if e2 - p2 >= 20 => ts = u32(p2 + 12); dur = u32(p2 + 16); true
+            case 1 if e2 - p2 >= 32 => ts = u32(p2 + 20); dur = buf.getLong(p2 + 24); true
+            case _ => false
+          }
+        case ("trak", p2, e2) =>
+          nTracks += 1
+          walk(p2, e2) {
+            case ("tkhd", p3, e3) if e3 - p3 >= 4 =>
+              // width/height: 16.16 fixed point, 52 bytes past the
+              // version-dependent header (v0: 24, v1: 36)
+              val base = p3 + (if ((b(p3) & 0xff) == 0) 24 else 36)
+              if (e3 - base < 60) false
+              else {
+                w = math.max(w, (u32(base + 52) >> 16).toInt)
+                h = math.max(h, (u32(base + 56) >> 16).toInt)
+                true
+              }
+            case _ => true
+          }
+        case _ => true // free/udta/… skipped
+      }
+      case _ => true // free/mdat/… skipped (bytes never touched)
+    }
+    if (!ok || brand == null || ts <= 0 || dur < 0) None
+    else Some(Mp4Row(path, brand, ts, dur, dur * 1000L / ts, nTracks, w, h))
+  }
+
   /** Sample every Nth frame of video payloads (kind 2) — one output row
     * per kept frame; the flatMap shape is how frame extraction stays
     * distributed (a 2-hour video never materializes as one row

@@ -175,6 +175,39 @@ class MultimodalSpec extends SparkSpec {
     assert(parseBmp("x", big.array()).isEmpty, "overflowing dims must be dropped")
   }
 
+  test("decodeMp4: real ISO-BMFF fixtures decode to spec-exact metadata; hostile files skipped") {
+    import graft.ext.Multimodal.{decodeMp4, parseMp4}
+    val files = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/video"))
+    val rows = decodeMp4(files).collect()
+      .map(r => r.path.split('/').last -> r).toMap
+    // the truncated-moov and non-BMFF files must be absent
+    assert(rows.keySet == Set("vid_isom.mp4", "vid_large.mp4", "vid_v1.mp4"))
+    // spec truth (mirrors tools/gen_mp4_fixtures.py)
+    val i = rows("vid_isom.mp4")
+    assert((i.brand, i.timescale, i.durationUnits, i.durationMs,
+      i.nTracks, i.width, i.height) == (("isom", 1000L, 7425L, 7425L, 2, 640, 360)))
+    // largesize mdat BEFORE moov must be skipped via the 64-bit walk
+    val l = rows("vid_large.mp4")
+    assert((l.brand, l.timescale, l.durationUnits, l.durationMs,
+      l.nTracks, l.width, l.height) == (("iso2", 90000L, 123456L, 1371L, 1, 1920, 1080)))
+    // version-1 mvhd/tkhd (64-bit times) parse through the v1 branch
+    val v = rows("vid_v1.mp4")
+    assert((v.timescale, v.durationUnits, v.durationMs, v.width, v.height) ==
+      ((600L, 3000L, 5000L, 320, 240)))
+
+    // parser-level hostile inputs
+    assert(parseMp4("x", Array.fill[Byte](8)(0)).isEmpty, "short file")
+    // box size < 8 (but not the largesize sentinel) must drop, not loop
+    val tiny = java.nio.ByteBuffer.allocate(24)
+    tiny.putInt(5).put("ftyp".getBytes).putInt(0).putInt(0)
+    assert(parseMp4("x", tiny.array()).isEmpty, "undersized box")
+    // largesize claiming more than the file must drop
+    val big = java.nio.ByteBuffer.allocate(32)
+    big.putInt(1).put("mdat".getBytes).putLong(1L << 40)
+    assert(parseMp4("x", big.array()).isEmpty, "overrunning largesize")
+  }
+
   test("frameSample: every 2nd frame of the 6-frame video") {
     val frames = Multimodal.frameSample(media, 2).collect()
     assert(frames.map(_.frameIndex).sorted.toSeq == Seq(0, 2, 4))
