@@ -63,7 +63,26 @@ object Quarantine {
     * quarantine branches with two filters on `kind`.
     */
   def triage(spark: SparkSession, dir: String): DataFrame =
-    readEventLines(spark, dir).select(
+    triageParsed(readEventLines(spark, dir))
+
+  /** Triage over an already-read lines frame (`value`: one raw line per
+    * row) — the seam ScaleProbe feeds synthetic corpora through.
+    */
+  def triageLines(lines: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("eventId", StringType), StructField("resourceId", StringType),
+      StructField("userId", StringType), StructField("duration", LongType),
+      StructField("itemPrice", StringType),
+      StructField(CorruptCol, StringType)))
+    triageParsed(lines
+      .select(from_json(col("value"), schema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)).as("j"))
+      .select("j.*"))
+  }
+
+  private def triageParsed(parsed: DataFrame): DataFrame =
+    parsed.select(
       when(col(CorruptCol).isNull, lit("ok")).otherwise(lit("corrupt")).as("kind"),
       col("eventId").as("event_id"),
       col("resourceId").as("resource_id"),

@@ -196,6 +196,26 @@ object ScaleProbe {
         // stress on the integer-quantized aggregate.
         run("repeated_spans", graft.ext.Dedup.repeatedSpans(
           d, "doc_id", "text", n = 8, minDf = 2)),
+        // dead-letter triage throughput: events re-serialized to JSON
+        // lines with every 7th line truncated mid-string (hash-keyed,
+        // deterministic) — parse + classify + fingerprint per line,
+        // expected linear (pure per-row map, no shuffle)
+        run("quarantine", {
+          val lines = ev.select(to_json(struct(col("event_id"),
+              col("user_id"), col("event_type"), col("value"))).as("value"))
+            .select(when(pmod(xxhash64(col("value")), lit(7)) === 0,
+              substring(col("value"), 1, 20)).otherwise(col("value")).as("value"))
+          graft.sources.Quarantine.triageLines(lines)
+        }),
+        // corpus version diff (q103/q180 family): fingerprint projection
+        // per side + one full-outer join on the key — expected linear
+        run("version_diff", graft.operators.Diff.diff(
+          o,
+          o.filter(col("o_orderkey") % 11 =!= 0)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+                .otherwise(col("o_totalprice"))),
+          "o_orderkey", Seq("o_totalprice"))),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
           // split — label = id%10 would pin every label to ONE parity
