@@ -134,7 +134,8 @@ object Bench {
     "q174_idx_delete", "q175_ivf_delete", "q176_repetition_burden",
     "q177_centroid_drift", "q178_bmp_decode", "q179_image_report",
     "q180_cdc_time_travel", "q181_file_lineage", "q182_quarantine",
-    "q183_schema_evolution", "q184_mp4_meta")
+    "q183_schema_evolution", "q184_mp4_meta", "q185_quarantine_stream",
+    "q186_inc_clusters", "q187_ivf_append")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -2443,6 +2443,66 @@ object SparkEntry {
     "q182_quarantine" -> ((s, _) =>
       graft.sources.Quarantine.triage(s, FixturesDir + "/events_jsonl_dirty")),
 
+    // ── IVF index APPEND (q89's discipline on the ANN side): build
+    // the stored index from the 4/5 corpus, fold the 1/5 batch in via
+    // appendToIvfIndex (argmax against STORED anchors — one broadcast
+    // + one keyed aggregate over the batch; lists/ appended, never
+    // rewritten), then probe EXHAUSTIVELY: result must equal brute
+    // force over the WHOLE corpus, i.e. the appended slice is
+    // indistinguishable from a from-scratch build. ──
+    "q187_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/embeddings.parquet")
+      val idxPath = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idxapp_${fp}_n16a5") { staging =>
+        SimSearch.writeIvfIndex(
+          SimSearch.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+            "vec_id", "embedding", nlist = 16), staging)
+        SimSearch.appendToIvfIndex(
+          emb.filter(col("vec_id") % 5 === 0), staging, "vec_id", "embedding")
+      }
+      SimSearch.ivfTopKAgainstIndex(
+        SimSearch.readIvfIndex(s, idxPath),
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 16)
+    }),
+
+    // ── INCREMENTAL cluster maintenance (the q89/q174 batch-fold
+    // discipline on the CLUSTERING arc): old assignment (4/5 corpus) +
+    // index-probed cross pairs + batch-internal pairs folded by
+    // ConnectedComponents.incrementalClusters — O(batch + touched
+    // clusters), never O(corpus) — and certified against q55's OWN
+    // full-recompute oracle verbatim. oldAssign/cross feed multiple
+    // consumers → localCheckpoint (the q69 lesson). ──
+    "q186_inc_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val oldPairs = Dedup.nearDupPairsMinhash(old, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val oldAssign = graft.ext.ConnectedComponents
+        .dedupClusters(old, "doc_id", oldPairs, "doc_a", "doc_b")
+        .localCheckpoint()
+      val idx = Dedup.buildMinhashIndex(old, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32)
+      val cross = Dedup.nearDupPairsMinhashAgainstIndex(
+          batch, idx, "doc_id", "text", threshold = 0.8)
+        .localCheckpoint()
+      val bp = Dedup.nearDupPairsMinhash(batch, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      graft.ext.ConnectedComponents.incrementalClusters(
+        oldAssign, "doc_id", batch.select("doc_id"),
+        cross, "new_id", "corpus_id", bp, "doc_a", "doc_b")
+    }),
+
+    // ── STREAMING dead-letter triage: q182's classification on a LIVE
+    // ingest (readStream.text → triageLines) — a pure per-row map, so
+    // two delivery waves must produce the identical line-for-line
+    // result; certified against q182's own batch oracle. ──
+    "q185_quarantine_stream" -> ((s, _) =>
+      graft.streaming.StreamingReports.quarantineStreamReplay(
+        s, FixturesDir + "/events_jsonl_dirty")),
+
     // ── SCHEMA EVOLUTION read: two corpus dumps written with different
     // schemas (v2 adds `quality`), read as ONE partitioned tree with
     // mergeSchema — old rows get typed nulls, every row carries its
@@ -2577,6 +2637,69 @@ object SparkEntry {
     (0 until bits).flatMap(i => Seq(
       s"((($a >> $i) & 1) << ${2 * i + 1})",
       s"((($b >> $i) & 1) << ${2 * i})")).mkString(" + ")
+
+  /** Exhaustive-IVF truth: brute-force cosine top-5 for the %50 query
+    * batch over the whole embeddings corpus. Shared verbatim by q88
+    * (stored-index probe) and q187 (append-then-probe) - both modes
+    * must equal brute force regardless of centroid positions.
+    */
+  private val IvfExhaustiveTopkSql: String =
+    """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM embeddings
+        |), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / sqrt(q.nn * c.nn) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+        |  cosine
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin
+
+  /** q55's full-corpus clustering truth: exact-Jaccard(3-shingles)
+    * >= 0.8 pairs -> recursive-CTE connected components -> min-id
+    * cluster labels. Shared verbatim by q55 (one-shot clustering) and
+    * q186 (incremental fold) - the incremental path is certified
+    * against the SAME truth as the full recompute.
+    */
+  private val FullDedupClustersSql: String =
+    """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS a, db AS b
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |assigned AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT doc_id, cluster,
+        |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
+        |  doc_id = cluster AS is_representative
+        |FROM assigned""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3104,24 +3227,13 @@ object SparkEntry {
     // Same truth as q42: the stored index holds exact float vectors
     // (parquet float round-trip is lossless), and nprobe = nlist is
     // exhaustive — so probe-from-storage must equal brute force.
-    "q88_sim_topk_ivf_stored" ->
-      """WITH n AS (
-        |  SELECT vec_id, embedding,
-        |    list_reduce(list_transform(list_zip(embedding, embedding),
-        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
-        |  FROM embeddings
-        |), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
-        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
-        |      / sqrt(q.nn * c.nn) AS cosine
-        |  FROM q JOIN n c ON c.vec_id <> q.vec_id)
-        |SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
-        |  cosine
-        |FROM scored
-        |QUALIFY rank <= 5""".stripMargin,
+    "q88_sim_topk_ivf_stored" -> IvfExhaustiveTopkSql,
+
+    // IDENTICAL SQL to q88: after an APPEND, an exhaustive probe must
+    // equal brute force over the WHOLE corpus — the appended slice is
+    // indistinguishable from a from-scratch build (q89's discipline on
+    // the ANN side).
+    "q187_ivf_append" -> IvfExhaustiveTopkSql,
 
     // Same truth as q42: nprobe = nlist is exhaustive regardless of
     // centroid positions, so Lloyd refinement cannot change the result
@@ -3319,38 +3431,11 @@ object SparkEntry {
     // per component, left-join closure over all docs for singletons —
     // independently recomputing what the large-star/small-star
     // contraction produces distributed-side.
-    "q55_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
-        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
-        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
-        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT da AS a, db AS b
-        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
-        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
-        |reach(node, r) AS (
-        |  SELECT u, u FROM edges
-        |  UNION
-        |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
-        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
-        |assigned AS (
-        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
-        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
-        |SELECT doc_id, cluster,
-        |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
-        |  doc_id = cluster AS is_representative
-        |FROM assigned""".stripMargin,
+    "q55_dedup_clusters" -> FullDedupClustersSql,
+
+    // IDENTICAL SQL to q55: the incremental fold must equal the full
+    // recompute bit-for-bit (the q89 discipline on the clustering arc).
+    "q186_inc_clusters" -> FullDedupClustersSql,
 
     // The Bloom pre-filter is result-invisible (exact join removes
     // false positives), so the oracle is the plain semi join.
@@ -5659,6 +5744,25 @@ object SparkEntry {
     // match field-for-field, quarantined rows fingerprint-for-
     // fingerprint (md5 of the preserved raw text).
     "q182_quarantine" ->
+      """WITH f AS (
+        |  SELECT content FROM read_text('/root/repo/fixtures/events_jsonl_dirty/*.jsonl')),
+        |lines AS (
+        |  SELECT unnest(string_split(rtrim(content, chr(10)), chr(10))) AS line
+        |  FROM f)
+        |SELECT
+        |  CASE WHEN json_valid(line) THEN 'ok' ELSE 'corrupt' END AS kind,
+        |  CASE WHEN json_valid(line) THEN line->>'$.eventId' END AS event_id,
+        |  CASE WHEN json_valid(line) THEN line->>'$.resourceId' END AS resource_id,
+        |  CASE WHEN json_valid(line) THEN line->>'$.userId' END AS user_id,
+        |  CASE WHEN json_valid(line)
+        |    THEN CAST(line->>'$.duration' AS BIGINT) END AS duration,
+        |  CASE WHEN json_valid(line) THEN line->>'$.itemPrice' END AS item_price,
+        |  CASE WHEN NOT json_valid(line) THEN md5(line) END AS line_fp
+        |FROM lines""".stripMargin,
+
+    // Identical SQL to q182 — the streaming replay must converge to the
+    // batch triage exactly (the q167/q168 identical-oracle discipline).
+    "q185_quarantine_stream" ->
       """WITH f AS (
         |  SELECT content FROM read_text('/root/repo/fixtures/events_jsonl_dirty/*.jsonl')),
         |lines AS (

@@ -131,6 +131,60 @@ object ConnectedComponents {
       .withColumn("is_representative", col(idCol) === col("cluster"))
   }
 
+  /** INCREMENTAL cluster maintenance — fold a new batch into an
+    * existing [[dedupClusters]] assignment without re-clustering the
+    * corpus. The batch arc of the cluster lifecycle (the q89/q174
+    * discipline on the clustering side): cost is O(|batch| + members
+    * of TOUCHED clusters), never O(corpus).
+    *
+    * Correctness argument (and why the result can share q55's full-
+    * recompute oracle): old clusters are complete components of the
+    * old pair graph, and every NEW edge is incident to a batch node —
+    * so the full graph's components are exactly: untouched old
+    * components, plus components formed from batch nodes and the
+    * touched clusters they bridge. Rebuilding CC on [touched members +
+    * batch] with member→representative binding edges (a star per
+    * touched cluster) reproduces those merged components, and the
+    * min-id label agrees because min(A ∪ B) = min(min A, min B).
+    * Untouched rows pass through byte-identical — cluster_size cannot
+    * have changed (a batch member can only join a cluster through an
+    * edge, which would have touched it).
+    *
+    * `crossPairs` carries (batchCol, oldCol) edges from an index probe;
+    * `batchPairs` carries batch-internal edges.
+    */
+  def incrementalClusters(
+      assign: DataFrame, idCol: String, batchIds: DataFrame,
+      crossPairs: DataFrame, crossBatchCol: String, crossOldCol: String,
+      batchPairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val touched = crossPairs
+      .select(col(crossOldCol).as("__old"))
+      .join(assign.select(col(idCol).as("__old"), col("cluster")), Seq("__old"))
+      .select(col("cluster").as("__tc")).distinct()
+    val members = assign
+      .join(touched, col("cluster") === col("__tc"), "left_semi")
+    val bind = members.filter(col(idCol) =!= col("cluster"))
+      .select(col(idCol).as("u"), col("cluster").as("v"))
+    val edges = crossPairs
+      .select(col(crossBatchCol).cast("long").as("u"), col(crossOldCol).cast("long").as("v"))
+      .unionByName(batchPairs
+        .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+      .unionByName(bind.select(col("u").cast("long"), col("v").cast("long")))
+    val cc = connectedComponents(edges, "u", "v")
+    val nodes = batchIds.select(col(idCol))
+      .unionByName(members.select(col(idCol))).distinct()
+    val w = Window.partitionBy("cluster")
+    val reassigned = nodes
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_representative", col(idCol) === col("cluster"))
+    assign
+      .join(touched, col("cluster") === col("__tc"), "left_anti")
+      .select(col(idCol), col("cluster"), col("cluster_size"), col("is_representative"))
+      .unionByName(reassigned)
+  }
+
   /** Canonical-document selection — "which copy do we KEEP?". The
     * min-id representative of [[dedupClusters]] is arbitrary; real
     * dedup keeps the BEST member (longest, highest quality score,

@@ -459,6 +459,59 @@ object SimSearch {
     deletedIds.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(path + "/tombstones")
 
+  /** Fold a vector batch into a persisted IVF index WITHOUT touching
+    * the stored corpus (the `appendToMinhashIndex` discipline on the
+    * ANN side): each new vector is argmax-assigned against the STORED
+    * anchors (one bounded broadcast — nlist rows — and one keyed
+    * aggregate over the batch, O(|batch|·nlist) distance evals) and
+    * appended to lists/. Anchors keep their geometry: an append
+    * changes which vectors a probe can return, not the partition
+    * layout, so existing assignments never move and probe results for
+    * old vectors are unchanged. If the batch distribution drifts far
+    * from the anchors', recall degrades exactly as the q171 contract
+    * documents — the cue to rebuild, which is what index compaction
+    * and the build-once lifecycle are for.
+    */
+  def appendToIvfIndex(
+      newVectors: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
+    val spark = newVectors.sparkSession
+    val anchors = readIvfIndex(spark, path).anchors
+    val n = newVectors.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    n.crossJoin(broadcast(anchors))
+      .select(col("__id"), col("__v"),
+        struct((-cosineSim(spark, col("__v"), col("__cv"))).as("negCos"),
+          col("__cid").as("cid")).as("__sc"))
+      .groupBy("__id")
+      .agg(first(col("__v")).as("__v"), min(col("__sc")).getField("cid").as("__cid"))
+      .select(col("__id").as("id"), col("__v").as("vec"), col("__cid").as("cid"))
+      .write.mode("append").parquet(path + "/lists")
+  }
+
+  /** Compact a tombstoned IVF index: rewrite anchors/lists WITHOUT the
+    * tombstoned rows and drop the tombstone set — same staged
+    * two-rename swap as `Dedup.compactMinhashIndex` (crash leaves the
+    * old tree or the new one, never a half-rewrite), same
+    * probe-identical contract (ExtSpec pins it).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path + "/tombstones"))) return
+    val idx = readIvfIndex(spark, path) // tombstones already anti-joined
+    val staging = path + ".compact-" + java.util.UUID.randomUUID().toString.take(8)
+    writeIvfIndex(idx, staging)
+    val old = new org.apache.hadoop.fs.Path(
+      path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+    if (!fs.rename(root, old))
+      throw new java.io.IOException(s"compact: could not retire $path")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), root)) {
+      fs.rename(old, root) // roll back to the intact old tree
+      throw new java.io.IOException(s"compact: could not install $staging")
+    }
+    fs.delete(old, true)
+  }
+
   /** Probe-only IVF top-k against a (possibly stored) index: rank
     * anchors per query, keep `nprobe`, score only those lists. The
     * corpus is never re-assigned here — query-batch cost is independent

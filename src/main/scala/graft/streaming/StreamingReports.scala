@@ -630,6 +630,36 @@ object StreamingReports {
     spark.read.parquet(f"$storeRoot/v$version%09d")
   }
 
+  /** Streaming dead-letter triage — the batch q182 surface as a
+    * running ingest: a `readStream.text` scan through
+    * `Quarantine.triageLines`, so malformed lines flow to the
+    * quarantine branch of a LIVE pipeline instead of killing it (the
+    * FAILFAST failure mode is strictly worse on a stream: one bad line
+    * would crash the query and stall ingestion until a human
+    * intervenes). The pipeline is a pure per-row map — no watermark,
+    * no state — so delivery order cannot matter, which the replay
+    * proves by delivering the fixture files in two waves; the result
+    * must equal the batch triage of the same directory line-for-line
+    * (q182's own oracle).
+    */
+  def quarantineStreamReplay(outer: SparkSession, srcDir: String): DataFrame = {
+    val spark = replaySession(outer)
+    val landing = java.nio.file.Files.createTempDirectory("graft-quar-replay")
+    val files = listFixtureFiles(srcDir)
+    val (w1, w2) = files.splitAt(math.max(1, files.size / 2))
+    deliver(landing, w1)
+    val mem = s"graft_quar_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = graft.sources.Quarantine.triageLines(
+        spark.readStream.text(landing.toString))
+      .writeStream.format("memory").queryName(mem).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      deliver(landing, w2)
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(landing) }
+    spark.table(mem)
+  }
+
   /** Replay the landing dir in the same two reversed waves as
     * [[cdcUpsertReplay]], keep every version, then TIME-TRAVEL: diff
     * the first committed snapshot against the last via [[Diff]]'s

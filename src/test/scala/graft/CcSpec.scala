@@ -101,6 +101,36 @@ class CcSpec extends SparkSpec {
     assert(reps.filter(col("doc_id") =!= col("cluster")).isEmpty)
   }
 
+  test("incrementalClusters: batch fold == full recompute; untouched clusters byte-stable") {
+    // old graph: cluster {1,2,3} (rep 1), cluster {10,11} (rep 10),
+    // untouched cluster {20,21,22} (rep 20), singletons 30, 31
+    val oldIds = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 30L, 31L)
+    val oldPairs = Seq[(Long, Long)]((1, 2), (2, 3), (10, 11), (20, 21), (21, 22))
+    val oldAssign = ConnectedComponents.dedupClusters(
+      oldIds.toDF("doc_id"), "doc_id", oldPairs.toDF("a", "b"), "a", "b")
+    // batch: 40 bridges clusters {1..} and {10..} (a MERGE of two old
+    // clusters), 41 pairs with singleton 30, 42-43 form a new batch-
+    // internal pair, 44 is a batch singleton
+    val batch = Seq(40L, 41L, 42L, 43L, 44L).toDF("doc_id")
+    val cross = Seq[(Long, Long)]((40, 2), (40, 11), (41, 30)).toDF("nb", "no")
+    val bp = Seq[(Long, Long)]((42, 43)).toDF("a", "b")
+    val got = ConnectedComponents.incrementalClusters(
+        oldAssign, "doc_id", batch, cross, "nb", "no", bp, "a", "b")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // ground truth: full recompute over the union graph
+    val allIds = oldIds ++ Seq(40L, 41L, 42L, 43L, 44L)
+    val allEdges = oldPairs ++ Seq[(Long, Long)]((40, 2), (40, 11), (41, 30), (42, 43))
+    val uf = unionFind(allIds, allEdges)
+    val sizes = uf.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val want = allIds.map(n =>
+      (n, uf(n), sizes(uf(n)), n == uf(n))).toSet
+    assert(got == want)
+    // the merge relabeled {10,11} into cluster 1 and the untouched
+    // cluster kept its rows exactly
+    assert(got.contains((10L, 1L, 6L, false)))
+    assert(got.contains((20L, 20L, 3L, true)))
+  }
+
   test("TreePaths: deep chain + flat star resolve exactly; cycle throws") {
     import spark.implicits._
     // one 200-deep chain rooted at 0 (parent = n-1) + a 3-leaf star at 1000

@@ -537,6 +537,64 @@ class ExtSpec extends SparkSpec {
     assert(got == want, "delete-aware exhaustive probe diverged from brute force on survivors")
   }
 
+  test("appendToIvfIndex: appended batch probes like a from-scratch build; " +
+      "stored assignments never move") {
+    import graft.ext.SimSearch
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_app").toString
+    SimSearch.writeIvfIndex(
+      SimSearch.buildIvfIndex(emb.filter($"vec_id" % 4 =!= 0),
+        "vec_id", "embedding", nlist = 8), dir)
+    val preAssign = spark.read.parquet(dir + "/lists")
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    SimSearch.appendToIvfIndex(
+      emb.filter($"vec_id" % 4 === 0), dir, "vec_id", "embedding")
+    // old rows kept their exact list assignment (append is an append)
+    val postAssign = spark.read.parquet(dir + "/lists")
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    preAssign.foreach { case (id, cid) =>
+      assert(postAssign(id) == cid, s"append moved vec $id between lists") }
+    // exhaustive probe over the appended index == brute force over ALL
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val got = SimSearch.ivfTopKAgainstIndex(
+        SimSearch.readIvfIndex(spark, dir), queries, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val want = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == want, "append-then-exhaustive-probe diverged from brute force")
+  }
+
+  test("compactIvfIndex: probe-identical before/after, tombstones cleared, " +
+      "dead rows physically gone") {
+    import graft.ext.SimSearch
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_cmp").toString + "/idx"
+    SimSearch.writeIvfIndex(
+      SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8), dir)
+    SimSearch.deleteFromIvfIndex(
+      emb.filter($"vec_id" % 10 === 3).select("vec_id"), dir, "vec_id")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    def probe() = SimSearch.ivfTopKAgainstIndex(
+        SimSearch.readIvfIndex(spark, dir), queries, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val before = probe()
+    val listsBefore = spark.read.parquet(dir + "/lists").count()
+    SimSearch.compactIvfIndex(spark, dir)
+    assert(probe() == before, "compaction changed the probe result")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "/tombstones")),
+      "tombstones survived compaction")
+    assert(spark.read.parquet(dir + "/lists").count() < listsBefore,
+      "compaction rewrote nothing")
+    // idempotent no-op when there is nothing to compact
+    SimSearch.compactIvfIndex(spark, dir)
+    assert(probe() == before)
+  }
+
   test("persisted IVF index: probe plan never re-assigns the corpus and matches build+probe") {
     import graft.ext.SimSearch
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
