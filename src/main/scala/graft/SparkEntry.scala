@@ -2443,6 +2443,18 @@ object SparkEntry {
     "q182_quarantine" -> ((s, _) =>
       graft.sources.Quarantine.triage(s, FixturesDir + "/events_jsonl_dirty")),
 
+    // ── HARD-NEGATIVE mining (contrastive training data): per query,
+    // top-3 most-similar vectors with a DIFFERENT label — the label
+    // filter runs BEFORE ranking (filtering a label-blind top-k after
+    // ranking under-fills k exactly when neighbors share the query's
+    // label); null labels excluded both sides. Complements q102's
+    // random negatives with the near-miss set. ──
+    "q188_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", "label", k = 3)
+    }),
+
     // ── IVF index APPEND (q89's discipline on the ANN side): build
     // the stored index from the 4/5 corpus, fold the 1/5 batch in via
     // appendToIvfIndex (argmax against STORED anchors — one broadcast
@@ -3228,6 +3240,26 @@ object SparkEntry {
     // (parquet float round-trip is lossless), and nprobe = nlist is
     // exhaustive — so probe-from-storage must equal brute force.
     "q88_sim_topk_ivf_stored" -> IvfExhaustiveTopkSql,
+
+    "q188_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM embeddings WHERE label IS NOT NULL
+        |), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS query_label,
+        |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / sqrt(q.nn * c.nn) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id AND c.label <> q.label)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+        |  cosine
+        |FROM scored
+        |QUALIFY rank <= 3""".stripMargin,
 
     // IDENTICAL SQL to q88: after an APPEND, an exhaustive probe must
     // equal brute force over the WHOLE corpus — the appended slice is

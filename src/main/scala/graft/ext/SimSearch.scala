@@ -72,6 +72,42 @@ object SimSearch {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors whose LABEL DIFFERS — the
+    * near-miss examples a random negative sampler
+    * (`Sampling.negativePairs`) never finds, and the ones that carry
+    * most of the contrastive gradient. Same broadcast + per-query
+    * window shape as [[bruteForceTopK]] (exact form; at scale the
+    * scorer swaps for the LSH/IVF candidate set and the label filter
+    * composes unchanged, because it runs BEFORE ranking — filtering a
+    * label-blind top-k AFTER ranking would under-fill k whenever the
+    * nearest neighbors share the query's label, which for a clustered
+    * corpus is exactly the common case). Null labels are excluded on
+    * both sides: a null label "differs" from everything and would
+    * otherwise surface as a negative for every query.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col(labelCol).as("neighbor_label"))
+    val q = queries.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col(labelCol).as("query_label"))
+    val scored = c.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id") &&
+          col("neighbor_label") =!= col("query_label"))
+      .withColumn("cosine", cosineSim(corpus.sparkSession, col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "rank", "cosine")
+  }
+
   /** All pairs with cosine >= threshold — embedding-space near-dup
     * detection, exact all-pairs form. The `a.__id < b.__id` predicate is
     * not an equi-condition, so Spark plans a nested-loop/cartesian join:

@@ -114,7 +114,15 @@ object StreamScaleProbe {
         run("q80_top10", time(
           StreamingReports.top10ReplayUpdate(spark, srcDir, resources, categories).count())),
         run("q82_dedup", time(
-          StreamingReports.dedupReplay(spark, srcDir).count())))
+          StreamingReports.dedupReplay(spark, srcDir).count())),
+        // CDC upsert: per-trigger cost includes a SNAPSHOT REWRITE
+        // (merge into the versioned store), so the expected curve is
+        // linear in events + keys·triggers for the rewrite term — at
+        // real scale the store is key-partitioned and each batch
+        // rewrites only touched partitions (Merge scaladoc); this row
+        // watches the unpartitioned local form for super-linear drift
+        run("q99_cdc", time(
+          StreamingReports.cdcUpsertReplay(spark, srcDir).count())))
     }
 
     val dirs = scales.map { n =>
