@@ -201,4 +201,119 @@ class PropertyExtSpec extends SparkSpec {
       assert(got == want, s"iteration $i")
     }
   }
+
+  // ── real-format decoder round trips: write randomized files at the
+  // byte level IN THE TEST (independent of the fixture generators),
+  // parse with the production parser, compare against the pixel/spec
+  // formula; then cut the bytes at random points — a truncated file
+  // must return None or the full-file answer, and must NEVER throw ──
+
+  test("property: parseBmp round-trips randomized images; random truncation never throws") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def writeBmp(w: Int, h: Int, bits: Int, topDown: Boolean,
+        pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val px = bits / 8
+      val stride = (w * px + 3) / 4 * 4
+      val size = 54 + stride * h
+      val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      buf.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+        .putShort(1).putShort(bits.toShort).putInt(0).putInt(0)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      val ys = if (topDown) 0 until h else (h - 1) to 0 by -1
+      for (y <- ys) {
+        for (x <- 0 until w) {
+          val (r, g, b) = pix(x, y)
+          buf.put(b.toByte).put(g.toByte).put(r.toByte)
+          if (bits == 32) buf.put(((x + y) % 256).toByte)
+        }
+        buf.position(buf.position() + (stride - w * px))
+      }
+      buf.array()
+    }
+    val genCfg = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 24)
+      bits <- Gen.oneOf(24, 32); td <- Gen.oneOf(true, false)
+      a <- Gen.choose(1, 13); b <- Gen.choose(0, 255); c <- Gen.choose(1, 17)
+    } yield (w, h, bits, td, a, b, c)
+    for (i <- 0 until 25) {
+      val (w, h, bits, td, a, b0, c) = sample(genCfg, 9100L + i)
+      def pix(x: Int, y: Int) =
+        ((x * a + b0) % 256, (y * c + a) % 256, (x * c + y * a + b0) % 256)
+      val bytes = writeBmp(w, h, bits, td, pix)
+      val r = graft.ext.Multimodal.parseBmp("p", bytes)
+        .getOrElse(fail(s"iteration $i: valid BMP did not parse"))
+      val all = for (x <- 0 until w; y <- 0 until h) yield pix(x, y)
+      assert((r.width, r.height, r.bits, r.nPx) == ((w, h, bits, w.toLong * h)), s"i=$i")
+      assert(r.sumR == all.map(_._1.toLong).sum && r.sumG == all.map(_._2.toLong).sum
+        && r.sumB == all.map(_._3.toLong).sum, s"i=$i sums")
+      assert(r.peakLumaMilli ==
+        all.map { case (rr, gg, bb) => rr * 299L + gg * 587L + bb * 114L }.max, s"i=$i peak")
+      assert(r.topRowSumR == (0 until w).map(x => pix(x, 0)._1.toLong).sum,
+        s"i=$i topRow (topDown=$td)")
+      // truncation sweep: every prefix must be None (bounds-checked), not a throw
+      for (cut <- Seq(1, 13, 53, 54, bytes.length / 2, bytes.length - 1)
+           if cut < bytes.length)
+        assert(graft.ext.Multimodal.parseBmp("p", bytes.take(cut)).isEmpty, s"i=$i cut=$cut")
+    }
+  }
+
+  test("property: parseMp4 round-trips randomized box trees; random truncation never throws") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def box(t: String, payload: Array[Byte], large: Boolean = false): Array[Byte] = {
+      if (large) {
+        val b = ByteBuffer.allocate(16 + payload.length).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(1).put(t.getBytes("ISO-8859-1")).putLong(16L + payload.length).put(payload)
+        b.array()
+      } else {
+        val b = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(8 + payload.length).put(t.getBytes("ISO-8859-1")).put(payload)
+        b.array()
+      }
+    }
+    def mvhd(ts: Int, dur: Long, v1: Boolean): Array[Byte] = {
+      val b = ByteBuffer.allocate(if (v1) 112 else 100).order(ByteOrder.BIG_ENDIAN)
+      if (v1) { b.putInt(0x01000000); b.putLong(0); b.putLong(0); b.putInt(ts); b.putLong(dur) }
+      else { b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(ts); b.putInt(dur.toInt) }
+      b.putInt(0x00010000).putShort(0x0100.toShort).put(new Array[Byte](10))
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      b.put(new Array[Byte](24)).putInt(99)
+      box("mvhd", b.array())
+    }
+    def tkhd(id: Int, dur: Long, w: Int, h: Int, v1: Boolean): Array[Byte] = {
+      val b = ByteBuffer.allocate(if (v1) 104 else 92).order(ByteOrder.BIG_ENDIAN)
+      if (v1) { b.putInt(0x01000007); b.putLong(0); b.putLong(0); b.putInt(id); b.putInt(0); b.putLong(dur) }
+      else { b.putInt(7); b.putInt(0); b.putInt(0); b.putInt(id); b.putInt(0); b.putInt(dur.toInt) }
+      b.put(new Array[Byte](8)).putShort(0).putShort(0).putShort(0).putShort(0)
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      b.putInt(w << 16).putInt(h << 16)
+      box("trak", box("tkhd", b.array()))
+    }
+    val genCfg = for {
+      ts <- Gen.choose(1, 1000000); dur <- Gen.choose(0L, 1L << 40)
+      v1 <- Gen.oneOf(true, false); large <- Gen.oneOf(true, false)
+      nTrk <- Gen.choose(0, 4); w <- Gen.choose(0, 4000); h <- Gen.choose(0, 3000)
+    } yield (ts, dur, v1, large, nTrk, w, h)
+    for (i <- 0 until 25) {
+      val (ts, dur0, v1, large, nTrk, w, h) = sample(genCfg, 4400L + i)
+      val dur = if (v1) dur0 else dur0 & 0xffffffffL // v0 stores u32
+      val traks = (1 to nTrk).map(t => tkhd(t, dur, w, h, v1))
+        .foldLeft(Array.empty[Byte])(_ ++ _)
+      val bytes = box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0) ++ "isom".getBytes) ++
+        box("mdat", Array.fill[Byte](37)(0xAB.toByte), large) ++
+        box("moov", mvhd(ts, dur, v1) ++ traks)
+      val r = graft.ext.Multimodal.parseMp4("p", bytes)
+        .getOrElse(fail(s"iteration $i: valid MP4 did not parse"))
+      assert((r.brand, r.timescale, r.durationUnits, r.nTracks) ==
+        (("isom", ts.toLong, dur, nTrk)), s"i=$i")
+      assert(r.durationMs == dur * 1000L / ts, s"i=$i durationMs")
+      assert((r.width, r.height) == ((if (nTrk == 0) 0 else w, if (nTrk == 0) 0 else h)), s"i=$i dims")
+      // truncation sweep: None or the full answer, never a throw, never garbage
+      for (cut <- Seq(3, 9, 17, bytes.length / 3, bytes.length / 2, bytes.length - 1)
+           if cut < bytes.length) {
+        val p = graft.ext.Multimodal.parseMp4("p", bytes.take(cut))
+        assert(p.isEmpty || p.get == r.copy(path = p.get.path), s"i=$i cut=$cut: $p")
+      }
+    }
+  }
 }
