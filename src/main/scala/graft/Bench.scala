@@ -135,7 +135,8 @@ object Bench {
     "q177_centroid_drift", "q178_bmp_decode", "q179_image_report",
     "q180_cdc_time_travel", "q181_file_lineage", "q182_quarantine",
     "q183_schema_evolution", "q184_mp4_meta", "q185_quarantine_stream",
-    "q186_inc_clusters", "q187_ivf_append", "q188_hard_negatives")
+    "q186_inc_clusters", "q187_ivf_append", "q188_hard_negatives",
+    "q189_refresh_capstone")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -2443,6 +2443,64 @@ object SparkEntry {
     "q182_quarantine" -> ((s, _) =>
       graft.sources.Quarantine.triage(s, FixturesDir + "/events_jsonl_dirty")),
 
+    // ── the ROUND-10 CAPSTONE: a corpus REFRESH end-to-end from this
+    // round's operators. v2 derives as in q103 (drop %11, edit %7,
+    // add re-keyed %13); Diff.diff CLASSIFIES the batch (added ∪
+    // changed keys — the pipeline decides what to re-cluster from the
+    // diff, not from out-of-band knowledge); incrementalClusters folds
+    // exactly that batch into the unchanged docs' assignment;
+    // canonicalPerCluster keeps the best member (argmax fresh
+    // length(text) — the stored n_chars is STALE for edited docs);
+    // per-source rollup of docs/clusters/canonicals/kept chars. One
+    // oracle certifies the whole composition: full q55-style CC over
+    // the v2 CTE + argmax canonical + rollup. ──
+    "q189_refresh_capstone" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source")))
+        .localCheckpoint() // feeds diff, old/batch splits, scoring, rollup
+      val d = graft.operators.Diff.diff(docs, v2, "doc_id", Seq("text"))
+      val batchIds = d.filter(col("status").isin("added", "changed"))
+        .select("doc_id").localCheckpoint()
+      val old = v2.join(batchIds, Seq("doc_id"), "left_anti")
+      val batch = v2.join(batchIds, Seq("doc_id"), "left_semi")
+      val oldAssign = graft.ext.ConnectedComponents.dedupClusters(
+          old, "doc_id",
+          Dedup.nearDupPairsMinhash(old, "doc_id", "text",
+            shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8),
+          "doc_a", "doc_b")
+        .localCheckpoint()
+      val cross = Dedup.nearDupPairsMinhashAgainstIndex(
+          batch,
+          Dedup.buildMinhashIndex(old, "doc_id", "text",
+            shingleK = 3, numHashes = 128, bands = 32),
+          "doc_id", "text", threshold = 0.8)
+        .localCheckpoint()
+      val bp = Dedup.nearDupPairsMinhash(batch, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val assign = graft.ext.ConnectedComponents.incrementalClusters(
+          oldAssign, "doc_id", batchIds,
+          cross, "new_id", "corpus_id", bp, "doc_a", "doc_b")
+        .localCheckpoint() // feeds canonical AND the rollup join
+      val scored = v2.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      val canon = graft.ext.ConnectedComponents.canonicalPerCluster(
+        assign, "doc_id", scored.select(col("doc_id"), col("len")), "len")
+      assign.join(scored, Seq("doc_id"))
+        .join(canon.select(col("canon_id").as("doc_id"), lit(true).as("__c")),
+          Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(when(col("__c"), 1L).otherwise(0L)).as("n_canon"),
+          sum(when(col("__c"), col("len"))).as("kept_chars"))
+    }),
+
     // ── HARD-NEGATIVE mining (contrastive training data): per query,
     // top-3 most-similar vectors with a DIFFERENT label — the label
     // filter runs BEFORE ranking (filtering a label-blind top-k after
@@ -3240,6 +3298,61 @@ object SparkEntry {
     // (parquet float round-trip is lossless), and nprobe = nlist is
     // exhaustive — so probe-from-storage must equal brute force.
     "q88_sim_topk_ivf_stored" -> IvfExhaustiveTopkSql,
+
+    // Full-recompute truth for the capstone: q103's v2 derivation +
+    // q55's exact-Jaccard CC machinery over it + argmax-canonical +
+    // per-source rollup. The Spark side reaches the same numbers via
+    // diff-classified incremental clustering — certifying the whole
+    // composition, not just its pieces.
+    "q189_refresh_capstone" ->
+      """WITH RECURSIVE v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM v2
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS a, db AS b
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |scored AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+        |    CAST(length(d.text) AS BIGINT) AS len, d.source
+        |  FROM v2 d LEFT JOIN comp c ON c.node = d.doc_id),
+        |canon AS (
+        |  SELECT cluster, doc_id AS canon_id FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY cluster
+        |    ORDER BY len DESC, doc_id) = 1)
+        |SELECT s.source, count(*) AS n_docs,
+        |  count(DISTINCT s.cluster) AS n_clusters,
+        |  CAST(sum(CASE WHEN c.canon_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_canon,
+        |  CAST(sum(CASE WHEN c.canon_id IS NOT NULL THEN s.len END) AS BIGINT)
+        |    AS kept_chars
+        |FROM scored s LEFT JOIN canon c ON s.doc_id = c.canon_id
+        |GROUP BY 1""".stripMargin,
 
     "q188_hard_negatives" ->
       """WITH n AS (
