@@ -2469,17 +2469,20 @@ object SparkEntry {
         .select("doc_id").localCheckpoint()
       val old = v2.join(batchIds, Seq("doc_id"), "left_anti")
       val batch = v2.join(batchIds, Seq("doc_id"), "left_semi")
+      // ONE scan-side minhash pass over the old corpus: the index is
+      // checkpointed and BOTH products (old-old pairs, batch probe)
+      // derive from it — at 100 TB the shingle/hash scan dominates, so
+      // not running it twice is the composition win
+      val idx0 = Dedup.buildMinhashIndex(old, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32)
+      val idx = idx0.copy(bands = idx0.bands.localCheckpoint(),
+        sets = idx0.sets.localCheckpoint())
       val oldAssign = graft.ext.ConnectedComponents.dedupClusters(
-          old, "doc_id",
-          Dedup.nearDupPairsMinhash(old, "doc_id", "text",
-            shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8),
+          old, "doc_id", Dedup.nearDupPairsFromIndex(idx, threshold = 0.8),
           "doc_a", "doc_b")
         .localCheckpoint()
       val cross = Dedup.nearDupPairsMinhashAgainstIndex(
-          batch,
-          Dedup.buildMinhashIndex(old, "doc_id", "text",
-            shingleK = 3, numHashes = 128, bands = 32),
-          "doc_id", "text", threshold = 0.8)
+          batch, idx, "doc_id", "text", threshold = 0.8)
         .localCheckpoint()
       val bp = Dedup.nearDupPairsMinhash(batch, "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
@@ -2548,13 +2551,16 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val old = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
-      val oldPairs = Dedup.nearDupPairsMinhash(old, "doc_id", "text",
-        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
-      val oldAssign = graft.ext.ConnectedComponents
-        .dedupClusters(old, "doc_id", oldPairs, "doc_a", "doc_b")
-        .localCheckpoint()
-      val idx = Dedup.buildMinhashIndex(old, "doc_id", "text",
+      // one scan-side minhash pass: old-old pairs AND the batch probe
+      // both derive from the checkpointed index (the q189 discipline)
+      val idx0 = Dedup.buildMinhashIndex(old, "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32)
+      val idx = idx0.copy(bands = idx0.bands.localCheckpoint(),
+        sets = idx0.sets.localCheckpoint())
+      val oldAssign = graft.ext.ConnectedComponents
+        .dedupClusters(old, "doc_id",
+          Dedup.nearDupPairsFromIndex(idx, threshold = 0.8), "doc_a", "doc_b")
+        .localCheckpoint()
       val cross = Dedup.nearDupPairsMinhashAgainstIndex(
           batch, idx, "doc_id", "text", threshold = 0.8)
         .localCheckpoint()

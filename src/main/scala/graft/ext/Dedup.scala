@@ -394,6 +394,35 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Corpus-INTERNAL near-dup pairs derived from an existing index —
+    * identical result to [[nearDupPairsMinhash]] over the indexed
+    * corpus, but without re-shingling/re-hashing it: the banded
+    * self-join runs on the stored bands/ and the exact-Jaccard verify
+    * on the stored sets/. The composition win: a pipeline that builds
+    * the index for batch probes (q89/q186/q189 shape) gets the
+    * old-old pairs for ONE band self-join instead of a second full
+    * scan-side pass — at 100 TB, the scan-side minhash IS the
+    * dominant cost, so deriving both products from one pass matters.
+    */
+  def nearDupPairsFromIndex(idx: MinhashIndex, threshold: Double = 0.8): DataFrame = {
+    val cands = idx.bands.as("x")
+      .join(idx.bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"))
+      .distinct()
+    cands
+      .join(idx.sets.select(col("__id"), col("__sh").as("__sha")), col("doc_a") === col("__id"))
+      .drop("__id")
+      .join(idx.sets.select(col("__id"), col("__sh").as("__shb")), col("doc_b") === col("__id"))
+      .drop("__id")
+      .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("__union", size(col("__sha")) + size(col("__shb")) - col("__inter"))
+      .withColumn("jaccard", col("__inter").cast("double") / col("__union").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Boundary-duplicate detection — the SPLIT-document case the
     * whole-document dedup family misses: a crawl/chunking pipeline that
     * cut one logical document into two records leaves doc A's last k

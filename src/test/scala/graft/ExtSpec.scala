@@ -537,6 +537,21 @@ class ExtSpec extends SparkSpec {
     assert(got == want, "delete-aware exhaustive probe diverged from brute force on survivors")
   }
 
+  test("nearDupPairsFromIndex == nearDupPairsMinhash over the indexed corpus") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val direct = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val viaIdx = Dedup.nearDupPairsFromIndex(
+        Dedup.buildMinhashIndex(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 128, bands = 32), threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(viaIdx == direct)
+    assert(direct.nonEmpty, "corpus produced no pairs — test is vacuous")
+  }
+
   test("appendToIvfIndex: appended batch probes like a from-scratch build; " +
       "stored assignments never move") {
     import graft.ext.SimSearch
