@@ -394,6 +394,37 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Candidate-recall probability of banded minhash at Jaccard s with
+    * b bands of r rows: 1 − (1 − s^r)^b — the public LSH S-curve
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4).
+    */
+  def minhashRecallAt(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Banding advisor (the `SimSearch.lshParamsForTau` discipline on
+    * the minhash side): among the (bands, rows) factorizations of
+    * `numHashes`, pick the one whose miss probability at the target
+    * threshold stays under `missTarget` while minimizing background
+    * candidates — i.e. the LARGEST rows-per-band that still recalls τ.
+    * Bigger rows ⇒ the S-curve steepens and sub-threshold pairs stop
+    * colliding (each band is an r-way AND); more bands ⇒ recall rises
+    * (b-way OR) but every band is another self-join's worth of
+    * candidate buckets. The engine-wide default (128 hashes, τ=0.8)
+    * resolves to (32, 4) — the parameters q18/q55/q79/q87/q89/q186/
+    * q189 run with are this function's output, not a hand-pin.
+    */
+  def minhashParamsForTau(
+      numHashes: Int, tau: Double, missTarget: Double = 1e-4): (Int, Int) = {
+    require(numHashes > 0 && tau > 0 && tau < 1)
+    val options = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r)) // (bands, rows)
+      .filter { case (b, r) => 1.0 - minhashRecallAt(tau, b, r) <= missTarget }
+    require(options.nonEmpty,
+      s"no factorization of $numHashes hashes recalls tau=$tau at miss<=$missTarget")
+    options.maxBy(_._2) // hardest pruning that still meets the recall bar
+  }
+
   /** Corpus-INTERNAL near-dup pairs derived from an existing index —
     * identical result to [[nearDupPairsMinhash]] over the indexed
     * corpus, but without re-shingling/re-hashing it: the banded

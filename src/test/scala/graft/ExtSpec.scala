@@ -537,6 +537,25 @@ class ExtSpec extends SparkSpec {
     assert(got == want, "delete-aware exhaustive probe diverged from brute force on survivors")
   }
 
+  test("minhashParamsForTau: the engine default (128, tau=0.8) IS the advisor's pick") {
+    import graft.ext.Dedup
+    // the parameters every minhash query runs with derive from the
+    // S-curve, not a hand-pin
+    assert(Dedup.minhashParamsForTau(128, 0.8) == ((32, 4)))
+    // recall curve sanity: monotone in s; the pick meets its bar
+    val rec08 = Dedup.minhashRecallAt(0.8, 32, 4)
+    assert(rec08 >= 1.0 - 1e-4)
+    assert(Dedup.minhashRecallAt(0.9, 32, 4) > rec08)
+    assert(Dedup.minhashRecallAt(0.3, 32, 4) < 0.3,
+      "sub-threshold pairs should mostly NOT collide")
+    // a higher tau affords harder pruning (rows never decrease)
+    assert(Dedup.minhashParamsForTau(128, 0.9)._2 >= 4)
+    // an unmeetable bar fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Dedup.minhashParamsForTau(4, 0.05, missTarget = 1e-9)
+    }
+  }
+
   test("nearDupPairsFromIndex == nearDupPairsMinhash over the indexed corpus") {
     import graft.ext.Dedup
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
