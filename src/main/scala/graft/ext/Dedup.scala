@@ -47,17 +47,47 @@ object Dedup {
           .repartition(col("__id")), "__text", shingleK, "__sh")
       .select(col("__id"), col("__sh"))
 
-  /** (__id, band, bh) LSH band keys from shingle sets. Signature shape:
-    * explode the shingle set, hash each shingle ONCE, then numHashes
-    * `min` aggregations grouped by doc (map-side partial combine, one
-    * shuffle keyed by doc id). The tempting per-row alternative — nested
-    * higher-order array expressions — recomputes xxhash64
-    * |shingles|×numHashes times per row via projection collapse
-    * (measured 20× slower at sf0.1). explode_OUTER + isNotNull, not
-    * plain explode: see the no-CSE pushdown note in
-    * [[nearDupPairsMinhash]].
+  /** (__id, band, bh) LSH band keys from shingle sets — a pure
+    * projection: the codegen'd [[graft.plans.MinhashSignature]]
+    * expression folds all numHashes running minima in one per-row loop
+    * (each shingle hashed ONCE), band keys are xxhash64 over signature
+    * slices, and posexplode emits the band rows. NO aggregation, NO
+    * clustering requirement — at 100 TB this pipelines inside
+    * whole-stage codegen straight off the scan; the first exchange in
+    * the whole LSH pipeline is the bucket join itself.
+    *
+    * History, why not the two obvious built-in forms (both kept under
+    * test as the equivalence oracle):
+    *  - nested higher-order array expressions re-hash
+    *    |shingles|×numHashes times per row via projection collapse
+    *    (measured 20× slower at sf0.1);
+    *  - explode_outer → groupBy(min×numHashes) ([[bandedOfAgg]]) hashes
+    *    once but pays aggregation machinery over the exploded stream
+    *    and needs the doc-id clustering the caller pre-arranges.
+    * PlansSpec asserts the expression path is row-for-row identical to
+    * the aggregate path, so indexes built by either interoperate.
     */
   private[graft] def bandedOf(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = base
+      .select(col("__id"),
+        graft.plans.MinhashSignature.of(base.sparkSession, col("__sh"), numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val bandCols = (0 until bands).map { bd =>
+      xxhash64(lit(bd) +: (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), bd * rowsPerBand + r + 1)): _*)
+    }
+    sig.select(col("__id"), posexplode(array(bandCols: _*))).toDF("__id", "band", "bh")
+  }
+
+  /** The explode→aggregate signature form [[bandedOf]] replaced; kept
+    * as the independent recipe PlansSpec certifies the expression path
+    * against (and as the fallback if a deployment must avoid custom
+    * expressions). explode_OUTER + isNotNull, not plain explode: see
+    * the no-CSE pushdown note in [[nearDupPairsMinhash]].
+    */
+  private[graft] def bandedOfAgg(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val seeds = seedPairs(numHashes)

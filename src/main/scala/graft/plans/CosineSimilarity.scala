@@ -20,9 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * for the other cannot change a single output bit (asserted in
   * PlansSpec).
   *
-  * This is deliberately the ONLY custom Catalyst expression in the
-  * engine: everything else is expressible with built-ins, and built-ins
-  * get Catalyst's own optimizations for free. The preference order
+  * The engine carries exactly TWO custom Catalyst expressions — this
+  * and [[MinhashSignature]] — each earned by a measured failure of the
+  * composed-builtin form (three array walks here; multiplicative
+  * re-hashing there). Everything else uses built-ins, which get
+  * Catalyst's own optimizations for free. The preference order
   * (compose built-ins > custom Expression > custom operator >
   * mapPartitions) is applied, not just cited.
   */
@@ -96,9 +98,14 @@ object CosineSimilarity {
   * engine's SQL surface additions into every session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(CosineSimilarity.fnName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.fnName),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(MinhashSignature.fnName),
+      new ExpressionInfo(classOf[MinhashSignature].getName, MinhashSignature.fnName),
+      MinhashSignature.sqlBuilder))
+  }
 }

@@ -166,6 +166,64 @@ class PlansSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("minhash_sig expression path == explode/aggregate path, band row for band row") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val base = graft.ext.TextAnalysis.withShingleSet(
+        docs.select($"doc_id".as("__id"), $"text".as("__text")), "__text", 3, "__sh")
+      .select($"__id", $"__sh")
+    val expr = graft.ext.Dedup.bandedOf(base, 128, 32)
+    val agg = graft.ext.Dedup.bandedOfAgg(base, 128, 32)
+    assert(expr.count() > 0)
+    // bit equality in both directions — indexes built by either path
+    // interoperate, and no band key moved
+    assert(expr.exceptAll(agg).count() == 0)
+    assert(agg.exceptAll(expr).count() == 0)
+  }
+
+  test("minhash_sig: interpreted eval == codegen; empty/null-element/null-input semantics") {
+    import graft.plans.MinhashSignature
+    MinhashSignature.register(spark)
+    val df = spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(1, Seq("a b c", "b c d")),
+        org.apache.spark.sql.Row(2, Seq("a b c", null)),
+        org.apache.spark.sql.Row(3, Seq.empty[String]),
+        org.apache.spark.sql.Row(4, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("sh",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+    def run(): Map[Int, Seq[Long]] =
+      df.select($"id", call_function("minhash_sig", $"sh", lit(8), lit(42L)).as("sig"))
+        .collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+        .toMap
+    val codegen = run()
+    val wholeStage = spark.conf.get("spark.sql.codegen.wholeStage")
+    val factoryMode = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = run()
+      assert(codegen == interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+      spark.conf.set("spark.sql.codegen.factoryMode", factoryMode)
+    }
+    assert(codegen(1) != null && codegen(1).length == 8)
+    assert(codegen(2) != null, "null elements are skipped, not fatal")
+    // doc 2's mins come from its single non-null shingle, so every
+    // component must also appear in doc 1's (superset) signature bound
+    assert(codegen(2).zip(codegen(1)).forall { case (two, one) => two >= one })
+    assert(codegen(3) == null, "empty set has no signature (matches the agg path's absent group)")
+    assert(codegen(4) == null, "null input stays null")
+    // the per-shingle hash matches the built-in xxhash64 bit for bit
+    val one = spark.sql(
+      "SELECT minhash_sig(array('zq'), 1, 42L)[0] AS m, pmod(xxhash64('zq'), 2147483647) AS x")
+      .collect().head
+    val (a0, b0) = graft.ext.Dedup.seedPairs(1).head
+    assert(one.getLong(0) == java.lang.Math.floorMod(a0 * one.getLong(1) + b0, graft.ext.Dedup.P))
+  }
+
   test("GraftExtensions injection applies cleanly to a fresh extensions object") {
     // a full spark.sql.extensions round trip needs an isolated
     // SparkContext (getOrCreate would return the suite session and
