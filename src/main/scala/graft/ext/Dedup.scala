@@ -70,9 +70,16 @@ object Dedup {
   private[graft] def bandedOf(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // explode_outer(array(…)), not a bare alias: the isNotNull filter
+    // below would otherwise be alias-inlined and PUSHED UNDER the
+    // projection (the third no-CSE form — see TextAnalysis scaladoc),
+    // re-running the whole tokenize→shingle→signature chain once for
+    // the predicate and once for the output (measured 3× on q18).
+    // Predicates on Generate output are never pushed below it.
     val sig = base
       .select(col("__id"),
-        graft.plans.MinhashSignature.of(base.sparkSession, col("__sh"), numHashes).as("__sig"))
+        explode_outer(array(graft.plans.MinhashSignature.of(
+          base.sparkSession, col("__sh"), numHashes))).as("__sig"))
       .filter(col("__sig").isNotNull)
     val bandCols = (0 until bands).map { bd =>
       xxhash64(lit(bd) +: (0 until rowsPerBand).map(r =>
