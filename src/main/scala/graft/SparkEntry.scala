@@ -2454,6 +2454,22 @@ object SparkEntry {
     // per-source rollup of docs/clusters/canonicals/kept chars. One
     // oracle certifies the whole composition: full q55-style CC over
     // the v2 CTE + argmax canonical + rollup. ──
+    // ── STREAMING CRAWL INGESTION capstone: quarantine + persisted
+    // minhash-index probe + batch self-dedup + exactly-once manifest
+    // commits, composed into the production crawl pipeline. Three
+    // waves stream through foreachBatch: wave 0 re-crawls corpus docs
+    // (dup_index), introduces a novel family with in-batch copies
+    // (ingested + dup_batch) and truncated-JSON lines (quarantined);
+    // wave 1 delivers truncated near-dups of corpus docs (the
+    // LSH-candidate + exact-verify arc); wave 2 REDELIVERS wave 0's
+    // novel texts under new ids — flagged dup_index only because wave
+    // 0's intake was appended to the index (ingestion order is
+    // load-bearing). The oracle re-derives every decision from
+    // `documents` with exact all-pairs Jaccard, unrolled wave by wave:
+    // wave k's index = corpus ∪ waves <k's ingested sets. ──
+    "q190_crawl_ingest_stream" -> ((s, dir) =>
+      graft.streaming.CrawlIngest.crawlIngestReplay(s, dir)),
+
     "q189_refresh_capstone" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
       val v2 = docs.filter(col("doc_id") % 11 =!= 0)
@@ -3304,6 +3320,142 @@ object SparkEntry {
     // (parquet float round-trip is lossless), and nprobe = nlist is
     // exhaustive — so probe-from-storage must equal brute force.
     "q88_sim_topk_ivf_stored" -> IvfExhaustiveTopkSql,
+
+    // Crawl-ingestion truth: rebuild every wave's lines from
+    // `documents` (the fixture IS corpus-derived), classify with exact
+    // all-pairs Jaccard, and unroll the index state wave by wave —
+    // wave k's index = corpus ∪ (waves <k)'s ingested sets. The LSH
+    // side must agree because candidates are verified with the same
+    // exact Jaccard; only banding recall differs, and at J>=0.8 with
+    // 32x4 bands the per-pair miss probability is <5e-8 (exact copies
+    // and >=0.9 truncations: <1e-14), far below one expected miss on
+    // this fixture. Batch-internal rule both sides: suppressed iff a
+    // SMALLER-id same-batch doc is similar (conservative set rule).
+    "q190_crawl_ingest_stream" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |batch AS (
+        |  SELECT 0 AS batch_id, 200000 + doc_id AS new_id, t
+        |  FROM tk WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT 0, 200000 + doc_id,
+        |    ['novel', 'alpha', CAST(doc_id AS VARCHAR),
+        |     'edge', CAST(doc_id*1000+7 AS VARCHAR),
+        |     'mark', CAST(doc_id*1000+13 AS VARCHAR)]
+        |  FROM tk WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT 0, 250000 + doc_id,
+        |    ['novel', 'alpha', CAST(doc_id AS VARCHAR),
+        |     'edge', CAST(doc_id*1000+7 AS VARCHAR),
+        |     'mark', CAST(doc_id*1000+13 AS VARCHAR)]
+        |  FROM tk WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT 1, 300000 + doc_id, list_slice(t, 1, len(t) - 3)
+        |  FROM tk WHERE doc_id % 11 = 5 AND len(t) >= 40
+        |  UNION ALL
+        |  SELECT 2, 400000 + doc_id,
+        |    ['novel', 'alpha', CAST(doc_id AS VARCHAR),
+        |     'edge', CAST(doc_id*1000+7 AS VARCHAR),
+        |     'mark', CAST(doc_id*1000+13 AS VARCHAR)]
+        |  FROM tk WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT 2, 400000 + doc_id,
+        |    ['novel', 'delta', CAST(doc_id AS VARCHAR),
+        |     'edge', CAST(doc_id*1000+7 AS VARCHAR),
+        |     'mark', CAST(doc_id*1000+13 AS VARCHAR)]
+        |  FROM tk WHERE doc_id % 11 = 8),
+        |btok AS (
+        |  SELECT batch_id, new_id, unnest(t) AS tok,
+        |         generate_subscripts(t, 1) AS pos
+        |  FROM batch),
+        |bsh AS (
+        |  SELECT DISTINCT batch_id, new_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM btok WINDOW w AS (PARTITION BY batch_id, new_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+        |bsz AS (SELECT batch_id, new_id, count(*) AS n FROM bsh GROUP BY 1, 2),
+        |ctok AS (
+        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tk),
+        |csh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM ctok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+        |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        |mc AS (
+        |  SELECT q.batch_id, q.new_id, q.doc_id FROM (
+        |    SELECT b.batch_id, b.new_id, c.doc_id, count(*) AS i
+        |    FROM bsh b JOIN csh c ON b.shingle = c.shingle
+        |    GROUP BY 1, 2, 3) q
+        |  JOIN bsz ON bsz.batch_id = q.batch_id AND bsz.new_id = q.new_id
+        |  JOIN csz ON csz.doc_id = q.doc_id
+        |  WHERE CAST(q.i AS DOUBLE) / (bsz.n + csz.n - q.i) >= 0.8),
+        |mb AS (
+        |  SELECT p.ba, p.ia, p.bb, p.ib FROM (
+        |    SELECT a.batch_id AS ba, a.new_id AS ia,
+        |           b.batch_id AS bb, b.new_id AS ib, count(*) AS i
+        |    FROM bsh a JOIN bsh b ON a.shingle = b.shingle
+        |      AND (a.batch_id < b.batch_id
+        |        OR (a.batch_id = b.batch_id AND a.new_id < b.new_id))
+        |    GROUP BY 1, 2, 3, 4) p
+        |  JOIN bsz sa ON sa.batch_id = p.ba AND sa.new_id = p.ia
+        |  JOIN bsz sb ON sb.batch_id = p.bb AND sb.new_id = p.ib
+        |  WHERE CAST(p.i AS DOUBLE) / (sa.n + sb.n - p.i) >= 0.8),
+        |c0 AS (
+        |  SELECT new_id,
+        |    CASE WHEN n_idx > 0 THEN 'dup_index'
+        |         WHEN supp THEN 'dup_batch' ELSE 'ingested' END AS status, n_idx
+        |  FROM (
+        |    SELECT b.new_id,
+        |      (SELECT count(DISTINCT doc_id) FROM mc
+        |       WHERE mc.batch_id = 0 AND mc.new_id = b.new_id) AS n_idx,
+        |      EXISTS (SELECT 1 FROM mb
+        |              WHERE mb.bb = 0 AND mb.ib = b.new_id) AS supp
+        |    FROM batch b WHERE b.batch_id = 0)),
+        |ing0 AS (SELECT new_id FROM c0 WHERE status = 'ingested'),
+        |c1 AS (
+        |  SELECT new_id,
+        |    CASE WHEN n_idx > 0 THEN 'dup_index'
+        |         WHEN supp THEN 'dup_batch' ELSE 'ingested' END AS status, n_idx
+        |  FROM (
+        |    SELECT b.new_id,
+        |      (SELECT count(DISTINCT doc_id) FROM mc
+        |       WHERE mc.batch_id = 1 AND mc.new_id = b.new_id)
+        |      + (SELECT count(DISTINCT mb.ia) FROM mb
+        |         JOIN ing0 ON ing0.new_id = mb.ia
+        |         WHERE mb.ba = 0 AND mb.bb = 1 AND mb.ib = b.new_id) AS n_idx,
+        |      EXISTS (SELECT 1 FROM mb
+        |              WHERE mb.ba = 1 AND mb.bb = 1 AND mb.ib = b.new_id) AS supp
+        |    FROM batch b WHERE b.batch_id = 1)),
+        |ing01 AS (SELECT new_id FROM ing0
+        |          UNION ALL SELECT new_id FROM c1 WHERE status = 'ingested'),
+        |c2 AS (
+        |  SELECT new_id,
+        |    CASE WHEN n_idx > 0 THEN 'dup_index'
+        |         WHEN supp THEN 'dup_batch' ELSE 'ingested' END AS status, n_idx
+        |  FROM (
+        |    SELECT b.new_id,
+        |      (SELECT count(DISTINCT doc_id) FROM mc
+        |       WHERE mc.batch_id = 2 AND mc.new_id = b.new_id)
+        |      + (SELECT count(DISTINCT mb.ia) FROM mb
+        |         JOIN ing01 ON ing01.new_id = mb.ia
+        |         WHERE mb.ba < 2 AND mb.bb = 2 AND mb.ib = b.new_id) AS n_idx,
+        |      EXISTS (SELECT 1 FROM mb
+        |              WHERE mb.ba = 2 AND mb.bb = 2 AND mb.ib = b.new_id) AS supp
+        |    FROM batch b WHERE b.batch_id = 2))
+        |SELECT CAST(0 AS BIGINT) AS batch_id, CAST(new_id AS BIGINT) AS new_id,
+        |       status, CAST(n_idx AS BIGINT) AS n_idx_matches,
+        |       CAST(NULL AS VARCHAR) AS line_fp
+        |FROM c0
+        |UNION ALL
+        |SELECT 1, new_id, status, n_idx, NULL FROM c1
+        |UNION ALL
+        |SELECT 2, new_id, status, n_idx, NULL FROM c2
+        |UNION ALL
+        |SELECT 0, CAST(NULL AS BIGINT), 'quarantined', CAST(NULL AS BIGINT),
+        |  md5('{"new_id": ' || CAST(doc_id + 500000 AS VARCHAR) || ', "text": "lost')
+        |FROM tk WHERE doc_id % 11 = 7""".stripMargin,
 
     // Full-recompute truth for the capstone: q103's v2 derivation +
     // q55's exact-Jaccard CC machinery over it + argmax-canonical +

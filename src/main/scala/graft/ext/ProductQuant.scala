@@ -1,0 +1,207 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding search at memory scale —
+  * the standard compression arm of a 100 TB ANN stack (Jégou, Douze,
+  * Schmid, "Product Quantization for Nearest Neighbor Search", IEEE
+  * TPAMI 2011): split each d-dim vector into m subspaces, quantize
+  * each subvector to one of k codebook centroids, and score queries
+  * against the CODES with asymmetric distance computation (ADC) — the
+  * query stays exact, each corpus vector costs m small integers
+  * instead of d floats (64-dim float32 = 256 B → 8 codes = 8 B, 32×).
+  * At cluster scale the codes table is the resident artifact: a scan
+  * of 100 TB of raw vectors becomes a scan of ~3 TB of codes, and the
+  * per-query work is one m·k lookup table plus an m-add fold per code
+  * row — no vector arithmetic in the corpus-sized loop.
+  *
+  * Distributed shapes, all built-ins:
+  *  - encoding: one posexplode into (id, sub, subvector) rows, one
+  *    broadcast join against the m·k codebook, one argmin partial
+  *    aggregate — O(n·m) rows through one keyed shuffle, never a
+  *    corpus-wide window or collect;
+  *  - LUT build: queries × codebook (bounded broadcast), folded to a
+  *    flat per-query array ordered by (sub, code) via array_sort —
+  *    collect_list's order-nondeterminism cannot leak (the q53
+  *    discipline);
+  *  - scoring: codes ⨯ broadcast(queries+LUT); the score is a
+  *    SEQUENTIAL fold over the code array in subspace order
+  *    (`aggregate(zip_with(codes, sequence(0, m−1), …))`), so every
+  *    score is a deterministic function of its inputs — no
+  *    aggregation-order noise, same discipline as SimSearch.dotD.
+  *
+  * Certification strategy (two arms, mirroring IVF's q42/q44 + q46):
+  *  - EXACT arm (q191): with a codebook holding every distinct
+  *    subvector of a corpus, quantization error is zero and the ADC
+  *    score equals the exact inner product — on the dyadic-grid
+  *    clustered fixture every product and partial sum is exactly
+  *    representable, so subspace-wise summation is bit-identical to
+  *    the oracle's single 64-term fold and the full top-k row set
+  *    hash-matches DuckDB brute force.
+  *  - LOSSY arm (q192): a trained m=8, k=16 codebook (per-subspace
+  *    Lloyd, deterministic seeding — the buildIvfIndex discipline) on
+  *    the real embeddings, certified as a pinned recall contract
+  *    against the exact inner-product truth (the q46 discipline).
+  */
+object ProductQuant {
+
+  /** (sub, code, cvec) with codes DENSE 0..k_sub−1 per subspace —
+    * [[pqTopK]] indexes its flat LUT by sub·k + code.
+    */
+  final case class PqCodebook(centroids: DataFrame, m: Int, dim: Int) {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    def subDim: Int = dim / m
+  }
+
+  private def subSlices(vec: Column, m: Int, dim: Int): Column = {
+    val d = dim / m
+    array((0 until m).map(s => slice(vec, s * d + 1, d)): _*)
+  }
+
+  /** Squared L2 between two float arrays — sequential fold in double
+    * (deterministic, exact on dyadic grids).
+    */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Degenerate codebook holding EVERY distinct subvector of the
+    * corpus: quantization error is exactly zero, so ADC reproduces
+    * exact inner products — the configuration that certifies the
+    * encode/LUT/score machinery bit-for-bit (q191). Not a compression
+    * config (k == distinct subvectors); production uses
+    * [[trainCodebook]].
+    */
+  def exactCodebook(corpus: DataFrame, vecCol: String, m: Int, dim: Int): PqCodebook = {
+    val cents = corpus
+      .select(posexplode(subSlices(col(vecCol), m, dim)).as(Seq("sub", "cvec")))
+      .distinct()
+      .select(col("sub"),
+        (row_number().over(Window.partitionBy("sub").orderBy("cvec")) - 1).as("code"),
+        col("cvec"))
+    PqCodebook(cents, m, dim)
+  }
+
+  /** Per-subspace Lloyd-trained codebook (k centroids each): the same
+    * deterministic machinery as SimSearch.buildIvfIndex — seed anchors
+    * are the k smallest xxhash64(seed, id, sub) subvectors, assignment
+    * is argmin-L2 via min(struct(dist2, code)), refinement is an
+    * elementwise mean rebuilt in position order. One exploded
+    * (id, sub, subvector) frame drives everything; per iteration the
+    * cost is one broadcast join + two keyed aggregates over O(n·m)
+    * rows. Codes stay dense 0..k−1 (anchor numbering), empty cells
+    * keep their previous centroid.
+    */
+  def trainCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, k: Int, seed: Long = 7L, lloydIters: Int = 1): PqCodebook = {
+    val sv = corpus
+      .select(col(idCol).as("__id"), posexplode(subSlices(col(vecCol), m, dim)).as(Seq("sub", "__sv")))
+      .repartition(col("__id"))
+    val seeds = sv
+      .select(col("sub"), col("__sv"), xxhash64(lit(seed), col("__id"), col("sub")).as("__h"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("sub").orderBy(col("__h"), col("__sv"))))
+      .filter(col("__rk") <= k)
+      .select(col("sub"), (col("__rk") - 1).as("code"), col("__sv").as("cvec"))
+    def assign(cb: DataFrame): DataFrame = sv
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("__id"), col("sub"),
+        struct(dist2(col("__sv"), col("cvec")).as("d2"), col("code").as("code")).as("__sc"))
+      .groupBy("__id", "sub")
+      .agg(min(col("__sc")).getField("code").as("code"))
+    val trained = (0 until lloydIters).foldLeft(seeds) { (cb, _) =>
+      val means = sv.join(assign(cb), Seq("__id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("__sv")).as(Seq("__p", "__x")))
+        .groupBy("sub", "code", "__p")
+        .agg(avg(col("__x").cast("double")).as("__mu"))
+        .groupBy("sub", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__p"), col("__mu")))),
+          s => s.getField("__mu").cast("float")).as("__mv"))
+      cb.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("__mv"), col("cvec")).as("cvec"))
+    }
+    PqCodebook(trained, m, dim)
+  }
+
+  /** Encode a corpus to (id, codes array<int>) — the compressed
+    * resident artifact. Argmin-L2 per subspace; ties (possible only
+    * with duplicate centroids in a trained codebook) break to the
+    * smallest code.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String, cb: PqCodebook): DataFrame =
+    corpus
+      .select(col(idCol).as("__id"), posexplode(subSlices(col(vecCol), cb.m, cb.dim)).as(Seq("sub", "__sv")))
+      .join(broadcast(cb.centroids), Seq("sub"))
+      .select(col("__id"), col("sub"),
+        struct(dist2(col("__sv"), col("cvec")).as("d2"), col("code").as("code")).as("__sc"))
+      .groupBy("__id", "sub")
+      .agg(min(col("__sc")).getField("code").as("code"))
+      .groupBy("__id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .select(col("__id").as("neighbor_id"), col("codes"))
+
+  /** ADC top-k by inner product: per query one nested LUT of
+    * dot(query_sub, centroid) over (sub → code-ordered array), then
+    * each code row costs an m-element sequential fold of LUT lookups.
+    * `queries` must be a bounded batch (broadcast). Ties break by
+    * ascending neighbor id; self-matches excluded. Returns (query_id,
+    * neighbor_id, rank, score) where score is the ADC inner product
+    * (== the exact inner product when the codebook is
+    * [[exactCodebook]]). The LUT is nested (one code-indexed array per
+    * subspace) rather than flat so subspaces with unequal code counts
+    * — the exactCodebook case — index correctly.
+    */
+  def pqTopK(
+      codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook, k: Int): DataFrame = {
+    val d = cb.subDim
+    val luts = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cb.centroids))
+      .select(col("query_id"), col("sub"), col("code"),
+        SimSearch.dotD(slice(col("__qv"), col("sub") * d + 1, lit(d)), col("cvec")).as("__lv"))
+      .groupBy("query_id", "sub")
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("__lv")))),
+        s => s.getField("__lv")).as("__subLut"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("__subLut")))),
+        s => s.getField("__subLut")).as("__lut"))
+    val scored = codes
+      .join(broadcast(luts), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
+            (c, s) => element_at(element_at(col("__lut"), s + 1), c + 1)),
+          lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** Exact inner-product top-k — the truth the ADC path is measured
+    * against (same broadcast + window shape as SimSearch.bruteForceTopK,
+    * scored by dot instead of cosine: ADC ranks by inner product, so
+    * the recall contract must compare against the same metric).
+    */
+  def bruteForceTopKDot(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", SimSearch.dotD(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+}

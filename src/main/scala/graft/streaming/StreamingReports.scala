@@ -201,7 +201,7 @@ object StreamingReports {
     * streams set the same dial to their key cardinality; the stream
     * operators themselves are partition-agnostic.
     */
-  private def replaySession(outer: SparkSession): SparkSession = {
+  private[streaming] def replaySession(outer: SparkSession): SparkSession = {
     val s = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "4")
     s
@@ -223,7 +223,7 @@ object StreamingReports {
       p, landing.resolve(p.getFileName.toString + suffix),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING))
 
-  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+  private[streaming] def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(dir)
     try s.iterator().asScala.toSeq.reverse
@@ -535,14 +535,14 @@ object StreamingReports {
     commitManifest(storeRoot, batchId, dest.getPath)
   }
 
-  private def manifestFile(storeRoot: String, batchId: Long): java.io.File =
+  private[streaming] def manifestFile(storeRoot: String, batchId: Long): java.io.File =
     new java.io.File(f"$storeRoot/_manifest/v$batchId%09d.json")
 
   /** Publish a version: write the manifest to a temp name, then one
     * atomic rename. A lost rename race (or a replayed commit) is
     * idempotent — the content for a given version is identical.
     */
-  private def commitManifest(
+  private[streaming] def commitManifest(
       storeRoot: String, batchId: Long, dataDir: String): Unit = {
     val mf = manifestFile(storeRoot, batchId)
     mf.getParentFile.mkdirs()

@@ -391,4 +391,71 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(want.nonEmpty)
   }
+
+  test("crawl ingest: batches dedupe against appended intake; every crash window replays exactly-once") {
+    import graft.ext.Dedup
+    import graft.streaming.CrawlIngest
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-crash").toString
+    val (store, index) = (s"$work/store", s"$work/index")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text"), index)
+    def lines(rows: String*) = rows.toDF("value")
+    def decisions(v: String) = spark.read.parquet(s"$store/$v")
+      .select("new_id", "status", "n_idx_matches")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    def partFiles(v: String) = new java.io.File(s"$store/$v").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.length).toSet
+    def setsRows(id: Long) = spark.read.parquet(s"$index/sets")
+      .filter(col("id") === id).count()
+
+    val novel = "crimson rook vaults nine brass hurdles quickly today"
+    CrawlIngest.applyCrawlBatch(lines(
+      s"""{"new_id": 101, "text": "alpha beta gamma delta epsilon zeta eta theta"}""",
+      s"""{"new_id": 102, "text": "$novel"}""",
+      s"""{"new_id": 103, "text": "$novel"}""",
+      """{"new_id": broken"""), store, index, 0L)
+    assert(decisions("v000000000") == Set(
+      (101L, "dup_index", 1L),   // exact corpus re-crawl
+      (102L, "ingested", 0L),    // novel, appended to the index
+      (103L, "dup_batch", 0L),   // in-batch copy, smaller-id rule
+      (-1L, "quarantined", -1L)))
+    assert(setsRows(102L) == 1 && setsRows(103L) == 0,
+      "only the ingested doc joins the index")
+
+    // WINDOW 1 — killed mid-decision-write: partial version dir, no
+    // _SUCCESS, no manifest. Replay rebuilds it; the redelivered doc is
+    // flagged against the INTAKE-APPENDED index state, not the corpus.
+    new java.io.File(s"$store/v000000001/part-junk").mkdirs()
+    CrawlIngest.applyCrawlBatch(
+      lines(s"""{"new_id": 201, "text": "$novel"}"""), store, index, 1L)
+    assert(decisions("v000000001") == Set((201L, "dup_index", 1L)),
+      "dup only via the doc ingested by batch 0")
+
+    // WINDOW 2 — killed between decision commit and manifest: whole
+    // data dir, manifest missing. Replay re-commits the manifest
+    // WITHOUT rewriting decisions and WITHOUT double-appending.
+    val b2 = lines("""{"new_id": 301, "text": "quiet umber lanterns drift beyond twelve harbor stones"}""")
+    CrawlIngest.applyCrawlBatch(b2, store, index, 2L)
+    val mf2 = new java.io.File(s"$store/_manifest/v000000002.json")
+    val before = partFiles("v000000002")
+    assert(setsRows(301L) == 1)
+    assert(mf2.delete(), "simulate the crash by removing the manifest")
+    CrawlIngest.applyCrawlBatch(b2, store, index, 2L)
+    assert(mf2.exists(), "replay must re-commit the missing manifest")
+    assert(partFiles("v000000002") == before,
+      "a whole decision set is never rewritten")
+    assert(setsRows(301L) == 1, "the index append is idempotent under replay")
+
+    // WINDOW 3 — manifest committed, batch redelivered with different
+    // rows (offset not yet checkpointed): byte-stable no-op.
+    CrawlIngest.applyCrawlBatch(
+      lines("""{"new_id": 999, "text": "should never be processed at all"}"""),
+      store, index, 2L)
+    assert(partFiles("v000000002") == before && setsRows(999L) == 0,
+      "a manifested batch is immutable under redelivery")
+  }
 }
