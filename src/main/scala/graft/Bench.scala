@@ -136,7 +136,8 @@ object Bench {
     "q180_cdc_time_travel", "q181_file_lineage", "q182_quarantine",
     "q183_schema_evolution", "q184_mp4_meta", "q185_quarantine_stream",
     "q186_inc_clusters", "q187_ivf_append", "q188_hard_negatives",
-    "q189_refresh_capstone", "q190_crawl_ingest_stream")
+    "q189_refresh_capstone", "q190_crawl_ingest_stream",
+    "q191_pq_adc_topk", "q192_pq_recall")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -2253,6 +2253,55 @@ object SparkEntry {
     // certified contract rather than prose. n_hit provenance: measured
     // from this query on the fixed fixture (q46 discipline); n_exact
     // is computed independently by the oracle's own brute-force SQL. ──
+    // ── PRODUCT QUANTIZATION, exact arm: ADC top-k with a codebook
+    // holding every distinct subvector (quantization error zero), so
+    // the ADC score equals the exact inner product — on the dyadic-grid
+    // fixture every product/partial sum is exactly representable, so
+    // the subspace-wise ADC fold is bit-identical to the oracle's
+    // single 64-term fold and the FULL top-5 row set (445 rows)
+    // hash-matches DuckDB brute force. This certifies the
+    // encode→LUT→fold machinery end to end; the lossy production
+    // config is q192's pinned recall contract. ──
+    "q191_pq_adc_topk" -> ((s, _) => {
+      import graft.ext.ProductQuant
+      val emb = s.read.parquet(FixturesDir + "/embeddings_clustered.parquet")
+      val qs = emb.filter(col("vec_id") % 43 === 0 || col("vec_id") >= 1045)
+      val cb = ProductQuant.exactCodebook(emb, "embedding", m = 8, dim = 64)
+      ProductQuant.pqTopK(
+        ProductQuant.encode(emb, "vec_id", "embedding", cb),
+        qs, "vec_id", "embedding", cb, k = 5)
+    }),
+
+    // ── PRODUCT QUANTIZATION, lossy arm (the production shape): a
+    // per-subspace Lloyd-trained m=16, k=16 codebook compresses each
+    // 64-dim float vector to 16 code bytes (16×); the search is ADC
+    // SHORTLIST (50) + EXACT RERANK to top-5 — raw-vector I/O is
+    // proportional to the shortlist, the corpus is touched only as
+    // codes. Recall@5 against the exact inner-product truth is the
+    // q46-style pinned contract (n_exact from the oracle's own
+    // brute-force SQL; n_hit deterministic — fixed seeds, sequential
+    // folds — and pinned at the sf0.01 measurement: 48/50, vs 19/50
+    // for raw ADC@5 with the same codes; the rerank is what makes a
+    // lossy code usable). ──
+    "q192_pq_recall" -> ((s, dir) => {
+      import graft.ext.ProductQuant
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val exact = ProductQuant.bruteForceTopKDot(emb, qs, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val cb = ProductQuant.trainCodebook(emb, "vec_id", "embedding",
+        m = 16, dim = 64, k = 16, lloydIters = 1)
+      val approx = ProductQuant.pqRerankTopK(
+        ProductQuant.encode(emb, "vec_id", "embedding", cb),
+        emb, qs, "vec_id", "embedding", cb, shortlist = 50, k = 5)
+      exact.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit("pq_m16_k16_rerank50").as("method"), col("n_exact"), col("n_hit"),
+          (col("n_hit") >= col("n_exact") * 0.9).as("recall_ok"))
+    }),
+
     "q171_ann_recall_clustered" -> ((s, _) => {
       val emb = s.read.parquet(FixturesDir + "/embeddings_clustered.parquet")
       // queries: a spread of hub spokes plus EVERY bridge vector (ids
@@ -5788,6 +5837,45 @@ object SparkEntry {
     // pinned pair IS the nlist/nprobe guidance as a certified contract:
     // probe3+lloyd2 recalls every exact pair on the hub-and-spoke
     // corpus, probe1-without-Lloyd drops 73 of 445 (recall_ok=false).
+    // The exact-codebook ADC score IS the exact inner product, and on
+    // the dyadic-grid fixture every product/partial sum is exactly
+    // representable, so the subspace-wise fold equals this single
+    // 64-term fold bit for bit — full row-level certification of the
+    // PQ encode→LUT→fold machinery.
+    "q191_pq_adc_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding
+        |  FROM read_parquet('/root/repo/fixtures/embeddings_clustered.parquet')),
+        |q AS (SELECT * FROM e WHERE vec_id % 43 = 0 OR vec_id >= 1045),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS score
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank,
+        |  score
+        |FROM scored QUALIFY rank <= 5""".stripMargin,
+
+    // q46 discipline: n_exact from this brute-force inner-product SQL,
+    // n_hit pinned at the measured sf0.01 value (48/50, stable across
+    // fresh JVMs — fixed seeds, sequential folds).
+    "q192_pq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS score
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored QUALIFY rank <= 5),
+        |hits(method, n_hit) AS (VALUES ('pq_m16_k16_rerank50', CAST(48 AS BIGINT)))
+        |SELECT method, n_exact, n_hit, n_hit >= n_exact * 0.9 AS recall_ok
+        |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin,
+
     "q171_ann_recall_clustered" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

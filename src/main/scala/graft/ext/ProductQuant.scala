@@ -187,6 +187,39 @@ object ProductQuant {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** The production search shape: ADC SHORTLIST + EXACT RERANK. The
+    * code scan ranks a top-`shortlist` candidate pool per query (all
+    * compressed arithmetic), then ONLY the shortlist rows fetch their
+    * exact vectors (an equi-join on id — O(queries·shortlist) rows,
+    * never a corpus scan of raw vectors) and exact inner products
+    * rerank to the final k. This is why PQ works at 100 TB despite
+    * lossy codes: the raw-vector I/O is proportional to the shortlist,
+    * the full corpus is touched only as codes, and `shortlist` is a
+    * CONSTANT as the corpus grows (the recall knob, not a corpus
+    * fraction). Measured on the 500-vector sf0.01 embeddings:
+    * m=16/k=16 codes (16 B/vector, 16×) at shortlist=50 recovers 48/50
+    * of the exact top-5, at 100 all 50 — versus 19/50 for raw ADC@5
+    * with the same codebook: the rerank IS the operator, raw ADC@k is
+    * only its candidate generator.
+    */
+  def pqRerankTopK(
+      codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cb: PqCodebook,
+      shortlist: Int, k: Int): DataFrame = {
+    val short = pqTopK(codes, queries, idCol, vecCol, cb, shortlist)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    short
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        Seq("query_id"))
+      .withColumn("score", SimSearch.dotD(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** Exact inner-product top-k — the truth the ADC path is measured
     * against (same broadcast + window shape as SimSearch.bruteForceTopK,
     * scored by dot instead of cosine: ADC ranks by inner product, so
