@@ -2581,6 +2581,36 @@ object SparkEntry {
         "vec_id", "embedding", "label", k = 3)
     }),
 
+    // ── PQ index lifecycle (q187's discipline on the compressed side):
+    // build the stored index from the 4/5 corpus (trained codebook +
+    // codes), fold the 1/5 batch in via appendToPqIndex — encoded
+    // against the FROZEN stored codebook, codes/ appended, nothing
+    // rewritten, no retraining (the production arc: retraining would
+    // invalidate every stored code) — then probe with an EXHAUSTIVE
+    // shortlist: the exact rerank decides alone, so the result must
+    // equal brute force over the whole corpus, certifying the
+    // storage round-trip + append plumbing row-for-row. Code QUALITY
+    // is q192's pinned contract; this query certifies the lifecycle. ──
+    "q193_pq_stored_append" -> ((s, dir) => {
+      import graft.ext.ProductQuant
+      val emb = t(s, dir, "embeddings")
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/embeddings.parquet")
+      val idxPath = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${fp}_m16k16") { staging =>
+        val base = emb.filter(col("vec_id") % 5 =!= 0)
+        val cb = ProductQuant.trainCodebook(base, "vec_id", "embedding",
+          m = 16, dim = 64, k = 16, lloydIters = 1)
+        ProductQuant.writePqIndex(cb,
+          ProductQuant.encode(base, "vec_id", "embedding", cb), staging)
+        ProductQuant.appendToPqIndex(
+          emb.filter(col("vec_id") % 5 === 0), staging, "vec_id", "embedding")
+      }
+      val (cb, codes) = ProductQuant.readPqIndex(s, idxPath)
+      ProductQuant.pqRerankTopK(codes, emb,
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        cb, shortlist = 1 << 20, k = 5)
+    }),
+
     // ── IVF index APPEND (q89's discipline on the ANN side): build
     // the stored index from the 4/5 corpus, fold the 1/5 batch in via
     // appendToIvfIndex (argmax against STORED anchors — one broadcast
@@ -5875,6 +5905,22 @@ object SparkEntry {
         |hits(method, n_hit) AS (VALUES ('pq_m16_k16_rerank50', CAST(48 AS BIGINT)))
         |SELECT method, n_exact, n_hit, n_hit >= n_exact * 0.9 AS recall_ok
         |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin,
+
+    // Exhaustive-shortlist escape (q44/q88's discipline on the PQ
+    // side): the exact rerank decides alone, so the stored+appended
+    // index must reproduce brute force row-for-row.
+    "q193_pq_stored_append" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS score
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank,
+        |  score
+        |FROM scored QUALIFY rank <= 5""".stripMargin,
 
     "q171_ann_recall_clustered" ->
       """WITH n AS (

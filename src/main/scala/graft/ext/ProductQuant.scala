@@ -220,6 +220,44 @@ object ProductQuant {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Persist a PQ index: codebook/ (sub, code, cvec), codes/ (id,
+    * codes), params/ (1 row). The codebook is the FROZEN artifact —
+    * appends encode against it, never retrain (retraining would
+    * invalidate every stored code; production PQ deployments version
+    * the codebook and re-encode only on a full index rebuild).
+    */
+  def writePqIndex(cb: PqCodebook, codes: DataFrame, path: String): Unit = {
+    cb.centroids.write.mode("overwrite").parquet(path + "/codebook")
+    codes.select(col("neighbor_id").as("id"), col("codes"))
+      .write.mode("overwrite").parquet(path + "/codes")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    Seq((cb.m, cb.dim)).toDF("m", "dim")
+      .write.mode("overwrite").parquet(path + "/params")
+  }
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): (PqCodebook, DataFrame) = {
+    val p = spark.read.parquet(path + "/params").head()
+    val cb = PqCodebook(spark.read.parquet(path + "/codebook"),
+      p.getAs[Int]("m"), p.getAs[Int]("dim"))
+    (cb, spark.read.parquet(path + "/codes")
+      .select(col("id").as("neighbor_id"), col("codes")))
+  }
+
+  /** Fold a batch into a stored index: encode against the STORED
+    * codebook (one broadcast join + one keyed aggregate over the
+    * batch), append codes/ — the corpus codes are never rewritten and
+    * the codebook never moves, so O(|batch|·m) work per fold. Ids must
+    * be distinct from the stored ones.
+    */
+  def appendToPqIndex(
+      newVecs: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
+    val (cb, _) = readPqIndex(newVecs.sparkSession, path)
+    encode(newVecs, idCol, vecCol, cb)
+      .select(col("neighbor_id").as("id"), col("codes"))
+      .write.mode("append").parquet(path + "/codes")
+  }
+
   /** Exact inner-product top-k — the truth the ADC path is measured
     * against (same broadcast + window shape as SimSearch.bruteForceTopK,
     * scored by dot instead of cosine: ADC ranks by inner product, so

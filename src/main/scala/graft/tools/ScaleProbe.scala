@@ -216,6 +216,21 @@ object ScaleProbe {
               when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
                 .otherwise(col("o_totalprice"))),
           "o_orderkey", Seq("o_totalprice"))),
+        // PQ production shape (q192): train m=16/k=16 per-subspace
+        // codebooks, encode the corpus, ADC-shortlist(50) + exact
+        // rerank for a query batch that grows with the corpus (every
+        // 500th vector). Expected linear: training/encoding are
+        // O(n·m)-row keyed aggregates; scoring is codes × broadcast
+        // LUTs; the rerank join touches only |queries|·shortlist rows.
+        run("pq_rerank", {
+          import graft.ext.ProductQuant
+          val cb = ProductQuant.trainCodebook(e, "vec_id", "embedding",
+            m = 16, dim = 64, k = 16, lloydIters = 1)
+          ProductQuant.pqRerankTopK(
+            ProductQuant.encode(e, "vec_id", "embedding", cb),
+            e, e.filter(col("vec_id") % 500 === 0), "vec_id", "embedding",
+            cb, shortlist = 50, k = 5)
+        }),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
           // split — label = id%10 would pin every label to ONE parity

@@ -56,6 +56,30 @@ class PqSpec extends SparkSpec {
     assert(codes.count() == emb.count())
   }
 
+  test("stored index round-trips; append encodes against the FROZEN codebook") {
+    val work = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val cb = ProductQuant.trainCodebook(base, "vec_id", "embedding",
+      m = 16, dim = 64, k = 16, lloydIters = 1)
+    val baseCodes = ProductQuant.encode(base, "vec_id", "embedding", cb)
+    ProductQuant.writePqIndex(cb, baseCodes, work)
+    ProductQuant.appendToPqIndex(batch, work, "vec_id", "embedding")
+    val (cb2, codes2) = ProductQuant.readPqIndex(spark, work)
+    assert(cb2.m == 16 && cb2.dim == 64)
+    // codebook byte-stable across the round trip
+    assert(cb.centroids.exceptAll(cb2.centroids).count() == 0 &&
+      cb2.centroids.exceptAll(cb.centroids).count() == 0)
+    // stored base codes untouched by the append; batch codes equal an
+    // encode against the stored (frozen) codebook
+    assert(codes2.count() == emb.count())
+    val batchCodes = ProductQuant.encode(batch, "vec_id", "embedding", cb2)
+    assert(codes2.join(batch.select($"vec_id".as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+      .exceptAll(batchCodes).count() == 0)
+    assert(codes2.join(base.select($"vec_id".as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+      .exceptAll(baseCodes).count() == 0)
+  }
+
   test("shortlist widening is monotone in recall on the trained config") {
     val qs = emb.filter($"vec_id" % 50 === 0)
     val truth = ProductQuant.bruteForceTopKDot(emb, qs, "vec_id", "embedding", k = 5)
