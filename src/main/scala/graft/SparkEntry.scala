@@ -2611,6 +2611,64 @@ object SparkEntry {
         cb, shortlist = 1 << 20, k = 5)
     }),
 
+    // ── IVF-PQ, exact arm (IVFADC — Jégou et al. TPAMI 2011 §V, the
+    // FAISS `IVF8,PQ8` shape): coarse inverted lists + PQ on the
+    // RESIDUALS, probed exhaustively (nprobe = nlist) with the exact
+    // residual codebook. The score decomposes dot(q,v) = dot(q,c_list)
+    // + dot(q, v−c_list); with zero quantization error and every
+    // value on the fixture's /64 dyadic grid (residuals stay on the
+    // grid — float subtraction of grid points is exact; products and
+    // all partial sums exactly representable), the decomposed sum
+    // equals the oracle's single 64-term fold BIT FOR BIT — full
+    // row-level certification of the coarse-assign→residual→encode→
+    // base+LUT fold machinery, q191's discipline one level up. ──
+    "q194_ivfpq_exact" -> ((s, _) => {
+      import graft.ext.ProductQuant
+      val emb = s.read.parquet(FixturesDir + "/embeddings_clustered.parquet")
+      val qs = emb.filter(col("vec_id") % 43 === 0 || col("vec_id") >= 1045)
+      val idx = ProductQuant.buildIvfPq(emb, "vec_id", "embedding",
+        nlist = 8, m = 8, dim = 64, pqK = 0, coarseLloyd = 0)
+      ProductQuant.ivfPqTopK(idx, qs, "vec_id", "embedding", k = 5, nprobe = 8)
+    }),
+
+    // ── IVF-PQ, lossy arm (the production config) under the q171
+    // two-row contract shape: ONE composite index (coarse nlist=8
+    // Lloyd-refined lists, residual PQ m=16/k=16 — 16 B/vector),
+    // probed twice. Healthy row: nprobe=6 IVFADC shortlist(100) +
+    // exact rerank → 46/50 of the exact top-5, recall_ok at the 0.9
+    // band. Degraded row: nprobe=2 → 27/50 — the same structural
+    // lesson as q171's probe1 row, now with compression in the loop:
+    // when the probe misses the true neighbor's list, no shortlist
+    // width or rerank can recover it (27 stable from R=50 to 100).
+    // The probe fractions look high (6/8) because the sf0.01 corpus
+    // is 500 NEAR-RANDOM 64-dim vectors — no cluster structure for
+    // the coarse quantizer to exploit; at real scale nlist ≈ √n and
+    // the probed fraction shrinks with corpus size while shortlist
+    // stays CONSTANT (the recall knob, not a corpus fraction). n_hit
+    // deterministic — fixed seeds, sequential folds — pinned at the
+    // sf0.01 measurement per the q46 discipline. ──
+    "q195_ivfpq_recall" -> ((s, dir) => {
+      import graft.ext.ProductQuant
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val exact = ProductQuant.bruteForceTopKDot(emb, qs, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val idx = ProductQuant.buildIvfPq(emb, "vec_id", "embedding",
+        nlist = 8, m = 16, dim = 64, pqK = 16, coarseLloyd = 1, pqLloyd = 1)
+      def contract(method: String, nprobe: Int): DataFrame = {
+        val approx = ProductQuant.ivfPqRerankTopK(idx, emb, qs, "vec_id", "embedding",
+          shortlist = 100, k = 5, nprobe = nprobe)
+        exact.join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+          .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+            (col("n_hit") >= col("n_exact") * 0.9).as("recall_ok"))
+      }
+      contract("ivfpq_n8_m16k16_p6_rerank100", nprobe = 6)
+        .unionByName(contract("ivfpq_n8_m16k16_p2_rerank100", nprobe = 2))
+    }),
+
     // ── IVF index APPEND (q89's discipline on the ANN side): build
     // the stored index from the 4/5 corpus, fold the 1/5 batch in via
     // appendToIvfIndex (argmax against STORED anchors — one broadcast
@@ -5921,6 +5979,48 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank,
         |  score
         |FROM scored QUALIFY rank <= 5""".stripMargin,
+
+    // IVFADC exact arm: exhaustive probe + exact residual codebook ==
+    // brute-force inner product, so the oracle is q191's brute force
+    // verbatim (same query set, same dyadic-grid bit-exactness — here
+    // additionally exercising that residual grid points, their
+    // products, and the base+LUT decomposed sum stay exact).
+    "q194_ivfpq_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding
+        |  FROM read_parquet('/root/repo/fixtures/embeddings_clustered.parquet')),
+        |q AS (SELECT * FROM e WHERE vec_id % 43 = 0 OR vec_id >= 1045),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS score
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank,
+        |  score
+        |FROM scored QUALIFY rank <= 5""".stripMargin,
+
+    // q46 discipline: n_exact from this brute-force inner-product SQL,
+    // n_hit pinned at the measured sf0.01 values (stable across fresh
+    // JVMs — fixed seeds, sequential folds): healthy nprobe=6 row 46,
+    // degraded nprobe=2 row 27.
+    "q195_ivfpq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS score
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored QUALIFY rank <= 5),
+        |hits(method, n_hit) AS (VALUES
+        |  ('ivfpq_n8_m16k16_p6_rerank100', CAST(46 AS BIGINT)),
+        |  ('ivfpq_n8_m16k16_p2_rerank100', CAST(27 AS BIGINT)))
+        |SELECT method, n_exact, n_hit, n_hit >= n_exact * 0.9 AS recall_ok
+        |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin,
 
     "q171_ann_recall_clustered" ->
       """WITH n AS (

@@ -205,9 +205,21 @@ object ProductQuant {
   def pqRerankTopK(
       codes: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, cb: PqCodebook,
-      shortlist: Int, k: Int): DataFrame = {
-    val short = pqTopK(codes, queries, idCol, vecCol, cb, shortlist)
-      .select("query_id", "neighbor_id")
+      shortlist: Int, k: Int): DataFrame =
+    rerankExact(
+      pqTopK(codes, queries, idCol, vecCol, cb, shortlist)
+        .select("query_id", "neighbor_id"),
+      corpus, queries, idCol, vecCol, k)
+
+  /** Exact inner-product rerank of a (query_id, neighbor_id) shortlist:
+    * only the shortlist rows fetch raw vectors (an equi-join on id —
+    * O(queries·shortlist) rows, never a corpus scan), so this is the
+    * shared final stage of every compressed-search shape
+    * ([[pqRerankTopK]], [[ivfPqRerankTopK]]).
+    */
+  private def rerankExact(
+      short: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     short
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
@@ -275,4 +287,120 @@ object ProductQuant {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
+
+  // ───────────────────────────── IVF-PQ ─────────────────────────────
+  // The composite production index (IVFADC in Jégou et al. TPAMI 2011
+  // §V; the FAISS `IVFx,PQy` shape): a coarse quantizer partitions the
+  // corpus into nlist inverted lists, and PQ compresses each vector's
+  // RESIDUAL (vector − its list centroid). Residuals concentrate near
+  // zero, so the same code budget spends its resolution on a much
+  // smaller ball than whole-vector PQ — and the probe only scans
+  // nprobe lists of codes, composing IVF's candidate pruning with PQ's
+  // 16-32× memory compression. The score decomposes exactly:
+  //   dot(q, v) = dot(q, c_list) + dot(q, v − c_list)
+  // so ADC over residual codes plus the per-(query, list) base term
+  // reconstructs the inner product up to quantization error — and with
+  // an exact codebook (zero error) reconstructs it EXACTLY, which is
+  // what q194 certifies bit-for-bit on the dyadic-grid fixture.
+
+  /** anchors: (__cid, __cv) coarse centroids; cb: residual codebook;
+    * codes: (neighbor_id, __cid, codes) — the resident artifact, one
+    * int list + one small int per vector.
+    */
+  final case class IvfPqIndex(
+      anchors: DataFrame, cb: PqCodebook, codes: DataFrame, nlist: Int)
+
+  /** Build: one coarse IVF pass (SimSearch.buildIvfIndex — seeded
+    * sampling + optional Lloyd), residuals by one broadcast join
+    * against the nlist anchors, then PQ train/encode ON THE RESIDUALS.
+    * `pqK = 0` selects the exact (every-distinct-subvector) codebook —
+    * the certification config; production passes a real k (16/256).
+    * Cost: the coarse build plus O(n·m) exploded rows through the PQ
+    * keyed shuffles — no all-pairs stage anywhere.
+    */
+  def buildIvfPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, dim: Int, pqK: Int,
+      coarseSeed: Long = 7L, coarseLloyd: Int = 0,
+      pqSeed: Long = 7L, pqLloyd: Int = 1): IvfPqIndex = {
+    val idx = SimSearch.buildIvfIndex(corpus, idCol, vecCol, nlist, coarseSeed, coarseLloyd)
+    // float subtraction: exact whenever values share a dyadic grid
+    // (the fixture case); elsewhere correctly rounded — the codebook is
+    // trained on the same residuals it encodes, so no mismatch.
+    // localCheckpoint (the q69 multi-consumer discipline): resid feeds
+    // codebook training, encoding, AND the cid join-back — without the
+    // barrier each consumer re-runs the coarse assignment crossJoin.
+    val resid = idx.lists.join(broadcast(idx.anchors), Seq("__cid"))
+      .select(col("neighbor_id"), col("__cid"),
+        zip_with(col("__cv2"), col("__cv"), (x, c) => x - c).as("__res"))
+      .localCheckpoint()
+    val cb =
+      if (pqK == 0) exactCodebook(resid, "__res", m, dim)
+      else trainCodebook(resid, "neighbor_id", "__res", m, dim, pqK, pqSeed, pqLloyd)
+    // codes is the index's resident artifact and every probe consumes
+    // it (q195 probes one build twice); materialize once.
+    val codes = encode(resid, "neighbor_id", "__res", cb)
+      .join(resid.select("neighbor_id", "__cid"), Seq("neighbor_id"))
+      .localCheckpoint()
+    IvfPqIndex(idx.anchors, cb, codes, nlist)
+  }
+
+  /** IVFADC probe: rank the nlist anchors per query by inner product
+    * (one bounded broadcast), keep nprobe — the kept (query, list)
+    * pairs carry the base term dot(q, c_list) computed ONCE per pair,
+    * not per candidate. Candidate generation is the codes⨝probes
+    * equi-join on list id (only nprobe lists of codes are touched per
+    * query); each candidate costs the m-fold residual LUT walk plus
+    * one add. Exhaustive config (nprobe = nlist, exact codebook) ==
+    * brute-force inner product bit-for-bit on dyadic grids (q194).
+    */
+  def ivfPqTopK(
+      index: IvfPqIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val d = index.cb.subDim
+    val qn = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wq = Window.partitionBy("query_id").orderBy(col("__base").desc, col("__cid").asc)
+    val probes = qn.crossJoin(broadcast(index.anchors))
+      .withColumn("__base", SimSearch.dotD(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(wq))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__cid"), col("__base"))
+    // residual LUT per query: nested (sub → code-ordered array), the
+    // pqTopK shape — array_sort pins collect_list order (q53 discipline)
+    val luts = qn.crossJoin(broadcast(index.cb.centroids))
+      .select(col("query_id"), col("sub"), col("code"),
+        SimSearch.dotD(slice(col("__qv"), col("sub") * d + 1, lit(d)), col("cvec")).as("__lv"))
+      .groupBy("query_id", "sub")
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("__lv")))),
+        s => s.getField("__lv")).as("__subLut"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("__subLut")))),
+        s => s.getField("__subLut")).as("__lut"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    index.codes
+      .join(broadcast(probes), Seq("__cid"))
+      .join(broadcast(luts), Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        col("__base") + aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(index.cb.m - 1)),
+            (c, s) => element_at(element_at(col("__lut"), s + 1), c + 1)),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** The full production search: IVFADC shortlist + exact rerank —
+    * IVF prunes the lists, PQ compresses the scan of the kept lists,
+    * and only `shortlist` rows per query ever touch a raw vector.
+    */
+  def ivfPqRerankTopK(
+      index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, shortlist: Int, k: Int,
+      nprobe: Int): DataFrame =
+    rerankExact(
+      ivfPqTopK(index, queries, idCol, vecCol, shortlist, nprobe)
+        .select("query_id", "neighbor_id"),
+      corpus, queries, idCol, vecCol, k)
 }

@@ -2,6 +2,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ext.ProductQuant
+
+/** Config sweep that picked q192's (m=16,k=16,R=50) and q195's IVF-PQ
+  * (nlist, nprobe, shortlist) — recall measured against the exact
+  * inner-product truth on sf0.01 embeddings, the q46 discipline's
+  * "measure, then pin" step.
+  */
 object PqSweep {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -13,18 +19,15 @@ object PqSweep {
     val exact = ProductQuant.bruteForceTopKDot(emb, qs, "vec_id", "embedding", 5)
       .select("query_id","neighbor_id").cache()
     exact.count()
-    for ((m,k,it,r) <- Seq((16,16,1,50),(16,16,1,100),(8,64,1,50),(8,64,1,100),(16,16,1,25),(8,16,1,100))) {
-      val cb = ProductQuant.trainCodebook(emb, "vec_id", "embedding", m, 64, k, lloydIters = it)
-      val codes = ProductQuant.encode(emb, "vec_id", "embedding", cb)
-      val short = ProductQuant.pqTopK(codes, qs, "vec_id", "embedding", cb, r)
-        .select("query_id","neighbor_id")
-      val rer = short.join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv")), Seq("neighbor_id"))
-        .join(qs.select(col("vec_id").as("query_id"), col("embedding").as("__qv")), Seq("query_id"))
-        .withColumn("score", graft.ext.SimSearch.dotD(col("__qv"), col("__cv")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-      val top = rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5).select("query_id","neighbor_id")
-      val hit = exact.join(top, Seq("query_id","neighbor_id"), "left_semi").count()
-      println(s"m=$m k=$k iters=$it R=$r  n_hit=$hit / 50")
+    for ((nlist, cl, nprobe, r) <- Seq(
+        (8,1,6,100),(8,1,2,100),(8,1,2,50))) {
+      val idx = ProductQuant.buildIvfPq(emb, "vec_id", "embedding",
+        nlist = nlist, m = 16, dim = 64, pqK = 16, coarseLloyd = cl, pqLloyd = 1)
+      val top = ProductQuant.ivfPqRerankTopK(idx, emb, qs, "vec_id", "embedding",
+        shortlist = r, k = 5, nprobe = nprobe)
+      val hit = exact.join(top.select("query_id","neighbor_id"),
+        Seq("query_id","neighbor_id"), "left_semi").count()
+      println(s"nlist=$nlist coarseLloyd=$cl nprobe=$nprobe R=$r  n_hit=$hit / 50")
     }
   }
 }

@@ -96,4 +96,66 @@ class PqSpec extends SparkSpec {
     assert(h100 >= (truth.count() * 0.9).toLong,
       "the generous shortlist must clear the contract band")
   }
+
+  // ─────────────────────────── IVF-PQ ───────────────────────────
+
+  test("ivf-pq exact arm: exhaustive probe + exact residual codebook == brute force") {
+    // dot(q,v) = dot(q,c_list) + dot(q,v−c_list): with zero residual
+    // quantization error and every value on the fixture's dyadic grid,
+    // the decomposed sum must equal the single-fold truth bit for bit
+    val qs = clustered.filter($"vec_id" % 97 === 0)
+    val idx = ProductQuant.buildIvfPq(clustered, "vec_id", "embedding",
+      nlist = 4, m = 8, dim = 64, pqK = 0, coarseLloyd = 0)
+    val got = ProductQuant.ivfPqTopK(idx, qs, "vec_id", "embedding", k = 5, nprobe = 4)
+    val truth = ProductQuant.bruteForceTopKDot(clustered, qs, "vec_id", "embedding", k = 5)
+    assert(got.count() > 0)
+    assert(got.exceptAll(truth).count() == 0 && truth.exceptAll(got).count() == 0,
+      "exhaustive IVFADC with an exact codebook must reproduce exact scores AND ranks")
+  }
+
+  test("ivf-pq exhaustive escape: coarse codebook + full probe + full rerank == brute force") {
+    // whatever the residual codes get wrong, nprobe = nlist visits every
+    // list and an exhaustive shortlist lets the exact rerank decide alone
+    val qs = emb.filter($"vec_id" % 125 === 0)
+    val idx = ProductQuant.buildIvfPq(emb, "vec_id", "embedding",
+      nlist = 4, m = 8, dim = 64, pqK = 4, coarseLloyd = 1, pqLloyd = 1)
+    val n = emb.count().toInt
+    val got = ProductQuant.ivfPqRerankTopK(idx, emb, qs, "vec_id", "embedding",
+      shortlist = n - 1, k = 5, nprobe = 4)
+    val truth = ProductQuant.bruteForceTopKDot(emb, qs, "vec_id", "embedding", k = 5)
+    assert(got.exceptAll(truth).count() == 0 && truth.exceptAll(got).count() == 0)
+  }
+
+  test("ivf-pq index shape: one code row per vector, valid list id, m codes") {
+    val idx = ProductQuant.buildIvfPq(emb, "vec_id", "embedding",
+      nlist = 4, m = 16, dim = 64, pqK = 8, coarseLloyd = 1, pqLloyd = 1)
+    val codes = idx.codes.cache()
+    assert(codes.count() == emb.count())
+    assert(codes.select("neighbor_id").distinct().count() == emb.count())
+    assert(codes.filter(size($"codes") =!= 16).count() == 0)
+    assert(codes.filter($"__cid" < 1 || $"__cid" > 4).count() == 0,
+      "every code row must carry a coarse list id in 1..nlist")
+    codes.unpersist()
+  }
+
+  test("ivf-pq probe narrowing: degraded nprobe never beats the healthy probe") {
+    // q195's two-row contract as a refactor-surviving invariant: on the
+    // hub-and-spoke fixture the bridges SPLIT across lists, so probe1
+    // structurally misses — healthy (exhaustive) must clear the 0.9
+    // band while probe1 stays at or below it
+    val qs = clustered.filter($"vec_id" >= 1045) // every bridge vector
+    val truth = ProductQuant.bruteForceTopKDot(clustered, qs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val idx = ProductQuant.buildIvfPq(clustered, "vec_id", "embedding",
+      nlist = 8, m = 8, dim = 64, pqK = 16, coarseLloyd = 1, pqLloyd = 1)
+    def hits(nprobe: Int): Long = truth.join(
+      ProductQuant.ivfPqRerankTopK(idx, clustered, qs, "vec_id", "embedding",
+        shortlist = 100, k = 5, nprobe = nprobe)
+        .select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val (h1, h8) = (hits(1), hits(8))
+    assert(h1 <= h8, s"narrowing the probe must not raise recall: $h1 vs $h8")
+    assert(h8 >= (truth.count() * 0.9).toLong,
+      "the exhaustive probe with rerank must clear the contract band")
+  }
 }
