@@ -714,6 +714,29 @@ object SparkEntry {
           col("view_id"))
     }),
 
+    // ── as-of join as a NATIVE Catalyst operator (plans/AsofMergeJoin:
+    // custom LogicalPlan + planner Strategy + SparkPlan — the engine's
+    // whole-operator extension tier): q49's exact workload through the
+    // per-partition streaming merge instead of the union+window
+    // rewrite. Same single co-partitioned exchange pair, but each side
+    // keeps its own width (no union null-padding through the shuffle),
+    // no window buffer, no post-filter; O(1) carried state per task.
+    // Certified against q49's IDENTICAL DuckDB ASOF JOIN oracle, so
+    // the two engine paths cannot drift apart. ──
+    "q196_asof_native" -> ((s, dir) => {
+      import graft.plans.AsofMergeJoin
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      AsofMergeJoin.asofLeft(purchases, views, "user_id", "ts", "ts", Seq("view_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"),
+          unix_micros(col("asof_time")).as("view_us"),
+          col("view_id"))
+    }),
+
     // ── ext: language ID + rolling-hash fingerprint certified (the two
     // text-analysis features q20 didn't cover). withLangGuess is the
     // scale-safe form (tokens + score array materialized once — the
@@ -2897,6 +2920,26 @@ object SparkEntry {
     * q186 (incremental fold) - the incremental path is certified
     * against the SAME truth as the full recompute.
     */
+  /** DuckDB's NATIVE ASOF LEFT JOIN over events — most recent
+    * preceding 'view' per user for every 'purchase'. Shared verbatim
+    * by q49 (the union+window rewrite) and q196 (the native Catalyst
+    * merge operator): both engine paths are certified against the same
+    * independent first-class implementation of the semantics, so they
+    * cannot drift apart.
+    */
+  private val AsofEventsSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      |p AS (
+      |  SELECT event_id, user_id, ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |  epoch_us(p.ts) AS t_us,
+      |  epoch_us(v.ts) AS view_us,
+      |  v.view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
+
   private val FullDedupClustersSql: String =
     """WITH RECURSIVE tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
@@ -3767,18 +3810,12 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN is the independent truth for the
     // union+window rewrite; both engines compare on the same
     // microsecond timestamps.
-    "q49_asof_join" ->
-      """WITH v AS (
-        |  SELECT user_id, ts, max(event_id) AS view_id
-        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
-        |p AS (
-        |  SELECT event_id, user_id, ts
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT p.event_id, p.user_id,
-        |  epoch_us(p.ts) AS t_us,
-        |  epoch_us(v.ts) AS view_us,
-        |  v.view_id
-        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q49_asof_join" -> AsofEventsSql,
+
+    // identical-oracle certification (the q186/q187 discipline): the
+    // native merge operator must reproduce the union+window rewrite's
+    // certified rows bit for bit on the same input.
+    "q196_asof_native" -> AsofEventsSql,
 
     // Language scores and the rolling hash mirrored term by term:
     // list_prepend(0, ...) makes DuckDB's init-less list_reduce fold

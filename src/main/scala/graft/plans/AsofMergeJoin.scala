@@ -1,0 +1,197 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, GenericInternalRow, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.GraftSqlShim
+
+/** LEFT as-of join as a NATIVE Catalyst operator — the engine's one
+  * whole-operator extension (custom `LogicalPlan` + planner `Strategy`
+  * + `SparkPlan`), the (c) tier of the preference order after
+  * built-in composition (a) and custom expressions (b).
+  *
+  * Why it is earned: Spark has no ASOF JOIN, and both composed forms
+  * pay real costs. The theta-join (`l.key = r.key AND r.t <= l.t`)
+  * explodes to a per-key cartesian; the union+window rewrite
+  * (operators/AsofJoin, the certified q49 path) is shuffle-optimal —
+  * ONE hashpartitioning(key) exchange — but must first widen both
+  * sides to the UNION schema (every left row carries null right
+  * columns through the exchange and vice versa), sort the union as one
+  * stream, run a running-`last(struct)` window over it, and then
+  * filter half the rows back out. The native operator keeps each side
+  * its own width through its own exchange, sorts them independently,
+  * and streams ONE per-partition merge with O(1) state (the last
+  * matching right row) — no union blow-up, no window buffer, no
+  * post-filter. Same exchange count, strictly less data through it.
+  *
+  * Semantics (identical to AsofJoin.asofLeft, property-tested in
+  * PlansSpec): for each left row (key, t), the most recent right row
+  * of the same key with rightTime <= t (inclusive), or nulls. Right
+  * should be unique per (key, rightTime) — among equal times the
+  * last row in sort order wins on both paths, but that order is not
+  * total; pre-aggregate if the grain can repeat.
+  *
+  * 100-TB shape: `requiredChildDistribution` asks for
+  * ClusteredDistribution(key) on BOTH children, so EnsureRequirements
+  * co-partitions the two shuffles exactly as it does for a sort-merge
+  * join (AQE included); `requiredChildOrdering` asks (key, time) so
+  * the sorts happen inside the exchange write/read. The merge itself
+  * is a single forward pass per partition — no per-key
+  * materialization, no skew amplification beyond what any keyed
+  * exchange has.
+  */
+case class AsofJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    rightValues: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (rightTime +: rightValues).map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinNode]] — registered per-session through the public
+  * `spark.experimental.extraStrategies` seam (the DataFrame API does
+  * this on first use) and through [[GraftExtensions]] for
+  * `spark.sql.extensions`-configured sessions.
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, rk, lt, rt, rv) =>
+      AsofMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofMergeJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    rightValues: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (rightTime +: rightValues).map(_.withNullability(true))
+
+  // co-partition both children on the key — the sort-merge-join
+  // contract, so EnsureRequirements inserts compatible exchanges
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // (key, time) ascending inside each partition: the merge is a
+  // single forward pass on both sides
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lAttrs = left.output
+    val rAttrs = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    require(rightKeys.map(_.dataType) == keyTypes && rightTime.dataType == timeType,
+      "as-of key/time types must match across sides")
+    val outExprs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // per-partition instantiation: projections and orderings are not
+      // serializable-safe to share across tasks
+      val lKeyProj = UnsafeProjection.create(leftKeys, lAttrs)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rAttrs)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), lAttrs)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), rAttrs)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      // bind the output against nullable right attrs: the unmatched
+      // branch feeds a null row, and a non-nullable BoundReference
+      // would skip the null check and read garbage
+      val outProj = UnsafeProjection.create(
+        outExprs, lAttrs ++ rAttrs.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rAttrs.size)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // O(1) carried state: the last right row seen, with its key —
+      // child iterators reuse row buffers, so retained rows are copied
+      var lastKey: InternalRow = null
+      var lastRight: InternalRow = null
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTime = lTimeProj(lRow)
+        var advance = rBuf.hasNext
+        while (advance) {
+          val rKey = rKeyProj(rBuf.head)
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lTime) <= 0)) {
+            val r = rBuf.next()
+            lastKey = rKeyProj(r).copy()
+            lastRight = r.copy()
+            advance = rBuf.hasNext
+          } else advance = false
+        }
+        val matched = lastRight != null && keyOrd.compare(lastKey, lKey) == 0
+        outProj(joined(lRow, if (matched) lastRight else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level surface, same signature and contract as
+  * operators/AsofJoin.asofLeft (the union+window form it upgrades).
+  */
+object AsofMergeJoin {
+
+  /** Idempotently register the planner strategy on a session. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+  }
+
+  def asofLeft(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      rightValueCols: Seq[String],
+      asofTimeCol: String = "asof_time"): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lCols = left.columns.toSeq
+    require(!lCols.contains(asofTimeCol), s"left already has a '$asofTimeCol' column")
+    require(rightValueCols.forall(!lCols.contains(_)),
+      "right value columns must not collide with left columns")
+    // alias every right column: fresh exprIds, so a self-as-of join
+    // (left and right reading the same table) cannot alias-collide
+    val rightNorm = right.select(
+      col(keyCol).as("__asof_key") +: col(rightTimeCol).as(asofTimeCol) +:
+        rightValueCols.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightNorm.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name'"))
+        .asInstanceOf[AttributeReference]
+    val node = AsofJoinNode(
+      lPlan, rPlan,
+      leftKeys = Seq(attr(lPlan, keyCol)),
+      rightKeys = Seq(attr(rPlan, "__asof_key")),
+      leftTime = attr(lPlan, leftTimeCol),
+      rightTime = attr(rPlan, asofTimeCol),
+      rightValues = rightValueCols.map(attr(rPlan, _)))
+    GraftSqlShim.ofRows(spark, node)
+  }
+}

@@ -107,5 +107,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(MinhashSignature.fnName),
       new ExpressionInfo(classOf[MinhashSignature].getName, MinhashSignature.fnName),
       MinhashSignature.sqlBuilder))
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

@@ -216,6 +216,20 @@ object ScaleProbe {
               when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
                 .otherwise(col("o_totalprice"))),
           "o_orderkey", Seq("o_totalprice"))),
+        // native as-of join (q196): purchases ⟕ most recent preceding
+        // view per user through the custom merge exec. Event copies
+        // keep the USER SET FIXED, so per-user run length grows with
+        // the corpus — hot-key stress on the per-partition forward
+        // merge; expected ~n log n (the two sorts) with O(1) carried
+        // state, vs the union+window twin's padded-union width.
+        run("asof_native", {
+          val views = ev.filter(col("event_type") === "view")
+            .groupBy("user_id", "ts").agg(max(col("event_id")).as("view_id"))
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts")
+          graft.plans.AsofMergeJoin.asofLeft(
+            purchases, views, "user_id", "ts", "ts", Seq("view_id"))
+        }),
         // PQ production shape (q192): train m=16/k=16 per-subspace
         // codebooks, encode the corpus, ADC-shortlist(50) + exact
         // rerank for a query batch that grows with the corpus (every

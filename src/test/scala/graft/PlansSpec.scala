@@ -236,4 +236,74 @@ class PlansSpec extends SparkSpec {
     val (x, y) = (0.6f.toDouble, 0.8f.toDouble)
     assert(e.eval(null).asInstanceOf[Double] == x / math.sqrt(1.0 * (x * x + y * y)))
   }
+
+  // ─────────────── native as-of join (whole-operator tier) ───────────────
+
+  test("AsofMergeJoin: inclusive bound, per-key isolation, no-match nulls, atomic right row") {
+    // the OperatorSpec asofLeft fixture verbatim — the native operator
+    // must pin the identical edge semantics
+    import graft.plans.AsofMergeJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      ("A", ts("2024-01-01 10:00:00"), "l-early"),
+      ("A", ts("2024-01-01 12:00:00"), "l-mid"),
+      ("A", ts("2024-01-01 13:00:00"), "l-tie"),
+      ("B", ts("2024-01-01 12:00:00"), "l-otherkey")
+    ).toDF("k", "t", "l_val")
+    val right = Seq(
+      ("A", ts("2024-01-01 11:00:00"), Some("r1")),
+      ("A", ts("2024-01-01 13:00:00"), Option.empty[String]),
+      ("B", ts("2024-01-01 11:30:00"), Some("rB"))
+    ).toDF("k", "rt", "r_val")
+    val out = AsofMergeJoin.asofLeft(left, right, "k", "t", "rt", Seq("r_val"))
+      .select($"l_val", date_format($"asof_time", "HH:mm").as("at"), $"r_val")
+      .as[(String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("l-early") == ((None, None)))
+    assert(out("l-mid") == ((Some("11:00"), Some("r1"))))
+    assert(out("l-tie") == ((Some("13:00"), None)))
+    assert(out("l-otherkey") == ((Some("11:30"), Some("rB"))))
+  }
+
+  test("AsofMergeJoin plan: the custom exec, co-partitioned exchanges, no window/nested loop") {
+    import graft.plans.AsofMergeJoin
+    val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "l_val")
+    val right = Seq((1L, 5L, 100L), (2L, 25L, 200L)).toDF("k", "rt", "r_val")
+    val plan = AsofMergeJoin.asofLeft(left, right, "k", "t", "rt", Seq("r_val"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofMergeJoin"), s"custom exec must plan the node:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the native path must carry neither the window rewrite nor a theta join")
+  }
+
+  test("AsofMergeJoin == union+window AsofJoin on randomized data (incl. self-as-of)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.operators.AsofJoin
+    import graft.plans.AsofMergeJoin
+    // many keys, few timestamps: dense tie/no-match/multi-match mix
+    val rows = Gen.listOfN(400,
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 50L), Gen.choose(0L, 999L)))
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val left = rows.take(250).toDF("k", "t", "l_val")
+    val right = rows.drop(250).map { case (k, t, v) => (k, t, v) }
+      .toDF("k", "rt", "r_val")
+      // operator contract: right unique per (key, time)
+      .groupBy("k", "rt").agg(max($"r_val").as("r_val"))
+    val a = AsofJoin.asofLeft(left, right, "k", "t", "rt", Seq("r_val"))
+    val b = AsofMergeJoin.asofLeft(left, right, "k", "t", "rt", Seq("r_val"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(b.count() == left.count(), "left join: every left row exactly once")
+    // self-as-of: both sides derived from the SAME plan — the aliasing
+    // seam must prevent exprId collisions
+    val evs = rows.toDF("k", "t", "v")
+    val selfA = AsofJoin.asofLeft(
+      evs, evs.groupBy($"k", $"t".as("rt")).agg(max($"v").as("rv")).select("k", "rt", "rv"),
+      "k", "t", "rt", Seq("rv"))
+    val selfB = AsofMergeJoin.asofLeft(
+      evs, evs.groupBy($"k", $"t".as("rt")).agg(max($"v").as("rv")).select("k", "rt", "rv"),
+      "k", "t", "rt", Seq("rv"))
+    assert(selfA.exceptAll(selfB).count() == 0 && selfB.exceptAll(selfA).count() == 0)
+  }
 }
