@@ -138,7 +138,8 @@ object Bench {
     "q186_inc_clusters", "q187_ivf_append", "q188_hard_negatives",
     "q189_refresh_capstone", "q190_crawl_ingest_stream",
     "q191_pq_adc_topk", "q192_pq_recall", "q193_pq_stored_append",
-    "q194_ivfpq_exact", "q195_ivfpq_recall", "q196_asof_native")
+    "q194_ivfpq_exact", "q195_ivfpq_recall", "q196_asof_native",
+    "q197_bpe_train", "q198_bpe_encode")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -737,6 +737,30 @@ object SparkEntry {
           col("view_id"))
     }),
 
+    // ── REAL BPE training (ext/Bpe — Sennrich et al. 2016): the top-8
+    // merge ranks learned over the corpus word-type vocabulary, each
+    // round one vocab-sized aggregate + a 1-row argmax. The oracle
+    // re-runs the identical 8-round chain in DuckDB (literal replace
+    // on '.'-wrapped symbol strings has the same left-to-right
+    // non-overlapping semantics in both engines), so every rank, pair
+    // AND weighted count is certified — q106's single-round pair
+    // induction closed into an actual trained subword tokenizer. ──
+    "q197_bpe_train" -> ((s, dir) =>
+      graft.ext.Bpe.trainReport(t(s, dir, "documents"), "text", k = 8)),
+
+    // ── BPE encode (the apply side): per-document subword token
+    // counts under the q197-trained merges. The corpus is exploded to
+    // tokens ONCE and joined against the encoded word DICTIONARY
+    // (vocabulary-sized — broadcastable at any corpus scale); the
+    // 8-merge chain runs as a pure projection on word types, never
+    // per occurrence. This is the token-budget operator of a training
+    // pipeline: n_bpe is what you pack context windows by. ──
+    "q198_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.learnMerges(docs, "text", 8)
+      graft.ext.Bpe.encodeCounts(docs, "doc_id", "text", merges)
+    }),
+
     // ── ext: language ID + rolling-hash fingerprint certified (the two
     // text-analysis features q20 didn't cover). withLangGuess is the
     // scale-safe form (tokens + score array materialized once — the
@@ -2940,6 +2964,60 @@ object SparkEntry {
       |  v.view_id
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
 
+  /** The shared k-round BPE training chain (q197/q198): vocab0 is the
+    * word-type table with '.'-wrapped symbol strings; each round
+    * counts weighted adjacent pairs from the symbol lists, takes the
+    * (count DESC, pair ASC) argmax, and applies it as a literal
+    * replace — DuckDB's replace has the same all-occurrences
+    * left-to-right non-overlapping semantics as Spark's, which is the
+    * load-bearing fact that makes real BPE oracle-certifiable. The
+    * builder generates the rounds so q197 (train surface) and q198
+    * (encode surface) share one chain verbatim and cannot drift.
+    */
+  private def bpeChainSql(k: Int): String = {
+    val head =
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |vocab0 AS (
+        |  SELECT w, count(*) AS freq,
+        |    '.' || array_to_string(regexp_extract_all(w, '.'), '..') || '.' AS sym
+        |  FROM tok GROUP BY w)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(l)), x -> l[x] || ' ' || l[x + 1])) AS pair
+         |    FROM (SELECT freq, regexp_extract_all(sym, '[a-z0-9]+') AS l FROM vocab${i - 1}))
+         |  GROUP BY pair),
+         |best$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |vocab$i AS (
+         |  SELECT w, freq,
+         |    replace(sym, '.' || replace(pair, ' ', '..') || '.',
+         |                 '.' || replace(pair, ' ', '') || '.') AS sym
+         |  FROM vocab${i - 1}, best$i)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
+  private val BpeK = 8
+
+  private val BpeTrainSql: String =
+    bpeChainSql(BpeK) + "\n" +
+      (1 to BpeK).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, pair, cnt FROM best$i")
+        .mkString("", "\nUNION ALL\n", "")
+
+  private val BpeEncodeSql: String =
+    bpeChainSql(BpeK) +
+      s""",
+         |enc AS (
+         |  SELECT w, CAST(len(regexp_extract_all(sym, '[a-z0-9]+')) AS BIGINT) AS n_sym
+         |  FROM vocab$BpeK)
+         |SELECT t.doc_id, CAST(sum(e.n_sym) AS BIGINT) AS n_bpe,
+         |  CAST(count(*) AS BIGINT) AS n_words
+         |FROM tok t JOIN enc e USING (w) GROUP BY t.doc_id""".stripMargin
+
   private val FullDedupClustersSql: String =
     """WITH RECURSIVE tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
@@ -3816,6 +3894,9 @@ object SparkEntry {
     // native merge operator must reproduce the union+window rewrite's
     // certified rows bit for bit on the same input.
     "q196_asof_native" -> AsofEventsSql,
+
+    "q197_bpe_train" -> BpeTrainSql,
+    "q198_bpe_encode" -> BpeEncodeSql,
 
     // Language scores and the rolling hash mirrored term by term:
     // list_prepend(0, ...) makes DuckDB's init-less list_reduce fold
