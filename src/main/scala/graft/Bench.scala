@@ -139,7 +139,8 @@ object Bench {
     "q189_refresh_capstone", "q190_crawl_ingest_stream",
     "q191_pq_adc_topk", "q192_pq_recall", "q193_pq_stored_append",
     "q194_ivfpq_exact", "q195_ivfpq_recall", "q196_asof_native",
-    "q197_bpe_train", "q198_bpe_encode")
+    "q197_bpe_train", "q198_bpe_encode", "q199_bpe_stored",
+    "q200_ivfpq_stored")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

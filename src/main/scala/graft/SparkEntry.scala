@@ -761,6 +761,52 @@ object SparkEntry {
       graft.ext.Bpe.encodeCounts(docs, "doc_id", "text", merges)
     }),
 
+    // ── stored BPE tokenizer (the index-lifecycle discipline on the
+    // MODEL artifact): train-once into an atomic content-keyed store
+    // (merges/ = the HuggingFace merges.txt shape), every later encode
+    // loads the FROZEN ranks — retraining on grown data would shift
+    // token boundaries under every downstream count contract, q193's
+    // frozen-codebook rule on the tokenizer side. Certified against
+    // q198's IDENTICAL oracle: the storage round-trip must be
+    // invisible in the rows. ──
+    "q199_bpe_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/documents.parquet")
+      val path = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_bpe_${fp}_k8") { staging =>
+        graft.ext.Bpe.writeModel(graft.ext.Bpe.learnMerges(docs, "text", 8), s, staging)
+      }
+      graft.ext.Bpe.encodeCounts(docs, "doc_id", "text", graft.ext.Bpe.readModel(s, path))
+    }),
+
+    // ── persisted IVF-PQ index with frozen-artifact append (q187 +
+    // q193 composed): build from the 4/5 corpus, fold the 1/5 batch in
+    // via appendToIvfPqIndex — coarse-assigned against the STORED
+    // anchors with the build-time cosine rule, residual-encoded
+    // against the FROZEN codebook, codes/ appended, nothing rewritten
+    // — then probe exhaustively (nprobe = nlist, exhaustive shortlist)
+    // so the exact rerank decides alone: the composite lifecycle must
+    // reproduce brute force row-for-row (q193's identical oracle). ──
+    "q200_ivfpq_stored" -> ((s, dir) => {
+      import graft.ext.ProductQuant
+      val emb = t(s, dir, "embeddings")
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/embeddings.parquet")
+      val path = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${fp}_n8m16") { staging =>
+        ProductQuant.writeIvfPqIndex(
+          ProductQuant.buildIvfPq(emb.filter(col("vec_id") % 5 =!= 0),
+            "vec_id", "embedding",
+            nlist = 8, m = 16, dim = 64, pqK = 16, coarseLloyd = 1, pqLloyd = 1),
+          staging)
+        ProductQuant.appendToIvfPqIndex(
+          emb.filter(col("vec_id") % 5 === 0), staging, "vec_id", "embedding")
+      }
+      ProductQuant.ivfPqRerankTopK(
+        ProductQuant.readIvfPqIndex(s, path), emb,
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        shortlist = 1 << 20, k = 5, nprobe = 8)
+    }),
+
     // ── ext: language ID + rolling-hash fingerprint certified (the two
     // text-analysis features q20 didn't cover). withLangGuess is the
     // scale-safe form (tokens + score array materialized once — the
@@ -2964,6 +3010,24 @@ object SparkEntry {
       |  v.view_id
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
 
+  /** Brute-force inner-product top-5 for the %50 query batch — the
+    * exhaustive-probe truth shared verbatim by q193 (stored PQ) and
+    * q200 (stored IVF-PQ): with the exact rerank deciding alone, both
+    * index lifecycles must reproduce these rows bit for bit.
+    */
+  private val PqBruteDotSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+      |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS score
+      |  FROM q JOIN e c ON c.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank,
+      |  score
+      |FROM scored QUALIFY rank <= 5""".stripMargin
+
   /** The shared k-round BPE training chain (q197/q198): vocab0 is the
     * word-type table with '.'-wrapped symbol strings; each round
     * counts weighted adjacent pairs from the symbol lists, takes the
@@ -3897,6 +3961,9 @@ object SparkEntry {
 
     "q197_bpe_train" -> BpeTrainSql,
     "q198_bpe_encode" -> BpeEncodeSql,
+    // identical-oracle certification: the stored-model round trip must
+    // be invisible in the encoded rows.
+    "q199_bpe_stored" -> BpeEncodeSql,
 
     // Language scores and the rolling hash mirrored term by term:
     // list_prepend(0, ...) makes DuckDB's init-less list_reduce fold
@@ -6085,18 +6152,12 @@ object SparkEntry {
     // Exhaustive-shortlist escape (q44/q88's discipline on the PQ
     // side): the exact rerank decides alone, so the stored+appended
     // index must reproduce brute force row-for-row.
-    "q193_pq_stored_append" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
-        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS score
-        |  FROM q JOIN e c ON c.vec_id <> q.vec_id)
-        |SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank,
-        |  score
-        |FROM scored QUALIFY rank <= 5""".stripMargin,
+    "q193_pq_stored_append" -> PqBruteDotSql,
+
+    // identical-oracle certification for the composite index
+    // lifecycle: stored IVF-PQ (frozen anchors AND frozen codebook)
+    // + append, probed exhaustively, must also equal brute force.
+    "q200_ivfpq_stored" -> PqBruteDotSql,
 
     // IVFADC exact arm: exhaustive probe + exact residual codebook ==
     // brute-force inner product, so the oracle is q191's brute force

@@ -138,4 +138,30 @@ object Bpe {
       .groupBy(idCol)
       .agg(sum(col("n_sym")).as("n_bpe"), count(lit(1)).as("n_words"))
   }
+
+  /** Persist a trained tokenizer: merges/ (rank, x, y, cnt) + params/.
+    * The merge list IS the model (the HuggingFace merges.txt shape) —
+    * train once on the reference corpus snapshot, encode every later
+    * batch against the FROZEN ranks: retraining on grown data would
+    * silently shift token boundaries and break every downstream
+    * token-count contract, the same reason q193 freezes its PQ
+    * codebook.
+    */
+  def writeModel(
+      merges: Seq[Merge], spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.x, m.y, m.cnt)).toDF("rank", "x", "y", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+    Seq(merges.length).toDF("k")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/params")
+  }
+
+  /** Load a stored model — k rows to the driver: this is the MODEL
+    * (bounded by the merge budget), not data.
+    */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path + "/merges").collect()
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("x"),
+        r.getAs[String]("y"), r.getAs[Long]("cnt")))
+      .sortBy(_.rank).toSeq
 }

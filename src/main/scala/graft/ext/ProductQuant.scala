@@ -403,4 +403,61 @@ object ProductQuant {
       ivfPqTopK(index, queries, idCol, vecCol, shortlist, nprobe)
         .select("query_id", "neighbor_id"),
       corpus, queries, idCol, vecCol, k)
+
+  /** Persist an IVF-PQ index: anchors/ + codebook/ + codes/ + params/.
+    * BOTH trained artifacts are frozen — anchors (an append must not
+    * move list geometry, q187's rule) and the residual codebook (a
+    * retrain would invalidate every stored code, q193's rule).
+    */
+  def writeIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
+    idx.anchors.select(col("__cid").as("cid"), col("__cv").as("cvec"))
+      .write.mode("overwrite").parquet(path + "/anchors")
+    idx.cb.centroids.write.mode("overwrite").parquet(path + "/codebook")
+    idx.codes.select(col("neighbor_id").as("id"), col("__cid").as("cid"), col("codes"))
+      .write.mode("overwrite").parquet(path + "/codes")
+    val spark = idx.anchors.sparkSession
+    import spark.implicits._
+    Seq((idx.nlist, idx.cb.m, idx.cb.dim)).toDF("nlist", "m", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/params")
+  }
+
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val p = spark.read.parquet(path + "/params").head()
+    IvfPqIndex(
+      spark.read.parquet(path + "/anchors")
+        .select(col("cid").as("__cid"), col("cvec").as("__cv")),
+      PqCodebook(spark.read.parquet(path + "/codebook"),
+        p.getAs[Int]("m"), p.getAs[Int]("dim")),
+      spark.read.parquet(path + "/codes")
+        .select(col("id").as("neighbor_id"), col("cid").as("__cid"), col("codes")),
+      p.getAs[Int]("nlist"))
+  }
+
+  /** Fold a vector batch into a stored IVF-PQ index: coarse-assign
+    * against the STORED anchors with the build-time rule (cosine
+    * argmax — SimSearch.buildIvfIndex's assignment), residual against
+    * the assigned centroid, encode with the FROZEN codebook, append
+    * codes/ — O(|batch|·(nlist + m)) work, nothing rewritten, existing
+    * probe results unchanged.
+    */
+  def appendToIvfPqIndex(
+      newVecs: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
+    val spark = newVecs.sparkSession
+    val idx = readIvfPqIndex(spark, path)
+    val assigned = newVecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(idx.anchors))
+      .select(col("__id"), col("__v"),
+        struct((-SimSearch.cosineSim(spark, col("__v"), col("__cv"))).as("negCos"),
+          col("__cid").as("cid")).as("__sc"))
+      .groupBy("__id")
+      .agg(first(col("__v")).as("__v"), min(col("__sc")).getField("cid").as("__cid"))
+    val resid = assigned.join(broadcast(idx.anchors), Seq("__cid"))
+      .select(col("__id").as("neighbor_id"), col("__cid"),
+        zip_with(col("__v"), col("__cv"), (x, c) => x - c).as("__res"))
+      .localCheckpoint()
+    encode(resid, "neighbor_id", "__res", idx.cb)
+      .join(resid.select("neighbor_id", "__cid"), Seq("neighbor_id"))
+      .select(col("neighbor_id").as("id"), col("__cid").as("cid"), col("codes"))
+      .write.mode("append").parquet(path + "/codes")
+  }
 }

@@ -56,4 +56,15 @@ class BpeSpec extends SparkSpec {
     assert(t0 > t2 && t2 > t4,
       s"every applied merge must reduce the corpus token count: $t0, $t2, $t4")
   }
+
+  test("stored model round-trips byte-for-byte and encodes identically") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val ms = Bpe.learnMerges(docs, "text", 4)
+    val work = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+    Bpe.writeModel(ms, spark, work)
+    assert(Bpe.readModel(spark, work) == ms)
+    val a = Bpe.encodeCounts(docs, "doc_id", "text", ms)
+    val b = Bpe.encodeCounts(docs, "doc_id", "text", Bpe.readModel(spark, work))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
 }

@@ -138,6 +138,37 @@ class PqSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("ivf-pq stored index round-trips; append freezes anchors AND codebook") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val idx = ProductQuant.buildIvfPq(base, "vec_id", "embedding",
+      nlist = 4, m = 8, dim = 64, pqK = 8, coarseLloyd = 1, pqLloyd = 1)
+    ProductQuant.writeIvfPqIndex(idx, work)
+    ProductQuant.appendToIvfPqIndex(batch, work, "vec_id", "embedding")
+    val idx2 = ProductQuant.readIvfPqIndex(spark, work)
+    assert(idx2.nlist == 4 && idx2.cb.m == 8 && idx2.cb.dim == 64)
+    // both trained artifacts byte-stable across the round trip
+    assert(idx.anchors.exceptAll(idx2.anchors).count() == 0 &&
+      idx2.anchors.exceptAll(idx.anchors).count() == 0)
+    assert(idx.cb.centroids.exceptAll(idx2.cb.centroids).count() == 0 &&
+      idx2.cb.centroids.exceptAll(idx.cb.centroids).count() == 0)
+    // base codes untouched by the append; every vector present once
+    // (column order normalized — exceptAll is positional)
+    assert(idx2.codes.count() == emb.count())
+    val storedBase = idx2.codes.join(base.select($"vec_id".as("neighbor_id")),
+      Seq("neighbor_id"), "left_semi").select("neighbor_id", "__cid", "codes")
+    assert(storedBase.exceptAll(
+      idx.codes.select("neighbor_id", "__cid", "codes")).count() == 0)
+    // exhaustive probe over the appended store == brute force
+    val qs = emb.filter($"vec_id" % 125 === 0)
+    val n = emb.count().toInt
+    val got = ProductQuant.ivfPqRerankTopK(idx2, emb, qs, "vec_id", "embedding",
+      shortlist = n - 1, k = 5, nprobe = 4)
+    val truth = ProductQuant.bruteForceTopKDot(emb, qs, "vec_id", "embedding", k = 5)
+    assert(got.exceptAll(truth).count() == 0 && truth.exceptAll(got).count() == 0)
+  }
+
   test("ivf-pq probe narrowing: degraded nprobe never beats the healthy probe") {
     // q195's two-row contract as a refactor-surviving invariant: on the
     // hub-and-spoke fixture the bridges SPLIT across lists, so probe1
