@@ -230,6 +230,17 @@ object ScaleProbe {
           graft.plans.AsofMergeJoin.asofLeft(
             purchases, views, "user_id", "ts", "ts", Seq("view_id"))
         }),
+        // BPE train+encode (q197/q198): k=4 merges + per-doc counts.
+        // The corpus is touched once (word-count aggregate + the final
+        // dictionary join); every training round runs on the word-TYPE
+        // table. Decorrelated copies GROW the vocabulary ~linearly
+        // (each rotation rewrites every word), so this probes the
+        // worst case — a real corpus's vocab saturates and rounds go
+        // flat; expected ~linear overall, never super-linear.
+        run("bpe_encode", {
+          val ms = graft.ext.Bpe.learnMerges(d, "text", 4)
+          graft.ext.Bpe.encodeCounts(d, "doc_id", "text", ms)
+        }),
         // PQ production shape (q192): train m=16/k=16 per-subspace
         // codebooks, encode the corpus, ADC-shortlist(50) + exact
         // rerank for a query batch that grows with the corpus (every
