@@ -726,6 +726,13 @@ object SparkEntry {
     "q196_asof_native" -> ((s, dir) => {
       import graft.plans.AsofMergeJoin
       val ev = t(s, dir, "events")
+      // NOT repartition(user_id)-before-aggregate: that would merge
+      // the right side's two exchanges into one, but the A/B measured
+      // it SLOWER (0.48 vs 0.39 s sf0.1) — the aggregate's first
+      // exchange ships map-side-combined partial rows while a
+      // repartition ships every raw view row. Fewer exchanges is not
+      // less data moved; the second exchange carries only the deduped
+      // (user_id, ts) grain.
       val views = ev.filter(col("event_type") === "view")
         .groupBy("user_id", "ts").agg(max(col("event_id")).as("view_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -735,6 +742,48 @@ object SparkEntry {
           unix_micros(col("ts")).as("t_us"),
           unix_micros(col("asof_time")).as("view_us"),
           col("view_id"))
+    }),
+
+    // ── tolerance-bounded as-of (plans/AsofMergeJoin.asofLeftWithin):
+    // the feature-freshness contract of a feature-store join — a view
+    // older than 24 h at purchase time is not an acceptable feature,
+    // so its match is NULLED (the purchase row survives with null
+    // features; dropping it would bias any downstream aggregate). The
+    // gate is calibrated to bite without saturating: match-age
+    // quantiles on this corpus are p50 ≈ 14 h / p75 ≈ 34 h, so ~40%
+    // of real matches go stale (a 1 h gate nulled 1941/1981 —
+    // vacuous the other way). One `when` per emitted column over the
+    // native merge; the oracle is DuckDB's ASOF JOIN with the same
+    // CASE gate. ──
+    "q201_asof_fresh" -> ((s, dir) => {
+      import graft.plans.AsofMergeJoin
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      AsofMergeJoin.asofLeftWithin(purchases, views, "user_id", "ts", "ts",
+          Seq("view_id"), maxAgeUs = 86400000000L)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"),
+          unix_micros(col("asof_time")).as("view_us"),
+          col("view_id"))
+    }),
+
+    // ── cross-corpus n-gram novelty (ext/TextAnalysis.ngramNovelty):
+    // the CCNet-shaped LM-free quality/drift signal — per scored doc,
+    // how many TRIGRAM occurrences were never seen in the 1/5
+    // reference slice. n=3 is calibrated to the corpus: on the
+    // ~31-token synthetic vocabulary bigrams saturate (mean unseen
+    // 0.5% — the q147 vacuity trap, measured before wiring) while
+    // trigrams spread 0..0.97. Reference collapses to its distinct
+    // gram set (one aggregate), scored docs explode once and
+    // hash-join it; all-integer outputs, exact under the hash. ──
+    "q202_ngram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.ngramNovelty(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 === 1), "doc_id", "text", n = 3)
     }),
 
     // ── REAL BPE training (ext/Bpe — Sennrich et al. 2016): the top-8
@@ -3964,6 +4013,44 @@ object SparkEntry {
     // identical-oracle certification: the stored-model round trip must
     // be invisible in the encoded rows.
     "q199_bpe_stored" -> BpeEncodeSql,
+
+    // DuckDB ASOF JOIN + the same 24-hour CASE gate: stale matches
+    // null out, the purchase row itself survives.
+    "q201_asof_fresh" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |p AS (
+        |  SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (
+        |  SELECT p.event_id, p.user_id,
+        |    epoch_us(p.ts) AS t_us, epoch_us(v.ts) AS view_us, v.view_id
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
+        |SELECT event_id, user_id, t_us,
+        |  CASE WHEN t_us - view_us <= 86400000000 THEN view_us END AS view_us,
+        |  CASE WHEN t_us - view_us <= 86400000000 THEN view_id END AS view_id
+        |FROM a""".stripMargin,
+
+    "q202_ngram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      x -> array_to_string(t[x:x + 2], ' '))) AS gram
+        |  FROM tok),
+        |ref AS (SELECT DISTINCT gram FROM bg WHERE doc_id % 5 = 1),
+        |agg AS (
+        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(*) FILTER (WHERE r.gram IS NULL) AS BIGINT) AS n_unseen
+        |  FROM bg b LEFT JOIN ref r USING (gram)
+        |  WHERE b.doc_id % 5 = 0 GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+        |  coalesce(a.n_unseen, 0) AS n_unseen
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // Language scores and the rolling hash mirrored term by term:
     // list_prepend(0, ...) makes DuckDB's init-less list_reduce fold

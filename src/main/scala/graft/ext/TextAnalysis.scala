@@ -467,4 +467,49 @@ object TextAnalysis {
           p => concat(p("doc_id"), lit(":"), p("pos")))).as("postings"))
       .filter(col("df").between(minDf, maxDf))
   }
+
+  /** Cross-corpus n-gram novelty — the CCNet-shaped LM-free quality /
+    * drift signal: for each scored document, how many of its token
+    * n-gram OCCURRENCES were never seen in the reference corpus. High
+    * novelty flags off-distribution text (new domain, garbled OCR,
+    * spam) without training a language model; near-zero novelty
+    * against a benchmark-derived reference is a contamination smell
+    * (the q87 direction at small n). All-integer outputs — exact
+    * under the oracle hash, no log-prob float folds. Pick n against
+    * the corpus vocabulary: on the ~31-token synthetic vocab, bigrams
+    * saturate (mean unseen 0.5% — the q147 vacuity trap) while
+    * trigrams spread the full 0..0.97 range.
+    *
+    * Shape: the reference collapses to its DISTINCT n-gram set (one
+    * aggregate, vocabulary-bounded); scored docs explode to n-gram
+    * occurrences and LEFT JOIN the set — one hash join, no per-doc
+    * state. Short docs (< n tokens) keep a row with n_grams = 0 via
+    * the left join from the doc spine.
+    */
+  def ngramNovelty(
+      scored: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    def grams(df: DataFrame, withId: Boolean): DataFrame = {
+      val t = tokens(col(textCol))
+      // guard: sequence(1, m) runs DESCENDING when m < 1, so short
+      // docs must short-circuit to an empty gram list
+      val g = when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      if (withId) df.select(col(idCol), explode(g).as("gram"))
+      else df.select(explode(g).as("gram"))
+    }
+    val refSet = grams(reference, withId = false).distinct()
+      .withColumn("__seen", lit(1))
+    val counts = grams(scored, withId = true)
+      .join(refSet, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__seen").isNull, 1)).as("n_unseen"))
+    scored.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "n_unseen"))
+  }
 }

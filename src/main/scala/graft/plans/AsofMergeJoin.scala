@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, AttributeReference, GenericInternalRow, JoinedRow,
@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, unix_micros, when}
 import org.apache.spark.sql.graft.GraftSqlShim
 
 /** LEFT as-of join as a NATIVE Catalyst operator — the engine's one
@@ -193,5 +193,35 @@ object AsofMergeJoin {
       rightTime = attr(rPlan, asofTimeCol),
       rightValues = rightValueCols.map(attr(rPlan, _)))
     GraftSqlShim.ofRows(spark, node)
+  }
+
+  /** Tolerance-bounded as-of — the feature-freshness contract of a
+    * feature-store join: a right row older than `maxAgeUs`
+    * microseconds at the left row's time is NOT an acceptable feature
+    * value, so its match is nulled (the row keeps left-join
+    * semantics: it survives with null features, it is not dropped —
+    * dropping would silently bias any aggregate over the result).
+    * Implemented as a projection over the native merge: the operator
+    * finds the most recent match, the freshness gate is one
+    * `when` per emitted right column. Timestamp or numeric time
+    * columns both work (age is measured in the column's own units for
+    * numerics, microseconds for timestamps).
+    */
+  def asofLeftWithin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      rightValueCols: Seq[String], maxAgeUs: Long,
+      asofTimeCol: String = "asof_time"): DataFrame = {
+    val base = asofLeft(left, right, keyCol, leftTimeCol, rightTimeCol,
+      rightValueCols, asofTimeCol)
+    def us(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val age = us(col(leftTimeCol), left.schema(leftTimeCol).dataType) -
+      us(col(asofTimeCol), right.schema(rightTimeCol).dataType)
+    val fresh = col(asofTimeCol).isNotNull && age <= maxAgeUs
+    base.select(left.columns.map(col).toSeq ++
+      ((asofTimeCol +: rightValueCols).map(c => when(fresh, col(c)).as(c))): _*)
   }
 }

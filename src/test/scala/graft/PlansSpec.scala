@@ -277,6 +277,23 @@ class PlansSpec extends SparkSpec {
       "the native path must carry neither the window rewrite nor a theta join")
   }
 
+  test("asofLeftWithin: stale matches null out (inclusive at the bound), rows survive") {
+    import graft.plans.AsofMergeJoin
+    val left = Seq((1L, 100L, "fresh"), (1L, 200L, "exact"), (1L, 500L, "stale"),
+      (2L, 100L, "nomatch")).toDF("k", "t", "l_val")
+    val right = Seq((1L, 90L, "r")).toDF("k", "rt", "r_val")
+    val out = AsofMergeJoin.asofLeftWithin(left, right, "k", "t", "rt",
+        Seq("r_val"), maxAgeUs = 110L)
+      .select($"l_val", $"asof_time", $"r_val")
+      .as[(String, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 4, "left-join semantics: every left row survives")
+    assert(out("fresh") == ((Some(90L), Some("r"))))    // age 10 <= 110
+    assert(out("exact") == ((Some(90L), Some("r"))))    // age 110 <= 110 inclusive
+    assert(out("stale") == ((None, None)))              // age 410: match nulled
+    assert(out("nomatch") == ((None, None)))
+  }
+
   test("AsofMergeJoin == union+window AsofJoin on randomized data (incl. self-as-of)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -157,6 +157,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(ids == Map("xx" -> 0, "yy" -> 1))
   }
 
+  test("ngramNovelty: exact unseen counts, short-doc spine rows, occurrence grain") {
+    val ref = Seq((10L, "a b c d")).toDF("doc_id", "text") // bigrams: ab bc cd
+    val scored = Seq(
+      (1L, "a b c"),     // ab bc -> 0 unseen
+      (2L, "a b x y"),   // ab bx xy -> 2 unseen
+      (3L, "x y x y"),   // xy yx xy -> 3 unseen (occurrence grain: xy twice)
+      (4L, "z")          // < n tokens -> spine row with zeros
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(scored, ref, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((2L, 0L)), 2L -> ((3L, 2L)),
+      3L -> ((3L, 3L)), 4L -> ((0L, 0L))))
+  }
+
   test("invertedIndex: canonical postings, 0-based positions, df window") {
     val docs = Seq(
       (2L, "b a b"), (1L, "a c"), (3L, "c c")).toDF("doc_id", "text")
