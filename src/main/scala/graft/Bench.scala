@@ -140,7 +140,8 @@ object Bench {
     "q191_pq_adc_topk", "q192_pq_recall", "q193_pq_stored_append",
     "q194_ivfpq_exact", "q195_ivfpq_recall", "q196_asof_native",
     "q197_bpe_train", "q198_bpe_encode", "q199_bpe_stored",
-    "q200_ivfpq_stored", "q201_asof_fresh", "q202_ngram_novelty")
+    "q200_ivfpq_stored", "q201_asof_fresh", "q202_ngram_novelty",
+    "q203_hamming_topk", "q204_hamming_rerank")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -786,6 +786,41 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 1), "doc_id", "text", n = 3)
     }),
 
+    // ── binary (sign-bit) embeddings, direct arm: 1 bit/dim (32×
+    // compression, 2× below the m=16 PQ codes), searched by Hamming
+    // distance over packed 32-bit sign words. ALL-INTEGER scoring —
+    // sign words and distances are exact in both engines, so unlike
+    // the PQ arms this direct search is row-certified with no pinned
+    // values: the full top-5 set (ties broken hamming asc, id asc)
+    // hash-matches DuckDB bit for bit. ──
+    "q203_hamming_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.hammingTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", dim = 64, k = 5)
+    }),
+
+    // ── binary tier, production arm: Hamming shortlist(100) + exact
+    // cosine rerank to top-5 under the q46 pinned-recall discipline —
+    // the pqRerankTopK shape one compression level down (8 B/vector:
+    // the shortlist scan is pure integer xor/popcount; R=50 measured
+    // 44/50, the binary code is coarser than PQ so it buys its recall
+    // with shortlist width — still a 1/5-corpus scan at sf0.01 and a
+    // vanishing fraction at scale, where shortlist stays CONSTANT). ──
+    "q204_hamming_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val exact = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val approx = SimSearch.hammingRerankTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, shortlist = 100, k = 5)
+      exact.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit("hamming_rerank100").as("method"), col("n_exact"), col("n_hit"),
+          (col("n_hit") >= col("n_exact") * 0.9).as("recall_ok"))
+    }),
+
     // ── REAL BPE training (ext/Bpe — Sennrich et al. 2016): the top-8
     // merge ranks learned over the corpus word-type vocabulary, each
     // round one vocab-sized aggregate + a 1-row argmax. The oracle
@@ -2999,6 +3034,12 @@ object SparkEntry {
     */
   val FixturesDir = "/root/repo/fixtures"
 
+  /** q204's pinned n_hit at sf0.01 (q46 discipline: measured, stable
+    * across fresh JVMs — integer Hamming shortlist + deterministic
+    * cosine rerank — and pinned so any drift turns the row red).
+    */
+  val Q204PinnedHits = 47
+
   /** Morton-interleave SQL over pre-bucketed columns `a`/`b` — bit i of
     * a at position 2i+1, of b at 2i (mirrors Layout.mortonInterleave;
     * the terms occupy disjoint bits so + == OR). Generated, not
@@ -4031,6 +4072,56 @@ object SparkEntry {
         |  CASE WHEN t_us - view_us <= 86400000000 THEN view_us END AS view_us,
         |  CASE WHEN t_us - view_us <= 86400000000 THEN view_id END AS view_id
         |FROM a""".stripMargin,
+
+    // Integer Hamming over the identical sign-pack fold
+    // (list_prepend(0,…) makes list_reduce fold exactly like Spark's
+    // aggregate — the q48 discipline; 32-bit words keep every
+    // intermediate off the BIGINT sign bit).
+    "q203_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |w AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(embedding[1:32],
+        |        x -> CAST(CASE WHEN x >= 0 THEN 1 ELSE 0 END AS BIGINT))),
+        |      (a, b) -> a * 2 + b) AS w1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(embedding[33:64],
+        |        x -> CAST(CASE WHEN x >= 0 THEN 1 ELSE 0 END AS BIGINT))),
+        |      (a, b) -> a * 2 + b) AS w2
+        |  FROM e),
+        |q AS (SELECT * FROM w WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(q.w1, c.w1)) + bit_count(xor(q.w2, c.w2)) AS BIGINT) AS hamming
+        |  FROM q JOIN w c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank,
+        |  hamming
+        |FROM scored QUALIFY rank <= 5""".stripMargin,
+
+    // q46 discipline: n_exact from the brute-force cosine SQL, n_hit
+    // pinned at the measured sf0.01 value.
+    "q204_hamming_rerank" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / sqrt(q.nn * c.nn) AS cosine
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored QUALIFY rank <= 5),
+        |hits(method, n_hit) AS (VALUES ('hamming_rerank100', CAST($Q204PinnedHits AS BIGINT)))
+        |SELECT method, n_exact, n_hit, n_hit >= n_exact * 0.9 AS recall_ok
+        |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin,
 
     "q202_ngram_novelty" ->
       """WITH tok AS (

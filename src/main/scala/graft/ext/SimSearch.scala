@@ -51,6 +51,73 @@ object SimSearch {
     call_function(CosineSimilarity.fnName, a, b)
   }
 
+  // ─────────────────── binary (sign-bit) embeddings ───────────────────
+  // The cheapest compression tier of the ANN stack: 1 bit per
+  // dimension (64-dim float32 = 256 B → 8 B, 32×; 2× smaller than the
+  // m=16 PQ codes), searched by Hamming distance — for mean-centered
+  // embeddings sign agreement tracks cosine (Charikar's hyperplane
+  // bound with axis-aligned planes). All-INTEGER scoring: the sign
+  // words and Hamming distances are exact in both engines, so unlike
+  // PQ the direct search is row-certifiable with no pinned values.
+
+  /** Pack sign bits into 32-bit words (big-endian per word, acc*2+bit
+    * fold — the portable shape DuckDB's list_reduce mirrors exactly;
+    * 32-bit words so no fold ever touches the BIGINT sign bit, which
+    * DuckDB treats as overflow). dim must be a multiple of 32.
+    */
+  def signWords(vec: Column, dim: Int): Column = {
+    require(dim % 32 == 0, s"dim=$dim must be a multiple of 32")
+    transform(sequence(lit(0), lit(dim / 32 - 1)), w =>
+      aggregate(slice(vec, w * 32 + 1, lit(32)), lit(0L),
+        (acc, x) => acc * 2 + when(x >= 0, lit(1L)).otherwise(lit(0L))))
+  }
+
+  /** Hamming distance between two sign-word arrays. */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Exact top-k by Hamming over the packed signs: corpus ⨯
+    * broadcast(query signs), integer distance, (hamming asc, id asc)
+    * rank — deterministic end to end. The corpus flows as 8-byte word
+    * arrays; no float arithmetic anywhere.
+    */
+  def hammingTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), signWords(col(vecCol), dim).as("__cw"))
+    val q = queries.select(col(idCol).as("query_id"), signWords(col(vecCol), dim).as("__qw"))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", hammingDist(col("__qw"), col("__cw")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "hamming")
+  }
+
+  /** Production shape: Hamming shortlist + exact cosine rerank — the
+    * binary tier's analogue of ProductQuant.pqRerankTopK (raw-vector
+    * I/O proportional to the shortlist, corpus touched only as sign
+    * words).
+    */
+  def hammingRerankTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, shortlist: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val short = hammingTopK(corpus, queries, idCol, vecCol, dim, shortlist)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        Seq("query_id"))
+      .withColumn("cosine", cosineSim(spark, col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Exact top-k nearest (cosine) corpus rows for each query row.
     * `queries` must be a bounded batch — it is broadcast. Ties broken by
     * ascending corpus id for determinism. Self-matches excluded.

@@ -739,4 +739,36 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(uncapped == (10L to 14L).map((1L, _)).toSet)
   }
+
+  test("signWords: known bit patterns; hammingDist zero/symmetric/counts flips") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("v", ArrayType(FloatType))))
+    def vec(signs: Seq[Int]): Row = Row(signs.map(s => (s * 1.0f)).toArray.toSeq)
+    // 32 dims: +--- ... (first positive, rest negative) -> word = 2^31
+    val allNegButFirst = Seq(1) ++ Seq.fill(31)(-1)
+    val df = spark.createDataFrame(
+      java.util.List.of(vec(allNegButFirst), vec(Seq.fill(32)(1))), schema)
+    val words = df.select(SimSearch.signWords($"v", 32).as("w"))
+      .as[Seq[Long]].collect()
+    assert(words(0) == Seq(1L << 31), "big-endian acc*2+bit fold")
+    assert(words(1) == Seq(0xFFFFFFFFL), "all-ones word")
+    // 31 flipped bits between the two rows; zero to self
+    val h = spark.range(1).select(
+      SimSearch.hammingDist(typedLit(Seq(1L << 31)), typedLit(Seq(0xFFFFFFFFL))).as("d"),
+      SimSearch.hammingDist(typedLit(Seq(0xFFFFFFFFL)), typedLit(Seq(1L << 31))).as("ds"),
+      SimSearch.hammingDist(typedLit(Seq(1L << 31)), typedLit(Seq(1L << 31))).as("z"))
+      .as[(Long, Long, Long)].head()
+    assert(h == ((31L, 31L, 0L)))
+  }
+
+  test("hamming exhaustive-shortlist escape: rerank == brute-force cosine") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 125 === 0)
+    val n = emb.count().toInt
+    val got = SimSearch.hammingRerankTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, shortlist = n - 1, k = 5)
+    val truth = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+    assert(got.exceptAll(truth).count() == 0 && truth.exceptAll(got).count() == 0)
+  }
 }
