@@ -821,6 +821,21 @@ object SparkEntry {
           (col("n_hit") >= col("n_exact") * 0.9).as("recall_ok"))
     }),
 
+    // ── deterministic graph walks (operators/GraphWalk — the
+    // DeepWalk/node2vec corpus-generation step): 4-hop walks from
+    // every source node of the q110 order graph, each hop an
+    // md5("seed:step:u:v")-argmin neighbor choice — the md5-sampling
+    // discipline on graphs, so the "random" walks replay exactly in
+    // DuckDB (step-unrolled CTEs, same hash string, same (md5, id)
+    // tie order) and the full walk set is row-certified. ──
+    "q205_graph_walks" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select((col("o_custkey") % 40).as("src"), (col("o_orderkey") % 40).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.GraphWalk.walks(edges, "src", "dst",
+        edges.select(col("src")), "src", steps = 4)
+    }),
+
     // ── REAL BPE training (ext/Bpe — Sennrich et al. 2016): the top-8
     // merge ranks learned over the corpus word-type vocabulary, each
     // round one vocab-sized aggregate + a 1-row argmax. The oracle
@@ -3156,6 +3171,31 @@ object SparkEntry {
 
   private val BpeK = 8
 
+  /** q205's step-unrolled walk oracle: each hop is a (md5, neighbor)
+    * row_number argmin over the previous frontier joined to the
+    * distinct edge set — the same hash string Spark's concat_ws
+    * builds, so the walks replay bit for bit.
+    */
+  private val GraphWalkSql: String = {
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey % 40 AS u, o_orderkey % 40 AS v
+        |  FROM orders WHERE o_custkey % 40 <> o_orderkey % 40),
+        |s0 AS (SELECT DISTINCT u AS seed, CAST(0 AS INTEGER) AS step, u AS node FROM e)""".stripMargin
+    val hops = (1 to 4).map { i =>
+      s"""s$i AS (
+         |  SELECT seed, CAST($i AS INTEGER) AS step, node FROM (
+         |    SELECT w.seed, e.v AS node,
+         |      row_number() OVER (PARTITION BY w.seed ORDER BY
+         |        md5(CAST(w.seed AS VARCHAR) || ':$i:' ||
+         |            CAST(w.node AS VARCHAR) || ':' || CAST(e.v AS VARCHAR)), e.v) AS rk
+         |    FROM s${i - 1} w JOIN e ON e.u = w.node)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + hops + "\n" +
+      (0 to 4).map(i => s"SELECT * FROM s$i").mkString("\nUNION ALL\n")
+  }
+
   private val BpeTrainSql: String =
     bpeChainSql(BpeK) + "\n" +
       (1 to BpeK).map(i =>
@@ -4072,6 +4112,8 @@ object SparkEntry {
         |  CASE WHEN t_us - view_us <= 86400000000 THEN view_us END AS view_us,
         |  CASE WHEN t_us - view_us <= 86400000000 THEN view_id END AS view_id
         |FROM a""".stripMargin,
+
+    "q205_graph_walks" -> GraphWalkSql,
 
     // Integer Hamming over the identical sign-pack fold
     // (list_prepend(0,…) makes list_reduce fold exactly like Spark's

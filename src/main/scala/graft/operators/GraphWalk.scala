@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-driven graph walks — the DeepWalk/node2vec
+  * corpus-generation step (Perozzi et al. KDD 2014) made replayable:
+  * from each seed node, `steps` hops; at every hop the walker moves to
+  * the out-neighbor minimizing md5("seed:step:u:v") (ties — md5
+  * collisions — break on the neighbor id). This is the engine's
+  * md5-threshold sampling discipline (q58/q107) applied to graphs: a
+  * fixed pseudo-random choice BOTH engines can replay exactly, so the
+  * sampled walks are row-certifiable against a step-unrolled SQL
+  * oracle instead of being "random-looking, trust me".
+  *
+  * Walks don't branch (one row per seed per step) and a dead-end node
+  * simply ends its walk early. Multi-edges collapse (the neighbor SET
+  * decides); the walk is uniform over neighbors in the md5 order, not
+  * degree-weighted.
+  *
+  * 100-TB shape: `steps` bounded joins of the frontier (|seeds| rows)
+  * against the distinct edge table, each one keyed shuffle + one
+  * argmin partial aggregate; localCheckpoint per hop keeps the
+  * iterative lineage flat (the ConnectedComponents discipline). No
+  * per-walk state beyond the frontier row.
+  */
+object GraphWalk {
+
+  def walks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).distinct()
+    var frontier = seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), lit(0).as("step"), col("seed").as("node"))
+      .localCheckpoint()
+    var out = frontier
+    for (i <- 1 to steps) {
+      frontier = frontier.join(e, frontier("node") === e("__u"))
+        .select(col("seed"),
+          struct(
+            md5(concat_ws(":", col("seed"), lit(i), col("node"), col("__v"))).as("h"),
+            col("__v").as("cand")).as("__hc"))
+        .groupBy("seed")
+        .agg(min(col("__hc")).getField("cand").as("node"))
+        .select(col("seed"), lit(i).as("step"), col("node"))
+        .localCheckpoint()
+      out = out.unionByName(frontier)
+    }
+    out
+  }
+}

@@ -45,4 +45,30 @@ class PageRankSpec extends SparkSpec {
     // integer divs leak bounded remainder mass; stay within 1% of units
     assert(total > 990000000000L && total <= 1000000000000L, s"mass off: $total")
   }
+
+  test("GraphWalk: valid edges per hop, one row per live walk, dead-end stops, deterministic") {
+    import graft.operators.GraphWalk
+    // 1→{2,3}, 2→{3}, 3→∅ (dead end), 9 isolated-seed (no out-edges)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("n")
+    val w = GraphWalk.walks(edges, "src", "dst", seeds, "n", steps = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    // step 0: both seeds; seed 9 dead-ends immediately
+    assert(w.contains((1L, 0, 1L)) && w.contains((9L, 0, 9L)))
+    assert(!w.exists { case (s, st, _) => s == 9L && st > 0 })
+    // seed 1 walks: step1 ∈ {2,3}; path follows real edges and stops at 3
+    val path = w.filter(_._1 == 1L).toSeq.sortBy(_._2).map(_._3)
+    assert(path.head == 1L)
+    path.sliding(2).foreach { case Seq(a, b) =>
+      assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).contains((a, b)),
+        s"hop $a->$b is not a real edge")
+    }
+    assert(path.last == 3L, "every path through this DAG ends at the dead end")
+    // one row per (seed, step) while live — walks never branch
+    assert(w.groupBy(x => (x._1, x._2)).forall(_._2.size == 1))
+    // deterministic replay
+    val w2 = GraphWalk.walks(edges, "src", "dst", seeds, "n", steps = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(w == w2)
+  }
 }
