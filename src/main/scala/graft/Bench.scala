@@ -141,7 +141,8 @@ object Bench {
     "q194_ivfpq_exact", "q195_ivfpq_recall", "q196_asof_native",
     "q197_bpe_train", "q198_bpe_encode", "q199_bpe_stored",
     "q200_ivfpq_stored", "q201_asof_fresh", "q202_ngram_novelty",
-    "q203_hamming_topk", "q204_hamming_rerank", "q205_graph_walks")
+    "q203_hamming_topk", "q204_hamming_rerank", "q205_graph_walks",
+    "q206_bpe_fertility")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -836,6 +836,28 @@ object SparkEntry {
         edges.select(col("src")), "src", steps = 4)
     }),
 
+    // ── tokenizer fertility drift (q199's frozen model in operation):
+    // train the 8 merges on the 4/5 REFERENCE slice only, encode the
+    // held-out 1/5, roll up per source as fertility (BPE tokens per
+    // word, ppm — all-integer div). This is the monitoring metric a
+    // production tokenizer owner watches: a source whose fertility
+    // sits far above the rest is text the frozen merges don't fit
+    // (new domain / drift), the cue to retrain and re-encode. Also
+    // exercises the encoder on words the trainer never saw (the
+    // aw-stages of the oracle mirror that exactly). ──
+    "q206_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.learnMerges(
+        docs.filter(col("doc_id") % 5 =!= 0), "text", 8)
+      graft.ext.Bpe.encodeCounts(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", merges)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"), sum(col("n_bpe")).as("n_bpe"))
+        .withColumn("fert_ppm", expr("CAST(n_bpe * 1000000 DIV n_words AS BIGINT)"))
+    }),
+
     // ── REAL BPE training (ext/Bpe — Sennrich et al. 2016): the top-8
     // merge ranks learned over the corpus word-type vocabulary, each
     // round one vocab-sized aggregate + a 1-row argmax. The oracle
@@ -3143,15 +3165,15 @@ object SparkEntry {
     * builder generates the rounds so q197 (train surface) and q198
     * (encode surface) share one chain verbatim and cannot drift.
     */
-  private def bpeChainSql(k: Int): String = {
+  private def bpeChainSql(k: Int, trainWhere: String = "TRUE"): String = {
     val head =
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
         |  FROM documents),
         |vocab0 AS (
         |  SELECT w, count(*) AS freq,
         |    '.' || array_to_string(regexp_extract_all(w, '.'), '..') || '.' AS sym
-        |  FROM tok GROUP BY w)""".stripMargin
+        |  FROM tok WHERE $trainWhere GROUP BY w)""".stripMargin
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -3211,6 +3233,40 @@ object SparkEntry {
          |SELECT t.doc_id, CAST(sum(e.n_sym) AS BIGINT) AS n_bpe,
          |  CAST(count(*) AS BIGINT) AS n_words
          |FROM tok t JOIN enc e USING (w) GROUP BY t.doc_id""".stripMargin
+
+  /** q206: the chain TRAINS on the 4/5 reference slice, then the
+    * merges are applied to the FULL word dictionary (aw-stages — the
+    * encoder must handle words the trainer never saw) and rolled up
+    * as per-source fertility over the held-out 1/5.
+    */
+  private val BpeFertilitySql: String = {
+    val awStages = (1 to BpeK).map { i =>
+      s"""aw$i AS (
+         |  SELECT w, replace(sym, '.' || replace(pair, ' ', '..') || '.',
+         |                    '.' || replace(pair, ' ', '') || '.') AS sym
+         |  FROM aw${i - 1}, best$i)""".stripMargin
+    }.mkString(",\n")
+    bpeChainSql(BpeK, trainWhere = "doc_id % 5 <> 0") +
+      s""",
+         |aw0 AS (
+         |  SELECT DISTINCT w,
+         |    '.' || array_to_string(regexp_extract_all(w, '.'), '..') || '.' AS sym
+         |  FROM tok WHERE doc_id % 5 = 0),
+         |$awStages,
+         |enc AS (
+         |  SELECT w, CAST(len(regexp_extract_all(sym, '[a-z0-9]+')) AS BIGINT) AS n_sym
+         |  FROM aw$BpeK),
+         |perdoc AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(e.n_sym) AS BIGINT) AS n_bpe
+         |  FROM tok t JOIN enc e USING (w) WHERE t.doc_id % 5 = 0 GROUP BY t.doc_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(p.n_bpe) AS BIGINT) AS n_bpe,
+         |  CAST(sum(p.n_bpe) * 1000000 // sum(p.n_words) AS BIGINT) AS fert_ppm
+         |FROM perdoc p JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin
+  }
 
   private val FullDedupClustersSql: String =
     """WITH RECURSIVE tok AS (
@@ -4114,6 +4170,7 @@ object SparkEntry {
         |FROM a""".stripMargin,
 
     "q205_graph_walks" -> GraphWalkSql,
+    "q206_bpe_fertility" -> BpeFertilitySql,
 
     // Integer Hamming over the identical sign-pack fold
     // (list_prepend(0,…) makes list_reduce fold exactly like Spark's
