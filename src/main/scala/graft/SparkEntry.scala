@@ -821,6 +821,38 @@ object SparkEntry {
           (col("n_hit") >= col("n_exact") * 0.9).as("recall_ok"))
     }),
 
+    // ── FuseCosine optimizer rule in operation (plans/FuseCosine —
+    // the injected-Rule tier): the query writes the PORTABLE composed
+    // cosine (three array walks) and opts in via
+    // spark.graft.fuseCosine; the rule rewrites it to the fused
+    // codegen'd cosine_sim, and the body ASSERTS the fusion fired in
+    // the optimized plan before returning — so the driver run itself
+    // re-certifies the rewrite, and the oracle certifies it is
+    // bit-invisible in the rows (the flag's fixed-dim precondition
+    // holds on the embeddings table by construction). ──
+    "q207_cosine_fused" -> ((s, dir) => {
+      import graft.plans.FuseCosine
+      FuseCosine.install(s)
+      s.conf.set("spark.graft.fuseCosine", "true")
+      val emb = t(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+      val q = emb.filter(col("vec_id") % 43 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val composed = SimSearch.dotD(col("__qv"), col("__cv")) /
+        sqrt(SimSearch.dotD(col("__qv"), col("__qv")) *
+          SimSearch.dotD(col("__cv"), col("__cv")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val out = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", composed)
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+      require(out.queryExecution.optimizedPlan.toString.contains("cosine_sim"),
+        "FuseCosine must rewrite the composed recipe in this plan")
+      out
+    }),
+
     // ── deterministic graph walks (operators/GraphWalk — the
     // DeepWalk/node2vec corpus-generation step): 4-hop walks from
     // every source node of the q110 order graph, each hop an
@@ -4171,6 +4203,24 @@ object SparkEntry {
 
     "q205_graph_walks" -> GraphWalkSql,
     "q206_bpe_fertility" -> BpeFertilitySql,
+
+    "q207_cosine_fused" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 43 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / sqrt(q.nn * c.nn) AS cosine
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+        |  cosine
+        |FROM scored QUALIFY rank <= 5""".stripMargin,
 
     // Integer Hamming over the identical sign-pack fold
     // (list_prepend(0,…) makes list_reduce fold exactly like Spark's

@@ -108,5 +108,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashSignature].getName, MinhashSignature.fnName),
       MinhashSignature.sqlBuilder))
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => FuseCosine)
   }
 }

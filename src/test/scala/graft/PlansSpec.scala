@@ -237,6 +237,45 @@ class PlansSpec extends SparkSpec {
     assert(e.eval(null).asInstanceOf[Double] == x / math.sqrt(1.0 * (x * x + y * y)))
   }
 
+  test("FuseCosine rule: fires only under the flag, bit-identical results, ragged caveat") {
+    import graft.plans.FuseCosine
+    FuseCosine.install(spark)
+    val pairs = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id" && $"b.vec_id" < 15)
+    def composed = pairs.select(
+      (SimSearch.dotD($"a.embedding", $"b.embedding") /
+        sqrt(SimSearch.dotD($"a.embedding", $"a.embedding") *
+          SimSearch.dotD($"b.embedding", $"b.embedding"))).as("cos"))
+    try {
+      spark.conf.set("spark.graft.fuseCosine", "false")
+      val off = composed
+      assert(!off.queryExecution.optimizedPlan.toString.contains("cosine_sim"),
+        "flag off: the composed form must survive untouched")
+      val offRows = off.as[Double].collect().sorted
+      spark.conf.set("spark.graft.fuseCosine", "true")
+      val on = composed
+      assert(on.queryExecution.optimizedPlan.toString.contains("cosine_sim"),
+        "flag on: the three-walk recipe must fuse into the codegen'd expression")
+      assert(on.as[Double].collect().sorted.sameElements(offRows),
+        "the rewrite must be bit-invisible on fixed-dim embeddings")
+      // the caveat that makes the rule OPT-IN: on ragged arrays the
+      // composed fold is NULL (zip_with null-pads) while the fused
+      // expression folds the common prefix — different answers, so the
+      // flag is the user asserting fixed-dimension inputs
+      // repartition barrier: ConvertToLocalRelation would otherwise
+      // fold the literal relation BEFORE extraOptimizations run,
+      // pre-computing the composed (null) answer either way
+      val ragged = Seq((Array(1.0f, 0f, 0f), Array(1.0f, 0f))).toDF("x", "y")
+        .repartition(1)
+      def rcos = ragged.select(
+        (SimSearch.dotD($"x", $"y") /
+          sqrt(SimSearch.dotD($"x", $"x") * SimSearch.dotD($"y", $"y"))).as("c"))
+      spark.conf.set("spark.graft.fuseCosine", "false")
+      assert(rcos.as[Option[Double]].head().isEmpty)
+      spark.conf.set("spark.graft.fuseCosine", "true")
+      assert(rcos.as[Option[Double]].head().contains(1.0))
+    } finally spark.conf.unset("spark.graft.fuseCosine")
+  }
+
   // ─────────────── native as-of join (whole-operator tier) ───────────────
 
   test("AsofMergeJoin: inclusive bound, per-key isolation, no-match nulls, atomic right row") {
