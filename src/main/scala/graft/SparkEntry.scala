@@ -821,6 +821,18 @@ object SparkEntry {
           (col("n_hit") >= col("n_exact") * 0.9).as("recall_ok"))
     }),
 
+    // ── STREAMING novelty scoring (q202's operator under three-wave
+    // streamed delivery): each microbatch is scored against a
+    // PRECOMPUTED reference gram set (stream-static shape —
+    // TextAnalysis.ngramSet built once, never re-derived per
+    // trigger), batch results spooled via foreachBatch. Per-doc
+    // novelty carries no cross-batch state, so q202's IDENTICAL
+    // oracle certifies that wave splitting is invisible in the rows —
+    // the q185/q186/q187 identical-oracle discipline on the text
+    // side. ──
+    "q208_novelty_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.noveltyStreamReplay(s, dir)),
+
     // ── FuseCosine optimizer rule in operation (plans/FuseCosine —
     // the injected-Rule tier): the query writes the PORTABLE composed
     // cosine (three array walks) and opts in via
@@ -3225,6 +3237,30 @@ object SparkEntry {
 
   private val BpeK = 8
 
+  /** Trigram novelty of the held-out 1/5 against the 1/5 reference
+    * slice — shared verbatim by q202 (batch) and q208 (three-wave
+    * streamed scoring): delivery must be invisible in the rows.
+    */
+  private val NgramNoveltySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      x -> array_to_string(t[x:x + 2], ' '))) AS gram
+      |  FROM tok),
+      |ref AS (SELECT DISTINCT gram FROM bg WHERE doc_id % 5 = 1),
+      |agg AS (
+      |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(count(*) FILTER (WHERE r.gram IS NULL) AS BIGINT) AS n_unseen
+      |  FROM bg b LEFT JOIN ref r USING (gram)
+      |  WHERE b.doc_id % 5 = 0 GROUP BY b.doc_id)
+      |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+      |  coalesce(a.n_unseen, 0) AS n_unseen
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** q205's step-unrolled walk oracle: each hop is a (md5, neighbor)
     * row_number argmin over the previous frontier joined to the
     * distinct edge set — the same hash string Spark's concat_ws
@@ -4272,25 +4308,12 @@ object SparkEntry {
         |SELECT method, n_exact, n_hit, n_hit >= n_exact * 0.9 AS recall_ok
         |FROM hits CROSS JOIN (SELECT count(*) AS n_exact FROM exact)""".stripMargin,
 
-    "q202_ngram_novelty" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(t) - 1),
-        |      x -> array_to_string(t[x:x + 2], ' '))) AS gram
-        |  FROM tok),
-        |ref AS (SELECT DISTINCT gram FROM bg WHERE doc_id % 5 = 1),
-        |agg AS (
-        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |    CAST(count(*) FILTER (WHERE r.gram IS NULL) AS BIGINT) AS n_unseen
-        |  FROM bg b LEFT JOIN ref r USING (gram)
-        |  WHERE b.doc_id % 5 = 0 GROUP BY b.doc_id)
-        |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
-        |  coalesce(a.n_unseen, 0) AS n_unseen
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
-        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q202_ngram_novelty" -> NgramNoveltySql,
+
+    // identical-oracle certification: per-doc novelty has no
+    // cross-batch state, so the three-wave streamed scoring must be
+    // byte-identical to the batch rows — the waves invisible.
+    "q208_novelty_stream" -> NgramNoveltySql,
 
     // Language scores and the rolling hash mirrored term by term:
     // list_prepend(0, ...) makes DuckDB's init-less list_reduce fold

@@ -488,28 +488,44 @@ object TextAnalysis {
     */
   def ngramNovelty(
       scored: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    ngramNoveltyAgainst(scored, ngramSet(reference, textCol, n), idCol, textCol, n)
+
+  /** The DISTINCT n-gram set of a corpus — build ONCE and reuse when
+    * scoring many batches against the same reference (the streaming
+    * path, q208: re-deriving the set per microbatch would re-shuffle
+    * the whole reference every trigger).
+    */
+  def ngramSet(reference: DataFrame, textCol: String, n: Int): DataFrame =
+    gramRows(reference, None, textCol, n).distinct()
+
+  /** Score against a prepared [[ngramSet]]. */
+  def ngramNoveltyAgainst(
+      scored: DataFrame, refSet: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    require(n >= 2, s"n must be >= 2, got $n")
-    def grams(df: DataFrame, withId: Boolean): DataFrame = {
-      val t = tokens(col(textCol))
-      // guard: sequence(1, m) runs DESCENDING when m < 1, so short
-      // docs must short-circuit to an empty gram list
-      val g = when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => array_join(slice(t, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-      if (withId) df.select(col(idCol), explode(g).as("gram"))
-      else df.select(explode(g).as("gram"))
-    }
-    val refSet = grams(reference, withId = false).distinct()
-      .withColumn("__seen", lit(1))
-    val counts = grams(scored, withId = true)
-      .join(refSet, Seq("gram"), "left")
+    val counts = gramRows(scored, Some(idCol), textCol, n)
+      .join(refSet.withColumn("__seen", lit(1)), Seq("gram"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("__seen").isNull, 1)).as("n_unseen"))
     scored.select(col(idCol))
       .join(counts, Seq(idCol), "left")
       .na.fill(0L, Seq("n_grams", "n_unseen"))
+  }
+
+  private def gramRows(
+      df: DataFrame, idCol: Option[String], textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val t = tokens(col(textCol))
+    // guard: sequence(1, m) runs DESCENDING when m < 1, so short
+    // docs must short-circuit to an empty gram list
+    val g = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    idCol match {
+      case Some(id) => df.select(col(id), explode(g).as("gram"))
+      case None => df.select(explode(g).as("gram"))
+    }
   }
 }

@@ -758,6 +758,60 @@ object StreamingReports {
       }
   }
 
+  /** Bounded replay of streaming n-gram novelty scoring (q208's
+    * certified surface): the held-out 1/5 documents are rendered to a
+    * JSON landing dir in THREE waves and each MICROBATCH is scored
+    * against a PRECOMPUTED reference gram set — the stream-static
+    * join shape; re-deriving the set per trigger would re-shuffle the
+    * whole reference every batch (TextAnalysis.ngramSet exists for
+    * exactly this). Per-doc novelty is delivery-independent (no
+    * cross-batch state), so the waves must be INVISIBLE in the rows:
+    * the result is certified against q202's identical batch oracle.
+    * foreachBatch appends each batch's scores to a parquet spool —
+    * processAllAvailable runs each batch exactly once here; the full
+    * manifest-commit discipline lives in q190/q99.
+    */
+  def noveltyStreamReplay(outer: SparkSession, sfDir: String): DataFrame = {
+    val spark = replaySession(outer)
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val landing = Files.createTempDirectory("graft-novelty-replay")
+    val outDir = Files.createTempDirectory("graft-novelty-out")
+    val docs = graft.tables.Corpus.load(spark, sfDir, "documents")
+    val refSet = graft.ext.TextAnalysis.ngramSet(
+      docs.filter(col("doc_id") % 5 === 1), "text", 3).localCheckpoint()
+    val scored = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    def renderWave(name: String, wave: DataFrame): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-novelty-$name")
+      wave.coalesce(1).write.mode("overwrite").json(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      Files.move(part.toPath, landing.resolve(s"$name.json"))
+      deleteRecursively(tmp)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    renderWave("wave1", scored.filter(col("doc_id") % 3 === 0))
+    val q = spark.readStream.schema(schema).json(landing.toString)
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.TextAnalysis.ngramNoveltyAgainst(
+            batch, refSet, "doc_id", "text", n = 3)
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      renderWave("wave2", scored.filter(col("doc_id") % 3 === 1))
+      q.processAllAvailable()
+      renderWave("wave3", scored.filter(col("doc_id") % 3 === 2))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(landing) }
+    val out = spark.read.parquet(outDir.toString).localCheckpoint()
+    deleteRecursively(outDir)
+    out
+  }
+
   /** Bounded replay of [[funnelStream]] over the parquet events table
     * (q124's certified surface): events are rendered to a JSON landing
     * dir in TWO interleaved waves (event-id parity — every user's
