@@ -142,7 +142,8 @@ object Bench {
     "q197_bpe_train", "q198_bpe_encode", "q199_bpe_stored",
     "q200_ivfpq_stored", "q201_asof_fresh", "q202_ngram_novelty",
     "q203_hamming_topk", "q204_hamming_rerank", "q205_graph_walks",
-    "q206_bpe_fertility", "q207_cosine_fused", "q208_novelty_stream")
+    "q206_bpe_fertility", "q207_cosine_fused", "q208_novelty_stream",
+    "q209_skipgram_pairs")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -833,6 +833,22 @@ object SparkEntry {
     "q208_novelty_stream" -> ((s, dir) =>
       graft.streaming.StreamingReports.noveltyStreamReplay(s, dir)),
 
+    // ── skip-gram pairs over the certified walks (q205 completed
+    // into the full DeepWalk data prep): every (center, context) node
+    // pair within window 2 on the same walk, counted — the training
+    // pairs a node-embedding run consumes. Same md5-replayable walks,
+    // so the pair table row-certifies against the chain + one
+    // self-join in SQL. ──
+    "q209_skipgram_pairs" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select((col("o_custkey") % 40).as("src"), (col("o_orderkey") % 40).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.GraphWalk.skipGramPairs(
+        graft.operators.GraphWalk.walks(edges, "src", "dst",
+          edges.select(col("src")), "src", steps = 4),
+        window = 2)
+    }),
+
     // ── FuseCosine optimizer rule in operation (plans/FuseCosine —
     // the injected-Rule tier): the query writes the PORTABLE composed
     // cosine (three array walks) and opts in via
@@ -3266,7 +3282,7 @@ object SparkEntry {
     * distinct edge set — the same hash string Spark's concat_ws
     * builds, so the walks replay bit for bit.
     */
-  private val GraphWalkSql: String = {
+  private val GraphWalkChainSql: String = {
     val head =
       """WITH e AS (
         |  SELECT DISTINCT o_custkey % 40 AS u, o_orderkey % 40 AS v
@@ -3282,9 +3298,25 @@ object SparkEntry {
          |    FROM s${i - 1} w JOIN e ON e.u = w.node)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    head + ",\n" + hops + "\n" +
-      (0 to 4).map(i => s"SELECT * FROM s$i").mkString("\nUNION ALL\n")
+    val union = (0 to 4).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    head + ",\n" + hops + s",\nw AS ($union)"
   }
+
+  private val GraphWalkSql: String =
+    GraphWalkChainSql + "\nSELECT * FROM w"
+
+  /** q209: skip-gram (center, context) pair counts within window 2
+    * over the SAME certified walks — the DeepWalk data-prep completed
+    * (walk corpus → training pairs).
+    */
+  private val SkipGramSql: String =
+    GraphWalkChainSql +
+      """
+        |SELECT a.node AS center, b.node AS context,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM w a JOIN w b
+        |  ON a.seed = b.seed AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        |GROUP BY a.node, b.node""".stripMargin
 
   private val BpeTrainSql: String =
     bpeChainSql(BpeK) + "\n" +
@@ -4239,6 +4271,7 @@ object SparkEntry {
 
     "q205_graph_walks" -> GraphWalkSql,
     "q206_bpe_fertility" -> BpeFertilitySql,
+    "q209_skipgram_pairs" -> SkipGramSql,
 
     "q207_cosine_fused" ->
       """WITH e AS (

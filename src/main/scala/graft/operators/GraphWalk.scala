@@ -49,4 +49,19 @@ object GraphWalk {
     }
     out
   }
+
+  /** Skip-gram training pairs from a walk corpus — the second half of
+    * the DeepWalk data prep: every (center, context) node pair within
+    * `window` steps on the same walk, counted. Per-walk cost is
+    * L·window pairs (L = walk length, both bounded), through one
+    * per-seed equi-join and one keyed count — no corpus-wide window.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    val a = walks.select(col("seed"), col("step").as("__i"), col("node").as("center"))
+    val b = walks.select(col("seed"), col("step").as("__j"), col("node").as("context"))
+    a.join(b, Seq("seed"))
+      .filter(col("__i") =!= col("__j") && abs(col("__i") - col("__j")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+  }
 }
