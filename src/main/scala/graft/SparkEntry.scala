@@ -858,8 +858,12 @@ object SparkEntry {
     // re-certifies the rewrite, and the oracle certifies it is
     // bit-invisible in the rows (the flag's fixed-dim precondition
     // holds on the embeddings table by construction). ──
-    "q207_cosine_fused" -> ((s, dir) => {
+    "q207_cosine_fused" -> ((s0, dir) => {
       import graft.plans.FuseCosine
+      // cloned session: the opt-in flag and rule stay scoped to THIS
+      // query's plan — the shared Verify/Bench session never plans
+      // with the fusion armed (the returned DF executes on the clone)
+      val s = s0.newSession()
       FuseCosine.install(s)
       s.conf.set("spark.graft.fuseCosine", "true")
       val emb = t(s, dir, "embeddings")
@@ -3244,9 +3248,9 @@ object SparkEntry {
          |best$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
          |vocab$i AS (
          |  SELECT w, freq,
-         |    replace(sym, '.' || replace(pair, ' ', '..') || '.',
-         |                 '.' || replace(pair, ' ', '') || '.') AS sym
-         |  FROM vocab${i - 1}, best$i)""".stripMargin
+         |    coalesce(replace(sym, '.' || replace(pair, ' ', '..') || '.',
+         |                     '.' || replace(pair, ' ', '') || '.'), sym) AS sym
+         |  FROM vocab${i - 1} LEFT JOIN best$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     head + ",\n" + rounds
   }
@@ -3340,11 +3344,15 @@ object SparkEntry {
     * as per-source fertility over the held-out 1/5.
     */
   private val BpeFertilitySql: String = {
+    // LEFT JOIN ON TRUE (not a cross join): a merge round that finds
+    // no pair must leave the vocab intact — Spark's learnMerges stops
+    // early and keeps encoding, so the oracle must too (latent on the
+    // current corpus, whose vocab cannot exhaust in 8 rounds)
     val awStages = (1 to BpeK).map { i =>
       s"""aw$i AS (
-         |  SELECT w, replace(sym, '.' || replace(pair, ' ', '..') || '.',
-         |                    '.' || replace(pair, ' ', '') || '.') AS sym
-         |  FROM aw${i - 1}, best$i)""".stripMargin
+         |  SELECT w, coalesce(replace(sym, '.' || replace(pair, ' ', '..') || '.',
+         |                             '.' || replace(pair, ' ', '') || '.'), sym) AS sym
+         |  FROM aw${i - 1} LEFT JOIN best$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     bpeChainSql(BpeK, trainWhere = "doc_id % 5 <> 0") +
       s""",

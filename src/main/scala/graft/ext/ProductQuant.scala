@@ -211,25 +211,30 @@ object ProductQuant {
         .select("query_id", "neighbor_id"),
       corpus, queries, idCol, vecCol, k)
 
-  /** Exact inner-product rerank of a (query_id, neighbor_id) shortlist:
-    * only the shortlist rows fetch raw vectors (an equi-join on id —
-    * O(queries·shortlist) rows, never a corpus scan), so this is the
-    * shared final stage of every compressed-search shape
-    * ([[pqRerankTopK]], [[ivfPqRerankTopK]]).
+  /** Exact rerank of a (query_id, neighbor_id) shortlist: only the
+    * shortlist rows fetch raw vectors (an equi-join on id —
+    * O(queries·shortlist) rows, never a corpus scan). THE shared
+    * final stage of every compressed-search shape ([[pqRerankTopK]],
+    * [[ivfPqRerankTopK]], SimSearch.hammingRerankTopK) — one seam, so
+    * a tie-break or dedup fix cannot drift between tiers. `scorer`
+    * picks the exact metric (dot for the PQ tiers, cosine for the
+    * binary tier) and `scoreCol` its output name.
     */
-  private def rerankExact(
+  private[ext] def rerankExact(
       short: DataFrame, corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+      idCol: String, vecCol: String, k: Int,
+      scoreCol: String = "score",
+      scorer: (Column, Column) => Column = SimSearch.dotD): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col(scoreCol).desc, col("neighbor_id").asc)
     short
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
         Seq("neighbor_id"))
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
         Seq("query_id"))
-      .withColumn("score", SimSearch.dotD(col("__qv"), col("__cv")))
+      .withColumn(scoreCol, scorer(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+      .select("query_id", "neighbor_id", "rank", scoreCol)
   }
 
   /** Persist a PQ index: codebook/ (sub, code, cvec), codes/ (id,
@@ -318,31 +323,56 @@ object ProductQuant {
     * Cost: the coarse build plus O(n·m) exploded rows through the PQ
     * keyed shuffles — no all-pairs stage anywhere.
     */
+  /** Coarse-assign vectors against MATERIALIZED anchors (the
+    * build-time cosine-argmax rule of SimSearch.buildIvfIndex) and
+    * emit residuals — the single seam buildIvfPq and
+    * appendToIvfPqIndex share, so build-time and append-time
+    * assignments cannot drift apart.
+    */
+  private def assignResiduals(
+      vecs: DataFrame, idCol: String, vecCol: String, anchors: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .repartition(col("__id"))
+      .crossJoin(broadcast(anchors))
+      .select(col("__id"), col("__v"),
+        struct((-SimSearch.cosineSim(spark, col("__v"), col("__cv"))).as("negCos"),
+          col("__cid").as("cid")).as("__sc"))
+      .groupBy("__id")
+      .agg(first(col("__v")).as("__v"), min(col("__sc")).getField("cid").as("__cid"))
+      .join(broadcast(anchors), Seq("__cid"))
+      // float subtraction: exact whenever values share a dyadic grid
+      // (the fixture case); elsewhere correctly rounded — the codebook
+      // is trained on the same residuals it encodes, so no mismatch
+      .select(col("__id").as("neighbor_id"), col("__cid"),
+        zip_with(col("__v"), col("__cv"), (x, c) => x - c).as("__res"))
+  }
+
   def buildIvfPq(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, m: Int, dim: Int, pqK: Int,
       coarseSeed: Long = 7L, coarseLloyd: Int = 0,
       pqSeed: Long = 7L, pqLloyd: Int = 1): IvfPqIndex = {
-    val idx = SimSearch.buildIvfIndex(corpus, idCol, vecCol, nlist, coarseSeed, coarseLloyd)
-    // float subtraction: exact whenever values share a dyadic grid
-    // (the fixture case); elsewhere correctly rounded — the codebook is
-    // trained on the same residuals it encodes, so no mismatch.
-    // localCheckpoint (the q69 multi-consumer discipline): resid feeds
-    // codebook training, encoding, AND the cid join-back — without the
-    // barrier each consumer re-runs the coarse assignment crossJoin.
-    val resid = idx.lists.join(broadcast(idx.anchors), Seq("__cid"))
-      .select(col("neighbor_id"), col("__cid"),
-        zip_with(col("__cv2"), col("__cv"), (x, c) => x - c).as("__res"))
-      .localCheckpoint()
-    val cb =
+    // EVERY trained artifact is localCheckpointed (the q69
+    // multi-consumer discipline, tightened after review): anchors feed
+    // residuals AND every probe's base terms — left lazy, each probe
+    // re-runs the coarse Lloyd build, and a re-executed avg() can
+    // drift in the last ulp, pairing probe base terms with residuals
+    // encoded against slightly different centroids. Materializing
+    // anchors, centroids, and codes once makes the index a set of
+    // frozen values, not a set of recomputable plans.
+    val anchors = SimSearch
+      .buildIvfIndex(corpus, idCol, vecCol, nlist, coarseSeed, coarseLloyd)
+      .anchors.localCheckpoint()
+    val resid = assignResiduals(corpus, idCol, vecCol, anchors).localCheckpoint()
+    val cb0 =
       if (pqK == 0) exactCodebook(resid, "__res", m, dim)
       else trainCodebook(resid, "neighbor_id", "__res", m, dim, pqK, pqSeed, pqLloyd)
-    // codes is the index's resident artifact and every probe consumes
-    // it (q195 probes one build twice); materialize once.
+    val cb = cb0.copy(centroids = cb0.centroids.localCheckpoint())
     val codes = encode(resid, "neighbor_id", "__res", cb)
       .join(resid.select("neighbor_id", "__cid"), Seq("neighbor_id"))
       .localCheckpoint()
-    IvfPqIndex(idx.anchors, cb, codes, nlist)
+    IvfPqIndex(anchors, cb, codes, nlist)
   }
 
   /** IVFADC probe: rank the nlist anchors per query by inner product
@@ -442,19 +472,8 @@ object ProductQuant {
     */
   def appendToIvfPqIndex(
       newVecs: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
-    val spark = newVecs.sparkSession
-    val idx = readIvfPqIndex(spark, path)
-    val assigned = newVecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(idx.anchors))
-      .select(col("__id"), col("__v"),
-        struct((-SimSearch.cosineSim(spark, col("__v"), col("__cv"))).as("negCos"),
-          col("__cid").as("cid")).as("__sc"))
-      .groupBy("__id")
-      .agg(first(col("__v")).as("__v"), min(col("__sc")).getField("cid").as("__cid"))
-    val resid = assigned.join(broadcast(idx.anchors), Seq("__cid"))
-      .select(col("__id").as("neighbor_id"), col("__cid"),
-        zip_with(col("__v"), col("__cv"), (x, c) => x - c).as("__res"))
-      .localCheckpoint()
+    val idx = readIvfPqIndex(newVecs.sparkSession, path)
+    val resid = assignResiduals(newVecs, idCol, vecCol, idx.anchors).localCheckpoint()
     encode(resid, "neighbor_id", "__res", idx.cb)
       .join(resid.select("neighbor_id", "__cid"), Seq("neighbor_id"))
       .select(col("neighbor_id").as("id"), col("__cid").as("cid"), col("codes"))

@@ -104,18 +104,11 @@ object SimSearch {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, shortlist: Int, k: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val short = hammingTopK(corpus, queries, idCol, vecCol, dim, shortlist)
-      .select("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    short
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-        Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
-        Seq("query_id"))
-      .withColumn("cosine", cosineSim(spark, col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    ProductQuant.rerankExact(
+      hammingTopK(corpus, queries, idCol, vecCol, dim, shortlist)
+        .select("query_id", "neighbor_id"),
+      corpus, queries, idCol, vecCol, k,
+      scoreCol = "cosine", scorer = (q, c) => cosineSim(spark, q, c))
   }
 
   /** Exact top-k nearest (cosine) corpus rows for each query row.

@@ -31,12 +31,17 @@ import org.apache.spark.sql.graft.GraftSqlShim
   * matching right row) — no union blow-up, no window buffer, no
   * post-filter. Same exchange count, strictly less data through it.
   *
-  * Semantics (identical to AsofJoin.asofLeft, property-tested in
-  * PlansSpec): for each left row (key, t), the most recent right row
-  * of the same key with rightTime <= t (inclusive), or nulls. Right
-  * should be unique per (key, rightTime) — among equal times the
-  * last row in sort order wins on both paths, but that order is not
-  * total; pre-aggregate if the grain can repeat.
+  * Semantics (identical to AsofJoin.asofLeft on non-null keys,
+  * property-tested in PlansSpec): for each left row (key, t), the
+  * most recent right row of the same key with rightTime <= t
+  * (inclusive), or nulls. Right should be unique per (key,
+  * rightTime) — among equal times the last row in sort order wins on
+  * both paths, but that order is not total; pre-aggregate if the
+  * grain can repeat. NULL KEYS follow SQL join equality (never match
+  * — the DuckDB ASOF oracle's behavior), deliberately diverging from
+  * the window rewrite, which groups nulls into one partition;
+  * float/double keys are rejected at the API (-0.0/0.0 would not
+  * normalize through a custom node).
   *
   * 100-TB shape: `requiredChildDistribution` asks for
   * ClusteredDistribution(key) on BOTH children, so EnsureRequirements
@@ -128,20 +133,30 @@ case class AsofMergeJoinExec(
       var lastRight: InternalRow = null
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTime = lTimeProj(lRow)
-        var advance = rBuf.hasNext
-        while (advance) {
-          val rKey = rKeyProj(rBuf.head)
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lTime) <= 0)) {
-            val r = rBuf.next()
-            lastKey = rKeyProj(r).copy()
-            lastRight = r.copy()
-            advance = rBuf.hasNext
-          } else advance = false
+        if (lKey.anyNull) {
+          // SQL join-equality semantics: a null key never matches
+          // (null-rejecting, like the DuckDB ASOF oracle) — NOT the
+          // window rewrite's null-grouping
+          outProj(joined(lRow, nullRight))
+        } else {
+          val lTime = lTimeProj(lRow)
+          var advance = rBuf.hasNext
+          while (advance) {
+            val rKey = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rKey, lKey) // nulls order first -> c < 0
+            if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lTime) <= 0)) {
+              val r = rBuf.next()
+              // null-keyed right rows are consumed but never recorded
+              if (!rKey.anyNull) {
+                lastKey = rKeyProj(r).copy()
+                lastRight = r.copy()
+              }
+              advance = rBuf.hasNext
+            } else advance = false
+          }
+          val matched = lastRight != null && keyOrd.compare(lastKey, lKey) == 0
+          outProj(joined(lRow, if (matched) lastRight else nullRight))
         }
-        val matched = lastRight != null && keyOrd.compare(lastKey, lKey) == 0
-        outProj(joined(lRow, if (matched) lastRight else nullRight))
       }
     }
   }
@@ -171,6 +186,15 @@ object AsofMergeJoin {
     val spark = left.sparkSession
     register(spark)
     val lCols = left.columns.toSeq
+    // float/double keys: the merge ordering distinguishes -0.0 from
+    // 0.0 (NormalizeFloatingNumbers runs only for built-in join/agg/
+    // window nodes, not custom ones) — reject rather than mis-join
+    Seq(left.schema(keyCol).dataType, right.schema(keyCol).dataType).foreach { dt =>
+      require(dt != org.apache.spark.sql.types.FloatType &&
+        dt != org.apache.spark.sql.types.DoubleType,
+        s"float/double as-of keys are not supported (got $dt): -0.0 vs 0.0 " +
+          "would not normalize; cast to a decimal/integral key first")
+    }
     require(!lCols.contains(asofTimeCol), s"left already has a '$asofTimeCol' column")
     require(rightValueCols.forall(!lCols.contains(_)),
       "right value columns must not collide with left columns")

@@ -316,6 +316,27 @@ class PlansSpec extends SparkSpec {
       "the native path must carry neither the window rewrite nor a theta join")
   }
 
+  test("AsofMergeJoin null keys: SQL join equality (never match), float keys rejected") {
+    import graft.plans.AsofMergeJoin
+    val left = Seq((Some(1L), 100L, "k1"), (None, 100L, "knull"))
+      .toDF("k", "t", "l_val")
+    val right = Seq((Some(1L), 50L, "r1"), (None, 10L, "rnull"))
+      .toDF("k", "rt", "r_val")
+    val out = AsofMergeJoin.asofLeft(left, right, "k", "t", "rt", Seq("r_val"))
+      .select($"l_val", $"r_val")
+      .as[(String, Option[String])].collect().toMap
+    assert(out.size == 2, "left-join: the null-key left row survives")
+    assert(out("k1").contains("r1"))
+    assert(out("knull").isEmpty,
+      "null keys never match — the DuckDB ASOF oracle's null-rejecting equality")
+    val fl = intercept[IllegalArgumentException] {
+      AsofMergeJoin.asofLeft(
+        Seq((1.0f, 1L, "x")).toDF("k", "t", "v"),
+        Seq((1.0f, 0L, 9L)).toDF("k", "rt", "rv"), "k", "t", "rt", Seq("rv"))
+    }
+    assert(fl.getMessage.contains("float/double"))
+  }
+
   test("asofLeftWithin: stale matches null out (inclusive at the bound), rows survive") {
     import graft.plans.AsofMergeJoin
     val left = Seq((1L, 100L, "fresh"), (1L, 200L, "exact"), (1L, 500L, "stale"),
