@@ -256,6 +256,19 @@ object ScaleProbe {
             e, e.filter(col("vec_id") % 500 === 0), "vec_id", "embedding",
             cb, shortlist = 50, k = 5)
         }),
+        // IVF-PQ composite (q195's production shape): coarse build +
+        // residual PQ train/encode + nprobe=3 ADC shortlist + exact
+        // rerank, query batch growing with the corpus (every 500th
+        // vector). Expected ~linear: every stage is keyed-shuffle or
+        // broadcast work over O(n·m) rows; the probe touches ~3/8 of
+        // the code rows per query.
+        run("ivfpq_rerank", {
+          import graft.ext.ProductQuant
+          val idx = ProductQuant.buildIvfPq(e, "vec_id", "embedding",
+            nlist = 8, m = 16, dim = 64, pqK = 16, coarseLloyd = 1, pqLloyd = 1)
+          ProductQuant.ivfPqRerankTopK(idx, e, e.filter(col("vec_id") % 500 === 0),
+            "vec_id", "embedding", shortlist = 50, k = 5, nprobe = 3)
+        }),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
           // split — label = id%10 would pin every label to ONE parity
