@@ -849,6 +849,24 @@ object SparkEntry {
         window = 2)
     }),
 
+    // ── deterministic negative sampling (the other half of the q209
+    // skip-gram training set): per center, 3 md5-argmin nodes that
+    // are neither the center nor one of its positive contexts —
+    // replayable like the walks, so the negatives row-certify against
+    // the same chain + an anti-join + a per-center top-k in SQL. ──
+    "q210_negative_samples" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select((col("o_custkey") % 40).as("src"), (col("o_orderkey") % 40).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val pairs = graft.operators.GraphWalk.skipGramPairs(
+        graft.operators.GraphWalk.walks(edges, "src", "dst",
+          edges.select(col("src")), "src", steps = 4),
+        window = 2)
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      graft.operators.GraphWalk.negativeSamples(pairs, nodes, k = 3)
+    }),
+
     // ── FuseCosine optimizer rule in operation (plans/FuseCosine —
     // the injected-Rule tier): the query writes the PORTABLE composed
     // cosine (three array walks) and opts in via
@@ -3313,14 +3331,37 @@ object SparkEntry {
     * over the SAME certified walks — the DeepWalk data-prep completed
     * (walk corpus → training pairs).
     */
-  private val SkipGramSql: String =
+  private val SkipGramChainSql: String =
     GraphWalkChainSql +
-      """
-        |SELECT a.node AS center, b.node AS context,
-        |  CAST(count(*) AS BIGINT) AS cnt
-        |FROM w a JOIN w b
-        |  ON a.seed = b.seed AND a.step <> b.step AND abs(a.step - b.step) <= 2
-        |GROUP BY a.node, b.node""".stripMargin
+      """,
+        |pairs AS (
+        |  SELECT a.node AS center, b.node AS context,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM w a JOIN w b
+        |    ON a.seed = b.seed AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        |  GROUP BY a.node, b.node)""".stripMargin
+
+  private val SkipGramSql: String =
+    SkipGramChainSql + "\nSELECT * FROM pairs"
+
+  /** q210: md5-argmin negatives per center, excluding the center and
+    * its positive contexts — same replayability as the walks.
+    */
+  private val NegativeSamplesSql: String =
+    SkipGramChainSql +
+      """,
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |cand AS (
+        |  SELECT c.center, n.node AS negative
+        |  FROM (SELECT DISTINCT center FROM pairs) c CROSS JOIN nodes n
+        |  WHERE c.center <> n.node
+        |    AND NOT EXISTS (SELECT 1 FROM pairs p
+        |      WHERE p.center = c.center AND p.context = n.node))
+        |SELECT center, negative,
+        |  row_number() OVER (PARTITION BY center ORDER BY
+        |    md5(CAST(center AS VARCHAR) || ':neg:' || CAST(negative AS VARCHAR)),
+        |    negative) AS rank
+        |FROM cand QUALIFY rank <= 3""".stripMargin
 
   private val BpeTrainSql: String =
     bpeChainSql(BpeK) + "\n" +
@@ -4280,6 +4321,7 @@ object SparkEntry {
     "q205_graph_walks" -> GraphWalkSql,
     "q206_bpe_fertility" -> BpeFertilitySql,
     "q209_skipgram_pairs" -> SkipGramSql,
+    "q210_negative_samples" -> NegativeSamplesSql,
 
     "q207_cosine_fused" ->
       """WITH e AS (

@@ -64,4 +64,28 @@ object GraphWalk {
       .groupBy("center", "context")
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Deterministic negative sampling — the other half of the
+    * skip-gram training set: per center, the k nodes minimizing
+    * md5("center:neg:node") that are neither the center itself nor
+    * one of its positive contexts (replayable like the walks, so the
+    * negatives row-certify too). `nodes` is the candidate dictionary
+    * (one `node` column) — the graph's node set here; at web scale
+    * pass a bounded sample of it, which changes the candidate pool,
+    * not the mechanics. Cost: |centers|·|dictionary| rows through one
+    * broadcast cross join + an anti-join + a per-center top-k window.
+    */
+  def negativeSamples(pairs: DataFrame, nodes: DataFrame, k: Int): DataFrame = {
+    val cand = pairs.select("center").distinct()
+      .crossJoin(broadcast(nodes.select(col("node").as("negative"))))
+      .filter(col("center") =!= col("negative"))
+      .join(pairs.select(col("center"), col("context").as("negative")),
+        Seq("center", "negative"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("center")
+      .orderBy(md5(concat_ws(":", col("center"), lit("neg"), col("negative"))).asc,
+        col("negative").asc)
+    cand
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
 }
