@@ -867,6 +867,18 @@ object SparkEntry {
       graft.operators.GraphWalk.negativeSamples(pairs, nodes, k = 3)
     }),
 
+    // ── integer node features (GraphSAGE-style feature engineering):
+    // per node — out/in degree, 2-hop path count (sum over
+    // out-neighbors of their out-degree), distinct 2-hop reach. One
+    // edge⨝edge equi-join, no iteration; every node keeps a 0-filled
+    // row. All-integer, so the feature table row-certifies. ──
+    "q211_node_features" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select((col("o_custkey") % 40).as("src"), (col("o_orderkey") % 40).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.GraphWalk.nodeFeatures(edges, "src", "dst")
+    }),
+
     // ── FuseCosine optimizer rule in operation (plans/FuseCosine —
     // the injected-Rule tier): the query writes the PORTABLE composed
     // cosine (three array walks) and opts in via
@@ -4322,6 +4334,25 @@ object SparkEntry {
     "q206_bpe_fertility" -> BpeFertilitySql,
     "q209_skipgram_pairs" -> SkipGramSql,
     "q210_negative_samples" -> NegativeSamplesSql,
+
+    "q211_node_features" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey % 40 AS u, o_orderkey % 40 AS v
+        |  FROM orders WHERE o_custkey % 40 <> o_orderkey % 40),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |od AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY u),
+        |id AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY v),
+        |th AS (
+        |  SELECT a.u AS node, CAST(count(*) AS BIGINT) AS n_paths2,
+        |    CAST(count(DISTINCT b.v) AS BIGINT) AS n_reach2
+        |  FROM e a JOIN e b ON a.v = b.u GROUP BY a.u)
+        |SELECT n.node, coalesce(od.out_deg, 0) AS out_deg,
+        |  coalesce(id.in_deg, 0) AS in_deg,
+        |  coalesce(th.n_paths2, 0) AS n_paths2,
+        |  coalesce(th.n_reach2, 0) AS n_reach2
+        |FROM nodes n
+        |LEFT JOIN od USING (node) LEFT JOIN id USING (node)
+        |LEFT JOIN th USING (node)""".stripMargin,
 
     "q207_cosine_fused" ->
       """WITH e AS (

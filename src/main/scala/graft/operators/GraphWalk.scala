@@ -75,6 +75,31 @@ object GraphWalk {
     * not the mechanics. Cost: |centers|·|dictionary| rows through one
     * broadcast cross join + an anti-join + a per-center top-k window.
     */
+  /** Integer node-feature engineering — the aggregation half of a
+    * GraphSAGE-style pipeline, all-integer so it row-certifies: per
+    * node its out/in degree, the mass of its out-neighborhood (sum of
+    * neighbors' out-degrees = its 2-hop path count), and its distinct
+    * 2-hop out-reach. Shapes: degree aggregates + one edge⨝edge
+    * equi-join for the 2-hop rows — no iteration, no corpus-wide
+    * window; every node of the graph keeps a row (degrees 0-filled).
+    */
+  def nodeFeatures(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).distinct()
+    val nodes = e.select(col("__u").as("node"))
+      .unionByName(e.select(col("__v").as("node"))).distinct()
+    val outDeg = e.groupBy(col("__u").as("node")).agg(count(lit(1)).as("out_deg"))
+    val inDeg = e.groupBy(col("__v").as("node")).agg(count(lit(1)).as("in_deg"))
+    val twoHop = e.as("a").join(e.as("b"), col("a.__v") === col("b.__u"))
+      .groupBy(col("a.__u").as("node"))
+      .agg(count(lit(1)).as("n_paths2"),
+        count_distinct(col("b.__v")).as("n_reach2"))
+    nodes
+      .join(outDeg, Seq("node"), "left")
+      .join(inDeg, Seq("node"), "left")
+      .join(twoHop, Seq("node"), "left")
+      .na.fill(0L, Seq("out_deg", "in_deg", "n_paths2", "n_reach2"))
+  }
+
   def negativeSamples(pairs: DataFrame, nodes: DataFrame, k: Int): DataFrame = {
     val cand = pairs.select("center").distinct()
       .crossJoin(broadcast(nodes.select(col("node").as("negative"))))

@@ -46,6 +46,36 @@ class PageRankSpec extends SparkSpec {
     assert(total > 990000000000L && total <= 1000000000000L, s"mass off: $total")
   }
 
+  test("nodeFeatures: hand-computed degrees, 2-hop paths/reach, isolated sink 0-filled") {
+    import graft.operators.GraphWalk
+    // 1→2, 1→3, 2→3, 3→4: node 1 has paths 1-2-3 and 1-3-4 (reach {3,4})
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphWalk.nodeFeatures(edges, "src", "dst")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((2L, 0L, 2L, 2L)))
+    assert(got(2L) == ((1L, 1L, 1L, 1L)))  // 2-3-4
+    assert(got(3L) == ((1L, 2L, 0L, 0L)))  // 4 is a sink
+    assert(got(4L) == ((0L, 1L, 0L, 0L)), "sink keeps a 0-filled row")
+  }
+
+  test("negativeSamples: never the center or a positive context, k per center, deterministic") {
+    import graft.operators.GraphWalk
+    val pairs = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 2L)).toDF("center", "context", "cnt")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+    val neg = GraphWalk.negativeSamples(pairs, nodes, k = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(neg.count(_._1 == 1L) == 2 && neg.count(_._1 == 2L) == 2)
+    neg.foreach { case (c, n, _) =>
+      assert(c != n, "a center is never its own negative")
+      assert(!Set((1L, 2L), (1L, 3L), (2L, 1L)).contains((c, n)),
+        s"positive pair ($c,$n) leaked into the negatives")
+    }
+    val again = GraphWalk.negativeSamples(pairs, nodes, k = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(neg.toSet == again.toSet)
+  }
+
   test("GraphWalk: valid edges per hop, one row per live walk, dead-end stops, deterministic") {
     import graft.operators.GraphWalk
     // 1→{2,3}, 2→{3}, 3→∅ (dead end), 9 isolated-seed (no out-edges)
