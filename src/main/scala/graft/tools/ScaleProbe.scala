@@ -262,6 +262,20 @@ object ScaleProbe {
         // vector). Expected ~linear: every stage is keyed-shuffle or
         // broadcast work over O(n·m) rows; the probe touches ~3/8 of
         // the code rows per query.
+        // binary tier (q204): sign-pack the corpus, integer Hamming
+        // shortlist(50) + exact cosine rerank, query batch growing
+        // with the corpus. Expected ~linear in the scoring product —
+        // the per-pair cost is two xor/popcounts. localCheckpoint
+        // first: signWords' nested lambdas fail attribute resolution
+        // when self-joined across the N-way union plan ("key not
+        // found" on the vec attr) — a flat relation resolves clean;
+        // the materialization cost is charged to the row, noted.
+        run("hamming_rerank", {
+          val ec = e.localCheckpoint()
+          graft.ext.SimSearch.hammingRerankTopK(
+            ec, ec.filter(col("vec_id") % 500 === 0), "vec_id", "embedding",
+            dim = 64, shortlist = 50, k = 5)
+        }),
         run("ivfpq_rerank", {
           import graft.ext.ProductQuant
           val idx = ProductQuant.buildIvfPq(e, "vec_id", "embedding",
