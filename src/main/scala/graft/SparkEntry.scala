@@ -849,11 +849,13 @@ object SparkEntry {
         window = 2)
     }),
 
-    // ── deterministic negative sampling (the other half of the q209
-    // skip-gram training set): per center, 3 md5-argmin nodes that
-    // are neither the center nor one of its positive contexts —
-    // replayable like the walks, so the negatives row-certify against
-    // the same chain + an anti-join + a per-center top-k in SQL. ──
+    // ── deterministic BOUNDED-POOL negative sampling (the other half
+    // of the q209 skip-gram training set): per center, up to 3 nodes
+    // drawn by 16 md5 probes into the shard-addressed dictionary
+    // (cost O(|centers|·probes), never |centers|×|nodes| — the
+    // web-scale shape), excluding the center and its positive
+    // contexts; replayable like the walks, so the negatives
+    // row-certify against the same chain + the probe arithmetic. ──
     "q210_negative_samples" -> ((s, dir) => {
       val edges = t(s, dir, "orders")
         .select((col("o_custkey") % 40).as("src"), (col("o_orderkey") % 40).as("dst"))
@@ -3356,24 +3358,51 @@ object SparkEntry {
   private val SkipGramSql: String =
     SkipGramChainSql + "\nSELECT * FROM pairs"
 
-  /** q210: md5-argmin negatives per center, excluding the center and
-    * its positive contexts — same replayability as the walks.
+  /** q210: bounded-pool negatives per center — 16 deterministic md5
+    * probes into the shard-addressed node dictionary (the q86/q102
+    * shuffleShards permutation, probed globally via shard offsets),
+    * first-probe-wins dedup, anti-join positives, first 3 by probe
+    * order. Mirrors GraphWalk.negativeSamples step for step; the
+    * '0x'||hex → BIGINT cast mirrors Spark's conv(_,16,10) (q107).
     */
   private val NegativeSamplesSql: String =
     SkipGramChainSql +
       """,
         |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |addr AS (
+        |  SELECT node, substr(h, 1, 2) AS shard,
+        |    row_number() OVER (PARTITION BY substr(h, 1, 2) ORDER BY h, node)
+        |      AS shard_rank
+        |  FROM (SELECT node,
+        |      md5(concat_ws(':', 'gneg-v1', CAST(node AS VARCHAR))) AS h
+        |    FROM nodes)),
+        |sz AS (SELECT shard, count(*) AS shard_size FROM addr GROUP BY 1),
+        |ofs AS (SELECT shard, shard_size,
+        |  sum(shard_size) OVER (ORDER BY shard) - shard_size AS off FROM sz),
+        |tot AS (SELECT CAST(sum(shard_size) AS BIGINT) AS n_total FROM sz),
+        |pr AS (
+        |  SELECT c.center, j.j,
+        |    CAST(('0x' || substr(md5(concat_ws(':', 'gneg-v1', 'probe',
+        |      CAST(c.center AS VARCHAR), CAST(j.j AS VARCHAR))), 1, 8))
+        |      AS BIGINT) % t.n_total AS pos
+        |  FROM (SELECT DISTINCT center FROM pairs) c
+        |  CROSS JOIN (SELECT unnest(range(1, 17)) AS j) j
+        |  CROSS JOIN tot t),
+        |loc AS (
+        |  SELECT p.center, p.j, o.shard, p.pos - o.off + 1 AS shard_rank
+        |  FROM pr p JOIN ofs o
+        |    ON p.pos >= o.off AND p.pos < o.off + o.shard_size),
         |cand AS (
-        |  SELECT c.center, n.node AS negative
-        |  FROM (SELECT DISTINCT center FROM pairs) c CROSS JOIN nodes n
-        |  WHERE c.center <> n.node
+        |  SELECT l.center, l.j, a.node AS negative
+        |  FROM loc l JOIN addr a
+        |    ON a.shard = l.shard AND a.shard_rank = l.shard_rank
+        |  WHERE a.node <> l.center
         |    AND NOT EXISTS (SELECT 1 FROM pairs p
-        |      WHERE p.center = c.center AND p.context = n.node))
+        |      WHERE p.center = l.center AND p.context = a.node)),
+        |dd AS (SELECT center, negative, min(j) AS j FROM cand GROUP BY 1, 2)
         |SELECT center, negative,
-        |  row_number() OVER (PARTITION BY center ORDER BY
-        |    md5(CAST(center AS VARCHAR) || ':neg:' || CAST(negative AS VARCHAR)),
-        |    negative) AS rank
-        |FROM cand QUALIFY rank <= 3""".stripMargin
+        |  row_number() OVER (PARTITION BY center ORDER BY j, negative) AS rank
+        |FROM dd QUALIFY rank <= 3""".stripMargin
 
   private val BpeTrainSql: String =
     bpeChainSql(BpeK) + "\n" +

@@ -97,8 +97,13 @@ object Bpe {
         val cnt = best(0).getAs[Long]("cnt")
         val Array(x, y) = pair.split(" ", 2)
         out += Merge(r, x, y, cnt)
+        // materialize the new round's checkpoint, then free the previous
+        // one — otherwise a k-round train retains k vocab-table copies in
+        // block-manager storage for the life of the session
+        val prev = vocab
         vocab = vocab.withColumn("__sym", applyMerge(col("__sym"), x, y))
           .localCheckpoint()
+        prev.unpersist()
         r += 1
       }
     }

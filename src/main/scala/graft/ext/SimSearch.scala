@@ -64,6 +64,14 @@ object SimSearch {
     * fold — the portable shape DuckDB's list_reduce mirrors exactly;
     * 32-bit words so no fold ever touches the BIGINT sign bit, which
     * DuckDB treats as overflow). dim must be a multiple of 32.
+    *
+    * PRECONDITION: finite, non-null embeddings. `x >= 0` is false for
+    * NaN in Spark but true under DuckDB's ordering (NaN above all
+    * values), and a null vector yields a null word array, which ranks
+    * first under Spark's nulls-first ascending hamming order vs
+    * DuckDB's NULLS LAST — the row-certifiable-in-both-engines claim
+    * holds only for finite non-null vectors (the corpus contract;
+    * filter/impute upstream if the source can violate it).
     */
   def signWords(vec: Column, dim: Int): Column = {
     require(dim % 32 == 0, s"dim=$dim must be a multiple of 32")

@@ -65,16 +65,6 @@ object GraphWalk {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Deterministic negative sampling — the other half of the
-    * skip-gram training set: per center, the k nodes minimizing
-    * md5("center:neg:node") that are neither the center itself nor
-    * one of its positive contexts (replayable like the walks, so the
-    * negatives row-certify too). `nodes` is the candidate dictionary
-    * (one `node` column) — the graph's node set here; at web scale
-    * pass a bounded sample of it, which changes the candidate pool,
-    * not the mechanics. Cost: |centers|·|dictionary| rows through one
-    * broadcast cross join + an anti-join + a per-center top-k window.
-    */
   /** Integer node-feature engineering — the aggregation half of a
     * GraphSAGE-style pipeline, all-integer so it row-certifies: per
     * node its out/in degree, the mass of its out-neighborhood (sum of
@@ -82,17 +72,40 @@ object GraphWalk {
     * 2-hop out-reach. Shapes: degree aggregates + one edge⨝edge
     * equi-join for the 2-hop rows — no iteration, no corpus-wide
     * window; every node of the graph keeps a row (degrees 0-filled).
+    *
+    * Hub guard: on a power-law graph the 2-hop join's shuffle key is
+    * the INTERMEDIATE node, so a hub of in-degree dᵢ and out-degree dₒ
+    * lands dᵢ·dₒ rows on one reducer. The join is therefore salted
+    * (the [[SkewSalt.saltedJoin]] discipline, inlined because both
+    * sides are the edge table): the in-edge side takes a deterministic
+    * xxhash64 salt — replayable, NOT rand() — and the out-edge side is
+    * replicated `saltBuckets`×, bounding any reducer at ~dᵢ·dₒ/buckets
+    * rows for the price of buckets×|E| replicated shuffle volume.
+    * Result is exactly the unsalted join (GraphSpec proves equality
+    * and measures the per-key spread on a planted hub); saltBuckets=1
+    * degenerates to the plain equi-join.
     */
-  def nodeFeatures(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def nodeFeatures(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).distinct()
     val nodes = e.select(col("__u").as("node"))
       .unionByName(e.select(col("__v").as("node"))).distinct()
     val outDeg = e.groupBy(col("__u").as("node")).agg(count(lit(1)).as("out_deg"))
     val inDeg = e.groupBy(col("__v").as("node")).agg(count(lit(1)).as("in_deg"))
-    val twoHop = e.as("a").join(e.as("b"), col("a.__v") === col("b.__u"))
-      .groupBy(col("a.__u").as("node"))
+    // (src)-[:a]->(mid)-[:b]->(dst): salt the a-side by its own edge
+    // identity (edges are distinct, so (src, mid) is unique) and
+    // replicate the b-side per bucket
+    val a = e.select(col("__u").as("__src"), col("__v").as("__mid"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("__src"), col("__mid")), lit(saltBuckets.toLong)))
+    val b = e.select(col("__u").as("__mid"), col("__v").as("__dst"))
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    val twoHop = a.join(b, Seq("__mid", "__salt"))
+      .groupBy(col("__src").as("node"))
       .agg(count(lit(1)).as("n_paths2"),
-        count_distinct(col("b.__v")).as("n_reach2"))
+        count_distinct(col("__dst")).as("n_reach2"))
     nodes
       .join(outDeg, Seq("node"), "left")
       .join(inDeg, Seq("node"), "left")
@@ -100,17 +113,72 @@ object GraphWalk {
       .na.fill(0L, Seq("out_deg", "in_deg", "n_paths2", "n_reach2"))
   }
 
-  def negativeSamples(pairs: DataFrame, nodes: DataFrame, k: Int): DataFrame = {
-    val cand = pairs.select("center").distinct()
-      .crossJoin(broadcast(nodes.select(col("node").as("negative"))))
-      .filter(col("center") =!= col("negative"))
+  /** Deterministic BOUNDED-POOL negative sampling — the other half of
+    * the skip-gram training set: per center, up to `k` nodes drawn by
+    * `probes` deterministic md5 probes into the globally-addressed
+    * node dictionary, excluding the center itself and its positive
+    * contexts (replayable like the walks, so the negatives
+    * row-certify too).
+    *
+    * Mechanics (the q102 `Sampling.negativePairs` discipline, probed
+    * globally instead of within-shard): the dictionary is addressed
+    * once by [[Sampling.shuffleShards]] — (shard, shard_rank) with
+    * shard-partitioned ranking windows, never a global sort — and
+    * shard offsets (≤16^hexChars rows) give every node a global
+    * position in [0, n). Probe j of center c lands on position
+    * md5(salt:probe:c:j) mod n — uniform over NODES, not shards — via
+    * a broadcast range-join against the offsets and an equi-join into
+    * the addressed dictionary. Candidates that hit the center, a
+    * positive context, or a position an earlier probe already drew
+    * are dropped (first probe wins), and the survivors rank by probe
+    * order: rank 1..k, possibly fewer than k when many probes
+    * collide — the documented bounded-pool semantics, mirrored
+    * exactly by the oracle.
+    *
+    * 100-TB shape: cost is O(|centers|·probes) candidate rows — never
+    * |centers|×|dictionary| — and nothing broadcasts the dictionary:
+    * the only broadcasts are the ≤16^hexChars-row shard-offset
+    * aggregate and the 1-row total (GraphSpec asserts both). The old
+    * full-dictionary argmin form (crossJoin ⨯ broadcast(nodes)) is
+    * deliberately gone: it could not run on a web-scale node set.
+    */
+  def negativeSamples(
+      pairs: DataFrame, nodes: DataFrame, k: Int, probes: Int = 16,
+      hexChars: Int = 2, salt: String = "gneg-v1"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= k, s"probes ($probes) must be >= k ($k)")
+    val addressed = Sampling.shuffleShards(
+      nodes.select(col("node")), col("node"), salt, hexChars)
+    val sizes = addressed.groupBy("shard").agg(count(lit(1)).as("shard_size"))
+    // exclusive prefix-sum over ≤16^hexChars aggregate rows — a global
+    // window, but over the shard-count aggregate, never the dictionary
+    val offsets = sizes.withColumn("__offset",
+      sum(col("shard_size")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("shard")) - col("shard_size"))
+    val total = sizes.agg(sum(col("shard_size")).as("__n_total"))
+    val probed = pairs.select("center").distinct()
+      .withColumn("j", explode(sequence(lit(1), lit(probes))))
+      .crossJoin(broadcast(total))
+      .withColumn("__pos", pmod(
+        conv(substring(md5(concat_ws(":", lit(salt), lit("probe"),
+          col("center"), col("j"))), 1, 8), 16, 10).cast("long"),
+        col("__n_total")))
+    val located = probed.join(broadcast(offsets),
+        col("__pos") >= col("__offset") &&
+          col("__pos") < col("__offset") + col("shard_size"))
+      .select(col("center"), col("j"), col("shard"),
+        (col("__pos") - col("__offset") + 1).as("shard_rank"))
+    val cand = located.join(addressed, Seq("shard", "shard_rank"))
+      .select(col("center"), col("j"), col("node").as("negative"))
+      .filter(col("negative") =!= col("center"))
       .join(pairs.select(col("center"), col("context").as("negative")),
         Seq("center", "negative"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("center")
-      .orderBy(md5(concat_ws(":", col("center"), lit("neg"), col("negative"))).asc,
-        col("negative").asc)
+      .orderBy(col("__j").asc, col("negative").asc)
     cand
+      .groupBy("center", "negative").agg(min(col("j")).as("__j"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
+      .select("center", "negative", "rank")
   }
 }

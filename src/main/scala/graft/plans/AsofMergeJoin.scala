@@ -39,9 +39,12 @@ import org.apache.spark.sql.graft.GraftSqlShim
   * both paths, but that order is not total; pre-aggregate if the
   * grain can repeat. NULL KEYS follow SQL join equality (never match
   * — the DuckDB ASOF oracle's behavior), deliberately diverging from
-  * the window rewrite, which groups nulls into one partition;
-  * float/double keys are rejected at the API (-0.0/0.0 would not
-  * normalize through a custom node).
+  * the window rewrite, which groups nulls into one partition; NULL
+  * RIGHT TIMES likewise never match (the oracle's `r.ts <= l.ts` is
+  * unknown on null — a null-timed right row is consumed by the merge
+  * but never recorded as the running match); float/double keys are
+  * rejected at the API (-0.0/0.0 would not normalize through a custom
+  * node).
   *
   * 100-TB shape: `requiredChildDistribution` asks for
   * ClusteredDistribution(key) on BOTH children, so EnsureRequirements
@@ -146,8 +149,13 @@ case class AsofMergeJoinExec(
             val c = keyOrd.compare(rKey, lKey) // nulls order first -> c < 0
             if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lTime) <= 0)) {
               val r = rBuf.next()
-              // null-keyed right rows are consumed but never recorded
-              if (!rKey.anyNull) {
+              // null-keyed AND null-timed right rows are consumed but
+              // never recorded: SQL asof equality (the DuckDB oracle's
+              // p.ts >= v.ts) never matches a null key or a null time,
+              // while the natural ascending ordering sorts nulls first —
+              // without this guard a null-timed row would be emitted as
+              // the "most recent" match
+              if (!rKey.anyNull && !rTimeProj(r).anyNull) {
                 lastKey = rKeyProj(r).copy()
                 lastRight = r.copy()
               }
@@ -198,6 +206,14 @@ object AsofMergeJoin {
     require(!lCols.contains(asofTimeCol), s"left already has a '$asofTimeCol' column")
     require(rightValueCols.forall(!lCols.contains(_)),
       "right value columns must not collide with left columns")
+    // a value column named asofTimeCol or '__asof_key' would duplicate a
+    // rightNorm output name and attr() would silently bind the first
+    // match; rightTimeCol is already emitted as asofTimeCol
+    require(rightValueCols.distinct == rightValueCols,
+      s"rightValueCols must be distinct, got $rightValueCols")
+    require(!rightValueCols.exists(Set(asofTimeCol, "__asof_key", rightTimeCol)),
+      s"rightValueCols may not include '$asofTimeCol', '__asof_key', or " +
+        s"the right time column '$rightTimeCol'")
     // alias every right column: fresh exprIds, so a self-as-of join
     // (left and right reading the same table) cannot alias-collide
     val rightNorm = right.select(

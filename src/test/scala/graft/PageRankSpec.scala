@@ -59,12 +59,14 @@ class PageRankSpec extends SparkSpec {
     assert(got(4L) == ((0L, 1L, 0L, 0L)), "sink keeps a 0-filled row")
   }
 
-  test("negativeSamples: never the center or a positive context, k per center, deterministic") {
+  test("negativeSamples: never the center or a positive context, ≤k per center, deterministic") {
     import graft.operators.GraphWalk
     val pairs = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 2L)).toDF("center", "context", "cnt")
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
     val neg = GraphWalk.negativeSamples(pairs, nodes, k = 2)
       .as[(Long, Long, Long)].collect()
+    // 16 probes over a 6-node dictionary: both centers have ≥3 allowed
+    // nodes, so the bounded pool fills k here (and may not in general)
     assert(neg.count(_._1 == 1L) == 2 && neg.count(_._1 == 2L) == 2)
     neg.foreach { case (c, n, _) =>
       assert(c != n, "a center is never its own negative")
@@ -74,6 +76,88 @@ class PageRankSpec extends SparkSpec {
     val again = GraphWalk.negativeSamples(pairs, nodes, k = 2)
       .as[(Long, Long, Long)].collect()
     assert(neg.toSet == again.toSet)
+    // partition invariance: the draw is a function of (salt, keys) only
+    val rep = GraphWalk.negativeSamples(
+      pairs.repartition(7), nodes.repartition(5), k = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(rep.toSet == neg.toSet, "repartitioning changed the negatives")
+  }
+
+  test("negativeSamples: candidate cost is centers×probes; dictionary is never broadcast") {
+    import graft.operators.GraphWalk
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val pairs = (1L to 20L).map(c => (c, (c % 7) + 30L, 1L))
+      .toDF("center", "context", "cnt")
+    val nodes = (1L to 500L).toDF("node")
+    // AQE off for this probe: executedPlan is then the concrete tree,
+    // so BroadcastExchange subtrees are directly collectable. Auto-
+    // broadcast off too: it models the web-scale regime — a tiny test
+    // dictionary legitimately auto-broadcasts, but nothing in the plan
+    // may REQUIRE it (suites run sequentially in the forked test JVM —
+    // the flips are safe)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = GraphWalk.negativeSamples(pairs, nodes, k = 3, probes = 8)
+      val plan = df.queryExecution.executedPlan
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, "the offset/total range join should broadcast")
+      bcasts.foreach { b =>
+        assert(b.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"a broadcast subtree without an aggregate beneath it — the raw " +
+            s"dictionary is being broadcast:\n$b")
+      }
+      // non-vacuity: the retired full-dictionary shape (crossJoin ⨯
+      // broadcast(nodes)) fails exactly this assertion
+      val old = pairs.select("center").distinct()
+        .crossJoin(broadcast(nodes.select(col("node").as("negative"))))
+      val oldB = old.queryExecution.executedPlan
+        .collect { case b: BroadcastExchangeExec => b }
+      assert(oldB.exists(_.collect { case a: BaseAggregateExec => a }.isEmpty),
+        "probe shape: a raw-relation broadcast must be detectable")
+      // bounded pool: at most centers×probes candidates ever exist —
+      // with k == probes the yield is pool-limited, never beyond it
+      val counts = GraphWalk.negativeSamples(pairs, nodes, k = 8, probes = 8)
+        .groupBy("center").count().as[(Long, Long)].collect()
+      assert(counts.nonEmpty && counts.forall(_._2 <= 8),
+        "more negatives than probes is impossible")
+      intercept[IllegalArgumentException] {
+        GraphWalk.negativeSamples(pairs, nodes, k = 9, probes = 8)
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("nodeFeatures: salted 2-hop == unsalted on a planted power-law hub; skew spread bounded") {
+    import graft.operators.GraphWalk
+    // hub 0: 40 in-edges (spokes 1..40 → 0) and 40 out-edges
+    // (0 → 101..140) ⇒ 1600 two-hop rows land on intermediate key 0
+    val in = (1L to 40L).map(i => (i, 0L))
+    val outE = (1L to 40L).map(i => (0L, 100L + i))
+    val tail = (1L to 60L).map(i => (200L + i, 300L + (i % 13)))
+    val edges = (in ++ outE ++ tail).toDF("src", "dst")
+    def rows(b: Int) = GraphWalk.nodeFeatures(edges, "src", "dst", saltBuckets = b)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val unsalted = rows(1)
+    assert(rows(8) == unsalted, "salting must not change the features")
+    // hub sanity: every spoke has the 2-hop paths through the hub
+    val byNode = unsalted.map(r => r._1 -> r).toMap
+    assert(byNode(1L)._4 == 40L, "spoke 1 reaches 40 nodes via the hub")
+    // per-reducer bound: the salted join keys on (mid, salt), so the
+    // planted hub's 1600 intermediate rows must spread across buckets —
+    // measure the actual max per join key, the quantity one reducer sees
+    val a = edges.select(col("src").as("__src"), col("dst").as("__mid")).distinct()
+      .withColumn("__salt", pmod(xxhash64(col("__src"), col("__mid")), lit(8L)))
+    val b = edges.select(col("src").as("__mid"), col("dst").as("__dst")).distinct()
+      .withColumn("__salt", explode(sequence(lit(0L), lit(7L))))
+    val perKey = a.join(b, Seq("__mid", "__salt"))
+      .groupBy("__mid", "__salt").count().as[(Long, Long, Long)].collect()
+    val hubMax = perKey.filter(_._1 == 0L).map(_._3).max
+    assert(hubMax <= 2 * 1600 / 8,
+      s"hub bucket holds $hubMax rows; salting should bound it near 1600/8")
   }
 
   test("GraphWalk: valid edges per hop, one row per live walk, dead-end stops, deterministic") {

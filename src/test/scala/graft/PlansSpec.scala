@@ -337,6 +337,33 @@ class PlansSpec extends SparkSpec {
     assert(fl.getMessage.contains("float/double"))
   }
 
+  test("AsofMergeJoin null right times never match; rightValueCols validated") {
+    import graft.plans.AsofMergeJoin
+    // null rt sorts FIRST under the natural ascending ordering, so the
+    // merge consumes it before any real match — it must never be
+    // recorded as the running 'most recent' row (the oracle's
+    // r.ts <= l.ts is unknown on null)
+    val left = Seq((1L, 100L, "k1"), (2L, 100L, "k2")).toDF("k", "t", "l_val")
+    val right = Seq((Some(1L), None, "rnullt"), (Some(1L), Some(50L), "r1"),
+        (Some(2L), None, "r2nullt"))
+      .toDF("k", "rt", "r_val")
+    val out = AsofMergeJoin.asofLeft(left, right, "k", "t", "rt", Seq("r_val"))
+      .select($"l_val", $"r_val")
+      .as[(String, Option[String])].collect().toMap
+    assert(out("k1").contains("r1"),
+      "the null-timed row must not shadow the real match")
+    assert(out("k2").isEmpty,
+      "a key whose only right row is null-timed gets no match")
+    // rightValueCols hygiene: duplicates and reserved names fail fast
+    // instead of silently binding the first of two same-named columns
+    val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
+    val r = Seq((1L, 0L, 9L)).toDF("k", "rt", "rv")
+    for (bad <- Seq(Seq("rv", "rv"), Seq("asof_time"), Seq("__asof_key"), Seq("rt")))
+      intercept[IllegalArgumentException] {
+        AsofMergeJoin.asofLeft(l, r, "k", "t", "rt", bad)
+      }
+  }
+
   test("asofLeftWithin: stale matches null out (inclusive at the bound), rows survive") {
     import graft.plans.AsofMergeJoin
     val left = Seq((1L, 100L, "fresh"), (1L, 200L, "exact"), (1L, 500L, "stale"),
