@@ -143,7 +143,9 @@ object Bench {
     "q200_ivfpq_stored", "q201_asof_fresh", "q202_ngram_novelty",
     "q203_hamming_topk", "q204_hamming_rerank", "q205_graph_walks",
     "q206_bpe_fertility", "q207_cosine_fused", "q208_novelty_stream",
-    "q209_skipgram_pairs", "q210_negative_samples", "q211_node_features")
+    "q209_skipgram_pairs", "q210_negative_samples", "q211_node_features",
+    "q212_graph_walks_bucketed", "q213_url_canon", "q214_host_rollup",
+    "q215_crawl_url_dedup")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -26,6 +26,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Corpus.load(s, dir, name)
 
+  /** Deterministic messy-URL fixture for q213-q215: every `documents`
+    * row gets one raw fetch URL with case/default-port/query-order/
+    * trailing-slash/fragment variation driven by doc_id residues, plus
+    * a non-URL arm (doc_id %17) that must canonicalize to NULL. The
+    * oracle rebuilds the identical strings with the same CASE chains.
+    */
+  private def urlFixture(docs: DataFrame): DataFrame = {
+    val url0 = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP"))
+        .when(col("doc_id") % 3 === 1, lit("https")).otherwise(lit("http")),
+      lit("://"),
+      when(col("doc_id") % 2 === 0, concat(lit("WWW."), upper(col("source"))))
+        .otherwise(concat(lit("www."), col("source"))),
+      lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0, lit(":80"))
+        .when(col("doc_id") % 5 === 1, lit(":443"))
+        .when(col("doc_id") % 5 === 2, lit(":8080")).otherwise(lit("")),
+      lit("/Docs/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("?b=2&a=1"))
+        .when(col("doc_id") % 4 === 1, lit("?a=1&b=2")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit("#Frag")).otherwise(lit("")))
+    docs.select(col("doc_id"), col("n_chars"),
+      when(col("doc_id") % 17 === 0, concat(lit("not a url "), url0))
+        .otherwise(url0).as("url"))
+  }
+
   /** Flagship query; driver smoke-checks rows>0 (sf dir overridable). */
   def entry(spark: SparkSession): DataFrame =
     queries("q2_top10")(spark,
@@ -931,6 +958,61 @@ object SparkEntry {
       graft.operators.GraphWalk.walks(edges, "src", "dst",
         edges.select(col("src")), "src", steps = 4)
     }),
+
+    // ── q205 through a BUCKETED edge table (the persisted-index
+    // discipline applied to iterative graph probes): the distinct edge
+    // set is written once bucketed+sorted on the source node, so each
+    // hop's join moves only the FRONTIER through an exchange — the
+    // edge side is read in place, never reshuffled or re-sorted
+    // per hop. Same walk semantics ⇒ certified against q205's oracle
+    // VERBATIM (the q185/q186/q187 identical-oracle discipline);
+    // build-once content-keyed table, so the bench median measures
+    // the probe-only path (q88 discipline). ──
+    "q212_graph_walks_bucketed" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select((col("o_custkey") % 40).as("src"), (col("o_orderkey") % 40).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/orders.parquet")
+      graft.operators.GraphWalk.walksBucketedEdges(edges, "src", "dst",
+        edges.select(col("src")), "src", steps = 4, buckets = 8,
+        table = s"graft_edges_w$fp",
+        path = s"${System.getProperty("java.io.tmpdir")}/graft_edges_w$fp")
+    }),
+
+    // ── URL canonicalization (ext/UrlCanon): the crawl-side dedup
+    // stage that runs BEFORE content dedup — scheme/host lowercased,
+    // userinfo/fragment stripped, default ports dropped, trailing
+    // slashes collapsed, query params SORTED; pure native string/regex
+    // expressions (no UDF, RE2-safe — DuckDB reproduces every one).
+    // Fixture: deterministic messy spellings synthesized from
+    // `documents` (case/port/query-order/slash/fragment variants plus
+    // a non-URL arm that must canonicalize to NULL). ──
+    "q213_url_canon" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val raw = urlFixture(t(s, dir, "documents"))
+      raw.select(col("doc_id"), col("url"),
+          UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+        .withColumn("host",
+          when(col("canonical_url").isNull, lit(null).cast("string"))
+            .otherwise(UrlCanon.canonicalHost(col("canonical_url"))))
+    }),
+
+    // ── host-grain crawl rollup (the crawl-ops table a 100-TB
+    // pipeline watches): canonical-URL dedup (min-id keep) then per
+    // canonical host — distinct surviving URLs, total raw fetches,
+    // bytes of the kept docs. One keyed aggregate per grain. ──
+    "q214_host_rollup" -> ((s, dir) =>
+      graft.ext.UrlCanon.hostRollup(
+        urlFixture(t(s, dir, "documents")), "url", "doc_id", "n_chars")),
+
+    // ── per-fetch URL decisions feeding the crawl capstone: bad_url /
+    // kept / dup_url BEFORE any shingling or index probe — the variant
+    // mass dies on a string aggregate, not in the minhash pipeline.
+    // Same decision-table idiom as q190's dup_index/dup_batch. ──
+    "q215_crawl_url_dedup" -> ((s, dir) =>
+      graft.ext.UrlCanon.urlDecisions(
+          urlFixture(t(s, dir, "documents")).drop("n_chars"), "url", "doc_id")
+        .select("doc_id", "url", "canonical_url", "decision")),
 
     // ── tokenizer fertility drift (q199's frozen model in operation):
     // train the 8 merges on the 4/5 REFERENCE slice only, encode the
@@ -3404,6 +3486,60 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY center ORDER BY j, negative) AS rank
         |FROM dd QUALIFY rank <= 3""".stripMargin
 
+  /** Shared canonicalization chain for q213-q215 — the identical-oracle
+    * discipline (one fixture + one canon derivation, three consumers,
+    * so the entries cannot drift apart). Mirrors UrlCanon.canonicalUrl
+    * step for step with DuckDB's own regex/list functions; RE2-safe
+    * patterns only. regexp_replace needs no 'g' flag: '/+$' is
+    * end-anchored, at most one match.
+    */
+  private val UrlCanonChainSql: String =
+    """WITH raw0 AS (
+      |  SELECT doc_id, n_chars,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+      |          WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END
+      |     || '://'
+      |     || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' || upper(source)
+      |             ELSE 'www.' || source END
+      |     || '.Example.COM'
+      |     || CASE WHEN doc_id % 5 = 0 THEN ':80'
+      |             WHEN doc_id % 5 = 1 THEN ':443'
+      |             WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END
+      |     || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+      |     || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+      |     || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1'
+      |             WHEN doc_id % 4 = 1 THEN '?a=1&b=2' ELSE '' END
+      |     || CASE WHEN doc_id % 13 = 0 THEN '#Frag' ELSE '' END) AS url
+      |  FROM documents),
+      |raw AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || url ELSE url END AS url
+      |  FROM raw0),
+      |parts AS (
+      |  SELECT doc_id, n_chars, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      |      AS rawpath,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS query
+      |  FROM raw),
+      |canon AS (
+      |  SELECT doc_id, n_chars, url, auth,
+      |    CASE WHEN scheme = '' THEN NULL ELSE
+      |      scheme || '://'
+      |      || lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1))
+      |      || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |                OR (scheme = 'https' AND port = '443') THEN ''
+      |              ELSE ':' || port END
+      |      || CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+      |              ELSE regexp_replace(rawpath, '/+$', '') END
+      |      || CASE WHEN query = '' THEN ''
+      |              ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+      |         END
+      |    END AS canonical_url
+      |  FROM (SELECT *, regexp_extract(auth, ':([0-9]+)$', 1) AS port FROM parts))"""
+      .stripMargin
+
   private val BpeTrainSql: String =
     bpeChainSql(BpeK) + "\n" +
       (1 to BpeK).map(i =>
@@ -4360,6 +4496,45 @@ object SparkEntry {
         |FROM a""".stripMargin,
 
     "q205_graph_walks" -> GraphWalkSql,
+    // identical-oracle certification: the bucketed-edges variant must
+    // produce byte-identical walks
+    "q212_graph_walks_bucketed" -> GraphWalkSql,
+
+    "q213_url_canon" -> (UrlCanonChainSql +
+      """
+        |SELECT doc_id, url, canonical_url,
+        |  CASE WHEN canonical_url IS NULL THEN NULL
+        |       ELSE lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1))
+        |  END AS host
+        |FROM canon""".stripMargin),
+
+    "q214_host_rollup" -> (UrlCanonChainSql +
+      """,
+        |k AS (
+        |  SELECT canonical_url, min(doc_id) AS doc_id, count(*) AS n_variants
+        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1),
+        |kk AS (
+        |  SELECT k.canonical_url, k.n_variants, c.n_chars
+        |  FROM k JOIN canon c ON c.doc_id = k.doc_id)
+        |SELECT lower(regexp_extract(regexp_extract(kk.canonical_url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |    '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(sum(n_variants) AS BIGINT) AS n_fetches,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_bytes
+        |FROM kk GROUP BY 1""".stripMargin),
+
+    "q215_crawl_url_dedup" -> (UrlCanonChainSql +
+      """,
+        |k AS (
+        |  SELECT canonical_url, min(doc_id) AS keep_id
+        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1)
+        |SELECT c.doc_id, c.url, c.canonical_url,
+        |  CASE WHEN c.canonical_url IS NULL THEN 'bad_url'
+        |       WHEN c.doc_id = k.keep_id THEN 'kept'
+        |       ELSE 'dup_url' END AS decision
+        |FROM canon c LEFT JOIN k ON c.canonical_url = k.canonical_url"""
+        .stripMargin),
     "q206_bpe_fertility" -> BpeFertilitySql,
     "q209_skipgram_pairs" -> SkipGramSql,
     "q210_negative_samples" -> NegativeSamplesSql,

@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + host-grain crawl rollups — the crawl-side
+  * dedup stage that runs BEFORE content dedup in a training-data
+  * pipeline: the same page is typically fetched under many spellings
+  * (scheme/host case, explicit default ports, unordered query params,
+  * fragments, trailing slashes), and canonicalizing first removes that
+  * mass for free — no shingling, no index probe — while per-host
+  * rollups are the crawl-ops view (which hosts dominate the corpus,
+  * which quarantine).
+  *
+  * Everything is native string/regex expressions (no UDF): lowercase
+  * scheme+host, strip userinfo, drop the fragment, drop default ports
+  * (http:80, https:443), collapse duplicate trailing slashes ('' path
+  * → '/'), and sort query parameters with array_sort — all functions
+  * DuckDB reproduces verbatim (regexp_extract group refs, list_sort /
+  * string_split mirrors), which is what makes the stage
+  * oracle-certifiable (q213/q214). RE2-safe patterns only: no
+  * lookahead, no backreferences.
+  *
+  * Semantics kept deliberately syntactic: no IDN/percent-encoding
+  * normalization, no param-value re-encoding — those need codec UDFs
+  * and locale tables; the syntactic subset is the high-mass one and
+  * is engine-portable. Non-URL strings (no `scheme://`) canonicalize
+  * to NULL so callers can route them to quarantine rather than
+  * silently keying garbage.
+  *
+  * 100-TB shape: canonicalization is a pure per-row projection
+  * (codegen'd regex/string ops — no shuffle at all); URL-grain dedup
+  * is one keyed min-aggregate on the canonical URL; the host rollup
+  * is one keyed aggregate on the canonical host. Nothing is
+  * collected, nothing is broadcast.
+  */
+object UrlCanon {
+
+  /** Lowercased scheme, or '' when the string is not a URL. */
+  private def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** authority = userinfo@host:port between 'scheme://' and /?#. */
+  private def authorityOf(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** Lowercased host: authority minus userinfo and port. */
+  def canonicalHost(url: Column): Column = {
+    val auth = authorityOf(url)
+    lower(regexp_extract(auth, "^(?:[^@]*@)?([^:]*)", 1))
+  }
+
+  /** The canonical URL, or NULL for non-URL strings. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = schemeOf(url)
+    val auth = authorityOf(url)
+    val host = canonicalHost(url)
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val portPart = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    // path: everything after the authority up to ? or # ; collapse
+    // trailing slashes; empty path canonicalizes to "/"
+    val rawPath = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    // query: between the first ? and the fragment; params sorted
+    // bytewise so a=1&b=2 == b=2&a=1 (dropped entirely when empty)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val sortedQuery = array_join(array_sort(split(query, "&")), "&")
+    val queryPart = when(query === "", lit(""))
+      .otherwise(concat(lit("?"), sortedQuery))
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** URL-grain dedup: one row per canonical URL — the smallest `idCol`
+    * wins (the engine's standard min-id keep rule, q17). Rows whose
+    * URL fails to canonicalize (NULL) are dropped here; route them via
+    * the quarantine channel upstream if they must be kept.
+    */
+  def dedupByCanonicalUrl(
+      df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon = df
+      .withColumn("canonical_url", canonicalUrl(col(urlCol)))
+      .filter(col("canonical_url").isNotNull)
+    canon
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_variants"))
+      .join(df.select(col(idCol), col(urlCol)), Seq(idCol))
+  }
+
+  /** Per-fetch URL decisions — the crawl pre-stage that runs BEFORE
+    * the content-dedup capstone (q190): every raw fetch is classified
+    * `bad_url` (does not canonicalize — route to quarantine), `kept`
+    * (the smallest id for its canonical URL), or `dup_url` (a spelling
+    * variant of a kept fetch — suppressed without ever being shingled
+    * or probed). Same decision-table idiom as the crawl capstone's
+    * dup_index/dup_batch verdicts, and the same min-id keep rule.
+    *
+    * Shape: one keyed min-aggregate (partial-combined) + one keyed
+    * left join back — no window over the corpus (a window would put
+    * every bad URL in one null partition); hot canonical URLs skew
+    * the join key, which AQE's skew split handles.
+    */
+  def urlDecisions(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon = df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+    val keep = canon.filter(col("canonical_url").isNotNull)
+      .groupBy("canonical_url").agg(min(col(idCol)).as("__keep_id"))
+    canon.join(keep, Seq("canonical_url"), "left")
+      .withColumn("decision",
+        when(col("canonical_url").isNull, lit("bad_url"))
+          .when(col(idCol) === col("__keep_id"), lit("kept"))
+          .otherwise(lit("dup_url")))
+      .drop("__keep_id")
+  }
+
+  /** Host-grain crawl rollup over the URL-deduped corpus: per
+    * canonical host — distinct canonical URLs, surviving docs, total
+    * bytes (sum of `sizeCol`). The crawl-ops table a 100-TB pipeline
+    * watches; one keyed aggregate, partial-combined map-side.
+    */
+  def hostRollup(
+      df: DataFrame, urlCol: String, idCol: String, sizeCol: String): DataFrame = {
+    val deduped = df
+      .withColumn("canonical_url", canonicalUrl(col(urlCol)))
+      .filter(col("canonical_url").isNotNull)
+      .groupBy("canonical_url")
+      .agg(min(struct(col(idCol), col(sizeCol))).as("__keep"),
+        count(lit(1)).as("n_variants"))
+      .select(col("canonical_url"), col("__keep").getField(idCol).as(idCol),
+        col("__keep").getField(sizeCol).as(sizeCol), col("n_variants"))
+    deduped
+      .withColumn("host", canonicalHost(col("canonical_url")))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("n_variants")).as("n_fetches"),
+        sum(col(sizeCol)).cast("long").as("total_bytes"))
+  }
+}

@@ -28,9 +28,47 @@ object GraphWalk {
 
   def walks(
       edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, steps: Int): DataFrame = {
+      seeds: DataFrame, seedCol: String, steps: Int): DataFrame =
+    walksOver(
+      edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).distinct(),
+      seeds, seedCol, steps)
+
+  /** walks() with the per-hop EDGE shuffle removed — the
+    * persisted-index discipline applied to the frontier probe. The
+    * plain form joins the frontier against the distinct edge table
+    * every hop, and on a sort-merge plan that re-exchanges + re-sorts
+    * |E| rows per hop; here the edge table is written ONCE as a
+    * bucketed+sorted table on the source node (`bucketBy(buckets,
+    * "__u").sortBy("__u","__v")`), so every hop's join reads the edge
+    * buckets in place — only the frontier (|seeds| rows) moves through
+    * an exchange, and the edge side needs neither shuffle nor sort
+    * (GraphSpec asserts no `Exchange hashpartitioning(__u` above the
+    * bucketed scan). Results are identical to walks() — same edge set,
+    * same md5 argmin — so the variant certifies against the SAME
+    * oracle (q212 reuses q205's SQL verbatim).
+    *
+    * `table`/`path` should be content-keyed by the caller (the
+    * q88/q79 stored-index discipline: IndexStore.fingerprint of the
+    * source) so a regenerated edge set gets a fresh table; an existing
+    * catalog table is reused as-is.
+    */
+  def walksBucketedEdges(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, steps: Int,
+      buckets: Int, table: String, path: String): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = edges.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).distinct()
+        .write.bucketBy(buckets, "__u").sortBy("__u", "__v")
+        .option("path", path).mode("overwrite").saveAsTable(table)
+    }
+    walksOver(spark.table(table), seeds, seedCol, steps)
+  }
+
+  private def walksOver(
+      e: DataFrame, seeds: DataFrame, seedCol: String, steps: Int): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
-    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).distinct()
     var frontier = seeds.select(col(seedCol).as("seed")).distinct()
       .select(col("seed"), lit(0).as("step"), col("seed").as("node"))
       .localCheckpoint()

@@ -90,13 +90,29 @@ object ScaleProbe {
           df.withColumn(k, col(k) + lit(i * 100000000L)))
       }.reduce(_.unionByName(_))
 
+    // graph family: ~20k-node / ~|orders|-edge synthetic graph per
+    // copy; copies are node-disjoint (both endpoints offset), so NODES
+    // AND EDGES scale ×n together — the walk frontier, the skip-gram
+    // center set, the negative-sampling dictionary, and the 2-hop join
+    // all grow with n (hub DEGREE growth is covered separately by the
+    // planted-hub spec in PageRankSpec)
+    val edges1 = Corpus.load(spark, sfDir, "orders")
+      .select((col("o_custkey") % 20000).as("src"),
+        (col("o_orderkey") % 20000).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    def edgesN(n: Int): DataFrame = (0 until n).map { i =>
+      edges1.select((col("src") + lit(i * 100000000L)).as("src"),
+        (col("dst") + lit(i * 100000000L)).as("dst"))
+    }.reduce(_.unionByName(_))
+
     // optional comma-separated op filter (SPARK_GRAFT_SCALE_OPS) for
     // re-probing a subset after a fix without paying the full sweep
     val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(",").map(_.trim).toSet)
 
     def probe(tag: String, d: DataFrame, e: DataFrame,
-        o: DataFrame, l: DataFrame, ev: DataFrame): Map[String, (Double, Long)] = {
+        o: DataFrame, l: DataFrame, ev: DataFrame,
+        g: DataFrame): Map[String, (Double, Long)] = {
       def run(name: String, df: => DataFrame): Seq[(String, (Double, Long))] = {
         if (!onlyOps.forall(_.contains(name))) return Seq.empty
         val (t, c) = time(df.count())
@@ -283,6 +299,42 @@ object ScaleProbe {
           ProductQuant.ivfPqRerankTopK(idx, e, e.filter(col("vec_id") % 500 === 0),
             "vec_id", "embedding", shortlist = 50, k = 5, nprobe = 3)
         }),
+        // round-11 graph-training family (q205/q209-q212). Disjoint
+        // copies ⇒ expected ~linear everywhere: walks are `steps`
+        // keyed joins of the frontier (|nodes| rows) vs the edge
+        // table + an argmin partial agg per hop; skip-gram adds one
+        // per-seed self-join over L·window bounded pairs; negatives
+        // are O(|centers|·probes) md5 probes into the shard-addressed
+        // dictionary (the bounded-pool shape — never |centers|×|nodes|);
+        // node features are degree aggs + ONE salted edge⨝edge join.
+        run("graph_walks", graft.operators.GraphWalk.walks(
+          g, "src", "dst", g.select(col("src")), "src", steps = 4)),
+        run("skipgram_pairs", graft.operators.GraphWalk.skipGramPairs(
+          graft.operators.GraphWalk.walks(
+            g, "src", "dst", g.select(col("src")), "src", steps = 4),
+          window = 2)),
+        run("graph_negatives", {
+          import graft.operators.GraphWalk
+          val pairs = GraphWalk.skipGramPairs(
+            GraphWalk.walks(g, "src", "dst", g.select(col("src")), "src", 4), 2)
+          val nodes = g.select(col("src").as("node"))
+            .unionByName(g.select(col("dst").as("node"))).distinct()
+          GraphWalk.negativeSamples(pairs, nodes, k = 3)
+        }),
+        run("node_features", graft.operators.GraphWalk.nodeFeatures(
+          g, "src", "dst")),
+        // bucketed-edges walks (q212): includes the one-time bucketed
+        // table build in the row (both the 1x base and the n× point
+        // pay it, so the ratio stays a fair linearity read); the claim
+        // it proves is no per-hop edge shuffle
+        run("walks_bucketed", {
+          val tbl = s"graft_probe_edges_${tag.replace("-", "_")}"
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          graft.operators.GraphWalk.walksBucketedEdges(
+            g, "src", "dst", g.select(col("src")), "src", steps = 4,
+            buckets = 32, table = tbl,
+            path = s"${System.getProperty("java.io.tmpdir")}/$tbl")
+        }),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
           // split — label = id%10 would pin every label to ONE parity
@@ -309,13 +361,14 @@ object ScaleProbe {
     // (the first minhash run carries ~2-4 s of one-time codegen, which
     // would otherwise inflate the 1x base and understate the ratios)
     docs1.count(); emb1.count(); orders1.count(); lineitem1.count(); events1.count()
-    probe("1x-discard", docs1, emb1, orders1, lineitem1, events1)
-    val base = probe("1x", docs1, emb1, orders1, lineitem1, events1)
+    probe("1x-discard", docs1, emb1, orders1, lineitem1, events1, edges1)
+    val base = probe("1x", docs1, emb1, orders1, lineitem1, events1, edges1)
     val points = copiesList.map { n =>
       n -> probe(s"${n}x", docsN(n), embN(n),
         keyedN(orders1, Seq("o_orderkey"), n),
         keyedN(lineitem1, Seq("l_orderkey"), n),
-        keyedN(events1, Seq("event_id"), n))
+        keyedN(events1, Seq("event_id"), n),
+        edgesN(n))
     }
     val curve = points.map { case (n, big) =>
       val ratios = base.keys.toSeq.sorted.map { k =>

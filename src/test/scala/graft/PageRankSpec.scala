@@ -160,6 +160,34 @@ class PageRankSpec extends SparkSpec {
       s"hub bucket holds $hubMax rows; salting should bound it near 1600/8")
   }
 
+  test("walksBucketedEdges == walks; per-hop join never reshuffles the bucketed edge side") {
+    import graft.operators.GraphWalk
+    val edges = (0L until 400L).flatMap(i =>
+      Seq((i % 37, (i * 7 + 3) % 37), (i % 31, (i * 5 + 1) % 37)))
+      .filter { case (s, d) => s != d }.toDF("src", "dst")
+    val seeds = edges.select(col("src"))
+    val table = "graft_edges_spec"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bedges").toString + "/t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val plain = GraphWalk.walks(edges, "src", "dst", seeds, "src", steps = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    val bucketed = GraphWalk.walksBucketedEdges(edges, "src", "dst", seeds, "src",
+      steps = 3, buckets = 4, table = table, path = path)
+    assert(bucketed.as[(Long, Int, Long)].collect().toSet == plain,
+      "bucketed-edges walks must be byte-identical to the plain form")
+    // the per-hop join must read the edge buckets in place: no exchange
+    // may repartition the edge side on its join key (the frontier is
+    // the only thing allowed through a shuffle)
+    val hop = seeds.select(col("src").as("seed"), lit(0).as("step"),
+        col("src").as("node")).distinct()
+      .join(spark.table(table), col("node") === col("__u"))
+    val plan = hop.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(__u"),
+      s"bucketed edge side was reshuffled:\n$plan")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("GraphWalk: valid edges per hop, one row per live walk, dead-end stops, deterministic") {
     import graft.operators.GraphWalk
     // 1→{2,3}, 2→{3}, 3→∅ (dead end), 9 isolated-seed (no out-edges)

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.UrlCanon
+
+class UrlCanonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[Option[String]] =
+    urls.toSeq.toDF("url")
+      .select(UrlCanon.canonicalUrl(col("url")).as("c"))
+      .as[Option[String]].collect().toSeq
+
+  test("canonicalUrl: case, default ports, userinfo, fragment, slash, query order") {
+    assert(canon("HTTP://User:pw@WWW.Example.COM:80/a/b/?b=2&a=1#frag")
+      == Seq(Some("http://www.example.com/a/b?a=1&b=2")))
+    // https default port stripped; non-default kept
+    assert(canon("HTTPS://Host.com:443/x", "https://host.com:8443/x")
+      == Seq(Some("https://host.com/x"), Some("https://host.com:8443/x")))
+    // http on 443 is NOT a default — port survives
+    assert(canon("http://h.com:443/") == Seq(Some("http://h.com:443/")))
+    // empty path canonicalizes to '/', duplicate trailing slashes collapse
+    assert(canon("http://h.com", "http://h.com/", "http://h.com///")
+      == Seq.fill(3)(Some("http://h.com/")))
+    // path stays case-sensitive; query without reorder unchanged
+    assert(canon("http://H.com/CaseSensitive?z=1")
+      == Seq(Some("http://h.com/CaseSensitive?z=1")))
+    // fragment-only difference merges
+    assert(canon("http://h.com/p#a").head == canon("http://h.com/p#b").head)
+    // non-URLs -> NULL (quarantine route), never a garbage key
+    assert(canon("not a url", "", "host.com/path", "://x")
+      == Seq(None, None, None, None))
+  }
+
+  test("canonicalHost strips userinfo and port; decisions classify every fetch once") {
+    val hosts = Seq("http://a@B.com:8080/x", "https://c.COM/")
+      .toDF("url").select(UrlCanon.canonicalHost(col("url")).as("h"))
+      .as[String].collect().toSeq
+    assert(hosts == Seq("b.com", "c.com"))
+    val fixture = Seq(
+      (1L, "http://A.com/x", 10L), (2L, "HTTP://a.com:80/x", 20L),
+      (3L, "http://a.com/x/", 30L), (4L, "junk", 5L),
+      (5L, "http://b.com/y?q=2&p=1", 7L), (6L, "http://b.com/y?p=1&q=2", 9L))
+      .toDF("id", "url", "bytes")
+    val dec = UrlCanon.urlDecisions(fixture, "url", "id")
+      .select("id", "decision").as[(Long, String)].collect().toMap
+    assert(dec == Map(1L -> "kept", 2L -> "dup_url", 3L -> "dup_url",
+      4L -> "bad_url", 5L -> "kept", 6L -> "dup_url"))
+    // host rollup: variants roll into the kept doc's bytes
+    val roll = UrlCanon.hostRollup(fixture, "url", "id", "bytes")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(roll("a.com") == ((1L, 3L, 10L)), s"got ${roll("a.com")}")
+    assert(roll("b.com") == ((1L, 2L, 7L)))
+  }
+}
