@@ -1014,6 +1014,32 @@ object SparkEntry {
           urlFixture(t(s, dir, "documents")).drop("n_chars"), "url", "doc_id")
         .select("doc_id", "url", "canonical_url", "decision")),
 
+    // ── the STAGED crawl-dedup capstone: canonicalize → per-canonical-
+    // URL dedup → minhash content near-dup ONLY over the URL-surviving
+    // docs (the real pipeline order — spelling variants never reach the
+    // shingle/index tier; at sf0.01 the URL stage kills 272 of 470
+    // fetches before any minhash work). Content rule is q190's
+    // conservative batch rule: suppressed iff a SMALLER-id kept doc is
+    // near-dup-similar. Four decision classes certified in one table:
+    // bad_url / dup_url / dup_content / kept. ──
+    "q216_crawl_staged_dedup" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val dec = UrlCanon.urlDecisions(
+          urlFixture(t(s, dir, "documents")).drop("n_chars"), "url", "doc_id")
+        .select("doc_id", "canonical_url", "decision")
+        .localCheckpoint() // feeds the kept slice AND the final table
+      val kept = dec.filter(col("decision") === "kept")
+        .join(t(s, dir, "documents").select("doc_id", "text"), Seq("doc_id"))
+      val pairs = Dedup.nearDupPairsMinhash(kept, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val dupContent = pairs.select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("__dc", lit(1))
+      dec.join(dupContent, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("canonical_url"),
+          when(col("decision") === "kept" && col("__dc").isNotNull,
+            lit("dup_content")).otherwise(col("decision")).as("decision"))
+    }),
+
     // ── tokenizer fertility drift (q199's frozen model in operation):
     // train the 8 merges on the 4/5 REFERENCE slice only, encode the
     // held-out 1/5, roll up per source as fertility (BPE tokens per
@@ -4534,6 +4560,47 @@ object SparkEntry {
         |       WHEN c.doc_id = k.keep_id THEN 'kept'
         |       ELSE 'dup_url' END AS decision
         |FROM canon c LEFT JOIN k ON c.canonical_url = k.canonical_url"""
+        .stripMargin),
+
+    // staged capstone: URL decisions (q215's derivation) + exact-Jaccard
+    // content truth over the URL-kept slice only (q18's shingle SQL)
+    "q216_crawl_staged_dedup" -> (UrlCanonChainSql +
+      """,
+        |k AS (
+        |  SELECT canonical_url, min(doc_id) AS keep_id
+        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1),
+        |dec AS (
+        |  SELECT c.doc_id, c.canonical_url,
+        |    CASE WHEN c.canonical_url IS NULL THEN 'bad_url'
+        |         WHEN c.doc_id = k.keep_id THEN 'kept'
+        |         ELSE 'dup_url' END AS decision
+        |  FROM canon c LEFT JOIN k ON c.canonical_url = k.canonical_url),
+        |tok AS (
+        |  SELECT d.doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+        |      AS pos
+        |  FROM documents d JOIN dec ON dec.doc_id = d.doc_id
+        |  WHERE dec.decision = 'kept'),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |      AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dupc AS (
+        |  SELECT DISTINCT db AS doc_id
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8)
+        |SELECT dec.doc_id, dec.canonical_url,
+        |  CASE WHEN dec.decision = 'kept' AND dupc.doc_id IS NOT NULL
+        |       THEN 'dup_content' ELSE dec.decision END AS decision
+        |FROM dec LEFT JOIN dupc ON dupc.doc_id = dec.doc_id"""
         .stripMargin),
     "q206_bpe_fertility" -> BpeFertilitySql,
     "q209_skipgram_pairs" -> SkipGramSql,
