@@ -1022,6 +1022,32 @@ object SparkEntry {
     // conservative batch rule: suppressed iff a SMALLER-id kept doc is
     // near-dup-similar. Four decision classes certified in one table:
     // bad_url / dup_url / dup_content / kept. ──
+    // ── per-host crawl BUDGET enforcement: after URL dedup, keep at
+    // most 5 docs per canonical host, deterministically (sampleExactN's
+    // md5-ranked exact-N per stratum, q100's certified machinery) —
+    // "crawl politeness" for the corpus builder: no host may dominate
+    // the intake no matter how many URLs it serves. The budget binds
+    // on the fixture: ~10 kept docs/host → 5 survive. ──
+    "q217_host_budget" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val dec = UrlCanon.urlDecisions(
+        urlFixture(t(s, dir, "documents")).drop("n_chars"), "url", "doc_id")
+      val kept = dec.filter(col("decision") === "kept")
+        .select(col("doc_id"), col("canonical_url"),
+          UrlCanon.canonicalHost(col("canonical_url")).as("host"))
+      graft.operators.Sampling.sampleExactN(kept, "host", col("doc_id"),
+        n = 5, salt = "budget-v1")
+    }),
+
+    // ── STREAMING URL triage: q213's canonicalization on a LIVE
+    // ingest (readStream.text JSONL → from_json → UrlCanon
+    // projections) — a stateless per-row map, so two delivery waves
+    // must accumulate the identical table; certified against q213's
+    // batch oracle VERBATIM (the q185 discipline). ──
+    "q218_url_canon_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.urlCanonStreamReplay(
+        s, urlFixture(t(s, dir, "documents")).select("doc_id", "url"))),
+
     "q216_crawl_staged_dedup" -> ((s, dir) => {
       import graft.ext.UrlCanon
       val dec = UrlCanon.urlDecisions(
@@ -3566,6 +3592,16 @@ object SparkEntry {
       |  FROM (SELECT *, regexp_extract(auth, ':([0-9]+)$', 1) AS port FROM parts))"""
       .stripMargin
 
+  /** q213's full projection — shared with the streaming triage q218. */
+  private val UrlCanonSelectSql: String =
+    UrlCanonChainSql +
+      """
+        |SELECT doc_id, url, canonical_url,
+        |  CASE WHEN canonical_url IS NULL THEN NULL
+        |       ELSE lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1))
+        |  END AS host
+        |FROM canon""".stripMargin
+
   private val BpeTrainSql: String =
     bpeChainSql(BpeK) + "\n" +
       (1 to BpeK).map(i =>
@@ -4526,13 +4562,27 @@ object SparkEntry {
     // produce byte-identical walks
     "q212_graph_walks_bucketed" -> GraphWalkSql,
 
-    "q213_url_canon" -> (UrlCanonChainSql +
-      """
-        |SELECT doc_id, url, canonical_url,
-        |  CASE WHEN canonical_url IS NULL THEN NULL
-        |       ELSE lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1))
-        |  END AS host
-        |FROM canon""".stripMargin),
+    "q213_url_canon" -> UrlCanonSelectSql,
+    // identical-oracle certification: the streaming triage must
+    // accumulate exactly the batch projection
+    "q218_url_canon_stream" -> UrlCanonSelectSql,
+
+    "q217_host_budget" -> (UrlCanonChainSql +
+      """,
+        |k AS (
+        |  SELECT canonical_url, min(doc_id) AS keep_id
+        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1),
+        |kept AS (
+        |  SELECT c.doc_id, c.canonical_url,
+        |    lower(regexp_extract(regexp_extract(c.canonical_url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^(?:[^@]*@)?([^:]*)', 1)) AS host
+        |  FROM canon c JOIN k
+        |    ON c.canonical_url = k.canonical_url AND c.doc_id = k.keep_id)
+        |SELECT doc_id, canonical_url, host FROM kept
+        |QUALIFY row_number() OVER (PARTITION BY host
+        |  ORDER BY substr(md5(concat_ws(':', 'budget-v1',
+        |    CAST(doc_id AS VARCHAR))), 1, 8), doc_id) <= 5""".stripMargin),
 
     "q214_host_rollup" -> (UrlCanonChainSql +
       """,

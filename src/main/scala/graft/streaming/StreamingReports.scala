@@ -660,6 +660,44 @@ object StreamingReports {
     spark.table(mem)
   }
 
+  /** Streaming URL-canonicalization triage — q213's projection on a
+    * LIVE ingest: crawl fetch records (doc_id, url JSONL) land in two
+    * delivery waves and stream through UrlCanon.canonicalUrl/Host.
+    * A pure stateless per-row map (the canonicalization is regex/
+    * string projections — no state store, no watermark), so the
+    * accumulated append output must equal the batch projection
+    * line-for-line; certified against q213's batch oracle VERBATIM
+    * (the q185 discipline). `urls` must have (doc_id, url).
+    */
+  def urlCanonStreamReplay(outer: SparkSession, urls: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.ext.UrlCanon
+    val spark = replaySession(outer)
+    val landing = java.nio.file.Files.createTempDirectory("graft-url-replay")
+    def deliverWave(df: DataFrame): Unit =
+      df.select(to_json(struct(col("doc_id"), col("url"))).as("value"))
+        .coalesce(1).write.mode("append").text(landing.toString)
+    deliverWave(urls.filter(col("doc_id") % 2 === 0))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType)))
+    val mem = s"graft_url_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val out = spark.readStream.text(landing.toString)
+      .select(from_json(col("value"), schema).as("j")).select("j.*")
+      .select(col("doc_id"), col("url"),
+        UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+      .withColumn("host",
+        when(col("canonical_url").isNull, lit(null).cast("string"))
+          .otherwise(UrlCanon.canonicalHost(col("canonical_url"))))
+    val q = out.writeStream.format("memory").queryName(mem)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      deliverWave(urls.filter(col("doc_id") % 2 =!= 0))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(landing) }
+    spark.table(mem)
+  }
+
   /** Replay the landing dir in the same two reversed waves as
     * [[cdcUpsertReplay]], keep every version, then TIME-TRAVEL: diff
     * the first committed snapshot against the last via [[Diff]]'s
