@@ -53,6 +53,55 @@ object SparkEntry {
         .otherwise(url0).as("url"))
   }
 
+  /** Messy URL for an arbitrary id EXPRESSION (q219/q220's link
+    * targets) — urlFixture's spelling variants with the source name
+    * derived arithmetically (`source` == 'src' || id%20 in the corpus,
+    * certified by the q214 host set), so a link target needs no join.
+    */
+  private def messyUrl(id: Column): Column = concat(
+    when(id % 3 === 0, lit("HTTP"))
+      .when(id % 3 === 1, lit("https")).otherwise(lit("http")),
+    lit("://"),
+    when(id % 2 === 0, concat(lit("WWW.SRC"), (id % 20).cast("string")))
+      .otherwise(concat(lit("www.src"), (id % 20).cast("string"))),
+    lit(".Example.COM"),
+    when(id % 5 === 0, lit(":80")).when(id % 5 === 1, lit(":443"))
+      .when(id % 5 === 2, lit(":8080")).otherwise(lit("")),
+    lit("/Docs/"), (id % 50).cast("string"),
+    when(id % 7 === 0, lit("/")).otherwise(lit("")),
+    when(id % 4 === 0, lit("?b=2&a=1"))
+      .when(id % 4 === 1, lit("?a=1&b=2")).otherwise(lit("")))
+
+  /** Canonical-host link edges extracted from a synthesized HTML-ish
+    * corpus: every doc carries two <a href> links to messy URLs of
+    * formula-derived targets plus (doc %9) a junk href that must drop
+    * through the NULL-canonical route. Shared by q219/q220.
+    */
+  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.UrlCanon
+    val html = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("<html><body><p>Doc "), col("doc_id").cast("string"),
+        // quadratic targets: a LINEAR formula is a bijection mod 20
+        // (gcd(7,20)=1), which makes every host 2-in/2-out regular and
+        // PageRank vacuously uniform; squares concentrate residues, so
+        // hub hosts emerge and the ranks spread (checked non-vacuous)
+        lit("</p><a href=\""),
+        messyUrl(col("doc_id") * (col("doc_id") + 3) + 1),
+        lit("\">a</a> <a href=\""),
+        messyUrl(col("doc_id") * (col("doc_id") + 7) + 5),
+        lit("\">b</a>"),
+        when(col("doc_id") % 9 === 0,
+          lit(" <a href=\"not a url\">junk</a>")).otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+    html.select(
+        UrlCanon.canonicalHost(messyUrl(col("doc_id"))).as("src_host"),
+        explode(expr("""regexp_extract_all(html, 'href="([^"]*)"', 1)"""))
+          .as("href"))
+      .filter(UrlCanon.canonicalUrl(col("href")).isNotNull)
+      .withColumn("dst_host", UrlCanon.canonicalHost(col("href")))
+      .filter(col("src_host") =!= col("dst_host"))
+  }
+
   /** Flagship query; driver smoke-checks rows>0 (sf dir overridable). */
   def entry(spark: SparkSession): DataFrame =
     queries("q2_top10")(spark,
@@ -1047,6 +1096,29 @@ object SparkEntry {
     "q218_url_canon_stream" -> ((s, dir) =>
       graft.streaming.StreamingReports.urlCanonStreamReplay(
         s, urlFixture(t(s, dir, "documents")).select("doc_id", "url"))),
+
+    // ── WEB-GRAPH construction from crawled HTML (the link-analysis
+    // half of a crawl pipeline): regexp-extract every href, canonical-
+    // ize (junk hrefs drop through the NULL route), roll up to the
+    // canonical-host link graph. Pure projections + one keyed count —
+    // the 100-TB shape for "build the host graph from 100 TB of
+    // pages". ──
+    "q219_link_graph" -> ((s, dir) =>
+      linkEdges(s, dir).groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"))),
+
+    // ── host-authority capstone: integer-exact PageRank (q110's
+    // certified fixed-point machinery) over the q219 host graph —
+    // link extraction → canonicalization → graph → authority in one
+    // certified chain, joining the URL family to the graph family. ──
+    "q220_host_pagerank" -> ((s, dir) => {
+      val e = linkEdges(s, dir).select(
+        regexp_extract(col("src_host"), "src([0-9]+)", 1).cast("long").as("src"),
+        regexp_extract(col("dst_host"), "src([0-9]+)", 1).cast("long").as("dst"))
+      graft.operators.PageRank.pageRank(e, "src", "dst", iterations = 3)
+        .select(concat(lit("www.src"), col("node").cast("string"),
+          lit(".example.com")).as("host"), col("rank"))
+    }),
 
     "q216_crawl_staged_dedup" -> ((s, dir) => {
       import graft.ext.UrlCanon
@@ -3602,6 +3674,78 @@ object SparkEntry {
         |  END AS host
         |FROM canon""".stripMargin
 
+  /** DuckDB mirror of [[messyUrl]] for an id expression. SINGLE-LINE
+    * on purpose: these helpers are interpolated into stripMargin
+    * templates, where a line-leading `||` operator would lose its
+    * first pipe to the margin strip.
+    */
+  private def messyUrlSql(id: String): String =
+    s"(CASE WHEN ($id) % 3 = 0 THEN 'HTTP' WHEN ($id) % 3 = 1 THEN 'https' " +
+      s"ELSE 'http' END || '://' || " +
+      s"CASE WHEN ($id) % 2 = 0 THEN 'WWW.SRC' || CAST(($id) % 20 AS VARCHAR) " +
+      s"ELSE 'www.src' || CAST(($id) % 20 AS VARCHAR) END || '.Example.COM' || " +
+      s"CASE WHEN ($id) % 5 = 0 THEN ':80' WHEN ($id) % 5 = 1 THEN ':443' " +
+      s"WHEN ($id) % 5 = 2 THEN ':8080' ELSE '' END || " +
+      s"'/Docs/' || CAST(($id) % 50 AS VARCHAR) || " +
+      s"CASE WHEN ($id) % 7 = 0 THEN '/' ELSE '' END || " +
+      s"CASE WHEN ($id) % 4 = 0 THEN '?b=2&a=1' " +
+      s"WHEN ($id) % 4 = 1 THEN '?a=1&b=2' ELSE '' END)"
+
+  /** Host from a URL expression — canonicalHost's nested regexes
+    * (single-line for the same stripMargin reason).
+    */
+  private def hostOfSql(url: String): String =
+    s"lower(regexp_extract(regexp_extract($url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(?:[^@]*@)?([^:]*)', 1))"
+
+  /** Shared q219/q220 chain: synthesized HTML → href extraction →
+    * canonical-host edges (junk hrefs dropped by the scheme test —
+    * canonicalUrl is NULL exactly when the scheme regex is empty).
+    */
+  private val LinkGraphChainSql: String =
+    s"""WITH du AS (
+       |  SELECT doc_id,
+       |    '<html><body><p>Doc ' || CAST(doc_id AS VARCHAR)
+       |    || '</p><a href="' || ${messyUrlSql("doc_id*(doc_id+3)+1")}
+       |    || '">a</a> <a href="' || ${messyUrlSql("doc_id*(doc_id+7)+5")}
+       |    || '">b</a>'
+       |    || CASE WHEN doc_id % 9 = 0 THEN ' <a href="not a url">junk</a>'
+       |            ELSE '' END
+       |    || '</body></html>' AS html
+       |  FROM documents),
+       |links AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+       |  FROM du),
+       |edges AS (
+       |  SELECT ${hostOfSql(messyUrlSql("doc_id"))} AS src_host,
+       |    ${hostOfSql("href")} AS dst_host
+       |  FROM links
+       |  WHERE regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''),
+       |e0 AS (SELECT src_host, dst_host FROM edges WHERE src_host <> dst_host)"""
+      .stripMargin
+
+  /** Integer fixed-point PageRank chain over a prepared `e(src, dst)`
+    * CTE — q110's certified arithmetic, generated for any iteration
+    * count. Emits node + rank; append the SELECT yourself.
+    */
+  private def pageRankChainSql(iters: Int): String = {
+    val head =
+      """nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes CROSS JOIN nn)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""m$i AS (SELECT e.dst, CAST(sum(r${i - 1}.rank // od.outdeg) AS BIGINT) AS m
+         |       FROM e JOIN od USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src GROUP BY 1),
+         |r$i AS (SELECT node,
+         |         ((1000000000000 * 15) // 100) // n + (coalesce(m, 0) * 85) // 100 AS rank
+         |       FROM nodes CROSS JOIN nn LEFT JOIN m$i ON m$i.dst = node)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
   private val BpeTrainSql: String =
     bpeChainSql(BpeK) + "\n" +
       (1 to BpeK).map(i =>
@@ -4561,6 +4705,24 @@ object SparkEntry {
     // identical-oracle certification: the bucketed-edges variant must
     // produce byte-identical walks
     "q212_graph_walks_bucketed" -> GraphWalkSql,
+
+    "q219_link_graph" -> (LinkGraphChainSql +
+      """
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        |FROM e0 GROUP BY 1, 2""".stripMargin),
+
+    "q220_host_pagerank" -> (LinkGraphChainSql +
+      """,
+        |e AS (
+        |  SELECT DISTINCT
+        |    CAST(regexp_extract(src_host, 'src([0-9]+)', 1) AS BIGINT) AS src,
+        |    CAST(regexp_extract(dst_host, 'src([0-9]+)', 1) AS BIGINT) AS dst
+        |  FROM e0),
+        |""".stripMargin + pageRankChainSql(3) +
+      """
+        |SELECT 'www.src' || CAST(node AS VARCHAR) || '.example.com' AS host,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r3""".stripMargin),
 
     "q213_url_canon" -> UrlCanonSelectSql,
     // identical-oracle certification: the streaming triage must
