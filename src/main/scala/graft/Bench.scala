@@ -146,7 +146,8 @@ object Bench {
     "q209_skipgram_pairs", "q210_negative_samples", "q211_node_features",
     "q212_graph_walks_bucketed", "q213_url_canon", "q214_host_rollup",
     "q215_crawl_url_dedup", "q216_crawl_staged_dedup", "q217_host_budget",
-    "q218_url_canon_stream", "q219_link_graph", "q220_host_pagerank")
+    "q218_url_canon_stream", "q219_link_graph", "q220_host_pagerank",
+    "q221_linkgraph_incremental")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

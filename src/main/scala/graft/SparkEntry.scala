@@ -75,11 +75,13 @@ object SparkEntry {
   /** Canonical-host link edges extracted from a synthesized HTML-ish
     * corpus: every doc carries two <a href> links to messy URLs of
     * formula-derived targets plus (doc %9) a junk href that must drop
-    * through the NULL-canonical route. Shared by q219/q220.
+    * through the NULL-canonical route. Takes the docs slice so the
+    * incremental variant (q221) can fold per-batch edge states.
+    * Shared by q219/q220/q221.
     */
-  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
+  private def linkEdges(docs: DataFrame): DataFrame = {
     import graft.ext.UrlCanon
-    val html = t(s, dir, "documents").select(col("doc_id"),
+    val html = docs.select(col("doc_id"),
       concat(lit("<html><body><p>Doc "), col("doc_id").cast("string"),
         // quadratic targets: a LINEAR formula is a bijection mod 20
         // (gcd(7,20)=1), which makes every host 2-in/2-out regular and
@@ -1104,15 +1106,33 @@ object SparkEntry {
     // the 100-TB shape for "build the host graph from 100 TB of
     // pages". ──
     "q219_link_graph" -> ((s, dir) =>
-      linkEdges(s, dir).groupBy("src_host", "dst_host")
+      linkEdges(t(s, dir, "documents")).groupBy("src_host", "dst_host")
         .agg(count(lit(1)).as("n_links"))),
+
+    // ── incremental link-graph maintenance: per-batch edge STATES
+    // (q97's mergeable state/fold machinery) folded into the full
+    // graph — a crawl batch updates host-edge counts without
+    // re-extracting the historical corpus. Certified against q219's
+    // oracle VERBATIM: merge(state(old), state(batch)) must equal the
+    // one-shot extraction. ──
+    "q221_linkgraph_incremental" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val docs = t(s, dir, "documents")
+      def st(d: DataFrame) =
+        IncrementalAgg.state(linkEdges(d), Seq("src_host", "dst_host"))
+      IncrementalAgg.merge(
+          st(docs.filter(col("doc_id") % 3 =!= 0)),
+          st(docs.filter(col("doc_id") % 3 === 0)),
+          Seq("src_host", "dst_host"))
+        .select(col("src_host"), col("dst_host"), col("cnt").as("n_links"))
+    }),
 
     // ── host-authority capstone: integer-exact PageRank (q110's
     // certified fixed-point machinery) over the q219 host graph —
     // link extraction → canonicalization → graph → authority in one
     // certified chain, joining the URL family to the graph family. ──
     "q220_host_pagerank" -> ((s, dir) => {
-      val e = linkEdges(s, dir).select(
+      val e = linkEdges(t(s, dir, "documents")).select(
         regexp_extract(col("src_host"), "src([0-9]+)", 1).cast("long").as("src"),
         regexp_extract(col("dst_host"), "src([0-9]+)", 1).cast("long").as("dst"))
       graft.operators.PageRank.pageRank(e, "src", "dst", iterations = 3)
@@ -3725,6 +3745,13 @@ object SparkEntry {
        |e0 AS (SELECT src_host, dst_host FROM edges WHERE src_host <> dst_host)"""
       .stripMargin
 
+  /** q219's host-edge rollup — shared with the incremental fold q221. */
+  private val LinkGraphSelectSql: String =
+    LinkGraphChainSql +
+      """
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        |FROM e0 GROUP BY 1, 2""".stripMargin
+
   /** Integer fixed-point PageRank chain over a prepared `e(src, dst)`
     * CTE — q110's certified arithmetic, generated for any iteration
     * count. Emits node + rank; append the SELECT yourself.
@@ -4706,10 +4733,10 @@ object SparkEntry {
     // produce byte-identical walks
     "q212_graph_walks_bucketed" -> GraphWalkSql,
 
-    "q219_link_graph" -> (LinkGraphChainSql +
-      """
-        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
-        |FROM e0 GROUP BY 1, 2""".stripMargin),
+    "q219_link_graph" -> LinkGraphSelectSql,
+    // identical-oracle certification: the incremental fold must equal
+    // the one-shot extraction
+    "q221_linkgraph_incremental" -> LinkGraphSelectSql,
 
     "q220_host_pagerank" -> (LinkGraphChainSql +
       """,
