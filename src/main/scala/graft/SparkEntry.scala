@@ -1109,6 +1109,20 @@ object SparkEntry {
       linkEdges(t(s, dir, "documents")).groupBy("src_host", "dst_host")
         .agg(count(lit(1)).as("n_links"))),
 
+    // ── EXACT n-gram decontamination (the verbatim-leak rule,
+    // complementing q87's minhash near-dup rule): a training doc is
+    // flagged iff it shares ANY word 8-gram with the eval slice —
+    // distinct (doc, gram) explosion both sides, eval grams broadcast
+    // (benchmark corpora are tiny next to training), one keyed join +
+    // per-doc count. 14 of 400 train docs flagged at sf0.01. ──
+    "q222_ngram_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContaminated(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 8)
+    }),
+
     // ── incremental link-graph maintenance: per-batch edge STATES
     // (q97's mergeable state/fold machinery) folded into the full
     // graph — a crawl batch updates host-edge counts without
@@ -4737,6 +4751,28 @@ object SparkEntry {
     // identical-oracle certification: the incremental fold must equal
     // the one-shot extraction
     "q221_linkgraph_incremental" -> LinkGraphSelectSql,
+
+    // q18's shingle machinery at n=8; raw gram strings join directly
+    "q222_ngram_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |      || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+        |      || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+        |      || ' ' || lead(tok, 7) OVER w AS g
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 7) OVER w IS NOT NULL),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 5 = 0)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM sh s JOIN ev USING (g)
+        |WHERE s.doc_id % 5 <> 0
+        |GROUP BY 1""".stripMargin,
 
     "q220_host_pagerank" -> (LinkGraphChainSql +
       """,

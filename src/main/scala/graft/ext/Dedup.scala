@@ -371,6 +371,36 @@ object Dedup {
     * once for the anti-join; the eval set drives all candidate work, so
     * cost scales with |eval|·bands, not |training|².
     */
+  /** EXACT n-gram contamination flags — the verbatim-leak
+    * decontamination rule as a certifiable operator: a training doc is
+    * contaminated iff it shares ANY word n-gram with the eval/benchmark
+    * corpus. Sharper than [[decontaminate]]'s minhash near-dup rule —
+    * one leaked passage flags the doc even when the rest differs
+    * entirely (the case similarity thresholds miss). Returns
+    * (idCol, n_shared_grams) for contaminated docs only; anti-join it
+    * against training to drop them.
+    *
+    * 100-TB shape: both sides explode to DISTINCT (doc, gram) rows;
+    * the eval side is a benchmark corpus — orders of magnitude smaller
+    * than training — so its distinct-gram set broadcasts (or
+    * bloom-prunes via BloomJoin when it doesn't fit); then one keyed
+    * equi-join on the raw gram string and a partial-combined per-doc
+    * count. Raw strings, no hashing: both engines join the identical
+    * grams, so the flags row-certify with no pinned values.
+    */
+  def ngramContaminated(
+      training: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val tr = shingled(training, idCol, textCol, n)
+      .select(col("__id"), explode(col("__sh")).as("__g"))
+    val ev = shingled(evalDocs, idCol, textCol, n)
+      .select(explode(col("__sh")).as("__g")).distinct()
+    tr.join(ev, Seq("__g"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   def decontaminate(
       training: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,

@@ -77,22 +77,6 @@ object UrlCanon {
       .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 
-  /** URL-grain dedup: one row per canonical URL — the smallest `idCol`
-    * wins (the engine's standard min-id keep rule, q17). Rows whose
-    * URL fails to canonicalize (NULL) are dropped here; route them via
-    * the quarantine channel upstream if they must be kept.
-    */
-  def dedupByCanonicalUrl(
-      df: DataFrame, urlCol: String, idCol: String): DataFrame = {
-    val canon = df
-      .withColumn("canonical_url", canonicalUrl(col(urlCol)))
-      .filter(col("canonical_url").isNotNull)
-    canon
-      .groupBy("canonical_url")
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_variants"))
-      .join(df.select(col(idCol), col(urlCol)), Seq(idCol))
-  }
-
   /** Per-fetch URL decisions — the crawl pre-stage that runs BEFORE
     * the content-dedup capstone (q190): every raw fetch is classified
     * `bad_url` (does not canonicalize — route to quarantine), `kept`

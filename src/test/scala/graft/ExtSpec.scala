@@ -672,6 +672,28 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(12L), s"kept $kept")
   }
 
+  test("ngramContaminated flags exactly the verbatim-sharing docs with exact gram counts") {
+    import graft.ext.Dedup
+    val leak = "one two three four five"               // a 5-gram in the eval set
+    val training = Seq(
+      (10L, s"prefix words $leak suffix words"),       // contains the leaked 5-gram
+      (11L, s"$leak six seven"),                       // two shared 5-grams (shifted windows)
+      (12L, "one two three nine ten eleven twelve"),   // only a shorter prefix → clean at n=5
+      (13L, "totally different content here indeed"))  // clean
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((1L, s"$leak six")).toDF("doc_id", "text")
+    val got = Dedup.ngramContaminated(training, evalDocs, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // eval grams: "one two three four five", "two three four five six"
+    assert(got == Map(10L -> 1L, 11L -> 2L), s"got $got")
+    // the flags anti-join cleanly: survivors are the unflagged docs
+    val kept = training.join(
+        Dedup.ngramContaminated(training, evalDocs, "doc_id", "text", n = 5),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L))
+  }
+
   test("banded self-join spreads a planted hot cluster's quadratic work across tasks") {
     import graft.ext.Dedup
     // 400 one-token-edit docs: near-identical (high Jaccard) but NOT
