@@ -147,7 +147,8 @@ object Bench {
     "q212_graph_walks_bucketed", "q213_url_canon", "q214_host_rollup",
     "q215_crawl_url_dedup", "q216_crawl_staged_dedup", "q217_host_budget",
     "q218_url_canon_stream", "q219_link_graph", "q220_host_pagerank",
-    "q221_linkgraph_incremental", "q222_ngram_decontaminate")
+    "q221_linkgraph_incremental", "q222_ngram_decontaminate",
+    "q223_robots_filter")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -1109,6 +1109,25 @@ object SparkEntry {
       linkEdges(t(s, dir, "documents")).groupBy("src_host", "dst_host")
         .agg(count(lit(1)).as("n_links"))),
 
+    // ── robots-style allow/deny by LONGEST-prefix match (the crawl-
+    // compliance stage): a broadcast (host, prefix, allow) policy
+    // table; each fetch takes its longest matching prefix rule —
+    // '/' allows, '/Docs/<d>' denies a subtree, '/Docs/<d>7' is an
+    // allow-override beneath it, so precedence is exercised three
+    // levels deep. Unmatched fetches default to allow. ──
+    "q223_robots_filter" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val raw = urlFixture(t(s, dir, "documents")).drop("n_chars")
+        .filter(UrlCanon.canonicalUrl(col("url")).isNotNull)
+      val rules = s.range(0, 20).selectExpr(
+        "concat('www.src', CAST(id AS STRING), '.example.com') AS host",
+        "inline(array(" +
+          "struct('/' AS prefix, true AS allow), " +
+          "struct(concat('/Docs/', CAST(id % 7 AS STRING)) AS prefix, false AS allow), " +
+          "struct(concat('/Docs/', CAST(id % 7 AS STRING), '7') AS prefix, true AS allow)))")
+      UrlCanon.robotsDecide(raw, "doc_id", "url", rules)
+    }),
+
     // ── EXACT n-gram decontamination (the verbatim-leak rule,
     // complementing q87's minhash near-dup rule): a training doc is
     // flagged iff it shares ANY word 8-gram with the eval slice —
@@ -3682,7 +3701,7 @@ object SparkEntry {
       |    regexp_extract(url, '\?([^#]*)', 1) AS query
       |  FROM raw),
       |canon AS (
-      |  SELECT doc_id, n_chars, url, auth,
+      |  SELECT doc_id, n_chars, url, auth, rawpath,
       |    CASE WHEN scheme = '' THEN NULL ELSE
       |      scheme || '://'
       |      || lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1))
@@ -4751,6 +4770,37 @@ object SparkEntry {
     // identical-oracle certification: the incremental fold must equal
     // the one-shot extraction
     "q221_linkgraph_incremental" -> LinkGraphSelectSql,
+
+    // longest-prefix precedence mirrored with an explicit NULLS
+    // ordering matching Spark's desc/asc defaults
+    "q223_robots_filter" -> (UrlCanonChainSql +
+      """,
+        |f AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+        |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(rawpath, '/+$', '') END AS path
+        |  FROM canon WHERE canonical_url IS NOT NULL),
+        |ids AS (SELECT unnest(range(0, 20)) AS i),
+        |rl AS (
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com' AS host,
+        |    '/' AS prefix, TRUE AS allow FROM ids
+        |  UNION ALL
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+        |    '/Docs/' || CAST(i % 7 AS VARCHAR), FALSE FROM ids
+        |  UNION ALL
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+        |    '/Docs/' || CAST(i % 7 AS VARCHAR) || '7', TRUE FROM ids),
+        |m AS (
+        |  SELECT f.doc_id, f.url, f.host, f.path, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY f.doc_id
+        |      ORDER BY length(r.prefix) DESC NULLS LAST, r.prefix ASC NULLS FIRST)
+        |      AS rk
+        |  FROM f LEFT JOIN rl r
+        |    ON r.host = f.host AND starts_with(f.path, r.prefix))
+        |SELECT doc_id, url, host, path, prefix AS rule_prefix,
+        |  CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END AS decision
+        |FROM m WHERE rk = 1""".stripMargin),
 
     // q18's shingle machinery at n=8; raw gram strings join directly
     "q222_ngram_decontaminate" ->

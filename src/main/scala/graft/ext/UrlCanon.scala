@@ -50,6 +50,16 @@ object UrlCanon {
     lower(regexp_extract(auth, "^(?:[^@]*@)?([^:]*)", 1))
   }
 
+  /** Canonical path: everything after the authority up to ? or #,
+    * trailing slashes collapsed, empty path → "/".
+    */
+  def canonicalPath(url: Column): Column = {
+    val rawPath = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+  }
+
   /** The canonical URL, or NULL for non-URL strings. */
   def canonicalUrl(url: Column): Column = {
     val scheme = schemeOf(url)
@@ -61,12 +71,7 @@ object UrlCanon {
         (scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"), lit(""))
       .otherwise(concat(lit(":"), port))
-    // path: everything after the authority up to ? or # ; collapse
-    // trailing slashes; empty path canonicalizes to "/"
-    val rawPath = regexp_extract(url,
-      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
-      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val path = canonicalPath(url)
     // query: between the first ? and the fragment; params sorted
     // bytewise so a=1&b=2 == b=2&a=1 (dropped entirely when empty)
     val query = regexp_extract(url, "\\?([^#]*)", 1)
@@ -100,6 +105,40 @@ object UrlCanon {
           .when(col(idCol) === col("__keep_id"), lit("kept"))
           .otherwise(lit("dup_url")))
       .drop("__keep_id")
+  }
+
+  /** Robots-style allow/deny filtering by LONGEST-prefix match — the
+    * crawl-compliance stage: `rules` is (host, prefix, allow) — a
+    * robots.txt-shaped policy table, tiny next to the fetch log, so it
+    * BROADCASTS; each fetch joins its canonical host's rules whose
+    * prefix is a string prefix of its canonical path, and the longest
+    * matching prefix wins (the robots.txt precedence rule; ties break
+    * on the prefix string for a total order). Fetches matching no rule
+    * default to allow.
+    *
+    * Shape: one broadcast theta-join (host equality + startswith) +
+    * one per-fetch rank window over the handful of matched rules —
+    * the fetch log never shuffles except for that bounded window,
+    * whose partition is the fetch id (≤ |rules per host| rows each).
+    */
+  def robotsDecide(
+      fetches: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val f = fetches
+      .withColumn("host", canonicalHost(col(urlCol)))
+      .withColumn("path", canonicalPath(col(urlCol)))
+    val r = broadcast(rules.select(col("host").as("__rhost"),
+      col("prefix"), col("allow")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(length(col("prefix")).desc, col("prefix").asc)
+    f.join(r, col("host") === col("__rhost") &&
+        col("path").startsWith(col("prefix")), "left")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(urlCol), col("host"), col("path"),
+        col("prefix").as("rule_prefix"),
+        when(coalesce(col("allow"), lit(true)), lit("allow"))
+          .otherwise(lit("deny")).as("decision"))
   }
 
   /** Host-grain crawl rollup over the URL-deduped corpus: per

@@ -53,4 +53,28 @@ class UrlCanonSpec extends SparkSpec {
     assert(roll("a.com") == ((1L, 3L, 10L)), s"got ${roll("a.com")}")
     assert(roll("b.com") == ((1L, 2L, 7L)))
   }
+
+  test("robotsDecide: longest prefix wins, allow-override beats deny, no-rule defaults allow") {
+    val fetches = Seq(
+      (1L, "http://a.com/private/x"),     // deny /private
+      (2L, "http://a.com/private/ok/y"),  // allow-override /private/ok
+      (3L, "http://a.com/public"),        // only '/' matches -> allow
+      (4L, "http://B.com:80/anything"))   // host has no rules -> default allow
+      .toDF("id", "url")
+    val rules = Seq(
+      ("a.com", "/", true),
+      ("a.com", "/private", false),
+      ("a.com", "/private/ok", true))
+      .toDF("host", "prefix", "allow")
+    val got = UrlCanon.robotsDecide(fetches, "id", "url", rules)
+      .select("id", "rule_prefix", "decision")
+      .as[(Long, Option[String], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some("/private"), "deny")))
+    assert(got(2L) == ((Some("/private/ok"), "allow")),
+      "the deeper allow must override the /private deny")
+    assert(got(3L) == ((Some("/"), "allow")))
+    assert(got(4L) == ((None, "allow")), "unruled host defaults to allow")
+    assert(got.size == 4, "exactly one decision per fetch")
+  }
 }
