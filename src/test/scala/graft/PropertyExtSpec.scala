@@ -316,4 +316,50 @@ class PropertyExtSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: canonicalUrl is IDEMPOTENT and normal-form on random messy URLs") {
+    import graft.ext.UrlCanon
+    // generator covers every variation axis the canonicalizer claims to
+    // normalize: scheme/host case, userinfo, explicit default + odd
+    // ports, duplicate trailing slashes, unordered query params,
+    // fragments — plus occasional non-URL garbage
+    val genUrl: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "hTtPs")
+      user <- Gen.oneOf("", "u@", "a:b@")
+      host <- Gen.oneOf("Example.COM", "www.site.org", "A.B.C")
+      port <- Gen.oneOf("", ":80", ":443", ":8080", ":65000")
+      path <- Gen.oneOf("", "/", "/P/q", "/P/q/", "/P//", "/CaseSensitive")
+      qparams <- Gen.someOf(Seq("b=2", "a=1", "z=9", "a=0"))
+      frag <- Gen.oneOf("", "#f", "#Frag")
+      junk <- Gen.frequency(9 -> Gen.const(""), 1 -> Gen.const("junk "))
+    } yield {
+      val q = if (qparams.isEmpty) "" else qparams.mkString("?", "&", "")
+      s"$junk$scheme://$user$host$port$path$q$frag"
+    }
+    val urls = (0 until 12).map(i => sample(Gen.listOfN(40, genUrl), 400L + i))
+      .flatten.distinct
+    val rows = urls.toDF("url")
+      .select(col("url"), UrlCanon.canonicalUrl(col("url")).as("c1"))
+      .withColumn("c2", UrlCanon.canonicalUrl(col("c1")))
+      .as[(String, Option[String], Option[String])].collect()
+    assert(rows.nonEmpty && rows.exists(_._2.isDefined) && rows.exists(_._2.isEmpty),
+      "generator must produce both URLs and junk")
+    rows.foreach { case (u, c1, c2) =>
+      assert(c1 == c2, s"canonicalUrl not idempotent: $u -> $c1 -> $c2")
+      c1.foreach { c =>
+        // normal form: lowercase scheme+host, no userinfo, no fragment,
+        // no default port, no trailing slash (except root), sorted query
+        val scheme = c.takeWhile(_ != ':')
+        assert(scheme == scheme.toLowerCase, s"scheme case survives: $c")
+        assert(!c.contains("@"), s"userinfo survives: $c")
+        assert(!c.contains("#"), s"fragment survives: $c")
+        assert(!c.contains(":80/") && !c.endsWith(":80") || scheme != "http",
+          s"http default port survives: $c")
+        val query = c.dropWhile(_ != '?').drop(1)
+        if (query.nonEmpty)
+          assert(query.split("&").toSeq == query.split("&").toSeq.sorted,
+            s"query not sorted: $c")
+      }
+    }
+  }
 }
