@@ -95,9 +95,13 @@ object SparkEntry {
         when(col("doc_id") % 9 === 0,
           lit(" <a href=\"not a url\">junk</a>")).otherwise(lit("")),
         lit("</body></html>")).as("html"))
+    // explode_OUTER: a plain explode over the derived array would let
+    // InferFiltersFromGenerate re-inline the html+regex chain into a
+    // pre-filter (the q222 postmortem); the canonicalUrl null filter
+    // below also swallows explode_outer's empty-array null row
     html.select(
         UrlCanon.canonicalHost(messyUrl(col("doc_id"))).as("src_host"),
-        explode(expr("""regexp_extract_all(html, 'href="([^"]*)"', 1)"""))
+        explode_outer(expr("""regexp_extract_all(html, 'href="([^"]*)"', 1)"""))
           .as("href"))
       .filter(UrlCanon.canonicalUrl(col("href")).isNotNull)
       .withColumn("dst_host", UrlCanon.canonicalHost(col("href")))
