@@ -3702,7 +3702,7 @@ object SparkEntry {
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
       |      AS rawpath,
-      |    regexp_extract(url, '\?([^#]*)', 1) AS query
+      |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
       |  FROM raw),
       |canon AS (
       |  SELECT doc_id, n_chars, url, auth, rawpath,
@@ -4798,7 +4798,8 @@ object SparkEntry {
         |m AS (
         |  SELECT f.doc_id, f.url, f.host, f.path, r.prefix, r.allow,
         |    row_number() OVER (PARTITION BY f.doc_id
-        |      ORDER BY length(r.prefix) DESC NULLS LAST, r.prefix ASC NULLS FIRST)
+        |      ORDER BY length(r.prefix) DESC NULLS LAST, r.prefix ASC NULLS FIRST,
+        |        r.allow DESC NULLS LAST)
         |      AS rk
         |  FROM f LEFT JOIN rl r
         |    ON r.host = f.host AND starts_with(f.path, r.prefix))

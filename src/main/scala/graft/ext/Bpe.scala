@@ -107,6 +107,9 @@ object Bpe {
         r += 1
       }
     }
+    // the FINAL round's checkpoint has no further consumer either —
+    // free it deterministically rather than waiting on ContextCleaner
+    vocab.unpersist()
     out.result()
   }
 

@@ -72,9 +72,13 @@ object UrlCanon {
         (scheme === "https" && port === "443"), lit(""))
       .otherwise(concat(lit(":"), port))
     val path = canonicalPath(url)
-    // query: between the first ? and the fragment; params sorted
+    // query: from the FIRST '?' — which must come BEFORE any '#'
+    // (an unanchored \? would match a '?' inside the fragment and leak
+    // fragment text into the canonical key; the [^#?]* prefix rejects
+    // that and pins the first '?', with no greedy backtracking
+    // ambiguity when the query itself contains '?'); params sorted
     // bytewise so a=1&b=2 == b=2&a=1 (dropped entirely when empty)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val sortedQuery = array_join(array_sort(split(query, "&")), "&")
     val queryPart = when(query === "", lit(""))
       .otherwise(concat(lit("?"), sortedQuery))
@@ -112,9 +116,11 @@ object UrlCanon {
     * robots.txt-shaped policy table, tiny next to the fetch log, so it
     * BROADCASTS; each fetch joins its canonical host's rules whose
     * prefix is a string prefix of its canonical path, and the longest
-    * matching prefix wins (the robots.txt precedence rule; ties break
-    * on the prefix string for a total order). Fetches matching no rule
-    * default to allow.
+    * matching prefix wins (the robots.txt precedence rule); among
+    * rules with the SAME (host, prefix) — the Allow/Disallow-same-path
+    * shape — ALLOW wins, the standard robots tie rule, which also
+    * makes the rank a total order (host+prefix+allow is a set).
+    * Fetches matching no rule default to allow.
     *
     * Shape: one broadcast theta-join (host equality + startswith) +
     * one per-fetch rank window over the handful of matched rules —
@@ -130,7 +136,8 @@ object UrlCanon {
     val r = broadcast(rules.select(col("host").as("__rhost"),
       col("prefix"), col("allow")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
-      .orderBy(length(col("prefix")).desc, col("prefix").asc)
+      .orderBy(length(col("prefix")).desc, col("prefix").asc,
+        col("allow").desc)
     f.join(r, col("host") === col("__rhost") &&
         col("path").startsWith(col("prefix")), "left")
       .withColumn("__rk", row_number().over(w))

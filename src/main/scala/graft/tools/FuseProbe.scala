@@ -33,12 +33,14 @@ object FuseProbe {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** The portable composed cosine — q207's exact recipe. */
+  /** The portable composed cosine — the CANONICAL SimSearch recipe
+    * (the exact expression tree FuseCosine rewrites in production
+    * queries; building it from the shared helpers keeps this probe
+    * pinned to the real pattern if the recipe ever changes).
+    */
   private def composedCos(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    import graft.ext.SimSearch
+    SimSearch.cosine(SimSearch.dotD(a, b), SimSearch.norm2(a), SimSearch.norm2(b))
   }
 
   def main(args: Array[String]): Unit = {

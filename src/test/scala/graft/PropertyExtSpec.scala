@@ -330,7 +330,7 @@ class PropertyExtSpec extends SparkSpec {
       port <- Gen.oneOf("", ":80", ":443", ":8080", ":65000")
       path <- Gen.oneOf("", "/", "/P/q", "/P/q/", "/P//", "/CaseSensitive")
       qparams <- Gen.someOf(Seq("b=2", "a=1", "z=9", "a=0"))
-      frag <- Gen.oneOf("", "#f", "#Frag")
+      frag <- Gen.oneOf("", "#f", "#Frag", "#/route?tab=2", "#a?b=1")
       junk <- Gen.frequency(9 -> Gen.const(""), 1 -> Gen.const("junk "))
     } yield {
       val q = if (qparams.isEmpty) "" else qparams.mkString("?", "&", "")

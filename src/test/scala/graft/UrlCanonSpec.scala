@@ -27,6 +27,14 @@ class UrlCanonSpec extends SparkSpec {
       == Seq(Some("http://h.com/CaseSensitive?z=1")))
     // fragment-only difference merges
     assert(canon("http://h.com/p#a").head == canon("http://h.com/p#b").head)
+    // a '?' INSIDE the fragment is fragment text, not a query — it
+    // must not leak into the canonical key (SPA-route shape)
+    assert(canon("http://h.com/p#a?b=1") == Seq(Some("http://h.com/p")))
+    assert(canon("http://h.com/app#/route?tab=2")
+      == Seq(Some("http://h.com/app")))
+    // a literal '?' inside the query survives (only the FIRST '?'
+    // starts the query)
+    assert(canon("http://h.com/p?a=1?x#f") == Seq(Some("http://h.com/p?a=1?x")))
     // non-URLs -> NULL (quarantine route), never a garbage key
     assert(canon("not a url", "", "host.com/path", "://x")
       == Seq(None, None, None, None))
@@ -76,5 +84,13 @@ class UrlCanonSpec extends SparkSpec {
     assert(got(3L) == ((Some("/"), "allow")))
     assert(got(4L) == ((None, "allow")), "unruled host defaults to allow")
     assert(got.size == 4, "exactly one decision per fetch")
+    // Allow/Disallow on the SAME path — the robots tie rule: allow
+    // wins, deterministically (not a partition-order coin flip)
+    val tied = Seq(("c.com", "/x", true), ("c.com", "/x", false))
+      .toDF("host", "prefix", "allow")
+    val tie = UrlCanon.robotsDecide(
+        Seq((9L, "http://c.com/x/page")).toDF("id", "url"), "id", "url", tied)
+      .select("decision").as[String].collect().toSeq
+    assert(tie == Seq("allow"), s"same-path tie must resolve allow, got $tie")
   }
 }
