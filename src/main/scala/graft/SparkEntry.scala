@@ -1113,6 +1113,14 @@ object SparkEntry {
       linkEdges(t(s, dir, "documents")).groupBy("src_host", "dst_host")
         .agg(count(lit(1)).as("n_links"))),
 
+    // ── STREAMING ANN serving: the stored IVF index probed by a live
+    // query stream (parquet waves → foreachBatch probe against the
+    // frozen index). Per-query top-k is batch-independent, so the
+    // accumulated results must equal the one-shot q88 probe —
+    // certified against q88's oracle VERBATIM. ──
+    "q224_ann_stream_probe" -> ((s, dir) =>
+      graft.streaming.StreamingReports.ivfStreamProbeReplay(s, dir)),
+
     // ── robots-style allow/deny by LONGEST-prefix match (the crawl-
     // compliance stage): a broadcast (host, prefix, allow) policy
     // table; each fetch takes its longest matching prefix rule —
@@ -4424,6 +4432,9 @@ object SparkEntry {
     // (parquet float round-trip is lossless), and nprobe = nlist is
     // exhaustive — so probe-from-storage must equal brute force.
     "q88_sim_topk_ivf_stored" -> IvfExhaustiveTopkSql,
+    // identical-oracle certification: the streaming serving path must
+    // accumulate exactly the one-shot stored-index probe
+    "q224_ann_stream_probe" -> IvfExhaustiveTopkSql,
 
     // Crawl-ingestion truth: rebuild every wave's lines from
     // `documents` (the fixture IS corpus-derived), classify with exact

@@ -698,6 +698,56 @@ object StreamingReports {
     spark.table(mem)
   }
 
+  /** Streaming ANN serving — the stored IVF index probed by a LIVE
+    * query stream: query embeddings land as PARQUET waves (bit-exact
+    * floats — a JSONL text round-trip could drop ulps) and each
+    * microbatch is probed via foreachBatch against the SAME frozen
+    * index (stream-static: the index never changes mid-stream), the
+    * per-batch results appended to an output dir. Per-query top-k is
+    * independent across queries, so the accumulated output must equal
+    * the one-shot batch probe — q224 certifies against q88's oracle
+    * VERBATIM. This is the production serving shape: the corpus is
+    * never re-assigned; a query batch costs O(|batch|·nprobe lists).
+    */
+  def ivfStreamProbeReplay(outer: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.SimSearch
+    val spark = replaySession(outer)
+    val emb = graft.tables.Corpus.load(spark, sfDir, "embeddings")
+    val fp = graft.operators.IndexStore.fingerprint(s"$sfDir/embeddings.parquet")
+    val idxPath = graft.operators.IndexStore.ensure(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${fp}_n16") { staging =>
+      SimSearch.writeIvfIndex(
+        SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16), staging)
+    }
+    val idx = SimSearch.readIvfIndex(spark, idxPath)
+    // register the codegen'd cosine BEFORE the stream starts: the
+    // microbatch executes under a cloned session whose function
+    // registry is copied at stream START — a registration made inside
+    // foreachBatch lands on the wrong registry and the probe fails
+    // with UNRESOLVED_ROUTINE cosine_sim
+    graft.plans.CosineSimilarity.register(spark)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    val landing = java.nio.file.Files.createTempDirectory("graft-ann-stream")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ann-out")
+    def deliverWave(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(landing.toString)
+    deliverWave(queries.filter(col("vec_id") % 100 === 0))
+    val q = spark.readStream.schema(queries.schema).parquet(landing.toString)
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        SimSearch.ivfTopKAgainstIndex(idx, batch, "vec_id", "embedding",
+            k = 5, nprobe = 16)
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      deliverWave(queries.filter(col("vec_id") % 100 =!= 0))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(landing) }
+    spark.read.parquet(outDir.toString)
+  }
+
   /** Replay the landing dir in the same two reversed waves as
     * [[cdcUpsertReplay]], keep every version, then TIME-TRAVEL: diff
     * the first committed snapshot against the last via [[Diff]]'s
