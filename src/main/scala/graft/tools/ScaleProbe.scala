@@ -335,6 +335,60 @@ object ScaleProbe {
             buckets = 32, table = tbl,
             path = s"${System.getProperty("java.io.tmpdir")}/$tbl")
         }),
+        // round-11 URL/crawl family. Copies offset doc_id by 1e8 but
+        // the url formulas take doc_id MOD small constants, so the
+        // host/canonical space stays FIXED while fetches grow ×n —
+        // the hot-group stress these operators face in reality (a few
+        // big hosts dominate a crawl). Expected ~linear: projections +
+        // keyed aggs + a broadcast policy join; the per-fetch robots
+        // window is bounded by rules-per-host.
+        run("url_decisions", {
+          val url = concat(lit("http://WWW.src"),
+            (col("doc_id") % 20).cast("string"),
+            lit(".Example.COM"),
+            when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+            lit("/Docs/"), (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 4 === 0, lit("?b=2&a=1"))
+              .when(col("doc_id") % 4 === 1, lit("?a=1&b=2"))
+              .otherwise(lit("")))
+          graft.ext.UrlCanon.urlDecisions(
+            d.select(col("doc_id"), url.as("url")), "url", "doc_id")
+        }),
+        run("link_graph", {
+          import graft.ext.UrlCanon
+          def u(id: org.apache.spark.sql.Column) = concat(
+            lit("http://www.src"), (id % 20).cast("string"),
+            lit(".example.com/Docs/"), (id % 50).cast("string"))
+          // quadratic targets on a BOUNDED residue (offset copies put
+          // doc_id near 5e9 at 50× — squaring the raw id would
+          // overflow BIGINT)
+          val t = col("doc_id") % 1000
+          val html = d.select(col("doc_id"),
+            concat(lit("<a href=\""), u(t * (t + 3) + 1),
+              lit("\">a</a> <a href=\""),
+              u(t * (t + 7) + 5),
+              lit("\">b</a>")).as("html"))
+          html.select(
+              UrlCanon.canonicalHost(u(col("doc_id"))).as("src_host"),
+              explode_outer(expr(
+                """regexp_extract_all(html, 'href="([^"]*)"', 1)""")).as("href"))
+            .filter(UrlCanon.canonicalUrl(col("href")).isNotNull)
+            .withColumn("dst_host", UrlCanon.canonicalHost(col("href")))
+            .filter(col("src_host") =!= col("dst_host"))
+            .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
+        }),
+        run("robots", {
+          val url = concat(lit("http://www.src"),
+            (col("doc_id") % 20).cast("string"),
+            lit(".example.com/Docs/"), (col("doc_id") % 50).cast("string"))
+          val rules = spark.range(0, 20).selectExpr(
+            "concat('www.src', CAST(id AS STRING), '.example.com') AS host",
+            "inline(array(" +
+              "struct('/' AS prefix, true AS allow), " +
+              "struct(concat('/Docs/', CAST(id % 7 AS STRING)) AS prefix, false AS allow)))")
+          graft.ext.UrlCanon.robotsDecide(
+            d.select(col("doc_id"), url.as("url")), "doc_id", "url", rules)
+        }),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
           // split — label = id%10 would pin every label to ONE parity
