@@ -148,7 +148,7 @@ object Bench {
     "q215_crawl_url_dedup", "q216_crawl_staged_dedup", "q217_host_budget",
     "q218_url_canon_stream", "q219_link_graph", "q220_host_pagerank",
     "q221_linkgraph_incremental", "q222_ngram_decontaminate",
-    "q223_robots_filter", "q224_ann_stream_probe")
+    "q223_robots_filter", "q224_ann_stream_probe", "q225_dataset_card")
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {

@@ -1113,6 +1113,38 @@ object SparkEntry {
       linkEdges(t(s, dir, "documents")).groupBy("src_host", "dst_host")
         .agg(count(lit(1)).as("n_links"))),
 
+    // ── DATASET CARD: the one-table audit manifest a training-data
+    // owner publishes — corpus size, source/language mix, byte/token
+    // mass, exact-dup burden, size extremes — as (metric, value)
+    // rows from ONE scan + one flat aggregate (the multi-
+    // count_distinct Expand is the documented q67 trade), unpivoted
+    // via inline(array(struct…)) (stack() rejects heterogeneous
+    // field names — the round-7 lesson). All-integer ⇒ row-certifies.
+    "q225_dataset_card" -> ((s, dir) => {
+      // card over a corpus WITH re-ingested mass (the q103/q189
+      // fixture pattern): documents plus a %13 slice under new ids —
+      // the synthetic base corpus has zero byte-identical texts, so
+      // the dup metric would be vacuously 0 on it
+      val base = t(s, dir, "documents")
+      val docs = base.unionByName(base.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val agg = docs.agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_bytes"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("total_tokens"),
+        (count(lit(1)) - count_distinct(md5(col("text"))))
+          .as("n_exact_dup_docs"),
+        max(col("n_chars")).as("max_doc_bytes"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short_docs"))
+      val metrics = Seq("n_docs", "n_sources", "n_langs", "total_bytes",
+        "total_tokens", "n_exact_dup_docs", "max_doc_bytes", "n_short_docs")
+      agg.select(inline(array(
+        metrics.map(m => struct(lit(m).as("metric"), col(m).as("value"))): _*)))
+    }),
+
     // ── STREAMING ANN serving: the stored IVF index probed by a live
     // query stream (parquet waves → foreachBatch probe against the
     // frozen index). Per-query top-k is batch-independent, so the
@@ -4435,6 +4467,37 @@ object SparkEntry {
     // identical-oracle certification: the streaming serving path must
     // accumulate exactly the one-shot stored-index probe
     "q224_ann_stream_probe" -> IvfExhaustiveTopkSql,
+
+    "q225_dataset_card" ->
+      """WITH v2 AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |t AS (
+        |  SELECT text, lang, source, n_chars,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_toks
+        |  FROM v2),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+        |      AS n_exact_dup_docs,
+        |    CAST(max(n_chars) AS BIGINT) AS max_doc_bytes,
+        |    CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_short_docs
+        |  FROM t)
+        |SELECT 'n_docs' AS metric, n_docs AS value FROM a
+        |UNION ALL SELECT 'n_sources', n_sources FROM a
+        |UNION ALL SELECT 'n_langs', n_langs FROM a
+        |UNION ALL SELECT 'total_bytes', total_bytes FROM a
+        |UNION ALL SELECT 'total_tokens', total_tokens FROM a
+        |UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM a
+        |UNION ALL SELECT 'max_doc_bytes', max_doc_bytes FROM a
+        |UNION ALL SELECT 'n_short_docs', n_short_docs FROM a""".stripMargin,
 
     // Crawl-ingestion truth: rebuild every wave's lines from
     // `documents` (the fixture IS corpus-derived), classify with exact
