@@ -734,10 +734,14 @@ object StreamingReports {
       df.coalesce(1).write.mode("append").parquet(landing.toString)
     deliverWave(queries.filter(col("vec_id") % 100 === 0))
     val q = spark.readStream.schema(queries.schema).parquet(landing.toString)
-      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch OVERWRITE dir, not a blind append: a replayed
+        // batch (restart between write and commit) rewrites its own
+        // dir instead of duplicating rows — the engine's idempotent-
+        // replay discipline (applyCdcBatch/applyCrawlBatch family)
         SimSearch.ivfTopKAgainstIndex(idx, batch, "vec_id", "embedding",
             k = 5, nprobe = 16)
-          .write.mode("append").parquet(outDir.toString)
+          .write.mode("overwrite").parquet(f"$outDir/b$batchId%05d")
         ()
       }.start()
     try {
@@ -745,7 +749,9 @@ object StreamingReports {
       deliverWave(queries.filter(col("vec_id") % 100 =!= 0))
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.read.parquet(outDir.toString)
+    // recursiveFileLookup, not a "b*" glob: the glob path triggers a
+    // noisy FileStreamSink metadata probe warning on every read
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir.toString)
   }
 
   /** Replay the landing dir in the same two reversed waves as
