@@ -735,14 +735,7 @@ object StreamingReports {
     deliverWave(queries.filter(col("vec_id") % 100 === 0))
     val q = spark.readStream.schema(queries.schema).parquet(landing.toString)
       .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // per-batch OVERWRITE dir, not a blind append: a replayed
-        // batch (restart between write and commit) rewrites its own
-        // dir instead of duplicating rows — the engine's idempotent-
-        // replay discipline (applyCdcBatch/applyCrawlBatch family)
-        SimSearch.ivfTopKAgainstIndex(idx, batch, "vec_id", "embedding",
-            k = 5, nprobe = 16)
-          .write.mode("overwrite").parquet(f"$outDir/b$batchId%05d")
-        ()
+        applyAnnProbeBatch(idx, batch, outDir.toString, batchId)
       }.start()
     try {
       q.processAllAvailable()
@@ -752,6 +745,21 @@ object StreamingReports {
     // recursiveFileLookup, not a "b*" glob: the glob path triggers a
     // noisy FileStreamSink metadata probe warning on every read
     spark.read.option("recursiveFileLookup", "true").parquet(outDir.toString)
+  }
+
+  /** Apply one ANN-serving microbatch: probe the frozen index, write
+    * the results to the batch's OWN overwrite dir — not a blind
+    * append — so a replayed batch (restart between write and stream
+    * commit) rewrites its dir instead of duplicating rows (the
+    * applyCdcBatch/applyCrawlBatch idempotent-replay discipline;
+    * StreamingSpec replays a batch twice and counts).
+    */
+  private[graft] def applyAnnProbeBatch(
+      idx: graft.ext.SimSearch.IvfIndex, batch: DataFrame,
+      outDir: String, batchId: Long): Unit = {
+    graft.ext.SimSearch.ivfTopKAgainstIndex(
+        idx, batch, "vec_id", "embedding", k = 5, nprobe = 16)
+      .write.mode("overwrite").parquet(f"$outDir/b$batchId%05d")
   }
 
   /** Replay the landing dir in the same two reversed waves as

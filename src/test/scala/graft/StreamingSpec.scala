@@ -458,4 +458,30 @@ class StreamingSpec extends SparkSpec {
     assert(partFiles("v000000002") == before && setsRows(999L) == 0,
       "a manifested batch is immutable under redelivery")
   }
+
+  test("ANN serving batch: replaying a batch overwrites its dir — no duplicated results") {
+    import graft.ext.SimSearch
+    import graft.streaming.StreamingReports
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    val idx = SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-ann-replay").toString
+    val batch = emb.filter(col("vec_id") % 8 === 0)
+    StreamingReports.applyAnnProbeBatch(idx, batch, out, 0L)
+    val once = spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .collect().toSet
+    assert(once.nonEmpty, "probe batch must produce results")
+    // crash-replay: the SAME batch id applied again must leave the
+    // accumulated results byte-identical, not doubled
+    StreamingReports.applyAnnProbeBatch(idx, batch, out, 0L)
+    val twice = spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .collect().toSet
+    assert(twice == once, "replayed batch duplicated or changed results")
+    // a NEW batch id lands in its own dir alongside
+    StreamingReports.applyAnnProbeBatch(idx, emb.filter(col("vec_id") % 8 === 1),
+      out, 1L)
+    val both = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    assert(both.count() > once.size, "second batch must append its own dir")
+  }
 }
