@@ -108,6 +108,19 @@ object SparkEntry {
       .filter(col("src_host") =!= col("dst_host"))
   }
 
+  /** The re-ingested dup-slice fixture arm shared by q103/q189/q225:
+    * the %13 slice of `documents` re-appears under +1000000 ids — the
+    * "corpus v2 with re-crawled mass" shape the diff/refresh/card
+    * queries all document. ONE Scala site to keep in lockstep with
+    * the three oracle-SQL mirrors.
+    */
+  private def dupSliceArm(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+
+  private def withDupSlice(docs: DataFrame): DataFrame =
+    docs.unionByName(dupSliceArm(docs))
+
   /** Flagship query; driver smoke-checks rows>0 (sf dir overridable). */
   def entry(spark: SparkSession): DataFrame =
     queries("q2_top10")(spark,
@@ -628,16 +641,10 @@ object SparkEntry {
     "q88_sim_topk_ivf_stored" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // build-once like q79: runs after the first probe the stored
-      // index, so the bench median measures the probe-only path.
-      // Content-keyed path + staged atomic commit (IndexStore): a
-      // regenerated dataset gets a fresh index, and a crash mid-build
-      // can never leave a params-complete but data-incomplete tree.
-      val fp = graft.operators.IndexStore.fingerprint(s"$dir/embeddings.parquet")
-      val idxPath = graft.operators.IndexStore.ensure(
-        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${fp}_n16") { staging =>
-        SimSearch.writeIvfIndex(
-          SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16), staging)
-      }
+      // index, so the bench median measures the probe-only path;
+      // ensureStoredIvfIndex is the shared content-keyed seam q224's
+      // streaming serving path resolves too (same index by construction)
+      val idxPath = SimSearch.ensureStoredIvfIndex(s, dir, nlist = 16)
       SimSearch.ivfTopKAgainstIndex(
         SimSearch.readIvfIndex(s, idxPath),
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
@@ -1125,9 +1132,7 @@ object SparkEntry {
       // fixture pattern): documents plus a %13 slice under new ids —
       // the synthetic base corpus has zero byte-identical texts, so
       // the dup metric would be vacuously 0 on it
-      val base = t(s, dir, "documents")
-      val docs = base.unionByName(base.filter(col("doc_id") % 13 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val docs = withDupSlice(t(s, dir, "documents"))
       val agg = docs.agg(
         count(lit(1)).as("n_docs"),
         count_distinct(col("source")).as("n_sources"),
@@ -2078,9 +2083,7 @@ object SparkEntry {
         .withColumn("text",
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")))
-        .unionByName(v1.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-            col("text"), col("lang"), col("source")))
+        .unionByName(dupSliceArm(v1))
       graft.operators.Diff.diff(v1, v2, "doc_id", Seq("text", "lang", "source"))
     }),
 
@@ -3138,9 +3141,7 @@ object SparkEntry {
         .withColumn("text",
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-            col("text"), col("lang"), col("source")))
+        .unionByName(dupSliceArm(docs))
         .localCheckpoint() // feeds diff, old/batch splits, scoring, rollup
       val d = graft.operators.Diff.diff(docs, v2, "doc_id", Seq("text"))
       val batchIds = d.filter(col("status").isin("added", "changed"))

@@ -533,6 +533,25 @@ object SimSearch {
       .write.mode("overwrite").parquet(path + "/params")
   }
 
+  /** Build-once stored IVF index for the `embeddings` table of an sf
+    * dir — the ONE content-keyed path template both the batch probe
+    * (q88) and the streaming serving path (q224) resolve, so the two
+    * certified-against-the-same-oracle queries can never silently
+    * build different indexes (they used to duplicate this block).
+    * Content-keyed (IndexStore.fingerprint) + staged atomic commit.
+    */
+  def ensureStoredIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nlist: Int = 16): String = {
+    val emb = graft.tables.Corpus.load(spark, sfDir, "embeddings")
+    val fp = graft.operators.IndexStore.fingerprint(s"$sfDir/embeddings.parquet")
+    graft.operators.IndexStore.ensure(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${fp}_n$nlist") {
+      staging =>
+        writeIvfIndex(buildIvfIndex(emb, "vec_id", "embedding", nlist), staging)
+    }
+  }
+
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val p = spark.read.parquet(path + "/params").head()
     val lists0 = spark.read.parquet(path + "/lists")

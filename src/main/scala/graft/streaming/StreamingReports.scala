@@ -713,13 +713,9 @@ object StreamingReports {
     import graft.ext.SimSearch
     val spark = replaySession(outer)
     val emb = graft.tables.Corpus.load(spark, sfDir, "embeddings")
-    val fp = graft.operators.IndexStore.fingerprint(s"$sfDir/embeddings.parquet")
-    val idxPath = graft.operators.IndexStore.ensure(
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${fp}_n16") { staging =>
-      SimSearch.writeIvfIndex(
-        SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16), staging)
-    }
-    val idx = SimSearch.readIvfIndex(spark, idxPath)
+    // the SAME stored index q88 probes (shared content-keyed seam)
+    val idx = SimSearch.readIvfIndex(spark,
+      SimSearch.ensureStoredIvfIndex(spark, sfDir, nlist = 16))
     // register the codegen'd cosine BEFORE the stream starts: the
     // microbatch executes under a cloned session whose function
     // registry is copied at stream START — a registration made inside
@@ -743,8 +739,14 @@ object StreamingReports {
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
     // recursiveFileLookup, not a "b*" glob: the glob path triggers a
-    // noisy FileStreamSink metadata probe warning on every read
-    spark.read.option("recursiveFileLookup", "true").parquet(outDir.toString)
+    // noisy FileStreamSink metadata probe warning on every read.
+    // localCheckpoint THEN delete the result dirs (the
+    // noveltyStreamReplay lifetime pattern) — returning a lazy reader
+    // would leak one temp tree per replay invocation
+    val out = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir.toString).localCheckpoint()
+    deleteRecursively(outDir)
+    out
   }
 
   /** Apply one ANN-serving microbatch: probe the frozen index, write
