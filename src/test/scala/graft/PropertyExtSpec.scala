@@ -317,6 +317,48 @@ class PropertyExtSpec extends SparkSpec {
     }
   }
 
+  test("property: robotsDecide == in-memory longest-prefix model on random policies") {
+    import graft.ext.UrlCanon
+    val prefixes = Seq("/", "/a", "/a/b", "/ab", "/b", "/a/b/c", "/abc")
+    val paths = Seq("", "/", "/a", "/a/", "/a/b", "/a/b/", "/ab", "/abc/d",
+      "/a/b/c", "/a/b/cd", "/b/x", "/c", "/a//")
+    val genRules = Gen.listOfN(12, for {
+      h <- Gen.oneOf("a.com", "b.com")
+      p <- Gen.oneOf(prefixes)
+      allow <- Gen.oneOf(true, false)
+    } yield (h, p, allow))
+    val genFetches = Gen.listOfN(30, for {
+      h <- Gen.oneOf("a.com", "b.com", "c.com")
+      p <- Gen.oneOf(paths)
+    } yield s"http://$h$p")
+    def canonPath(raw: String): String = {
+      val p = raw.replaceAll("/+$", "")
+      if (p.isEmpty) "/" else p
+    }
+    for (i <- 0 until 10) {
+      val rules = sample(genRules, 700L + i)
+      val fetches = sample(genFetches, 800L + i).zipWithIndex
+        .map { case (u, j) => (j.toLong, u) }
+      val got = UrlCanon.robotsDecide(
+          fetches.toDF("id", "url"), "id", "url",
+          rules.toDF("host", "prefix", "allow"))
+        .select("id", "decision").as[(Long, String)].collect().toMap
+      val want = fetches.map { case (id, url) =>
+        val host = url.stripPrefix("http://").takeWhile(_ != '/')
+        val path = canonPath(url.stripPrefix("http://").dropWhile(_ != '/'))
+        val m = rules.filter(r => r._1 == host && path.startsWith(r._2))
+        id -> (if (m.isEmpty) "allow"
+               else {
+                 // mirror the operator's rank: length DESC, prefix ASC,
+                 // allow DESC (allow wins a same-prefix tie)
+                 val best = m.minBy(r => (-r._2.length, r._2, !r._3))
+                 if (best._3) "allow" else "deny"
+               })
+      }.toMap
+      assert(got == want, s"seed=$i diverged:\n got=$got\nwant=$want")
+    }
+  }
+
   test("property: canonicalUrl is IDEMPOTENT and normal-form on random messy URLs") {
     import graft.ext.UrlCanon
     // generator covers every variation axis the canonicalizer claims to
