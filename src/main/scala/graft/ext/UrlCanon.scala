@@ -86,6 +86,19 @@ object UrlCanon {
       .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 
+  /** `df` + a `canonical_url` column behind a GENERATE BARRIER:
+    * downstream isNotNull filters on a plain withColumn alias get
+    * re-inlined by predicate pushdown into a pre-Exchange filter with
+    * the ENTIRE regex chain duplicated per reference (the q222/
+    * repetitionRatio re-inlining class — q215's plan carried five
+    * copies of the canonicalization inside one Filter). Predicates on
+    * Generate output are never pushed below it; explode_outer of a
+    * 1-element array emits exactly one row, null included.
+    */
+  private def withCanonicalBarriered(df: DataFrame, urlCol: String): DataFrame =
+    df.select(col("*"),
+      explode_outer(array(canonicalUrl(col(urlCol)))).as("canonical_url"))
+
   /** Per-fetch URL decisions — the crawl pre-stage that runs BEFORE
     * the content-dedup capstone (q190): every raw fetch is classified
     * `bad_url` (does not canonicalize — route to quarantine), `kept`
@@ -100,7 +113,7 @@ object UrlCanon {
     * the join key, which AQE's skew split handles.
     */
   def urlDecisions(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
-    val canon = df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+    val canon = withCanonicalBarriered(df, urlCol)
     val keep = canon.filter(col("canonical_url").isNotNull)
       .groupBy("canonical_url").agg(min(col(idCol)).as("__keep_id"))
     canon.join(keep, Seq("canonical_url"), "left")
@@ -155,8 +168,7 @@ object UrlCanon {
     */
   def hostRollup(
       df: DataFrame, urlCol: String, idCol: String, sizeCol: String): DataFrame = {
-    val deduped = df
-      .withColumn("canonical_url", canonicalUrl(col(urlCol)))
+    val deduped = withCanonicalBarriered(df, urlCol)
       .filter(col("canonical_url").isNotNull)
       .groupBy("canonical_url")
       .agg(min(struct(col(idCol), col(sizeCol))).as("__keep"),
