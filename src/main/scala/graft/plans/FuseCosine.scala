@@ -31,14 +31,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * as-of plan: expression → rule → strategy, each earned by a concrete
   * measured or structural gap.
   *
-  * WHEN IT PAYS (measured, tools/FuseProbe on 50k×100 decorrelated
-  * sf0.1 pairs, BASELINE.md round-11 row): 21× on a pure scoring
-  * product (threshold filter scan), 10× through the q19 top-k window
-  * shape — arm the flag whenever a composed cosine sits in a
-  * pair-product hot path and the fixed-dim precondition holds; the
-  * rewrite is never a regression there, since the fused expression
-  * does strictly less work per pair (one array walk, no intermediate
-  * arrays).
+  * WHEN IT PAYS (measured, tools/FuseProbe, BASELINE.md round-11
+  * rows): 21× on a 5M-pair pure scoring product and 55× at 20M pairs
+  * — the gap WIDENS with the product size — and ~10× through the q19
+  * top-k window shape at both scales. Arm the flag whenever a
+  * composed cosine sits in a pair-product hot path and the fixed-dim
+  * precondition holds; the rewrite is never a regression there, since
+  * the fused expression does strictly less work per pair (one array
+  * walk, no intermediate arrays).
   */
 object FuseCosine extends Rule[LogicalPlan] {
 
