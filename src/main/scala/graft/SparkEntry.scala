@@ -3687,7 +3687,7 @@ object SparkEntry {
         |pr AS (
         |  SELECT c.center, j.j,
         |    CAST(('0x' || substr(md5(concat_ws(':', 'gneg-v1', 'probe',
-        |      CAST(c.center AS VARCHAR), CAST(j.j AS VARCHAR))), 1, 8))
+        |      CAST(c.center AS VARCHAR), CAST(j.j AS VARCHAR))), 1, 15))
         |      AS BIGINT) % t.n_total AS pos
         |  FROM (SELECT DISTINCT center FROM pairs) c
         |  CROSS JOIN (SELECT unnest(range(1, 17)) AS j) j

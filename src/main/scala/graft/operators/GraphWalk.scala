@@ -42,7 +42,7 @@ object GraphWalk {
     * "__u").sortBy("__u","__v")`), so every hop's join reads the edge
     * buckets in place — only the frontier (|seeds| rows) moves through
     * an exchange, and the edge side needs neither shuffle nor sort
-    * (GraphSpec asserts no `Exchange hashpartitioning(__u` above the
+    * (PageRankSpec asserts no `Exchange hashpartitioning(__u` above the
     * bucketed scan). Results are identical to walks() — same edge set,
     * same md5 argmin — so the variant certifies against the SAME
     * oracle (q212 reuses q205's SQL verbatim).
@@ -119,7 +119,7 @@ object GraphWalk {
     * xxhash64 salt — replayable, NOT rand() — and the out-edge side is
     * replicated `saltBuckets`×, bounding any reducer at ~dᵢ·dₒ/buckets
     * rows for the price of buckets×|E| replicated shuffle volume.
-    * Result is exactly the unsalted join (GraphSpec proves equality
+    * Result is exactly the unsalted join (PageRankSpec proves equality
     * and measures the per-key spread on a planted hub); saltBuckets=1
     * degenerates to the plain equi-join.
     */
@@ -164,7 +164,12 @@ object GraphWalk {
     * shard-partitioned ranking windows, never a global sort — and
     * shard offsets (≤16^hexChars rows) give every node a global
     * position in [0, n). Probe j of center c lands on position
-    * md5(salt:probe:c:j) mod n — uniform over NODES, not shards — via
+    * md5(salt:probe:c:j) mod n — a 60-bit draw (15 hex chars → conv
+    * base-16, mirrored by the oracle's '0x'||substr(…,1,15) BIGINT
+    * cast), so positions cover dictionaries up to 2^60 nodes; an
+    * 8-char draw would cap reachable positions at 2^32, silently
+    * non-uniform on a >4.3B-node web-scale dictionary — uniform over
+    * NODES, not shards — via
     * a broadcast range-join against the offsets and an equi-join into
     * the addressed dictionary. Candidates that hit the center, a
     * positive context, or a position an earlier probe already drew
@@ -176,7 +181,7 @@ object GraphWalk {
     * 100-TB shape: cost is O(|centers|·probes) candidate rows — never
     * |centers|×|dictionary| — and nothing broadcasts the dictionary:
     * the only broadcasts are the ≤16^hexChars-row shard-offset
-    * aggregate and the 1-row total (GraphSpec asserts both). The old
+    * aggregate and the 1-row total (PageRankSpec asserts both). The old
     * full-dictionary argmin form (crossJoin ⨯ broadcast(nodes)) is
     * deliberately gone: it could not run on a web-scale node set.
     */
@@ -199,7 +204,7 @@ object GraphWalk {
       .crossJoin(broadcast(total))
       .withColumn("__pos", pmod(
         conv(substring(md5(concat_ws(":", lit(salt), lit("probe"),
-          col("center"), col("j"))), 1, 8), 16, 10).cast("long"),
+          col("center"), col("j"))), 1, 15), 16, 10).cast("long"),
         col("__n_total")))
     val located = probed.join(broadcast(offsets),
         col("__pos") >= col("__offset") &&
