@@ -150,6 +150,36 @@ object Bench {
     "q221_linkgraph_incremental", "q222_ngram_decontaminate",
     "q223_robots_filter", "q224_ann_stream_probe", "q225_dataset_card")
 
+  /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
+    * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only
+    * medians were reconstructible only from BASELINE.md prose. This JSON
+    * — tracked + detail-only, one query per line, name-sorted — is
+    * written to BENCH_DETAIL.json in the working directory on every FULL
+    * bench run and committed per round, so round-over-round per-query
+    * diffs are `git diff` on one file. Medians at 3 decimals (the raw
+    * per-run numbers stay on the stdout detail line).
+    */
+  def detailFileJson(
+      medians: Seq[(String, Double)], errors: Map[String, String],
+      sf: String): String = {
+    val qs = medians.sortBy(_._1)
+      .map { case (k, v) => s"    ${jstr(k)}: ${fmt(3, v)}" }
+      .mkString("{\n", ",\n", "\n  }")
+    val errJson =
+      if (errors.isEmpty) "{}"
+      else errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"    ${jstr(k)}: ${jstr(v)}" }
+        .mkString("{\n", ",\n", "\n  }")
+    s"""{
+       |  "sf": ${jstr(sf)},
+       |  "unit": "sec",
+       |  "n_queries": ${medians.size},
+       |  "medians": $qs,
+       |  "errors": $errJson
+       |}
+       |""".stripMargin
+  }
+
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
       nDetailOnly: Int = 0): String = {
     // Per-value formatter for one precision rung. `mixed = true` is the
@@ -297,6 +327,15 @@ object Bench {
       case (k, v, _) if !DetailOnlyQueries.contains(k) => (k, v)
     }
     val nDetailOnly = results.count { case (k, _, _) => DetailOnlyQueries.contains(k) }
+    // Full-suite runs also persist the complete {query: median} map to a
+    // diffable file (never on SPARK_GRAFT_ONLY subset runs — a 2-query
+    // profiling pass must not overwrite the committed full map).
+    if (only.isEmpty) {
+      val path = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        detailFileJson(results.map { case (k, v, _) => (k, v) }, errors, sfDir)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     println(contractLine(tracked, errors, sfDir, nDetailOnly))
     spark.stop()
   }

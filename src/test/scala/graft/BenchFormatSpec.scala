@@ -128,4 +128,22 @@ class BenchFormatSpec extends AnyFunSuite {
     // failures must remain visible in SOME form on the contract line
     assert(line.contains("\"errors\"") || line.contains("\"n_errors\""), line)
   }
+
+  test("detail file carries every query, name-sorted, as parseable JSON") {
+    val meds = Seq(("q2_b", 1.23456), ("q1_a", 0.1), ("q10_c", -1.0))
+    val json = Bench.detailFileJson(meds, Map("q10_c" -> "boom \"x\""), "sfdir")
+    // every query present at 3 decimals, names in sorted order
+    assert(json.contains("\"q1_a\": 0.100"))
+    assert(json.contains("\"q2_b\": 1.235"))
+    assert(json.contains("\"q10_c\": -1.000"))
+    assert(json.indexOf("q10_c") < json.indexOf("q1_a"))
+    assert(json.indexOf("q1_a") < json.indexOf("q2_b"))
+    assert(json.contains("\"n_queries\": 3"))
+    // structurally valid JSON: balanced braces, escaped error text
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+    assert(json.contains("boom \\\"x\\\""))
+    // one median per line — the git-diffability contract
+    val medianLines = json.linesIterator.count(_.trim.startsWith("\"q"))
+    assert(medianLines == 4, s"expected 3 median + 1 error lines, got $medianLines")
+  }
 }
