@@ -44,10 +44,19 @@ object UrlCanon {
   private def authorityOf(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
 
-  /** Lowercased host: authority minus userinfo and port. */
+  /** Lowercased host: authority minus userinfo and port. Bracketed
+    * IPv6 literals (`http://[2001:db8::1]/x`) are OUTSIDE the
+    * syntactic subset — the port-split regex would truncate them at
+    * the first ':' and collapse DISTINCT addresses onto one garbage
+    * key (`[2001`), silently dropping pages as dup_url — so any
+    * authority containing '[' routes to NULL, which nulls the whole
+    * canonical URL and sends the fetch down the same quarantine path
+    * as non-URL strings.
+    */
   def canonicalHost(url: Column): Column = {
     val auth = authorityOf(url)
-    lower(regexp_extract(auth, "^(?:[^@]*@)?([^:]*)", 1))
+    when(auth.contains("["), lit(null).cast("string"))
+      .otherwise(lower(regexp_extract(auth, "^(?:[^@]*@)?([^:]*)", 1)))
   }
 
   /** Canonical path: everything after the authority up to ? or #,
@@ -60,7 +69,10 @@ object UrlCanon {
       .otherwise(regexp_replace(rawPath, "/+$", ""))
   }
 
-  /** The canonical URL, or NULL for non-URL strings. */
+  /** The canonical URL, or NULL for non-URL strings and bracketed
+    * IPv6 authorities (see [[canonicalHost]] — a NULL host nulls the
+    * concat, so both route to quarantine instead of keying garbage).
+    */
   def canonicalUrl(url: Column): Column = {
     val scheme = schemeOf(url)
     val auth = authorityOf(url)
@@ -132,32 +144,58 @@ object UrlCanon {
     * matching prefix wins (the robots.txt precedence rule); among
     * rules with the SAME (host, prefix) — the Allow/Disallow-same-path
     * shape — ALLOW wins, the standard robots tie rule, which also
-    * makes the rank a total order (host+prefix+allow is a set).
-    * Fetches matching no rule default to allow.
+    * makes the argmax a total order (host+prefix+allow is a set).
+    * Fetches matching no rule default to allow; fetches whose URL does
+    * NOT canonicalize (non-URL strings, bracketed IPv6) get decision
+    * `bad_url` with NULL host/path — a compliance operator must never
+    * default-allow garbage it could not even parse (they previously
+    * fell through as host ''/path '/', matched nothing, and
+    * green-lit).
     *
     * Shape: one broadcast theta-join (host equality + startswith) +
-    * one per-fetch rank window over the handful of matched rules —
-    * the fetch log never shuffles except for that bounded window,
-    * whose partition is the fetch id (≤ |rules per host| rows each).
+    * ONE hash aggregate. The longest-prefix/allow-wins rank is an
+    * integer ARGMAX, not a window: two same-length prefixes of the
+    * same path are necessarily equal, so (length, allow) totally
+    * orders a fetch's matches and `max(2·len + allow)` — a primitive
+    * LongType buffer, map-side combinable, HashAggregateExec — picks
+    * the winner; the prefix itself is recovered as
+    * `substr(path, 1, best >> 1)`. The previous `row_number` window
+    * partitioned by fetch id was correct but forced a full
+    * exchange+SORT of the joined fetch log on a unique key; at 100×
+    * the sort is the bottleneck, the hash argmax is not
+    * (UrlCanonSpec asserts the plan has no Sort). The (host, path)
+    * derivation sits behind a Generate barrier (the q215 discipline)
+    * so the join/groupBy cannot re-inline the regex chain per
+    * reference.
     */
   def robotsDecide(
       fetches: DataFrame, idCol: String, urlCol: String,
       rules: DataFrame): DataFrame = {
-    val f = fetches
-      .withColumn("host", canonicalHost(col(urlCol)))
-      .withColumn("path", canonicalPath(col(urlCol)))
+    val f = fetches.select(col(idCol), col(urlCol),
+        explode_outer(array(struct(
+          canonicalUrl(col(urlCol)).as("curl"),
+          canonicalHost(col(urlCol)).as("h"),
+          canonicalPath(col(urlCol)).as("p")))).as("__d"))
+      .select(col(idCol), col(urlCol),
+        when(col("__d.curl").isNull, lit(null).cast("string"))
+          .otherwise(col("__d.h")).as("host"),
+        when(col("__d.curl").isNull, lit(null).cast("string"))
+          .otherwise(col("__d.p")).as("path"))
     val r = broadcast(rules.select(col("host").as("__rhost"),
       col("prefix"), col("allow")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
-      .orderBy(length(col("prefix")).desc, col("prefix").asc,
-        col("allow").desc)
     f.join(r, col("host") === col("__rhost") &&
         col("path").startsWith(col("prefix")), "left")
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
+      .groupBy(col(idCol), col(urlCol), col("host"), col("path"))
+      .agg(max(when(col("prefix").isNotNull,
+          length(col("prefix")).cast("long") * 2 + col("allow").cast("long")))
+        .as("__best"))
       .select(col(idCol), col(urlCol), col("host"), col("path"),
-        col("prefix").as("rule_prefix"),
-        when(coalesce(col("allow"), lit(true)), lit("allow"))
+        when(col("__best").isNull, lit(null).cast("string"))
+          .otherwise(col("path").substr(lit(1),
+            shiftright(col("__best"), 1).cast("int"))).as("rule_prefix"),
+        when(col("host").isNull, lit("bad_url"))
+          .when(col("__best").isNull || pmod(col("__best"), lit(2L)) === 1L,
+            lit("allow"))
           .otherwise(lit("deny")).as("decision"))
   }
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.HtmlExtract
+
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(htmls: String*): Seq[String] =
+    htmls.toSeq.toDF("html")
+      .select(HtmlExtract.mainText(col("html")).as("t"))
+      .as[String].collect().toSeq
+
+  test("tags strip, whitespace collapses, title text is content") {
+    assert(extract(
+      "<!DOCTYPE html><html><head><title>T</title></head>" +
+        "<body><div class=\"c\"><p>Hello   world</p></div></body></html>")
+      == Seq("T Hello world"))
+    // plain text passes through (modulo collapse)
+    assert(extract("no  markup\there") == Seq("no markup here"))
+  }
+
+  test("script/style bodies vanish wholesale, including '<' '>' and quotes inside") {
+    assert(extract(
+      "<p>a</p><script type=\"x\">if (1<2 && x>\"</div>\") { y=\"&amp;\" }</script><p>b</p>")
+      == Seq("a b"))
+    assert(extract("<style>p > a { content: \"<q>\"; }</style>text")
+      == Seq("text"))
+    // <scripty> is a TAG, not a script open (\b boundary)
+    assert(extract("<scripty>visible</scripty>") == Seq("visible"))
+    // </script > with space before '>' still closes
+    assert(extract("<script>x<y</script ><b>ok</b>") == Seq("ok"))
+  }
+
+  test("unclosed script/style/comment swallows to end-of-doc (browser behavior)") {
+    assert(extract("<p>keep</p><script>var x=1; <a href=\"gone\">never</a>")
+      == Seq("keep"))
+    assert(extract("<p>keep</p><style>p{") == Seq("keep"))
+    assert(extract("<p>keep</p><!-- truncated comment <b>gone</b>")
+      == Seq("keep"))
+  }
+
+  test("comments and declarations drop even with tags inside") {
+    assert(extract("a<!-- <p>hidden</p> -->b") == Seq("a b"))
+    assert(extract("<!DOCTYPE html><p>x</p>") == Seq("x"))
+  }
+
+  test("entities decode after tag-strip, &amp; last; stray '<' text survives") {
+    // &lt;b&gt; is literal text '<b>', never re-parsed as a tag
+    assert(extract("<p>&lt;b&gt; &amp; Co.&nbsp;&quot;q&#39;</p>")
+      == Seq("<b> & Co. \"q'"))
+    // double-escaped: &amp;lt; renders as the literal text '&lt;'
+    assert(extract("x &amp;lt; y") == Seq("x &lt; y"))
+    // '<' followed by space is TEXT (HTML5 tokenizer rule)
+    assert(extract("a < b and c > d") == Seq("a < b and c > d"))
+  }
+
+  test("trailing unclosed tag (truncated fetch) is dropped, not leaked") {
+    assert(extract("<p>kept</p><a href=\"htt") == Seq("kept"))
+    assert(extract("<p>kept</p><div class=") == Seq("kept"))
+    // nested unclosed block tags still strip as tags
+    assert(extract("<div><p>deep") == Seq("deep"))
+  }
+}

@@ -38,6 +38,12 @@ class UrlCanonSpec extends SparkSpec {
     // non-URLs -> NULL (quarantine route), never a garbage key
     assert(canon("not a url", "", "host.com/path", "://x")
       == Seq(None, None, None, None))
+    // bracketed IPv6 authorities are OUTSIDE the syntactic subset:
+    // the port-split regex would truncate '[2001:db8::1]' at the first
+    // ':' and collapse DISTINCT addresses onto the key '[2001' — they
+    // must quarantine (NULL), never silently merge as dup_url
+    assert(canon("http://[2001:db8::1]/x", "http://[2001:db8::2]/x",
+      "https://user@[::1]:8443/p") == Seq(None, None, None))
   }
 
   test("canonicalHost strips userinfo and port; decisions classify every fetch once") {
@@ -92,5 +98,36 @@ class UrlCanonSpec extends SparkSpec {
         Seq((9L, "http://c.com/x/page")).toDF("id", "url"), "id", "url", tied)
       .select("decision").as[String].collect().toSeq
     assert(tie == Seq("allow"), s"same-path tie must resolve allow, got $tie")
+  }
+
+  test("robotsDecide: non-canonicalizable URLs are bad_url, never default-allow") {
+    val rules = Seq(("a.com", "/", true)).toDF("host", "prefix", "allow")
+    val got = UrlCanon.robotsDecide(
+        Seq((1L, "not a url"), (2L, "http://[2001:db8::1]/x"),
+          (3L, "http://a.com/ok")).toDF("id", "url"),
+        "id", "url", rules)
+      .select("id", "decision").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "bad_url", 2L -> "bad_url", 3L -> "allow"),
+      s"a compliance operator must quarantine garbage, got $got")
+  }
+
+  test("robotsDecide plans as a hash argmax — no Sort before the decision aggregate") {
+    val fetches = Seq((1L, "http://a.com/private/x"), (2L, "http://a.com/p"))
+      .toDF("id", "url")
+    val rules = Seq(("a.com", "/", true), ("a.com", "/private", false))
+      .toDF("host", "prefix", "allow")
+    val plan = UrlCanon.robotsDecide(fetches, "id", "url", rules)
+      .queryExecution.executedPlan.toString
+    val sortRe = "Sort \\[".r
+    assert(sortRe.findFirstIn(plan).isEmpty && !plan.contains("SortAggregate"),
+      s"decision path must not sort:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected a hash aggregate:\n$plan")
+    // positive probe: the detector DOES fire on the old window shape
+    val windowed = fetches.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("url")))
+      .queryExecution.executedPlan.toString
+    assert(sortRe.findFirstIn(windowed).isDefined,
+      "sort detector is vacuous — it missed a row_number window plan")
   }
 }
