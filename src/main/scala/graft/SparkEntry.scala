@@ -53,6 +53,36 @@ object SparkEntry {
         .otherwise(url0).as("url"))
   }
 
+  /** Hostile-HTML fixture for q226/q227: every `documents` row wrapped
+    * in a page whose structure varies by doc_id residues across the
+    * attack surface HtmlExtract claims to survive — script bodies
+    * containing '<'/'>'/quotes (%4=0), style with a '>' selector
+    * (%4=1), a comment hiding tags (%4=2), an UNCLOSED trailing script
+    * (%4=3), an entity run (%6=0), and a truncated-fetch unclosed tag
+    * at EOS (%9=0). The oracle rebuilds the identical strings with the
+    * same CASE chains and runs the identical RE2 extraction.
+    */
+  private def htmlFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id, concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), id.cast("string"),
+      lit("</title>"),
+      when(id % 4 === 0,
+        lit("<script type=\"text/javascript\">if(a<b){x=\"</div>y\";}</script>"))
+        .when(id % 4 === 1, lit("<style>p > a { content: \"<q>\"; }</style>"))
+        .otherwise(lit("")),
+      lit("</head><body>"),
+      when(id % 4 === 2, lit("<!-- nav <ul><li>home</li></ul> -->"))
+        .otherwise(lit("")),
+      lit("<div class=\"main\"><p>"), col("text"), lit("</p>"),
+      when(id % 6 === 0, lit("<p>&lt;cite&gt;&nbsp;&amp; more&#39;</p>"))
+        .otherwise(lit("")),
+      lit("</div></body></html>"),
+      when(id % 9 === 0, lit("<a href=\"trunc")).otherwise(lit("")),
+      when(id % 4 === 3, lit("<script>tail();")).otherwise(lit("")))
+      .as("html"))
+  }
+
   /** Messy URL for an arbitrary id EXPRESSION (q219/q220's link
     * targets) — urlFixture's spelling variants with the source name
     * derived arithmetically (`source` == 'src' || id%20 in the corpus,
@@ -1230,6 +1260,46 @@ object SparkEntry {
         .localCheckpoint() // feeds the kept slice AND the final table
       val kept = dec.filter(col("decision") === "kept")
         .join(t(s, dir, "documents").select("doc_id", "text"), Seq("doc_id"))
+      val pairs = Dedup.nearDupPairsMinhash(kept, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val dupContent = pairs.select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("__dc", lit(1))
+      dec.join(dupContent, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("canonical_url"),
+          when(col("decision") === "kept" && col("__dc").isNotNull,
+            lit("dup_content")).otherwise(col("decision")).as("decision"))
+    }),
+
+    // ── HTML main-content extraction (ext/HtmlExtract): the stage
+    // between fetch and text analysis the crawl family was missing —
+    // strip script/style/comments, drop tags, decode entities,
+    // collapse whitespace; pure codegen'd regex/replace chain, no UDF,
+    // RE2-safe (DuckDB runs the identical chain). Hostile fixture:
+    // script bodies with '<', unclosed script/comment swallowing to
+    // EOS, entity runs, truncated-fetch unclosed tags. ──
+    "q226_html_extract" -> ((s, dir) =>
+      htmlFixture(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.ext.HtmlExtract.mainText(col("html")).as("main_text"))
+        .withColumn("n_chars_text", length(col("main_text")).cast("long"))),
+
+    // ── the FULL crawl-text chain (q216's staged capstone with the
+    // missing stage inserted): canonicalize → per-canonical-URL dedup
+    // → EXTRACT main text from the fetched HTML → minhash content
+    // near-dup over the extracted text. The content tier now scores
+    // what a real pipeline scores — page text, not raw bytes — and
+    // spelling variants still never reach the shingle tier. ──
+    "q227_crawl_text_capstone" -> ((s, dir) => {
+      import graft.ext.{HtmlExtract, UrlCanon}
+      val docs = t(s, dir, "documents")
+      val dec = UrlCanon.urlDecisions(
+          urlFixture(docs).drop("n_chars"), "url", "doc_id")
+        .select("doc_id", "canonical_url", "decision")
+        .localCheckpoint() // feeds the kept slice AND the final table
+      val kept = dec.filter(col("decision") === "kept")
+        .join(htmlFixture(docs), Seq("doc_id"))
+        .select(col("doc_id"),
+          HtmlExtract.mainText(col("html")).as("text"))
       val pairs = Dedup.nearDupPairsMinhash(kept, "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
       val dupContent = pairs.select(col("doc_b").as("doc_id")).distinct()
@@ -3796,6 +3866,56 @@ object SparkEntry {
     s"lower(regexp_extract(regexp_extract($url, " +
       "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(?:[^@]*@)?([^:]*)', 1))"
 
+  /** DuckDB mirror of [[htmlFixture]] over a doc source exposing
+    * (doc_id, text) — `from` is the full FROM clause. Emits CTE
+    * `h(doc_id, html)`.
+    */
+  private def htmlFixtureSql(from: String): String =
+    s"""h AS (
+       |  SELECT doc_id,
+       |    '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+       |    || '</title>'
+       |    || CASE WHEN doc_id % 4 = 0 THEN '<script type="text/javascript">if(a<b){x="</div>y";}</script>'
+       |            WHEN doc_id % 4 = 1 THEN '<style>p > a { content: "<q>"; }</style>' ELSE '' END
+       |    || '</head><body>'
+       |    || CASE WHEN doc_id % 4 = 2 THEN '<!-- nav <ul><li>home</li></ul> -->' ELSE '' END
+       |    || '<div class="main"><p>' || text || '</p>'
+       |    || CASE WHEN doc_id % 6 = 0 THEN '<p>&lt;cite&gt;&nbsp;&amp; more&#39;</p>' ELSE '' END
+       |    || '</div></body></html>'
+       |    || CASE WHEN doc_id % 9 = 0 THEN '<a href="trunc' ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 3 THEN '<script>tail();' ELSE '' END AS html
+       |  $from)""".stripMargin
+
+  /** DuckDB mirror of [[graft.ext.HtmlExtract.mainText]] over CTE
+    * `h(doc_id, html)` — the identical RE2-safe pass chain, 'g' flag
+    * on every regexp_replace (DuckDB replaces first-only by default;
+    * Spark replaces all). Emits CTE `ext(doc_id, main_text)`.
+    */
+  private val HtmlExtractCtesSql: String =
+    """hx1 AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(html,
+      |    '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+      |    '(?is)<script\b[^>]*>.*', ' ', 'g') AS t FROM h),
+      |hx2 AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(t,
+      |    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+      |    '(?is)<style\b[^>]*>.*', ' ', 'g') AS t FROM hx1),
+      |hx3 AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+      |    '(?s)<!--.*?-->', ' ', 'g'), '(?s)<!--.*', ' ', 'g'),
+      |    '<![^>]*>', ' ', 'g') AS t FROM hx2),
+      |hx4 AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(t,
+      |    '</?[A-Za-z][^>]*>', ' ', 'g'), '(?s)</?[A-Za-z][^>]*\z', ' ', 'g')
+      |    AS t FROM hx3),
+      |hx5 AS (
+      |  SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(t,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |    '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM hx4),
+      |ext AS (
+      |  SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS main_text
+      |  FROM hx5)""".stripMargin
+
   /** Shared q219/q220 chain: synthesized HTML → href extraction →
     * canonical-host edges (junk hrefs dropped by the scheme test —
     * canonicalUrl is NULL exactly when the scheme regex is empty).
@@ -5007,6 +5127,57 @@ object SparkEntry {
         |       THEN 'dup_content' ELSE dec.decision END AS decision
         |FROM dec LEFT JOIN dupc ON dupc.doc_id = dec.doc_id"""
         .stripMargin),
+
+    "q226_html_extract" -> ("WITH " + htmlFixtureSql("FROM documents") +
+      ",\n" + HtmlExtractCtesSql +
+      "\nSELECT doc_id, main_text, CAST(length(main_text) AS BIGINT)" +
+      " AS n_chars_text FROM ext"),
+
+    // full crawl-text chain: q216's URL decisions + HTML extraction
+    // over the kept fetches + exact-Jaccard content truth on the
+    // EXTRACTED text (q216's shingle SQL reading ext.main_text)
+    "q227_crawl_text_capstone" -> (UrlCanonChainSql +
+      """,
+        |k AS (
+        |  SELECT canonical_url, min(doc_id) AS keep_id
+        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1),
+        |dec AS (
+        |  SELECT c.doc_id, c.canonical_url,
+        |    CASE WHEN c.canonical_url IS NULL THEN 'bad_url'
+        |         WHEN c.doc_id = k.keep_id THEN 'kept'
+        |         ELSE 'dup_url' END AS decision
+        |  FROM canon c LEFT JOIN k ON c.canonical_url = k.canonical_url),
+        |""".stripMargin +
+      htmlFixtureSql("FROM (SELECT d.doc_id, d.text FROM documents d" +
+        " JOIN dec ON dec.doc_id = d.doc_id WHERE dec.decision = 'kept') dk") +
+      ",\n" + HtmlExtractCtesSql +
+      """,
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(main_text), '[a-z0-9]+')) AS tok,
+        |    generate_subscripts(regexp_extract_all(lower(main_text), '[a-z0-9]+'), 1)
+        |      AS pos
+        |  FROM ext),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |      AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dupc AS (
+        |  SELECT DISTINCT db AS doc_id
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8)
+        |SELECT dec.doc_id, dec.canonical_url,
+        |  CASE WHEN dec.decision = 'kept' AND dupc.doc_id IS NOT NULL
+        |       THEN 'dup_content' ELSE dec.decision END AS decision
+        |FROM dec LEFT JOIN dupc ON dupc.doc_id = dec.doc_id""".stripMargin),
+
     "q206_bpe_fertility" -> BpeFertilitySql,
     "q209_skipgram_pairs" -> SkipGramSql,
     "q210_negative_samples" -> NegativeSamplesSql,
