@@ -1310,6 +1310,27 @@ object SparkEntry {
             lit("dup_content")).otherwise(col("decision")).as("decision"))
     }),
 
+    // ── n-gram LM quality score (the model-based quality filter the
+    // text family lacked): bigram count-table LM trained on the 4/5
+    // REFERENCE slice only (q206's frozen-model discipline), held-out
+    // 1/5 scored as avg add-one-smoothed P(w2|w1) in ppm — all-integer
+    // DIV, no logs. Planted low-quality arm: every %3 held-out doc has
+    // its text REVERSED (out-of-vocab garbage). The flag keys on the
+    // OOV-pair share (unseen_ppm): measured first (q46 discipline),
+    // the smoothed MEAN overlapped between arms on this near-uniform
+    // corpus (29.7k-35.5k vs 28.2k-32.3k), while OOV share separates
+    // totally (in-domain ~0 vs reversed ~10^6) — threshold 500000. ──
+    "q228_lm_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.lmQualityScore(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, reverse(col("text")))
+              .otherwise(col("text")).as("text")),
+        "doc_id", "text")
+    }),
+
     // ── tokenizer fertility drift (q199's frozen model in operation):
     // train the 8 merges on the 4/5 REFERENCE slice only, encode the
     // held-out 1/5, roll up per source as fertility (BPE tokens per
@@ -5127,6 +5148,44 @@ object SparkEntry {
         |       THEN 'dup_content' ELSE dec.decision END AS decision
         |FROM dec LEFT JOIN dupc ON dupc.doc_id = dec.doc_id"""
         .stripMargin),
+
+    // bigram LM mirror: unnest+generate_subscripts token stream, lead()
+    // bigrams, count tables from the %5<>0 slice, add-one ppm per
+    // held-out pair occurrence; HUGEINT sums defused by BIGINT casts
+    "q228_lm_quality" ->
+      """WITH sdocs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN reverse(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |rtok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |c1 AS (SELECT w AS w1, count(*) AS c1 FROM rtok GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM c1),
+        |rbg AS (
+        |  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |  FROM rtok QUALIFY w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM rbg GROUP BY 1, 2),
+        |stok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
+        |  FROM sdocs),
+        |sbg AS (
+        |  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |  FROM stok QUALIFY w2 IS NOT NULL),
+        |ppm AS (
+        |  SELECT s.doc_id,
+        |    (coalesce(c2.c2, 0) + 1) * 1000000 // (coalesce(c1.c1, 0) + vv.v) AS ppm,
+        |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM sbg s LEFT JOIN c2 ON c2.w1 = s.w1 AND c2.w2 = s.w2
+        |  LEFT JOIN c1 ON c1.w1 = s.w1 CROSS JOIN vv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(ppm) // count(*) AS BIGINT) AS score_ppm,
+        |  CAST(sum(unseen) * 1000000 // count(*) AS BIGINT) AS unseen_ppm,
+        |  CASE WHEN CAST(sum(unseen) * 1000000 // count(*) AS BIGINT) >= 500000
+        |       THEN 'low' ELSE 'ok' END AS flag
+        |FROM ppm GROUP BY 1""".stripMargin,
 
     "q226_html_extract" -> ("WITH " + htmlFixtureSql("FROM documents") +
       ",\n" + HtmlExtractCtesSql +

@@ -528,4 +528,83 @@ object TextAnalysis {
       case None => df.select(explode(g).as("gram"))
     }
   }
+
+  /** Adjacent-token bigram pairs of a text column, as an array of
+    * (w1, w2) structs — empty for docs under two tokens (the slice
+    * lengths clamp at 0, so no descending-sequence trap).
+    */
+  private def bigramPairs(text: Column): Column = {
+    val t = tokens(text)
+    val m = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** n-gram LM quality score — the model-based quality filter
+    * (Kneser-Ney's integer-arithmetic cousin): a bigram count-table
+    * "LM" is trained on a REFERENCE slice (the q206 frozen-model
+    * discipline — never on the docs being scored), and each scored
+    * doc gets the average add-one-smoothed conditional probability of
+    * its adjacent token pairs, in ppm:
+    *
+    *   ppm(w1,w2) = (c2(w1,w2) + 1) · 10^6  DIV  (c1(w1) + |V|)
+    *   score_ppm  = Σ ppm DIV n_pairs
+    *
+    * All-integer (BIGINT DIV — no logs, no FP), so it hash-certifies
+    * cross-engine; the standard per-token log-perplexity is a
+    * monotone transform of the same counts and would differ in the
+    * last ulp per libm.
+    *
+    * The FLAG keys on `unseen_ppm` — the share of pairs the model has
+    * never seen — not on the smoothed mean: on a near-uniform corpus
+    * the true bigram probability (~1/|V|) sits next to the smoothing
+    * floor 10^6/|V|, so the mean's two populations OVERLAP (measured
+    * on the synthetic corpus: in-domain 29.7k–35.5k ppm vs garbage
+    * 28.2k–32.3k), while OOV share separates totally (~0 vs ~10^6 —
+    * wrong language, mojibake, and shuffled tokens are exactly
+    * "bigrams the reference never produced"). Both are emitted;
+    * `score_ppm` stays useful as a graded signal where the corpus has
+    * real probability mass spread. Complements [[tokenRarity]]
+    * (df-based) and [[repetitionRatio]] (structure-based): this is
+    * the only one that scores SEQUENCE plausibility.
+    *
+    * Shape: model = two token-keyed count aggregates over the
+    * reference slice (bounded by distinct grams, partial-combined);
+    * scoring = per-doc pair counts aggregated FIRST on (doc, w1, w2)
+    * — map-side combinable, shrinks the join input to distinct pairs
+    * — then two keyed LEFT joins against the model (never broadcast:
+    * a web-scale bigram table outgrows any executor) and one doc-keyed
+    * sum. The 1-row vocabulary count is the only broadcast.
+    */
+  def lmQualityScore(
+      ref: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      oovLowPpm: Long = 500000L): DataFrame = {
+    val rbg = ref.select(explode(bigramPairs(col(textCol))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("__c2"))
+    val runi = ref.select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val vocab = runi.agg(count(lit(1)).as("__v"))
+    val sbg = docs
+      .select(col(idCol), explode(bigramPairs(col(textCol))).as("bg"))
+      .groupBy(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("__n"))
+    sbg.join(rbg, Seq("w1", "w2"), "left")
+      .join(runi, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__ppm", expr(
+        "CAST((coalesce(__c2, 0L) + 1L) * 1000000L DIV (coalesce(__c1, 0L) + __v) AS BIGINT)"))
+      .withColumn("__unseen", when(col("__c2").isNull, col("__n")).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).cast("long").as("n_pairs"),
+        sum(col("__ppm") * col("__n")).as("__sum"),
+        sum(col("__unseen")).cast("long").as("__nu"))
+      .withColumn("score_ppm", expr("CAST(__sum DIV n_pairs AS BIGINT)"))
+      .withColumn("unseen_ppm",
+        expr("CAST(__nu * 1000000L DIV n_pairs AS BIGINT)"))
+      .withColumn("flag",
+        when(col("unseen_ppm") >= oovLowPpm, lit("low")).otherwise(lit("ok")))
+      .select(col(idCol), col("n_pairs"), col("score_ppm"),
+        col("unseen_ppm"), col("flag"))
+  }
 }

@@ -182,4 +182,58 @@ class TextPipelineSpec extends SparkSpec {
     assert(got("a") == (("a", 2L, 2L, "1:0,2:1")))
     assert(got("c") == (("c", 2L, 3L, "1:1,3:0,3:1")))
   }
+
+  test("lmQualityScore: add-one ppm arithmetic, OOV floor, short docs drop") {
+    // ref "a b a b": c1(a)=2, c1(b)=2, V=2; c2(a,b)=2, c2(b,a)=1
+    val ref = Seq("a b a b").toDF("text")
+    val docs = Seq(
+      (1L, "a b"),   // 1 pair (a,b): (2+1)*1e6 DIV (2+2) = 750000
+      (2L, "b a"),   // 1 pair (b,a): (1+1)*1e6 DIV (2+2) = 500000
+      (3L, "x y x"), // OOV: every pair at the floor 1e6 DIV (0+2)
+      (4L, "a"),     // <2 tokens: no pairs, no row
+      (5L, ""))      // empty: no row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .lmQualityScore(ref, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "pairless docs must drop")
+    assert(got(1L) == ((1L, 750000L, 0L, "ok")))
+    assert(got(2L) == ((1L, 500000L, 0L, "ok")),
+      "a SEEN low-probability bigram is in-domain, not OOV")
+    assert(got(3L) == ((2L, 500000L, 1000000L, "low")),
+      "fully-OOV text: smoothing floor 10^6/|V| and total unseen share")
+  }
+
+  test("lmQualityScore: model side never broadcasts (web-scale bigram table)") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val ref = Seq("a b c a b", "b c a").toDF("text")
+    val docs = Seq((1L, "a b c"), (2L, "c a b")).toDF("doc_id", "text")
+    // the PageRankSpec probe convention: AQE + auto-broadcast off, so
+    // the plan shows what the shape REQUIRES, not what a tiny test
+    // relation legitimately earns
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = TextAnalysis.lmQualityScore(ref, docs, "doc_id", "text")
+        .queryExecution.executedPlan
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, "the 1-row vocab count should broadcast")
+      bcasts.foreach { b =>
+        assert(b.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"a broadcast subtree without an aggregate beneath it — the " +
+            s"bigram model is being broadcast:\n$b")
+      }
+      // non-vacuity: broadcasting the raw model table fails the assert
+      val badB = docs.crossJoin(broadcast(ref))
+        .queryExecution.executedPlan
+        .collect { case b: BroadcastExchangeExec => b }
+      assert(badB.exists(_.collect { case a: BaseAggregateExec => a }.isEmpty),
+        "probe shape: a raw-relation broadcast must be detectable")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
