@@ -1207,6 +1207,35 @@ object SparkEntry {
       UrlCanon.robotsDecide(raw, "doc_id", "url", rules)
     }),
 
+    // ── crawl politeness scheduling — the composed frontier capstone:
+    // URL dedup (q215) → robots compliance (q223's policy, allow only)
+    // → per-host budget (q217's exact-N machinery) → deterministic
+    // per-host ROUND-ROBIN interleave: within host, fetches rank by a
+    // salted md5 permutation; globally rank-1 fetches of every host
+    // precede any rank-2 fetch. fetch_seq is a dense 1..n schedule via
+    // Layout.globalDenseSeq (range-sorted enumeration — never a
+    // single-partition window). ──
+    "q229_politeness_schedule" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val dec = UrlCanon.urlDecisions(
+        urlFixture(t(s, dir, "documents")).drop("n_chars"), "url", "doc_id")
+      val kept = dec.filter(col("decision") === "kept")
+        .select(col("doc_id"), col("canonical_url"))
+      val rules = s.range(0, 20).selectExpr(
+        "concat('www.src', CAST(id AS STRING), '.example.com') AS host",
+        "inline(array(" +
+          "struct('/' AS prefix, true AS allow), " +
+          "struct(concat('/Docs/', CAST(id % 7 AS STRING)) AS prefix, false AS allow), " +
+          "struct(concat('/Docs/', CAST(id % 7 AS STRING), '7') AS prefix, true AS allow)))")
+      val allowed = UrlCanon
+        .robotsDecide(kept, "doc_id", "canonical_url", rules)
+        .filter(col("decision") === "allow")
+        .select(col("doc_id"), col("host"))
+      val budgeted = graft.operators.Sampling.sampleExactN(
+        allowed, "host", col("doc_id"), n = 5, salt = "budget-v1")
+      UrlCanon.politenessSchedule(budgeted, "host", "doc_id")
+    }),
+
     // ── EXACT n-gram decontamination (the verbatim-leak rule,
     // complementing q87's minhash near-dup rule): a training doc is
     // flagged iff it shares ANY word 8-gram with the eval slice —
@@ -5022,6 +5051,64 @@ object SparkEntry {
         |SELECT doc_id, url, host, path, prefix AS rule_prefix,
         |  CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END AS decision
         |FROM m WHERE rk = 1""".stripMargin),
+
+    // politeness composition: q215's keep rule, q223's robots argmax
+    // (on the CANONICAL url — idempotent re-canonicalization), q217's
+    // budget draw, then the round-robin windows; seq mirrors
+    // globalDenseSeq's total (host_rank, host) order
+    "q229_politeness_schedule" -> (UrlCanonChainSql +
+      """,
+        |k AS (
+        |  SELECT canonical_url, min(doc_id) AS keep_id
+        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1),
+        |kept AS (
+        |  SELECT c.doc_id, c.canonical_url,
+        |    lower(regexp_extract(regexp_extract(c.canonical_url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+        |    CASE WHEN regexp_replace(regexp_extract(c.canonical_url,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |           '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(regexp_extract(c.canonical_url,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |           '/+$', '') END AS path
+        |  FROM canon c JOIN k
+        |    ON c.canonical_url = k.canonical_url AND c.doc_id = k.keep_id),
+        |ids AS (SELECT unnest(range(0, 20)) AS i),
+        |rl AS (
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com' AS host,
+        |    '/' AS prefix, TRUE AS allow FROM ids
+        |  UNION ALL
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+        |    '/Docs/' || CAST(i % 7 AS VARCHAR), FALSE FROM ids
+        |  UNION ALL
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+        |    '/Docs/' || CAST(i % 7 AS VARCHAR) || '7', TRUE FROM ids),
+        |m AS (
+        |  SELECT f.doc_id, f.host, r.allow,
+        |    row_number() OVER (PARTITION BY f.doc_id
+        |      ORDER BY length(r.prefix) DESC NULLS LAST, r.prefix ASC NULLS FIRST,
+        |        r.allow DESC NULLS LAST) AS rk
+        |  FROM kept f LEFT JOIN rl r
+        |    ON r.host = f.host AND starts_with(f.path, r.prefix)),
+        |alw AS (
+        |  SELECT doc_id, host FROM m WHERE rk = 1 AND coalesce(allow, TRUE)),
+        |bud AS (
+        |  SELECT doc_id, host FROM alw
+        |  QUALIFY row_number() OVER (PARTITION BY host
+        |    ORDER BY substr(md5(concat_ws(':', 'budget-v1',
+        |      CAST(doc_id AS VARCHAR))), 1, 8), doc_id) <= 5),
+        |hr AS (
+        |  SELECT doc_id, host,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY substr(md5(concat_ws(':', 'sched-v1',
+        |        CAST(doc_id AS VARCHAR))), 1, 8), doc_id) AS BIGINT)
+        |      AS host_rank
+        |  FROM bud)
+        |SELECT doc_id, host, host_rank,
+        |  CAST(row_number() OVER (ORDER BY host_rank, host) AS BIGINT)
+        |    AS fetch_seq
+        |FROM hr""".stripMargin),
 
     // q18's shingle machinery at n=8; raw gram strings join directly
     "q222_ngram_decontaminate" ->

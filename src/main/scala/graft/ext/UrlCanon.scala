@@ -199,6 +199,34 @@ object UrlCanon {
           .otherwise(lit("deny")).as("decision"))
   }
 
+  /** Deterministic per-host round-robin fetch schedule — the
+    * politeness interleave a crawl frontier runs after budgeting
+    * (q217) and compliance (q223): within each host, fetches rank by
+    * a salted md5 permutation (the [[graft.operators.Sampling]]
+    * hashUnit draw — replayable, not rand()); the global order is then
+    * (host_rank, host), so rank-1 fetches of every host go out before
+    * any host's rank-2 fetch — no host is hit twice before every
+    * other host has been hit once. `fetch_seq` is the dense 1..n
+    * schedule position via [[graft.operators.Layout.globalDenseSeq]]
+    * (range-sorted, never a single-partition window); (host_rank,
+    * host) is total because host_rank is unique within host.
+    *
+    * Shape: one host-partitioned rank window (bounded by the per-host
+    * budget) + the globalDenseSeq enumeration (one range exchange +
+    * one pid exchange + a ≤P-row broadcast).
+    */
+  def politenessSchedule(
+      fetches: DataFrame, hostCol: String, idCol: String,
+      salt: String = "sched-v1"): DataFrame = {
+    val wHost = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol))
+      .orderBy(graft.operators.Sampling.hashUnit(col(idCol), salt), col(idCol))
+    val ranked = fetches
+      .withColumn("host_rank", row_number().over(wHost).cast("long"))
+    graft.operators.Layout.globalDenseSeq(
+      ranked, Seq(col("host_rank"), col(hostCol)), "fetch_seq")
+  }
+
   /** Host-grain crawl rollup over the URL-deduped corpus: per
     * canonical host — distinct canonical URLs, surviving docs, total
     * bytes (sum of `sizeCol`). The crawl-ops table a 100-TB pipeline

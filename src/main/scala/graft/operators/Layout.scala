@@ -173,4 +173,46 @@ object Layout {
       .drop("__z")
       .write.mode(SaveMode.ErrorIfExists).parquet(destDir)
   }
+
+  /** Dense global sequence numbers 1..n over a TOTAL order, without
+    * ever forming a single-partition global window (the WindowExec
+    * "moving all data to a single partition" trap): range-partition +
+    * in-partition sort, rank WITHIN each partition, then add per-
+    * partition offsets — an exclusive prefix sum over the ≤P-row
+    * partition-count aggregate (the GraphWalk.negativeSamples offsets
+    * idiom), broadcast back. The result depends only on the total
+    * order, not on partition boundaries, so it is deterministic across
+    * cluster configs and AQE decisions.
+    *
+    * `order` MUST be a total order (ties would make ranks
+    * partition-order-dependent); callers pass a key-complete column
+    * list. The frame is localCheckpoint'd after partition ids are
+    * stamped so the count branch and the rank branch cannot see
+    * different range boundaries (the multi-consumer discipline).
+    *
+    * 100-TB shape: one range exchange (the distributed sort Spark
+    * would run for any global orderBy), one hash exchange on the
+    * partition id for the local rank window (P keys, partition-sized
+    * groups — parallelism preserved), one broadcast of the ≤P-row
+    * offset table. Nothing single-partition, nothing driver-side.
+    */
+  def globalDenseSeq(
+      df: DataFrame, order: Seq[Column], outCol: String): DataFrame = {
+    require(order.nonEmpty, "order columns required")
+    val ranged = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val offs = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("__pid")) - col("__n"), lit(0L)))
+      .select("__pid", "__off")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(order: _*)
+    ranged.join(broadcast(offs), Seq("__pid"))
+      .withColumn(outCol,
+        (col("__off") + row_number().over(wLocal)).cast("long"))
+      .drop("__pid", "__off")
+  }
 }

@@ -111,6 +111,48 @@ class UrlCanonSpec extends SparkSpec {
       s"a compliance operator must quarantine garbage, got $got")
   }
 
+  test("globalDenseSeq: dense 1..n by total order, invariant to input partitioning") {
+    import graft.operators.Layout
+    val rows = (1L to 97L).map(i => (i, f"k${(i * 37) % 97}%03d"))
+    val base = rows.toDF("id", "key")
+    def seqOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      Layout.globalDenseSeq(df, Seq(col("key")), "seq")
+        .select("key", "seq").as[(String, Long)].collect().sortBy(_._1).toSeq
+    val want = rows.map(_._2).sorted.zipWithIndex
+      .map { case (k, i) => (k, i + 1L) }.sortBy(_._1)
+    val got1 = seqOf(base.repartition(7))
+    val got13 = seqOf(base.repartition(13, col("id")))
+    assert(got1 == want, "seq must equal rank in the total order")
+    assert(got13 == got1, "seq must not depend on input partitioning")
+  }
+
+  test("politenessSchedule: strict round-robin — every host once before any host twice") {
+    val fetches = Seq(
+      (1L, "a.com"), (2L, "a.com"), (3L, "a.com"),
+      (4L, "b.com"), (5L, "b.com"), (6L, "c.com"))
+      .toDF("id", "host")
+    val got = UrlCanon.politenessSchedule(fetches, "host", "id")
+      .select("fetch_seq", "host", "host_rank")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == (1L to 6L), s"dense schedule expected: $got")
+    // schedule order is (host_rank, host): rank never decreases, and
+    // within a rank hosts are strictly increasing
+    assert(got.map(_._3) == got.map(_._3).sorted, s"rank order broken: $got")
+    got.groupBy(_._3).foreach { case (_, g) =>
+      val hosts = g.sortBy(_._1).map(_._2)
+      assert(hosts == hosts.sorted && hosts.distinct == hosts,
+        s"within-rank host order broken: $got")
+    }
+    // round 1 covers EVERY host before any second fetch
+    assert(got.take(3).map(_._2).toSet == Set("a.com", "b.com", "c.com"),
+      s"first round must hit each host once: $got")
+    // deterministic replay
+    val again = UrlCanon.politenessSchedule(fetches, "host", "id")
+      .select("fetch_seq", "host", "host_rank")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(again == got, "schedule must replay identically")
+  }
+
   test("robotsDecide plans as a hash argmax — no Sort before the decision aggregate") {
     val fetches = Seq((1L, "http://a.com/private/x"), (2L, "http://a.com/p"))
       .toDF("id", "url")
