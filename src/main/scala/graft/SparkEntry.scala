@@ -2755,6 +2755,40 @@ object SparkEntry {
         .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
     }),
 
+    // ── K2 JSON-LINES sink certified the q154/q155 way (the
+    // reference's royalties sink shape — royalties.py:317 writes the
+    // report as JSON lines with the money as a STRING): write a
+    // day-grain report whose amount is a decimal STRING
+    // ("<dollars>.<cc>") through IndexStore staging, read it back with
+    // an explicit schema, PARSE the money strings back to cents, roll
+    // up to month grain; the oracle computes the month truth straight
+    // from the parquet originals, so any JSON write/read or string
+    // encode/parse infidelity breaks the hash. ──
+    "q230_jsonl_roundtrip" -> ((s, dir) => {
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/events.parquet")
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_jsonl_royalty_$fp").getPath
+      graft.operators.IndexStore.ensure(out, marker = "_SUCCESS") { stage =>
+        t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(dayKey(col("ts")).as("date"))
+          .agg(sum(expr("CAST(value * 100 AS BIGINT)")).as("cents"),
+            count(lit(1)).as("n"))
+          .select(col("date"),
+            expr("concat(CAST(cents DIV 100 AS STRING), '.', " +
+              "lpad(CAST(cents % 100 AS STRING), 2, '0'))").as("amount"),
+            col("n"))
+          .write.mode("overwrite").json(stage)
+      }
+      s.read.schema("date STRING, amount STRING, n BIGINT").json(out)
+        .withColumn("__cents",
+          expr("CAST(split(amount, '\\\\.')[0] AS BIGINT) * 100 + " +
+            "CAST(split(amount, '\\\\.')[1] AS BIGINT)"))
+        .groupBy(col("date"))
+        .agg(sum(col("__cents")).as("total_cents"),
+          sum(col("n")).as("n_purchases"))
+    }),
+
     // ── packing-efficiency report over q61's packer: per source,
     // chunks / tokens / signed slack ppm (negative = docs overflowed
     // the budget — the packer's documented offset-div semantics) ──
@@ -7066,6 +7100,16 @@ object SparkEntry {
         |SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
         |  count(*) AS n_days
         |FROM daily GROUP BY 1""".stripMargin,
+
+    // Month truth straight from parquet — the amount-string encode/
+    // parse on the Spark side must be invisible (independent truth,
+    // not a mirrored derivation).
+    "q230_jsonl_roundtrip" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date,
+        |  CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  count(*) AS n_purchases
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
 
     // The q61 packing CTE rolled up to source grain; slack is signed
     // (overfull chunks make it negative).
