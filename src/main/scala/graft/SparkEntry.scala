@@ -1360,6 +1360,42 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── stored LM model (q228's count tables through the IndexStore
+    // lifecycle — the q199 stored-BPE discipline): train once, persist
+    // c2/ + c1/ + params/ via atomic staging keyed by the corpus
+    // fingerprint, score the held-out slice READING the stored model.
+    // Certified against q228's oracle VERBATIM: the storage round trip
+    // must be invisible in the scored rows. ──
+    "q231_lm_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/documents.parquet")
+      val path = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_lm_${fp}_bg") { staging =>
+        val (c2, c1) = TextAnalysis.lmModel(
+          docs.filter(col("doc_id") % 5 =!= 0), "text")
+        c2.write.mode("overwrite").parquet(s"$staging/c2")
+        c1.write.mode("overwrite").parquet(s"$staging/c1")
+        s.range(1).select(lit("bigram-lm-v1").as("model"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/params")
+      }
+      TextAnalysis.lmScoreWith(
+        s.read.parquet(s"$path/c2"), s.read.parquet(s"$path/c1"),
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, reverse(col("text")))
+              .otherwise(col("text")).as("text")),
+        "doc_id", "text")
+    }),
+
+    // ── STREAMING HTML extraction: q226's chain on a LIVE ingest (the
+    // q218 stateless-map discipline) — pages land as JSONL waves, each
+    // row extracts independently, so two delivery waves must
+    // accumulate the identical table; certified against q226's batch
+    // oracle VERBATIM. ──
+    "q232_html_extract_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.htmlExtractStreamReplay(
+        s, htmlFixture(t(s, dir, "documents")))),
+
     // ── tokenizer fertility drift (q199's frozen model in operation):
     // train the 8 merges on the 4/5 REFERENCE slice only, encode the
     // held-out 1/5, roll up per source as fertility (BPE tokens per
@@ -4000,6 +4036,55 @@ object SparkEntry {
       |  SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS main_text
       |  FROM hx5)""".stripMargin
 
+  /** q226's full select — shared with the streaming replay q232 (the
+    * identical-oracle discipline).
+    */
+  private lazy val HtmlExtractSelectSql: String =
+    "WITH " + htmlFixtureSql("FROM documents") + ",\n" + HtmlExtractCtesSql +
+      "\nSELECT doc_id, main_text, CAST(length(main_text) AS BIGINT)" +
+      " AS n_chars_text FROM ext"
+
+  /** q228's bigram-LM mirror — shared with the stored-model round trip
+    * q231 (the identical-oracle discipline): unnest+generate_subscripts
+    * token stream, lead() bigrams, count tables from the %5<>0 slice,
+    * add-one ppm per held-out pair occurrence; HUGEINT sums defused by
+    * BIGINT casts.
+    */
+  private val LmQualitySql: String =
+    """WITH sdocs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN reverse(text) ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |rtok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+      |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |c1 AS (SELECT w AS w1, count(*) AS c1 FROM rtok GROUP BY 1),
+      |vv AS (SELECT count(*) AS v FROM c1),
+      |rbg AS (
+      |  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      |  FROM rtok QUALIFY w2 IS NOT NULL),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM rbg GROUP BY 1, 2),
+      |stok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+      |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
+      |  FROM sdocs),
+      |sbg AS (
+      |  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      |  FROM stok QUALIFY w2 IS NOT NULL),
+      |ppm AS (
+      |  SELECT s.doc_id,
+      |    (coalesce(c2.c2, 0) + 1) * 1000000 // (coalesce(c1.c1, 0) + vv.v) AS ppm,
+      |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+      |  FROM sbg s LEFT JOIN c2 ON c2.w1 = s.w1 AND c2.w2 = s.w2
+      |  LEFT JOIN c1 ON c1.w1 = s.w1 CROSS JOIN vv)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(ppm) // count(*) AS BIGINT) AS score_ppm,
+      |  CAST(sum(unseen) * 1000000 // count(*) AS BIGINT) AS unseen_ppm,
+      |  CASE WHEN CAST(sum(unseen) * 1000000 // count(*) AS BIGINT) >= 500000
+      |       THEN 'low' ELSE 'ok' END AS flag
+      |FROM ppm GROUP BY 1""".stripMargin
+
   /** Shared q219/q220 chain: synthesized HTML → href extraction →
     * canonical-host edges (junk hrefs dropped by the scheme test —
     * canonicalUrl is NULL exactly when the scheme regex is empty).
@@ -5273,45 +5358,16 @@ object SparkEntry {
     // bigram LM mirror: unnest+generate_subscripts token stream, lead()
     // bigrams, count tables from the %5<>0 slice, add-one ppm per
     // held-out pair occurrence; HUGEINT sums defused by BIGINT casts
-    "q228_lm_quality" ->
-      """WITH sdocs AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN reverse(text) ELSE text END AS text
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |rtok AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
-        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
-        |  FROM documents WHERE doc_id % 5 <> 0),
-        |c1 AS (SELECT w AS w1, count(*) AS c1 FROM rtok GROUP BY 1),
-        |vv AS (SELECT count(*) AS v FROM c1),
-        |rbg AS (
-        |  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
-        |  FROM rtok QUALIFY w2 IS NOT NULL),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM rbg GROUP BY 1, 2),
-        |stok AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
-        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
-        |  FROM sdocs),
-        |sbg AS (
-        |  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
-        |  FROM stok QUALIFY w2 IS NOT NULL),
-        |ppm AS (
-        |  SELECT s.doc_id,
-        |    (coalesce(c2.c2, 0) + 1) * 1000000 // (coalesce(c1.c1, 0) + vv.v) AS ppm,
-        |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
-        |  FROM sbg s LEFT JOIN c2 ON c2.w1 = s.w1 AND c2.w2 = s.w2
-        |  LEFT JOIN c1 ON c1.w1 = s.w1 CROSS JOIN vv)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(sum(ppm) // count(*) AS BIGINT) AS score_ppm,
-        |  CAST(sum(unseen) * 1000000 // count(*) AS BIGINT) AS unseen_ppm,
-        |  CASE WHEN CAST(sum(unseen) * 1000000 // count(*) AS BIGINT) >= 500000
-        |       THEN 'low' ELSE 'ok' END AS flag
-        |FROM ppm GROUP BY 1""".stripMargin,
+    "q228_lm_quality" -> LmQualitySql,
+    // identical-oracle certification: the stored-model round trip must
+    // be invisible in the scored rows (the q199/q187 discipline)
+    "q231_lm_stored" -> LmQualitySql,
 
-    "q226_html_extract" -> ("WITH " + htmlFixtureSql("FROM documents") +
-      ",\n" + HtmlExtractCtesSql +
-      "\nSELECT doc_id, main_text, CAST(length(main_text) AS BIGINT)" +
-      " AS n_chars_text FROM ext"),
+    "q226_html_extract" -> HtmlExtractSelectSql,
+    // identical-oracle certification: the streaming extraction is a
+    // stateless per-row map — two delivery waves must accumulate
+    // exactly the batch table (the q218/q185 discipline)
+    "q232_html_extract_stream" -> HtmlExtractSelectSql,
 
     // full crawl-text chain: q216's URL decisions + HTML extraction
     // over the kept fetches + exact-Jaccard content truth on the

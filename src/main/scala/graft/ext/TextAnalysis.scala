@@ -579,11 +579,32 @@ object TextAnalysis {
   def lmQualityScore(
       ref: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       oovLowPpm: Long = 500000L): DataFrame = {
+    val (rbg, runi) = lmModel(ref, textCol)
+    lmScoreWith(rbg, runi, docs, idCol, textCol, oovLowPpm)
+  }
+
+  /** The frozen-model halves of [[lmQualityScore]]: `(bigram counts
+    * (w1, w2, __c2), unigram counts (w1, __c1))` — persist both
+    * (IndexStore staging) to score later batches against an UNCHANGED
+    * model (the q199 stored-BPE discipline; q231 certifies the stored
+    * round-trip against q228's oracle verbatim).
+    */
+  def lmModel(ref: DataFrame, textCol: String): (DataFrame, DataFrame) = {
     val rbg = ref.select(explode(bigramPairs(col(textCol))).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("__c2"))
     val runi = ref.select(explode(tokens(col(textCol))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("__c1"))
+    (rbg, runi)
+  }
+
+  /** Score `docs` against a prepared (or loaded) [[lmModel]]. */
+  def lmScoreWith(
+      bigrams: DataFrame, unigrams: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String,
+      oovLowPpm: Long = 500000L): DataFrame = {
+    val rbg = bigrams
+    val runi = unigrams
     val vocab = runi.agg(count(lit(1)).as("__v"))
     val sbg = docs
       .select(col(idCol), explode(bigramPairs(col(textCol))).as("bg"))

@@ -698,6 +698,39 @@ object StreamingReports {
     spark.table(mem)
   }
 
+  /** Streaming HTML main-content extraction — q226's chain on a LIVE
+    * ingest (the q218 stateless-map discipline): fetched pages land as
+    * JSONL waves (to_json escapes the quotes hostile HTML is full of),
+    * every row extracts independently — no state, no watermark — so
+    * two delivery waves must accumulate exactly the batch table; q232
+    * certifies against q226's oracle VERBATIM.
+    */
+  def htmlExtractStreamReplay(outer: SparkSession, pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = replaySession(outer)
+    val landing = java.nio.file.Files.createTempDirectory("graft-html-replay")
+    def deliverWave(df: DataFrame): Unit =
+      df.select(to_json(struct(col("doc_id"), col("html"))).as("value"))
+        .coalesce(1).write.mode("append").text(landing.toString)
+    deliverWave(pages.filter(col("doc_id") % 2 === 0))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("html", StringType)))
+    val mem = s"graft_html_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val out = spark.readStream.text(landing.toString)
+      .select(from_json(col("value"), schema).as("j")).select("j.*")
+      .select(col("doc_id"),
+        graft.ext.HtmlExtract.mainText(col("html")).as("main_text"))
+      .withColumn("n_chars_text", length(col("main_text")).cast("long"))
+    val q = out.writeStream.format("memory").queryName(mem)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      deliverWave(pages.filter(col("doc_id") % 2 =!= 0))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(landing) }
+    spark.table(mem)
+  }
+
   /** Streaming ANN serving — the stored IVF index probed by a LIVE
     * query stream: query embeddings land as PARQUET waves (bit-exact
     * floats — a JSONL text round-trip could drop ulps) and each
