@@ -389,6 +389,34 @@ object ScaleProbe {
           graft.ext.UrlCanon.robotsDecide(
             d.select(col("doc_id"), url.as("url")), "doc_id", "url", rules)
         }),
+        run("html_extract", {
+          // round-12 family: pure per-row regex projection — expected
+          // ~linear (CPU-bound scan, no shuffle at all)
+          val html = concat(lit("<!DOCTYPE html><html><head><title>T</title>"),
+            when(col("doc_id") % 4 === 0,
+              lit("<script>if(a<b){x=\"</div>\";}</script>")).otherwise(lit("")),
+            lit("</head><body><p>"), col("text"),
+            when(col("doc_id") % 6 === 0, lit("&lt;x&gt;&amp;")).otherwise(lit("")),
+            lit("</p></body></html>"),
+            when(col("doc_id") % 9 === 0, lit("<a href=\"trunc")).otherwise(lit("")))
+          d.select(col("doc_id"),
+              graft.ext.HtmlExtract.mainText(html).as("t"))
+            .select(col("doc_id"), length(col("t")).as("n"))
+        }),
+        run("lm_quality", {
+          // model + scoring both grow with copies (the consonant/vowel
+          // rotations multiply the vocab, so the bigram table scales
+          // too); expected ~linear — keyed joins/aggs only
+          graft.ext.TextAnalysis.lmQualityScore(
+            d.filter(col("doc_id") % 5 =!= 0),
+            d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        }),
+        run("politeness", {
+          val host = concat(lit("www.src"),
+            (col("doc_id") % 1000).cast("string"), lit(".example.com"))
+          graft.ext.UrlCanon.politenessSchedule(
+            d.select(col("doc_id"), host.as("host")), "host", "doc_id")
+        }),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
           // split — label = id%10 would pin every label to ONE parity
