@@ -83,6 +83,20 @@ object SparkEntry {
       .as("html"))
   }
 
+  /** The q223/q229 robots policy fixture — ONE Scala site so the
+    * composed politeness capstone cannot drift from the compliance
+    * stage it composes: 20 hosts × ('/': allow, '/Docs/<i%7>': deny,
+    * '/Docs/<i%7>7': allow-override beneath it — precedence three
+    * levels deep).
+    */
+  private def robotsRulesFixture(s: SparkSession): DataFrame =
+    s.range(0, 20).selectExpr(
+      "concat('www.src', CAST(id AS STRING), '.example.com') AS host",
+      "inline(array(" +
+        "struct('/' AS prefix, true AS allow), " +
+        "struct(concat('/Docs/', CAST(id % 7 AS STRING)) AS prefix, false AS allow), " +
+        "struct(concat('/Docs/', CAST(id % 7 AS STRING), '7') AS prefix, true AS allow)))")
+
   /** Messy URL for an arbitrary id EXPRESSION (q219/q220's link
     * targets) — urlFixture's spelling variants with the source name
     * derived arithmetically (`source` == 'src' || id%20 in the corpus,
@@ -1198,13 +1212,7 @@ object SparkEntry {
       import graft.ext.UrlCanon
       val raw = urlFixture(t(s, dir, "documents")).drop("n_chars")
         .filter(UrlCanon.canonicalUrl(col("url")).isNotNull)
-      val rules = s.range(0, 20).selectExpr(
-        "concat('www.src', CAST(id AS STRING), '.example.com') AS host",
-        "inline(array(" +
-          "struct('/' AS prefix, true AS allow), " +
-          "struct(concat('/Docs/', CAST(id % 7 AS STRING)) AS prefix, false AS allow), " +
-          "struct(concat('/Docs/', CAST(id % 7 AS STRING), '7') AS prefix, true AS allow)))")
-      UrlCanon.robotsDecide(raw, "doc_id", "url", rules)
+      UrlCanon.robotsDecide(raw, "doc_id", "url", robotsRulesFixture(s))
     }),
 
     // ── crawl politeness scheduling — the composed frontier capstone:
@@ -1221,14 +1229,8 @@ object SparkEntry {
         urlFixture(t(s, dir, "documents")).drop("n_chars"), "url", "doc_id")
       val kept = dec.filter(col("decision") === "kept")
         .select(col("doc_id"), col("canonical_url"))
-      val rules = s.range(0, 20).selectExpr(
-        "concat('www.src', CAST(id AS STRING), '.example.com') AS host",
-        "inline(array(" +
-          "struct('/' AS prefix, true AS allow), " +
-          "struct(concat('/Docs/', CAST(id % 7 AS STRING)) AS prefix, false AS allow), " +
-          "struct(concat('/Docs/', CAST(id % 7 AS STRING), '7') AS prefix, true AS allow)))")
       val allowed = UrlCanon
-        .robotsDecide(kept, "doc_id", "canonical_url", rules)
+        .robotsDecide(kept, "doc_id", "canonical_url", robotsRulesFixture(s))
         .filter(col("decision") === "allow")
         .select(col("doc_id"), col("host"))
       val budgeted = graft.operators.Sampling.sampleExactN(
@@ -2796,10 +2798,12 @@ object SparkEntry {
     // report as JSON lines with the money as a STRING): write a
     // day-grain report whose amount is a decimal STRING
     // ("<dollars>.<cc>") through IndexStore staging, read it back with
-    // an explicit schema, PARSE the money strings back to cents, roll
-    // up to month grain; the oracle computes the month truth straight
-    // from the parquet originals, so any JSON write/read or string
-    // encode/parse infidelity breaks the hash. ──
+    // an explicit schema, PARSE the money strings back to cents and
+    // re-aggregate at the same day grain (the aggregation exercises
+    // the JSON scan; the grain stays day so the oracle is independent
+    // truth, not a mirrored derivation); the oracle computes the day
+    // truth straight from the parquet originals, so any JSON
+    // write/read or string encode/parse infidelity breaks the hash. ──
     "q230_jsonl_roundtrip" -> ((s, dir) => {
       val fp = graft.operators.IndexStore.fingerprint(s"$dir/events.parquet")
       val out = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -3937,7 +3941,9 @@ object SparkEntry {
       |  FROM raw),
       |canon AS (
       |  SELECT doc_id, n_chars, url, auth, rawpath,
-      |    CASE WHEN scheme = '' THEN NULL ELSE
+      |    CASE WHEN scheme = '' OR auth LIKE '%[%'
+      |           OR regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1) = ''
+      |         THEN NULL ELSE
       |      scheme || '://'
       |      || lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1))
       |      || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
@@ -4013,27 +4019,27 @@ object SparkEntry {
     */
   private val HtmlExtractCtesSql: String =
     """hx1 AS (
-      |  SELECT doc_id, regexp_replace(regexp_replace(html,
-      |    '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-      |    '(?is)<script\b[^>]*>.*', ' ', 'g') AS t FROM h),
+      |  SELECT doc_id, regexp_replace(html,
+      |    '(?is)<script\b[^>]*>.*?</script[ \t\n\x0B\f\r]*>|<style\b[^>]*>.*?</style[ \t\n\x0B\f\r]*>|<!--.*?-->',
+      |    ' ', 'g') AS t FROM h),
       |hx2 AS (
-      |  SELECT doc_id, regexp_replace(regexp_replace(t,
-      |    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
-      |    '(?is)<style\b[^>]*>.*', ' ', 'g') AS t FROM hx1),
+      |  SELECT doc_id, regexp_replace(t,
+      |    '(?is)<script\b[^>]*>.*|<style\b[^>]*>.*|<!--.*', ' ', 'g')
+      |    AS t FROM hx1),
       |hx3 AS (
-      |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
-      |    '(?s)<!--.*?-->', ' ', 'g'), '(?s)<!--.*', ' ', 'g'),
-      |    '<![^>]*>', ' ', 'g') AS t FROM hx2),
+      |  SELECT doc_id, regexp_replace(t, '<![^>]*>', ' ', 'g') AS t FROM hx2),
       |hx4 AS (
       |  SELECT doc_id, regexp_replace(regexp_replace(t,
-      |    '</?[A-Za-z][^>]*>', ' ', 'g'), '(?s)</?[A-Za-z][^>]*\z', ' ', 'g')
+      |    '</?[A-Za-z][^>]*>', ' ', 'g'),
+      |    '(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\z', ' ', 'g')
       |    AS t FROM hx3),
       |hx5 AS (
       |  SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(t,
       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
       |    '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM hx4),
       |ext AS (
-      |  SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS main_text
+      |  SELECT doc_id,
+      |    trim(regexp_replace(t, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS main_text
       |  FROM hx5)""".stripMargin
 
   /** q226's full select — shared with the streaming replay q232 (the

@@ -25,12 +25,17 @@ import org.apache.spark.sql.functions._
   *  - script/style bodies may contain `<`, `>`, quotes — removed
   *    wholesale BEFORE tag-stripping, so raw JS comparisons never leak
   *    into text;
+  *  - script/style/comment constructs resolve in DOCUMENT ORDER (one
+  *    leftmost-first alternation = sequential tokenization): a
+  *    `<script>` token inside a comment or a style body is that
+  *    construct's text, it never re-arms script state;
   *  - an UNCLOSED `<script>`/`<style>`/`<!--` swallows to end-of-doc
   *    (what browsers do: the parser stays in script state);
   *  - only `<` followed by a letter or `/`+letter opens a tag (the
   *    HTML5 tokenizer rule), so stray `a < b` text survives;
-  *  - a trailing unclosed tag (`<a href="trunc` at EOS — truncated
-  *    fetches) is dropped, not leaked;
+  *  - a trailing unclosed tag or declaration (`<a href="trunc`,
+  *    `<!DOCTYPE htm` at EOS — truncated fetches) is dropped, not
+  *    leaked;
   *  - entities decode AFTER tag-stripping (browser order), so
   *    `&lt;b&gt;` renders as literal `<b>` text and is never
   *    re-parsed as a tag; `&amp;` decodes LAST so `&amp;lt;` yields
@@ -46,35 +51,48 @@ import org.apache.spark.sql.functions._
   */
 object HtmlExtract {
 
+  /** ASCII whitespace, spelled as an explicit class: Java's `\s`
+    * includes U+000B but RE2's does not, so a bare `\s` would make the
+    * Spark chain and its DuckDB mirror diverge on vertical-tab input
+    * (latent until the corpus grows a control char). Both engines
+    * parse `\x0B`.
+    */
+  private val Ws = "[ \\t\\n\\x0B\\f\\r]"
+
   /** The visible text of an HTML page: structural strip + entity
     * decode + whitespace collapse, as one composed column expression.
     */
   def mainText(html: Column): Column = {
-    // 1) paired script/style blocks (bodies may contain '<' freely),
-    //    then UNCLOSED opens swallow to end-of-doc (browser behavior
-    //    on truncated pages); \b keeps <scripty> a plain tag
-    val noScript = regexp_replace(
-      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
-      "(?is)<script\\b[^>]*>.*", " ")
-    val noStyle = regexp_replace(
-      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " "),
-      "(?is)<style\\b[^>]*>.*", " ")
-    // 2) comments (may contain tags), closed then unclosed; then
-    //    declarations (<!DOCTYPE …>)
-    val noComment = regexp_replace(
-      regexp_replace(noStyle, "(?s)<!--.*?-->", " "), "(?s)<!--.*", " ")
-    val noDecl = regexp_replace(noComment, "<![^>]*>", " ")
-    // 3) tags: only '<'+letter (or '</'+letter) opens one — the HTML5
-    //    tokenizer rule — so 'a < b' survives as text; a trailing
-    //    unclosed tag at end-of-text is dropped (\z, RE2-safe)
+    // 1) PAIRED script/style blocks and comments in ONE leftmost-first
+    //    alternation: at each position at most one alternative can
+    //    start (distinct literal prefixes), so the EARLIEST construct
+    //    wins and consumes through its own closer — sequential
+    //    tokenization, exactly what a browser does. Separate passes
+    //    would let a '<script>' token INSIDE a comment or style body
+    //    swallow the rest of the document (round-12 review finding).
+    //    Bodies may contain '<'/'>' freely; \b keeps <scripty> a
+    //    plain tag.
+    val noPaired = regexp_replace(html,
+      s"(?is)<script\\b[^>]*>.*?</script$Ws*>" +
+        s"|<style\\b[^>]*>.*?</style$Ws*>|<!--.*?-->", " ")
+    // 2) UNCLOSED opens swallow to end-of-doc (browser behavior on
+    //    truncated pages) — again one alternation, earliest wins
+    val noOpenBlock = regexp_replace(noPaired,
+      "(?is)<script\\b[^>]*>.*|<style\\b[^>]*>.*|<!--.*", " ")
+    // 3) declarations (<!DOCTYPE …>), then tags: only '<'+letter (or
+    //    '</'+letter) opens one — the HTML5 tokenizer rule — so
+    //    'a < b' survives as text; a trailing unclosed tag OR
+    //    declaration at end-of-text is dropped (\z, RE2-safe)
+    val noDecl = regexp_replace(noOpenBlock, "<![^>]*>", " ")
     val noTags = regexp_replace(noDecl, "</?[A-Za-z][^>]*>", " ")
-    val noOpen = regexp_replace(noTags, "(?s)</?[A-Za-z][^>]*\\z", " ")
+    val noOpen = regexp_replace(noTags, "(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\\z", " ")
     // 4) entities: the common named set; '&amp;' LAST (browser order —
     //    '&amp;lt;' is the literal text '&lt;', never '<')
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noOpen) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
     // 5) collapse whitespace runs; trim the seams the strips left
-    trim(regexp_replace(decoded, "\\s+", " "))
+    //    (explicit class, not \s — see [[Ws]])
+    trim(regexp_replace(decoded, s"$Ws+", " "))
   }
 }

@@ -603,15 +603,13 @@ object TextAnalysis {
       bigrams: DataFrame, unigrams: DataFrame, docs: DataFrame,
       idCol: String, textCol: String,
       oovLowPpm: Long = 500000L): DataFrame = {
-    val rbg = bigrams
-    val runi = unigrams
-    val vocab = runi.agg(count(lit(1)).as("__v"))
+    val vocab = unigrams.agg(count(lit(1)).as("__v"))
     val sbg = docs
       .select(col(idCol), explode(bigramPairs(col(textCol))).as("bg"))
       .groupBy(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("__n"))
-    sbg.join(rbg, Seq("w1", "w2"), "left")
-      .join(runi, Seq("w1"), "left")
+    sbg.join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("__ppm", expr(
         "CAST((coalesce(__c2, 0L) + 1L) * 1000000L DIV (coalesce(__c1, 0L) + __v) AS BIGINT)"))

@@ -69,9 +69,13 @@ object UrlCanon {
       .otherwise(regexp_replace(rawPath, "/+$", ""))
   }
 
-  /** The canonical URL, or NULL for non-URL strings and bracketed
-    * IPv6 authorities (see [[canonicalHost]] — a NULL host nulls the
-    * concat, so both route to quarantine instead of keying garbage).
+  /** The canonical URL, or NULL for non-URL strings, bracketed IPv6
+    * authorities (see [[canonicalHost]] — a NULL host nulls the
+    * concat), and EMPTY hosts (`https:///x`, `http://?q=1` — a
+    * host-less URL is unfetchable; without the guard it would pass
+    * through with host '' and, worse, default-allow in
+    * [[robotsDecide]]). All three route to quarantine instead of
+    * keying garbage.
     */
   def canonicalUrl(url: Column): Column = {
     val scheme = schemeOf(url)
@@ -94,7 +98,9 @@ object UrlCanon {
     val sortedQuery = array_join(array_sort(split(query, "&")), "&")
     val queryPart = when(query === "", lit(""))
       .otherwise(concat(lit("?"), sortedQuery))
-    when(scheme === "", lit(null).cast("string"))
+    // scheme '' = not a URL; host '' = empty authority; host NULL
+    // (brackets) nulls the concat on its own
+    when(scheme === "" || host === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 
@@ -171,15 +177,22 @@ object UrlCanon {
   def robotsDecide(
       fetches: DataFrame, idCol: String, urlCol: String,
       rules: DataFrame): DataFrame = {
+    // bad iff the URL would not canonicalize: scheme '' / bracketed
+    // authority (host NULL) / empty host — tested on the parts
+    // directly rather than deriving the full canonicalUrl (its
+    // port/query-sort regex work would be computed per row only to be
+    // null-checked)
     val f = fetches.select(col(idCol), col(urlCol),
         explode_outer(array(struct(
-          canonicalUrl(col(urlCol)).as("curl"),
+          schemeOf(col(urlCol)).as("sch"),
           canonicalHost(col(urlCol)).as("h"),
           canonicalPath(col(urlCol)).as("p")))).as("__d"))
       .select(col(idCol), col(urlCol),
-        when(col("__d.curl").isNull, lit(null).cast("string"))
+        when(col("__d.sch") === "" || col("__d.h").isNull ||
+          col("__d.h") === "", lit(null).cast("string"))
           .otherwise(col("__d.h")).as("host"),
-        when(col("__d.curl").isNull, lit(null).cast("string"))
+        when(col("__d.sch") === "" || col("__d.h").isNull ||
+          col("__d.h") === "", lit(null).cast("string"))
           .otherwise(col("__d.p")).as("path"))
     val r = broadcast(rules.select(col("host").as("__rhost"),
       col("prefix"), col("allow")))

@@ -60,5 +60,25 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("<p>kept</p><div class=") == Seq("kept"))
     // nested unclosed block tags still strip as tags
     assert(extract("<div><p>deep") == Seq("deep"))
+    // truncated DECLARATION at EOS drops too (round-12 review finding)
+    assert(extract("<p>kept</p><!DOCTYPE htm") == Seq("kept"))
+  }
+
+  test("constructs resolve in document order: <script> inside a comment or style body is text") {
+    // round-12 review finding: separate per-construct passes let the
+    // unclosed-script fallback fire on a '<script>' INSIDE a comment
+    // and swallow the rest of the document
+    assert(extract("a<!-- <script> -->b") == Seq("a b"))
+    assert(extract("<style>.a{content:\"<script>\"}</style><p>visible</p>")
+      == Seq("visible"))
+    // and the converse: a comment open inside a script body is script
+    // text, consumed with the script
+    assert(extract("<script>x<!--y</script><p>seen</p>") == Seq("seen"))
+    // earliest unclosed construct wins the swallow
+    assert(extract("t<!-- open <script>s") == Seq("t"))
+  }
+
+  test("vertical tab collapses like other whitespace (explicit class - RE2 \\s lacks x0B)") {
+    assert(extract("ab  c") == Seq("a b c"))
   }
 }

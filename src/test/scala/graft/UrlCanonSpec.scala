@@ -44,6 +44,10 @@ class UrlCanonSpec extends SparkSpec {
     // must quarantine (NULL), never silently merge as dup_url
     assert(canon("http://[2001:db8::1]/x", "http://[2001:db8::2]/x",
       "https://user@[::1]:8443/p") == Seq(None, None, None))
+    // EMPTY authorities quarantine too: a host-less URL is
+    // unfetchable and would otherwise key on host ''
+    assert(canon("https:///admin", "http://?q=1", "http://#f")
+      == Seq(None, None, None))
   }
 
   test("canonicalHost strips userinfo and port; decisions classify every fetch once") {
@@ -104,10 +108,11 @@ class UrlCanonSpec extends SparkSpec {
     val rules = Seq(("a.com", "/", true)).toDF("host", "prefix", "allow")
     val got = UrlCanon.robotsDecide(
         Seq((1L, "not a url"), (2L, "http://[2001:db8::1]/x"),
-          (3L, "http://a.com/ok")).toDF("id", "url"),
+          (3L, "http://a.com/ok"), (4L, "https:///admin")).toDF("id", "url"),
         "id", "url", rules)
       .select("id", "decision").as[(Long, String)].collect().toMap
-    assert(got == Map(1L -> "bad_url", 2L -> "bad_url", 3L -> "allow"),
+    assert(got == Map(1L -> "bad_url", 2L -> "bad_url", 3L -> "allow",
+      4L -> "bad_url"),
       s"a compliance operator must quarantine garbage, got $got")
   }
 
