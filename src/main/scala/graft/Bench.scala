@@ -151,7 +151,8 @@ object Bench {
     "q223_robots_filter", "q224_ann_stream_probe", "q225_dataset_card",
     "q226_html_extract", "q227_crawl_text_capstone", "q228_lm_quality",
     "q229_politeness_schedule", "q230_jsonl_roundtrip",
-    "q231_lm_stored", "q232_html_extract_stream")
+    "q231_lm_stored", "q232_html_extract_stream", "q233_markup_stats",
+    "q234_intake_capstone")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

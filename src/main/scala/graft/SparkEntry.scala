@@ -1389,6 +1389,26 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── markup-density stats (the link-density boilerplate signal —
+    // Kohlschütter-style, integer form): per page, tag count, link
+    // count, extracted-text share of the raw bytes in ppm. Pages that
+    // are mostly markup/links are navigation/boilerplate, not
+    // training text. Pure per-row projections over the q226 chain —
+    // no shuffle; all-integer so it hash-certifies. ──
+    "q233_markup_stats" -> ((s, dir) => {
+      import graft.ext.HtmlExtract
+      htmlFixture(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(html, '</?[A-Za-z][^>]*>', 0)"))
+            .cast("long").as("n_tags"),
+          size(expr("regexp_extract_all(html, '(?i)<a\\\\b[^>]*>', 0)"))
+            .cast("long").as("n_links"),
+          length(col("html")).cast("long").as("n_raw"),
+          length(HtmlExtract.mainText(col("html"))).cast("long").as("n_text"))
+        .withColumn("text_ppm",
+          expr("CAST(n_text * 1000000 DIV n_raw AS BIGINT)"))
+    }),
+
     // ── STREAMING HTML extraction: q226's chain on a LIVE ingest (the
     // q218 stateless-map discipline) — pages land as JSONL waves, each
     // row extracts independently, so two delivery waves must
@@ -1397,6 +1417,55 @@ object SparkEntry {
     "q232_html_extract_stream" -> ((s, dir) =>
       graft.streaming.StreamingReports.htmlExtractStreamReplay(
         s, htmlFixture(t(s, dir, "documents")))),
+
+    // ── the ROUND-12 INTAKE CAPSTONE: every stage of the crawl intake
+    // composed into ONE certified decision table — URL dedup (q215) →
+    // robots compliance (q223) → per-host budget (q217) → HTML main-
+    // content extraction (q226) → n-gram LM quality (q228) — with a
+    // total precedence order bad_url > dup_url > denied > over_budget
+    // > low_quality > kept. The %11 arm garbles surviving pages
+    // (reversed text ≈ mojibake) so the LM stage flags live rows; all
+    // six classes are populated at sf0.01. This is the table a
+    // training-data owner actually reads: why did each fetch live or
+    // die. ──
+    "q234_intake_capstone" -> ((s, dir) => {
+      import graft.ext.{HtmlExtract, UrlCanon}
+      val docs = t(s, dir, "documents")
+      val dec = UrlCanon.urlDecisions(
+          urlFixture(docs).drop("n_chars"), "url", "doc_id")
+        .select("doc_id", "canonical_url", "decision")
+        .localCheckpoint() // feeds kept slice AND final table
+      val kept = dec.filter(col("decision") === "kept")
+        .select(col("doc_id"), col("canonical_url"))
+      val rob = UrlCanon
+        .robotsDecide(kept, "doc_id", "canonical_url", robotsRulesFixture(s))
+        .select(col("doc_id"), col("host"), col("decision").as("__rd"))
+        .localCheckpoint() // feeds the budget draw AND the final join
+      val bud = graft.operators.Sampling.sampleExactN(
+          rob.filter(col("__rd") === "allow").select("doc_id", "host"),
+          "host", col("doc_id"), n = 5, salt = "budget-v1")
+        .select(col("doc_id"), lit(1).as("__inb"))
+        .localCheckpoint() // feeds the LM slice AND the final join
+      val pages = htmlFixture(docs.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, reverse(col("text")))
+          .otherwise(col("text")).as("text")))
+      val surv = bud.join(pages, Seq("doc_id"))
+        .select(col("doc_id"), HtmlExtract.mainText(col("html")).as("text"))
+      val (c2, c1) = TextAnalysis.lmModel(
+        docs.filter(col("doc_id") % 5 =!= 0), "text")
+      val lm = TextAnalysis.lmScoreWith(c2, c1, surv, "doc_id", "text")
+        .select(col("doc_id"), col("flag").as("__lmflag"))
+      dec
+        .join(rob.select("doc_id", "__rd"), Seq("doc_id"), "left")
+        .join(bud, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("canonical_url"),
+          when(col("decision") =!= "kept", col("decision"))
+            .when(col("__rd") === "deny", lit("denied"))
+            .when(col("__inb").isNull, lit("over_budget"))
+            .when(col("__lmflag") === "low", lit("low_quality"))
+            .otherwise(lit("kept")).as("decision"))
+    }),
 
     // ── tokenizer fertility drift (q199's frozen model in operation):
     // train the 8 merges on the 4/5 REFERENCE slice only, encode the
@@ -5177,6 +5246,103 @@ object SparkEntry {
         |  CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END AS decision
         |FROM m WHERE rk = 1""".stripMargin),
 
+    // intake capstone: q215 keep rule + q223 robots rank + q217 budget
+    // draw + q226 extraction chain + q228 LM chain, composed with the
+    // total precedence CASE; every stage's mirror is the one already
+    // certified standalone
+    "q234_intake_capstone" -> (UrlCanonChainSql +
+      """,
+        |k AS (
+        |  SELECT canonical_url, min(doc_id) AS keep_id
+        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1),
+        |dec AS (
+        |  SELECT c.doc_id, c.canonical_url,
+        |    CASE WHEN c.canonical_url IS NULL THEN 'bad_url'
+        |         WHEN c.doc_id = k.keep_id THEN 'kept'
+        |         ELSE 'dup_url' END AS decision
+        |  FROM canon c LEFT JOIN k ON c.canonical_url = k.canonical_url),
+        |kept AS (
+        |  SELECT doc_id, canonical_url,
+        |    lower(regexp_extract(regexp_extract(canonical_url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+        |    CASE WHEN regexp_replace(regexp_extract(canonical_url,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |           '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(regexp_extract(canonical_url,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |           '/+$', '') END AS path
+        |  FROM dec WHERE decision = 'kept'),
+        |ids AS (SELECT unnest(range(0, 20)) AS i),
+        |rl AS (
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com' AS host,
+        |    '/' AS prefix, TRUE AS allow FROM ids
+        |  UNION ALL
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+        |    '/Docs/' || CAST(i % 7 AS VARCHAR), FALSE FROM ids
+        |  UNION ALL
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+        |    '/Docs/' || CAST(i % 7 AS VARCHAR) || '7', TRUE FROM ids),
+        |m AS (
+        |  SELECT f.doc_id, r.allow,
+        |    row_number() OVER (PARTITION BY f.doc_id
+        |      ORDER BY length(r.prefix) DESC NULLS LAST, r.prefix ASC NULLS FIRST,
+        |        r.allow DESC NULLS LAST) AS rk
+        |  FROM kept f LEFT JOIN rl r
+        |    ON r.host = f.host AND starts_with(f.path, r.prefix)),
+        |rdec AS (
+        |  SELECT doc_id,
+        |    CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END AS rd
+        |  FROM m WHERE rk = 1),
+        |bud AS (
+        |  SELECT k2.doc_id FROM kept k2
+        |  JOIN rdec ON rdec.doc_id = k2.doc_id AND rdec.rd = 'allow'
+        |  QUALIFY row_number() OVER (PARTITION BY k2.host
+        |    ORDER BY substr(md5(concat_ws(':', 'budget-v1',
+        |      CAST(k2.doc_id AS VARCHAR))), 1, 8), k2.doc_id) <= 5),
+        |""".stripMargin +
+      htmlFixtureSql("FROM (SELECT d.doc_id," +
+        " CASE WHEN d.doc_id % 11 = 0 THEN reverse(d.text) ELSE d.text END" +
+        " AS text FROM documents d JOIN bud ON bud.doc_id = d.doc_id) dk") +
+      ",\n" + HtmlExtractCtesSql +
+      """,
+        |rtok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |rbg AS (
+        |  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |  FROM rtok QUALIFY w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM rbg GROUP BY 1, 2),
+        |stok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(main_text), '[a-z0-9]+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(main_text), '[a-z0-9]+'), 1)
+        |      AS p
+        |  FROM ext),
+        |sbg AS (
+        |  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |  FROM stok QUALIFY w2 IS NOT NULL),
+        |ppm AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM sbg s LEFT JOIN c2 ON c2.w1 = s.w1 AND c2.w2 = s.w2),
+        |lmf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN sum(unseen) * 1000000 // count(*) >= 500000
+        |         THEN 'low' ELSE 'ok' END AS lmflag
+        |  FROM ppm GROUP BY 1)
+        |SELECT dec.doc_id, dec.canonical_url,
+        |  CASE WHEN dec.decision <> 'kept' THEN dec.decision
+        |       WHEN r.rd = 'deny' THEN 'denied'
+        |       WHEN bud.doc_id IS NULL THEN 'over_budget'
+        |       WHEN lf.lmflag = 'low' THEN 'low_quality'
+        |       ELSE 'kept' END AS decision
+        |FROM dec
+        |LEFT JOIN rdec r ON r.doc_id = dec.doc_id
+        |LEFT JOIN bud ON bud.doc_id = dec.doc_id
+        |LEFT JOIN lmf lf ON lf.doc_id = dec.doc_id""".stripMargin),
+
     // politeness composition: q215's keep rule, q223's robots argmax
     // (on the CANONICAL url — idempotent re-canonicalization), q217's
     // budget draw, then the round-robin windows; seq mirrors
@@ -5374,6 +5540,22 @@ object SparkEntry {
     // stateless per-row map — two delivery waves must accumulate
     // exactly the batch table (the q218/q185 discipline)
     "q232_html_extract_stream" -> HtmlExtractSelectSql,
+
+    // markup-density mirror: same fixture + extraction chain; tag and
+    // link counts via regexp_extract_all list lengths
+    "q233_markup_stats" -> ("WITH " + htmlFixtureSql("FROM documents") +
+      ",\n" + HtmlExtractCtesSql +
+      """
+        |SELECT h.doc_id,
+        |  CAST(len(regexp_extract_all(h.html, '</?[A-Za-z][^>]*>')) AS BIGINT)
+        |    AS n_tags,
+        |  CAST(len(regexp_extract_all(h.html, '(?i)<a\b[^>]*>')) AS BIGINT)
+        |    AS n_links,
+        |  CAST(length(h.html) AS BIGINT) AS n_raw,
+        |  CAST(length(e.main_text) AS BIGINT) AS n_text,
+        |  CAST(length(e.main_text) * 1000000 // length(h.html) AS BIGINT)
+        |    AS text_ppm
+        |FROM h JOIN ext e ON e.doc_id = h.doc_id""".stripMargin),
 
     // full crawl-text chain: q216's URL decisions + HTML extraction
     // over the kept fetches + exact-Jaccard content truth on the
