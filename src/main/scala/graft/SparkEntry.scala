@@ -1409,6 +1409,26 @@ object SparkEntry {
           expr("CAST(n_text * 1000000 DIV n_raw AS BIGINT)"))
     }),
 
+    // ── per-host BOILERPLATE-paragraph removal (the CCNet/RefinedWeb
+    // stage after extraction): paragraphs whose fingerprint repeats on
+    // ≥3 distinct pages of the same host (nav bars, footers) are
+    // dropped; page-unique body text survives. Fixture plants a
+    // per-host nav and footer around each doc's unique body, so the
+    // boilerplate detection binds on every page (n_boiler = 2) while
+    // clean_text keeps exactly the body. ──
+    "q235_boilerplate_paras" -> ((s, dir) => {
+      import graft.ext.HtmlExtract
+      val h = (col("doc_id") % 20).cast("string")
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("www.src"), h, lit(".example.com")).as("host"),
+        concat(
+          lit("<html><body><div class=\"nav\">Home src"), h,
+          lit(" about contact</div><p>"), col("text"),
+          lit("</p><div class=\"footer\">Copyright src"), h,
+          lit(" all rights</div></body></html>")).as("html"))
+      HtmlExtract.dropBoilerplateParagraphs(pages, "doc_id", "host", "html")
+    }),
+
     // ── STREAMING HTML extraction: q226's chain on a LIVE ingest (the
     // q218 stateless-map discipline) — pages land as JSONL waves, each
     // row extracts independently, so two delivery waves must
@@ -5245,6 +5265,55 @@ object SparkEntry {
         |SELECT doc_id, url, host, path, prefix AS rule_prefix,
         |  CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END AS decision
         |FROM m WHERE rk = 1""".stripMargin),
+
+    // boilerplate-paragraph mirror: the paragraphs() chain with chr(1)
+    // block breaks, list_transform/list_filter per-paragraph cleanup,
+    // (host, md5) page-frequency, string_agg ORDER BY pos re-join
+    "q235_boilerplate_paras" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |    'www.src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+        |    '<html><body><div class="nav">Home src' || CAST(doc_id % 20 AS VARCHAR)
+        |      || ' about contact</div><p>' || text
+        |      || '</p><div class="footer">Copyright src' || CAST(doc_id % 20 AS VARCHAR)
+        |      || ' all rights</div></body></html>' AS html
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, host, regexp_replace(html,
+        |  '(?is)<script\b[^>]*>.*?</script[ \t\n\x0B\f\r]*>|<style\b[^>]*>.*?</style[ \t\n\x0B\f\r]*>|<!--.*?-->',
+        |  ' ', 'g') AS t FROM pg),
+        |p2 AS (SELECT doc_id, host, regexp_replace(t,
+        |  '(?is)<script\b[^>]*>.*|<style\b[^>]*>.*|<!--.*', ' ', 'g') AS t FROM p1),
+        |p3 AS (SELECT doc_id, host, regexp_replace(t, '<![^>]*>', ' ', 'g') AS t
+        |  FROM p2),
+        |p4 AS (SELECT doc_id, host, regexp_replace(t,
+        |  '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|table|tr|td|section|article|header|footer)\b[^>]*>',
+        |  chr(1), 'g') AS t FROM p3),
+        |p5 AS (SELECT doc_id, host, regexp_replace(regexp_replace(t,
+        |  '</?[A-Za-z][^>]*>', ' ', 'g'),
+        |  '(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\z', ' ', 'g') AS t FROM p4),
+        |p6 AS (SELECT doc_id, host,
+        |  replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM p5),
+        |pr AS (
+        |  SELECT doc_id, host,
+        |    unnest(list_filter(list_transform(string_split(t, chr(1)),
+        |      x -> trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g'))),
+        |      x -> x <> '')) AS para,
+        |    generate_subscripts(list_filter(list_transform(string_split(t, chr(1)),
+        |      x -> trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g'))),
+        |      x -> x <> ''), 1) AS pos
+        |  FROM p6),
+        |fr AS (SELECT host, md5(para) AS fp, count(DISTINCT doc_id) AS n_pages
+        |  FROM pr GROUP BY 1, 2),
+        |j AS (SELECT pr.doc_id, pr.host, pr.para, pr.pos,
+        |    fr.n_pages >= 3 AS boiler
+        |  FROM pr JOIN fr ON fr.host = pr.host AND fr.fp = md5(pr.para))
+        |SELECT doc_id, host, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  coalesce(string_agg(CASE WHEN NOT boiler THEN para END, ' '
+        |    ORDER BY pos), '') AS clean_text
+        |FROM j GROUP BY 1, 2""".stripMargin,
 
     // intake capstone: q215 keep rule + q223 robots rank + q217 budget
     // draw + q226 extraction chain + q228 LM chain, composed with the

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTML main-content extraction — the stage every real crawl pipeline
@@ -94,5 +94,72 @@ object HtmlExtract {
     // 5) collapse whitespace runs; trim the seams the strips left
     //    (explicit class, not \s — see [[Ws]])
     trim(regexp_replace(decoded, s"$Ws+", " "))
+  }
+
+  /** Block-level tags whose boundaries delimit paragraphs. */
+  private val BlockTagRe =
+    "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|table|tr|td|section|article|header|footer)\\b[^>]*>"
+
+  /** The page text as PARAGRAPHS (array<string>): [[mainText]]'s
+    * chain, but block-level tag boundaries become paragraph breaks
+    * before the remaining (inline) tags are stripped. Inline markup
+    * (`<b>`, `<a …>`) does not split; empty paragraphs (adjacent
+    * block tags) are dropped; each paragraph is entity-decoded and
+    * whitespace-collapsed like mainText.
+    */
+  def paragraphs(html: Column): Column = {
+    val noPaired = regexp_replace(html,
+      s"(?is)<script\\b[^>]*>.*?</script$Ws*>" +
+        s"|<style\\b[^>]*>.*?</style$Ws*>|<!--.*?-->", " ")
+    val noOpenBlock = regexp_replace(noPaired,
+      "(?is)<script\\b[^>]*>.*|<style\\b[^>]*>.*|<!--.*", " ")
+    val noDecl = regexp_replace(noOpenBlock, "<![^>]*>", " ")
+    // block boundaries -> U+0001 BEFORE inline tags vanish
+    val withBreaks = regexp_replace(noDecl, BlockTagRe, "\u0001")
+    val noTags = regexp_replace(withBreaks, "</?[A-Za-z][^>]*>", " ")
+    val noOpen = regexp_replace(noTags, "(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\\z", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noOpen) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    filter(
+      transform(split(decoded, "\u0001"),
+        p => trim(regexp_replace(p, s"$Ws+", " "))),
+      p => p =!= "")
+  }
+
+  /** Per-host BOILERPLATE-paragraph removal — the CCNet/RefinedWeb
+    * stage after extraction: nav bars, footers, cookie banners repeat
+    * on (nearly) every page of a host, so a paragraph whose
+    * fingerprint appears on ≥ `minPages` distinct pages of its host
+    * is boilerplate and is dropped; body text is page-unique and
+    * survives. Emits per page: paragraph counts and the cleaned text
+    * (kept paragraphs re-joined in document order).
+    *
+    * Shape: one posexplode (paragraph grain), one (host, fingerprint)
+    * count-distinct aggregate — bounded by distinct paragraphs, never
+    * pages² — one keyed join back, one page-grain fold. The ordered
+    * re-join is a per-page `array_sort(collect_list(...))`, bounded by
+    * a page's paragraph count, never a corpus window. At 100 TB every
+    * stage is a keyed shuffle on (host, fp) or the page id; nothing
+    * broadcasts, nothing is quadratic.
+    */
+  def dropBoilerplateParagraphs(
+      pages: DataFrame, idCol: String, hostCol: String, htmlCol: String,
+      minPages: Int = 3): DataFrame = {
+    require(minPages >= 2, s"minPages must be >= 2, got $minPages")
+    val paras = pages.select(col(idCol), col(hostCol),
+        posexplode(paragraphs(col(htmlCol))).as(Seq("__pos", "__para")))
+      .withColumn("__fp", md5(col("__para")))
+    val freq = paras.groupBy(col(hostCol), col("__fp"))
+      .agg(count_distinct(col(idCol)).as("__n_pages"))
+    paras.join(freq, Seq(hostCol, "__fp"))
+      .withColumn("__boiler", col("__n_pages") >= minPages)
+      .groupBy(col(idCol), col(hostCol))
+      .agg(count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__boiler"),
+            struct(col("__pos"), col("__para"))))),
+          x => x.getField("__para")), " ").as("clean_text"))
   }
 }

@@ -78,6 +78,40 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("t<!-- open <script>s") == Seq("t"))
   }
 
+  test("paragraphs: block tags split, inline tags don't, empties drop, order holds") {
+    val got = Seq(
+      "<div>nav</div><p>one <b>bold</b> two</p><p></p><div>footer</div>",
+      "no blocks at all",
+      "<ul><li>a</li><li>b</li></ul>")
+      .toDF("html")
+      .select(graft.ext.HtmlExtract.paragraphs(col("html")).as("p"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("nav", "one bold two", "footer"),
+      s"inline <b> must not split: ${got(0)}")
+    assert(got(1) == Seq("no blocks at all"))
+    assert(got(2) == Seq("a", "b"))
+  }
+
+  test("dropBoilerplateParagraphs: host-repeated paragraphs die, unique body survives in order") {
+    val pages = Seq(
+      (1L, "h1", "<div>nav</div><p>alpha body</p><p>beta body</p><div>nav</div>"),
+      (2L, "h1", "<div>nav</div><p>gamma body</p><div>nav</div>"),
+      (3L, "h1", "<div>nav</div><p>delta body</p><div>nav</div>"),
+      (4L, "h2", "<div>nav</div><p>epsilon</p>"))
+      .toDF("id", "host", "html")
+    val got = graft.ext.HtmlExtract
+      .dropBoilerplateParagraphs(pages, "id", "host", "html", minPages = 3)
+      .as[(Long, String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    // 'nav' repeats on all 3 h1 pages -> boiler there; h2's single page
+    // can never reach minPages, so its nav SURVIVES (per-host scope)
+    assert(got(1L) == ((4L, 2L, "alpha body beta body")), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 2L, "gamma body")))
+    assert(got(3L) == ((3L, 2L, "delta body")))
+    assert(got(4L) == ((2L, 0L, "nav epsilon")),
+      "another host's nav must not leak into h2's frequency")
+  }
+
   test("vertical tab collapses like other whitespace (explicit class - RE2 \\s lacks x0B)") {
     assert(extract("ab  c") == Seq("a b c"))
   }
