@@ -1409,6 +1409,30 @@ object SparkEntry {
           expr("CAST(n_text * 1000000 DIV n_raw AS BIGINT)"))
     }),
 
+    // ── HTTP response-record parsing (the fetch→parse stage, the
+    // analytics-visible half of WARC processing): status line / header
+    // block / body split at the FIRST blank line, case-insensitive
+    // Content-Type + charset from the HEADER BLOCK only, total
+    // decision table malformed / bad_status / bad_type / ok. Fixture
+    // arms: 404s, PDFs, LF-only separators (malformed), no status
+    // line (malformed), mixed-case Content-Type, charset present and
+    // absent — all four classes live. ──
+    "q236_http_parse" -> ((s, dir) => {
+      val id = col("doc_id")
+      val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
+        .when(id % 7 === 5, lit("GARBAGE"))
+        .otherwise(lit("HTTP/1.1 200 OK"))
+      val ctype = when(id % 7 === 2, lit("application/pdf"))
+        .when(id % 2 === 0, lit("text/html; charset=utf-8"))
+        .otherwise(lit("Text/HTML"))
+      val sep = when(id % 7 === 3, lit("\n\n")).otherwise(lit("\r\n\r\n"))
+      val raw = concat(statusLine,
+        lit("\r\nServer: graft\r\nContent-Type: "), ctype, sep,
+        lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+      graft.ext.HttpRecord.parse(
+        t(s, dir, "documents").select(id, raw.as("raw")), "doc_id", "raw")
+    }),
+
     // ── per-host BOILERPLATE-paragraph removal (the CCNet/RefinedWeb
     // stage after extraction): paragraphs whose fingerprint repeats on
     // ≥3 distinct pages of the same host (nav bars, footers) are
@@ -5265,6 +5289,50 @@ object SparkEntry {
         |SELECT doc_id, url, host, path, prefix AS rule_prefix,
         |  CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END AS decision
         |FROM m WHERE rk = 1""".stripMargin),
+
+    // HTTP-record mirror: CRLF via chr(13)||chr(10) in the fixture,
+    // identical RE2 split/extract patterns in the parse
+    "q236_http_parse" ->
+      """WITH rawr AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 7 = 1 THEN 'HTTP/1.1 404 Not Found'
+        |          WHEN doc_id % 7 = 5 THEN 'GARBAGE'
+        |          ELSE 'HTTP/1.1 200 OK' END)
+        |    || chr(13) || chr(10) || 'Server: graft' || chr(13) || chr(10)
+        |    || 'Content-Type: '
+        |    || (CASE WHEN doc_id % 7 = 2 THEN 'application/pdf'
+        |             WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+        |             ELSE 'Text/HTML' END)
+        |    || (CASE WHEN doc_id % 7 = 3 THEN chr(10) || chr(10)
+        |             ELSE chr(13) || chr(10) || chr(13) || chr(10) END)
+        |    || '<html><body><p>' || text || '</p></body></html>' AS raw
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, raw,
+        |    regexp_extract(raw, '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS st_s,
+        |    regexp_extract(raw, '(?s)^(.*?)\r\n\r\n', 1) AS head,
+        |    CASE WHEN position(chr(13)||chr(10)||chr(13)||chr(10) IN raw) > 0
+        |         THEN 1 ELSE 0 END AS has_sep
+        |  FROM rawr),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN st_s = '' THEN NULL ELSE CAST(st_s AS INT) END AS status,
+        |    regexp_extract(head, '(?i)\r\nContent-Type:[ \t]*([^\r\n]*)', 1) AS ct,
+        |    has_sep,
+        |    CASE WHEN has_sep = 1
+        |         THEN length(regexp_extract(raw, '(?s)^.*?\r\n\r\n(.*)', 1))
+        |         ELSE 0 END AS body_chars
+        |  FROM p)
+        |SELECT doc_id, status,
+        |  lower(trim(regexp_extract(ct, '^([^;]*)', 1))) AS content_type,
+        |  lower(regexp_extract(ct, '(?i)charset=([A-Za-z0-9_-]+)', 1)) AS charset,
+        |  CASE WHEN status IS NULL OR has_sep = 0 THEN 'malformed'
+        |       WHEN status <> 200 THEN 'bad_status'
+        |       WHEN lower(trim(regexp_extract(ct, '^([^;]*)', 1))) <> 'text/html'
+        |         THEN 'bad_type'
+        |       ELSE 'ok' END AS decision,
+        |  CAST(body_chars AS BIGINT) AS body_chars
+        |FROM q""".stripMargin,
 
     // boilerplate-paragraph mirror: the paragraphs() chain with chr(1)
     // block breaks, list_transform/list_filter per-paragraph cleanup,

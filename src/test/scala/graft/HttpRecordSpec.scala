@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.HttpRecord
+
+class HttpRecordSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(raws: (Long, String)*) =
+    HttpRecord.parse(raws.toSeq.toDF("id", "raw"), "id", "raw")
+      .as[(Long, Option[Int], String, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("status/headers/body split at the FIRST blank line; decisions total") {
+    val got = parse(
+      (1L, "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n<p>hi</p>"),
+      (2L, "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"),
+      (3L, "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n%PDF"),
+      (4L, "HTTP/1.0 200 OK\r\nServer: x\n\nno real separator"),
+      (5L, "not http at all\r\n\r\nbody"))
+    assert(got(1L) == ((Some(200), "text/html", "utf-8", "ok", 9L)))
+    assert(got(2L) == ((Some(404), "text/html", "", "bad_status", 4L)))
+    assert(got(3L) == ((Some(200), "application/pdf", "", "bad_type", 4L)))
+    assert(got(4L)._4 == "malformed", "LF-only separator is malformed")
+    assert(got(5L)._4 == "malformed", "no status line is malformed")
+  }
+
+  test("header lookup is case-insensitive and header-block-scoped") {
+    val got = parse(
+      // mixed-case header name; body contains a DECOY Content-Type
+      (1L, "HTTP/1.1 200 OK\r\ncontent-type: Text/HTML\r\n\r\n" +
+        "Content-Type: application/evil\r\nbody"),
+      // body text mentions the header but headers lack it
+      (2L, "HTTP/1.1 200 OK\r\nServer: x\r\n\r\nContent-Type: text/html"))
+    assert(got(1L)._2 == "text/html" && got(1L)._4 == "ok",
+      s"decoy in body must not win: ${got(1L)}")
+    assert(got(2L)._2 == "" && got(2L)._4 == "bad_type",
+      "missing Content-Type header is not text/html, whatever the body says")
+    // body after the FIRST blank line, later blank lines are body text
+    val b = parse((3L, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\na\r\n\r\nb"))
+    assert(b(3L)._5 == 6L, s"body must span past later blank lines: ${b(3L)}")
+  }
+}
