@@ -1409,6 +1409,40 @@ object SparkEntry {
           expr("CAST(n_text * 1000000 DIV n_raw AS BIGINT)"))
     }),
 
+    // ── sitemap FRONTIER discovery (the crawl-expansion stage):
+    // per-page sitemap XML → <loc> extraction → canonicalization (the
+    // real operator path) → LEFT ANTI against the already-crawled
+    // canonical set = the new frontier. Fixture: each sitemap lists a
+    // never-crawled /New/ target and a messy /Docs/ target whose
+    // canonical form collides with the crawled space except for six
+    // residue classes whose only fetch was the %17 bad_url arm — so
+    // the anti-join provably both keeps and drops. Oracle derives the
+    // canonical forms ARITHMETICALLY (independent truth, not the
+    // mirrored regex chain). ──
+    "q237_sitemap_frontier" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val docs = t(s, dir, "documents")
+      val tt1 = col("doc_id") * (col("doc_id") + 5) + 2
+      val t1 = concat(lit("http://www.src"), (tt1 % 20).cast("string"),
+        lit(".example.com/New/"), (tt1 % 50).cast("string"))
+      val sitemaps = docs.select(col("doc_id"), concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>"), t1,
+        lit("</loc></url><url><loc>"),
+        messyUrl(col("doc_id") * (col("doc_id") + 9) + 7),
+        lit("</loc></url></urlset>")).as("xml"))
+      val cand = sitemaps
+        .select(explode(expr(
+          "regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)")).as("loc"))
+        .select(UrlCanon.canonicalUrl(col("loc")).as("canonical_url"))
+        .filter(col("canonical_url").isNotNull).distinct()
+      val crawled = UrlCanon.urlDecisions(
+          urlFixture(docs).drop("n_chars"), "url", "doc_id")
+        .filter(col("decision") === "kept").select("canonical_url")
+      cand.join(crawled, Seq("canonical_url"), "left_anti")
+        .select(col("canonical_url"),
+          UrlCanon.canonicalHost(col("canonical_url")).as("host"))
+    }),
+
     // ── HTTP response-record parsing (the fetch→parse stage, the
     // analytics-visible half of WARC processing): status line / header
     // block / body split at the FIRST blank line, case-insensitive
@@ -5289,6 +5323,33 @@ object SparkEntry {
         |SELECT doc_id, url, host, path, prefix AS rule_prefix,
         |  CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END AS decision
         |FROM m WHERE rk = 1""".stripMargin),
+
+    // sitemap-frontier mirror: canonical forms derived ARITHMETICALLY
+    // from the residues (independent truth for the regex chain);
+    // crawled set = canonical classes whose fetch was not the %17 bad
+    // arm; host via the standard nested-regex mirror
+    "q237_sitemap_frontier" -> {
+      def canonOf(x: String): String =
+        s"((CASE WHEN ($x) % 3 = 1 THEN 'https' ELSE 'http' END) || " +
+          s"'://www.src' || CAST(($x) % 20 AS VARCHAR) || '.example.com' || " +
+          s"(CASE WHEN ($x) % 5 = 2 THEN ':8080' ELSE '' END) || " +
+          s"'/Docs/' || CAST(($x) % 50 AS VARCHAR) || " +
+          s"(CASE WHEN ($x) % 4 IN (0, 1) THEN '?a=1&b=2' ELSE '' END))"
+      s"""WITH cand AS (
+         |  SELECT DISTINCT 'http://www.src'
+         |      || CAST((doc_id*(doc_id+5)+2) % 20 AS VARCHAR)
+         |      || '.example.com/New/'
+         |      || CAST((doc_id*(doc_id+5)+2) % 50 AS VARCHAR) AS cu
+         |  FROM documents
+         |  UNION
+         |  SELECT DISTINCT ${canonOf("doc_id*(doc_id+9)+7")} FROM documents),
+         |crawled AS (
+         |  SELECT DISTINCT ${canonOf("doc_id")} AS cu
+         |  FROM documents WHERE doc_id % 17 <> 0)
+         |SELECT c.cu AS canonical_url, ${hostOfSql("c.cu")} AS host
+         |FROM cand c LEFT JOIN crawled w ON w.cu = c.cu
+         |WHERE w.cu IS NULL""".stripMargin
+    },
 
     // HTTP-record mirror: CRLF via chr(13)||chr(10) in the fixture,
     // identical RE2 split/extract patterns in the parse

@@ -411,6 +411,25 @@ object ScaleProbe {
             d.filter(col("doc_id") % 5 =!= 0),
             d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         }),
+        run("http_parse", {
+          // per-row regex splits — expected ~linear, no shuffle
+          val raw = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>"),
+            col("text"), lit("</p>"))
+          graft.ext.HttpRecord.parse(
+            d.select(col("doc_id"), raw.as("raw")), "doc_id", "raw")
+        }),
+        run("boilerplate_paras", {
+          // paragraph explode + (host, fp) count-distinct + join-back —
+          // keyed shuffles at paragraph grain; hosts FIXED at 1000 so
+          // per-host page counts grow with copies (the hot-host stress)
+          val h = concat(lit("h"), (col("doc_id") % 1000).cast("string"))
+          val html = concat(lit("<div>nav for "), h,
+            lit("</div><p>"), col("text"), lit("</p><div>footer "), h,
+            lit("</div>"))
+          graft.ext.HtmlExtract.dropBoilerplateParagraphs(
+            d.select(col("doc_id"), h.as("host"), html.as("html")),
+            "doc_id", "host", "html")
+        }),
         run("politeness", {
           val host = concat(lit("www.src"),
             (col("doc_id") % 1000).cast("string"), lit(".example.com"))
