@@ -59,10 +59,21 @@ object HtmlExtract {
     */
   private val Ws = "[ \\t\\n\\x0B\\f\\r]"
 
-  /** The visible text of an HTML page: structural strip + entity
-    * decode + whitespace collapse, as one composed column expression.
+  /** Block-level tags whose boundaries delimit paragraphs. */
+  private val BlockTagRe =
+    "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|table|tr|td|section|article|header|footer)\\b[^>]*>"
+
+  /** ONE shared structural pipeline feeds both [[mainText]] and
+    * [[paragraphs]] — they may differ only in how the U+0001 block
+    * break renders (collapse-as-space vs split), which PropertyExtSpec
+    * pins as `array_join(paragraphs(x), " ") == mainText(x)` on
+    * arbitrary hostile input. The first cut gave each chain its own
+    * pass order and the property caught them diverging: an unclosed
+    * mid-document tag followed by a block tag closed on the block
+    * tag's '>' in one chain but swallowed to end-of-doc in the other
+    * (the block pass had already consumed that '>').
     */
-  def mainText(html: Column): Column = {
+  private def structuralStrip(html: Column): Column = {
     // 1) PAIRED script/style blocks and comments in ONE leftmost-first
     //    alternation: at each position at most one alternative can
     //    start (distinct literal prefixes), so the EARLIEST construct
@@ -79,53 +90,43 @@ object HtmlExtract {
     //    truncated pages) — again one alternation, earliest wins
     val noOpenBlock = regexp_replace(noPaired,
       "(?is)<script\\b[^>]*>.*|<style\\b[^>]*>.*|<!--.*", " ")
-    // 3) declarations (<!DOCTYPE …>), then tags: only '<'+letter (or
-    //    '</'+letter) opens one — the HTML5 tokenizer rule — so
-    //    'a < b' survives as text; a trailing unclosed tag OR
-    //    declaration at end-of-text is dropped (\z, RE2-safe)
+    // 3) declarations (<!DOCTYPE …>); BLOCK-tag boundaries become
+    //    U+0001 breaks BEFORE the remaining tags strip; then tags:
+    //    only '<'+letter (or '</'+letter) opens one — the HTML5
+    //    tokenizer rule — so 'a < b' survives as text; a trailing
+    //    unclosed tag OR declaration at end-of-text is dropped (\z,
+    //    RE2-safe)
     val noDecl = regexp_replace(noOpenBlock, "<![^>]*>", " ")
-    val noTags = regexp_replace(noDecl, "</?[A-Za-z][^>]*>", " ")
-    val noOpen = regexp_replace(noTags, "(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\\z", " ")
-    // 4) entities: the common named set; '&amp;' LAST (browser order —
-    //    '&amp;lt;' is the literal text '&lt;', never '<')
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noOpen) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    // 5) collapse whitespace runs; trim the seams the strips left
-    //    (explicit class, not \s — see [[Ws]])
-    trim(regexp_replace(decoded, s"$Ws+", " "))
-  }
-
-  /** Block-level tags whose boundaries delimit paragraphs. */
-  private val BlockTagRe =
-    "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|table|tr|td|section|article|header|footer)\\b[^>]*>"
-
-  /** The page text as PARAGRAPHS (array<string>): [[mainText]]'s
-    * chain, but block-level tag boundaries become paragraph breaks
-    * before the remaining (inline) tags are stripped. Inline markup
-    * (`<b>`, `<a …>`) does not split; empty paragraphs (adjacent
-    * block tags) are dropped; each paragraph is entity-decoded and
-    * whitespace-collapsed like mainText.
-    */
-  def paragraphs(html: Column): Column = {
-    val noPaired = regexp_replace(html,
-      s"(?is)<script\\b[^>]*>.*?</script$Ws*>" +
-        s"|<style\\b[^>]*>.*?</style$Ws*>|<!--.*?-->", " ")
-    val noOpenBlock = regexp_replace(noPaired,
-      "(?is)<script\\b[^>]*>.*|<style\\b[^>]*>.*|<!--.*", " ")
-    val noDecl = regexp_replace(noOpenBlock, "<![^>]*>", " ")
-    // block boundaries -> U+0001 BEFORE inline tags vanish
     val withBreaks = regexp_replace(noDecl, BlockTagRe, "\u0001")
     val noTags = regexp_replace(withBreaks, "</?[A-Za-z][^>]*>", " ")
     val noOpen = regexp_replace(noTags, "(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\\z", " ")
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    // 4) entities: the common named set; '&amp;' LAST (browser order —
+    //    '&amp;lt;' is the literal text '&lt;', never '<')
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noOpen) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+  }
+
+  /** The visible text of an HTML page: structural strip + entity
+    * decode + whitespace collapse (block breaks collapse like
+    * whitespace — explicit class, not \s, see [[Ws]]).
+    */
+  def mainText(html: Column): Column =
+    trim(regexp_replace(structuralStrip(html),
+      "[ \\t\\n\\x0B\\f\\r\\x01]+", " "))
+
+  /** The page text as PARAGRAPHS (array<string>): the same structural
+    * pipeline, split at the block-tag breaks instead of collapsing
+    * them. Inline markup (`<b>`, `<a …>`) does not split; empty
+    * paragraphs (adjacent block tags) drop; each paragraph is
+    * entity-decoded and whitespace-collapsed like mainText. Raw input
+    * containing U+0001 (the break char) is out of contract.
+    */
+  def paragraphs(html: Column): Column =
     filter(
-      transform(split(decoded, "\u0001"),
+      transform(split(structuralStrip(html), "\u0001"),
         p => trim(regexp_replace(p, s"$Ws+", " "))),
       p => p =!= "")
-  }
 
   /** Per-host BOILERPLATE-paragraph removal — the CCNet/RefinedWeb
     * stage after extraction: nav bars, footers, cookie banners repeat

@@ -404,4 +404,39 @@ class PropertyExtSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: paragraphs rejoin == mainText on random hostile HTML") {
+    import graft.ext.HtmlExtract
+    // The two extraction chains differ ONLY in how block boundaries are
+    // rendered (break vs space) — so space-joining the paragraphs must
+    // reproduce mainText EXACTLY, on any input. This ties the chains
+    // together: an edit to one pass that misses the other diverges
+    // here, not in production. (U+0001 in raw input is the documented
+    // out-of-contract char — the paragraph separator.)
+    val genFrag: Gen[String] = Gen.oneOf(
+      Gen.oneOf("plain words", "a < b", "x &amp; y", "&lt;tag&gt;", "q&#39;s",
+        "spaced   out", ""),
+      Gen.oneOf("<p>", "</p>", "<div class=\"c\">", "</div>", "<br>",
+        "<b>", "</b>", "<a href=\"u\">", "</a>", "<li>", "</li>",
+        "<!DOCTYPE html>"),
+      Gen.oneOf(
+        "<script>if(a<b){x=\"</div>\";}</script>",
+        "<style>p > a { content: \"<q>\"; }</style>",
+        "<!-- hidden <p>tags</p> -->",
+        "<script>unclosed to EOS",
+        "<!-- unclosed comment",
+        "<a href=\"trunc"))
+    val genHtml: Gen[String] =
+      Gen.listOfN(12, genFrag).map(_.mkString(" "))
+    val htmls = (0 until 12).flatMap(i =>
+      sample(Gen.listOfN(40, genHtml), 900L + i)).distinct
+    val rows = htmls.toDF("html")
+      .select(col("html"), HtmlExtract.mainText(col("html")).as("mt"),
+        array_join(HtmlExtract.paragraphs(col("html")), " ").as("pj"))
+      .as[(String, String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (h, mt, pj) =>
+      assert(mt == pj, s"chains diverge on: $h\n mainText=$mt\n paraJoin=$pj")
+    }
+  }
 }
