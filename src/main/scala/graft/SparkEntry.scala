@@ -5327,7 +5327,16 @@ object SparkEntry {
     // sitemap-frontier mirror: canonical forms derived ARITHMETICALLY
     // from the residues (independent truth for the regex chain);
     // crawled set = canonical classes whose fetch was not the %17 bad
-    // arm; host via the standard nested-regex mirror
+    // arm; host via the standard nested-regex mirror.
+    // COUPLING ASSUMPTION (ADVICE r12): canonOf drops :80/:443
+    // unconditionally while canonicalUrl RETAINS them when they
+    // mismatch the scheme (https://h:80, http://h:443). That omission
+    // is safe here ONLY because host = x%20 determines x%5 (20 = 4·5),
+    // so a port-divergent crawled spelling can never collide with a
+    // candidate on the same host: the candidates' quadratic formulas
+    // never land in %5 ∈ {0,1} for a shared %20 class. If the fixture's
+    // host modulus or the quadratic formulas change, re-derive this or
+    // encode the true scheme/port-mismatch rule in canonOf.
     "q237_sitemap_frontier" -> {
       def canonOf(x: String): String =
         s"((CASE WHEN ($x) % 3 = 1 THEN 'https' ELSE 'http' END) || " +

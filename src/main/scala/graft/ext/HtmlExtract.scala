@@ -136,6 +136,14 @@ object HtmlExtract {
     * survives. Emits per page: paragraph counts and the cleaned text
     * (kept paragraphs re-joined in document order).
     *
+    * CONTRACT: pages whose HTML extracts to ZERO paragraphs (empty
+    * body, pure-markup page) emit NO output row — the posexplode
+    * yields no paragraph rows and the join back is inner. Callers
+    * needing the repo's usual classify-every-input-once posture
+    * (urlDecisions, HttpRecord.parse) should left-join the result
+    * back to the page table and read an absent row as
+    * n_paras=0/clean_text=''.
+    *
     * Shape: one posexplode (paragraph grain), one (host, fingerprint)
     * count-distinct aggregate — bounded by distinct paragraphs, never
     * pages² — one keyed join back, one page-grain fold. The ordered

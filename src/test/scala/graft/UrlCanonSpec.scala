@@ -177,4 +177,70 @@ class UrlCanonSpec extends SparkSpec {
     assert(sortRe.findFirstIn(windowed).isDefined,
       "sort detector is vacuous — it missed a row_number window plan")
   }
+
+  private def resolve(base: String, hrefs: String*): Seq[Option[String]] =
+    hrefs.toSeq.map((base, _)).toDF("base", "href")
+      .select(UrlCanon.resolveUrl(col("base"), col("href")).as("r"))
+      .as[Option[String]].collect().toSeq
+
+  test("resolveUrl: every RFC 3986 reference class") {
+    val base = "http://h.com/a/b/c?q=1#frag"
+    // absolute (verbatim, incl. non-hierarchical schemes)
+    assert(resolve(base, "https://x.com/p?z=2", "mailto:a@b", "javascript:void(0)")
+      == Seq(Some("https://x.com/p?z=2"), Some("mailto:a@b"),
+        Some("javascript:void(0)")))
+    // network-path: base scheme attaches
+    assert(resolve(base, "//X.com/p") == Seq(Some("http://X.com/p")))
+    assert(resolve("HTTPS://h.com/", "//x.com/p") == Seq(Some("https://x.com/p")))
+    // absolute-path: authority (raw spelling) kept, path replaced
+    assert(resolve(base, "/d/e?y=2") == Seq(Some("http://h.com/d/e?y=2")))
+    // query-only: base path kept
+    assert(resolve(base, "?z=9") == Seq(Some("http://h.com/a/b/c?z=9")))
+    // empty and fragment-only: the base itself, fragment dropped
+    assert(resolve(base, "", "#sec")
+      == Seq.fill(2)(Some("http://h.com/a/b/c?q=1")))
+    // relative-path: merged onto the base directory
+    assert(resolve(base, "d", "./d", "../d", "../../d", "../../../d")
+      == Seq(Some("http://h.com/a/b/d"), Some("http://h.com/a/b/d"),
+        Some("http://h.com/a/d"), Some("http://h.com/d"),
+        Some("http://h.com/d"))) // above-root .. drops (RFC)
+    // ref query/fragment carried; base query never leaks into rel refs
+    assert(resolve(base, "d?x=2#s") == Seq(Some("http://h.com/a/b/d?x=2")))
+    // base with trailing-slash dir vs file dir
+    assert(resolve("http://h.com/a/b/", "c", "../c")
+      == Seq(Some("http://h.com/a/b/c"), Some("http://h.com/a/c")))
+    // base with NO path: directory is '/'
+    assert(resolve("http://h.com", "d", "../d")
+      == Seq(Some("http://h.com/d"), Some("http://h.com/d")))
+    // mixed dot segments, dots inside segment names survive
+    assert(resolve(base, "./x/./y/../z", "..//d", "a.html", "..a/b", "...")
+      == Seq(Some("http://h.com/a/b/x/z"), Some("http://h.com/a//d"),
+        Some("http://h.com/a/b/a.html"), Some("http://h.com/a/b/..a/b"),
+        Some("http://h.com/a/b/...")))
+    // unparseable base: relative refs quarantine, absolute still resolve
+    assert(resolve("not a url", "d", "/d", "//x.com/d", "http://x.com/d")
+      == Seq(None, None, None, Some("http://x.com/d")))
+    // composes with canonicalUrl: junk stays junk, messy targets key
+    val chain = Seq(("HTTP://H.com:80/a/?x=1", "../b/../c?b=2&a=1"))
+      .toDF("base", "href")
+      .select(UrlCanon.canonicalUrl(
+        UrlCanon.resolveUrl(col("base"), col("href"))).as("c"))
+      .as[Option[String]].collect().toSeq
+    assert(chain == Seq(Some("http://h.com/c?a=1&b=2")))
+  }
+
+  test("removeDotSegments: bounded-fold RFC collapse on hostile paths") {
+    def rds(ps: String*): Seq[String] =
+      ps.toSeq.toDF("p").select(UrlCanon.removeDotSegments(col("p")).as("r"))
+        .as[String].collect().toSeq
+    assert(rds("/a/b/c", "/./x", "/././x", "/a/./b/./c", "/a/.")
+      == Seq("/a/b/c", "/x", "/x", "/a/b/c", "/a/"))
+    assert(rds("/a/../b", "/a/b/../../c", "/a/../../b", "/..", "/../x")
+      == Seq("/b", "/c", "/b", "/", "/x"))
+    // trailing '..' leaves the directory (RFC: output ends with '/')
+    assert(rds("/a/b/..", "/a/b/../..") == Seq("/a/", "/"))
+    // segments that merely CONTAIN dots are not dot-segments
+    assert(rds("/a.b/c", "/..x/y", "/.hidden/z", "/a/.../b")
+      == Seq("/a.b/c", "/..x/y", "/.hidden/z", "/a/.../b"))
+  }
 }
