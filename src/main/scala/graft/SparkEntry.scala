@@ -1443,6 +1443,45 @@ object SparkEntry {
           UrlCanon.canonicalHost(col("canonical_url")).as("host"))
     }),
 
+    // ── RFC 3986 reference resolution (UrlCanon.resolveUrl — the
+    // round-12 verdict's top gap: most hrefs on real pages are
+    // RELATIVE): every reference class live on one fixture — absolute,
+    // network-path (//host), absolute-path, ./ and ../ merges, deep
+    // mixed dot-segments, query-only, empty, fragment-only, and
+    // non-hierarchical junk (javascript:) — resolved against messy
+    // bases (case variants, explicit ports, trailing-slash dirs,
+    // queries), then canonicalized. The oracle derives href, resolved
+    // AND canonical forms ARITHMETICALLY from the id residues —
+    // independent truth for the whole resolution chain, the q237
+    // discipline. ──
+    "q238_resolve_links" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val m = id * (id + 3) + 7
+      val cls = id % 11
+      val href =
+        when(cls === 0, messyUrl(m))
+          .when(cls === 1,
+            regexp_replace(messyUrl(m), "^[A-Za-z][A-Za-z0-9+.-]*:", ""))
+          .when(cls === 2,
+            concat(lit("/Docs/"), (m % 50).cast("string"), lit("?b=2&a=1")))
+          .when(cls === 3, concat(lit("sub"), (m % 10).cast("string")))
+          .when(cls === 4, concat(lit("./s"), (m % 10).cast("string")))
+          .when(cls === 5, concat(lit("../Top/"), (m % 50).cast("string")))
+          .when(cls === 6,
+            concat(lit("../../a/./b/../c"), (m % 10).cast("string")))
+          .when(cls === 7, concat(lit("?z="), (m % 9).cast("string")))
+          .when(cls === 8, lit(""))
+          .when(cls === 9, lit("javascript:void(0)"))
+          .otherwise(lit("#top"))
+      docs.select(id, cls.as("cls"), messyUrl(id).as("base"), href.as("href"))
+        .select(col("doc_id"), col("cls"), col("href"),
+          explode_outer(array(
+            UrlCanon.resolveUrl(col("base"), col("href")))).as("resolved_url"))
+        .withColumn("canonical_url", UrlCanon.canonicalUrl(col("resolved_url")))
+    }),
+
     // ── HTTP response-record parsing (the fetch→parse stage, the
     // analytics-visible half of WARC processing): status line / header
     // block / body split at the FIRST blank line, case-insensitive
@@ -4139,6 +4178,43 @@ object SparkEntry {
     s"lower(regexp_extract(regexp_extract($url, " +
       "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(?:[^@]*@)?([^:]*)', 1))"
 
+  /** Arithmetic mirrors of [[messyUrl]]'s COMPONENTS for an id
+    * expression — the q238 resolution oracle derives href, resolved
+    * and canonical forms from residues (independent truth), so it
+    * needs each piece of the messy spelling and of its canonical form
+    * separately. All single-line (the stripMargin `||` trap).
+    */
+  private def mScmSql(i: String): String = // canonical (lowercased) scheme
+    s"(CASE WHEN ($i) % 3 = 1 THEN 'https' ELSE 'http' END)"
+  private def mAuthRawSql(i: String): String = // authority as spelled
+    s"((CASE WHEN ($i) % 2 = 0 THEN 'WWW.SRC' ELSE 'www.src' END) || " +
+      s"CAST(($i) % 20 AS VARCHAR) || '.Example.COM' || " +
+      s"(CASE WHEN ($i) % 5 = 0 THEN ':80' WHEN ($i) % 5 = 1 THEN ':443' " +
+      s"WHEN ($i) % 5 = 2 THEN ':8080' ELSE '' END))"
+  private def mHostCanSql(i: String): String = // canonical host
+    s"('www.src' || CAST(($i) % 20 AS VARCHAR) || '.example.com')"
+  /** Canonical port part given the EFFECTIVE scheme expression (the
+    * true rule: default ports drop only for their own scheme —
+    * https://h:80 and http://h:443 RETAIN the port).
+    */
+  private def mPortCanSql(i: String, scm: String): String =
+    s"(CASE WHEN ($i) % 5 = 2 THEN ':8080' " +
+      s"WHEN ($i) % 5 = 0 AND $scm = 'https' THEN ':80' " +
+      s"WHEN ($i) % 5 = 1 AND $scm = 'http' THEN ':443' ELSE '' END)"
+  private def mPathRawSql(i: String): String = // path as spelled
+    s"('/Docs/' || CAST(($i) % 50 AS VARCHAR) || " +
+      s"(CASE WHEN ($i) % 7 = 0 THEN '/' ELSE '' END))"
+  private def mPathCanSql(i: String): String = // trailing slash dropped
+    s"('/Docs/' || CAST(($i) % 50 AS VARCHAR))"
+  private def mDirRawSql(i: String): String = // base path's directory
+    s"(CASE WHEN ($i) % 7 = 0 THEN '/Docs/' || CAST(($i) % 50 AS VARCHAR) " +
+      s"|| '/' ELSE '/Docs/' END)"
+  private def mQRawSql(i: String): String = // query as spelled
+    s"(CASE WHEN ($i) % 4 = 0 THEN '?b=2&a=1' " +
+      s"WHEN ($i) % 4 = 1 THEN '?a=1&b=2' ELSE '' END)"
+  private def mQCanSql(i: String): String = // params sorted
+    s"(CASE WHEN ($i) % 4 IN (0, 1) THEN '?a=1&b=2' ELSE '' END)"
+
   /** DuckDB mirror of [[htmlFixture]] over a doc source exposing
     * (doc_id, text) — `from` is the full FROM clause. Emits CTE
     * `h(doc_id, html)`.
@@ -5358,6 +5434,61 @@ object SparkEntry {
          |SELECT c.cu AS canonical_url, ${hostOfSql("c.cu")} AS host
          |FROM cand c LEFT JOIN crawled w ON w.cu = c.cu
          |WHERE w.cu IS NULL""".stripMargin
+    },
+
+    // resolution mirror: href, resolved AND canonical forms all
+    // derived ARITHMETICALLY from the id residues per reference class
+    // (the q237 independent-truth discipline) — nothing here runs the
+    // resolution chain, so a green hash certifies the SPEC of
+    // resolveUrl + canonicalUrl composed, not engine parity
+    "q238_resolve_links" -> {
+      val i = "doc_id"
+      val m = "m"
+      val bs = mScmSql(i)
+      val prefix = s"($bs || '://' || ${mAuthRawSql(i)})"
+      val bHostPort = s"($bs || '://' || ${mHostCanSql(i)} || ${mPortCanSql(i, bs)})"
+      val hrefSql =
+        s"(CASE cls WHEN 0 THEN ${messyUrlSql(m)} " +
+          s"WHEN 1 THEN regexp_replace(${messyUrlSql(m)}, '^[A-Za-z][A-Za-z0-9+.-]*:', '') " +
+          s"WHEN 2 THEN '/Docs/' || CAST(($m) % 50 AS VARCHAR) || '?b=2&a=1' " +
+          s"WHEN 3 THEN 'sub' || CAST(($m) % 10 AS VARCHAR) " +
+          s"WHEN 4 THEN './s' || CAST(($m) % 10 AS VARCHAR) " +
+          s"WHEN 5 THEN '../Top/' || CAST(($m) % 50 AS VARCHAR) " +
+          s"WHEN 6 THEN '../../a/./b/../c' || CAST(($m) % 10 AS VARCHAR) " +
+          s"WHEN 7 THEN '?z=' || CAST(($m) % 9 AS VARCHAR) " +
+          s"WHEN 8 THEN '' WHEN 9 THEN 'javascript:void(0)' " +
+          s"ELSE '#top' END)"
+      val resolvedSql =
+        s"(CASE cls WHEN 0 THEN ${messyUrlSql(m)} " +
+          s"WHEN 1 THEN $bs || '://' || ${mAuthRawSql(m)} || ${mPathRawSql(m)} || ${mQRawSql(m)} " +
+          s"WHEN 2 THEN $prefix || '/Docs/' || CAST(($m) % 50 AS VARCHAR) || '?b=2&a=1' " +
+          s"WHEN 3 THEN $prefix || ${mDirRawSql(i)} || 'sub' || CAST(($m) % 10 AS VARCHAR) " +
+          s"WHEN 4 THEN $prefix || ${mDirRawSql(i)} || 's' || CAST(($m) % 10 AS VARCHAR) " +
+          s"WHEN 5 THEN $prefix || (CASE WHEN ($i) % 7 = 0 THEN '/Docs' ELSE '' END) || '/Top/' || CAST(($m) % 50 AS VARCHAR) " +
+          s"WHEN 6 THEN $prefix || '/a/c' || CAST(($m) % 10 AS VARCHAR) " +
+          s"WHEN 7 THEN $prefix || ${mPathRawSql(i)} || '?z=' || CAST(($m) % 9 AS VARCHAR) " +
+          s"WHEN 8 THEN $prefix || ${mPathRawSql(i)} || ${mQRawSql(i)} " +
+          s"WHEN 9 THEN 'javascript:void(0)' " +
+          s"ELSE $prefix || ${mPathRawSql(i)} || ${mQRawSql(i)} END)"
+      val canonicalSql =
+        s"(CASE cls WHEN 0 THEN ${mScmSql(m)} || '://' || ${mHostCanSql(m)} || ${mPortCanSql(m, mScmSql(m))} || ${mPathCanSql(m)} || ${mQCanSql(m)} " +
+          s"WHEN 1 THEN $bs || '://' || ${mHostCanSql(m)} || ${mPortCanSql(m, bs)} || ${mPathCanSql(m)} || ${mQCanSql(m)} " +
+          s"WHEN 2 THEN $bHostPort || '/Docs/' || CAST(($m) % 50 AS VARCHAR) || '?a=1&b=2' " +
+          s"WHEN 3 THEN $bHostPort || ${mDirRawSql(i)} || 'sub' || CAST(($m) % 10 AS VARCHAR) " +
+          s"WHEN 4 THEN $bHostPort || ${mDirRawSql(i)} || 's' || CAST(($m) % 10 AS VARCHAR) " +
+          s"WHEN 5 THEN $bHostPort || (CASE WHEN ($i) % 7 = 0 THEN '/Docs' ELSE '' END) || '/Top/' || CAST(($m) % 50 AS VARCHAR) " +
+          s"WHEN 6 THEN $bHostPort || '/a/c' || CAST(($m) % 10 AS VARCHAR) " +
+          s"WHEN 7 THEN $bHostPort || ${mPathCanSql(i)} || '?z=' || CAST(($m) % 9 AS VARCHAR) " +
+          s"WHEN 8 THEN $bHostPort || ${mPathCanSql(i)} || ${mQCanSql(i)} " +
+          s"WHEN 9 THEN NULL " +
+          s"ELSE $bHostPort || ${mPathCanSql(i)} || ${mQCanSql(i)} END)"
+      s"""WITH b AS (
+         |  SELECT doc_id, doc_id % 11 AS cls, doc_id*(doc_id+3)+7 AS m
+         |  FROM documents)
+         |SELECT doc_id, cls, $hrefSql AS href,
+         |  $resolvedSql AS resolved_url,
+         |  $canonicalSql AS canonical_url
+         |FROM b""".stripMargin
     },
 
     // HTTP-record mirror: CRLF via chr(13)||chr(10) in the fixture,
