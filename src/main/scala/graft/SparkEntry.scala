@@ -117,11 +117,19 @@ object SparkEntry {
       .when(id % 4 === 1, lit("?a=1&b=2")).otherwise(lit("")))
 
   /** Canonical-host link edges extracted from a synthesized HTML-ish
-    * corpus: every doc carries two <a href> links to messy URLs of
-    * formula-derived targets plus (doc %9) a junk href that must drop
-    * through the NULL-canonical route. Takes the docs slice so the
-    * incremental variant (q221) can fold per-batch edge states.
-    * Shared by q219/q220/q221.
+    * corpus — now with RELATIVE hrefs live (the round-12 verdict's top
+    * gap): every doc links an ABSOLUTE messy URL of one formula target
+    * and a SCHEME-RELATIVE (`//host/…`) spelling of a second — the
+    * cross-host reference class that real pages use constantly and
+    * that a resolve-less pipeline silently drops — plus (doc %11=3) a
+    * same-host `../` reference (resolves, then falls to the self-loop
+    * filter: host graphs don't key same-page navigation) and (doc
+    * %9=0) a `javascript:` junk href that must drop through the
+    * NULL-canonical quarantine route. Every href goes through
+    * [[graft.ext.UrlCanon.resolveUrl]] against the page's own URL
+    * before canonicalization — the real crawl shape. Takes the docs
+    * slice so the incremental variant (q221) can fold per-batch edge
+    * states. Shared by q219/q220/q221.
     */
   private def linkEdges(docs: DataFrame): DataFrame = {
     import graft.ext.UrlCanon
@@ -134,21 +142,27 @@ object SparkEntry {
         lit("</p><a href=\""),
         messyUrl(col("doc_id") * (col("doc_id") + 3) + 1),
         lit("\">a</a> <a href=\""),
-        messyUrl(col("doc_id") * (col("doc_id") + 7) + 5),
+        regexp_replace(messyUrl(col("doc_id") * (col("doc_id") + 7) + 5),
+          "^[A-Za-z][A-Za-z0-9+.-]*:", ""),
         lit("\">b</a>"),
+        when(col("doc_id") % 11 === 3,
+          lit(" <a href=\"../About/team\">c</a>")).otherwise(lit("")),
         when(col("doc_id") % 9 === 0,
-          lit(" <a href=\"not a url\">junk</a>")).otherwise(lit("")),
+          lit(" <a href=\"javascript:void(0)\">junk</a>")).otherwise(lit("")),
         lit("</body></html>")).as("html"))
-    // explode_OUTER: a plain explode over the derived array would let
-    // InferFiltersFromGenerate re-inline the html+regex chain into a
-    // pre-filter (the q222 postmortem); the canonicalUrl null filter
-    // below also swallows explode_outer's empty-array null row
-    html.select(
-        UrlCanon.canonicalHost(messyUrl(col("doc_id"))).as("src_host"),
+    // explode_OUTER twice (the q222 Generate-barrier discipline): the
+    // href extraction AND the resolveUrl projection each sit behind a
+    // Generate so the null filter below can neither re-inline the
+    // resolution chain nor push beneath the extraction
+    html.select(col("doc_id"),
         explode_outer(expr("""regexp_extract_all(html, 'href="([^"]*)"', 1)"""))
           .as("href"))
-      .filter(UrlCanon.canonicalUrl(col("href")).isNotNull)
-      .withColumn("dst_host", UrlCanon.canonicalHost(col("href")))
+      .select(col("doc_id"),
+        explode_outer(array(UrlCanon.resolveUrl(
+          messyUrl(col("doc_id")), col("href")))).as("abs_url"))
+      .filter(UrlCanon.canonicalUrl(col("abs_url")).isNotNull)
+      .select(UrlCanon.canonicalHost(messyUrl(col("doc_id"))).as("src_host"),
+        UrlCanon.canonicalHost(col("abs_url")).as("dst_host"))
       .filter(col("src_host") =!= col("dst_host"))
   }
 
@@ -1423,17 +1437,24 @@ object SparkEntry {
       import graft.ext.UrlCanon
       val docs = t(s, dir, "documents")
       val tt1 = col("doc_id") * (col("doc_id") + 5) + 2
+      val tt3 = col("doc_id") * (col("doc_id") + 13) + 11
       val t1 = concat(lit("http://www.src"), (tt1 % 20).cast("string"),
         lit(".example.com/New/"), (tt1 % 50).cast("string"))
+      // third loc is ROOT-RELATIVE (round 13): the sitemap protocol
+      // says absolute, real sitemaps ship relative locs anyway —
+      // crawlers resolve them against the sitemap's own URL
       val sitemaps = docs.select(col("doc_id"), concat(
         lit("<?xml version=\"1.0\"?><urlset><url><loc>"), t1,
         lit("</loc></url><url><loc>"),
         messyUrl(col("doc_id") * (col("doc_id") + 9) + 7),
+        lit("</loc></url><url><loc>/New2/"), (tt3 % 50).cast("string"),
         lit("</loc></url></urlset>")).as("xml"))
       val cand = sitemaps
-        .select(explode(expr(
+        .select(col("doc_id"), explode(expr(
           "regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)")).as("loc"))
-        .select(UrlCanon.canonicalUrl(col("loc")).as("canonical_url"))
+        .select(explode_outer(array(UrlCanon.resolveUrl(
+          messyUrl(col("doc_id")), col("loc")))).as("abs_loc"))
+        .select(UrlCanon.canonicalUrl(col("abs_loc")).as("canonical_url"))
         .filter(col("canonical_url").isNotNull).distinct()
       val crawled = UrlCanon.urlDecisions(
           urlFixture(docs).drop("n_chars"), "url", "doc_id")
@@ -4314,30 +4335,26 @@ object SparkEntry {
       |       THEN 'low' ELSE 'ok' END AS flag
       |FROM ppm GROUP BY 1""".stripMargin
 
-  /** Shared q219/q220 chain: synthesized HTML → href extraction →
-    * canonical-host edges (junk hrefs dropped by the scheme test —
-    * canonicalUrl is NULL exactly when the scheme regex is empty).
+  /** Shared q219/q220/q221 chain — ARITHMETIC since round 13: the
+    * edge hosts derive straight from the target formulas' residues
+    * (the q237 independent-truth discipline), never from re-running
+    * extraction/resolution. This implicitly asserts that the
+    * scheme-relative `//host` hrefs RESOLVE into edges (a
+    * resolve-less pipeline would halve the graph and mismatch), that
+    * the same-host `../` arm falls to the self-loop filter, and that
+    * `javascript:` junk quarantines — the Spark side runs the full
+    * extract→resolve→canonicalize chain against this truth.
     */
   private val LinkGraphChainSql: String =
-    s"""WITH du AS (
-       |  SELECT doc_id,
-       |    '<html><body><p>Doc ' || CAST(doc_id AS VARCHAR)
-       |    || '</p><a href="' || ${messyUrlSql("doc_id*(doc_id+3)+1")}
-       |    || '">a</a> <a href="' || ${messyUrlSql("doc_id*(doc_id+7)+5")}
-       |    || '">b</a>'
-       |    || CASE WHEN doc_id % 9 = 0 THEN ' <a href="not a url">junk</a>'
-       |            ELSE '' END
-       |    || '</body></html>' AS html
+    s"""WITH hosts AS (
+       |  SELECT ${mHostCanSql("doc_id")} AS src_host,
+       |    ${mHostCanSql("doc_id*(doc_id+3)+1")} AS dst1,
+       |    ${mHostCanSql("doc_id*(doc_id+7)+5")} AS dst2
        |  FROM documents),
-       |links AS (
-       |  SELECT doc_id,
-       |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
-       |  FROM du),
        |edges AS (
-       |  SELECT ${hostOfSql(messyUrlSql("doc_id"))} AS src_host,
-       |    ${hostOfSql("href")} AS dst_host
-       |  FROM links
-       |  WHERE regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''),
+       |  SELECT src_host, dst1 AS dst_host FROM hosts
+       |  UNION ALL
+       |  SELECT src_host, dst2 AS dst_host FROM hosts),
        |e0 AS (SELECT src_host, dst_host FROM edges WHERE src_host <> dst_host)"""
       .stripMargin
 
@@ -5427,7 +5444,12 @@ object SparkEntry {
          |      || CAST((doc_id*(doc_id+5)+2) % 50 AS VARCHAR) AS cu
          |  FROM documents
          |  UNION
-         |  SELECT DISTINCT ${canonOf("doc_id*(doc_id+9)+7")} FROM documents),
+         |  SELECT DISTINCT ${canonOf("doc_id*(doc_id+9)+7")} FROM documents
+         |  UNION
+         |  SELECT DISTINCT ${mScmSql("doc_id")} || '://' || ${mHostCanSql("doc_id")}
+         |      || ${mPortCanSql("doc_id", mScmSql("doc_id"))}
+         |      || '/New2/' || CAST((doc_id*(doc_id+13)+11) % 50 AS VARCHAR)
+         |  FROM documents),
          |crawled AS (
          |  SELECT DISTINCT ${canonOf("doc_id")} AS cu
          |  FROM documents WHERE doc_id % 17 <> 0)
