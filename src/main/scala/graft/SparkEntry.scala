@@ -77,6 +77,12 @@ object SparkEntry {
       lit("<div class=\"main\"><p>"), col("text"), lit("</p>"),
       when(id % 6 === 0, lit("<p>&lt;cite&gt;&nbsp;&amp; more&#39;</p>"))
         .otherwise(lit("")),
+      // numeric character references (round 13): decimal, hex (mixed
+      // case), the amp-last trap (&#38;lt; must yield literal '&lt;'),
+      // and a named-set addition (&hellip;)
+      when(id % 10 === 7,
+        lit("<p>&#8220;Q&#8221; &#8212; it&#x2019;s &#38;lt;ok&#x3E;&#160;fine&hellip;</p>"))
+        .otherwise(lit("")),
       lit("</div></body></html>"),
       when(id % 9 === 0, lit("<a href=\"trunc")).otherwise(lit("")),
       when(id % 4 === 3, lit("<script>tail();")).otherwise(lit("")))
@@ -4251,10 +4257,25 @@ object SparkEntry {
        |    || CASE WHEN doc_id % 4 = 2 THEN '<!-- nav <ul><li>home</li></ul> -->' ELSE '' END
        |    || '<div class="main"><p>' || text || '</p>'
        |    || CASE WHEN doc_id % 6 = 0 THEN '<p>&lt;cite&gt;&nbsp;&amp; more&#39;</p>' ELSE '' END
+       |    || CASE WHEN doc_id % 10 = 7 THEN '<p>&#8220;Q&#8221; &#8212; it&#x2019;s &#38;lt;ok&#x3E;&#160;fine&hellip;</p>' ELSE '' END
        |    || '</div></body></html>'
        |    || CASE WHEN doc_id % 9 = 0 THEN '<a href="trunc' ELSE '' END
        |    || CASE WHEN doc_id % 4 = 3 THEN '<script>tail();' ELSE '' END AS html
        |  $from)""".stripMargin
+
+  /** DuckDB entity-decode chain GENERATED from
+    * [[graft.ext.HtmlExtract.EntityDecodes]] — the one table drives
+    * both engines, so the Spark chain and its mirror cannot drift.
+    * Replacement chars emit as chr(codepoint) (quote/non-ASCII safe);
+    * patterns contain no single quotes or backslashes by
+    * construction. Single-line (the stripMargin `||` trap).
+    */
+  private def entityDecodeSql(expr: String): String =
+    graft.ext.HtmlExtract.EntityDecodes.foldLeft(expr) {
+      case (acc, (pat, ch)) =>
+        require(!pat.contains("'") && !pat.contains("\\"), s"unmirrorable: $pat")
+        s"regexp_replace($acc, '$pat', chr(${ch.codePointAt(0)}), 'g')"
+    }
 
   /** DuckDB mirror of [[graft.ext.HtmlExtract.mainText]] over CTE
     * `h(doc_id, html)` — the identical RE2-safe pass chain, 'g' flag
@@ -4278,13 +4299,12 @@ object SparkEntry {
       |    '(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\z', ' ', 'g')
       |    AS t FROM hx3),
       |hx5 AS (
-      |  SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(t,
-      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-      |    '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM hx4),
+      |  SELECT doc_id, __ENT__ AS t FROM hx4),
       |ext AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(t, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS main_text
       |  FROM hx5)""".stripMargin
+      .replace("__ENT__", entityDecodeSql("t"))
 
   /** q226's full select — shared with the streaming replay q232 (the
     * identical-oracle discipline).
@@ -5582,10 +5602,7 @@ object SparkEntry {
         |p5 AS (SELECT doc_id, host, regexp_replace(regexp_replace(t,
         |  '</?[A-Za-z][^>]*>', ' ', 'g'),
         |  '(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\z', ' ', 'g') AS t FROM p4),
-        |p6 AS (SELECT doc_id, host,
-        |  replace(replace(replace(replace(replace(replace(replace(t,
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-        |    '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM p5),
+        |p6 AS (SELECT doc_id, host, __ENT__ AS t FROM p5),
         |pr AS (
         |  SELECT doc_id, host,
         |    unnest(list_filter(list_transform(string_split(t, chr(1)),
@@ -5604,7 +5621,8 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
         |  coalesce(string_agg(CASE WHEN NOT boiler THEN para END, ' '
         |    ORDER BY pos), '') AS clean_text
-        |FROM j GROUP BY 1, 2""".stripMargin,
+        |FROM j GROUP BY 1, 2""".stripMargin
+      .replace("__ENT__", entityDecodeSql("t")),
 
     // intake capstone: q215 keep rule + q223 robots rank + q217 budget
     // draw + q226 extraction chain + q228 LM chain, composed with the

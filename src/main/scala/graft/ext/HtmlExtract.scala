@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * (no UDF, codegen'd) over RE2-SAFE patterns — no lookahead, no
   * backreferences — so DuckDB reproduces the chain verbatim and the
   * stage is oracle-certifiable (q226). Scope is deliberately the
-  * high-mass syntactic subset (the [[UrlCanon]] philosophy): no
-  * numeric character references beyond `&#39;`, no charset sniffing,
-  * no boilerplate classification — those need codec tables or models;
-  * what is here is what browsers do structurally.
+  * high-mass syntactic subset (the [[UrlCanon]] philosophy): named
+  * entities plus the common NUMERIC character references (decimal and
+  * hex — see [[EntityDecodes]]), no charset sniffing, no boilerplate
+  * classification — those need codec tables or models; what is here
+  * is what browsers do structurally.
   *
   * Hostile-input posture (all spec'd, all mirrored by the oracle):
   *  - script/style bodies may contain `<`, `>`, quotes — removed
@@ -100,12 +101,40 @@ object HtmlExtract {
     val withBreaks = regexp_replace(noDecl, BlockTagRe, "\u0001")
     val noTags = regexp_replace(withBreaks, "</?[A-Za-z][^>]*>", " ")
     val noOpen = regexp_replace(noTags, "(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\\z", " ")
-    // 4) entities: the common named set; '&amp;' LAST (browser order —
-    //    '&amp;lt;' is the literal text '&lt;', never '<')
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noOpen) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    // 4) entities: named + NUMERIC character references (decimal and
+    //    case-insensitive hex), one alternation pass per TARGET char;
+    //    the '&' class LAST (browser order — '&amp;lt;'/'&#38;lt;' is
+    //    the literal text '&lt;', never '<')
+    EntityDecodes.foldLeft(noOpen) { case (c, (pat, ch)) =>
+      regexp_replace(c, pat, ch)
+    }
   }
+
+  /** Entity-decode table: one RE2-safe alternation (named | decimal
+    * ref | case-insensitive hex ref) per target character, applied in
+    * order — the `&`-producing class MUST stay last. Covers the
+    * high-mass set real pages carry (round-12 verdict: `&#8217;`/
+    * `&#x2019;` smart quotes are ubiquitous and were poisoning
+    * shingles/LM scores as literal text). Leading-zero refs
+    * (`&#039;`) and refs outside this set are out of the syntactic
+    * contract and survive verbatim — deterministic and mirrored.
+    * PUBLIC so the oracle-SQL generator derives its DuckDB chain from
+    * THIS table (the two engines cannot drift).
+    */
+  val EntityDecodes: Seq[(String, String)] = Seq(
+    "&lt;|&#60;|(?i:&#x3c;)" -> "<",
+    "&gt;|&#62;|(?i:&#x3e;)" -> ">",
+    "&quot;|&#34;|(?i:&#x22;)" -> "\"",
+    "&apos;|&#39;|(?i:&#x27;)" -> "'",
+    "&nbsp;|&#160;|(?i:&#xa0;)" -> " ",
+    "&ndash;|&#8211;|(?i:&#x2013;)" -> "–",
+    "&mdash;|&#8212;|(?i:&#x2014;)" -> "—",
+    "&lsquo;|&#8216;|(?i:&#x2018;)" -> "‘",
+    "&rsquo;|&#8217;|(?i:&#x2019;)" -> "’",
+    "&ldquo;|&#8220;|(?i:&#x201c;)" -> "“",
+    "&rdquo;|&#8221;|(?i:&#x201d;)" -> "”",
+    "&hellip;|&#8230;|(?i:&#x2026;)" -> "…",
+    "&amp;|&#38;|(?i:&#x26;)" -> "&")
 
   /** The visible text of an HTML page: structural strip + entity
     * decode + whitespace collapse (block breaks collapse like

@@ -55,6 +55,23 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("a < b and c > d") == Seq("a < b and c > d"))
   }
 
+  test("numeric character references: decimal, hex case-insensitive, amp-last") {
+    // the round-12 verdict's smart-quote class: decimal and hex forms
+    assert(extract("it&#8217;s &#x2019;fine&#x2019;")
+      == Seq("it’s ’fine’"))
+    assert(extract("&#8220;q&#8221; &#8211; r &#8212; s&#8230;")
+      == Seq("“q” – r — s…"))
+    // hex X/letter case both decode; named additions too
+    assert(extract("&#x201C;a&#X201D; &ndash; &hellip; &lsquo;b&rsquo;")
+      == Seq("“a” – … ‘b’"))
+    // numeric amp decodes LAST: &#38;lt; is literal '&lt;', never '<';
+    // &#60;/&#x3E; decode as literal angle TEXT, never re-parsed tags
+    assert(extract("&#38;lt; &#60;b&#x3E; &#38;&#160;x")
+      == Seq("&lt; <b> & x"))
+    // out-of-set and leading-zero refs survive verbatim (contract)
+    assert(extract("&#1234; &#039; &#xZZ;") == Seq("&#1234; &#039; &#xZZ;"))
+  }
+
   test("trailing unclosed tag (truncated fetch) is dropped, not leaked") {
     assert(extract("<p>kept</p><a href=\"htt") == Seq("kept"))
     assert(extract("<p>kept</p><div class=") == Seq("kept"))
