@@ -103,6 +103,43 @@ object SparkEntry {
         "struct(concat('/Docs/', CAST(id % 7 AS STRING)) AS prefix, false AS allow), " +
         "struct(concat('/Docs/', CAST(id % 7 AS STRING), '7') AS prefix, true AS allow)))")
 
+  /** robots.txt BODY fixture (q239/q240): the 20 urlFixture hosts;
+    * every host's `*`+backupbot group carries EXACTLY
+    * [[robotsRulesFixture]]'s three rules (so the parsed table is
+    * q223's, arithmetic), plus an `otherbot` group that must never
+    * apply, a rule-line comment, an empty `Disallow:` no-op, and
+    * Crawl-delay/Sitemap member lines; %4=0 hosts prepend a SPECIFIC
+    * `GraftBot` group (mixed-case UA — specific beats `*` per RFC
+    * 9309) and %3=1 hosts are CRLF files.
+    */
+  private def robotsBodiesFixture(s: SparkSession): DataFrame = {
+    val i = col("id")
+    val lf = lit("\n")
+    val body = concat(
+      lit("# robots for src"), i.cast("string"), lf,
+      when(i % 4 === 0, concat(
+        lit("User-Agent: GraftBot"), lf,
+        lit("Disallow: /private/"), (i % 3).cast("string"), lf,
+        lit("Allow: /private/"), (i % 3).cast("string"), lit("/pub"), lf,
+        lf)).otherwise(lit("")),
+      lit("User-agent: *"), lf,
+      lit("User-agent: backupbot"), lf,
+      lit("Allow: /"), lf,
+      lit("Allow: /Docs/"), (i % 7).cast("string"), lit("7"), lf,
+      lit("Disallow: /Docs/"), (i % 7).cast("string"),
+      lit("  # deny subtree"), lf,
+      lit("Disallow:"), lf,
+      lit("Crawl-delay: 5"), lf,
+      lit("Sitemap: http://www.src"), i.cast("string"),
+      lit(".example.com/s.xml"), lf, lf,
+      lit("User-agent: otherbot"), lf,
+      lit("Disallow: /"), lf)
+    s.range(0, 20).select(
+      concat(lit("www.src"), i.cast("string"), lit(".example.com")).as("host"),
+      when(i % 3 === 1, regexp_replace(body, "\n", "\r\n"))
+        .otherwise(body).as("body"))
+  }
+
   /** Messy URL for an arbitrary id EXPRESSION (q219/q220's link
     * targets) — urlFixture's spelling variants with the source name
     * derived arithmetically (`source` == 'src' || id%20 in the corpus,
@@ -1468,6 +1505,33 @@ object SparkEntry {
       cand.join(crawled, Seq("canonical_url"), "left_anti")
         .select(col("canonical_url"),
           UrlCanon.canonicalHost(col("canonical_url")).as("host"))
+    }),
+
+    // ── robots.txt BODY parsing (UrlCanon.parseRobots): fetched
+    // robots text → (host, prefix, allow) policy rows for one agent,
+    // with RFC 9309 group structure live — multi-UA runs, a specific
+    // mixed-case GraftBot group beating '*' on %4=0 hosts, a group
+    // that never applies, comments on rule lines, empty-Disallow
+    // no-ops, CRLF files. Oracle derives the expected rules
+    // ARITHMETICALLY from the host index (independent truth). ──
+    "q239_robots_parse" -> ((s, dir) =>
+      graft.ext.UrlCanon.parseRobots(
+        robotsBodiesFixture(s), "host", "body", "graftbot")),
+
+    // ── the composed compliance pipeline: robots BODIES → parseRobots
+    // → robotsDecide over the messy fetch log — q223 with the policy
+    // table coming from TEXT instead of a pre-shaped fixture. On %4=0
+    // hosts the specific graftbot group replaces the '*' rules (no '/'
+    // allow, /private rules match no /Docs path), so those fetches
+    // default-allow with NULL rule_prefix — live divergence from
+    // q223. ──
+    "q240_robots_pipeline" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val raw = urlFixture(t(s, dir, "documents")).drop("n_chars")
+        .filter(UrlCanon.canonicalUrl(col("url")).isNotNull)
+      val rules = UrlCanon.parseRobots(
+        robotsBodiesFixture(s), "host", "body", "graftbot")
+      UrlCanon.robotsDecide(raw, "doc_id", "url", rules)
     }),
 
     // ── RFC 3986 reference resolution (UrlCanon.resolveUrl — the
@@ -4378,6 +4442,35 @@ object SparkEntry {
        |e0 AS (SELECT src_host, dst_host FROM edges WHERE src_host <> dst_host)"""
       .stripMargin
 
+  /** The ARITHMETIC mirror of what [[graft.ext.UrlCanon.parseRobots]]
+    * must produce from [[robotsBodiesFixture]] for agent `graftbot`:
+    * %4=0 hosts surface ONLY the specific group's /private rules
+    * (specific beats `*`); every other host surfaces exactly
+    * [[robotsRulesFixture]]'s three `*` rules. Emits CTEs
+    * `ids(i)`, `rl(host, prefix, allow)` — shared by q239 (parse
+    * certification) and q240 (composed pipeline).
+    */
+  private val RobotsParsedRulesSql: String =
+    """ids AS (SELECT unnest(range(0, 20)) AS i),
+      |rl AS (
+      |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com' AS host,
+      |    '/private/' || CAST(i % 3 AS VARCHAR) AS prefix, FALSE AS allow
+      |  FROM ids WHERE i % 4 = 0
+      |  UNION ALL
+      |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+      |    '/private/' || CAST(i % 3 AS VARCHAR) || '/pub', TRUE
+      |  FROM ids WHERE i % 4 = 0
+      |  UNION ALL
+      |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+      |    '/', TRUE FROM ids WHERE i % 4 <> 0
+      |  UNION ALL
+      |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+      |    '/Docs/' || CAST(i % 7 AS VARCHAR), FALSE FROM ids WHERE i % 4 <> 0
+      |  UNION ALL
+      |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+      |    '/Docs/' || CAST(i % 7 AS VARCHAR) || '7', TRUE
+      |  FROM ids WHERE i % 4 <> 0)""".stripMargin
+
   /** q219's host-edge rollup — shared with the incremental fold q221. */
   private val LinkGraphSelectSql: String =
     LinkGraphChainSql +
@@ -5407,6 +5500,37 @@ object SparkEntry {
 
     // longest-prefix precedence mirrored with an explicit NULLS
     // ordering matching Spark's desc/asc defaults
+    // parsed-robots mirror (q239/q240): the expected policy rows
+    // derive ARITHMETICALLY from the host index — nothing re-parses
+    // the bodies, so a green hash certifies parseRobots' group/agent
+    // SPEC (specific-beats-star, no-op lines, CRLF) against truth
+    "q239_robots_parse" ->
+      ("WITH " + RobotsParsedRulesSql + "\nSELECT host, prefix, allow FROM rl"),
+
+    // composed pipeline mirror: q223's longest-prefix decision chain
+    // with the rules CTE swapped for the arithmetic parsed table
+    "q240_robots_pipeline" -> (UrlCanonChainSql +
+      """,
+        |f AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+        |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(rawpath, '/+$', '') END AS path
+        |  FROM canon WHERE canonical_url IS NOT NULL),
+        |""".stripMargin + RobotsParsedRulesSql +
+      """,
+        |m AS (
+        |  SELECT f.doc_id, f.url, f.host, f.path, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY f.doc_id
+        |      ORDER BY length(r.prefix) DESC NULLS LAST, r.prefix ASC NULLS FIRST,
+        |        r.allow DESC NULLS LAST)
+        |      AS rk
+        |  FROM f LEFT JOIN rl r
+        |    ON r.host = f.host AND starts_with(f.path, r.prefix))
+        |SELECT doc_id, url, host, path, prefix AS rule_prefix,
+        |  CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END AS decision
+        |FROM m WHERE rk = 1""".stripMargin),
+
     "q223_robots_filter" -> (UrlCanonChainSql +
       """,
         |f AS (

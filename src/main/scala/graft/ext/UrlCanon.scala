@@ -322,6 +322,83 @@ object UrlCanon {
           .otherwise(lit("deny")).as("decision"))
   }
 
+  /** robots.txt BODY parsing — the stage that feeds [[robotsDecide]]:
+    * turns fetched robots.txt text (one row per host) into the
+    * (host, prefix, allow) policy table. Follows the REP (RFC 9309)
+    * structure for the syntactic high-mass subset:
+    *
+    *  - lines split on `\n` (`\r` stripped first — CRLF files parse
+    *    identically), `#` comments stripped, keys case-insensitive,
+    *    values trimmed of surrounding blanks;
+    *  - a GROUP is a run of consecutive `User-agent` lines plus the
+    *    rule lines after it (a UA line whose previous recognized line
+    *    is not a UA line starts a new group); blank/unrecognized lines
+    *    never break a group (Google-parser behavior);
+    *  - agent selection per RFC 9309 §2.2.1: if ANY group on the host
+    *    names `agent` (case-insensitive), exactly those groups apply;
+    *    otherwise the `*` groups apply — `*` rules are NOT merged into
+    *    a specific match;
+    *  - `Allow`/`Disallow` with empty values are no-ops (the standard
+    *    "Disallow:" = allow-everything line); rules before any UA
+    *    line are invalid and drop; `Crawl-delay`/`Sitemap` lines are
+    *    recognized (they hold group membership) but emit nothing.
+    *
+    * Precedence between the emitted rules is [[robotsDecide]]'s job
+    * (longest prefix, allow wins ties).
+    *
+    * 100-TB shape: the line explode is row-bounded by body size; the
+    * group-id windows partition BY HOST — a robots.txt is one small
+    * file per host, so no window ever sees more than one file's
+    * lines; the group/host aggregates are keyed shuffles. The OUTPUT
+    * is the tiny policy table that then broadcasts into
+    * [[robotsDecide]].
+    */
+  def parseRobots(
+      robots: DataFrame, hostCol: String, bodyCol: String,
+      agent: String): DataFrame = {
+    require(agent.nonEmpty && agent == agent.toLowerCase,
+      s"agent must be lowercase: $agent")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy("__ln")
+    val parsed = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(regexp_replace(col(bodyCol), "\r", ""), "\n"))
+          .as(Seq("__ln", "__raw")))
+      .select(col("host"), col("__ln"),
+        regexp_replace(col("__raw"), "#.*", "").as("__l"))
+      .select(col("host"), col("__ln"),
+        lower(regexp_extract(col("__l"), "^[ \t]*([A-Za-z-]+)[ \t]*:", 1))
+          .as("__key"),
+        regexp_extract(col("__l"),
+          "^[ \t]*[A-Za-z-]+[ \t]*:[ \t]*(.*?)[ \t]*$", 1).as("__val"))
+      .filter(col("__key").isin(
+        "user-agent", "allow", "disallow", "crawl-delay", "sitemap"))
+    val grouped = parsed
+      .withColumn("__isua", (col("__key") === "user-agent").cast("int"))
+      .withColumn("__grp", sum(
+        when(col("__isua") === 1 &&
+          lag(col("__isua"), 1, 0).over(w) === 0, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val groups = grouped.filter(col("__isua") === 1)
+      .groupBy("host", "__grp")
+      .agg(
+        max(when(lower(col("__val")) === agent, 1).otherwise(0))
+          .as("__has_agent"),
+        max(when(col("__val") === "*", 1).otherwise(0)).as("__has_star"))
+    val hostPick = groups.groupBy("host")
+      .agg(max(col("__has_agent")).as("__any_agent"))
+    grouped
+      .filter(col("__key").isin("allow", "disallow") &&
+        col("__val") =!= "" && col("__grp") >= 1)
+      .join(groups, Seq("host", "__grp"))
+      .join(hostPick, Seq("host"))
+      .filter((col("__any_agent") === 1 && col("__has_agent") === 1) ||
+        (col("__any_agent") === 0 && col("__has_star") === 1))
+      .select(col("host"), col("__val").as("prefix"),
+        (col("__key") === "allow").as("allow"))
+      .distinct()
+  }
+
   /** Deterministic per-host round-robin fetch schedule — the
     * politeness interleave a crawl frontier runs after budgeting
     * (q217) and compliance (q223): within each host, fetches rank by

@@ -229,6 +229,37 @@ class UrlCanonSpec extends SparkSpec {
     assert(chain == Seq(Some("http://h.com/c?a=1&b=2")))
   }
 
+  test("parseRobots: groups, agent selection, no-op lines, CRLF") {
+    val body =
+      "# intro comment\n" +
+        "Disallow: /orphan\n" + // before any group: invalid, drops
+        "User-Agent: SpecialBot\nDisallow: /s\nAllow: /s/ok\n\n" +
+        "User-agent: *\nUser-agent: backup\n" +
+        "Allow: /\nDisallow: /tmp  # comment on rule\nDisallow:\n" +
+        "Crawl-delay: 7\nSitemap: http://a.com/s.xml\n\n" +
+        "User-agent: other\nDisallow: /\n"
+    def parse(agent: String, b: String = body): Set[(String, String, Boolean)] =
+      UrlCanon.parseRobots(Seq(("a.com", b)).toDF("host", "body"),
+          "host", "body", agent)
+        .as[(String, String, Boolean)].collect().toSet
+    // '*' group applies when the agent is not named; 'other' never wins
+    assert(parse("graftbot") ==
+      Set(("a.com", "/", true), ("a.com", "/tmp", false)))
+    // specific group beats '*' (case-insensitive UA match), not merged
+    assert(parse("specialbot") ==
+      Set(("a.com", "/s", false), ("a.com", "/s/ok", true)))
+    // second UA of a multi-UA run selects the same group
+    assert(parse("backup") ==
+      Set(("a.com", "/", true), ("a.com", "/tmp", false)))
+    // the 'other' agent gets ITS group
+    assert(parse("other") == Set(("a.com", "/", false)))
+    // CRLF file parses identically
+    assert(parse("specialbot", body.replace("\n", "\r\n")) ==
+      Set(("a.com", "/s", false), ("a.com", "/s/ok", true)))
+    // a host with no matching group and no '*' yields nothing
+    assert(parse("nobody", "User-agent: x\nDisallow: /\n").isEmpty)
+  }
+
   test("removeDotSegments: bounded-fold RFC collapse on hostile paths") {
     def rds(ps: String*): Seq[String] =
       ps.toSeq.toDF("p").select(UrlCanon.removeDotSegments(col("p")).as("r"))
