@@ -1577,10 +1577,12 @@ object SparkEntry {
     // analytics-visible half of WARC processing): status line / header
     // block / body split at the FIRST blank line, case-insensitive
     // Content-Type + charset from the HEADER BLOCK only, total
-    // decision table malformed / bad_status / bad_type / ok. Fixture
-    // arms: 404s, PDFs, LF-only separators (malformed), no status
-    // line (malformed), mixed-case Content-Type, charset present and
-    // absent — all four classes live. ──
+    // decision table malformed / bad_status / bad_encoding / bad_type
+    // / ok. Fixture arms: 404s, PDFs, LF-only separators (malformed),
+    // no status line (malformed), mixed-case Content-Type, charset
+    // present and absent, and (round 13) a chunked Transfer-Encoding
+    // arm that must route bad_encoding, never 'ok' — all five classes
+    // live. ──
     "q236_http_parse" -> ((s, dir) => {
       val id = col("doc_id")
       val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
@@ -1589,12 +1591,40 @@ object SparkEntry {
       val ctype = when(id % 7 === 2, lit("application/pdf"))
         .when(id % 2 === 0, lit("text/html; charset=utf-8"))
         .otherwise(lit("Text/HTML"))
+      val teLine = when(id % 7 === 4, lit("\r\nTransfer-Encoding: Chunked"))
+        .otherwise(lit(""))
       val sep = when(id % 7 === 3, lit("\n\n")).otherwise(lit("\r\n\r\n"))
       val raw = concat(statusLine,
-        lit("\r\nServer: graft\r\nContent-Type: "), ctype, sep,
+        lit("\r\nServer: graft"), teLine, lit("\r\nContent-Type: "), ctype, sep,
         lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
       graft.ext.HttpRecord.parse(
         t(s, dir, "documents").select(id, raw.as("raw")), "doc_id", "raw")
+    }),
+
+    // ── chunked transfer-decoding (HttpRecord.decodeChunked): the
+    // fixture CHUNKS each doc's text into 15-byte frames (single
+    // hex-digit sizes — '123456789abcdef'[len]) with a terminal 0
+    // chunk; %13=0 bodies get a corrupted non-hex size line and must
+    // come back NULL. The oracle is the ORIGINAL text itself —
+    // independent truth: the decode must invert the framing exactly,
+    // byte for byte. ──
+    "q241_http_chunked" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val text = col("text")
+      val n = length(text)
+      val k = expr("CAST((length(text) + 14) DIV 15 AS INT)")
+      val chunks = transform(sequence(lit(0), k - 1), i => {
+        val clen = least(lit(15), n - i * 15)
+        concat(lit("123456789abcdef").substr(clen, lit(1)), lit("\r\n"),
+          text.substr(i * 15 + 1, clen), lit("\r\n"))
+      })
+      val body = concat(
+        when(col("doc_id") % 13 === 0, lit("ZZ\r\nbroken\r\n"))
+          .otherwise(lit("")),
+        array_join(chunks, ""), lit("0\r\n\r\n"))
+      docs.select(col("doc_id"), body.as("body"))
+        .select(col("doc_id"),
+          graft.ext.HttpRecord.decodeChunked(col("body")).as("decoded"))
     }),
 
     // ── per-host BOILERPLATE-paragraph removal (the CCNet/RefinedWeb
@@ -5665,7 +5695,11 @@ object SparkEntry {
         |    (CASE WHEN doc_id % 7 = 1 THEN 'HTTP/1.1 404 Not Found'
         |          WHEN doc_id % 7 = 5 THEN 'GARBAGE'
         |          ELSE 'HTTP/1.1 200 OK' END)
-        |    || chr(13) || chr(10) || 'Server: graft' || chr(13) || chr(10)
+        |    || chr(13) || chr(10) || 'Server: graft'
+        |    || (CASE WHEN doc_id % 7 = 4
+        |             THEN chr(13) || chr(10) || 'Transfer-Encoding: Chunked'
+        |             ELSE '' END)
+        |    || chr(13) || chr(10)
         |    || 'Content-Type: '
         |    || (CASE WHEN doc_id % 7 = 2 THEN 'application/pdf'
         |             WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
@@ -5685,6 +5719,8 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CASE WHEN st_s = '' THEN NULL ELSE CAST(st_s AS INT) END AS status,
         |    regexp_extract(head, '(?i)\r\nContent-Type:[ \t]*([^\r\n]*)', 1) AS ct,
+        |    lower(trim(regexp_extract(head,
+        |      '(?i)\r\nTransfer-Encoding:[ \t]*([^\r\n]*)', 1))) AS te,
         |    has_sep,
         |    CASE WHEN has_sep = 1
         |         THEN length(regexp_extract(raw, '(?s)^.*?\r\n\r\n(.*)', 1))
@@ -5693,13 +5729,23 @@ object SparkEntry {
         |SELECT doc_id, status,
         |  lower(trim(regexp_extract(ct, '^([^;]*)', 1))) AS content_type,
         |  lower(regexp_extract(ct, '(?i)charset=([A-Za-z0-9_-]+)', 1)) AS charset,
+        |  te AS transfer_encoding,
         |  CASE WHEN status IS NULL OR has_sep = 0 THEN 'malformed'
         |       WHEN status <> 200 THEN 'bad_status'
+        |       WHEN te <> '' AND te <> 'identity' THEN 'bad_encoding'
         |       WHEN lower(trim(regexp_extract(ct, '^([^;]*)', 1))) <> 'text/html'
         |         THEN 'bad_type'
         |       ELSE 'ok' END AS decision,
         |  CAST(body_chars AS BIGINT) AS body_chars
         |FROM q""".stripMargin,
+
+    // chunked-decode oracle: the ORIGINAL text itself — independent
+    // truth (the decode must invert the 15-byte framing exactly);
+    // corrupted-size-line arm comes back NULL
+    "q241_http_chunked" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS decoded
+        |FROM documents""".stripMargin,
 
     // boilerplate-paragraph mirror: the paragraphs() chain with chr(1)
     // block breaks, list_transform/list_filter per-paragraph cleanup,

@@ -56,25 +56,85 @@ object HttpRecord {
     regexp_extract(raw, "(?s)^.*?\r\n\r\n(.*)", 1)
 
   /** Parse a raw-response column into the typed record + decision
-    * table: (idCol, status, content_type, charset, decision,
-    * body_chars). Media type is the Content-Type value up to the
-    * first ';', trimmed and lowercased; charset likewise from the
-    * `charset=` parameter.
+    * table: (idCol, status, content_type, charset, transfer_encoding,
+    * decision, body_chars). Media type is the Content-Type value up
+    * to the first ';', trimmed and lowercased; charset likewise from
+    * the `charset=` parameter. A `Transfer-Encoding` other than
+    * `identity` routes to `bad_encoding` (the raw body is NOT the
+    * payload — its chunk-length framing would corrupt extraction
+    * downstream); route such records through [[decodeChunked]] before
+    * re-parsing, or quarantine them.
     */
   def parse(df: DataFrame, idCol: String, rawCol: String): DataFrame = {
     val raw = col(rawCol)
     val st = status(raw)
     val ct = header(raw, "Content-Type")
+    val te = lower(trim(header(raw, "Transfer-Encoding")))
     val mediaType = lower(trim(regexp_extract(ct, "^([^;]*)", 1)))
     val charset = lower(regexp_extract(ct, "(?i)charset=([A-Za-z0-9_-]+)", 1))
     val hasSep = raw.contains("\r\n\r\n")
     df.select(col(idCol), st.as("status"),
         mediaType.as("content_type"), charset.as("charset"),
+        te.as("transfer_encoding"),
         when(st.isNull || !hasSep, lit("malformed"))
           .when(st =!= 200, lit("bad_status"))
+          .when(te =!= "" && te =!= "identity", lit("bad_encoding"))
           .when(mediaType =!= "text/html", lit("bad_type"))
           .otherwise(lit("ok")).as("decision"),
         when(hasSep, length(body(raw)).cast("long")).otherwise(lit(0L))
           .as("body_chars"))
+  }
+
+  /** Chunked bodies longer than this many chunks are out of contract
+    * (the fold returns NULL — the quarantine route, never a silently
+    * truncated payload). 64 covers bodies far past the fixture scale;
+    * raise it if a corpus carries more.
+    */
+  val MaxChunks = 64
+
+  /** RFC 9112 §7.1 chunked transfer-decoding as a BOUNDED fold — the
+    * missing step between a `Transfer-Encoding: chunked` fetch and
+    * the extraction tier: each step reads `<hex-size>\r\n<data>\r\n`
+    * at the cursor; the `0\r\n` chunk terminates (trailers ignored).
+    * Returns the reassembled payload, or NULL for anything malformed
+    * — a missing CRLF, a non-hex size line (chunk extensions are out
+    * of the syntactic contract), a body that does not terminate
+    * within [[MaxChunks]] — so bad framing quarantines rather than
+    * keying garbage.
+    *
+    * 100-TB shape: a pure per-row projection. `aggregate` over a
+    * constant [[MaxChunks]]-element sequence is a fixed-cost loop of
+    * substring/instr steps (higher-order functions evaluate
+    * interpreted, not codegen'd, but stay linear in body size); no
+    * shuffle, nothing collected. DuckDB mirrors the fold verbatim via
+    * list_reduce with a prepended init struct (the q48 discipline).
+    */
+  def decodeChunked(bodyCol: Column): Column = {
+    val res = aggregate(
+      sequence(lit(1), lit(MaxChunks)),
+      struct(lit(1).as("pos"), lit("").as("acc"),
+        lit(false).as("done"), lit(false).as("bad")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val acc = st.getField("acc")
+        val rel = instr(bodyCol.substr(pos, length(bodyCol)), "\r\n")
+        val hexs = bodyCol.substr(pos, rel - 1)
+        val okHex = rel > 0 && hexs.rlike("^[0-9a-fA-F]{1,6}$")
+        val len = conv(hexs, 16, 10).cast("int")
+        val dataStart = pos + rel + 1
+        val crlfOk = bodyCol.substr(dataStart + len, lit(2)) === "\r\n"
+        def state(p: Column, a: Column, done: Boolean, bad: Boolean) =
+          struct(p.as("pos"), a.as("acc"),
+            lit(done).as("done"), lit(bad).as("bad"))
+        when(st.getField("done") || st.getField("bad"), st)
+          .when(!okHex, state(pos, acc, done = false, bad = true))
+          .when(len === 0, state(pos, acc, done = true, bad = false))
+          .when(!crlfOk, state(pos, acc, done = false, bad = true))
+          .otherwise(state(dataStart + len + 2,
+            concat(acc, bodyCol.substr(dataStart, len)),
+            done = false, bad = false))
+      })
+    when(res.getField("done") && !res.getField("bad"), res.getField("acc"))
+      .otherwise(lit(null).cast("string"))
   }
 }

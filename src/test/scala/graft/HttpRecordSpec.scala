@@ -8,8 +8,8 @@ class HttpRecordSpec extends SparkSpec {
 
   private def parse(raws: (Long, String)*) =
     HttpRecord.parse(raws.toSeq.toDF("id", "raw"), "id", "raw")
-      .as[(Long, Option[Int], String, String, String, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      .as[(Long, Option[Int], String, String, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._6, r._7))).toMap
 
   test("status/headers/body split at the FIRST blank line; decisions total") {
     val got = parse(
@@ -39,5 +39,48 @@ class HttpRecordSpec extends SparkSpec {
     // body after the FIRST blank line, later blank lines are body text
     val b = parse((3L, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\na\r\n\r\nb"))
     assert(b(3L)._5 == 6L, s"body must span past later blank lines: ${b(3L)}")
+  }
+
+  test("Transfer-Encoding routes bad_encoding; identity and absent do not") {
+    val got = parse(
+      (1L, "HTTP/1.1 200 OK\r\nTransfer-Encoding: Chunked\r\n" +
+        "Content-Type: text/html\r\n\r\n5\r\nhello\r\n0\r\n\r\n"),
+      (2L, "HTTP/1.1 200 OK\r\ntransfer-encoding: identity\r\n" +
+        "Content-Type: text/html\r\n\r\nplain"),
+      // a TE decoy in the BODY must not trigger the route
+      (3L, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "Transfer-Encoding: chunked"))
+    assert(got(1L)._4 == "bad_encoding", s"chunked must route: ${got(1L)}")
+    assert(got(2L)._4 == "ok", "identity is not an encoding")
+    assert(got(3L)._4 == "ok", "body decoy must not win")
+  }
+
+  test("decodeChunked inverts framing; malformed bodies come back NULL") {
+    def dec(bodies: String*): Seq[Option[String]] =
+      bodies.toSeq.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("id", "body")
+        .select(HttpRecord.decodeChunked(col("body")).as("d"))
+        .as[Option[String]].collect().toSeq
+    assert(dec("5\r\nhello\r\n0\r\n\r\n") == Seq(Some("hello")))
+    // multi-chunk, hex sizes incl. letters + uppercase, CRLF in data
+    assert(dec("a\r\n0123456789\r\n3\r\nabc\r\n0\r\n\r\n")
+      == Seq(Some("0123456789abc")))
+    assert(dec("1A\r\nabcdefghijklmnopqrstuvwxyz\r\n0\r\n\r\n")
+      == Seq(Some("abcdefghijklmnopqrstuvwxyz")))
+    // data may CONTAIN a line that looks like a size: length governs
+    assert(dec("7\r\nab\r\n3\r\n\r\n0\r\n\r\n") == Seq(Some("ab\r\n3\r\n")))
+    // trailers after the 0 chunk are ignored
+    assert(dec("2\r\nhi\r\n0\r\nX-Sum: 1\r\n\r\n") == Seq(Some("hi")))
+    // malformed: non-hex size, bad CRLF after data, missing terminal
+    // chunk, size line with extension (out of contract), empty body
+    assert(dec("ZZ\r\nbroken\r\n0\r\n\r\n", "3\r\nabcd\r\n0\r\n\r\n",
+      "5\r\nhello\r\n", "5;ext=1\r\nhello\r\n0\r\n\r\n", "")
+      == Seq(None, None, None, None, None))
+    // unterminated within MaxChunks (runaway framing) is NULL
+    val runaway = "1\r\nx\r\n" * (HttpRecord.MaxChunks + 1) + "0\r\n\r\n"
+    assert(dec(runaway) == Seq(None))
+    // exactly-at-cap terminates fine (the 0 chunk is step MaxChunks)
+    val atCap = "1\r\nx\r\n" * (HttpRecord.MaxChunks - 1) + "0\r\n\r\n"
+    assert(dec(atCap) == Seq(Some("x" * (HttpRecord.MaxChunks - 1))))
   }
 }
