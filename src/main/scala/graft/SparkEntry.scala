@@ -209,6 +209,17 @@ object SparkEntry {
       .filter(col("src_host") =!= col("dst_host"))
   }
 
+  /** The %11=5 wrong-language garble (q234): fifteen Spanish
+    * function-word tokens prepended to the page text — enough to
+    * out-score the corpus's English hits decisively (typical docs
+    * carry well under ten en-profile hits), few enough that the LM's
+    * OOV-pair share stays far under the 500000 ppm flag, so ONLY the
+    * language gate can catch these pages. ONE Scala site, interpolated
+    * into the oracle mirror verbatim.
+    */
+  private val EsGarble =
+    "el la de que y los las por con una el la de que y "
+
   /** The re-ingested dup-slice fixture arm shared by q103/q189/q225:
     * the %13 slice of `documents` re-appears under +1000000 ids — the
     * "corpus v2 with re-crawled mass" shape the diff/refresh/card
@@ -1656,16 +1667,21 @@ object SparkEntry {
       graft.streaming.StreamingReports.htmlExtractStreamReplay(
         s, htmlFixture(t(s, dir, "documents")))),
 
-    // ── the ROUND-12 INTAKE CAPSTONE: every stage of the crawl intake
-    // composed into ONE certified decision table — URL dedup (q215) →
-    // robots compliance (q223) → per-host budget (q217) → HTML main-
-    // content extraction (q226) → n-gram LM quality (q228) — with a
-    // total precedence order bad_url > dup_url > denied > over_budget
-    // > low_quality > kept. The %11 arm garbles surviving pages
-    // (reversed text ≈ mojibake) so the LM stage flags live rows; all
-    // six classes are populated at sf0.01. This is the table a
-    // training-data owner actually reads: why did each fetch live or
-    // die. ──
+    // ── the INTAKE CAPSTONE: every stage of the crawl intake composed
+    // into ONE certified decision table — URL dedup (q215) → robots
+    // compliance (q223) → per-host budget (q217) → HTML main-content
+    // extraction (q226) → language ID (q48, round 13) → n-gram LM
+    // quality (q228) — with a total precedence order bad_url >
+    // dup_url > denied > over_budget > wrong_language > low_quality >
+    // kept (the CCNet stage order). The LANGUAGE RULE: only a
+    // CONFIDENT non-target guess quarantines ('es' here); 'und' (no
+    // function-word signal) falls through to the quality gate — don't
+    // kill on no signal, the LM catches garbage. Garble arms: %11=0
+    // reverses surviving pages (mojibake → 'und' → LM flags →
+    // low_quality), %11=5 prepends a Spanish function-word run
+    // (confident 'es' → wrong_language; its LM OOV share stays far
+    // under threshold, so the language gate is the ONLY thing that
+    // can catch it). All seven classes are populated at sf0.01. ──
     "q234_intake_capstone" -> ((s, dir) => {
       import graft.ext.{HtmlExtract, UrlCanon}
       val docs = t(s, dir, "documents")
@@ -1686,9 +1702,13 @@ object SparkEntry {
         .localCheckpoint() // feeds the LM slice AND the final join
       val pages = htmlFixture(docs.select(col("doc_id"),
         when(col("doc_id") % 11 === 0, reverse(col("text")))
+          .when(col("doc_id") % 11 === 5, concat(lit(EsGarble), col("text")))
           .otherwise(col("text")).as("text")))
       val surv = bud.join(pages, Seq("doc_id"))
         .select(col("doc_id"), HtmlExtract.mainText(col("html")).as("text"))
+        .localCheckpoint() // feeds the lang gate AND the LM scorer
+      val lang = TextAnalysis.withLangGuess(surv, "text", "__lang")
+        .select(col("doc_id"), col("__lang"))
       val (c2, c1) = TextAnalysis.lmModel(
         docs.filter(col("doc_id") % 5 =!= 0), "text")
       val lm = TextAnalysis.lmScoreWith(c2, c1, surv, "doc_id", "text")
@@ -1696,11 +1716,14 @@ object SparkEntry {
       dec
         .join(rob.select("doc_id", "__rd"), Seq("doc_id"), "left")
         .join(bud, Seq("doc_id"), "left")
+        .join(lang, Seq("doc_id"), "left")
         .join(lm, Seq("doc_id"), "left")
         .select(col("doc_id"), col("canonical_url"),
           when(col("decision") =!= "kept", col("decision"))
             .when(col("__rd") === "deny", lit("denied"))
             .when(col("__inb").isNull, lit("over_budget"))
+            .when(col("__lang").isNotNull && col("__lang") =!= "en" &&
+              col("__lang") =!= "und", lit("wrong_language"))
             .when(col("__lmflag") === "low", lit("low_quality"))
             .otherwise(lit("kept")).as("decision"))
     }),
@@ -5850,10 +5873,33 @@ object SparkEntry {
         |      CAST(k2.doc_id AS VARCHAR))), 1, 8), k2.doc_id) <= 5),
         |""".stripMargin +
       htmlFixtureSql("FROM (SELECT d.doc_id," +
-        " CASE WHEN d.doc_id % 11 = 0 THEN reverse(d.text) ELSE d.text END" +
+        " CASE WHEN d.doc_id % 11 = 0 THEN reverse(d.text)" +
+        s" WHEN d.doc_id % 11 = 5 THEN '$EsGarble' || d.text" +
+        " ELSE d.text END" +
         " AS text FROM documents d JOIN bud ON bud.doc_id = d.doc_id) dk") +
       ",\n" + HtmlExtractCtesSql +
       """,
+        |lsc AS (
+        |  SELECT doc_id, regexp_extract_all(lower(main_text), '[a-z0-9]+') AS toks
+        |  FROM ext),
+        |lgs AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','with','for'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','por','con','una'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','von','den'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','des','une','dans','pour','que'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('il','di','che','la','per','una','sono','non','con','del'))) AS s_it
+        |  FROM lsc),
+        |lg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_it) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'en'
+        |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'es'
+        |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'fr'
+        |         WHEN s_it = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'it'
+        |         ELSE 'und' END AS guess
+        |  FROM lgs),
         |rtok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
         |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
@@ -5884,11 +5930,14 @@ object SparkEntry {
         |  CASE WHEN dec.decision <> 'kept' THEN dec.decision
         |       WHEN r.rd = 'deny' THEN 'denied'
         |       WHEN bud.doc_id IS NULL THEN 'over_budget'
+        |       WHEN lg.guess IS NOT NULL AND lg.guess NOT IN ('en', 'und')
+        |         THEN 'wrong_language'
         |       WHEN lf.lmflag = 'low' THEN 'low_quality'
         |       ELSE 'kept' END AS decision
         |FROM dec
         |LEFT JOIN rdec r ON r.doc_id = dec.doc_id
         |LEFT JOIN bud ON bud.doc_id = dec.doc_id
+        |LEFT JOIN lg ON lg.doc_id = dec.doc_id
         |LEFT JOIN lmf lf ON lf.doc_id = dec.doc_id""".stripMargin),
 
     // politeness composition: q215's keep rule, q223's robots argmax
