@@ -1620,7 +1620,10 @@ object SparkEntry {
     // independent truth: the decode must invert the framing exactly,
     // byte for byte. ──
     "q241_http_chunked" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // the corpus parquet is a single split locally; the 64-step
+      // decode fold is CPU-bound per row, so spread it (the
+      // Dedup/SimHash repartition discipline)
+      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
       val text = col("text")
       val n = length(text)
       val k = expr("CAST((length(text) + 14) DIV 15 AS INT)")
