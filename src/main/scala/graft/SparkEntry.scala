@@ -1518,6 +1518,44 @@ object SparkEntry {
           UrlCanon.canonicalHost(col("canonical_url")).as("host"))
     }),
 
+    // ── HTTP redirect-chain resolution (UrlCanon.resolveRedirects):
+    // 3xx Location values — RELATIVE ones resolved against the fetched
+    // URL — followed through the URL-keyed redirect map to the
+    // terminal URL, with every route live: direct, 1-hop to an in-log
+    // terminal, 1-hop to an EXTERNAL url, 2-hop chains (the %10=1 arm
+    // lands on the %5=2 arm, which lands on a %5=0 terminal),
+    // root-relative Locations, javascript: junk (bad_location),
+    // self-loops, and a 2-cycle via companion /R2/ fetch rows. Oracle:
+    // every final_url/hops/status derives ARITHMETICALLY from the id
+    // residues — the chain walk is certified against closed-form
+    // truth. ──
+    "q242_redirect_chains" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val docs = t(s, dir, "documents")
+      val i = col("doc_id")
+      def host(m: Column) = concat(lit("http://www.src"),
+        (m % 20).cast("string"), lit(".example.com"))
+      val url = concat(host(i), lit("/R/"), (i % 100).cast("string"))
+      val loc =
+        when(i % 5 === 0, lit(""))
+          .when(i % 10 === 1,
+            concat(host(i + 1), lit("/R/"), ((i + 1) % 100).cast("string")))
+          .when(i % 10 === 6,
+            concat(lit("/R/"), ((i + 4) % 100).cast("string")))
+          .when(i % 5 === 2,
+            concat(host(i + 3), lit("/R/"), ((i + 3) % 100).cast("string")))
+          .when(i % 5 === 3, lit("javascript:void(0)"))
+          .when(i % 10 === 4,
+            concat(lit("/R/"), (i % 100).cast("string")))
+          .otherwise(concat(lit("/R2/"), (i % 100).cast("string")))
+      val base = docs.select(i, url.as("url"), loc.as("loc"))
+      val extra = docs.filter(i % 10 === 9)
+        .select((i + 1000000L).as("doc_id"),
+          concat(host(i), lit("/R2/"), (i % 100).cast("string")).as("url"),
+          concat(lit("/R/"), (i % 100).cast("string")).as("loc"))
+      UrlCanon.resolveRedirects(base.unionByName(extra), "doc_id", "url", "loc")
+    }),
+
     // ── robots.txt BODY parsing (UrlCanon.parseRobots): fetched
     // robots text → (host, prefix, allow) policy rows for one agent,
     // with RFC 9309 group structure live — multi-UA runs, a specific
@@ -5556,6 +5594,46 @@ object SparkEntry {
 
     // longest-prefix precedence mirrored with an explicit NULLS
     // ordering matching Spark's desc/asc defaults
+    // redirect-chain mirror: final_url/hops/status all closed-form in
+    // the id residues (the %10 arms checked before their %5 parents);
+    // nothing re-walks the chain
+    "q242_redirect_chains" -> {
+      def hostOf(x: String): String =
+        s"('http://www.src' || CAST(($x) % 20 AS VARCHAR) || '.example.com')"
+      s"""WITH d AS (SELECT doc_id AS i FROM documents),
+         |base AS (
+         |  SELECT i AS doc_id,
+         |    ${hostOf("i")} || '/R/' || CAST(i % 100 AS VARCHAR) AS url,
+         |    i AS k, FALSE AS extra
+         |  FROM d
+         |  UNION ALL
+         |  SELECT i + 1000000,
+         |    ${hostOf("i")} || '/R2/' || CAST(i % 100 AS VARCHAR), i, TRUE
+         |  FROM d WHERE i % 10 = 9)
+         |SELECT doc_id, url,
+         |  CASE
+         |    WHEN extra THEN ${hostOf("k")} || '/R/' || CAST(k % 100 AS VARCHAR)
+         |    WHEN k % 5 = 0 THEN url
+         |    WHEN k % 10 = 1 THEN ${hostOf("k+4")} || '/R/' || CAST((k+4) % 100 AS VARCHAR)
+         |    WHEN k % 10 = 6 THEN ${hostOf("k")} || '/R/' || CAST((k+4) % 100 AS VARCHAR)
+         |    WHEN k % 5 = 2 THEN ${hostOf("k+3")} || '/R/' || CAST((k+3) % 100 AS VARCHAR)
+         |    WHEN k % 5 = 3 THEN url
+         |    WHEN k % 10 = 4 THEN url
+         |    ELSE ${hostOf("k")} || '/R2/' || CAST(k % 100 AS VARCHAR)
+         |  END AS final_url,
+         |  CAST(CASE WHEN extra THEN 1 WHEN k % 5 = 0 THEN 0
+         |       WHEN k % 10 = 1 THEN 2 WHEN k % 10 = 6 THEN 1
+         |       WHEN k % 5 = 2 THEN 1 WHEN k % 5 = 3 THEN 0
+         |       WHEN k % 10 = 4 THEN 0 ELSE 1 END AS BIGINT) AS hops,
+         |  CASE WHEN extra THEN 'loop' WHEN k % 5 = 0 THEN 'direct'
+         |       WHEN k % 10 = 1 THEN 'redirected'
+         |       WHEN k % 10 = 6 THEN 'redirected'
+         |       WHEN k % 5 = 2 THEN 'redirected'
+         |       WHEN k % 5 = 3 THEN 'bad_location'
+         |       WHEN k % 10 = 4 THEN 'loop' ELSE 'loop' END AS status
+         |FROM base""".stripMargin
+    },
+
     // parsed-robots mirror (q239/q240): the expected policy rows
     // derive ARITHMETICALLY from the host index — nothing re-parses
     // the bodies, so a green hash certifies parseRobots' group/agent

@@ -427,6 +427,92 @@ object UrlCanon {
       ranked, Seq(col("host_rank"), col(hostCol)), "fetch_seq")
   }
 
+  /** HTTP redirect-chain resolution — the step between fetch and
+    * frontier bookkeeping a real crawler cannot skip: a 3xx fetch's
+    * `Location` header names the next URL (often RELATIVE, resolved
+    * against the fetched URL via [[resolveUrl]]), and chains must be
+    * followed to the terminal URL with loops and junk detected, never
+    * followed forever. Input: one row per fetch with the raw Location
+    * value ('' or NULL when the response was not a redirect). Output,
+    * one row per input fetch: `final_url` (the last good URL on the
+    * chain), `hops`, and a total `status` — `direct` (not a
+    * redirect), `redirected` (chain ended at a non-redirecting URL —
+    * in-log or external), `loop` (a URL repeated on the chain),
+    * `bad_location` (the next Location does not resolve+canonicalize),
+    * `too_deep` (no terminal within `maxHops` — the crawler gives
+    * up), or `bad_url` (the fetch URL itself does not canonicalize —
+    * the usual quarantine route, classified once like everything
+    * else).
+    *
+    * CONTRACT: the redirect map is URL-keyed, so a URL fetched twice
+    * must carry one Location; among CONFLICTING locations the
+    * bytewise-min valid target wins (deterministic), and a URL whose
+    * every location is junk routes `bad_location`.
+    *
+    * 100-TB shape: the chain walk is `maxHops` keyed self-joins
+    * against the redirect edge map (the connected-components
+    * discipline — never a driver-side walk); each round's frame is
+    * localCheckpoint'd once and feeds its four decision branches (the
+    * multi-consumer rule). Paths are ≤ maxHops+1 element arrays.
+    * Redirecting URLs are a small fraction of a fetch log, so the
+    * edge side is the thin side of every join.
+    */
+  def resolveRedirects(
+      fetches: DataFrame, idCol: String, urlCol: String, locCol: String,
+      maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, s"maxHops out of range: $maxHops")
+    val edges = fetches
+      .filter(col(locCol).isNotNull && col(locCol) =!= "")
+      .select(explode_outer(array(struct(
+        canonicalUrl(col(urlCol)).as("s"),
+        canonicalUrl(resolveUrl(col(urlCol), col(locCol))).as("d")))).as("__e"))
+      .select(col("__e.s").as("__src"), col("__e.d").as("__dst"))
+      .filter(col("__src").isNotNull)
+      .groupBy("__src")
+      .agg(min(col("__dst")).as("__next")) // NULL iff every location junk
+      .localCheckpoint() // probed once per hop round
+    val init = fetches.select(col(idCol), col(urlCol),
+      explode_outer(array(canonicalUrl(col(urlCol)))).as("__cur"))
+    var done = init.filter(col("__cur").isNull)
+      .select(col(idCol), col(urlCol), col("__cur"),
+        lit(0).as("__hops"), lit("bad_url").as("__status"))
+    var pending = init.filter(col("__cur").isNotNull)
+      .select(col(idCol), col(urlCol), col("__cur"),
+        array(col("__cur")).as("__path"), lit(0).as("__hops"),
+        lit("pending").as("__status"))
+    for (_ <- 1 to maxHops) {
+      val stepped = pending
+        .join(edges, pending("__cur") === edges("__src"), "left")
+        .select(col(idCol), col(urlCol), col("__cur"), col("__path"),
+          col("__hops"), col("__src"), col("__next"))
+        .localCheckpoint() // feeds all four decision branches
+      def settle(f: Column, status: String) = stepped.filter(f)
+        .select(col(idCol), col(urlCol), col("__cur"), col("__hops"),
+          lit(status).as("__status"))
+      done = done
+        .unionByName(settle(col("__src").isNull, "resolved"))
+        .unionByName(settle(col("__src").isNotNull && col("__next").isNull,
+          "bad_location"))
+        .unionByName(settle(col("__next").isNotNull &&
+          array_contains(col("__path"), col("__next")), "loop"))
+      pending = stepped
+        .filter(col("__next").isNotNull &&
+          !array_contains(col("__path"), col("__next")))
+        .select(col(idCol), col(urlCol), col("__next").as("__cur"),
+          concat(col("__path"), array(col("__next"))).as("__path"),
+          (col("__hops") + 1).as("__hops"), lit("pending").as("__status"))
+    }
+    done
+      .unionByName(pending.select(col(idCol), col(urlCol), col("__cur"),
+        col("__hops"), lit("too_deep").as("__status")))
+      .select(col(idCol), col(urlCol), col("__cur").as("final_url"),
+        col("__hops").cast("long").as("hops"),
+        when(col("__status") === "resolved" && col("__hops") === 0,
+          lit("direct"))
+          .when(col("__status") === "resolved", lit("redirected"))
+          .otherwise(col("__status")).as("status"))
+  }
+
   /** Host-grain crawl rollup over the URL-deduped corpus: per
     * canonical host — distinct canonical URLs, surviving docs, total
     * bytes (sum of `sizeCol`). The crawl-ops table a 100-TB pipeline

@@ -260,6 +260,43 @@ class UrlCanonSpec extends SparkSpec {
     assert(parse("nobody", "User-agent: x\nDisallow: /\n").isEmpty)
   }
 
+  test("resolveRedirects: chains, relative Locations, loops, junk, depth cap") {
+    val fetches = Seq(
+      (1L, "http://a.com/start", "/mid"), // relative Location
+      (2L, "http://a.com/mid", "http://B.com/end"), // absolute, messy case
+      (3L, "http://b.com/end", ""), // terminal
+      (4L, "http://a.com/self", "/self"), // self-loop
+      (5L, "http://a.com/c1", "/c2"),
+      (6L, "http://a.com/c2", "/c1"), // 2-cycle
+      (7L, "http://a.com/junk", "javascript:void(0)"),
+      (8L, "not a url", "/x"), // bad fetch URL
+      (9L, "http://a.com/ext", "http://x.com/away") // external terminal
+    ).toDF("id", "url", "loc")
+    val got = UrlCanon.resolveRedirects(fetches, "id", "url", "loc")
+      .as[(Long, String, Option[String], Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((Some("http://b.com/end"), 2L, "redirected")))
+    assert(got(2L) == ((Some("http://b.com/end"), 1L, "redirected")))
+    assert(got(3L) == ((Some("http://b.com/end"), 0L, "direct")))
+    assert(got(4L)._3 == "loop" && got(4L)._2 == 0L)
+    assert(got(5L)._3 == "loop" && got(5L)._2 == 1L)
+    assert(got(6L)._3 == "loop" && got(6L)._2 == 1L)
+    assert(got(7L)._3 == "bad_location" && got(7L)._2 == 0L)
+    assert(got(8L)._3 == "bad_url")
+    assert(got(9L) == ((Some("http://x.com/away"), 1L, "redirected")))
+    // depth cap: a 7-link chain under maxHops=3 gives up, recording
+    // how far it got
+    val chain = (0 to 7).map(i =>
+      (100L + i, s"http://c.com/p$i", if (i < 7) s"/p${i + 1}" else ""))
+      .toDF("id", "url", "loc")
+    val capped = UrlCanon
+      .resolveRedirects(chain, "id", "url", "loc", maxHops = 3)
+      .filter(col("id") === 100L)
+      .as[(Long, String, Option[String], Long, String)].collect().head
+    assert(capped._5 == "too_deep" && capped._4 == 3L &&
+      capped._3 == Some("http://c.com/p3"), s"7-deep chain must cap: $capped")
+  }
+
   test("removeDotSegments: bounded-fold RFC collapse on hostile paths") {
     def rds(ps: String*): Seq[String] =
       ps.toSeq.toDF("p").select(UrlCanon.removeDotSegments(col("p")).as("r"))
