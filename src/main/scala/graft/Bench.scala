@@ -154,7 +154,8 @@ object Bench {
     "q231_lm_stored", "q232_html_extract_stream", "q233_markup_stats",
     "q234_intake_capstone", "q235_boilerplate_paras", "q236_http_parse",
     "q237_sitemap_frontier", "q238_resolve_links", "q239_robots_parse",
-    "q240_robots_pipeline", "q241_http_chunked", "q242_redirect_chains")
+    "q240_robots_pipeline", "q241_http_chunked", "q242_redirect_chains",
+    "q243_anchor_text")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

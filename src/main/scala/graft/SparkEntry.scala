@@ -1556,6 +1556,60 @@ object SparkEntry {
       UrlCanon.resolveRedirects(base.unionByName(extra), "doc_id", "url", "loc")
     }),
 
+    // ── ANCHOR-TEXT aggregation (the classic inlink signal a web-scale
+    // corpus builder indexes): <a>…</a> elements extracted whole,
+    // href resolved (scheme-relative spellings live) + canonicalized,
+    // anchor text stripped of inline markup and tokenized, then per
+    // TARGET URL: inlink count, distinct source hosts, sorted anchor
+    // vocabulary. Junk hrefs drop through the NULL-canonical route
+    // before ever contributing tokens. Shape: two keyed aggregates on
+    // dst_url (one link-grain, one token-grain) + one keyed join —
+    // never pages². Oracle: targets and token sets derive
+    // ARITHMETICALLY from the id formulas. ──
+    "q243_anchor_text" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val docs = t(s, dir, "documents")
+      val i = col("doc_id")
+      val t1 = i * (i + 3) + 1
+      val t2 = i * (i + 7) + 5
+      val html = docs.select(i, concat(
+        lit("<html><body><p>Doc "), i.cast("string"),
+        lit("</p><a class=\"x\" href=\""), messyUrl(t1),
+        lit("\">go <b>page"), (t1 % 50).cast("string"),
+        lit("</b> now</a> <a href=\""),
+        regexp_replace(messyUrl(t2), "^[A-Za-z][A-Za-z0-9+.-]*:", ""),
+        lit("\">visit hub"), (t2 % 20).cast("string"), lit("</a>"),
+        when(i % 9 === 0,
+          lit(" <a href=\"javascript:void(0)\">click</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+      val anchors = html.select(i, explode_outer(expr(
+          "regexp_extract_all(html, " +
+            "'(?is)<a\\\\b[^>]*href=\"[^\"]*\"[^>]*>.*?</a[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]*>', 0)"))
+          .as("__a"))
+        .filter(col("__a").isNotNull)
+        .select(i,
+          regexp_extract(col("__a"), "(?is)>(.*)</a[ \\t\\n\\x0B\\f\\r]*>", 1)
+            .as("__atext"),
+          explode_outer(array(UrlCanon.resolveUrl(messyUrl(i),
+            regexp_extract(col("__a"), "(?is)href=\"([^\"]*)\"", 1))))
+            .as("__abs"))
+        .withColumn("dst_url", UrlCanon.canonicalUrl(col("__abs")))
+        .filter(col("dst_url").isNotNull)
+        .withColumn("__src_host", UrlCanon.canonicalHost(messyUrl(i)))
+      val linkAgg = anchors.groupBy("dst_url")
+        .agg(count(lit(1)).as("n_links"),
+          count_distinct(col("__src_host")).as("n_src_hosts"))
+      val vocabAgg = anchors
+        .select(col("dst_url"), explode(TextAnalysis.tokens(
+          regexp_replace(col("__atext"), "</?[A-Za-z][^>]*>", " ")))
+          .as("__tok"))
+        .groupBy("dst_url")
+        .agg(array_join(array_sort(collect_set(col("__tok"))), " ")
+          .as("anchor_vocab"))
+      linkAgg.join(vocabAgg, Seq("dst_url"))
+    }),
+
     // ── robots.txt BODY parsing (UrlCanon.parseRobots): fetched
     // robots text → (host, prefix, allow) policy rows for one agent,
     // with RFC 9309 group structure live — multi-UA runs, a specific
@@ -5594,6 +5648,41 @@ object SparkEntry {
 
     // longest-prefix precedence mirrored with an explicit NULLS
     // ordering matching Spark's desc/asc defaults
+    // anchor-text mirror: target canonical urls (true scheme/port
+    // rule via the m*Sql helpers — the scheme-relative link's port
+    // rule keys on the SOURCE page's scheme) and token sets all
+    // arithmetic; grouping is the only SQL machinery
+    "q243_anchor_text" -> {
+      val c1 = s"(${mScmSql("t1")} || '://' || ${mHostCanSql("t1")} || " +
+        s"${mPortCanSql("t1", mScmSql("t1"))} || ${mPathCanSql("t1")} || ${mQCanSql("t1")})"
+      val c2 = s"(${mScmSql("i")} || '://' || ${mHostCanSql("t2")} || " +
+        s"${mPortCanSql("t2", mScmSql("i"))} || ${mPathCanSql("t2")} || ${mQCanSql("t2")})"
+      s"""WITH d AS (
+         |  SELECT doc_id AS i, doc_id*(doc_id+3)+1 AS t1,
+         |    doc_id*(doc_id+7)+5 AS t2
+         |  FROM documents),
+         |l AS (
+         |  SELECT 'www.src' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src_host,
+         |    $c1 AS dst_url,
+         |    ['go', 'page' || CAST(t1 % 50 AS VARCHAR), 'now'] AS toks
+         |  FROM d
+         |  UNION ALL
+         |  SELECT 'www.src' || CAST(i % 20 AS VARCHAR) || '.example.com',
+         |    $c2, ['visit', 'hub' || CAST(t2 % 20 AS VARCHAR)]
+         |  FROM d),
+         |a1 AS (
+         |  SELECT dst_url, CAST(count(*) AS BIGINT) AS n_links,
+         |    CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+         |  FROM l GROUP BY 1),
+         |tk AS (SELECT dst_url, unnest(toks) AS tok FROM l),
+         |a2 AS (
+         |  SELECT dst_url,
+         |    array_to_string(list_sort(list(DISTINCT tok)), ' ') AS anchor_vocab
+         |  FROM tk GROUP BY 1)
+         |SELECT a1.dst_url, a1.n_links, a1.n_src_hosts, a2.anchor_vocab
+         |FROM a1 JOIN a2 ON a1.dst_url = a2.dst_url""".stripMargin
+    },
+
     // redirect-chain mirror: final_url/hops/status all closed-form in
     // the id residues (the %10 arms checked before their %5 parents);
     // nothing re-walks the chain
