@@ -1610,6 +1610,41 @@ object SparkEntry {
       linkAgg.join(vocabAgg, Seq("dst_url"))
     }),
 
+    // ── rel=canonical OVERRIDE dedup (the SEO-declaration tier a real
+    // crawl dedup runs before spelling dedup): pages declaring
+    // <link rel="canonical" href=…> key on the DECLARED target —
+    // attribute order varies, the href may be ROOT-RELATIVE (resolved
+    // against the page), and declarations collapse whole query/port/
+    // case spelling families onto one key; undeclared pages key on
+    // themselves. Pure composition: element extraction → resolveUrl
+    // (an ABSENT declaration extracts '' = the empty-reference class,
+    // which resolves to the page itself — the fallback for free) →
+    // the q215 urlDecisions keep rule. Oracle: effective keys derive
+    // arithmetically per class. ──
+    "q244_canonical_override" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val docs = t(s, dir, "documents")
+      val i = col("doc_id")
+      val declared =
+        when(i % 12 === 8, concat(lit("<link href=\"/Docs/"),
+          (i % 50).cast("string"), lit("\" rel=\"canonical\">")))
+          .when(i % 6 === 2,
+            concat(lit("<link rel=\"canonical\" href=\"http://www.src"),
+              (i % 20).cast("string"), lit(".example.com/Docs/"),
+              (i % 50).cast("string"), lit("\">")))
+          .otherwise(lit(""))
+      val pages = docs.select(i, messyUrl(i).as("url"),
+        concat(lit("<html><head><title>t</title>"), declared,
+          lit("</head><body><p>x</p></body></html>")).as("html"))
+      val elem = regexp_extract(col("html"),
+        "(?is)<link\\b[^>]*rel=\"canonical\"[^>]*>", 0)
+      val declHref = regexp_extract(elem, "(?is)href=\"([^\"]*)\"", 1)
+      val eff = pages.select(i,
+        UrlCanon.resolveUrl(col("url"), declHref).as("url"))
+      UrlCanon.urlDecisions(eff, "url", "doc_id")
+        .select("doc_id", "canonical_url", "decision")
+    }),
+
     // ── robots.txt BODY parsing (UrlCanon.parseRobots): fetched
     // robots text → (host, prefix, allow) policy rows for one agent,
     // with RFC 9309 group structure live — multi-UA runs, a specific
@@ -5681,6 +5716,32 @@ object SparkEntry {
          |  FROM tk GROUP BY 1)
          |SELECT a1.dst_url, a1.n_links, a1.n_src_hosts, a2.anchor_vocab
          |FROM a1 JOIN a2 ON a1.dst_url = a2.dst_url""".stripMargin
+    },
+
+    // canonical-override mirror: the effective key per declaration
+    // class (declared absolute / declared root-relative with the
+    // page's scheme / undeclared full canonical form) + the min-id
+    // keep rule — all arithmetic
+    "q244_canonical_override" -> {
+      val i = "doc_id"
+      val bs = mScmSql(i)
+      val own = s"($bs || '://' || ${mHostCanSql(i)} || ${mPortCanSql(i, bs)} " +
+        s"|| ${mPathCanSql(i)} || ${mQCanSql(i)})"
+      s"""WITH e AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 12 = 8 THEN $bs || '://www.src'
+         |      || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+         |      || ${mPortCanSql(i, bs)} || '/Docs/'
+         |      || CAST(doc_id % 50 AS VARCHAR)
+         |    WHEN doc_id % 6 = 2 THEN 'http://www.src'
+         |      || CAST(doc_id % 20 AS VARCHAR) || '.example.com/Docs/'
+         |      || CAST(doc_id % 50 AS VARCHAR)
+         |    ELSE $own END AS cu
+         |  FROM documents),
+         |k AS (SELECT cu, min(doc_id) AS keep FROM e GROUP BY 1)
+         |SELECT e.doc_id, e.cu AS canonical_url,
+         |  CASE WHEN e.doc_id = k.keep THEN 'kept' ELSE 'dup_url' END AS decision
+         |FROM e JOIN k ON e.cu = k.cu""".stripMargin
     },
 
     // redirect-chain mirror: final_url/hops/status all closed-form in
