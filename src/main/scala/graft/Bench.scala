@@ -155,7 +155,7 @@ object Bench {
     "q234_intake_capstone", "q235_boilerplate_paras", "q236_http_parse",
     "q237_sitemap_frontier", "q238_resolve_links", "q239_robots_parse",
     "q240_robots_pipeline", "q241_http_chunked", "q242_redirect_chains",
-    "q243_anchor_text", "q244_canonical_override")
+    "q243_anchor_text", "q244_canonical_override", "q245_crawl_delays")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

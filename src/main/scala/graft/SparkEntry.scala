@@ -129,7 +129,7 @@ object SparkEntry {
       lit("Disallow: /Docs/"), (i % 7).cast("string"),
       lit("  # deny subtree"), lf,
       lit("Disallow:"), lf,
-      lit("Crawl-delay: 5"), lf,
+      lit("Crawl-delay: "), (lit(2) + i % 7).cast("string"), lf,
       lit("Sitemap: http://www.src"), i.cast("string"),
       lit(".example.com/s.xml"), lf, lf,
       lit("User-agent: otherbot"), lf,
@@ -1671,6 +1671,16 @@ object SparkEntry {
         robotsBodiesFixture(s), "host", "body", "graftbot")
       UrlCanon.robotsDecide(raw, "doc_id", "url", rules)
     }),
+
+    // ── per-host Crawl-delay (UrlCanon.parseCrawlDelays): the delay
+    // is GROUP-scoped per RFC 9309, so the %4=0 hosts — whose
+    // specific graftbot group declares NO delay — emit NO row even
+    // though their '*' group carries one; every other host surfaces
+    // its star-group delay (2 + host%7 s). Certifies group scoping
+    // beyond what the rules table can show. ──
+    "q245_crawl_delays" -> ((s, dir) =>
+      graft.ext.UrlCanon.parseCrawlDelays(
+        robotsBodiesFixture(s), "host", "body", "graftbot")),
 
     // ── RFC 3986 reference resolution (UrlCanon.resolveUrl — the
     // round-12 verdict's top gap: most hrefs on real pages are
@@ -5783,6 +5793,14 @@ object SparkEntry {
          |       WHEN k % 10 = 4 THEN 'loop' ELSE 'loop' END AS status
          |FROM base""".stripMargin
     },
+
+    // crawl-delay mirror: star-group delays arithmetic; %4=0 hosts
+    // (specific group, no delay line) must be ABSENT
+    "q245_crawl_delays" ->
+      """SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com' AS host,
+        |  CAST(2 + i % 7 AS BIGINT) AS crawl_delay_s
+        |FROM (SELECT unnest(range(0, 20)) AS i) ids
+        |WHERE i % 4 <> 0""".stripMargin,
 
     // parsed-robots mirror (q239/q240): the expected policy rows
     // derive ARITHMETICALLY from the host index — nothing re-parses

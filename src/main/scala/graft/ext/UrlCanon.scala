@@ -355,6 +355,38 @@ object UrlCanon {
     */
   def parseRobots(
       robots: DataFrame, hostCol: String, bodyCol: String,
+      agent: String): DataFrame =
+    applicableRobotsLines(robots, hostCol, bodyCol, agent)
+      .filter(col("__key").isin("allow", "disallow") && col("__val") =!= "")
+      .select(col("host"), col("__val").as("prefix"),
+        (col("__key") === "allow").as("allow"))
+      .distinct()
+
+  /** Per-host `Crawl-delay` for `agent`, honoring the same RFC 9309
+    * group selection as [[parseRobots]] — the delay is GROUP-scoped,
+    * so a host whose specific-agent group declares no delay yields NO
+    * row even when its `*` group has one (the `*` group does not
+    * apply once a specific group matches). Non-numeric values are
+    * ignored; several applicable delays take the MIN (conservative).
+    * Output (host, crawl_delay_s) feeds the politeness scheduler.
+    */
+  def parseCrawlDelays(
+      robots: DataFrame, hostCol: String, bodyCol: String,
+      agent: String): DataFrame =
+    applicableRobotsLines(robots, hostCol, bodyCol, agent)
+      .filter(col("__key") === "crawl-delay" &&
+        col("__val").rlike("^[0-9]+$"))
+      .groupBy("host")
+      .agg(min(col("__val").cast("long")).as("crawl_delay_s"))
+
+  /** Shared robots.txt line machinery: explode lines, parse
+    * key/value, assign UA-run group ids, and keep only the lines of
+    * the groups that APPLY to `agent` per RFC 9309 §2.2.1 (specific
+    * match beats `*`, never merged). Columns: host, __ln, __key,
+    * __val.
+    */
+  private def applicableRobotsLines(
+      robots: DataFrame, hostCol: String, bodyCol: String,
       agent: String): DataFrame = {
     require(agent.nonEmpty && agent == agent.toLowerCase,
       s"agent must be lowercase: $agent")
@@ -388,15 +420,12 @@ object UrlCanon {
     val hostPick = groups.groupBy("host")
       .agg(max(col("__has_agent")).as("__any_agent"))
     grouped
-      .filter(col("__key").isin("allow", "disallow") &&
-        col("__val") =!= "" && col("__grp") >= 1)
+      .filter(col("__grp") >= 1)
       .join(groups, Seq("host", "__grp"))
       .join(hostPick, Seq("host"))
       .filter((col("__any_agent") === 1 && col("__has_agent") === 1) ||
         (col("__any_agent") === 0 && col("__has_star") === 1))
-      .select(col("host"), col("__val").as("prefix"),
-        (col("__key") === "allow").as("allow"))
-      .distinct()
+      .select(col("host"), col("__ln"), col("__key"), col("__val"))
   }
 
   /** Deterministic per-host round-robin fetch schedule — the
