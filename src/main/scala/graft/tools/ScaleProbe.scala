@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, SimHash, SimSearch}
@@ -435,6 +435,65 @@ object ScaleProbe {
             (col("doc_id") % 1000).cast("string"), lit(".example.com"))
           graft.ext.UrlCanon.politenessSchedule(
             d.select(col("doc_id"), host.as("host")), "host", "doc_id")
+        }),
+        run("resolve_links", {
+          // round-13 family: RFC 3986 resolution + canonicalization —
+          // a fixed chain of regex passes per row; expected ~linear,
+          // no shuffle
+          val base = concat(lit("HTTP://WWW.H"),
+            (col("doc_id") % 1000).cast("string"),
+            lit(".Example.COM:80/a/b/c?x=1"))
+          val href = when(col("doc_id") % 3 === 0,
+            concat(lit("../up/"), (col("doc_id") % 50).cast("string")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("//www.h"), (col("doc_id") % 997).cast("string"),
+                lit(".example.com/p")))
+            .otherwise(concat(lit("./x/./y/../"),
+              (col("doc_id") % 50).cast("string")))
+          d.select(col("doc_id"), graft.ext.UrlCanon.canonicalUrl(
+              graft.ext.UrlCanon.resolveUrl(base, href)).as("u"))
+            .select(col("doc_id"), length(col("u")).as("n"))
+        }),
+        run("robots_parse", {
+          // one robots body per doc-host: line explode + per-host
+          // group windows (each window = one small file) + keyed
+          // group/host aggregates — expected ~linear
+          val h = concat(lit("h"), col("doc_id").cast("string"))
+          val body = concat(
+            lit("User-Agent: GraftBot\nDisallow: /private\n\n" +
+              "User-agent: *\nAllow: /\nDisallow: /Docs/"),
+            (col("doc_id") % 7).cast("string"),
+            lit("\nDisallow:\nCrawl-delay: 5\n\nUser-agent: other\nDisallow: /\n"))
+          graft.ext.UrlCanon.parseRobots(
+            d.select(h.as("host"), body.as("body")), "host", "body", "graftbot")
+        }),
+        run("chunked_decode", {
+          // frame the text into 15-byte chunks, then invert via the
+          // bounded decode fold — CPU-bound per-row, expected ~linear
+          val n = length(col("text"))
+          val k = expr("CAST((length(text) + 14) DIV 15 AS INT)")
+          val chunks = transform(sequence(lit(0), k - 1), i => {
+            val clen = least(lit(15), n - i * 15)
+            concat(lit("123456789abcdef").substr(clen, lit(1)), lit("\r\n"),
+              col("text").substr(i * 15 + 1, clen), lit("\r\n"))
+          })
+          val body = concat(array_join(chunks, ""), lit("0\r\n\r\n"))
+          d.repartition(32, col("doc_id")).select(col("doc_id"),
+            length(graft.ext.HttpRecord.decodeChunked(body)).as("n"))
+        }),
+        run("redirect_chains", {
+          // maxHops keyed self-joins against a redirect map that grows
+          // with copies (ids are copy-offset) — expected ~linear
+          val i = col("doc_id")
+          def host(m: Column) = concat(lit("http://h"),
+            (m % 5000).cast("string"), lit(".com"))
+          val url = concat(host(i), lit("/R/"), i.cast("string"))
+          val loc = when(i % 5 === 0, lit(""))
+            .when(i % 5 === 3, lit("javascript:void(0)"))
+            .when(i % 10 === 4, concat(lit("/R/"), i.cast("string")))
+            .otherwise(concat(host(i + 1), lit("/R/"), (i + 1).cast("string")))
+          graft.ext.UrlCanon.resolveRedirects(
+            d.select(i, url.as("url"), loc.as("loc")), "doc_id", "url", "loc")
         }),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
