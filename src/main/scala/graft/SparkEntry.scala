@@ -1597,6 +1597,7 @@ object SparkEntry {
         .withColumn("dst_url", UrlCanon.canonicalUrl(col("__abs")))
         .filter(col("dst_url").isNotNull)
         .withColumn("__src_host", UrlCanon.canonicalHost(messyUrl(i)))
+        .localCheckpoint() // feeds the link-grain AND token-grain aggs
       val linkAgg = anchors.groupBy("dst_url")
         .agg(count(lit(1)).as("n_links"),
           count_distinct(col("__src_host")).as("n_src_hosts"))
@@ -1706,7 +1707,11 @@ object SparkEntry {
           .when(cls === 2,
             concat(lit("/Docs/"), (m % 50).cast("string"), lit("?b=2&a=1")))
           .when(cls === 3, concat(lit("sub"), (m % 10).cast("string")))
-          .when(cls === 4, concat(lit("./s"), (m % 10).cast("string")))
+          // whitespace-PADDED href (round-13 review finding): the URL
+          // spec strips surrounding blanks before parsing — resolution
+          // must match the unpadded form, never mis-merge " ./s" as a
+          // relative path starting with a space
+          .when(cls === 4, concat(lit("\t./s"), (m % 10).cast("string"), lit(" ")))
           .when(cls === 5, concat(lit("../Top/"), (m % 50).cast("string")))
           .when(cls === 6,
             concat(lit("../../a/./b/../c"), (m % 10).cast("string")))
@@ -1761,18 +1766,10 @@ object SparkEntry {
       // decode fold is CPU-bound per row, so spread it (the
       // Dedup/SimHash repartition discipline)
       val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
-      val text = col("text")
-      val n = length(text)
-      val k = expr("CAST((length(text) + 14) DIV 15 AS INT)")
-      val chunks = transform(sequence(lit(0), k - 1), i => {
-        val clen = least(lit(15), n - i * 15)
-        concat(lit("123456789abcdef").substr(clen, lit(1)), lit("\r\n"),
-          text.substr(i * 15 + 1, clen), lit("\r\n"))
-      })
       val body = concat(
         when(col("doc_id") % 13 === 0, lit("ZZ\r\nbroken\r\n"))
           .otherwise(lit("")),
-        array_join(chunks, ""), lit("0\r\n\r\n"))
+        graft.ext.HttpRecord.chunkedFrame(col("text"), 15))
       docs.select(col("doc_id"), body.as("body"))
         .select(col("doc_id"),
           graft.ext.HttpRecord.decodeChunked(col("body")).as("decoded"))
@@ -4531,6 +4528,11 @@ object SparkEntry {
     graft.ext.HtmlExtract.EntityDecodes.foldLeft(expr) {
       case (acc, (pat, ch)) =>
         require(!pat.contains("'") && !pat.contains("\\"), s"unmirrorable: $pat")
+        // chr() renders ONE code point — a multi-char replacement
+        // would silently truncate in the mirror while Spark replaces
+        // the full string (engine drift); fail at construction instead
+        require(ch.codePointCount(0, ch.length) == 1,
+          s"replacement must be a single code point: '$ch'")
         s"regexp_replace($acc, '$pat', chr(${ch.codePointAt(0)}), 'g')"
     }
 
@@ -5920,7 +5922,7 @@ object SparkEntry {
           s"WHEN 1 THEN regexp_replace(${messyUrlSql(m)}, '^[A-Za-z][A-Za-z0-9+.-]*:', '') " +
           s"WHEN 2 THEN '/Docs/' || CAST(($m) % 50 AS VARCHAR) || '?b=2&a=1' " +
           s"WHEN 3 THEN 'sub' || CAST(($m) % 10 AS VARCHAR) " +
-          s"WHEN 4 THEN './s' || CAST(($m) % 10 AS VARCHAR) " +
+          s"WHEN 4 THEN chr(9) || './s' || CAST(($m) % 10 AS VARCHAR) || ' ' " +
           s"WHEN 5 THEN '../Top/' || CAST(($m) % 50 AS VARCHAR) " +
           s"WHEN 6 THEN '../../a/./b/../c' || CAST(($m) % 10 AS VARCHAR) " +
           s"WHEN 7 THEN '?z=' || CAST(($m) % 9 AS VARCHAR) " +
@@ -6013,11 +6015,16 @@ object SparkEntry {
 
     // chunked-decode oracle: the ORIGINAL text itself — independent
     // truth (the decode must invert the 15-byte framing exactly);
-    // corrupted-size-line arm comes back NULL
+    // corrupted-size-line arm comes back NULL, and so does any text
+    // long enough to exceed the MaxChunks framing contract (guards
+    // the coupling loudly if a regenerated corpus grows longer texts
+    // — today's max is 577 chars vs this bound)
     "q241_http_chunked" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS decoded
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 13 = 0
+         |         OR length(text) > ${15 * (graft.ext.HttpRecord.MaxChunks - 1)}
+         |       THEN NULL ELSE text END AS decoded
+         |FROM documents""".stripMargin,
 
     // boilerplate-paragraph mirror: the paragraphs() chain with chr(1)
     // block breaks, list_transform/list_filter per-paragraph cleanup,

@@ -109,6 +109,24 @@ object HttpRecord {
     * shuffle, nothing collected. DuckDB mirrors the fold verbatim via
     * list_reduce with a prepended init struct (the q48 discipline).
     */
+  /** Chunked-frame a text column (the INVERSE of [[decodeChunked]] —
+    * fixture/probe helper, one definition so the q241 fixture and the
+    * scale probe cannot drift): `size`-byte chunks with lowercase hex
+    * length lines and the terminal `0` chunk.
+    */
+  def chunkedFrame(text: Column, size: Int): Column = {
+    require(size >= 1, s"chunk size must be positive: $size")
+    val n = length(text)
+    val k = ((n + lit(size - 1)) / lit(size)).cast("int")
+    val chunks = transform(sequence(lit(0), k - 1), i => {
+      val clen = least(lit(size), n - i * size)
+      concat(lower(hex(clen.cast("long"))), lit("\r\n"),
+        text.substr(i * size + 1, clen), lit("\r\n"))
+    })
+    when(n === 0, lit("0\r\n\r\n"))
+      .otherwise(concat(array_join(chunks, ""), lit("0\r\n\r\n")))
+  }
+
   def decodeChunked(bodyCol: Column): Column = {
     val res = aggregate(
       sequence(lit(1), lit(MaxChunks)),

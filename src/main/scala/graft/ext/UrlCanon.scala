@@ -180,7 +180,13 @@ object UrlCanon {
     * q215/q222 re-inlining class — `explode_outer(array(…))`).
     */
   def resolveUrl(base: Column, href: Column): Column = {
-    val h = regexp_extract(href, "^([^#]*)", 1) // fragment dropped
+    // fragment dropped, then surrounding whitespace stripped — the
+    // URL spec's parse step browsers apply to href values, and a
+    // high-mass class on real pages (`href=" /foo"`): without the
+    // strip, " /foo" would miss the absolute-path branch and
+    // mis-merge as a relative path
+    val h = regexp_replace(regexp_extract(href, "^([^#]*)", 1),
+      "^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$", "")
     val bScheme = schemeOf(base)
     val bAuth = authorityOf(base)
     val bPath = regexp_extract(base,
@@ -367,8 +373,10 @@ object UrlCanon {
     * so a host whose specific-agent group declares no delay yields NO
     * row even when its `*` group has one (the `*` group does not
     * apply once a specific group matches). Non-numeric values are
-    * ignored; several applicable delays take the MIN (conservative).
-    * Output (host, crawl_delay_s) feeds the politeness scheduler.
+    * ignored; several applicable delays take the MAX — the only
+    * choice that satisfies every applicable directive (a MIN would
+    * fetch faster than the stricter group allows). Output
+    * (host, crawl_delay_s) feeds the politeness scheduler.
     */
   def parseCrawlDelays(
       robots: DataFrame, hostCol: String, bodyCol: String,
@@ -377,7 +385,7 @@ object UrlCanon {
       .filter(col("__key") === "crawl-delay" &&
         col("__val").rlike("^[0-9]+$"))
       .groupBy("host")
-      .agg(min(col("__val").cast("long")).as("crawl_delay_s"))
+      .agg(max(col("__val").cast("long")).as("crawl_delay_s"))
 
   /** Shared robots.txt line machinery: explode lines, parse
     * key/value, assign UA-run group ids, and keep only the lines of
@@ -473,10 +481,13 @@ object UrlCanon {
     * the usual quarantine route, classified once like everything
     * else).
     *
-    * CONTRACT: the redirect map is URL-keyed, so a URL fetched twice
-    * must carry one Location; among CONFLICTING locations the
-    * bytewise-min valid target wins (deterministic), and a URL whose
-    * every location is junk routes `bad_location`.
+    * The FIRST hop is taken from the fetch row's OWN Location — a
+    * 200 fetch of a URL that returned 301 on some other fetch stays
+    * `direct`. CONTINUATION hops walk the URL-keyed redirect map, so
+    * a URL fetched twice with different non-empty Locations must
+    * agree; among CONFLICTING locations the bytewise-min valid target
+    * wins (deterministic), and a URL whose every location is junk is
+    * a `bad_location` continuation.
     *
     * 100-TB shape: the chain walk is `maxHops` keyed self-joins
     * against the redirect edge map (the connected-components
@@ -500,16 +511,36 @@ object UrlCanon {
       .groupBy("__src")
       .agg(min(col("__dst")).as("__next")) // NULL iff every location junk
       .localCheckpoint() // probed once per hop round
+    // first hop from the fetch's OWN Location (not the map): a
+    // non-redirect fetch is 'direct' even when its URL redirected on
+    // some other fetch
     val init = fetches.select(col(idCol), col(urlCol),
-      explode_outer(array(canonicalUrl(col(urlCol)))).as("__cur"))
-    var done = init.filter(col("__cur").isNull)
+        explode_outer(array(struct(
+          canonicalUrl(col(urlCol)).as("c"),
+          when(col(locCol).isNull || col(locCol) === "",
+            lit(null).cast("boolean")).otherwise(lit(true)).as("r"),
+          canonicalUrl(resolveUrl(col(urlCol), col(locCol))).as("n"))))
+          .as("__i"))
+      .select(col(idCol), col(urlCol), col("__i.c").as("__cur"),
+        col("__i.r").as("__isredir"), col("__i.n").as("__next0"))
+      .localCheckpoint() // feeds the four first-hop branches
+    def settle0(f: Column, status: String) = init.filter(f)
       .select(col(idCol), col(urlCol), col("__cur"),
-        lit(0).as("__hops"), lit("bad_url").as("__status"))
-    var pending = init.filter(col("__cur").isNotNull)
-      .select(col(idCol), col(urlCol), col("__cur"),
-        array(col("__cur")).as("__path"), lit(0).as("__hops"),
-        lit("pending").as("__status"))
-    for (_ <- 1 to maxHops) {
+        lit(0).as("__hops"), lit(status).as("__status"))
+    var done = settle0(col("__cur").isNull, "bad_url")
+      .unionByName(settle0(col("__cur").isNotNull && col("__isredir").isNull,
+        "resolved"))
+      .unionByName(settle0(col("__cur").isNotNull &&
+        col("__isredir").isNotNull && col("__next0").isNull, "bad_location"))
+      .unionByName(settle0(col("__cur").isNotNull &&
+        col("__isredir").isNotNull && col("__next0") === col("__cur"), "loop"))
+    var pending = init.filter(col("__cur").isNotNull &&
+        col("__isredir").isNotNull &&
+        col("__next0").isNotNull && col("__next0") =!= col("__cur"))
+      .select(col(idCol), col(urlCol), col("__next0").as("__cur"),
+        array(col("__cur"), col("__next0")).as("__path"),
+        lit(1).as("__hops"), lit("pending").as("__status"))
+    for (_ <- 2 to maxHops) {
       val stepped = pending
         .join(edges, pending("__cur") === edges("__src"), "left")
         .select(col(idCol), col(urlCol), col("__cur"), col("__path"),

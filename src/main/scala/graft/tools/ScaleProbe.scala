@@ -470,14 +470,7 @@ object ScaleProbe {
         run("chunked_decode", {
           // frame the text into 15-byte chunks, then invert via the
           // bounded decode fold — CPU-bound per-row, expected ~linear
-          val n = length(col("text"))
-          val k = expr("CAST((length(text) + 14) DIV 15 AS INT)")
-          val chunks = transform(sequence(lit(0), k - 1), i => {
-            val clen = least(lit(15), n - i * 15)
-            concat(lit("123456789abcdef").substr(clen, lit(1)), lit("\r\n"),
-              col("text").substr(i * 15 + 1, clen), lit("\r\n"))
-          })
-          val body = concat(array_join(chunks, ""), lit("0\r\n\r\n"))
+          val body = graft.ext.HttpRecord.chunkedFrame(col("text"), 15)
           d.repartition(32, col("doc_id")).select(col("doc_id"),
             length(graft.ext.HttpRecord.decodeChunked(body)).as("n"))
         }),

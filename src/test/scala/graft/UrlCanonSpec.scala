@@ -217,6 +217,12 @@ class UrlCanonSpec extends SparkSpec {
       == Seq(Some("http://h.com/a/b/x/z"), Some("http://h.com/a//d"),
         Some("http://h.com/a/b/a.html"), Some("http://h.com/a/b/..a/b"),
         Some("http://h.com/a/b/...")))
+    // whitespace-padded hrefs strip before classification (URL-spec
+    // parse step): " /foo" is the absolute-path class, not a
+    // space-leading relative path
+    assert(resolve(base, " /d ", "\t../d\n", "  http://x.com/p", " ")
+      == Seq(Some("http://h.com/d"), Some("http://h.com/a/d"),
+        Some("http://x.com/p"), Some("http://h.com/a/b/c?q=1")))
     // unparseable base: relative refs quarantine, absolute still resolve
     assert(resolve("not a url", "d", "/d", "//x.com/d", "http://x.com/d")
       == Seq(None, None, None, Some("http://x.com/d")))
@@ -270,7 +276,11 @@ class UrlCanonSpec extends SparkSpec {
       (6L, "http://a.com/c2", "/c1"), // 2-cycle
       (7L, "http://a.com/junk", "javascript:void(0)"),
       (8L, "not a url", "/x"), // bad fetch URL
-      (9L, "http://a.com/ext", "http://x.com/away") // external terminal
+      (9L, "http://a.com/ext", "http://x.com/away"), // external terminal
+      // a DIRECT (200) fetch of a URL that redirected on fetch 2:
+      // the first hop keys on the fetch's OWN Location, so this row
+      // must stay 'direct' (round-13 review finding)
+      (10L, "http://a.com/mid", "")
     ).toDF("id", "url", "loc")
     val got = UrlCanon.resolveRedirects(fetches, "id", "url", "loc")
       .as[(Long, String, Option[String], Long, String)].collect()
@@ -284,6 +294,8 @@ class UrlCanonSpec extends SparkSpec {
     assert(got(7L)._3 == "bad_location" && got(7L)._2 == 0L)
     assert(got(8L)._3 == "bad_url")
     assert(got(9L) == ((Some("http://x.com/away"), 1L, "redirected")))
+    assert(got(10L) == ((Some("http://a.com/mid"), 0L, "direct")),
+      s"a 200 fetch of a URL that 301'd elsewhere must stay direct: ${got(10L)}")
     // depth cap: a 7-link chain under maxHops=3 gives up, recording
     // how far it got
     val chain = (0 to 7).map(i =>
