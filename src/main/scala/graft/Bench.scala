@@ -155,7 +155,11 @@ object Bench {
     "q234_intake_capstone", "q235_boilerplate_paras", "q236_http_parse",
     "q237_sitemap_frontier", "q238_resolve_links", "q239_robots_parse",
     "q240_robots_pipeline", "q241_http_chunked", "q242_redirect_chains",
-    "q243_anchor_text", "q244_canonical_override", "q245_crawl_delays")
+    "q243_anchor_text", "q244_canonical_override", "q245_crawl_delays",
+    "q246_recrawl_schedule", "q247_delay_schedule",
+    "q248_http_parse_stream", "q249_link_density",
+    "q250_domain_budget", "q251_conditional_fetch",
+    "q252_content_drift")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

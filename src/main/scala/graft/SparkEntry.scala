@@ -103,6 +103,31 @@ object SparkEntry {
         "struct(concat('/Docs/', CAST(id % 7 AS STRING)) AS prefix, false AS allow), " +
         "struct(concat('/Docs/', CAST(id % 7 AS STRING), '7') AS prefix, true AS allow)))")
 
+  /** Raw HTTP-response fixture shared by q236 (batch parse) and q248
+    * (streaming twin): status/content-type/transfer-encoding/separator
+    * arms keyed on doc_id residues — 404s, PDFs, LF-only separators
+    * (malformed), no status line (malformed), mixed-case Content-Type,
+    * charset present and absent, and a chunked Transfer-Encoding arm
+    * that must route bad_encoding. Mirrored in [[HttpParseSql]]'s rawr
+    * CTE.
+    */
+  private def httpRawFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
+      .when(id % 7 === 5, lit("GARBAGE"))
+      .otherwise(lit("HTTP/1.1 200 OK"))
+    val ctype = when(id % 7 === 2, lit("application/pdf"))
+      .when(id % 2 === 0, lit("text/html; charset=utf-8"))
+      .otherwise(lit("Text/HTML"))
+    val teLine = when(id % 7 === 4, lit("\r\nTransfer-Encoding: Chunked"))
+      .otherwise(lit(""))
+    val sep = when(id % 7 === 3, lit("\n\n")).otherwise(lit("\r\n\r\n"))
+    val raw = concat(statusLine,
+      lit("\r\nServer: graft"), teLine, lit("\r\nContent-Type: "), ctype, sep,
+      lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+    docs.select(id, raw.as("raw"))
+  }
+
   /** robots.txt BODY fixture (q239/q240): the 20 urlFixture hosts;
     * every host's `*`+backupbot group carries EXACTLY
     * [[robotsRulesFixture]]'s three rules (so the parsed table is
@@ -174,8 +199,12 @@ object SparkEntry {
     * slice so the incremental variant (q221) can fold per-batch edge
     * states. Shared by q219/q220/q221.
     */
-  private def linkEdges(docs: DataFrame): DataFrame = {
+  private def linkEdges(docs0: DataFrame): DataFrame = {
     import graft.ext.UrlCanon
+    // resolveUrl per href is a ~30-regex-pass chain — CPU-bound per
+    // row, and the local corpus is ONE parquet split; spread first
+    // (the Dedup/SimHash repartition discipline)
+    val docs = docs0.repartition(32, col("doc_id"))
     val html = docs.select(col("doc_id"),
       concat(lit("<html><body><p>Doc "), col("doc_id").cast("string"),
         // quadratic targets: a LINEAR formula is a bijection mod 20
@@ -1344,8 +1373,11 @@ object SparkEntry {
     // certified chain, joining the URL family to the graph family. ──
     "q220_host_pagerank" -> ((s, dir) => {
       val e = linkEdges(t(s, dir, "documents")).select(
-        regexp_extract(col("src_host"), "src([0-9]+)", 1).cast("long").as("src"),
-        regexp_extract(col("dst_host"), "src([0-9]+)", 1).cast("long").as("dst"))
+          regexp_extract(col("src_host"), "src([0-9]+)", 1).cast("long").as("src"),
+          regexp_extract(col("dst_host"), "src([0-9]+)", 1).cast("long").as("dst"))
+        // pageRank consumes its edges four ways; checkpoint the
+        // expensive extract→resolve→canonicalize derivation ONCE
+        .localCheckpoint()
       graft.operators.PageRank.pageRank(e, "src", "dst", iterations = 3)
         .select(concat(lit("www.src"), col("node").cast("string"),
           lit(".example.com")).as("host"), col("rank"))
@@ -1673,6 +1705,141 @@ object SparkEntry {
       UrlCanon.robotsDecide(raw, "doc_id", "url", rules)
     }),
 
+    // ── RECRAWL scheduling (UrlCanon.recrawlStats — Cho &
+    // Garcia-Molina change-rate estimation, integer form): five
+    // revisit rounds per URL with fingerprints that flip every
+    // `period` rounds (period = 1 + id%4; %5=0 URLs never change), so
+    // each URL's change count is CLOSED-FORM in its residues — hot
+    // (period 1-2), warm (period 3-4), cold (static) all live. ──
+    "q246_recrawl_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fetches = docs
+        .select(col("doc_id"), explode(sequence(lit(1), lit(5))).as("r"))
+        .select(
+          concat(lit("http://www.src"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com/Docs/"), col("doc_id").cast("string")).as("url"),
+          col("r"),
+          when(col("doc_id") % 5 === 0, lit("0"))
+            .otherwise(expr("CAST(r DIV (1 + doc_id % 4) AS STRING)"))
+            .as("fp"))
+      graft.ext.UrlCanon.recrawlStats(fetches, "url", "r", "fp")
+    }),
+
+    // ── DELAY-AWARE fetch schedule (the full politeness loop closed):
+    // the q229 round-robin composed with q245's parsed group-scoped
+    // crawl delays — fetch_at_s = (host_rank−1)·delay, so slow hosts
+    // spread out while fast hosts drain; hosts whose specific group
+    // declares no delay default to 1 s. The delay table broadcasts
+    // (tiny vs the frontier). ──
+    "q247_delay_schedule" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val dec = UrlCanon.urlDecisions(
+        urlFixture(t(s, dir, "documents")).drop("n_chars"), "url", "doc_id")
+      val kept = dec.filter(col("decision") === "kept")
+        .select(col("doc_id"), col("canonical_url"))
+      val allowed = UrlCanon
+        .robotsDecide(kept, "doc_id", "canonical_url", robotsRulesFixture(s))
+        .filter(col("decision") === "allow")
+        .select(col("doc_id"), col("host"))
+      val budgeted = graft.operators.Sampling.sampleExactN(
+        allowed, "host", col("doc_id"), n = 5, salt = "budget-v1")
+      val sched = UrlCanon.politenessSchedule(budgeted, "host", "doc_id")
+      val delays = UrlCanon.parseCrawlDelays(
+        robotsBodiesFixture(s), "host", "body", "graftbot")
+      sched.join(broadcast(delays), Seq("host"), "left")
+        .withColumn("crawl_delay_s", coalesce(col("crawl_delay_s"), lit(1L)))
+        .withColumn("fetch_at_s",
+          (col("host_rank") - 1) * col("crawl_delay_s"))
+        .select("doc_id", "host", "host_rank", "fetch_seq",
+          "crawl_delay_s", "fetch_at_s")
+    }),
+
+    // ── REGISTRABLE-DOMAIN budget (UrlCanon.registrableDomain + the
+    // q217 exact-N draw at DOMAIN grain): per-host budgeting lets a
+    // site multiply its crawl share by minting subdomains —
+    // a0.shop.srcN.co.uk and www.srcN.co.uk are ONE registrant. Arms:
+    // cc-SLD 3-label rule (%5=0), subdomain'd .com (%5=1) SHARING its
+    // domain with the bare host arm (%5=2 — 10 fetches/domain vs
+    // budget 5, so the cross-host collapse is what halves them), IPv4
+    // literals budgeted per address (%5=3), single-label intranet
+    // hosts (%5=4). Decision table: every fetch classified once. ──
+    "q250_domain_budget" -> ((s, dir) => {
+      import graft.ext.UrlCanon
+      val h = (col("doc_id") % 20).cast("string")
+      val sub = (col("doc_id") % 3).cast("string")
+      val host = when(col("doc_id") % 5 === 0,
+          concat(lit("a"), sub, lit(".shop.src"), h, lit(".co.uk")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("cdn"), sub, lit(".src"), h, lit(".com")))
+        .when(col("doc_id") % 5 === 2, concat(lit("src"), h, lit(".com")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("10.0."), h, lit("."), sub))
+        .otherwise(concat(lit("intra"), h))
+      val fetches = t(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"))
+        .withColumn("domain", UrlCanon.registrableDomain(col("host")))
+      val kept = graft.operators.Sampling.sampleExactN(
+          fetches, "domain", col("doc_id"), n = 5, salt = "domain-v1")
+        .select(col("doc_id"), lit(true).as("in_budget"))
+      fetches.join(kept, Seq("doc_id"), "left")
+        .withColumn("in_budget", coalesce(col("in_budget"), lit(false)))
+    }),
+
+    // ── CONDITIONAL-fetch planning (HttpRecord.conditionalFetchPlan):
+    // the revalidation stage after q246 decides WHO — stored ETag →
+    // If-None-Match refetch, else Last-Modified → If-Modified-Since,
+    // else full fetch. Three revisit rounds per URL; rounds 1-2 carry
+    // a DECOY ETag ("stale"), so any non-latest selection mismatches;
+    // round-3 arms: ETag (%4=0), Last-Modified (%4=1), BOTH — the
+    // ETag must win (%4=2), neither → full (%4=3). ──
+    "q251_conditional_fetch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hist = docs
+        .select(col("doc_id"), explode(sequence(lit(1), lit(3))).as("r"))
+      val url = concat(lit("http://www.src"),
+        (col("doc_id") % 20).cast("string"),
+        lit(".example.com/Docs/"), col("doc_id").cast("string"))
+      val etagLine = when(col("r") < 3, lit("\r\nETag: \"stale\""))
+        .when(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 2,
+          concat(lit("\r\nETag: \"v"), (col("doc_id") % 7).cast("string"),
+            lit("\"")))
+        .otherwise(lit(""))
+      val lmLine = when(col("r") === 3 &&
+          (col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+        concat(lit("\r\nLast-Modified: Mon, 12 Jan 2026 0"),
+          (col("doc_id") % 10).cast("string"), lit(":00:00 GMT")))
+        .otherwise(lit(""))
+      val raw = concat(lit("HTTP/1.1 200 OK"), etagLine, lmLine,
+        lit("\r\nContent-Type: text/html\r\n\r\n<p>ok</p>"))
+      graft.ext.HttpRecord.conditionalFetchPlan(
+        hist.select(url.as("url"), col("r"), raw.as("raw")),
+        "url", "r", "raw")
+    }),
+
+    // ── CONTENT-DRIFT magnitude (SimHash.contentDrift): the
+    // companion to q246's exact-fingerprint change rate — per url,
+    // simhash each revision and hamming CONSECUTIVE revisions. Arms:
+    // %3=0 identical text (drift 0), %3=1 a four-token append per
+    // round (a few shingles move — small hamming), %3=2 a per-round
+    // vowel rotation (every shingle rewrites — large hamming,
+    // drifting). ──
+    "q252_content_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hist = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), lit(3))).as("r"))
+        .select(col("doc_id"), col("r"),
+          concat(lit("http://www.src"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com/Docs/"), col("doc_id").cast("string")).as("url"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .when(col("doc_id") % 3 === 1, concat(col("text"),
+              lit(" minor update edition "), col("r").cast("string")))
+            .when(col("r") === 1, translate(col("text"), "aeiou", "eioua"))
+            .when(col("r") === 2, translate(col("text"), "aeiou", "iouae"))
+            .otherwise(translate(col("text"), "aeiou", "ouaei")).as("t"))
+      graft.ext.SimHash.contentDrift(hist, "url", "r", "t")
+    }),
+
     // ── per-host Crawl-delay (UrlCanon.parseCrawlDelays): the delay
     // is GROUP-scoped per RFC 9309, so the %4=0 hosts — whose
     // specific graftbot group declares NO delay — emit NO row even
@@ -1736,23 +1903,18 @@ object SparkEntry {
     // present and absent, and (round 13) a chunked Transfer-Encoding
     // arm that must route bad_encoding, never 'ok' — all five classes
     // live. ──
-    "q236_http_parse" -> ((s, dir) => {
-      val id = col("doc_id")
-      val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
-        .when(id % 7 === 5, lit("GARBAGE"))
-        .otherwise(lit("HTTP/1.1 200 OK"))
-      val ctype = when(id % 7 === 2, lit("application/pdf"))
-        .when(id % 2 === 0, lit("text/html; charset=utf-8"))
-        .otherwise(lit("Text/HTML"))
-      val teLine = when(id % 7 === 4, lit("\r\nTransfer-Encoding: Chunked"))
-        .otherwise(lit(""))
-      val sep = when(id % 7 === 3, lit("\n\n")).otherwise(lit("\r\n\r\n"))
-      val raw = concat(statusLine,
-        lit("\r\nServer: graft"), teLine, lit("\r\nContent-Type: "), ctype, sep,
-        lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+    "q236_http_parse" -> ((s, dir) =>
       graft.ext.HttpRecord.parse(
-        t(s, dir, "documents").select(id, raw.as("raw")), "doc_id", "raw")
-    }),
+        httpRawFixture(t(s, dir, "documents")), "doc_id", "raw")),
+
+    // ── streaming HTTP triage twin (q218/q232 discipline): the same
+    // raw fixture replayed over two JSONL waves through readStream →
+    // parse → memory sink; parse is a pure projection, so the
+    // accumulated table must equal q236's batch output — certified
+    // against q236's oracle VERBATIM (shared HttpParseSql val). ──
+    "q248_http_parse_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.httpParseStreamReplay(
+        s, httpRawFixture(t(s, dir, "documents")))),
 
     // ── chunked transfer-decoding (HttpRecord.decodeChunked): the
     // fixture CHUNKS each doc's text into 15-byte frames (single
@@ -1785,7 +1947,11 @@ object SparkEntry {
     "q235_boilerplate_paras" -> ((s, dir) => {
       import graft.ext.HtmlExtract
       val h = (col("doc_id") % 20).cast("string")
-      val pages = t(s, dir, "documents").select(col("doc_id"),
+      // the paragraphs() regex chain (now incl. the numeric-entity
+      // passes) is CPU-bound per row and the corpus is one local
+      // split — spread before the per-page extraction
+      val pages = t(s, dir, "documents").repartition(32, col("doc_id"))
+        .select(col("doc_id"),
         concat(lit("www.src"), h, lit(".example.com")).as("host"),
         concat(
           lit("<html><body><div class=\"nav\">Home src"), h,
@@ -1793,6 +1959,39 @@ object SparkEntry {
           lit("</p><div class=\"footer\">Copyright src"), h,
           lit(" all rights</div></body></html>")).as("html"))
       HtmlExtract.dropBoilerplateParagraphs(pages, "doc_id", "host", "html")
+    }),
+
+    // ── LINK-DENSITY boilerplate removal (HtmlExtract
+    // .dropLinkFarmParagraphs): the per-paragraph signal the
+    // page-frequency rule (q235) cannot see — a nav bar on a host
+    // with fewer than minPages crawled pages. Fixture arms per page:
+    // a pure-anchor nav paragraph (1000000 ppm — dropped), the body
+    // text (0 ppm — kept), a mixed paragraph whose inline link is
+    // ~343k ppm (kept — inline citations are not link farms), a
+    // %7=0 exact-threshold paragraph (5 anchor chars / 10 visible =
+    // 500000 ppm — dropped, certifying the >= rule), and a %9=0
+    // second farm. ──
+    "q249_link_density" -> ((s, dir) => {
+      import graft.ext.HtmlExtract
+      // the sentinel chain + per-para HOF fold is CPU-bound per row
+      // on the single-split local corpus — spread first (q241 rule)
+      val pages = t(s, dir, "documents").repartition(32, col("doc_id"))
+        .select(col("doc_id"),
+          concat(
+            lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+              "<a href=\"/about\">About site "),
+            (col("doc_id") % 250).cast("string"),
+            lit("</a> <a href=\"/contact\">Contact</a></div><p>"),
+            col("text"),
+            lit("</p><p>see <a href=\"/more\">details here</a> " +
+              "for the full story</p>"),
+            when(col("doc_id") % 7 === 0,
+              lit("<p><a href=\"/e\">abcde</a> fghi</p>")).otherwise(lit("")),
+            when(col("doc_id") % 9 === 0,
+              lit("<div><a href=\"/x\">x1</a> <a href=\"/y\">link two</a></div>"))
+              .otherwise(lit("")),
+            lit("</body></html>")).as("html"))
+      HtmlExtract.dropLinkFarmParagraphs(pages, "doc_id", "html")
     }),
 
     // ── STREAMING HTML extraction: q226's chain on a LIVE ingest (the
@@ -4637,6 +4836,115 @@ object SparkEntry {
        |e0 AS (SELECT src_host, dst_host FROM edges WHERE src_host <> dst_host)"""
       .stripMargin
 
+  /** HTTP-record mirror shared VERBATIM by q236 (batch) and q248
+    * (streaming replay twin): CRLF via chr(13)||chr(10) in the
+    * fixture, identical RE2 split/extract patterns in the parse.
+    */
+  private val HttpParseSql: String =
+    """WITH rawr AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 7 = 1 THEN 'HTTP/1.1 404 Not Found'
+      |          WHEN doc_id % 7 = 5 THEN 'GARBAGE'
+      |          ELSE 'HTTP/1.1 200 OK' END)
+      |    || chr(13) || chr(10) || 'Server: graft'
+      |    || (CASE WHEN doc_id % 7 = 4
+      |             THEN chr(13) || chr(10) || 'Transfer-Encoding: Chunked'
+      |             ELSE '' END)
+      |    || chr(13) || chr(10)
+      |    || 'Content-Type: '
+      |    || (CASE WHEN doc_id % 7 = 2 THEN 'application/pdf'
+      |             WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+      |             ELSE 'Text/HTML' END)
+      |    || (CASE WHEN doc_id % 7 = 3 THEN chr(10) || chr(10)
+      |             ELSE chr(13) || chr(10) || chr(13) || chr(10) END)
+      |    || '<html><body><p>' || text || '</p></body></html>' AS raw
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, raw,
+      |    regexp_extract(raw, '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS st_s,
+      |    regexp_extract(raw, '(?s)^(.*?)\r\n\r\n', 1) AS head,
+      |    CASE WHEN position(chr(13)||chr(10)||chr(13)||chr(10) IN raw) > 0
+      |         THEN 1 ELSE 0 END AS has_sep
+      |  FROM rawr),
+      |q AS (
+      |  SELECT doc_id,
+      |    CASE WHEN st_s = '' THEN NULL ELSE CAST(st_s AS INT) END AS status,
+      |    regexp_extract(head, '(?i)\r\nContent-Type:[ \t]*([^\r\n]*)', 1) AS ct,
+      |    lower(trim(regexp_extract(head,
+      |      '(?i)\r\nTransfer-Encoding:[ \t]*([^\r\n]*)', 1))) AS te,
+      |    has_sep,
+      |    CASE WHEN has_sep = 1
+      |         THEN length(regexp_extract(raw, '(?s)^.*?\r\n\r\n(.*)', 1))
+      |         ELSE 0 END AS body_chars
+      |  FROM p)
+      |SELECT doc_id, status,
+      |  lower(trim(regexp_extract(ct, '^([^;]*)', 1))) AS content_type,
+      |  lower(regexp_extract(ct, '(?i)charset=([A-Za-z0-9_-]+)', 1)) AS charset,
+      |  te AS transfer_encoding,
+      |  CASE WHEN status IS NULL OR has_sep = 0 THEN 'malformed'
+      |       WHEN status <> 200 THEN 'bad_status'
+      |       WHEN te <> '' AND te <> 'identity' THEN 'bad_encoding'
+      |       WHEN lower(trim(regexp_extract(ct, '^([^;]*)', 1))) <> 'text/html'
+      |         THEN 'bad_type'
+      |       ELSE 'ok' END AS decision,
+      |  CAST(body_chars AS BIGINT) AS body_chars
+      |FROM q""".stripMargin
+
+  /** The composed politeness chain shared by q229 and the
+    * delay-aware q247: urlDecisions keep rule → robots longest-prefix
+    * rank → exact-N budget draw → per-host sched-v1 md5 rank. Emits
+    * CTEs through `hr(doc_id, host, host_rank)` (plus `ids(i)`).
+    */
+  private val PolitenessChainSql: String = UrlCanonChainSql +
+    """,
+      |k AS (
+      |  SELECT canonical_url, min(doc_id) AS keep_id
+      |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1),
+      |kept AS (
+      |  SELECT c.doc_id, c.canonical_url,
+      |    lower(regexp_extract(regexp_extract(c.canonical_url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      |      '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+      |    CASE WHEN regexp_replace(regexp_extract(c.canonical_url,
+      |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      |           '/+$', '') = '' THEN '/'
+      |         ELSE regexp_replace(regexp_extract(c.canonical_url,
+      |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      |           '/+$', '') END AS path
+      |  FROM canon c JOIN k
+      |    ON c.canonical_url = k.canonical_url AND c.doc_id = k.keep_id),
+      |ids AS (SELECT unnest(range(0, 20)) AS i),
+      |rl AS (
+      |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com' AS host,
+      |    '/' AS prefix, TRUE AS allow FROM ids
+      |  UNION ALL
+      |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+      |    '/Docs/' || CAST(i % 7 AS VARCHAR), FALSE FROM ids
+      |  UNION ALL
+      |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+      |    '/Docs/' || CAST(i % 7 AS VARCHAR) || '7', TRUE FROM ids),
+      |m AS (
+      |  SELECT f.doc_id, f.host, r.allow,
+      |    row_number() OVER (PARTITION BY f.doc_id
+      |      ORDER BY length(r.prefix) DESC NULLS LAST, r.prefix ASC NULLS FIRST,
+      |        r.allow DESC NULLS LAST) AS rk
+      |  FROM kept f LEFT JOIN rl r
+      |    ON r.host = f.host AND starts_with(f.path, r.prefix)),
+      |alw AS (
+      |  SELECT doc_id, host FROM m WHERE rk = 1 AND coalesce(allow, TRUE)),
+      |bud AS (
+      |  SELECT doc_id, host FROM alw
+      |  QUALIFY row_number() OVER (PARTITION BY host
+      |    ORDER BY substr(md5(concat_ws(':', 'budget-v1',
+      |      CAST(doc_id AS VARCHAR))), 1, 8), doc_id) <= 5),
+      |hr AS (
+      |  SELECT doc_id, host,
+      |    CAST(row_number() OVER (PARTITION BY host
+      |      ORDER BY substr(md5(concat_ws(':', 'sched-v1',
+      |        CAST(doc_id AS VARCHAR))), 1, 8), doc_id) AS BIGINT)
+      |      AS host_rank
+      |  FROM bud)""".stripMargin
+
   /** The ARITHMETIC mirror of what [[graft.ext.UrlCanon.parseRobots]]
     * must produce from [[robotsBodiesFixture]] for agent `graftbot`:
     * %4=0 hosts surface ONLY the specific group's /private rules
@@ -5796,6 +6104,132 @@ object SparkEntry {
          |FROM base""".stripMargin
     },
 
+    // domain-budget mirror: the registrable domain is ARITHMETIC per
+    // residue arm (independent truth for the 3-label cc-SLD rule, the
+    // shared .com collapse, IP and single-label fallthroughs); the
+    // draw is the certified sampleExactN md5-rank form at domain grain
+    "q250_domain_budget" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'a' || CAST(doc_id % 3 AS VARCHAR)
+        |           || '.shop.src' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+        |         WHEN doc_id % 5 = 1 THEN 'cdn' || CAST(doc_id % 3 AS VARCHAR)
+        |           || '.src' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+        |         WHEN doc_id % 5 = 2 THEN 'src' || CAST(doc_id % 20 AS VARCHAR)
+        |           || '.com'
+        |         WHEN doc_id % 5 = 3 THEN '10.0.' || CAST(doc_id % 20 AS VARCHAR)
+        |           || '.' || CAST(doc_id % 3 AS VARCHAR)
+        |         ELSE 'intra' || CAST(doc_id % 20 AS VARCHAR) END AS host,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'src' || CAST(doc_id % 20 AS VARCHAR)
+        |           || '.co.uk'
+        |         WHEN doc_id % 5 IN (1, 2) THEN 'src' || CAST(doc_id % 20 AS VARCHAR)
+        |           || '.com'
+        |         WHEN doc_id % 5 = 3 THEN '10.0.' || CAST(doc_id % 20 AS VARCHAR)
+        |           || '.' || CAST(doc_id % 3 AS VARCHAR)
+        |         ELSE 'intra' || CAST(doc_id % 20 AS VARCHAR) END AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, host, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY substr(md5(concat_ws(':', 'domain-v1',
+        |        CAST(doc_id AS VARCHAR))), 1, 8), doc_id) AS rk
+        |  FROM f)
+        |SELECT doc_id, host, domain, rk <= 5 AS in_budget FROM r""".stripMargin,
+
+    // conditional-fetch mirror: FULLY closed-form in the residues —
+    // the decoy rounds never surface, the ETag-beats-Last-Modified
+    // rule and every validator string are pure doc_id arithmetic
+    "q251_conditional_fetch" ->
+      """SELECT 'http://www.src' || CAST(doc_id % 20 AS VARCHAR)
+        |    || '.example.com/Docs/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(200 AS INT) AS last_status,
+        |  CASE WHEN doc_id % 4 IN (0, 2) THEN 'revalidate_etag'
+        |       WHEN doc_id % 4 = 1 THEN 'revalidate_modified'
+        |       ELSE 'full' END AS mode,
+        |  CASE WHEN doc_id % 4 IN (0, 2)
+        |         THEN '"v' || CAST(doc_id % 7 AS VARCHAR) || '"'
+        |       WHEN doc_id % 4 = 1
+        |         THEN 'Mon, 12 Jan 2026 0' || CAST(doc_id % 10 AS VARCHAR)
+        |           || ':00:00 GMT'
+        |       ELSE '' END AS validator
+        |FROM documents""".stripMargin,
+
+    // content-drift mirror: the q21 engine-portable simhash chain
+    // (md5-hex base-16 fold, sign-sum bits) at (doc_id, r) grain,
+    // then lag + bit_count(xor) per url
+    "q252_content_drift" ->
+      """WITH hist AS (
+        |  SELECT doc_id, r,
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |         WHEN doc_id % 3 = 1 THEN text || ' minor update edition '
+        |           || CAST(r AS VARCHAR)
+        |         WHEN r = 1 THEN translate(text, 'aeiou', 'eioua')
+        |         WHEN r = 2 THEN translate(text, 'aeiou', 'iouae')
+        |         ELSE translate(text, 'aeiou', 'ouaei') END AS t
+        |  FROM documents CROSS JOIN range(1, 4) rr(r)),
+        |tok AS (
+        |  SELECT doc_id, r,
+        |    unnest(regexp_extract_all(lower(t), '[a-z0-9]+')) AS tok,
+        |    generate_subscripts(regexp_extract_all(lower(t), '[a-z0-9]+'), 1)
+        |      AS pos
+        |  FROM hist),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, r,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |      AS shingle
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id, r ORDER BY pos)
+        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id, r, list_reduce(list_transform(range(1, 13),
+        |    i -> CAST(CASE WHEN ascii(substr(md5(shingle), i, 1)) <= 57
+        |              THEN ascii(substr(md5(shingle), i, 1)) - 48
+        |              ELSE ascii(substr(md5(shingle), i, 1)) - 87 END AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h48
+        |  FROM sh),
+        |bits AS (
+        |  SELECT doc_id, r, j,
+        |    CASE WHEN sum(2 * ((h48 // CAST(pow(2, j) AS BIGINT)) % 2) - 1) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM h CROSS JOIN range(0, 48) t(j) GROUP BY 1, 2, 3),
+        |sig AS (
+        |  SELECT doc_id, r,
+        |    CAST(sum(bit * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |dr AS (
+        |  SELECT doc_id, r, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY r) AS pv
+        |  FROM sig),
+        |roll AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_revisions,
+        |    CAST(coalesce(sum(CASE WHEN pv IS NOT NULL
+        |      THEN bit_count(xor(v, pv)) END), 0) AS BIGINT) AS total_drift,
+        |    CAST(coalesce(max(CASE WHEN pv IS NOT NULL
+        |      THEN bit_count(xor(v, pv)) END), 0) AS BIGINT) AS max_drift
+        |  FROM dr GROUP BY 1)
+        |SELECT 'http://www.src' || CAST(doc_id % 20 AS VARCHAR)
+        |    || '.example.com/Docs/' || CAST(doc_id AS VARCHAR) AS url,
+        |  n_revisions, total_drift, max_drift,
+        |  max_drift >= 12 AS drifting
+        |FROM roll""".stripMargin,
+
+    // recrawl mirror: change counts closed-form in the residues (the
+    // version sequence r DIV p over r=1..5 steps 4/2/1/1 times for
+    // p=1/2/3/4) — nothing re-walks the history
+    "q246_recrawl_schedule" ->
+      """SELECT 'http://www.src' || CAST(doc_id % 20 AS VARCHAR)
+        |    || '.example.com/Docs/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(5 AS BIGINT) AS n_fetches,
+        |  CAST(ch AS BIGINT) AS n_changes,
+        |  CAST(ch * 1000000 // 4 AS BIGINT) AS change_ppm,
+        |  CASE WHEN ch * 1000000 // 4 >= 500000 THEN 'hot'
+        |       WHEN ch > 0 THEN 'warm' ELSE 'cold' END AS priority
+        |FROM (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 0
+        |         WHEN doc_id % 4 = 0 THEN 4
+        |         WHEN doc_id % 4 = 1 THEN 2
+        |         ELSE 1 END AS ch
+        |  FROM documents) t""".stripMargin,
+
     // crawl-delay mirror: star-group delays arithmetic; %4=0 hosts
     // (specific group, no delay line) must be ABSENT
     "q245_crawl_delays" ->
@@ -5963,55 +6397,12 @@ object SparkEntry {
 
     // HTTP-record mirror: CRLF via chr(13)||chr(10) in the fixture,
     // identical RE2 split/extract patterns in the parse
-    "q236_http_parse" ->
-      """WITH rawr AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 7 = 1 THEN 'HTTP/1.1 404 Not Found'
-        |          WHEN doc_id % 7 = 5 THEN 'GARBAGE'
-        |          ELSE 'HTTP/1.1 200 OK' END)
-        |    || chr(13) || chr(10) || 'Server: graft'
-        |    || (CASE WHEN doc_id % 7 = 4
-        |             THEN chr(13) || chr(10) || 'Transfer-Encoding: Chunked'
-        |             ELSE '' END)
-        |    || chr(13) || chr(10)
-        |    || 'Content-Type: '
-        |    || (CASE WHEN doc_id % 7 = 2 THEN 'application/pdf'
-        |             WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
-        |             ELSE 'Text/HTML' END)
-        |    || (CASE WHEN doc_id % 7 = 3 THEN chr(10) || chr(10)
-        |             ELSE chr(13) || chr(10) || chr(13) || chr(10) END)
-        |    || '<html><body><p>' || text || '</p></body></html>' AS raw
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, raw,
-        |    regexp_extract(raw, '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS st_s,
-        |    regexp_extract(raw, '(?s)^(.*?)\r\n\r\n', 1) AS head,
-        |    CASE WHEN position(chr(13)||chr(10)||chr(13)||chr(10) IN raw) > 0
-        |         THEN 1 ELSE 0 END AS has_sep
-        |  FROM rawr),
-        |q AS (
-        |  SELECT doc_id,
-        |    CASE WHEN st_s = '' THEN NULL ELSE CAST(st_s AS INT) END AS status,
-        |    regexp_extract(head, '(?i)\r\nContent-Type:[ \t]*([^\r\n]*)', 1) AS ct,
-        |    lower(trim(regexp_extract(head,
-        |      '(?i)\r\nTransfer-Encoding:[ \t]*([^\r\n]*)', 1))) AS te,
-        |    has_sep,
-        |    CASE WHEN has_sep = 1
-        |         THEN length(regexp_extract(raw, '(?s)^.*?\r\n\r\n(.*)', 1))
-        |         ELSE 0 END AS body_chars
-        |  FROM p)
-        |SELECT doc_id, status,
-        |  lower(trim(regexp_extract(ct, '^([^;]*)', 1))) AS content_type,
-        |  lower(regexp_extract(ct, '(?i)charset=([A-Za-z0-9_-]+)', 1)) AS charset,
-        |  te AS transfer_encoding,
-        |  CASE WHEN status IS NULL OR has_sep = 0 THEN 'malformed'
-        |       WHEN status <> 200 THEN 'bad_status'
-        |       WHEN te <> '' AND te <> 'identity' THEN 'bad_encoding'
-        |       WHEN lower(trim(regexp_extract(ct, '^([^;]*)', 1))) <> 'text/html'
-        |         THEN 'bad_type'
-        |       ELSE 'ok' END AS decision,
-        |  CAST(body_chars AS BIGINT) AS body_chars
-        |FROM q""".stripMargin,
+    "q236_http_parse" -> HttpParseSql,
+
+    // streaming HTTP triage twin: stateless per-record parse replayed
+    // over two JSONL waves — must accumulate EXACTLY the batch table,
+    // so the oracle is q236's verbatim (shared val)
+    "q248_http_parse_stream" -> HttpParseSql,
 
     // chunked-decode oracle: the ORIGINAL text itself — independent
     // truth (the decode must invert the 15-byte framing exactly);
@@ -6071,6 +6462,69 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN NOT boiler THEN para END, ' '
         |    ORDER BY pos), '') AS clean_text
         |FROM j GROUP BY 1, 2""".stripMargin
+      .replace("__ENT__", entityDecodeSql("t")),
+
+    // link-density mirror: the q235 strip chain with an anchor-
+    // sentinel pass (complete <a …>/</a> → chr(2)/chr(3)) before the
+    // generic tag strip, then the per-paragraph density fold as list
+    // lambdas; integer `//` division, >= threshold
+    "q249_link_density" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |    '<html><body><div class="nav"><a href="/">Home</a> <a href="/about">About site '
+        |      || CAST(doc_id % 250 AS VARCHAR)
+        |      || '</a> <a href="/contact">Contact</a></div><p>' || text
+        |      || '</p><p>see <a href="/more">details here</a> for the full story</p>'
+        |      || (CASE WHEN doc_id % 7 = 0
+        |             THEN '<p><a href="/e">abcde</a> fghi</p>' ELSE '' END)
+        |      || (CASE WHEN doc_id % 9 = 0
+        |             THEN '<div><a href="/x">x1</a> <a href="/y">link two</a></div>'
+        |             ELSE '' END)
+        |      || '</body></html>' AS html
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script\b[^>]*>.*?</script[ \t\n\x0B\f\r]*>|<style\b[^>]*>.*?</style[ \t\n\x0B\f\r]*>|<!--.*?-->',
+        |  ' ', 'g') AS t FROM pg),
+        |p2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<script\b[^>]*>.*|<style\b[^>]*>.*|<!--.*', ' ', 'g') AS t FROM p1),
+        |p3 AS (SELECT doc_id, regexp_replace(t, '<![^>]*>', ' ', 'g') AS t
+        |  FROM p2),
+        |p4 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|table|tr|td|section|article|header|footer)\b[^>]*>',
+        |  chr(1), 'g') AS t FROM p3),
+        |p4a AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+        |  '(?i)<a\b[^>]*>', chr(2), 'g'),
+        |  '(?i)</a[ \t\n\x0B\f\r]*>', chr(3), 'g') AS t FROM p4),
+        |p5 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+        |  '</?[A-Za-z][^>]*>', ' ', 'g'),
+        |  '(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\z', ' ', 'g') AS t FROM p4a),
+        |p6 AS (SELECT doc_id, __ENT__ AS t FROM p5),
+        |pr AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(t, chr(1)),
+        |      x -> trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g'))),
+        |      x -> trim(regexp_replace(regexp_replace(x, '[\x02\x03]', ' ', 'g'),
+        |        '[ \t\n\x0B\f\r]+', ' ', 'g')) <> '') AS paras
+        |  FROM p6),
+        |sc AS (
+        |  SELECT doc_id, list_transform(paras, x -> struct_pack(
+        |    vis := trim(regexp_replace(regexp_replace(x, '[\x02\x03]', ' ', 'g'),
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')),
+        |    ppm := (length(trim(regexp_replace(coalesce(array_to_string(
+        |        regexp_extract_all(x, '\x02([^\x02\x03]*)\x03', 1), ' '), ''),
+        |        '[ \t\n\x0B\f\r]+', ' ', 'g'))) * 1000000)
+        |      // length(trim(regexp_replace(regexp_replace(x, '[\x02\x03]', ' ', 'g'),
+        |        '[ \t\n\x0B\f\r]+', ' ', 'g'))))) AS s
+        |  FROM pr)
+        |SELECT doc_id,
+        |  CAST(len(s) AS BIGINT) AS n_paras,
+        |  CAST(len(list_filter(s, e -> e.ppm >= 500000)) AS BIGINT) AS n_linkfarm,
+        |  CAST(coalesce(list_max(list_transform(s, e -> e.ppm)), 0) AS BIGINT)
+        |    AS max_density_ppm,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(s, e -> e.ppm < 500000), e -> e.vis), ' '), '')
+        |    AS clean_text
+        |FROM sc""".stripMargin
       .replace("__ENT__", entityDecodeSql("t")),
 
     // intake capstone: q215 keep rule + q223 robots rank + q217 budget
@@ -6200,59 +6654,29 @@ object SparkEntry {
     // (on the CANONICAL url — idempotent re-canonicalization), q217's
     // budget draw, then the round-robin windows; seq mirrors
     // globalDenseSeq's total (host_rank, host) order
-    "q229_politeness_schedule" -> (UrlCanonChainSql +
-      """,
-        |k AS (
-        |  SELECT canonical_url, min(doc_id) AS keep_id
-        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1),
-        |kept AS (
-        |  SELECT c.doc_id, c.canonical_url,
-        |    lower(regexp_extract(regexp_extract(c.canonical_url,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-        |      '^(?:[^@]*@)?([^:]*)', 1)) AS host,
-        |    CASE WHEN regexp_replace(regexp_extract(c.canonical_url,
-        |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-        |           '/+$', '') = '' THEN '/'
-        |         ELSE regexp_replace(regexp_extract(c.canonical_url,
-        |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-        |           '/+$', '') END AS path
-        |  FROM canon c JOIN k
-        |    ON c.canonical_url = k.canonical_url AND c.doc_id = k.keep_id),
-        |ids AS (SELECT unnest(range(0, 20)) AS i),
-        |rl AS (
-        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com' AS host,
-        |    '/' AS prefix, TRUE AS allow FROM ids
-        |  UNION ALL
-        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
-        |    '/Docs/' || CAST(i % 7 AS VARCHAR), FALSE FROM ids
-        |  UNION ALL
-        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
-        |    '/Docs/' || CAST(i % 7 AS VARCHAR) || '7', TRUE FROM ids),
-        |m AS (
-        |  SELECT f.doc_id, f.host, r.allow,
-        |    row_number() OVER (PARTITION BY f.doc_id
-        |      ORDER BY length(r.prefix) DESC NULLS LAST, r.prefix ASC NULLS FIRST,
-        |        r.allow DESC NULLS LAST) AS rk
-        |  FROM kept f LEFT JOIN rl r
-        |    ON r.host = f.host AND starts_with(f.path, r.prefix)),
-        |alw AS (
-        |  SELECT doc_id, host FROM m WHERE rk = 1 AND coalesce(allow, TRUE)),
-        |bud AS (
-        |  SELECT doc_id, host FROM alw
-        |  QUALIFY row_number() OVER (PARTITION BY host
-        |    ORDER BY substr(md5(concat_ws(':', 'budget-v1',
-        |      CAST(doc_id AS VARCHAR))), 1, 8), doc_id) <= 5),
-        |hr AS (
-        |  SELECT doc_id, host,
-        |    CAST(row_number() OVER (PARTITION BY host
-        |      ORDER BY substr(md5(concat_ws(':', 'sched-v1',
-        |        CAST(doc_id AS VARCHAR))), 1, 8), doc_id) AS BIGINT)
-        |      AS host_rank
-        |  FROM bud)
+    "q229_politeness_schedule" -> (PolitenessChainSql +
+      """
         |SELECT doc_id, host, host_rank,
         |  CAST(row_number() OVER (ORDER BY host_rank, host) AS BIGINT)
         |    AS fetch_seq
         |FROM hr""".stripMargin),
+
+    // delay-aware schedule mirror: q229's chain + the group-scoped
+    // delay table (specific-group hosts default 1 s — their graftbot
+    // group declares none), fetch_at_s = (rank-1)·delay
+    "q247_delay_schedule" -> (PolitenessChainSql +
+      """,
+        |dl AS (
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com' AS host,
+        |    CAST(CASE WHEN i % 4 = 0 THEN 1 ELSE 2 + i % 7 END AS BIGINT)
+        |      AS crawl_delay_s
+        |  FROM ids)
+        |SELECT hr.doc_id, hr.host, hr.host_rank,
+        |  CAST(row_number() OVER (ORDER BY hr.host_rank, hr.host) AS BIGINT)
+        |    AS fetch_seq,
+        |  dl.crawl_delay_s,
+        |  (hr.host_rank - 1) * dl.crawl_delay_s AS fetch_at_s
+        |FROM hr JOIN dl ON dl.host = hr.host""".stripMargin),
 
     // q18's shingle machinery at n=8; raw gram strings join directly
     "q222_ngram_decontaminate" ->

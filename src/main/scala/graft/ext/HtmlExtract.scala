@@ -200,4 +200,94 @@ object HtmlExtract {
             struct(col("__pos"), col("__para"))))),
           x => x.getField("__para")), " ").as("clean_text"))
   }
+
+  /** [[structuralStrip]] twin that preserves ANCHOR boundaries:
+    * complete `<a …>` / `</a>` tags become the sentinels U+0002 /
+    * U+0003 (instead of the space every other inline tag becomes) so
+    * paragraph grain can still measure how much of its visible text
+    * sits inside links. Same pass order as structuralStrip — shared
+    * prefix through the declaration strip, block breaks, then the
+    * anchor pass BEFORE the generic tag strip (which would otherwise
+    * eat the anchors). Raw input containing U+0002/U+0003 is out of
+    * contract (same rule as U+0001 in [[paragraphs]]).
+    */
+  private def anchorSentinelStrip(html: Column): Column = {
+    val noPaired = regexp_replace(html,
+      s"(?is)<script\\b[^>]*>.*?</script$Ws*>" +
+        s"|<style\\b[^>]*>.*?</style$Ws*>|<!--.*?-->", " ")
+    val noOpenBlock = regexp_replace(noPaired,
+      "(?is)<script\\b[^>]*>.*|<style\\b[^>]*>.*|<!--.*", " ")
+    val noDecl = regexp_replace(noOpenBlock, "<![^>]*>", " ")
+    val withBreaks = regexp_replace(noDecl, BlockTagRe, "\u0001")
+    val withAnchors = regexp_replace(
+      regexp_replace(withBreaks, "(?i)<a\\b[^>]*>", "\u0002"),
+      s"(?i)</a$Ws*>", "\u0003")
+    val noTags = regexp_replace(withAnchors, "</?[A-Za-z][^>]*>", " ")
+    val noOpen = regexp_replace(noTags, "(?s)(?:</?[A-Za-z][^>]*|<![^>]*)\\z", " ")
+    EntityDecodes.foldLeft(noOpen) { case (c, (pat, ch)) =>
+      regexp_replace(c, pat, ch)
+    }
+  }
+
+  /** LINK-DENSITY boilerplate classifier — the per-paragraph signal
+    * (Kohlschütter's boilerplate feature, integer form) complementing
+    * [[dropBoilerplateParagraphs]]'s page-frequency rule: a nav bar on
+    * a host with only TWO crawled pages never reaches `minPages >= 3`,
+    * but its paragraph is still ~all anchor text. Per paragraph:
+    * `density_ppm = anchor_chars * 1e6 DIV visible_chars` (anchor
+    * chars = the text between U+0002/U+0003 sentinel pairs, space-
+    * joined then whitespace-collapsed; visible chars = the paragraph
+    * with sentinels read as spaces, collapsed — so a kept paragraph's
+    * text is byte-identical to [[paragraphs]]'s). A paragraph with
+    * `density_ppm >= maxDensityPpm` is a link farm and is dropped.
+    *
+    * CONTRACT: every input page emits exactly one row — a page whose
+    * HTML extracts to zero paragraphs comes back with n_paras=0 and
+    * clean_text '' (the classify-every-input-once posture;
+    * dropBoilerplateParagraphs documents the opposite). An anchor
+    * left unterminated by a block break inside it contributes zero
+    * anchor chars to its paragraph (the sentinel pair never closes) —
+    * deterministic, spec'd.
+    *
+    * Shape: a PURE per-row projection — the paragraph split, the
+    * density fold and the re-join all happen inside one row via
+    * higher-order functions; no explode, no shuffle, nothing keyed.
+    * At 100 TB this is embarrassingly parallel scan work. The HOF
+    * lambdas run interpreted, so CPU-bound local corpora want a
+    * repartition first (the q241 discipline).
+    */
+  def dropLinkFarmParagraphs(
+      pages: DataFrame, idCol: String, htmlCol: String,
+      maxDensityPpm: Long = 500000L): DataFrame = {
+    require(maxDensityPpm > 0, s"maxDensityPpm must be > 0, got $maxDensityPpm")
+    def vis(p: Column): Column =
+      trim(regexp_replace(regexp_replace(p, "[\u0002\u0003]", " "), s"$Ws+", " "))
+    def anchorText(p: Column): Column =
+      trim(regexp_replace(array_join(
+        regexp_extract_all(p, lit("\u0002([^\u0002\u0003]*)\u0003"), lit(1)),
+        " "), s"$Ws+", " "))
+    val paras = filter(
+      transform(split(anchorSentinelStrip(col(htmlCol)), "\u0001"),
+        p => trim(regexp_replace(p, s"$Ws+", " "))),
+      p => vis(p) =!= "")
+    // integer DIV spelled lambda-safely (no expr() around a lambda
+    // var): x - x%v is exactly divisible, so the double division is
+    // exact (x <= ~1e11 << 2^53) and the cast is lossless
+    def divPpm(a: Column, v: Column): Column = {
+      val x = a.cast("long") * lit(1000000L)
+      ((x - pmod(x, v.cast("long"))) / v.cast("long")).cast("long")
+    }
+    val scored = transform(paras, p => struct(
+      vis(p).as("vis"),
+      divPpm(length(anchorText(p)), length(vis(p))).as("ppm")))
+    pages.select(col(idCol),
+      size(scored).cast("long").as("n_paras"),
+      size(filter(scored, s => s.getField("ppm") >= maxDensityPpm))
+        .cast("long").as("n_linkfarm"),
+      coalesce(array_max(transform(scored, s => s.getField("ppm"))), lit(0L))
+        .as("max_density_ppm"),
+      array_join(transform(
+        filter(scored, s => s.getField("ppm") < maxDensityPpm),
+        s => s.getField("vis")), " ").as("clean_text"))
+  }
 }

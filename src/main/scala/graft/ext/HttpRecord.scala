@@ -155,4 +155,37 @@ object HttpRecord {
     when(res.getField("done") && !res.getField("bad"), res.getField("acc"))
       .otherwise(lit(null).cast("string"))
   }
+  /** CONDITIONAL-fetch planning (RFC 9110 revalidation) — after
+    * recrawl scheduling decides WHO to refetch, this decides HOW:
+    * from each URL's LATEST stored response, a stored `ETag` plans
+    * `revalidate_etag` (an If-None-Match refetch — a 304 costs
+    * headers, not the body), else a stored `Last-Modified` plans
+    * `revalidate_modified` (If-Modified-Since), else `full`. Output
+    * one row per url: (url, last_status, mode, validator). Earlier
+    * rounds' validators are decoys by construction — only the latest
+    * response counts.
+    *
+    * Latest-response selection is a primitive `max(round)` aggregate
+    * plus ONE keyed join back — HashAggregate both sides, no window
+    * sort (the robotsDecide lesson: max_by/struct buffers fall off
+    * the hash aggregate). CONTRACT: (urlCol, roundCol) is unique in
+    * the response log (a duplicate max-round row would emit twice).
+    * The header reads are pure header-block-scoped projections.
+    */
+  def conditionalFetchPlan(
+      responses: DataFrame, urlCol: String, roundCol: String,
+      rawCol: String): DataFrame = {
+    val latestRound = responses.groupBy(col(urlCol))
+      .agg(max(col(roundCol)).as(roundCol))
+    val latest = responses.join(latestRound, Seq(urlCol, roundCol))
+    val et = trim(header(col(rawCol), "ETag"))
+    val lm = trim(header(col(rawCol), "Last-Modified"))
+    latest.select(col(urlCol).as("url"),
+      status(col(rawCol)).as("last_status"),
+      when(et =!= "", lit("revalidate_etag"))
+        .when(lm =!= "", lit("revalidate_modified"))
+        .otherwise(lit("full")).as("mode"),
+      when(et =!= "", et).when(lm =!= "", lm).otherwise(lit(""))
+        .as("validator"))
+  }
 }

@@ -124,4 +124,48 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+  /** CONTENT-DRIFT over a revisit history — the magnitude companion
+    * to the exact-fingerprint change rate ([[UrlCanon.recrawlStats]]):
+    * a page whose nav rotates a date flips the exact fingerprint on
+    * every fetch (recrawlStats calls it hot), but its simhash moves a
+    * couple of bits; a genuine rewrite moves ~half of them. Per url:
+    * simhash each revision's shingle set, hamming between CONSECUTIVE
+    * revisions (lag over the per-url history — consecutive pairs
+    * only, never a pair join), then `n_revisions`, `total_drift`,
+    * `max_drift`, and `drifting` = max >= `driftHamming`.
+    *
+    * CONTRACT: a revision whose text yields no k-shingle (under k
+    * tokens) has no signature and drops from the history before the
+    * lag — its neighbors become consecutive.
+    *
+    * 100-TB shape: the signature aggregate keys on (url, round) —
+    * bounded by the history size, never corpus-wide; the drift window
+    * is bounded by a url's own revisit count; the repartition spreads
+    * the CPU-bound shingle/md5 work off the raw file splits (the
+    * nearDupPairsSimhash discipline).
+    */
+  def contentDrift(
+      hist: DataFrame, urlCol: String, roundCol: String, textCol: String,
+      shingleK: Int = 3, driftHamming: Int = 12): DataFrame = {
+    val keyed = hist.select(col(urlCol), col(roundCol),
+        concat_ws("#", col(urlCol), col(roundCol)).as("__k"), col(textCol))
+      .repartition(col("__k"))
+    val feat = TextAnalysis.withShingleSet(keyed, textCol, shingleK, "__sh")
+      .select(col("__k"), explode_outer(col("__sh")).as("__f"))
+      .filter(col("__f").isNotNull)
+    val sig = simhashOf(feat, "__k", "__f", "__bits", "__v")
+      .select(col("__k"), col("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(urlCol)).orderBy(col(roundCol))
+    keyed.select(col(urlCol), col(roundCol), col("__k"))
+      .join(sig, Seq("__k"))
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      .withColumn("__ham", when(col("__prev").isNotNull,
+        expr("CAST(bit_count(__v ^ __prev) AS BIGINT)")))
+      .groupBy(col(urlCol).as("url"))
+      .agg(count(lit(1)).as("n_revisions"),
+        coalesce(sum(col("__ham")), lit(0L)).as("total_drift"),
+        coalesce(max(col("__ham")), lit(0L)).as("max_drift"))
+      .withColumn("drifting", col("max_drift") >= driftHamming)
+  }
 }

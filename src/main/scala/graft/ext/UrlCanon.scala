@@ -573,6 +573,88 @@ object UrlCanon {
           .otherwise(col("__status")).as("status"))
   }
 
+  /** Recrawl scheduling stats — the incremental-crawl policy stage
+    * (Cho & Garcia-Molina's change-rate estimation, integer form):
+    * from a fetch HISTORY (url, revisit round, content fingerprint),
+    * estimate how often each URL actually changes and bucket it for
+    * the next crawl — frequently-changing pages get refetched hot,
+    * static pages go cold, freeing budget. A change is a fingerprint
+    * differing from the SAME url's previous fetch (lag over the
+    * per-url history); `change_ppm` = changes per revisit interval in
+    * ppm (integer DIV — hash-stable); priority: `hot` ≥ half the
+    * intervals changed, `warm` = changed at least once, `cold` =
+    * never changed (single-fetch URLs have no interval and are
+    * `cold`).
+    *
+    * 100-TB shape: ONE window partitioned by url — bounded by a
+    * url's own revisit count (a handful), never corpus-wide — plus
+    * one keyed aggregate. Fingerprints are compared, never collected.
+    */
+  def recrawlStats(
+      fetches: DataFrame, urlCol: String, roundCol: String,
+      fpCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(urlCol)).orderBy(col(roundCol))
+    val flagged = fetches.withColumn("__prev", lag(col(fpCol), 1).over(w))
+      .withColumn("__chg",
+        when(col("__prev").isNotNull && col("__prev") =!= col(fpCol), 1L)
+          .otherwise(0L))
+    flagged.groupBy(col(urlCol).as("url"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col("__chg")).as("n_changes"))
+      .withColumn("change_ppm",
+        when(col("n_fetches") > 1,
+          expr("CAST(n_changes * 1000000 DIV (n_fetches - 1) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("priority",
+        when(col("change_ppm") >= 500000, lit("hot"))
+          .when(col("n_changes") > 0, lit("warm"))
+          .otherwise(lit("cold")))
+  }
+
+  /** Country-code second-level suffixes for [[registrableDomain]] —
+    * the high-mass subset of the public-suffix list (the full PSL is
+    * a maintained data file; this is the [[UrlCanon]] philosophy: the
+    * syntactic high-mass set, deterministic and mirrored). PUBLIC so
+    * the oracle SQL is GENERATED from this table — the two engines
+    * cannot drift. Literal label text only (validated at init).
+    */
+  val CcSlds: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "go.jp", "com.br", "net.br", "org.br", "co.in", "net.in", "org.in",
+    "com.cn", "net.cn", "org.cn", "com.mx", "com.ar", "com.tr",
+    "co.za", "co.kr", "co.nz")
+  require(CcSlds.forall(_.matches("[a-z]+\\.[a-z]+")),
+    "CcSlds must be bare two-label lowercase suffixes")
+
+  private val CcSldAlt: String = CcSlds.map(_.replace(".", "\\.")).mkString("|")
+
+  /** The REGISTRABLE domain of a canonical host — the crawl-budget
+    * grain real politeness needs: `a.shop.example.co.uk` and
+    * `www.example.co.uk` are one registrant and must share one budget
+    * (per-host budgeting lets a single site multiply its share by
+    * minting subdomains). Rules, in order: NULL host → NULL; IPv4
+    * literal → the whole address (an IP has no registrable name —
+    * budget the address itself); host ending in a [[CcSlds]]
+    * suffix with a label before it → last THREE labels; any other
+    * dotted host → last TWO labels; single-label (intranet) hosts →
+    * themselves. A bare public suffix (`co.uk` itself) and a
+    * trailing-dot host are outside the syntactic contract and come
+    * back verbatim — deterministic, never NULL for a non-null host.
+    * Pure RE2-safe projection, mirrored in DuckDB from the same
+    * CcSlds table.
+    */
+  def registrableDomain(host: Column): Column = {
+    val cc = regexp_extract(host, s"(?:^|\\.)([^.]+\\.(?:$CcSldAlt))\\z", 1)
+    val two = regexp_extract(host, "(?:^|\\.)([^.]+\\.[^.]+)\\z", 1)
+    when(host.isNull, lit(null).cast("string"))
+      .when(host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+\\z"), host)
+      .when(cc =!= "", cc)
+      .when(two =!= "", two)
+      .otherwise(host)
+  }
+
   /** Host-grain crawl rollup over the URL-deduped corpus: per
     * canonical host — distinct canonical URLs, surviving docs, total
     * bytes (sum of `sizeCol`). The crawl-ops table a 100-TB pipeline

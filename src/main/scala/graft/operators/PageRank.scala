@@ -52,6 +52,11 @@ object PageRank {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+    // NOTE: e feeds nodes (twice via the union), outdeg AND eDeg — a
+    // caller whose edge DERIVATION is expensive (q220's extract→
+    // resolve→canonicalize chain) must localCheckpoint its edges
+    // before calling; an unconditional checkpoint here taxed the
+    // cheap-derivation callers (q110 ~2x) for nothing
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()

@@ -698,6 +698,43 @@ object StreamingReports {
     spark.table(mem)
   }
 
+  /** Streaming HTTP response triage — q236's parse on a LIVE fetch
+    * feed (the q218/q232 stateless-map discipline): raw responses land
+    * as JSONL waves (to_json escapes the CRLFs and quotes a wire
+    * payload is full of, and from_json restores them byte-exact),
+    * every record classifies independently — `HttpRecord.parse` is a
+    * pure projection, so no state, no watermark — and two delivery
+    * waves must accumulate exactly the batch decision table; q248
+    * certifies against q236's oracle VERBATIM. This is the production
+    * shape: fetchers append response blobs continuously, and the
+    * ok/bad_status/bad_type/bad_encoding/malformed split is available
+    * per microbatch instead of per crawl cycle.
+    */
+  def httpParseStreamReplay(outer: SparkSession, raws: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = replaySession(outer)
+    val landing = java.nio.file.Files.createTempDirectory("graft-http-replay")
+    def deliverWave(df: DataFrame): Unit =
+      df.select(to_json(struct(col("doc_id"), col("raw"))).as("value"))
+        .coalesce(1).write.mode("append").text(landing.toString)
+    deliverWave(raws.filter(col("doc_id") % 2 === 0))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("raw", StringType)))
+    val mem = s"graft_http_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val parsed = graft.ext.HttpRecord.parse(
+      spark.readStream.text(landing.toString)
+        .select(from_json(col("value"), schema).as("j")).select("j.*"),
+      "doc_id", "raw")
+    val q = parsed.writeStream.format("memory").queryName(mem)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      deliverWave(raws.filter(col("doc_id") % 2 =!= 0))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(landing) }
+    spark.table(mem)
+  }
+
   /** Streaming HTML main-content extraction — q226's chain on a LIVE
     * ingest (the q218 stateless-map discipline): fetched pages land as
     * JSONL waves (to_json escapes the quotes hostile HTML is full of),

@@ -488,6 +488,82 @@ object ScaleProbe {
           graft.ext.UrlCanon.resolveRedirects(
             d.select(i, url.as("url"), loc.as("loc")), "doc_id", "url", "loc")
         }),
+        run("link_density", {
+          // pure per-row projection (sentinel chain + in-row HOF
+          // density fold) — expected ~linear, no shuffle
+          val html = concat(
+            lit("<div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div><p>"),
+            col("text"), lit("</p><p>see <a href=\"/m\">details</a> inline</p>"))
+          graft.ext.HtmlExtract.dropLinkFarmParagraphs(
+            d.repartition(64, col("doc_id"))
+              .select(col("doc_id"), html.as("html")), "doc_id", "html")
+        }),
+        run("intake_e2e", {
+          // the COMPOSED q234 intake chain — url dedup → robots →
+          // budget → extraction → language gate → LM quality → ONE
+          // decision table — in one measured plan, because per-stage
+          // linearity does not imply composed linearity (the q69→q104
+          // localCheckpoint lesson: multi-consumer stages re-derive
+          // without a barrier). Hosts FIXED at 1000 (hot-host stress);
+          // paths pair-share a key so the dedup stage does real
+          // collapsing; every surviving row still flows through
+          // extraction + lang + LM, so the heavy stages grow ×n.
+          import graft.ext.{HtmlExtract, TextAnalysis, UrlCanon}
+          val url = concat(lit("http://WWW.src"),
+            (col("doc_id") % 1000).cast("string"), lit(".Example.COM/Docs/"),
+            (col("doc_id") / 2).cast("long").cast("string"),
+            when(col("doc_id") % 4 === 0, lit("?b=2&a=1"))
+              .when(col("doc_id") % 4 === 1, lit("?a=1&b=2"))
+              .otherwise(lit("")))
+          val dec = UrlCanon.urlDecisions(
+              d.select(col("doc_id"), url.as("url")), "url", "doc_id")
+            .select("doc_id", "canonical_url", "decision")
+            .localCheckpoint()
+          val kept = dec.filter(col("decision") === "kept")
+            .select(col("doc_id"), col("canonical_url"))
+          val rules = spark.range(0, 1000).selectExpr(
+            "concat('www.src', CAST(id AS STRING), '.example.com') AS host",
+            "inline(array(" +
+              "struct('/' AS prefix, true AS allow), " +
+              "struct(concat('/Docs/', CAST(id % 7 AS STRING)) AS prefix, false AS allow)))")
+          val rob = UrlCanon.robotsDecide(kept, "doc_id", "canonical_url", rules)
+            .select(col("doc_id"), col("host"), col("decision").as("__rd"))
+            .localCheckpoint()
+          val bud = graft.operators.Sampling.sampleExactN(
+              rob.filter(col("__rd") === "allow").select("doc_id", "host"),
+              "host", col("doc_id"), n = 1000000, salt = "probe-budget")
+            .select(col("doc_id"), lit(1).as("__inb"))
+            .localCheckpoint()
+          val es = "el la de que y en los se del las por un para con no"
+          val pages = d.select(col("doc_id"), concat(
+            lit("<html><body><p>"),
+            when(col("doc_id") % 11 === 0, reverse(col("text")))
+              .when(col("doc_id") % 11 === 5, concat(lit(es + " "), col("text")))
+              .otherwise(col("text")),
+            lit("</p></body></html>")).as("html"))
+          val surv = bud.join(pages, Seq("doc_id"))
+            .select(col("doc_id"), HtmlExtract.mainText(col("html")).as("text"))
+            .localCheckpoint()
+          val lang = TextAnalysis.withLangGuess(surv, "text", "__lang")
+            .select(col("doc_id"), col("__lang"))
+          val (c2, c1) = TextAnalysis.lmModel(
+            d.filter(col("doc_id") % 5 =!= 0), "text")
+          val lm = TextAnalysis.lmScoreWith(c2, c1, surv, "doc_id", "text")
+            .select(col("doc_id"), col("flag").as("__lmflag"))
+          dec
+            .join(rob.select("doc_id", "__rd"), Seq("doc_id"), "left")
+            .join(bud, Seq("doc_id"), "left")
+            .join(lang, Seq("doc_id"), "left")
+            .join(lm, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(col("decision") =!= "kept", col("decision"))
+                .when(col("__rd") === "deny", lit("denied"))
+                .when(col("__inb").isNull, lit("over_budget"))
+                .when(col("__lang").isNotNull && col("__lang") =!= "en" &&
+                  col("__lang") =!= "und", lit("wrong_language"))
+                .when(col("__lmflag") === "low", lit("low_quality"))
+                .otherwise(lit("kept")).as("decision"))
+        }),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
           // split — label = id%10 would pin every label to ONE parity

@@ -793,4 +793,27 @@ class ExtSpec extends SparkSpec {
     val truth = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
     assert(got.exceptAll(truth).count() == 0 && truth.exceptAll(got).count() == 0)
   }
+  test("contentDrift: stable history drifts 0, full rewrite crosses the flag, shingle-less revisions drop") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rewrite = base.split(" ").reverse.mkString(" ")
+    val hist = Seq(
+      ("u/stable", 1L, base), ("u/stable", 2L, base), ("u/stable", 3L, base),
+      ("u/rewrite", 1L, base), ("u/rewrite", 2L, rewrite),
+      // the middle revision has under k tokens -> no shingle, no
+      // signature: it DROPS and rounds 1/3 become consecutive; both
+      // carry the same text, so the drift is 0
+      ("u/gap", 1L, base), ("u/gap", 2L, "too short"), ("u/gap", 3L, base))
+      .toDF("url", "r", "text")
+    val got = SimHash.contentDrift(hist, "url", "r", "text")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    assert(got("u/stable") == ((3L, 0L, 0L, false)), s"got ${got("u/stable")}")
+    val (nRw, totRw, maxRw, flagRw) = got("u/rewrite")
+    assert(nRw == 2L && maxRw >= 12L && flagRw,
+      s"a full token-order rewrite must cross the drift flag: ${got("u/rewrite")}")
+    assert(totRw == maxRw, "single interval: total == max")
+    assert(got("u/gap") == ((2L, 0L, 0L, false)),
+      s"shingle-less revision must drop, leaving equal neighbors: ${got("u/gap")}")
+  }
 }

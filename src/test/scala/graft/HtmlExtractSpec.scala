@@ -132,4 +132,43 @@ class HtmlExtractSpec extends SparkSpec {
   test("vertical tab collapses like other whitespace (explicit class - RE2 \\s lacks x0B)") {
     assert(extract("ab  c") == Seq("a b c"))
   }
+  test("dropLinkFarmParagraphs: density rule - farms die, inline links survive, every page emits") {
+    val pages = Seq(
+      // the case page-frequency can't catch: a SINGLE page whose nav
+      // is pure anchor text; the body and its inline citation survive
+      (1L, "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        "<p>see <a href=\"/m\">details here</a> for the full story</p>"),
+      // exact-threshold: 5 anchor chars / 10 visible = 500000 ppm -
+      // the >= rule drops it
+      (2L, "<p><a href=\"/e\">abcde</a> fghi</p><p>plain body text</p>"),
+      // zero-paragraph page still emits a row (the classify-every-
+      // input posture - the OPPOSITE of dropBoilerplateParagraphs)
+      (3L, "<div></div><script>x</script>"),
+      // an anchor left unterminated by a block break inside it
+      // contributes ZERO anchor chars (sentinel pair never closes)
+      (4L, "<p><a href=\"/x\">one<div>two</div></a> tail</p>"),
+      // entity + inline markup in a kept paragraph: clean_text must
+      // equal paragraphs()' rendering
+      (5L, "<p>see <b>bold</b> &amp; <a href='/m'>more info</a> today</p>"))
+      .toDF("id", "html")
+    val got = graft.ext.HtmlExtract
+      .dropLinkFarmParagraphs(pages, "id", "html")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // page 1: nav "Home About" is all-anchor (1000000 ppm, dropped);
+    // the mixed para is 12/35 anchor chars (342857 ppm, kept)
+    assert(got(1L) == ((2L, 1L, 1000000L,
+      "see details here for the full story")), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 500000L, "plain body text")),
+      s"exactly-at-threshold must drop (>= rule): ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, "")),
+      s"zero-para page must still emit a row: ${got(3L)}")
+    // page 4 paragraphs: the block break inside the anchor splits it
+    // into "one" (unclosed open sentinel), "two", and "tail" (dangling
+    // close sentinel) - no pair ever closes, so 0 anchor chars each,
+    // all three kept, deterministically
+    assert(got(4L) == ((3L, 0L, 0L, "one two tail")), s"got ${got(4L)}")
+    assert(got(5L)._4 == "see bold & more info today",
+      s"kept text must match paragraphs() rendering: ${got(5L)}")
+  }
 }

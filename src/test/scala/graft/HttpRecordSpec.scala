@@ -83,4 +83,34 @@ class HttpRecordSpec extends SparkSpec {
     val atCap = "1\r\nx\r\n" * (HttpRecord.MaxChunks - 1) + "0\r\n\r\n"
     assert(dec(atCap) == Seq(Some("x" * (HttpRecord.MaxChunks - 1))))
   }
+  test("conditionalFetchPlan: latest round wins, ETag beats Last-Modified, totals") {
+    val hist = Seq(
+      // decoy earlier rounds: stale validators that must NOT surface
+      ("u/etag", 1L, "HTTP/1.1 200 OK\r\nETag: \"stale\"\r\n\r\nx"),
+      ("u/etag", 2L, "HTTP/1.1 200 OK\r\nETag: \"v7\"\r\n\r\nx"),
+      ("u/lm", 1L, "HTTP/1.1 200 OK\r\nETag: \"stale\"\r\n\r\nx"),
+      ("u/lm", 2L,
+        "HTTP/1.1 200 OK\r\nLast-Modified: Mon, 12 Jan 2026 03:00:00 GMT\r\n\r\nx"),
+      // BOTH validators present: the ETag plan wins
+      ("u/both", 1L, "HTTP/1.1 200 OK\r\nETag: \"e9\"\r\n" +
+        "Last-Modified: Mon, 12 Jan 2026 03:00:00 GMT\r\n\r\nx"),
+      // neither: a full fetch; 304 status carries through
+      ("u/full", 1L, "HTTP/1.1 304 Not Modified\r\nServer: g\r\n\r\n"),
+      // no separator: header block is empty, nothing validates
+      ("u/raw", 1L, "HTTP/1.1 200 OK\r\nETag: \"e\"")
+    ).toDF("url", "r", "raw")
+    val got = HttpRecord.conditionalFetchPlan(hist, "url", "r", "raw")
+      .as[(String, Option[Int], String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 5, s"one row per url: $got")
+    assert(got("u/etag") == ((Some(200), "revalidate_etag", "\"v7\"")),
+      s"latest round's ETag, not the stale one: ${got("u/etag")}")
+    assert(got("u/lm") ==
+      ((Some(200), "revalidate_modified", "Mon, 12 Jan 2026 03:00:00 GMT")))
+    assert(got("u/both")._2 == "revalidate_etag" && got("u/both")._3 == "\"e9\"",
+      s"ETag must beat Last-Modified: ${got("u/both")}")
+    assert(got("u/full") == ((Some(304), "full", "")))
+    assert(got("u/raw") == ((Some(200), "full", "")),
+      s"no separator -> empty header block -> full: ${got("u/raw")}")
+  }
 }

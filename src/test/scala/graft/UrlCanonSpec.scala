@@ -158,6 +158,65 @@ class UrlCanonSpec extends SparkSpec {
     assert(again == got, "schedule must replay identically")
   }
 
+  test("registrableDomain: cc-SLD 3-label rule, 2-label default, IP/single-label verbatim") {
+    def rd(hosts: String*): Seq[Option[String]] =
+      hosts.toSeq.toDF("h")
+        .select(UrlCanon.registrableDomain(col("h")).as("d"))
+        .as[Option[String]].collect().toSeq
+    // cc-SLD suffixes take THREE labels, however deep the subdomain
+    assert(rd("a.shop.example.co.uk", "www.example.co.uk", "example.co.uk")
+      == Seq.fill(3)(Some("example.co.uk")))
+    assert(rd("x.y.z.site.com.au") == Seq(Some("site.com.au")))
+    // plain TLDs take two
+    assert(rd("a.b.example.com", "example.com", "deep.sub.example.org")
+      == Seq(Some("example.com"), Some("example.com"), Some("example.org")))
+    // IPv4 literals budget as the whole address
+    assert(rd("10.0.3.7", "192.168.0.1") == Seq(Some("10.0.3.7"),
+      Some("192.168.0.1")))
+    // single-label intranet hosts come back verbatim
+    assert(rd("localhost", "intra7") == Seq(Some("localhost"), Some("intra7")))
+    // a BARE public suffix is out of contract but deterministic
+    assert(rd("co.uk") == Seq(Some("co.uk")))
+    // '.co.ukx' must NOT match the co.uk rule (anchored suffix)
+    assert(rd("a.example.co.ukx") == Seq(Some("co.ukx")))
+    // NULL host stays NULL
+    assert(Seq((1L, null: String)).toDF("i", "h")
+      .select(UrlCanon.registrableDomain(col("h")).as("d"))
+      .as[Option[String]].collect().toSeq == Seq(None))
+  }
+
+  test("recrawlStats: change counts over per-url history, ppm buckets, cold singles") {
+    // histories handed over SHUFFLED in round order — the per-url
+    // window must sort them itself
+    val fetches = Seq(
+      ("u/alt", 3L, "a"), ("u/alt", 1L, "a"), ("u/alt", 4L, "b"),
+      ("u/alt", 2L, "b"), // a,b,a,b → 3 changes / 3 intervals = hot
+      ("u/half", 1L, "x"), ("u/half", 2L, "x"), ("u/half", 3L, "y"),
+      ("u/half", 4L, "y"), ("u/half", 5L, "z"), // 2/4 = 500000 = hot edge
+      ("u/warm", 1L, "p"), ("u/warm", 2L, "p"), ("u/warm", 3L, "p"),
+      ("u/warm", 4L, "q"), // 1/3 = 333333 warm
+      ("u/static", 1L, "s"), ("u/static", 2L, "s"), ("u/static", 3L, "s"),
+      ("u/once", 1L, "o") // no interval → cold, ppm 0
+    ).toDF("url", "r", "fp")
+    val got = UrlCanon.recrawlStats(fetches, "url", "r", "fp")
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("u/alt") == ((4L, 3L, 1000000L, "hot")), s"alt: $got")
+    assert(got("u/half") == ((5L, 2L, 500000L, "hot")),
+      s"exactly half the intervals changed must be hot (>= rule): $got")
+    assert(got("u/warm") == ((4L, 1L, 333333L, "warm")), s"warm: $got")
+    assert(got("u/static") == ((3L, 0L, 0L, "cold")), s"static: $got")
+    assert(got("u/once") == ((1L, 0L, 0L, "cold")),
+      s"single-fetch url has no interval and must be cold: $got")
+    // a REVERT (a→b→a) is two changes — fingerprints compare to the
+    // previous fetch, not the first
+    val revert = Seq(("u", 1L, "a"), ("u", 2L, "b"), ("u", 3L, "a"))
+      .toDF("url", "r", "fp")
+    val rv = UrlCanon.recrawlStats(revert, "url", "r", "fp")
+      .as[(String, Long, Long, Long, String)].collect().head
+    assert(rv == (("u", 3L, 2L, 1000000L, "hot")), s"revert: $rv")
+  }
+
   test("robotsDecide plans as a hash argmax — no Sort before the decision aggregate") {
     val fetches = Seq((1L, "http://a.com/private/x"), (2L, "http://a.com/p"))
       .toDF("id", "url")
