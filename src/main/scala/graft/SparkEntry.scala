@@ -111,6 +111,53 @@ object SparkEntry {
     * that must route bad_encoding. Mirrored in [[HttpParseSql]]'s rawr
     * CTE.
     */
+  /** q246/q256 shared fetch-history fixture: five revisit rounds per
+    * URL with fingerprints flipping every `period = 1 + doc_id%4`
+    * rounds (%5=0 urls never change) — each url's change count is
+    * closed-form in its residues, mirrored in the q246 oracle the
+    * streaming twin reuses verbatim.
+    */
+  private def recrawlFixture(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(sequence(lit(1), lit(5))).as("r"))
+    .select(
+      concat(lit("http://www.src"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com/Docs/"), col("doc_id").cast("string")).as("url"),
+      col("r").cast("long").as("r"),
+      when(col("doc_id") % 5 === 0, lit("0"))
+        .otherwise(expr("CAST(r DIV (1 + doc_id % 4) AS STRING)"))
+        .as("fp"))
+
+  /** q253/q257 shared response-header fixture (doc_id → raw): six
+    * RFC 9111 arms — max-age arithmetic, no-store beating max-age
+    * (plus a junk `Expires: 0`), no-cache, Expires−Date as pure HH:MM
+    * arithmetic, a PAST Expires, the 10% heuristic, and a header-bare
+    * 404. Every mode and TTL closed-form in the residues.
+    */
+  private def cacheRawFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val hh = lpad((id % 10).cast("string"), 2, "0")
+    val mm = (lit(10) + id % 50).cast("string")
+    val h2 = lpad((id % 24).cast("string"), 2, "0")
+    val armHeaders = when(id % 6 === 0,
+        concat(lit("\r\nCache-Control: public, max-age="),
+          ((id % 97) * 10).cast("string")))
+      .when(id % 6 === 1,
+        lit("\r\nCache-Control: no-store, max-age=600\r\nExpires: 0"))
+      .when(id % 6 === 2, lit("\r\nCache-Control: private, no-cache"))
+      .when(id % 12 === 3, concat(lit("\r\nExpires: Mon, 12 Jan 2026 "),
+        hh, lit(":"), mm, lit(":00 GMT")))
+      .when(id % 12 === 9,
+        lit("\r\nExpires: Sun, 11 Jan 2026 23:59:00 GMT"))
+      .otherwise(concat(lit("\r\nLast-Modified: Sun, 11 Jan 2026 "),
+        h2, lit(":00:00 GMT")))
+    val raw = when(id % 6 === 5,
+        lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK\r\nDate: Mon, 12 Jan 2026 00:00:00 GMT"),
+        armHeaders, lit("\r\nContent-Type: text/html\r\n\r\n<p>ok</p>")))
+    docs.select(id, raw.as("raw"))
+  }
+
   private def httpRawFixture(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
@@ -1711,19 +1758,21 @@ object SparkEntry {
     // `period` rounds (period = 1 + id%4; %5=0 URLs never change), so
     // each URL's change count is CLOSED-FORM in its residues — hot
     // (period 1-2), warm (period 3-4), cold (static) all live. ──
-    "q246_recrawl_schedule" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val fetches = docs
-        .select(col("doc_id"), explode(sequence(lit(1), lit(5))).as("r"))
-        .select(
-          concat(lit("http://www.src"), (col("doc_id") % 20).cast("string"),
-            lit(".example.com/Docs/"), col("doc_id").cast("string")).as("url"),
-          col("r"),
-          when(col("doc_id") % 5 === 0, lit("0"))
-            .otherwise(expr("CAST(r DIV (1 + doc_id % 4) AS STRING)"))
-            .as("fp"))
-      graft.ext.UrlCanon.recrawlStats(fetches, "url", "r", "fp")
-    }),
+    "q246_recrawl_schedule" -> ((s, dir) =>
+      graft.ext.UrlCanon.recrawlStats(
+        recrawlFixture(t(s, dir, "documents")), "url", "r", "fp")),
+
+    // ── STATEFUL streaming recrawl estimation (the q246 history as a
+    // LIVE fetch feed): per-url state is O(1) — last fingerprint +
+    // running counts — and the two delivery waves split MID-HISTORY
+    // (rounds 1-2 | 3-5), so every period-1/2/3 url's round-2→3
+    // change is detected only if the fingerprint state survived the
+    // microbatch boundary. Certified against q246's oracle VERBATIM
+    // (shared RecrawlSql); ppm/priority derive through the same
+    // withRecrawlDerived code path as the batch operator. ──
+    "q256_recrawl_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.recrawlReplay(
+        s, recrawlFixture(t(s, dir, "documents")))),
 
     // ── DELAY-AWARE fetch schedule (the full politeness loop closed):
     // the q229 round-robin composed with q245's parsed group-scoped
@@ -1838,6 +1887,125 @@ object SparkEntry {
             .when(col("r") === 2, translate(col("text"), "aeiou", "iouae"))
             .otherwise(translate(col("text"), "aeiou", "ouaei")).as("t"))
       graft.ext.SimHash.contentDrift(hist, "url", "r", "t")
+    }),
+
+    // ── CACHE-FRESHNESS planning (HttpRecord.cachePlan — RFC 9111):
+    // the server-declared TTL feed for recrawl scheduling. Six arms,
+    // all closed-form: max-age arithmetic (%6=0), no-store beating a
+    // max-age in the same header (%6=1 — precedence live, plus a
+    // junk 'Expires: 0' proving garbled dates degrade, never throw),
+    // no-cache (%6=2), Expires−Date with the clock pinned so the TTL
+    // is pure HH:MM arithmetic (%12=3) and a PAST Expires clamping to
+    // 0 (%12=9), the RFC heuristic 10% of Date−Last-Modified (%6=4),
+    // and a header-bare 404 routing none (%6=5). The oracle computes
+    // every TTL from doc_id residues — the whole IMF-fixdate parse
+    // path is certified against independent truth, not a mirrored
+    // strptime. ──
+    "q253_cache_policy" -> ((s, dir) =>
+      graft.ext.HttpRecord.cachePlan(
+        cacheRawFixture(t(s, dir, "documents")), "doc_id", "raw")),
+
+    // ── REFRESH-PLAN capstone: the two recrawl signals joined — the
+    // server's declared freshness (q253 cachePlan TTL) and the
+    // crawler's OBSERVED change rate (q246 recrawlStats priority) —
+    // into one due-interval per url on a 60 s fetch cadence:
+    // `due_in_m = greatest(ttl DIV 60, priority interval 1/4/24, 1)`
+    // — trust the server when it promises longer freshness than the
+    // change history suggests, never refetch faster than the cadence.
+    // Both fixtures key on doc_id, so every output value is
+    // closed-form across BOTH residue families (mode × priority
+    // combinations live). Shape: one broadcast-sized keyed join at
+    // url grain — at 100 TB both sides are url-grain tables, the join
+    // shuffles on the key it is stored by. ──
+    "q257_refresh_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rc = graft.ext.UrlCanon.recrawlStats(
+        recrawlFixture(docs), "url", "r", "fp")
+      val cp = graft.ext.HttpRecord.cachePlan(
+          cacheRawFixture(docs), "doc_id", "raw")
+        .select(
+          concat(lit("http://www.src"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com/Docs/"), col("doc_id").cast("string")).as("url"),
+          col("mode"), col("ttl_s"))
+      val ttlM = expr("CAST(ttl_s DIV 60 AS BIGINT)")
+      val priM = when(col("priority") === "hot", lit(1L))
+        .when(col("priority") === "warm", lit(4L)).otherwise(lit(24L))
+      rc.join(cp, Seq("url"))
+        .select(col("url"), col("priority"), col("mode"), col("ttl_s"),
+          greatest(ttlM, priM, lit(1L)).as("due_in_m"))
+    }),
+
+    // ── RETRY/BACKOFF planning (HttpRecord.retryBackoff): the failure
+    // half of politeness. One host per doc; attempt histories whose
+    // trailing-failure streaks are closed-form: all-green (%10=0),
+    // early failures RECOVERED by a green tail (%10=5 — streak must
+    // read 0), Retry-After honored from the LATEST response only
+    // (%5=1; %5=2 plants a DECOY Retry-After on a non-latest attempt
+    // and must fall back to exponential 5·2^2), a 404/malformed
+    // alternating streak of 6 (%5=3 — exp caps at 5·2^5), and a
+    // 9-attempt all-503 host crossing giveUpAt=8 into gave_up (%5=4).
+    // ──
+    "q254_retry_backoff" -> ((s, dir) => {
+      val id = col("doc_id")
+      val hist = t(s, dir, "documents").select(id,
+          explode(sequence(lit(1),
+            when(id % 5 === 4, lit(9)).otherwise(lit(6)))).as("r"))
+      val rr = col("r")
+      val statusLine = when(id % 10 === 0, lit("HTTP/1.1 200 OK"))
+        .when(id % 10 === 5,
+          when(rr <= 2, lit("HTTP/1.1 503 Service Unavailable"))
+            .otherwise(lit("HTTP/1.1 200 OK")))
+        .when(id % 5 === 1 || id % 5 === 2,
+          when(rr <= 3, lit("HTTP/1.1 200 OK"))
+            .otherwise(lit("HTTP/1.1 503 Service Unavailable")))
+        .when(id % 5 === 3,
+          when(rr % 2 === 0, lit("HTTP/1.1 404 Not Found"))
+            .otherwise(lit("GARBAGE")))
+        .otherwise(lit("HTTP/1.1 503 Service Unavailable"))
+      val raLine = when(id % 5 === 1 && rr === 6,
+          concat(lit("\r\nRetry-After: "), (lit(10) + id % 50).cast("string")))
+        .when(id % 5 === 2 && rr === 4, lit("\r\nRetry-After: 999"))
+        .otherwise(lit(""))
+      val raw = concat(statusLine, raLine,
+        lit("\r\nContent-Type: text/html\r\n\r\nx"))
+      graft.ext.HttpRecord.retryBackoff(
+        hist.select(
+          concat(lit("www.h"), id.cast("string"), lit(".example.com"))
+            .as("host"),
+          rr.cast("long").as("attempt"), raw.as("raw")),
+        "host", "attempt", "raw")
+    }),
+
+    // ── CRAWL-TRAP detection (UrlCanon.crawlTrapStats): per (host,
+    // first-path-segment) family — distinct urls, max depth, distinct
+    // query-param keys, integer mean length, and the trap rule.
+    // Quadratic formulas spread the value space (the q220 lesson —
+    // linear residues make degenerate regular structures). Arms: a
+    // 4-deep calendar family (trap by depth), a /search family
+    // minting f0-f8 × g0-g3 param keys (trap by params), a big flat
+    // /Docs family that PASSES the n_urls bar but fails both signals
+    // (certifies the AND), and a 1-url /about family under the bar.
+    // Oracle: DuckDB regenerates the url set from the residue
+    // formulas and aggregates INDEPENDENTLY — counts, max, distinct
+    // all recomputed, nothing mirrored from the operator's regexes. ──
+    "q255_crawl_traps" -> ((s, dir) => {
+      val id = col("doc_id")
+      val host = concat(lit("http://www.src"), (id % 10).cast("string"),
+        lit(".example.com"))
+      val url = when(id % 4 === 0, concat(host, lit("/cal/"),
+          (lit(2000) + (id * (id + 3) + 1) % 26).cast("string"), lit("/"),
+          ((id * (id + 7) + 5) % 12).cast("string"), lit("/"),
+          ((id * (id + 11) + 3) % 28).cast("string")))
+        .when(id % 4 === 1, concat(host, lit("/search?f"),
+          ((id * (id + 5) + 2) % 9).cast("string"), lit("="),
+          (id % 3).cast("string"), lit("&g"),
+          ((id * (id + 13) + 7) % 4).cast("string"), lit("=1")))
+        .when(id % 4 === 2, concat(host, lit("/Docs/"),
+          ((id * (id + 9) + 7) % 40).cast("string")))
+        .otherwise(concat(host, lit("/about")))
+      graft.ext.UrlCanon.crawlTrapStats(
+        t(s, dir, "documents").select(url.as("url")), "url",
+        minUrls = 10L, deepAt = 4L, paramAt = 4L)
     }),
 
     // ── per-host Crawl-delay (UrlCanon.parseCrawlDelays): the delay
@@ -4840,6 +5008,24 @@ object SparkEntry {
     * (streaming replay twin): CRLF via chr(13)||chr(10) in the
     * fixture, identical RE2 split/extract patterns in the parse.
     */
+  /** q246 + q256 shared recrawl mirror (identical-oracle
+    * certification: the streaming fold must equal the batch window).
+    */
+  private val RecrawlSql: String =
+    """SELECT 'http://www.src' || CAST(doc_id % 20 AS VARCHAR)
+      |    || '.example.com/Docs/' || CAST(doc_id AS VARCHAR) AS url,
+      |  CAST(5 AS BIGINT) AS n_fetches,
+      |  CAST(ch AS BIGINT) AS n_changes,
+      |  CAST(ch * 1000000 // 4 AS BIGINT) AS change_ppm,
+      |  CASE WHEN ch * 1000000 // 4 >= 500000 THEN 'hot'
+      |       WHEN ch > 0 THEN 'warm' ELSE 'cold' END AS priority
+      |FROM (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN 0
+      |         WHEN doc_id % 4 = 0 THEN 4
+      |         WHEN doc_id % 4 = 1 THEN 2
+      |         ELSE 1 END AS ch
+      |  FROM documents) t""".stripMargin
+
   private val HttpParseSql: String =
     """WITH rawr AS (
       |  SELECT doc_id,
@@ -6214,21 +6400,135 @@ object SparkEntry {
 
     // recrawl mirror: change counts closed-form in the residues (the
     // version sequence r DIV p over r=1..5 steps 4/2/1/1 times for
-    // p=1/2/3/4) — nothing re-walks the history
-    "q246_recrawl_schedule" ->
-      """SELECT 'http://www.src' || CAST(doc_id % 20 AS VARCHAR)
-        |    || '.example.com/Docs/' || CAST(doc_id AS VARCHAR) AS url,
-        |  CAST(5 AS BIGINT) AS n_fetches,
-        |  CAST(ch AS BIGINT) AS n_changes,
-        |  CAST(ch * 1000000 // 4 AS BIGINT) AS change_ppm,
-        |  CASE WHEN ch * 1000000 // 4 >= 500000 THEN 'hot'
-        |       WHEN ch > 0 THEN 'warm' ELSE 'cold' END AS priority
-        |FROM (SELECT doc_id,
-        |    CASE WHEN doc_id % 5 = 0 THEN 0
-        |         WHEN doc_id % 4 = 0 THEN 4
-        |         WHEN doc_id % 4 = 1 THEN 2
-        |         ELSE 1 END AS ch
-        |  FROM documents) t""".stripMargin,
+    // p=1/2/3/4) — nothing re-walks the history; the streaming twin
+    // q256 certifies against the SAME SQL (shared val — the
+    // incremental fold must equal the batch window exactly)
+    "q246_recrawl_schedule" -> RecrawlSql,
+    "q256_recrawl_stream" -> RecrawlSql,
+
+    // cache-policy mirror: FULLY closed-form — every mode and TTL is
+    // doc_id arithmetic, so the IMF-fixdate parse path (day-name
+    // strip, try_to_timestamp, epoch subtraction, the 10% heuristic
+    // integer divide) is certified against independent truth
+    "q253_cache_policy" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 6 = 5 THEN 404 ELSE 200 END AS INT)
+        |    AS status,
+        |  CASE WHEN doc_id % 6 = 0 THEN 'max_age'
+        |       WHEN doc_id % 6 = 1 THEN 'no_store'
+        |       WHEN doc_id % 6 = 2 THEN 'no_cache'
+        |       WHEN doc_id % 6 = 3 THEN 'expires'
+        |       WHEN doc_id % 6 = 4 THEN 'heuristic'
+        |       ELSE 'none' END AS mode,
+        |  CAST(CASE WHEN doc_id % 6 = 0 THEN (doc_id % 97) * 10
+        |       WHEN doc_id % 12 = 3
+        |         THEN (doc_id % 10) * 3600 + (10 + doc_id % 50) * 60
+        |       WHEN doc_id % 6 = 4 THEN (24 - doc_id % 24) * 360
+        |       ELSE 0 END AS BIGINT) AS ttl_s
+        |FROM documents""".stripMargin,
+
+    // refresh-plan mirror: both residue families recombined in pure
+    // arithmetic — priority from the q246 change counts, mode/TTL
+    // from the q253 header arms, due_in_m the greatest of the three
+    "q257_refresh_plan" ->
+      """SELECT url, priority, mode, ttl_s,
+        |  CAST(greatest(ttl_s // 60, pri, 1) AS BIGINT) AS due_in_m
+        |FROM (
+        |  SELECT
+        |    'http://www.src' || CAST(doc_id % 20 AS VARCHAR)
+        |      || '.example.com/Docs/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CASE WHEN ch * 1000000 // 4 >= 500000 THEN 'hot'
+        |         WHEN ch > 0 THEN 'warm' ELSE 'cold' END AS priority,
+        |    CASE WHEN ch * 1000000 // 4 >= 500000 THEN 1
+        |         WHEN ch > 0 THEN 4 ELSE 24 END AS pri,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'max_age'
+        |         WHEN doc_id % 6 = 1 THEN 'no_store'
+        |         WHEN doc_id % 6 = 2 THEN 'no_cache'
+        |         WHEN doc_id % 6 = 3 THEN 'expires'
+        |         WHEN doc_id % 6 = 4 THEN 'heuristic'
+        |         ELSE 'none' END AS mode,
+        |    CAST(CASE WHEN doc_id % 6 = 0 THEN (doc_id % 97) * 10
+        |         WHEN doc_id % 12 = 3
+        |           THEN (doc_id % 10) * 3600 + (10 + doc_id % 50) * 60
+        |         WHEN doc_id % 6 = 4 THEN (24 - doc_id % 24) * 360
+        |         ELSE 0 END AS BIGINT) AS ttl_s
+        |  FROM (SELECT doc_id,
+        |      CASE WHEN doc_id % 5 = 0 THEN 0
+        |           WHEN doc_id % 4 = 0 THEN 4
+        |           WHEN doc_id % 4 = 1 THEN 2
+        |           ELSE 1 END AS ch
+        |    FROM documents) c) t""".stripMargin,
+
+    // retry-backoff mirror: streaks, states and delays all residue
+    // arithmetic — the latest-only Retry-After rule is certified by
+    // the %5=2 decoy (a non-latest Retry-After: 999 must NOT surface)
+    "q254_retry_backoff" ->
+      """SELECT 'www.h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 9 ELSE 6 END AS BIGINT)
+        |    AS n_attempts,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 200
+        |       WHEN doc_id % 5 = 3 THEN 404 ELSE 503 END AS INT)
+        |    AS last_status,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+        |       WHEN doc_id % 5 IN (1, 2) THEN 3
+        |       WHEN doc_id % 5 = 3 THEN 6 ELSE 9 END AS BIGINT)
+        |    AS consec_failures,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'ok'
+        |       WHEN doc_id % 5 = 4 THEN 'gave_up'
+        |       ELSE 'backoff' END AS state,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+        |       WHEN doc_id % 5 = 1 THEN 10 + doc_id % 50
+        |       WHEN doc_id % 5 = 2 THEN 20
+        |       WHEN doc_id % 5 = 3 THEN 160
+        |       ELSE -1 END AS BIGINT) AS next_delay_s
+        |FROM documents""".stripMargin,
+
+    // crawl-trap mirror: the url set regenerates from the residue
+    // formulas, then DuckDB aggregates INDEPENDENTLY (distinct counts,
+    // max depth, distinct param keys, integer mean) — the operator's
+    // regex extraction chain is certified against a regex-free rebuild
+    "q255_crawl_traps" ->
+      """WITH u AS (
+        |  SELECT DISTINCT
+        |    'www.src' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+        |      AS host,
+        |    CASE doc_id % 4 WHEN 0 THEN 'cal' WHEN 1 THEN 'search'
+        |      WHEN 2 THEN 'Docs' ELSE 'about' END AS family,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '/cal/'
+        |        || CAST(2000 + (doc_id * (doc_id + 3) + 1) % 26 AS VARCHAR)
+        |        || '/' || CAST((doc_id * (doc_id + 7) + 5) % 12 AS VARCHAR)
+        |        || '/' || CAST((doc_id * (doc_id + 11) + 3) % 28 AS VARCHAR)
+        |      WHEN 1 THEN '/search?f'
+        |        || CAST((doc_id * (doc_id + 5) + 2) % 9 AS VARCHAR)
+        |        || '=' || CAST(doc_id % 3 AS VARCHAR)
+        |        || '&g' || CAST((doc_id * (doc_id + 13) + 7) % 4 AS VARCHAR)
+        |        || '=1'
+        |      WHEN 2 THEN '/Docs/'
+        |        || CAST((doc_id * (doc_id + 9) + 7) % 40 AS VARCHAR)
+        |      ELSE '/about' END AS pq,
+        |    CASE doc_id % 4 WHEN 0 THEN 4 WHEN 2 THEN 2 ELSE 1 END AS d,
+        |    CASE WHEN doc_id % 4 = 1 THEN
+        |      ['f' || CAST((doc_id * (doc_id + 5) + 2) % 9 AS VARCHAR),
+        |       'g' || CAST((doc_id * (doc_id + 13) + 7) % 4 AS VARCHAR)]
+        |      ELSE [] END AS pkeys
+        |  FROM documents),
+        |b AS (
+        |  SELECT host, family, CAST(count(*) AS BIGINT) AS n_urls,
+        |    CAST(max(d) AS BIGINT) AS max_depth,
+        |    CAST(sum(length('http://' || host || pq))
+        |      // count(*) AS BIGINT) AS avg_len
+        |  FROM u GROUP BY 1, 2),
+        |p AS (
+        |  SELECT host, family,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS n_param_keys
+        |  FROM (SELECT host, family, unnest(pkeys) AS k FROM u)
+        |  GROUP BY 1, 2)
+        |SELECT b.host, b.family, b.n_urls, b.max_depth,
+        |  coalesce(p.n_param_keys, 0) AS n_param_keys, b.avg_len,
+        |  b.n_urls >= 10 AND (b.max_depth >= 4
+        |    OR coalesce(p.n_param_keys, 0) >= 4) AS is_trap
+        |FROM b LEFT JOIN p ON b.host = p.host AND b.family = p.family""".stripMargin,
 
     // crawl-delay mirror: star-group delays arithmetic; %4=0 hosts
     // (specific group, no delay line) must be ABSENT

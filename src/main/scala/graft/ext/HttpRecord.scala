@@ -188,4 +188,116 @@ object HttpRecord {
       when(et =!= "", et).when(lm =!= "", lm).otherwise(lit(""))
         .as("validator"))
   }
+
+  /** IMF-fixdate (RFC 9110 `Date`/`Expires`/`Last-Modified`) to epoch
+    * seconds, NULL on anything unparseable. The day name is stripped
+    * by regex BEFORE the parse — robust HTTP clients ignore it, and
+    * skipping it sidesteps strict day-of-week/date consistency
+    * resolution. `try_to_timestamp` (not `to_timestamp`) so a garbled
+    * date degrades to NULL instead of an ANSI parse error killing the
+    * whole scan. Instant-exact under the fixed UTC session.
+    */
+  private def imfFixdateEpoch(v: Column): Column =
+    unix_timestamp(try_to_timestamp(
+      regexp_extract(trim(v),
+        "^[A-Za-z]{3}, ([0-9]{2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2}) GMT$", 1),
+      lit("dd MMM yyyy HH:mm:ss")))
+
+  /** CACHE-FRESHNESS planning (RFC 9111): how long each stored
+    * response stays fresh — the TTL feed for recrawl scheduling
+    * ([[UrlCanon.recrawlStats]] estimates how often a page CHANGES;
+    * this is how long the server ASKS us to keep it). Decision table,
+    * every response classified once, precedence per the RFC:
+    * `no_store` > `no_cache` (always revalidate) > `max_age`
+    * (Cache-Control: max-age=N) > `expires` (Expires − Date, clamped
+    * at 0 — a past Expires is stale on arrival) > `heuristic` (10% of
+    * Date − Last-Modified, the RFC 9111 §4.2.2 heuristic) > `none`.
+    * Output: (idCol, status, mode, ttl_s).
+    *
+    * Cache-Control directives are matched inside the header value
+    * with list-aware boundaries (`(^|[,\s])name([,\s]|$)`) — a
+    * `no-store` inside some other token can't trigger. Date math is
+    * integer epoch seconds; the heuristic divide is exact-integer
+    * (the subtract-pmod form — `DIV` is not available on Columns).
+    * Pure per-row projection: header-block-scoped reads, no shuffle.
+    */
+  def cachePlan(df: DataFrame, idCol: String, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val cc = header(raw, "Cache-Control")
+    val noStore = cc.rlike("(?i)(^|[,\\s])no-store([,\\s]|$)")
+    val noCache = cc.rlike("(?i)(^|[,\\s])no-cache([,\\s]|$)")
+    val maxAge = regexp_extract(cc, "(?i)(^|[,\\s])max-age=([0-9]+)", 2)
+    val date = imfFixdateEpoch(header(raw, "Date"))
+    val expires = imfFixdateEpoch(header(raw, "Expires"))
+    val lastMod = imfFixdateEpoch(header(raw, "Last-Modified"))
+    val expTtl = greatest(expires - date, lit(0L))
+    val age = greatest(date - lastMod, lit(0L))
+    val heurTtl = ((age - pmod(age, lit(10L))) / lit(10L)).cast("long")
+    df.select(col(idCol), status(raw).as("status"),
+      when(noStore, lit("no_store"))
+        .when(noCache, lit("no_cache"))
+        .when(maxAge =!= "", lit("max_age"))
+        .when(expires.isNotNull && date.isNotNull, lit("expires"))
+        .when(lastMod.isNotNull && date.isNotNull, lit("heuristic"))
+        .otherwise(lit("none")).as("mode"),
+      when(noStore || noCache, lit(0L))
+        .when(maxAge =!= "", maxAge.cast("long"))
+        .when(expires.isNotNull && date.isNotNull, expTtl)
+        .when(lastMod.isNotNull && date.isNotNull, heurTtl)
+        .otherwise(lit(0L)).as("ttl_s"))
+  }
+
+  /** PER-HOST retry/backoff planning — the failure half of politeness
+    * (the crawl-delay tier spaces SUCCESSFUL fetches; this spaces
+    * retries after failures): from a per-host attempt log, the
+    * consecutive TRAILING failure streak decides the host's state and
+    * next-fetch delay. A retryable latest response carrying
+    * `Retry-After: N` (delta-seconds form) honors the server's ask;
+    * otherwise exponential backoff `baseDelayS * 2^min(streak-1,
+    * maxExp)`; a streak of `giveUpAt`+ abandons the host (delay −1);
+    * a successful latest fetch clears the backoff (state `ok`, delay
+    * 0). Failure = status NULL (malformed) or >= 400.
+    *
+    * Streak arithmetic is aggregate-only — `max(attempt) −
+    * max(attempt where success)` — and the latest row's headers come
+    * back via the [[conditionalFetchPlan]] max-round keyed join (no
+    * window sort; HashAggregate both sides). CONTRACT: (hostCol,
+    * attemptCol) unique. An earlier attempt's Retry-After is a decoy
+    * by construction — only the latest response's header is read.
+    * Output: (host, n_attempts, last_status, consec_failures, state,
+    * next_delay_s).
+    */
+  def retryBackoff(
+      df: DataFrame, hostCol: String, attemptCol: String, rawCol: String,
+      baseDelayS: Long = 5L, maxExp: Int = 6, giveUpAt: Long = 8L): DataFrame = {
+    require(baseDelayS > 0 && maxExp >= 0 && giveUpAt > 0,
+      s"bad backoff params: base=$baseDelayS maxExp=$maxExp giveUp=$giveUpAt")
+    val st = status(col(rawCol))
+    val ok = st.isNotNull && st < 400
+    val agg = df.groupBy(col(hostCol))
+      .agg(max(col(attemptCol)).as("__last"),
+        count(lit(1)).as("n_attempts"),
+        max(when(ok, col(attemptCol))).as("__lastOk"))
+      .withColumn("consec_failures",
+        (col("__last") - coalesce(col("__lastOk"), lit(0L))).cast("long"))
+    val latest = df
+      .join(agg.select(col(hostCol), col("__last").as(attemptCol)),
+        Seq(hostCol, attemptCol))
+      .select(col(hostCol), status(col(rawCol)).as("last_status"),
+        trim(header(col(rawCol), "Retry-After")).as("__ra"))
+    // 2^k via pow: exact in double far past maxExp's cap, cast lossless
+    val expDelay = (lit(baseDelayS) * pow(lit(2.0),
+      least(col("consec_failures") - 1, lit(maxExp.toLong)).cast("double")))
+      .cast("long")
+    agg.join(latest, Seq(hostCol))
+      .select(col(hostCol).as("host"), col("n_attempts"), col("last_status"),
+        col("consec_failures"),
+        when(col("consec_failures") === 0, lit("ok"))
+          .when(col("consec_failures") >= giveUpAt, lit("gave_up"))
+          .otherwise(lit("backoff")).as("state"),
+        when(col("consec_failures") === 0, lit(0L))
+          .when(col("consec_failures") >= giveUpAt, lit(-1L))
+          .when(col("__ra").rlike("^[0-9]+$"), col("__ra").cast("long"))
+          .otherwise(expDelay).as("next_delay_s"))
+  }
 }

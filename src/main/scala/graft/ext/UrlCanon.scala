@@ -599,9 +599,18 @@ object UrlCanon {
       .withColumn("__chg",
         when(col("__prev").isNotNull && col("__prev") =!= col(fpCol), 1L)
           .otherwise(0L))
-    flagged.groupBy(col(urlCol).as("url"))
+    withRecrawlDerived(flagged.groupBy(col(urlCol).as("url"))
       .agg(count(lit(1)).as("n_fetches"),
-        sum(col("__chg")).as("n_changes"))
+        sum(col("__chg")).as("n_changes")))
+  }
+
+  /** change_ppm + priority from (n_fetches, n_changes) — ONE code
+    * path shared by [[recrawlStats]] and the streaming twin
+    * (StreamingReports.recrawlReplay), so the two surfaces cannot
+    * drift in the bucket rules.
+    */
+  private[graft] def withRecrawlDerived(counts: DataFrame): DataFrame =
+    counts
       .withColumn("change_ppm",
         when(col("n_fetches") > 1,
           expr("CAST(n_changes * 1000000 DIV (n_fetches - 1) AS BIGINT)"))
@@ -610,7 +619,6 @@ object UrlCanon {
         when(col("change_ppm") >= 500000, lit("hot"))
           .when(col("n_changes") > 0, lit("warm"))
           .otherwise(lit("cold")))
-  }
 
   /** Country-code second-level suffixes for [[registrableDomain]] —
     * the high-mass subset of the public-suffix list (the full PSL is
@@ -675,5 +683,60 @@ object UrlCanon {
       .agg(count(lit(1)).as("n_urls"),
         sum(col("n_variants")).as("n_fetches"),
         sum(col(sizeCol)).cast("long").as("total_bytes"))
+  }
+
+  /** CRAWL-TRAP detection — infinite URL spaces (calendar pages,
+    * faceted search, session-id paths) burn a host's entire crawl
+    * budget on one path family; every production crawler flags them.
+    * Grain: (host, first path segment) — the "family". Signals per
+    * family over DISTINCT urls: `n_urls`, `max_depth` (path segment
+    * count), `n_param_keys` (distinct query-parameter KEYS — value
+    * churn is the trap signature, so keys, not pairs), `avg_len`
+    * (integer-DIV mean url length). Rule: `is_trap` = n_urls >=
+    * minUrls AND (max_depth >= deepAt OR n_param_keys >= paramAt) —
+    * a big flat /Docs/ family is legitimate; a deep or
+    * param-exploding one is not.
+    *
+    * Shape: one distinct on url grain, one keyed aggregate at family
+    * grain, plus a param-key explode aggregated at the same grain and
+    * joined back — bounded by family count, never urls². Hostless
+    * urls drop — [[canonicalHost]] yields NULL for bracketed (IPv6)
+    * authorities and '' when no scheme://authority parses at all,
+    * and neither ever reaches a fetcher ([[urlDecisions]]
+    * quarantines them upstream).
+    */
+  def crawlTrapStats(
+      urls: DataFrame, urlCol: String, minUrls: Long = 100L,
+      deepAt: Long = 6L, paramAt: Long = 4L): DataFrame = {
+    require(minUrls > 0 && deepAt > 0 && paramAt > 0,
+      s"bad trap thresholds: $minUrls/$deepAt/$paramAt")
+    val u = col(urlCol)
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    val keyed = urls
+      .select(u.as("url"), canonicalHost(u).as("host"),
+        regexp_extract(path, "^/([^/]+)", 1).as("family"),
+        size(filter(split(path, "/"), s => s =!= "")).cast("long").as("__d"),
+        regexp_extract(u, "\\?([^#]*)", 1).as("__qs"))
+      .filter(col("host").isNotNull && col("host") =!= "")
+      .distinct()
+    val base = keyed.groupBy("host", "family").agg(
+      count(lit(1)).as("n_urls"), max(col("__d")).as("max_depth"),
+      sum(length(col("url")).cast("long")).as("__len"))
+    val pk = keyed
+      .select(col("host"), col("family"),
+        explode_outer(split(col("__qs"), "&")).as("__p"))
+      .select(col("host"), col("family"),
+        regexp_extract(col("__p"), "^([^=]+)", 1).as("__k"))
+      .filter(col("__k") =!= "")
+      .groupBy("host", "family")
+      .agg(countDistinct(col("__k")).as("n_param_keys"))
+    base.join(pk, Seq("host", "family"), "left")
+      .withColumn("n_param_keys", coalesce(col("n_param_keys"), lit(0L)))
+      .withColumn("avg_len",
+        ((col("__len") - pmod(col("__len"), col("n_urls"))) / col("n_urls"))
+          .cast("long"))
+      .drop("__len")
+      .withColumn("is_trap", col("n_urls") >= minUrls &&
+        (col("max_depth") >= deepAt || col("n_param_keys") >= paramAt))
   }
 }

@@ -37,6 +37,13 @@ case class TransBuf(evs: List[TransEv])
   */
 case class TransPair(user_id: Long, from_state: String, to_state: String)
 
+/** Per-url recrawl state: the LAST fingerprint seen plus running
+  * counts — O(1) per url, never the history (the whole point of the
+  * streaming form: a 100-TB fetch log folds into url-count state).
+  */
+case class RecrawlBuf(lastFp: String, lastR: Long, n: Long, ch: Long)
+case class RecrawlCounts(url: String, n_fetches: Long, n_changes: Long)
+
 /** Streaming flavor of the ingestion + top10 pipeline (SURVEY.md §2.11):
   * the `events/` landing prefix consumed as a Structured Streaming file
   * source instead of scheduled batch — same declared schema, same
@@ -733,6 +740,94 @@ object StreamingReports {
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
     spark.table(mem)
+  }
+
+  /** STATEFUL streaming recrawl estimation — UrlCanon.recrawlStats'
+    * lag-over-history as an incremental fold: per url the state is
+    * O(1) — the LAST fingerprint plus running (n, changes) counts,
+    * never the history (a 100-TB fetch log folds into url-count
+    * state; the batch form's window re-reads every revisit). Rows
+    * fold in round order inside each batch; the fingerprint carried
+    * ACROSS microbatches is what detects a change whose two sides
+    * arrive in different waves. Event time is synthesized from the
+    * revisit round; the final per-url row emits on event-time timeout
+    * after the watermark passes it (the transitionsStream discipline).
+    * CONTRACT: per-url rounds arrive non-decreasing across batches
+    * (fetchers revisit forward in time).
+    */
+  def recrawlStream(spark: SparkSession, dir: String): Dataset[RecrawlCounts] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("r", LongType),
+      StructField("fp", StringType)))
+    spark.readStream.schema(schema).json(dir)
+      .withColumn("ets", timestamp_micros(col("r") * 60000000L))
+      .withWatermark("ets", "40 days")
+      .filter(col("url").isNotNull && col("r").isNotNull)
+      .select(col("url").as[String], col("r").as[Long], col("fp").as[String],
+        col("ets").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RecrawlBuf, RecrawlCounts](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (url, rows, state) =>
+        if (state.hasTimedOut) {
+          val b = state.get
+          state.remove()
+          Iterator.single(RecrawlCounts(url, b.n, b.ch))
+        } else {
+          val sorted = rows.toSeq.sortBy(_._2)
+          val init = state.getOption.getOrElse(RecrawlBuf(null, -1L, 0L, 0L))
+          val folded = sorted.foldLeft(init) { (b, row) =>
+            val chg = if (b.n > 0L && b.lastFp != row._3) 1L else 0L
+            RecrawlBuf(row._3, row._2, b.n + 1L, b.ch + chg)
+          }
+          state.update(folded)
+          state.setTimeoutTimestamp(
+            sorted.map(_._2).max * 60000L + 60L * 60L * 1000L)
+          Iterator.empty
+        }
+      }
+  }
+
+  /** Bounded replay of [[recrawlStream]]: the q246 fetch history in
+    * two waves SPLIT MID-HISTORY (rounds 1-2, then 3-5) — the change
+    * a period-2 url makes between rounds 2 and 3 is only visible if
+    * the fingerprint state survived the wave boundary — plus two
+    * far-future sentinel waves to fire the timeouts; sentinel url
+    * filtered back out; ppm/priority derived by the SAME
+    * `withRecrawlDerived` code path the batch operator uses. q256
+    * certifies against q246's oracle VERBATIM.
+    */
+  def recrawlReplay(outer: SparkSession, fetches: DataFrame): DataFrame = {
+    val spark = replaySession(outer)
+    val landing = java.nio.file.Files.createTempDirectory("graft-recrawl-replay")
+    val mem = s"graft_recrawl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    def deliverWave(name: String, df: DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-rc-$name")
+      df.select(to_json(struct(col("url"), col("r"), col("fp"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath, landing.resolve(s"$name.json"))
+      deleteRecursively(tmp)
+    }
+    deliverWave("wave1", fetches.filter(col("r") <= 2))
+    val q = recrawlStream(spark, landing.toString)
+      .toDF().writeStream.format("memory").queryName(mem)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      deliverWave("wave2", fetches.filter(col("r") > 2))
+      q.processAllAvailable()
+      for (n <- Seq(1, 2)) {
+        java.nio.file.Files.writeString(landing.resolve(s"zz-sentinel$n.json"),
+          s"""{"url": "zz-sentinel", "r": ${900000 + n}, "fp": "s"}""")
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); deleteRecursively(landing) }
+    graft.ext.UrlCanon.withRecrawlDerived(
+      spark.table(mem).filter(col("url") =!= "zz-sentinel"))
   }
 
   /** Streaming HTML main-content extraction — q226's chain on a LIVE

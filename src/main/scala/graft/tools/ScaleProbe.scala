@@ -488,6 +488,43 @@ object ScaleProbe {
           graft.ext.UrlCanon.resolveRedirects(
             d.select(i, url.as("url"), loc.as("loc")), "doc_id", "url", "loc")
         }),
+        run("cache_plan", {
+          // pure per-row projection (header reads + two date parses)
+          // — expected ~linear, no shuffle
+          val id = col("doc_id")
+          val raw = concat(lit("HTTP/1.1 200 OK\r\nDate: Mon, 12 Jan 2026 00:00:00 GMT"),
+            when(id % 3 === 0, concat(lit("\r\nCache-Control: max-age="),
+              (id % 9000).cast("string")))
+              .when(id % 3 === 1, concat(lit("\r\nExpires: Mon, 12 Jan 2026 0"),
+                (id % 10).cast("string"), lit(":30:00 GMT")))
+              .otherwise(lit("\r\nLast-Modified: Sun, 11 Jan 2026 03:00:00 GMT")),
+            lit("\r\nContent-Type: text/html\r\n\r\n"), col("text"))
+          graft.ext.HttpRecord.cachePlan(
+            d.repartition(32, id).select(id, raw.as("raw")), "doc_id", "raw")
+        }),
+        run("retry_backoff", {
+          // two keyed aggregates + one keyed join at host grain; host
+          // count grows with copies — expected ~linear
+          val id = col("doc_id")
+          val raw = when(id % 3 === 0, lit("HTTP/1.1 200 OK\r\n\r\nx"))
+            .otherwise(lit("HTTP/1.1 503 Service Unavailable\r\nRetry-After: 30\r\n\r\nx"))
+          val log = d.select(
+            concat(lit("h"), (id / 4L).cast("long").cast("string")).as("host"),
+            (id % 4L).as("attempt"), raw.as("raw"))
+          graft.ext.HttpRecord.retryBackoff(log, "host", "attempt", "raw")
+        }),
+        run("crawl_traps", {
+          // distinct + two family-grain aggregates — expected ~linear
+          val id = col("doc_id")
+          val url = concat(lit("http://h"), (id % 5000).cast("string"),
+            lit(".com"),
+            when(id % 2 === 0, concat(lit("/cal/"),
+              ((id * (id + 3) + 1) % 97).cast("string"), lit("/"),
+              ((id * (id + 7) + 5) % 89).cast("string")))
+              .otherwise(concat(lit("/s?k"), (id % 11).cast("string"),
+                lit("="), id.cast("string"))))
+          graft.ext.UrlCanon.crawlTrapStats(d.select(url.as("url")), "url")
+        }),
         run("link_density", {
           // pure per-row projection (sentinel chain + in-row HOF
           // density fold) — expected ~linear, no shuffle

@@ -113,4 +113,68 @@ class HttpRecordSpec extends SparkSpec {
     assert(got("u/raw") == ((Some(200), "full", "")),
       s"no separator -> empty header block -> full: ${got("u/raw")}")
   }
+
+  test("cachePlan: RFC 9111 precedence, clamps, heuristic, junk dates degrade") {
+    def plan(raws: (Long, String)*) =
+      HttpRecord.cachePlan(raws.toSeq.toDF("id", "raw"), "id", "raw")
+        .as[(Long, Option[Int], String, Long)].collect()
+        .map(r => r._1 -> ((r._3, r._4))).toMap
+    val date = "Date: Mon, 12 Jan 2026 00:00:00 GMT"
+    def raw(hdrs: String) =
+      s"HTTP/1.1 200 OK\r\n$date\r\n$hdrs\r\nContent-Type: text/html\r\n\r\nok"
+    val got = plan(
+      (1L, raw("Cache-Control: public, max-age=3600")),
+      // no-store beats a max-age in the SAME header value
+      (2L, raw("Cache-Control: max-age=600, no-store")),
+      (3L, raw("Cache-Control: no-cache")),
+      (4L, raw("Expires: Mon, 12 Jan 2026 02:30:00 GMT")),
+      // past Expires clamps to 0, mode still expires
+      (5L, raw("Expires: Sun, 11 Jan 2026 23:00:00 GMT")),
+      // heuristic: 10% of (Date - Last-Modified) = 86400/10
+      (6L, raw("Last-Modified: Sun, 11 Jan 2026 00:00:00 GMT")),
+      // garbled Expires degrades to the heuristic tier, never throws
+      (7L, raw("Expires: 0\r\nLast-Modified: Sun, 11 Jan 2026 12:00:00 GMT")),
+      (8L, raw("Server: g")),
+      // a max-age TOKEN inside another directive name must not match
+      (9L, raw("Cache-Control: x-max-age=99")))
+    assert(got(1L) == (("max_age", 3600L)))
+    assert(got(2L) == (("no_store", 0L)), s"precedence: ${got(2L)}")
+    assert(got(3L) == (("no_cache", 0L)))
+    assert(got(4L) == (("expires", 9000L)), s"2h30m = 9000s: ${got(4L)}")
+    assert(got(5L) == (("expires", 0L)), s"past Expires clamps: ${got(5L)}")
+    assert(got(6L) == (("heuristic", 8640L)))
+    assert(got(7L) == (("heuristic", 4320L)), s"junk date: ${got(7L)}")
+    assert(got(8L) == (("none", 0L)))
+    assert(got(9L) == (("none", 0L)), s"boundary match: ${got(9L)}")
+  }
+
+  test("retryBackoff: trailing streaks, latest-only Retry-After, give-up") {
+    def h(host: String, rs: (Long, String)*) =
+      rs.map { case (a, raw) => (host, a, raw) }
+    val ok200 = "HTTP/1.1 200 OK\r\n\r\nx"
+    val f503 = "HTTP/1.1 503 Service Unavailable\r\n\r\nx"
+    val log = (
+      h("clean", 1L -> ok200, 2L -> ok200) ++
+      // early failures fully recovered: streak 0
+      h("recovered", 1L -> f503, 2L -> f503, 3L -> ok200) ++
+      // latest carries Retry-After (honored); an EARLIER decoy ignored
+      h("asked", 1L -> ok200, 2L -> f503,
+        3L -> "HTTP/1.1 503 Service Unavailable\r\nRetry-After: 77\r\n\r\nx") ++
+      h("decoy", 1L -> "HTTP/1.1 503 X\r\nRetry-After: 999\r\n\r\nx",
+        2L -> f503) ++
+      // malformed (no status) counts as failure
+      h("garbled", 1L -> ok200, 2L -> "not http") ++
+      h("dead", (1L to 8L).map(a => a -> f503): _*)
+    ).toDF("host", "attempt", "raw")
+    val got = graft.ext.HttpRecord.retryBackoff(log, "host", "attempt", "raw")
+      .as[(String, Long, Option[Int], Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5, r._6))).toMap
+    assert(got("clean") == ((0L, "ok", 0L)))
+    assert(got("recovered") == ((0L, "ok", 0L)), s"${got("recovered")}")
+    assert(got("asked") == ((2L, "backoff", 77L)), s"${got("asked")}")
+    // decoy host: streak 2, no Retry-After on latest -> 5 * 2^1 = 10
+    assert(got("decoy") == ((2L, "backoff", 10L)), s"${got("decoy")}")
+    assert(got("garbled") == ((1L, "backoff", 5L)), s"base 5*2^0: ${got("garbled")}")
+    assert(got("dead") == ((8L, "gave_up", -1L)), s"${got("dead")}")
+  }
 }

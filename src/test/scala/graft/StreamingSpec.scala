@@ -484,4 +484,31 @@ class StreamingSpec extends SparkSpec {
     val both = spark.read.option("recursiveFileLookup", "true").parquet(out)
     assert(both.count() > once.size, "second batch must append its own dir")
   }
+
+  test("recrawlReplay == batch recrawlStats; fingerprint state survives the wave boundary") {
+    import graft.streaming.StreamingReports
+    // u/boundary's ONLY change is round 2 -> 3 — exactly the replay's
+    // wave split, so a correct result REQUIRES the carried state;
+    // u/hot changes every round, u/cold never, u/single has one fetch
+    val hist = (
+      Seq(1L, 2L, 3L, 4L).map(r => ("u/boundary", r, if (r <= 2) "a" else "b")) ++
+      Seq(1L, 2L, 3L).map(r => ("u/hot", r, s"v$r")) ++
+      Seq(1L, 2L, 3L).map(r => ("u/cold", r, "same")) ++
+      Seq(("u/single", 1L, "x"))
+    ).toDF("url", "r", "fp")
+    val got = StreamingReports.recrawlReplay(spark, hist)
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("u/boundary") == ((4L, 1L, 333333L, "warm")),
+      s"the round-2->3 change needs cross-batch state: ${got("u/boundary")}")
+    assert(got("u/hot") == ((3L, 2L, 1000000L, "hot")))
+    assert(got("u/cold") == ((3L, 0L, 0L, "cold")))
+    assert(got("u/single") == ((1L, 0L, 0L, "cold")))
+    // and the stream fold equals the batch operator row-for-row
+    val batch = graft.ext.UrlCanon.recrawlStats(hist, "url", "r", "fp")
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    val stream = StreamingReports.recrawlReplay(spark, hist)
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    assert(stream == batch, s"stream vs batch: ${stream.diff(batch)}")
+  }
 }

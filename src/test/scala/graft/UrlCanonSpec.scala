@@ -382,4 +382,38 @@ class UrlCanonSpec extends SparkSpec {
     assert(rds("/a.b/c", "/..x/y", "/.hidden/z", "/a/.../b")
       == Seq("/a.b/c", "/..x/y", "/.hidden/z", "/a/.../b"))
   }
+
+  test("crawlTrapStats: family grain, distinct urls, param keys, trap rule") {
+    val urls = (
+      // deep calendar family: 3 distinct urls (one duplicated), depth 5
+      Seq("http://t.com/cal/2026/01/02/x", "http://t.com/cal/2026/01/02/x",
+        "http://t.com/cal/2026/01/03/y", "http://t.com/cal/2026/02/01/z") ++
+      // param family: 4 urls, 4 distinct KEYS (values churn, keys repeat)
+      Seq("http://t.com/s?a=1&b=2", "http://t.com/s?a=9&c=2",
+        "http://t.com/s?d=1", "http://t.com/s?a=3&b=5") ++
+      // flat family: many urls, shallow, no params
+      (1 to 5).map(i => s"http://t.com/docs/$i") ++
+      // other host, same family name: separate grain
+      Seq("http://u.com/docs/1") ++
+      // unparseable: dropped
+      Seq("not a url")
+    ).toDF("url")
+    val got = graft.ext.UrlCanon
+      .crawlTrapStats(urls, "url", minUrls = 3L, deepAt = 5L, paramAt = 4L)
+      .as[(String, String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._7))).toMap
+    assert(got.size == 4, s"4 families: ${got.keySet}")
+    assert(got(("t.com", "cal")) == ((3L, 5L, 0L, true)),
+      s"dup url collapses, trap by depth: ${got(("t.com", "cal"))}")
+    assert(got(("t.com", "s")) == ((4L, 1L, 4L, true)),
+      s"4 distinct keys a/b/c/d, trap by params: ${got(("t.com", "s"))}")
+    assert(got(("t.com", "docs")) == ((5L, 2L, 0L, false)),
+      "n_urls passes but neither signal fires: the AND must hold")
+    assert(got(("u.com", "docs"))._1 == 1L, "host splits the family grain")
+    // avg_len is the integer mean over distinct urls
+    val lens = graft.ext.UrlCanon
+      .crawlTrapStats(urls, "url", minUrls = 3L, deepAt = 5L, paramAt = 4L)
+      .filter(col("family") === "cal").select("avg_len").as[Long].collect()
+    assert(lens.toSeq == Seq(29L), s"cal avg_len (all three are 29 chars): ${lens.toSeq}")
+  }
 }
