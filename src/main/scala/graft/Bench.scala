@@ -160,7 +160,8 @@ object Bench {
     "q248_http_parse_stream", "q249_link_density",
     "q250_domain_budget", "q251_conditional_fetch",
     "q252_content_drift", "q253_cache_policy", "q254_retry_backoff",
-    "q255_crawl_traps", "q256_recrawl_stream", "q257_refresh_plan")
+    "q255_crawl_traps", "q256_recrawl_stream", "q257_refresh_plan",
+    "q258_gopher_quality")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -626,4 +626,151 @@ object TextAnalysis {
       .select(col(idCol), col("n_pairs"), col("score_ppm"),
         col("unseen_ppm"), col("flag"))
   }
+
+  /** GOPHER-STYLE document quality rules (the Rae et al. 2021 filter
+    * family every large-scale text pipeline runs a variant of; also
+    * Dolma/RefinedWeb): per-document surface statistics plus a
+    * first-failing-rule verdict. Rules, in precedence order:
+    *
+    *   - `word_count`: n_words outside [minWords, maxWords]
+    *   - `word_len`:   integer mean word length ×100 outside
+    *                   [minLenC100, maxLenC100] (bounds INCLUSIVE)
+    *   - `symbol`:     `#`/`…` chars per word > maxSymbolPpm
+    *   - `bullet`:     fraction of lines starting with a bullet
+    *                   (`- `, `* `, `• `) > maxBulletPpm (STRICT)
+    *   - `ellipsis`:   fraction of lines ending `...`/`…` >
+    *                   maxEllipsisPpm (STRICT)
+    *   - `alpha`:      fraction of words containing a letter <
+    *                   minAlphaPpm
+    *   - `stopword`:   fewer than minStopHits hits on [[Stopwords]]
+    *   - `keep`
+    *
+    * All arithmetic is integer (ppm / ×100 integer-DIV) so the output
+    * certifies exactly. Words split on explicit whitespace
+    * `[ \t\r\n]+` (never `\s` — Java/RE2 class mismatch); lines on
+    * `\n` with no empty-trailing handling (CONTRACT: no trailing
+    * newline). Empty/whitespace-only/null text routes `word_count`
+    * with zeroed stats — every input classified exactly once.
+    *
+    * Shape: pure per-row projection — no shuffle, no UDF. The
+    * line/word rule counts run as interpreted HOF lambdas (filter
+    * over split arrays): CPU-bound per-row, so callers on a
+    * single-split corpus should repartition first (the q241 lesson).
+    */
+  def gopherQualityFlags(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minLenC100: Long = 300L, maxLenC100: Long = 1000L,
+      maxSymbolPpm: Long = 100000L, maxBulletPpm: Long = 900000L,
+      maxEllipsisPpm: Long = 300000L, minAlphaPpm: Long = 800000L,
+      minStopHits: Long = 2L): DataFrame = {
+    require(minWords > 0 && minWords <= maxWords &&
+      minLenC100 <= maxLenC100 && minStopHits >= 0,
+      s"bad gopher thresholds: words=[$minWords,$maxWords] len=[$minLenC100,$maxLenC100]")
+    val txt = coalesce(col(textCol), lit(""))
+    val staged = df
+      .withColumn("__words",
+        filter(split(trim(txt), "[ \t\r\n]+"), w => w =!= ""))
+      .withColumn("__lines", split(txt, "\n"))
+    val nW = size(col("__words")).cast("long")
+    val nL = size(col("__lines")).cast("long")
+    val wordChars = length(regexp_replace(txt, "[ \t\r\n]", "")).cast("long")
+    val symbols = size(regexp_extract_all(txt, lit("[#…]"), lit(0))).cast("long")
+    val bulletL = size(filter(col("__lines"),
+      l => l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("long")
+    val ellipsisL = size(filter(col("__lines"),
+      l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaW = size(filter(col("__words"), w => w.rlike("[A-Za-z]")))
+      .cast("long")
+    val stopHits = size(filter(tokens(txt), t => t.isin(Stopwords: _*)))
+      .cast("long")
+    val withStats = staged.select(col(idCol),
+      nW.as("n_words"), nL.as("n_lines"),
+      when(nW === 0, 0L).otherwise((wordChars * 100L) - pmod(wordChars * 100L, nW))
+        .as("__mc"),
+      when(nW === 0, 0L).otherwise((symbols * 1000000L) - pmod(symbols * 1000000L, nW))
+        .as("__sy"),
+      ((bulletL * 1000000L) - pmod(bulletL * 1000000L, nL)).as("__bu"),
+      ((ellipsisL * 1000000L) - pmod(ellipsisL * 1000000L, nL)).as("__el"),
+      when(nW === 0, 0L).otherwise((alphaW * 1000000L) - pmod(alphaW * 1000000L, nW))
+        .as("__al"),
+      stopHits.as("stop_hits"))
+    val out = withStats
+      .withColumn("mean_len_c100",
+        when(col("n_words") === 0, 0L)
+          .otherwise((col("__mc") / col("n_words")).cast("long")))
+      .withColumn("symbol_ppm",
+        when(col("n_words") === 0, 0L)
+          .otherwise((col("__sy") / col("n_words")).cast("long")))
+      .withColumn("bullet_ppm", (col("__bu") / col("n_lines")).cast("long"))
+      .withColumn("ellipsis_ppm", (col("__el") / col("n_lines")).cast("long"))
+      .withColumn("alpha_ppm",
+        when(col("n_words") === 0, 0L)
+          .otherwise((col("__al") / col("n_words")).cast("long")))
+      .drop("__mc", "__sy", "__bu", "__el", "__al")
+    out.withColumn("verdict",
+      when(col("n_words") < minWords || col("n_words") > maxWords,
+        lit("word_count"))
+        .when(col("mean_len_c100") < minLenC100 ||
+          col("mean_len_c100") > maxLenC100, lit("word_len"))
+        .when(col("symbol_ppm") > maxSymbolPpm, lit("symbol"))
+        .when(col("bullet_ppm") > maxBulletPpm, lit("bullet"))
+        .when(col("ellipsis_ppm") > maxEllipsisPpm, lit("ellipsis"))
+        .when(col("alpha_ppm") < minAlphaPpm, lit("alpha"))
+        .when(col("stop_hits") < minStopHits, lit("stopword"))
+        .otherwise(lit("keep")))
+  }
+
+  /** UNICODE SCRIPT profiling — the script-level complement to
+    * [[withLangGuess]] (which only sees Latin function words): counts
+    * LETTERS per script class (latin / cyrillic / cjk = Han+Hiragana+
+    * Katakana / arabic / other — digits and punctuation are script
+    * Common and count nowhere), the dominant script (argmax,
+    * declaration-order ties, "none" on zero letters), the second-
+    * largest script's share, and a `mixed` flag when that share
+    * STRICTLY exceeds maxSecondPpm — the mixed-script signature of
+    * spam/keyword-stuffed pages and wrong-script corpus leaks.
+    *
+    * Pure codegen'd projection: one regexp_count per class, integer
+    * ppm arithmetic, no UDF, no shuffle. Counts are per CHARACTER
+    * (all classes are single-codepoint), so the arithmetic certifies
+    * exactly.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "\\p{IsLatin}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "cjk" -> "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]",
+    "arabic" -> "\\p{IsArabic}")
+
+  def scriptProfile(
+      df: DataFrame, idCol: String, textCol: String,
+      maxSecondPpm: Long = 200000L): DataFrame = {
+    require(maxSecondPpm >= 0, s"bad maxSecondPpm: $maxSecondPpm")
+    val txt = coalesce(col(textCol), lit(""))
+    val counted = df.select(
+      (col(idCol) +:
+        ScriptClasses.map { case (n, re) =>
+          size(regexp_extract_all(txt, lit(re), lit(0))).cast("long").as(n)
+        }) :+
+        size(regexp_extract_all(txt, lit("\\p{L}"), lit(0))).cast("long")
+          .as("n_letters"): _*)
+      .withColumn("other",
+        col("n_letters") - ScriptClasses.map(c => col(c._1)).reduce(_ + _))
+    val names = ScriptClasses.map(_._1) :+ "other"
+    val best = greatest(names.map(col): _*)
+    val dominant = names.foldRight(lit("none")) { case (n, acc) =>
+      when(col(n) === best && best > 0, n).otherwise(acc)
+    }
+    val withDom = counted.withColumn("dominant", dominant)
+    val secondCount = greatest(names.map(n =>
+      when(col("dominant") === n, lit(-1L)).otherwise(col(n))): _*)
+    withDom
+      .withColumn("second_ppm",
+        when(col("n_letters") === 0, 0L).otherwise({
+          val sc = greatest(secondCount, lit(0L)) * 1000000L
+          ((sc - pmod(sc, col("n_letters"))) / col("n_letters")).cast("long")
+        }))
+      .withColumn("mixed", col("second_ppm") > maxSecondPpm)
+  }
 }

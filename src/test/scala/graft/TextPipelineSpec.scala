@@ -236,4 +236,50 @@ class TextPipelineSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("gopherQualityFlags: rule precedence, inclusive len bound, strict ppm bounds, degenerate text") {
+    def v(rows: (Long, String)*) =
+      TextAnalysis.gopherQualityFlags(
+        rows.toSeq.toDF("id", "text"), "id", "text", minWords = 5L)
+        .select(col("id"), col("verdict"))
+        .as[(Long, String)].collect().toMap
+    val fifty = Seq.fill(48)("word").mkString(" ") + " the and"
+    val got = v(
+      (1L, fifty),
+      (2L, "too few the and"),
+      // mean 15 chars/word
+      (3L, Seq.fill(48)("abcdefghijklmno").mkString(" ") + " the and"),
+      // '#' in >10% of words; mean len stays in range
+      (4L, Seq.fill(24)("wordy #").mkString(" ") + " the and"),
+      // 10 of 11 lines bulleted > 0.9
+      (5L, ("intro line with the and words here okay fine" +:
+        Seq.fill(10)("- item alpha beta")).mkString("\n")),
+      // 9 of 10 bulleted == 0.9 exactly: strict >, stays keep
+      (6L, ("intro line with the and words here okay fine" +:
+        Seq.fill(9)("- item alpha beta")).mkString("\n")),
+      // 2 of 5 lines end '...' > 0.3
+      (7L, (Seq.fill(3)("plain words the and here") ++
+        Seq.fill(2)("going on...")).mkString("\n")),
+      // digits-only words: alpha fraction 2/26 < 0.8
+      (8L, Seq.fill(24)("1234").mkString(" ") + " the and"),
+      (9L, Seq.fill(24)("word").mkString(" ")),
+      (10L, ""),
+      (11L, null))
+    assert(got(1L) == "keep", s"clean doc: ${got(1L)}")
+    assert(got(2L) == "word_count")
+    assert(got(3L) == "word_len")
+    assert(got(4L) == "symbol", s"symbol beats alpha in precedence: ${got(4L)}")
+    assert(got(5L) == "bullet")
+    assert(got(6L) == "keep", s"bullet bound is strict: ${got(6L)}")
+    assert(got(7L) == "ellipsis")
+    assert(got(8L) == "alpha")
+    assert(got(9L) == "stopword")
+    assert(got(10L) == "word_count", "empty text routes word_count")
+    assert(got(11L) == "word_count", "null text routes word_count")
+    // exact mean bound: 5 two-char words -> 200 < 300 fails; 5
+    // three-char words -> exactly 300 passes (inclusive)
+    val bounds = v((20L, "ab ab ab ab ab"), (21L, "the and the and the"))
+    assert(bounds(20L) == "word_len")
+    assert(bounds(21L) == "keep", s"mean exactly 300 is in range: ${bounds(21L)}")
+  }
 }
