@@ -2051,6 +2051,38 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── UNICODE script profile (TextAnalysis.scriptProfile): seven
+    // residue arms — pure latin; cyrillic-dominant with a 4-letter
+    // latin minority whose share 1e6/(k+1) crosses the STRICT
+    // 200000 mixed bound exactly at k=4 (k=2,3 mixed; k=4 exactly
+    // 200000 → keep; k>4 keep); han+hiragana+katakana all counting
+    // cjk with a latin minority; arabic; greek routing to `other`;
+    // an exact latin==cyrillic tie certifying declaration-order
+    // argmax (latin wins, second=500000 → mixed); digits/punct only
+    // → dominant 'none'. Every letter count is closed-form in the
+    // residues, so the oracle is independent arithmetic — it shares
+    // no regex with the operator (Java \p{IsX} classes never appear
+    // oracle-side). ──
+    "q259_script_profile" -> ((s, dir) => {
+      val id = col("doc_id")
+      val k = lit(2) + id % 20
+      val text = when(id % 7 === 0, repeat(lit("word "), k))
+        .when(id % 7 === 1,
+          concat(repeat(lit("мира "), k), lit("word")))
+        .when(id % 7 === 2,
+          concat(repeat(lit("漢字 "), k), repeat(lit("ひら "), k),
+            repeat(lit("カタ "), k), lit("word")))
+        .when(id % 7 === 3, repeat(lit("مرحب "), k))
+        .when(id % 7 === 4, repeat(lit("αβγδ "), k))
+        .when(id % 7 === 5,
+          concat(repeat(lit("word "), k), repeat(lit("мира "), k)))
+        .otherwise(repeat(lit("1234 #! "), k))
+      graft.ext.TextAnalysis.scriptProfile(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id, text.as("text")),
+        "doc_id", "text")
+    }),
+
     // ── per-host Crawl-delay (UrlCanon.parseCrawlDelays): the delay
     // is GROUP-scoped per RFC 9309, so the %4=0 hosts — whose
     // specific graftbot group declares NO delay — emit NO row even
@@ -6623,6 +6655,43 @@ object SparkEntry {
         |       WHEN a_ppm < 800000 THEN 'alpha'
         |       WHEN sh < 2 THEN 'stopword'
         |       ELSE 'keep' END AS verdict
+        |FROM d""".stripMargin,
+
+    // script-profile mirror: per-class letter counts are closed-form
+    // in the residues (no regex anywhere oracle-side — fully
+    // independent of the operator's \p{IsX} classes); dominant /
+    // second / mixed re-derived by arm arithmetic
+    "q259_script_profile" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 7 AS a, 2 + doc_id % 20 AS k
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, a, k,
+        |    CASE a WHEN 0 THEN 4*k WHEN 1 THEN 4 WHEN 2 THEN 4
+        |      WHEN 5 THEN 4*k ELSE 0 END AS latin,
+        |    CASE a WHEN 1 THEN 4*k WHEN 5 THEN 4*k ELSE 0 END AS cyrillic,
+        |    CASE a WHEN 2 THEN 6*k ELSE 0 END AS cjk,
+        |    CASE a WHEN 3 THEN 4*k ELSE 0 END AS arabic,
+        |    CASE a WHEN 4 THEN 4*k ELSE 0 END AS other
+        |  FROM p),
+        |d AS (
+        |  SELECT *, latin+cyrillic+cjk+arabic+other AS n_letters,
+        |    CASE a WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic'
+        |      WHEN 2 THEN 'cjk' WHEN 3 THEN 'arabic' WHEN 4 THEN 'other'
+        |      WHEN 5 THEN 'latin' ELSE 'none' END AS dominant,
+        |    CASE a WHEN 1 THEN 4 WHEN 2 THEN 4 WHEN 5 THEN 4*k
+        |      ELSE 0 END AS second_cnt
+        |  FROM m)
+        |SELECT doc_id, CAST(latin AS BIGINT) AS latin,
+        |  CAST(cyrillic AS BIGINT) AS cyrillic, CAST(cjk AS BIGINT) AS cjk,
+        |  CAST(arabic AS BIGINT) AS arabic,
+        |  CAST(n_letters AS BIGINT) AS n_letters,
+        |  CAST(other AS BIGINT) AS other, dominant,
+        |  CAST(CASE WHEN n_letters = 0 THEN 0
+        |    ELSE second_cnt * 1000000 // n_letters END AS BIGINT)
+        |    AS second_ppm,
+        |  CASE WHEN n_letters = 0 THEN FALSE
+        |    ELSE second_cnt * 1000000 // n_letters > 200000 END AS mixed
         |FROM d""".stripMargin,
 
     // crawl-delay mirror: star-group delays arithmetic; %4=0 hosts

@@ -282,4 +282,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(bounds(20L) == "word_len")
     assert(bounds(21L) == "keep", s"mean exactly 300 is in range: ${bounds(21L)}")
   }
+
+  test("scriptProfile: declaration-order ties, none on zero letters, strict mixed bound, common chars count nowhere") {
+    val rows = Seq(
+      (1L, "plain latin words only"),
+      (2L, "мира мира word"),            // cyr 8, lat 4: 333333 > 200000
+      (3L, "мира мира мира мира word"),  // cyr 16, lat 4: exactly 200000
+      (4L, "word мира"),                 // exact 4-4 tie -> latin wins
+      (5L, "1234 #!%"),                  // no letters
+      (6L, "漢字 ひら カタ"),             // all three cjk blocks
+      (7L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = TextAnalysis.scriptProfile(rows, "id", "text")
+      .select(col("id"), col("dominant"), col("second_ppm"), col("mixed"))
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("latin", 0L, false)))
+    assert(got(2L) == (("cyrillic", 333333L, true)))
+    assert(got(3L) == (("cyrillic", 200000L, false)),
+      s"200000 exactly is NOT mixed (strict bound): ${got(3L)}")
+    assert(got(4L) == (("latin", 500000L, true)),
+      s"exact tie resolves in declaration order: ${got(4L)}")
+    assert(got(5L) == (("none", 0L, false)))
+    assert(got(6L)._1 == "cjk")
+    assert(got(7L) == (("none", 0L, false)), "null text routes none")
+    // digits/punct are script Common: n_letters counts none of them
+    val counts = TextAnalysis.scriptProfile(
+      Seq((1L, "ab12!?cd")).toDF("id", "text"), "id", "text")
+      .select(col("latin"), col("n_letters"), col("other"))
+      .as[(Long, Long, Long)].collect().head
+    assert(counts == ((4L, 4L, 0L)), s"common chars counted: $counts")
+  }
 }
