@@ -2083,6 +2083,60 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── GOPHER repetition rules (TextAnalysis.repetitionFlags): five
+    // residue arms over uniform 10-word/4-char-word lines (49 chars
+    // with separators, 40 without — every metric closed-form). Arms:
+    // clean distinct lines; R appended copies of one line (serves
+    // dup_line, dup_line_char, dup_5gram AND the exact strict
+    // boundary — R=4,NL=11 puts dup_line_char at 200000 exactly);
+    // 3-line distinct paragraphs + R+1 copies of a 1-line paragraph
+    // (para dup fraction exceeds line dup fraction, so dup_para
+    // fires first); a 3×-per-line repeated bigram with per-line
+    // distinct padding (top_2gram, no dup lines/5-grams); an 8-word
+    // shared phrase with distinct end words (4 shared 5-grams/line →
+    // dup_5gram while top2 stays ≤200000 by construction). ──
+    "q260_repetition_rules" -> ((s, dir) => {
+      val id = col("doc_id")
+      val nl = lit(5) + id % 10
+      val r = (lit(2) + id % 6).cast("int")
+      def wrd(i: Column): Column = format_string("w%03d", i)
+      def lineOf(j: Column): Column =
+        concat_ws(" ", transform(sequence(lit(0), lit(9)),
+          k => wrd(j * 10 + k)))
+      val fillers = concat_ws("\n",
+        transform(sequence(lit(0), nl - 1), j => lineOf(j)))
+      val line90 = lit(
+        "w900 w901 w902 w903 w904 w905 w906 w907 w908 w909")
+      val text = when(id % 5 === 0, fillers)
+        .when(id % 5 === 1,
+          concat(fillers, lit("\n"),
+            concat_ws("\n", array_repeat(line90, r))))
+        .when(id % 5 === 2,
+          concat_ws("\n\n", concat(
+            transform(sequence(lit(0), nl - 1), i =>
+              concat_ws("\n", lineOf(i * 3), lineOf(i * 3 + 1),
+                lineOf(i * 3 + 2))),
+            array_repeat(line90, r + 1))))
+        .when(id % 5 === 3,
+          concat(fillers, lit("\n"),
+            concat_ws("\n", transform(sequence(lit(0), r - 1), j =>
+              concat_ws(" ", lit("w900"), lit("w901"),
+                wrd(j * 4 + 200), wrd(j * 4 + 201),
+                lit("w900"), lit("w901"),
+                wrd(j * 4 + 202), wrd(j * 4 + 203),
+                lit("w900"), lit("w901"))))))
+        .otherwise(
+          concat(fillers, lit("\n"),
+            concat_ws("\n", transform(sequence(lit(0), r - 1), j =>
+              concat_ws(" ", wrd(j * 2 + 300),
+                lit("w900 w901 w902 w903 w904 w905 w906 w907"),
+                wrd(j * 2 + 301))))))
+      graft.ext.TextAnalysis.repetitionFlags(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id, text.as("text")),
+        "doc_id", "text")
+    }),
+
     // ── per-host Crawl-delay (UrlCanon.parseCrawlDelays): the delay
     // is GROUP-scoped per RFC 9309, so the %4=0 hosts — whose
     // specific graftbot group declares NO delay — emit NO row even
@@ -6692,6 +6746,51 @@ object SparkEntry {
         |    AS second_ppm,
         |  CASE WHEN n_letters = 0 THEN FALSE
         |    ELSE second_cnt * 1000000 // n_letters > 200000 END AS mixed
+        |FROM d""".stripMargin,
+
+    // repetition-rules mirror: uniform-line geometry makes every
+    // count closed-form — lines are 10 words x 4 chars (49 chars with
+    // separators, 40 without), 9 2-grams and 6 5-grams per line. The
+    // duplicate/coverage counts per arm are pure residue arithmetic;
+    // the ppm divisions and the verdict CASE mirror the operator.
+    "q260_repetition_rules" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 5 AS a, 5 + doc_id % 10 AS nl,
+        |    2 + doc_id % 6 AS r
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, a, nl, r,
+        |    CASE a WHEN 0 THEN nl WHEN 2 THEN 3*nl + r + 1
+        |      ELSE nl + r END AS n_lines,
+        |    CASE a WHEN 2 THEN nl + r + 1 ELSE 1 END AS n_paras,
+        |    CASE a WHEN 1 THEN r - 1 WHEN 2 THEN r ELSE 0 END AS ndl,
+        |    CASE a WHEN 2 THEN r ELSE 0 END AS ndp,
+        |    CASE a WHEN 0 THEN 8 WHEN 1 THEN 8*r WHEN 2 THEN 8*(r+1)
+        |      WHEN 3 THEN 24*r ELSE 8*r END AS cov2,
+        |    CASE a WHEN 1 THEN 6*r WHEN 2 THEN 6*(r+1) WHEN 4 THEN 4*r
+        |      ELSE 0 END AS d5
+        |  FROM p),
+        |d AS (
+        |  SELECT doc_id, n_lines, n_paras,
+        |    ndl * 1000000 // n_lines AS dl_ppm,
+        |    ndp * 1000000 // n_paras AS dp_ppm,
+        |    (49 * ndl) * 1000000 // (49 * n_lines) AS dlc_ppm,
+        |    cov2 * 1000000 // (40 * n_lines) AS t2_ppm,
+        |    d5 * 1000000 // (6 * n_lines) AS d5_ppm
+        |  FROM c)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_paras AS BIGINT) AS n_paras,
+        |  CAST(dl_ppm AS BIGINT) AS dup_line_ppm,
+        |  CAST(dp_ppm AS BIGINT) AS dup_para_ppm,
+        |  CAST(dlc_ppm AS BIGINT) AS dup_line_char_ppm,
+        |  CAST(t2_ppm AS BIGINT) AS top_2gram_char_ppm,
+        |  CAST(d5_ppm AS BIGINT) AS dup_5gram_ppm,
+        |  CASE WHEN dl_ppm > 300000 THEN 'dup_line'
+        |       WHEN dp_ppm > 300000 THEN 'dup_para'
+        |       WHEN dlc_ppm > 200000 THEN 'dup_line_char'
+        |       WHEN t2_ppm > 200000 THEN 'top_2gram'
+        |       WHEN d5_ppm > 150000 THEN 'dup_5gram'
+        |       ELSE 'keep' END AS verdict
         |FROM d""".stripMargin,
 
     // crawl-delay mirror: star-group delays arithmetic; %4=0 hosts

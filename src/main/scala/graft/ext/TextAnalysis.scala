@@ -773,4 +773,109 @@ object TextAnalysis {
         }))
       .withColumn("mixed", col("second_ppm") > maxSecondPpm)
   }
+
+  /** GOPHER-STYLE repetition rules (the second half of the Rae et al.
+    * 2021 filter family; [[gopherQualityFlags]] is the first): how
+    * much of a document is the same content repeated. Metrics, all
+    * integer ppm:
+    *
+    *   - `dup_line_ppm`:      duplicate-line occurrences (beyond each
+    *                          line's first) / nonempty lines
+    *   - `dup_para_ppm`:      same at paragraph grain (paragraphs =
+    *                          `\n\n+`-separated blocks)
+    *   - `dup_line_char_ppm`: characters in duplicate line occurrences
+    *                          / characters in all nonempty lines
+    *                          (intra-line spaces INCLUDED)
+    *   - `top_2gram_char_ppm`: max over word 2-grams of
+    *                          count × (chars of the two words), /
+    *                          non-whitespace chars — "how much of the
+    *                          text is one repeated bigram"
+    *   - `dup_5gram_ppm`:     5-gram occurrences whose gram appears
+    *                          ≥2 times / all 5-gram occurrences
+    *
+    * Word n-grams are line-scoped (never cross `\n`) and split on
+    * explicit `[ \t\r]+`. Verdict is the FIRST failing rule in paper
+    * order — dup_line, dup_para, dup_line_char, top_2gram, dup_5gram —
+    * all bounds STRICT `>`; empty/null text yields all-zero metrics
+    * and `keep` (emptiness is [[gopherQualityFlags]]'s word_count
+    * rule, not a repetition signal).
+    *
+    * Shape: the per-document stats are HOF projections; the n-gram
+    * counts explode to (doc, gram) grain and aggregate back to doc —
+    * the shuffle key is (doc, gram) so no group ever exceeds one
+    * document's grams (never corpus-wide, never doc²). The staged
+    * frame feeds three consumers (stats, 2-grams, 5-grams) and is
+    * localCheckpoint'd once. CPU-bound HOF work: callers on a
+    * single-split corpus should repartition first (the q241 lesson).
+    */
+  def repetitionFlags(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDupLinePpm: Long = 300000L, maxDupParaPpm: Long = 300000L,
+      maxDupLineCharPpm: Long = 200000L, maxTop2gramCharPpm: Long = 200000L,
+      maxDup5gramPpm: Long = 150000L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val emptyArr = array().cast("array<string>")
+    def gramsOf(n: Int): Column = flatten(transform(col("__lw"), ws =>
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n), i =>
+          concat_ws(" ", (1 to n).map(j => element_at(ws, i + j)): _*)))
+        .otherwise(emptyArr)))
+    val staged = df
+      .select(col(idCol), txt.as("__txt"))
+      .withColumn("__lines", filter(split(col("__txt"), "\n"), l => l =!= ""))
+      .withColumn("__paras",
+        filter(split(col("__txt"), "\n\n+"), p => p =!= ""))
+      .withColumn("__lw", transform(col("__lines"),
+        l => filter(split(l, "[ \t\r]+"), w => w =!= "")))
+      .withColumn("__g2", gramsOf(2))
+      .withColumn("__g5", gramsOf(5))
+      .localCheckpoint()
+    val nLines = size(col("__lines")).cast("long")
+    val nParas = size(col("__paras")).cast("long")
+    val charsOf = (a: Column) =>
+      aggregate(a, lit(0L), (acc, l) => acc + length(l))
+    val base = staged.select(col(idCol),
+      nLines.as("n_lines"), nParas.as("n_paras"),
+      (nLines - size(array_distinct(col("__lines")))).as("__ndl"),
+      (nParas - size(array_distinct(col("__paras")))).as("__ndp"),
+      charsOf(col("__lines")).as("__lc"),
+      charsOf(array_distinct(col("__lines"))).as("__dlc"),
+      length(regexp_replace(col("__txt"), "[ \t\r\n]", "")).cast("long")
+        .as("__wc"))
+    val g2 = staged.select(col(idCol), explode(col("__g2")).as("__g"))
+      .groupBy(col(idCol), col("__g")).count()
+      .groupBy(col(idCol))
+      .agg(max(col("count") * (length(col("__g")) - 1).cast("long"))
+        .as("__cov2"))
+    val g5 = staged.select(col(idCol), explode(col("__g5")).as("__g"))
+      .groupBy(col(idCol), col("__g")).count()
+      .groupBy(col(idCol))
+      .agg(sum(when(col("count") >= 2L, col("count")).otherwise(0L))
+        .as("__d5"),
+        sum(col("count")).as("__t5"))
+    def ppm(n: Column, d: Column): Column = {
+      val scaled = n.cast("long") * 1000000L
+      when(d === 0L, 0L)
+        .otherwise(((scaled - pmod(scaled, d)) / d).cast("long"))
+    }
+    base
+      .join(g2, Seq(idCol), "left").join(g5, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("n_paras"),
+        ppm(col("__ndl"), col("n_lines")).as("dup_line_ppm"),
+        ppm(col("__ndp"), col("n_paras")).as("dup_para_ppm"),
+        ppm(col("__lc") - col("__dlc"), col("__lc")).as("dup_line_char_ppm"),
+        ppm(coalesce(col("__cov2"), lit(0L)), col("__wc"))
+          .as("top_2gram_char_ppm"),
+        ppm(coalesce(col("__d5"), lit(0L)), coalesce(col("__t5"), lit(0L)))
+          .as("dup_5gram_ppm"))
+      .withColumn("verdict",
+        when(col("dup_line_ppm") > maxDupLinePpm, lit("dup_line"))
+          .when(col("dup_para_ppm") > maxDupParaPpm, lit("dup_para"))
+          .when(col("dup_line_char_ppm") > maxDupLineCharPpm,
+            lit("dup_line_char"))
+          .when(col("top_2gram_char_ppm") > maxTop2gramCharPpm,
+            lit("top_2gram"))
+          .when(col("dup_5gram_ppm") > maxDup5gramPpm, lit("dup_5gram"))
+          .otherwise(lit("keep")))
+  }
 }

@@ -313,4 +313,54 @@ class TextPipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(counts == ((4L, 4L, 0L)), s"common chars counted: $counts")
   }
+
+  test("repetitionFlags: rule precedence, line-scoped grams, strict top-2gram bound, degenerate text") {
+    def v(rows: (Long, String)*) =
+      TextAnalysis.repetitionFlags(rows.toSeq.toDF("id", "text"),
+        "id", "text")
+        .select(col("id"), col("verdict"))
+        .as[(Long, String)].collect().toMap
+    val sharedMid = "w900 w901 w902 w903 w904 w905 w906 w907"
+    val got = v(
+      // 2 dup occurrences of 4 lines > 0.3
+      (1L, "line one a\nline two b\nline one a\nline one a"),
+      // 2 distinct 3-line paras + 3 copies of a 1-line para:
+      // paras 2/5 = 400000 fires; lines 2/9 = 222222 passes the
+      // dup_line gate AND the char gate never fires first because
+      // dup_para precedes it in paper order
+      (2L, Seq(
+        "pa a1 b1 c1 d1\npa a2 b2 c2 d2\npa a3 b3 c3 d3",
+        "pb a4 b4 c4 d4\npb a5 b5 c5 d5\npb a6 b6 c6 d6",
+        "zz yy", "zz yy", "zz yy").mkString("\n\n")),
+      // one line, (aa,bb) 3x: coverage 12 of 20 chars = 600000
+      (3L, "aa bb x1 x2 aa bb x3 x4 aa bb"),
+      // shared 8-word mid phrase, distinct ends: top2 = 2*8/80
+      // = 200000 EXACTLY (strict bound passes) then 4 shared
+      // 5-grams x2 of 12 = 666666 fires dup_5gram
+      (4L, s"y000 $sharedMid y001\ny002 $sharedMid y003"),
+      (5L, ""),
+      (6L, null),
+      (7L, "hello"),
+      // same bigram twice but on DIFFERENT lines with nothing else
+      // shared: grams are line-scoped so (qq,rr) counts 2: coverage
+      // 2*4=8 of 12 chars = 666666 -> top_2gram (and NOT dup_line:
+      // lines differ by the third word)
+      (8L, "qq rr s1\nqq rr s2"))
+    assert(got(1L) == "dup_line")
+    assert(got(2L) == "dup_para", s"para precedence: ${got(2L)}")
+    assert(got(3L) == "top_2gram")
+    assert(got(4L) == "dup_5gram",
+      s"top2 exactly 200000 is strict-pass: ${got(4L)}")
+    assert(got(5L) == "keep", "empty text keeps (emptiness is q258's rule)")
+    assert(got(6L) == "keep")
+    assert(got(7L) == "keep", "no grams, no lines repeated")
+    assert(got(8L) == "top_2gram", s"line-scoped bigram count: ${got(8L)}")
+    // metric spot-check: doc 1 has 4 lines, 2 dup occurrences
+    val m = TextAnalysis.repetitionFlags(
+      Seq((1L, "line one a\nline two b\nline one a\nline one a"))
+        .toDF("id", "text"), "id", "text")
+      .select(col("n_lines"), col("dup_line_ppm"), col("dup_line_char_ppm"))
+      .as[(Long, Long, Long)].collect().head
+    assert(m == ((4L, 500000L, 500000L)), s"metrics: $m")
+  }
 }
