@@ -2137,6 +2137,33 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── corpus-wide paragraph dedup, keep-first (Dedup.
+    // dedupParagraphsCorpus): four arms — shared-head/unique/shared-
+    // tail; within-doc exact repeat (dedups to one); all-shared doc
+    // (n_kept=0 unless it is the global first for its residue);
+    // shared + unique behind a TRIPLE newline (certifies the \n\n+
+    // separator regex and the canonical \n\n rebuild). Keep-first
+    // truth is the min (doc,pos) packing; the oracle re-derives it
+    // with a window over the raw paragraph strings — a different
+    // derivation of the same contract. ──
+    "q261_para_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      def pShared(k: Column): Column =
+        format_string("shared block %d lorem ipsum dolor", k)
+      val u0 = format_string("unique zero %d alpha beta gamma", id)
+      val u1 = format_string("unique one %d delta epsilon", id)
+      val u3 = format_string("unique three %d zeta eta", id)
+      val text = when(id % 4 === 0,
+          concat_ws("\n\n", pShared(id % 7), u0, pShared((id + 3) % 7)))
+        .when(id % 4 === 1, concat_ws("\n\n", u1, u1))
+        .when(id % 4 === 2, pShared(id % 7))
+        .otherwise(concat(pShared(id % 7), lit("\n\n\n"), u3))
+      graft.ext.Dedup.dedupParagraphsCorpus(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id, text.as("text")),
+        "doc_id", "text")
+    }),
+
     // ── per-host Crawl-delay (UrlCanon.parseCrawlDelays): the delay
     // is GROUP-scoped per RFC 9309, so the %4=0 hosts — whose
     // specific graftbot group declares NO delay — emit NO row even
@@ -6792,6 +6819,53 @@ object SparkEntry {
         |       WHEN d5_ppm > 150000 THEN 'dup_5gram'
         |       ELSE 'keep' END AS verdict
         |FROM d""".stripMargin,
+
+    // paragraph-dedup mirror: same fixture arms, keep-first re-derived
+    // with a min() window over raw paragraph strings (the operator
+    // packs (id,pos) into a long and hash-argmins), string_agg ORDER
+    // BY pos rebuild
+    "q261_para_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'shared block ' || CAST(doc_id % 7 AS VARCHAR)
+        |        || ' lorem ipsum dolor' || chr(10) || chr(10)
+        |        || 'unique zero ' || CAST(doc_id AS VARCHAR)
+        |        || ' alpha beta gamma' || chr(10) || chr(10)
+        |        || 'shared block ' || CAST((doc_id + 3) % 7 AS VARCHAR)
+        |        || ' lorem ipsum dolor'
+        |      WHEN 1 THEN 'unique one ' || CAST(doc_id AS VARCHAR)
+        |        || ' delta epsilon' || chr(10) || chr(10)
+        |        || 'unique one ' || CAST(doc_id AS VARCHAR)
+        |        || ' delta epsilon'
+        |      WHEN 2 THEN 'shared block ' || CAST(doc_id % 7 AS VARCHAR)
+        |        || ' lorem ipsum dolor'
+        |      ELSE 'shared block ' || CAST(doc_id % 7 AS VARCHAR)
+        |        || ' lorem ipsum dolor' || chr(10) || chr(10) || chr(10)
+        |        || 'unique three ' || CAST(doc_id AS VARCHAR) || ' zeta eta'
+        |    END AS text
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\n\n+'),
+        |      p -> p <> '') AS ps
+        |  FROM raw),
+        |exx AS (
+        |  SELECT doc_id, unnest(ps) AS para,
+        |    generate_subscripts(ps, 1) - 1 AS pos
+        |  FROM pl),
+        |k AS (
+        |  SELECT doc_id, para, pos, doc_id * 1048576 + pos AS enc,
+        |    min(doc_id * 1048576 + pos) OVER (PARTITION BY para) AS keep
+        |  FROM exx),
+        |r AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+        |  FROM k WHERE enc = keep GROUP BY doc_id)
+        |SELECT pl.doc_id, CAST(len(pl.ps) AS BIGINT) AS n_paras,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.text_dedup, '') AS text_dedup
+        |FROM pl LEFT JOIN r ON pl.doc_id = r.doc_id""".stripMargin,
 
     // crawl-delay mirror: star-group delays arithmetic; %4=0 hosts
     // (specific group, no delay line) must be ABSENT

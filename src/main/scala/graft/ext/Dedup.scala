@@ -637,4 +637,54 @@ object Dedup {
       .select(col(idCol), col("__s"), (col("__s") + (n - 1)).as("__e"))
     graft.operators.Intervals.coalesceIntervals(hits, idCol, "__s", "__e")
   }
+
+  /** CORPUS-WIDE exact paragraph dedup, keep-first (the CCNet/Dolma
+    * paragraph-dedup step): every paragraph occurrence except its
+    * globally first — ordered by (doc, position) — is dropped, and
+    * each document is rebuilt from its surviving paragraphs in
+    * original order (re-joined with a canonical `\n\n`; `\n{3,}`
+    * separators do not round-trip). Within-doc repeats dedup too.
+    * Every input doc gets exactly one output row — a doc whose every
+    * paragraph occurred earlier comes back with n_kept=0 and
+    * text_dedup=''.
+    *
+    * Paragraphs are `\n\n+`-separated nonempty blocks. CONTRACT: ids
+    * are nonnegative and < 2^43, and a doc has < 2^20 paragraphs —
+    * (id, pos) packs into one LONG so the keep-first argmin is a
+    * primitive-buffer hash aggregate (max_by/min-struct falls off
+    * HashAggregateExec; BASELINE.md round-12).
+    *
+    * Scale shape: shuffles at (paragraph-hash) grain for the argmin
+    * and at doc grain for the rebuild — never corpus² and no global
+    * sort; group sizes are bounded by the hottest paragraph's
+    * occurrence count (the argmin is a partial-aggregable min, so
+    * map-side combine collapses hot keys before the exchange). The
+    * exploded frame feeds the argmin and the keep join and is
+    * localCheckpoint'd once.
+    */
+  def dedupParagraphsCorpus(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = filter(
+      split(coalesce(col(textCol), lit("")), "\n\n+"), p => p =!= "")
+    val ex = df
+      .select(col(idCol), posexplode(paras).as(Seq("__pos", "__para")))
+      .withColumn("__fp", md5(col("__para")))
+      .withColumn("__enc",
+        col(idCol).cast("long") * 1048576L + col("__pos"))
+      .localCheckpoint()
+    val firsts = ex.groupBy(col("__fp"))
+      .agg(min(col("__enc")).as("__keep"))
+    val kept = ex.join(firsts, Seq("__fp"))
+      .where(col("__enc") === col("__keep"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n\n", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__para")))),
+        s => s.getField("__para"))).as("text_dedup"))
+    df.select(col(idCol), size(paras).cast("long").as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

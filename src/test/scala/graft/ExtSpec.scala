@@ -816,4 +816,28 @@ class ExtSpec extends SparkSpec {
     assert(got("u/gap") == ((2L, 0L, 0L, false)),
       s"shingle-less revision must drop, leaving equal neighbors: ${got("u/gap")}")
   }
+
+  test("dedupParagraphsCorpus: global keep-first by (doc,pos), within-doc repeats, all-dropped docs, \\n\\n+ separators") {
+    val df = Seq(
+      (3L, "SHARED A\n\nonly in three"),     // first SHARED A (id 3 < 7)
+      (7L, "SHARED A\n\nonly in seven\n\nSHARED B"),
+      (9L, "SHARED B\n\n\nSHARED A"),        // triple sep; both dropped
+      (5L, "twice\n\ntwice"),                // within-doc repeat
+      (6L, ""),
+      (8L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = Dedup.dedupParagraphsCorpus(df, "id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 6, "every input doc gets exactly one row")
+    assert(got(3L) == ((2L, 2L, "SHARED A\n\nonly in three")))
+    assert(got(7L) == ((3L, 2L, "only in seven\n\nSHARED B")),
+      s"SHARED A first seen in doc 3: ${got(7L)}")
+    assert(got(9L) == ((2L, 0L, "")),
+      s"doc of only-seen-before paragraphs empties: ${got(9L)}")
+    assert(got(5L) == ((2L, 1L, "twice")),
+      s"within-doc repeat keeps first position only: ${got(5L)}")
+    assert(got(6L) == ((0L, 0L, "")))
+    assert(got(8L) == ((0L, 0L, "")), "null text is an empty doc")
+  }
 }
