@@ -2164,6 +2164,20 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── token-budget selection (Sampling.selectByBudget): quadratic-
+    // residue scores give ~10-way ties per score value, so the
+    // (score DESC, id ASC) tie-break is load-bearing in every
+    // cum_cost — the hash gate certifies the total order, not just
+    // the cut. Budget 20000 lands the cut mid-corpus at sf0.01. ──
+    "q262_budget_select" -> ((s, dir) => {
+      val id = col("doc_id")
+      graft.operators.Sampling.selectByBudget(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id, ((id * id) % 50).cast("long").as("score"),
+            (lit(50) + id % 100).cast("long").as("cost")),
+        "doc_id", "score", "cost", 20000L)
+    }),
+
     // ── per-host Crawl-delay (UrlCanon.parseCrawlDelays): the delay
     // is GROUP-scoped per RFC 9309, so the %4=0 hosts — whose
     // specific graftbot group declares NO delay — emit NO row even
@@ -6866,6 +6880,24 @@ object SparkEntry {
         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(r.text_dedup, '') AS text_dedup
         |FROM pl LEFT JOIN r ON pl.doc_id = r.doc_id""".stripMargin,
+
+    // budget-select mirror: the single-window running sum the operator
+    // deliberately avoids — independent truth for the distributed
+    // prefix-sum plan
+    "q262_budget_select" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id*doc_id) % 50 AS score,
+        |    50 + doc_id % 100 AS cost
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, score, cost,
+        |    sum(cost) OVER (ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM p)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score,
+        |  CAST(cost AS BIGINT) AS cost, CAST(cum AS BIGINT) AS cum_cost,
+        |  cum <= 20000 AS selected
+        |FROM c""".stripMargin,
 
     // crawl-delay mirror: star-group delays arithmetic; %4=0 hosts
     // (specific group, no delay line) must be ABSENT

@@ -269,4 +269,32 @@ class SamplingSpec extends SparkSpec {
     val plan = picked.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
   }
+
+  test("selectByBudget: greedy prefix by (score desc, id), inclusive boundary, partitioning-invariant") {
+    // heavy score ties force the id tie-break to carry every cum_cost
+    val rows = (1L to 90L).map(i => (i, (i * i) % 7, 10L + i % 5))
+    val base = rows.toDF("id", "score", "cost")
+    // reference: driver-side greedy over the same total order
+    val ordered = rows.sortBy { case (i, s, _) => (-s, i) }
+    val cums = ordered.scanLeft(0L)(_ + _._3).tail
+    val want = ordered.zip(cums)
+      .map { case ((i, _, _), c) => i -> ((c, c <= 400L)) }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.selectByBudget(df, "id", "score", "cost", 400L)
+        .select(col("id"), col("cum_cost"), col("selected"))
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = run(base.repartition(7))
+    assert(got == want, "distributed prefix sum must equal the greedy reference")
+    assert(run(base.repartition(13, col("id"))) == got,
+      "result must not depend on input partitioning")
+    // inclusive boundary: budget exactly on a cum_cost selects that row
+    val exact = Sampling.selectByBudget(
+      Seq((1L, 5L, 100L), (2L, 4L, 100L), (3L, 3L, 100L))
+        .toDF("id", "score", "cost"), "id", "score", "cost", 200L)
+      .select(col("id"), col("selected")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(exact == Map(1L -> true, 2L -> true, 3L -> false),
+      s"cum==budget is selected: $exact")
+  }
 }
