@@ -158,6 +158,40 @@ object SparkEntry {
     docs.select(id, raw.as("raw"))
   }
 
+  /** Nine-arm gopher-quality fixture (q258 + its streaming twin
+    * q263): every metric closed-form in the residues — see the q258
+    * entry comment for the arm-by-arm design.
+    */
+  private def gopherFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = lit(50) + id % 100
+    val b = lit(1) + id % 30
+    val x = id % 10
+    val plain = concat(repeat(lit("word "), lit(18)), lit("the and"))
+    val text = when(id % 9 === 0,
+        concat(repeat(lit("word "), w), lit("the and")))
+      .when(id % 9 === 1,
+        concat(repeat(lit("word "), lit(1) + id % 30), lit("the and")))
+      .when(id % 9 === 2,
+        concat(repeat(lit("abcdefghijklmno "), w), lit("the and")))
+      .when(id % 9 === 3, concat(repeat(lit("ab "), w), lit("the and")))
+      .when(id % 9 === 4,
+        concat(repeat(lit("wordy # "), w), lit("the and")))
+      .when(id % 9 === 5,
+        concat(repeat(lit("word "), lit(58)), lit("the and"),
+          repeat(lit("\n- item one two"), b)))
+      .when(id % 9 === 6,
+        concat(concat_ws("\n", array_repeat(plain, lit(10))),
+          when(x > 0, concat(lit("\n"),
+            concat_ws("\n",
+              array_repeat(lit("word word more..."), x.cast("int")))))
+            .otherwise(lit(""))))
+      .when(id % 9 === 7,
+        concat(repeat(lit("1234 "), w), lit("the and")))
+      .otherwise(repeat(lit("word "), w))
+    docs.select(id).repartition(32).select(id, text.as("text"))
+  }
+
   private def httpRawFixture(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
@@ -2018,38 +2052,21 @@ object SparkEntry {
     // B=10 fails — strict >), the ellipsis arm at X=4/X=5 around
     // 300000. Pure projection; repartitioned first because the HOF
     // line/word filters run interpreted (the q241 lesson). ──
-    "q258_gopher_quality" -> ((s, dir) => {
-      val id = col("doc_id")
-      val w = lit(50) + id % 100
-      val b = lit(1) + id % 30
-      val x = id % 10
-      val plain = concat(repeat(lit("word "), lit(18)), lit("the and"))
-      val text = when(id % 9 === 0,
-          concat(repeat(lit("word "), w), lit("the and")))
-        .when(id % 9 === 1,
-          concat(repeat(lit("word "), lit(1) + id % 30), lit("the and")))
-        .when(id % 9 === 2,
-          concat(repeat(lit("abcdefghijklmno "), w), lit("the and")))
-        .when(id % 9 === 3, concat(repeat(lit("ab "), w), lit("the and")))
-        .when(id % 9 === 4,
-          concat(repeat(lit("wordy # "), w), lit("the and")))
-        .when(id % 9 === 5,
-          concat(repeat(lit("word "), lit(58)), lit("the and"),
-            repeat(lit("\n- item one two"), b)))
-        .when(id % 9 === 6,
-          concat(concat_ws("\n", array_repeat(plain, lit(10))),
-            when(x > 0, concat(lit("\n"),
-              concat_ws("\n",
-                array_repeat(lit("word word more..."), x.cast("int")))))
-              .otherwise(lit(""))))
-        .when(id % 9 === 7,
-          concat(repeat(lit("1234 "), w), lit("the and")))
-        .otherwise(repeat(lit("word "), w))
+    "q258_gopher_quality" -> ((s, dir) =>
       graft.ext.TextAnalysis.gopherQualityFlags(
-        t(s, dir, "documents").select(id).repartition(32)
-          .select(id, text.as("text")),
-        "doc_id", "text")
-    }),
+        gopherFixture(t(s, dir, "documents")), "doc_id", "text")),
+
+    // ── streaming gopher-quality twin (q248 discipline generalized):
+    // the same nine-arm fixture replayed over two JSONL waves through
+    // readStream → gopherQualityFlags → memory sink; the flags are a
+    // pure projection, so the accumulated table must equal q258's
+    // batch output — certified against q258's oracle VERBATIM
+    // (shared GopherQualitySql val). ──
+    "q263_gopher_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.projectionStreamReplay(
+        s, gopherFixture(t(s, dir, "documents")), "doc_id", "text",
+        df => graft.ext.TextAnalysis.gopherQualityFlags(
+          df, "doc_id", "text"))),
 
     // ── UNICODE script profile (TextAnalysis.scriptProfile): seven
     // residue arms — pure latin; cyrillic-dominant with a 4-letter
@@ -5196,6 +5213,59 @@ object SparkEntry {
       |         ELSE 1 END AS ch
       |  FROM documents) t""".stripMargin
 
+  /** Gopher-quality mirror, shared VERBATIM by q258 (batch) and q263
+    * (streaming twin) — the identical-oracle discipline: the two
+    * entries cannot drift apart. Every metric regenerated from the
+    * nine arms' residue arithmetic.
+    */
+  private val GopherQualitySql: String =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 9 AS a, 50 + doc_id % 100 AS w,
+      |    1 + doc_id % 30 AS b, doc_id % 10 AS x
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CASE a WHEN 0 THEN w+2 WHEN 1 THEN b+2 WHEN 2 THEN w+2
+      |      WHEN 3 THEN w+2 WHEN 4 THEN 2*w+2 WHEN 5 THEN 60+4*b
+      |      WHEN 6 THEN 200+3*x WHEN 7 THEN w+2 ELSE w END AS n_words,
+      |    CASE a WHEN 5 THEN b+1 WHEN 6 THEN 10+x ELSE 1 END AS n_lines,
+      |    CASE a WHEN 0 THEN 4*w+6 WHEN 1 THEN 4*b+6 WHEN 2 THEN 15*w+6
+      |      WHEN 3 THEN 2*w+6 WHEN 4 THEN 6*w+6 WHEN 5 THEN 238+11*b
+      |      WHEN 6 THEN 780+15*x WHEN 7 THEN 4*w+6 ELSE 4*w END AS wc,
+      |    CASE a WHEN 4 THEN w ELSE 0 END AS sy,
+      |    CASE a WHEN 5 THEN b ELSE 0 END AS bu,
+      |    CASE a WHEN 6 THEN x ELSE 0 END AS el,
+      |    CASE a WHEN 0 THEN w+2 WHEN 1 THEN b+2 WHEN 2 THEN w+2
+      |      WHEN 3 THEN w+2 WHEN 4 THEN w+2 WHEN 5 THEN 60+3*b
+      |      WHEN 6 THEN 200+3*x WHEN 7 THEN 2 ELSE w END AS aw,
+      |    CASE a WHEN 8 THEN 0 WHEN 6 THEN 20 ELSE 2 END AS sh
+      |  FROM p),
+      |d AS (
+      |  SELECT doc_id, n_words, n_lines, sh,
+      |    wc * 100 // n_words AS mean_c,
+      |    sy * 1000000 // n_words AS s_ppm,
+      |    bu * 1000000 // n_lines AS b_ppm,
+      |    el * 1000000 // n_lines AS e_ppm,
+      |    aw * 1000000 // n_words AS a_ppm
+      |  FROM m)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(sh AS BIGINT) AS stop_hits,
+      |  CAST(mean_c AS BIGINT) AS mean_len_c100,
+      |  CAST(s_ppm AS BIGINT) AS symbol_ppm,
+      |  CAST(b_ppm AS BIGINT) AS bullet_ppm,
+      |  CAST(e_ppm AS BIGINT) AS ellipsis_ppm,
+      |  CAST(a_ppm AS BIGINT) AS alpha_ppm,
+      |  CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+      |       WHEN mean_c < 300 OR mean_c > 1000 THEN 'word_len'
+      |       WHEN s_ppm > 100000 THEN 'symbol'
+      |       WHEN b_ppm > 900000 THEN 'bullet'
+      |       WHEN e_ppm > 300000 THEN 'ellipsis'
+      |       WHEN a_ppm < 800000 THEN 'alpha'
+      |       WHEN sh < 2 THEN 'stopword'
+      |       ELSE 'keep' END AS verdict
+      |FROM d""".stripMargin
+
   private val HttpParseSql: String =
     """WITH rawr AS (
       |  SELECT doc_id,
@@ -6700,57 +6770,15 @@ object SparkEntry {
         |    OR coalesce(p.n_param_keys, 0) >= 4) AS is_trap
         |FROM b LEFT JOIN p ON b.host = p.host AND b.family = p.family""".stripMargin,
 
-    // gopher-quality mirror: every metric regenerated from the nine
-    // arms' residue arithmetic — word counts, char sums, line counts,
-    // ppm integer divides all independent of the operator's
-    // split/filter chain; the verdict CASE re-applies the precedence
-    "q258_gopher_quality" ->
-      """WITH p AS (
-        |  SELECT doc_id, doc_id % 9 AS a, 50 + doc_id % 100 AS w,
-        |    1 + doc_id % 30 AS b, doc_id % 10 AS x
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    CASE a WHEN 0 THEN w+2 WHEN 1 THEN b+2 WHEN 2 THEN w+2
-        |      WHEN 3 THEN w+2 WHEN 4 THEN 2*w+2 WHEN 5 THEN 60+4*b
-        |      WHEN 6 THEN 200+3*x WHEN 7 THEN w+2 ELSE w END AS n_words,
-        |    CASE a WHEN 5 THEN b+1 WHEN 6 THEN 10+x ELSE 1 END AS n_lines,
-        |    CASE a WHEN 0 THEN 4*w+6 WHEN 1 THEN 4*b+6 WHEN 2 THEN 15*w+6
-        |      WHEN 3 THEN 2*w+6 WHEN 4 THEN 6*w+6 WHEN 5 THEN 238+11*b
-        |      WHEN 6 THEN 780+15*x WHEN 7 THEN 4*w+6 ELSE 4*w END AS wc,
-        |    CASE a WHEN 4 THEN w ELSE 0 END AS sy,
-        |    CASE a WHEN 5 THEN b ELSE 0 END AS bu,
-        |    CASE a WHEN 6 THEN x ELSE 0 END AS el,
-        |    CASE a WHEN 0 THEN w+2 WHEN 1 THEN b+2 WHEN 2 THEN w+2
-        |      WHEN 3 THEN w+2 WHEN 4 THEN w+2 WHEN 5 THEN 60+3*b
-        |      WHEN 6 THEN 200+3*x WHEN 7 THEN 2 ELSE w END AS aw,
-        |    CASE a WHEN 8 THEN 0 WHEN 6 THEN 20 ELSE 2 END AS sh
-        |  FROM p),
-        |d AS (
-        |  SELECT doc_id, n_words, n_lines, sh,
-        |    wc * 100 // n_words AS mean_c,
-        |    sy * 1000000 // n_words AS s_ppm,
-        |    bu * 1000000 // n_lines AS b_ppm,
-        |    el * 1000000 // n_lines AS e_ppm,
-        |    aw * 1000000 // n_words AS a_ppm
-        |  FROM m)
-        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-        |  CAST(n_lines AS BIGINT) AS n_lines,
-        |  CAST(sh AS BIGINT) AS stop_hits,
-        |  CAST(mean_c AS BIGINT) AS mean_len_c100,
-        |  CAST(s_ppm AS BIGINT) AS symbol_ppm,
-        |  CAST(b_ppm AS BIGINT) AS bullet_ppm,
-        |  CAST(e_ppm AS BIGINT) AS ellipsis_ppm,
-        |  CAST(a_ppm AS BIGINT) AS alpha_ppm,
-        |  CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
-        |       WHEN mean_c < 300 OR mean_c > 1000 THEN 'word_len'
-        |       WHEN s_ppm > 100000 THEN 'symbol'
-        |       WHEN b_ppm > 900000 THEN 'bullet'
-        |       WHEN e_ppm > 300000 THEN 'ellipsis'
-        |       WHEN a_ppm < 800000 THEN 'alpha'
-        |       WHEN sh < 2 THEN 'stopword'
-        |       ELSE 'keep' END AS verdict
-        |FROM d""".stripMargin,
+    // gopher-quality mirror (shared GopherQualitySql — see the val's
+    // scaladoc): every metric regenerated from the nine arms' residue
+    // arithmetic, fully independent of the operator's split/filter
+    // chain; the verdict CASE re-applies the precedence
+    "q258_gopher_quality" -> GopherQualitySql,
+
+    // streaming twin: IDENTICAL oracle — the accumulated memory-sink
+    // table must equal the batch output verbatim
+    "q263_gopher_stream" -> GopherQualitySql,
 
     // script-profile mirror: per-class letter counts are closed-form
     // in the residues (no regex anywhere oracle-side — fully

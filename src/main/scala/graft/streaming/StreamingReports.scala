@@ -742,6 +742,43 @@ object StreamingReports {
     spark.table(mem)
   }
 
+  /** Stateless-projection streaming twin harness — the
+    * [[httpParseStreamReplay]] shape generalized to ANY pure per-row
+    * projection `f` over (id: long, payload: string) rows: replay the
+    * rows as two JSONL waves (even ids, then odd) through readStream →
+    * `f` → memory sink. Because `f` is a projection, the accumulated
+    * table must equal the batch `f(rows)` output verbatim — certify
+    * by reusing the batch query's oracle SQL unchanged (the
+    * identical-oracle discipline). `f` must not shuffle or aggregate:
+    * append-mode per-microbatch output only makes sense for
+    * row-at-a-time transforms.
+    */
+  def projectionStreamReplay(
+      outer: SparkSession, rows: DataFrame, idCol: String,
+      payloadCol: String, f: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = replaySession(outer)
+    val landing = java.nio.file.Files.createTempDirectory("graft-proj-replay")
+    def deliverWave(df: DataFrame): Unit =
+      df.select(to_json(struct(col(idCol), col(payloadCol))).as("value"))
+        .coalesce(1).write.mode("append").text(landing.toString)
+    deliverWave(rows.filter(col(idCol) % 2 === 0))
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField(payloadCol, StringType)))
+    val mem = s"graft_proj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val out = f(
+      spark.readStream.text(landing.toString)
+        .select(from_json(col("value"), schema).as("j")).select("j.*"))
+    val q = out.writeStream.format("memory").queryName(mem)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      deliverWave(rows.filter(col(idCol) % 2 =!= 0))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(landing) }
+    spark.table(mem)
+  }
+
   /** STATEFUL streaming recrawl estimation — UrlCanon.recrawlStats'
     * lag-over-history as an incremental fold: per url the state is
     * O(1) — the LAST fingerprint plus running (n, changes) counts,
