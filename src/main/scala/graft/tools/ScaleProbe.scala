@@ -601,6 +601,51 @@ object ScaleProbe {
                 .when(col("__lmflag") === "low", lit("low_quality"))
                 .otherwise(lit("kept")).as("decision"))
         }),
+        run("gopher_flags", {
+          // round-13b family: interpreted HOF line/word filters —
+          // CPU-bound per-row, no shuffle; repartition spreads the
+          // 1x single split (q241 discipline)
+          graft.ext.TextAnalysis.gopherQualityFlags(
+            d.repartition(32, col("doc_id")), "doc_id", "text")
+        }),
+        run("script_profile", {
+          // per-class regexp_extract_all projection — expected
+          // ~linear, no shuffle
+          graft.ext.TextAnalysis.scriptProfile(
+            d.repartition(32, col("doc_id")), "doc_id", "text")
+        }),
+        run("repetition_rules", {
+          // (doc, gram)-grain explodes + two keyed aggs + id joins;
+          // texts decorrelated across copies so gram groups stay
+          // doc-bounded — expected ~linear
+          val txt = concat(col("text"), lit("\n"),
+            substring(col("text"), 1, 60), lit("\n"),
+            substring(col("text"), 1, 60))
+          graft.ext.TextAnalysis.repetitionFlags(
+            d.repartition(32, col("doc_id"))
+              .select(col("doc_id"), txt.as("text")), "doc_id", "text")
+        }),
+        run("para_dedup", {
+          // paragraph-hash argmin + doc-grain rebuild. The second
+          // paragraph takes doc_id % 1000 (preserved under the 1e8
+          // copy offsets), so 1000 HOT fingerprints grow occurrences
+          // ×n — the partial-aggregable min must map-side combine
+          // them; expected ~linear
+          val txt = concat(col("text"), lit("\n\nshared para "),
+            (col("doc_id") % 1000).cast("string"))
+          graft.ext.Dedup.dedupParagraphsCorpus(
+            d.select(col("doc_id"), txt.as("text")), "doc_id", "text")
+        }),
+        run("budget_select", {
+          // one range exchange + pid-local running sums + broadcast
+          // ≤P-row offsets — expected ~n log n (in-partition sorts),
+          // nothing single-partition
+          graft.operators.Sampling.selectByBudget(
+            d.select(col("doc_id"),
+              (col("doc_id") % 97).cast("long").as("score"),
+              (length(col("text")) % 500 + 50).cast("long").as("cost")),
+            "doc_id", "score", "cost", budget = 1000000L)
+        }),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
           // split — label = id%10 would pin every label to ONE parity
