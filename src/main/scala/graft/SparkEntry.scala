@@ -2181,6 +2181,73 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── CORPUS-CONSTRUCTION capstone: the round-13b filter block
+    // composed in production order — script gate → Gopher quality →
+    // Gopher repetition → paragraph dedup over SURVIVORS ONLY (filter
+    // then dedup, the standard pipeline order — dedup truth depends
+    // on the survivor set) → token-budget cut. Five arms: clean
+    // keeper (58 id-unique words + stopwords), 4-word quality reject,
+    // 3-identical-line repetition reject, shared-paragraph docs (the
+    // %9-residue paragraph is byte-identical across docs, so only the
+    // min-id survivor keeps it; the %2=1 subclass carries ONLY the
+    // shared paragraph and fully empties unless it is the keeper),
+    // and a Cyrillic doc that the script gate must catch BEFORE the
+    // alpha rule would mislabel it as a quality reject. Every
+    // paragraph is exactly 60 words, so tokens = 60·n_kept and the
+    // ENTIRE chain — including the budget cumsum — is closed-form but
+    // for one keep-first min-window. Multi-consumer fixture
+    // localCheckpoint'd once (q243 discipline). ──
+    "q264_corpus_capstone" -> ((s, dir) => {
+      import graft.ext.{Dedup, TextAnalysis}
+      val id = col("doc_id")
+      def para(prefix: String, tag: Column): Column =
+        concat(concat_ws(" ", transform(sequence(lit(0), lit(57)),
+          k => format_string(prefix + "%d%03d", tag, k))), lit(" the and"))
+      val line = para("w", id)
+      val text = when(id % 5 === 0, line)
+        .when(id % 5 === 1, lit("tiny text the and"))
+        .when(id % 5 === 2, concat_ws("\n", line, line, line))
+        .when(id % 5 === 3,
+          when(id % 2 === 0,
+            concat(para("p", id % 9), lit("\n\n"), para("u", id)))
+            .otherwise(para("p", id % 9)))
+        .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          k => format_string("м%03d", k))))
+      val fx = t(s, dir, "documents").select(id).repartition(32)
+        .select(id, text.as("text")).localCheckpoint()
+      val sc = TextAnalysis.scriptProfile(fx, "doc_id", "text")
+        .select(id, col("dominant"))
+      val gq = TextAnalysis.gopherQualityFlags(fx, "doc_id", "text")
+        .select(id, col("verdict").as("__gq"))
+      val rp = TextAnalysis.repetitionFlags(fx, "doc_id", "text")
+        .select(id, col("verdict").as("__rp"))
+      val flags = fx.select(id).join(sc, "doc_id").join(gq, "doc_id")
+        .join(rp, "doc_id").localCheckpoint()
+      val surviving = flags.filter(col("dominant") === "latin" &&
+        col("__gq") === "keep" && col("__rp") === "keep").select(id)
+      val toks = Dedup.dedupParagraphsCorpus(
+          fx.join(surviving, "doc_id"), "doc_id", "text")
+        .select(id, col("n_kept"),
+          size(filter(split(col("text_dedup"), "[ \t\r\n]+"),
+            w => w =!= "")).cast("long").as("n_tokens"))
+      val sel = graft.operators.Sampling.selectByBudget(
+          toks.filter(col("n_kept") > 0)
+            .select(id, ((id * id) % 71).cast("long").as("score"),
+              col("n_tokens").as("cost")),
+          "doc_id", "score", "cost", 9000L)
+        .select(id, col("cum_cost"), col("selected"))
+      flags.join(toks, Seq("doc_id"), "left")
+        .join(sel, Seq("doc_id"), "left")
+        .select(id,
+          when(col("dominant") =!= "latin", lit("wrong_script"))
+            .when(col("__gq") =!= "keep", lit("quality"))
+            .when(col("__rp") =!= "keep", lit("repetitive"))
+            .when(col("n_kept") === 0, lit("all_duplicate"))
+            .when(col("selected"), lit("kept"))
+            .otherwise(lit("over_budget")).as("decision"),
+          col("n_tokens"), col("cum_cost"))
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -6908,6 +6975,47 @@ object SparkEntry {
         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(r.text_dedup, '') AS text_dedup
         |FROM pl LEFT JOIN r ON pl.doc_id = r.doc_id""".stripMargin,
+
+    // corpus-capstone mirror: the whole composed chain is residue
+    // arithmetic — pre-dedup rejects by arm, tokens = 60·n_kept with
+    // keep-first as ONE min window over the shared-paragraph residue,
+    // the budget cut as the naive global cumsum
+    "q264_corpus_capstone" ->
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 5 AS f, doc_id % 9 AS r,
+        |    doc_id % 2 AS h, (doc_id*doc_id) % 71 AS score
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, CASE WHEN f = 4 THEN 'wrong_script'
+        |    WHEN f = 1 THEN 'quality'
+        |    WHEN f = 2 THEN 'repetitive' END AS pre
+        |  FROM b),
+        |dd AS (
+        |  SELECT *, CASE WHEN f = 3
+        |    THEN min(doc_id) OVER (PARTITION BY r, f) END AS kp
+        |  FROM s WHERE f IN (0, 3)),
+        |dt AS (
+        |  SELECT doc_id, score,
+        |    CASE WHEN f = 0 THEN 1
+        |      WHEN h = 0 THEN 1 + (CASE WHEN doc_id = kp THEN 1 ELSE 0 END)
+        |      ELSE CASE WHEN doc_id = kp THEN 1 ELSE 0 END END AS n_kept
+        |  FROM dd),
+        |bu AS (SELECT doc_id, score, n_kept, 60 * n_kept AS n_tokens
+        |  FROM dt),
+        |cm AS (
+        |  SELECT doc_id, sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bu WHERE n_kept > 0)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.pre IS NOT NULL THEN s.pre
+        |       WHEN bu.n_kept = 0 THEN 'all_duplicate'
+        |       WHEN cm.cum <= 9000 THEN 'kept'
+        |       ELSE 'over_budget' END AS decision,
+        |  CAST(bu.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cm.cum AS BIGINT) AS cum_cost
+        |FROM s
+        |LEFT JOIN bu ON s.doc_id = bu.doc_id
+        |LEFT JOIN cm ON s.doc_id = cm.doc_id""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed
