@@ -171,7 +171,7 @@ object SparkEntry {
     val text = when(id % 9 === 0,
         concat(repeat(lit("word "), w), lit("the and")))
       .when(id % 9 === 1,
-        concat(repeat(lit("word "), lit(1) + id % 30), lit("the and")))
+        concat(repeat(lit("word "), b), lit("the and")))
       .when(id % 9 === 2,
         concat(repeat(lit("abcdefghijklmno "), w), lit("the and")))
       .when(id % 9 === 3, concat(repeat(lit("ab "), w), lit("the and")))
@@ -2232,7 +2232,8 @@ object SparkEntry {
             w => w =!= "")).cast("long").as("n_tokens"))
       val sel = graft.operators.Sampling.selectByBudget(
           toks.filter(col("n_kept") > 0)
-            .select(id, ((id * id) % 71).cast("long").as("score"),
+            .select(id,
+              (((id % 71) * (id % 71)) % 71).cast("long").as("score"),
               col("n_tokens").as("cost")),
           "doc_id", "score", "cost", 9000L)
         .select(id, col("cum_cost"), col("selected"))
@@ -2257,7 +2258,8 @@ object SparkEntry {
       val id = col("doc_id")
       graft.operators.Sampling.selectByBudget(
         t(s, dir, "documents").select(id).repartition(32)
-          .select(id, ((id * id) % 50).cast("long").as("score"),
+          .select(id,
+            (((id % 50) * (id % 50)) % 50).cast("long").as("score"),
             (lit(50) + id % 100).cast("long").as("cost")),
         "doc_id", "score", "cost", 20000L)
     }),
@@ -6983,17 +6985,34 @@ object SparkEntry {
     "q264_corpus_capstone" ->
       """WITH b AS (
         |  SELECT doc_id, doc_id % 5 AS f, doc_id % 9 AS r,
-        |    doc_id % 2 AS h, (doc_id*doc_id) % 71 AS score
+        |    doc_id % 2 AS h,
+        |    ((doc_id % 71)*(doc_id % 71)) % 71 AS score,
+        |    length(CAST(doc_id AS VARCHAR)) AS dl
         |  FROM documents),
+        |-- the w/u words are 'w{id}{k:03}': 4+digits(id) chars each,
+        |-- so the f0/f2 (and f3 h=0 mixed) mean word length crosses
+        |-- gopher's 1000 bound for long-enough ids — mirror that gate
+        |-- so the oracle stays correct at ANY id scale, not just the
+        |-- current fixture's (review finding; the round-12 extend-the-
+        |-- mirror-off-fixture discipline)
+        |g AS (
+        |  SELECT *,
+        |    (58*(4+dl)+6) * 100 // 60 AS mc_w,
+        |    (534 + 58*dl) * 100 // 120 AS mc_pu
+        |  FROM b),
         |s AS (
         |  SELECT *, CASE WHEN f = 4 THEN 'wrong_script'
         |    WHEN f = 1 THEN 'quality'
-        |    WHEN f = 2 THEN 'repetitive' END AS pre
-        |  FROM b),
+        |    WHEN f = 0 AND mc_w > 1000 THEN 'quality'
+        |    WHEN f = 2 AND mc_w > 1000 THEN 'quality'
+        |    WHEN f = 2 THEN 'repetitive'
+        |    WHEN f = 3 AND h = 0 AND mc_pu > 1000 THEN 'quality'
+        |    END AS pre
+        |  FROM g),
         |dd AS (
         |  SELECT *, CASE WHEN f = 3
         |    THEN min(doc_id) OVER (PARTITION BY r, f) END AS kp
-        |  FROM s WHERE f IN (0, 3)),
+        |  FROM s WHERE pre IS NULL AND f IN (0, 3)),
         |dt AS (
         |  SELECT doc_id, score,
         |    CASE WHEN f = 0 THEN 1
@@ -7022,7 +7041,8 @@ object SparkEntry {
     // prefix-sum plan
     "q262_budget_select" ->
       """WITH p AS (
-        |  SELECT doc_id, (doc_id*doc_id) % 50 AS score,
+        |  SELECT doc_id,
+        |    ((doc_id % 50)*(doc_id % 50)) % 50 AS score,
         |    50 + doc_id % 100 AS cost
         |  FROM documents),
         |c AS (

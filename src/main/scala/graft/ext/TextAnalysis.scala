@@ -737,11 +737,15 @@ object TextAnalysis {
     * (all classes are single-codepoint), so the arithmetic certifies
     * exactly.
     */
+  // each class INTERSECTED with \p{L}: script blocks also contain
+  // non-letter combining marks (e.g. Cyrillic titlo U+0483) that
+  // \p{L} excludes — without the intersection a class count could
+  // exceed n_letters and `other` go negative (review finding)
   val ScriptClasses: Seq[(String, String)] = Seq(
-    "latin" -> "\\p{IsLatin}",
-    "cyrillic" -> "\\p{IsCyrillic}",
-    "cjk" -> "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]",
-    "arabic" -> "\\p{IsArabic}")
+    "latin" -> "[\\p{IsLatin}&&[\\p{L}]]",
+    "cyrillic" -> "[\\p{IsCyrillic}&&[\\p{L}]]",
+    "cjk" -> "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}&&[\\p{L}]]",
+    "arabic" -> "[\\p{IsArabic}&&[\\p{L}]]")
 
   def scriptProfile(
       df: DataFrame, idCol: String, textCol: String,

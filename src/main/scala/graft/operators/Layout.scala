@@ -197,13 +197,29 @@ object Layout {
     * offset table. Nothing single-partition, nothing driver-side.
     */
   def globalDenseSeq(
-      df: DataFrame, order: Seq[Column], outCol: String): DataFrame = {
+      df: DataFrame, order: Seq[Column], outCol: String): DataFrame =
+    globalRunningSum(df, order, lit(1L), outCol)
+
+  /** Global INCLUSIVE running sum of `value` over a TOTAL order —
+    * the [[globalDenseSeq]] machinery generalized (dense seq = the
+    * running sum of 1): range-partition + in-partition running-sum
+    * window + an exclusive prefix sum over the ≤P-row per-partition
+    * totals, broadcast back. Same contract: `order` must be total,
+    * result depends only on the order, never on partition boundaries.
+    * One shared implementation so the subtle parts (the checkpoint
+    * pinning partition ids, the exclusive-offset window, the
+    * broadcast) live in one place (review finding).
+    */
+  def globalRunningSum(
+      df: DataFrame, order: Seq[Column], value: Column,
+      outCol: String): DataFrame = {
     require(order.nonEmpty, "order columns required")
     val ranged = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
       .localCheckpoint()
-    val offs = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val offs = ranged.groupBy("__pid")
+      .agg(sum(value.cast("long")).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(org.apache.spark.sql.expressions.Window
           .orderBy("__pid")) - col("__n"), lit(0L)))
@@ -212,7 +228,7 @@ object Layout {
       .partitionBy("__pid").orderBy(order: _*)
     ranged.join(broadcast(offs), Seq("__pid"))
       .withColumn(outCol,
-        (col("__off") + row_number().over(wLocal)).cast("long"))
+        (col("__off") + sum(value.cast("long")).over(wLocal)).cast("long"))
       .drop("__pid", "__off")
   }
 }

@@ -455,13 +455,13 @@ object Sampling {
     *
     * The naive plan is a global orderBy + single-partition running
     * window — the WindowExec "moving all data to a single partition"
-    * trap. This is the [[graft.operators.Layout.globalDenseSeq]]
-    * idiom instead, summing cost rather than counting rows:
-    * range-partition on the order key, cumsum WITHIN each partition,
-    * then add an exclusive prefix sum over the ≤P-row per-partition
-    * totals, broadcast back. Result depends only on the total order,
-    * never on partition boundaries — deterministic across cluster
-    * configs and AQE decisions.
+    * trap. Delegates to [[graft.operators.Layout.globalRunningSum]]
+    * (the globalDenseSeq machinery, shared): range-partition on the
+    * order key, cumsum WITHIN each partition, then an exclusive
+    * prefix sum over the ≤P-row per-partition totals, broadcast back.
+    * Result depends only on the total order, never on partition
+    * boundaries — deterministic across cluster configs and AQE
+    * decisions.
     *
     * CONTRACT: score and cost non-null (engines disagree on DESC null
     * placement), cost ≥ 0 (a negative cost would make the greedy
@@ -471,25 +471,8 @@ object Sampling {
       df: DataFrame, idCol: String, scoreCol: String, costCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0L, s"budget must be nonnegative, got $budget")
-    val order = Seq(col(scoreCol).desc, col(idCol).asc)
-    val ranged = df.repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint()
-    val offs = ranged.groupBy("__pid")
-      .agg(sum(col(costCol).cast("long")).as("__n"))
-      .withColumn("__off",
-        coalesce(sum(col("__n")).over(
-          org.apache.spark.sql.expressions.Window.orderBy("__pid"))
-          - col("__n"), lit(0L)))
-      .select("__pid", "__off")
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(order: _*)
-    ranged.join(broadcast(offs), Seq("__pid"))
-      .withColumn("cum_cost",
-        (col("__off") + sum(col(costCol).cast("long")).over(wLocal))
-          .cast("long"))
+    Layout.globalRunningSum(df,
+        Seq(col(scoreCol).desc, col(idCol).asc), col(costCol), "cum_cost")
       .withColumn("selected", col("cum_cost") <= budget)
-      .drop("__pid", "__off")
   }
 }

@@ -717,30 +717,9 @@ object StreamingReports {
     * ok/bad_status/bad_type/bad_encoding/malformed split is available
     * per microbatch instead of per crawl cycle.
     */
-  def httpParseStreamReplay(outer: SparkSession, raws: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val spark = replaySession(outer)
-    val landing = java.nio.file.Files.createTempDirectory("graft-http-replay")
-    def deliverWave(df: DataFrame): Unit =
-      df.select(to_json(struct(col("doc_id"), col("raw"))).as("value"))
-        .coalesce(1).write.mode("append").text(landing.toString)
-    deliverWave(raws.filter(col("doc_id") % 2 === 0))
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("raw", StringType)))
-    val mem = s"graft_http_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val parsed = graft.ext.HttpRecord.parse(
-      spark.readStream.text(landing.toString)
-        .select(from_json(col("value"), schema).as("j")).select("j.*"),
-      "doc_id", "raw")
-    val q = parsed.writeStream.format("memory").queryName(mem)
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      deliverWave(raws.filter(col("doc_id") % 2 =!= 0))
-      q.processAllAvailable()
-    } finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem)
-  }
+  def httpParseStreamReplay(outer: SparkSession, raws: DataFrame): DataFrame =
+    projectionStreamReplay(outer, raws, "doc_id", "raw",
+      df => graft.ext.HttpRecord.parse(df, "doc_id", "raw"))
 
   /** Stateless-projection streaming twin harness — the
     * [[httpParseStreamReplay]] shape generalized to ANY pure per-row

@@ -312,6 +312,19 @@ class TextPipelineSpec extends SparkSpec {
       .select(col("latin"), col("n_letters"), col("other"))
       .as[(Long, Long, Long)].collect().head
     assert(counts == ((4L, 4L, 0L)), s"common chars counted: $counts")
+    // script-scoped NON-letters (Cyrillic titlo U+0483 is Mn, not L):
+    // class counts stay subsets of n_letters, `other` never negative
+    val marks = TextAnalysis.scriptProfile(
+      Seq((1L, "҃҃"), (2L, "ж҃")).toDF("id", "text"),
+      "id", "text")
+      .select(col("id"), col("cyrillic"), col("n_letters"), col("other"),
+        col("dominant"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(marks(1L) == ((0L, 0L, 0L, "none")),
+      s"marks-only text has no letters: ${marks(1L)}")
+    assert(marks(2L) == ((1L, 1L, 0L, "cyrillic")),
+      s"the mark must not double-count: ${marks(2L)}")
   }
 
   test("repetitionFlags: rule precedence, line-scoped grams, strict top-2gram bound, degenerate text") {
