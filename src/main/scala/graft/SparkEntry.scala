@@ -2249,6 +2249,45 @@ object SparkEntry {
           col("n_tokens"), col("cum_cost"))
     }),
 
+    // ── C4 cleaning rules (TextAnalysis.c4Rules — Raffel et al. 2020
+    // §2.2, the third classic filter family after gopher quality and
+    // repetition): eight residue arms — pure good lines; CRLF +
+    // padded bad-punct lines (certifying the per-line trim: the \r
+    // rides every non-final line and must not break the terminal-
+    // punct rule); short-line and javascript-line drops; a KEPT lorem
+    // line whose page still routes `lorem` (page rules test RAW
+    // text); a brace line dropped at line stage while the page routes
+    // `brace`; a badword line that ALSO carries `{` so the
+    // badword>brace precedence is live; a two-line page under
+    // minLinesKept. Counts and clean_text are closed-form in (a,G,B),
+    // so the oracle is residue arithmetic + string rebuilds — it
+    // shares no line-splitting logic with the operator. ──
+    "q265_c4_rules" -> ((s, dir) => {
+      val id = col("doc_id")
+      val a = id % 8
+      val g = (lit(3) + id % 5).cast("int")
+      val b = (lit(1) + id % 4).cast("int")
+      val gl = lit("alpha beta gamma delta.")
+      val goods = concat_ws("\n", array_repeat(gl, g))
+      def rep(l: Column, n: Column): Column =
+        concat_ws("\n", array_repeat(l, n))
+      val text = when(a === 0, goods)
+        .when(a === 1, regexp_replace(
+          concat(goods, lit("\n"),
+            rep(lit("  no terminal punct here "), b)), "\n", "\r\n"))
+        .when(a === 2, concat(goods, lit("\n"), rep(lit("too small."), b)))
+        .when(a === 3, concat(goods, lit("\n"),
+          rep(lit("please enable javascript support."), b)))
+        .when(a === 4, concat(goods, lit("\nlorem ipsum dolor sit amet.")))
+        .when(a === 5, concat(goods, lit("\nfunction() { return; }")))
+        .when(a === 6, concat(goods, lit("\ndarn badword1 here { too.")))
+        .otherwise(concat_ws("\n", array_repeat(gl, 2)))
+      graft.ext.TextAnalysis.c4Rules(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id, text.as("text")),
+        "doc_id", "text")
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7035,6 +7074,34 @@ object SparkEntry {
         |FROM s
         |LEFT JOIN bu ON s.doc_id = bu.doc_id
         |LEFT JOIN cm ON s.doc_id = cm.doc_id""".stripMargin,
+
+    // c4-rules mirror: every count and the clean-text rebuild is
+    // residue arithmetic + repeat() — no line splitting oracle-side
+    "q265_c4_rules" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 8 AS a, 3 + doc_id % 5 AS g,
+        |    1 + doc_id % 4 AS b
+        |  FROM documents),
+        |gd AS (
+        |  SELECT doc_id, a, g, b,
+        |    repeat('alpha beta gamma delta.' || chr(10), g - 1)
+        |      || 'alpha beta gamma delta.' AS goods
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN a IN (1,2,3) THEN g + b
+        |            WHEN a IN (4,5,6) THEN g + 1
+        |            WHEN a = 7 THEN 2 ELSE g END AS BIGINT) AS n_lines_in,
+        |  CAST(CASE WHEN a IN (4,6) THEN g + 1
+        |            WHEN a = 7 THEN 2 ELSE g END AS BIGINT) AS n_lines_kept,
+        |  CASE WHEN a = 4 THEN goods || chr(10) || 'lorem ipsum dolor sit amet.'
+        |       WHEN a = 6 THEN goods || chr(10) || 'darn badword1 here { too.'
+        |       WHEN a = 7 THEN 'alpha beta gamma delta.' || chr(10)
+        |         || 'alpha beta gamma delta.'
+        |       ELSE goods END AS clean_text,
+        |  CASE WHEN a = 6 THEN 'badword' WHEN a = 4 THEN 'lorem'
+        |       WHEN a = 5 THEN 'brace' WHEN a = 7 THEN 'few_lines'
+        |       ELSE 'keep' END AS verdict
+        |FROM gd""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

@@ -882,4 +882,77 @@ object TextAnalysis {
           .when(col("dup_5gram_ppm") > maxDup5gramPpm, lit("dup_5gram"))
           .otherwise(lit("keep")))
   }
+
+  /** Sample blocklist for [[c4Rules]] specs/fixtures. A production
+    * run passes the real list (C4 used the public "List of Dirty,
+    * Naughty, Obscene..." list, ~2k entries) — still small enough for
+    * a literal-array membership test; a 100k+-phrase list should use
+    * a token↔blocklist broadcast join instead (same posture as the
+    * [[Stopwords]] vs lm-model split: tiny tables inline, real tables
+    * join).
+    */
+  val C4BadwordsSample: Seq[String] = Seq("badword1", "badword2")
+
+  /** C4-STYLE cleaning rules (Raffel et al. 2020 §2.2 — the third
+    * classic filter family next to [[gopherQualityFlags]] and
+    * [[repetitionFlags]]): per-LINE retention plus a per-PAGE
+    * first-failing verdict, emitting the cleaned text rebuilt from
+    * the surviving lines.
+    *
+    * Line stage — a line (split on `\n`, then trimmed of `[ \t\r]`
+    * at both ends, so CRLF input needs no pre-pass) is KEPT iff:
+    *   - it ends in terminal punctuation (`.` `!` `?` `"`), and
+    *   - it has ≥ `minLineWords` words (split on `[ \t]+`), and
+    *   - it does not contain "javascript" (case-insensitive).
+    *
+    * Page stage — verdict is the FIRST failing rule:
+    *   - `badword`:   any lowercase-alnum token of the RAW text is in
+    *                  `badwords` (policy severity ranks it first)
+    *   - `lorem`:     raw text contains "lorem ipsum" (case-insens.)
+    *   - `brace`:     raw text contains `{` (code-leak signal)
+    *   - `few_lines`: fewer than `minLinesKept` lines survive the
+    *                  line stage
+    *   - `keep`
+    *
+    * Every input yields exactly one output row (the classify-every-
+    * input posture): (idCol, n_lines_in, n_lines_kept, clean_text,
+    * verdict), with `clean_text` the kept lines joined by `\n` ('' if
+    * none survive; null/empty text → 1 raw line, 0 kept, few_lines).
+    * Page rules test the RAW text (the paper drops the whole page on
+    * badword/lorem/brace before line filtering matters), but
+    * clean_text is still emitted for every row so downstream stages
+    * can audit what WOULD have survived.
+    *
+    * Shape: pure per-row projection — no shuffle, no UDF, nothing
+    * collected. The line filters run as interpreted HOF lambdas, so
+    * callers on a single-split corpus should repartition first (the
+    * q241 lesson). Integer counts only — certifies exactly.
+    */
+  def c4Rules(
+      df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Long = 3L, minLinesKept: Long = 3L,
+      badwords: Seq[String] = C4BadwordsSample): DataFrame = {
+    require(minLineWords >= 1 && minLinesKept >= 0 && badwords.nonEmpty,
+      s"bad c4 thresholds: lineWords=$minLineWords linesKept=$minLinesKept")
+    val txt = coalesce(col(textCol), lit(""))
+    val staged = df
+      .withColumn("__lines", transform(split(txt, "\n"),
+        l => regexp_replace(l, "^[ \t\r]+|[ \t\r]+$", "")))
+      .withColumn("__kept", filter(col("__lines"), l =>
+        l.rlike("[.!?\"]$") &&
+          size(filter(split(l, "[ \t]+"), w => w =!= ""))
+            .cast("long") >= minLineWords &&
+          !lower(l).contains("javascript")))
+    val hasBad = exists(tokens(txt), t => t.isin(badwords: _*))
+    staged.select(col(idCol),
+      size(col("__lines")).cast("long").as("n_lines_in"),
+      size(col("__kept")).cast("long").as("n_lines_kept"),
+      concat_ws("\n", col("__kept")).as("clean_text"),
+      when(hasBad, lit("badword"))
+        .when(lower(txt).contains("lorem ipsum"), lit("lorem"))
+        .when(txt.contains("{"), lit("brace"))
+        .when(size(col("__kept")).cast("long") < minLinesKept,
+          lit("few_lines"))
+        .otherwise(lit("keep")).as("verdict"))
+  }
 }

@@ -376,4 +376,48 @@ class TextPipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(m == ((4L, 500000L, 500000L)), s"metrics: $m")
   }
+
+  test("c4Rules: line retention, trim, page precedence, classify-every-input") {
+    val rows = Seq(
+      // all three terminal puncts + a quoted line survive
+      (1L, "one two three.\nfour five six!\nseven eight nine?\nsaid \"ten eleven twelve.\""),
+      // CRLF + padded lines: trim before the punct rule; exactly 3 words kept
+      (2L, "  one two three. \r\nfour five six!\r\nseven eight nine?"),
+      // drops: no terminal punct / <3 words / javascript (case-insens)
+      (3L, "one two three.\nno punct here\ntwo words.\nenable JavaScript support now.\nfour five six!\nseven eight nine?"),
+      // page rules on RAW text: badword beats lorem beats brace
+      (4L, "one two three.\nfour five six!\nseven eight nine?\nBadword1 lorem ipsum { x."),
+      (5L, "one two three.\nfour five six!\nseven eight nine?\nlorem ipsum dolor { sit."),
+      (6L, "one two three.\nfour five six!\nseven eight nine?\nvar x = { 1 };"),
+      // too few kept lines
+      (7L, "one two three.\nfour five six!"),
+      (8L, ""),
+      (9L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = TextAnalysis.c4Rules(rows, "id", "text")
+      .select(col("id"), col("n_lines_in"), col("n_lines_kept"),
+        col("clean_text"), col("verdict"))
+      .as[(Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4L, 4L,
+      "one two three.\nfour five six!\nseven eight nine?\nsaid \"ten eleven twelve.\"",
+      "keep")), s"terminal puncts: ${got(1L)}")
+    assert(got(2L) == ((3L, 3L,
+      "one two three.\nfour five six!\nseven eight nine?", "keep")),
+      s"CRLF trim: ${got(2L)}")
+    assert(got(3L) == ((6L, 3L,
+      "one two three.\nfour five six!\nseven eight nine?", "keep")),
+      s"line drops: ${got(3L)}")
+    assert(got(4L)._4 == "badword", s"badword first: ${got(4L)}")
+    assert(got(5L)._4 == "lorem", s"lorem beats brace: ${got(5L)}")
+    assert(got(6L)._4 == "brace")
+    // page-rule pages still emit their would-be clean_text
+    assert(got(6L)._2 == 3L && got(6L)._3.endsWith("nine?"), s"audit text: ${got(6L)}")
+    assert(got(7L) == ((2L, 2L, "one two three.\nfour five six!",
+      "few_lines")))
+    assert(got(8L) == ((1L, 0L, "", "few_lines")), "empty text: 1 raw line, 0 kept")
+    assert(got(9L) == ((1L, 0L, "", "few_lines")), "null text routes like empty")
+    // every input classified exactly once
+    assert(got.size == 9)
+  }
 }
