@@ -163,7 +163,8 @@ object Bench {
     "q255_crawl_traps", "q256_recrawl_stream", "q257_refresh_plan",
     "q258_gopher_quality", "q259_script_profile",
     "q260_repetition_rules", "q261_para_dedup", "q262_budget_select",
-    "q263_gopher_stream", "q264_corpus_capstone", "q265_c4_rules")
+    "q263_gopher_stream", "q264_corpus_capstone", "q265_c4_rules",
+    "q266_norm_dedup")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -2288,6 +2288,38 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── normalized exact dedup (Dedup.dedupExactNormalized over
+    // TextAnalysis.normalizeForDedup — the CCNet §4.1 posture): five
+    // variant arms per content group (v = id DIV 100 mod 5) that raw
+    // exact dedup would treat as five DISTINCT docs — base, all-caps,
+    // different two-digit number, accented café + comma-for-period,
+    // doubled-space + tab — all normalizing to one string, so the
+    // whole group collapses to keep_id = min(id). The group tag is a
+    // LETTER run (repeat('x', g+3)), never digits — digit tags would
+    // collide post-normalization (every digit → 0). The oracle builds
+    // the expected normalized string and group windows from residues;
+    // it never normalizes anything. ──
+    "q266_norm_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val v = (id / 100).cast("int") % 5
+      val tag = repeat(lit("x"), (id % 100 + 3).cast("int"))
+      val d2 = (lit(10) + id % 89).cast("string")
+      val base = concat(lit("number 42 alpha cafe "), tag,
+        lit(" street. the end"))
+      val text = when(v === 0, base)
+        .when(v === 1, upper(base))
+        .when(v === 2, concat(lit("number "), d2, lit(" alpha cafe "),
+          tag, lit(" street. the end")))
+        .when(v === 3, concat(lit("number 42 alpha café "), tag,
+          lit(" street, the end")))
+        .otherwise(concat(lit("number  42\talpha cafe "), tag,
+          lit("  street.  the end")))
+      graft.ext.Dedup.dedupExactNormalized(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id, text.as("text")),
+        "doc_id", "text")
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7102,6 +7134,22 @@ object SparkEntry {
         |       WHEN a = 5 THEN 'brace' WHEN a = 7 THEN 'few_lines'
         |       ELSE 'keep' END AS verdict
         |FROM gd""".stripMargin,
+
+    // norm-dedup mirror: expected normalized string + keep windows
+    // from residues — the oracle never normalizes text
+    "q266_norm_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 100 AS g FROM documents),
+        |n AS (
+        |  SELECT doc_id, g,
+        |    'number 00 alpha cafe ' || repeat('x', g + 3)
+        |      || ' street the end' AS norm_text
+        |  FROM p)
+        |SELECT doc_id, norm_text,
+        |  CAST(min(doc_id) OVER (PARTITION BY g) AS BIGINT) AS keep_id,
+        |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_copies,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY g) AS is_dup
+        |FROM n""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

@@ -122,6 +122,34 @@ object Dedup {
     df.groupBy(keyCol.as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** NORMALIZED exact dedup: [[TextAnalysis.normalizeForDedup]] →
+    * hash-groupBy keep-min-id, joined back so EVERY input doc gets one
+    * row: (idCol, norm_text, keep_id, n_copies, is_dup). This is the
+    * CCNet posture — exact dedup over normalized text catches the
+    * case/digit/accent/punctuation variants raw exact dedup misses,
+    * at exact-dedup cost (one shuffle), where raw near-dup would need
+    * minhash.
+    *
+    * 100-TB shape: the shuffle key is `xxhash64(norm_text)` — 8 bytes
+    * per row on the exchange, never the document string (the min-id
+    * keep rule is a primitive-buffer hash aggregate with map-side
+    * combine). 64-bit collisions (~n²/2⁶⁵) would merge unrelated docs;
+    * corpora past ~10⁸ docs should widen the key to
+    * (xxhash64(s), xxhash64(reverse(s))) — same plan shape.
+    */
+  def dedupExactNormalized(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withNorm = df
+      .withColumn("norm_text",
+        graft.ext.TextAnalysis.normalizeForDedup(col(textCol)))
+      .withColumn("__h", xxhash64(col("norm_text")))
+    val groups = withNorm.groupBy("__h")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    withNorm.join(groups, "__h")
+      .select(col(idCol), col("norm_text"), col("keep_id"), col("n_copies"),
+        (col(idCol) =!= col("keep_id")).as("is_dup"))
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via a shingle inverted index:
     * pairs come from the self-equi-join on shared shingles (postings),
     * so work is Σ|posting list|² — candidates share content by

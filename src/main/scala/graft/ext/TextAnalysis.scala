@@ -883,6 +883,27 @@ object TextAnalysis {
           .otherwise(lit("keep")))
   }
 
+  /** CCNET-STYLE text normalization for dedup hashing (Wenzek et al.
+    * 2020 §4.1 — case/digit/accent/punctuation variants of the same
+    * content must hash identically or exact dedup misses them):
+    * lowercase → fold the common Latin accented letters (a bounded
+    * `translate`, not ICU — deterministic and engine-portable) →
+    * every digit to `0` → strip everything that is not
+    * `[a-z0 \t\r\n]` → collapse whitespace runs to one space → trim.
+    *
+    * LATIN-TARGETED by design (CCNet normalizes per language after
+    * language ID): non-Latin letters are stripped, so route non-Latin
+    * docs through [[scriptProfile]] first. Pure codegen'd projection;
+    * null-safe ('' for null).
+    */
+  def normalizeForDedup(text: Column): Column = {
+    val folded = translate(lower(coalesce(text, lit(""))),
+      "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ", "aaaaaaceeeeiiiinooooouuuuyy")
+    val zeroed = regexp_replace(folded, "[0-9]", "0")
+    val stripped = regexp_replace(zeroed, "[^a-z0 \t\r\n]", "")
+    trim(regexp_replace(stripped, "[ \t\r\n]+", " "))
+  }
+
   /** Sample blocklist for [[c4Rules]] specs/fixtures. A production
     * run passes the real list (C4 used the public "List of Dirty,
     * Naughty, Obscene..." list, ~2k entries) — still small enough for

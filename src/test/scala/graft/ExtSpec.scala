@@ -840,4 +840,42 @@ class ExtSpec extends SparkSpec {
     assert(got(6L) == ((0L, 0L, "")))
     assert(got(8L) == ((0L, 0L, "")), "null text is an empty doc")
   }
+
+  test("normalizeForDedup: case/accent/digit/punct/whitespace folds, non-latin strips, null-safe") {
+    val rows = Seq(
+      "Call 555-0199 NOW!!",
+      "  call\t555 0199  now  ",
+      "café résumé naïve",
+      "mixed мира 漢字 latin",
+      null.asInstanceOf[String]).toDF("t")
+    val got = rows
+      .select(TextAnalysis.normalizeForDedup(col("t")).as("n"))
+      .as[String].collect()
+    assert(got(0) == "call 0000000 now", s"digits->0, punct gone: '${got(0)}'")
+    // the hyphen-stripped form and the space-separated form differ by
+    // design (strip, not space-replace): 0000000 vs 000 0000
+    assert(got(1) == "call 000 0000 now", s"ws collapse + trim: '${got(1)}'")
+    assert(got(2) == "cafe resume naive", s"accent fold: '${got(2)}'")
+    assert(got(3) == "mixed latin", s"non-latin letters strip: '${got(3)}'")
+    assert(got(4) == "", "null-safe")
+  }
+
+  test("dedupExactNormalized: variant group collapses to min id, every input classified") {
+    val df = Seq(
+      (10L, "The Price Is 42 Dollars."),
+      (11L, "the price is 42 dollars"),
+      (12L, "the  price\tis 73 dollars!"),
+      (13L, "thé price is 42 dollars"),
+      (20L, "something else entirely")).toDF("id", "text")
+    val got = Dedup.dedupExactNormalized(df, "id", "text")
+      .select(col("id"), col("norm_text"), col("keep_id"),
+        col("n_copies"), col("is_dup"))
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.size == 5, "one row per input doc")
+    for (i <- Seq(10L, 11L, 12L, 13L))
+      assert(got(i) == (("the price is 00 dollars", 10L, 4L, i != 10L)),
+        s"variant $i: ${got(i)}")
+    assert(got(20L) == (("something else entirely", 20L, 1L, false)))
+  }
 }
