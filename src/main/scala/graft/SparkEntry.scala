@@ -2320,6 +2320,36 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── token-contrast quality classifier (TextClassifier — the
+    // GPT-3/CCNet quality-filter stage in integer ppm): TRAIN on a
+    // parity split of the corpus (even ids = "good"-heavy positives,
+    // odd = "spam"-heavy negatives, shared `the`/`end` function
+    // words, per-doc token counts 1+id%5 so class totals are residue
+    // sums), then SCORE a disjoint three-arm fixture — pos-leaning,
+    // neg-leaning, and a good+spam+OOV arm whose verdict hangs on the
+    // smoothed unseen weight. The oracle recomputes class counts as
+    // SQL residue sums and every weight/score as integer DIV — the
+    // full train→score chain certified end-to-end, nothing shared
+    // with the operator. ──
+    "q267_nb_classifier" -> ((s, dir) => {
+      import graft.ext.TextClassifier
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val p = (lit(1) + id % 5).cast("int")
+      val trainText = when(id % 2 === 0,
+        concat(repeat(lit("good "), p), lit("the end")))
+        .otherwise(concat(repeat(lit("spam "), p), lit("the end")))
+      val train = docs.select(id, trainText.as("text")).repartition(32)
+      val model = TextClassifier.nbTrainContrast(
+        train.filter(id % 2 === 0), train.filter(id % 2 === 1), "text")
+      val scoreText = when(id % 3 === 0, lit("good good the"))
+        .when(id % 3 === 1, lit("spam the end end"))
+        .otherwise(lit("good spam zzz"))
+      TextClassifier.nbScoreContrast(model,
+        docs.select(id, scoreText.as("text")).repartition(32),
+        "doc_id", "text")
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7150,6 +7180,45 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_copies,
         |  doc_id <> min(doc_id) OVER (PARTITION BY g) AS is_dup
         |FROM n""".stripMargin,
+
+    // nb-classifier mirror: class token counts as residue sums, every
+    // weight and score as integer //, labels re-derived — the whole
+    // train→score chain as independent arithmetic
+    "q267_nb_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 5 AS p, doc_id % 2 AS par,
+        |    doc_id % 3 AS s
+        |  FROM documents),
+        |tot AS (
+        |  SELECT
+        |    sum(CASE WHEN par = 0 THEN p ELSE 0 END) AS cg,
+        |    sum(CASE WHEN par = 1 THEN p ELSE 0 END) AS cs,
+        |    sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS ne,
+        |    sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS no
+        |  FROM d),
+        |w AS (
+        |  SELECT
+        |    (cg+1)*1000000 // (cg + 2*ne + 4)
+        |      - 1000000 // (cs + 2*no + 4) AS wg,
+        |    1000000 // (cg + 2*ne + 4)
+        |      - (cs+1)*1000000 // (cs + 2*no + 4) AS ws,
+        |    (ne+1)*1000000 // (cg + 2*ne + 4)
+        |      - (no+1)*1000000 // (cs + 2*no + 4) AS wt,
+        |    1000000 // (cg + 2*ne + 4)
+        |      - 1000000 // (cs + 2*no + 4) AS wo
+        |  FROM tot),
+        |sc AS (
+        |  SELECT doc_id, s,
+        |    CASE s WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 3 END AS n_toks,
+        |    CASE s WHEN 2 THEN 1 ELSE 0 END AS oov_toks,
+        |    CASE s WHEN 0 THEN 2*wg + wt WHEN 1 THEN ws + wt + 2*wt
+        |      ELSE wg + ws + wo END AS score
+        |  FROM d, w)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(oov_toks AS BIGINT) AS oov_toks,
+        |  CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score > 0 THEN 'pos' ELSE 'neg' END AS label
+        |FROM sc""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

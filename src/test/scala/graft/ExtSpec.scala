@@ -860,6 +860,33 @@ class ExtSpec extends SparkSpec {
     assert(got(4) == "", "null-safe")
   }
 
+  test("nbTrainContrast/nbScoreContrast: hand-computed weights, OOV smoothing, tie routes neg, empty doc classified") {
+    import graft.ext.TextClassifier
+    val pos = Seq("good good the", "good end").toDF("text")
+    val neg = Seq("bad the", "bad bad end").toDF("text")
+    val model = TextClassifier.nbTrainContrast(pos, neg, "text")
+    // V=4, N_pos=5, N_neg=5: w = (c+1)*1e6 div 9 each side
+    val w = model.select(col("token"), col("w_ppm"))
+      .as[(String, Long)].collect().toMap
+    assert(w("good") == 4000000L / 9 - 1000000L / 9, s"w(good)=${w("good")}")
+    assert(w("bad") == -(4000000L / 9 - 1000000L / 9))
+    assert(w("the") == 0L && w("end") == 0L, "balanced tokens weigh 0")
+    val docs = Seq(
+      (1L, "good good"), (2L, "bad"), (3L, "good bad zzz the"),
+      (4L, ""), (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = TextClassifier.nbScoreContrast(model, docs, "id", "text")
+      .select(col("id"), col("n_toks"), col("oov_toks"), col("score"),
+        col("label"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((2L, 0L, 2L * 333333L, "pos")), s"${got(1L)}")
+    assert(got(2L) == ((1L, 0L, -333333L, "neg")))
+    // good + bad cancel, zzz takes w_oov = 0 → tie routes neg
+    assert(got(3L) == ((4L, 1L, 0L, "neg")), s"tie: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0L, "neg")), "empty doc classified")
+    assert(got(5L) == ((0L, 0L, 0L, "neg")), "null doc classified")
+  }
+
   test("dedupExactNormalized: variant group collapses to min id, every input classified") {
     val df = Seq(
       (10L, "The Price Is 42 Dollars."),
