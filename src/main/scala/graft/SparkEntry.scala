@@ -2350,6 +2350,36 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── DSIR-style importance selection (Xie et al. 2023 composed
+    // from certified parts): contrast weights trained TARGET-vs-RAW
+    // (the DSIR importance ratio in the ppm space of q267's
+    // classifier — target sample = the %5=0 slice, raw = the whole
+    // four-arm corpus), every raw doc scored, then the top-score
+    // prefix cut at a 600-token budget via selectByBudget. Scores
+    // collapse to four arm-level tie groups and the budget lands
+    // INSIDE one (125-doc arms × cost 3 vs budget 600), so the id
+    // tie-break carries the cut — and cum 600 == budget certifies the
+    // inclusive boundary. Oracle: class counts as residue sums,
+    // weights/scores as integer //, the cut as the naive single-
+    // window cumsum. ──
+    "q268_dsir_select" -> ((s, dir) => {
+      import graft.ext.TextClassifier
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val target = docs.filter(id % 5 === 0)
+        .select(id, lit("fine fine the end").as("text")).repartition(32)
+      val rawText = when(id % 4 === 0, lit("fine fine the"))
+        .when(id % 4 === 1, lit("junk the end"))
+        .when(id % 4 === 2, lit("fine junk the"))
+        .otherwise(lit("fine the end"))
+      val raw = docs.select(id, rawText.as("text")).repartition(32)
+      val model = TextClassifier.nbTrainContrast(target, raw, "text")
+      val scored = TextClassifier.nbScoreContrast(model, raw, "doc_id", "text")
+      graft.operators.Sampling.selectByBudget(
+        scored.select(id, col("score"), col("n_toks").as("cost")),
+        "doc_id", "score", "cost", 600L)
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7219,6 +7249,47 @@ object SparkEntry {
         |  CAST(score AS BIGINT) AS score,
         |  CASE WHEN score > 0 THEN 'pos' ELSE 'neg' END AS label
         |FROM sc""".stripMargin,
+
+    // dsir-select mirror: target-vs-raw weights from residue sums,
+    // arm scores, then the naive single-window running sum
+    "q268_dsir_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS r, doc_id % 5 AS t5
+        |  FROM documents),
+        |tot AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN t5 = 0 THEN 1 ELSE 0 END) AS nt,
+        |    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN r = 3 THEN 1 ELSE 0 END) AS n3
+        |  FROM d),
+        |w AS (
+        |  SELECT
+        |    (2*nt+1)*1000000 // (4*nt+4)
+        |      - (2*n0+n2+n3+1)*1000000 // (3*n+4) AS wf,
+        |    1000000 // (4*nt+4)
+        |      - (n1+n2+1)*1000000 // (3*n+4) AS wj,
+        |    (nt+1)*1000000 // (4*nt+4)
+        |      - (n+1)*1000000 // (3*n+4) AS wt,
+        |    (nt+1)*1000000 // (4*nt+4)
+        |      - (n1+n3+1)*1000000 // (3*n+4) AS we
+        |  FROM tot),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE r WHEN 0 THEN 2*wf + wt WHEN 1 THEN wj + wt + we
+        |      WHEN 2 THEN wf + wj + wt ELSE wf + wt + we END AS score,
+        |    3 AS cost
+        |  FROM d, w),
+        |c AS (
+        |  SELECT doc_id, score, cost,
+        |    sum(cost) OVER (ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sc)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score,
+        |  CAST(cost AS BIGINT) AS cost, CAST(cum AS BIGINT) AS cum_cost,
+        |  cum <= 600 AS selected
+        |FROM c""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed
