@@ -192,6 +192,44 @@ object SparkEntry {
     docs.select(id).repartition(32).select(id, text.as("text"))
   }
 
+  /** WARC archive-blob fixture (q269): R = 1+id%3 records per blob,
+    * payload r = repeat('p', 5+(id+r)%7), uri/type arithmetic in
+    * (id, r). Arms on m = id%10: m=6 lowercase header names (parse is
+    * case-insensitive); m=7 junk bytes after the last record
+    * (bad_magic, all R records still emitted); m=8 the LAST record's
+    * Content-Length overdeclared by 3 (bad_length, R−1 records); m=9
+    * the last record missing Content-Length (bad_header, R−1 — and
+    * R=1 blobs emit ZERO records, exercising the null record row).
+    */
+  private def warcBlobFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 10
+    val nRecs = (lit(1) + id % 3).cast("int")
+    def hn(canon: String): Column =
+      when(m === 6, lit(canon.toLowerCase)).otherwise(lit(canon))
+    def recOf(r: Column): Column = {
+      val len = (lit(5) + pmod(id + r, lit(7))).cast("int")
+      val badLast = (m === 8) && (r === nRecs - 1)
+      val omitCl = (m === 9) && (r === nRecs - 1)
+      val clVal = when(badLast, len + 3).otherwise(len).cast("string")
+      val clLine = when(omitCl, lit("")).otherwise(
+        concat(hn("Content-Length"), lit(": "), clVal, lit("\r\n")))
+      concat(lit("WARC/1.0\r\n"),
+        hn("WARC-Type"), lit(": "),
+        when(pmod(r, lit(2)) === 0, lit("response")).otherwise(lit("request")),
+        lit("\r\n"),
+        hn("WARC-Target-URI"), lit(": http://www.src"),
+        (id % 20).cast("string"), lit(".example.com/Docs/"),
+        id.cast("string"), lit("/"), r.cast("string"), lit("\r\n"),
+        clLine, lit("\r\n"),
+        repeat(lit("p"), len), lit("\r\n\r\n"))
+    }
+    val blob = concat(
+      array_join(transform(sequence(lit(0), nRecs - 1), r => recOf(r)), ""),
+      when(m === 7, lit("JUNKJUNKJUNK")).otherwise(lit("")))
+    docs.select(id).repartition(32).select(id, blob.as("blob"))
+  }
+
   private def httpRawFixture(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
@@ -2379,6 +2417,19 @@ object SparkEntry {
         scored.select(id, col("score"), col("n_toks").as("cost")),
         "doc_id", "score", "cost", 600L)
     }),
+
+    // ── WARC container splitting (WarcRecord.splitRecords — the step
+    // BEFORE q236's HTTP parse in a Common-Crawl-shaped pipeline):
+    // multi-record blobs walked by the bounded fold, four framing
+    // arms (lowercase headers parse; junk tail → bad_magic with the
+    // head records kept; overdeclared Content-Length → bad_length;
+    // missing Content-Length → bad_header, whose R=1 blobs emit the
+    // null zero-record row). Every record field and the per-arm
+    // record count is closed-form in (id, r), so the oracle
+    // RECONSTRUCTS records arithmetically — it never parses framing. ──
+    "q269_warc_split" -> ((s, dir) =>
+      graft.ext.WarcRecord.splitRecords(
+        warcBlobFixture(t(s, dir, "documents")), "doc_id", "blob")),
 
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
@@ -7290,6 +7341,34 @@ object SparkEntry {
         |  CAST(cost AS BIGINT) AS cost, CAST(cum AS BIGINT) AS cum_cost,
         |  cum <= 600 AS selected
         |FROM c""".stripMargin,
+
+    // warc-split mirror: records reconstructed arithmetically from
+    // (id, r) — no framing parse oracle-side; zero-record blobs come
+    // back as the LEFT JOIN's null row
+    "q269_warc_split" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 10 AS m, 1 + doc_id % 3 AS rr
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, m,
+        |    CASE WHEN m IN (8, 9) THEN rr - 1 ELSE rr END AS re
+        |  FROM p),
+        |recs AS (
+        |  SELECT doc_id, unnest(range(0, re)) AS r FROM e),
+        |rr2 AS (
+        |  SELECT doc_id, CAST(r AS BIGINT) AS rec_idx,
+        |    CASE WHEN r % 2 = 0 THEN 'response' ELSE 'request' END
+        |      AS warc_type,
+        |    'http://www.src' || CAST(doc_id % 20 AS VARCHAR)
+        |      || '.example.com/Docs/' || CAST(doc_id AS VARCHAR)
+        |      || '/' || CAST(r AS VARCHAR) AS target_uri,
+        |    repeat('p', CAST(5 + (doc_id + r) % 7 AS INT)) AS payload
+        |  FROM recs)
+        |SELECT e.doc_id,
+        |  CASE WHEN m = 7 THEN 'bad_magic' WHEN m = 8 THEN 'bad_length'
+        |       WHEN m = 9 THEN 'bad_header' ELSE 'ok' END AS warc_status,
+        |  rr2.rec_idx, rr2.warc_type, rr2.target_uri, rr2.payload
+        |FROM e LEFT JOIN rr2 ON e.doc_id = rr2.doc_id""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

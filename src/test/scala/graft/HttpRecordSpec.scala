@@ -177,4 +177,55 @@ class HttpRecordSpec extends SparkSpec {
     assert(got("garbled") == ((1L, "backoff", 5L)), s"base 5*2^0: ${got("garbled")}")
     assert(got("dead") == ((8L, "gave_up", -1L)), s"${got("dead")}")
   }
+
+  test("WarcRecord.splitRecords: framing walk, partial-head emission, every status route, null/empty blobs") {
+    import graft.ext.WarcRecord
+    def rec(typ: String, uri: String, payload: String,
+        clOff: Int = 0, omitCl: Boolean = false): String = {
+      val cl = if (omitCl) ""
+        else s"Content-Length: ${payload.length + clOff}\r\n"
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n$cl\r\n$payload\r\n\r\n"
+    }
+    val r1 = rec("response", "http://a/1", "hello world")
+    val r2 = rec("request", "http://a/2", "bye")
+    val blobs = Seq(
+      (1L, r1 + r2),                                     // two records, ok
+      (2L, "NOTWARC" + r1),                              // bad magic at 0
+      (3L, r1 + "GARBAGE"),                              // head kept, junk tail
+      (4L, r1 + rec("response", "http://a/3", "xyz", clOff = 2)), // overrun
+      (5L, r1 + rec("response", "http://a/4", "xyz", omitCl = true)),
+      (6L, ""),                                          // empty archive: ok
+      (7L, null.asInstanceOf[String]),
+      // lowercase headers + an extra header line still parse
+      (8L, "WARC/1.0\r\nwarc-type: response\r\nX-Extra: v\r\nwarc-target-uri: u\r\ncontent-length: 2\r\n\r\nok\r\n\r\n"))
+      .toDF("id", "blob")
+    val got = WarcRecord.splitRecords(blobs, "id", "blob")
+      .select(col("id"), col("warc_status"), col("rec_idx"),
+        col("warc_type"), col("target_uri"), col("payload"))
+      .as[(Long, String, Option[Long], String, String, String)].collect()
+    val byId = got.groupBy(_._1)
+    assert(byId(1L).map(_._2).toSet == Set("ok"))
+    assert(byId(1L).sortBy(_._3).map(r => (r._3, r._4, r._5, r._6)).toSeq ==
+      Seq((Some(0L), "response", "http://a/1", "hello world"),
+        (Some(1L), "request", "http://a/2", "bye")))
+    assert(byId(2L).toSeq == Seq((2L, "bad_magic", None, null, null, null)),
+      s"zero-record blob: ${byId(2L).toSeq}")
+    assert(byId(3L).map(r => (r._2, r._6)).toSeq == Seq(("bad_magic", "hello world")),
+      "records before the junk tail survive")
+    assert(byId(4L).map(r => (r._2, r._6)).toSeq == Seq(("bad_length", "hello world")))
+    assert(byId(5L).map(r => (r._2, r._6)).toSeq == Seq(("bad_header", "hello world")))
+    assert(byId(6L).toSeq == Seq((6L, "ok", None, null, null, null)),
+      "empty archive is vacuously ok")
+    assert(byId(7L).toSeq == Seq((7L, "ok", None, null, null, null)))
+    assert(byId(8L).map(r => (r._2, r._4, r._5, r._6)).toSeq ==
+      Seq(("ok", "response", "u", "ok")), s"case-insens: ${byId(8L).toSeq}")
+    // bounded walk: 3 records under maxRecords=2 routes too_many, head kept
+    val over = WarcRecord.splitRecords(
+      Seq((9L, r1 + r2 + r1)).toDF("id", "blob"), "id", "blob",
+      maxRecords = 2)
+      .select(col("warc_status"), col("rec_idx"))
+      .as[(String, Option[Long])].collect()
+    assert(over.map(_._1).toSet == Set("too_many") &&
+      over.flatMap(_._2).sorted.toSeq == Seq(0L, 1L), s"${over.toSeq}")
+  }
 }
