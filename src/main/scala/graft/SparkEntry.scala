@@ -2431,6 +2431,28 @@ object SparkEntry {
       graft.ext.WarcRecord.splitRecords(
         warcBlobFixture(t(s, dir, "documents")), "doc_id", "blob")),
 
+    // ── zone-map file skipping (Layout.fileSkipPlan — the manifest-
+    // tier planner that makes a 100-TB table queryable): synthetic
+    // manifest with 10-wide file zones of 8+i%5 width (widths ≥10
+    // overlap the next decade, so the [1000,2000] query has live
+    // `scan` files at BOTH edges — i=99 crosses lo, i=199/200 cross
+    // hi), partitions p0..p3 with only {p0,p1} queried. All four
+    // decisions closed-form in the residues; partition pruning is
+    // certified to fire BEFORE zone checks (pruned files whose zones
+    // overlap stay pruned). ──
+    "q270_file_skipping" -> ((s, dir) => {
+      val id = col("doc_id")
+      val manifest = t(s, dir, "documents").select(
+        concat(lit("f"), id.cast("string")).as("file"),
+        concat(lit("p"), (id % 4).cast("string")).as("part"),
+        (id * 10).cast("long").as("min_v"),
+        (id * 10 + 8 + id % 5).cast("long").as("max_v"),
+        (lit(100) + id % 50).cast("long").as("rows"))
+      graft.operators.Layout.fileSkipPlan(manifest,
+        "file", "part", "min_v", "max_v", "rows",
+        Seq("p0", "p1"), 1000L, 2000L)
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7369,6 +7391,23 @@ object SparkEntry {
         |       WHEN m = 9 THEN 'bad_header' ELSE 'ok' END AS warc_status,
         |  rr2.rec_idx, rr2.warc_type, rr2.target_uri, rr2.payload
         |FROM e LEFT JOIN rr2 ON e.doc_id = rr2.doc_id""".stripMargin,
+
+    // file-skipping mirror: the four-way decision as residue CASE
+    "q270_file_skipping" ->
+      """WITH m AS (
+        |  SELECT 'f' || CAST(doc_id AS VARCHAR) AS file,
+        |    'p' || CAST(doc_id % 4 AS VARCHAR) AS part,
+        |    CAST(doc_id * 10 AS BIGINT) AS min_v,
+        |    CAST(doc_id * 10 + 8 + doc_id % 5 AS BIGINT) AS max_v,
+        |    CAST(100 + doc_id % 50 AS BIGINT) AS rows,
+        |    doc_id % 4 AS pn
+        |  FROM documents)
+        |SELECT file, part, min_v, max_v, rows,
+        |  CASE WHEN pn >= 2 THEN 'partition_pruned'
+        |       WHEN max_v < 1000 OR min_v > 2000 THEN 'skip'
+        |       WHEN min_v >= 1000 AND max_v <= 2000 THEN 'full'
+        |       ELSE 'scan' END AS decision
+        |FROM m""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

@@ -231,4 +231,40 @@ object Layout {
         (col("__off") + sum(value.cast("long")).over(wLocal)).cast("long"))
       .drop("__pid", "__off")
   }
+
+  /** ZONE-MAP file-skipping plan — the manifest-tier scan planner
+    * (Iceberg/Delta manifest pruning, the layer ABOVE parquet's
+    * row-group statistics): given a file manifest (file, partition
+    * value, per-file min/max of a sort/zone column, row count) and a
+    * query shape (partition IN set, zone BETWEEN lo AND hi), classify
+    * every file:
+    *
+    *   - `partition_pruned`: partition value not in the query's set
+    *     (checked FIRST — real engines prune partitions before
+    *     opening any column statistics)
+    *   - `skip`:  zone range disjoint from [lo, hi] (max < lo or
+    *     min > hi; bounds INCLUSIVE on the query side)
+    *   - `full`:  zone range CONTAINED in [lo, hi] — the file can be
+    *     scanned without evaluating the predicate per row
+    *   - `scan`:  partial overlap — read + filter
+    *
+    * This is what makes a 100-TB table queryable: with a sorted/
+    * Z-ordered layout ([[zorderTiles]], [[compactionPlan]] feed this),
+    * a selective range touches O(matching) files of O(total). The plan
+    * itself is a pure projection over the manifest — metadata-scale,
+    * never touches data files.
+    */
+  def fileSkipPlan(
+      manifest: DataFrame, fileCol: String, partCol: String,
+      minCol: String, maxCol: String, rowsCol: String,
+      parts: Seq[String], lo: Long, hi: Long): DataFrame = {
+    require(parts.nonEmpty && lo <= hi,
+      s"bad plan shape: parts=${parts.size} range=[$lo,$hi]")
+    manifest.select(col(fileCol), col(partCol), col(minCol), col(maxCol),
+      col(rowsCol),
+      when(!col(partCol).isin(parts: _*), lit("partition_pruned"))
+        .when(col(maxCol) < lo || col(minCol) > hi, lit("skip"))
+        .when(col(minCol) >= lo && col(maxCol) <= hi, lit("full"))
+        .otherwise(lit("scan")).as("decision"))
+  }
 }

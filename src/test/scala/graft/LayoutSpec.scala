@@ -191,4 +191,25 @@ class LayoutSpec extends SparkSpec {
     // b always 0 ⇒ z has only odd-position bits: morton(a,0)
     assert(z.subsetOf(Set(0L, 2L, 8L, 10L)), s"unexpected z values: $z")
   }
+
+  test("fileSkipPlan: partition pruning precedes zone checks; inclusive query bounds") {
+    import spark.implicits._
+    val m = Seq(
+      // (file, part, min, max, rows)
+      ("a", "p0", 0L, 9L, 10L),      // below range -> skip
+      ("b", "p0", 90L, 100L, 10L),   // touches lo (max == lo) -> scan
+      ("c", "p0", 100L, 150L, 10L),  // contained -> full
+      ("d", "p0", 100L, 200L, 10L),  // exactly the range -> full
+      ("e", "p0", 150L, 250L, 10L),  // crosses hi -> scan
+      ("f", "p0", 201L, 300L, 10L),  // min > hi -> skip
+      ("g", "p9", 100L, 150L, 10L),  // overlapping zone, wrong partition
+      ("h", "p1", 200L, 200L, 10L))  // point file at hi -> full
+      .toDF("file", "part", "min_v", "max_v", "rows")
+    val got = Layout.fileSkipPlan(m, "file", "part", "min_v", "max_v",
+        "rows", Seq("p0", "p1"), 100L, 200L)
+      .select("file", "decision").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "skip", "b" -> "scan", "c" -> "full",
+      "d" -> "full", "e" -> "scan", "f" -> "skip",
+      "g" -> "partition_pruned", "h" -> "full"), s"$got")
+  }
 }
