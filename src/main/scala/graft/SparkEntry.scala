@@ -230,6 +230,32 @@ object SparkEntry {
     docs.select(id).repartition(32).select(id, blob.as("blob"))
   }
 
+  /** Eight-arm C4 fixture shared by q265 (batch) and q271 (streaming
+    * twin) — see the q265 entry comment for the arm design.
+    */
+  private def c4Fixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val a = id % 8
+    val g = (lit(3) + id % 5).cast("int")
+    val b = (lit(1) + id % 4).cast("int")
+    val gl = lit("alpha beta gamma delta.")
+    val goods = concat_ws("\n", array_repeat(gl, g))
+    def rep(l: Column, n: Column): Column =
+      concat_ws("\n", array_repeat(l, n))
+    val text = when(a === 0, goods)
+      .when(a === 1, regexp_replace(
+        concat(goods, lit("\n"),
+          rep(lit("  no terminal punct here "), b)), "\n", "\r\n"))
+      .when(a === 2, concat(goods, lit("\n"), rep(lit("too small."), b)))
+      .when(a === 3, concat(goods, lit("\n"),
+        rep(lit("please enable javascript support."), b)))
+      .when(a === 4, concat(goods, lit("\nlorem ipsum dolor sit amet.")))
+      .when(a === 5, concat(goods, lit("\nfunction() { return; }")))
+      .when(a === 6, concat(goods, lit("\ndarn badword1 here { too.")))
+      .otherwise(concat_ws("\n", array_repeat(gl, 2)))
+    docs.select(id).repartition(32).select(id, text.as("text"))
+  }
+
   private def httpRawFixture(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
@@ -2300,31 +2326,19 @@ object SparkEntry {
     // minLinesKept. Counts and clean_text are closed-form in (a,G,B),
     // so the oracle is residue arithmetic + string rebuilds — it
     // shares no line-splitting logic with the operator. ──
-    "q265_c4_rules" -> ((s, dir) => {
-      val id = col("doc_id")
-      val a = id % 8
-      val g = (lit(3) + id % 5).cast("int")
-      val b = (lit(1) + id % 4).cast("int")
-      val gl = lit("alpha beta gamma delta.")
-      val goods = concat_ws("\n", array_repeat(gl, g))
-      def rep(l: Column, n: Column): Column =
-        concat_ws("\n", array_repeat(l, n))
-      val text = when(a === 0, goods)
-        .when(a === 1, regexp_replace(
-          concat(goods, lit("\n"),
-            rep(lit("  no terminal punct here "), b)), "\n", "\r\n"))
-        .when(a === 2, concat(goods, lit("\n"), rep(lit("too small."), b)))
-        .when(a === 3, concat(goods, lit("\n"),
-          rep(lit("please enable javascript support."), b)))
-        .when(a === 4, concat(goods, lit("\nlorem ipsum dolor sit amet.")))
-        .when(a === 5, concat(goods, lit("\nfunction() { return; }")))
-        .when(a === 6, concat(goods, lit("\ndarn badword1 here { too.")))
-        .otherwise(concat_ws("\n", array_repeat(gl, 2)))
+    "q265_c4_rules" -> ((s, dir) =>
       graft.ext.TextAnalysis.c4Rules(
-        t(s, dir, "documents").select(id).repartition(32)
-          .select(id, text.as("text")),
-        "doc_id", "text")
-    }),
+        c4Fixture(t(s, dir, "documents")), "doc_id", "text")),
+
+    // ── streaming C4 twin (the q263 discipline): c4Rules is a pure
+    // per-row projection, so the same eight-arm fixture replayed over
+    // two JSONL waves through projectionStreamReplay must equal the
+    // batch output — certified against q265's oracle VERBATIM (shared
+    // C4RulesSql val + shared c4Fixture helper). ──
+    "q271_c4_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.projectionStreamReplay(
+        s, c4Fixture(t(s, dir, "documents")), "doc_id", "text",
+        df => graft.ext.TextAnalysis.c4Rules(df, "doc_id", "text"))),
 
     // ── normalized exact dedup (Dedup.dedupExactNormalized over
     // TextAnalysis.normalizeForDedup — the CCNet §4.1 posture): five
@@ -5491,6 +5505,36 @@ object SparkEntry {
     * entries cannot drift apart. Every metric regenerated from the
     * nine arms' residue arithmetic.
     */
+  /** q265/q271 shared C4 mirror: every count and the clean-text
+    * rebuild is residue arithmetic + repeat() — no line splitting
+    * oracle-side.
+    */
+  private val C4RulesSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 8 AS a, 3 + doc_id % 5 AS g,
+      |    1 + doc_id % 4 AS b
+      |  FROM documents),
+      |gd AS (
+      |  SELECT doc_id, a, g, b,
+      |    repeat('alpha beta gamma delta.' || chr(10), g - 1)
+      |      || 'alpha beta gamma delta.' AS goods
+      |  FROM p)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN a IN (1,2,3) THEN g + b
+      |            WHEN a IN (4,5,6) THEN g + 1
+      |            WHEN a = 7 THEN 2 ELSE g END AS BIGINT) AS n_lines_in,
+      |  CAST(CASE WHEN a IN (4,6) THEN g + 1
+      |            WHEN a = 7 THEN 2 ELSE g END AS BIGINT) AS n_lines_kept,
+      |  CASE WHEN a = 4 THEN goods || chr(10) || 'lorem ipsum dolor sit amet.'
+      |       WHEN a = 6 THEN goods || chr(10) || 'darn badword1 here { too.'
+      |       WHEN a = 7 THEN 'alpha beta gamma delta.' || chr(10)
+      |         || 'alpha beta gamma delta.'
+      |       ELSE goods END AS clean_text,
+      |  CASE WHEN a = 6 THEN 'badword' WHEN a = 4 THEN 'lorem'
+      |       WHEN a = 5 THEN 'brace' WHEN a = 7 THEN 'few_lines'
+      |       ELSE 'keep' END AS verdict
+      |FROM gd""".stripMargin
+
   private val GopherQualitySql: String =
     """WITH p AS (
       |  SELECT doc_id, doc_id % 9 AS a, 50 + doc_id % 100 AS w,
@@ -7240,33 +7284,10 @@ object SparkEntry {
         |LEFT JOIN bu ON s.doc_id = bu.doc_id
         |LEFT JOIN cm ON s.doc_id = cm.doc_id""".stripMargin,
 
-    // c4-rules mirror: every count and the clean-text rebuild is
-    // residue arithmetic + repeat() — no line splitting oracle-side
-    "q265_c4_rules" ->
-      """WITH p AS (
-        |  SELECT doc_id, doc_id % 8 AS a, 3 + doc_id % 5 AS g,
-        |    1 + doc_id % 4 AS b
-        |  FROM documents),
-        |gd AS (
-        |  SELECT doc_id, a, g, b,
-        |    repeat('alpha beta gamma delta.' || chr(10), g - 1)
-        |      || 'alpha beta gamma delta.' AS goods
-        |  FROM p)
-        |SELECT doc_id,
-        |  CAST(CASE WHEN a IN (1,2,3) THEN g + b
-        |            WHEN a IN (4,5,6) THEN g + 1
-        |            WHEN a = 7 THEN 2 ELSE g END AS BIGINT) AS n_lines_in,
-        |  CAST(CASE WHEN a IN (4,6) THEN g + 1
-        |            WHEN a = 7 THEN 2 ELSE g END AS BIGINT) AS n_lines_kept,
-        |  CASE WHEN a = 4 THEN goods || chr(10) || 'lorem ipsum dolor sit amet.'
-        |       WHEN a = 6 THEN goods || chr(10) || 'darn badword1 here { too.'
-        |       WHEN a = 7 THEN 'alpha beta gamma delta.' || chr(10)
-        |         || 'alpha beta gamma delta.'
-        |       ELSE goods END AS clean_text,
-        |  CASE WHEN a = 6 THEN 'badword' WHEN a = 4 THEN 'lorem'
-        |       WHEN a = 5 THEN 'brace' WHEN a = 7 THEN 'few_lines'
-        |       ELSE 'keep' END AS verdict
-        |FROM gd""".stripMargin,
+    // c4-rules mirror (shared C4RulesSql — the streaming twin q271
+    // certifies against it verbatim)
+    "q265_c4_rules" -> C4RulesSql,
+    "q271_c4_stream" -> C4RulesSql,
 
     // norm-dedup mirror: expected normalized string + keep windows
     // from residues — the oracle never normalizes text
