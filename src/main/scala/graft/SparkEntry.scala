@@ -256,6 +256,42 @@ object SparkEntry {
     docs.select(id).repartition(32).select(id, text.as("text"))
   }
 
+  /** WARC-of-HTTP fixture (q272): each blob's payloads are FULL HTTP
+    * responses with HTML bodies — Content-Length comes from
+    * length(payload) so framing is consistent by construction; the
+    * oracle reconstructs the extracted text from (id, r) residues.
+    * Arms: (id+r)%6 = 3 → 404, = 4 → PDF; odd r → request records;
+    * id%10 = 7 → junk tail (bad archive), = 9 → empty archive blob.
+    */
+  private def warcHttpFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 10
+    val nRecs = (lit(1) + id % 3).cast("int")
+    def recOf(r: Column): Column = {
+      val c = pmod(id + r, lit(6))
+      val w = (lit(3) + pmod(id + r, lit(5))).cast("int")
+      val statusLine = when(c === 3, lit("HTTP/1.1 404 Not Found"))
+        .otherwise(lit("HTTP/1.1 200 OK"))
+      val ctype = when(c === 4, lit("application/pdf"))
+        .otherwise(lit("text/html"))
+      val payload = concat(statusLine, lit("\r\nContent-Type: "), ctype,
+        lit("\r\n\r\n<html><body><p>"), repeat(lit("word "), w),
+        lit("end</p></body></html>"))
+      concat(lit("WARC/1.0\r\nWARC-Type: "),
+        when(pmod(r, lit(2)) === 0, lit("response")).otherwise(lit("request")),
+        lit("\r\nWARC-Target-URI: http://www.src"), (id % 20).cast("string"),
+        lit(".example.com/Docs/"), id.cast("string"), lit("/"),
+        r.cast("string"),
+        lit("\r\nContent-Length: "), length(payload).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    }
+    val blob = when(m === 9, lit(""))
+      .otherwise(concat(
+        array_join(transform(sequence(lit(0), nRecs - 1), r => recOf(r)), ""),
+        when(m === 7, lit("JUNK")).otherwise(lit(""))))
+    docs.select(id).repartition(32).select(id, blob.as("blob"))
+  }
+
   private def httpRawFixture(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
@@ -2465,6 +2501,46 @@ object SparkEntry {
       graft.operators.Layout.fileSkipPlan(manifest,
         "file", "part", "min_v", "max_v", "rows",
         Seq("p0", "p1"), 1000L, 2000L)
+    }),
+
+    // ── archive-intake capstone (q272): the full Common-Crawl-shaped
+    // chain WARC split (q269) → HTTP parse (q236) → HTML extraction
+    // (q226) composed at RECORD grain, every record classified once —
+    // bad_archive (framing violations poison the whole blob),
+    // empty_archive (zero-record blobs' null row), not_response
+    // (request records never reach the HTTP parser), then the HTTP
+    // decision table, with main text + word count extracted for ok
+    // rows only. Content-Length is length(payload) by construction,
+    // so the oracle reconstructs the extracted text purely from
+    // (id, r) residues. Record key is doc_id·4+rec_idx (R ≤ 3). ──
+    "q272_archive_intake" -> ((s, dir) => {
+      import graft.ext.{HtmlExtract, HttpRecord, WarcRecord}
+      val recs = WarcRecord.splitRecords(
+          warcHttpFixture(t(s, dir, "documents")), "doc_id", "blob")
+        .withColumn("rid",
+          col("doc_id") * 4 + coalesce(col("rec_idx"), lit(3L)))
+        .localCheckpoint()
+      val parsed = HttpRecord.parse(
+        recs.filter(col("warc_status") === "ok" &&
+          col("warc_type") === "response"), "rid", "payload")
+        .select(col("rid"), col("decision").as("__hd"))
+      val staged = recs.join(parsed, Seq("rid"), "left")
+        .withColumn("decision",
+          when(col("warc_status") =!= "ok", lit("bad_archive"))
+            .when(col("rec_idx").isNull, lit("empty_archive"))
+            .when(col("warc_type") =!= "response", lit("not_response"))
+            .otherwise(col("__hd")))
+        .withColumn("text", when(col("decision") === "ok",
+          HtmlExtract.mainText(HttpRecord.body(col("payload")))))
+        // checkpoint before deriving n_words from text: projections
+        // collapse and there is no CSE — without the barrier the
+        // whole extraction chain would run twice per row
+        .localCheckpoint()
+      staged
+        .withColumn("n_words", when(col("decision") === "ok",
+          size(filter(split(col("text"), "[ \t\r\n]+"), x => x =!= ""))
+            .cast("long")))
+        .select("doc_id", "rec_idx", "decision", "text", "n_words")
     }),
 
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
@@ -7429,6 +7505,35 @@ object SparkEntry {
         |       WHEN min_v >= 1000 AND max_v <= 2000 THEN 'full'
         |       ELSE 'scan' END AS decision
         |FROM m""".stripMargin,
+
+    // archive-intake mirror: decisions and extracted text purely from
+    // (id, r) residues — nothing is parsed oracle-side
+    "q272_archive_intake" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 10 AS m, 1 + doc_id % 3 AS rr
+        |  FROM documents),
+        |recs AS (
+        |  SELECT doc_id, m, unnest(range(0, rr)) AS r
+        |  FROM p WHERE m <> 9),
+        |cls AS (
+        |  SELECT doc_id, m, r, CAST(r AS BIGINT) AS rec_idx,
+        |    (doc_id + r) % 6 AS c, 3 + (doc_id + r) % 5 AS w
+        |  FROM recs)
+        |SELECT doc_id, rec_idx,
+        |  CASE WHEN m = 7 THEN 'bad_archive'
+        |       WHEN r % 2 = 1 THEN 'not_response'
+        |       WHEN c = 3 THEN 'bad_status'
+        |       WHEN c = 4 THEN 'bad_type'
+        |       ELSE 'ok' END AS decision,
+        |  CASE WHEN m <> 7 AND r % 2 = 0 AND c NOT IN (3, 4)
+        |       THEN repeat('word ', CAST(w AS INT)) || 'end' END AS text,
+        |  CASE WHEN m <> 7 AND r % 2 = 0 AND c NOT IN (3, 4)
+        |       THEN CAST(w + 1 AS BIGINT) END AS n_words
+        |FROM cls
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS BIGINT), 'empty_archive',
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |FROM p WHERE m = 9""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed
