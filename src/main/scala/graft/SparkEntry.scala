@@ -2543,6 +2543,21 @@ object SparkEntry {
         .select("doc_id", "rec_idx", "decision", "text", "n_words")
     }),
 
+    // ── bitext margin mining (Bitext.mineMarginPairs — Artetxe &
+    // Schwenk 2019): source = even vec_ids, target = odd, k=4
+    // neighborhood; cosines come from the certified bruteForceTopK
+    // fold and the margin is nonnegative-integer arithmetic over
+    // shifted scores, so the whole miner hash-certifies (the q19
+    // precedent). The backward pass reuses the symmetric cosines —
+    // the mutual flag certifies forward/backward consistency. ──
+    "q273_bitext_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ext.Bitext.mineMarginPairs(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMarginC1000 = 1005L)
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7534,6 +7549,53 @@ object SparkEntry {
         |SELECT doc_id, CAST(NULL AS BIGINT), 'empty_archive',
         |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
         |FROM p WHERE m = 9""".stripMargin,
+
+    // bitext-mining mirror: the same symmetric-cosine fold (the q19
+    // list_reduce idiom), shifted-integer margin, backward top-1 from
+    // the SAME pair scores
+    "q273_bitext_mine" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+        |      (a, b) -> a + b) AS nn
+        |  FROM embeddings),
+        |s AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+        |t AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+        |fwd AS (
+        |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+        |    list_reduce(list_transform(list_zip(s.embedding, t.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+        |      (a, b) -> a + b) / sqrt(s.nn * t.nn) AS cosine
+        |  FROM s JOIN t ON true),
+        |rk AS (
+        |  SELECT src_id, tgt_id,
+        |    CAST(floor((cosine + 1) * 1000000) AS BIGINT) AS sc,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY cosine DESC, tgt_id) AS r
+        |  FROM fwd),
+        |ag AS (
+        |  SELECT src_id, sum(sc) AS ssum, count(*) AS kk,
+        |    max(CASE WHEN r = 1 THEN tgt_id END) AS tgt_id,
+        |    max(CASE WHEN r = 1 THEN sc END) AS top_sim_s
+        |  FROM rk WHERE r <= 4 GROUP BY src_id),
+        |mg AS (
+        |  SELECT src_id, tgt_id, top_sim_s,
+        |    CASE WHEN ssum > 0
+        |      THEN CAST(top_sim_s * 1000 * kk // ssum AS BIGINT) END
+        |      AS margin_c1000
+        |  FROM ag),
+        |bw AS (
+        |  SELECT tgt_id, src_id AS b_src,
+        |    row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY cosine DESC, src_id) AS r
+        |  FROM fwd)
+        |SELECT mg.src_id, mg.tgt_id, mg.top_sim_s, mg.margin_c1000,
+        |  bw.b_src = mg.src_id AS mutual,
+        |  mg.margin_c1000 > 1005 AS accepted
+        |FROM mg
+        |LEFT JOIN (SELECT tgt_id, b_src FROM bw WHERE r = 1) bw
+        |  ON mg.tgt_id = bw.tgt_id""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

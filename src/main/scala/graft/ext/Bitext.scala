@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining (Artetxe & Schwenk 2019 — the parallel-
+  * corpus miner behind CCMatrix/WikiMatrix-style datasets): for every
+  * source-side embedding, its best target-side neighbor is accepted
+  * when its similarity stands out from the neighborhood — the MARGIN,
+  * top-1 similarity over the mean of the top-k — rather than by an
+  * absolute cosine cut, which hubness makes uncalibratable across
+  * queries. A `mutual` flag (backward top-1 returns the source) is
+  * emitted alongside for the stricter intersection strategy.
+  *
+  * Integer contract: cosines are computed once (the certified
+  * [[SimSearch.bruteForceTopK]] fold — bit-identical across engines,
+  * the q19 precedent), then shifted to s = floor((cos+1)·10⁶) ∈
+  * [0, 2·10⁶] so the margin ratio is NONNEGATIVE-integer arithmetic —
+  * margin_c1000 = top_s·1000·k DIV Σ top-k s — and trunc-vs-floor
+  * division semantics can never diverge between engines (raw cosines
+  * go negative; a ratio of signed sums would). The shift is monotone,
+  * so ranking and thresholding semantics match the paper's.
+  *
+  * 100-TB shape: this exact form scores queries × corpus via the
+  * broadcast-queries plan (certification + bounded query batches);
+  * at corpus scale the scorer swaps for IVF/LSH candidate generation
+  * ([[SimSearch]]'s index family) and the margin/mutual arithmetic
+  * composes unchanged on the candidate set. The backward pass reuses
+  * the SAME symmetric cosines — dot products commute elementwise, so
+  * forward and backward values are bit-identical.
+  */
+object Bitext {
+
+  /** Mine (src → best tgt) pairs with margin and mutuality:
+    * (src_id, tgt_id, top_sim_s, margin_c1000, mutual, accepted).
+    * One row per source vector; `accepted` = margin_c1000 STRICTLY >
+    * minMarginC1000 (1000 = "no better than the neighborhood mean").
+    */
+  def mineMarginPairs(
+      src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, minMarginC1000: Long = 1005L): DataFrame = {
+    require(k >= 2, s"margin needs a neighborhood: k=$k")
+    val fwd = SimSearch.bruteForceTopK(tgt, src, idCol, vecCol, k)
+      .withColumn("__s",
+        floor((col("cosine") + lit(1.0d)) * 1000000d).cast("long"))
+    val agg = fwd.groupBy(col("query_id").as("src_id"))
+      .agg(sum(col("__s")).as("__sum"), count(lit(1)).as("__k"),
+        max(when(col("rank") === 1, col("neighbor_id"))).as("tgt_id"),
+        max(when(col("rank") === 1, col("__s"))).as("top_sim_s"))
+      .withColumn("margin_c1000", when(col("__sum") > 0,
+        expr("CAST(top_sim_s * 1000L * __k DIV __sum AS BIGINT)")))
+    val bwd = SimSearch.bruteForceTopK(src, tgt, idCol, vecCol, 1)
+      .select(col("query_id").as("tgt_id"), col("neighbor_id").as("__b"))
+    agg.join(bwd, Seq("tgt_id"), "left")
+      .select(col("src_id"), col("tgt_id"), col("top_sim_s"),
+        col("margin_c1000"),
+        (col("__b") === col("src_id")).as("mutual"))
+      .withColumn("accepted", col("margin_c1000") > minMarginC1000)
+  }
+}

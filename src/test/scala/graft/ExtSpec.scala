@@ -887,6 +887,31 @@ class ExtSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L, 0L, "neg")), "null doc classified")
   }
 
+  test("mineMarginPairs: hand-computed margins, flat-neighborhood rejection, mutuality") {
+    val src = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Seq(1f, 0f, 0f)),      // clone of src 0
+      (3L, Seq(0.8f, 0.6f, 0f)),
+      (9L, Seq(-0.8f, 0.6f, 0f))) // mirror of 3 wrt src 2's axis
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Bitext.mineMarginPairs(
+        src, tgt, "vec_id", "embedding", k = 2)
+      .select(col("src_id"), col("tgt_id"), col("top_sim_s"),
+        col("margin_c1000"), col("mutual"), col("accepted"))
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // src 0: top2 = (t1 cos 1 → 2000000, t3 cos .8 → 1800000);
+    // margin = 2000000·1000·2 div 3800000 = 1052 > 1005 → accepted;
+    // t1's backward best is src 0 → mutual
+    assert(got(0L) == ((1L, 2000000L, 1052L, true, true)), s"${got(0L)}")
+    // src 2: t3 and t9 tie at cos .6 (id tiebreak → t3); the flat
+    // neighborhood makes margin exactly 1000 → rejected; t3's
+    // backward best is src 0 (cos .8) → not mutual
+    assert(got(2L) == ((3L, 1600000L, 1000L, false, false)), s"${got(2L)}")
+  }
+
   test("dedupExactNormalized: variant group collapses to min id, every input classified") {
     val df = Seq(
       (10L, "The Price Is 42 Dollars."),
