@@ -646,6 +646,76 @@ object ScaleProbe {
               (length(col("text")) % 500 + 50).cast("long").as("cost")),
             "doc_id", "score", "cost", budget = 1000000L)
         }),
+        run("c4_rules", {
+          // round-13c family: interpreted HOF line filters + page
+          // token scan — CPU-bound per-row projection, no shuffle
+          graft.ext.TextAnalysis.c4Rules(
+            d.repartition(32, col("doc_id")), "doc_id", "text")
+        }),
+        run("norm_dedup", {
+          // 1000 HOT normalized groups growing occurrences ×n (tags
+          // translated to LETTERS — digit tags collide to one group
+          // post-normalization); min-id keep must map-side combine
+          val tag = translate((col("doc_id") % 1000).cast("string"),
+            "0123456789", "abcdefghij")
+          val txt = concat(lit("Group "), tag, lit(" CAFÉ 42 text."),
+            when(col("doc_id") % 2 === 0, lit("  extra"))
+              .otherwise(lit(" EXTRA")))
+          graft.ext.Dedup.dedupExactNormalized(
+            d.select(col("doc_id"), txt.as("text")), "doc_id", "text")
+        }),
+        run("nb_classifier", {
+          // train (two token aggs + vocab full-outer join) + score
+          // (model join over per-(doc,token) counts) on the scaled
+          // corpus — vocab bounded by the 100 rotation alphabet, doc
+          // side grows ×n; expected ~linear
+          val m = graft.ext.TextClassifier.nbTrainContrast(
+            d.filter(col("doc_id") % 2 === 0),
+            d.filter(col("doc_id") % 2 === 1), "text")
+          graft.ext.TextClassifier.nbScoreContrast(
+            m, d.repartition(32, col("doc_id")), "doc_id", "text")
+        }),
+        run("warc_split", {
+          // bounded framing fold: MaxRecords fixed-cost steps per
+          // blob regardless of record count — expected ~linear
+          val pay = substring(col("text"), 1, 80)
+          val rec = concat(
+            lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u"),
+            col("doc_id").cast("string"), lit("\r\nContent-Length: "),
+            length(pay).cast("string"), lit("\r\n\r\n"), pay,
+            lit("\r\n\r\n"))
+          graft.ext.WarcRecord.splitRecords(
+            d.repartition(32, col("doc_id"))
+              .select(col("doc_id"), concat(rec, rec).as("blob")),
+            "doc_id", "blob")
+        }),
+        run("archive_intake", {
+          // the composed q272 chain (split → parse → extract) minus
+          // fixture arms — catches cross-stage plan pathologies
+          import graft.ext.{HtmlExtract, HttpRecord, WarcRecord}
+          val pay = concat(
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><p>"),
+            substring(col("text"), 1, 100), lit("</p></html>"))
+          val rec = concat(
+            lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u"),
+            col("doc_id").cast("string"), lit("\r\nContent-Length: "),
+            length(pay).cast("string"), lit("\r\n\r\n"), pay,
+            lit("\r\n\r\n"))
+          val recs = WarcRecord.splitRecords(
+              d.repartition(32, col("doc_id"))
+                .select(col("doc_id"), rec.as("blob")), "doc_id", "blob")
+            .withColumn("rid",
+              col("doc_id") * 4 + coalesce(col("rec_idx"), lit(3L)))
+            .localCheckpoint()
+          val parsed = HttpRecord.parse(
+            recs.filter(col("warc_status") === "ok" &&
+              col("warc_type") === "response"), "rid", "payload")
+            .select(col("rid"), col("decision"))
+          recs.join(parsed, Seq("rid"), "left")
+            .withColumn("text", when(col("decision") === "ok",
+              HtmlExtract.mainText(HttpRecord.body(col("payload")))))
+            .select("doc_id", "rec_idx", "decision", "text")
+        }),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
           // split — label = id%10 would pin every label to ONE parity
