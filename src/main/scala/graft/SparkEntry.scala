@@ -2558,6 +2558,40 @@ object SparkEntry {
         "vec_id", "embedding", k = 4, minMarginC1000 = 1005L)
     }),
 
+    // ── C4 three-sentence-span dedup (Dedup.dedupSentenceSpans —
+    // the paper's corpus-level dedup, span grain not doc grain): five
+    // residue arms — unique docs; a shared 3-sentence HEAD block
+    // (non-keepers lose exactly the head, their unique tail survives
+    // — the whole point of span-grain dedup); a 2-sentence overlap
+    // that must NOT dedup (every span contains a unique sentence); a
+    // within-doc 4× repeated sentence (overlapping spans, keeper by
+    // (doc,pos) argmin, sentences 1-3 removed); whole-doc shared
+    // blocks emptying non-keepers to n_kept=0. Keepers are
+    // corpus-wide min-id per (arm, g) — the oracle derives them with
+    // min windows over residues and rebuilds every text closed-form. ──
+    "q274_c4_span_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val a = id % 5
+      val g = (id % 9).cast("string")
+      def sent(tag: Column): Column = concat(tag, lit(" alpha beta."))
+      def u(k: Int): Column =
+        sent(concat(lit("u"), id.cast("string"), lit("x" + k)))
+      def tg(p: String, k: Int): Column =
+        sent(concat(lit(p), g, lit("x" + k)))
+      val r = sent(concat(lit("r"), id.cast("string")))
+      val text = when(a === 0, concat_ws(" ", u(0), u(1), u(2), u(3), u(4)))
+        .when(a === 1, concat_ws(" ",
+          tg("b", 0), tg("b", 1), tg("b", 2), u(3), u(4)))
+        .when(a === 2, concat_ws(" ",
+          tg("p", 0), tg("p", 1), u(2), u(3), u(4)))
+        .when(a === 3, concat_ws(" ", r, r, r, r, u(4)))
+        .otherwise(concat_ws(" ", tg("c", 0), tg("c", 1), tg("c", 2)))
+      graft.ext.Dedup.dedupSentenceSpans(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id, text.as("text")),
+        "doc_id", "text")
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7596,6 +7630,53 @@ object SparkEntry {
         |FROM mg
         |LEFT JOIN (SELECT tgt_id, b_src FROM bw WHERE r = 1) bw
         |  ON mg.tgt_id = bw.tgt_id""".stripMargin,
+
+    // span-dedup mirror: keepers from min windows over residues,
+    // every rebuilt text closed-form — no span fingerprinting
+    // oracle-side
+    "q274_c4_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 5 AS a, doc_id % 9 AS g
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, a, g,
+        |    min(CASE WHEN a = 1 THEN doc_id END)
+        |      OVER (PARTITION BY g) AS kb,
+        |    min(CASE WHEN a = 4 THEN doc_id END)
+        |      OVER (PARTITION BY g) AS kc
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, a, kb, kc,
+        |    CAST(doc_id AS VARCHAR) AS i, CAST(g AS VARCHAR) AS gs
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN a = 4 THEN 3 ELSE 5 END AS BIGINT) AS n_sents,
+        |  CAST(CASE WHEN a = 0 OR a = 2 THEN 5
+        |            WHEN a = 1 THEN
+        |              CASE WHEN doc_id = kb THEN 5 ELSE 2 END
+        |            WHEN a = 3 THEN 2
+        |            ELSE CASE WHEN doc_id = kc THEN 3 ELSE 0 END
+        |       END AS BIGINT) AS n_kept,
+        |  CASE WHEN a = 0 THEN
+        |    'u'||i||'x0 alpha beta. u'||i||'x1 alpha beta. u'||i
+        |      ||'x2 alpha beta. u'||i||'x3 alpha beta. u'||i
+        |      ||'x4 alpha beta.'
+        |  WHEN a = 1 AND doc_id = kb THEN
+        |    'b'||gs||'x0 alpha beta. b'||gs||'x1 alpha beta. b'||gs
+        |      ||'x2 alpha beta. u'||i||'x3 alpha beta. u'||i
+        |      ||'x4 alpha beta.'
+        |  WHEN a = 1 THEN
+        |    'u'||i||'x3 alpha beta. u'||i||'x4 alpha beta.'
+        |  WHEN a = 2 THEN
+        |    'p'||gs||'x0 alpha beta. p'||gs||'x1 alpha beta. u'||i
+        |      ||'x2 alpha beta. u'||i||'x3 alpha beta. u'||i
+        |      ||'x4 alpha beta.'
+        |  WHEN a = 3 THEN 'r'||i||' alpha beta. u'||i||'x4 alpha beta.'
+        |  WHEN doc_id = kc THEN
+        |    'c'||gs||'x0 alpha beta. c'||gs||'x1 alpha beta. c'||gs
+        |      ||'x2 alpha beta.'
+        |  ELSE '' END AS text_dedup
+        |FROM f""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

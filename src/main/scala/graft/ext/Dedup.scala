@@ -715,4 +715,74 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** C4's THREE-SENTENCE-SPAN corpus dedup (Raffel et al. 2020 §2.2's
+    * "deduplicate three-sentence spans" — the span-grain complement to
+    * [[dedupParagraphsCorpus]]'s paragraph grain): every sliding
+    * `span`-sentence window is fingerprinted corpus-wide; each
+    * fingerprint's FIRST occurrence (global (doc, pos) argmin, packed
+    * into one long — the q261 primitive-buffer idiom, partial-
+    * aggregable so hot spans map-side combine) keeps its sentences;
+    * every LATER occurrence's sentences are removed, and each doc is
+    * rebuilt from its surviving sentences in order.
+    *
+    * Sentence semantics come from [[TextAnalysis.sentences]]. A
+    * sentence is removed iff ANY duplicate (non-first) span occurrence
+    * covers it — so a doc's unique tail survives even when its head is
+    * a copied block, and a 2-sentence overlap is NOT enough (every
+    * span containing a unique sentence is unique). Docs with fewer
+    * than `span` sentences have no spans and pass through whole.
+    * Every input doc yields exactly one row: (idCol, n_sents, n_kept,
+    * text_dedup) — all-removed docs come back n_kept=0/''.
+    *
+    * 100-TB shape: shuffle keys are span fingerprints (md5) and
+    * (doc, sentence-index) pairs — never doc², never corpus-wide
+    * groups beyond one fingerprint's occurrence list; the base and
+    * span frames each feed two consumers and are localCheckpoint'd
+    * once. CONTRACT: sentence positions < 2²⁰ per doc (the pack
+    * width).
+    */
+  def dedupSentenceSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      span: Int = 3): DataFrame = {
+    require(span >= 2, s"span must be >= 2: $span")
+    val base = df
+      .select(col(idCol),
+        graft.ext.TextAnalysis.sentences(col(textCol)).as("__sents"))
+      .localCheckpoint()
+    val emptySpans =
+      array().cast("array<struct<__pos:int,__sp:string>>")
+    val spansCol = when(size(col("__sents")) >= span,
+      transform(sequence(lit(0), size(col("__sents")) - span), i =>
+        struct(i.cast("int").as("__pos"),
+          concat_ws(" ",
+            (1 to span).map(j => element_at(col("__sents"), i + j)): _*)
+            .as("__sp"))))
+      .otherwise(emptySpans)
+    val ex = base.select(col(idCol), explode(spansCol).as("__w"))
+      .select(col(idCol), col("__w.__pos").as("__pos"),
+        md5(col("__w.__sp")).as("__fp"))
+      .withColumn("__enc", col(idCol).cast("long") * 1048576L + col("__pos"))
+      .localCheckpoint()
+    val firsts = ex.groupBy(col("__fp")).agg(min(col("__enc")).as("__keep"))
+    val removed = ex.join(firsts, Seq("__fp"))
+      .where(col("__enc") =!= col("__keep"))
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (span - 1)))
+          .as("__si"))
+      .distinct()
+    val sentRows = base
+      .select(col(idCol), posexplode(col("__sents")).as(Seq("__si", "__s")))
+    val rebuilt = sentRows.join(removed, Seq(idCol, "__si"), "left_anti")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__si"), col("__s")))),
+          s => s.getField("__s"))).as("text_dedup"))
+    base.select(col(idCol), size(col("__sents")).cast("long").as("n_sents"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

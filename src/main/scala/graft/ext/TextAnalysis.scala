@@ -883,6 +883,22 @@ object TextAnalysis {
           .otherwise(lit("keep")))
   }
 
+  /** Sentence segmentation, RE2-safe: maximal runs of non-terminal
+    * chars plus their terminal punct (`[^.!?]+[.!?]?` — no lookbehind,
+    * so DuckDB mirrors it verbatim), each whitespace-collapsed and
+    * trimmed; empties drop. A trailing fragment without terminal
+    * punctuation is kept as a sentence. Abbreviation periods split —
+    * deterministic by contract (the C4-family rules count sentences,
+    * they do not read them).
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(coalesce(text, lit("")),
+          lit("[^.!?]+[.!?]?"), lit(0)),
+        s => trim(regexp_replace(s, "[ \t\r\n]+", " "))),
+      s => s =!= "")
+
   /** CCNET-STYLE text normalization for dedup hashing (Wenzek et al.
     * 2020 §4.1 — case/digit/accent/punctuation variants of the same
     * content must hash identically or exact dedup misses them):

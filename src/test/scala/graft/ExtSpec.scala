@@ -912,6 +912,35 @@ class ExtSpec extends SparkSpec {
     assert(got(2L) == ((3L, 1600000L, 1000L, false, false)), s"${got(2L)}")
   }
 
+  test("dedupSentenceSpans: keep-first span grain, unique-tail survival, 2-sentence overlap passes, in-doc chains") {
+    val df = Seq(
+      (1L, "B one x. B two y. B three z. U1 tail a. U1 tail b."),
+      // copies doc 1's 3-sentence head block; unique tail must survive
+      (2L, "B one x. B two y. B three z. U2 tail a. U2 tail b."),
+      // only 2 shared sentences: every span has a unique member
+      (3L, "B one x. B two y. U3 c. U3 d. U3 e."),
+      // in-doc 4x repeat: spans @0/@1 share a fingerprint
+      (4L, "R r r. R r r. R r r. R r r. U4 tail."),
+      (5L, "short one. short two."), // < span: passes through whole
+      (6L, ""),
+      (7L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Dedup.dedupSentenceSpans(df, "id", "text")
+      .select(col("id"), col("n_sents"), col("n_kept"), col("text_dedup"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((5L, 5L,
+      "B one x. B two y. B three z. U1 tail a. U1 tail b.")))
+    assert(got(2L) == ((5L, 2L, "U2 tail a. U2 tail b.")),
+      s"head removed, tail survives: ${got(2L)}")
+    assert(got(3L) == ((5L, 5L, "B one x. B two y. U3 c. U3 d. U3 e.")),
+      "a 2-sentence overlap is not a span")
+    assert(got(4L) == ((5L, 2L, "R r r. U4 tail.")),
+      s"in-doc chain keeps first only: ${got(4L)}")
+    assert(got(5L) == ((2L, 2L, "short one. short two.")))
+    assert(got(6L) == ((0L, 0L, "")))
+    assert(got(7L) == ((0L, 0L, "")))
+  }
+
   test("dedupExactNormalized: variant group collapses to min id, every input classified") {
     val df = Seq(
       (10L, "The Price Is 42 Dollars."),
