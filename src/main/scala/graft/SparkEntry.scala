@@ -2592,6 +2592,41 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ── NORMALIZED n-gram decontamination (q222's exact rule over
+    // normalizeForDedup'd text — the leak class raw decon MISSES by
+    // construction here: eval carries accents and different digits
+    // than the training copies, so no raw 4-gram matches; normalized,
+    // the 8-token sentence shares all 5 grams). Group tags are
+    // LETTER-translated (digit tags collapse under digits→0) and
+    // keyed on (id DIV 5) % 8 so eval (%5=0) and train (%5=1) cover
+    // the same tag range — a %-residue tag would make the two sides
+    // DISJOINT. Every %5=1 train doc is flagged with exactly 5 shared
+    // grams; %5∈{2,3,4} docs are all-unique and must not appear. ──
+    "q275_norm_decontaminate" -> ((s, dir) => {
+      import graft.ext.{Dedup, TextAnalysis}
+      val id = col("doc_id")
+      // (id / 5).cast("long") — Column `/` is FRACTIONAL division;
+      // without the cast the tag renders "3.2"-style and eval/train
+      // tags never match (caught by the oracle: 1 shared gram, the
+      // tag-free suffix, instead of 5)
+      val tg = translate(((id / 5).cast("long") % 8).cast("string"),
+        "0123456789", "abcdefghij")
+      val evalTxt = concat(lit("café "), (lit(10) + id % 89).cast("string"),
+        lit(" price h"), tg, lit(" alpha beta gamma delta"))
+      val trainTxt = when(id % 5 === 1,
+        concat(lit("cafe "), (lit(10) + (id * 7) % 89).cast("string"),
+          lit(" price h"), tg, lit(" alpha beta gamma delta")))
+        .otherwise(concat_ws(" ",
+          (0 to 4).map(k => concat(lit(s"u${k}q"), id.cast("string"))): _*))
+      val docs = t(s, dir, "documents").select(id).repartition(32)
+      def norm(df: DataFrame): DataFrame = df.withColumn("text",
+        TextAnalysis.normalizeForDedup(col("text")))
+      Dedup.ngramContaminated(
+        norm(docs.filter(id % 5 =!= 0).select(id, trainTxt.as("text"))),
+        norm(docs.filter(id % 5 === 0).select(id, evalTxt.as("text"))),
+        "doc_id", "text", n = 4)
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7677,6 +7712,13 @@ object SparkEntry {
         |      ||'x2 alpha beta.'
         |  ELSE '' END AS text_dedup
         |FROM f""".stripMargin,
+
+    // norm-decontamination mirror: the flag set and gram count are
+    // pure residue facts (every %5=1 doc shares exactly the 5 grams
+    // of its normalized 8-token sentence)
+    "q275_norm_decontaminate" ->
+      """SELECT doc_id, CAST(5 AS BIGINT) AS n_shared_grams
+        |FROM documents WHERE doc_id % 5 = 1""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed
