@@ -2627,6 +2627,29 @@ object SparkEntry {
         "doc_id", "text", n = 4)
     }),
 
+    // ── priority frontier scheduling (UrlCanon.priorityFrontier
+    // Schedule): politeness slots × host authority — one URL per host
+    // per slot, higher-PageRank hosts first within the slot.
+    // Quadratic-residue authorities ((n²)%23 over 20 hosts) carry
+    // real ties, making the host-asc tie-break load-bearing; host 13
+    // is withheld from the ranks table so the authority-0 cold-host
+    // route is live. Oracle re-derives both enumerations as plain
+    // windows — independent truth for the distributed prefix-sum. ──
+    "q276_frontier_rank" -> ((s, dir) => {
+      val id = col("doc_id")
+      val n = id % 20
+      val frontier = t(s, dir, "documents").select(id).repartition(32)
+        .select(
+          concat(lit("h"), n.cast("string")).as("host"),
+          concat(lit("http://h"), n.cast("string"), lit("/d/"),
+            id.cast("string")).as("url"))
+      val ranks = s.range(0, 20).filter(col("id") =!= 13)
+        .select(concat(lit("h"), col("id").cast("string")).as("host"),
+          ((col("id") * col("id")) % 23).cast("long").as("rank"))
+      graft.ext.UrlCanon.priorityFrontierSchedule(
+        frontier, "host", "url", ranks, "rank")
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7719,6 +7742,26 @@ object SparkEntry {
     "q275_norm_decontaminate" ->
       """SELECT doc_id, CAST(5 AS BIGINT) AS n_shared_grams
         |FROM documents WHERE doc_id % 5 = 1""".stripMargin,
+
+    // frontier-rank mirror: both enumerations as plain windows; host
+    // 13's authority coalesces to 0 (withheld from the ranks table)
+    "q276_frontier_rank" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 20 AS n,
+        |    'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+        |    'http://h' || CAST(doc_id % 20 AS VARCHAR) || '/d/'
+        |      || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |sl AS (
+        |  SELECT host, url,
+        |    CASE WHEN n = 13 THEN 0 ELSE (n * n) % 23 END AS authority,
+        |    row_number() OVER (PARTITION BY host ORDER BY url) AS slot
+        |  FROM u)
+        |SELECT host, url, CAST(slot AS BIGINT) AS slot,
+        |  CAST(authority AS BIGINT) AS authority,
+        |  CAST(row_number() OVER (ORDER BY slot, authority DESC,
+        |    host, url) AS BIGINT) AS fetch_seq
+        |FROM sl""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

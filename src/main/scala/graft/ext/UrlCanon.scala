@@ -464,6 +464,41 @@ object UrlCanon {
       ranked, Seq(col("host_rank"), col(hostCol)), "fetch_seq")
   }
 
+  /** PRIORITY frontier scheduling — [[politenessSchedule]] with host
+    * AUTHORITY: the per-host slot invariant stands (one URL per host
+    * per slot — no host is hammered), but WITHIN a slot
+    * higher-authority hosts fetch first, so a bounded crawl budget
+    * spends itself on the hosts PageRank says matter (the
+    * OPIC/frontier-prioritization posture every production crawler
+    * runs). `ranks` is a (host, rank) table — q220's integer host-
+    * PageRank shape; hosts absent from it take authority 0 and fetch
+    * last within their slot. Order (slot asc, authority desc, host
+    * asc, url asc) is TOTAL, so fetch_seq depends only on the order,
+    * never on partitioning (the globalDenseSeq contract).
+    *
+    * Shape: slot enumeration is a host-bounded window (a host's
+    * frontier fits a partition by the politeness invariant itself);
+    * the global enumeration is the distributed prefix-sum idiom —
+    * never a single-partition window; the ranks join is keyed on
+    * host (broadcast-eligible when the host dim is bounded).
+    */
+  def priorityFrontierSchedule(
+      frontier: DataFrame, hostCol: String, urlCol: String,
+      ranks: DataFrame, rankCol: String): DataFrame = {
+    val wHost = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(urlCol))
+    val slotted = frontier
+      .withColumn("slot", row_number().over(wHost).cast("long"))
+      .join(ranks.select(col(hostCol), col(rankCol).as("__rk")),
+        Seq(hostCol), "left")
+      .withColumn("authority", coalesce(col("__rk"), lit(0L)))
+      .drop("__rk")
+    graft.operators.Layout.globalDenseSeq(slotted,
+      Seq(col("slot").asc, col("authority").desc, col(hostCol).asc,
+        col(urlCol).asc),
+      "fetch_seq")
+  }
+
   /** HTTP redirect-chain resolution — the step between fetch and
     * frontier bookkeeping a real crawler cannot skip: a 3xx fetch's
     * `Location` header names the next URL (often RELATIVE, resolved

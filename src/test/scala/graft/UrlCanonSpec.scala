@@ -416,4 +416,23 @@ class UrlCanonSpec extends SparkSpec {
       .filter(col("family") === "cal").select("avg_len").as[Long].collect()
     assert(lens.toSeq == Seq(29L), s"cal avg_len (all three are 29 chars): ${lens.toSeq}")
   }
+
+  test("priorityFrontierSchedule: slot invariant, authority order, host tie-break, cold host last") {
+    val frontier = Seq(
+      ("a", "http://a/1"), ("a", "http://a/2"),
+      ("b", "http://b/1"), ("c", "http://c/1"))
+      .toDF("host", "url")
+    val ranks = Seq(("a", 10L), ("b", 10L)).toDF("host", "rank") // c absent
+    val got = UrlCanon.priorityFrontierSchedule(
+        frontier, "host", "url", ranks, "rank")
+      .select(col("fetch_seq"), col("host"), col("url"), col("slot"),
+        col("authority"))
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
+    // slot 1 first (every host once before any host twice); within
+    // the slot authority desc with host-asc tie-break; cold host c
+    // takes authority 0 and goes last in its slot
+    assert(got.map(r => (r._1, r._2, r._4, r._5)).toSeq == Seq(
+      (1L, "a", 1L, 10L), (2L, "b", 1L, 10L), (3L, "c", 1L, 0L),
+      (4L, "a", 2L, 10L)), s"${got.toSeq}")
+  }
 }
