@@ -2650,6 +2650,24 @@ object SparkEntry {
         frontier, "host", "url", ranks, "rank")
     }),
 
+    // ── CCNet perplexity-tercile bucketing (Quantiles.bucketByGroup
+    // Terciles): per-language head/middle/tail with EXACT rational
+    // 1/3–2/3 boundaries from the histogram machinery (no float p —
+    // a double 1/3 sits below the true ratio and can flip boundary
+    // rows). Quadratic-residue scores carry heavy ties so rows AT a
+    // boundary are live (score == t1 → head, inclusive). The oracle
+    // mirrors the percentile_disc DEFINITION (min v with cum·3 ≥ k·n
+    // over the group histogram) — not an engine quantile function. ──
+    "q277_ppl_buckets" -> ((s, dir) => {
+      val id = col("doc_id")
+      graft.operators.Quantiles.bucketByGroupTerciles(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id,
+            concat(lit("l"), (id % 3).cast("string")).as("lang"),
+            ((id * id) % 101).cast("long").as("score")),
+        "lang", "score")
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7762,6 +7780,34 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY slot, authority DESC,
         |    host, url) AS BIGINT) AS fetch_seq
         |FROM sl""".stripMargin,
+
+    // ppl-buckets mirror: the percentile_disc DEFINITION over the
+    // group histogram — integer cum·3 ≥ k·n, no engine quantile call
+    "q277_ppl_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'l' || CAST(doc_id % 3 AS VARCHAR) AS lang,
+        |    CAST((doc_id * doc_id) % 101 AS BIGINT) AS score
+        |  FROM documents),
+        |h AS (
+        |  SELECT lang, score AS v, count(*) AS w
+        |  FROM d GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, v,
+        |    sum(w) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |b AS (
+        |  SELECT lang,
+        |    CAST(min(CASE WHEN cum * 3 >= n THEN v END) AS BIGINT) AS t1,
+        |    CAST(min(CASE WHEN cum * 3 >= 2 * n THEN v END) AS BIGINT)
+        |      AS t2
+        |  FROM c GROUP BY lang)
+        |SELECT doc_id, d.lang, score, t1, t2,
+        |  CASE WHEN score <= t1 THEN 'head'
+        |       WHEN score <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM d JOIN b ON d.lang = b.lang""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

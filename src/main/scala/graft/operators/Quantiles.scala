@@ -82,6 +82,33 @@ object Quantiles {
       .agg(min(col("__n")).as("n"), picks: _*)
   }
 
+  /** CCNET-STYLE per-group tercile bucketing (Wenzek et al. 2020 §4.3:
+    * per-LANGUAGE head/middle/tail by LM perplexity — the standard
+    * "keep the head, sample the middle, drop the tail" corpus split):
+    * boundaries are EXACT rational percentile_disc(1/3, 2/3) per group
+    * from [[histPercentiles]] (integer cum·den ≥ n·num — no float p,
+    * no per-group ordered-set buffer), then every row labels
+    * `head` (score ≤ t1), `middle` (≤ t2) or `tail`. LOWER scores are
+    * better (perplexity semantics); negate upstream for
+    * higher-is-better scores. `scoreCol` must be integral.
+    *
+    * Shape: the histogram machinery's two keyed passes plus one join
+    * of the group-grain boundary frame back to rows
+    * (broadcast-eligible — groups are languages/domains, a bounded
+    * dim). Output: input columns + t1, t2, bucket.
+    */
+  def bucketByGroupTerciles(
+      df: DataFrame, groupCol: String, scoreCol: String): DataFrame = {
+    val bounds = histPercentiles(df, Seq(groupCol), col(scoreCol),
+      Seq(("t1", 1L, 3L), ("t2", 2L, 3L)))
+    df.join(bounds.select(col(groupCol), col("t1"), col("t2")),
+        Seq(groupCol))
+      .withColumn("bucket",
+        when(col(scoreCol) <= col("t1"), lit("head"))
+          .when(col(scoreCol) <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
   /** Robust center/spread (median + MAD) per key with NO ordered-set
     * buffer — the scale-safe twin of [[Profile.madRobust]], same output
     * (key, n, median, mad), same q143 oracle. Both passes run on the

@@ -102,4 +102,24 @@ class QuantilesSpec extends SparkSpec {
     val n = Feature.winsorizeSampled(df, "x", 0.05, 0.95, col("id"), 0.25, "w1").count()
     assert(n == 200L, "sampling affects BOUNDS only, never the clipped row set")
   }
+
+  test("bucketByGroupTerciles: exact rational boundaries, inclusive at t1/t2, per-group independence") {
+    import spark.implicits._
+    // group a: scores 1..9 → t1 = 3 (cum 3·3 ≥ 9), t2 = 6
+    // group b: constant scores → everything is head (t1 = t2 = 5)
+    val df = ((1 to 9).map(v => ("a", v.toLong)) ++
+      Seq.fill(4)(("b", 5L))).toDF("lang", "score")
+    val got = Quantiles.bucketByGroupTerciles(df, "lang", "score")
+      .select(col("lang"), col("score"), col("t1"), col("t2"),
+        col("bucket"))
+      .as[(String, Long, Long, Long, String)].collect()
+    val a = got.filter(_._1 == "a").sortBy(_._2)
+    assert(a.forall(r => r._3 == 3L && r._4 == 6L), s"bounds: ${a.toSeq}")
+    assert(a.map(_._5).toSeq == Seq("head", "head", "head",
+      "middle", "middle", "middle", "tail", "tail", "tail"),
+      s"score==t1 is head, score==t2 is middle (inclusive): ${a.toSeq}")
+    val b = got.filter(_._1 == "b")
+    assert(b.forall(r => r._3 == 5L && r._5 == "head"),
+      s"degenerate group: ${b.toSeq}")
+  }
 }
