@@ -167,7 +167,8 @@ object Bench {
     "q266_norm_dedup", "q267_nb_classifier", "q268_dsir_select",
     "q269_warc_split", "q270_file_skipping", "q271_c4_stream",
     "q272_archive_intake", "q273_bitext_mine", "q274_c4_span_dedup",
-    "q275_norm_decontaminate", "q276_frontier_rank", "q277_ppl_buckets")
+    "q275_norm_decontaminate", "q276_frontier_rank", "q277_ppl_buckets",
+    "q278_nb_incremental")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -292,6 +292,27 @@ object SparkEntry {
     docs.select(id).repartition(32).select(id, blob.as("blob"))
   }
 
+  /** q267/q278 shared classifier fixtures: parity-split training
+    * corpus ("good"/"spam"-heavy with shared function words, token
+    * counts 1+id%5) and the disjoint three-arm scoring set.
+    */
+  private def nbTrainFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val p = (lit(1) + id % 5).cast("int")
+    val trainText = when(id % 2 === 0,
+      concat(repeat(lit("good "), p), lit("the end")))
+      .otherwise(concat(repeat(lit("spam "), p), lit("the end")))
+    docs.select(id).repartition(32).select(id, trainText.as("text"))
+  }
+
+  private def nbScoreFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val scoreText = when(id % 3 === 0, lit("good good the"))
+      .when(id % 3 === 1, lit("spam the end end"))
+      .otherwise(lit("good spam zzz"))
+    docs.select(id).repartition(32).select(id, scoreText.as("text"))
+  }
+
   private def httpRawFixture(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
@@ -2421,21 +2442,34 @@ object SparkEntry {
     // with the operator. ──
     "q267_nb_classifier" -> ((s, dir) => {
       import graft.ext.TextClassifier
-      val docs = t(s, dir, "documents")
       val id = col("doc_id")
-      val p = (lit(1) + id % 5).cast("int")
-      val trainText = when(id % 2 === 0,
-        concat(repeat(lit("good "), p), lit("the end")))
-        .otherwise(concat(repeat(lit("spam "), p), lit("the end")))
-      val train = docs.select(id, trainText.as("text")).repartition(32)
+      val train = nbTrainFixture(t(s, dir, "documents"))
       val model = TextClassifier.nbTrainContrast(
         train.filter(id % 2 === 0), train.filter(id % 2 === 1), "text")
-      val scoreText = when(id % 3 === 0, lit("good good the"))
-        .when(id % 3 === 1, lit("spam the end end"))
-        .otherwise(lit("good spam zzz"))
       TextClassifier.nbScoreContrast(model,
-        docs.select(id, scoreText.as("text")).repartition(32),
-        "doc_id", "text")
+        nbScoreFixture(t(s, dir, "documents")), "doc_id", "text")
+    }),
+
+    // ── incremental classifier training (TextClassifier.nbMergeModels
+    // — the q97/q186 mergeable-state discipline on the quality
+    // model): the SAME training corpus split into two batches by
+    // (id DIV 2) % 2 (each batch carries both classes), trained
+    // separately, MERGED (counts sum, weights recompute through the
+    // one-shot trainer's arithmetic), then scored — certified against
+    // q267's oracle VERBATIM (shared NbClassifierSql val): merge of
+    // batch models must equal the full one-shot train exactly. ──
+    "q278_nb_incremental" -> ((s, dir) => {
+      import graft.ext.TextClassifier
+      val id = col("doc_id")
+      val train = nbTrainFixture(t(s, dir, "documents"))
+      def batchModel(k: Int) = {
+        val b = train.filter((id / 2).cast("long") % 2 === k)
+        TextClassifier.nbTrainContrast(
+          b.filter(id % 2 === 0), b.filter(id % 2 === 1), "text")
+      }
+      TextClassifier.nbScoreContrast(
+        TextClassifier.nbMergeModels(batchModel(0), batchModel(1)),
+        nbScoreFixture(t(s, dir, "documents")), "doc_id", "text")
     }),
 
     // ── DSIR-style importance selection (Xie et al. 2023 composed
@@ -5736,6 +5770,47 @@ object SparkEntry {
       |       ELSE 'keep' END AS verdict
       |FROM gd""".stripMargin
 
+  /** q267/q278 shared classifier mirror: class token counts as
+    * residue sums, every weight and score as integer //, labels
+    * re-derived - the whole train->score chain as independent
+    * arithmetic; the incremental q278 must match it verbatim.
+    */
+  private val NbClassifierSql: String =
+    """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 5 AS p, doc_id % 2 AS par,
+        |    doc_id % 3 AS s
+        |  FROM documents),
+        |tot AS (
+        |  SELECT
+        |    sum(CASE WHEN par = 0 THEN p ELSE 0 END) AS cg,
+        |    sum(CASE WHEN par = 1 THEN p ELSE 0 END) AS cs,
+        |    sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS ne,
+        |    sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS no
+        |  FROM d),
+        |w AS (
+        |  SELECT
+        |    (cg+1)*1000000 // (cg + 2*ne + 4)
+        |      - 1000000 // (cs + 2*no + 4) AS wg,
+        |    1000000 // (cg + 2*ne + 4)
+        |      - (cs+1)*1000000 // (cs + 2*no + 4) AS ws,
+        |    (ne+1)*1000000 // (cg + 2*ne + 4)
+        |      - (no+1)*1000000 // (cs + 2*no + 4) AS wt,
+        |    1000000 // (cg + 2*ne + 4)
+        |      - 1000000 // (cs + 2*no + 4) AS wo
+        |  FROM tot),
+        |sc AS (
+        |  SELECT doc_id, s,
+        |    CASE s WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 3 END AS n_toks,
+        |    CASE s WHEN 2 THEN 1 ELSE 0 END AS oov_toks,
+        |    CASE s WHEN 0 THEN 2*wg + wt WHEN 1 THEN ws + wt + 2*wt
+        |      ELSE wg + ws + wo END AS score
+        |  FROM d, w)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(oov_toks AS BIGINT) AS oov_toks,
+        |  CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score > 0 THEN 'pos' ELSE 'neg' END AS label
+        |FROM sc""".stripMargin
+
   private val GopherQualitySql: String =
     """WITH p AS (
       |  SELECT doc_id, doc_id % 9 AS a, 50 + doc_id % 100 AS w,
@@ -7506,44 +7581,12 @@ object SparkEntry {
         |  doc_id <> min(doc_id) OVER (PARTITION BY g) AS is_dup
         |FROM n""".stripMargin,
 
-    // nb-classifier mirror: class token counts as residue sums, every
-    // weight and score as integer //, labels re-derived — the whole
-    // train→score chain as independent arithmetic
-    "q267_nb_classifier" ->
-      """WITH d AS (
-        |  SELECT doc_id, 1 + doc_id % 5 AS p, doc_id % 2 AS par,
-        |    doc_id % 3 AS s
-        |  FROM documents),
-        |tot AS (
-        |  SELECT
-        |    sum(CASE WHEN par = 0 THEN p ELSE 0 END) AS cg,
-        |    sum(CASE WHEN par = 1 THEN p ELSE 0 END) AS cs,
-        |    sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS ne,
-        |    sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS no
-        |  FROM d),
-        |w AS (
-        |  SELECT
-        |    (cg+1)*1000000 // (cg + 2*ne + 4)
-        |      - 1000000 // (cs + 2*no + 4) AS wg,
-        |    1000000 // (cg + 2*ne + 4)
-        |      - (cs+1)*1000000 // (cs + 2*no + 4) AS ws,
-        |    (ne+1)*1000000 // (cg + 2*ne + 4)
-        |      - (no+1)*1000000 // (cs + 2*no + 4) AS wt,
-        |    1000000 // (cg + 2*ne + 4)
-        |      - 1000000 // (cs + 2*no + 4) AS wo
-        |  FROM tot),
-        |sc AS (
-        |  SELECT doc_id, s,
-        |    CASE s WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 3 END AS n_toks,
-        |    CASE s WHEN 2 THEN 1 ELSE 0 END AS oov_toks,
-        |    CASE s WHEN 0 THEN 2*wg + wt WHEN 1 THEN ws + wt + 2*wt
-        |      ELSE wg + ws + wo END AS score
-        |  FROM d, w)
-        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
-        |  CAST(oov_toks AS BIGINT) AS oov_toks,
-        |  CAST(score AS BIGINT) AS score,
-        |  CASE WHEN score > 0 THEN 'pos' ELSE 'neg' END AS label
-        |FROM sc""".stripMargin,
+    // nb-classifier mirror (shared NbClassifierSql — the incremental
+    // q278 certifies against it verbatim: merged batch models must
+    // equal the one-shot train)
+    "q267_nb_classifier" -> NbClassifierSql,
+    "q278_nb_incremental" -> NbClassifierSql,
+
 
     // dsir-select mirror: target-vs-raw weights from residue sums,
     // arm scores, then the naive single-window running sum

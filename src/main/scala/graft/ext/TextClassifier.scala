@@ -40,14 +40,12 @@ object TextClassifier {
     * w_ppm). The returned frame is localCheckpoint'd (trained
     * artifacts feed multiple consumers — the buildIvfPq lesson).
     */
-  def nbTrainContrast(
-      pos: DataFrame, neg: DataFrame, textCol: String): DataFrame = {
-    val cp = tokenCounts(pos, textCol, "__cp")
-    val cn = tokenCounts(neg, textCol, "__cn")
-    val m = cp.join(cn, Seq("token"), "full_outer")
-      .select(col("token"),
-        coalesce(col("__cp"), lit(0L)).as("c_pos"),
-        coalesce(col("__cn"), lit(0L)).as("c_neg"))
+  /** Weights from a (token, c_pos, c_neg) count table — split out so
+    * [[nbMergeModels]] recomputes weights from merged counts through
+    * the SAME arithmetic the one-shot trainer uses (they cannot
+    * drift).
+    */
+  private def weightize(m: DataFrame): DataFrame = {
     val tot = m.agg(sum(col("c_pos")).as("__np"),
       sum(col("c_neg")).as("__nn"), count(lit(1)).as("__v"))
     m.crossJoin(broadcast(tot))
@@ -57,6 +55,33 @@ object TextClassifier {
       .select(col("token"), col("c_pos"), col("c_neg"), col("w_ppm"))
       .localCheckpoint()
   }
+
+  def nbTrainContrast(
+      pos: DataFrame, neg: DataFrame, textCol: String): DataFrame = {
+    val cp = tokenCounts(pos, textCol, "__cp")
+    val cn = tokenCounts(neg, textCol, "__cn")
+    weightize(cp.join(cn, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("__cp"), lit(0L)).as("c_pos"),
+        coalesce(col("__cn"), lit(0L)).as("c_neg")))
+  }
+
+  /** MERGE two contrast models trained on disjoint corpus batches:
+    * counts sum token-wise and the weights recompute from the merged
+    * totals — `nbMergeModels(train(A), train(B)) == train(A ∪ B)`
+    * EXACTLY, because every weight is a pure function of (counts,
+    * totals, vocab) and all three are unions/sums. This is the
+    * incremental-training path (the q97/q186 mergeable-state
+    * discipline applied to the classifier): a new crawl batch updates
+    * the quality model without re-tokenizing history. Stale w_ppm
+    * columns on the inputs are discarded, never averaged.
+    */
+  def nbMergeModels(a: DataFrame, b: DataFrame): DataFrame =
+    weightize(
+      a.select(col("token"), col("c_pos"), col("c_neg"))
+        .unionByName(b.select(col("token"), col("c_pos"), col("c_neg")))
+        .groupBy(col("token"))
+        .agg(sum(col("c_pos")).as("c_pos"), sum(col("c_neg")).as("c_neg")))
 
   /** Score docs against a trained model: (idCol, n_toks, oov_toks,
     * score, label) — score = Σ n_occ·w, label `pos` iff score

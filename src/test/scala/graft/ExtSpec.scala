@@ -941,6 +941,26 @@ class ExtSpec extends SparkSpec {
     assert(got(7L) == ((0L, 0L, "")))
   }
 
+  test("nbMergeModels: merge of batch models equals the one-shot train exactly") {
+    import graft.ext.TextClassifier
+    val posA = Seq("good good the").toDF("text")
+    val negA = Seq("bad the").toDF("text")
+    val posB = Seq("good end", "fine day").toDF("text")
+    val negB = Seq("bad bad end", "awful day").toDF("text")
+    val merged = TextClassifier.nbMergeModels(
+      TextClassifier.nbTrainContrast(posA, negA, "text"),
+      TextClassifier.nbTrainContrast(posB, negB, "text"))
+    val oneShot = TextClassifier.nbTrainContrast(
+      posA.union(posB), negA.union(negB), "text")
+    val m = merged.orderBy("token")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val o = oneShot.orderBy("token")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(m == o, s"merged=$m oneShot=$o")
+    // batch-disjoint tokens survive the merge with full counts
+    assert(m.exists(r => r._1 == "fine" && r._2 == 1L && r._3 == 0L))
+  }
+
   test("dedupExactNormalized: variant group collapses to min id, every input classified") {
     val df = Seq(
       (10L, "The Price Is 42 Dollars."),
