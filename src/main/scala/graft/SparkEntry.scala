@@ -313,6 +313,26 @@ object SparkEntry {
     docs.select(id).repartition(32).select(id, scoreText.as("text"))
   }
 
+  /** Seven-arm Unicode-script fixture shared by q259 (batch) and q279
+    * (streaming twin) — see the q259 entry comment for arm design.
+    */
+  private def scriptFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val k = lit(2) + id % 20
+    val text = when(id % 7 === 0, repeat(lit("word "), k))
+      .when(id % 7 === 1,
+        concat(repeat(lit("мира "), k), lit("word")))
+      .when(id % 7 === 2,
+        concat(repeat(lit("漢字 "), k), repeat(lit("ひら "), k),
+          repeat(lit("カタ "), k), lit("word")))
+      .when(id % 7 === 3, repeat(lit("مرحب "), k))
+      .when(id % 7 === 4, repeat(lit("αβγδ "), k))
+      .when(id % 7 === 5,
+        concat(repeat(lit("word "), k), repeat(lit("мира "), k)))
+      .otherwise(repeat(lit("1234 #! "), k))
+    docs.select(id).repartition(32).select(id, text.as("text"))
+  }
+
   private def httpRawFixture(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
@@ -2201,25 +2221,19 @@ object SparkEntry {
     // residues, so the oracle is independent arithmetic — it shares
     // no regex with the operator (Java \p{IsX} classes never appear
     // oracle-side). ──
-    "q259_script_profile" -> ((s, dir) => {
-      val id = col("doc_id")
-      val k = lit(2) + id % 20
-      val text = when(id % 7 === 0, repeat(lit("word "), k))
-        .when(id % 7 === 1,
-          concat(repeat(lit("мира "), k), lit("word")))
-        .when(id % 7 === 2,
-          concat(repeat(lit("漢字 "), k), repeat(lit("ひら "), k),
-            repeat(lit("カタ "), k), lit("word")))
-        .when(id % 7 === 3, repeat(lit("مرحب "), k))
-        .when(id % 7 === 4, repeat(lit("αβγδ "), k))
-        .when(id % 7 === 5,
-          concat(repeat(lit("word "), k), repeat(lit("мира "), k)))
-        .otherwise(repeat(lit("1234 #! "), k))
+    "q259_script_profile" -> ((s, dir) =>
       graft.ext.TextAnalysis.scriptProfile(
-        t(s, dir, "documents").select(id).repartition(32)
-          .select(id, text.as("text")),
-        "doc_id", "text")
-    }),
+        scriptFixture(t(s, dir, "documents")), "doc_id", "text")),
+
+    // ── streaming script-profile twin (the q263/q271 discipline):
+    // scriptProfile is a pure per-row projection, so the seven-arm
+    // fixture replayed over two JSONL waves must equal the batch
+    // output — certified against q259's oracle VERBATIM (shared
+    // ScriptProfileSql val + shared scriptFixture helper). ──
+    "q279_script_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.projectionStreamReplay(
+        s, scriptFixture(t(s, dir, "documents")), "doc_id", "text",
+        df => graft.ext.TextAnalysis.scriptProfile(df, "doc_id", "text"))),
 
     // ── GOPHER repetition rules (TextAnalysis.repetitionFlags): five
     // residue arms over uniform 10-word/4-char-word lines (49 chars
@@ -5811,6 +5825,43 @@ object SparkEntry {
         |  CASE WHEN score > 0 THEN 'pos' ELSE 'neg' END AS label
         |FROM sc""".stripMargin
 
+  /** q259/q279 shared script-profile mirror: per-class letter counts
+    * closed-form in the residues (no regex anywhere oracle-side —
+    * fully independent of the operator's \p{IsX} classes).
+    */
+  private val ScriptProfileSql: String =
+    """WITH p AS (
+        |  SELECT doc_id, doc_id % 7 AS a, 2 + doc_id % 20 AS k
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, a, k,
+        |    CASE a WHEN 0 THEN 4*k WHEN 1 THEN 4 WHEN 2 THEN 4
+        |      WHEN 5 THEN 4*k ELSE 0 END AS latin,
+        |    CASE a WHEN 1 THEN 4*k WHEN 5 THEN 4*k ELSE 0 END AS cyrillic,
+        |    CASE a WHEN 2 THEN 6*k ELSE 0 END AS cjk,
+        |    CASE a WHEN 3 THEN 4*k ELSE 0 END AS arabic,
+        |    CASE a WHEN 4 THEN 4*k ELSE 0 END AS other
+        |  FROM p),
+        |d AS (
+        |  SELECT *, latin+cyrillic+cjk+arabic+other AS n_letters,
+        |    CASE a WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic'
+        |      WHEN 2 THEN 'cjk' WHEN 3 THEN 'arabic' WHEN 4 THEN 'other'
+        |      WHEN 5 THEN 'latin' ELSE 'none' END AS dominant,
+        |    CASE a WHEN 1 THEN 4 WHEN 2 THEN 4 WHEN 5 THEN 4*k
+        |      ELSE 0 END AS second_cnt
+        |  FROM m)
+        |SELECT doc_id, CAST(latin AS BIGINT) AS latin,
+        |  CAST(cyrillic AS BIGINT) AS cyrillic, CAST(cjk AS BIGINT) AS cjk,
+        |  CAST(arabic AS BIGINT) AS arabic,
+        |  CAST(n_letters AS BIGINT) AS n_letters,
+        |  CAST(other AS BIGINT) AS other, dominant,
+        |  CAST(CASE WHEN n_letters = 0 THEN 0
+        |    ELSE second_cnt * 1000000 // n_letters END AS BIGINT)
+        |    AS second_ppm,
+        |  CASE WHEN n_letters = 0 THEN FALSE
+        |    ELSE second_cnt * 1000000 // n_letters > 200000 END AS mixed
+        |FROM d""".stripMargin
+
   private val GopherQualitySql: String =
     """WITH p AS (
       |  SELECT doc_id, doc_id % 9 AS a, 50 + doc_id % 100 AS w,
@@ -7373,42 +7424,10 @@ object SparkEntry {
     // table must equal the batch output verbatim
     "q263_gopher_stream" -> GopherQualitySql,
 
-    // script-profile mirror: per-class letter counts are closed-form
-    // in the residues (no regex anywhere oracle-side — fully
-    // independent of the operator's \p{IsX} classes); dominant /
-    // second / mixed re-derived by arm arithmetic
-    "q259_script_profile" ->
-      """WITH p AS (
-        |  SELECT doc_id, doc_id % 7 AS a, 2 + doc_id % 20 AS k
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, a, k,
-        |    CASE a WHEN 0 THEN 4*k WHEN 1 THEN 4 WHEN 2 THEN 4
-        |      WHEN 5 THEN 4*k ELSE 0 END AS latin,
-        |    CASE a WHEN 1 THEN 4*k WHEN 5 THEN 4*k ELSE 0 END AS cyrillic,
-        |    CASE a WHEN 2 THEN 6*k ELSE 0 END AS cjk,
-        |    CASE a WHEN 3 THEN 4*k ELSE 0 END AS arabic,
-        |    CASE a WHEN 4 THEN 4*k ELSE 0 END AS other
-        |  FROM p),
-        |d AS (
-        |  SELECT *, latin+cyrillic+cjk+arabic+other AS n_letters,
-        |    CASE a WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic'
-        |      WHEN 2 THEN 'cjk' WHEN 3 THEN 'arabic' WHEN 4 THEN 'other'
-        |      WHEN 5 THEN 'latin' ELSE 'none' END AS dominant,
-        |    CASE a WHEN 1 THEN 4 WHEN 2 THEN 4 WHEN 5 THEN 4*k
-        |      ELSE 0 END AS second_cnt
-        |  FROM m)
-        |SELECT doc_id, CAST(latin AS BIGINT) AS latin,
-        |  CAST(cyrillic AS BIGINT) AS cyrillic, CAST(cjk AS BIGINT) AS cjk,
-        |  CAST(arabic AS BIGINT) AS arabic,
-        |  CAST(n_letters AS BIGINT) AS n_letters,
-        |  CAST(other AS BIGINT) AS other, dominant,
-        |  CAST(CASE WHEN n_letters = 0 THEN 0
-        |    ELSE second_cnt * 1000000 // n_letters END AS BIGINT)
-        |    AS second_ppm,
-        |  CASE WHEN n_letters = 0 THEN FALSE
-        |    ELSE second_cnt * 1000000 // n_letters > 200000 END AS mixed
-        |FROM d""".stripMargin,
+    // script-profile mirror (shared ScriptProfileSql — the streaming
+    // twin q279 certifies against it verbatim)
+    "q259_script_profile" -> ScriptProfileSql,
+    "q279_script_stream" -> ScriptProfileSql,
 
     // repetition-rules mirror: uniform-line geometry makes every
     // count closed-form — lines are 10 words x 4 chars (49 chars with
