@@ -168,7 +168,8 @@ object Bench {
     "q269_warc_split", "q270_file_skipping", "q271_c4_stream",
     "q272_archive_intake", "q273_bitext_mine", "q274_c4_span_dedup",
     "q275_norm_decontaminate", "q276_frontier_rank", "q277_ppl_buckets",
-    "q278_nb_incremental", "q279_script_stream")
+    "q278_nb_incremental", "q279_script_stream",
+    "q280_web_corpus_capstone")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

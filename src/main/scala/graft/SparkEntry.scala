@@ -2716,6 +2716,74 @@ object SparkEntry {
         "lang", "score")
     }),
 
+    // ── web-corpus capstone v2 (q280): the FULL raw-bytes-to-corpus
+    // chain — WARC split (q269) → HTTP parse (q236) → paragraph
+    // extraction (q226) → C4 rules (q265) → token-contrast quality
+    // gate (q267) — in production order with survivor-only scoring,
+    // one five-class decision per input blob: bad_status/bad_type die
+    // at intake, brace/few_lines at the C4 stage, classifier `neg`
+    // routes low_quality, survivors keep. One record per blob so the
+    // whole chain stays doc-grain; Content-Length from
+    // length(payload); the classifier model is q267's parity-trained
+    // fixture, so the oracle reuses NbClassifierSql's residue-sum
+    // weight arithmetic and every score is closed-form. ──
+    "q280_web_corpus_capstone" -> ((s, dir) => {
+      import graft.ext.{HtmlExtract, HttpRecord, TextClassifier, WarcRecord}
+      val id = col("doc_id")
+      val docs = t(s, dir, "documents")
+      val train = nbTrainFixture(docs)
+      val model = TextClassifier.nbTrainContrast(
+        train.filter(id % 2 === 0), train.filter(id % 2 === 1), "text")
+      val c = id % 6
+      val good = "<p>good good the.</p>"
+      val body = when(c === 4,
+          lit("<p>spam spam the.</p><p>spam spam the.</p><p>spam spam the.</p>"))
+        .when(c === 2, lit(good + "<p>var x = { 1 };</p>" + good))
+        .when(c === 3, lit(good + good))
+        .otherwise(lit(good + good + good))
+      val statusLine = when(c === 1, lit("HTTP/1.1 404 Not Found"))
+        .otherwise(lit("HTTP/1.1 200 OK"))
+      val ctype = when(c === 5, lit("application/pdf"))
+        .otherwise(lit("text/html"))
+      val payload = concat(statusLine, lit("\r\nContent-Type: "), ctype,
+        lit("\r\n\r\n<html><body>"), body, lit("</body></html>"))
+      val blob = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u"),
+        id.cast("string"), lit("\r\nContent-Length: "),
+        length(payload).cast("string"), lit("\r\n\r\n"), payload,
+        lit("\r\n\r\n"))
+      val recs = WarcRecord.splitRecords(
+          docs.select(id).repartition(32).select(id, blob.as("blob")),
+          "doc_id", "blob")
+        .localCheckpoint()
+      val parsed = HttpRecord.parse(recs, "doc_id", "payload")
+        .select(id, col("decision").as("__hd"))
+      val staged = recs.join(parsed, Seq("doc_id"))
+        .withColumn("__clean_in", array_join(
+          HtmlExtract.paragraphs(HttpRecord.body(col("payload"))), "\n"))
+        .localCheckpoint()
+      val c4 = graft.ext.TextAnalysis.c4Rules(
+          staged.filter(col("__hd") === "ok")
+            .select(id, col("__clean_in").as("text")),
+          "doc_id", "text")
+        .select(id, col("verdict").as("__c4"), col("clean_text"))
+        .localCheckpoint()
+      val scored = TextClassifier.nbScoreContrast(model,
+          c4.filter(col("__c4") === "keep")
+            .select(id, col("clean_text").as("text")),
+          "doc_id", "text")
+        .select(id, col("score"), col("label"))
+      staged.select(id, col("__hd"))
+        .join(c4.select(id, col("__c4")), Seq("doc_id"), "left")
+        .join(scored, Seq("doc_id"), "left")
+        .select(id,
+          when(col("__hd") =!= "ok", col("__hd"))
+            .when(col("__c4") =!= "keep", col("__c4"))
+            .when(col("label") === "neg", lit("low_quality"))
+            .otherwise(lit("kept")).as("decision"),
+          col("score"))
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -7870,6 +7938,41 @@ object SparkEntry {
         |       WHEN score <= t2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM d JOIN b ON d.lang = b.lang""".stripMargin,
+
+    // web-corpus-capstone mirror: NbClassifierSql's residue-sum weight
+    // arithmetic recombined with the arm decision table — the whole
+    // bytes-to-corpus chain as closed-form arithmetic
+    "q280_web_corpus_capstone" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 AS c FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, 1 + doc_id % 5 AS p, doc_id % 2 AS par
+        |  FROM documents),
+        |tot AS (
+        |  SELECT
+        |    sum(CASE WHEN par = 0 THEN p ELSE 0 END) AS cg,
+        |    sum(CASE WHEN par = 1 THEN p ELSE 0 END) AS cs,
+        |    sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS ne,
+        |    sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS no
+        |  FROM t2),
+        |w AS (
+        |  SELECT
+        |    (cg+1)*1000000 // (cg + 2*ne + 4)
+        |      - 1000000 // (cs + 2*no + 4) AS wg,
+        |    1000000 // (cg + 2*ne + 4)
+        |      - (cs+1)*1000000 // (cs + 2*no + 4) AS ws,
+        |    (ne+1)*1000000 // (cg + 2*ne + 4)
+        |      - (no+1)*1000000 // (cs + 2*no + 4) AS wt
+        |  FROM tot)
+        |SELECT doc_id,
+        |  CASE c WHEN 1 THEN 'bad_status' WHEN 5 THEN 'bad_type'
+        |    WHEN 2 THEN 'brace' WHEN 3 THEN 'few_lines'
+        |    WHEN 0 THEN CASE WHEN 6*wg + 3*wt > 0
+        |      THEN 'kept' ELSE 'low_quality' END
+        |    ELSE CASE WHEN 6*ws + 3*wt > 0
+        |      THEN 'kept' ELSE 'low_quality' END END AS decision,
+        |  CAST(CASE WHEN c = 0 THEN 6*wg + 3*wt
+        |            WHEN c = 4 THEN 6*ws + 3*wt END AS BIGINT) AS score
+        |FROM d, w""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed
