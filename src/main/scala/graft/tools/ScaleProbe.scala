@@ -716,6 +716,35 @@ object ScaleProbe {
               HtmlExtract.mainText(HttpRecord.body(col("payload")))))
             .select("doc_id", "rec_idx", "decision", "text")
         }),
+        run("span_dedup", {
+          // sentence-span keep-first: the second sentence block is
+          // doc_id % 1000 (preserved under copy offsets) so 1000 HOT
+          // span fingerprints grow occurrences ×n — the packed-long
+          // argmin must map-side combine; sentence/span explodes stay
+          // doc-bounded
+          val tag = translate((col("doc_id") % 1000).cast("string"),
+            "0123456789", "abcdefghij")
+          val txt = concat(
+            lit("alpha one x. shared "), tag, lit(" two. shared "), tag,
+            lit(" three. shared "), tag, lit(" four. tail "),
+            col("doc_id").cast("string"), lit(" five."))
+          graft.ext.Dedup.dedupSentenceSpans(
+            d.select(col("doc_id"), txt.as("text")), "doc_id", "text")
+        }),
+        run("ppl_buckets", {
+          // histogram-first terciles: (group, value) hash agg +
+          // one keyed window + boundary join — expected ~linear
+          graft.operators.Quantiles.bucketByGroupTerciles(
+            // square the RESIDUE, not the raw id: copy-offset ids
+            // (~5e9) squared overflow long under ANSI (the q262/q264
+            // bounded-modular-form lesson)
+            d.select(col("doc_id"),
+              concat(lit("l"), (col("doc_id") % 7).cast("string"))
+                .as("lang"),
+              (((col("doc_id") % 997) * (col("doc_id") % 997)) % 997)
+                .cast("long").as("score")),
+            "lang", "score")
+        }),
         run("centroid_drift", {
           // label from (id div 2): decorrelated from the %2 version
           // split — label = id%10 would pin every label to ONE parity
