@@ -2529,6 +2529,18 @@ object SparkEntry {
       graft.ext.WarcRecord.splitRecords(
         warcBlobFixture(t(s, dir, "documents")), "doc_id", "blob")),
 
+    // ── streaming WARC-split twin (the q248/q263/q271/q279
+    // discipline, here over a RECORD-FANNING projection — the replay
+    // harness's first posexplode_outer consumer): the four-arm blob
+    // fixture replayed over two JSONL waves; per-record rows
+    // accumulate in append mode and must equal the batch split —
+    // certified against q269's oracle VERBATIM (shared WarcSplitSql
+    // val + shared warcBlobFixture). ──
+    "q282_warc_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.projectionStreamReplay(
+        s, warcBlobFixture(t(s, dir, "documents")), "doc_id", "blob",
+        df => graft.ext.WarcRecord.splitRecords(df, "doc_id", "blob"))),
+
     // ── zone-map file skipping (Layout.fileSkipPlan — the manifest-
     // tier planner that makes a 100-TB table queryable): synthetic
     // manifest with 10-wide file zones of 8+i%5 width (widths ≥10
@@ -2782,6 +2794,48 @@ object SparkEntry {
             .when(col("label") === "neg", lit("low_quality"))
             .otherwise(lit("kept")).as("decision"),
           col("score"))
+    }),
+
+    // ── SFT chat-data validation + templating (ChatData.validateAnd
+    // Render): the instruction-tuning intake rule set as a total
+    // first-failing verdict over parsed `messages` JSON — bad_json /
+    // empty / bad_role / system_pos / non_alternating / empty_turn /
+    // dangling / keep — with the training template rendered for every
+    // parseable record (audit posture). Ten residue arms, one per
+    // class plus three keep shapes (with/without system, multi-turn);
+    // the alternation rule is an index-carrying FOLD because ANSI
+    // element_at throws on the empty rest array a system-only
+    // conversation leaves. Oracle rebuilds every rendered template
+    // from residues — no JSON parsing oracle-side. ──
+    "q281_chat_template" -> ((s, dir) => {
+      val id = col("doc_id")
+      val a = id % 10
+      val i = id.cast("string")
+      def usr(k: Int): Column =
+        concat(lit("{\"role\":\"user\",\"content\":\"u"), i,
+          lit(s" asks $k\"}"))
+      def asst(k: Int): Column =
+        concat(lit("{\"role\":\"assistant\",\"content\":\"a"), i,
+          lit(s" answers $k\"}"))
+      val sys = lit("{\"role\":\"system\",\"content\":\"be terse\"}")
+      def arr(parts: Column*): Column =
+        concat(lit("["), concat_ws(",", parts: _*), lit("]"))
+      val json = when(a === 0, arr(sys, usr(1), asst(1)))
+        .when(a === 1, arr(usr(1), asst(1)))
+        .when(a === 2, arr(usr(1), asst(1), usr(2), asst(2)))
+        .when(a === 3, lit("{oops"))
+        .when(a === 4, lit("[]"))
+        .when(a === 5, arr(usr(1),
+          lit("{\"role\":\"robot\",\"content\":\"x\"}")))
+        .when(a === 6, arr(usr(1), sys))
+        .when(a === 7, arr(usr(1), usr(2)))
+        .when(a === 8, arr(usr(1),
+          lit("{\"role\":\"assistant\",\"content\":\"\"}")))
+        .otherwise(arr(sys, usr(1)))
+      graft.ext.ChatData.validateAndRender(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id, json.as("messages")),
+        "doc_id", "messages")
     }),
 
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
@@ -5930,6 +5984,35 @@ object SparkEntry {
         |    ELSE second_cnt * 1000000 // n_letters > 200000 END AS mixed
         |FROM d""".stripMargin
 
+  /** q269/q282 shared warc-split mirror: records reconstructed
+    * arithmetically from (id, r) — no framing parse oracle-side;
+    * zero-record blobs come back as the LEFT JOIN's null row.
+    */
+  private val WarcSplitSql: String =
+    """WITH p AS (
+        |  SELECT doc_id, doc_id % 10 AS m, 1 + doc_id % 3 AS rr
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, m,
+        |    CASE WHEN m IN (8, 9) THEN rr - 1 ELSE rr END AS re
+        |  FROM p),
+        |recs AS (
+        |  SELECT doc_id, unnest(range(0, re)) AS r FROM e),
+        |rr2 AS (
+        |  SELECT doc_id, CAST(r AS BIGINT) AS rec_idx,
+        |    CASE WHEN r % 2 = 0 THEN 'response' ELSE 'request' END
+        |      AS warc_type,
+        |    'http://www.src' || CAST(doc_id % 20 AS VARCHAR)
+        |      || '.example.com/Docs/' || CAST(doc_id AS VARCHAR)
+        |      || '/' || CAST(r AS VARCHAR) AS target_uri,
+        |    repeat('p', CAST(5 + (doc_id + r) % 7 AS INT)) AS payload
+        |  FROM recs)
+        |SELECT e.doc_id,
+        |  CASE WHEN m = 7 THEN 'bad_magic' WHEN m = 8 THEN 'bad_length'
+        |       WHEN m = 9 THEN 'bad_header' ELSE 'ok' END AS warc_status,
+        |  rr2.rec_idx, rr2.warc_type, rr2.target_uri, rr2.payload
+        |FROM e LEFT JOIN rr2 ON e.doc_id = rr2.doc_id""".stripMargin
+
   private val GopherQualitySql: String =
     """WITH p AS (
       |  SELECT doc_id, doc_id % 9 AS a, 50 + doc_id % 100 AS w,
@@ -7716,33 +7799,10 @@ object SparkEntry {
         |  cum <= 600 AS selected
         |FROM c""".stripMargin,
 
-    // warc-split mirror: records reconstructed arithmetically from
-    // (id, r) — no framing parse oracle-side; zero-record blobs come
-    // back as the LEFT JOIN's null row
-    "q269_warc_split" ->
-      """WITH p AS (
-        |  SELECT doc_id, doc_id % 10 AS m, 1 + doc_id % 3 AS rr
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id, m,
-        |    CASE WHEN m IN (8, 9) THEN rr - 1 ELSE rr END AS re
-        |  FROM p),
-        |recs AS (
-        |  SELECT doc_id, unnest(range(0, re)) AS r FROM e),
-        |rr2 AS (
-        |  SELECT doc_id, CAST(r AS BIGINT) AS rec_idx,
-        |    CASE WHEN r % 2 = 0 THEN 'response' ELSE 'request' END
-        |      AS warc_type,
-        |    'http://www.src' || CAST(doc_id % 20 AS VARCHAR)
-        |      || '.example.com/Docs/' || CAST(doc_id AS VARCHAR)
-        |      || '/' || CAST(r AS VARCHAR) AS target_uri,
-        |    repeat('p', CAST(5 + (doc_id + r) % 7 AS INT)) AS payload
-        |  FROM recs)
-        |SELECT e.doc_id,
-        |  CASE WHEN m = 7 THEN 'bad_magic' WHEN m = 8 THEN 'bad_length'
-        |       WHEN m = 9 THEN 'bad_header' ELSE 'ok' END AS warc_status,
-        |  rr2.rec_idx, rr2.warc_type, rr2.target_uri, rr2.payload
-        |FROM e LEFT JOIN rr2 ON e.doc_id = rr2.doc_id""".stripMargin,
+    // warc-split mirror (shared WarcSplitSql — the streaming twin
+    // q282 certifies against it verbatim)
+    "q269_warc_split" -> WarcSplitSql,
+    "q282_warc_stream" -> WarcSplitSql,
 
     // file-skipping mirror: the four-way decision as residue CASE
     "q270_file_skipping" ->
@@ -7973,6 +8033,44 @@ object SparkEntry {
         |  CAST(CASE WHEN c = 0 THEN 6*wg + 3*wt
         |            WHEN c = 4 THEN 6*ws + 3*wt END AS BIGINT) AS score
         |FROM d, w""".stripMargin,
+
+    // chat-template mirror: every rendered template rebuilt from
+    // residues — no JSON parsing oracle-side
+    "q281_chat_template" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 10 AS a, CAST(doc_id AS VARCHAR) AS i
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, a,
+        |    '<|system|>be terse' AS sys,
+        |    '<|user|>u' || i || ' asks 1' AS u1,
+        |    '<|user|>u' || i || ' asks 2' AS u2,
+        |    '<|assistant|>a' || i || ' answers 1' AS a1,
+        |    '<|assistant|>a' || i || ' answers 2' AS a2
+        |  FROM p),
+        |o AS (
+        |  SELECT doc_id,
+        |    CASE a WHEN 0 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 0
+        |      WHEN 4 THEN 0 ELSE 2 END AS n_turns,
+        |    CASE a WHEN 0 THEN 'keep' WHEN 1 THEN 'keep'
+        |      WHEN 2 THEN 'keep' WHEN 3 THEN 'bad_json'
+        |      WHEN 4 THEN 'empty' WHEN 5 THEN 'bad_role'
+        |      WHEN 6 THEN 'system_pos' WHEN 7 THEN 'non_alternating'
+        |      WHEN 8 THEN 'empty_turn' ELSE 'dangling' END AS verdict,
+        |    CASE a WHEN 0 THEN sys || chr(10) || u1 || chr(10) || a1
+        |      WHEN 1 THEN u1 || chr(10) || a1
+        |      WHEN 2 THEN u1 || chr(10) || a1 || chr(10) || u2
+        |        || chr(10) || a2
+        |      WHEN 3 THEN '' WHEN 4 THEN ''
+        |      WHEN 5 THEN u1 || chr(10) || '<|robot|>x'
+        |      WHEN 6 THEN u1 || chr(10) || sys
+        |      WHEN 7 THEN u1 || chr(10) || u2
+        |      WHEN 8 THEN u1 || chr(10) || '<|assistant|>'
+        |      ELSE sys || chr(10) || u1 END AS rendered
+        |  FROM r)
+        |SELECT doc_id, CAST(n_turns AS BIGINT) AS n_turns, verdict,
+        |  rendered, CAST(length(rendered) AS BIGINT) AS n_chars
+        |FROM o""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

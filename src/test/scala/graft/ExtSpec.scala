@@ -961,6 +961,38 @@ class ExtSpec extends SparkSpec {
     assert(m.exists(r => r._1 == "fine" && r._2 == 1L && r._3 == 0L))
   }
 
+  test("chatData.validateAndRender: verdict precedence, ANSI-safe empty rest, audit rendering") {
+    import graft.ext.ChatData
+    def m(role: String, c: String) =
+      s"""{"role":"$role","content":"$c"}"""
+    val rows = Seq(
+      (1L, s"[${m("system", "s")},${m("user", "q")},${m("assistant", "a")}]"),
+      (2L, s"[${m("user", "q")},${m("assistant", "a")}]"),
+      // system-only: rest is EMPTY (the ANSI element_at trap) and the
+      // last turn is not the assistant's
+      (3L, s"[${m("system", "s")}]"),
+      (4L, s"[${m("system", "s")},${m("user", "q")},${m("system", "s2")}]"),
+      (5L, s"[${m("assistant", "a")},${m("user", "q")}]"),
+      (6L, s"[${m("user", "q")},${m("assistant", "  ")}]"),
+      (7L, "not json"),
+      (8L, null.asInstanceOf[String]),
+      (9L, "[]"))
+      .toDF("id", "messages")
+    val got = ChatData.validateAndRender(rows, "id", "messages")
+      .select(col("id"), col("n_turns"), col("verdict"), col("rendered"))
+      .as[(Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, "keep", "<|system|>s\n<|user|>q\n<|assistant|>a")))
+    assert(got(2L) == ((2L, "keep", "<|user|>q\n<|assistant|>a")))
+    assert(got(3L) == ((1L, "dangling", "<|system|>s")), s"${got(3L)}")
+    assert(got(4L)._2 == "system_pos", "duplicate system routes system_pos")
+    assert(got(5L)._2 == "non_alternating", "assistant-first fails alternation")
+    assert(got(6L)._2 == "empty_turn", "whitespace-only content is empty")
+    assert(got(7L) == ((0L, "bad_json", "")))
+    assert(got(8L) == ((0L, "bad_json", "")))
+    assert(got(9L) == ((0L, "empty", "")))
+  }
+
   test("dedupExactNormalized: variant group collapses to min id, every input classified") {
     val df = Seq(
       (10L, "The Price Is 42 Dollars."),
