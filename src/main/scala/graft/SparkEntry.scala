@@ -2838,6 +2838,40 @@ object SparkEntry {
         "doc_id", "messages")
     }),
 
+    // ── preference-pair preparation (ChatData.preparePreference
+    // Pairs — DPO/RLHF reward data): six residue arms — unique valid
+    // pairs; verbatim-identical chosen/rejected; a case+digit+punct
+    // variant pair that only the NORMALIZED equality catches; blank
+    // and null fields routing `missing`; and a=5 rows re-using the
+    // prompt of row id−5 so keep-first prompt dedup fires with the
+    // lower id as keeper. The a=0 arm ALSO collides with itself 300
+    // apart (lcm(6,100)), so dup_prompt keepers are a genuine min
+    // window, not an arm label. ──
+    "q283_preference_pairs" -> ((s, dir) => {
+      val id = col("doc_id")
+      val a = id % 6
+      val i = id.cast("string")
+      val tag = translate(
+        when(a === 5, (id - 5) % 100).otherwise(id % 100).cast("string"),
+        "0123456789", "abcdefghij")
+      val prompt = when(a === 0 || a === 5,
+        concat(lit("please explain "), tag))
+        .otherwise(concat(lit("q"), i, lit(" unique prompt")))
+      val chosen = when(a === 1, lit("same answer."))
+        .when(a === 2, lit("The Answer 42."))
+        .when(a === 4, lit(null).cast("string"))
+        .otherwise(concat(lit("c"), i, lit(" good answer")))
+      val rejected = when(a === 1, lit("same answer."))
+        .when(a === 2, lit("the answer 73"))
+        .when(a === 3, lit(""))
+        .otherwise(concat(lit("r"), i, lit(" bad answer")))
+      graft.ext.ChatData.preparePreferencePairs(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id, prompt.as("prompt"), chosen.as("chosen"),
+            rejected.as("rejected")),
+        "doc_id", "prompt", "chosen", "rejected")
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -8071,6 +8105,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_turns AS BIGINT) AS n_turns, verdict,
         |  rendered, CAST(length(rendered) AS BIGINT) AS n_chars
         |FROM o""".stripMargin,
+
+    // preference-pairs mirror: prompt groups re-derived from residue
+    // tags with a min window over the valid arms only
+    "q283_preference_pairs" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 AS a FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN a = 5 THEN (doc_id - 5) % 100
+        |         ELSE doc_id % 100 END AS tag
+        |  FROM d WHERE a IN (0, 5)),
+        |k AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY tag) AS keep_id
+        |  FROM v)
+        |SELECT d.doc_id,
+        |  CASE WHEN a IN (3, 4) THEN 'missing'
+        |       WHEN a = 1 THEN 'identical'
+        |       WHEN a = 2 THEN 'near_identical'
+        |       WHEN k.keep_id <> d.doc_id THEN 'dup_prompt'
+        |       ELSE 'keep' END AS verdict,
+        |  CAST(k.keep_id AS BIGINT) AS keep_id
+        |FROM d LEFT JOIN k ON d.doc_id = k.doc_id""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

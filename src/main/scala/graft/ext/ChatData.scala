@@ -92,4 +92,57 @@ object ChatData {
         rendered.as("rendered"),
         length(rendered).cast("long").as("n_chars"))
   }
+
+  /** PREFERENCE-PAIR preparation (DPO/RLHF reward data): validate
+    * (prompt, chosen, rejected) triples with a total first-failing
+    * verdict —
+    *
+    *   - `missing`:        any field null/blank
+    *   - `identical`:      chosen == rejected verbatim (no signal)
+    *   - `near_identical`: chosen and rejected equal under
+    *                       [[TextAnalysis.normalizeForDedup]] (case/
+    *                       digit/punct variants — still no signal)
+    *   - `dup_prompt`:     a VALID pair whose normalized prompt
+    *                       already appears on a lower-id valid pair
+    *                       (keep-first; one pair per prompt or DPO
+    *                       double-counts it)
+    *   - `keep`
+    *
+    * Output one row per input: (idCol, verdict, keep_id) — keep_id is
+    * the prompt group's min id for valid pairs, null for rows that
+    * fail the field gates (they never enter prompt grouping: dedup
+    * runs over pairs that could actually train).
+    *
+    * 100-TB shape: pure projections plus ONE hash aggregate keyed on
+    * xxhash64(normalized prompt) (8-byte exchange key, the q266
+    * posture) and a keyed join back; both multi-consumer stages are
+    * localCheckpoint'd once.
+    */
+  def preparePreferencePairs(
+      df: DataFrame, idCol: String, promptCol: String,
+      chosenCol: String, rejectedCol: String): DataFrame = {
+    def blank(c: Column): Column = c.isNull || trim(c) === ""
+    val early = when(
+      blank(col(promptCol)) || blank(col(chosenCol)) ||
+        blank(col(rejectedCol)), lit("missing"))
+      .when(col(chosenCol) === col(rejectedCol), lit("identical"))
+      .when(TextAnalysis.normalizeForDedup(col(chosenCol)) ===
+        TextAnalysis.normalizeForDedup(col(rejectedCol)),
+        lit("near_identical"))
+    val staged = df.withColumn("__early", early).localCheckpoint()
+    val valid = staged.filter(col("__early").isNull)
+      .withColumn("__h",
+        xxhash64(TextAnalysis.normalizeForDedup(col(promptCol))))
+      .localCheckpoint()
+    val groups = valid.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("keep_id"))
+    val joined = valid.join(groups, Seq("__h"))
+      .select(col(idCol), col("keep_id"))
+    staged.join(joined, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__early"),
+          when(col("keep_id") =!= col(idCol), lit("dup_prompt"))
+            .otherwise(lit("keep"))).as("verdict"),
+        col("keep_id"))
+  }
 }

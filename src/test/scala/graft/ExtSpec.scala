@@ -993,6 +993,33 @@ class ExtSpec extends SparkSpec {
     assert(got(9L) == ((0L, "empty", "")))
   }
 
+  test("preparePreferencePairs: field gates, normalized equality, valid-only prompt dedup") {
+    import graft.ext.ChatData
+    val df = Seq(
+      (1L, "Explain X", "good long answer", "bad answer"),
+      // same prompt, different case/space -> dup of 1
+      (2L, "explain  x", "another good one", "another bad one"),
+      // invalid pair with the SAME prompt: must NOT occupy the group
+      (3L, "explain x", "same", "same"),
+      (4L, "Explain Y", "The Answer 42.", "the answer 73"),
+      (5L, "Explain Z", null, "r"),
+      (6L, "", "c", "r"),
+      (7L, "Explain W", "c good", "r bad")).toDF("id", "prompt", "chosen", "rejected")
+    val got = ChatData.preparePreferencePairs(
+        df, "id", "prompt", "chosen", "rejected")
+      .select(col("id"), col("verdict"), col("keep_id"))
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("keep", Some(1L))))
+    assert(got(2L) == (("dup_prompt", Some(1L))), s"${got(2L)}")
+    assert(got(3L) == (("identical", None)),
+      "invalid pairs never enter prompt grouping")
+    assert(got(4L) == (("near_identical", None)))
+    assert(got(5L) == (("missing", None)))
+    assert(got(6L) == (("missing", None)))
+    assert(got(7L) == (("keep", Some(7L))))
+  }
+
   test("dedupExactNormalized: variant group collapses to min id, every input classified") {
     val df = Seq(
       (10L, "The Price Is 42 Dollars."),
