@@ -2872,6 +2872,21 @@ object SparkEntry {
         "doc_id", "prompt", "chosen", "rejected")
     }),
 
+    // ── pack loss-mask spans (TextAnalysis.packMaskSpans — the
+    // metadata tier over q61's packing): per (partition, chunk, doc)
+    // spans with head/tail flags so a trainer can mask cross-document
+    // attention across straddled chunk boundaries. Doc lengths
+    // 10+id%50 against budget 128 straddle constantly; the oracle
+    // re-derives offsets with its own window + range explode. ──
+    "q284_pack_masks" -> ((s, dir) => {
+      val id = col("doc_id")
+      graft.ext.TextAnalysis.packMaskSpans(
+        t(s, dir, "documents").select(id).repartition(32)
+          .select(id, (id % 4).cast("long").as("part"),
+            (lit(10) + id % 50).cast("long").as("n_tok")),
+        "part", "doc_id", col("n_tok"), budget = 128L)
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -8126,6 +8141,31 @@ object SparkEntry {
         |       ELSE 'keep' END AS verdict,
         |  CAST(k.keep_id AS BIGINT) AS keep_id
         |FROM d LEFT JOIN k ON d.doc_id = k.doc_id""".stripMargin,
+
+    // pack-masks mirror: independent window cumsum + range explode
+    "q284_pack_masks" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS part, 10 + doc_id % 50 AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, part, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY part ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, part, n_tok, off,
+        |    unnest(range(CAST(off // 128 AS BIGINT),
+        |      CAST((off + n_tok - 1) // 128 + 1 AS BIGINT))) AS chunk
+        |  FROM o)
+        |SELECT CAST(part AS BIGINT) AS part, doc_id,
+        |  CAST(chunk AS BIGINT) AS chunk,
+        |  CAST(greatest(off - chunk * 128, 0) AS BIGINT) AS span_start,
+        |  CAST(least(off + n_tok, (chunk + 1) * 128)
+        |    - greatest(off, chunk * 128) AS BIGINT) AS span_len,
+        |  off >= chunk * 128 AS is_head,
+        |  off + n_tok <= (chunk + 1) * 128 AS is_tail
+        |FROM e""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

@@ -280,6 +280,42 @@ object TextAnalysis {
       .withColumn("chunk", floor(col("tok_offset") / lit(budget)))
   }
 
+  /** Loss-mask / attention spans for PACKED training sequences — the
+    * metadata a trainer needs when [[packSequences]] lets documents
+    * straddle chunk boundaries: one row per (partition, chunk, doc)
+    * with the doc's span INSIDE that chunk (span_start, span_len) and
+    * head/tail flags, so the training job can mask cross-document
+    * attention and know where loss windows begin without re-deriving
+    * offsets. Invariants (spec'd): a doc's span_len sums to its
+    * n_tok across chunks; a chunk's spans sum to `budget` except the
+    * partition's last chunk.
+    *
+    * All arithmetic is the integer pmod floor-div idiom — no
+    * fractional division, exact at any offset. Shape: the
+    * packSequences window (per-partition cumulative offsets, the
+    * partition key bounds the window) plus a ≤(n_tok/budget+1)-element
+    * explode per doc; no extra shuffle.
+    */
+  def packMaskSpans(
+      df: DataFrame, partitionCol: String, idCol: String,
+      nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    def fdiv(x: Column): Column =
+      ((x - pmod(x, lit(budget))) / budget).cast("long")
+    val packed = packSequences(df, partitionCol, idCol, nTokens, budget)
+    val off = col("tok_offset")
+    val n = col("n_tok")
+    packed.filter(n > 0)
+      .select(col(partitionCol), col(idCol), n, off,
+        explode(sequence(fdiv(off), fdiv(off + n - 1))).as("chunk"))
+      .select(col(partitionCol), col(idCol), col("chunk"),
+        greatest(off - col("chunk") * budget, lit(0L)).as("span_start"),
+        (least(off + n, (col("chunk") + 1) * budget) -
+          greatest(off, col("chunk") * budget)).as("span_len"),
+        (off >= col("chunk") * budget).as("is_head"),
+        (off + n <= (col("chunk") + 1) * budget).as("is_tail"))
+  }
+
   /** Vocabulary-rarity quality score: per document, the mean DOCUMENT
     * FREQUENCY of its distinct tokens — low mean-df docs use rare
     * vocabulary (jargon, misspellings, other languages), high mean-df

@@ -377,6 +377,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(m == ((4L, 500000L, 500000L)), s"metrics: $m")
   }
 
+  test("packMaskSpans: straddle spans, head/tail flags, coverage invariants") {
+    val df = Seq(
+      // part 0, budget 10: docs 7, 8, 4 -> offsets 0, 7, 15
+      (1L, 0L, 7L), (2L, 0L, 8L), (3L, 0L, 4L),
+      (4L, 1L, 25L)) // one doc spanning chunks 0..2 alone
+      .toDF("id", "part", "n_tok")
+    val got = TextAnalysis.packMaskSpans(df, "part", "id", col("n_tok"), 10L)
+      .select(col("part"), col("id"), col("chunk"), col("span_start"),
+        col("span_len"), col("is_head"), col("is_tail"))
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 0L, 7L, true, true),
+      (0L, 2L, 0L, 7L, 3L, true, false),  // head half of the straddler
+      (0L, 2L, 1L, 0L, 5L, false, true),  // tail half
+      (0L, 3L, 1L, 5L, 4L, true, true),
+      (1L, 4L, 0L, 0L, 10L, true, false),
+      (1L, 4L, 1L, 0L, 10L, false, false), // interior chunk: neither flag
+      (1L, 4L, 2L, 0L, 5L, false, true)), s"${got.toSeq}")
+    // invariant: spans per doc sum to n_tok
+    val perDoc = got.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(perDoc == Map(1L -> 7L, 2L -> 8L, 3L -> 4L, 4L -> 25L))
+  }
+
   test("c4Rules: line retention, trim, page precedence, classify-every-input") {
     val rows = Seq(
       // all three terminal puncts + a quoted line survive
