@@ -333,6 +333,38 @@ object SparkEntry {
     docs.select(id).repartition(32).select(id, text.as("text"))
   }
 
+  /** Ten-arm chat-messages fixture shared by q281 (batch) and q285
+    * (streaming twin) — one arm per verdict class plus three keep
+    * shapes; see the q281 entry comment.
+    */
+  private def chatFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val a = id % 10
+    val i = id.cast("string")
+    def usr(k: Int): Column =
+      concat(lit("{\"role\":\"user\",\"content\":\"u"), i,
+        lit(s" asks $k\"}"))
+    def asst(k: Int): Column =
+      concat(lit("{\"role\":\"assistant\",\"content\":\"a"), i,
+        lit(s" answers $k\"}"))
+    val sys = lit("{\"role\":\"system\",\"content\":\"be terse\"}")
+    def arr(parts: Column*): Column =
+      concat(lit("["), concat_ws(",", parts: _*), lit("]"))
+    val json = when(a === 0, arr(sys, usr(1), asst(1)))
+      .when(a === 1, arr(usr(1), asst(1)))
+      .when(a === 2, arr(usr(1), asst(1), usr(2), asst(2)))
+      .when(a === 3, lit("{oops"))
+      .when(a === 4, lit("[]"))
+      .when(a === 5, arr(usr(1),
+        lit("{\"role\":\"robot\",\"content\":\"x\"}")))
+      .when(a === 6, arr(usr(1), sys))
+      .when(a === 7, arr(usr(1), usr(2)))
+      .when(a === 8, arr(usr(1),
+        lit("{\"role\":\"assistant\",\"content\":\"\"}")))
+      .otherwise(arr(sys, usr(1)))
+    docs.select(id).repartition(32).select(id, json.as("messages"))
+  }
+
   private def httpRawFixture(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
@@ -2807,36 +2839,23 @@ object SparkEntry {
     // element_at throws on the empty rest array a system-only
     // conversation leaves. Oracle rebuilds every rendered template
     // from residues — no JSON parsing oracle-side. ──
-    "q281_chat_template" -> ((s, dir) => {
-      val id = col("doc_id")
-      val a = id % 10
-      val i = id.cast("string")
-      def usr(k: Int): Column =
-        concat(lit("{\"role\":\"user\",\"content\":\"u"), i,
-          lit(s" asks $k\"}"))
-      def asst(k: Int): Column =
-        concat(lit("{\"role\":\"assistant\",\"content\":\"a"), i,
-          lit(s" answers $k\"}"))
-      val sys = lit("{\"role\":\"system\",\"content\":\"be terse\"}")
-      def arr(parts: Column*): Column =
-        concat(lit("["), concat_ws(",", parts: _*), lit("]"))
-      val json = when(a === 0, arr(sys, usr(1), asst(1)))
-        .when(a === 1, arr(usr(1), asst(1)))
-        .when(a === 2, arr(usr(1), asst(1), usr(2), asst(2)))
-        .when(a === 3, lit("{oops"))
-        .when(a === 4, lit("[]"))
-        .when(a === 5, arr(usr(1),
-          lit("{\"role\":\"robot\",\"content\":\"x\"}")))
-        .when(a === 6, arr(usr(1), sys))
-        .when(a === 7, arr(usr(1), usr(2)))
-        .when(a === 8, arr(usr(1),
-          lit("{\"role\":\"assistant\",\"content\":\"\"}")))
-        .otherwise(arr(sys, usr(1)))
+    "q281_chat_template" -> ((s, dir) =>
       graft.ext.ChatData.validateAndRender(
-        t(s, dir, "documents").select(id).repartition(32)
-          .select(id, json.as("messages")),
-        "doc_id", "messages")
-    }),
+        chatFixture(t(s, dir, "documents")), "doc_id", "messages")),
+
+    // ── streaming chat-template twin (the stateless-twin family):
+    // validateAndRender is a pure per-row projection, so the ten-arm
+    // fixture replayed over two JSONL waves must equal the batch
+    // output — certified against q281's oracle VERBATIM (shared
+    // ChatTemplateSql val + shared chatFixture helper). The payload
+    // here is itself JSON, so the replay harness's to_json/from_json
+    // envelope must round-trip nested quoting — an escape-fidelity
+    // case the flat-text twins never exercised. ──
+    "q285_chat_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.projectionStreamReplay(
+        s, chatFixture(t(s, dir, "documents")), "doc_id", "messages",
+        df => graft.ext.ChatData.validateAndRender(
+          df, "doc_id", "messages"))),
 
     // ── preference-pair preparation (ChatData.preparePreference
     // Pairs — DPO/RLHF reward data): six residue arms — unique valid
@@ -2885,6 +2904,19 @@ object SparkEntry {
           .select(id, (id % 4).cast("long").as("part"),
             (lit(10) + id % 50).cast("long").as("n_tok")),
         "part", "doc_id", col("n_tok"), budget = 128L)
+    }),
+
+    // ── Matryoshka truncation recall (SimSearch.truncatedRecall):
+    // exact top-5 on 4-, 16- and full-64-dim prefixes vs the full
+    // truth — the d=64 row MUST come back recall 1000000 (self-
+    // consistency), the short prefixes measure what the synthetic
+    // embeddings actually preserve. Prefix cosines reuse the q19
+    // fold; the oracle repeats it per dim over list_slice. ──
+    "q286_trunc_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ext.SimSearch.truncatedRecall(
+        emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", dims = Seq(4, 16, 64), k = 5)
     }),
 
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
@@ -6062,6 +6094,81 @@ object SparkEntry {
         |  rr2.rec_idx, rr2.warc_type, rr2.target_uri, rr2.payload
         |FROM e LEFT JOIN rr2 ON e.doc_id = rr2.doc_id""".stripMargin
 
+  /** q281/q285 shared chat-template mirror: every rendered template
+    * rebuilt from residues — no JSON parsing oracle-side.
+    */
+  private val ChatTemplateSql: String =
+    """WITH p AS (
+        |  SELECT doc_id, doc_id % 10 AS a, CAST(doc_id AS VARCHAR) AS i
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, a,
+        |    '<|system|>be terse' AS sys,
+        |    '<|user|>u' || i || ' asks 1' AS u1,
+        |    '<|user|>u' || i || ' asks 2' AS u2,
+        |    '<|assistant|>a' || i || ' answers 1' AS a1,
+        |    '<|assistant|>a' || i || ' answers 2' AS a2
+        |  FROM p),
+        |o AS (
+        |  SELECT doc_id,
+        |    CASE a WHEN 0 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 0
+        |      WHEN 4 THEN 0 ELSE 2 END AS n_turns,
+        |    CASE a WHEN 0 THEN 'keep' WHEN 1 THEN 'keep'
+        |      WHEN 2 THEN 'keep' WHEN 3 THEN 'bad_json'
+        |      WHEN 4 THEN 'empty' WHEN 5 THEN 'bad_role'
+        |      WHEN 6 THEN 'system_pos' WHEN 7 THEN 'non_alternating'
+        |      WHEN 8 THEN 'empty_turn' ELSE 'dangling' END AS verdict,
+        |    CASE a WHEN 0 THEN sys || chr(10) || u1 || chr(10) || a1
+        |      WHEN 1 THEN u1 || chr(10) || a1
+        |      WHEN 2 THEN u1 || chr(10) || a1 || chr(10) || u2
+        |        || chr(10) || a2
+        |      WHEN 3 THEN '' WHEN 4 THEN ''
+        |      WHEN 5 THEN u1 || chr(10) || '<|robot|>x'
+        |      WHEN 6 THEN u1 || chr(10) || sys
+        |      WHEN 7 THEN u1 || chr(10) || u2
+        |      WHEN 8 THEN u1 || chr(10) || '<|assistant|>'
+        |      ELSE sys || chr(10) || u1 END AS rendered
+        |  FROM r)
+        |SELECT doc_id, CAST(n_turns AS BIGINT) AS n_turns, verdict,
+        |  rendered, CAST(length(rendered) AS BIGINT) AS n_chars
+        |FROM o""".stripMargin
+
+  /** q286 mirror: the q19 cosine fold repeated per prefix dim over
+    * list_slice, each prefix top-k joined against the full-dim truth.
+    * Generated (dims are data), emitted single-line per helper — the
+    * q219 stripMargin/|| hazard.
+    */
+  private val TruncRecallSql: String = {
+    def dot(a: String, b: String, d: Int): String =
+      s"list_reduce(list_transform(list_zip(list_slice($a, 1, $d), " +
+        s"list_slice($b, 1, $d)), z -> CAST(z[1] AS DOUBLE) * " +
+        "CAST(z[2] AS DOUBLE)), (x, y) -> x + y)"
+    val dims = Seq(4, 16, 64)
+    val nnCols = dims.map(d =>
+      s"${dot("embedding", "embedding", d)} AS nn$d").mkString(", ")
+    val perDim = dims.map { d =>
+      s"s$d AS (SELECT q.vec_id qid, c.vec_id nid, " +
+        s"${dot("q.embedding", "c.embedding", d)} / sqrt(q.nn$d * c.nn$d) " +
+        "AS cosine FROM q JOIN n c ON c.vec_id <> q.vec_id), " +
+        s"r$d AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() " +
+        "OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS r " +
+        s"FROM s$d) WHERE r <= 5)"
+    }.mkString(", ")
+    // aliased both sides: the d=64 row self-joins r64 (duplicate
+    // bare alias is a binder error)
+    val hits = dims.map(d =>
+      s"h$d AS (SELECT count(*) AS hits FROM r$d ta JOIN r64 tb " +
+        "USING (qid, nid))").mkString(", ")
+    val rows = dims.map(d =>
+      s"SELECT CAST($d AS BIGINT) AS dim, CAST(hits AS BIGINT) AS hits, " +
+        "CAST(total AS BIGINT) AS total, " +
+        "CAST(hits * 1000000 // total AS BIGINT) AS recall_ppm " +
+        s"FROM h$d, tot").mkString(" UNION ALL ")
+    s"WITH n AS (SELECT vec_id, embedding, $nnCols FROM embeddings), " +
+      "q AS (SELECT * FROM n WHERE vec_id % 50 = 0), " +
+      s"$perDim, tot AS (SELECT count(*) AS total FROM r64), $hits $rows"
+  }
+
   private val GopherQualitySql: String =
     """WITH p AS (
       |  SELECT doc_id, doc_id % 9 AS a, 50 + doc_id % 100 AS w,
@@ -8083,43 +8190,10 @@ object SparkEntry {
         |            WHEN c = 4 THEN 6*ws + 3*wt END AS BIGINT) AS score
         |FROM d, w""".stripMargin,
 
-    // chat-template mirror: every rendered template rebuilt from
-    // residues — no JSON parsing oracle-side
-    "q281_chat_template" ->
-      """WITH p AS (
-        |  SELECT doc_id, doc_id % 10 AS a, CAST(doc_id AS VARCHAR) AS i
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, a,
-        |    '<|system|>be terse' AS sys,
-        |    '<|user|>u' || i || ' asks 1' AS u1,
-        |    '<|user|>u' || i || ' asks 2' AS u2,
-        |    '<|assistant|>a' || i || ' answers 1' AS a1,
-        |    '<|assistant|>a' || i || ' answers 2' AS a2
-        |  FROM p),
-        |o AS (
-        |  SELECT doc_id,
-        |    CASE a WHEN 0 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 0
-        |      WHEN 4 THEN 0 ELSE 2 END AS n_turns,
-        |    CASE a WHEN 0 THEN 'keep' WHEN 1 THEN 'keep'
-        |      WHEN 2 THEN 'keep' WHEN 3 THEN 'bad_json'
-        |      WHEN 4 THEN 'empty' WHEN 5 THEN 'bad_role'
-        |      WHEN 6 THEN 'system_pos' WHEN 7 THEN 'non_alternating'
-        |      WHEN 8 THEN 'empty_turn' ELSE 'dangling' END AS verdict,
-        |    CASE a WHEN 0 THEN sys || chr(10) || u1 || chr(10) || a1
-        |      WHEN 1 THEN u1 || chr(10) || a1
-        |      WHEN 2 THEN u1 || chr(10) || a1 || chr(10) || u2
-        |        || chr(10) || a2
-        |      WHEN 3 THEN '' WHEN 4 THEN ''
-        |      WHEN 5 THEN u1 || chr(10) || '<|robot|>x'
-        |      WHEN 6 THEN u1 || chr(10) || sys
-        |      WHEN 7 THEN u1 || chr(10) || u2
-        |      WHEN 8 THEN u1 || chr(10) || '<|assistant|>'
-        |      ELSE sys || chr(10) || u1 END AS rendered
-        |  FROM r)
-        |SELECT doc_id, CAST(n_turns AS BIGINT) AS n_turns, verdict,
-        |  rendered, CAST(length(rendered) AS BIGINT) AS n_chars
-        |FROM o""".stripMargin,
+    // chat-template mirror (shared ChatTemplateSql — the streaming
+    // twin q285 certifies against it verbatim)
+    "q281_chat_template" -> ChatTemplateSql,
+    "q285_chat_stream" -> ChatTemplateSql,
 
     // preference-pairs mirror: prompt groups re-derived from residue
     // tags with a min window over the valid arms only
@@ -8166,6 +8240,9 @@ object SparkEntry {
         |  off >= chunk * 128 AS is_head,
         |  off + n_tok <= (chunk + 1) * 128 AS is_tail
         |FROM e""".stripMargin,
+
+    // trunc-recall mirror (generated — see TruncRecallSql)
+    "q286_trunc_recall" -> TruncRecallSql,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed

@@ -674,4 +674,45 @@ object SimSearch {
     ivfTopKAgainstIndex(
       buildIvfIndex(corpus, idCol, vecCol, nlist, seed, lloydIters),
       queries, idCol, vecCol, k, nprobe)
+
+  /** MATRYOSHKA-STYLE truncation evaluation (Kusupati et al. 2022 —
+    * the "can we search on a prefix of the embedding?" question every
+    * storage-bound retrieval system asks): for each prefix dimension
+    * d, run exact top-k on the d-dim PREFIX vectors and report its
+    * recall against the full-dimension top-k. One report row per d:
+    * (dim, hits, total, recall_ppm) — integer ppm, so the whole
+    * evaluation hash-certifies (the q46 recall-contract posture, but
+    * measured rather than pinned: truncation quality is a property of
+    * the EMBEDDINGS, not of this operator).
+    *
+    * Shape: |dims|+1 exact scorers (broadcast-queries form — this is
+    * an evaluation harness over a query SAMPLE, not a serving path),
+    * each reduced to a keyed overlap join + one count; the full-dim
+    * truth is localCheckpoint'd once for its |dims|+1 consumers.
+    * Prefix slicing is `slice(vec, 1, d)` — DuckDB's list_slice
+    * mirrors it exactly.
+    */
+  def truncatedRecall(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1) && k >= 1,
+      s"bad eval shape: dims=$dims k=$k")
+    val full = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val total = full.agg(count(lit(1)).as("total"))
+    val rows = dims.map { d =>
+      def pref(df: DataFrame): DataFrame =
+        df.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      bruteForceTopK(pref(corpus), pref(queries), idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(full, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(total))
+        .select(lit(d.toLong).as("dim"), col("hits"), col("total"),
+          expr("CAST(hits * 1000000L DIV total AS BIGINT)")
+            .as("recall_ppm"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
 }
