@@ -1020,6 +1020,45 @@ class ExtSpec extends SparkSpec {
     assert(got(7L) == (("keep", Some(7L))))
   }
 
+  test("nbScoreContrast: the model is JOINED, never broadcast-required (plan probe)") {
+    import graft.ext.TextClassifier
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val model = TextClassifier.nbTrainContrast(
+      Seq("good fine day").toDF("text"), Seq("bad poor day").toDF("text"),
+      "text")
+    val docs = Seq((1L, "good day"), (2L, "bad day")).toDF("id", "text")
+    // AQE + auto-broadcast off: a tiny test model legitimately
+    // auto-broadcasts, but nothing in the plan may REQUIRE it — a
+    // real quality model is 10^5-10^7 rows (the q228 lm-model
+    // posture). The only broadcast the plan itself asks for is the
+    // 1-row totals scalar, whose subtree contains its aggregate.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = TextClassifier.nbScoreContrast(model, docs, "id", "text")
+        .queryExecution.executedPlan
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, "the totals scalar should broadcast")
+      bcasts.foreach { b =>
+        assert(b.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"a broadcast subtree without an aggregate beneath it — the " +
+            s"raw model is being broadcast:\n$b")
+      }
+      // non-vacuity: an explicit raw-model broadcast fails the probe
+      val bad = docs.join(
+        broadcast(model.select(col("token"), col("w_ppm"))),
+        expr("true"), "left")
+      val badB = bad.queryExecution.executedPlan
+        .collect { case b: BroadcastExchangeExec => b }
+      assert(badB.exists(_.collect { case a: BaseAggregateExec => a }.isEmpty),
+        "probe shape: a raw-relation broadcast must be detectable")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dedupExactNormalized: variant group collapses to min id, every input classified") {
     val df = Seq(
       (10L, "The Price Is 42 Dollars."),
