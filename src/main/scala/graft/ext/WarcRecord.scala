@@ -65,8 +65,13 @@ object WarcRecord {
         val magicOk = blob.substr(pos, lit(10)) === "WARC/1.0\r\n"
         val rel = instr(blob.substr(pos, length(blob)), "\r\n\r\n")
         val hdr = blob.substr(pos, rel - 1)
+        // the value match is ANCHORED to the line end (\r\n or header
+        // end): an unanchored [0-9]{1,9} would silently TRUNCATE a
+        // 10-digit declared length to its first nine digits and
+        // mis-slice the payload instead of routing bad_header
+        // (self-review finding)
         val clS = regexp_extract(hdr,
-          "(?i)\r\nContent-Length:[ \t]*([0-9]{1,9})", 1)
+          "(?i)\r\nContent-Length:[ \t]*([0-9]{1,9})(?:\r\n|$)", 1)
         val cl = clS.cast("int")
         val dataStart = pos + rel + 3
         val closeOk = blob.substr(dataStart + cl, lit(4)) === "\r\n\r\n"

@@ -252,7 +252,9 @@ object Layout {
     * Z-ordered layout ([[zorderTiles]], [[compactionPlan]] feed this),
     * a selective range touches O(matching) files of O(total). The plan
     * itself is a pure projection over the manifest — metadata-scale,
-    * never touches data files.
+    * never touches data files. Files with NULL zone stats fall
+    * through every pruning branch to `scan` — the safe fallback (a
+    * file you cannot prove skippable must be read).
     */
   def fileSkipPlan(
       manifest: DataFrame, fileCol: String, partCol: String,

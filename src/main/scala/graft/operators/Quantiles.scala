@@ -95,7 +95,10 @@ object Quantiles {
     * Shape: the histogram machinery's two keyed passes plus one join
     * of the group-grain boundary frame back to rows
     * (broadcast-eligible — groups are languages/domains, a bounded
-    * dim). Output: input columns + t1, t2, bucket.
+    * dim). Output: input columns + t1, t2, bucket. CONTRACT: scores
+    * non-null (histPercentiles excludes nulls, and a group with only
+    * null scores has no boundaries — its rows drop at the inner
+    * join; filter or default upstream).
     */
   def bucketByGroupTerciles(
       df: DataFrame, groupCol: String, scoreCol: String): DataFrame = {

@@ -219,6 +219,17 @@ class HttpRecordSpec extends SparkSpec {
     assert(byId(7L).toSeq == Seq((7L, "ok", None, null, null, null)))
     assert(byId(8L).map(r => (r._2, r._4, r._5, r._6)).toSeq ==
       Seq(("ok", "response", "u", "ok")), s"case-insens: ${byId(8L).toSeq}")
+    // an absurd 10-digit Content-Length must route bad_header, never
+    // silently truncate to its first nine digits and mis-slice
+    val huge = WarcRecord.splitRecords(
+      Seq((10L, r1 +
+        "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\nContent-Length: 1234567890\r\n\r\npayload\r\n\r\n"))
+        .toDF("id", "blob"), "id", "blob")
+      .select(col("warc_status"), col("payload"))
+      .as[(String, String)].collect()
+    assert(huge.map(_._1).toSet == Set("bad_header") &&
+      huge.map(_._2).toSeq == Seq("hello world"),
+      s"10-digit CL: ${huge.toSeq}")
     // bounded walk: 3 records under maxRecords=2 routes too_many, head kept
     val over = WarcRecord.splitRecords(
       Seq((9L, r1 + r2 + r1)).toDF("id", "blob"), "id", "blob",
