@@ -8047,8 +8047,8 @@ object SparkEntry {
         |      ORDER BY cosine DESC, src_id) AS r
         |  FROM fwd)
         |SELECT mg.src_id, mg.tgt_id, mg.top_sim_s, mg.margin_c1000,
-        |  bw.b_src = mg.src_id AS mutual,
-        |  mg.margin_c1000 > 1005 AS accepted
+        |  coalesce(bw.b_src = mg.src_id, FALSE) AS mutual,
+        |  coalesce(mg.margin_c1000 > 1005, FALSE) AS accepted
         |FROM mg
         |LEFT JOIN (SELECT tgt_id, b_src FROM bw WHERE r = 1) bw
         |  ON mg.tgt_id = bw.tgt_id""".stripMargin,

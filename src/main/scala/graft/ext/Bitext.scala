@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
   * go negative; a ratio of signed sums would). The shift is monotone,
   * so ranking and thresholding semantics match the paper's.
   *
-  * 100-TB shape: this exact form scores queries × corpus via the
-  * broadcast-queries plan (certification + bounded query batches);
-  * at corpus scale the scorer swaps for IVF/LSH candidate generation
-  * ([[SimSearch]]'s index family) and the margin/mutual arithmetic
-  * composes unchanged on the candidate set. The backward pass reuses
-  * the SAME symmetric cosines — dot products commute elementwise, so
-  * forward and backward values are bit-identical.
+  * 100-TB shape: this exact form scores the queries × corpus matrix
+  * ONCE via the broadcast-queries plan (certification + bounded
+  * query batches) and ranks the one localCheckpoint'd frame from
+  * both sides — dot products commute elementwise, so the backward
+  * direction needs no second scoring pass. At corpus scale the
+  * scorer swaps for IVF/LSH candidate generation ([[SimSearch]]'s
+  * index family) and the margin/mutual arithmetic composes unchanged
+  * on the candidate set. Every source vector yields exactly one
+  * output row; accepted/mutual are never NULL (false when the margin
+  * is undefined or tgt is empty).
   */
 object Bitext {
 
@@ -40,21 +43,49 @@ object Bitext {
       src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, minMarginC1000: Long = 1005L): DataFrame = {
     require(k >= 2, s"margin needs a neighborhood: k=$k")
-    val fwd = SimSearch.bruteForceTopK(tgt, src, idCol, vecCol, k)
+    import org.apache.spark.sql.expressions.Window
+    // score the pair matrix ONCE and rank it from both sides — the
+    // cosine is symmetric, so a second backward brute pass would
+    // recompute the identical scores at double the dominant cost
+    // (review finding); the frame is localCheckpoint'd for its two
+    // window consumers
+    val q = src.select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
+    val c = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv"))
+    val scored = c.join(broadcast(q), col("tgt_id") =!= col("src_id"))
+      .withColumn("cosine",
+        SimSearch.cosineSim(src.sparkSession, col("__sv"), col("__tv")))
+      .select(col("src_id"), col("tgt_id"), col("cosine"))
+      .localCheckpoint()
+    val wF = Window.partitionBy("src_id")
+      .orderBy(col("cosine").desc, col("tgt_id").asc)
+    val fwd = scored
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
       .withColumn("__s",
         floor((col("cosine") + lit(1.0d)) * 1000000d).cast("long"))
-    val agg = fwd.groupBy(col("query_id").as("src_id"))
+    val agg = fwd.groupBy(col("src_id"))
       .agg(sum(col("__s")).as("__sum"), count(lit(1)).as("__k"),
-        max(when(col("rank") === 1, col("neighbor_id"))).as("tgt_id"),
+        max(when(col("rank") === 1, col("tgt_id"))).as("tgt_id"),
         max(when(col("rank") === 1, col("__s"))).as("top_sim_s"))
       .withColumn("margin_c1000", when(col("__sum") > 0,
         expr("CAST(top_sim_s * 1000L * __k DIV __sum AS BIGINT)")))
-    val bwd = SimSearch.bruteForceTopK(src, tgt, idCol, vecCol, 1)
-      .select(col("query_id").as("tgt_id"), col("neighbor_id").as("__b"))
-    agg.join(bwd, Seq("tgt_id"), "left")
+    val wB = Window.partitionBy("tgt_id")
+      .orderBy(col("cosine").desc, col("src_id").asc)
+    val bwd = scored
+      .withColumn("__r", row_number().over(wB))
+      .filter(col("__r") === 1)
+      .select(col("tgt_id"), col("src_id").as("__b"))
+    // one row per SOURCE vector even when tgt is empty or the margin
+    // is undefined: accepted/mutual coalesce to false, never NULL —
+    // a downstream filter(!accepted) must not silently drop rows
+    // (review finding)
+    src.select(col(idCol).as("src_id"))
+      .join(agg, Seq("src_id"), "left")
+      .join(bwd, Seq("tgt_id"), "left")
       .select(col("src_id"), col("tgt_id"), col("top_sim_s"),
         col("margin_c1000"),
-        (col("__b") === col("src_id")).as("mutual"))
-      .withColumn("accepted", col("margin_c1000") > minMarginC1000)
+        coalesce(col("__b") === col("src_id"), lit(false)).as("mutual"))
+      .withColumn("accepted",
+        coalesce(col("margin_c1000") > minMarginC1000, lit(false)))
   }
 }

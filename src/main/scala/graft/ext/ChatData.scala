@@ -97,7 +97,10 @@ object ChatData {
     * (prompt, chosen, rejected) triples with a total first-failing
     * verdict —
     *
-    *   - `missing`:        any field null/blank
+    *   - `missing`:        any field null/blank, or a prompt that
+    *                       NORMALIZES to '' (it cannot key a dedup
+    *                       group — see the normalizeForDedup
+    *                       Latin-targeting contract)
     *   - `identical`:      chosen == rejected verbatim (no signal)
     *   - `near_identical`: chosen and rejected equal under
     *                       [[TextAnalysis.normalizeForDedup]] (case/
@@ -122,9 +125,17 @@ object ChatData {
       df: DataFrame, idCol: String, promptCol: String,
       chosenCol: String, rejectedCol: String): DataFrame = {
     def blank(c: Column): Column = c.isNull || trim(c) === ""
+    // a prompt that NORMALIZES to '' (e.g. an all-non-Latin prompt
+    // under the Latin-targeted normalizer) routes `missing` — without
+    // this gate every such prompt would hash into ONE dedup group and
+    // unrelated pairs would be misrouted dup_prompt (review finding);
+    // non-Latin corpora must route through scriptProfile first, the
+    // normalizeForDedup contract
     val early = when(
       blank(col(promptCol)) || blank(col(chosenCol)) ||
-        blank(col(rejectedCol)), lit("missing"))
+        blank(col(rejectedCol)) ||
+        TextAnalysis.normalizeForDedup(col(promptCol)) === "",
+      lit("missing"))
       .when(col(chosenCol) === col(rejectedCol), lit("identical"))
       .when(TextAnalysis.normalizeForDedup(col(chosenCol)) ===
         TextAnalysis.normalizeForDedup(col(rejectedCol)),

@@ -709,8 +709,12 @@ object SimSearch {
         .join(full, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(total))
+        // guarded: an empty query sample gives total = 0, and ANSI
+        // DIV would raise DIVIDE_BY_ZERO at action time — the report
+        // row comes back with a NULL recall instead (no measurement)
         .select(lit(d.toLong).as("dim"), col("hits"), col("total"),
-          expr("CAST(hits * 1000000L DIV total AS BIGINT)")
+          when(col("total") > 0,
+            expr("CAST(hits * 1000000L DIV total AS BIGINT)"))
             .as("recall_ppm"))
     }
     rows.reduce(_.unionByName(_))

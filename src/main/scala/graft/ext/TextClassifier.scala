@@ -35,11 +35,6 @@ object TextClassifier {
     df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as(cname))
 
-  /** Train a contrast model from a positive and a negative corpus:
-    * one row per joint-vocabulary token — (token, c_pos, c_neg,
-    * w_ppm). The returned frame is localCheckpoint'd (trained
-    * artifacts feed multiple consumers — the buildIvfPq lesson).
-    */
   /** Weights from a (token, c_pos, c_neg) count table — split out so
     * [[nbMergeModels]] recomputes weights from merged counts through
     * the SAME arithmetic the one-shot trainer uses (they cannot
@@ -56,6 +51,11 @@ object TextClassifier {
       .localCheckpoint()
   }
 
+  /** Train a contrast model from a positive and a negative corpus:
+    * one row per joint-vocabulary token — (token, c_pos, c_neg,
+    * w_ppm). The returned frame is localCheckpoint'd (trained
+    * artifacts feed multiple consumers — the buildIvfPq lesson).
+    */
   def nbTrainContrast(
       pos: DataFrame, neg: DataFrame, textCol: String): DataFrame = {
     val cp = tokenCounts(pos, textCol, "__cp")

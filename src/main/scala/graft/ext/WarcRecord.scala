@@ -63,8 +63,14 @@ object WarcRecord {
         val pos = st.getField("pos")
         val recs = st.getField("recs")
         val magicOk = blob.substr(pos, lit(10)) === "WARC/1.0\r\n"
-        val rel = instr(blob.substr(pos, length(blob)), "\r\n\r\n")
-        val hdr = blob.substr(pos, rel - 1)
+        // locate(needle, str, pos) searches IN PLACE from the cursor:
+        // the earlier instr-over-substr(pos, …) form copied the whole
+        // remaining blob once per fold step — O(maxRecords·|blob|)
+        // character churn per row (review finding). `sep` is the
+        // ABSOLUTE 1-based index of the header/payload separator
+        // (0 = not found).
+        val sep = call_function("locate", lit("\r\n\r\n"), blob, pos)
+        val hdr = blob.substr(pos, sep - pos)
         // the value match is ANCHORED to the line end (\r\n or header
         // end): an unanchored [0-9]{1,9} would silently TRUNCATE a
         // 10-digit declared length to its first nine digits and
@@ -73,7 +79,7 @@ object WarcRecord {
         val clS = regexp_extract(hdr,
           "(?i)\r\nContent-Length:[ \t]*([0-9]{1,9})(?:\r\n|$)", 1)
         val cl = clS.cast("int")
-        val dataStart = pos + rel + 3
+        val dataStart = sep + 4
         val closeOk = blob.substr(dataStart + cl, lit(4)) === "\r\n\r\n"
         val rec = struct(
           regexp_extract(hdr, "(?i)\r\nWARC-Type:[ \t]*([^\r\n]*)", 1)
@@ -84,7 +90,7 @@ object WarcRecord {
         when(st.getField("status") =!= "", st)
           .when(pos > length(blob), state(pos, recs, lit("ok")))
           .when(!magicOk, state(pos, recs, lit("bad_magic")))
-          .when(rel === 0 || clS === "", state(pos, recs, lit("bad_header")))
+          .when(sep === 0 || clS === "", state(pos, recs, lit("bad_header")))
           .when(!closeOk, state(pos, recs, lit("bad_length")))
           .when(size(recs) >= maxRecords, state(pos, recs, lit("too_many")))
           .otherwise(state(dataStart + cl + 4, array_append(recs, rec),

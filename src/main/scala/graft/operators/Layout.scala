@@ -254,7 +254,12 @@ object Layout {
     * itself is a pure projection over the manifest — metadata-scale,
     * never touches data files. Files with NULL zone stats fall
     * through every pruning branch to `scan` — the safe fallback (a
-    * file you cannot prove skippable must be read).
+    * file you cannot prove skippable must be read). A NULL PARTITION
+    * value prunes: the query names a literal set, and NULL is not in
+    * it (without the explicit isNull branch, `!isin` evaluates NULL —
+    * not true — and a null-partition file could fall through to
+    * `full`, asserting a predicate-free scan for a file the partition
+    * filter excludes; review finding).
     */
   def fileSkipPlan(
       manifest: DataFrame, fileCol: String, partCol: String,
@@ -264,7 +269,8 @@ object Layout {
       s"bad plan shape: parts=${parts.size} range=[$lo,$hi]")
     manifest.select(col(fileCol), col(partCol), col(minCol), col(maxCol),
       col(rowsCol),
-      when(!col(partCol).isin(parts: _*), lit("partition_pruned"))
+      when(col(partCol).isNull || !col(partCol).isin(parts: _*),
+        lit("partition_pruned"))
         .when(col(maxCol) < lo || col(minCol) > hi, lit("skip"))
         .when(col(minCol) >= lo && col(maxCol) <= hi, lit("full"))
         .otherwise(lit("scan")).as("decision"))

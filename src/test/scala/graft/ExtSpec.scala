@@ -910,6 +910,15 @@ class ExtSpec extends SparkSpec {
     // neighborhood makes margin exactly 1000 → rejected; t3's
     // backward best is src 0 (cos .8) → not mutual
     assert(got(2L) == ((3L, 1600000L, 1000L, false, false)), s"${got(2L)}")
+    // empty target side: every source still yields a row, with
+    // accepted/mutual FALSE (never NULL — review finding)
+    val emptyTgt = graft.ext.Bitext.mineMarginPairs(
+        src, tgt.filter(col("vec_id") < 0), "vec_id", "embedding", k = 2)
+      .select(col("src_id"), col("tgt_id").isNull.as("no_tgt"),
+        col("mutual"), col("accepted"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+    assert(emptyTgt.length == 2 &&
+      emptyTgt.forall(r => r._2 && !r._3 && !r._4), s"${emptyTgt.toSeq}")
   }
 
   test("dedupSentenceSpans: keep-first span grain, unique-tail survival, 2-sentence overlap passes, in-doc chains") {
@@ -1004,7 +1013,11 @@ class ExtSpec extends SparkSpec {
       (4L, "Explain Y", "The Answer 42.", "the answer 73"),
       (5L, "Explain Z", null, "r"),
       (6L, "", "c", "r"),
-      (7L, "Explain W", "c good", "r bad")).toDF("id", "prompt", "chosen", "rejected")
+      (7L, "Explain W", "c good", "r bad"),
+      // two DISTINCT non-Latin prompts both normalize to '': they must
+      // route missing, never collide into one dup_prompt group
+      (8L, "Вопрос один?", "c8 fine", "r8 poor"),
+      (9L, "Вопрос два?", "c9 fine", "r9 poor")).toDF("id", "prompt", "chosen", "rejected")
     val got = ChatData.preparePreferencePairs(
         df, "id", "prompt", "chosen", "rejected")
       .select(col("id"), col("verdict"), col("keep_id"))
@@ -1018,6 +1031,8 @@ class ExtSpec extends SparkSpec {
     assert(got(5L) == (("missing", None)))
     assert(got(6L) == (("missing", None)))
     assert(got(7L) == (("keep", Some(7L))))
+    assert(got(8L) == (("missing", None)) && got(9L) == (("missing", None)),
+      s"empty-normalized prompts must not form a dedup group: ${got(8L)}, ${got(9L)}")
   }
 
   test("nbScoreContrast: the model is JOINED, never broadcast-required (plan probe)") {

@@ -203,13 +203,17 @@ class LayoutSpec extends SparkSpec {
       ("e", "p0", 150L, 250L, 10L),  // crosses hi -> scan
       ("f", "p0", 201L, 300L, 10L),  // min > hi -> skip
       ("g", "p9", 100L, 150L, 10L),  // overlapping zone, wrong partition
-      ("h", "p1", 200L, 200L, 10L))  // point file at hi -> full
+      ("h", "p1", 200L, 200L, 10L),  // point file at hi -> full
+      // NULL partition with a contained zone: NULL is not in the
+      // queried set, so it prunes — it must never classify 'full'
+      (("i", null.asInstanceOf[String], 100L, 150L, 10L)))
       .toDF("file", "part", "min_v", "max_v", "rows")
     val got = Layout.fileSkipPlan(m, "file", "part", "min_v", "max_v",
         "rows", Seq("p0", "p1"), 100L, 200L)
       .select("file", "decision").as[(String, String)].collect().toMap
     assert(got == Map("a" -> "skip", "b" -> "scan", "c" -> "full",
       "d" -> "full", "e" -> "scan", "f" -> "skip",
-      "g" -> "partition_pruned", "h" -> "full"), s"$got")
+      "g" -> "partition_pruned", "h" -> "full",
+      "i" -> "partition_pruned"), s"$got")
   }
 }
