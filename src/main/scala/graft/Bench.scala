@@ -171,7 +171,7 @@ object Bench {
     "q278_nb_incremental", "q279_script_stream",
     "q280_web_corpus_capstone", "q281_chat_template", "q282_warc_stream",
     "q283_preference_pairs", "q284_pack_masks", "q285_chat_stream",
-    "q286_trunc_recall")
+    "q286_trunc_recall", "q287_decon_report")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

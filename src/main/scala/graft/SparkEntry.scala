@@ -2919,6 +2919,47 @@ object SparkEntry {
         "vec_id", "embedding", dims = Seq(4, 16, 64), k = 5)
     }),
 
+    // ── two-signal decontamination report (q287): the raw (q222) and
+    // normalized (q275) exact n-gram rules composed into one per-doc
+    // decision — verbatim_leak (raw grams shared), normalized_leak
+    // (only the normalized form matches: the case/digit-variant leak
+    // class), clean. The fixture interleaves DIGITS through every
+    // 4-gram so the variant arm shares ZERO raw grams but all 5
+    // normalized ones; the verbatim arm is a byte-identical copy.
+    // Tag-free gram prefixes match every eval doc, so raw counts are
+    // corpus-independent residue facts. ──
+    "q287_decon_report" -> ((s, dir) => {
+      import graft.ext.{Dedup, TextAnalysis}
+      val id = col("doc_id")
+      val tg = translate(((id / 5).cast("long") % 8).cast("string"),
+        "0123456789", "abcdefghij")
+      def sent(d1: String, d2: String, d3: String): Column =
+        concat(lit(s"café $d1 alpha $d2 beta $d3 gamma h"), tg)
+      val evalTxt = sent("11", "22", "33")
+      val trainTxt = when(id % 5 === 1, sent("11", "22", "33"))
+        .when(id % 5 === 2, sent("44", "55", "66"))
+        .otherwise(concat_ws(" ",
+          (0 to 4).map(k => concat(lit(s"z${k}w"), id.cast("string"))): _*))
+      val docs = t(s, dir, "documents").select(id).repartition(32)
+      val train = docs.filter(id % 5 =!= 0).select(id, trainTxt.as("text"))
+      val evalD = docs.filter(id % 5 === 0).select(id, evalTxt.as("text"))
+      def norm(df: DataFrame): DataFrame = df.withColumn("text",
+        TextAnalysis.normalizeForDedup(col("text")))
+      val raw = Dedup.ngramContaminated(train, evalD, "doc_id", "text", 4)
+        .withColumnRenamed("n_shared_grams", "raw_grams")
+      val nrm = Dedup.ngramContaminated(norm(train), norm(evalD),
+          "doc_id", "text", 4)
+        .withColumnRenamed("n_shared_grams", "norm_grams")
+      train.select(id)
+        .join(raw, Seq("doc_id"), "left").join(nrm, Seq("doc_id"), "left")
+        .select(id,
+          coalesce(col("raw_grams"), lit(0L)).as("raw_grams"),
+          coalesce(col("norm_grams"), lit(0L)).as("norm_grams"),
+          when(col("raw_grams") > 0, lit("verbatim_leak"))
+            .when(col("norm_grams") > 0, lit("normalized_leak"))
+            .otherwise(lit("clean")).as("decision"))
+    }),
+
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
     // (score DESC, id ASC) tie-break is load-bearing in every
@@ -8243,6 +8284,19 @@ object SparkEntry {
 
     // trunc-recall mirror (generated — see TruncRecallSql)
     "q286_trunc_recall" -> TruncRecallSql,
+
+    // decon-report mirror: both gram counts and the decision are pure
+    // residue facts (digits in every gram make the variant arm raw-0)
+    "q287_decon_report" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 5 ELSE 0 END AS BIGINT)
+        |    AS raw_grams,
+        |  CAST(CASE WHEN doc_id % 5 IN (1, 2) THEN 5 ELSE 0 END
+        |    AS BIGINT) AS norm_grams,
+        |  CASE WHEN doc_id % 5 = 1 THEN 'verbatim_leak'
+        |       WHEN doc_id % 5 = 2 THEN 'normalized_leak'
+        |       ELSE 'clean' END AS decision
+        |FROM documents WHERE doc_id % 5 <> 0""".stripMargin,
 
     // budget-select mirror: the single-window running sum the operator
     // deliberately avoids — independent truth for the distributed
