@@ -171,7 +171,14 @@ object Bench {
     "q278_nb_incremental", "q279_script_stream",
     "q280_web_corpus_capstone", "q281_chat_template", "q282_warc_stream",
     "q283_preference_pairs", "q284_pack_masks", "q285_chat_stream",
-    "q286_trunc_recall", "q287_decon_report")
+    "q286_trunc_recall", "q287_decon_report",
+    "q288_unicode_tokens", "q289_unicode_norm_dedup",
+    "q290_unicode_jaccard", "q291_unicode_gopher",
+    "q292_script_profile_multi", "q293_unicode_minhash",
+    "q294_unicode_stream", "q295_nfc_dedup",
+    "q296_stopword_discovery", "q297_ml_dedup_capstone",
+    "q298_mixed_script_words", "q299_unicode_sentences",
+    "q300_ml_span_dedup")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -49,9 +49,17 @@ object Bitext {
     // recompute the identical scores at double the dominant cost
     // (review finding); the frame is localCheckpoint'd for its two
     // window consumers
+    // src and tgt are INDEPENDENT corpora: a tgt row with the same id
+    // as a src row is a legitimate candidate, so there is no self-pair
+    // guard here (unlike bruteForceTopK, whose self-exclusion is a
+    // same-corpus semantic) — an id-equality exclusion would silently
+    // drop the true pair when the two id spaces overlap, e.g. both
+    // numbered 0..n (round-14 ADVICE finding). CONTRACT: ids non-null
+    // (a NULL src id cannot re-join its aggregate row and surfaces as
+    // the all-false row).
     val q = src.select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
     val c = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv"))
-    val scored = c.join(broadcast(q), col("tgt_id") =!= col("src_id"))
+    val scored = c.join(broadcast(q))
       .withColumn("cosine",
         SimSearch.cosineSim(src.sparkSession, col("__sv"), col("__tv")))
       .select(col("src_id"), col("tgt_id"), col("cosine"))

@@ -122,7 +122,9 @@ object Dedup {
     df.groupBy(keyCol.as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** NORMALIZED exact dedup: [[TextAnalysis.normalizeForDedup]] →
+  /** NORMALIZED exact dedup: `normalizer` (default
+    * [[TextAnalysis.normalizeForDedup]] — Latin-targeted; pass
+    * [[TextAnalysis.normalizeForDedupU]] for multilingual corpora) →
     * hash-groupBy keep-min-id, joined back so EVERY input doc gets one
     * row: (idCol, norm_text, keep_id, n_copies, is_dup). This is the
     * CCNet posture — exact dedup over normalized text catches the
@@ -138,10 +140,11 @@ object Dedup {
     * (xxhash64(s), xxhash64(reverse(s))) — same plan shape.
     */
   def dedupExactNormalized(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String,
+      normalizer: Column => Column =
+        graft.ext.TextAnalysis.normalizeForDedup): DataFrame = {
     val withNorm = df
-      .withColumn("norm_text",
-        graft.ext.TextAnalysis.normalizeForDedup(col(textCol)))
+      .withColumn("norm_text", normalizer(col(textCol)))
       .withColumn("__h", xxhash64(col("norm_text")))
     val groups = withNorm.groupBy("__h")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -739,16 +742,20 @@ object Dedup {
     * (doc, sentence-index) pairs — never doc², never corpus-wide
     * groups beyond one fingerprint's occurrence list; the base and
     * span frames each feed two consumers and are localCheckpoint'd
-    * once. CONTRACT: sentence positions < 2²⁰ per doc (the pack
-    * width).
+    * once. CONTRACT: ids are nonnegative and < 2^43, and sentence
+    * positions < 2^20 per doc (the pack widths — an id ≥ 2^43
+    * overflows the long multiply, an ANSI throw at runtime, and
+    * negative ids break keep-first ordering; same contract as
+    * [[dedupParagraphsCorpus]]).
     */
   def dedupSentenceSpans(
       df: DataFrame, idCol: String, textCol: String,
-      span: Int = 3): DataFrame = {
+      span: Int = 3,
+      segmenter: Column => Column =
+        graft.ext.TextAnalysis.sentences): DataFrame = {
     require(span >= 2, s"span must be >= 2: $span")
     val base = df
-      .select(col(idCol),
-        graft.ext.TextAnalysis.sentences(col(textCol)).as("__sents"))
+      .select(col(idCol), segmenter(col(textCol)).as("__sents"))
       .localCheckpoint()
     val emptySpans =
       array().cast("array<struct<__pos:int,__sp:string>>")

@@ -17,9 +17,119 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lowercase alnum word tokens. */
-  def tokens(text: Column): Column =
+  // ── Unicode tokenizer core (round 14) ──────────────────────────
+  //
+  // The engine-portability groundwork: every piece below is certified
+  // bit-for-bit identical between Spark and the DuckDB oracle by
+  // EXHAUSTIVE per-codepoint diff over planes 0-2 (tools/LowerDump +
+  // tools/UtokDiff generate the evidence). Two different tables are
+  // in play on the Spark side: `lower()` resolves to ICU case
+  // mappings (CollationSupport.Lower, icu4j 77 ≈ Unicode 16 — NOT
+  // java.lang.String.toLowerCase), while the regex classes
+  // `\p{L}\p{M}\p{N}` read the JVM's Character data (JVM 17 =
+  // Unicode 13). CONTRACT: certified for codepoints ASSIGNED IN
+  // UNICODE 13. Codepoints added later (e.g. Arabic Ext-B U+0870..,
+  // Han U+9FFD-9FFF, Vithkuqi, Garay — 876 in the L/M/N class diff)
+  // are letters to DuckDB's newer table but unclassifiable to the
+  // JVM regex, so they tokenize differently by construction; the
+  // exhaustive Spark-vs-DuckDB lower() diff confirms every
+  // case-mapping divergence beyond [[LowerPreFoldSrc]] lies in that
+  // same Unicode-14+ set — the fold below is COMPLETE for the
+  // certified contract.
+
+  /** Codepoints Spark's lower() (ICU) and DuckDB's lowercase
+    * differently WITHIN the Unicode-13 contract — the complete set
+    * (exhaustive diff over planes 0-2): U+0130 İ (ICU emits
+    * i+U+0307 combining dot, DuckDB emits plain i) and three
+    * Unicode-12 case mappings DuckDB's table lacks (U+A7C7→A7C8,
+    * U+A7C9→A7CA, U+A7F5→A7F6). Each is PRE-folded to a form both
+    * engines map identically. The one CONTEXT-SENSITIVE mapping
+    * (ICU lowers word-final Σ to ς, DuckDB always to σ) is folded by
+    * pre-mapping Σ AND ς to σ, so lower() never sees a capital
+    * sigma.
+    */
+  private[graft] val LowerPreFoldSrc = "İꟇꟉꟵΣς"
+  private[graft] val LowerPreFoldDst = "Iꟈꟊꟶσσ"
+
+  /** Engine-portable Unicode lowercase: ONE pre-lower translate folds
+    * the four divergent codepoints AND sigma — mapping both Σ (U+03A3)
+    * and ς (U+03C2) to σ (U+03C3) up front means lower() never sees a
+    * capital sigma, so ICU's context-sensitive word-final Σ→ς
+    * mapping (which DuckDB lacks) can never fire; one translate pass
+    * instead of a pre+post pair. Null-safe (''). DuckDB mirror, with
+    * src/dst the UTF-8 spellings of
+    * [[LowerPreFoldSrc]]/[[LowerPreFoldDst]]:
+    * `lower(translate(coalesce(x,''), <src>, <dst>))`.
+    */
+  def lowerU(text: Column): Column =
+    lower(translate(coalesce(text, lit("")), LowerPreFoldSrc, LowerPreFoldDst))
+
+  /** Scripts tokenized per-CODEPOINT (no spaces between words, so the
+    * single-character token is the standard deterministic heuristic —
+    * BLEU's and the dedup literature's zh/ja treatment): Han
+    * (URO + Ext-A, compatibility, Ext-B..F plane 2), hiragana and
+    * katakana letters/iteration marks (combining voicing marks
+    * U+3099-309C deliberately EXCLUDED — isolating them would detach
+    * them from NFD bases; NFC input assumed), halfwidth katakana.
+    * Hangul and Thai are spaced/run scripts and stay run-tokens.
+    * `\x{...}` class ranges parse identically in Java regex and RE2,
+    * so the class is version-skew-free by construction.
+    */
+  val CjkCharClass: String =
+    "[\\x{3041}-\\x{3096}\\x{309D}-\\x{30FF}\\x{31F0}-\\x{31FF}" +
+      "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}" +
+      "\\x{FF66}-\\x{FF9D}\\x{20000}-\\x{2FA1F}]"
+
+  /** Space-isolate each CJK codepoint so run-extraction yields one
+    * token per ideograph/kana. Null-safe (''). DuckDB mirror:
+    * `regexp_replace(x, '(CLASS)', ' \1 ', 'g')` with the same class.
+    */
+  def cjkIsolate(text: Column): Column =
+    regexp_replace(coalesce(text, lit("")), "(" + CjkCharClass + ")", " $1 ")
+
+  /** Lowercase word tokens, UNICODE-AWARE (round 14 — previously the
+    * ASCII-Latin `[a-z0-9]+` fast path, which silently no-op'd the
+    * shingle-dedup family and word-count gates on non-Latin text):
+    * CJK codepoints isolate per-character, then maximal runs of
+    * letters+combining marks+digits (`[\p{L}\p{M}\p{N}]+` — marks
+    * included so Devanagari/Arabic diacritics don't split words)
+    * over [[lowerU]]. On pure-ASCII text this yields EXACTLY the
+    * tokens of [[tokensAscii]] (proved by class identity: the ASCII
+    * ∩ L/M/N set is [a-z0-9] after lower), so every pre-round-14
+    * oracle certification is unchanged. DuckDB mirror:
+    * `regexp_extract_all(<lowerU mirror of cjkIsolate(x)>, '[\p{L}\p{M}\p{N}]+')`.
+    *
+    * Execution is the single-pass codegen'd
+    * [[graft.plans.UnicodeTokens]] expression (the four-step
+    * SQL-function spelling below, [[tokensComposed]], measured
+    * 25-100% slower on the token-heavy bench queries); PlansSpec pins
+    * expression == composition EXHAUSTIVELY per codepoint, so the
+    * DuckDB mirror certifies both.
+    */
+  def tokens(text: Column): Column = graft.plans.UnicodeTokens.of(text)
+
+  /** The SQL-function spelling of [[tokens]]' contract — what the
+    * DuckDB oracle mirrors verbatim (SparkEntry's duckUToks) and what
+    * PlansSpec compares the expression against.
+    */
+  def tokensComposed(text: Column): Column =
+    regexp_extract_all(lowerU(cjkIsolate(text)), lit("[\\p{L}\\p{M}\\p{N}]+"), lit(0))
+
+  /** The pre-round-14 ASCII-Latin tokenizer, kept for callers that
+    * want the cheaper single-regex path on known-ASCII columns.
+    */
+  def tokensAscii(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Unicode NFC canonical composition
+    * ([[graft.plans.NfcNormalize]]): the dedup-key pre-pass for text
+    * arriving in mixed precomposed/decomposed form (é vs e+U+0301,
+    * OHM SIGN vs Ω, conjoining jamo vs Hangul syllables). JDK NFC ==
+    * DuckDB `nfc_normalize` exactly (exhaustive per-codepoint diff,
+    * planes 0-2, zero divergences — the stability-policy contrast to
+    * case mapping's 71); null-safe (''), non-nullable output.
+    */
+  def nfc(text: Column): Column = graft.plans.NfcNormalize.of(text)
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
     * non-alnum marks (the usual byte-pair pre-split shape).
@@ -678,7 +788,9 @@ object TextAnalysis {
     *                   maxEllipsisPpm (STRICT)
     *   - `alpha`:      fraction of words containing a letter <
     *                   minAlphaPpm
-    *   - `stopword`:   fewer than minStopHits hits on [[Stopwords]]
+    *   - `stopword`:   fewer than minStopHits hits on `stopwords`
+    *                   (default [[Stopwords]] — English; pass a
+    *                   per-language list for non-English corpora)
     *   - `keep`
     *
     * All arithmetic is integer (ppm / ×100 integer-DIV) so the output
@@ -699,14 +811,24 @@ object TextAnalysis {
       minLenC100: Long = 300L, maxLenC100: Long = 1000L,
       maxSymbolPpm: Long = 100000L, maxBulletPpm: Long = 900000L,
       maxEllipsisPpm: Long = 300000L, minAlphaPpm: Long = 800000L,
-      minStopHits: Long = 2L): DataFrame = {
+      minStopHits: Long = 2L,
+      stopwords: Seq[String] = Stopwords,
+      cjkAware: Boolean = false): DataFrame = {
     require(minWords > 0 && minWords <= maxWords &&
-      minLenC100 <= maxLenC100 && minStopHits >= 0,
+      minLenC100 <= maxLenC100 && minStopHits >= 0 && stopwords.nonEmpty,
       s"bad gopher thresholds: words=[$minWords,$maxWords] len=[$minLenC100,$maxLenC100]")
     val txt = coalesce(col(textCol), lit(""))
+    // cjkAware: words are counted over the CJK-isolated text (one word
+    // per ideograph/kana — without this a whole zh document is ONE
+    // whitespace word and the word_count rule rejects it), and the
+    // alpha rule generalizes [A-Za-z] to \p{L}. CJK-calibrated
+    // thresholds are the CALLER's job (per-char words ⇒ pass
+    // minLenC100=100, and a per-language `stopwords` list — Gopher's
+    // English function words reject every non-English doc).
+    val wordSrc = if (cjkAware) cjkIsolate(txt) else txt
     val staged = df
       .withColumn("__words",
-        filter(split(trim(txt), "[ \t\r\n]+"), w => w =!= ""))
+        filter(split(trim(wordSrc), "[ \t\r\n]+"), w => w =!= ""))
       .withColumn("__lines", split(txt, "\n"))
     val nW = size(col("__words")).cast("long")
     val nL = size(col("__lines")).cast("long")
@@ -717,9 +839,10 @@ object TextAnalysis {
       .cast("long")
     val ellipsisL = size(filter(col("__lines"),
       l => l.endsWith("...") || l.endsWith("…"))).cast("long")
-    val alphaW = size(filter(col("__words"), w => w.rlike("[A-Za-z]")))
+    val alphaRe = if (cjkAware) "\\p{L}" else "[A-Za-z]"
+    val alphaW = size(filter(col("__words"), w => w.rlike(alphaRe)))
       .cast("long")
-    val stopHits = size(filter(tokens(txt), t => t.isin(Stopwords: _*)))
+    val stopHits = size(filter(tokens(txt), t => t.isin(stopwords: _*)))
       .cast("long")
     val withStats = staged.select(col(idCol),
       nW.as("n_words"), nL.as("n_lines"),
@@ -935,6 +1058,26 @@ object TextAnalysis {
         s => trim(regexp_replace(s, "[ \t\r\n]+", " "))),
       s => s =!= "")
 
+  /** The [[sentencesU]] terminal set, shared with the generated
+    * oracle mirror: ASCII `.!?` plus the CJK fullwidth 。(U+3002)
+    * ！(U+FF01) ？(U+FF1F).
+    */
+  private[graft] val USentTerminals = ".!?。！？"
+
+  /** Unicode sentence segmentation (round 14): [[sentences]] with the
+    * CJK fullwidth terminals added — without them a zh/ja document is
+    * ONE "sentence" and the sentence-span dedup family no-ops on it
+    * (the tokens() lesson at sentence grain). Same RE2-safe shape, no
+    * lookbehind; DuckDB mirrors the class verbatim.
+    */
+  def sentencesU(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(coalesce(text, lit("")),
+          lit(s"[^$USentTerminals]+[$USentTerminals]?"), lit(0)),
+        s => trim(regexp_replace(s, "[ \t\r\n]+", " "))),
+      s => s =!= "")
+
   /** CCNET-STYLE text normalization for dedup hashing (Wenzek et al.
     * 2020 §4.1 — case/digit/accent/punctuation variants of the same
     * content must hash identically or exact dedup misses them):
@@ -948,11 +1091,36 @@ object TextAnalysis {
     * docs through [[scriptProfile]] first. Pure codegen'd projection;
     * null-safe ('' for null).
     */
+  /** The bounded Latin accent fold of [[normalizeForDedup]] — exposed
+    * so oracle SQL interpolates the SAME map (the LowerPreFold
+    * pattern).
+    */
+  private[graft] val AccentFoldSrc = "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ"
+  private[graft] val AccentFoldDst = "aaaaaaceeeeiiiinooooouuuuyy"
+
   def normalizeForDedup(text: Column): Column = {
     val folded = translate(lower(coalesce(text, lit(""))),
-      "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ", "aaaaaaceeeeiiiinooooouuuuyy")
+      AccentFoldSrc, AccentFoldDst)
     val zeroed = regexp_replace(folded, "[0-9]", "0")
     val stripped = regexp_replace(zeroed, "[^a-z0 \t\r\n]", "")
+    trim(regexp_replace(stripped, "[ \t\r\n]+", " "))
+  }
+
+  /** UNICODE-AWARE dedup normalization (round 14 — the multilingual
+    * sibling of the Latin-targeted [[normalizeForDedup]]): [[lowerU]]
+    * → every Unicode digit (`\p{Nd}`) to `0` → strip everything that
+    * is not letter/mark/digit-0/whitespace (`[^\p{L}\p{M}0 \t\r\n]`
+    * — drops ASCII AND CJK punctuation alike) → collapse whitespace
+    * to one space → trim. No accent folding: unlike the Latin
+    * variant, marks are CONTENT in Devanagari/Arabic/Hebrew, and
+    * folding é→e across all scripts needs ICU (not engine-portable).
+    * Same Unicode-13 contract as [[tokens]]. DuckDB mirror: the
+    * [[lowerU]] mirror composed with the same three regexp_replace
+    * steps ('g' flag). Pure codegen'd projection; null-safe ('').
+    */
+  def normalizeForDedupU(text: Column): Column = {
+    val zeroed = regexp_replace(lowerU(text), "\\p{Nd}", "0")
+    val stripped = regexp_replace(zeroed, "[^\\p{L}\\p{M}0 \t\r\n]", "")
     trim(regexp_replace(stripped, "[ \t\r\n]+", " "))
   }
 
@@ -976,6 +1144,13 @@ object TextAnalysis {
     * at both ends, so CRLF input needs no pre-pass) is KEPT iff:
     *   - it ends in terminal punctuation (`.` `!` `?` `"`), and
     *   - it has ≥ `minLineWords` words (split on `[ \t]+`), and
+    *     — NOTE the DEFAULT (3) is intentionally LOOSER than Raffel
+    *     et al.'s 5-word line minimum; pass `minLineWords = 5` for
+    *     the paper-faithful filter. Likewise `minLinesKept` counts
+    *     RETAINED LINES where the paper discards pages with fewer
+    *     than 3 SENTENCES — a deliberate line-grain simplification
+    *     (this operator never segments sentences), not a claim of
+    *     exact C4 parity. Both divergences keep MORE text than C4.
     *   - it does not contain "javascript" (case-insensitive).
     *
     * Page stage — verdict is the FIRST failing rule:

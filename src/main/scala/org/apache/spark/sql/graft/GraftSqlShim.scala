@@ -16,4 +16,17 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Expression ↔ Column without the function registry
+    * (`ExpressionUtils` is `private[sql]`): lets a custom scalar
+    * expression be used as a plain `Column => Column` — which
+    * survives `newSession()` clones, unlike `call_function` against a
+    * per-session registration (the streaming replay twins run
+    * projections on clones).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

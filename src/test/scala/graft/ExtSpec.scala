@@ -921,6 +921,29 @@ class ExtSpec extends SparkSpec {
       emptyTgt.forall(r => r._2 && !r._3 && !r._4), s"${emptyTgt.toSeq}")
   }
 
+  test("mineMarginPairs: overlapping src/tgt id spaces — the same-id pair is a live candidate (round-14 ADVICE)") {
+    // src and tgt are independent corpora both numbered from 0; the
+    // true translation of src 0 carries tgt id 0. Pre-fix the
+    // tgt_id =!= src_id join guard silently dropped it.
+    val src = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (0L, Seq(1f, 0f, 0f)),      // clone of src 0, SAME id
+      (3L, Seq(0.8f, 0.6f, 0f)),
+      (9L, Seq(-0.8f, 0.6f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Bitext.mineMarginPairs(
+        src, tgt, "vec_id", "embedding", k = 2)
+      .select(col("src_id"), col("tgt_id"), col("top_sim_s"),
+        col("margin_c1000"), col("mutual"), col("accepted"))
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // identical math to the disjoint-id test with the clone at id 0:
+    // top2 = (2000000, 1800000) → margin 1052, accepted + mutual
+    assert(got(0L) == ((0L, 2000000L, 1052L, true, true)), s"${got(0L)}")
+  }
+
   test("dedupSentenceSpans: keep-first span grain, unique-tail survival, 2-sentence overlap passes, in-doc chains") {
     val df = Seq(
       (1L, "B one x. B two y. B three z. U1 tail a. U1 tail b."),

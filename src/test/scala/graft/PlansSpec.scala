@@ -410,4 +410,100 @@ class PlansSpec extends SparkSpec {
       "k", "t", "rt", Seq("rv"))
     assert(selfA.exceptAll(selfB).count() == 0 && selfB.exceptAll(selfA).count() == 0)
   }
+
+  test("unicode_tokens expression == SQL-function composition, EXHAUSTIVE per codepoint (planes 0-2)") {
+    import graft.ext.TextAnalysis
+    // every codepoint, embedded in the three contexts that exercise
+    // run-start / run-middle / boundary behavior plus a CJK neighbor:
+    // "a<c>b <c><c> 9<c>中<c>x". One mismatch anywhere in planes 0-2
+    // (incl. surrogate-pair codepoints) fails the count.
+    val rows = (0x20 to 0x2FFFF)
+      .filterNot(cp => cp >= 0xD800 && cp <= 0xDFFF)
+      .map { cp =>
+        val c = new String(Character.toChars(cp))
+        (cp, s"a${c}b $c$c 9${c}中${c}x")
+      }
+    val df = rows.toDF("cp", "s").repartition(32)
+    val bad = df
+      .withColumn("e", TextAnalysis.tokens(col("s")))
+      .withColumn("c", TextAnalysis.tokensComposed(col("s")))
+      .filter(not(col("e") <=> col("c")))
+      .select("cp", "e", "c")
+      .collect()
+    assert(bad.length == 0, bad.take(5).map { r =>
+      s"cp=0x${r.getInt(0).toHexString}: expr=${r.getSeq[String](1)} " +
+        s"comp=${r.getSeq[String](2)}"
+    }.mkString("; "))
+    // null / empty / no-token inputs: expression is TOTAL (empty
+    // array, never null) and equals the composition's coalesce posture
+    val edge = Seq[(Integer, String)]((1, null), (2, ""), (3, " ,;! "))
+      .toDF("id", "s")
+      .select(TextAnalysis.tokens(col("s")).as("e"),
+        TextAnalysis.tokensComposed(col("s")).as("c"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getSeq[String](0) == Seq.empty && r.getSeq[String](1) == Seq.empty)
+    }
+  }
+
+  test("unicode_tokens fold map and CJK ranges are in lockstep with TextAnalysis constants") {
+    import graft.ext.TextAnalysis
+    // fold map: the expression's private fold is pinned through the
+    // exhaustive test above; here pin the CONSTANTS it must mirror
+    assert(TextAnalysis.LowerPreFoldSrc.map(_.toInt) ==
+      Seq(0x0130, 0xA7C7, 0xA7C9, 0xA7F5, 0x03A3, 0x03C2))
+    assert(TextAnalysis.LowerPreFoldDst.map(_.toInt) ==
+      Seq('I'.toInt, 0xA7C8, 0xA7CA, 0xA7F6, 0x03C3, 0x03C3))
+    // CJK range predicate == the regex class, per codepoint over its
+    // span plus margins
+    val re = ("^" + TextAnalysis.CjkCharClass + "$").r
+    (0x3000 to 0x3100).foreach { cp =>
+      assert(graft.plans.UnicodeTokens.isCjk(cp) ==
+        re.matches(new String(Character.toChars(cp))), f"cp=$cp%04x")
+    }
+    Seq(0x31EF, 0x31F0, 0x31FF, 0x3200, 0x33FF, 0x3400, 0x4DBF, 0x4DC0,
+      0x4DFF, 0x4E00, 0x9FFF, 0xA000, 0xF8FF, 0xF900, 0xFAFF, 0xFB00,
+      0xFF65, 0xFF66, 0xFF9D, 0xFF9E, 0x1FFFF, 0x20000, 0x2FA1F, 0x2FA20)
+      .foreach { cp =>
+        assert(graft.plans.UnicodeTokens.isCjk(cp) ==
+          re.matches(new String(Character.toChars(cp))), f"cp=$cp%05x")
+      }
+  }
+
+  test("nfc_normalize: composition pairs, singletons, jamo, fast paths, null totality") {
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      (1L, "cafe\u0301 re\u0301sume\u0301"), // decomposed e+acute
+      (2L, "caf\u00e9 r\u00e9sum\u00e9"),    // already NFC
+      (3L, "\u2126 \u212b"),                  // OHM/ANGSTROM singletons
+      (4L, "\u1112\u1161\u11ab"),            // conjoining jamo
+      (5L, "plain ascii 42"),                // ASCII byte fast path
+      (6L, null)                             // total: '' not null
+    ).toDF("id", "s")
+    val got = rows
+      .select(col("id"), TextAnalysis.nfc(col("s")).as("n"),
+        TextAnalysis.nfc(TextAnalysis.nfc(col("s"))).as("n2"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got(1L)._1 == "caf\u00e9 r\u00e9sum\u00e9")
+    assert(got(2L)._1 == "caf\u00e9 r\u00e9sum\u00e9")
+    assert(got(3L)._1 == "\u03a9 \u00c5")
+    assert(got(4L)._1 == "\ud55c")
+    assert(got(5L)._1 == "plain ascii 42")
+    assert(got(6L)._1 == "")
+    // idempotence: nfc ∘ nfc == nfc on every arm
+    got.values.foreach { case (n, n2) => assert(n == n2) }
+  }
+
+  test("unicode_tokens stays inside whole-stage codegen") {
+    import graft.ext.TextAnalysis
+    val df = spark.range(10).toDF("id")
+      .withColumn("s", concat(lit("text 北京 "), col("id").cast("string")))
+      .select(size(TextAnalysis.tokens(col("s"))).as("n"))
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(df.agg(sum("n")).head().getLong(0) == 40L) // 4 tokens × 10 rows
+  }
 }

@@ -6,6 +6,104 @@ import graft.ext.TextAnalysis
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tokens is Unicode-aware: CJK per-char, marks keep words whole, runs for spaced scripts (round 14)") {
+    val df = Seq(
+      "Héllo Wörld",
+      "北京大学123",                 // Han glued to digits
+      "Abc北京、大学です。B2B",       // mixed ASCII + Han + kana + CJK punct
+      "мир-труд Ελλάδα مرحبا",
+      "नमस्ते",                      // Devanagari with virama (Mn mark)
+      "한국어 테스트",               // Hangul: spaced script → run tokens
+      "ｱｲｳ"                          // halfwidth katakana → per-char
+    ).toDF("t")
+    val got = df.select(TextAnalysis.tokens(col("t")).as("k"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("héllo", "wörld"), got(0).toString)
+    assert(got(1) == Seq("北", "京", "大", "学", "123"), got(1).toString)
+    assert(got(2) == Seq("abc", "北", "京", "大", "学", "で", "す", "b2b"))
+    assert(got(3) == Seq("мир", "труд", "ελλάδα", "مرحبا"))
+    assert(got(4) == Seq("नमस्ते"), "combining marks must not split the word")
+    assert(got(5) == Seq("한국어", "테스트"))
+    assert(got(6) == Seq("ｱ", "ｲ", "ｳ"))
+  }
+
+  test("lowerU folds the four JVM≠DuckDB case mappings and final sigma") {
+    val df = Seq("İIÇŞ", "ΣΙΣΥΦΟΣ ΟΔΟΣ", "ΕΛΛΆΔΑ", "Ꟈx").toDF("t")
+    val got = df.select(TextAnalysis.lowerU(col("t")).as("l"))
+      .as[String].collect()
+    // İ pre-folds to I (DuckDB's plain-i mapping), NOT i+U+0307
+    assert(got(0) == "iiçş", got(0).map(_.toInt.toHexString).mkString(","))
+    // word-final Σ post-folds ς→σ so both engines agree
+    assert(got(1) == "σισυφοσ οδοσ")
+    assert(got(2) == "ελλάδα")
+    // U+A7C7 pre-folds to U+A7C8 (DuckDB's table lacks the mapping)
+    assert(got(3) == "ꟈx")
+  }
+
+  test("tokens ≡ tokensAscii on pure-ASCII text (pre-round-14 certifications unchanged)") {
+    val df = Seq(
+      "The Quick-Brown_Fox 42 jumps!  over 7 lazy dogs...",
+      "a1b2c3 {json: \"x\"} don't",
+      "", "   \t\n  ").toDF("t")
+    val both = df.select(
+        TextAnalysis.tokens(col("t")).as("u"),
+        TextAnalysis.tokensAscii(col("t")).as("a"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (u, a) => assert(u == a, s"$u vs $a") }
+  }
+
+  test("normalizeForDedupU collapses case/digit/punct variants across scripts") {
+    val df = Seq(
+      ("早上好，北京！2024年", "早上好。北京？1999年"),   // CJK punct + digit variants
+      ("Προσοχή: ΟΔΟΣ 12.", "προσοχη-less ΟΔΟΣ 99")      // near, but not equal
+    ).toDF("a", "b")
+    val got = df.select(
+        TextAnalysis.normalizeForDedupU(col("a")).as("na"),
+        TextAnalysis.normalizeForDedupU(col("b")).as("nb"))
+      .as[(String, String)].collect()
+    assert(got(0)._1 == got(0)._2, s"${got(0)}")
+    // punctuation strips to '' (the Latin variant's rule): no-space
+    // CJK glues back together, which is exactly the right dedup key
+    assert(got(0)._1 == "早上好北京0000年")
+    assert(got(1)._1 != got(1)._2)
+    // final-sigma fold: ΟΔΟΣ normalizes with σ in both arms
+    assert(got(1)._1 == "προσοχή οδοσ 00" && got(1)._2 == "προσοχηless οδοσ 00")
+  }
+
+  test("sentencesU segments on fullwidth terminals; ASCII sentences() sees one CJK blob") {
+    val zh = "你好世界。第二句！第三句？尾巴"
+    val df = Seq(zh, "One. Two! ", "").toDF("t")
+    val got = df.select(
+        TextAnalysis.sentencesU(col("t")).as("u"),
+        TextAnalysis.sentences(col("t")).as("a"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(got(0)._1 == Seq("你好世界。", "第二句！", "第三句？", "尾巴"),
+      got(0)._1.toString)
+    assert(got(0)._2 == Seq(zh), "ASCII segmenter must see ONE blob")
+    // ASCII terminals behave identically in both segmenters
+    assert(got(1)._1 == Seq("One.", "Two!") && got(1)._2 == got(1)._1)
+    assert(got(2)._1 == Seq.empty && got(2)._2 == Seq.empty)
+  }
+
+  test("gopherQualityFlags cjkAware counts CJK chars as words and generalizes the alpha rule") {
+    // 14 ideographs + fullwidth 。per repeat; the isolated 。stands
+    // alone between the spaces its neighbors inserted, so it counts
+    // as a (non-alpha) word too → 75 per-char words
+    val zh = ("这是一个足够长的中文测试文档。" * 5)
+    val df = Seq((1L, zh)).toDF("doc_id", "text")
+    // default (cjkAware=false): whole doc is ONE whitespace word → word_count
+    val off = TextAnalysis.gopherQualityFlags(df, "doc_id", "text")
+      .select("verdict").as[String].head()
+    assert(off == "word_count")
+    // cjkAware with CJK-calibrated thresholds (per-char words → mean
+    // len 100, no Latin stopwords → minStopHits 0)
+    val on = TextAnalysis.gopherQualityFlags(df, "doc_id", "text",
+        minWords = 50L, minLenC100 = 100L, minStopHits = 0L,
+        cjkAware = true)
+      .select(col("n_words"), col("verdict")).as[(Long, String)].head()
+    assert(on == ((75L, "keep")), on.toString)
+  }
+
   test("tfIdf ranks a document's distinctive term above corpus-wide terms") {
     val docs = Seq(
       (1L, "common common common zebra zebra"),
