@@ -105,6 +105,14 @@ object TextAnalysis {
     * 25-100% slower on the token-heavy bench queries); PlansSpec pins
     * expression == composition EXHAUSTIVELY per codepoint, so the
     * DuckDB mirror certifies both.
+    *
+    * NULL CONTRACT (changed round 14, deliberately): NULL text yields
+    * an EMPTY array, not NULL — the classify-every-input posture
+    * (`size(tokens(x))` counts 0, `explode` drops the row cleanly).
+    * The pre-round-14 regex form propagated NULL; no oracle relied on
+    * that (the full gate re-certified through the swap), and
+    * [[tokensAscii]] is coalesced the same way so the two stay
+    * interchangeable on ASCII including the NULL arm.
     */
   def tokens(text: Column): Column = graft.plans.UnicodeTokens.of(text)
 
@@ -117,9 +125,12 @@ object TextAnalysis {
 
   /** The pre-round-14 ASCII-Latin tokenizer, kept for callers that
     * want the cheaper single-regex path on known-ASCII columns.
+    * Coalesced so its NULL arm matches [[tokens]] (empty array) —
+    * swapping the two on ASCII data must never change a result.
     */
   def tokensAscii(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    regexp_extract_all(lower(coalesce(text, lit(""))),
+      lit("[a-z0-9]+"), lit(0))
 
   /** Unicode NFC canonical composition
     * ([[graft.plans.NfcNormalize]]): the dedup-key pre-pass for text
@@ -814,9 +825,15 @@ object TextAnalysis {
       minStopHits: Long = 2L,
       stopwords: Seq[String] = Stopwords,
       cjkAware: Boolean = false): DataFrame = {
+    // an empty stopword list is coherent exactly when the stopword
+    // rule is disabled (minStopHits = 0 — how non-English callers
+    // turn the English-policy rule off)
     require(minWords > 0 && minWords <= maxWords &&
-      minLenC100 <= maxLenC100 && minStopHits >= 0 && stopwords.nonEmpty,
-      s"bad gopher thresholds: words=[$minWords,$maxWords] len=[$minLenC100,$maxLenC100]")
+      minLenC100 <= maxLenC100 && minStopHits >= 0 &&
+      (stopwords.nonEmpty || minStopHits == 0),
+      s"bad gopher thresholds: words=[$minWords,$maxWords] " +
+        s"len=[$minLenC100,$maxLenC100] minStopHits=$minStopHits " +
+        s"stopwords.size=${stopwords.size}")
     val txt = coalesce(col(textCol), lit(""))
     // cjkAware: words are counted over the CJK-isolated text (one word
     // per ideograph/kana — without this a whole zh document is ONE
@@ -842,8 +859,9 @@ object TextAnalysis {
     val alphaRe = if (cjkAware) "\\p{L}" else "[A-Za-z]"
     val alphaW = size(filter(col("__words"), w => w.rlike(alphaRe)))
       .cast("long")
-    val stopHits = size(filter(tokens(txt), t => t.isin(stopwords: _*)))
-      .cast("long")
+    val stopHits =
+      if (stopwords.isEmpty) lit(0L)
+      else size(filter(tokens(txt), t => t.isin(stopwords: _*))).cast("long")
     val withStats = staged.select(col(idCol),
       nW.as("n_words"), nL.as("n_lines"),
       when(nW === 0, 0L).otherwise((wordChars * 100L) - pmod(wordChars * 100L, nW))

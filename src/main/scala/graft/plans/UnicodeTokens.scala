@@ -99,6 +99,17 @@ object UnicodeTokens {
     */
   val EmptyArray: ArrayData = new GenericArrayData(Array.empty[Any])
 
+  // the needFold scan and the fold @switch below are MANUAL copies of
+  // TextAnalysis.LowerPreFoldSrc/Dst (a switch cannot be built from a
+  // runtime string); this load-time lockstep check turns silent drift
+  // into an immediate failure (round-14 review finding)
+  require(
+    graft.ext.TextAnalysis.LowerPreFoldSrc ==
+      "\u0130\uA7C7\uA7C9\uA7F5\u03A3\u03C2" &&
+      graft.ext.TextAnalysis.LowerPreFoldDst ==
+        "I\uA7C8\uA7CA\uA7F6\u03C3\u03C3",
+    "UnicodeTokens fold tables out of lockstep with TextAnalysis.LowerPreFold*")
+
   /** `TextAnalysis.CjkCharClass` as range tests (spec-pinned against
     * the regex class).
     */
@@ -123,13 +134,14 @@ object UnicodeTokens {
       t == Character.OTHER_NUMBER
   }
 
-  /** Fold pass (skipped when no fold char is present) → ONE
-    * `UTF8String.toLowerCase` — the IDENTICAL lower the composition's
-    * `lower()` runs, which matters because Spark 4's case tables are
-    * NEWER than `Character.toLowerCase`'s (e.g. U+A7CB lowers to ɤ in
-    * Spark but is unassigned to the JDK's Character data — found by
-    * the exhaustive PlansSpec diff) — → one classify pass. Called
-    * from both interpreted eval and generated code.
+  /** ASCII byte fast path, else fold pass (skipped when no fold char
+    * is present) → ONE `CollationSupport.Lower.execBinaryICU` — the
+    * IDENTICAL lower the composition's `lower()` runs, which matters
+    * because ICU's case tables are NEWER than
+    * `Character.toLowerCase`'s (e.g. U+A7CB lowers to ɤ in Spark but
+    * is unassigned to the JDK's Character data — found by the
+    * exhaustive PlansSpec diff) — → one classify pass. Called from
+    * both interpreted eval and generated code.
     */
   def tokenize(s: UTF8String): ArrayData = {
     if (s.numBytes() == 0) return EmptyArray

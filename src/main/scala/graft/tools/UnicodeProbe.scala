@@ -15,7 +15,10 @@ object UnicodeProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     import spark.implicits._
-    val cjk = "([\\x{3041}-\\x{30FF}\\x{31F0}-\\x{31FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{20000}-\\x{2FA1F}])"
+    // the SHIPPED class, not a local copy (review finding: an inline
+    // spelling here drifted from the production seams — 3097-309C and
+    // halfwidth kana)
+    val cjk = "(" + graft.ext.TextAnalysis.CjkCharClass + ")"
     val df = Seq(
       "Héllo Wörld 北京大学123 こんにちは мир Ελλάδα مرحبا नमस्ते",
       "Abc北京、大学です。B2B мир-труд",

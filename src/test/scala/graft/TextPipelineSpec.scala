@@ -44,7 +44,7 @@ class TextPipelineSpec extends SparkSpec {
     val df = Seq(
       "The Quick-Brown_Fox 42 jumps!  over 7 lazy dogs...",
       "a1b2c3 {json: \"x\"} don't",
-      "", "   \t\n  ").toDF("t")
+      "", "   \t\n  ", null).toDF("t")
     val both = df.select(
         TextAnalysis.tokens(col("t")).as("u"),
         TextAnalysis.tokensAscii(col("t")).as("a"))

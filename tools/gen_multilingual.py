@@ -18,7 +18,9 @@ Content plan (doc_id, lang, text):
         accented-capital round trip
   13-14 ar, 15-16 hi (combining marks), 17-18 ko, 19 th
   20-22 de (ß), fr (accents+apostrophes), tr (İ/ı dotted-I fold)
-  23-25 en ASCII control: 23/24 near-dup (one word differs), 25 distinct
+  23-25 en ASCII control: 23/24 near-dup (final sentence differs in
+        two words + an inflection: 'Deduplication keeps' vs 'Quality
+        filters keep'; J(3-shingles) = 0.625), 25 distinct
   26    mixed-script spam (Latin/Cyrillic homoglyphs) for scriptProfile
   27-28 empty / whitespace-only (classify-every-input posture)
   29    zh/en code-switch
