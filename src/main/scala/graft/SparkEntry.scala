@@ -3162,6 +3162,80 @@ object SparkEntry {
       graft.ext.Dedup.dedupSentenceSpans(mlDocs(s), "doc_id", "text",
         span = 2, segmenter = graft.ext.TextAnalysis.sentencesU)),
 
+    // ── SELF-CALIBRATING per-language quality gate (q296 ∘ q291 —
+    // closing the loop the stopword-discovery comment promised): the
+    // discovered per-language stopword lists become the stopword rule
+    // the static English list can't provide — doc token occurrences
+    // joined against the doc's OWN language's discovered list (a
+    // broadcast-sized dim), overriding a base `keep` to `stopword`
+    // when a covered language scores zero hits. Languages without a
+    // discovered list (single-doc th, the xx arms) are exempt — the
+    // rule only fires where calibration data exists. Exactly one doc
+    // flips (en 25, sharing no recurring token with the other en
+    // docs): the mechanism demo that list quality tracks corpus
+    // size. ──
+    "q301_lang_calibrated_gopher" -> ((s, dir) => {
+      import graft.ext.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      val ml = mlDocs(s)
+      val ex = ml.select(col("lang"), col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("tok"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("df").desc, col("tok").asc)
+      val disc = ex.groupBy("lang", "tok")
+        .agg(count(lit(1)).cast("long").as("df"))
+        .filter(col("df") >= 2)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("lang", "tok")
+        .localCheckpoint()
+      val hasList = disc.select("lang").distinct()
+        .withColumn("has_list", lit(true))
+      val tokAll = ml.select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val hits = tokAll.join(broadcast(disc), Seq("lang", "tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("stop_hits_lang"))
+      val base = TextAnalysis.gopherQualityFlags(ml, "doc_id", "text",
+          minWords = 10L, minLenC100 = 100L, minStopHits = 0L,
+          cjkAware = true)
+        .select(col("doc_id"), col("verdict").as("base_verdict"))
+      ml.select(col("doc_id"), col("lang"))
+        .join(base, Seq("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .join(broadcast(hasList), Seq("lang"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("stop_hits_lang"), lit(0L)).as("stop_hits_lang"),
+          col("base_verdict"),
+          when(col("base_verdict") === "keep" &&
+            coalesce(col("has_list"), lit(false)) &&
+            coalesce(col("stop_hits_lang"), lit(0L)) < 1L,
+            lit("stopword"))
+            .otherwise(col("base_verdict")).as("verdict"))
+    }),
+
+    // ── SQL surface for the custom expression (the U1 discipline:
+    // q27 proved a registered UDF surface; this proves the CUSTOM
+    // CATALYST EXPRESSION is equally SQL-callable): unicode_tokens
+    // registered on a newSession clone (the q207 rule — the shared
+    // Verify session never sees the registration) and invoked from
+    // spark.sql text, certified against q288's oracle VERBATIM. ──
+    "q302_unicode_tokens_sql" -> ((s, dir) => {
+      val sess = s.newSession()
+      graft.plans.UnicodeTokens.register(sess)
+      mlDocs(sess).createOrReplaceTempView("ml_docs")
+      sess.sql(
+        """SELECT doc_id, lang,
+          |  CAST(size(unicode_tokens(text)) AS LONG) AS n_tok,
+          |  CAST(size(regexp_extract_all(coalesce(text, ''),
+          |    '[A-Za-z0-9]+', 0)) AS LONG) AS n_ascii_runs,
+          |  md5(concat_ws(' ', unicode_tokens(text))) AS fp,
+          |  try_element_at(unicode_tokens(text), 1) AS first_tok,
+          |  try_element_at(unicode_tokens(text), -1) AS last_tok
+          |FROM ml_docs""".stripMargin)
+    }),
+
     // ── NFC canonical-composition dedup (plans.NfcNormalize — the
     // q60 planted-variant pattern): five residue arms — precomposed
     // é vs decomposed e+U+0301 (same g-group → must collapse after
@@ -3174,19 +3248,7 @@ object SparkEntry {
     "q295_nfc_dedup" -> ((s, dir) => {
       import graft.ext.TextAnalysis
       val id = col("doc_id")
-      val a = id % 5
-      val g = expr("CAST(doc_id DIV 5 AS BIGINT)").cast("string")
-      val acute = lit("\u0301")
-      val txt =
-        when(a === 0, concat(lit("caf\u00e9 r\u00e9sum\u00e9 "), g))
-          .when(a === 1, concat(lit("cafe"), acute, lit(" re"), acute,
-            lit("sume"), acute, lit(" "), g))
-          .when(a === 2, concat(lit("\u2126ohm \u212bring "), g))
-          .when(a === 3, concat(lit("\u03a9ohm \u00c5ring "), g))
-          .otherwise(concat(lit("\u1112\u1161\u11ab\uae00 "), g))
-      val docs = t(s, dir, "documents").select(id).repartition(32)
-        .select(id, txt.as("text"))
-      val withN = docs
+      val withN = nfcFixture(t(s, dir, "documents"))
         .withColumn("nfc_text", TextAnalysis.nfc(col("text")))
         .withColumn("changed", col("nfc_text") =!= col("text"))
       val groups = withN.groupBy("nfc_text")
@@ -3195,6 +3257,20 @@ object SparkEntry {
         .select(id, col("nfc_text"), col("changed"), col("keep_id"),
           col("n_copies"), (id =!= col("keep_id")).as("is_dup"))
     }),
+
+    // \u2500\u2500 streaming NFC twin (the q294 discipline, second non-ASCII
+    // payload class: DECOMPOSED combining marks and conjoining jamo
+    // ride the to_json \u2192 landing file \u2192 from_json envelope raw):
+    // the per-row projection half of q295 \u2014 nfc_text + changed \u2014
+    // replayed over two waves; the dedup-group half is batch-only
+    // (append mode carries no aggregates). \u2500\u2500
+    "q303_nfc_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.projectionStreamReplay(
+        s, nfcFixture(t(s, dir, "documents")), "doc_id", "text",
+        df => df.select(col("doc_id"),
+          graft.ext.TextAnalysis.nfc(col("text")).as("nfc_text"),
+          (graft.ext.TextAnalysis.nfc(col("text")) =!= col("text"))
+            .as("changed")))),
 
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
@@ -5711,6 +5787,25 @@ object SparkEntry {
     s.read.schema("doc_id LONG, lang STRING, text STRING")
       .json(s"$FixturesDir/multilingual.jsonl")
 
+  /** q295/q303 shared five-arm NFC fixture over the documents ids:
+    * precomposed vs decomposed é pairs (same DIV-5 group), OHM/
+    * ANGSTROM singletons vs canonical Ω/Å, conjoining-jamo Hangul.
+    */
+  private def nfcFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val a = id % 5
+    val g = expr("CAST(doc_id DIV 5 AS BIGINT)").cast("string")
+    val acute = lit("́")
+    val txt =
+      when(a === 0, concat(lit("café résumé "), g))
+        .when(a === 1, concat(lit("cafe"), acute, lit(" re"), acute,
+          lit("sume"), acute, lit(" "), g))
+        .when(a === 2, concat(lit("Ωohm Åring "), g))
+        .when(a === 3, concat(lit("Ωohm Åring "), g))
+        .otherwise(concat(lit("한글 "), g))
+    docs.select(id).repartition(32).select(id, txt.as("text"))
+  }
+
   /** q288/q294 shared projection: the Unicode-tokenizer contract
     * report (counts, ascii-run contrast, fingerprint, first/last).
     */
@@ -5769,6 +5864,31 @@ object SparkEntry {
       "'[^\\p{L}\\p{M}0 \\t\\r\\n]', '', 'g'), " +
       "'[ \\t\\r\\n]+', ' ', 'g'))"
 
+  /** q295/q303 shared NFC-arm mirror: the arms rebuilt closed-form
+    * via chr() codepoints, normalized by DuckDB's independent
+    * nfc_normalize; ends with CTE `n` = (doc_id, text, nfc_text).
+    */
+  private val NfcArmsSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 5 AS a,
+      |    CAST(doc_id // 5 AS VARCHAR) AS g
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    CASE a
+      |      WHEN 0 THEN 'caf' || chr(233) || ' r' || chr(233) ||
+      |        'sum' || chr(233) || ' ' || g
+      |      WHEN 1 THEN 'cafe' || chr(769) || ' re' || chr(769) ||
+      |        'sume' || chr(769) || ' ' || g
+      |      WHEN 2 THEN chr(8486) || 'ohm ' || chr(8491) || 'ring ' || g
+      |      WHEN 3 THEN chr(937) || 'ohm ' || chr(197) || 'ring ' || g
+      |      ELSE chr(4370) || chr(4449) || chr(4523) || chr(44544)
+      |        || ' ' || g
+      |    END AS text
+      |  FROM p),
+      |n AS (
+      |  SELECT doc_id, text, nfc_normalize(text) AS nfc_text FROM d)""".stripMargin
+
   /** q288/q294 shared tokenizer-contract mirror (the streaming twin
     * q294 certifies against it VERBATIM — the q263 discipline).
     */
@@ -5793,6 +5913,55 @@ object SparkEntry {
       "s -> trim(regexp_replace(s, '[ \\t\\r\\n]+', ' ', 'g'))), " +
       "s -> s <> '')"
   }
+
+  /** q291/q301 shared CJK-aware gopher mirror (q301 composes the
+    * discovered-stopword override on top of it verbatim).
+    */
+  private lazy val UGopherSql: String =
+    s"WITH raw AS (SELECT doc_id, coalesce(text, '') AS txt " +
+        s"FROM $MlJson),\n" +
+        s"st AS (SELECT doc_id, txt, " +
+        s"list_filter(regexp_split_to_array(trim(" +
+        s"${duckCjkIsolate("txt")}), '[ \\t\\r\\n]+'), w -> w <> '') " +
+        s"AS words, string_split(txt, chr(10)) AS lines, " +
+        s"${duckUToks("txt")} AS tk FROM raw),\n" +
+        s"m AS (SELECT doc_id, " +
+        s"CAST(len(words) AS BIGINT) AS n_words, " +
+        s"CAST(len(lines) AS BIGINT) AS n_lines, " +
+        s"CAST(length(regexp_replace(txt, '[ \\t\\r\\n]', '', 'g')) AS BIGINT) AS wc, " +
+        s"CAST(len(regexp_extract_all(txt, '[#…]')) AS BIGINT) AS sy, " +
+        s"CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR " +
+        s"starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS bu, " +
+        s"CAST(len(list_filter(lines, l -> ends_with(l, '...') OR " +
+        s"ends_with(l, '…'))) AS BIGINT) AS el, " +
+        s"CAST(len(list_filter(words, w -> regexp_matches(w, '\\p{L}'))) AS BIGINT) AS al, " +
+        s"CAST(len(list_filter(tk, t -> list_contains(" +
+        graft.ext.TextAnalysis.Stopwords.map(w => s"'$w'")
+          .mkString("[", ", ", "]") +
+        s", t))) AS BIGINT) AS stop_hits FROM st)\n" +
+        """SELECT doc_id, n_words, n_lines, stop_hits,
+          |  CASE WHEN n_words = 0 THEN 0
+          |    ELSE wc * 100 // n_words END AS mean_len_c100,
+          |  CASE WHEN n_words = 0 THEN 0
+          |    ELSE sy * 1000000 // n_words END AS symbol_ppm,
+          |  bu * 1000000 // n_lines AS bullet_ppm,
+          |  el * 1000000 // n_lines AS ellipsis_ppm,
+          |  CASE WHEN n_words = 0 THEN 0
+          |    ELSE al * 1000000 // n_words END AS alpha_ppm,
+          |  CASE WHEN n_words < 10 OR n_words > 100000 THEN 'word_count'
+          |    WHEN (CASE WHEN n_words = 0 THEN 0
+          |      ELSE wc * 100 // n_words END) < 100
+          |      OR (CASE WHEN n_words = 0 THEN 0
+          |      ELSE wc * 100 // n_words END) > 1000 THEN 'word_len'
+          |    WHEN (CASE WHEN n_words = 0 THEN 0
+          |      ELSE sy * 1000000 // n_words END) > 100000 THEN 'symbol'
+          |    WHEN bu * 1000000 // n_lines > 900000 THEN 'bullet'
+          |    WHEN el * 1000000 // n_lines > 300000 THEN 'ellipsis'
+          |    WHEN (CASE WHEN n_words = 0 THEN 0
+          |      ELSE al * 1000000 // n_words END) < 800000 THEN 'alpha'
+          |    WHEN stop_hits < 0 THEN 'stopword'
+          |    ELSE 'keep' END AS verdict
+          |FROM m""".stripMargin
 
   /** `TextAnalysis.normalizeForDedup` (Latin) mirror — accent fold
     * interpolated from the same AccentFold constants. The aggressive
@@ -8822,80 +8991,58 @@ object SparkEntry {
     // 4370/4449/4523 + 글 44544 — normalized by DuckDB's independent
     // nfc_normalize
     "q295_nfc_dedup" ->
-      """WITH p AS (
-        |  SELECT doc_id, doc_id % 5 AS a,
-        |    CAST(doc_id // 5 AS VARCHAR) AS g
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id,
-        |    CASE a
-        |      WHEN 0 THEN 'caf' || chr(233) || ' r' || chr(233) ||
-        |        'sum' || chr(233) || ' ' || g
-        |      WHEN 1 THEN 'cafe' || chr(769) || ' re' || chr(769) ||
-        |        'sume' || chr(769) || ' ' || g
-        |      WHEN 2 THEN chr(8486) || 'ohm ' || chr(8491) || 'ring ' || g
-        |      WHEN 3 THEN chr(937) || 'ohm ' || chr(197) || 'ring ' || g
-        |      ELSE chr(4370) || chr(4449) || chr(4523) || chr(44544)
-        |        || ' ' || g
-        |    END AS text
-        |  FROM p),
-        |n AS (
-        |  SELECT doc_id, text, nfc_normalize(text) AS nfc_text FROM d),
-        |gp AS (
-        |  SELECT nfc_text, min(doc_id) AS keep_id, count(*) AS n_copies
-        |  FROM n GROUP BY 1)
-        |SELECT n.doc_id, n.nfc_text, n.nfc_text <> n.text AS changed,
-        |  gp.keep_id, gp.n_copies, n.doc_id <> gp.keep_id AS is_dup
-        |FROM n JOIN gp USING (nfc_text)""".stripMargin,
+      (NfcArmsSql +
+        """,
+          |gp AS (
+          |  SELECT nfc_text, min(doc_id) AS keep_id, count(*) AS n_copies
+          |  FROM n GROUP BY 1)
+          |SELECT n.doc_id, n.nfc_text, n.nfc_text <> n.text AS changed,
+          |  gp.keep_id, gp.n_copies, n.doc_id <> gp.keep_id AS is_dup
+          |FROM n JOIN gp USING (nfc_text)""".stripMargin),
+
+    // streaming NFC twin: the per-row half of the q295 mirror (shared
+    // NfcArmsSql), no grouping
+    "q303_nfc_stream" ->
+      (NfcArmsSql +
+        """
+          |SELECT doc_id, nfc_text, nfc_text <> text AS changed
+          |FROM n""".stripMargin),
 
     // gopher mirror on real multilingual text: words over the
     // CJK-isolated text, \p{L} alpha rule, Unicode-token stop hits —
     // same integer floor-div ppm arithmetic as GopherQualitySql
-    "q291_unicode_gopher" ->
-      (s"WITH raw AS (SELECT doc_id, coalesce(text, '') AS txt " +
+    "q291_unicode_gopher" -> UGopherSql,
+    "q302_unicode_tokens_sql" -> UnicodeTokensSql,
+
+    // calibrated-gopher mirror: the q291 gopher mirror as a subquery
+    // + the q296 discovery logic + the zero-hit override, all three
+    // recomputed independently
+    "q301_lang_calibrated_gopher" ->
+      (s"WITH b AS (SELECT doc_id, verdict AS base_verdict " +
+        s"FROM ($UGopherSql) AS g),\n" +
+        s"ex AS (SELECT lang, doc_id, " +
+        s"unnest(list_distinct(${duckUToks("text")})) AS tok " +
         s"FROM $MlJson),\n" +
-        s"st AS (SELECT doc_id, txt, " +
-        s"list_filter(regexp_split_to_array(trim(" +
-        s"${duckCjkIsolate("txt")}), '[ \\t\\r\\n]+'), w -> w <> '') " +
-        s"AS words, string_split(txt, chr(10)) AS lines, " +
-        s"${duckUToks("txt")} AS tk FROM raw),\n" +
-        s"m AS (SELECT doc_id, " +
-        s"CAST(len(words) AS BIGINT) AS n_words, " +
-        s"CAST(len(lines) AS BIGINT) AS n_lines, " +
-        s"CAST(length(regexp_replace(txt, '[ \\t\\r\\n]', '', 'g')) AS BIGINT) AS wc, " +
-        s"CAST(len(regexp_extract_all(txt, '[#…]')) AS BIGINT) AS sy, " +
-        s"CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR " +
-        s"starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS bu, " +
-        s"CAST(len(list_filter(lines, l -> ends_with(l, '...') OR " +
-        s"ends_with(l, '…'))) AS BIGINT) AS el, " +
-        s"CAST(len(list_filter(words, w -> regexp_matches(w, '\\p{L}'))) AS BIGINT) AS al, " +
-        s"CAST(len(list_filter(tk, t -> list_contains(" +
-        graft.ext.TextAnalysis.Stopwords.map(w => s"'$w'")
-          .mkString("[", ", ", "]") +
-        s", t))) AS BIGINT) AS stop_hits FROM st)\n" +
-        """SELECT doc_id, n_words, n_lines, stop_hits,
-          |  CASE WHEN n_words = 0 THEN 0
-          |    ELSE wc * 100 // n_words END AS mean_len_c100,
-          |  CASE WHEN n_words = 0 THEN 0
-          |    ELSE sy * 1000000 // n_words END AS symbol_ppm,
-          |  bu * 1000000 // n_lines AS bullet_ppm,
-          |  el * 1000000 // n_lines AS ellipsis_ppm,
-          |  CASE WHEN n_words = 0 THEN 0
-          |    ELSE al * 1000000 // n_words END AS alpha_ppm,
-          |  CASE WHEN n_words < 10 OR n_words > 100000 THEN 'word_count'
-          |    WHEN (CASE WHEN n_words = 0 THEN 0
-          |      ELSE wc * 100 // n_words END) < 100
-          |      OR (CASE WHEN n_words = 0 THEN 0
-          |      ELSE wc * 100 // n_words END) > 1000 THEN 'word_len'
-          |    WHEN (CASE WHEN n_words = 0 THEN 0
-          |      ELSE sy * 1000000 // n_words END) > 100000 THEN 'symbol'
-          |    WHEN bu * 1000000 // n_lines > 900000 THEN 'bullet'
-          |    WHEN el * 1000000 // n_lines > 300000 THEN 'ellipsis'
-          |    WHEN (CASE WHEN n_words = 0 THEN 0
-          |      ELSE al * 1000000 // n_words END) < 800000 THEN 'alpha'
-          |    WHEN stop_hits < 0 THEN 'stopword'
-          |    ELSE 'keep' END AS verdict
-          |FROM m""".stripMargin),
+        """f AS (SELECT lang, tok, count(*) AS df FROM ex GROUP BY 1, 2),
+          |disc AS (SELECT lang, tok FROM (
+          |  SELECT lang, tok, row_number() OVER (PARTITION BY lang
+          |    ORDER BY df DESC, tok) AS r
+          |  FROM f WHERE df >= 2) WHERE r <= 5),
+          |hl AS (SELECT DISTINCT lang FROM disc),
+          |""".stripMargin +
+        s"ta AS (SELECT doc_id, lang, unnest(${duckUToks("text")}) " +
+        s"AS tok FROM $MlJson),\n" +
+        s"h AS (SELECT ta.doc_id, count(*) AS n FROM ta JOIN disc " +
+        s"ON ta.lang = disc.lang AND ta.tok = disc.tok GROUP BY 1),\n" +
+        s"docs AS (SELECT doc_id, lang FROM $MlJson)\n" +
+        """SELECT docs.doc_id, docs.lang,
+          |  CAST(coalesce(h.n, 0) AS BIGINT) AS stop_hits_lang,
+          |  b.base_verdict,
+          |  CASE WHEN b.base_verdict = 'keep' AND hl.lang IS NOT NULL
+          |    AND coalesce(h.n, 0) < 1 THEN 'stopword'
+          |    ELSE b.base_verdict END AS verdict
+          |FROM docs JOIN b USING (doc_id) LEFT JOIN h USING (doc_id)
+          |LEFT JOIN hl ON docs.lang = hl.lang""".stripMargin),
 
     // script-profile mirror on real text: DuckDB's independent
     // two-step (extract \p{L} letters, filter each by RE2 script
