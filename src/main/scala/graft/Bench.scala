@@ -179,7 +179,8 @@ object Bench {
     "q296_stopword_discovery", "q297_ml_dedup_capstone",
     "q298_mixed_script_words", "q299_unicode_sentences",
     "q300_ml_span_dedup", "q301_lang_calibrated_gopher",
-    "q302_unicode_tokens_sql", "q303_nfc_stream")
+    "q302_unicode_tokens_sql", "q303_nfc_stream",
+    "q304_invisible_scrub", "q305_confusable_dedup")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -3215,6 +3215,79 @@ object SparkEntry {
             .otherwise(col("base_verdict")).as("verdict"))
     }),
 
+    // ── invisible-character hygiene (TextAnalysis.invisibleCount /
+    // stripInvisible — the Trojan-Source / dedup-evasion scrub):
+    // five planted arms over documents (the q60 pattern) — clean;
+    // ZWSP spliced INSIDE a word (splits its token → fingerprint
+    // dedup evasion until stripped); an RLO…PDF bidi wrap (flagged,
+    // but boundary-adjacent so tokens are unchanged); a BOM prefix
+    // (flagged, not evading); ZWJ inside a word (evading). `evaded`
+    // compares the raw vs scrubbed token streams directly — the
+    // operational reason the scrub must run BEFORE fingerprinting. ──
+    "q304_invisible_scrub" -> ((s, dir) => {
+      import graft.ext.TextAnalysis
+      val id = col("doc_id")
+      val a = id % 5
+      val g = expr("CAST(doc_id DIV 5 AS BIGINT)").cast("string")
+      val txt =
+        when(a === 0, concat(lit("alpha beta gamma "), g))
+          .when(a === 1, concat(lit("al\u200Bpha beta gamma "), g))
+          .when(a === 2,
+            concat(lit("alpha \u202Ebeta\u202C gamma "), g))
+          .when(a === 3, concat(lit("\uFEFFalpha beta gamma "), g))
+          .otherwise(concat(lit("alpha be\u200Dta gamma "), g))
+      t(s, dir, "documents").select(id).repartition(32)
+        .select(id, txt.as("text"))
+        .select(id,
+          TextAnalysis.invisibleCount(col("text")).as("n_invisible"),
+          TextAnalysis.stripInvisible(col("text")).as("clean_text"),
+          (TextAnalysis.tokens(col("text")) =!=
+            TextAnalysis.tokens(TextAnalysis.stripInvisible(col("text"))))
+            .as("evaded"))
+    }),
+
+    // ── confusable-skeleton dedup (TextAnalysis.confusableSkeleton —
+    // the q298 detection's NORMALIZATION counterpart): homoglyph-
+    // spoofed variants of Latin docs collapse onto their clean twins
+    // under the skeleton key, while genuine Cyrillic docs are routed
+    // AROUND the fold (scriptProfile dominant gate — the skeleton
+    // would mangle real Russian into mixed-script junk; the same
+    // mechanism/policy split as q297's normalizer routing). Arms:
+    // clean latin + its 3-homoglyph spoof (collapse per DIV-5
+    // group), a distinct latin doc, a pure-Cyrillic doc (raw-lower
+    // route, untouched), a partnerless spoofed doc (solo keeper). ──
+    "q305_confusable_dedup" -> ((s, dir) => {
+      import graft.ext.TextAnalysis
+      val id = col("doc_id")
+      val a = id % 5
+      val g = expr("CAST(doc_id DIV 5 AS BIGINT)").cast("string")
+      val txt =
+        when(a === 0, concat(lit("buy cheap watches here now "), g))
+          .when(a === 1,
+            concat(lit("buy ch\u0435ap w\u0430tches h\u0435re now "), g))
+          .when(a === 2, concat(lit("totally different latin content "), g))
+          .when(a === 3, concat(lit("привет мир хорошо "), g))
+          .otherwise(concat(lit("sell ch\u0435ap clocks th\u0435re now "), g))
+      val docs = t(s, dir, "documents").select(id).repartition(32)
+        .select(id, txt.as("text"))
+      val prof = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+        .select(id, col("dominant"))
+      val routed = docs.join(prof, Seq("doc_id"))
+        .withColumn("route",
+          when(col("dominant") === "latin", lit("skeleton"))
+            .otherwise(lit("raw_lower")))
+        .withColumn("__key",
+          when(col("dominant") === "latin",
+            TextAnalysis.confusableSkeleton(col("text")))
+            .otherwise(TextAnalysis.lowerU(col("text"))))
+        .localCheckpoint()
+      val groups = routed.groupBy("__key")
+        .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      routed.join(groups, Seq("__key"))
+        .select(id, col("dominant"), col("route"), col("keep_id"),
+          col("n_copies"), (id =!= col("keep_id")).as("is_dup"))
+    }),
+
     // ── SQL surface for the custom expression (the U1 discipline:
     // q27 proved a registered UDF surface; this proves the CUSTOM
     // CATALYST EXPRESSION is equally SQL-callable): unicode_tokens
@@ -9013,6 +9086,77 @@ object SparkEntry {
     // same integer floor-div ppm arithmetic as GopherQualitySql
     "q291_unicode_gopher" -> UGopherSql,
     "q302_unicode_tokens_sql" -> UnicodeTokensSql,
+
+    // invisible-scrub mirror: arms via chr() (ZWSP 8203, RLO 8238,
+    // PDF 8236, BOM 65279, ZWJ 8205), detection/scrub via the SAME
+    // InvisibleClass constant, evasion as a direct token-list compare
+    "q304_invisible_scrub" ->
+      (s"WITH p AS (SELECT doc_id, doc_id % 5 AS a, " +
+        s"CAST(doc_id // 5 AS VARCHAR) AS g FROM documents),\n" +
+        """d AS (SELECT doc_id, CASE a
+          |  WHEN 0 THEN 'alpha beta gamma ' || g
+          |  WHEN 1 THEN 'al' || chr(8203) || 'pha beta gamma ' || g
+          |  WHEN 2 THEN 'alpha ' || chr(8238) || 'beta' || chr(8236)
+          |    || ' gamma ' || g
+          |  WHEN 3 THEN chr(65279) || 'alpha beta gamma ' || g
+          |  ELSE 'alpha be' || chr(8205) || 'ta gamma ' || g
+          |  END AS text FROM p),
+          |""".stripMargin +
+        s"c AS (SELECT doc_id, text, regexp_replace(text, " +
+        s"'${graft.ext.TextAnalysis.InvisibleClass}', '', 'g') " +
+        s"AS clean_text FROM d)\n" +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+        s"'${graft.ext.TextAnalysis.InvisibleClass}')) AS BIGINT) " +
+        s"AS n_invisible, clean_text, " +
+        s"${duckUToks("text")} <> ${duckUToks("clean_text")} " +
+        s"AS evaded FROM c"),
+
+    // confusable-dedup mirror: arms closed-form (Cyrillic е 1077 /
+    // а 1072 homoglyphs), dominant via the q292 two-step class
+    // filter (planted letters are latin/cyrillic only, so the
+    // 5-class greatest reduces to the latin-vs-cyrillic compare with
+    // latin winning ties — scriptProfile's declaration order), key
+    // = skeleton (translate over the shared Confusable map) on the
+    // latin route, fold-lower otherwise
+    "q305_confusable_dedup" ->
+      (s"WITH p AS (SELECT doc_id, doc_id % 5 AS a, " +
+        s"CAST(doc_id // 5 AS VARCHAR) AS g FROM documents),\n" +
+        """d AS (SELECT doc_id, CASE a
+          |  WHEN 0 THEN 'buy cheap watches here now ' || g
+          |  WHEN 1 THEN 'buy ch' || chr(1077) || 'ap w' || chr(1072)
+          |    || 'tches h' || chr(1077) || 're now ' || g
+          |  WHEN 2 THEN 'totally different latin content ' || g
+          |  WHEN 3 THEN chr(1087) || chr(1088) || chr(1080) || chr(1074)
+          |    || chr(1077) || chr(1090) || ' ' || chr(1084) || chr(1080)
+          |    || chr(1088) || ' ' || chr(1093) || chr(1086) || chr(1088)
+          |    || chr(1086) || chr(1096) || chr(1086) || ' ' || g
+          |  ELSE 'sell ch' || chr(1077) || 'ap clocks th' || chr(1077)
+          |    || 're now ' || g
+          |  END AS text FROM p),
+          |le AS (SELECT doc_id, text,
+          |  len(list_filter(regexp_extract_all(text, '\p{L}'),
+          |    x -> regexp_matches(x, '\p{Latin}'))) AS latin,
+          |  len(list_filter(regexp_extract_all(text, '\p{L}'),
+          |    x -> regexp_matches(x, '\p{Cyrillic}'))) AS cyr
+          |  FROM d),
+          |dm AS (SELECT doc_id, text,
+          |  CASE WHEN latin >= cyr AND latin > 0 THEN 'latin'
+          |       WHEN cyr > 0 THEN 'cyrillic'
+          |       ELSE 'none' END AS dominant FROM le),
+          |""".stripMargin +
+        s"r AS (SELECT doc_id, dominant, " +
+        s"CASE WHEN dominant = 'latin' THEN 'skeleton' " +
+        s"ELSE 'raw_lower' END AS route, " +
+        s"CASE WHEN dominant = 'latin' THEN translate(" +
+        s"${duckLowerU("text")}, " +
+        s"'${graft.ext.TextAnalysis.ConfusableSrc}', " +
+        s"'${graft.ext.TextAnalysis.ConfusableDst}') " +
+        s"ELSE ${duckLowerU("text")} END AS k FROM dm),\n" +
+        """gp AS (SELECT k, min(doc_id) AS keep_id, count(*) AS n_copies
+          |  FROM r GROUP BY 1)
+          |SELECT r.doc_id, r.dominant, r.route, gp.keep_id,
+          |  gp.n_copies, r.doc_id <> gp.keep_id AS is_dup
+          |FROM r JOIN gp USING (k)""".stripMargin),
 
     // calibrated-gopher mirror: the q291 gopher mirror as a subquery
     // + the q296 discovery logic + the zero-hit override, all three

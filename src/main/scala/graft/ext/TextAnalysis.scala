@@ -184,6 +184,56 @@ object TextAnalysis {
   /** Small function-word list used for the quality stop_ratio stat. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
+  // ── invisible-character hygiene (round 14) ─────────────────────
+
+  /** Zero-width and bidi-control codepoints (the Trojan-Source /
+    * dedup-evasion set): ZWSP/ZWNJ/ZWJ plus the LRM/RLM bidi marks
+    * (U+200B-200F — LRM/RLM included per review: they are the two
+    * most common bidi marks and split tokens exactly like ZWSP),
+    * word joiner (U+2060), BOM/ZWNBSP (U+FEFF), Arabic letter mark
+    * (U+061C), bidi embeds/overrides/pops (U+202A-202E) and isolates
+    * (U+2066-2069). All are Cf — format characters the tokenizer
+    * treats as BOUNDARIES, so a splice inside a word SPLITS its
+    * token and evades exact/fingerprint dedup until stripped.
+    * `\x{...}` class syntax parses identically in Java regex and
+    * RE2, so the oracle interpolates this constant verbatim.
+    */
+  private[graft] val InvisibleClass: String =
+    "[\\x{061C}\\x{200B}-\\x{200F}\\x{2060}" +
+      "\\x{2066}-\\x{2069}\\x{202A}-\\x{202E}\\x{FEFF}]"
+
+  /** Count of invisible codepoints (detection signal). Null-safe. */
+  def invisibleCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")),
+      lit(InvisibleClass), lit(0))).cast("long")
+
+  /** Text with invisible codepoints removed (the scrub every corpus
+    * intake should run before fingerprinting). Null-safe ('').
+    */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(coalesce(text, lit("")), InvisibleClass, "")
+
+  // ── confusable-skeleton dedup (round 14) ───────────────────────
+
+  /** The uncontroversial Cyrillic→Latin homoglyph core (per Unicode
+    * confusables: а е о р с у х і ѕ ј — lowercase letters whose
+    * glyphs are IDENTICAL to Latin a e o p c y x i s j in most
+    * fonts). Exposed for oracle interpolation.
+    */
+  private[graft] val ConfusableSrc = "аеорсухіѕј"
+  private[graft] val ConfusableDst = "aeopcyxisj"
+
+  /** Confusable skeleton: [[lowerU]] + the homoglyph fold — the
+    * dedup key that catches homoglyph-spoofed variants of Latin
+    * text (the q298 detection's NORMALIZATION counterpart).
+    * CONTRACT: apply to LATIN-DOMINANT docs only (route via
+    * [[scriptProfile]]) — on genuine Cyrillic text the fold mangles
+    * real words into mixed-script junk. DuckDB mirror:
+    * `translate(<lowerU mirror>, <src>, <dst>)`.
+    */
+  def confusableSkeleton(text: Column): Column =
+    translate(lowerU(text), ConfusableSrc, ConfusableDst)
+
   /** Canonical content fingerprint: md5 over the normalized token
     * stream (whitespace/case/punctuation-insensitive).
     */

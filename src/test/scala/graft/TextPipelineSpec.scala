@@ -70,6 +70,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(1)._1 == "προσοχή οδοσ 00" && got(1)._2 == "προσοχηless οδοσ 00")
   }
 
+  test("invisible chars: count, strip, and token-evasion semantics") {
+    val df = Seq(
+      "al\u200Bpha beta",          // ZWSP inside a word → splits token
+      "alpha \u202Ebeta\u202C x", // bidi wrap at boundaries → no split
+      "clean text", null,
+      "al\u200Epha beta"           // LRM splice (round-14 review gap)
+    ).toDF("t")
+    val got = df.select(
+        TextAnalysis.invisibleCount(col("t")).as("n"),
+        TextAnalysis.stripInvisible(col("t")).as("c"),
+        (TextAnalysis.tokens(col("t")) =!=
+          TextAnalysis.tokens(TextAnalysis.stripInvisible(col("t"))))
+          .as("ev"))
+      .as[(Long, String, Boolean)].collect()
+    assert(got(0) == ((1L, "alpha beta", true)), got(0).toString)
+    assert(got(1) == ((2L, "alpha beta x", false)))
+    assert(got(2) == ((0L, "clean text", false)))
+    assert(got(3) == ((0L, "", false)), "null-total contract")
+    assert(got(4) == ((1L, "alpha beta", true)), "LRM must count and evade")
+  }
+
+  test("confusableSkeleton folds the homoglyph core onto latin") {
+    // е/а are CYRILLIC (U+0435/U+0430) — the skeleton makes the spoof
+    // byte-identical to its clean twin
+    val got = Seq(("buy ch\u0435ap w\u0430tches", "Buy Cheap Watches"))
+      .toDF("spoof", "clean")
+      .select(TextAnalysis.confusableSkeleton(col("spoof")).as("s"),
+        TextAnalysis.confusableSkeleton(col("clean")).as("c"))
+      .as[(String, String)].head()
+    assert(got._1 == "buy cheap watches" && got._1 == got._2, got.toString)
+  }
+
   test("sentencesU segments on fullwidth terminals; ASCII sentences() sees one CJK blob") {
     val zh = "你好世界。第二句！第三句？尾巴"
     val df = Seq(zh, "One. Two! ", "").toDF("t")
