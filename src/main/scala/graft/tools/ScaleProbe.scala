@@ -124,6 +124,15 @@ object ScaleProbe {
       Seq(
         run("minhash", Dedup.nearDupPairsMinhash(d, "doc_id", "text", 3, 128, 32, 0.8)),
         run("simhash", SimHash.nearDupPairsSimhash(d, "doc_id", "text", 3, 8)),
+        // round-14: the codegen'd tokenizer expression vs its
+        // SQL-function composition — same full-scan tokenize+sum, so
+        // the wall ratio IS the expression's advantage at scale
+        run("utok_expr", d.repartition(32).agg(
+          sum(size(graft.ext.TextAnalysis.tokens(col("text"))))
+            .as("n"))),
+        run("utok_composed", d.repartition(32).agg(
+          sum(size(graft.ext.TextAnalysis.tokensComposed(col("text"))))
+            .as("n"))),
         run("cosine_neardup", SimSearch.nearDupPairsCosineLsh(
           e, "vec_id", "embedding", threshold = 0.97, dim = 64, bits = 12,
           tables = 8, seed = 7L, exactMaxRows = 0)),
