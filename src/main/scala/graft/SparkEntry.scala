@@ -3058,19 +3058,8 @@ object SparkEntry {
     // recurring tokens (df >= 2). CJK languages surface frequent
     // CHARACTERS (的/是…), exactly the per-char stopword grain the
     // tokenizer defines. ──
-    "q296_stopword_discovery" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ex = mlDocs(s).select(col("lang"), col("doc_id"),
-        explode(array_distinct(
-          graft.ext.TextAnalysis.tokens(col("text")))).as("tok"))
-      val dfreq = ex.groupBy("lang", "tok")
-        .agg(count(lit(1)).cast("long").as("df"))
-      val w = Window.partitionBy("lang")
-        .orderBy(col("df").desc, col("tok").asc)
-      dfreq.filter(col("df") >= 2)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-    }),
+    "q296_stopword_discovery" -> ((s, dir) =>
+      discoveredStopwords(mlTokens(mlDocs(s)))),
 
     // ── multilingual dedup CAPSTONE (the q264/q280 composition
     // discipline): scriptProfile routes each doc — latin-dominant →
@@ -3176,24 +3165,16 @@ object SparkEntry {
     // size. ──
     "q301_lang_calibrated_gopher" -> ((s, dir) => {
       import graft.ext.TextAnalysis
-      import org.apache.spark.sql.expressions.Window
       val ml = mlDocs(s)
-      val ex = ml.select(col("lang"), col("doc_id"),
-        explode(array_distinct(TextAnalysis.tokens(col("text"))))
-          .as("tok"))
-      val w = Window.partitionBy("lang")
-        .orderBy(col("df").desc, col("tok").asc)
-      val disc = ex.groupBy("lang", "tok")
-        .agg(count(lit(1)).cast("long").as("df"))
-        .filter(col("df") >= 2)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      // tokenize ONCE: the exploded frame feeds both the discovery
+      // (via the SHARED q296 helper — the thresholds cannot drift)
+      // and the multiplicity hit counts (review findings)
+      val tokAll = mlTokens(ml).localCheckpoint()
+      val disc = discoveredStopwords(tokAll)
         .select("lang", "tok")
         .localCheckpoint()
       val hasList = disc.select("lang").distinct()
         .withColumn("has_list", lit(true))
-      val tokAll = ml.select(col("doc_id"), col("lang"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
       val hits = tokAll.join(broadcast(disc), Seq("lang", "tok"))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("stop_hits_lang"))
@@ -3331,19 +3312,19 @@ object SparkEntry {
           col("n_copies"), (id =!= col("keep_id")).as("is_dup"))
     }),
 
-    // \u2500\u2500 streaming NFC twin (the q294 discipline, second non-ASCII
+    // ── streaming NFC twin (the q294 discipline, second non-ASCII
     // payload class: DECOMPOSED combining marks and conjoining jamo
-    // ride the to_json \u2192 landing file \u2192 from_json envelope raw):
-    // the per-row projection half of q295 \u2014 nfc_text + changed \u2014
-    // replayed over two waves; the dedup-group half is batch-only
-    // (append mode carries no aggregates). \u2500\u2500
+    // ride the to_json → landing file → from_json envelope raw): the
+    // per-row projection half of q295 — nfc_text + changed — replayed
+    // over two waves; the dedup-group half is batch-only (append mode
+    // carries no aggregates). ──
     "q303_nfc_stream" -> ((s, dir) =>
       graft.streaming.StreamingReports.projectionStreamReplay(
         s, nfcFixture(t(s, dir, "documents")), "doc_id", "text",
-        df => df.select(col("doc_id"),
-          graft.ext.TextAnalysis.nfc(col("text")).as("nfc_text"),
-          (graft.ext.TextAnalysis.nfc(col("text")) =!= col("text"))
-            .as("changed")))),
+        df => df
+          .withColumn("nfc_text", graft.ext.TextAnalysis.nfc(col("text")))
+          .select(col("doc_id"), col("nfc_text"),
+            (col("nfc_text") =!= col("text")).as("changed")))),
 
     // ── token-budget selection (Sampling.selectByBudget): quadratic-
     // residue scores give ~10-way ties per score value, so the
@@ -5868,16 +5849,64 @@ object SparkEntry {
     val id = col("doc_id")
     val a = id % 5
     val g = expr("CAST(doc_id DIV 5 AS BIGINT)").cast("string")
-    val acute = lit("́")
+    // \uXXXX escapes, deliberately: arms 2/3 are byte-DIFFERENT but
+    // visually identical (OHM/ANGSTROM vs their canonical forms), and
+    // an NFC-normalizing editor would silently collapse raw literals
+    // (review finding)
+    val acute = lit("\u0301")
     val txt =
-      when(a === 0, concat(lit("café résumé "), g))
+      when(a === 0, concat(lit("caf\u00e9 r\u00e9sum\u00e9 "), g))
         .when(a === 1, concat(lit("cafe"), acute, lit(" re"), acute,
           lit("sume"), acute, lit(" "), g))
-        .when(a === 2, concat(lit("Ωohm Åring "), g))
-        .when(a === 3, concat(lit("Ωohm Åring "), g))
-        .otherwise(concat(lit("한글 "), g))
+        .when(a === 2, concat(lit("\u2126ohm \u212bring "), g))
+        .when(a === 3, concat(lit("\u03a9ohm \u00c5ring "), g))
+        .otherwise(concat(lit("\u1112\u1161\u11ab\uae00 "), g))
     docs.select(id).repartition(32).select(id, txt.as("text"))
   }
+
+  /** The exploded (doc_id, lang, tok) frame — one tokenization, with
+    * multiplicity — that the q296/q301 stopword machinery consumes.
+    */
+  private def mlTokens(ml: DataFrame): DataFrame =
+    ml.select(col("doc_id"), col("lang"),
+      explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+
+  /** q296/q301 SHARED stopword discovery (extracted per review — a
+    * q296 threshold retune must reach q301's calibration or the
+    * "loop closed" claim silently breaks): distinct-per-doc tokens →
+    * per-(lang, tok) document frequency, recurring only (df >= 2),
+    * top-5 per language by the TOTAL (df DESC, tok ASC) order.
+    */
+  private val StopMinDf = 2
+  private val StopTopK = 5
+
+  private def discoveredStopwords(tokAll: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("df").desc, col("tok").asc)
+    tokAll.select("lang", "doc_id", "tok").distinct()
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= StopMinDf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= StopTopK)
+  }
+
+  /** Oracle fragments for the discovery (same constants): `ta` is
+    * the one-tokenization exploded frame; `ex`/`f` the distinct-df
+    * chain; `disc` the top-K per-language list.
+    */
+  private def duckMlTokensCte: String =
+    s"ta AS (SELECT doc_id, lang, unnest(${duckUToks("text")}) AS tok " +
+      s"FROM $MlJson)"
+  private def duckStopFreqCtes: String =
+    "ex AS (SELECT DISTINCT lang, doc_id, tok FROM ta),\n" +
+      "f AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS df " +
+      "FROM ex GROUP BY 1, 2)"
+  private def duckStopDiscCte: String =
+    s"disc AS (SELECT lang, tok FROM (SELECT lang, tok, " +
+      s"row_number() OVER (PARTITION BY lang ORDER BY df DESC, tok) " +
+      s"AS r FROM f WHERE df >= $StopMinDf) WHERE r <= $StopTopK)"
 
   /** q288/q294 shared projection: the Unicode-tokenizer contract
     * report (counts, ascii-run contrast, fingerprint, first/last).
@@ -8942,17 +8971,15 @@ object SparkEntry {
     "q293_unicode_minhash" -> uJaccardSql("0.8"),
 
     // stopword-discovery mirror: distinct-per-doc unicode tokens →
-    // per-(lang, tok) df → top-5 by the TOTAL (df DESC, tok) order
+    // per-(lang, tok) df → top-K by the TOTAL (df DESC, tok) order —
+    // CTEs and thresholds shared with q301's mirror (StopMinDf/
+    // StopTopK interpolate into every spelling)
     "q296_stopword_discovery" ->
-      (s"WITH ex AS (SELECT lang, doc_id, " +
-        s"unnest(list_distinct(${duckUToks("text")})) AS tok " +
-        s"FROM $MlJson),\n" +
-        """f AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS df
-          |  FROM ex GROUP BY 1, 2)
-          |SELECT lang, tok, df,
-          |  CAST(row_number() OVER (PARTITION BY lang
-          |    ORDER BY df DESC, tok) AS INTEGER) AS rank
-          |FROM f WHERE df >= 2 QUALIFY rank <= 5""".stripMargin),
+      (s"WITH $duckMlTokensCte,\n$duckStopFreqCtes\n" +
+        s"SELECT lang, tok, df, " +
+        s"CAST(row_number() OVER (PARTITION BY lang " +
+        s"ORDER BY df DESC, tok) AS INTEGER) AS rank " +
+        s"FROM f WHERE df >= $StopMinDf QUALIFY rank <= $StopTopK"),
 
     // capstone mirror: dominant-script CASE (the q292 two-step class
     // filter), routed normalizer (latin accent-fold vs unicode), exact
@@ -9164,18 +9191,8 @@ object SparkEntry {
     "q301_lang_calibrated_gopher" ->
       (s"WITH b AS (SELECT doc_id, verdict AS base_verdict " +
         s"FROM ($UGopherSql) AS g),\n" +
-        s"ex AS (SELECT lang, doc_id, " +
-        s"unnest(list_distinct(${duckUToks("text")})) AS tok " +
-        s"FROM $MlJson),\n" +
-        """f AS (SELECT lang, tok, count(*) AS df FROM ex GROUP BY 1, 2),
-          |disc AS (SELECT lang, tok FROM (
-          |  SELECT lang, tok, row_number() OVER (PARTITION BY lang
-          |    ORDER BY df DESC, tok) AS r
-          |  FROM f WHERE df >= 2) WHERE r <= 5),
-          |hl AS (SELECT DISTINCT lang FROM disc),
-          |""".stripMargin +
-        s"ta AS (SELECT doc_id, lang, unnest(${duckUToks("text")}) " +
-        s"AS tok FROM $MlJson),\n" +
+        s"$duckMlTokensCte,\n$duckStopFreqCtes,\n$duckStopDiscCte,\n" +
+        "hl AS (SELECT DISTINCT lang FROM disc),\n" +
         s"h AS (SELECT ta.doc_id, count(*) AS n FROM ta JOIN disc " +
         s"ON ta.lang = disc.lang AND ta.tok = disc.tok GROUP BY 1),\n" +
         s"docs AS (SELECT doc_id, lang FROM $MlJson)\n" +
