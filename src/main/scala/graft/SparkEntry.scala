@@ -3269,6 +3269,96 @@ object SparkEntry {
           col("n_copies"), (id =!= col("keep_id")).as("is_dup"))
     }),
 
+    // ── bounded Content-Encoding inflate (plans.Inflate — the step
+    // WarcRecord deliberately punted "upstream"; on real Common Crawl
+    // payloads are overwhelmingly gzip, so the fetch-side family was
+    // incomplete without it). The q241 inversion discipline: bodies
+    // are compressed IN-PLAN from documents.text, the oracle only
+    // ever sees the round-trip contract. Arms (doc_id % 12): 0 bad
+    // magic, 1 trailing garbage (stricter than the JDK, which
+    // silently ignores tails), 2 multi-member concatenation (legal
+    // per RFC 1952 §2.2 — decodes to the concatenation), 3 zlib and
+    // 4 raw-deflate via the HTTP-deflate sniff, 5 truncated stream,
+    // 6 corrupt CRC32 trailer, else plain gzip. EVERY decode is
+    // capped at InflateCapBytes — docs whose payload exceeds it
+    // route NULL at the cap (the decompression-bomb guard: never a
+    // truncated prefix), which at sf0.01 splits the plain arms both
+    // ways (byte lengths run 48-553 vs the 400 cap). ──
+    "q306_gzip_inflate" -> ((s, dir) => {
+      import graft.plans.Inflate
+      val id = col("doc_id")
+      val a = id % 12
+      // per-row Deflater work is CPU-bound on the single local split
+      // — spread first (the q241 rule)
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      val tb = col("text").cast("binary")
+      val gz = Inflate.gzipCompress(tb)
+      val body =
+        when(a === 0, concat(to_binary(lit("0000"), lit("hex")), gz))
+          .when(a === 1, concat(gz, to_binary(lit("6a756e6b"), lit("hex"))))
+          .when(a === 2,
+            concat(gz, Inflate.gzipCompress(lit(" tail").cast("binary"))))
+          .when(a === 3, Inflate.zlibCompress(tb))
+          .when(a === 4, Inflate.rawDeflateCompress(tb))
+          .when(a === 5, gz.substr(lit(1), length(gz) - 4))
+          .when(a === 6, concat(gz.substr(lit(1), length(gz) - 8),
+            to_binary(lit("00000000ffffffff"), lit("hex"))))
+          .otherwise(gz)
+      val decoded = when(a === 3 || a === 4,
+          Inflate.inflateDeflate(body, InflateCapBytes))
+        .otherwise(Inflate.gunzip(body, InflateCapBytes))
+      docs.select(id, decoded.cast("string").as("decoded"))
+    }),
+
+    // ── charset transcoding (plans.Transcode — the step between
+    // inflate and the tokenizer; Spark's own decode() stops at the
+    // UTF family + latin-1, far short of the legacy web). The q241
+    // inversion: non-UTF-8 bytes are AUTHORED IN-PLAN from known
+    // text via EncodeCharset, decoded back strict, and the oracle
+    // reproduces the expected text per arm closed-form (chr()
+    // codepoints — the q303 discipline). Arms (doc_id % 8): 0
+    // windows-1252 with é AND € (the 0x80 point latin-1 lacks), 1
+    // iso-8859-1, 2 shift_jis katakana, 3 euc-jp kanji, 4
+    // windows-1251 Cyrillic — all round-trip; 5 a non-allowlisted
+    // charset (utf-7) routes NULL at ENCODE (no forName surface), 6
+    // a WRONG declaration (cp1252 bytes declared utf-8) routes NULL
+    // at strict DECODE (the é byte is malformed UTF-8), 7 an
+    // unmappable ask (€ into iso-8859-1) routes NULL at encode. ──
+    "q307_charset_transcode" -> ((s, dir) => {
+      import graft.plans.Transcode
+      val id = col("doc_id")
+      val a = id % 8
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      val t1252 = concat(col("text"), lit(" caf\u00E9 \u20AC9"))
+      val tL1 = concat(col("text"), lit(" caf\u00E9 r\u00E9sum\u00E9"))
+      val tSjis = concat(col("text"), lit(" \u30AB\u30D5\u30A7"))
+      val tEuc = concat(col("text"), lit(" \u65E5\u672C\u8A9E"))
+      val t1251 = concat(col("text"),
+        lit(" \u043F\u0440\u0438\u0432\u0435\u0442"))
+      val bytes =
+        when(a === 0, Transcode.encode(t1252, lit("windows-1252")))
+          .when(a === 1, Transcode.encode(tL1, lit("iso-8859-1")))
+          .when(a === 2, Transcode.encode(tSjis, lit("shift_jis")))
+          .when(a === 3, Transcode.encode(tEuc, lit("euc-jp")))
+          .when(a === 4, Transcode.encode(t1251, lit("windows-1251")))
+          .when(a === 5, Transcode.encode(col("text"), lit("utf-7")))
+          .when(a === 6, Transcode.encode(t1252, lit("cp1252")))
+          .otherwise(Transcode.encode(t1252, lit("iso-8859-1")))
+      val declared =
+        when(a === 0, lit("windows-1252"))
+          .when(a === 1, lit("iso-8859-1"))
+          .when(a === 2, lit("shift_jis"))
+          .when(a === 3, lit("euc-jp"))
+          .when(a === 4, lit("windows-1251"))
+          .when(a === 5, lit("utf-7"))
+          .when(a === 6, lit("utf-8")) // the wrong-declaration arm
+          .otherwise(lit("iso-8859-1"))
+      docs.select(id,
+        Transcode.toUtf8(bytes, declared).as("decoded"))
+    }),
+
     // ── SQL surface for the custom expression (the U1 discipline:
     // q27 proved a registered UDF surface; this proves the CUSTOM
     // CATALYST EXPRESSION is equally SQL-callable): unicode_tokens
@@ -5879,6 +5969,14 @@ object SparkEntry {
     */
   private val StopMinDf = 2
   private val StopTopK = 5
+
+  /** q306/q308 SHARED inflate cap (bytes of decoded payload): the
+    * decompression-bomb guard, sized so the sf0.01 corpus (byte
+    * lengths 48-553) populates BOTH routes of the cap rule. The
+    * oracle mirrors it via strlen(text) (DuckDB strlen = UTF-8
+    * octets, the same unit the inflate loop counts).
+    */
+  private val InflateCapBytes = 400
 
   private def discoveredStopwords(tokAll: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -9184,6 +9282,39 @@ object SparkEntry {
           |SELECT r.doc_id, r.dominant, r.route, gp.keep_id,
           |  gp.n_copies, r.doc_id <> gp.keep_id AS is_dup
           |FROM r JOIN gp USING (k)""".stripMargin),
+
+    // inflate mirror: the q241 inversion — the oracle never parses
+    // bytes, it reproduces the round-trip contract per arm (hostile
+    // arms NULL; multi-member appends ' tail', +5 octets against the
+    // cap; the cap rule in DuckDB strlen = UTF-8 octets)
+    "q306_gzip_inflate" ->
+      s"""SELECT doc_id,
+         |  CASE
+         |    WHEN doc_id % 12 IN (0, 1, 5, 6) THEN NULL
+         |    WHEN doc_id % 12 = 2 THEN
+         |      CASE WHEN strlen(text) + 5 > $InflateCapBytes THEN NULL
+         |           ELSE text || ' tail' END
+         |    WHEN strlen(text) > $InflateCapBytes THEN NULL
+         |    ELSE text END AS decoded
+         |FROM documents""".stripMargin,
+
+    // transcode mirror: the q306 inversion — expected text per arm
+    // closed-form in chr() codepoints (233 é, 8364 €, 12459/12501/
+    // 12455 katakana, 26085/26412/35486 kanji, 1087..1090 Cyrillic);
+    // the three routed arms (unknown charset, wrong declaration,
+    // unmappable ask) are NULL
+    "q307_charset_transcode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN text || ' caf' || chr(233) || ' ' || chr(8364) || '9'
+        |    WHEN 1 THEN text || ' caf' || chr(233) || ' r' || chr(233)
+        |      || 'sum' || chr(233)
+        |    WHEN 2 THEN text || ' ' || chr(12459) || chr(12501) || chr(12455)
+        |    WHEN 3 THEN text || ' ' || chr(26085) || chr(26412) || chr(35486)
+        |    WHEN 4 THEN text || ' ' || chr(1087) || chr(1088) || chr(1080)
+        |      || chr(1074) || chr(1077) || chr(1090)
+        |    ELSE NULL END AS decoded
+        |FROM documents""".stripMargin,
 
     // calibrated-gopher mirror: the q291 gopher mirror as a subquery
     // + the q296 discovery logic + the zero-hit override, all three
