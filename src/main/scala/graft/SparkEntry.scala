@@ -3068,7 +3068,16 @@ object SparkEntry {
     // keep-min exact dedup on the routed key, then minhash near-dup
     // (Unicode shingles, τ=0.6) among the SURVIVORS: the en pair
     // (23,24) survives exact dedup (they differ by a word) and is
-    // caught here, keep-first (24 → near_dup_of 23). Doc 30's fold
+    // caught here, keep-first (24 → near_dup_of 23). BAND-MISS BOUND
+    // (the q293 discipline, round-14 ADVICE): the (23,24) pair sits
+    // at exact Jaccard J=0.625, so with 128 hashes in 32 bands of 4
+    // the a-priori candidate-miss probability is (1−J⁴)³² =
+    // (1−0.1526)³² ≈ 0.5% — NOT structurally negligible like q293's
+    // ~1e-15 at J≥0.85. The match is still deterministic (fixed
+    // minhash seed; this fixture's draw finds the pair — certified),
+    // but ANY edit to doc 23/24's text re-rolls that 0.5% die:
+    // re-derive J and this bound after a fixture retune, or keep the
+    // pair's J ≥ 0.75 (miss < 1e-4) if retuning. Doc 30's fold
     // chars ride the latin route and strip cleanly (the aggressive
     // [^a-z0 ] strip makes the Latin route immune to the ICU/DuckDB
     // case-table seam — divergent mappings all strip to ''). ──
@@ -3357,6 +3366,140 @@ object SparkEntry {
           .otherwise(lit("iso-8859-1"))
       docs.select(id,
         Transcode.toUtf8(bytes, declared).as("decoded"))
+    }),
+
+    // ── the FETCH-DECODE capstone (ext.FetchDecode — q306's inflate
+    // + q307's transcode + q236's framing composed into ONE total
+    // bytes→text decision table, the stage a real crawl pipeline
+    // runs between WARC payload and tokenizer). Records are authored
+    // in-plan as REAL bytes (ASCII head + body through the encode/
+    // compress expressions); the oracle reproduces every output
+    // column closed-form per arm. Arms (doc_id % 14): 0 undeclared
+    // utf-8 (strict-utf8 leg), 1 gzip + header cp1252 (é AND €), 2
+    // zlib deflate + META-sniffed shift_jis, 3 BOM beating a LYING
+    // shift_jis header, 4 undeclared cp1252 é (lenient fallback
+    // leg), 5 WRONG utf-8 declaration over cp1252 bytes (lenient:
+    // the é byte mints U+FFFD — the mojibake gate's food, not a
+    // kill), 6 404, 7 wrong media type, 8 unsupported CE (br), 9
+    // chunked TE (route upstream to decodeChunked), 10 corrupt gzip,
+    // 11 declared-but-unsupported charset (utf-7), 12 no status line
+    // (malformed), 13 a gzip BOMB (repeat×50 ≥ 2200 bytes vs the
+    // 2000 cap; ok-arm payloads top out at 647 — both margins hold
+    // at every SF, lengths checked 44-577). ──
+    "q308_fetch_decode" -> ((s, dir) => {
+      import graft.ext.FetchDecode
+      import graft.plans.{Inflate, Transcode}
+      val id = col("doc_id")
+      val a = id % 14
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      def mkHead(lines: String*) = lit(lines.mkString("", "\r\n", "\r\n\r\n"))
+      val okHtml = mkHead("HTTP/1.1 200 OK", "Content-Type: text/html")
+      val gzHead = mkHead("HTTP/1.1 200 OK", "Content-Type: text/html",
+        "Content-Encoding: gzip")
+      val sfx1252 = concat(col("text"), lit(" caf\u00E9 \u20AC9"))
+      val html2 = concat(
+        lit("<html><head><meta charset=shift_jis></head><body>"),
+        col("text"), lit(" \u30AB\u30D5\u30A7</body></html>"))
+      val headCol =
+        when(a === 1, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/html; charset=windows-1252",
+          "Content-Encoding: gzip"))
+          .when(a === 2, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html", "Content-Encoding: deflate"))
+          .when(a === 3, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html; charset=shift_jis"))
+          .when(a === 5, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html; charset=utf-8"))
+          .when(a === 6, mkHead("HTTP/1.1 404 Not Found",
+            "Content-Type: text/html"))
+          .when(a === 7, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: application/json"))
+          .when(a === 8, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html", "Content-Encoding: br"))
+          .when(a === 9, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html", "Transfer-Encoding: chunked"))
+          .when(a === 10 || a === 13, gzHead)
+          .when(a === 11, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html; charset=utf-7"))
+          .otherwise(okHtml)
+      val bom = to_binary(lit("efbbbf"), lit("hex"))
+      val body =
+        when(a === 1,
+          Inflate.gzipCompress(Transcode.encode(sfx1252,
+            lit("windows-1252"))))
+          .when(a === 2,
+            Inflate.zlibCompress(Transcode.encode(html2, lit("shift_jis"))))
+          .when(a === 3, concat(bom,
+            concat(col("text"), lit(" caf\u00E9")).cast("binary")))
+          .when(a === 4, Transcode.encode(
+            concat(col("text"), lit(" caf\u00E9")), lit("windows-1252")))
+          .when(a === 5, Transcode.encode(
+            concat(col("text"), lit(" caf\u00E9!")), lit("windows-1252")))
+          .when(a === 10, lit("junkjunk").cast("binary"))
+          .when(a === 13,
+            Inflate.gzipCompress(repeat(col("text"), 50).cast("binary")))
+          .otherwise(col("text").cast("binary"))
+      val raw = when(a === 12, col("text").cast("binary"))
+        .otherwise(FetchDecode.responseRecord(headCol, body))
+      FetchDecode.decodeResponses(
+        docs.select(id, raw.as("raw")), "doc_id", "raw", maxBytes = 2000)
+    }),
+
+    // ── encoding-damage / mojibake gate (TextAnalysis
+    // .encodingDamage — the detector for what q308's LENIENT legs
+    // let through by design). Arms (doc_id % 5): 0 clean, 1 three
+    // planted U+FFFD (replacement_damage — ≥5084 ppm at the longest
+    // doc vs the 1000 threshold), 2 three double-encoded é
+    // (Ã© = chr(195)+chr(169) — the utf-8-as-cp1252 signature,
+    // 3 pairs ≥ the 2-pair floor), 3 five raw C1 controls
+    // (c1_controls), 4 the BENIGN twin — genuine é accents plus a
+    // bare Ã before a space: none of the three signals may fire. ──
+    "q309_encoding_damage" -> ((s, dir) => {
+      import graft.ext.TextAnalysis
+      val id = col("doc_id")
+      val a = id % 5
+      val txt =
+        when(a === 1, concat(col("text"),
+          lit(" caf\uFFFD r\uFFFDsum\uFFFD")))
+          .when(a === 2, concat(col("text"),
+            lit(" caf\u00C3\u00A9 r\u00C3\u00A9sum\u00C3\u00A9")))
+          .when(a === 3, concat(col("text"),
+            lit(" x\u0080\u0081\u0090\u008D\u0099")))
+          .when(a === 4, concat(col("text"),
+            lit(" caf\u00E9 r\u00E9sum\u00E9 \u00C3 ok")))
+          .otherwise(col("text"))
+      TextAnalysis.encodingDamage(
+        t(s, dir, "documents").repartition(32, id)
+          .select(id, txt.as("text")),
+        "doc_id", "text")
+    }),
+
+    // ── SemDeDup — embedding-semantic dedup (Dedup.semDedup: IVF
+    // anchor clustering → WITHIN-cluster cosine pairs → components →
+    // min-id keep), certified against BRUTE-FORCE truth: the oracle
+    // computes ALL-pairs cosine ≥ τ + recursive-CTE components with
+    // no knowledge of the clustering, so the within-cluster
+    // restriction must lose nothing on this corpus. The planted
+    // groups make that provable, not probabilistic: copies are
+    // power-of-2 scalar multiples (×2 at %7, ×4 at %14 — float-exact
+    // in BOTH engines), so every copy's cosine to every vector is
+    // BIT-IDENTICAL to its base's — a group cannot split across
+    // clusters (same argmax) and sits at cos≈1 vs τ=0.9, while
+    // natural pair cosines top out at ~0.52 (measured, both SFs):
+    // a 0.38 margin on both sides of the threshold. ──
+    "q310_semdedup" -> ((s, dir) => {
+      import graft.ext.Dedup
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def scaled(k: Float, off: Long, m: Long) = base
+        .filter(col("vec_id") % m === 0)
+        .select((col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"), x => x * lit(k)).as("embedding"))
+      val corpus = base
+        .unionByName(scaled(2.0f, 100000L, 7L))
+        .unionByName(scaled(4.0f, 200000L, 14L))
+        .repartition(32, col("vec_id"))
+      Dedup.semDedup(corpus, "vec_id", "embedding", nlist = 8, tau = 0.9)
     }),
 
     // ── SQL surface for the custom expression (the U1 discipline:
@@ -9315,6 +9458,125 @@ object SparkEntry {
         |      || chr(1074) || chr(1077) || chr(1090)
         |    ELSE NULL END AS decoded
         |FROM documents""".stripMargin,
+
+    // fetch-decode mirror: every output column closed-form per arm
+    // (the oracle never parses bytes — arms are disjoint by doc_id %
+    // 14, so no precedence logic is needed; chr(233) é, chr(8364) €,
+    // chr(12459/12501/12455) kana, chr(65533) U+FFFD)
+    "q308_fetch_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 14 = 12 THEN NULL
+        |       WHEN doc_id % 14 = 6 THEN 404 ELSE 200 END AS status,
+        |  CASE doc_id % 14 WHEN 12 THEN ''
+        |    WHEN 7 THEN 'application/json' ELSE 'text/html' END
+        |    AS content_type,
+        |  CASE doc_id % 14
+        |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |    WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'utf-8'
+        |    WHEN 4 THEN 'windows-1252' WHEN 5 THEN 'utf-8'
+        |    ELSE '' END AS charset,
+        |  CASE doc_id % 14
+        |    WHEN 0 THEN 'utf8' WHEN 1 THEN 'header' WHEN 2 THEN 'meta'
+        |    WHEN 3 THEN 'bom' WHEN 4 THEN 'cp1252_fallback'
+        |    WHEN 5 THEN 'header' ELSE '' END AS cs_source,
+        |  CASE doc_id % 14
+        |    WHEN 6 THEN 'bad_status' WHEN 7 THEN 'bad_type'
+        |    WHEN 8 THEN 'bad_encoding' WHEN 9 THEN 'bad_encoding'
+        |    WHEN 10 THEN 'bad_inflate' WHEN 11 THEN 'bad_charset'
+        |    WHEN 12 THEN 'malformed' WHEN 13 THEN 'bad_inflate'
+        |    ELSE 'ok' END AS decision,
+        |  CASE doc_id % 14
+        |    WHEN 0 THEN text
+        |    WHEN 1 THEN text || ' caf' || chr(233) || ' ' || chr(8364) || '9'
+        |    WHEN 2 THEN '<html><head><meta charset=shift_jis></head><body>'
+        |      || text || ' ' || chr(12459) || chr(12501) || chr(12455)
+        |      || '</body></html>'
+        |    WHEN 3 THEN text || ' caf' || chr(233)
+        |    WHEN 4 THEN text || ' caf' || chr(233)
+        |    WHEN 5 THEN text || ' caf' || chr(65533) || '!'
+        |    ELSE NULL END AS text
+        |FROM documents""".stripMargin,
+
+    // encoding-damage mirror: arms closed-form (chr(65533) U+FFFD,
+    // chr(195)+chr(169) the double-encoded é, chr(128..153) C1,
+    // chr(233) genuine é), the three char classes INTERPOLATED from
+    // the operator's constants (the q304 InvisibleClass discipline —
+    // \x{...} parses identically in Java regex and RE2), rates in
+    // exact-integer // division, thresholds interpolated
+    "q309_encoding_damage" ->
+      (s"WITH p AS (SELECT doc_id, doc_id % 5 AS a, text FROM documents),\n" +
+        """d AS (SELECT doc_id, CASE a
+          |  WHEN 1 THEN text || ' caf' || chr(65533) || ' r' || chr(65533)
+          |    || 'sum' || chr(65533)
+          |  WHEN 2 THEN text || ' caf' || chr(195) || chr(169) || ' r'
+          |    || chr(195) || chr(169) || 'sum' || chr(195) || chr(169)
+          |  WHEN 3 THEN text || ' x' || chr(128) || chr(129) || chr(144)
+          |    || chr(141) || chr(153)
+          |  WHEN 4 THEN text || ' caf' || chr(233) || ' r' || chr(233)
+          |    || 'sum' || chr(233) || ' ' || chr(195) || ' ok'
+          |  ELSE text END AS text FROM p),
+          |""".stripMargin +
+        s"c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        s"CAST(len(regexp_extract_all(text, " +
+        s"'${graft.ext.TextAnalysis.FffdClass}')) AS BIGINT) AS n_fffd, " +
+        s"CAST(len(regexp_extract_all(text, " +
+        s"'${graft.ext.TextAnalysis.MojibakePairClass}')) AS BIGINT) " +
+        s"AS moji_pairs, " +
+        s"CAST(len(regexp_extract_all(text, " +
+        s"'${graft.ext.TextAnalysis.C1Class}')) AS BIGINT) AS n_c1 FROM d),\n" +
+        s"r AS (SELECT doc_id, n_chars, moji_pairs, " +
+        s"CAST((n_fffd * 1000000) // greatest(n_chars, 1) AS BIGINT) " +
+        s"AS fffd_ppm, " +
+        s"CAST((n_c1 * 1000000) // greatest(n_chars, 1) AS BIGINT) " +
+        s"AS c1_ppm FROM c)\n" +
+        s"SELECT doc_id, n_chars, fffd_ppm, moji_pairs, c1_ppm, " +
+        s"CASE WHEN fffd_ppm >= ${graft.ext.TextAnalysis.FffdMaxPpm} " +
+        s"THEN 'replacement_damage' " +
+        s"WHEN moji_pairs >= ${graft.ext.TextAnalysis.MojiMinPairs} " +
+        s"THEN 'double_encoded' " +
+        s"WHEN c1_ppm >= ${graft.ext.TextAnalysis.C1MaxPpm} " +
+        s"THEN 'c1_controls' ELSE 'clean' END AS verdict FROM r"),
+
+    // SemDeDup mirror: BRUTE-FORCE truth — all-pairs list_reduce
+    // cosine ≥ 0.9 (the q171 recipe) + the q55 recursive-CTE
+    // component fold; the oracle never sees the clustering. Copies
+    // via CAST(CAST(x AS DOUBLE) * 2 AS FLOAT) — double-exact then
+    // float-exact, the same values Spark's float multiply produces.
+    "q310_semdedup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 4 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 14 = 0),
+        |n AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(list_zip(embedding, embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT a.vec_id AS pa, b.vec_id AS pb
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / sqrt(a.nn * b.nn) >= 0.9),
+        |edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |assigned AS (
+        |  SELECT c.vec_id, coalesce(cm.component, c.vec_id) AS keep_id
+        |  FROM corpus c LEFT JOIN comp cm ON cm.node = c.vec_id)
+        |SELECT vec_id, keep_id,
+        |  count(*) OVER (PARTITION BY keep_id) AS n_members,
+        |  vec_id <> keep_id AS is_dup
+        |FROM assigned""".stripMargin,
 
     // calibrated-gopher mirror: the q291 gopher mirror as a subquery
     // + the q296 discovery logic + the zero-hit override, all three

@@ -38,6 +38,17 @@ object Bitext {
     * (src_id, tgt_id, top_sim_s, margin_c1000, mutual, accepted).
     * One row per source vector; `accepted` = margin_c1000 STRICTLY >
     * minMarginC1000 (1000 = "no better than the neighborhood mean").
+    *
+    * CONTRACT: `src` and `tgt` are INDEPENDENT corpora (two
+    * languages' sentence embeddings) — there is deliberately NO
+    * id-equality exclusion, because overlapping id spaces (both
+    * numbered 0..n) are the normal case and excluding tgt_id ==
+    * src_id would silently drop true pairs (round-14 ADVICE fix).
+    * Consequence: do NOT call this with the SAME frame on both
+    * sides — every vector would match itself at cosine 1 and come
+    * back as an accepted, mutual top-1 self-pair. Same-corpus
+    * neighbor mining is [[SimSearch.bruteForceTopK]]'s job (its
+    * self-exclusion is the same-corpus semantic).
     */
   def mineMarginPairs(
       src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,

@@ -792,4 +792,65 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** SEMANTIC dedup over an embedding column (the SemDeDup shape,
+    * Abbas et al. 2023, arXiv:2303.09540): cluster the corpus at
+    * anchor grain with the IVF coarse quantizer
+    * ([[SimSearch.buildIvfIndex]] — sampling + optional Lloyd), form
+    * near-dup edges ONLY within each cluster (cosine >= tau), fold
+    * them into components ([[ConnectedComponents.dedupClusters]]),
+    * keep one document per component. The within-cluster restriction
+    * is the scale trick: per-cluster all-pairs is
+    * O(n²/nlist) per cluster in expectation, never a corpus-wide
+    * product — at 100 TB the cluster key is the shuffle key and each
+    * cluster's pair generation is local to its partition group.
+    *
+    * CONTRACT (what the within-cluster restriction trades away): a
+    * cross-cluster pair at cosine >= tau is NOT found — the paper's
+    * posture (duplicates land in the same k-means cell "almost
+    * always"); q310 certifies the composition against BRUTE-FORCE
+    * truth on a corpus whose duplicate groups are scalar multiples
+    * (power-of-2 scaling, so every copy's cosine to EVERY vector —
+    * anchors included — is bit-identical to its base's and the group
+    * provably cannot split across clusters) and whose natural pair
+    * cosines top out at ~0.51 vs tau 0.9 (measured both SFs).
+    *
+    * Returns one row per input doc: (idCol, keep_id, n_members,
+    * is_dup) — `keep_id` the component's min id (the
+    * [[ConnectedComponents.dedupClusters]] representative; compose
+    * with [[ConnectedComponents.canonicalPerCluster]] for a scored
+    * keeper), `n_members` the component size, `is_dup` true on every
+    * non-representative. Output never carries the anchor id — anchor
+    * identity depends on the quantizer sample and is not part of the
+    * semantic contract.
+    */
+  def semDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, tau: Double, lloydIters: Int = 1,
+      seed: Long = 7L): DataFrame = {
+    require(nlist >= 1 && tau > 0 && tau <= 1.0001,
+      s"bad semDedup params: nlist=$nlist tau=$tau")
+    val spark = corpus.sparkSession
+    val idx = SimSearch.buildIvfIndex(
+      corpus, idCol, vecCol, nlist, seed, lloydIters)
+    // one materialization: the lists feed pair generation below; the
+    // trained-artifact checkpoint rule (buildIvfPq postmortem — a lazy
+    // assignment re-executes per consumer)
+    val members = idx.lists
+      .select(col("__cid"), col("neighbor_id").as("__id"),
+        col("__cv2").as("__v"))
+      .localCheckpoint()
+    val pairs = members.as("a")
+      .join(members.as("b"),
+        col("a.__cid") === col("b.__cid") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("src"), col("b.__id").as("dst"),
+        SimSearch.cosineSim(spark, col("a.__v"), col("b.__v")).as("__cos"))
+      .filter(col("__cos") >= tau)
+      .select("src", "dst")
+    ConnectedComponents.dedupClusters(
+        corpus.select(col(idCol)), idCol, pairs, "src", "dst")
+      .select(col(idCol), col("cluster").as("keep_id"),
+        col("cluster_size").as("n_members"),
+        (!col("is_representative")).as("is_dup"))
+  }
 }

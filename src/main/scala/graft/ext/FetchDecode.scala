@@ -1,0 +1,178 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.{Inflate, Transcode}
+
+/** The full fetch-side decode: raw HTTP response BYTES → extracted
+  * UTF-8 text, in one total decision table — the composition of the
+  * family's pieces ([[HttpRecord]] framing, [[Inflate]]
+  * Content-Encoding, [[Transcode]] charsets) that a real crawl
+  * pipeline runs between the WARC payload and the tokenizer. Until
+  * this operator, each piece was certified alone and the
+  * bytes-to-text path existed only implicitly.
+  *
+  * BINARY PLUMBING: the record is bridged bytes→chars through
+  * ISO-8859-1 (`decode(raw, 'ISO-8859-1')`) — a LOSSLESS 1:1 mapping
+  * for every byte value, invertible via `encode` — so the status
+  * line / header block / separator split runs on Spark's native
+  * string machinery (the [[HttpRecord]] regexes) and only the BODY
+  * round-trips back to bytes for inflate + charset decode. Headers
+  * are ASCII by RFC 9112, so the bridge is exact where it is read.
+  *
+  * CHARSET RESOLUTION (WHATWG-ordered, each leg certified by a
+  * fixture arm):
+  *   1. a UTF-8 BOM on the decoded payload wins over everything
+  *      (and is stripped) — a lying `charset=` header cannot
+  *      override bytes;
+  *   2. the Content-Type `charset=` parameter;
+  *   3. a `<meta … charset=…>` sniff in the first [[MetaSniffBytes]]
+  *      bytes of the payload (covers both the HTML5 attribute and
+  *      the legacy http-equiv form — the fallback
+  *      [[HtmlExtract]] disclaims);
+  *   4. no declaration: strict UTF-8 attempt (most of the modern
+  *      web; a clean parse is authoritative);
+  *   5. windows-1252 LENIENT fallback (the browser legacy default —
+  *      total: every byte decodes, undefined points become U+FFFD).
+  * A DECLARED charset decodes LENIENTLY (browser rule): a wrong
+  * declaration yields U+FFFD damage for the mojibake gate
+  * ([[TextAnalysis.encodingDamage]]) to catch downstream, not a
+  * silent kill — but a declared charset OUTSIDE the [[Transcode]]
+  * allowlist routes `bad_charset` (nothing sound can be decoded).
+  *
+  * DECISION TABLE (first match wins; every record classified once):
+  * `malformed` (no status line / no header-body separator) >
+  * `bad_status` (non-200) > `bad_encoding` (a Transfer-Encoding
+  * other than identity — route through [[HttpRecord.decodeChunked]]
+  * upstream — or a Content-Encoding outside
+  * identity/gzip/x-gzip/deflate) > `bad_type` (not text/html) >
+  * `bad_inflate` (corrupt/truncated/bomb gzip or deflate payload —
+  * the [[Inflate]] NULL routes) > `bad_charset` (declared-but-
+  * unsupported charset) > `ok`. Non-ok rows carry NULL text and ''
+  * charset/cs_source, so the table is total and hash-certifiable.
+  *
+  * 100-TB shape: a pure per-row projection — regex splits, one
+  * bounded inflate, one charset decode per row; no shuffle, nothing
+  * collected. The two Generate barriers (`explode_outer(array(…))`)
+  * pin the inflate and the three decode legs to ONE evaluation each
+  * (the q215 re-inlining class: conditional branches defeat codegen
+  * subexpression elimination, and a pushed-down predicate would
+  * re-inline the whole inflate into the scan).
+  */
+object FetchDecode {
+
+  /** Meta-charset sniff window (bytes of payload prefix), matching
+    * the WHATWG prescan bound.
+    */
+  val MetaSniffBytes = 1024
+
+  /** Content-Encoding values the pipeline decodes in-line. */
+  val SupportedEncodings: Seq[String] =
+    Seq("", "identity", "gzip", "x-gzip", "deflate")
+
+  private val Latin1 = "ISO-8859-1"
+
+  /** (idCol, status, content_type, charset, cs_source, decision,
+    * text) — contract above.
+    */
+  def decodeResponses(
+      df: DataFrame, idCol: String, rawCol: String,
+      maxBytes: Int = Inflate.DefaultMaxBytes): DataFrame = {
+    // ── stage 1: the latin-1 bridge + framing scalars ──
+    val raw = decode(col(rawCol), Latin1)
+    val st = HttpRecord.status(raw)
+    val ct = HttpRecord.header(raw, "Content-Type")
+    val s1 = df.select(col(idCol),
+      explode_outer(array(struct(
+        st.as("status"),
+        lower(trim(regexp_extract(ct, "^([^;]*)", 1))).as("content_type"),
+        lower(regexp_extract(ct, "(?i)charset=([A-Za-z0-9_-]+)", 1))
+          .as("header_cs"),
+        lower(trim(HttpRecord.header(raw, "Transfer-Encoding"))).as("te"),
+        lower(trim(HttpRecord.header(raw, "Content-Encoding"))).as("ce"),
+        raw.contains("\r\n\r\n").as("has_sep"),
+        encode(HttpRecord.body(raw), Latin1).as("body")))).as("h"))
+      .select(col(idCol), col("h.*"))
+
+    // ── stage 2: ONE bounded inflate per row, behind a barrier ──
+    val ce = col("ce")
+    val inflated =
+      when(ce === "" || ce === "identity", col("body"))
+        .when(ce === "gzip" || ce === "x-gzip",
+          Inflate.gunzip(col("body"), maxBytes))
+        .when(ce === "deflate", Inflate.inflateDeflate(col("body"), maxBytes))
+        .otherwise(lit(null).cast("binary"))
+    val s2 = s1.select(col(idCol), col("status"), col("content_type"),
+        col("header_cs"), col("te"), col("ce"), col("has_sep"),
+        explode_outer(array(inflated)).as("payload"))
+
+    // ── stage 3: charset resolution + the three decode legs ──
+    val pay = col("payload")
+    val hasBom = length(pay) >= 3 &&
+      substring(pay, 1, 3) === to_binary(lit("efbbbf"), lit("hex"))
+    val stripped = when(hasBom, pay.substr(lit(4), length(pay) - 3))
+      .otherwise(pay)
+    val metaCs = lower(regexp_extract(
+      decode(substring(pay, 1, MetaSniffBytes), Latin1),
+      "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)", 1))
+    val csToken =
+      when(hasBom, lit("utf-8"))
+        .when(col("header_cs") =!= "", col("header_cs"))
+        .otherwise(metaCs)
+    val csSource =
+      when(hasBom, lit("bom"))
+        .when(col("header_cs") =!= "", lit("header"))
+        .when(metaCs =!= "", lit("meta"))
+        .otherwise(lit(""))
+    val s3 = s2.select(col(idCol), col("status"), col("content_type"),
+        col("te"), col("ce"), col("has_sep"), pay.isNull.as("inflate_null"),
+        csSource.as("cs_source_raw"), csToken.as("cs_token"),
+        explode_outer(array(struct(
+          Transcode.toUtf8Lenient(stripped, csToken).as("declared"),
+          Transcode.toUtf8(stripped, lit("utf-8")).as("utf8_strict"),
+          Transcode.toUtf8Lenient(stripped, lit("windows-1252"))
+            .as("cp1252")))).as("d"))
+      .select(col("*"), col("d.*")).drop("d")
+
+    // ── stage 4: the total decision table ──
+    val csKnown = col("cs_token")
+      .isin(Transcode.Charsets.keys.toSeq.map(x => x: Any): _*)
+    val decision =
+      when(col("status").isNull || !col("has_sep"), lit("malformed"))
+        .when(col("status") =!= 200, lit("bad_status"))
+        .when(col("te") =!= "" && col("te") =!= "identity",
+          lit("bad_encoding"))
+        .when(!col("ce").isin(SupportedEncodings.map(x => x: Any): _*),
+          lit("bad_encoding"))
+        .when(col("content_type") =!= "text/html", lit("bad_type"))
+        .when(col("inflate_null"), lit("bad_inflate"))
+        .when(col("cs_source_raw") =!= "" && !csKnown, lit("bad_charset"))
+        .otherwise(lit("ok"))
+    val text =
+      when(col("cs_source_raw") =!= "", col("declared"))
+        .when(col("utf8_strict").isNotNull, col("utf8_strict"))
+        .otherwise(col("cp1252"))
+    val source =
+      when(col("cs_source_raw") =!= "", col("cs_source_raw"))
+        .when(col("utf8_strict").isNotNull, lit("utf8"))
+        .otherwise(lit("cp1252_fallback"))
+    val charset =
+      when(col("cs_source_raw") =!= "", col("cs_token"))
+        .when(col("utf8_strict").isNotNull, lit("utf-8"))
+        .otherwise(lit("windows-1252"))
+    s3.select(col(idCol), col("status"), col("content_type"),
+      when(decision === "ok", charset).otherwise(lit("")).as("charset"),
+      when(decision === "ok", source).otherwise(lit("")).as("cs_source"),
+      decision.as("decision"),
+      when(decision === "ok", text).otherwise(lit(null).cast("string"))
+        .as("text"))
+  }
+
+  /** Fixture/probe helper — author a raw response record IN-PLAN
+    * (ASCII head + body bytes), one definition so specs and the
+    * certified query cannot drift (the chunkedFrame rule).
+    */
+  def responseRecord(headAscii: Column, bodyBytes: Column): Column =
+    concat(encode(headAscii, Latin1), bodyBytes)
+}

@@ -213,6 +213,86 @@ object TextAnalysis {
   def stripInvisible(text: Column): Column =
     regexp_replace(coalesce(text, lit("")), InvisibleClass, "")
 
+  // ── encoding-damage / mojibake gate (round 15) ─────────────────
+
+  /** U+FFFD REPLACEMENT CHARACTER — what a lenient decoder mints for
+    * every malformed byte sequence ([[graft.plans.Transcode]]
+    * lenient mode, [[graft.ext.FetchDecode]]'s wrong-declaration and
+    * fallback legs).
+    */
+  private[graft] val FffdClass = "[\\x{FFFD}]"
+
+  /** C1 controls U+0080-U+009F — the signature of cp1252 bytes
+    * decoded as latin-1 (the 0x80-0x9F page maps straight through):
+    * no legitimate web text carries them.
+    */
+  private[graft] val C1Class = "[\\x{0080}-\\x{009F}]"
+
+  /** The classic UTF-8-decoded-as-cp1252 double-encoding pair: a
+    * 2-byte UTF-8 lead for the Latin-1 range (0xC2/0xC3 → Â/Ã)
+    * followed by the cp1252 GLYPH IMAGE of a continuation byte —
+    * U+00A0-BF straight through, the 0x80-0x9F page remapped to its
+    * cp1252 punctuation/letters (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " "
+    * • – — ˜ ™ š › œ ž Ÿ), or a raw C1 when the damage went through
+    * latin-1 instead. "cafÃ©" is "café" double-encoded.
+    */
+  private[graft] val MojibakePairClass: String =
+    "[\\x{00C2}\\x{00C3}]" +
+      "[\\x{00A0}-\\x{00BF}\\x{0080}-\\x{009F}" +
+      "\\x{20AC}\\x{201A}\\x{0192}\\x{201E}\\x{2026}\\x{2020}\\x{2021}" +
+      "\\x{02C6}\\x{2030}\\x{0160}\\x{2039}\\x{0152}\\x{017D}" +
+      "\\x{2018}\\x{2019}\\x{201C}\\x{201D}\\x{2022}\\x{2013}\\x{2014}" +
+      "\\x{02DC}\\x{2122}\\x{0161}\\x{203A}\\x{0153}\\x{017E}\\x{0178}]"
+
+  /** Routing thresholds (integer ppm of CHARACTERS / absolute pair
+    * count) — shared with the oracle by interpolation.
+    */
+  private[graft] val FffdMaxPpm = 1000L
+  private[graft] val C1MaxPpm = 1000L
+  private[graft] val MojiMinPairs = 2L
+
+  /** Encoding-damage quality gate — the detector for decode damage
+    * the lenient legs of [[graft.ext.FetchDecode]] let through BY
+    * DESIGN (a wrong charset declaration yields U+FFFD text, not a
+    * kill; a cp1252 page burned through a latin-1 path yields C1
+    * controls; text UTF-8-encoded twice yields Ã/Â pairs). Verdict
+    * precedence: `replacement_damage` (U+FFFD rate ≥ [[FffdMaxPpm]])
+    * > `double_encoded` (≥ [[MojiMinPairs]] mojibake pairs — an
+    * absolute count: two independent pair hits are already a
+    * near-impossible accident in clean text) > `c1_controls` (C1
+    * rate ≥ [[C1MaxPpm]]) > `clean`. Genuine accented text (é, a
+    * bare Ã before a space) triggers NOTHING — certified by q309's
+    * benign arm.
+    *
+    * Output: (idCol, n_chars, fffd_ppm, moji_pairs, c1_ppm,
+    * verdict). Rates are exact-integer ppm over CHARACTERS (the
+    * pmod form; DuckDB mirrors with //). 100-TB shape: a pure
+    * per-row projection behind one Generate barrier (the q215
+    * class); no shuffle, nothing collected.
+    */
+  def encodingDamage(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(cls: String) =
+      size(regexp_extract_all(t, lit(cls), lit(0))).cast("long")
+    val staged = df.select(col(idCol),
+      explode_outer(array(struct(
+        length(t).cast("long").as("n_chars"),
+        cnt(FffdClass).as("n_fffd"),
+        cnt(MojibakePairClass).as("moji_pairs"),
+        cnt(C1Class).as("n_c1")))).as("m"))
+      .select(col(idCol), col("m.*"))
+    def ppm(c: Column, n: Column) = when(n === 0, lit(0L))
+      .otherwise(((c * 1000000L - pmod(c * 1000000L, n)) / n).cast("long"))
+    val fffdPpm = ppm(col("n_fffd"), col("n_chars"))
+    val c1Ppm = ppm(col("n_c1"), col("n_chars"))
+    staged.select(col(idCol), col("n_chars"),
+      fffdPpm.as("fffd_ppm"), col("moji_pairs"), c1Ppm.as("c1_ppm"),
+      when(fffdPpm >= FffdMaxPpm, lit("replacement_damage"))
+        .when(col("moji_pairs") >= MojiMinPairs, lit("double_encoded"))
+        .when(c1Ppm >= C1MaxPpm, lit("c1_controls"))
+        .otherwise(lit("clean")).as("verdict"))
+  }
+
   // ── confusable-skeleton dedup (round 14) ───────────────────────
 
   /** The uncontroversial Cyrillic→Latin homoglyph core (per Unicode

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, SimHash, SimSearch, TextAnalysis}
+import graft.ext.{ConnectedComponents, Dedup, SimHash, SimSearch, TextAnalysis}
 
 /** Extension-operator specs: dedup recall vs ground truth, simhash
   * invariants, similarity-search correctness + LSH recall, text stats,
@@ -1114,5 +1114,35 @@ class ExtSpec extends SparkSpec {
       assert(got(i) == (("the price is 00 dollars", 10L, 4L, i != 10L)),
         s"variant $i: ${got(i)}")
     assert(got(20L) == (("something else entirely", 20L, 1L, false)))
+  }
+
+  test("semDedup == brute-force cosine truth on the planted scaled-copy corpus") {
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def scaled(k: Float, off: Long, m: Long) = base
+      .filter($"vec_id" % m === 0)
+      .select(($"vec_id" + off).as("vec_id"),
+        transform($"embedding", x => x * lit(k)).as("embedding"))
+    val corpus = base
+      .unionByName(scaled(2.0f, 100000L, 7L))
+      .unionByName(scaled(4.0f, 200000L, 14L))
+      .repartition(8, $"vec_id").localCheckpoint()
+    val got = Dedup.semDedup(corpus, "vec_id", "embedding",
+      nlist = 8, tau = 0.9)
+    // brute-force truth: exact all-pairs edges -> same component fold
+    val truthPairs = SimSearch.nearDupPairsCosine(
+      corpus, "vec_id", "embedding", 0.9).select("vec_a", "vec_b")
+    val truth = ConnectedComponents.dedupClusters(
+        corpus.select($"vec_id"), "vec_id", truthPairs, "vec_a", "vec_b")
+      .select($"vec_id", $"cluster".as("keep_id"),
+        $"cluster_size".as("n_members"),
+        (!$"is_representative").as("is_dup"))
+    assert(got.count() == corpus.count())
+    assert(got.except(truth).count() == 0 && truth.except(got).count() == 0)
+    // non-vacuity: the %14 groups really are triples, %7-only pairs
+    val sizes = got.filter($"n_members" === 3).count()
+    assert(sizes > 0 && got.filter($"n_members" === 2 && $"is_dup").count() > 0)
+    // keepers are the min id of each group (the base vector)
+    assert(got.filter($"is_dup" && $"keep_id" >= 100000L).count() == 0)
   }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.FetchDecode
+import graft.plans.{Inflate, Transcode}
+
+/** The bytes\u2192text capstone: every decision route, the charset
+  * precedence order (BOM > header > meta > strict-utf8 > cp1252
+  * fallback), and the lenient wrong-declaration leg. Records are
+  * authored via FetchDecode.responseRecord (the shared helper the
+  * certified query uses).
+  */
+class FetchDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def head(lines: String*): String =
+    lines.mkString("", "\r\n", "\r\n\r\n")
+  private val okHtml = head("HTTP/1.1 200 OK", "Content-Type: text/html")
+
+  private def decodeOne(headStr: String, body: org.apache.spark.sql.Column) = {
+    val df = spark.range(1).select(lit(1L).as("id"),
+      FetchDecode.responseRecord(lit(headStr), body).as("raw"))
+    FetchDecode.decodeResponses(df, "id", "raw", maxBytes = 4096)
+      .select("decision", "charset", "cs_source", "text")
+      .collect()(0)
+  }
+
+  test("plain utf-8, undeclared: strict-utf8 leg") {
+    val r = decodeOne(okHtml, lit("hello plain").cast("binary"))
+    assert(r.getString(0) == "ok" && r.getString(1) == "utf-8" &&
+      r.getString(2) == "utf8" && r.getString(3) == "hello plain")
+  }
+
+  test("gzip + header charset decodes through both stages") {
+    val body = Inflate.gzipCompress(
+      Transcode.encode(lit("caf\u00E9 \u20AC"), lit("windows-1252")))
+    val r = decodeOne(head("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=windows-1252",
+      "Content-Encoding: gzip"), body)
+    assert(r.getString(0) == "ok" && r.getString(1) == "windows-1252" &&
+      r.getString(2) == "header" && r.getString(3) == "caf\u00E9 \u20AC")
+  }
+
+  test("meta sniff fills in when the header is silent") {
+    val html = "<html><head><meta charset=shift_jis></head><body>" +
+      "\u30AB\u30D5\u30A7</body></html>"
+    val r = decodeOne(okHtml, Transcode.encode(lit(html), lit("shift_jis")))
+    assert(r.getString(0) == "ok" && r.getString(1) == "shift_jis" &&
+      r.getString(2) == "meta" && r.getString(3) == html)
+  }
+
+  test("BOM wins over a lying header and is stripped") {
+    val bom = to_binary(lit("efbbbf"), lit("hex"))
+    val r = decodeOne(head("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=shift_jis"),
+      concat(bom, lit("caf\u00E9 utf8").cast("binary")))
+    assert(r.getString(0) == "ok" && r.getString(1) == "utf-8" &&
+      r.getString(2) == "bom" && r.getString(3) == "caf\u00E9 utf8")
+  }
+
+  test("undeclared cp1252 bytes fall through to the lenient fallback") {
+    val r = decodeOne(okHtml,
+      Transcode.encode(lit("caf\u00E9 legacy"), lit("windows-1252")))
+    assert(r.getString(0) == "ok" && r.getString(1) == "windows-1252" &&
+      r.getString(2) == "cp1252_fallback" && r.getString(3) == "caf\u00E9 legacy")
+  }
+
+  test("wrong declaration decodes LENIENTLY with U+FFFD damage") {
+    val r = decodeOne(head("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=utf-8"),
+      Transcode.encode(lit("caf\u00E9!"), lit("windows-1252")))
+    assert(r.getString(0) == "ok" && r.getString(2) == "header" &&
+      r.getString(3) == "caf\uFFFD!")
+  }
+
+  test("every quarantine route fires and carries NULL text") {
+    def route(headStr: String, body: org.apache.spark.sql.Column) = {
+      val r = decodeOne(headStr, body)
+      assert(r.isNullAt(3) && r.getString(1) == "" && r.getString(2) == "")
+      r.getString(0)
+    }
+    val b = lit("x").cast("binary")
+    assert(route("not http at all", b) == "malformed")
+    assert(route(head("HTTP/1.1 404 NF", "Content-Type: text/html"), b)
+      == "bad_status")
+    assert(route(head("HTTP/1.1 200 OK", "Content-Type: text/html",
+      "Transfer-Encoding: chunked"), b) == "bad_encoding")
+    assert(route(head("HTTP/1.1 200 OK", "Content-Type: text/html",
+      "Content-Encoding: br"), b) == "bad_encoding")
+    assert(route(head("HTTP/1.1 200 OK", "Content-Type: application/json"),
+      b) == "bad_type")
+    assert(route(head("HTTP/1.1 200 OK", "Content-Type: text/html",
+      "Content-Encoding: gzip"), lit("junkjunk").cast("binary"))
+      == "bad_inflate")
+    assert(route(head("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=utf-7"), b) == "bad_charset")
+    // the bomb: 100k of 'A' gzips tiny but exceeds maxBytes=4096
+    assert(route(head("HTTP/1.1 200 OK", "Content-Type: text/html",
+      "Content-Encoding: gzip"),
+      Inflate.gzipCompress(lit("A" * 100000).cast("binary")))
+      == "bad_inflate")
+  }
+}

@@ -574,4 +574,33 @@ class TextPipelineSpec extends SparkSpec {
     // every input classified exactly once
     assert(got.size == 9)
   }
+
+  test("encodingDamage: verdict precedence, benign accents never fire, exact ppm") {
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      (0L, "plain clean ascii text here"),
+      (1L, "damaged caf\uFFFD here"),                       // 1 FFFD / 19 chars
+      (2L, "caf\u00C3\u00A9 r\u00C3\u00A9sum\u00C3\u00A9"),  // 3 moji pairs
+      (3L, "ctl x\u0080y\u0099z"),                          // 2 C1
+      (4L, "caf\u00E9 r\u00E9sum\u00E9 \u00C3 ok"),         // benign: bare \u00C3 + space
+      (5L, "caf\uFFFD and caf\u00C3\u00A9 caf\u00C3\u00A9")  // FFFD wins over pairs
+    ).toDF("id", "text")
+    val got = TextAnalysis.encodingDamage(rows, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    assert(got(0L)._5 == "clean")
+    assert(got(1L)._5 == "replacement_damage")
+    // exact integer ppm: 1 FFFD over the arm's char count
+    assert(got(1L)._2 == 1000000L / got(1L)._1)
+    assert(got(2L) == ((14L, 0L, 3L, 0L, "double_encoded")))
+    assert(got(3L)._5 == "c1_controls" && got(3L)._4 >= 1000L)
+    assert(got(4L)._5 == "clean", s"benign accents fired: ${got(4L)}")
+    assert(got(4L)._3 == 0L, "bare \u00C3 before space is not a pair")
+    assert(got(5L)._5 == "replacement_damage", "FFFD precedence over pairs")
+    // null text is total: 0 chars, clean
+    val n = TextAnalysis.encodingDamage(
+      Seq((9L, null: String)).toDF("id", "text"), "id", "text").collect()(0)
+    assert(n.getLong(1) == 0L && n.getString(5) == "clean")
+  }
 }
