@@ -89,6 +89,100 @@ object SparkEntry {
       .as("html"))
   }
 
+  /** q308/q311 SHARED inflate cap for the fetch-decode fixture: ok-arm
+    * payloads top out at 647 bytes and the %14=13 bomb arm at ≥ 2200
+    * (repeat×50 of the ≥44-byte min text) at every SF — both margins
+    * hold, so the cap splits the arms identically everywhere.
+    */
+  private val FetchMaxBytes = 2000
+
+  /** q308/q311 SHARED fetch-decode fixture (the htmlFixture rule — one
+    * builder so the batch query and its streaming twin cannot drift):
+    * (doc_id, raw) HTTP response records as REAL bytes. Arms
+    * (doc_id % 14): 0 undeclared utf-8, 1 gzip + header cp1252 (é AND
+    * €), 2 zlib deflate + META-sniffed shift_jis, 3 BOM beating a
+    * LYING shift_jis header, 4 undeclared cp1252 (lenient fallback),
+    * 5 WRONG utf-8 declaration over cp1252 bytes (lenient U+FFFD), 6
+    * 404, 7 wrong media type, 8 unsupported CE (br), 9 chunked TE, 10
+    * corrupt gzip, 11 unsupported declared charset, 12 no status line,
+    * 13 gzip bomb vs [[FetchMaxBytes]].
+    */
+  private def fetchFixture(docs: DataFrame): DataFrame = {
+    import graft.ext.FetchDecode
+    import graft.plans.{Inflate, Transcode}
+    val id = col("doc_id")
+    val a = id % 14
+    def mkHead(lines: String*) = lit(lines.mkString("", "\r\n", "\r\n\r\n"))
+    val okHtml = mkHead("HTTP/1.1 200 OK", "Content-Type: text/html")
+    val gzHead = mkHead("HTTP/1.1 200 OK", "Content-Type: text/html",
+      "Content-Encoding: gzip")
+    val sfx1252 = concat(col("text"), lit(" caf\u00E9 \u20AC9"))
+    val html2 = concat(
+      lit("<html><head><meta charset=shift_jis></head><body>"),
+      col("text"), lit(" \u30AB\u30D5\u30A7</body></html>"))
+    val headCol =
+      when(a === 1, mkHead("HTTP/1.1 200 OK",
+        "Content-Type: text/html; charset=windows-1252",
+        "Content-Encoding: gzip"))
+        .when(a === 2, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/html", "Content-Encoding: deflate"))
+        .when(a === 3, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/html; charset=shift_jis"))
+        .when(a === 5, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/html; charset=utf-8"))
+        .when(a === 6, mkHead("HTTP/1.1 404 Not Found",
+          "Content-Type: text/html"))
+        .when(a === 7, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: application/json"))
+        .when(a === 8, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/html", "Content-Encoding: br"))
+        .when(a === 9, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/html", "Transfer-Encoding: chunked"))
+        .when(a === 10 || a === 13, gzHead)
+        .when(a === 11, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/html; charset=utf-7"))
+        .otherwise(okHtml)
+    val bom = to_binary(lit("efbbbf"), lit("hex"))
+    val body =
+      when(a === 1,
+        Inflate.gzipCompress(Transcode.encode(sfx1252,
+          lit("windows-1252"))))
+        .when(a === 2,
+          Inflate.zlibCompress(Transcode.encode(html2, lit("shift_jis"))))
+        .when(a === 3, concat(bom,
+          concat(col("text"), lit(" caf\u00E9")).cast("binary")))
+        .when(a === 4, Transcode.encode(
+          concat(col("text"), lit(" caf\u00E9")), lit("windows-1252")))
+        .when(a === 5, Transcode.encode(
+          concat(col("text"), lit(" caf\u00E9!")), lit("windows-1252")))
+        .when(a === 10, lit("junkjunk").cast("binary"))
+        .when(a === 13,
+          Inflate.gzipCompress(repeat(col("text"), 50).cast("binary")))
+        .otherwise(col("text").cast("binary"))
+    val raw = when(a === 12, col("text").cast("binary"))
+      .otherwise(FetchDecode.responseRecord(headCol, body))
+    docs.select(id, raw.as("raw"))
+  }
+
+  /** q310/q313 SHARED SemDeDup fixture (one builder so the min-id and
+    * scored-keeper variants cannot drift): the embeddings corpus plus
+    * power-of-2 scalar-multiple copies (×2 at %7 → +100000, ×4 at
+    * %14 → +200000) — float-exact in both engines, so every copy's
+    * cosine to every vector is bit-identical to its base's (the
+    * cannot-split-across-clusters argument lives at q310/Dedup
+    * .semDedup).
+    */
+  private def semCorpus(base0: DataFrame): DataFrame = {
+    val base = base0.select(col("vec_id"), col("embedding"))
+    def scaled(k: Float, off: Long, m: Long) = base
+      .filter(col("vec_id") % m === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => x * lit(k)).as("embedding"))
+    base.unionByName(scaled(2.0f, 100000L, 7L))
+      .unionByName(scaled(4.0f, 200000L, 14L))
+      .repartition(32, col("vec_id"))
+  }
+
   /** The q223/q229 robots policy fixture — ONE Scala site so the
     * composed politeness capstone cannot drift from the compliance
     * stage it composes: 20 hosts × ('/': allow, '/Docs/<i%7>': deny,
@@ -3388,62 +3482,10 @@ object SparkEntry {
     // at every SF, lengths checked 44-577). ──
     "q308_fetch_decode" -> ((s, dir) => {
       import graft.ext.FetchDecode
-      import graft.plans.{Inflate, Transcode}
-      val id = col("doc_id")
-      val a = id % 14
-      val docs = t(s, dir, "documents").select(id, col("text"))
-        .repartition(32, id)
-      def mkHead(lines: String*) = lit(lines.mkString("", "\r\n", "\r\n\r\n"))
-      val okHtml = mkHead("HTTP/1.1 200 OK", "Content-Type: text/html")
-      val gzHead = mkHead("HTTP/1.1 200 OK", "Content-Type: text/html",
-        "Content-Encoding: gzip")
-      val sfx1252 = concat(col("text"), lit(" caf\u00E9 \u20AC9"))
-      val html2 = concat(
-        lit("<html><head><meta charset=shift_jis></head><body>"),
-        col("text"), lit(" \u30AB\u30D5\u30A7</body></html>"))
-      val headCol =
-        when(a === 1, mkHead("HTTP/1.1 200 OK",
-          "Content-Type: text/html; charset=windows-1252",
-          "Content-Encoding: gzip"))
-          .when(a === 2, mkHead("HTTP/1.1 200 OK",
-            "Content-Type: text/html", "Content-Encoding: deflate"))
-          .when(a === 3, mkHead("HTTP/1.1 200 OK",
-            "Content-Type: text/html; charset=shift_jis"))
-          .when(a === 5, mkHead("HTTP/1.1 200 OK",
-            "Content-Type: text/html; charset=utf-8"))
-          .when(a === 6, mkHead("HTTP/1.1 404 Not Found",
-            "Content-Type: text/html"))
-          .when(a === 7, mkHead("HTTP/1.1 200 OK",
-            "Content-Type: application/json"))
-          .when(a === 8, mkHead("HTTP/1.1 200 OK",
-            "Content-Type: text/html", "Content-Encoding: br"))
-          .when(a === 9, mkHead("HTTP/1.1 200 OK",
-            "Content-Type: text/html", "Transfer-Encoding: chunked"))
-          .when(a === 10 || a === 13, gzHead)
-          .when(a === 11, mkHead("HTTP/1.1 200 OK",
-            "Content-Type: text/html; charset=utf-7"))
-          .otherwise(okHtml)
-      val bom = to_binary(lit("efbbbf"), lit("hex"))
-      val body =
-        when(a === 1,
-          Inflate.gzipCompress(Transcode.encode(sfx1252,
-            lit("windows-1252"))))
-          .when(a === 2,
-            Inflate.zlibCompress(Transcode.encode(html2, lit("shift_jis"))))
-          .when(a === 3, concat(bom,
-            concat(col("text"), lit(" caf\u00E9")).cast("binary")))
-          .when(a === 4, Transcode.encode(
-            concat(col("text"), lit(" caf\u00E9")), lit("windows-1252")))
-          .when(a === 5, Transcode.encode(
-            concat(col("text"), lit(" caf\u00E9!")), lit("windows-1252")))
-          .when(a === 10, lit("junkjunk").cast("binary"))
-          .when(a === 13,
-            Inflate.gzipCompress(repeat(col("text"), 50).cast("binary")))
-          .otherwise(col("text").cast("binary"))
-      val raw = when(a === 12, col("text").cast("binary"))
-        .otherwise(FetchDecode.responseRecord(headCol, body))
-      FetchDecode.decodeResponses(
-        docs.select(id, raw.as("raw")), "doc_id", "raw", maxBytes = 2000)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(32, col("doc_id"))
+      FetchDecode.decodeResponses(fetchFixture(docs), "doc_id", "raw",
+        maxBytes = FetchMaxBytes)
     }),
 
     // ── encoding-damage / mojibake gate (TextAnalysis
@@ -3488,18 +3530,88 @@ object SparkEntry {
     // clusters (same argmax) and sits at cos≈1 vs τ=0.9, while
     // natural pair cosines top out at ~0.52 (measured, both SFs):
     // a 0.38 margin on both sides of the threshold. ──
-    "q310_semdedup" -> ((s, dir) => {
-      import graft.ext.Dedup
-      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      def scaled(k: Float, off: Long, m: Long) = base
-        .filter(col("vec_id") % m === 0)
-        .select((col("vec_id") + off).as("vec_id"),
-          transform(col("embedding"), x => x * lit(k)).as("embedding"))
-      val corpus = base
-        .unionByName(scaled(2.0f, 100000L, 7L))
-        .unionByName(scaled(4.0f, 200000L, 14L))
-        .repartition(32, col("vec_id"))
-      Dedup.semDedup(corpus, "vec_id", "embedding", nlist = 8, tau = 0.9)
+    "q310_semdedup" -> ((s, dir) =>
+      graft.ext.Dedup.semDedup(semCorpus(t(s, dir, "embeddings")),
+        "vec_id", "embedding", nlist = 8, tau = 0.9)),
+
+    // ── SemDeDup with a SCORED keeper (the canonicalPerCluster
+    // composition the semDedup scaladoc promises): same clustering
+    // and components as q310, but the kept document per component is
+    // argmax(score) — score is the q58 md5-hex device (engine-
+    // portable, collision-free at this scale), so the keeper is NOT
+    // the min id and the window's (score DESC, id ASC) total order
+    // is exercised for real. One row per COMPONENT. ──
+    "q313_semdedup_canonical" -> ((s, dir) => {
+      import graft.ext.{ConnectedComponents, Dedup}
+      val corpus = semCorpus(t(s, dir, "embeddings")).localCheckpoint()
+      val clusters = Dedup.semDedup(corpus, "vec_id", "embedding",
+          nlist = 8, tau = 0.9)
+        .select(col("vec_id"), col("keep_id").as("cluster"),
+          col("n_members").as("cluster_size"))
+      val scored = corpus.select(col("vec_id"),
+        substring(md5(concat_ws(":", lit("sem-v1"),
+          col("vec_id").cast("string"))), 1, 8).as("score"))
+      ConnectedComponents.canonicalPerCluster(
+        clusters, "vec_id", scored, "score")
+    }),
+
+    // ── STREAMING fetch-decode twin: q308's decision table on a
+    // live ingest (the q232 stateless-map discipline); records ride
+    // base64 inside the JSONL waves (byte-exact), two waves must
+    // accumulate the identical table — certified against q308's
+    // oracle VERBATIM via the SHARED fetchFixture builder. ──
+    "q311_fetch_decode_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.streaming.StreamingReports.fetchDecodeStreamReplay(
+        s, fetchFixture(docs), maxBytes = FetchMaxBytes)
+    }),
+
+    // ── the WARC-FETCH CORPUS capstone — the actual Common Crawl
+    // shape end-to-end: a gzip-bodied HTTP response per doc, framed
+    // into multi-record WARC archives (8 members each, ordered
+    // collect re-join), split back out by Content-Length walking
+    // (WarcRecord), each payload re-encoded to bytes through the
+    // lossless ISO-8859-1 bridge and decoded by FetchDecode. The
+    // bridge RESOLVES WarcRecord's documented chars-vs-octets
+    // divergence: on a latin-1-bridged blob, characters ARE octets,
+    // so the declared Content-Length slices exactly — even through
+    // gzip payload bytes that contain \r\n\r\n sequences (which is
+    // why slicing, not separator scanning, is the design). The
+    // %13=0 members carry a corrupt gzip body: they must route
+    // bad_inflate WITHOUT disturbing their archive siblings (the
+    // per-record isolation contract). ──
+    "q312_warc_fetch_corpus" -> ((s, dir) => {
+      import graft.ext.{FetchDecode, WarcRecord}
+      import graft.plans.{Inflate, Transcode}
+      val id = col("doc_id")
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      val head = lit("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=windows-1252\r\n" +
+        "Content-Encoding: gzip\r\n\r\n")
+      val bodyBytes = when(id % 13 === 0, lit("junk").cast("binary"))
+        .otherwise(Inflate.gzipCompress(Transcode.encode(
+          concat(col("text"), lit(" caf\u00E9")), lit("windows-1252"))))
+      val recStr = concat(head, decode(bodyBytes, "ISO-8859-1"))
+      val member = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://ex.com/"),
+        id.cast("string"),
+        lit("\r\nContent-Length: "), length(recStr).cast("string"),
+        lit("\r\n\r\n"), recStr, lit("\r\n\r\n"))
+      val archives = docs
+        .select(expr("CAST(doc_id DIV 8 AS BIGINT)").as("archive_id"),
+          struct(id, member.as("m")).as("sm"))
+        .groupBy("archive_id")
+        .agg(concat_ws("", transform(array_sort(collect_list(col("sm"))),
+          x => x.getField("m"))).as("blob"))
+      val recs = WarcRecord.splitRecords(archives, "archive_id", "blob")
+        .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          encode(col("payload"), "ISO-8859-1").as("raw"))
+      FetchDecode.decodeResponses(recs, "doc_id", "raw",
+          maxBytes = FetchMaxBytes)
+        .select(col("doc_id"), col("decision"), col("text"))
     }),
 
     // ── SQL surface for the custom expression (the U1 discipline:
@@ -7355,6 +7467,82 @@ object SparkEntry {
          |GROUP BY d.source""".stripMargin
   }
 
+  /** q310/q313 SHARED SemDeDup oracle CTE chain (brute-force truth:
+    * all-pairs cosine + recursive-CTE components — never sees the
+    * clustering): ends at `assigned(vec_id, keep_id)`.
+    */
+  private val SemDedupCcCtes: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2 AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 200000,
+      |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 4 AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 14 = 0),
+      |n AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_transform(list_zip(embedding, embedding),
+      |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
+      |  FROM corpus),
+      |pairs AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
+      |    / sqrt(a.nn * b.nn) >= 0.9),
+      |edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+      |assigned AS (
+      |  SELECT c.vec_id, coalesce(cm.component, c.vec_id) AS keep_id
+      |  FROM corpus c LEFT JOIN comp cm ON cm.node = c.vec_id)""".stripMargin
+
+  /** q308/q311 SHARED fetch-decode mirror (the FullDedupClustersSql
+    * rule: the streaming twin certifies against the batch oracle
+    * VERBATIM): every output column closed-form per arm — the oracle
+    * never parses bytes (arms are disjoint by doc_id % 14; chr(233)
+    * é, chr(8364) €, chr(12459/12501/12455) kana, chr(65533) U+FFFD).
+    */
+  private val FetchDecodeArmsSql: String =
+    """SELECT doc_id,
+        |  CASE WHEN doc_id % 14 = 12 THEN NULL
+        |       WHEN doc_id % 14 = 6 THEN 404 ELSE 200 END AS status,
+        |  CASE doc_id % 14 WHEN 12 THEN ''
+        |    WHEN 7 THEN 'application/json' ELSE 'text/html' END
+        |    AS content_type,
+        |  CASE doc_id % 14
+        |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |    WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'utf-8'
+        |    WHEN 4 THEN 'windows-1252' WHEN 5 THEN 'utf-8'
+        |    ELSE '' END AS charset,
+        |  CASE doc_id % 14
+        |    WHEN 0 THEN 'utf8' WHEN 1 THEN 'header' WHEN 2 THEN 'meta'
+        |    WHEN 3 THEN 'bom' WHEN 4 THEN 'cp1252_fallback'
+        |    WHEN 5 THEN 'header' ELSE '' END AS cs_source,
+        |  CASE doc_id % 14
+        |    WHEN 6 THEN 'bad_status' WHEN 7 THEN 'bad_type'
+        |    WHEN 8 THEN 'bad_encoding' WHEN 9 THEN 'bad_encoding'
+        |    WHEN 10 THEN 'bad_inflate' WHEN 11 THEN 'bad_charset'
+        |    WHEN 12 THEN 'malformed' WHEN 13 THEN 'bad_inflate'
+        |    ELSE 'ok' END AS decision,
+        |  CASE doc_id % 14
+        |    WHEN 0 THEN text
+        |    WHEN 1 THEN text || ' caf' || chr(233) || ' ' || chr(8364) || '9'
+        |    WHEN 2 THEN '<html><head><meta charset=shift_jis></head><body>'
+        |      || text || ' ' || chr(12459) || chr(12501) || chr(12455)
+        |      || '</body></html>'
+        |    WHEN 3 THEN text || ' caf' || chr(233)
+        |    WHEN 4 THEN text || ' caf' || chr(233)
+        |    WHEN 5 THEN text || ' caf' || chr(65533) || '!'
+        |    ELSE NULL END AS text
+        |FROM documents""".stripMargin
+
   private val FullDedupClustersSql: String =
     """WITH RECURSIVE tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
@@ -9463,38 +9651,21 @@ object SparkEntry {
     // (the oracle never parses bytes — arms are disjoint by doc_id %
     // 14, so no precedence logic is needed; chr(233) é, chr(8364) €,
     // chr(12459/12501/12455) kana, chr(65533) U+FFFD)
-    "q308_fetch_decode" ->
+    "q308_fetch_decode" -> FetchDecodeArmsSql,
+
+    // IDENTICAL SQL to q308: the streaming twin accumulates the same
+    // table from two waves (the q232 discipline).
+    "q311_fetch_decode_stream" -> FetchDecodeArmsSql,
+
+    // warc-fetch mirror: closed-form per doc — ok/text+é unless the
+    // %13 corrupt-gzip arm routes bad_inflate; the oracle never sees
+    // the archive framing (it must be invisible by construction)
+    "q312_warc_fetch_corpus" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 14 = 12 THEN NULL
-        |       WHEN doc_id % 14 = 6 THEN 404 ELSE 200 END AS status,
-        |  CASE doc_id % 14 WHEN 12 THEN ''
-        |    WHEN 7 THEN 'application/json' ELSE 'text/html' END
-        |    AS content_type,
-        |  CASE doc_id % 14
-        |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
-        |    WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'utf-8'
-        |    WHEN 4 THEN 'windows-1252' WHEN 5 THEN 'utf-8'
-        |    ELSE '' END AS charset,
-        |  CASE doc_id % 14
-        |    WHEN 0 THEN 'utf8' WHEN 1 THEN 'header' WHEN 2 THEN 'meta'
-        |    WHEN 3 THEN 'bom' WHEN 4 THEN 'cp1252_fallback'
-        |    WHEN 5 THEN 'header' ELSE '' END AS cs_source,
-        |  CASE doc_id % 14
-        |    WHEN 6 THEN 'bad_status' WHEN 7 THEN 'bad_type'
-        |    WHEN 8 THEN 'bad_encoding' WHEN 9 THEN 'bad_encoding'
-        |    WHEN 10 THEN 'bad_inflate' WHEN 11 THEN 'bad_charset'
-        |    WHEN 12 THEN 'malformed' WHEN 13 THEN 'bad_inflate'
-        |    ELSE 'ok' END AS decision,
-        |  CASE doc_id % 14
-        |    WHEN 0 THEN text
-        |    WHEN 1 THEN text || ' caf' || chr(233) || ' ' || chr(8364) || '9'
-        |    WHEN 2 THEN '<html><head><meta charset=shift_jis></head><body>'
-        |      || text || ' ' || chr(12459) || chr(12501) || chr(12455)
-        |      || '</body></html>'
-        |    WHEN 3 THEN text || ' caf' || chr(233)
-        |    WHEN 4 THEN text || ' caf' || chr(233)
-        |    WHEN 5 THEN text || ' caf' || chr(65533) || '!'
-        |    ELSE NULL END AS text
+        |  CASE WHEN doc_id % 13 = 0 THEN 'bad_inflate' ELSE 'ok' END
+        |    AS decision,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE text || ' caf' || chr(233) END AS text
         |FROM documents""".stripMargin,
 
     // encoding-damage mirror: arms closed-form (chr(65533) U+FFFD,
@@ -9537,46 +9708,30 @@ object SparkEntry {
         s"WHEN c1_ppm >= ${graft.ext.TextAnalysis.C1MaxPpm} " +
         s"THEN 'c1_controls' ELSE 'clean' END AS verdict FROM r"),
 
-    // SemDeDup mirror: BRUTE-FORCE truth — all-pairs list_reduce
-    // cosine ≥ 0.9 (the q171 recipe) + the q55 recursive-CTE
-    // component fold; the oracle never sees the clustering. Copies
-    // via CAST(CAST(x AS DOUBLE) * 2 AS FLOAT) — double-exact then
-    // float-exact, the same values Spark's float multiply produces.
+    // SemDeDup mirror: BRUTE-FORCE truth (shared CTE chain; copies via
+    // CAST(CAST(x AS DOUBLE) * 2 AS FLOAT) — double-exact then
+    // float-exact, the same values Spark's float multiply produces)
     "q310_semdedup" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000,
-        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2 AS FLOAT))
-        |  FROM embeddings WHERE vec_id % 7 = 0
-        |  UNION ALL
-        |  SELECT vec_id + 200000,
-        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 4 AS FLOAT))
-        |  FROM embeddings WHERE vec_id % 14 = 0),
-        |n AS (
-        |  SELECT vec_id, embedding,
-        |    list_reduce(list_transform(list_zip(embedding, embedding),
-        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS nn
-        |  FROM corpus),
-        |pairs AS (
-        |  SELECT a.vec_id AS pa, b.vec_id AS pb
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |  WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
-        |    / sqrt(a.nn * b.nn) >= 0.9),
-        |edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
-        |reach(node, r) AS (
-        |  SELECT u, u FROM edges
-        |  UNION
-        |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
-        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
-        |assigned AS (
-        |  SELECT c.vec_id, coalesce(cm.component, c.vec_id) AS keep_id
-        |  FROM corpus c LEFT JOIN comp cm ON cm.node = c.vec_id)
-        |SELECT vec_id, keep_id,
-        |  count(*) OVER (PARTITION BY keep_id) AS n_members,
-        |  vec_id <> keep_id AS is_dup
-        |FROM assigned""".stripMargin,
+      (SemDedupCcCtes + "\n" +
+        """SELECT vec_id, keep_id,
+          |  count(*) OVER (PARTITION BY keep_id) AS n_members,
+          |  vec_id <> keep_id AS is_dup
+          |FROM assigned""".stripMargin),
+
+    // scored-keeper mirror: identical CTE chain + the q58 md5-hex
+    // score, argmax per component via (score DESC, vec_id) window
+    "q313_semdedup_canonical" ->
+      (SemDedupCcCtes + ",\n" +
+        """scored AS (
+          |  SELECT vec_id, keep_id,
+          |    substr(md5(concat_ws(':', 'sem-v1', CAST(vec_id AS VARCHAR))), 1, 8) AS score
+          |  FROM assigned),
+          |canon AS (
+          |  SELECT keep_id AS cluster, vec_id AS canon_id, score,
+          |    row_number() OVER (PARTITION BY keep_id ORDER BY score DESC, vec_id) AS rk,
+          |    count(*) OVER (PARTITION BY keep_id) AS cluster_size
+          |  FROM scored)
+          |SELECT cluster, canon_id, score, cluster_size FROM canon WHERE rk = 1""".stripMargin),
 
     // calibrated-gopher mirror: the q291 gopher mirror as a subquery
     // + the q296 discovery logic + the zero-hit override, all three

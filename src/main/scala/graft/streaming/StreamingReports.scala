@@ -1250,4 +1250,41 @@ object StreamingReports {
           (resourceId, total)
       }
   }
+
+  /** Streaming fetch-decode twin — q308's bytes→text decision table
+    * on a LIVE ingest (the q232 stateless-map discipline): raw
+    * response records travel BASE64-encoded inside JSONL waves
+    * (binary cannot ride a text landing zone raw; base64 is
+    * byte-exact both ways), each row decodes independently (pure
+    * projection → append mode, zero state), so two delivery waves
+    * must accumulate the identical table — certified against q308's
+    * batch oracle VERBATIM (q311).
+    */
+  def fetchDecodeStreamReplay(outer: SparkSession, fixture: DataFrame,
+      maxBytes: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = replaySession(outer)
+    val landing = java.nio.file.Files.createTempDirectory("graft-fetch-replay")
+    def deliverWave(df: DataFrame): Unit =
+      df.select(to_json(struct(col("doc_id"),
+          base64(col("raw")).as("raw_b64"))).as("value"))
+        .coalesce(1).write.mode("append").text(landing.toString)
+    deliverWave(fixture.filter(col("doc_id") % 2 === 0))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("raw_b64", StringType)))
+    val mem = s"graft_fetch_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val src = spark.readStream.text(landing.toString)
+      .select(from_json(col("value"), schema).as("j")).select("j.*")
+      .select(col("doc_id"), unbase64(col("raw_b64")).as("raw"))
+    val out = graft.ext.FetchDecode.decodeResponses(src, "doc_id", "raw",
+      maxBytes)
+    val q = out.writeStream.format("memory").queryName(mem)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      deliverWave(fixture.filter(col("doc_id") % 2 =!= 0))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(landing) }
+    spark.table(mem)
+  }
 }
