@@ -464,8 +464,11 @@ object SparkEntry {
     val statusLine = when(id % 7 === 1, lit("HTTP/1.1 404 Not Found"))
       .when(id % 7 === 5, lit("GARBAGE"))
       .otherwise(lit("HTTP/1.1 200 OK"))
+    // the %2=0 arm uses the RFC 9110 QUOTED parameter form — the
+    // charset must still extract (round-15 review fix: the bare-token
+    // regex silently dropped quoted declarations)
     val ctype = when(id % 7 === 2, lit("application/pdf"))
-      .when(id % 2 === 0, lit("text/html; charset=utf-8"))
+      .when(id % 2 === 0, lit("text/html; charset=\"utf-8\""))
       .otherwise(lit("Text/HTML"))
     val teLine = when(id % 7 === 4, lit("\r\nTransfer-Encoding: Chunked"))
       .otherwise(lit(""))
@@ -7264,7 +7267,7 @@ object SparkEntry {
       |    || chr(13) || chr(10)
       |    || 'Content-Type: '
       |    || (CASE WHEN doc_id % 7 = 2 THEN 'application/pdf'
-      |             WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+      |             WHEN doc_id % 2 = 0 THEN 'text/html; charset="utf-8"'
       |             ELSE 'Text/HTML' END)
       |    || (CASE WHEN doc_id % 7 = 3 THEN chr(10) || chr(10)
       |             ELSE chr(13) || chr(10) || chr(13) || chr(10) END)
@@ -7290,7 +7293,7 @@ object SparkEntry {
       |  FROM p)
       |SELECT doc_id, status,
       |  lower(trim(regexp_extract(ct, '^([^;]*)', 1))) AS content_type,
-      |  lower(regexp_extract(ct, '(?i)charset=([A-Za-z0-9_-]+)', 1)) AS charset,
+      |  lower(regexp_extract(ct, '(?i)charset="?([A-Za-z0-9_-]+)', 1)) AS charset,
       |  te AS transfer_encoding,
       |  CASE WHEN status IS NULL OR has_sep = 0 THEN 'malformed'
       |       WHEN status <> 200 THEN 'bad_status'

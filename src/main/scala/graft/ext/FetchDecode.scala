@@ -79,19 +79,19 @@ object FetchDecode {
   def decodeResponses(
       df: DataFrame, idCol: String, rawCol: String,
       maxBytes: Int = Inflate.DefaultMaxBytes): DataFrame = {
-    // ── stage 1: the latin-1 bridge + framing scalars ──
+    // ── stage 1: the latin-1 bridge + framing scalars, all through
+    // the SHARED HttpRecord definitions (media type, charset param
+    // incl. the RFC 9110 quoted form, and the malformed/bad_status/
+    // TE decision prefix — one definition each, q236 and this table
+    // cannot drift) ──
     val raw = decode(col(rawCol), Latin1)
-    val st = HttpRecord.status(raw)
-    val ct = HttpRecord.header(raw, "Content-Type")
     val s1 = df.select(col(idCol),
       explode_outer(array(struct(
-        st.as("status"),
-        lower(trim(regexp_extract(ct, "^([^;]*)", 1))).as("content_type"),
-        lower(regexp_extract(ct, "(?i)charset=([A-Za-z0-9_-]+)", 1))
-          .as("header_cs"),
-        lower(trim(HttpRecord.header(raw, "Transfer-Encoding"))).as("te"),
+        HttpRecord.status(raw).as("status"),
+        HttpRecord.mediaType(raw).as("content_type"),
+        HttpRecord.charsetParam(raw).as("header_cs"),
         lower(trim(HttpRecord.header(raw, "Content-Encoding"))).as("ce"),
-        raw.contains("\r\n\r\n").as("has_sep"),
+        HttpRecord.decisionPrefix(raw).as("base_route"),
         encode(HttpRecord.body(raw), Latin1).as("body")))).as("h"))
       .select(col(idCol), col("h.*"))
 
@@ -104,7 +104,7 @@ object FetchDecode {
         .when(ce === "deflate", Inflate.inflateDeflate(col("body"), maxBytes))
         .otherwise(lit(null).cast("binary"))
     val s2 = s1.select(col(idCol), col("status"), col("content_type"),
-        col("header_cs"), col("te"), col("ce"), col("has_sep"),
+        col("header_cs"), col("ce"), col("base_route"),
         explode_outer(array(inflated)).as("payload"))
 
     // ── stage 3: charset resolution + the three decode legs ──
@@ -126,7 +126,7 @@ object FetchDecode {
         .when(metaCs =!= "", lit("meta"))
         .otherwise(lit(""))
     val s3 = s2.select(col(idCol), col("status"), col("content_type"),
-        col("te"), col("ce"), col("has_sep"), pay.isNull.as("inflate_null"),
+        col("ce"), col("base_route"), pay.isNull.as("inflate_null"),
         csSource.as("cs_source_raw"), csToken.as("cs_token"),
         explode_outer(array(struct(
           Transcode.toUtf8Lenient(stripped, csToken).as("declared"),
@@ -136,14 +136,10 @@ object FetchDecode {
       .select(col("*"), col("d.*")).drop("d")
 
     // ── stage 4: the total decision table ──
-    val csKnown = col("cs_token")
-      .isin(Transcode.Charsets.keys.toSeq.map(x => x: Any): _*)
+    val csKnown = col("cs_token").isin(Transcode.Charsets.keys.toSeq: _*)
     val decision =
-      when(col("status").isNull || !col("has_sep"), lit("malformed"))
-        .when(col("status") =!= 200, lit("bad_status"))
-        .when(col("te") =!= "" && col("te") =!= "identity",
-          lit("bad_encoding"))
-        .when(!col("ce").isin(SupportedEncodings.map(x => x: Any): _*),
+      when(col("base_route").isNotNull, col("base_route"))
+        .when(!col("ce").isin(SupportedEncodings: _*),
           lit("bad_encoding"))
         .when(col("content_type") =!= "text/html", lit("bad_type"))
         .when(col("inflate_null"), lit("bad_inflate"))

@@ -55,6 +55,47 @@ object HttpRecord {
   def body(raw: Column): Column =
     regexp_extract(raw, "(?s)^.*?\r\n\r\n(.*)", 1)
 
+  /** Media type: the Content-Type value up to the first ';', trimmed
+    * and lowercased. Shared by [[parse]] and
+    * [[FetchDecode.decodeResponses]] (round-15 review: the two had
+    * byte-identical private copies — the drift class the shared-
+    * builder discipline exists to prevent).
+    */
+  def mediaType(raw: Column): Column =
+    lower(trim(regexp_extract(header(raw, "Content-Type"), "^([^;]*)", 1)))
+
+  /** The `charset=` parameter regex: RFC 9110 allows the
+    * quoted-string form (`charset="utf-8"`), so an optional double
+    * quote is consumed before the token (round-15 review fix — the
+    * bare-token form silently dropped quoted declarations onto the
+    * fallback decode leg). Single quotes are NOT consumed: they are
+    * not legal in Content-Type parameters (unlike HTML meta
+    * attributes — [[FetchDecode]]'s meta sniff accepts both). The
+    * oracle mirrors this regex with the double quote written plainly
+    * inside its single-quoted SQL literal.
+    */
+  private[graft] val CharsetParamRe = "(?i)charset=\"?([A-Za-z0-9_-]+)"
+
+  /** The charset parameter value, lowercased ('' when absent). */
+  def charsetParam(raw: Column): Column =
+    lower(regexp_extract(header(raw, "Content-Type"), CharsetParamRe, 1))
+
+  /** The framing-decision PREFIX shared by [[parse]] and
+    * [[FetchDecode.decodeResponses]]: `malformed` (no status line /
+    * no header-body separator) > `bad_status` (non-200) >
+    * `bad_encoding` (a Transfer-Encoding other than identity).
+    * Returned as an UNTERMINATED when-chain — NULL when no rung
+    * fires — so each caller appends its own rungs and `otherwise`;
+    * one definition, routes cannot drift.
+    */
+  def decisionPrefix(raw: Column): Column = {
+    val st = status(raw)
+    val te = lower(trim(header(raw, "Transfer-Encoding")))
+    when(st.isNull || !raw.contains("\r\n\r\n"), lit("malformed"))
+      .when(st =!= 200, lit("bad_status"))
+      .when(te =!= "" && te =!= "identity", lit("bad_encoding"))
+  }
+
   /** Parse a raw-response column into the typed record + decision
     * table: (idCol, status, content_type, charset, transfer_encoding,
     * decision, body_chars). Media type is the Content-Type value up
@@ -67,19 +108,13 @@ object HttpRecord {
     */
   def parse(df: DataFrame, idCol: String, rawCol: String): DataFrame = {
     val raw = col(rawCol)
-    val st = status(raw)
-    val ct = header(raw, "Content-Type")
-    val te = lower(trim(header(raw, "Transfer-Encoding")))
-    val mediaType = lower(trim(regexp_extract(ct, "^([^;]*)", 1)))
-    val charset = lower(regexp_extract(ct, "(?i)charset=([A-Za-z0-9_-]+)", 1))
+    val mt = mediaType(raw)
     val hasSep = raw.contains("\r\n\r\n")
-    df.select(col(idCol), st.as("status"),
-        mediaType.as("content_type"), charset.as("charset"),
-        te.as("transfer_encoding"),
-        when(st.isNull || !hasSep, lit("malformed"))
-          .when(st =!= 200, lit("bad_status"))
-          .when(te =!= "" && te =!= "identity", lit("bad_encoding"))
-          .when(mediaType =!= "text/html", lit("bad_type"))
+    df.select(col(idCol), status(raw).as("status"),
+        mt.as("content_type"), charsetParam(raw).as("charset"),
+        lower(trim(header(raw, "Transfer-Encoding"))).as("transfer_encoding"),
+        decisionPrefix(raw)
+          .when(mt =!= "text/html", lit("bad_type"))
           .otherwise(lit("ok")).as("decision"),
         when(hasSep, length(body(raw)).cast("long")).otherwise(lit(0L))
           .as("body_chars"))

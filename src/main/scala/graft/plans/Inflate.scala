@@ -143,12 +143,18 @@ object Inflate {
   }
 
   /** One raw-deflate stream starting at `off`; appends to `out` up to
-    * `maxBytes` TOTAL. Returns bytes of input consumed, or -1 on
-    * corrupt/truncated data or cap overrun.
+    * `maxBytes` TOTAL, updating `crc` (when non-null) with every
+    * chunk AS IT IS WRITTEN — never by re-reading the output buffer
+    * (a per-member `toByteArray` re-copy would make multi-member
+    * inflate O(members × totalOutput): a ~1 MB input of one
+    * near-cap member plus tens of thousands of empty members would
+    * cost terabytes of memcpy — a CPU bomb the byte cap alone cannot
+    * stop; round-15 review fix). Returns bytes of input consumed, or
+    * -1 on corrupt/truncated data or cap overrun.
     */
   private def inflateRawInto(
       b: Array[Byte], off: Int, out: java.io.ByteArrayOutputStream,
-      maxBytes: Int, zlibWrapped: Boolean): Int = {
+      maxBytes: Int, zlibWrapped: Boolean, crc: CRC32 = null): Int = {
     val inf = new Inflater(!zlibWrapped)
     try {
       inf.setInput(b, off, b.length - off)
@@ -162,6 +168,7 @@ object Inflate {
         if (n == 0 && !inf.finished() &&
           (inf.needsInput() || inf.needsDictionary())) return -1
         out.write(buf, 0, n)
+        if (crc != null) crc.update(buf, 0, n)
         if (out.size() > maxBytes) return -1
       }
       b.length - off - inf.getRemaining
@@ -185,17 +192,15 @@ object Inflate {
           val payload = gzipHeaderEnd(data, p)
           if (payload < 0) return null
           val before = out.size()
+          val crc = new CRC32 // updated in-stream, never by re-copy
           val used = inflateRawInto(data, payload, out, maxBytes,
-            zlibWrapped = false)
+            zlibWrapped = false, crc)
           if (used < 0) return null
           val trailer = payload + used
           if (trailer + 8 > data.length) return null
-          val crc = new CRC32
-          val member = out.toByteArray // bounded by maxBytes
-          crc.update(member, before, member.length - before)
           if (le32(data, trailer) != crc.getValue) return null
           if (le32(data, trailer + 4) !=
-            ((member.length - before).toLong & 0xffffffffL)) return null
+            ((out.size() - before).toLong & 0xffffffffL)) return null
           p = trailer + 8
           nMembers += 1
         }
@@ -283,30 +288,24 @@ case class InflateBytes(child: Expression, format: Int, maxBytes: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "inflate_bytes"
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null
-    else Inflate.inflate(v.asInstanceOf[Array[Byte]], format, maxBytes)
-  }
+  // one null idiom for result-nullable-on-non-null-input expressions:
+  // nullSafeEval returning null + nullSafeCodeGen re-testing the
+  // result (the TranscodeUtf8 pattern — round-15 review fix; the
+  // hand-rolled eval/doGenCode pair was a second idiom for the same
+  // contract)
+  override protected def nullSafeEval(v: Any): Any =
+    Inflate.inflate(v.asInstanceOf[Array[Byte]], format, maxBytes)
 
   def doInflate(v: Array[Byte]): Array[Byte] =
     Inflate.inflate(v, format, maxBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    val childGen = child.genCode(ctx)
     val ref = ctx.addReferenceObj("infl", this, classOf[InflateBytes].getName)
-    val resultCode =
-      code"""
-        ${childGen.code}
-        byte[] ${ev.value} = null;
-        boolean ${ev.isNull} = true;
-        if (!${childGen.isNull}) {
-          ${ev.value} = $ref.doInflate(${childGen.value});
-          ${ev.isNull} = ${ev.value} == null;
-        }
-      """
-    ev.copy(code = resultCode)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = $ref.doInflate($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -78,9 +78,14 @@ object Transcode {
       "utf-16be" -> c("UTF-16BE"), "utf-16le" -> c("UTF-16LE"))
   }
 
+  // Locale.ROOT, not the default locale: on a Turkish/Azeri JVM the
+  // default fold turns every 'I' (ISO-8859-1, SHIFT_JIS, ASCII …)
+  // into dotless ı and misses the allowlist (round-15 review fix —
+  // the q236-era locale-portability discipline).
   private def resolve(name: UTF8String): Charset =
     if (name == null) null
-    else Charsets.getOrElse(name.toString.trim.toLowerCase, null)
+    else Charsets.getOrElse(
+      name.toString.trim.toLowerCase(java.util.Locale.ROOT), null)
 
   /** Decode `bytes` as `charsetName` into UTF-8; null per contract. */
   def toUtf8(bytes: Array[Byte], charsetName: UTF8String,

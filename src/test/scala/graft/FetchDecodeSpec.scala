@@ -42,6 +42,14 @@ class FetchDecodeSpec extends SparkSpec {
       r.getString(2) == "header" && r.getString(3) == "caf\u00E9 \u20AC")
   }
 
+  test("RFC 9110 QUOTED charset parameter resolves on the header leg") {
+    val r = decodeOne(head("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=\"windows-1252\""),
+      Transcode.encode(lit("caf\u00E9 quoted"), lit("windows-1252")))
+    assert(r.getString(0) == "ok" && r.getString(1) == "windows-1252" &&
+      r.getString(2) == "header" && r.getString(3) == "caf\u00E9 quoted")
+  }
+
   test("meta sniff fills in when the header is silent") {
     val html = "<html><head><meta charset=shift_jis></head><body>" +
       "\u30AB\u30D5\u30A7</body></html>"
