@@ -3617,6 +3617,44 @@ object SparkEntry {
         .select(col("doc_id"), col("decision"), col("text"))
     }),
 
+    // ── UTF-16 fetch legs (the BOM story completed: q308 certified
+    // the UTF-8 BOM; real UTF-16 pages ship FF FE / FE FF, and
+    // without these legs they garble through the cp1252 fallback).
+    // Arms (doc_id % 5): 0 BOM16LE + utf-16le body, 1 BOM16BE +
+    // utf-16be body, 2 BOM16LE beating a LYING shift_jis header, 3
+    // the UTF-8 BOM regression guard against the new ordering, 4
+    // headerless-BOM-less utf-16le DECLARED by the header — the
+    // header leg must decode it (utf-16le is allowlisted). ──
+    "q314_utf16_fetch" -> ((s, dir) => {
+      import graft.ext.FetchDecode
+      import graft.plans.Transcode
+      val id = col("doc_id")
+      val a = id % 5
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      def mkHead(lines: String*) = lit(lines.mkString("", "\r\n", "\r\n\r\n"))
+      val okHtml = mkHead("HTTP/1.1 200 OK", "Content-Type: text/html")
+      val bomLe = to_binary(lit("fffe"), lit("hex"))
+      val bomBe = to_binary(lit("feff"), lit("hex"))
+      val bom8 = to_binary(lit("efbbbf"), lit("hex"))
+      val t16 = concat(col("text"), lit(" caf\u00E9 16"))
+      val headCol =
+        when(a === 2, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/html; charset=shift_jis"))
+          .when(a === 4, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html; charset=utf-16le"))
+          .otherwise(okHtml)
+      val body =
+        when(a === 0 || a === 2,
+          concat(bomLe, Transcode.encode(t16, lit("utf-16le"))))
+          .when(a === 1, concat(bomBe, Transcode.encode(t16, lit("utf-16be"))))
+          .when(a === 3, concat(bom8, t16.cast("binary")))
+          .otherwise(Transcode.encode(t16, lit("utf-16le")))
+      FetchDecode.decodeResponses(
+        docs.select(id, FetchDecode.responseRecord(headCol, body).as("raw")),
+        "doc_id", "raw", maxBytes = FetchMaxBytes)
+    }),
+
     // ── SQL surface for the custom expression (the U1 discipline:
     // q27 proved a registered UDF surface; this proves the CUSTOM
     // CATALYST EXPRESSION is equally SQL-callable): unicode_tokens
@@ -9669,6 +9707,18 @@ object SparkEntry {
         |    AS decision,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL
         |       ELSE text || ' caf' || chr(233) END AS text
+        |FROM documents""".stripMargin,
+
+    // utf-16 fetch mirror: closed-form per arm; every arm is 200/
+    // text/html and decodes to text || ' caf' || chr(233) || ' 16'
+    "q314_utf16_fetch" ->
+      """SELECT doc_id, 200 AS status, 'text/html' AS content_type,
+        |  CASE doc_id % 5
+        |    WHEN 1 THEN 'utf-16be' WHEN 3 THEN 'utf-8'
+        |    ELSE 'utf-16le' END AS charset,
+        |  CASE doc_id % 5 WHEN 4 THEN 'header' ELSE 'bom' END AS cs_source,
+        |  'ok' AS decision,
+        |  text || ' caf' || chr(233) || ' 16' AS text
         |FROM documents""".stripMargin,
 
     // encoding-damage mirror: arms closed-form (chr(65533) U+FFFD,

@@ -23,9 +23,9 @@ import graft.plans.{Inflate, Transcode}
   *
   * CHARSET RESOLUTION (WHATWG-ordered, each leg certified by a
   * fixture arm):
-  *   1. a UTF-8 BOM on the decoded payload wins over everything
-  *      (and is stripped) — a lying `charset=` header cannot
-  *      override bytes;
+  *   1. a BOM on the decoded payload wins over everything (and is
+  *      stripped) — UTF-8 (EF BB BF), UTF-16LE (FF FE), or UTF-16BE
+  *      (FE FF); a lying `charset=` header cannot override bytes;
   *   2. the Content-Type `charset=` parameter;
   *   3. a `<meta … charset=…>` sniff in the first [[MetaSniffBytes]]
   *      bytes of the payload (covers both the HTML5 attribute and
@@ -109,15 +109,27 @@ object FetchDecode {
 
     // ── stage 3: charset resolution + the three decode legs ──
     val pay = col("payload")
-    val hasBom = length(pay) >= 3 &&
-      substring(pay, 1, 3) === to_binary(lit("efbbbf"), lit("hex"))
-    val stripped = when(hasBom, pay.substr(lit(4), length(pay) - 3))
-      .otherwise(pay)
+    def bomIs(hex: String, n: Int) = length(pay) >= n &&
+      substring(pay, 1, n) === to_binary(lit(hex), lit("hex"))
+    // the three WHATWG BOMs, longest first (EF BB BF / FF FE / FE FF
+    // are pairwise disjoint; UTF-32 BOMs — FF FE 00 00 — are out of
+    // the allowlist's scope and would resolve as utf-16le, the
+    // WHATWG prescan's own behavior)
+    val bom8 = bomIs("efbbbf", 3)
+    val bom16le = bomIs("fffe", 2)
+    val bom16be = bomIs("feff", 2)
+    val hasBom = bom8 || bom16le || bom16be
+    val stripped =
+      when(bom8, pay.substr(lit(4), length(pay) - 3))
+        .when(bom16le || bom16be, pay.substr(lit(3), length(pay) - 2))
+        .otherwise(pay)
     val metaCs = lower(regexp_extract(
       decode(substring(pay, 1, MetaSniffBytes), Latin1),
       "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)", 1))
     val csToken =
-      when(hasBom, lit("utf-8"))
+      when(bom8, lit("utf-8"))
+        .when(bom16le, lit("utf-16le"))
+        .when(bom16be, lit("utf-16be"))
         .when(col("header_cs") =!= "", col("header_cs"))
         .otherwise(metaCs)
     val csSource =

@@ -133,6 +133,25 @@ object ScaleProbe {
         run("utok_composed", d.repartition(32).agg(
           sum(size(graft.ext.TextAnalysis.tokensComposed(col("text"))))
             .as("n"))),
+        // round-15: the fetch-decode tier — per-row projections, so
+        // both must be LINEAR in corpus size; the aggregate forces
+        // the decode legs (a bare count() would prune them away)
+        run("gzip_roundtrip", d.repartition(32)
+          .select(graft.plans.Inflate.gunzip(graft.plans.Inflate
+            .gzipCompress(col("text").cast("binary"))).as("b"))
+          .agg(sum(length(col("b"))).as("n"))),
+        run("fetch_decode", {
+          val head = lit("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=windows-1252\r\n" +
+            "Content-Encoding: gzip\r\n\r\n")
+          val rec = graft.ext.FetchDecode.responseRecord(head,
+            graft.plans.Inflate.gzipCompress(graft.plans.Transcode
+              .encode(col("text"), lit("windows-1252"))))
+          graft.ext.FetchDecode.decodeResponses(
+              d.repartition(32).select(col("doc_id"), rec.as("raw")),
+              "doc_id", "raw")
+            .agg(sum(length(coalesce(col("text"), lit("")))).as("n"))
+        }),
         run("cosine_neardup", SimSearch.nearDupPairsCosineLsh(
           e, "vec_id", "embedding", threshold = 0.97, dim = 64, bits = 12,
           tables = 8, seed = 7L, exactMaxRows = 0)),

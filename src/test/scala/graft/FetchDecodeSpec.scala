@@ -67,6 +67,26 @@ class FetchDecodeSpec extends SparkSpec {
       r.getString(2) == "bom" && r.getString(3) == "caf\u00E9 utf8")
   }
 
+  test("UTF-16 BOMs win, strip, and pick the right endianness") {
+    val le = decodeOne(head("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=shift_jis"), // lying header
+      concat(to_binary(lit("fffe"), lit("hex")),
+        Transcode.encode(lit("caf\u00E9 le"), lit("utf-16le"))))
+    assert(le.getString(0) == "ok" && le.getString(1) == "utf-16le" &&
+      le.getString(2) == "bom" && le.getString(3) == "caf\u00E9 le")
+    val be = decodeOne(okHtml,
+      concat(to_binary(lit("feff"), lit("hex")),
+        Transcode.encode(lit("caf\u00E9 be"), lit("utf-16be"))))
+    assert(be.getString(0) == "ok" && be.getString(1) == "utf-16be" &&
+      be.getString(2) == "bom" && be.getString(3) == "caf\u00E9 be")
+    // header-declared utf-16le without a BOM rides the header leg
+    val hdr = decodeOne(head("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=utf-16le"),
+      Transcode.encode(lit("caf\u00E9 h"), lit("utf-16le")))
+    assert(hdr.getString(0) == "ok" && hdr.getString(2) == "header" &&
+      hdr.getString(3) == "caf\u00E9 h")
+  }
+
   test("undeclared cp1252 bytes fall through to the lenient fallback") {
     val r = decodeOne(okHtml,
       Transcode.encode(lit("caf\u00E9 legacy"), lit("windows-1252")))
