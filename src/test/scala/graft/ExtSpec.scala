@@ -1145,4 +1145,45 @@ class ExtSpec extends SparkSpec {
     // keepers are the min id of each group (the base vector)
     assert(got.filter($"is_dup" && $"keep_id" >= 100000L).count() == 0)
   }
+
+  test("semDedup web-scale shape: only the bounded quantizer broadcasts; the pair join never does") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    // AQE + auto-broadcast off: the web-scale regime — a tiny test
+    // corpus legitimately auto-broadcasts, but nothing in the plan may
+    // REQUIRE it (the PageRankSpec probe discipline)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = emb.select($"vec_id", $"embedding").repartition(4, $"vec_id")
+      val lists = SimSearch.buildIvfIndex(corpus, "vec_id", "embedding",
+        nlist = 4, lloydIters = 1).lists
+      val bcasts = lists.queryExecution.executedPlan
+        .collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, "the anchor quantizer should broadcast")
+      bcasts.foreach { b =>
+        val bounded = b.collect {
+          case _: GlobalLimitExec | _: LocalLimitExec => 1
+          case _: TakeOrderedAndProjectExec => 1 // orderBy().limit(n) fuses
+          case _: BaseAggregateExec => 1
+        }
+        assert(bounded.nonEmpty,
+          s"a broadcast subtree with neither a limit nor an aggregate " +
+            s"beneath it — the raw corpus is being broadcast:\n$b")
+      }
+      // the within-cluster pair join: equi on the cluster key, and with
+      // nothing hinted it must plan WITHOUT any broadcast at all
+      val members = lists.select($"__cid", $"neighbor_id".as("__id"),
+        $"__cv2".as("__v")).localCheckpoint()
+      val pairs = members.as("a").join(members.as("b"),
+        $"a.__cid" === $"b.__cid" && $"a.__id" < $"b.__id")
+      assert(pairs.queryExecution.executedPlan
+        .collect { case b: BroadcastExchangeExec => b }.isEmpty,
+        "the corpus-side pair join must shuffle on the cluster key, not broadcast")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
