@@ -3655,6 +3655,34 @@ object SparkEntry {
         "doc_id", "raw", maxBytes = FetchMaxBytes)
     }),
 
+    // ── INCREMENTAL SemDeDup (Dedup.semDedupIncremental — the
+    // q89/q174/q186 lifecycle discipline on the semantic arc): the
+    // old corpus is clustered once, the batch folds in against the
+    // OLD quantizer (bounded anchor broadcast + stored-list joins,
+    // never a corpus rescan), and the result must equal q310's FULL
+    // recompute — certified against q310's brute-force oracle
+    // VERBATIM. The split is engineered so BOTH incremental pair
+    // legs are live: batch = every dup-group base (%7 multiples
+    // under 100000) plus every ×4 copy (≥200000), so ×2 copies stay
+    // old — triple groups bridge batch↔old AND batch↔batch, pair
+    // groups bridge batch↔old. ──
+    "q315_semdedup_incremental" -> ((s, dir) => {
+      import graft.ext.{Dedup, SimSearch}
+      val corpus = semCorpus(t(s, dir, "embeddings")).localCheckpoint()
+      val isBatch = (col("vec_id") % 7 === 0 && col("vec_id") < 100000L) ||
+        col("vec_id") >= 200000L
+      val old = corpus.filter(!isBatch)
+      val batch = corpus.filter(isBatch)
+      val oldAssign = Dedup.semDedup(old, "vec_id", "embedding",
+        nlist = 8, tau = 0.9)
+      // same params + seed as semDedup's internal build → the same
+      // deterministic quantizer (at scale: readIvfIndex from store)
+      val idx = SimSearch.buildIvfIndex(old, "vec_id", "embedding",
+        nlist = 8, seed = 7L, lloydIters = 1)
+      Dedup.semDedupIncremental(idx, oldAssign, batch,
+        "vec_id", "embedding", tau = 0.9)
+    }),
+
     // ── SQL surface for the custom expression (the U1 discipline:
     // q27 proved a registered UDF surface; this proves the CUSTOM
     // CATALYST EXPRESSION is equally SQL-callable): unicode_tokens
@@ -9765,6 +9793,15 @@ object SparkEntry {
     // CAST(CAST(x AS DOUBLE) * 2 AS FLOAT) — double-exact then
     // float-exact, the same values Spark's float multiply produces)
     "q310_semdedup" ->
+      (SemDedupCcCtes + "\n" +
+        """SELECT vec_id, keep_id,
+          |  count(*) OVER (PARTITION BY keep_id) AS n_members,
+          |  vec_id <> keep_id AS is_dup
+          |FROM assigned""".stripMargin),
+
+    // IDENTICAL SQL to q310: the incremental fold must equal the full
+    // recompute bit-for-bit (the q186 discipline on the semantic arc).
+    "q315_semdedup_incremental" ->
       (SemDedupCcCtes + "\n" +
         """SELECT vec_id, keep_id,
           |  count(*) OVER (PARTITION BY keep_id) AS n_members,

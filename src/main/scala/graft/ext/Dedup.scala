@@ -853,4 +853,62 @@ object Dedup {
         col("cluster_size").as("n_members"),
         (!col("is_representative")).as("is_dup"))
   }
+
+  /** INCREMENTAL SemDeDup — fold a NEW batch into an existing
+    * [[semDedup]] assignment without re-clustering the corpus (the
+    * q89/q174/q186 lifecycle discipline on the semantic-dedup arc):
+    * assign the batch to the EXISTING quantizer's anchors (the
+    * bounded broadcast argmax — at scale `idx` is loaded from the
+    * store, never rebuilt), generate batch↔old pairs against the
+    * stored inverted lists and batch↔batch pairs within clusters
+    * (cosine ≥ tau, cluster-keyed equi-joins), and fold them via
+    * [[ConnectedComponents.incrementalClusters]] — cost
+    * O(|batch| · avg-cluster + members of TOUCHED clusters), never
+    * O(corpus).
+    *
+    * CONTRACT: batch ids are DISJOINT from the old corpus's; using
+    * the OLD quantizer means a batch document lands in the cluster
+    * its old near-dups live in exactly when its cosine profile
+    * matches theirs (the same almost-always posture as [[semDedup]]
+    * itself — q315 certifies equality with the FULL recompute on the
+    * planted corpus, where the argument is exact). `oldAssign` and
+    * the result are both in [[semDedup]]'s output shape
+    * (idCol, keep_id, n_members, is_dup).
+    */
+  def semDedupIncremental(
+      idx: SimSearch.IvfIndex, oldAssign: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
+      .repartition(col("__bid"))
+    // the buildIvfIndex argmax idiom: bounded anchor broadcast + one
+    // keyed partial agg (no corpus-wide window), vectors joined back
+    val cids = b.crossJoin(broadcast(idx.anchors))
+      .select(col("__bid"),
+        struct((-SimSearch.cosineSim(spark, col("__bv"), col("__cv")))
+          .as("negCos"), col("__cid").as("cid")).as("__sc"))
+      .groupBy("__bid")
+      .agg(min(col("__sc")).getField("cid").as("__cid"))
+    val bm = b.join(cids, Seq("__bid")).localCheckpoint()
+    val old = idx.lists.select(col("__cid"),
+      col("neighbor_id").as("__oid"), col("__cv2").as("__ov"))
+    val crossPairs = bm.join(old, Seq("__cid"))
+      .filter(SimSearch.cosineSim(spark, col("__bv"), col("__ov")) >= tau)
+      .select(col("__bid"), col("__oid"))
+    val batchPairs = bm.as("a")
+      .join(bm.as("b"),
+        col("a.__cid") === col("b.__cid") && col("a.__bid") < col("b.__bid"))
+      .filter(SimSearch.cosineSim(spark,
+        col("a.__bv"), col("b.__bv")) >= tau)
+      .select(col("a.__bid").as("pa"), col("b.__bid").as("pb"))
+    val assignShape = oldAssign.select(col(idCol),
+      col("keep_id").as("cluster"), col("n_members").as("cluster_size"),
+      (!col("is_dup")).as("is_representative"))
+    ConnectedComponents.incrementalClusters(
+        assignShape, idCol, batch.select(col(idCol)),
+        crossPairs, "__bid", "__oid", batchPairs, "pa", "pb")
+      .select(col(idCol), col("cluster").as("keep_id"),
+        col("cluster_size").as("n_members"),
+        (col(idCol) =!= col("cluster")).as("is_dup"))
+  }
 }

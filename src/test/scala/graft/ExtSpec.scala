@@ -1186,4 +1186,43 @@ class ExtSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("semDedupIncremental == full semDedup; both incremental pair legs live") {
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def scaled(k: Float, off: Long, m: Long) = base
+      .filter($"vec_id" % m === 0)
+      .select(($"vec_id" + off).as("vec_id"),
+        transform($"embedding", x => x * lit(k)).as("embedding"))
+    val corpus = base
+      .unionByName(scaled(2.0f, 100000L, 7L))
+      .unionByName(scaled(4.0f, 200000L, 14L))
+      .repartition(8, $"vec_id").localCheckpoint()
+    val isBatch = ($"vec_id" % 7 === 0 && $"vec_id" < 100000L) ||
+      $"vec_id" >= 200000L
+    val old = corpus.filter(!isBatch)
+    val batch = corpus.filter(isBatch)
+    // non-vacuity of the split itself: triple groups straddle it
+    // (base + x4 copy in batch, x2 copy old), so BOTH legs must fire
+    assert(batch.filter($"vec_id" >= 200000L).count() > 0)
+    assert(old.filter($"vec_id" >= 100000L && $"vec_id" < 200000L)
+      .count() > 0)
+    val oldAssign = Dedup.semDedup(old, "vec_id", "embedding",
+      nlist = 8, tau = 0.9)
+    val idx = SimSearch.buildIvfIndex(old, "vec_id", "embedding",
+      nlist = 8, seed = 7L, lloydIters = 1)
+    val inc = Dedup.semDedupIncremental(idx, oldAssign, batch,
+      "vec_id", "embedding", tau = 0.9)
+    val full = Dedup.semDedup(corpus, "vec_id", "embedding",
+      nlist = 8, tau = 0.9)
+    assert(inc.count() == corpus.count())
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0)
+    // and the merged triples really exist: a batch x4 copy must be a
+    // dup of its OLD x2 sibling's component (cross leg) and of its
+    // batch base (batch leg) — one component of size 3 rooted at base
+    val triples = inc.filter($"n_members" === 3 && $"vec_id" >= 200000L)
+    assert(triples.count() > 0)
+    assert(triples.filter($"keep_id" >= 100000L).count() == 0,
+      "triple components must root at the base vector")
+  }
 }
