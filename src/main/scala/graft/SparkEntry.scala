@@ -3673,12 +3673,12 @@ object SparkEntry {
         col("vec_id") >= 200000L
       val old = corpus.filter(!isBatch)
       val batch = corpus.filter(isBatch)
-      val oldAssign = Dedup.semDedup(old, "vec_id", "embedding",
-        nlist = 8, tau = 0.9)
-      // same params + seed as semDedup's internal build → the same
-      // deterministic quantizer (at scale: readIvfIndex from store)
+      // ONE quantizer build, handed to both the full pass and the
+      // incremental fold (the semDedupWithIndex seam — at scale:
+      // readIvfIndex from the store)
       val idx = SimSearch.buildIvfIndex(old, "vec_id", "embedding",
         nlist = 8, seed = 7L, lloydIters = 1)
+      val oldAssign = Dedup.semDedupWithIndex(idx, old, "vec_id", tau = 0.9)
       Dedup.semDedupIncremental(idx, oldAssign, batch,
         "vec_id", "embedding", tau = 0.9)
     }),

@@ -830,9 +830,23 @@ object Dedup {
       seed: Long = 7L): DataFrame = {
     require(nlist >= 1 && tau > 0 && tau <= 1.0001,
       s"bad semDedup params: nlist=$nlist tau=$tau")
+    semDedupWithIndex(SimSearch.buildIvfIndex(
+      corpus, idCol, vecCol, nlist, seed, lloydIters), corpus, idCol, tau)
+  }
+
+  /** [[semDedup]] against a CALLER-OWNED quantizer — the seam the
+    * incremental lifecycle needs: build (or load) the index ONCE and
+    * hand the SAME one to both the full pass and
+    * [[semDedupIncremental]], so the quantizer behind `oldAssign`
+    * and the one the batch assigns against cannot drift (round-15
+    * review fix — q315 previously rebuilt the index, hand-copying
+    * semDedup's seed/lloydIters defaults).
+    */
+  def semDedupWithIndex(
+      idx: SimSearch.IvfIndex, corpus: DataFrame, idCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1.0001, s"bad semDedup tau: $tau")
     val spark = corpus.sparkSession
-    val idx = SimSearch.buildIvfIndex(
-      corpus, idCol, vecCol, nlist, seed, lloydIters)
     // one materialization: the lists feed pair generation below; the
     // trained-artifact checkpoint rule (buildIvfPq postmortem — a lazy
     // assignment re-executes per consumer)

@@ -1116,17 +1116,24 @@ class ExtSpec extends SparkSpec {
     assert(got(20L) == (("something else entirely", 20L, 1L, false)))
   }
 
-  test("semDedup == brute-force cosine truth on the planted scaled-copy corpus") {
+  /** q310/q313/q315 planted SemDeDup corpus (ONE builder — the
+    * SparkEntry semCorpus twin — so the brute-force and incremental
+    * tests cannot drift apart): power-of-2 scalar-multiple copies.
+    */
+  private def plantedSemCorpus(partitions: Int) = {
     val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select($"vec_id", $"embedding")
     def scaled(k: Float, off: Long, m: Long) = base
       .filter($"vec_id" % m === 0)
       .select(($"vec_id" + off).as("vec_id"),
         transform($"embedding", x => x * lit(k)).as("embedding"))
-    val corpus = base
-      .unionByName(scaled(2.0f, 100000L, 7L))
+    base.unionByName(scaled(2.0f, 100000L, 7L))
       .unionByName(scaled(4.0f, 200000L, 14L))
-      .repartition(8, $"vec_id").localCheckpoint()
+      .repartition(partitions, $"vec_id").localCheckpoint()
+  }
+
+  test("semDedup == brute-force cosine truth on the planted scaled-copy corpus") {
+    val corpus = plantedSemCorpus(8)
     val got = Dedup.semDedup(corpus, "vec_id", "embedding",
       nlist = 8, tau = 0.9)
     // brute-force truth: exact all-pairs edges -> same component fold
@@ -1188,16 +1195,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("semDedupIncremental == full semDedup; both incremental pair legs live") {
-    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
-      .select($"vec_id", $"embedding")
-    def scaled(k: Float, off: Long, m: Long) = base
-      .filter($"vec_id" % m === 0)
-      .select(($"vec_id" + off).as("vec_id"),
-        transform($"embedding", x => x * lit(k)).as("embedding"))
-    val corpus = base
-      .unionByName(scaled(2.0f, 100000L, 7L))
-      .unionByName(scaled(4.0f, 200000L, 14L))
-      .repartition(8, $"vec_id").localCheckpoint()
+    val corpus = plantedSemCorpus(8)
     val isBatch = ($"vec_id" % 7 === 0 && $"vec_id" < 100000L) ||
       $"vec_id" >= 200000L
     val old = corpus.filter(!isBatch)
@@ -1207,10 +1205,9 @@ class ExtSpec extends SparkSpec {
     assert(batch.filter($"vec_id" >= 200000L).count() > 0)
     assert(old.filter($"vec_id" >= 100000L && $"vec_id" < 200000L)
       .count() > 0)
-    val oldAssign = Dedup.semDedup(old, "vec_id", "embedding",
-      nlist = 8, tau = 0.9)
     val idx = SimSearch.buildIvfIndex(old, "vec_id", "embedding",
       nlist = 8, seed = 7L, lloydIters = 1)
+    val oldAssign = Dedup.semDedupWithIndex(idx, old, "vec_id", tau = 0.9)
     val inc = Dedup.semDedupIncremental(idx, oldAssign, batch,
       "vec_id", "embedding", tau = 0.9)
     val full = Dedup.semDedup(corpus, "vec_id", "embedding",
