@@ -3683,6 +3683,22 @@ object SparkEntry {
         "vec_id", "embedding", tau = 0.9)
     }),
 
+    // ── STREAMING semantic-dedup ingest (the q190 read→fold→append
+    // lifecycle on the SemDeDup arc, q315's operator driven by a
+    // LIVE stream): the pre-stream corpus is the pure singletons
+    // (non-multiples of 7), wave A carries every dup group's base +
+    // ×2 copy, wave B the ×4 copies — B's only partners live in A,
+    // so the per-wave INDEX APPEND is load-bearing: skip it and
+    // every B row comes back a singleton and the oracle comparison
+    // fails. Certified against q310's brute-force oracle VERBATIM
+    // (the one-shot full recompute). ──
+    "q316_semdedup_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReports.semDedupIngestReplay(
+        s, semCorpus(t(s, dir, "embeddings")),
+        isOld = col("vec_id") % 7 =!= 0 && col("vec_id") < 100000L,
+        waveA = col("vec_id") < 200000L,
+        nlist = 8, tau = 0.9)),
+
     // ── SQL surface for the custom expression (the U1 discipline:
     // q27 proved a registered UDF surface; this proves the CUSTOM
     // CATALYST EXPRESSION is equally SQL-callable): unicode_tokens
@@ -9802,6 +9818,15 @@ object SparkEntry {
     // IDENTICAL SQL to q310: the incremental fold must equal the full
     // recompute bit-for-bit (the q186 discipline on the semantic arc).
     "q315_semdedup_incremental" ->
+      (SemDedupCcCtes + "\n" +
+        """SELECT vec_id, keep_id,
+          |  count(*) OVER (PARTITION BY keep_id) AS n_members,
+          |  vec_id <> keep_id AS is_dup
+          |FROM assigned""".stripMargin),
+
+    // IDENTICAL SQL to q310: the streamed read→fold→append ingest
+    // must equal the one-shot full recompute (q186/q315 discipline).
+    "q316_semdedup_stream" ->
       (SemDedupCcCtes + "\n" +
         """SELECT vec_id, keep_id,
           |  count(*) OVER (PARTITION BY keep_id) AS n_members,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 
@@ -1286,5 +1286,82 @@ object StreamingReports {
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
     spark.table(mem)
+  }
+
+  /** STREAMING semantic-dedup ingest — the q190 read→fold→append
+    * lifecycle on the SemDeDup arc: embedding waves land as PARQUET
+    * (bit-exact floats), each microbatch folds into the running
+    * assignment via [[graft.ext.Dedup.semDedupIncremental]] against
+    * the STORED index and then APPENDS itself to the index, so a
+    * later wave's near-dups of an EARLIER wave are found directly
+    * through the store. q316's wave split makes that append path
+    * LOAD-BEARING, not a redundancy: the pre-stream corpus is pure
+    * singletons, wave A carries each dup group's base + ×2 copy, and
+    * wave B carries the ×4 copies — B's only partners live in A, so
+    * without the append every B row would come back a singleton and
+    * the brute-force oracle comparison would fail. The accumulated
+    * assignment must equal the one-shot [[graft.ext.Dedup.semDedup]]
+    * of the full corpus (q310's oracle VERBATIM).
+    *
+    * REPLAY CAVEAT (the applyAnnProbeBatch discipline does not apply
+    * here): the fold mutates the running assignment, so this replay
+    * harness is not idempotent under microbatch re-delivery; a
+    * production intake would checkpoint (batchId, assignment) pairs
+    * and skip replayed ids — the q99/CDC out-of-order guard's job,
+    * certified on that arc.
+    */
+  def semDedupIngestReplay(
+      outer: SparkSession, corpus: DataFrame, isOld: Column,
+      waveA: Column, nlist: Int, tau: Double,
+      appendWaves: Boolean = true): DataFrame = {
+    import graft.ext.{Dedup, SimSearch}
+    val spark = replaySession(outer)
+    // register the codegen'd cosine BEFORE the stream starts (the
+    // ivfStreamProbeReplay registry-copy rule)
+    graft.plans.CosineSimilarity.register(spark)
+    // re-root the fixture under the replay session: frames from the
+    // outer session must not join frames planned under the clone
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semdd-corpus")
+    corpus.write.mode("overwrite").parquet(tmp.toString)
+    val c = spark.read.parquet(tmp.toString).localCheckpoint()
+    val old = c.filter(isOld)
+    val batch = c.filter(!isOld)
+    val store = java.nio.file.Files.createTempDirectory("graft-semdd-idx")
+    SimSearch.writeIvfIndex(SimSearch.buildIvfIndex(
+      old, "vec_id", "embedding", nlist, seed = 7L, lloydIters = 1),
+      store.toString)
+    var assign = Dedup.semDedupWithIndex(
+      SimSearch.readIvfIndex(spark, store.toString), old, "vec_id", tau)
+      .localCheckpoint()
+    val landing = java.nio.file.Files.createTempDirectory("graft-semdd-waves")
+    def deliverWave(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(landing.toString)
+    deliverWave(batch.filter(waveA))
+    val q = spark.readStream.schema(batch.schema).parquet(landing.toString)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val bb = b.localCheckpoint()
+          val idx = SimSearch.readIvfIndex(spark, store.toString)
+          assign = Dedup.semDedupIncremental(
+            idx, assign, bb, "vec_id", "embedding", tau).localCheckpoint()
+          // appendWaves=false is the StreamingSpec NEGATIVE PROBE: it
+          // must break cross-wave dedup, proving the append is
+          // load-bearing (the non-vacuous-assertion discipline)
+          if (appendWaves)
+            SimSearch.appendToIvfIndex(bb, store.toString,
+              "vec_id", "embedding")
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      deliverWave(batch.filter(!waveA))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      deleteRecursively(landing)
+      deleteRecursively(tmp)
+      deleteRecursively(store)
+    }
+    assign
   }
 }

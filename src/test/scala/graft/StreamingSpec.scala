@@ -511,4 +511,37 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long, Long, String)].collect().toSet
     assert(stream == batch, s"stream vs batch: ${stream.diff(batch)}")
   }
+
+  test("semDedup ingest: the per-wave index append is LOAD-BEARING (negative probe)") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def scaled(k: Float, off: Long, m: Long) = base
+      .filter($"vec_id" % m === 0)
+      .select(($"vec_id" + off).as("vec_id"),
+        transform($"embedding", x => x * lit(k)).as("embedding"))
+    val corpus = base
+      .unionByName(scaled(2.0f, 100000L, 7L))
+      .unionByName(scaled(4.0f, 200000L, 14L))
+    val isOld = $"vec_id" % 7 =!= 0 && $"vec_id" < 100000L
+    val waveA = $"vec_id" < 200000L
+    val withAppend = graft.streaming.StreamingReports.semDedupIngestReplay(
+      spark, corpus, isOld, waveA, nlist = 8, tau = 0.9)
+    // wave-B members (x4 copies) must merge into their wave-A groups
+    val merged = withAppend.filter($"vec_id" >= 200000L)
+    assert(merged.count() > 0)
+    assert(merged.filter(!$"is_dup").count() == 0,
+      "every x4 copy has a wave-A partner and must be a dup")
+    // NEGATIVE PROBE: without the append, wave B sees an index that
+    // lacks wave A -- its copies have no partners and come back
+    // singletons; if this ever PASSES dedup, the append stopped being
+    // load-bearing and q316's design claim is stale
+    val noAppend = graft.streaming.StreamingReports.semDedupIngestReplay(
+      spark, corpus, isOld, waveA, nlist = 8, tau = 0.9,
+      appendWaves = false)
+    val orphans = noAppend.filter($"vec_id" >= 200000L)
+    assert(orphans.filter($"is_dup").count() == 0,
+      "no-append run must leave every x4 copy a singleton")
+    assert(orphans.filter($"n_members" =!= 1).count() == 0)
+  }
 }
