@@ -3699,6 +3699,38 @@ object SparkEntry {
         waveA = col("vec_id") < 200000L,
         nlist = 8, tau = 0.9)),
 
+    // ── charset allowlist MATRIX (q307 certified five of the
+    // allowlisted charsets + the three routes; this closes the rest
+    // of the matrix, so no allowlist entry ships uncertified): koi8-r
+    // Cyrillic, GBK and Big5 CJK, iso-8859-2 háček/acute Latin-2,
+    // iso-8859-15 with the € at 0xA4 and œ — all strict round-trips
+    // through EncodeCharset → TranscodeUtf8. ──
+    "q317_charset_matrix" -> ((s, dir) => {
+      import graft.plans.Transcode
+      val id = col("doc_id")
+      val a = id % 5
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      val cs =
+        when(a === 0, lit("koi8-r"))
+          .when(a === 1, lit("gbk"))
+          .when(a === 2, lit("big5"))
+          .when(a === 3, lit("iso-8859-2"))
+          .otherwise(lit("iso-8859-15"))
+      val planted =
+        when(a === 0, concat(col("text"),
+          lit(" \u043C\u0438\u0440")))
+          .when(a === 1, concat(col("text"),
+            lit(" \u4F60\u597D\u4E16\u754C")))
+          .when(a === 2, concat(col("text"), lit(" \u53F0\u5317")))
+          .when(a === 3, concat(col("text"),
+            lit(" \u010Desk\u00FD")))
+          .otherwise(concat(col("text"),
+            lit(" \u20AC\u0153uvre")))
+      docs.select(id, cs.as("charset"),
+        Transcode.toUtf8(Transcode.encode(planted, cs), cs).as("decoded"))
+    }),
+
     // ── SQL surface for the custom expression (the U1 discipline:
     // q27 proved a registered UDF surface; this proves the CUSTOM
     // CATALYST EXPRESSION is equally SQL-callable): unicode_tokens
@@ -9763,6 +9795,24 @@ object SparkEntry {
         |  CASE doc_id % 5 WHEN 4 THEN 'header' ELSE 'bom' END AS cs_source,
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
+        |FROM documents""".stripMargin,
+
+    // charset-matrix mirror: closed-form per arm (chr codepoints:
+    // мир 1084/1080/1088, 你好世界 20320/22909/19990/30028, 台北
+    // 21488/21271, č 269 / ý 253, € 8364 / œ 339)
+    "q317_charset_matrix" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'koi8-r' WHEN 1 THEN 'gbk' WHEN 2 THEN 'big5'
+        |    WHEN 3 THEN 'iso-8859-2' ELSE 'iso-8859-15' END AS charset,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN text || ' ' || chr(1084) || chr(1080) || chr(1088)
+        |    WHEN 1 THEN text || ' ' || chr(20320) || chr(22909)
+        |      || chr(19990) || chr(30028)
+        |    WHEN 2 THEN text || ' ' || chr(21488) || chr(21271)
+        |    WHEN 3 THEN text || ' ' || chr(269) || 'esk' || chr(253)
+        |    ELSE text || ' ' || chr(8364) || chr(339) || 'uvre'
+        |    END AS decoded
         |FROM documents""".stripMargin,
 
     // encoding-damage mirror: arms closed-form (chr(65533) U+FFFD,
