@@ -106,6 +106,15 @@ object SparkEntry {
     * 404, 7 wrong media type, 8 unsupported CE (br), 9 chunked TE, 10
     * corrupt gzip, 11 unsupported declared charset, 12 no status line,
     * 13 gzip bomb vs [[FetchMaxBytes]].
+    *
+    * ASCII DEPENDENCE (shared with q307/q312/q317/q318, like the q293
+    * band-miss note): the closed-form oracles assume documents.text is
+    * pure ASCII — an unmappable character would NULL the in-plan
+    * encode (routing 'malformed' where the oracle says 'ok'), and the
+    * arm-5 mirror (`text || chr(65533) || '!'`) assumes the text mints
+    * no extra U+FFFDs. Verified 0 non-ASCII docs at every shipped SF;
+    * guarded by FetchDecodeSpec "fixture contract: documents.text is
+    * ASCII at every shipped SF" so a corpus retune fails loudly.
     */
   private def fetchFixture(docs: DataFrame): DataFrame = {
     import graft.ext.FetchDecode
@@ -7407,7 +7416,7 @@ object SparkEntry {
       |  FROM p)
       |SELECT doc_id, status,
       |  lower(trim(regexp_extract(ct, '^([^;]*)', 1))) AS content_type,
-      |  lower(regexp_extract(ct, '(?i)charset="?([A-Za-z0-9_-]+)', 1)) AS charset,
+      |  lower(regexp_extract(ct, '(?i)(?:^|[;\s])charset="?([A-Za-z0-9_-]+)', 1)) AS charset,
       |  te AS transfer_encoding,
       |  CASE WHEN status IS NULL OR has_sep = 0 THEN 'malformed'
       |       WHEN status <> 200 THEN 'bad_status'

@@ -25,7 +25,13 @@ import graft.plans.{Inflate, Transcode}
   * fixture arm):
   *   1. a BOM on the decoded payload wins over everything (and is
   *      stripped) — UTF-8 (EF BB BF), UTF-16LE (FF FE), or UTF-16BE
-  *      (FE FF); a lying `charset=` header cannot override bytes;
+  *      (FE FF); a lying `charset=` header cannot override bytes.
+  *      The sniff fires on the raw prefix BYTES regardless of
+  *      content: a legacy single-byte page that genuinely starts
+  *      with FF FE / FE FF (e.g. cp1252 "ÿþ…") is forced onto the
+  *      UTF-16 leg and garbles — accepted WHATWG-prescan behavior
+  *      (browsers make the same call), same class as the UTF-32
+  *      caveat below;
   *   2. the Content-Type `charset=` parameter;
   *   3. a `<meta … charset=…>` sniff in the first [[MetaSniffBytes]]
   *      bytes of the payload (covers both the HTML5 attribute and

@@ -71,10 +71,15 @@ object HttpRecord {
     * fallback decode leg). Single quotes are NOT consumed: they are
     * not legal in Content-Type parameters (unlike HTML meta
     * attributes — [[FetchDecode]]'s meta sniff accepts both). The
-    * oracle mirrors this regex with the double quote written plainly
-    * inside its single-quoted SQL literal.
+    * match is LEFT-ANCHORED to a parameter boundary (value start,
+    * ';', or whitespace — round-16 review fix): without it the regex
+    * fired inside a longer parameter name (`xcharset=foo`) or inside
+    * another parameter's quoted value, extracting a bogus charset.
+    * The oracle mirrors this regex with the double quote written
+    * plainly inside its single-quoted SQL literal.
     */
-  private[graft] val CharsetParamRe = "(?i)charset=\"?([A-Za-z0-9_-]+)"
+  private[graft] val CharsetParamRe =
+    "(?i)(?:^|[;\\s])charset=\"?([A-Za-z0-9_-]+)"
 
   /** The charset parameter value, lowercased ('' when absent). */
   def charsetParam(raw: Column): Column =

@@ -214,6 +214,19 @@ object StreamingReports {
     s
   }
 
+  /** Drain a memory-sink table: materialize the rows (eager
+    * localCheckpoint) and DROP the sink's temp view — without this
+    * every replay invocation leaked one cached in-memory table into
+    * the session catalog for the session lifetime (round-16 ADVICE;
+    * the names are UUID-suffixed so it was a leak, never a collision).
+    * Downstream transforms run on the checkpointed frame.
+    */
+  private def drainMemorySink(spark: SparkSession, mem: String): DataFrame = {
+    val out = spark.table(mem).localCheckpoint()
+    spark.catalog.dropTempView(mem)
+    out
+  }
+
   private def listFixtureFiles(srcDir: String): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
@@ -265,7 +278,7 @@ object StreamingReports {
       q.stop()
       deleteRecursively(landing) // results live in the memory sink
     }
-    spark.table(mem)
+    drainMemorySink(spark, mem)
   }
 
   /** Bounded replay of `followupJoin` — the certified-query surface
@@ -285,7 +298,7 @@ object StreamingReports {
       .writeStream.format("memory").queryName(mem).outputMode("append").start()
     try q.processAllAvailable()
     finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem)
+    drainMemorySink(spark, mem)
   }
 
   /** Bounded replay of `top10StreamUpdate` over a directory of landing
@@ -418,7 +431,7 @@ object StreamingReports {
         q.processAllAvailable()
       }
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem).filter(col("userId") =!= "__sentinel")
+    drainMemorySink(spark, mem).filter(col("userId") =!= "__sentinel")
   }
 
   /** Bounded replay of `runningTotals` — the certified-query surface
@@ -444,7 +457,7 @@ object StreamingReports {
       deliver(landing, wave2)
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem).groupBy("resourceId").agg(max(col("total")).as("total"))
+    drainMemorySink(spark, mem).groupBy("resourceId").agg(max(col("total")).as("total"))
   }
 
   /** STREAMING CDC UPSERT — the streaming member of the Merge family:
@@ -664,7 +677,7 @@ object StreamingReports {
       deliver(landing, w2)
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem)
+    drainMemorySink(spark, mem)
   }
 
   /** Streaming URL-canonicalization triage — q213's projection on a
@@ -702,7 +715,7 @@ object StreamingReports {
       deliverWave(urls.filter(col("doc_id") % 2 =!= 0))
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem)
+    drainMemorySink(spark, mem)
   }
 
   /** Streaming HTTP response triage — q236's parse on a LIVE fetch
@@ -755,7 +768,7 @@ object StreamingReports {
       deliverWave(rows.filter(col(idCol) % 2 =!= 0))
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem)
+    drainMemorySink(spark, mem)
   }
 
   /** STATEFUL streaming recrawl estimation — UrlCanon.recrawlStats'
@@ -843,7 +856,7 @@ object StreamingReports {
       }
     } finally { q.stop(); deleteRecursively(landing) }
     graft.ext.UrlCanon.withRecrawlDerived(
-      spark.table(mem).filter(col("url") =!= "zz-sentinel"))
+      drainMemorySink(spark, mem).filter(col("url") =!= "zz-sentinel"))
   }
 
   /** Streaming HTML main-content extraction — q226's chain on a LIVE
@@ -876,7 +889,7 @@ object StreamingReports {
       deliverWave(pages.filter(col("doc_id") % 2 =!= 0))
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem)
+    drainMemorySink(spark, mem)
   }
 
   /** Streaming ANN serving — the stored IVF index probed by a LIVE
@@ -1143,7 +1156,7 @@ object StreamingReports {
         q.processAllAvailable()
       }
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem)
+    drainMemorySink(spark, mem)
       .filter(col("user_id") >= 0)
       .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
   }
@@ -1229,7 +1242,7 @@ object StreamingReports {
         q.processAllAvailable()
       }
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem)
+    drainMemorySink(spark, mem)
       .filter(col("user_id") >= 0)
       .groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"))
@@ -1285,7 +1298,7 @@ object StreamingReports {
       deliverWave(fixture.filter(col("doc_id") % 2 =!= 0))
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(landing) }
-    spark.table(mem)
+    drainMemorySink(spark, mem)
   }
 
   /** STREAMING semantic-dedup ingest — the q190 read→fold→append

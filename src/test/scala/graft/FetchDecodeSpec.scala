@@ -129,4 +129,36 @@ class FetchDecodeSpec extends SparkSpec {
       Inflate.gzipCompress(lit("A" * 100000).cast("binary")))
       == "bad_inflate")
   }
+
+  /** CERTIFICATION-TIME GUARD (round-16 ADVICE): the q307/q308/q312/
+    * q317 fixtures and their closed-form oracles assume documents.text
+    * is pure ASCII — Transcode.encode(text, <legacy charset>) must
+    * never hit an unmappable character (which would NULL the record
+    * and route 'malformed' while the oracle expects 'ok'), and the
+    * q308 arm-5 oracle (`text || chr(65533) || '!'`) assumes the text
+    * itself mints no extra U+FFFDs. This test fails loudly on a corpus
+    * retune instead of letting certification break mysteriously.
+    */
+  test("fixture contract: documents.text is ASCII at every shipped SF") {
+    import graft.plans.Transcode
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .map(_.getPath).sorted
+    assert(dirs.nonEmpty)
+    for (dir <- dirs) {
+      val docs = graft.tables.Corpus.load(spark, dir, "documents")
+      val bad = docs.select(
+        sum(when(col("text").rlike("[^\\x00-\\x7F]"), 1).otherwise(0))
+          .as("non_ascii"),
+        // and directly: every fixture charset must encode every doc
+        sum(when(Transcode.encode(col("text"), lit("windows-1252")).isNull ||
+          Transcode.encode(col("text"), lit("shift_jis")).isNull ||
+          Transcode.encode(col("text"), lit("koi8-r")).isNull ||
+          Transcode.encode(col("text"), lit("big5")).isNull ||
+          Transcode.encode(col("text"), lit("iso-8859-2")).isNull,
+          1).otherwise(0)).as("unencodable")).head()
+      assert(bad.getLong(0) == 0L, s"$dir: non-ASCII documents.text")
+      assert(bad.getLong(1) == 0L, s"$dir: unencodable documents.text")
+    }
+  }
 }
