@@ -3708,6 +3708,25 @@ object SparkEntry {
         waveA = col("vec_id") < 200000L,
         nlist = 8, tau = 0.9)),
 
+    // ── EXACTLY-ONCE streaming semantic-dedup ingest (q316's
+    // lifecycle under the q99/CDC manifest protocol — round-15
+    // forward item closed): every wave folds and publishes (folded
+    // assignment + index list delta) under ONE batchId-keyed
+    // manifest rename, and after the stream drains the harness
+    // RE-DELIVERS wave A verbatim — the crash-redelivery a
+    // checkpoint produces. The guard makes it a no-op, so the
+    // accumulated assignment must STILL equal q310's one-shot
+    // brute-force oracle; StreamingSpec's negative probe folds the
+    // same redelivery as a fresh batch (the unguarded pipeline's
+    // view) and proves the result breaks. Same wave split as q316,
+    // so the cross-wave append path stays load-bearing here too. ──
+    "q319_semdedup_exactly_once" -> ((s, dir) =>
+      graft.streaming.StreamingReports.semDedupIngestIdempotentReplay(
+        s, semCorpus(t(s, dir, "embeddings")),
+        isOld = col("vec_id") % 7 =!= 0 && col("vec_id") < 100000L,
+        waveA = col("vec_id") < 200000L,
+        nlist = 8, tau = 0.9)),
+
     // ── charset allowlist MATRIX (q307 certified five of the
     // allowlisted charsets + the three routes; this closes the rest
     // of the matrix, so no allowlist entry ships uncertified): koi8-r
@@ -10141,6 +10160,16 @@ object SparkEntry {
     // IDENTICAL SQL to q310: the streamed read→fold→append ingest
     // must equal the one-shot full recompute (q186/q315 discipline).
     "q316_semdedup_stream" ->
+      (SemDedupCcCtes + "\n" +
+        """SELECT vec_id, keep_id,
+          |  count(*) OVER (PARTITION BY keep_id) AS n_members,
+          |  vec_id <> keep_id AS is_dup
+          |FROM assigned""".stripMargin),
+
+    // IDENTICAL SQL to q310: redelivering a wave under the
+    // exactly-once guard must leave the accumulated assignment equal
+    // to the one-shot full recompute (q186/q315/q316 discipline).
+    "q319_semdedup_exactly_once" ->
       (SemDedupCcCtes + "\n" +
         """SELECT vec_id, keep_id,
           |  count(*) OVER (PARTITION BY keep_id) AS n_members,

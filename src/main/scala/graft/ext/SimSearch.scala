@@ -596,9 +596,26 @@ object SimSearch {
     * and the build-once lifecycle are for.
     */
   def appendToIvfIndex(
-      newVectors: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
+      newVectors: DataFrame, path: String, idCol: String, vecCol: String): Unit =
+    assignToAnchors(newVectors, readIvfIndex(newVectors.sparkSession, path).anchors,
+      idCol, vecCol)
+      .write.mode("append").parquet(path + "/lists")
+
+  /** The coarse-assignment half of [[appendToIvfIndex]], exposed as a
+    * seam (round-16): argmax-assign a vector batch against STORED
+    * anchors — one bounded broadcast (nlist rows) + one keyed
+    * aggregate over the batch, O(|batch|·nlist) distance evals —
+    * returning rows in the persisted lists/ schema (id, vec, cid)
+    * WITHOUT writing them. The streaming semantic-dedup ingest needs
+    * the rows, not the side effect: its exactly-once protocol commits
+    * the wave's list delta and the folded assignment under ONE
+    * manifest rename, so a separate mode-append write here would be a
+    * second, unguarded mutation.
+    */
+  def assignToAnchors(
+      newVectors: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val spark = newVectors.sparkSession
-    val anchors = readIvfIndex(spark, path).anchors
     val n = newVectors.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     n.crossJoin(broadcast(anchors))
       .select(col("__id"), col("__v"),
@@ -607,7 +624,6 @@ object SimSearch {
       .groupBy("__id")
       .agg(first(col("__v")).as("__v"), min(col("__sc")).getField("cid").as("__cid"))
       .select(col("__id").as("id"), col("__v").as("vec"), col("__cid").as("cid"))
-      .write.mode("append").parquet(path + "/lists")
   }
 
   /** Compact a tombstoned IVF index: rewrite anchors/lists WITHOUT the

@@ -1317,11 +1317,12 @@ object StreamingReports {
     * of the full corpus (q310's oracle VERBATIM).
     *
     * REPLAY CAVEAT (the applyAnnProbeBatch discipline does not apply
-    * here): the fold mutates the running assignment, so this replay
-    * harness is not idempotent under microbatch re-delivery; a
-    * production intake would checkpoint (batchId, assignment) pairs
-    * and skip replayed ids — the q99/CDC out-of-order guard's job,
-    * certified on that arc.
+    * here): the fold mutates the running assignment, so THIS harness
+    * is not idempotent under microbatch re-delivery — it exists to
+    * certify the load-bearing append in isolation (q316). The
+    * production shape is [[semDedupIngestIdempotentReplay]] /
+    * [[applySemDedupIngestBatch]] (q319): folds keyed by batchId
+    * under the q99/CDC manifest protocol, redelivery a no-op.
     */
   def semDedupIngestReplay(
       outer: SparkSession, corpus: DataFrame, isOld: Column,
@@ -1376,5 +1377,154 @@ object StreamingReports {
       deleteRecursively(store)
     }
     assign
+  }
+
+  // ── EXACTLY-ONCE semantic-dedup ingest (round-15 forward item #3:
+  // the replay-idempotency caveat on [[semDedupIngestReplay]],
+  // closed by composing the q99/CDC manifest discipline onto the
+  // semantic arc) ──
+
+  /** Resolve the versioned ingest store: `root/index` holds the
+    * frozen quantizer (anchors + the OLD corpus's inverted lists),
+    * `root/init-assign` the pre-stream assignment, and each committed
+    * wave `root/v<batchId>` carries BOTH the folded assignment
+    * (`assign/`) and the wave's coarse-assigned list delta (`delta/`)
+    * — a version exists IFF its `_manifest/v<id>.json` does (the
+    * [[applyCdcBatch]] protocol verbatim), so the effective inverted
+    * lists are base ∪ committed deltas and the current assignment is
+    * the LATEST committed version's. Bounded metadata listing only —
+    * data directories are never listed.
+    */
+  private[graft] def semDedupStoreState(
+      spark: SparkSession, storeRoot: String)
+      : (graft.ext.SimSearch.IvfIndex, DataFrame) = {
+    import graft.ext.SimSearch
+    val base = SimSearch.readIvfIndex(spark, s"$storeRoot/index")
+    val committed = Option(new java.io.File(storeRoot, "_manifest").listFiles())
+      .map(_.filter(f => f.isFile && f.getName.matches("v\\d{9}\\.json"))
+        .map(_.getName.stripSuffix(".json")).sorted.toSeq)
+      .getOrElse(Seq.empty)
+    val deltas = committed.map(v =>
+      spark.read.parquet(s"$storeRoot/$v/delta")
+        .select(col("id").as("neighbor_id"), col("vec").as("__cv2"),
+          col("cid").as("__cid")))
+    val lists = deltas.foldLeft(base.lists)(_ unionByName _)
+    val assign = committed.lastOption
+      .map(v => spark.read.parquet(s"$storeRoot/$v/assign"))
+      .getOrElse(spark.read.parquet(s"$storeRoot/init-assign"))
+    (base.copy(lists = lists), assign)
+  }
+
+  /** One IDEMPOTENT semantic-dedup ingest fold — the batchId-keyed
+    * exactly-once commit the [[semDedupIngestReplay]] caveat named:
+    * a manifested batchId is a NO-OP (checkpoint redelivery), a
+    * whole-but-unmanifested version re-commits its manifest without
+    * rewriting (crash between rename and manifest), anything partial
+    * is rebuilt from the same prior snapshot. The fold
+    * ([[graft.ext.Dedup.semDedupIncremental]] against the frozen
+    * quantizer + committed deltas) and the wave's index delta
+    * ([[graft.ext.SimSearch.assignToAnchors]] — the rows, never a
+    * mode-append side effect) publish under ONE atomic manifest
+    * rename, so there is no crash window in which one mutation
+    * committed and the other did not.
+    *
+    * 100-TB shape: per wave, O(batch · nlist) assignment + pairs
+    * against touched clusters only, one bounded parquet version
+    * write; the store grows one delta per wave until
+    * [[graft.ext.SimSearch.compactIvfIndex]]-style maintenance folds
+    * it down.
+    */
+  private[graft] def applySemDedupIngestBatch(
+      batch: DataFrame, storeRoot: String, batchId: Long,
+      tau: Double): Unit = {
+    import graft.ext.{Dedup, SimSearch}
+    val spark = batch.sparkSession
+    if (manifestFile(storeRoot, batchId).exists()) return
+    val dest = new java.io.File(f"$storeRoot/v$batchId%09d")
+    val destWhole = new java.io.File(dest, "assign/_SUCCESS").exists() &&
+      new java.io.File(dest, "delta/_SUCCESS").exists()
+    if (dest.exists() && !destWhole) deleteRecursively(dest.toPath)
+    if (!destWhole) {
+      val (idx, prev) = semDedupStoreState(spark, storeRoot)
+      val bb = batch.localCheckpoint()
+      val next = Dedup.semDedupIncremental(
+        idx, prev, bb, "vec_id", "embedding", tau)
+      val delta = SimSearch.assignToAnchors(
+        bb, idx.anchors, "vec_id", "embedding")
+      val staging = new java.io.File(
+        s"$storeRoot/.staging-v$batchId-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      next.write.mode("errorifexists")
+        .parquet(new java.io.File(staging, "assign").getPath)
+      delta.write.mode("errorifexists")
+        .parquet(new java.io.File(staging, "delta").getPath)
+      if (!staging.renameTo(dest)) {
+        deleteRecursively(staging.toPath)
+        sys.error(s"could not commit semantic-dedup ingest version $dest")
+      }
+    }
+    commitManifest(storeRoot, batchId, dest.getPath)
+  }
+
+  /** [[semDedupIngestReplay]] with the EXACTLY-ONCE fold (q319): the
+    * same two-wave ingest, but every wave commits through
+    * [[applySemDedupIngestBatch]], and after the stream drains the
+    * harness RE-DELIVERS wave A VERBATIM — the crash-redelivery a
+    * checkpoint produces. Under its original batchId the manifest
+    * guard makes the redelivery a no-op and the accumulated
+    * assignment still equals q310's one-shot oracle. The NEGATIVE
+    * probe lives in StreamingSpec, which drives
+    * [[applySemDedupIngestBatch]] directly: an UNGUARDED pipeline
+    * cannot recognize the wave and folds it as fresh data — the
+    * assignment survives (incrementalClusters dedups its node set,
+    * by design) but the index store corrupts with duplicate list
+    * rows, and the PROBE surface then returns the same neighbor at
+    * two ranks. The guard is what keeps the store sound.
+    */
+  def semDedupIngestIdempotentReplay(
+      outer: SparkSession, corpus: DataFrame, isOld: Column,
+      waveA: Column, nlist: Int, tau: Double): DataFrame = {
+    import graft.ext.{Dedup, SimSearch}
+    val spark = replaySession(outer)
+    // register the codegen'd cosine BEFORE the stream starts (the
+    // ivfStreamProbeReplay registry-copy rule)
+    graft.plans.CosineSimilarity.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semddi-corpus")
+    corpus.write.mode("overwrite").parquet(tmp.toString)
+    val c = spark.read.parquet(tmp.toString).localCheckpoint()
+    val old = c.filter(isOld)
+    val batch = c.filter(!isOld)
+    val store = java.nio.file.Files.createTempDirectory("graft-semddi-store")
+    SimSearch.writeIvfIndex(SimSearch.buildIvfIndex(
+      old, "vec_id", "embedding", nlist, seed = 7L, lloydIters = 1),
+      s"$store/index")
+    Dedup.semDedupWithIndex(
+        SimSearch.readIvfIndex(spark, s"$store/index"), old, "vec_id", tau)
+      .write.mode("overwrite").parquet(s"$store/init-assign")
+    val landing = java.nio.file.Files.createTempDirectory("graft-semddi-waves")
+    def deliverWave(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(landing.toString)
+    deliverWave(batch.filter(waveA))
+    val q = spark.readStream.schema(batch.schema).parquet(landing.toString)
+      .writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) applySemDedupIngestBatch(
+          b.localCheckpoint(), store.toString, batchId, tau)
+      }.start()
+    try {
+      q.processAllAvailable()
+      deliverWave(batch.filter(!waveA))
+      q.processAllAvailable()
+      // ── the crash-redelivery: wave A again, byte-identical, under
+      // its original batchId (0 — wave A was the only file at the
+      // first trigger); the manifest guard must no-op it ──
+      applySemDedupIngestBatch(batch.filter(waveA), store.toString, 0L, tau)
+      val (_, fin) = semDedupStoreState(spark, store.toString)
+      fin.localCheckpoint()
+    } finally {
+      q.stop()
+      deleteRecursively(landing)
+      deleteRecursively(tmp)
+      deleteRecursively(store)
+    }
   }
 }

@@ -544,4 +544,68 @@ class StreamingSpec extends SparkSpec {
       "no-append run must leave every x4 copy a singleton")
     assert(orphans.filter($"n_members" =!= 1).count() == 0)
   }
+
+  test("semDedup exactly-once ingest: the batchId guard is LOAD-BEARING") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Dedup, SimSearch}
+    import graft.streaming.StreamingReports
+    graft.plans.CosineSimilarity.register(spark)
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def scaled(k: Float, off: Long, m: Long) = base
+      .filter($"vec_id" % m === 0)
+      .select(($"vec_id" + off).as("vec_id"),
+        transform($"embedding", x => x * lit(k)).as("embedding"))
+    val corpus = base
+      .unionByName(scaled(2.0f, 100000L, 7L))
+      .unionByName(scaled(4.0f, 200000L, 14L))
+      .localCheckpoint()
+    val old = corpus.filter($"vec_id" % 7 =!= 0 && $"vec_id" < 100000L)
+    val waveA = corpus.filter(
+      ($"vec_id" % 7 === 0 || $"vec_id" >= 100000L) && $"vec_id" < 200000L)
+      .localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("graft-semddi-spec")
+    try {
+      SimSearch.writeIvfIndex(SimSearch.buildIvfIndex(
+        old, "vec_id", "embedding", nlist = 8, seed = 7L, lloydIters = 1),
+        s"$store/index")
+      Dedup.semDedupWithIndex(
+          SimSearch.readIvfIndex(spark, s"$store/index"), old, "vec_id", 0.9)
+        .write.mode("overwrite").parquet(s"$store/init-assign")
+      StreamingReports.applySemDedupIngestBatch(waveA, store.toString, 0L, 0.9)
+      val (idx1, assign1) =
+        StreamingReports.semDedupStoreState(spark, store.toString)
+      val lists1 = idx1.lists.count()
+      val a1 = assign1.orderBy("vec_id").collect().toSeq
+      // GUARDED redelivery: the manifest for batchId 0 exists, so the
+      // byte-identical wave is a no-op -- store and assignment unchanged
+      StreamingReports.applySemDedupIngestBatch(waveA, store.toString, 0L, 0.9)
+      val (idx2, assign2) =
+        StreamingReports.semDedupStoreState(spark, store.toString)
+      assert(idx2.lists.count() == lists1, "guarded redelivery grew the lists")
+      assert(assign2.orderBy("vec_id").collect().toSeq == a1)
+      // NEGATIVE PROBE -- the unguarded pipeline's view: it cannot
+      // recognize the wave and folds it as a FRESH batch. The
+      // assignment survives (incrementalClusters dedups its node set,
+      // by design) but the STORE corrupts: wave A's list rows commit
+      // twice, and the probe surface then returns the same neighbor
+      // at two ranks. If this ever comes back clean, the guard
+      // stopped being load-bearing and q319's design claim is stale.
+      StreamingReports.applySemDedupIngestBatch(waveA, store.toString, 2L, 0.9)
+      val (idx3, _) = StreamingReports.semDedupStoreState(spark, store.toString)
+      val dupListRows = idx3.lists.groupBy($"neighbor_id").count()
+        .filter($"count" > 1).count()
+      assert(dupListRows > 0, "unguarded double-fold must duplicate list rows")
+      val probed = SimSearch.ivfTopKAgainstIndex(
+        idx3, waveA.limit(5), "vec_id", "embedding", k = 5, nprobe = 8)
+      assert(probed.groupBy($"query_id", $"neighbor_id").count()
+        .filter($"count" > 1).count() > 0,
+        "the corrupted store must surface duplicate neighbors in top-k")
+    } finally {
+      val w = java.nio.file.Files.walk(store)
+      try w.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
+    }
+  }
 }
