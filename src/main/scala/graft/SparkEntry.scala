@@ -3727,6 +3727,43 @@ object SparkEntry {
         waveA = col("vec_id") < 200000L,
         nlist = 8, tau = 0.9)),
 
+    // ── IVF REBALANCE lifecycle (q187's append discipline + the
+    // maintenance op it was missing — round-15 forward item #4):
+    // build the stored index from the 1/5 seed slice ONLY (frozen
+    // anchors from one-fifth of the eventual distribution, Lloyd
+    // OFF — the drifted-ingest shape), fold the other four fifths in
+    // through four appendToIvfIndex waves (each argmax-assigned
+    // against the FROZEN anchors), read the ivfListSkew report, and
+    // recluster via rebalanceIvfIndexIfSkewed when it crosses 1.25 —
+    // then probe EXHAUSTIVELY (nprobe = nlist): whether or not the
+    // policy fired, reclustering moves vectors BETWEEN lists, never
+    // in or out of the index, so the result must equal brute force
+    // over the whole corpus — q187's oracle VERBATIM. ExtSpec pins
+    // the skew mechanics themselves (planted parallel-anchor fixture:
+    // report ≥ 10× before, drops after, balanced index untouched). ──
+    "q320_ivf_rebalance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fp = graft.operators.IndexStore.fingerprint(s"$dir/embeddings.parquet")
+      val idxPath = graft.operators.IndexStore.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_rebal_${fp}_n16") {
+        staging =>
+          SimSearch.writeIvfIndex(
+            SimSearch.buildIvfIndex(emb.filter(col("vec_id") % 5 === 0),
+              "vec_id", "embedding", nlist = 16, seed = 7L, lloydIters = 0),
+            staging)
+          for (r <- 1 to 4)
+            SimSearch.appendToIvfIndex(
+              emb.filter(col("vec_id") % 5 === r), staging,
+              "vec_id", "embedding")
+          SimSearch.rebalanceIvfIndexIfSkewed(s, staging, maxSkew = 1.25)
+          ()
+      }
+      SimSearch.ivfTopKAgainstIndex(
+        SimSearch.readIvfIndex(s, idxPath),
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 16)
+    }),
+
     // ── charset allowlist MATRIX (q307 certified five of the
     // allowlisted charsets + the three routes; this closes the rest
     // of the matrix, so no allowlist entry ships uncertified): koi8-r
@@ -10175,6 +10212,11 @@ object SparkEntry {
           |  count(*) OVER (PARTITION BY keep_id) AS n_members,
           |  vec_id <> keep_id AS is_dup
           |FROM assigned""".stripMargin),
+
+    // IDENTICAL SQL to q187/q88: the seed-build → four appends →
+    // skew-triggered rebalance lifecycle probed exhaustively must
+    // equal brute force over the whole corpus.
+    "q320_ivf_rebalance" -> IvfExhaustiveTopkSql,
 
     // scored-keeper mirror: identical CTE chain + the q58 md5-hex
     // score, argmax per component via (score DESC, vec_id) window

@@ -626,29 +626,109 @@ object SimSearch {
       .select(col("__id").as("id"), col("__v").as("vec"), col("__cid").as("cid"))
   }
 
-  /** Compact a tombstoned IVF index: rewrite anchors/lists WITHOUT the
-    * tombstoned rows and drop the tombstone set — same staged
-    * two-rename swap as `Dedup.compactMinhashIndex` (crash leaves the
-    * old tree or the new one, never a half-rewrite), same
-    * probe-identical contract (ExtSpec pins it).
+  /** The staged two-rename index-tree swap shared by
+    * [[compactIvfIndex]] and [[rebalanceIvfIndex]] (the
+    * `Dedup.compactMinhashIndex` discipline): the replacement tree is
+    * fully written to a sibling staging path, then OLD→retired and
+    * STAGING→live are two renames — a crash leaves the old tree or
+    * the new one, never a half-rewrite, and a failed install rolls
+    * the old tree back.
     */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  private def swapIndexTree(
+      spark: org.apache.spark.sql.SparkSession, path: String)(
+      write: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path + "/tombstones"))) return
-    val idx = readIvfIndex(spark, path) // tombstones already anti-joined
-    val staging = path + ".compact-" + java.util.UUID.randomUUID().toString.take(8)
-    writeIvfIndex(idx, staging)
+    val staging = path + ".swap-" + java.util.UUID.randomUUID().toString.take(8)
+    write(staging)
     val old = new org.apache.hadoop.fs.Path(
       path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
     if (!fs.rename(root, old))
-      throw new java.io.IOException(s"compact: could not retire $path")
+      throw new java.io.IOException(s"index swap: could not retire $path")
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), root)) {
       fs.rename(old, root) // roll back to the intact old tree
-      throw new java.io.IOException(s"compact: could not install $staging")
+      throw new java.io.IOException(s"index swap: could not install $staging")
     }
     fs.delete(old, true)
+  }
+
+  /** Compact a tombstoned IVF index: rewrite anchors/lists WITHOUT the
+    * tombstoned rows and drop the tombstone set — staged two-rename
+    * swap ([[swapIndexTree]]), probe-identical contract (ExtSpec pins
+    * it).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path + "/tombstones"))) return
+    val idx = readIvfIndex(spark, path) // tombstones already anti-joined
+    swapIndexTree(spark, path)(staging => writeIvfIndex(idx, staging))
+  }
+
+  /** Cluster-size skew report over a persisted IVF index — the
+    * maintenance signal for [[rebalanceIvfIndex]], built on
+    * [[graft.operators.Profile.keySkew]] over the inverted-list
+    * assignment. One row: (nlist, n_vectors, max_list, skew_ratio)
+    * where skew_ratio = max_list / (n_vectors / nlist) — the factor
+    * by which the hottest list exceeds the balanced size. This is the
+    * number that bounds BOTH semDedup's within-cluster pair cost
+    * (O(n²/nlist) assumes balance; a hot list costs skew² times its
+    * share) and worst-case probe latency, so it is the rebalance
+    * trigger, not recall.
+    */
+  def ivfListSkew(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val idx = readIvfIndex(spark, path)
+    graft.operators.Profile.keySkew(idx.lists, "__cid", topN = 1)
+      .select(col("n").as("max_list"), col("share").as("__max_share"))
+      .crossJoin(broadcast(idx.lists.agg(count(lit(1)).as("n_vectors"))))
+      .select(lit(idx.nlist).as("nlist"), col("n_vectors"),
+        col("max_list"),
+        (col("__max_share") * idx.nlist).as("skew_ratio"))
+  }
+
+  /** RECLUSTER a drifted IVF index in place — the maintenance op the
+    * append lifecycle needs ([[appendToIvfIndex]] assigns against
+    * FROZEN anchors, so many appends from a drifted distribution
+    * bloat hot lists and erode the O(n²/nlist) semDedup bound and
+    * per-probe latency): rebuild anchors + lists from the stored
+    * vectors themselves (fresh seeded sample + Lloyd refinement) and
+    * install via the [[swapIndexTree]] two-rename. Tombstones are
+    * anti-joined on read, so a rebalance also compacts. PROBE
+    * CONTRACT: an EXHAUSTIVE probe (nprobe = nlist) is bit-identical
+    * before and after — reclustering moves vectors between lists,
+    * never in or out of the index (ExtSpec pins it; q320 certifies
+    * the full append→skew→rebalance→probe lifecycle against q187's
+    * brute-force oracle VERBATIM). Bounded-nprobe recall IMPROVES on
+    * a drifted index — that is the point of the op.
+    */
+  def rebalanceIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      seed: Long = 7L, lloydIters: Int = 1): Unit = {
+    val idx = readIvfIndex(spark, path)
+    // materialize the stored vectors once: the rebuild + three writes
+    // below would otherwise re-read (and re-cluster) per consumer, and
+    // the swap must not race a lazy read of the tree being retired
+    val corpus = idx.lists
+      .select(col("neighbor_id").as("id"), col("__cv2").as("vec"))
+      .localCheckpoint()
+    val rebuilt = buildIvfIndex(corpus, "id", "vec", idx.nlist, seed, lloydIters)
+    swapIndexTree(spark, path)(staging => writeIvfIndex(rebuilt, staging))
+  }
+
+  /** The rebalance POLICY: recluster only when [[ivfListSkew]]'s
+    * ratio crosses `maxSkew` (returns whether it fired). Append-heavy
+    * ingest calls this after every N folds; a balanced index is left
+    * byte-for-byte untouched.
+    */
+  def rebalanceIvfIndexIfSkewed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxSkew: Double = 1.5, seed: Long = 7L, lloydIters: Int = 1): Boolean = {
+    require(maxSkew >= 1.0, s"maxSkew must be >= 1: $maxSkew")
+    val fired = ivfListSkew(spark, path).head()
+      .getAs[Double]("skew_ratio") > maxSkew
+    if (fired) rebalanceIvfIndex(spark, path, seed, lloydIters)
+    fired
   }
 
   /** Probe-only IVF top-k against a (possibly stored) index: rank

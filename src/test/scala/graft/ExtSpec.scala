@@ -537,6 +537,64 @@ class ExtSpec extends SparkSpec {
     assert(got == want, "delete-aware exhaustive probe diverged from brute force on survivors")
   }
 
+  test("rebalanceIvfIndex: planted skew is detected, reclustering flattens it, " +
+      "the exhaustive probe is bit-identical, and a balanced index is untouched") {
+    import scala.jdk.CollectionConverters._
+    import graft.ext.SimSearch
+    val cemb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding").localCheckpoint()
+    // PLANTED worst case: the seed corpus is 16 POWER-OF-2 scalar
+    // multiples of ONE vector (exact in float AND through the
+    // double-accumulated cosine — exponent shifts only, the semCorpus
+    // device), so every anchor is parallel and every cosine ties
+    // BIT-IDENTICALLY: the argmax tiebreak sends the ENTIRE appended
+    // corpus to the min-cid list
+    val v0 = cemb.orderBy($"vec_id").limit(1)
+      .select($"embedding").localCheckpoint()
+    val seed = spark.range(0, 16).crossJoin(v0)
+      .select(($"id" + 1000000L).as("vec_id"),
+        transform($"embedding",
+          x => x * pow(lit(2.0), $"id").cast("float")).as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebal").toString
+    SimSearch.writeIvfIndex(SimSearch.buildIvfIndex(
+      seed, "vec_id", "embedding", nlist = 16, lloydIters = 0), dir)
+    SimSearch.appendToIvfIndex(cemb, dir, "vec_id", "embedding")
+    val before = SimSearch.ivfListSkew(spark, dir).head()
+    assert(before.getAs[Double]("skew_ratio") >= 10.0,
+      s"planted drift must read as heavy skew, got $before")
+    val queries = cemb.filter($"vec_id" % 25 === 0)
+    def probe() = SimSearch.ivfTopKAgainstIndex(
+        SimSearch.readIvfIndex(spark, dir), queries, "vec_id", "embedding",
+        k = 5, nprobe = 16)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val probeBefore = probe()
+    // the policy fires, reclusters, and the skew report flattens
+    assert(SimSearch.rebalanceIvfIndexIfSkewed(spark, dir, maxSkew = 1.5))
+    val after = SimSearch.ivfListSkew(spark, dir).head()
+    assert(after.getAs[Double]("skew_ratio") <
+      before.getAs[Double]("skew_ratio") / 2.0,
+      s"rebalance must flatten the planted skew: $before -> $after")
+    assert(after.getAs[Long]("n_vectors") == before.getAs[Long]("n_vectors"),
+      "rebalance moved vectors in or out of the index")
+    // probe-identical contract: exhaustive top-k unchanged
+    assert(probe() == probeBefore,
+      "reclustering changed an exhaustive probe result")
+    // and a now-balanced index is left byte-for-byte alone
+    def treeState(): Map[String, Long] = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try w.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally w.close()
+    }
+    val state = treeState()
+    assert(!SimSearch.rebalanceIvfIndexIfSkewed(spark, dir, maxSkew = 1.5))
+    assert(treeState() == state, "a non-firing policy touched the index tree")
+  }
+
   test("minhashParamsForTau: the engine default (128, tau=0.8) IS the advisor's pick") {
     import graft.ext.Dedup
     // the parameters every minhash query runs with derive from the
