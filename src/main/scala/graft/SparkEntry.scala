@@ -3764,6 +3764,69 @@ object SparkEntry {
         k = 5, nprobe = 16)
     }),
 
+    // ── zstd inflate (round-15 forward item #5: RFC 8878 joins the
+    // Content-Encoding allowlist via the zstd-jni Spark bundles —
+    // q306's contract re-certified on the new format). The q241
+    // inversion: bodies compressed IN-PLAN, the oracle only ever
+    // sees the round-trip. Arms (doc_id % 7): 0 bad magic, 1
+    // trailing garbage (libzstd refuses non-frame tails), 2 frame
+    // CONCATENATION (legal per §3.1 — decodes to the concatenation),
+    // 3 truncated (checksum bytes removed), 4 corrupt checksum
+    // (last 4 bytes zeroed — our compressor always WRITES the
+    // optional xxhash64 checksum, so integrity is verified; the
+    // q306 arm-6 fixed-trailer device), 5 a zstd BOMB vs the cap,
+    // else plain — which the 400-byte cap splits both ways like
+    // q306's plain arms. ──
+    "q321_zstd_inflate" -> ((s, dir) => {
+      import graft.plans.Inflate
+      val id = col("doc_id")
+      val a = id % 7
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      val tb = col("text").cast("binary")
+      val z = Inflate.zstdCompress(tb)
+      val body =
+        when(a === 0, concat(to_binary(lit("0000"), lit("hex")), z))
+          .when(a === 1, concat(z, to_binary(lit("6a756e6b"), lit("hex"))))
+          .when(a === 2,
+            concat(z, Inflate.zstdCompress(lit(" tail").cast("binary"))))
+          .when(a === 3, z.substr(lit(1), length(z) - 4))
+          .when(a === 4, concat(z.substr(lit(1), length(z) - 4),
+            to_binary(lit("00000000"), lit("hex"))))
+          .when(a === 5,
+            Inflate.zstdCompress(repeat(col("text"), 50).cast("binary")))
+          .otherwise(z)
+      docs.select(id,
+        Inflate.unzstd(body, InflateCapBytes).cast("string").as("decoded"))
+    }),
+
+    // ── fetch-decode zstd route (q308's table on the new encoding):
+    // Content-Encoding: zstd payloads decode in-line — ok, corrupt
+    // (bad_inflate), bomb vs the q308 cap (bad_inflate), and an
+    // identity control arm; all bodies ASCII so the ok arms ride the
+    // strict-utf8 leg closed-form. ──
+    "q322_fetch_zstd" -> ((s, dir) => {
+      import graft.ext.FetchDecode
+      import graft.plans.Inflate
+      val id = col("doc_id")
+      val a = id % 4
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      val zHead = lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: zstd\r\n\r\n")
+      val okHead = lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+      val headC = when(a === 3, okHead).otherwise(zHead)
+      val body =
+        when(a === 1, lit("junkjunk").cast("binary"))
+          .when(a === 2,
+            Inflate.zstdCompress(repeat(col("text"), 50).cast("binary")))
+          .when(a === 3, col("text").cast("binary"))
+          .otherwise(Inflate.zstdCompress(col("text").cast("binary")))
+      FetchDecode.decodeResponses(
+        docs.select(id, FetchDecode.responseRecord(headC, body).as("raw")),
+        "doc_id", "raw", maxBytes = FetchMaxBytes)
+    }),
+
     // ── charset allowlist MATRIX (q307 certified five of the
     // allowlisted charsets + the three routes; this closes the rest
     // of the matrix, so no allowlist entry ships uncertified): koi8-r
@@ -10217,6 +10280,30 @@ object SparkEntry {
     // skew-triggered rebalance lifecycle probed exhaustively must
     // equal brute force over the whole corpus.
     "q320_ivf_rebalance" -> IvfExhaustiveTopkSql,
+
+    // zstd inflate mirror (the q306 shape on the new format): routed
+    // arms NULL, the concatenation and plain arms split by the cap
+    "q321_zstd_inflate" ->
+      s"""SELECT doc_id,
+         |  CASE
+         |    WHEN doc_id % 7 IN (0, 1, 3, 4, 5) THEN NULL
+         |    WHEN doc_id % 7 = 2 THEN
+         |      CASE WHEN strlen(text) + 5 > $InflateCapBytes THEN NULL
+         |           ELSE text || ' tail' END
+         |    WHEN strlen(text) > $InflateCapBytes THEN NULL
+         |    ELSE text END AS decoded
+         |FROM documents""".stripMargin,
+
+    // fetch-decode zstd mirror: closed-form per arm (ASCII bodies →
+    // the ok arms are the strict-utf8 leg)
+    "q322_fetch_zstd" ->
+      """SELECT doc_id, 200 AS status, 'text/html' AS content_type,
+        |  CASE WHEN doc_id % 4 IN (0, 3) THEN 'utf-8' ELSE '' END AS charset,
+        |  CASE WHEN doc_id % 4 IN (0, 3) THEN 'utf8' ELSE '' END AS cs_source,
+        |  CASE WHEN doc_id % 4 IN (1, 2) THEN 'bad_inflate' ELSE 'ok' END
+        |    AS decision,
+        |  CASE WHEN doc_id % 4 IN (0, 3) THEN text ELSE NULL END AS text
+        |FROM documents""".stripMargin,
 
     // scored-keeper mirror: identical CTE chain + the q58 md5-hex
     // score, argmax per component via (score DESC, vec_id) window

@@ -52,10 +52,10 @@ import graft.plans.{Inflate, Transcode}
   * `bad_status` (non-200) > `bad_encoding` (a Transfer-Encoding
   * other than identity — route through [[HttpRecord.decodeChunked]]
   * upstream — or a Content-Encoding outside
-  * identity/gzip/x-gzip/deflate) > `bad_type` (not text/html) >
-  * `bad_inflate` (corrupt/truncated/bomb gzip or deflate payload —
-  * the [[Inflate]] NULL routes) > `bad_charset` (declared-but-
-  * unsupported charset) > `ok`. Non-ok rows carry NULL text and ''
+  * identity/gzip/x-gzip/deflate/zstd) > `bad_type` (not text/html) >
+  * `bad_inflate` (corrupt/truncated/bomb gzip, deflate or zstd
+  * payload — the [[Inflate]] NULL routes) > `bad_charset`
+  * (declared-but-unsupported charset) > `ok`. Non-ok rows carry NULL text and ''
   * charset/cs_source, so the table is total and hash-certifiable.
   *
   * 100-TB shape: a pure per-row projection — regex splits, one
@@ -73,9 +73,13 @@ object FetchDecode {
     */
   val MetaSniffBytes = 1024
 
-  /** Content-Encoding values the pipeline decodes in-line. */
+  /** Content-Encoding values the pipeline decodes in-line. zstd
+    * (RFC 8878) joined in round 16 — see [[Inflate.ZstdFmt]] for the
+    * strictness contract; `br` (brotli) remains `bad_encoding` (no
+    * decoder in the dependency surface).
+    */
   val SupportedEncodings: Seq[String] =
-    Seq("", "identity", "gzip", "x-gzip", "deflate")
+    Seq("", "identity", "gzip", "x-gzip", "deflate", "zstd")
 
   private val Latin1 = "ISO-8859-1"
 
@@ -108,6 +112,7 @@ object FetchDecode {
         .when(ce === "gzip" || ce === "x-gzip",
           Inflate.gunzip(col("body"), maxBytes))
         .when(ce === "deflate", Inflate.inflateDeflate(col("body"), maxBytes))
+        .when(ce === "zstd", Inflate.unzstd(col("body"), maxBytes))
         .otherwise(lit(null).cast("binary"))
     val s2 = s1.select(col(idCol), col("status"), col("content_type"),
         col("header_cs"), col("ce"), col("base_route"),

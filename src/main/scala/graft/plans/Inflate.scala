@@ -62,6 +62,20 @@ object Inflate {
   val RawDeflate = 2
   /** HTTP `deflate`: zlib-vs-raw sniff, see scaladoc. */
   val DeflateSniff = 3
+  /** RFC 8878 zstandard (`Content-Encoding: zstd`), via the zstd-jni
+    * Spark itself bundles. Same hostile-input posture as gzip with
+    * one zstd-specific caveat: frame CONCATENATION is legal (§3.1,
+    * like gzip multi-member — decodes to the concatenation), trailing
+    * garbage / truncation / bad magic all throw in libzstd and route
+    * NULL, the inflate loop caps at `maxBytes` (bomb guard), but
+    * INTEGRITY is only verified when a frame carries the optional
+    * xxhash64 content checksum — a checksumless frame with flipped
+    * payload bytes can decode to wrong bytes without error (zstd's
+    * own design; gzip's CRC32 is mandatory). [[compress]] therefore
+    * ALWAYS writes the checksum (4 bytes), so every fixture arm and
+    * every archive this pipeline writes is integrity-checked on read.
+    */
+  val ZstdFmt = 4
 
   /** Default inflated-size cap: 64 MiB — far past any single web
     * document, small enough that one hostile row cannot destabilize
@@ -74,6 +88,17 @@ object Inflate {
 
   /** Deterministic compress (fixture/probe side). */
   def compress(data: Array[Byte], format: Int): Array[Byte] = {
+    if (format == ZstdFmt) {
+      // fixed level 3, content checksum ON (see [[ZstdFmt]]); byte-
+      // deterministic for a fixed zstd-jni, like the gzip arm's fixed
+      // Deflater level + hand-written header
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try {
+        ctx.setLevel(3)
+        ctx.setChecksum(true)
+        return ctx.compress(data)
+      } finally ctx.close()
+    }
     val raw = format == Gzip || format == RawDeflate
     val d = new Deflater(6, raw)
     d.setInput(data)
@@ -219,6 +244,29 @@ object Inflate {
         val used = inflateRawInto(data, 0, out, maxBytes, zlib)
         if (used < 0 || used != data.length) null // trailing garbage
         else out.toByteArray
+      case ZstdFmt =>
+        // no frame at all is a framing violation (mirrors gzip's
+        // zero-member route); libzstd throws ZstdIOException for bad
+        // magic, truncation, trailing garbage, and checksum mismatch
+        if (data.length == 0) return null
+        val z = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new java.io.ByteArrayInputStream(data))
+        try {
+          val out = new java.io.ByteArrayOutputStream(
+            math.min(maxBytes.toLong, data.length * 3L + 64L).toInt)
+          val buf = new Array[Byte](8192)
+          var n = z.read(buf)
+          while (n >= 0) {
+            if (n > 0) {
+              out.write(buf, 0, n)
+              if (out.size() > maxBytes) return null // bomb cap
+            }
+            n = z.read(buf)
+          }
+          out.toByteArray
+        } catch {
+          case _: java.io.IOException => null
+        } finally z.close()
       case other =>
         throw new IllegalArgumentException(s"bad inflate format: $other")
     }
@@ -236,19 +284,26 @@ object Inflate {
     shimCol(DeflateCompress(shimExpr(data), Zlib))
   def rawDeflateCompress(data: Column): Column =
     shimCol(DeflateCompress(shimExpr(data), RawDeflate))
+  def zstdCompress(data: Column): Column =
+    shimCol(DeflateCompress(shimExpr(data), ZstdFmt))
 
-  /** The operators: strict gzip / HTTP-deflate (zlib-or-raw sniff). */
+  /** The operators: strict gzip / HTTP-deflate (zlib-or-raw sniff) /
+    * zstd (RFC 8878, see [[ZstdFmt]]).
+    */
   def gunzip(data: Column, maxBytes: Int = DefaultMaxBytes): Column =
     shimCol(InflateBytes(shimExpr(data), Gzip, maxBytes))
   def inflateDeflate(data: Column, maxBytes: Int = DefaultMaxBytes): Column =
     shimCol(InflateBytes(shimExpr(data), DeflateSniff, maxBytes))
+  def unzstd(data: Column, maxBytes: Int = DefaultMaxBytes): Column =
+    shimCol(InflateBytes(shimExpr(data), ZstdFmt, maxBytes))
 }
 
 /** Deterministic compress (fixture/probe side) — see [[Inflate]]. */
 case class DeflateCompress(child: Expression, format: Int)
     extends UnaryExpression {
   require(format == Inflate.Gzip || format == Inflate.Zlib ||
-    format == Inflate.RawDeflate, s"bad compress format: $format")
+    format == Inflate.RawDeflate || format == Inflate.ZstdFmt,
+    s"bad compress format: $format")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

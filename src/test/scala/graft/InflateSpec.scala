@@ -95,4 +95,45 @@ class InflateSpec extends SparkSpec {
       Inflate.gunzip(Inflate.gzipCompress(lit(null).cast("binary"))).as("x"))
     assert(n.filter($"x".isNull).count() == 1)
   }
+
+  test("zstd: round-trip, frame concatenation, every hostile route, the " +
+      "checksum guarantee, and the bomb cap") {
+    def z(s: String) = Inflate.compress(s.getBytes("UTF-8"), Inflate.ZstdFmt)
+    // round-trip (unit) + determinism (the fixture-compressor contract)
+    assert(new String(Inflate.inflate(z("hello zstd é世界"),
+      Inflate.ZstdFmt, 1 << 20), "UTF-8") == "hello zstd é世界")
+    assert(z("stable bytes").sameElements(z("stable bytes")))
+    // frame concatenation is legal (RFC 8878 §3.1, the gzip
+    // multi-member twin) and decodes to the concatenation
+    assert(new String(Inflate.inflate(z("alpha ") ++ z("beta"),
+      Inflate.ZstdFmt, 1 << 20), "UTF-8") == "alpha beta")
+    // hostile routes: NULL, never a truncated prefix
+    val good = z("the quick brown fox")
+    assert(Inflate.inflate(Array[Byte](), Inflate.ZstdFmt, 1024) == null)
+    assert(Inflate.inflate("junk".getBytes, Inflate.ZstdFmt, 1024) == null)
+    assert(Inflate.inflate(good ++ "junk".getBytes,
+      Inflate.ZstdFmt, 1024) == null) // trailing garbage
+    assert(Inflate.inflate(good.dropRight(4),
+      Inflate.ZstdFmt, 1024) == null) // truncated
+    // the checksum guarantee: our compressor ALWAYS writes the
+    // optional xxhash64 content checksum, so a flipped payload byte
+    // is a detected integrity violation, not silent wrong bytes
+    // (zstd frames WITHOUT the checksum decode such corruption
+    // silently — the reason compress() pins it on)
+    val corrupt = good.clone(); corrupt(10) = (corrupt(10) ^ 0xff).toByte
+    assert(Inflate.inflate(corrupt, Inflate.ZstdFmt, 1024) == null)
+    // bomb cap
+    val bomb = Inflate.compress(("A" * 100000).getBytes, Inflate.ZstdFmt)
+    assert(bomb.length < 1000)
+    assert(Inflate.inflate(bomb, Inflate.ZstdFmt, 50000) == null)
+    assert(Inflate.inflate(bomb, Inflate.ZstdFmt, 100000) != null)
+    // plan level, through codegen
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    val out = docs.select($"text",
+      Inflate.unzstd(Inflate.zstdCompress(to_binary($"text", lit("utf-8"))))
+        .cast("string").as("rt"))
+    assert(out.filter($"rt" =!= $"text").count() == 0)
+    assert(out.count() > 0)
+  }
 }
