@@ -181,7 +181,10 @@ object Bench {
     "q300_ml_span_dedup", "q301_lang_calibrated_gopher",
     "q302_unicode_tokens_sql", "q303_nfc_stream",
     "q304_invisible_scrub", "q305_confusable_dedup", "q306_gzip_inflate", "q307_charset_transcode", "q308_fetch_decode", "q309_encoding_damage", "q310_semdedup",
-    "q311_fetch_decode_stream", "q312_warc_fetch_corpus", "q313_semdedup_canonical", "q314_utf16_fetch", "q315_semdedup_incremental", "q316_semdedup_stream", "q317_charset_matrix")
+    "q311_fetch_decode_stream", "q312_warc_fetch_corpus", "q313_semdedup_canonical", "q314_utf16_fetch", "q315_semdedup_incremental", "q316_semdedup_stream", "q317_charset_matrix",
+    "q318_bytes_intake", "q319_semdedup_exactly_once", "q320_ivf_rebalance",
+    "q321_zstd_inflate", "q322_fetch_zstd", "q323_fetch_chunked",
+    "q324_semdedup_compact_store")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -3727,6 +3727,22 @@ object SparkEntry {
         waveA = col("vec_id") < 200000L,
         nlist = 8, tau = 0.9)),
 
+    // ── ingest-store COMPACTION mid-lifecycle (q319's store with
+    // the VACUUM step): after wave A commits, compactSemDedupStore
+    // folds its delta into the base index, promotes the assignment
+    // and drops the version — then wave B folds against the
+    // compacted store. B's partners live only in A (the q316 wave
+    // split), so the compaction is on the CRITICAL PATH of B's
+    // cross-wave pairs: fold the delta down wrong and B's ×4 copies
+    // come back singletons. Must still equal q310's one-shot
+    // brute-force oracle. ──
+    "q324_semdedup_compact_store" -> ((s, dir) =>
+      graft.streaming.StreamingReports.semDedupIngestIdempotentReplay(
+        s, semCorpus(t(s, dir, "embeddings")),
+        isOld = col("vec_id") % 7 =!= 0 && col("vec_id") < 100000L,
+        waveA = col("vec_id") < 200000L,
+        nlist = 8, tau = 0.9, compactAfterWaveA = true)),
+
     // ── IVF REBALANCE lifecycle (q187's append discipline + the
     // maintenance op it was missing — round-15 forward item #4):
     // build the stored index from the 1/5 seed slice ONLY (frozen
@@ -3824,6 +3840,52 @@ object SparkEntry {
           .otherwise(Inflate.zstdCompress(col("text").cast("binary")))
       FetchDecode.decodeResponses(
         docs.select(id, FetchDecode.responseRecord(headC, body).as("raw")),
+        "doc_id", "raw", maxBytes = FetchMaxBytes)
+    }),
+
+    // ── chunked Transfer-Encoding IN-LINE (round 16: FetchDecode
+    // stops punting chunked upstream — q308's arm 9 keeps its route
+    // because a NON-chunk-framed body under TE: chunked is a chunk
+    // FRAMING violation, same class, and every certified fetch
+    // oracle stays verbatim). Arms (doc_id % 6): 0 chunked identity
+    // content (256-byte chunks → strict-utf8 leg), 1 chunked OVER
+    // gzip+cp1252 (RFC 9112: TE wraps CE on the wire, so de-chunk
+    // precedes inflate — the full three-layer unwrap), 2 a plain
+    // body under TE: chunked (bad framing → bad_encoding), 3 a
+    // chunk-framed body TRUNCATED before the terminal 0-chunk
+    // (bad_encoding), 4 an unsupported TE value (gzip) —
+    // bad_encoding, 5 no TE control (plain ok). ──
+    "q323_fetch_chunked" -> ((s, dir) => {
+      import graft.ext.{FetchDecode, HttpRecord}
+      import graft.plans.{Inflate, Transcode}
+      val id = col("doc_id")
+      val a = id % 6
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      def mkHead(lines: String*) = lit(lines.mkString("", "\r\n", "\r\n\r\n"))
+      val chHead = mkHead("HTTP/1.1 200 OK", "Content-Type: text/html",
+        "Transfer-Encoding: chunked")
+      val headC =
+        when(a === 1, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/html; charset=windows-1252",
+          "Content-Encoding: gzip", "Transfer-Encoding: chunked"))
+          .when(a === 4, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html", "Transfer-Encoding: gzip"))
+          .when(a === 5, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html"))
+          .otherwise(chHead)
+      val gzBridged = decode(Inflate.gzipCompress(Transcode.encode(
+        concat(col("text"), lit(" caf\u00E9")), lit("windows-1252"))),
+        "ISO-8859-1")
+      val framed = HttpRecord.chunkedFrame(col("text"), 256)
+      val bodyStr =
+        when(a === 1, HttpRecord.chunkedFrame(gzBridged, 256))
+          .when(a === 3, framed.substr(lit(1), length(framed) - 5))
+          .when(a === 0, framed)
+          .otherwise(col("text"))
+      val raw = concat(encode(headC, "ISO-8859-1"),
+        encode(bodyStr, "ISO-8859-1"))
+      FetchDecode.decodeResponses(docs.select(id, raw.as("raw")),
         "doc_id", "raw", maxBytes = FetchMaxBytes)
     }),
 
@@ -10276,6 +10338,15 @@ object SparkEntry {
           |  vec_id <> keep_id AS is_dup
           |FROM assigned""".stripMargin),
 
+    // IDENTICAL SQL to q310: compacting the ingest store between the
+    // waves must be invisible in the accumulated assignment.
+    "q324_semdedup_compact_store" ->
+      (SemDedupCcCtes + "\n" +
+        """SELECT vec_id, keep_id,
+          |  count(*) OVER (PARTITION BY keep_id) AS n_members,
+          |  vec_id <> keep_id AS is_dup
+          |FROM assigned""".stripMargin),
+
     // IDENTICAL SQL to q187/q88: the seed-build → four appends →
     // skew-triggered rebalance lifecycle probed exhaustively must
     // equal brute force over the whole corpus.
@@ -10303,6 +10374,22 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 IN (1, 2) THEN 'bad_inflate' ELSE 'ok' END
         |    AS decision,
         |  CASE WHEN doc_id % 4 IN (0, 3) THEN text ELSE NULL END AS text
+        |FROM documents""".stripMargin,
+
+    // chunked-TE mirror: closed-form per arm — the de-chunk, gunzip
+    // and cp1252 legs are all inversions of in-plan authoring, so
+    // the oracle never parses bytes (chr(233) é)
+    "q323_fetch_chunked" ->
+      """SELECT doc_id, 200 AS status, 'text/html' AS content_type,
+        |  CASE doc_id % 6 WHEN 0 THEN 'utf-8' WHEN 5 THEN 'utf-8'
+        |    WHEN 1 THEN 'windows-1252' ELSE '' END AS charset,
+        |  CASE doc_id % 6 WHEN 0 THEN 'utf8' WHEN 5 THEN 'utf8'
+        |    WHEN 1 THEN 'header' ELSE '' END AS cs_source,
+        |  CASE WHEN doc_id % 6 IN (2, 3, 4) THEN 'bad_encoding'
+        |    ELSE 'ok' END AS decision,
+        |  CASE doc_id % 6 WHEN 0 THEN text WHEN 5 THEN text
+        |    WHEN 1 THEN text || ' caf' || chr(233)
+        |    ELSE NULL END AS text
         |FROM documents""".stripMargin,
 
     // scored-keeper mirror: identical CTE chain + the q58 md5-hex

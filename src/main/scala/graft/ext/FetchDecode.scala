@@ -50,12 +50,14 @@ import graft.plans.{Inflate, Transcode}
   * DECISION TABLE (first match wins; every record classified once):
   * `malformed` (no status line / no header-body separator) >
   * `bad_status` (non-200) > `bad_encoding` (a Transfer-Encoding
-  * other than identity — route through [[HttpRecord.decodeChunked]]
-  * upstream — or a Content-Encoding outside
-  * identity/gzip/x-gzip/deflate/zstd) > `bad_type` (not text/html) >
-  * `bad_inflate` (corrupt/truncated/bomb gzip, deflate or zstd
-  * payload — the [[Inflate]] NULL routes) > `bad_charset`
-  * (declared-but-unsupported charset) > `ok`. Non-ok rows carry NULL text and ''
+  * outside identity/chunked, a CHUNKED body whose chunk framing is
+  * bad — `chunked` itself de-chunks in-line via
+  * [[HttpRecord.decodeChunked]], round 16 — or a Content-Encoding
+  * outside identity/gzip/x-gzip/deflate/zstd) > `bad_type` (not
+  * text/html) > `bad_inflate` (corrupt/truncated/bomb gzip, deflate
+  * or zstd payload — the [[Inflate]] NULL routes) > `bad_charset`
+  * (declared-but-unsupported charset) > `ok`. Per RFC 9112 TE wraps
+  * CE on the wire, so de-chunking precedes the inflate stage. Non-ok rows carry NULL text and ''
   * charset/cs_source, so the table is total and hash-certifiable.
   *
   * 100-TB shape: a pure per-row projection — regex splits, one
@@ -95,14 +97,26 @@ object FetchDecode {
     // TE decision prefix — one definition each, q236 and this table
     // cannot drift) ──
     val raw = decode(col(rawCol), Latin1)
+    // chunked Transfer-Encoding de-chunks IN-LINE (round 16): on the
+    // latin-1 bridge chars ARE octets, so the hex chunk lengths slice
+    // exactly even through compressed payload bytes (the q312
+    // argument — and per RFC 9112 TE wraps CE on the wire, so
+    // de-chunking happens BEFORE the inflate stage). Bad chunk
+    // framing NULLs the body and routes `bad_encoding` below, keeping
+    // the pre-round-16 route for non-chunk-framed bodies byte-stable.
+    val te = lower(trim(HttpRecord.header(raw, "Transfer-Encoding")))
+    val bodyStr = HttpRecord.body(raw)
+    val effBody = when(te === "chunked", HttpRecord.decodeChunked(bodyStr))
+      .otherwise(bodyStr)
     val s1 = df.select(col(idCol),
       explode_outer(array(struct(
         HttpRecord.status(raw).as("status"),
         HttpRecord.mediaType(raw).as("content_type"),
         HttpRecord.charsetParam(raw).as("header_cs"),
         lower(trim(HttpRecord.header(raw, "Content-Encoding"))).as("ce"),
-        HttpRecord.decisionPrefix(raw).as("base_route"),
-        encode(HttpRecord.body(raw), Latin1).as("body")))).as("h"))
+        HttpRecord.decisionPrefix(raw, allowChunked = true).as("base_route"),
+        (te === "chunked" && effBody.isNull).as("chunk_bad"),
+        encode(effBody, Latin1).as("body")))).as("h"))
       .select(col(idCol), col("h.*"))
 
     // ── stage 2: ONE bounded inflate per row, behind a barrier ──
@@ -115,7 +129,7 @@ object FetchDecode {
         .when(ce === "zstd", Inflate.unzstd(col("body"), maxBytes))
         .otherwise(lit(null).cast("binary"))
     val s2 = s1.select(col(idCol), col("status"), col("content_type"),
-        col("header_cs"), col("ce"), col("base_route"),
+        col("header_cs"), col("ce"), col("base_route"), col("chunk_bad"),
         explode_outer(array(inflated)).as("payload"))
 
     // ── stage 3: charset resolution + the three decode legs ──
@@ -149,7 +163,8 @@ object FetchDecode {
         .when(metaCs =!= "", lit("meta"))
         .otherwise(lit(""))
     val s3 = s2.select(col(idCol), col("status"), col("content_type"),
-        col("ce"), col("base_route"), pay.isNull.as("inflate_null"),
+        col("ce"), col("base_route"), col("chunk_bad"),
+        pay.isNull.as("inflate_null"),
         csSource.as("cs_source_raw"), csToken.as("cs_token"),
         explode_outer(array(struct(
           Transcode.toUtf8Lenient(stripped, csToken).as("declared"),
@@ -162,6 +177,7 @@ object FetchDecode {
     val csKnown = col("cs_token").isin(Transcode.Charsets.keys.toSeq: _*)
     val decision =
       when(col("base_route").isNotNull, col("base_route"))
+        .when(col("chunk_bad"), lit("bad_encoding"))
         .when(!col("ce").isin(SupportedEncodings: _*),
           lit("bad_encoding"))
         .when(col("content_type") =!= "text/html", lit("bad_type"))

@@ -88,17 +88,27 @@ object HttpRecord {
   /** The framing-decision PREFIX shared by [[parse]] and
     * [[FetchDecode.decodeResponses]]: `malformed` (no status line /
     * no header-body separator) > `bad_status` (non-200) >
-    * `bad_encoding` (a Transfer-Encoding other than identity).
-    * Returned as an UNTERMINATED when-chain — NULL when no rung
-    * fires — so each caller appends its own rungs and `otherwise`;
-    * one definition, routes cannot drift.
+    * `bad_encoding` (a Transfer-Encoding outside the caller's
+    * support). Returned as an UNTERMINATED when-chain — NULL when no
+    * rung fires — so each caller appends its own rungs and
+    * `otherwise`; one definition, routes cannot drift.
+    *
+    * `allowChunked`: [[parse]] (q236) keeps the strict posture —
+    * chunked bodies must be de-chunked before re-parsing, so
+    * `chunked` fires the rung; [[FetchDecode.decodeResponses]]
+    * de-chunks IN-LINE (round 16) and passes true, so only TE values
+    * outside identity/chunked fire here (a chunked body whose chunk
+    * FRAMING is bad still routes `bad_encoding`, via the caller's
+    * own rung on [[decodeChunked]]'s NULL).
     */
-  def decisionPrefix(raw: Column): Column = {
+  def decisionPrefix(raw: Column, allowChunked: Boolean = false): Column = {
     val st = status(raw)
     val te = lower(trim(header(raw, "Transfer-Encoding")))
+    val teOk = if (allowChunked) te === "" || te === "identity" || te === "chunked"
+      else te === "" || te === "identity"
     when(st.isNull || !raw.contains("\r\n\r\n"), lit("malformed"))
       .when(st =!= 200, lit("bad_status"))
-      .when(te =!= "" && te =!= "identity", lit("bad_encoding"))
+      .when(!teOk, lit("bad_encoding"))
   }
 
   /** Parse a raw-response column into the typed record + decision

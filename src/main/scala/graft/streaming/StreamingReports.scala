@@ -1466,6 +1466,46 @@ object StreamingReports {
     commitManifest(storeRoot, batchId, dest.getPath)
   }
 
+  /** Compact the versioned semantic-dedup ingest store: fold every
+    * COMMITTED wave delta into the base index tree, promote the
+    * latest assignment to `init-assign`, and drop the version dirs +
+    * manifests — the store returns to its freshly-initialized shape
+    * with identical effective state ([[semDedupStoreState]] before ==
+    * after; the spec pins it), so the per-fold delta-union cost stops
+    * growing with wave count. Same staged two-rename swap as the
+    * index compactions: the replacement store is fully written to a
+    * sibling staging root, then OLD→retired / STAGING→live — a crash
+    * leaves the old store or the new one, never a half-move.
+    * RETENTION RULE (the Delta/Iceberg VACUUM discipline, scaled
+    * down): compaction drops the batchId manifests, so it must run
+    * only after the source checkpoint has passed the compacted
+    * offsets — a wave redelivered AFTER its manifest is gone would
+    * re-fold (assignment-idempotent, but it would duplicate the
+    * wave's list rows, the q319 negative-probe corruption).
+    */
+  private[graft] def compactSemDedupStore(
+      spark: SparkSession, storeRoot: String): Unit = {
+    import graft.ext.SimSearch
+    val (idx, assign) = semDedupStoreState(spark, storeRoot)
+    val lists = idx.lists.localCheckpoint()
+    val frozen = assign.localCheckpoint()
+    val staging = new java.io.File(
+      s"$storeRoot.compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    SimSearch.writeIvfIndex(
+      idx.copy(lists = lists), s"$staging/index")
+    frozen.write.mode("errorifexists").parquet(s"$staging/init-assign")
+    val root = new java.io.File(storeRoot)
+    val old = new java.io.File(
+      s"$storeRoot.old-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!root.renameTo(old))
+      sys.error(s"store compact: could not retire $storeRoot")
+    if (!staging.renameTo(root)) {
+      old.renameTo(root) // roll back to the intact old store
+      sys.error(s"store compact: could not install $staging")
+    }
+    deleteRecursively(old.toPath)
+  }
+
   /** [[semDedupIngestReplay]] with the EXACTLY-ONCE fold (q319): the
     * same two-wave ingest, but every wave commits through
     * [[applySemDedupIngestBatch]], and after the stream drains the
@@ -1480,10 +1520,18 @@ object StreamingReports {
     * by design) but the index store corrupts with duplicate list
     * rows, and the PROBE surface then returns the same neighbor at
     * two ranks. The guard is what keeps the store sound.
+    *
+    * `compactAfterWaveA = true` is the q324 variant: the store is
+    * COMPACTED between the waves ([[compactSemDedupStore]] — wave A's
+    * delta folds into the base index, the assignment is promoted,
+    * versions dropped) and wave B then folds against the compacted
+    * store; the redelivery step is skipped (compaction drops the
+    * manifests — the retention rule), q319 certifies it separately.
     */
   def semDedupIngestIdempotentReplay(
       outer: SparkSession, corpus: DataFrame, isOld: Column,
-      waveA: Column, nlist: Int, tau: Double): DataFrame = {
+      waveA: Column, nlist: Int, tau: Double,
+      compactAfterWaveA: Boolean = false): DataFrame = {
     import graft.ext.{Dedup, SimSearch}
     val spark = replaySession(outer)
     // register the codegen'd cosine BEFORE the stream starts (the
@@ -1512,12 +1560,19 @@ object StreamingReports {
       }.start()
     try {
       q.processAllAvailable()
+      // q324: fold wave A's delta down into the base index while the
+      // stream is idle between triggers (checkpoint has passed wave
+      // A's offsets — the retention rule holds)
+      if (compactAfterWaveA) compactSemDedupStore(spark, store.toString)
       deliverWave(batch.filter(!waveA))
       q.processAllAvailable()
       // ── the crash-redelivery: wave A again, byte-identical, under
       // its original batchId (0 — wave A was the only file at the
-      // first trigger); the manifest guard must no-op it ──
-      applySemDedupIngestBatch(batch.filter(waveA), store.toString, 0L, tau)
+      // first trigger); the manifest guard must no-op it. Skipped on
+      // the compaction variant: wave A's manifest was legitimately
+      // dropped with its folded-down version. ──
+      if (!compactAfterWaveA)
+        applySemDedupIngestBatch(batch.filter(waveA), store.toString, 0L, tau)
       val (_, fin) = semDedupStoreState(spark, store.toString)
       fin.localCheckpoint()
     } finally {

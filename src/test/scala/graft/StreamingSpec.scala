@@ -584,6 +584,16 @@ class StreamingSpec extends SparkSpec {
         StreamingReports.semDedupStoreState(spark, store.toString)
       assert(idx2.lists.count() == lists1, "guarded redelivery grew the lists")
       assert(assign2.orderBy("vec_id").collect().toSeq == a1)
+      // COMPACTION is state-invisible: committed deltas fold into the
+      // base tree, the assignment is promoted, versions + manifests
+      // drop -- the effective state must be unchanged
+      StreamingReports.compactSemDedupStore(spark, store.toString)
+      val (idxC, assignC) =
+        StreamingReports.semDedupStoreState(spark, store.toString)
+      assert(idxC.lists.count() == lists1, "compaction changed the lists")
+      assert(assignC.orderBy("vec_id").collect().toSeq == a1)
+      assert(!new java.io.File(store.toFile, "_manifest").exists(),
+        "compaction must drop the version manifests")
       // NEGATIVE PROBE -- the unguarded pipeline's view: it cannot
       // recognize the wave and folds it as a FRESH batch. The
       // assignment survives (incrementalClusters dedups its node set,
