@@ -3743,6 +3743,44 @@ object SparkEntry {
         waveA = col("vec_id") < 200000L,
         nlist = 8, tau = 0.9, compactAfterWaveA = true)),
 
+    // ── perceptual image hash (Multimodal.dHashBmp — the dedup
+    // family's image-modality member: exact dedup hashes bytes,
+    // dHash survives brightness-class edits the way minhash survives
+    // token edits). 9×8 average-pooled luma grid → 64 horizontal
+    // comparisons by CROSS-MULTIPLIED integer sums (engine-exact, no
+    // division); sub-grid and compressed files SKIPPED (the decoder
+    // drop-don't-fail discipline — tiny_8x4/rle8_dh must not
+    // surface). Oracle = tools/gen_dhash_fixtures.py's INDEPENDENT
+    // python implementation of the same spec over the authored
+    // formula pixels (the q178 discipline). ──
+    "q325_image_dhash" -> ((s, _) => {
+      import graft.ext.Multimodal
+      Multimodal.dHashBmp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_dhash")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // ── image NEAR-DUP pairs (the minhash discipline on the image
+    // arc): four 16-bit bands over the dHash — pigeonhole gives
+    // EXACT recall at hamming ≤ 3 — band-keyed equi-join, exact
+    // bit_count(xor) filter, never all-pairs. The fixture plants one
+    // near pair per base pattern (single-cell +40 luma, 1-3 bits)
+    // and keeps every cross-pattern distance > 3, so the pair set is
+    // exactly the four planted pairs; the oracle computes ALL-pairs
+    // distances over the expected hashes with no knowledge of the
+    // banding (the q310 brute-force-truth discipline). ──
+    "q326_image_neardup" -> ((s, _) => {
+      import graft.ext.Multimodal
+      val hashes = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_dhash")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      Multimodal.imageNearDupPairs(hashes, "name", "dhash", maxDist = 3)
+    }),
+
     // ── IVF REBALANCE lifecycle (q187's append discipline + the
     // maintenance op it was missing — round-15 forward item #4):
     // build the stored index from the 1/5 seed slice ONLY (frozen
@@ -10346,6 +10384,23 @@ object SparkEntry {
           |  count(*) OVER (PARTITION BY keep_id) AS n_members,
           |  vec_id <> keep_id AS is_dup
           |FROM assigned""".stripMargin),
+
+    // dHash mirror: the generator's independent python implementation
+    // of the shared spec (formula pixels, never the Spark decoder)
+    "q325_image_dhash" ->
+      """SELECT name, width, height, dhash
+        |FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet')"""
+        .stripMargin,
+
+    // near-dup mirror: brute-force ALL-pairs hamming over the
+    // expected hashes — no knowledge of the banding
+    "q326_image_neardup" ->
+      """SELECT a.name AS id_a, b.name AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+        |FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet') a
+        |JOIN read_parquet('/root/repo/fixtures/images_dhash_expected.parquet') b
+        |  ON a.name < b.name
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
 
     // IDENTICAL SQL to q187/q88: the seed-build → four appends →
     // skew-triggered rebalance lifecycle probed exhaustively must

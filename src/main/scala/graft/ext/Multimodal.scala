@@ -183,8 +183,15 @@ object Multimodal {
     files.mapPartitions(_.flatMap(f => parseBmp(f.path, f.content)))
   }
 
-  /** Pure parser, package-visible for direct spec coverage. */
-  private[graft] def parseBmp(path: String, b: Array[Byte]): Option[BmpRow] = {
+  /** Validated BMP geometry: the header walk shared by [[parseBmp]]
+    * and [[parseBmpDHash]] (one definition — the two consumers cannot
+    * drift on the hostile-input bounds).
+    */
+  private[graft] final case class BmpGeom(
+      offBits: Int, width: Int, height: Int, bits: Int, px: Int,
+      stride: Int, topDown: Boolean)
+
+  private[graft] def bmpGeom(b: Array[Byte]): Option[BmpGeom] = {
     if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
     val buf = ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val offBits = buf.getInt(10)
@@ -204,7 +211,14 @@ object Multimodal {
     // overflow into a "fits" answer or a negative index)
     val strideL = (width.toLong * px + 3) / 4 * 4
     if (offBits.toLong + strideL * height > b.length) return None
-    val stride = strideL.toInt // fits: bounded by b.length above
+    Some(BmpGeom(offBits, width, height, bits, px,
+      strideL.toInt, topDown)) // stride fits: bounded by b.length above
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. */
+  private[graft] def parseBmp(path: String, b: Array[Byte]): Option[BmpRow] = {
+    val g = bmpGeom(b).getOrElse(return None)
+    val BmpGeom(offBits, width, height, bits, px, stride, topDown) = g
     var sumR, sumG, sumB, peak = 0L
     var topRowSumR = 0L
     var y = 0
@@ -227,6 +241,110 @@ object Multimodal {
     }
     Some(BmpRow(path, width, height, bits, width.toLong * height,
       sumR, sumG, sumB, peak, topRowSumR))
+  }
+
+  case class BmpHashRow(path: String, width: Int, height: Int, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over decoded BMP pixels — the
+    * image-modality member of the dedup family (exact dedup hashes
+    * bytes; dHash survives re-encode/brightness-class edits the way
+    * minhash survives token edits). SPEC (mirrored independently by
+    * tools/gen_dhash_fixtures.py — the two implementations are the
+    * oracle pair):
+    *   - 9×8 cell grid; pixel (x, y) → cell (x*9/w, y*8/h), floor,
+    *     image-space coords;
+    *   - per-cell integer luma sum (r*299 + g*587 + b*114);
+    *   - bit (cy*8 + cx), cx ∈ 0..7: set iff cell (cx+1, cy)'s average
+    *     luma strictly exceeds cell (cx, cy)'s — compared by
+    *     CROSS-MULTIPLIED sums (L2·n1 > L1·n2): integer-exact, no
+    *     division, engine-portable. Overflow-safe to ~16k×16k images
+    *     (cell sum ≤ n·255000 and n ≤ w·h/8, product < 2⁶³);
+    *   - images narrower than 9 px or shorter than 8 px are SKIPPED
+    *     (an empty cell would make the comparison undefined) — the
+    *     decoder's drop-don't-fail discipline.
+    *
+    * 100-TB shape: one mapPartitions pass, O(pixels) per file, 144
+    * longs of state; the hash is the ONLY thing retained per image.
+    */
+  def dHashBmp(files: Dataset[MediaFile]): Dataset[BmpHashRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f => parseBmpDHash(f.path, f.content)))
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. */
+  private[graft] def parseBmpDHash(
+      path: String, b: Array[Byte]): Option[BmpHashRow] = {
+    val g = bmpGeom(b).getOrElse(return None)
+    if (g.width < 9 || g.height < 8) return None
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < g.height) {
+      val storageRow = if (g.topDown) y else g.height - 1 - y
+      val base = g.offBits + storageRow * g.stride
+      val cy = (y.toLong * 8 / g.height).toInt
+      var x = 0
+      while (x < g.width) {
+        val p = base + x * g.px
+        val luma = (b(p + 2) & 0xff) * 299L + (b(p + 1) & 0xff) * 587L +
+          (b(p) & 0xff) * 114L
+        val cx = (x.toLong * 9 / g.width).toInt
+        sums(cy)(cx) += luma
+        cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (sums(cy)(cx + 1) * cnts(cy)(cx) > sums(cy)(cx) * cnts(cy)(cx + 1))
+          h |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(BmpHashRow(path, g.width, g.height, h))
+  }
+
+  /** Near-duplicate image pairs over dHashes by BANDED hamming join —
+    * the minhash discipline on the image arc, never all-pairs: the
+    * 64-bit hash splits into four 16-bit bands; by pigeonhole, any
+    * pair within hamming distance 3 agrees on at least one whole band,
+    * so the band-keyed equi-join has EXACT recall at maxDist ≤ 3
+    * (enforced — a larger radius needs more/narrower bands, the q293
+    * parameter-advisor pattern). Candidates are then exact-filtered on
+    * `bit_count(xor)`.
+    *
+    * 100-TB shape: shuffle key = (band, 16-bit value) — bounded-width
+    * exchange; pair fan-out is per-bucket like every LSH join here.
+    * Returns (id_a, id_b, dist), id_a < id_b.
+    */
+  def imageNearDupPairs(
+      hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit bands guarantee recall only to distance 3: $maxDist")
+    val banded = hashes
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__h"))
+      .select(col("__id"), col("__h"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          shiftright(col("__h"), i * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("__id"), col("__h"), col("bk.band").as("__band"),
+        col("bk.key").as("__key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h")))
+          .cast("long").as("dist"))
+      .distinct() // a pair may agree on several bands
+      .filter(col("dist") <= maxDist)
   }
 
   /** REAL-format audio decode: RIFF/WAVE PCM (the container every

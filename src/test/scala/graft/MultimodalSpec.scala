@@ -175,6 +175,41 @@ class MultimodalSpec extends SparkSpec {
     assert(parseBmp("x", big.array()).isEmpty, "overflowing dims must be dropped")
   }
 
+  test("dHashBmp: fixture hashes match the generator's independent " +
+      "implementation; sub-grid and compressed files skipped; banded " +
+      "near-dup pairs are exactly the planted set") {
+    import graft.ext.Multimodal.{dHashBmp, imageNearDupPairs, parseBmpDHash}
+    val files = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/images_dhash"))
+    val rows = dHashBmp(files).collect()
+      .map(r => r.path.split('/').last -> r.dhash).toMap
+    // tiny_8x4 (sub-grid) and rle8_dh (compressed) must be absent
+    assert(rows.keySet ==
+      (0 until 4).flatMap(k => Seq(s"base$k.bmp", s"near$k.bmp")).toSet)
+    // spot-pin two hashes against the generator's printed values (the
+    // full set is oracle-certified by q325)
+    assert(rows("base0.bmp") == -1L) // 0xffffffffffffffff
+    assert(rows("base1.bmp") == 0L)
+    // planted geometry: each near pair within the exact-recall band,
+    // every cross-pattern pair outside it
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (k <- 0 until 4) {
+      val d = dist(rows(s"base$k.bmp"), rows(s"near$k.bmp"))
+      assert(d >= 1 && d <= 3, s"base$k/near$k dist $d")
+    }
+    // the banded join returns exactly the planted pairs
+    val hashes = dHashBmp(files).toDF()
+      .select(regexp_extract($"path", "[^/]+$", 0).as("name"), $"dhash")
+    val pairs = imageNearDupPairs(hashes, "name", "dhash", maxDist = 3)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs ==
+      (0 until 4).map(k => (s"base$k.bmp", s"near$k.bmp")).toSet)
+    // identical bytes → distance 0 (self-consistency of the parser)
+    val b0 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/images_dhash/base2.bmp"))
+    assert(parseBmpDHash("x", b0).get.dhash == rows("base2.bmp"))
+  }
+
   test("decodeMp4: real ISO-BMFF fixtures decode to spec-exact metadata; hostile files skipped") {
     import graft.ext.Multimodal.{decodeMp4, parseMp4}
     val files = Multimodal.asMediaFiles(
