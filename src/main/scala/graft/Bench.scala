@@ -184,7 +184,8 @@ object Bench {
     "q311_fetch_decode_stream", "q312_warc_fetch_corpus", "q313_semdedup_canonical", "q314_utf16_fetch", "q315_semdedup_incremental", "q316_semdedup_stream", "q317_charset_matrix",
     "q318_bytes_intake", "q319_semdedup_exactly_once", "q320_ivf_rebalance",
     "q321_zstd_inflate", "q322_fetch_zstd", "q323_fetch_chunked",
-    "q324_semdedup_compact_store", "q325_image_dhash", "q326_image_neardup")
+    "q324_semdedup_compact_store", "q325_image_dhash", "q326_image_neardup",
+    "q327_audio_ahash", "q328_audio_neardup")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -3781,6 +3781,39 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(hashes, "name", "dhash", maxDist = 3)
     }),
 
+    // ── audio amplitude-envelope hash (Multimodal.aHashWav — the
+    // dedup triad completed: minhash text, dHash image, aHash
+    // audio). 65 amplitude windows → 64 cross-multiplied average
+    // comparisons; GAIN-INVARIANT by construction (a scalar gain
+    // scales both sides of every comparison); sub-window and
+    // float-format files SKIPPED. Oracle = the generator's
+    // independent python implementation over formula samples. ──
+    "q327_audio_ahash" -> ((s, _) => {
+      import graft.ext.Multimodal
+      Multimodal.aHashWav(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/audio_ahash")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"), col("ahash"))
+    }),
+
+    // ── audio NEAR-DUP pairs: the SAME generic banded hamming join
+    // as q326 (SimSearch.hammingBandedPairs — one engine, three
+    // modalities), against the q310-style brute-force all-pairs
+    // oracle. The fixture plants one single-window +500 perturbation
+    // per envelope pattern (1-3 bits) with cross-pattern distances
+    // > 3, so the pair set is exactly the four planted pairs. ──
+    "q328_audio_neardup" -> ((s, _) => {
+      import graft.ext.{Multimodal, SimSearch}
+      val hashes = Multimodal.aHashWav(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/audio_ahash")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("ahash"))
+      SimSearch.hammingBandedPairs(hashes, "name", "ahash", maxDist = 3)
+    }),
+
     // ── IVF REBALANCE lifecycle (q187's append discipline + the
     // maintenance op it was missing — round-15 forward item #4):
     // build the stored index from the 1/5 seed slice ONLY (frozen
@@ -10401,6 +10434,23 @@ object SparkEntry {
         |JOIN read_parquet('/root/repo/fixtures/images_dhash_expected.parquet') b
         |  ON a.name < b.name
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+
+    // aHash mirror: the generator's independent python implementation
+    // of the shared envelope-hash spec over formula samples
+    "q327_audio_ahash" ->
+      """SELECT name, sample_rate, n_samples, ahash
+        |FROM read_parquet('/root/repo/fixtures/audio_ahash_expected.parquet')"""
+        .stripMargin,
+
+    // audio near-dup mirror: brute-force all-pairs hamming, no
+    // knowledge of the banding
+    "q328_audio_neardup" ->
+      """SELECT a.name AS id_a, b.name AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS dist
+        |FROM read_parquet('/root/repo/fixtures/audio_ahash_expected.parquet') a
+        |JOIN read_parquet('/root/repo/fixtures/audio_ahash_expected.parquet') b
+        |  ON a.name < b.name
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
 
     // IDENTICAL SQL to q187/q88: the seed-build → four appends →
     // skew-triggered rebalance lifecycle probed exhaustively must

@@ -310,42 +310,16 @@ object Multimodal {
     Some(BmpHashRow(path, g.width, g.height, h))
   }
 
-  /** Near-duplicate image pairs over dHashes by BANDED hamming join —
-    * the minhash discipline on the image arc, never all-pairs: the
-    * 64-bit hash splits into four 16-bit bands; by pigeonhole, any
-    * pair within hamming distance 3 agrees on at least one whole band,
-    * so the band-keyed equi-join has EXACT recall at maxDist ≤ 3
-    * (enforced — a larger radius needs more/narrower bands, the q293
-    * parameter-advisor pattern). Candidates are then exact-filtered on
-    * `bit_count(xor)`.
-    *
-    * 100-TB shape: shuffle key = (band, 16-bit value) — bounded-width
-    * exchange; pair fan-out is per-bucket like every LSH join here.
-    * Returns (id_a, id_b, dist), id_a < id_b.
+  /** Near-duplicate image pairs over dHashes — the generic banded
+    * 64-bit hamming join ([[graft.ext.SimSearch.hammingBandedPairs]])
+    * on the image arc. Kept as a named surface so the image story
+    * reads at the call site; [[aHashWav]] consumers call the generic
+    * directly.
     */
   def imageNearDupPairs(
       hashes: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"4x16-bit bands guarantee recall only to distance 3: $maxDist")
-    val banded = hashes
-      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__h"))
-      .select(col("__id"), col("__h"),
-        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-          shiftright(col("__h"), i * 16).bitwiseAND(lit(0xffffL))
-            .as("key"))): _*)).as("bk"))
-      .select(col("__id"), col("__h"), col("bk.band").as("__band"),
-        col("bk.key").as("__key"))
-    banded.as("a").join(banded.as("b"),
-        col("a.__band") === col("b.__band") &&
-          col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        bit_count(col("a.__h").bitwiseXOR(col("b.__h")))
-          .cast("long").as("dist"))
-      .distinct() // a pair may agree on several bands
-      .filter(col("dist") <= maxDist)
-  }
+      maxDist: Int = 3): DataFrame =
+    SimSearch.hammingBandedPairs(hashes, idCol, hashCol, maxDist)
 
   /** REAL-format audio decode: RIFF/WAVE PCM (the container every
     * sound tool emits; public spec — RIFF magic, chunk walk, `fmt `,
@@ -369,7 +343,14 @@ object Multimodal {
   }
 
   /** Pure parser, package-visible for direct spec coverage. */
-  private[graft] def parseWav(path: String, b: Array[Byte]): Option[WavRow] = {
+  /** Validated PCM WAV geometry: the RIFF chunk walk shared by
+    * [[parseWav]] and [[parseWavAHash]] (one definition — the bmpGeom
+    * rule on the audio side).
+    */
+  private[graft] final case class WavGeom(
+      channels: Int, rate: Int, bits: Int, dataOff: Int, nSamples: Int)
+
+  private[graft] def wavGeom(b: Array[Byte]): Option[WavGeom] = {
     def ascii(off: Int, s: String): Boolean =
       s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
     if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
@@ -394,23 +375,89 @@ object Multimodal {
     (fmt, data) match {
       case (Some((1, ch, rate, bits)), Some((dOff, dLen)))
           if ch >= 1 && rate > 0 && (bits == 8 || bits == 16) =>
-        val bytesPerSample = bits / 8
-        val nSamples = dLen / bytesPerSample
-        val nFrames = nSamples.toLong / ch
-        var sumAbs = 0L
-        var peak = 0
-        var i = 0
-        while (i < nSamples) {
-          val amp =
-            if (bits == 16) math.abs(buf.getShort(dOff + i * 2).toInt)
-            else math.abs((b(dOff + i) & 0xff) - 128)
-          sumAbs += amp
-          if (amp > peak) peak = amp
-          i += 1
-        }
-        Some(WavRow(path, rate, ch, bits, nFrames, sumAbs, peak))
+        Some(WavGeom(ch, rate, bits, dOff, dLen / (bits / 8)))
       case _ => None // non-PCM, float, or no fmt/data chunk: skip
     }
+  }
+
+  /** |amplitude| of sample `i` (storage order): |s| for 16-bit signed,
+    * |v − 128| for 8-bit unsigned.
+    */
+  @inline private def wavAmp(
+      b: Array[Byte], buf: ByteBuffer, g: WavGeom, i: Int): Int =
+    if (g.bits == 16) math.abs(buf.getShort(g.dataOff + i * 2).toInt)
+    else math.abs((b(g.dataOff + i) & 0xff) - 128)
+
+  private[graft] def parseWav(path: String, b: Array[Byte]): Option[WavRow] = {
+    val g = wavGeom(b).getOrElse(return None)
+    val buf = ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var sumAbs = 0L
+    var peak = 0
+    var i = 0
+    while (i < g.nSamples) {
+      val amp = wavAmp(b, buf, g, i)
+      sumAbs += amp
+      if (amp > peak) peak = amp
+      i += 1
+    }
+    Some(WavRow(path, g.rate, g.channels, g.bits,
+      g.nSamples.toLong / g.channels, sumAbs, peak))
+  }
+
+  case class WavHashRow(path: String, sampleRate: Int, nSamples: Long,
+      ahash: Long)
+
+  /** Amplitude-envelope hash (aHash) over decoded PCM samples — the
+    * audio-modality member of the dedup family, completing the
+    * near-dup triad (minhash: text, dHash: image, aHash: audio). SPEC
+    * (mirrored independently by tools/gen_ahash_fixtures.py — the two
+    * implementations are the oracle pair):
+    *   - |amplitude| per sample in storage (interleaved) order —
+    *     |s| for 16-bit signed, |v−128| for 8-bit unsigned;
+    *   - 65 windows; sample i of n → window i·65/n (floor);
+    *   - per-window integer |amplitude| sum;
+    *   - bit j ∈ 0..63: set iff window j+1's average strictly exceeds
+    *     window j's, by CROSS-MULTIPLIED sums (S2·n1 > S1·n2) —
+    *     integer-exact, engine-portable, and GAIN-INVARIANT: an exact
+    *     scalar gain scales both sides of every comparison, so a
+    *     volume-normalized copy hashes identically;
+    *   - files with fewer than 65 samples are SKIPPED (empty window)
+    *     — the decoder drop-don't-fail discipline. Overflow-safe to
+    *     ~10⁹ samples (window sum ≤ n·2¹⁵, cross product < 2⁶³).
+    *
+    * 100-TB shape: one mapPartitions pass, O(samples) per file, 130
+    * longs of state; pair generation downstream is the banded hamming
+    * join ([[graft.ext.SimSearch.hammingBandedPairs]]), never
+    * all-pairs.
+    */
+  def aHashWav(files: Dataset[MediaFile]): Dataset[WavHashRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f => parseWavAHash(f.path, f.content)))
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. */
+  private[graft] def parseWavAHash(
+      path: String, b: Array[Byte]): Option[WavHashRow] = {
+    val g = wavGeom(b).getOrElse(return None)
+    if (g.nSamples < 65) return None
+    val buf = ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0
+    while (i < g.nSamples) {
+      val w = (i.toLong * 65 / g.nSamples).toInt
+      sums(w) += wavAmp(b, buf, g, i)
+      cnts(w) += 1
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j + 1) * cnts(j) > sums(j) * cnts(j + 1)) h |= 1L << j
+      j += 1
+    }
+    Some(WavHashRow(path, g.rate, g.nSamples.toLong, h))
   }
 
   case class Mp4Row(path: String, brand: String, timescale: Long,

@@ -626,6 +626,45 @@ object SimSearch {
       .select(col("__id").as("id"), col("__v").as("vec"), col("__cid").as("cid"))
   }
 
+  /** Near-duplicate pairs over 64-bit perceptual hashes by BANDED
+    * hamming join — the minhash discipline on the fingerprint arc,
+    * never all-pairs: the hash splits into four 16-bit bands; by
+    * pigeonhole, any pair within hamming distance 3 agrees on at
+    * least one whole band, so the band-keyed equi-join has EXACT
+    * recall at maxDist ≤ 3 (enforced — a larger radius needs more /
+    * narrower bands, the q293 parameter-advisor pattern). Candidates
+    * are then exact-filtered on `bit_count(xor)`. Serves every
+    * 64-bit fingerprint in the family (image dHash, audio aHash,
+    * [[SimHash]] signatures of this width).
+    *
+    * 100-TB shape: shuffle key = (band, 16-bit value) — bounded-width
+    * exchange; pair fan-out is per-bucket like every LSH join here.
+    * Returns (id_a, id_b, dist), id_a < id_b.
+    */
+  def hammingBandedPairs(
+      hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit bands guarantee recall only to distance 3: $maxDist")
+    val banded = hashes
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__h"))
+      .select(col("__id"), col("__h"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          shiftright(col("__h"), i * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("__id"), col("__h"), col("bk.band").as("__band"),
+        col("bk.key").as("__key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h")))
+          .cast("long").as("dist"))
+      .distinct() // a pair may agree on several bands
+      .filter(col("dist") <= maxDist)
+  }
+
   /** The staged two-rename index-tree swap shared by
     * [[compactIvfIndex]] and [[rebalanceIvfIndex]] (the
     * `Dedup.compactMinhashIndex` discipline): the replacement tree is

@@ -210,6 +210,56 @@ class MultimodalSpec extends SparkSpec {
     assert(parseBmpDHash("x", b0).get.dhash == rows("base2.bmp"))
   }
 
+  test("aHashWav: fixture hashes match the generator; sub-window and " +
+      "float files skipped; gain invariance; planted pairs exact") {
+    import graft.ext.Multimodal.{aHashWav, parseWavAHash}
+    import graft.ext.SimSearch
+    val files = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/audio_ahash"))
+    val rows = aHashWav(files).collect()
+      .map(r => r.path.split('/').last -> r.ahash).toMap
+    // short_64 (sub-window) and float32_ah (fmt code 3) must be absent
+    assert(rows.keySet ==
+      (0 until 4).flatMap(k => Seq(s"abase$k.wav", s"anear$k.wav")).toSet)
+    // spot-pin against the generator's printed values
+    assert(rows("abase0.wav") == -1L) // ascending envelope: all bits
+    assert(rows("abase1.wav") == 0L)
+    assert(rows("abase2.wav") == 0x5555555555555555L)
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (k <- 0 until 4) {
+      val d = dist(rows(s"abase$k.wav"), rows(s"anear$k.wav"))
+      assert(d >= 1 && d <= 3, s"abase$k/anear$k dist $d")
+    }
+    // the generic banded join returns exactly the planted pairs
+    val hashes = aHashWav(files).toDF()
+      .select(regexp_extract($"path", "[^/]+$", 0).as("name"), $"ahash")
+    val pairs = SimSearch.hammingBandedPairs(hashes, "name", "ahash", 3)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs ==
+      (0 until 4).map(k => (s"abase$k.wav", s"anear$k.wav")).toSet)
+    // GAIN INVARIANCE: doubling every sample preserves the hash (an
+    // exact scalar gain scales both sides of every comparison)
+    val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/repo/fixtures/audio_ahash/abase3.wav"))
+    val doubled = orig.clone()
+    val doff = {
+      var i = 12
+      while (!(doubled(i) == 'd' && doubled(i + 1) == 'a' &&
+        doubled(i + 2) == 't' && doubled(i + 3) == 'a')) i += 1
+      i + 8
+    }
+    var p = doff
+    while (p + 1 < doubled.length) {
+      val v = ((doubled(p) & 0xff) | (doubled(p + 1) << 8)).toShort
+      val d2 = (v * 2).toShort
+      doubled(p) = (d2 & 0xff).toByte
+      doubled(p + 1) = ((d2 >> 8) & 0xff).toByte
+      p += 2
+    }
+    assert(parseWavAHash("x", doubled).get.ahash == rows("abase3.wav"),
+      "a 2x gain must not change the envelope hash")
+  }
+
   test("decodeMp4: real ISO-BMFF fixtures decode to spec-exact metadata; hostile files skipped") {
     import graft.ext.Multimodal.{decodeMp4, parseMp4}
     val files = Multimodal.asMediaFiles(
