@@ -3814,6 +3814,49 @@ object SparkEntry {
       SimSearch.hammingBandedPairs(hashes, "name", "ahash", maxDist = 3)
     }),
 
+    // ── UTF-32 fetch legs (the round-15 verdict's documented BOM
+    // gap closed: the 4-byte BOMs are checked BEFORE the UTF-16
+    // prefixes they SHADOW — FF FE 00 00 starts with FF FE, so
+    // before this leg a UTF-32LE page mis-rode the utf-16le leg and
+    // garbled into NUL-interleaved text). Arms (doc_id % 5): 0
+    // BOM32LE + utf-32le body — the mis-ride probe itself; 1 BOM32BE
+    // + utf-32be body (00 00 FE FF is disjoint from the FE FF check
+    // only because the 4-byte legs run first); 2 BOM32LE beating a
+    // LYING shift_jis header; 3 the UTF-16LE REGRESSION GUARD —
+    // BOM16LE + utf-16le body whose first char is ASCII (prefix
+    // FF FE xx 00, xx≠0), which must still ride utf-16le under the
+    // new ordering; 4 BOM-less utf-32le DECLARED by the header (the
+    // allowlist leg for the new charset pair). ──
+    "q329_utf32_fetch" -> ((s, dir) => {
+      import graft.ext.FetchDecode
+      import graft.plans.Transcode
+      val id = col("doc_id")
+      val a = id % 5
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      def mkHead(lines: String*) = lit(lines.mkString("", "\r\n", "\r\n\r\n"))
+      val okHtml = mkHead("HTTP/1.1 200 OK", "Content-Type: text/html")
+      val bom32le = to_binary(lit("fffe0000"), lit("hex"))
+      val bom32be = to_binary(lit("0000feff"), lit("hex"))
+      val bom16le = to_binary(lit("fffe"), lit("hex"))
+      val t32 = concat(col("text"), lit(" caf\u00E9 32"))
+      val headCol =
+        when(a === 2, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/html; charset=shift_jis"))
+          .when(a === 4, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html; charset=utf-32le"))
+          .otherwise(okHtml)
+      val body =
+        when(a === 0 || a === 2,
+          concat(bom32le, Transcode.encode(t32, lit("utf-32le"))))
+          .when(a === 1, concat(bom32be, Transcode.encode(t32, lit("utf-32be"))))
+          .when(a === 3, concat(bom16le, Transcode.encode(t32, lit("utf-16le"))))
+          .otherwise(Transcode.encode(t32, lit("utf-32le")))
+      FetchDecode.decodeResponses(
+        docs.select(id, FetchDecode.responseRecord(headCol, body).as("raw")),
+        "doc_id", "raw", maxBytes = FetchMaxBytes)
+    }),
+
     // ── IVF REBALANCE lifecycle (q187's append discipline + the
     // maintenance op it was missing — round-15 forward item #4):
     // build the stored index from the 1/5 seed slice ONLY (frozen
@@ -10197,6 +10240,18 @@ object SparkEntry {
         |  CASE doc_id % 5 WHEN 4 THEN 'header' ELSE 'bom' END AS cs_source,
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
+        |FROM documents""".stripMargin,
+
+    // utf-32 fetch mirror: closed-form per arm; every arm is 200/
+    // text/html and decodes to text || ' caf' || chr(233) || ' 32'
+    "q329_utf32_fetch" ->
+      """SELECT doc_id, 200 AS status, 'text/html' AS content_type,
+        |  CASE doc_id % 5
+        |    WHEN 1 THEN 'utf-32be' WHEN 3 THEN 'utf-16le'
+        |    ELSE 'utf-32le' END AS charset,
+        |  CASE doc_id % 5 WHEN 4 THEN 'header' ELSE 'bom' END AS cs_source,
+        |  'ok' AS decision,
+        |  text || ' caf' || chr(233) || ' 32' AS text
         |FROM documents""".stripMargin,
 
     // charset-matrix mirror: closed-form per arm (chr codepoints:

@@ -24,14 +24,18 @@ import graft.plans.{Inflate, Transcode}
   * CHARSET RESOLUTION (WHATWG-ordered, each leg certified by a
   * fixture arm):
   *   1. a BOM on the decoded payload wins over everything (and is
-  *      stripped) — UTF-8 (EF BB BF), UTF-16LE (FF FE), or UTF-16BE
-  *      (FE FF); a lying `charset=` header cannot override bytes.
+  *      stripped) — UTF-8 (EF BB BF), UTF-32LE (FF FE 00 00),
+  *      UTF-32BE (00 00 FE FF), UTF-16LE (FF FE), or UTF-16BE
+  *      (FE FF), the 4-byte pair checked BEFORE the 2-byte prefix it
+  *      shadows (round 16 — a UTF-32 extension beyond the WHATWG
+  *      prescan, which drops UTF-32; the residual FF FE 00 00
+  *      ambiguity resolves toward UTF-32 since real text never leads
+  *      with NUL). A lying `charset=` header cannot override bytes.
   *      The sniff fires on the raw prefix BYTES regardless of
   *      content: a legacy single-byte page that genuinely starts
   *      with FF FE / FE FF (e.g. cp1252 "ÿþ…") is forced onto the
-  *      UTF-16 leg and garbles — accepted WHATWG-prescan behavior
-  *      (browsers make the same call), same class as the UTF-32
-  *      caveat below;
+  *      UTF-16/32 leg and garbles — accepted prescan behavior
+  *      (browsers make the same call);
   *   2. the Content-Type `charset=` parameter;
   *   3. a `<meta … charset=…>` sniff in the first [[MetaSniffBytes]]
   *      bytes of the payload (covers both the HTML5 attribute and
@@ -136,16 +140,26 @@ object FetchDecode {
     val pay = col("payload")
     def bomIs(hex: String, n: Int) = length(pay) >= n &&
       substring(pay, 1, n) === to_binary(lit(hex), lit("hex"))
-    // the three WHATWG BOMs, longest first (EF BB BF / FF FE / FE FF
-    // are pairwise disjoint; UTF-32 BOMs — FF FE 00 00 — are out of
-    // the allowlist's scope and would resolve as utf-16le, the
-    // WHATWG prescan's own behavior)
+    // the five BOMs, LONGEST FIRST: the UTF-32LE BOM (FF FE 00 00)
+    // starts with the UTF-16LE BOM (FF FE), so the 4-byte checks run
+    // before the 2-byte prefixes they shadow (round 16 — previously
+    // a UTF-32LE body mis-rode the utf-16le leg, the documented
+    // caveat). The residual ambiguity — a genuine UTF-16LE page
+    // whose FIRST character is U+0000 also starts FF FE 00 00 — is
+    // resolved toward UTF-32 deliberately: real text never leads
+    // with NUL, a UTF-32 page always has one there. This is a
+    // deliberate extension beyond the WHATWG prescan (which drops
+    // UTF-32 entirely); EF BB BF / 00 00 FE FF / FE FF are pairwise
+    // disjoint with the rest.
     val bom8 = bomIs("efbbbf", 3)
-    val bom16le = bomIs("fffe", 2)
+    val bom32le = bomIs("fffe0000", 4)
+    val bom32be = bomIs("0000feff", 4)
+    val bom16le = !bom32le && bomIs("fffe", 2)
     val bom16be = bomIs("feff", 2)
-    val hasBom = bom8 || bom16le || bom16be
+    val hasBom = bom8 || bom32le || bom32be || bom16le || bom16be
     val stripped =
       when(bom8, pay.substr(lit(4), length(pay) - 3))
+        .when(bom32le || bom32be, pay.substr(lit(5), length(pay) - 4))
         .when(bom16le || bom16be, pay.substr(lit(3), length(pay) - 2))
         .otherwise(pay)
     val metaCs = lower(regexp_extract(
@@ -153,6 +167,8 @@ object FetchDecode {
       "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)", 1))
     val csToken =
       when(bom8, lit("utf-8"))
+        .when(bom32le, lit("utf-32le"))
+        .when(bom32be, lit("utf-32be"))
         .when(bom16le, lit("utf-16le"))
         .when(bom16be, lit("utf-16be"))
         .when(col("header_cs") =!= "", col("header_cs"))

@@ -75,7 +75,11 @@ object Transcode {
       "euc-jp" -> c("EUC-JP"),
       "gbk" -> c("GBK"), "gb2312" -> c("GBK"), "cp936" -> c("GBK"),
       "big5" -> c("Big5"),
-      "utf-16be" -> c("UTF-16BE"), "utf-16le" -> c("UTF-16LE"))
+      "utf-16be" -> c("UTF-16BE"), "utf-16le" -> c("UTF-16LE"),
+      // round 16: the fixed-endian UTF-32 pair (no BOM handling at
+      // this layer — FetchDecode strips the 4-byte BOMs itself, and
+      // the JDK's UTF-32LE/BE charsets neither expect nor emit one)
+      "utf-32le" -> c("UTF-32LE"), "utf-32be" -> c("UTF-32BE"))
   }
 
   // Locale.ROOT, not the default locale: on a Turkish/Azeri JVM the

@@ -87,6 +87,37 @@ class FetchDecodeSpec extends SparkSpec {
       hdr.getString(3) == "caf\u00E9 h")
   }
 
+  test("UTF-32 BOMs win over the UTF-16 prefixes they shadow") {
+    // FF FE 00 00 starts with FF FE: before the round-16 4-byte legs
+    // this body mis-rode the utf-16le leg and decoded to
+    // NUL-interleaved garbage — the leg is load-bearing
+    val le = decodeOne(head("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=shift_jis"), // lying header
+      concat(to_binary(lit("fffe0000"), lit("hex")),
+        Transcode.encode(lit("café 32le"), lit("utf-32le"))))
+    assert(le.getString(0) == "ok" && le.getString(1) == "utf-32le" &&
+      le.getString(2) == "bom" && le.getString(3) == "café 32le")
+    val be = decodeOne(okHtml,
+      concat(to_binary(lit("0000feff"), lit("hex")),
+        Transcode.encode(lit("café 32be"), lit("utf-32be"))))
+    assert(be.getString(0) == "ok" && be.getString(1) == "utf-32be" &&
+      be.getString(2) == "bom" && be.getString(3) == "café 32be")
+    // REGRESSION GUARD: a real UTF-16LE page (first char ASCII, so
+    // the 4-byte prefix is FF FE xx 00 with xx != 0) must still ride
+    // the utf-16le leg under the new longest-first ordering
+    val g = decodeOne(okHtml,
+      concat(to_binary(lit("fffe"), lit("hex")),
+        Transcode.encode(lit("guard 16"), lit("utf-16le"))))
+    assert(g.getString(0) == "ok" && g.getString(1) == "utf-16le" &&
+      g.getString(2) == "bom" && g.getString(3) == "guard 16")
+    // header-declared utf-32le without a BOM rides the header leg
+    val hdr = decodeOne(head("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=utf-32le"),
+      Transcode.encode(lit("café h32"), lit("utf-32le")))
+    assert(hdr.getString(0) == "ok" && hdr.getString(2) == "header" &&
+      hdr.getString(3) == "café h32")
+  }
+
   test("undeclared cp1252 bytes fall through to the lenient fallback") {
     val r = decodeOne(okHtml,
       Transcode.encode(lit("caf\u00E9 legacy"), lit("windows-1252")))

@@ -36,6 +36,17 @@ class TranscodeSpec extends SparkSpec {
     assert(rt(ru, "koi8-r") == ru)
     assert(rt("\u4F60\u597D\u4E16\u754C", "gbk") == "\u4F60\u597D\u4E16\u754C")
     assert(rt("\u4F60\u597D", "big5") == "\u4F60\u597D")
+    // round 16: the fixed-endian UTF-32 pair \u2014 BOM-less at this
+    // layer (FetchDecode owns BOM stripping), astral chars exact
+    val astral = "caf\u00E9 \uD83D\uDE00!" // \u00E9 + U+1F600
+    assert(rt(astral, "utf-32le") == astral)
+    assert(rt(astral, "utf-32be") == astral)
+    // known byte layout: 'A' = 41 00 00 00 LE / 00 00 00 41 BE,
+    // and the encoders write NO BOM
+    assert(Transcode.fromUtf8(u("A"), u("utf-32le"))
+      .sameElements(Array[Byte](0x41, 0, 0, 0)))
+    assert(Transcode.fromUtf8(u("A"), u("utf-32be"))
+      .sameElements(Array[Byte](0, 0, 0, 0x41)))
   }
 
   test("the known byte values, not just round trips") {
