@@ -628,6 +628,156 @@ object SparkEntry {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
+  /** The q318/q330 shared bytes-grade intake chain — contract in the
+    * two map entries. `damageGate = true` arms q309's encodingDamage
+    * quarantine: arm 10 becomes the utf-8-bytes-declared-cp1252
+    * double-encode probe, damaged rows rank `encoding_damage` (after
+    * fetch classes, before the language gate) and are excluded from
+    * the dedup scope. ONE definition so the certified q318 oracle
+    * also pins the gated chain's shared stages (the q186 discipline).
+    */
+  private def bytesIntakeChain(s: SparkSession, dir: String,
+      damageGate: Boolean): DataFrame = {
+      import graft.ext.{Dedup, FetchDecode, HtmlExtract, UrlCanon, WarcRecord}
+      import graft.plans.{Inflate, Transcode}
+      val id = col("doc_id")
+      val a = id % 12
+      val docs0 = t(s, dir, "documents")
+      // ── frontier: URL canonicalization + duplicate-URL drop ──
+      val dec = UrlCanon.urlDecisions(
+          urlFixture(docs0).drop("n_chars"), "url", "doc_id")
+        .select("doc_id", "canonical_url", "decision")
+        .localCheckpoint() // feeds the dedup scope AND the final table
+      // ── the fetched corpus: q312's WARC framing over arm-keyed
+      // response bytes (per-row Deflater work is CPU-bound on the
+      // single local split — spread first, the q241/q306 rule) ──
+      val shared = docs0.filter(id === 1).select(col("text").as("__sh"))
+      val base = docs0.select(id, col("text")).repartition(32, id)
+        .crossJoin(broadcast(shared))
+      val ptext0 =
+        when(a === 7, col("__sh"))
+          .when(a === 8, concat(lit(EsGarble), col("text")))
+          .when(a === 9, reverse(col("text")))
+      // damage arm 10: three planted é INSIDE <p> (unlike the comment
+      // é, these must SURVIVE extraction to reach the gate)
+      val ptext = (if (damageGate)
+          ptext0.when(a === 10, concat(col("text"),
+            lit(" caf\u00E9 r\u00E9sum\u00E9")))
+        else ptext0).otherwise(col("text"))
+      val html = concat(
+        lit("<html><head><title>Intake</title></head><body>" +
+          "<!-- caf\u00E9 --><div class=\"main\"><p>"),
+        ptext, lit("</p></div></body></html>"))
+      def mkHead(lines: String*) = lit(lines.mkString("", "\r\n", "\r\n\r\n"))
+      val okHead = mkHead("HTTP/1.1 200 OK",
+        "Content-Type: text/html; charset=windows-1252",
+        "Content-Encoding: gzip")
+      val headC =
+        when(a === 2, mkHead("HTTP/1.1 404 Not Found",
+          "Content-Type: text/html"))
+          .when(a === 3, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html", "Transfer-Encoding: chunked"))
+          .when(a === 4, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: application/json"))
+          .when(a === 6, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/html; charset=utf-7"))
+          .otherwise(okHead)
+      val body =
+        when(a === 5, lit("junkjunk").cast("binary"))
+          .when(a === 2 || a === 3 || a === 4 || a === 6,
+            col("text").cast("binary"))
+          .otherwise(Inflate.gzipCompress(Transcode.encode(html,
+            // damage arm 10: UTF-8 bytes under the cp1252 declaration
+            // — the lenient decode leg turns every é into Ã©
+            if (damageGate) when(a === 10, lit("utf-8"))
+              .otherwise(lit("windows-1252"))
+            else lit("windows-1252"))))
+      // arm 1: no status line at all — bare text bytes; every other
+      // arm is head + latin-1-bridged body (the q312 bridge rule)
+      val recStr = when(a === 1, col("text"))
+        .otherwise(concat(headC, decode(body, "ISO-8859-1")))
+      val member = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://ex.com/"),
+        id.cast("string"),
+        lit("\r\nContent-Length: "), length(recStr).cast("string"),
+        lit("\r\n\r\n"), recStr, lit("\r\n\r\n"))
+      val archives = base
+        .select(expr("CAST(doc_id DIV 8 AS BIGINT)").as("archive_id"),
+          struct(id, member.as("m")).as("sm"))
+        .groupBy("archive_id")
+        .agg(concat_ws("", transform(array_sort(collect_list(col("sm"))),
+          x => x.getField("m"))).as("blob"))
+      val recs = WarcRecord.splitRecords(archives, "archive_id", "blob")
+        .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          encode(col("payload"), "ISO-8859-1").as("raw"))
+      val fetched = FetchDecode.decodeResponses(recs, "doc_id", "raw",
+          maxBytes = FetchMaxBytes)
+        .select(id, col("decision").as("__fd"), col("text").as("__ftext"))
+        .localCheckpoint() // feeds extraction AND the final table
+      // ── content stages over fetch-ok rows ──
+      val ext = fetched.filter(col("__fd") === "ok")
+        .select(id, HtmlExtract.mainText(col("__ftext")).as("text"))
+        .localCheckpoint() // feeds lang gate, LM scorer AND dedup
+      val lang = TextAnalysis.withLangGuess(ext, "text", "__lang")
+        .select(id, col("__lang"))
+      // the mojibake gate (q309's detector, LIVE on the extracted
+      // text — cheap regex counts over the checkpointed ext)
+      val dmg = if (damageGate)
+        TextAnalysis.encodingDamage(ext, "doc_id", "text")
+          .select(id, col("verdict").as("__dmg"))
+      else null
+      val (lmc2, lmc1) = TextAnalysis.lmModel(
+        docs0.filter(id % 5 =!= 0), "text")
+      val lm = TextAnalysis.lmScoreWith(lmc2, lmc1, ext, "doc_id", "text")
+        .select(id, col("flag").as("__lmflag"))
+      // ── exact content dedup over the survivors of every earlier
+      // gate (real pipeline order: dedup what you would otherwise
+      // keep; the shuffle key is the extracted text — at corpus scale
+      // swap in dedupExactNormalized's xxhash64 key, same plan) ──
+      val pre0 = dec.filter(col("decision") === "kept").select("doc_id")
+        .join(ext, Seq("doc_id"))
+        .join(lang, Seq("doc_id"))
+        .join(lm, Seq("doc_id"), "left")
+        .filter((col("__lang") === "en" || col("__lang") === "und") &&
+          coalesce(col("__lmflag"), lit("ok")) =!= "low")
+      // damaged rows must never become dedup keepers
+      val pre = (if (damageGate)
+          pre0.join(dmg, Seq("doc_id")).filter(col("__dmg") === "clean")
+            .drop("__dmg")
+        else pre0)
+        .localCheckpoint() // feeds the keeper draw AND the join-back
+      val keep = Dedup.exactDedup(pre, "doc_id", col("text"))
+        .select(col("content_hash").as("text"), col("keep_id").as("__keep"))
+      val dup = pre.select(id, col("text"))
+        .join(keep, Seq("text"))
+        .select(id, col("__keep"))
+      // ── the one total decision table ──
+      val joined0 = dec
+        .join(fetched.select(id, col("__fd")), Seq("doc_id"))
+      val joined = (if (damageGate) joined0.join(dmg, Seq("doc_id"), "left")
+        else joined0)
+        .join(lang, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+      val afterFetch =
+        when(col("decision") =!= "kept", col("decision"))
+          .when(col("__fd") =!= "ok", col("__fd"))
+      val afterDamage = if (damageGate)
+        afterFetch.when(col("__dmg").isNotNull && col("__dmg") =!= "clean",
+          lit("encoding_damage"))
+      else afterFetch
+      joined.select(id, col("canonical_url"),
+        afterDamage
+          .when(col("__lang").isNotNull && col("__lang") =!= "en" &&
+            col("__lang") =!= "und", lit("wrong_language"))
+          .when(col("__lmflag") === "low", lit("low_quality"))
+          .when(col("__keep").isNotNull && col("__keep") =!= id,
+            lit("dup_content"))
+          .otherwise(lit("kept")).as("decision"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── A1-A7 hash aggregate with map-side partial combine (§2.5); X5 ──
@@ -4063,118 +4213,27 @@ object SparkEntry {
     // oracle's ASCII tokenizer spelling stays exact (the q234 rule).
     // The oracle reuses q234's URL/lang/LM mirrors and q226's
     // extraction CTEs verbatim; fetch classes are closed-form. ──
-    "q318_bytes_intake" -> ((s, dir) => {
-      import graft.ext.{Dedup, FetchDecode, HtmlExtract, UrlCanon, WarcRecord}
-      import graft.plans.{Inflate, Transcode}
-      val id = col("doc_id")
-      val a = id % 12
-      val docs0 = t(s, dir, "documents")
-      // ── frontier: URL canonicalization + duplicate-URL drop ──
-      val dec = UrlCanon.urlDecisions(
-          urlFixture(docs0).drop("n_chars"), "url", "doc_id")
-        .select("doc_id", "canonical_url", "decision")
-        .localCheckpoint() // feeds the dedup scope AND the final table
-      // ── the fetched corpus: q312's WARC framing over arm-keyed
-      // response bytes (per-row Deflater work is CPU-bound on the
-      // single local split — spread first, the q241/q306 rule) ──
-      val shared = docs0.filter(id === 1).select(col("text").as("__sh"))
-      val base = docs0.select(id, col("text")).repartition(32, id)
-        .crossJoin(broadcast(shared))
-      val ptext =
-        when(a === 7, col("__sh"))
-          .when(a === 8, concat(lit(EsGarble), col("text")))
-          .when(a === 9, reverse(col("text")))
-          .otherwise(col("text"))
-      val html = concat(
-        lit("<html><head><title>Intake</title></head><body>" +
-          "<!-- caf\u00E9 --><div class=\"main\"><p>"),
-        ptext, lit("</p></div></body></html>"))
-      def mkHead(lines: String*) = lit(lines.mkString("", "\r\n", "\r\n\r\n"))
-      val okHead = mkHead("HTTP/1.1 200 OK",
-        "Content-Type: text/html; charset=windows-1252",
-        "Content-Encoding: gzip")
-      val headC =
-        when(a === 2, mkHead("HTTP/1.1 404 Not Found",
-          "Content-Type: text/html"))
-          .when(a === 3, mkHead("HTTP/1.1 200 OK",
-            "Content-Type: text/html", "Transfer-Encoding: chunked"))
-          .when(a === 4, mkHead("HTTP/1.1 200 OK",
-            "Content-Type: application/json"))
-          .when(a === 6, mkHead("HTTP/1.1 200 OK",
-            "Content-Type: text/html; charset=utf-7"))
-          .otherwise(okHead)
-      val body =
-        when(a === 5, lit("junkjunk").cast("binary"))
-          .when(a === 2 || a === 3 || a === 4 || a === 6,
-            col("text").cast("binary"))
-          .otherwise(Inflate.gzipCompress(
-            Transcode.encode(html, lit("windows-1252"))))
-      // arm 1: no status line at all — bare text bytes; every other
-      // arm is head + latin-1-bridged body (the q312 bridge rule)
-      val recStr = when(a === 1, col("text"))
-        .otherwise(concat(headC, decode(body, "ISO-8859-1")))
-      val member = concat(
-        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
-          "WARC-Target-URI: http://ex.com/"),
-        id.cast("string"),
-        lit("\r\nContent-Length: "), length(recStr).cast("string"),
-        lit("\r\n\r\n"), recStr, lit("\r\n\r\n"))
-      val archives = base
-        .select(expr("CAST(doc_id DIV 8 AS BIGINT)").as("archive_id"),
-          struct(id, member.as("m")).as("sm"))
-        .groupBy("archive_id")
-        .agg(concat_ws("", transform(array_sort(collect_list(col("sm"))),
-          x => x.getField("m"))).as("blob"))
-      val recs = WarcRecord.splitRecords(archives, "archive_id", "blob")
-        .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
-          .cast("long").as("doc_id"),
-          encode(col("payload"), "ISO-8859-1").as("raw"))
-      val fetched = FetchDecode.decodeResponses(recs, "doc_id", "raw",
-          maxBytes = FetchMaxBytes)
-        .select(id, col("decision").as("__fd"), col("text").as("__ftext"))
-        .localCheckpoint() // feeds extraction AND the final table
-      // ── content stages over fetch-ok rows ──
-      val ext = fetched.filter(col("__fd") === "ok")
-        .select(id, HtmlExtract.mainText(col("__ftext")).as("text"))
-        .localCheckpoint() // feeds lang gate, LM scorer AND dedup
-      val lang = TextAnalysis.withLangGuess(ext, "text", "__lang")
-        .select(id, col("__lang"))
-      val (lmc2, lmc1) = TextAnalysis.lmModel(
-        docs0.filter(id % 5 =!= 0), "text")
-      val lm = TextAnalysis.lmScoreWith(lmc2, lmc1, ext, "doc_id", "text")
-        .select(id, col("flag").as("__lmflag"))
-      // ── exact content dedup over the survivors of every earlier
-      // gate (real pipeline order: dedup what you would otherwise
-      // keep; the shuffle key is the extracted text — at corpus scale
-      // swap in dedupExactNormalized's xxhash64 key, same plan) ──
-      val pre = dec.filter(col("decision") === "kept").select("doc_id")
-        .join(ext, Seq("doc_id"))
-        .join(lang, Seq("doc_id"))
-        .join(lm, Seq("doc_id"), "left")
-        .filter((col("__lang") === "en" || col("__lang") === "und") &&
-          coalesce(col("__lmflag"), lit("ok")) =!= "low")
-        .localCheckpoint() // feeds the keeper draw AND the join-back
-      val keep = Dedup.exactDedup(pre, "doc_id", col("text"))
-        .select(col("content_hash").as("text"), col("keep_id").as("__keep"))
-      val dup = pre.select(id, col("text"))
-        .join(keep, Seq("text"))
-        .select(id, col("__keep"))
-      // ── the one total decision table ──
-      dec
-        .join(fetched.select(id, col("__fd")), Seq("doc_id"))
-        .join(lang, Seq("doc_id"), "left")
-        .join(lm, Seq("doc_id"), "left")
-        .join(dup, Seq("doc_id"), "left")
-        .select(id, col("canonical_url"),
-          when(col("decision") =!= "kept", col("decision"))
-            .when(col("__fd") =!= "ok", col("__fd"))
-            .when(col("__lang").isNotNull && col("__lang") =!= "en" &&
-              col("__lang") =!= "und", lit("wrong_language"))
-            .when(col("__lmflag") === "low", lit("low_quality"))
-            .when(col("__keep").isNotNull && col("__keep") =!= id,
-              lit("dup_content"))
-            .otherwise(lit("kept")).as("decision"))
-    }),
+    "q318_bytes_intake" -> ((s, dir) =>
+      bytesIntakeChain(s, dir, damageGate = false)),
+
+    // ── the intake capstone WITH THE MOJIBAKE GATE LIVE (round-15
+    // forward item #7 closed): q309's encodingDamage detector joins
+    // q318's decision table as a quarantine class — the lenient
+    // declared-charset decode legs ADMIT damage by design (a wrong
+    // declaration mints moji pairs / U+FFFD instead of killing the
+    // record), and this gate is WHY that is safe. New arm (doc_id %
+    // 12 = 10): the page body is the html's UTF-8 bytes declared —
+    // and leniently decoded — as windows-1252, so each planted é
+    // surfaces as the Ã© double-encode signature in main_text (3
+    // pairs ≥ the 2-pair floor); precedence ranks encoding_damage
+    // after the fetch classes and BEFORE the language gate (damaged
+    // text must never be language-judged or become a dedup keeper —
+    // the chain excludes it from the dedup scope). Same oracle as
+    // q318 via the shared bytesIntakeOracleSql builder, with arm 10
+    // closed-form (provably the only damaged arm: every other ok-arm
+    // main_text is pure ASCII). ──
+    "q330_intake_damage" -> ((s, dir) =>
+      bytesIntakeChain(s, dir, damageGate = true)),
 
     // ── SQL surface for the custom expression (the U1 discipline:
     // q27 proved a registered UDF surface; this proves the CUSTOM
@@ -8154,6 +8213,140 @@ object SparkEntry {
     * constants as the operator) appears in the q288+ family, whose
     * multilingual fixture actually exercises it.
     */
+  /** q318/q330 shared oracle builder — `damage = true` adds the
+    * arm-10 double-encode content, its closed-form encoding_damage
+    * rung, and the dedup-scope exclusion. ONE builder so the gated
+    * variant cannot drift from the certified base chain.
+    */
+  private def bytesIntakeOracleSql(damage: Boolean): String =
+    UrlCanonChainSql +
+      """,
+        |k AS (
+        |  SELECT canonical_url, min(doc_id) AS keep_id
+        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1),
+        |dec AS (
+        |  SELECT c.doc_id, c.canonical_url,
+        |    CASE WHEN c.canonical_url IS NULL THEN 'bad_url'
+        |         WHEN c.doc_id = k.keep_id THEN 'kept'
+        |         ELSE 'dup_url' END AS decision
+        |  FROM canon c LEFT JOIN k ON c.canonical_url = k.canonical_url),
+        |fd AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 12 WHEN 1 THEN 'malformed' WHEN 2 THEN 'bad_status'
+        |      WHEN 3 THEN 'bad_encoding' WHEN 4 THEN 'bad_type'
+        |      WHEN 5 THEN 'bad_inflate' WHEN 6 THEN 'bad_charset'
+        |      ELSE 'ok' END AS fdec
+        |  FROM documents),
+        |h AS (
+        |  SELECT d.doc_id,
+        |    '<html><head><title>Intake</title></head><body><!-- caf'
+        |    || chr(233)
+        |    || ' --><div class="main"><p>'
+        |    || CASE d.doc_id % 12
+        |         WHEN 7 THEN (SELECT text FROM documents WHERE doc_id = 1)
+        |""".stripMargin +
+      s"         WHEN 8 THEN '$EsGarble' || d.text\n" +
+      """|         WHEN 9 THEN reverse(d.text)
+        |""".stripMargin +
+      (if (damage)
+        // the lenient cp1252 decode of the arm-10 utf-8 bytes: each
+        // planted \u00E9 (C3 A9) surfaces as chr(195) || chr(169)
+        """|         WHEN 10 THEN d.text || ' caf' || chr(195) || chr(169)
+          |           || ' r' || chr(195) || chr(169) || 'sum'
+          |           || chr(195) || chr(169)
+          |""".stripMargin
+      else "") +
+      """|         ELSE d.text END
+        |    || '</p></div></body></html>' AS html
+        |  FROM documents d JOIN fd ON fd.doc_id = d.doc_id
+        |    AND fd.fdec = 'ok'),
+        |""".stripMargin +
+      HtmlExtractCtesSql +
+      """,
+        |lsc AS (
+        |  SELECT doc_id, regexp_extract_all(lower(main_text), '[a-z0-9]+') AS toks
+        |  FROM ext),
+        |lgs AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','with','for'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','por','con','una'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','von','den'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','des','une','dans','pour','que'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('il','di','che','la','per','una','sono','non','con','del'))) AS s_it
+        |  FROM lsc),
+        |lg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_it) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'en'
+        |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'es'
+        |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'fr'
+        |         WHEN s_it = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'it'
+        |         ELSE 'und' END AS guess
+        |  FROM lgs),
+        |rtok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |rbg AS (
+        |  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |  FROM rtok QUALIFY w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM rbg GROUP BY 1, 2),
+        |stok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(main_text), '[a-z0-9]+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(main_text), '[a-z0-9]+'), 1)
+        |      AS p
+        |  FROM ext),
+        |sbg AS (
+        |  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |  FROM stok QUALIFY w2 IS NOT NULL),
+        |ppm AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM sbg s LEFT JOIN c2 ON c2.w1 = s.w1 AND c2.w2 = s.w2),
+        |lmf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN sum(unseen) * 1000000 // count(*) >= 500000
+        |         THEN 'low' ELSE 'ok' END AS lmflag
+        |  FROM ppm GROUP BY 1),
+        |pre AS (
+        |  SELECT e.doc_id, e.main_text
+        |  FROM ext e
+        |  JOIN dec ON dec.doc_id = e.doc_id AND dec.decision = 'kept'
+        |  JOIN lg ON lg.doc_id = e.doc_id AND lg.guess IN ('en', 'und')
+        |  LEFT JOIN lmf lf ON lf.doc_id = e.doc_id
+        |  WHERE coalesce(lf.lmflag, 'ok') <> 'low'""".stripMargin +
+      (if (damage) " AND e.doc_id % 12 <> 10" else "") +
+      """|),
+        |km AS (SELECT main_text, min(doc_id) AS keep_id FROM pre GROUP BY 1),
+        |dck AS (
+        |  SELECT p.doc_id, km.keep_id FROM pre p
+        |  JOIN km ON km.main_text = p.main_text)
+        |SELECT dec.doc_id, dec.canonical_url,
+        |  CASE WHEN dec.decision <> 'kept' THEN dec.decision
+        |       WHEN fd.fdec <> 'ok' THEN fd.fdec
+        |""".stripMargin +
+      (if (damage)
+        // closed-form: arm 10 is PROVABLY the only damaged arm (every
+        // other ok-arm main_text is pure ASCII -- the guarded fixture
+        // contract -- so no moji pair / U+FFFD / C1 can fire)
+        """|       WHEN dec.doc_id % 12 = 10 THEN 'encoding_damage'
+          |""".stripMargin
+      else "") +
+      """|       WHEN lg.guess IS NOT NULL AND lg.guess NOT IN ('en', 'und')
+        |         THEN 'wrong_language'
+        |       WHEN lf.lmflag = 'low' THEN 'low_quality'
+        |       WHEN dck.keep_id IS NOT NULL AND dck.keep_id <> dec.doc_id
+        |         THEN 'dup_content'
+        |       ELSE 'kept' END AS decision
+        |FROM dec
+        |JOIN fd ON fd.doc_id = dec.doc_id
+        |LEFT JOIN lg ON lg.doc_id = dec.doc_id
+        |LEFT JOIN lmf lf ON lf.doc_id = dec.doc_id
+        |LEFT JOIN dck ON dck.doc_id = dec.doc_id""".stripMargin
+
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -10278,113 +10471,10 @@ object SparkEntry {
     // comment and is stripped) + q234's lang/LM mirrors verbatim +
     // the content-dedup keeper draw, composed under the one
     // precedence CASE
-    "q318_bytes_intake" -> (UrlCanonChainSql +
-      """,
-        |k AS (
-        |  SELECT canonical_url, min(doc_id) AS keep_id
-        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1),
-        |dec AS (
-        |  SELECT c.doc_id, c.canonical_url,
-        |    CASE WHEN c.canonical_url IS NULL THEN 'bad_url'
-        |         WHEN c.doc_id = k.keep_id THEN 'kept'
-        |         ELSE 'dup_url' END AS decision
-        |  FROM canon c LEFT JOIN k ON c.canonical_url = k.canonical_url),
-        |fd AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 12 WHEN 1 THEN 'malformed' WHEN 2 THEN 'bad_status'
-        |      WHEN 3 THEN 'bad_encoding' WHEN 4 THEN 'bad_type'
-        |      WHEN 5 THEN 'bad_inflate' WHEN 6 THEN 'bad_charset'
-        |      ELSE 'ok' END AS fdec
-        |  FROM documents),
-        |h AS (
-        |  SELECT d.doc_id,
-        |    '<html><head><title>Intake</title></head><body><!-- caf'
-        |    || chr(233)
-        |    || ' --><div class="main"><p>'
-        |    || CASE d.doc_id % 12
-        |         WHEN 7 THEN (SELECT text FROM documents WHERE doc_id = 1)
-        |""".stripMargin +
-      s"         WHEN 8 THEN '$EsGarble' || d.text\n" +
-      """|         WHEN 9 THEN reverse(d.text)
-        |         ELSE d.text END
-        |    || '</p></div></body></html>' AS html
-        |  FROM documents d JOIN fd ON fd.doc_id = d.doc_id
-        |    AND fd.fdec = 'ok'),
-        |""".stripMargin +
-      HtmlExtractCtesSql +
-      """,
-        |lsc AS (
-        |  SELECT doc_id, regexp_extract_all(lower(main_text), '[a-z0-9]+') AS toks
-        |  FROM ext),
-        |lgs AS (
-        |  SELECT doc_id,
-        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','with','for'))) AS s_en,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','por','con','una'))) AS s_es,
-        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','von','den'))) AS s_de,
-        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','des','une','dans','pour','que'))) AS s_fr,
-        |    len(list_filter(toks, x -> x IN ('il','di','che','la','per','una','sono','non','con','del'))) AS s_it
-        |  FROM lsc),
-        |lg AS (
-        |  SELECT doc_id,
-        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_it) = 0 THEN 'und'
-        |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'en'
-        |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'es'
-        |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'de'
-        |         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'fr'
-        |         WHEN s_it = greatest(s_en, s_es, s_de, s_fr, s_it) THEN 'it'
-        |         ELSE 'und' END AS guess
-        |  FROM lgs),
-        |rtok AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
-        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
-        |  FROM documents WHERE doc_id % 5 <> 0),
-        |rbg AS (
-        |  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
-        |  FROM rtok QUALIFY w2 IS NOT NULL),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM rbg GROUP BY 1, 2),
-        |stok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_extract_all(lower(main_text), '[a-z0-9]+')) AS w,
-        |    generate_subscripts(regexp_extract_all(lower(main_text), '[a-z0-9]+'), 1)
-        |      AS p
-        |  FROM ext),
-        |sbg AS (
-        |  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
-        |  FROM stok QUALIFY w2 IS NOT NULL),
-        |ppm AS (
-        |  SELECT s.doc_id,
-        |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
-        |  FROM sbg s LEFT JOIN c2 ON c2.w1 = s.w1 AND c2.w2 = s.w2),
-        |lmf AS (
-        |  SELECT doc_id,
-        |    CASE WHEN sum(unseen) * 1000000 // count(*) >= 500000
-        |         THEN 'low' ELSE 'ok' END AS lmflag
-        |  FROM ppm GROUP BY 1),
-        |pre AS (
-        |  SELECT e.doc_id, e.main_text
-        |  FROM ext e
-        |  JOIN dec ON dec.doc_id = e.doc_id AND dec.decision = 'kept'
-        |  JOIN lg ON lg.doc_id = e.doc_id AND lg.guess IN ('en', 'und')
-        |  LEFT JOIN lmf lf ON lf.doc_id = e.doc_id
-        |  WHERE coalesce(lf.lmflag, 'ok') <> 'low'),
-        |km AS (SELECT main_text, min(doc_id) AS keep_id FROM pre GROUP BY 1),
-        |dck AS (
-        |  SELECT p.doc_id, km.keep_id FROM pre p
-        |  JOIN km ON km.main_text = p.main_text)
-        |SELECT dec.doc_id, dec.canonical_url,
-        |  CASE WHEN dec.decision <> 'kept' THEN dec.decision
-        |       WHEN fd.fdec <> 'ok' THEN fd.fdec
-        |       WHEN lg.guess IS NOT NULL AND lg.guess NOT IN ('en', 'und')
-        |         THEN 'wrong_language'
-        |       WHEN lf.lmflag = 'low' THEN 'low_quality'
-        |       WHEN dck.keep_id IS NOT NULL AND dck.keep_id <> dec.doc_id
-        |         THEN 'dup_content'
-        |       ELSE 'kept' END AS decision
-        |FROM dec
-        |JOIN fd ON fd.doc_id = dec.doc_id
-        |LEFT JOIN lg ON lg.doc_id = dec.doc_id
-        |LEFT JOIN lmf lf ON lf.doc_id = dec.doc_id
-        |LEFT JOIN dck ON dck.doc_id = dec.doc_id""".stripMargin),
+    "q318_bytes_intake" -> bytesIntakeOracleSql(damage = false),
+
+    // the gated capstone: same chain, arm 10 damaged + quarantined
+    "q330_intake_damage" -> bytesIntakeOracleSql(damage = true),
 
     // encoding-damage mirror: arms closed-form (chr(65533) U+FFFD,
     // chr(195)+chr(169) the double-encoded é, chr(128..153) C1,
