@@ -3964,6 +3964,53 @@ object SparkEntry {
       SimSearch.hammingBandedPairs(hashes, "name", "ahash", maxDist = 3)
     }),
 
+    // ── per-frame VIDEO perceptual hash (Multimodal.dHashFrames —
+    // the modality QUAD closed: minhash text, dHash image, aHash
+    // audio, per-frame dHash video). Frames arrive distributed via
+    // frameSample (every 2nd frame); the cell spec is the BMP
+    // dHash's verbatim (shared dHashOfGrid fold — the two modalities
+    // cannot drift), gray luma = g·1000, the r=g=b case of the BMP
+    // weighting. Sub-grid frames (tiny_6x4) and non-video payloads
+    // (notvideo) are SKIPPED. Oracle = tools/gen_vhash_fixtures.py's
+    // independent python implementation over the authored formula
+    // frames (the q178/q325 discipline). ──
+    "q331_video_vhash" -> ((s, _) => {
+      import graft.ext.Multimodal
+      Multimodal.dHashFrames(Multimodal.frameSample(
+          Multimodal.asMediaFiles(
+            Multimodal.readMedia(s, FixturesDir + "/video_vhash")),
+          everyN = 2))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("frameIndex").as("frame_index"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // ── VIDEO near-dup pairs (Multimodal.videoNearDupPairs): two
+    // videos pair when ≥ τ=1/2 of their ALIGNED sampled frames are
+    // within hamming ≤ 3 — frame alignment by index (the brightness/
+    // re-encode edit class; time-shifts need temporal LSH, documented
+    // out of scope). Per frame the banded join has pigeonhole-exact
+    // recall, so matched_frames is EXACT and the oracle computes
+    // brute-force all-pairs with no knowledge of the banding. The
+    // fixture plants full near-copies (6/6 frames), a 7-frame partial
+    // re-cut (4/6 sampled — passes τ against base AND near donor, 2/6
+    // against its tail donor — fails) and a 4-frame fragment (2/6 —
+    // the sub-threshold negative probe), so the threshold is exercised
+    // from both sides. ──
+    "q332_video_neardup" -> ((s, _) => {
+      import graft.ext.Multimodal
+      val hashes = Multimodal.dHashFrames(Multimodal.frameSample(
+          Multimodal.asMediaFiles(
+            Multimodal.readMedia(s, FixturesDir + "/video_vhash")),
+          everyN = 2))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("frameIndex").as("frame_index"), col("dhash"))
+      Multimodal.videoNearDupPairs(hashes, "name", "frame_index", "dhash",
+        maxDist = 3, tauNum = 1, tauDen = 2)
+    }),
+
     // ── UTF-32 fetch legs (the round-15 verdict's documented BOM
     // gap closed: the 4-byte BOMs are checked BEFORE the UTF-16
     // prefixes they SHADOW — FF FE 00 00 starts with FF FE, so
@@ -10434,6 +10481,34 @@ object SparkEntry {
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
         |FROM documents""".stripMargin,
+
+    // video per-frame hash mirror: the generator's independent python
+    // dHash over the formula frames (sampled indices only)
+    "q331_video_vhash" ->
+      """SELECT name, frame_index, width, height, dhash
+        |FROM read_parquet('/root/repo/fixtures/video_vhash_expected.parquet')"""
+        .stripMargin,
+
+    // video near-dup mirror: brute-force ALL-pairs over the expected
+    // per-frame hashes — aligned frame distances, integer-crossed
+    // τ=1/2 threshold, no knowledge of the banding
+    "q332_video_neardup" ->
+      """WITH fh AS (
+        |  SELECT name, frame_index, dhash
+        |  FROM read_parquet('/root/repo/fixtures/video_vhash_expected.parquet')),
+        |n AS (SELECT name, count(*) AS n FROM fh GROUP BY 1),
+        |m AS (
+        |  SELECT a.name AS id_a, b.name AS id_b, count(*) AS matched_frames
+        |  FROM fh a JOIN fh b
+        |    ON a.frame_index = b.frame_index AND a.name < b.name
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |  GROUP BY 1, 2)
+        |SELECT m.id_a, m.id_b, m.matched_frames,
+        |  na.n AS n_a, nb.n AS n_b
+        |FROM m
+        |JOIN n na ON na.name = m.id_a
+        |JOIN n nb ON nb.name = m.id_b
+        |WHERE m.matched_frames * 2 >= least(na.n, nb.n)""".stripMargin,
 
     // utf-32 fetch mirror: closed-form per arm; every arm is 200/
     // text/html and decodes to text || ' caf' || chr(233) || ' 32'

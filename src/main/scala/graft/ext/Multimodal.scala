@@ -296,6 +296,17 @@ object Multimodal {
       }
       y += 1
     }
+    Some(BmpHashRow(path, g.width, g.height, dHashOfGrid(sums, cnts)))
+  }
+
+  /** The 8×9-grid → 64-bit comparison fold shared by the image and
+    * video dHashes (one definition — the two modalities cannot drift
+    * on the strict cross-multiplied comparison): bit (cy*8 + cx) is
+    * set iff cell (cx+1, cy)'s average luma strictly exceeds cell
+    * (cx, cy)'s, compared as L2·n1 > L1·n2.
+    */
+  private def dHashOfGrid(
+      sums: Array[Array[Long]], cnts: Array[Array[Long]]): Long = {
     var h = 0L
     var cy = 0
     while (cy < 8) {
@@ -307,7 +318,94 @@ object Multimodal {
       }
       cy += 1
     }
-    Some(BmpHashRow(path, g.width, g.height, h))
+    h
+  }
+
+  case class FrameHashRow(path: String, frameIndex: Int, width: Int,
+      height: Int, dhash: Long)
+
+  /** Per-frame perceptual dHash over sampled video frames — the VIDEO
+    * member of the perceptual-dedup family (the modality quad closed:
+    * minhash text, dHash image, aHash audio, per-frame dHash video).
+    * The cell spec is the BMP dHash's VERBATIM — 9×8 floor-mapped
+    * grid, strict cross-multiplied average comparisons via
+    * [[dHashOfGrid]] — with a gray pixel g carrying luma g·1000:
+    * exactly the r=g=b case of the BMP's 299/587/114 weighting, so
+    * one spec paragraph governs both modalities (mirrored
+    * independently by tools/gen_vhash_fixtures.py, the oracle pair).
+    * Frames narrower than 9 px or shorter than 8 px are SKIPPED (the
+    * decoder drop-don't-fail discipline).
+    *
+    * 100-TB shape: frames arrive already distributed through
+    * [[frameSample]]'s flatMap (a 2-hour video never materializes as
+    * one row); O(pixels) per frame, 144 longs of state, only the
+    * hash retained downstream.
+    */
+  def dHashFrames(frames: Dataset[FrameRow]): Dataset[FrameHashRow] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions(_.flatMap { fr =>
+      if (fr.width < 9 || fr.height < 8) None
+      else {
+        val sums = Array.ofDim[Long](8, 9)
+        val cnts = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < fr.height) {
+          val cy = (y.toLong * 8 / fr.height).toInt
+          val base = y * fr.width
+          var x = 0
+          while (x < fr.width) {
+            val cx = (x.toLong * 9 / fr.width).toInt
+            sums(cy)(cx) += (fr.pixels(base + x) & 0xff) * 1000L
+            cnts(cy)(cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(FrameHashRow(fr.path, fr.frameIndex, fr.width, fr.height,
+          dHashOfGrid(sums, cnts)))
+      }
+    })
+  }
+
+  /** Video near-duplicate pairs: two videos are near-dups when at
+    * least tauNum/tauDen of their ALIGNED sampled frames (same frame
+    * index) are within hamming `maxDist` of each other — the
+    * brightness/re-encode edit class. Alignment is by frame index,
+    * deliberately NOT shift-invariant: a time-shifted copy needs
+    * temporal LSH (shingling the hash SEQUENCE), the same extension
+    * minhash is to exact dedup; documented out of scope here.
+    *
+    * EXACTNESS: per aligned frame the banded join
+    * ([[graft.ext.SimSearch.hammingBandedPairsAligned]]) has
+    * pigeonhole-exact recall at maxDist ≤ 3, so `matched_frames` is
+    * exact and the pair set equals brute force — the oracle computes
+    * all-pairs with no knowledge of the banding. The threshold is
+    * integer cross-multiplied (m·tauDen ≥ tauNum·min(n_a, n_b)) —
+    * engine-exact, no division.
+    *
+    * 100-TB shape: the frame join shuffles on (frame, band, value);
+    * the per-video frame counts are a tiny aggregate joined onto the
+    * candidate pairs (never the raw frames). Returns
+    * (id_a, id_b, matched_frames, n_a, n_b), id_a < id_b.
+    */
+  def videoNearDupPairs(
+      frameHashes: DataFrame, idCol: String, frameCol: String,
+      hashCol: String, maxDist: Int = 3,
+      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    require(tauNum > 0 && tauDen > 0, "tau must be a positive fraction")
+    val n = frameHashes.groupBy(col(idCol).as("__vid"))
+      .agg(count(lit(1)).as("__n"))
+    SimSearch.hammingBandedPairsAligned(
+        frameHashes, idCol, frameCol, hashCol, maxDist)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("matched_frames"))
+      .join(n.as("na"), col("id_a") === col("na.__vid"))
+      .join(n.as("nb"), col("id_b") === col("nb.__vid"))
+      .filter(col("matched_frames") * tauDen >=
+        least(col("na.__n"), col("nb.__n")) * tauNum)
+      .select(col("id_a"), col("id_b"), col("matched_frames"),
+        col("na.__n").as("n_a"), col("nb.__n").as("n_b"))
   }
 
   /** Near-duplicate image pairs over dHashes — the generic banded

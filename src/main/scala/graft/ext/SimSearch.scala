@@ -643,22 +643,43 @@ object SimSearch {
     */
   def hammingBandedPairs(
       hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3): DataFrame =
+    hammingBandedPairsAligned(
+      hashes.withColumn("__one", lit(0)), idCol, "__one", hashCol, maxDist)
+      .drop("align")
+
+  /** ALIGNED banded hamming pairs (round 16 — the video arc's frame
+    * join): same four-band pigeonhole engine, but candidates must
+    * also share `alignCol` (e.g. the sampled frame index), so a
+    * 12-frame video joins frame-to-frame instead of frame-to-every-
+    * frame. [[hammingBandedPairs]] is the degenerate single-alignment
+    * case and delegates here — one engine, four modalities. The
+    * alignment key JOINS the shuffle key, which is the scale story:
+    * per-bucket fan-out is per (align, band, value), so hot buckets
+    * dilute with corpus length rather than concentrating.
+    * Returns (id_a, id_b, align, dist), id_a < id_b.
+    */
+  def hammingBandedPairsAligned(
+      hashes: DataFrame, idCol: String, alignCol: String, hashCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4x16-bit bands guarantee recall only to distance 3: $maxDist")
     val banded = hashes
-      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__h"))
-      .select(col("__id"), col("__h"),
+      .select(col(idCol).as("__id"), col(alignCol).as("__al"),
+        col(hashCol).cast("long").as("__h"))
+      .select(col("__id"), col("__al"), col("__h"),
         explode(array((0 until 4).map(i => struct(lit(i).as("band"),
           shiftright(col("__h"), i * 16).bitwiseAND(lit(0xffffL))
             .as("key"))): _*)).as("bk"))
-      .select(col("__id"), col("__h"), col("bk.band").as("__band"),
+      .select(col("__id"), col("__al"), col("__h"), col("bk.band").as("__band"),
         col("bk.key").as("__key"))
     banded.as("a").join(banded.as("b"),
-        col("a.__band") === col("b.__band") &&
+        col("a.__al") === col("b.__al") &&
+          col("a.__band") === col("b.__band") &&
           col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__al").as("align"),
         bit_count(col("a.__h").bitwiseXOR(col("b.__h")))
           .cast("long").as("dist"))
       .distinct() // a pair may agree on several bands

@@ -300,4 +300,72 @@ class MultimodalSpec extends SparkSpec {
     val f2 = frames.find(_.frameIndex == 2).get
     assert((f2.pixels(1) & 0xff) == 13)
   }
+
+  test("dHashFrames: sub-grid frames and non-video payloads skipped; " +
+      "a hand-built frame hashes by the shared grid spec") {
+    import graft.ext.Multimodal.{FrameRow, dHashFrames}
+    val vfiles = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/video_vhash"))
+    val hashed = dHashFrames(Multimodal.frameSample(vfiles, 2)).collect()
+    // tiny_6x4 (sub-grid) and notvideo (kind 0) contribute nothing
+    assert(!hashed.exists(_.path.contains("tiny_6x4")))
+    assert(!hashed.exists(_.path.contains("notvideo")))
+    // 10 videos x 6 sampled frames
+    assert(hashed.length == 60)
+    assert(hashed.map(_.frameIndex).toSet == Set(0, 2, 4, 6, 8, 10))
+    // hand frame, 18x8: left half gray 10, right half gray 200 —
+    // within a cell row, exactly the (3,4) comparison (cells 0..3 at
+    // 10, 5..8 at 200, cell 4 mixed) rises... compute per spec: cell
+    // cx spans x where x*9//18 = cx, i.e. 2 px per cell; x<9 → 10,
+    // x>=9 → 200; cell 4 covers x=8,9 → avg 105. Rising comparisons
+    // (3,4) and (4,5) set bits 3 and 4 of every cy row — but h=8 →
+    // single cy per y*8//8=y... use 8 rows so each cy has 1 row.
+    val px = Array.tabulate(8 * 18)(i => if (i % 18 < 9) 10.toByte
+      else 200.toByte)
+    val one = dHashFrames(spark.createDataset(
+      Seq(FrameRow("h", 0, 18, 8, px)))(
+      org.apache.spark.sql.Encoders.product[FrameRow])).collect()(0)
+    val want = (0 until 8).map(cy => (1L << (cy * 8 + 3)) |
+      (1L << (cy * 8 + 4))).reduce(_ | _)
+    assert(one.dhash == want,
+      s"got ${one.dhash.toHexString}, want ${want.toHexString}")
+    // sub-grid hand frame is dropped
+    assert(dHashFrames(spark.createDataset(
+      Seq(FrameRow("t", 0, 6, 4, Array.fill(24)(0.toByte))))(
+      org.apache.spark.sql.Encoders.product[FrameRow])).count() == 0)
+  }
+
+  test("videoNearDupPairs: the integer-crossed threshold from both " +
+      "sides, and the fixture pair set is exactly the planted six") {
+    import graft.ext.Multimodal.videoNearDupPairs
+    // hand-built: videos a,b with 4 frames; hashes match on 2 of 4 →
+    // 2*2 >= 4 passes at τ=1/2 EXACTLY (the boundary); c matches a on
+    // 1 of 4 → fails
+    val fh = Seq(
+      ("a", 0, 0L), ("a", 1, 100L), ("a", 2, 200L), ("a", 3, 300L),
+      ("b", 0, 0L), ("b", 1, 101L), ("b", 2, 999L), ("b", 3, -1L),
+      ("c", 0, 0L), ("c", 1, 0xFF00L), ("c", 2, 0xFF0000L),
+      ("c", 3, 0xFF000000L))
+      .toDF("name", "f", "h")
+    val pairs = videoNearDupPairs(fh, "name", "f", "h", maxDist = 3)
+      .select("id_a", "id_b", "matched_frames")
+      .as[(String, String, Long)].collect().toSet
+    // a~b: f0 dist 0, f1 dist(100,101)=bitcount(1)... 100^101 = 1 →
+    // dist 1 → matched; f2/f3 far → 2 matches of 4 → pair. a~c and
+    // b~c: only f0 matches → 1 of 4 → no pair.
+    assert(pairs == Set(("a", "b", 2L)))
+    // the fixture set: exactly the generator's asserted six pairs
+    val vfiles = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/video_vhash"))
+    val hashes = Multimodal.dHashFrames(Multimodal.frameSample(vfiles, 2))
+      .toDF()
+      .select(regexp_extract($"path", "[^/]+$", 0).as("name"),
+        $"frameIndex".as("f"), $"dhash")
+    val got = videoNearDupPairs(hashes, "name", "f", "dhash", maxDist = 3)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("vbase0.grf", "vnear0.grf"), ("vbase1.grf", "vnear1.grf"),
+      ("vbase2.grf", "vnear2.grf"), ("vbase3.grf", "vnear3.grf"),
+      ("vbase0.grf", "vpart0.grf"), ("vnear0.grf", "vpart0.grf")))
+  }
 }
