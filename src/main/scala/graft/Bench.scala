@@ -186,7 +186,8 @@ object Bench {
     "q321_zstd_inflate", "q322_fetch_zstd", "q323_fetch_chunked",
     "q324_semdedup_compact_store", "q325_image_dhash", "q326_image_neardup",
     "q327_audio_ahash", "q328_audio_neardup", "q329_utf32_fetch",
-    "q330_intake_damage", "q331_video_vhash", "q332_video_neardup")
+    "q330_intake_damage", "q331_video_vhash", "q332_video_neardup",
+    "q333_bloom_decontaminate")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -1859,6 +1859,26 @@ object SparkEntry {
         "doc_id", "text", n = 8)
     }),
 
+    // ── BLOOM-PREFILTERED exact decontamination (the scaladoc's
+    // "bloom-prunes via BloomJoin" promise made real — the 100-TB
+    // form when the eval-suite gram set is too large to broadcast):
+    // a compact Bloom filter over the eval grams prunes the training
+    // gram stream BEFORE the join shuffle; the exact semi join then
+    // removes the false positives, false negatives are impossible —
+    // so the result equals q222 and is certified against q222's
+    // oracle VERBATIM (NgramDecontamSql, the q186 discipline). The
+    // filter is sized TIGHT (64k bits for ~40k distinct grams, ~13%
+    // FP at sf0.01) so the exact-confirm leg is provably load-bearing
+    // rather than a pass-through. ──
+    "q333_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContaminatedBloom(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 8,
+        expectedItems = 65536L, numBits = 65536L)
+    }),
+
     // ── incremental link-graph maintenance: per-batch edge STATES
     // (q97's mergeable state/fold machinery) folded into the full
     // graph — a crawl batch updates host-edge counts without
@@ -8394,6 +8414,31 @@ object SparkEntry {
         |LEFT JOIN dck ON dck.doc_id = dec.doc_id""".stripMargin
 
 
+  /** q222/q333 shared oracle — the exact n-gram decontamination
+    * mirror; ONE definition so the Bloom-prefiltered variant cannot
+    * drift from the exact surface it must equal.
+    */
+  private val NgramDecontamSql: String =
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |      || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+        |      || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+        |      || ' ' || lead(tok, 7) OVER w AS g
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 7) OVER w IS NOT NULL),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 5 = 0)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM sh s JOIN ev USING (g)
+        |WHERE s.doc_id % 5 <> 0
+        |GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -11267,26 +11312,12 @@ object SparkEntry {
         |FROM hr JOIN dl ON dl.host = hr.host""".stripMargin),
 
     // q18's shingle machinery at n=8; raw gram strings join directly
-    "q222_ngram_decontaminate" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
-        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
-        |      AS pos
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-        |      || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
-        |      || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
-        |      || ' ' || lead(tok, 7) OVER w AS g
-        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |  QUALIFY lead(tok, 7) OVER w IS NOT NULL),
-        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 5 = 0)
-        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
-        |FROM sh s JOIN ev USING (g)
-        |WHERE s.doc_id % 5 <> 0
-        |GROUP BY 1""".stripMargin,
+    "q222_ngram_decontaminate" -> NgramDecontamSql,
+
+    // IDENTICAL SQL to q222: the Bloom prefilter admits false
+    // positives only, the exact semi join removes them (the q186
+    // identical-oracle discipline)
+    "q333_bloom_decontaminate" -> NgramDecontamSql,
 
     "q220_host_pagerank" -> (LinkGraphChainSql +
       """,

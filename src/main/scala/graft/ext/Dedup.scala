@@ -440,6 +440,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** [[ngramContaminated]]'s scaled form — the "bloom-prunes via
+    * BloomJoin" promise above made real: when the eval gram set is
+    * too large to broadcast (a full benchmark SUITE against a 100-TB
+    * training corpus), build a compact Bloom filter over the eval
+    * grams (a few MB regardless of either side's size, one
+    * partial-aggregable pass) and prune the training gram stream with
+    * it BEFORE the join shuffle; the exact semi join then removes
+    * Bloom false positives. False negatives are impossible, so the
+    * result is IDENTICAL to [[ngramContaminated]] — certified against
+    * the same oracle VERBATIM (q333 reuses q222's). What changes is
+    * shuffle volume: only grams that plausibly leaked ever leave the
+    * training side's map tasks.
+    */
+  def ngramContaminatedBloom(
+      training: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val tr = shingled(training, idCol, textCol, n)
+      .select(col("__id"), explode_outer(col("__sh")).as("__g"))
+      .filter(col("__g").isNotNull)
+    val ev = shingled(evalDocs, idCol, textCol, n)
+      .select(explode_outer(col("__sh")).as("__g"))
+      .filter(col("__g").isNotNull).distinct()
+    graft.operators.BloomJoin.bloomSemiJoin(tr, "__g", ev, "__g",
+        expectedItems, numBits)
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   def decontaminate(
       training: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,

@@ -37,6 +37,30 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.sameElements(0L until 10L))
   }
 
+  test("ngramContaminatedBloom == ngramContaminated with a tiny filter " +
+      "(false positives provably removed by the exact confirm)") {
+    import graft.ext.Dedup
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"intro $leak trailing words here beyond the gram"),
+      (2L, "completely different content with no overlap at all whatsoever"),
+      (3L, s"$leak and then some more unique text after it"),
+      (100L, s"eval doc containing $leak verbatim in the middle"),
+      (101L, "another eval doc with its own words only nothing shared"))
+      .toDF("doc_id", "text")
+    val train = docs.filter($"doc_id" < 100L)
+    val ev = docs.filter($"doc_id" >= 100L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val exact = rows(Dedup.ngramContaminated(train, ev, "doc_id", "text", 8))
+    // 64 bits for dozens of distinct grams: the bloom filter is
+    // saturated, so the exact-confirm leg does real work
+    val bloom = rows(Dedup.ngramContaminatedBloom(train, ev,
+      "doc_id", "text", 8, expectedItems = 16L, numBits = 64L))
+    assert(bloom == exact)
+    assert(exact.map(_._1) == Set(1L, 3L)) // non-vacuous: the leak flags
+  }
+
   test("physical plan carries the bloom might_contain pre-filter") {
     val small = (0L until 10L).toDF("k")
     val big = (0L until 100L).toDF("j")
