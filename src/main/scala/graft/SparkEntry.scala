@@ -3984,6 +3984,28 @@ object SparkEntry {
       SimSearch.hammingBandedPairs(hashes, "name", "ahash", maxDist = 3)
     }),
 
+    // ── STREAMING perceptual-dedup ingest (the q190/q316 lifecycle
+    // on the banded-hamming arc): image fingerprints arrive in two
+    // waves — A carries every base pattern plus near0 (the
+    // WITHIN-wave pair leg live), B the other three near copies,
+    // whose ONLY partners live in wave A's stored hashes (the
+    // CROSS-wave store-probe leg live, and load-bearing: the
+    // StreamingSpec negative probe drops the append and the three
+    // cross pairs vanish). The accumulated pair set certifies
+    // against q326's one-shot all-pairs oracle VERBATIM. ──
+    "q334_hamming_dedup_stream" -> ((s, _) => {
+      import graft.ext.Multimodal
+      val hashes = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_dhash")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      graft.streaming.StreamingReports.hammingDedupIngestReplay(
+        s, hashes, "name", "dhash",
+        waveA = !col("name").isin("near1.bmp", "near2.bmp", "near3.bmp"),
+        maxDist = 3)
+    }),
+
     // ── per-frame VIDEO perceptual hash (Multimodal.dHashFrames —
     // the modality QUAD closed: minhash text, dHash image, aHash
     // audio, per-frame dHash video). Frames arrive distributed via
@@ -8439,6 +8461,19 @@ object SparkEntry {
         |WHERE s.doc_id % 5 <> 0
         |GROUP BY 1""".stripMargin
 
+  /** q326/q334 shared oracle — brute-force all-pairs hamming over
+    * the expected image hashes, no knowledge of the banding OR the
+    * wave split; ONE definition so the streaming lifecycle cannot
+    * drift from the batch surface it must equal.
+    */
+  private val ImageNearDupSql: String =
+    """SELECT a.name AS id_a, b.name AS id_b,
+      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+      |FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet') a
+      |JOIN read_parquet('/root/repo/fixtures/images_dhash_expected.parquet') b
+      |  ON a.name < b.name
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -10692,13 +10727,12 @@ object SparkEntry {
 
     // near-dup mirror: brute-force ALL-pairs hamming over the
     // expected hashes — no knowledge of the banding
-    "q326_image_neardup" ->
-      """SELECT a.name AS id_a, b.name AS id_b,
-        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
-        |FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet') a
-        |JOIN read_parquet('/root/repo/fixtures/images_dhash_expected.parquet') b
-        |  ON a.name < b.name
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+    "q326_image_neardup" -> ImageNearDupSql,
+
+    // IDENTICAL SQL to q326: the streaming read->probe->append
+    // lifecycle must accumulate the one-shot all-pairs set (the q186
+    // identical-oracle discipline)
+    "q334_hamming_dedup_stream" -> ImageNearDupSql,
 
     // aHash mirror: the generator's independent python implementation
     // of the shared envelope-hash spec over formula samples

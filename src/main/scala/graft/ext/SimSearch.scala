@@ -648,6 +648,43 @@ object SimSearch {
       hashes.withColumn("__one", lit(0)), idCol, "__one", hashCol, maxDist)
       .drop("align")
 
+  /** Batch-vs-corpus banded hamming probe (round 16 — the ingest
+    * lifecycle's cross-wave leg): candidates pair a NEW hash against
+    * a STORED one, same four-band pigeonhole recall, never
+    * corpus-vs-corpus. Pairs are normalized to (least, greatest) id
+    * so the output composes with [[hammingBandedPairs]]' contract
+    * (id_a < id_b) and a batch∪corpus union certifies against the
+    * one-shot all-pairs oracle verbatim. 100-TB shape: only the
+    * BATCH is banded-exploded four ways; the stored side is a narrow
+    * (id, hash) table — 16 bytes a row, ~10⁻⁴ of the media corpus it
+    * fingerprints — banded on read and shuffled on the same
+    * (band, value) key.
+    */
+  def hammingBandedPairsAgainst(
+      newHashes: DataFrame, corpus: DataFrame, idCol: String,
+      hashCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit bands guarantee recall only to distance 3: $maxDist")
+    def banded(df: DataFrame) = df
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__h"))
+      .select(col("__id"), col("__h"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          shiftright(col("__h"), i * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("__id"), col("__h"), col("bk.band").as("__band"),
+        col("bk.key").as("__key"))
+    banded(newHashes).as("a").join(banded(corpus).as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__key") === col("b.__key") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"),
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h")))
+          .cast("long").as("dist"))
+      .distinct() // several bands may agree
+      .filter(col("dist") <= maxDist)
+  }
+
   /** ALIGNED banded hamming pairs (round 16 — the video arc's frame
     * join): same four-band pigeonhole engine, but candidates must
     * also share `alignCol` (e.g. the sampled frame index), so a

@@ -1379,6 +1379,69 @@ object StreamingReports {
     assign
   }
 
+  /** STREAMING perceptual-dedup ingest (round 16 — the q190/q316
+    * read→probe→append lifecycle on the banded-hamming arc): media
+    * fingerprints arrive in waves; each wave emits its WITHIN-wave
+    * pairs ([[graft.ext.SimSearch.hammingBandedPairs]]) plus its
+    * pairs AGAINST THE STORED corpus
+    * ([[graft.ext.SimSearch.hammingBandedPairsAgainst]] — batch-vs-
+    * store, never store-vs-store), then appends itself to the store,
+    * so a later wave's near-dups of an earlier wave are found through
+    * the store. The accumulated pair set must equal the one-shot
+    * all-pairs batch result — q334 certifies against q326's oracle
+    * VERBATIM. `appendWaves = false` is the StreamingSpec NEGATIVE
+    * PROBE: cross-wave pairs vanish, proving the append is
+    * load-bearing. Per-wave cost: O(batch + store scan) — the store
+    * is a 16-byte-per-row hash table, ~10⁻⁴ of the media bytes it
+    * fingerprints; at production scale the same probe runs against a
+    * band-bucketed layout.
+    */
+  def hammingDedupIngestReplay(
+      outer: SparkSession, hashes: DataFrame, idCol: String,
+      hashCol: String, waveA: Column, maxDist: Int = 3,
+      appendWaves: Boolean = true): DataFrame = {
+    import graft.ext.SimSearch
+    val spark = replaySession(outer)
+    // re-root the fixture under the replay session (the semDedup rule)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hh-corpus")
+    hashes.write.mode("overwrite").parquet(tmp.toString)
+    val h = spark.read.parquet(tmp.toString).localCheckpoint()
+    // the store starts EMPTY (schema-only parquet) — the first wave
+    // probes nothing and seeds it
+    val store = java.nio.file.Files.createTempDirectory("graft-hh-store")
+    h.limit(0).write.mode("overwrite").parquet(store.toString)
+    var pairs = SimSearch.hammingBandedPairs(h.limit(0), idCol, hashCol,
+      maxDist).localCheckpoint() // empty frame with the output schema
+    val landing = java.nio.file.Files.createTempDirectory("graft-hh-waves")
+    def deliverWave(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(landing.toString)
+    deliverWave(h.filter(waveA))
+    val q = spark.readStream.schema(h.schema).parquet(landing.toString)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val bb = b.localCheckpoint()
+          val corpus = spark.read.parquet(store.toString).localCheckpoint()
+          val p = SimSearch.hammingBandedPairs(bb, idCol, hashCol, maxDist)
+            .unionByName(SimSearch.hammingBandedPairsAgainst(
+              bb, corpus, idCol, hashCol, maxDist))
+          pairs = pairs.unionByName(p).localCheckpoint()
+          if (appendWaves)
+            bb.write.mode("append").parquet(store.toString)
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      deliverWave(h.filter(!waveA))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      deleteRecursively(landing)
+      deleteRecursively(tmp)
+      deleteRecursively(store)
+    }
+    pairs
+  }
+
   // ── EXACTLY-ONCE semantic-dedup ingest (round-15 forward item #3:
   // the replay-idempotency caveat on [[semDedupIngestReplay]],
   // closed by composing the q99/CDC manifest discipline onto the

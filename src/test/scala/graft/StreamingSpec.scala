@@ -545,6 +545,32 @@ class StreamingSpec extends SparkSpec {
     assert(orphans.filter($"n_members" =!= 1).count() == 0)
   }
 
+  test("hamming ingest: the per-wave store append is LOAD-BEARING (negative probe)") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Multimodal
+    val hashes = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, "/root/repo/fixtures/images_dhash")))
+      .toDF()
+      .select(regexp_extract($"path", "[^/]+$", 0).as("name"), $"dhash")
+    val waveA = !$"name".isin("near1.bmp", "near2.bmp", "near3.bmp")
+    val withAppend = graft.streaming.StreamingReports
+      .hammingDedupIngestReplay(spark, hashes, "name", "dhash", waveA)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    // both legs live: (base0,near0) is WITHIN wave A, the other three
+    // pairs cross the wave boundary through the store
+    assert(withAppend == (0 until 4)
+      .map(k => (s"base$k.bmp", s"near$k.bmp")).toSet)
+    // NEGATIVE PROBE: drop the append and wave B probes an empty
+    // store — the three cross-wave pairs must vanish; if they ever
+    // survive, the append stopped being load-bearing and q334's
+    // design claim is stale
+    val noAppend = graft.streaming.StreamingReports
+      .hammingDedupIngestReplay(spark, hashes, "name", "dhash", waveA,
+        appendWaves = false)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(noAppend == Set(("base0.bmp", "near0.bmp")))
+  }
+
   test("semDedup exactly-once ingest: the batchId guard is LOAD-BEARING") {
     import org.apache.spark.sql.functions._
     import graft.ext.{Dedup, SimSearch}
