@@ -187,7 +187,8 @@ object Bench {
     "q324_semdedup_compact_store", "q325_image_dhash", "q326_image_neardup",
     "q327_audio_ahash", "q328_audio_neardup", "q329_utf32_fetch",
     "q330_intake_damage", "q331_video_vhash", "q332_video_neardup",
-    "q333_bloom_decontaminate", "q334_hamming_dedup_stream")
+    "q333_bloom_decontaminate", "q334_hamming_dedup_stream",
+    "q335_video_seq_copies")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -4053,6 +4053,32 @@ object SparkEntry {
         maxDist = 3, tauNum = 1, tauDen = 2)
     }),
 
+    // ── TIME-SHIFTED video copy pairs (Multimodal.videoSeqCopyPairs
+    // — the temporal extension q332's scaladoc names: aligned-frame
+    // hamming is blind to shifts, shingled frame-hash SEQUENCES are
+    // blind to per-frame edits; the two are complements like exact
+    // dedup and minhash on the text arc). k=3 shingles over sampled
+    // hashes as raw ':'-joined strings (the q222 raw-gram rule),
+    // pairs at ≥ 2 shared shingles. The fixture plants a +2-frame
+    // shifted copy (3 shared shingles), a +4-frame shift landing
+    // EXACTLY on the minShared boundary (2), and a same-family
+    // video whose sampled hashes never run 3 consecutive (0 — the
+    // negative probe); oracle = the generator's independent python
+    // hashes + a window-shingled SQL mirror with no knowledge of
+    // the Spark plan. ──
+    "q335_video_seq_copies" -> ((s, _) => {
+      import graft.ext.Multimodal
+      val hashes = Multimodal.dHashFrames(Multimodal.frameSample(
+          Multimodal.asMediaFiles(
+            Multimodal.readMedia(s, FixturesDir + "/video_seq")),
+          everyN = 2))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("frameIndex").as("frame_index"), col("dhash"))
+      Multimodal.videoSeqCopyPairs(hashes, "name", "frame_index", "dhash",
+        k = 3, minShared = 2L)
+    }),
+
     // ── UTF-32 fetch legs (the round-15 verdict's documented BOM
     // gap closed: the 4-byte BOMs are checked BEFORE the UTF-16
     // prefixes they SHADOW — FF FE 00 00 starts with FF FE, so
@@ -10561,6 +10587,28 @@ object SparkEntry {
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
         |FROM documents""".stripMargin,
+
+    // time-shifted copy mirror: window-shingled sequences over the
+    // generator's independent hashes; raw ':'-joined keys, DISTINCT
+    // per video, threshold in HAVING — no knowledge of the Spark plan
+    "q335_video_seq_copies" ->
+      """WITH fh AS (
+        |  SELECT name, frame_index, dhash
+        |  FROM read_parquet('/root/repo/fixtures/video_seq_expected.parquet')),
+        |sq AS (
+        |  SELECT name,
+        |    CAST(dhash AS VARCHAR) || ':' ||
+        |    CAST(lead(dhash, 1) OVER w AS VARCHAR) || ':' ||
+        |    CAST(lead(dhash, 2) OVER w AS VARCHAR) AS shingle
+        |  FROM fh WINDOW w AS (PARTITION BY name ORDER BY frame_index)
+        |  QUALIFY lead(dhash, 2) OVER w IS NOT NULL),
+        |sh AS (SELECT DISTINCT name, shingle FROM sq)
+        |SELECT a.name AS id_a, b.name AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared_shingles
+        |FROM sh a JOIN sh b
+        |  ON a.shingle = b.shingle AND a.name < b.name
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
 
     // video per-frame hash mirror: the generator's independent python
     // dHash over the formula frames (sampled indices only)

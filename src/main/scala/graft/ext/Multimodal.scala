@@ -419,6 +419,48 @@ object Multimodal {
       maxDist: Int = 3): DataFrame =
     SimSearch.hammingBandedPairs(hashes, idCol, hashCol, maxDist)
 
+  /** TIME-SHIFTED video copy pairs — the temporal extension
+    * [[videoNearDupPairs]]' scaladoc names: that operator aligns by
+    * frame index and is deliberately blind to shifts; this one
+    * shingles each video's sampled frame-hash SEQUENCE into
+    * `k`-tuples (':'-joined decimal strings — raw keys, both engines
+    * join identically, the q222 raw-gram rule) and pairs videos
+    * sharing ≥ `minShared` distinct shingles. A time-shifted
+    * UNEDITED copy shares exact frame content, hence exact frame
+    * hashes, hence shingles — regardless of offset; per-frame edits
+    * need the aligned-hamming rule instead. The two operators are
+    * complements, exactly as exact dedup and minhash are on the text
+    * arc.
+    *
+    * 100-TB shape: one bounded window per video (frame counts are
+    * sampling-bounded), then a shingle-keyed equi-join — never
+    * all-pairs. Degenerate shingles (a static-black-frame tuple
+    * shared by thousands of videos) are the stop-gram class: cap
+    * their fan-out upstream with a document-frequency drop, the
+    * q147 stop-token discipline, before joining at open-web scale.
+    * Returns (id_a, id_b, shared_shingles), id_a < id_b.
+    */
+  def videoSeqCopyPairs(
+      frameHashes: DataFrame, idCol: String, frameCol: String,
+      hashCol: String, k: Int = 3, minShared: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(frameCol))
+    val sh = frameHashes
+      .select(col(idCol).as("__vid"),
+        concat_ws(":", (0 until k).map(i =>
+          lead(col(hashCol), i).over(w).cast("string")): _*).as("__shingle"),
+        lead(col(hashCol), k - 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full"))
+      .select("__vid", "__shingle").distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.__shingle") === col("b.__shingle") &&
+          col("a.__vid") < col("b.__vid"))
+      .groupBy(col("a.__vid").as("id_a"), col("b.__vid").as("id_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** REAL-format audio decode: RIFF/WAVE PCM (the container every
     * sound tool emits; public spec — RIFF magic, chunk walk, `fmt `,
     * `data`). This is the non-synthetic decoder the GRF1 stub stands in

@@ -368,4 +368,36 @@ class MultimodalSpec extends SparkSpec {
       ("vbase2.grf", "vnear2.grf"), ("vbase3.grf", "vnear3.grf"),
       ("vbase0.grf", "vpart0.grf"), ("vnear0.grf", "vpart0.grf")))
   }
+
+  test("videoSeqCopyPairs: shift-invariant where aligned matching is " +
+      "blind, minShared boundary exact, complement semantics hold") {
+    import graft.ext.Multimodal.{videoNearDupPairs, videoSeqCopyPairs}
+    val vfiles = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/video_seq"))
+    val hashes = Multimodal.dHashFrames(Multimodal.frameSample(vfiles, 2))
+      .toDF()
+      .select(regexp_extract($"path", "[^/]+$", 0).as("name"),
+        $"frameIndex".as("f"), $"dhash")
+    val seqPairs = videoSeqCopyPairs(hashes, "name", "f", "dhash",
+      k = 3, minShared = 2L)
+      .as[(String, String, Long)].collect().toSet
+    // the +2 shift shares 3 shingles; the +4 shift lands EXACTLY on
+    // the boundary; the same-family non-consecutive video shares 0
+    assert(seqPairs == Set(("sbase0.grf", "sshift0.grf", 3L),
+      ("sbase2.grf", "sshift2.grf", 2L)))
+    // COMPLEMENT: the aligned-frame near-dup rule must NOT see the
+    // shifted copies (shifted frames are far under per-index
+    // alignment) — if it ever does, the two operators stopped being
+    // complements and the q332/q335 scaladoc story is stale
+    val aligned = videoNearDupPairs(hashes, "name", "f", "dhash",
+      maxDist = 3).select("id_a", "id_b")
+      .as[(String, String)].collect().toSet
+    assert(!aligned.contains(("sbase0.grf", "sshift0.grf")))
+    assert(!aligned.contains(("sbase2.grf", "sshift2.grf")))
+    // raising minShared past the boundary drops the boundary pair
+    val strict = videoSeqCopyPairs(hashes, "name", "f", "dhash",
+      k = 3, minShared = 3L)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(strict == Set(("sbase0.grf", "sshift0.grf")))
+  }
 }
