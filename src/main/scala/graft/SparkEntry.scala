@@ -4053,6 +4053,41 @@ object SparkEntry {
         maxDist = 3, tauNum = 1, tauDen = 2)
     }),
 
+    // ── classifier CALIBRATION curve (Calibration.prCurve): the
+    // precision/recall table a quality classifier needs before its
+    // threshold is chosen — for EVERY distinct score s, the
+    // confusion counts of "predict positive iff score ≥ s", in one
+    // pass. Score = en-stopword hit ppm (integer, the q309 floor-
+    // division idiom over the certified tokenizer), label = the
+    // certified withLangGuess == 'en' — a real correlated signal, so
+    // the curve is non-degenerate. The cumulative sums ride
+    // Layout.globalRunningSum (range-partition + broadcast prefix
+    // offsets), NEVER the single-partition global window a naive
+    // Window.orderBy plans — the 100-TB posture is the point of the
+    // operator. All integers; both engines emit bit-identical
+    // curves. ──
+    "q336_pr_curve" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      val enList = TextAnalysis.LangProfiles.head._2
+      // ONE tokenizer run behind a Generate barrier (the q215 no-CSE
+      // rule: hits and total must not each re-tokenize)
+      val staged = docs.select(id,
+        explode_outer(array(TextAnalysis.tokens(col("text")))).as("__toks"))
+      val hits = size(filter(col("__toks"),
+        t => t.isin(enList: _*))).cast("long")
+      val total = size(col("__toks")).cast("long")
+      val score = when(total <= 0L, lit(0L))
+        .otherwise(((hits * 1000000L - pmod(hits * 1000000L, total)) / total)
+          .cast("long"))
+      val lang = TextAnalysis.withLangGuess(docs, "text", "__lang")
+        .select(id, (col("__lang") === "en").as("label"))
+      graft.operators.Calibration.prCurve(
+        staged.select(id, score.as("score")).join(lang, Seq("doc_id")),
+        "score", "label")
+    }),
+
     // ── TIME-SHIFTED video copy pairs (Multimodal.videoSeqCopyPairs
     // — the temporal extension q332's scaladoc names: aligned-frame
     // hamming is blind to shifts, shingled frame-hash SEQUENCES are
@@ -10587,6 +10622,50 @@ object SparkEntry {
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
         |FROM documents""".stripMargin,
+
+    // calibration mirror: per-distinct-score aggregates, DESC
+    // cumulative window (distinct thresholds, so the default RANGE
+    // frame is safe), integer // division throughout; the en list and
+    // the lang argmax mirror the q234 CTEs verbatim
+    "q336_pr_curve" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','with','for'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','por','con','una'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','von','den'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','des','une','dans','pour','que'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('il','di','che','la','per','una','sono','non','con','del'))) AS s_it,
+        |    len(toks) AS n
+        |  FROM tok),
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_it) = 0 THEN FALSE
+        |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_it) THEN TRUE
+        |         ELSE FALSE END AS is_en,
+        |    CASE WHEN n = 0 THEN 0 ELSE (s_en * 1000000) // n END AS score
+        |  FROM sc),
+        |ps AS (
+        |  SELECT score AS threshold, count(*) AS n,
+        |    sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS npos
+        |  FROM lab GROUP BY 1),
+        |cum AS (
+        |  SELECT threshold,
+        |    sum(n) OVER (ORDER BY threshold DESC) AS pred_pos,
+        |    sum(npos) OVER (ORDER BY threshold DESC) AS tp
+        |  FROM ps),
+        |tot AS (
+        |  SELECT sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS totpos FROM lab)
+        |SELECT threshold,
+        |  CAST(pred_pos AS BIGINT) AS pred_pos, CAST(tp AS BIGINT) AS tp,
+        |  CAST(pred_pos - tp AS BIGINT) AS fp,
+        |  CAST(totpos - tp AS BIGINT) AS fn,
+        |  CAST((tp * 1000000) // pred_pos AS BIGINT) AS precision_ppm,
+        |  CAST(CASE WHEN totpos = 0 THEN 0
+        |       ELSE (tp * 1000000) // totpos END AS BIGINT) AS recall_ppm
+        |FROM cum, tot""".stripMargin,
 
     // time-shifted copy mirror: window-shingled sequences over the
     // generator's independent hashes; raw ':'-joined keys, DISTINCT
