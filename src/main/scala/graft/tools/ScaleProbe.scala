@@ -124,6 +124,15 @@ object ScaleProbe {
       Seq(
         run("minhash", Dedup.nearDupPairsMinhash(d, "doc_id", "text", 3, 128, 32, 0.8)),
         run("simhash", SimHash.nearDupPairsSimhash(d, "doc_id", "text", 3, 8)),
+        // round-16: the banded 64-bit hamming engine (image dHash /
+        // audio aHash / video frame hashes all ride it). xxhash64
+        // makes the hashes ~uniform, so this measures the band-bucket
+        // fan-out curve itself: candidates grow ~n²/2¹⁶ per band while
+        // the scan side stays linear — a quadratic-in-bucket blowup
+        // would show as a superlinear tail here first
+        run("hamming_pairs", SimSearch.hammingBandedPairs(
+          d.select(col("doc_id"), xxhash64(col("text")).as("h")),
+          "doc_id", "h")),
         // round-14: the codegen'd tokenizer expression vs its
         // SQL-function composition — same full-scan tokenize+sum, so
         // the wall ratio IS the expression's advantage at scale

@@ -369,6 +369,42 @@ class MultimodalSpec extends SparkSpec {
       ("vbase0.grf", "vpart0.grf"), ("vnear0.grf", "vpart0.grf")))
   }
 
+  test("banded-hamming web-scale shape: the pair joins plan with NO " +
+      "required broadcast (the PageRankSpec probe discipline)") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import graft.ext.SimSearch
+    val hashes = (1L to 200L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("id", "h")
+    val corpus = (201L to 400L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("id", "h")
+    // AQE off so executedPlan is the concrete tree; auto-broadcast off
+    // models the web-scale regime — a tiny test relation legitimately
+    // auto-broadcasts, but nothing in these plans may REQUIRE it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (df <- Seq(
+          SimSearch.hammingBandedPairs(hashes, "id", "h"),
+          SimSearch.hammingBandedPairsAgainst(hashes, corpus, "id", "h"),
+          SimSearch.hammingBandedPairsAligned(
+            hashes.withColumn("f", lit(0)), "id", "f", "h"))) {
+        val plan = df.queryExecution.executedPlan
+        assert(plan.collect { case b: BroadcastExchangeExec => b }.isEmpty,
+          s"banded hamming must shuffle on (band, key), never require " +
+            s"a broadcast:\n$plan")
+      }
+      // positive probe (non-vacuous assertion): a forced broadcast
+      // join DOES show up under the same flags
+      val forced = hashes.join(
+        org.apache.spark.sql.functions.broadcast(corpus), Seq("id"), "inner")
+      assert(forced.queryExecution.executedPlan
+        .collect { case b: BroadcastExchangeExec => b }.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("videoSeqCopyPairs: shift-invariant where aligned matching is " +
       "blind, minShared boundary exact, complement semantics hold") {
     import graft.ext.Multimodal.{videoNearDupPairs, videoSeqCopyPairs}
