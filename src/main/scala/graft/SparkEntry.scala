@@ -4053,6 +4053,54 @@ object SparkEntry {
         maxDist = 3, tauNum = 1, tauDen = 2)
     }),
 
+    // ── PAGE-level robots directives (HtmlExtract.robotsMeta — the
+    // <meta name=robots> protocol completing UrlCanon's SITE-level
+    // robots.txt family; real crawlers honor both): noindex drops
+    // the page content from the corpus, nofollow drops its links
+    // from the graph. Arms (doc_id % 9): 0 no meta, 1 noindex, 2
+    // nofollow, 3 'noindex, nofollow', 4 'none' (≡ both), 5
+    // UPPERCASE + single quotes, 6 content-before-name attribute
+    // order, 7 a bot-SPECIFIC meta (googlebot) that a generic
+    // crawler must IGNORE, 8 explicit 'index, follow' no-ops. The
+    // nofollow EFFECT is live: each page plants two links and
+    // n_links_kept must zero out exactly on the nofollow arms.
+    // Oracle: closed-form per arm (the fetch-classes discipline —
+    // arms are disjoint, no regex mirror needed). ──
+    "q337_robots_meta" -> ((s, dir) => {
+      import graft.ext.HtmlExtract
+      val id = col("doc_id")
+      val a = id % 9
+      val docs = t(s, dir, "documents").select(id).repartition(32, id)
+      val meta =
+        when(a === 1, lit("<meta name=\"robots\" content=\"noindex\">"))
+          .when(a === 2, lit("<meta name=\"robots\" content=\"nofollow\">"))
+          .when(a === 3,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .when(a === 4, lit("<meta name=\"robots\" content=\"none\">"))
+          .when(a === 5, lit("<META NAME='ROBOTS' CONTENT='NOINDEX'>"))
+          .when(a === 6, lit("<meta content=\"nofollow\" name=\"robots\">"))
+          .when(a === 7, lit("<meta name=\"googlebot\" content=\"noindex\">"))
+          .when(a === 8, lit("<meta name=\"robots\" content=\"index, follow\">"))
+          .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), meta,
+        lit("</head><body><p>Doc "), id.cast("string"),
+        lit("</p><a href=\"http://ex.com/x\">x</a>" +
+          "<a href=\"http://ex.com/y\">y</a></body></html>"))
+      val staged = docs.select(id,
+        explode_outer(array(struct(
+          HtmlExtract.robotsMeta(html).as("rm"),
+          size(regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1)))
+            .as("__nl")))).as("m"))
+        .select(id, col("m.rm.noindex").as("noindex"),
+          col("m.rm.nofollow").as("nofollow"), col("m.__nl").as("__nl"))
+      staged.select(id, col("noindex"), col("nofollow"),
+        when(col("noindex"), lit("drop_content"))
+          .when(col("nofollow"), lit("keep_content_drop_links"))
+          .otherwise(lit("keep")).as("decision"),
+        when(col("nofollow"), lit(0))
+          .otherwise(col("__nl")).cast("long").as("n_links_kept"))
+    }),
+
     // ── classifier CALIBRATION curve (Calibration.prCurve): the
     // precision/recall table a quality classifier needs before its
     // threshold is chosen — for EVERY distinct score s, the
@@ -10621,6 +10669,20 @@ object SparkEntry {
         |  CASE doc_id % 5 WHEN 4 THEN 'header' ELSE 'bom' END AS cs_source,
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
+        |FROM documents""".stripMargin,
+
+    // robots-meta mirror: closed-form per arm (arms are disjoint —
+    // the fetch-classes discipline, no regex mirror needed); noindex
+    // arms 1/3/4/5, nofollow arms 2/3/4/6, two links per page
+    "q337_robots_meta" ->
+      """SELECT doc_id,
+        |  doc_id % 9 IN (1, 3, 4, 5) AS noindex,
+        |  doc_id % 9 IN (2, 3, 4, 6) AS nofollow,
+        |  CASE WHEN doc_id % 9 IN (1, 3, 4, 5) THEN 'drop_content'
+        |       WHEN doc_id % 9 IN (2, 6) THEN 'keep_content_drop_links'
+        |       ELSE 'keep' END AS decision,
+        |  CAST(CASE WHEN doc_id % 9 IN (2, 3, 4, 6) THEN 0 ELSE 2 END
+        |    AS BIGINT) AS n_links_kept
         |FROM documents""".stripMargin,
 
     // calibration mirror: per-distinct-score aggregates, DESC

@@ -144,6 +144,44 @@ object HtmlExtract {
     trim(regexp_replace(structuralStrip(html),
       "[ \\t\\n\\x0B\\f\\r\\x01]+", " "))
 
+  /** `<meta name=robots>` directive parse — the PAGE-level robots
+    * protocol ([[UrlCanon]]'s robots.txt is the SITE level; real
+    * crawlers honor both): returns struct(noindex, nofollow) where
+    * `noindex` means the page content must not enter the corpus and
+    * `nofollow` means its links must not enter the link graph.
+    * Rules (the Google/Bing-documented semantics):
+    *   - only `name=robots` applies (a bot-specific meta like
+    *     `name=googlebot` targets that bot alone and is ignored by a
+    *     generic crawler);
+    *   - names/directives are CASE-INSENSITIVE; content is a
+    *     comma-separated token list with optional whitespace;
+    *   - `none` ≡ `noindex, nofollow`; `all`/`index`/`follow` are
+    *     no-ops (permissive is the default);
+    *   - attribute order is free (`content=` may precede `name=`) —
+    *     both orders matched;
+    *   - multiple robots metas UNION their restrictions (the
+    *     conservative reading crawlers apply);
+    *   - QUOTED content values only (double or single) — the
+    *     unquoted `content=noindex` spelling is out of contract,
+    *     documented like the charset= parameter's original scope.
+    * Pure per-row column expression — no UDF, no shuffle.
+    */
+  def robotsMeta(html: Column): Column = {
+    val nameFirst = regexp_extract_all(html,
+      lit("(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*" +
+        "content\\s*=\\s*[\"']([^\"'>]*)"), lit(1))
+    val contentFirst = regexp_extract_all(html,
+      lit("(?i)<meta[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
+        "[^>]*name\\s*=\\s*[\"']?robots[\"']?"), lit(1))
+    val toks = transform(
+      flatten(transform(concat(nameFirst, contentFirst),
+        c => split(lower(c), ","))),
+      t => trim(t))
+    struct(
+      exists(toks, t => t === "noindex" || t === "none").as("noindex"),
+      exists(toks, t => t === "nofollow" || t === "none").as("nofollow"))
+  }
+
   /** The page text as PARAGRAPHS (array<string>): the same structural
     * pipeline, split at the block-tag breaks instead of collapsing
     * them. Inline markup (`<b>`, `<a …>`) does not split; empty

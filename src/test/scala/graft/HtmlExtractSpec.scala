@@ -171,4 +171,39 @@ class HtmlExtractSpec extends SparkSpec {
     assert(got(5L)._4 == "see bold & more info today",
       s"kept text must match paragraphs() rendering: ${got(5L)}")
   }
+
+  test("robotsMeta: directive semantics, case/quote/order variants, " +
+      "bot-specific metas ignored, multi-meta union") {
+    def rm(html: String): (Boolean, Boolean) = {
+      val r = spark.range(1)
+        .select(HtmlExtract.robotsMeta(lit(html)).as("m"))
+        .select("m.noindex", "m.nofollow").collect()(0)
+      (r.getBoolean(0), r.getBoolean(1))
+    }
+    assert(rm("<html><head></head></html>") == ((false, false)))
+    assert(rm("<meta name=\"robots\" content=\"noindex\">") == ((true, false)))
+    assert(rm("<meta name=\"robots\" content=\"nofollow\">") == ((false, true)))
+    assert(rm("<meta name=\"robots\" content=\"noindex, nofollow\">")
+      == ((true, true)))
+    assert(rm("<meta name=\"robots\" content=\"none\">") == ((true, true)))
+    // permissive tokens are no-ops
+    assert(rm("<meta name=\"robots\" content=\"index, follow\">")
+      == ((false, false)))
+    assert(rm("<meta name=\"robots\" content=\"all\">") == ((false, false)))
+    // case-insensitive, single quotes, unquoted name, spaced commas
+    assert(rm("<META NAME='ROBOTS' CONTENT='NOINDEX'>") == ((true, false)))
+    assert(rm("<meta name=robots content=\"noindex ,  NOFOLLOW\">")
+      == ((true, true)))
+    // attribute order free
+    assert(rm("<meta content=\"nofollow\" name=\"robots\">") == ((false, true)))
+    // bot-specific metas target that bot alone -- ignored here
+    assert(rm("<meta name=\"googlebot\" content=\"noindex\">")
+      == ((false, false)))
+    // multiple robots metas UNION their restrictions
+    assert(rm("<meta name=\"robots\" content=\"noindex\">" +
+      "<meta name=\"robots\" content=\"nofollow\">") == ((true, true)))
+    // a noindex token inside ANOTHER meta's content must not leak
+    assert(rm("<meta name=\"description\" content=\"how noindex works\">")
+      == ((false, false)))
+  }
 }
