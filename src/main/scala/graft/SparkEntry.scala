@@ -26,6 +26,30 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Corpus.load(s, dir, name)
 
+  /** q336/q338 shared scored corpus: score = en-stopword hit ppm
+    * (ONE tokenizer run behind a Generate barrier — the q215 no-CSE
+    * rule), label = the certified withLangGuess == 'en'. One
+    * definition so the incremental curve scores the same corpus the
+    * one-shot does.
+    */
+  private def prScoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = t(s, dir, "documents").select(id, col("text"))
+      .repartition(32, id)
+    val enList = TextAnalysis.LangProfiles.head._2
+    val staged = docs.select(id,
+      explode_outer(array(TextAnalysis.tokens(col("text")))).as("__toks"))
+    val hits = size(filter(col("__toks"),
+      t => t.isin(enList: _*))).cast("long")
+    val total = size(col("__toks")).cast("long")
+    val score = when(total <= 0L, lit(0L))
+      .otherwise(((hits * 1000000L - pmod(hits * 1000000L, total)) / total)
+        .cast("long"))
+    val lang = TextAnalysis.withLangGuess(docs, "text", "__lang")
+      .select(id, (col("__lang") === "en").as("label"))
+    staged.select(id, score.as("score")).join(lang, Seq("doc_id"))
+  }
+
   /** Deterministic messy-URL fixture for q213-q215: every `documents`
     * row gets one raw fetch URL with case/default-port/query-order/
     * trailing-slash/fragment variation driven by doc_id residues, plus
@@ -4114,26 +4138,26 @@ object SparkEntry {
     // Window.orderBy plans — the 100-TB posture is the point of the
     // operator. All integers; both engines emit bit-identical
     // curves. ──
-    "q336_pr_curve" -> ((s, dir) => {
-      val id = col("doc_id")
-      val docs = t(s, dir, "documents").select(id, col("text"))
-        .repartition(32, id)
-      val enList = TextAnalysis.LangProfiles.head._2
-      // ONE tokenizer run behind a Generate barrier (the q215 no-CSE
-      // rule: hits and total must not each re-tokenize)
-      val staged = docs.select(id,
-        explode_outer(array(TextAnalysis.tokens(col("text")))).as("__toks"))
-      val hits = size(filter(col("__toks"),
-        t => t.isin(enList: _*))).cast("long")
-      val total = size(col("__toks")).cast("long")
-      val score = when(total <= 0L, lit(0L))
-        .otherwise(((hits * 1000000L - pmod(hits * 1000000L, total)) / total)
-          .cast("long"))
-      val lang = TextAnalysis.withLangGuess(docs, "text", "__lang")
-        .select(id, (col("__lang") === "en").as("label"))
+    "q336_pr_curve" -> ((s, dir) =>
       graft.operators.Calibration.prCurve(
-        staged.select(id, score.as("score")).join(lang, Seq("doc_id")),
-        "score", "label")
+        prScoredDocs(s, dir), "score", "label")),
+
+    // ── MERGEABLE calibration state (the IncrementalAgg discipline
+    // on the calibration arc): per-batch per-score partial states
+    // fold by re-group, so a day's scoring run joins the curve
+    // without rescoring history — merge(state(batch A), state(batch
+    // B)) → curve must equal the ONE-SHOT q336 curve, certified
+    // against q336's oracle VERBATIM (PrCurveSql, the q186
+    // discipline). The %3 split puts shared thresholds in BOTH
+    // batches, so the merge's re-aggregation is provably live. ──
+    "q338_pr_curve_incremental" -> ((s, dir) => {
+      import graft.operators.Calibration
+      val scored = prScoredDocs(s, dir).localCheckpoint()
+      Calibration.curveFromState(Calibration.mergeStates(
+        Calibration.curveState(
+          scored.filter(col("doc_id") % 3 === 0), "score", "label"),
+        Calibration.curveState(
+          scored.filter(col("doc_id") % 3 =!= 0), "score", "label")))
     }),
 
     // ── TIME-SHIFTED video copy pairs (Multimodal.videoSeqCopyPairs
@@ -8583,6 +8607,50 @@ object SparkEntry {
       |  ON a.name < b.name
       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
 
+  /** q336/q338 shared oracle — the one-shot calibration curve;
+    * ONE definition so the merged-state variant cannot drift from
+    * the surface it must equal.
+    */
+  private val PrCurveSql: String =
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','with','for'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','por','con','una'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','von','den'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','des','une','dans','pour','que'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('il','di','che','la','per','una','sono','non','con','del'))) AS s_it,
+        |    len(toks) AS n
+        |  FROM tok),
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_it) = 0 THEN FALSE
+        |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_it) THEN TRUE
+        |         ELSE FALSE END AS is_en,
+        |    CASE WHEN n = 0 THEN 0 ELSE (s_en * 1000000) // n END AS score
+        |  FROM sc),
+        |ps AS (
+        |  SELECT score AS threshold, count(*) AS n,
+        |    sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS npos
+        |  FROM lab GROUP BY 1),
+        |cum AS (
+        |  SELECT threshold,
+        |    sum(n) OVER (ORDER BY threshold DESC) AS pred_pos,
+        |    sum(npos) OVER (ORDER BY threshold DESC) AS tp
+        |  FROM ps),
+        |tot AS (
+        |  SELECT sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS totpos FROM lab)
+        |SELECT threshold,
+        |  CAST(pred_pos AS BIGINT) AS pred_pos, CAST(tp AS BIGINT) AS tp,
+        |  CAST(pred_pos - tp AS BIGINT) AS fp,
+        |  CAST(totpos - tp AS BIGINT) AS fn,
+        |  CAST((tp * 1000000) // pred_pos AS BIGINT) AS precision_ppm,
+        |  CAST(CASE WHEN totpos = 0 THEN 0
+        |       ELSE (tp * 1000000) // totpos END AS BIGINT) AS recall_ppm
+        |FROM cum, tot""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -10689,45 +10757,11 @@ object SparkEntry {
     // cumulative window (distinct thresholds, so the default RANGE
     // frame is safe), integer // division throughout; the en list and
     // the lang argmax mirror the q234 CTEs verbatim
-    "q336_pr_curve" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id,
-        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','with','for'))) AS s_en,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','por','con','una'))) AS s_es,
-        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','von','den'))) AS s_de,
-        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','des','une','dans','pour','que'))) AS s_fr,
-        |    len(list_filter(toks, x -> x IN ('il','di','che','la','per','una','sono','non','con','del'))) AS s_it,
-        |    len(toks) AS n
-        |  FROM tok),
-        |lab AS (
-        |  SELECT doc_id,
-        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_it) = 0 THEN FALSE
-        |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_it) THEN TRUE
-        |         ELSE FALSE END AS is_en,
-        |    CASE WHEN n = 0 THEN 0 ELSE (s_en * 1000000) // n END AS score
-        |  FROM sc),
-        |ps AS (
-        |  SELECT score AS threshold, count(*) AS n,
-        |    sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS npos
-        |  FROM lab GROUP BY 1),
-        |cum AS (
-        |  SELECT threshold,
-        |    sum(n) OVER (ORDER BY threshold DESC) AS pred_pos,
-        |    sum(npos) OVER (ORDER BY threshold DESC) AS tp
-        |  FROM ps),
-        |tot AS (
-        |  SELECT sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS totpos FROM lab)
-        |SELECT threshold,
-        |  CAST(pred_pos AS BIGINT) AS pred_pos, CAST(tp AS BIGINT) AS tp,
-        |  CAST(pred_pos - tp AS BIGINT) AS fp,
-        |  CAST(totpos - tp AS BIGINT) AS fn,
-        |  CAST((tp * 1000000) // pred_pos AS BIGINT) AS precision_ppm,
-        |  CAST(CASE WHEN totpos = 0 THEN 0
-        |       ELSE (tp * 1000000) // totpos END AS BIGINT) AS recall_ppm
-        |FROM cum, tot""".stripMargin,
+    "q336_pr_curve" -> PrCurveSql,
+
+    // IDENTICAL SQL to q336: merged per-batch states must rebuild
+    // the one-shot curve exactly (the q186 discipline)
+    "q338_pr_curve_incremental" -> PrCurveSql,
 
     // time-shifted copy mirror: window-shingled sequences over the
     // generator's independent hashes; raw ':'-joined keys, DISTINCT

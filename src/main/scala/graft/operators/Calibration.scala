@@ -29,12 +29,27 @@ import org.apache.spark.sql.functions._
   */
 object Calibration {
 
-  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val perScore = df
-      .select(col(scoreCol).cast("long").as("threshold"),
+  /** Per-distinct-score partial state (threshold, __n, __npos) — the
+    * MERGEABLE form (the IncrementalAgg discipline on the calibration
+    * arc): states from disjoint batches [[mergeStates]] into the
+    * one-shot state exactly, so a curve can fold in a day's scoring
+    * run without rescoring history. Certified: q338's merged curve ==
+    * q336's one-shot oracle VERBATIM.
+    */
+  def curveState(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    df.select(col(scoreCol).cast("long").as("threshold"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__pos"))
       .groupBy("threshold")
       .agg(count(lit(1)).as("__n"), sum(col("__pos")).as("__npos"))
+
+  /** Fold partial states — counts are sums, so merge is a re-group. */
+  def mergeStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("threshold")
+      .agg(sum(col("__n")).as("__n"), sum(col("__npos")).as("__npos"))
+
+  /** The curve from a (merged) state — contract in [[prCurve]]. */
+  def curveFromState(perScore: DataFrame): DataFrame = {
     val totals = perScore.agg(sum(col("__npos")).as("__totpos"))
     val cum = Layout.globalRunningSum(
       Layout.globalRunningSum(perScore,
@@ -54,4 +69,7 @@ object Calibration {
             pmod(col("tp") * 1000000L, col("__totpos"))) / col("__totpos"))
             .cast("long")).as("recall_ppm"))
   }
+
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    curveFromState(curveState(df, scoreCol, labelCol))
 }

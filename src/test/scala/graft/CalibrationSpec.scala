@@ -36,6 +36,22 @@ class CalibrationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mergeable state: merged disjoint batches == one-shot curve, " +
+      "shared thresholds re-aggregate") {
+    val df = rows.toDF("score", "label")
+    // split so score 10 lands in BOTH batches — the merge must
+    // re-aggregate, not just concatenate
+    val a = Seq((10L, true), (20L, true)).toDF("score", "label")
+    val b = Seq((10L, false), (30L, false)).toDF("score", "label")
+    val merged = Calibration.curveFromState(Calibration.mergeStates(
+        Calibration.curveState(a, "score", "label"),
+        Calibration.curveState(b, "score", "label")))
+      .orderBy(desc("threshold")).collect().toSeq
+    val oneShot = Calibration.prCurve(df, "score", "label")
+      .orderBy(desc("threshold")).collect().toSeq
+    assert(merged == oneShot)
+  }
+
   test("degenerate inputs: all-negative labels keep recall at 0; " +
       "a single score yields a one-row curve") {
     val neg = Calibration.prCurve(
