@@ -4125,6 +4125,59 @@ object SparkEntry {
           .otherwise(col("__nl")).cast("long").as("n_links_kept"))
     }),
 
+    // ── X-Robots-Tag — the RESPONSE level of the robots protocol
+    // (HtmlExtract.robotsHeader; the three-level story complete:
+    // robots.txt gates the site q223/q239, this header the response,
+    // robotsMeta the page q337 — restrictions UNION, the documented
+    // conservative combination, live on arm 6 where the header says
+    // nofollow and the meta says noindex and BOTH must hold). Arms
+    // (doc_id % 8): 0 neither, 1 header noindex, 2 header nofollow,
+    // 3 header 'none', 4 bot-SCOPED header (googlebot: noindex — a
+    // generic crawler ignores the whole value), 5 meta-only noindex
+    // (the meta leg live through the HTTP framing), 6 the union arm,
+    // 7 uppercase NOINDEX. Headers ride real HTTP record framing
+    // (HttpRecord.header/body). Closed-form oracle. ──
+    "q339_xrobots_header" -> ((s, dir) => {
+      import graft.ext.{HtmlExtract, HttpRecord}
+      val id = col("doc_id")
+      val a = id % 8
+      val docs = t(s, dir, "documents").select(id).repartition(32, id)
+      val metaTag =
+        when(a === 5 || a === 6,
+          lit("<meta name=\"robots\" content=\"noindex\">"))
+          .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), metaTag,
+        lit("</head><body><a href=\"http://ex.com/x\">x</a>" +
+          "<a href=\"http://ex.com/y\">y</a></body></html>"))
+      val hdr =
+        when(a === 1, lit("X-Robots-Tag: noindex\r\n"))
+          .when(a === 2, lit("X-Robots-Tag: nofollow\r\n"))
+          .when(a === 3, lit("X-Robots-Tag: none\r\n"))
+          .when(a === 4, lit("X-Robots-Tag: googlebot: noindex\r\n"))
+          .when(a === 6, lit("X-Robots-Tag: nofollow\r\n"))
+          .when(a === 7, lit("X-Robots-Tag: NOINDEX\r\n"))
+          .otherwise(lit(""))
+      val raw = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+        hdr, lit("\r\n"), html)
+      val staged = docs.select(id,
+        explode_outer(array(struct(
+          HtmlExtract.robotsHeader(HttpRecord.header(raw, "X-Robots-Tag"))
+            .as("h"),
+          HtmlExtract.robotsMeta(HttpRecord.body(raw)).as("m"),
+          size(regexp_extract_all(HttpRecord.body(raw),
+            lit("href=\"([^\"]*)\""), lit(1))).as("__nl")))).as("x"))
+        .select(id,
+          (col("x.h.noindex") || col("x.m.noindex")).as("noindex"),
+          (col("x.h.nofollow") || col("x.m.nofollow")).as("nofollow"),
+          col("x.__nl").as("__nl"))
+      staged.select(id, col("noindex"), col("nofollow"),
+        when(col("noindex"), lit("drop_content"))
+          .when(col("nofollow"), lit("keep_content_drop_links"))
+          .otherwise(lit("keep")).as("decision"),
+        when(col("nofollow"), lit(0))
+          .otherwise(col("__nl")).cast("long").as("n_links_kept"))
+    }),
+
     // ── classifier CALIBRATION curve (Calibration.prCurve): the
     // precision/recall table a quality classifier needs before its
     // threshold is chosen — for EVERY distinct score s, the
@@ -10737,6 +10790,20 @@ object SparkEntry {
         |  CASE doc_id % 5 WHEN 4 THEN 'header' ELSE 'bom' END AS cs_source,
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
+        |FROM documents""".stripMargin,
+
+    // x-robots mirror: closed-form per arm; noindex arms 1/3/5/6/7
+    // (6 via the meta half of the union), nofollow arms 2/3/6 (6 via
+    // the header half), the bot-scoped arm 4 ignored
+    "q339_xrobots_header" ->
+      """SELECT doc_id,
+        |  doc_id % 8 IN (1, 3, 5, 6, 7) AS noindex,
+        |  doc_id % 8 IN (2, 3, 6) AS nofollow,
+        |  CASE WHEN doc_id % 8 IN (1, 3, 5, 6, 7) THEN 'drop_content'
+        |       WHEN doc_id % 8 = 2 THEN 'keep_content_drop_links'
+        |       ELSE 'keep' END AS decision,
+        |  CAST(CASE WHEN doc_id % 8 IN (2, 3, 6) THEN 0 ELSE 2 END
+        |    AS BIGINT) AS n_links_kept
         |FROM documents""".stripMargin,
 
     // robots-meta mirror: closed-form per arm (arms are disjoint —

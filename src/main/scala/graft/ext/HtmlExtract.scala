@@ -173,13 +173,45 @@ object HtmlExtract {
     val contentFirst = regexp_extract_all(html,
       lit("(?i)<meta[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
         "[^>]*name\\s*=\\s*[\"']?robots[\"']?"), lit(1))
-    val toks = transform(
+    directivesOf(transform(
       flatten(transform(concat(nameFirst, contentFirst),
         c => split(lower(c), ","))),
-      t => trim(t))
+      t => trim(t)))
+  }
+
+  /** The shared directive-token fold: `none` ≡ both restrictions;
+    * permissive tokens (`all`/`index`/`follow`) and unknown tokens
+    * are no-ops. ONE definition so the meta and header levels cannot
+    * drift on the semantics.
+    */
+  private def directivesOf(toks: Column): Column =
     struct(
       exists(toks, t => t === "noindex" || t === "none").as("noindex"),
       exists(toks, t => t === "nofollow" || t === "none").as("nofollow"))
+
+  /** `X-Robots-Tag` HTTP-header directive parse — the RESPONSE level
+    * of the robots protocol (robots.txt gates the SITE, this header
+    * the response, [[robotsMeta]] the page; a real crawler honors all
+    * three and UNIONS the restrictions). Takes the header VALUE
+    * ([[HttpRecord.header]] extracts it) and returns the same
+    * struct(noindex, nofollow):
+    *   - an optional leading `botname:` prefix scopes the directives
+    *     to that bot — a generic crawler ignores the whole value
+    *     (directive keywords themselves are never followed by `:`,
+    *     so any `token:` prefix is a bot scope);
+    *   - otherwise: the comma-separated token list under
+    *     [[directivesOf]]'s semantics, case-insensitive;
+    *   - the dated `unavailable_after: <date>` form is out of
+    *     contract (its value contains colons; it routes through the
+    *     bot-scope rule and is ignored — the permissive default, and
+    *     the conservative reading would need a clock anyway);
+    *   - a NULL/absent header is permissive.
+    */
+  def robotsHeader(value: Column): Column = {
+    val v = coalesce(value, lit(""))
+    val botScoped = regexp_extract(v, "^\\s*([A-Za-z0-9_-]+)\\s*:", 1) =!= ""
+    val eff = when(botScoped, lit("")).otherwise(v)
+    directivesOf(transform(split(lower(eff), ","), t => trim(t)))
   }
 
   /** The page text as PARAGRAPHS (array<string>): the same structural

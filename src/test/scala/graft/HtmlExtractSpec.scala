@@ -206,4 +206,31 @@ class HtmlExtractSpec extends SparkSpec {
     assert(rm("<meta name=\"description\" content=\"how noindex works\">")
       == ((false, false)))
   }
+
+  test("robotsHeader: value semantics, bot-scope rule, null-permissive") {
+    def rh(v: Any): (Boolean, Boolean) = {
+      val c = v match {
+        case null => lit(null).cast("string")
+        case s: String => lit(s)
+      }
+      val r = spark.range(1)
+        .select(HtmlExtract.robotsHeader(c).as("h"))
+        .select("h.noindex", "h.nofollow").collect()(0)
+      (r.getBoolean(0), r.getBoolean(1))
+    }
+    assert(rh("noindex") == ((true, false)))
+    assert(rh("nofollow") == ((false, true)))
+    assert(rh("none") == ((true, true)))
+    assert(rh("noindex, nofollow") == ((true, true)))
+    assert(rh(" NOINDEX ,  Nofollow") == ((true, true)))
+    assert(rh("all") == ((false, false)))
+    assert(rh("") == ((false, false)))
+    assert(rh(null) == ((false, false)))
+    // a bot-scoped value is ignored wholesale by a generic crawler
+    assert(rh("googlebot: noindex") == ((false, false)))
+    // the dated form routes through the bot-scope rule (documented
+    // out of contract -- the permissive default)
+    assert(rh("unavailable_after: 25 Jun 2030 15:00:00 PST")
+      == ((false, false)))
+  }
 }
