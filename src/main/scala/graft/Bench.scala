@@ -189,7 +189,8 @@ object Bench {
     "q330_intake_damage", "q331_video_vhash", "q332_video_neardup",
     "q333_bloom_decontaminate", "q334_hamming_dedup_stream",
     "q335_video_seq_copies", "q336_pr_curve", "q337_robots_meta",
-    "q338_pr_curve_incremental", "q339_xrobots_header")
+    "q338_pr_curve_incremental", "q339_xrobots_header",
+    "q340_length_batches")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -4125,6 +4125,23 @@ object SparkEntry {
           .otherwise(col("__nl")).cast("long").as("n_links_kept"))
     }),
 
+    // ── LENGTH-BUCKETED inference batches (Batching.lengthBatches —
+    // the inference/eval twin of training-side packing q61): items
+    // totally ordered by (token count DESC, id) via globalDenseSeq
+    // (range partition + broadcast prefix offsets, NEVER the
+    // single-partition window), cut into 32-item batches, each
+    // reporting its padding waste exactly — the metric that decides
+    // whether a sweep sorts before batching. Integer throughout. ──
+    "q340_length_batches" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      graft.operators.Batching.lengthBatches(
+        docs.select(id,
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+        "doc_id", "n_tok", batchSize = 32)
+    }),
+
     // ── X-Robots-Tag — the RESPONSE level of the robots protocol
     // (HtmlExtract.robotsHeader; the three-level story complete:
     // robots.txt gates the site q223/q239, this header the response,
@@ -10791,6 +10808,26 @@ object SparkEntry {
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
         |FROM documents""".stripMargin,
+
+    // length-batch mirror: one global row_number over the same total
+    // order, integer // cut, per-batch aggregates
+    "q340_length_batches" ->
+      """WITH lenq AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+        |  FROM documents),
+        |sq AS (
+        |  SELECT doc_id, n_tok,
+        |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS seq
+        |  FROM lenq),
+        |b AS (SELECT (seq - 1) // 32 AS batch_id, n_tok FROM sq)
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(max(n_tok) AS BIGINT) AS max_len,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT)
+        |    AS padding_tokens
+        |FROM b GROUP BY 1""".stripMargin,
 
     // x-robots mirror: closed-form per arm; noindex arms 1/3/5/6/7
     // (6 via the meta half of the union), nofollow arms 2/3/6 (6 via
