@@ -4125,6 +4125,37 @@ object SparkEntry {
           .otherwise(col("__nl")).cast("long").as("n_links_kept"))
     }),
 
+    // ── CONTENT-DEFINED chunking (TextAnalysis.contentDefinedChunks
+    // — the Rabin/CDC discipline on the token stream): boundaries
+    // fall where the token hash's low 6 bits are zero, so they are
+    // decided by LOCAL content, never absolute position — an edit
+    // perturbs only its own chunk while fixed-size chunking shifts
+    // every downstream chunk (spec-proven both ways). Expected ~64
+    // tokens per chunk; per-chunk fp = the order-sensitive rolling
+    // fold, so cross-doc shared chunks collide exactly. ──
+    "q341_cdc_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(32, col("doc_id"))
+      TextAnalysis.contentDefinedChunks(docs, "doc_id", "text",
+        maskBits = 6)
+    }),
+
+    // ── cross-doc SHARED chunks (the storage-dedup report CDC
+    // chunking exists to feed): chunk fingerprints appearing more
+    // than once across the corpus — each extra copy is a dedup
+    // saving. Non-vacuous by construction: the corpus's exact-dup
+    // docs (the q17 family) share entire chunk sequences. ──
+    "q342_chunk_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(32, col("doc_id"))
+      TextAnalysis.contentDefinedChunks(docs, "doc_id", "text", maskBits = 6)
+        .groupBy("chunk_fp")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("n_tokens")).as("n_tokens"))
+        .filter(col("n_copies") > 1)
+    }),
+
     // ── LENGTH-BUCKETED inference batches (Batching.lengthBatches —
     // the inference/eval twin of training-side packing q61): items
     // totally ordered by (token count DESC, id) via globalDenseSeq
@@ -8721,6 +8752,46 @@ object SparkEntry {
         |       ELSE (tp * 1000000) // totpos END AS BIGINT) AS recall_ppm
         |FROM cum, tot""".stripMargin
 
+  /** q341/q342 shared oracle CTEs — the content-defined chunk table
+    * (`chunks`): per-token q48 md5-12-hex hashes, boundary where the
+    * low 6 bits are zero, exclusive running boundary count, per-chunk
+    * rolling fold with the operator's interpolated constants.
+    */
+  private val CdcChunksCtes: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t,
+       |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+       |      AS p
+       |  FROM documents),
+       |hh AS (
+       |  SELECT doc_id, p,
+       |    CAST(list_reduce(list_transform(range(1, 13),
+       |      i -> CAST(CASE WHEN ascii(substr(md5(t), i, 1)) <= 57
+       |                THEN ascii(substr(md5(t), i, 1)) - 48
+       |                ELSE ascii(substr(md5(t), i, 1)) - 87 END AS BIGINT)),
+       |      (a, b) -> a * 16 + b) AS BIGINT) AS h
+       |  FROM tok),
+       |ck AS (
+       |  SELECT doc_id, p, h,
+       |    coalesce(sum(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk_idx
+       |  FROM hh),
+       |chunks AS (
+       |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(h ORDER BY p)),
+       |      (a, b) -> (a * ${graft.ext.TextAnalysis.RollBase} + b)
+       |        % ${graft.ext.TextAnalysis.RollMod}) AS BIGINT) AS chunk_fp
+       |  FROM ck GROUP BY doc_id, chunk_idx)
+       |""".stripMargin
+
+  private val CdcChunksSql: String = CdcChunksCtes +
+    "SELECT doc_id, chunk_idx, n_tokens, chunk_fp FROM chunks"
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -10808,6 +10879,20 @@ object SparkEntry {
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
         |FROM documents""".stripMargin,
+
+    // cdc-chunk mirror: the q48 md5-12-hex device per token, boundary
+    // where h % 64 = 0, running boundary count EXCLUSIVE of the
+    // current row, per-chunk list(h ORDER BY p) rolling fold with the
+    // operator's interpolated constants
+    "q341_cdc_chunks" -> CdcChunksSql,
+
+    // shared-chunk mirror: the q341 chain re-grouped by fingerprint
+    "q342_chunk_dedup" -> (CdcChunksCtes +
+      """SELECT chunk_fp,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tokens) AS BIGINT) AS n_tokens
+        |FROM chunks GROUP BY 1 HAVING count(*) > 1""".stripMargin),
 
     // length-batch mirror: one global row_number over the same total
     // order, integer // cut, per-batch aggregates

@@ -408,6 +408,58 @@ object TextAnalysis {
       lit(0L),
       (acc, h) => (acc * RollBase + h) % RollMod)
 
+  /** CONTENT-DEFINED chunking (the Rabin/CDC discipline backup and
+    * storage-dedup systems use, on the token stream): a chunk
+    * boundary falls AFTER token i iff hash(token_i) has its low
+    * `maskBits` bits zero — so boundaries are decided by LOCAL
+    * content, never by absolute position. That is the whole point:
+    * insert or delete a token and only the edited chunk (and at most
+    * its boundary neighbor) changes fingerprint, while FIXED-size
+    * chunking shifts every downstream chunk (the spec proves both
+    * sides of that claim). Expected chunk length ≈ 2^maskBits
+    * tokens; the per-token hash is the q48 md5-12-hex device and the
+    * per-chunk fingerprint the order-sensitive [[rollingFingerprint]]
+    * fold, so cross-doc shared chunks collide exactly.
+    *
+    * 100-TB shape: tokens explode once; the boundary flag is a
+    * pure projection; the running boundary count is a window
+    * PARTITIONED BY DOCUMENT (parallel across docs — per-doc token
+    * counts are bounded, nothing global); the chunk fold is a
+    * per-(doc, chunk) aggregate. No min/max chunk clamps — the
+    * stateful variant needs a sequential per-doc fold and is the
+    * documented extension.
+    *
+    * Returns (idCol, chunk_idx, n_tokens, chunk_fp).
+    */
+  def contentDefinedChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      maskBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maskBits >= 1 && maskBits <= 20,
+      s"maskBits must be in [1, 20], got $maskBits")
+    val modulus = 1L << maskBits
+    val tok = df
+      .select(col(idCol), posexplode_outer(tokens(col(textCol)))
+        .as(Seq("__p", "__t")))
+      .filter(col("__t").isNotNull)
+      .select(col(idCol), col("__p"),
+        conv(substring(md5(col("__t")), 1, 12), 16, 10).cast("long")
+          .as("__h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok
+      .withColumn("__b",
+        when(pmod(col("__h"), lit(modulus)) === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_idx", coalesce(sum(col("__b")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("__p"), col("__h")))),
+            x => x.getField("__h")),
+          lit(0L),
+          (acc, h) => (acc * RollBase + h) % RollMod).as("chunk_fp"))
+  }
+
   /** Top-N TF-IDF terms per document. idf is the DIVISION form
     * n_docs/df (not log): one double division and one multiply, both
     * exactly-rounded IEEE ops on the same operands in any engine —

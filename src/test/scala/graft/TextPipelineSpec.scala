@@ -603,4 +603,55 @@ class TextPipelineSpec extends SparkSpec {
       Seq((9L, null: String)).toDF("id", "text"), "id", "text").collect()(0)
     assert(n.getLong(1) == 0L && n.getString(5) == "clean")
   }
+
+  test("contentDefinedChunks: edit locality -- an insertion perturbs " +
+      "only its chunk, while fixed-size chunking shifts every " +
+      "downstream chunk") {
+    import org.apache.spark.sql.DataFrame
+    // ~400 distinct tokens -> several content-defined boundaries
+    val words = (0 until 400).map(i => s"w$i")
+    val orig = words.mkString(" ")
+    val edited = (words.take(200) ++ Seq("inserted") ++ words.drop(200))
+      .mkString(" ")
+    def cdcFps(text: String): Seq[Long] =
+      TextAnalysis.contentDefinedChunks(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 6)
+        .orderBy("chunk_idx").select("chunk_fp").as[Long].collect().toSeq
+    val a = cdcFps(orig)
+    val b = cdcFps(edited)
+    assert(a.length >= 3, s"need several chunks, got ${a.length}")
+    // multiset symmetric difference: at most the edited chunk (and a
+    // possible boundary split) on each side
+    def bag(xs: Seq[Long]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+    val (ba, bb) = (bag(a), bag(b))
+    val lost = ba.map { case (k, n) => math.max(0, n - bb.getOrElse(k, 0)) }.sum
+    val gained = bb.map { case (k, n) => math.max(0, n - ba.getOrElse(k, 0)) }.sum
+    assert(lost >= 1, "the edit must be visible in some chunk")
+    assert(lost <= 2 && gained <= 2,
+      s"CDC must localize the edit: lost=$lost gained=$gained of ${a.length}")
+    // the fixed-size strawman on the same texts: position-based cuts
+    // shift every chunk after the insertion point
+    def fixedFps(text: String): Seq[Long] = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+        .select(posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "t")))
+        .select(expr("CAST(p DIV 64 AS BIGINT)").as("c"), col("p"),
+          conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long").as("h"))
+        .groupBy("c")
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("p"), col("h")))),
+            x => x.getField("h")),
+          lit(0L),
+          (acc, h) => (acc * TextAnalysis.RollBase + h) % TextAnalysis.RollMod)
+          .as("fp"))
+      df.orderBy("c").select("fp").as[Long].collect().toSeq
+    }
+    val fa = fixedFps(orig)
+    val fb = fixedFps(edited)
+    val fixedShared = fa.intersect(fb).size
+    val cdcShared = a.intersect(b).size
+    assert(fixedShared < cdcShared,
+      s"fixed-size must lose more chunks to the shift: " +
+        s"fixed keeps $fixedShared of ${fa.length}, cdc keeps " +
+        s"$cdcShared of ${a.length}")
+  }
 }
