@@ -4156,6 +4156,29 @@ object SparkEntry {
         .filter(col("n_copies") > 1)
     }),
 
+    // ── CHUNK-OVERLAP near-dup pairs (TextAnalysis.chunkOverlapPairs
+    // — the dedup method CDC chunking feeds): docs pair on chunk-set
+    // Jaccard ≥ 1/2, generated through the shared-fingerprint
+    // equi-join (docs with no shared chunk never meet). An EDITED
+    // copy still shares most chunks because boundaries are
+    // content-defined — the insertion-robustness q341's spec proves.
+    // The fixture plants edited copies: the %13 dup slice re-appears
+    // (q103's re-ingest shape) with ONE token prepended, so every
+    // planted pair survives a real edit; exact dups pair at
+    // Jaccard 1. ──
+    "q343_chunk_overlap_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs0 = t(s, dir, "documents").select(id, col("text"))
+      val edited = docs0.filter(id % 13 === 0)
+        .select((id + 1000000L).as("doc_id"),
+          concat(lit("edited "), col("text")).as("text"))
+      val corpus = docs0.unionByName(edited).repartition(32, id)
+      TextAnalysis.chunkOverlapPairs(
+        TextAnalysis.contentDefinedChunks(corpus, "doc_id", "text",
+          maskBits = 6),
+        "doc_id", "chunk_fp", tauNum = 1, tauDen = 2)
+    }),
+
     // ── LENGTH-BUCKETED inference batches (Batching.lengthBatches —
     // the inference/eval twin of training-side packing q61): items
     // totally ordered by (token count DESC, id) via globalDenseSeq
@@ -8757,13 +8780,14 @@ object SparkEntry {
     * low 6 bits are zero, exclusive running boundary count, per-chunk
     * rolling fold with the operator's interpolated constants.
     */
-  private val CdcChunksCtes: String =
-    s"""WITH tok AS (
+  private def cdcChunksCtes(srcSql: String): String =
+    s"""WITH src AS ($srcSql),
+       |tok AS (
        |  SELECT doc_id,
        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t,
        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
        |      AS p
-       |  FROM documents),
+       |  FROM src),
        |hh AS (
        |  SELECT doc_id, p,
        |    CAST(list_reduce(list_transform(range(1, 13),
@@ -8788,6 +8812,9 @@ object SparkEntry {
        |        % ${graft.ext.TextAnalysis.RollMod}) AS BIGINT) AS chunk_fp
        |  FROM ck GROUP BY doc_id, chunk_idx)
        |""".stripMargin
+
+  private val CdcChunksCtes: String =
+    cdcChunksCtes("SELECT doc_id, text FROM documents")
 
   private val CdcChunksSql: String = CdcChunksCtes +
     "SELECT doc_id, chunk_idx, n_tokens, chunk_fp FROM chunks"
@@ -10885,6 +10912,31 @@ object SparkEntry {
     // current row, per-chunk list(h ORDER BY p) rolling fold with the
     // operator's interpolated constants
     "q341_cdc_chunks" -> CdcChunksSql,
+
+    // chunk-overlap mirror: the chunk CTEs over the edited-copy
+    // corpus (the %13 re-ingest shape with one token prepended),
+    // DISTINCT (doc, fp) sets, fp-keyed pair join, integer-crossed
+    // Jaccard >= 1/2
+    "q343_chunk_overlap_dedup" -> (cdcChunksCtes(
+      "SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000, 'edited ' || text " +
+        "FROM documents WHERE doc_id % 13 = 0") +
+      """,
+        |sets AS (SELECT DISTINCT doc_id, chunk_fp FROM chunks),
+        |nn AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+        |m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared_chunks
+        |  FROM sets a JOIN sets b
+        |    ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT m.id_a, m.id_b, m.shared_chunks,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b
+        |FROM m
+        |JOIN nn na ON na.doc_id = m.id_a
+        |JOIN nn nb ON nb.doc_id = m.id_b
+        |WHERE m.shared_chunks * 2 >= na.n + nb.n - m.shared_chunks"""
+        .stripMargin),
 
     // shared-chunk mirror: the q341 chain re-grouped by fingerprint
     "q342_chunk_dedup" -> (CdcChunksCtes +

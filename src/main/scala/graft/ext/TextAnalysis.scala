@@ -460,6 +460,44 @@ object TextAnalysis {
           (acc, h) => (acc * RollBase + h) % RollMod).as("chunk_fp"))
   }
 
+  /** Chunk-overlap near-duplicate pairs — the dedup method
+    * [[contentDefinedChunks]] exists to feed (the backup-system
+    * insight applied to corpora): because chunk boundaries are
+    * content-defined, an edited copy still shares most chunk
+    * fingerprints with its original, so docs pair on chunk-set
+    * Jaccard — robust to insertions in a way fixed-stride shingle
+    * comparison is not. Pairs generate through the shared-fingerprint
+    * equi-join (docs with NO shared chunk never meet — never
+    * all-pairs); Jaccard is integer cross-multiplied:
+    * shared·den ≥ num·(n_a + n_b − shared).
+    *
+    * 100-TB shape: one fp-keyed self-join over the chunk table
+    * (bounded by real sharing, the minhash-band argument), per-doc
+    * chunk counts a tiny aggregate joined onto candidates. A
+    * degenerate fingerprint shared by thousands of docs is the
+    * stop-gram class — cap upstream with a document-frequency drop
+    * at open-web scale (the q147 discipline).
+    * Returns (id_a, id_b, shared_chunks, n_a, n_b), id_a < id_b.
+    */
+  def chunkOverlapPairs(
+      chunks: DataFrame, idCol: String, fpCol: String,
+      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    require(tauNum > 0 && tauDen > 0, "tau must be a positive fraction")
+    val sets = chunks.select(col(idCol).as("__doc"), col(fpCol).as("__fp"))
+      .distinct()
+    val n = sets.groupBy(col("__doc")).agg(count(lit(1)).as("__n"))
+    sets.as("a").join(sets.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__doc") < col("b.__doc"))
+      .groupBy(col("a.__doc").as("id_a"), col("b.__doc").as("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .join(n.as("na"), col("id_a") === col("na.__doc"))
+      .join(n.as("nb"), col("id_b") === col("nb.__doc"))
+      .filter(col("shared_chunks") * tauDen >=
+        (col("na.__n") + col("nb.__n") - col("shared_chunks")) * tauNum)
+      .select(col("id_a"), col("id_b"), col("shared_chunks"),
+        col("na.__n").as("n_a"), col("nb.__n").as("n_b"))
+  }
+
   /** Top-N TF-IDF terms per document. idf is the DIVISION form
     * n_docs/df (not log): one double division and one multiply, both
     * exactly-rounded IEEE ops on the same operands in any engine —
