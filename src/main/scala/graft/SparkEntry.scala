@@ -4125,6 +4125,48 @@ object SparkEntry {
           .otherwise(col("__nl")).cast("long").as("n_links_kept"))
     }),
 
+    // ── store FSCK (IndexStore.fsck — the post-crash audit the
+    // manifest-protocol stores need): a version exists IFF its
+    // manifest does, so a v-dir without a manifest is invisible
+    // crash debris (safe to clean), a manifest without its v-dir is
+    // CORRUPT (reads resolve a version with no data), and stranded
+    // .staging-/.swap-/.old- siblings are the atomic-commit
+    // machinery's transient dirs. The fixture plants one of each
+    // around a healthy committed version; the healthy version must
+    // produce NO finding. Metadata-only listing. ──
+    "q344_store_fsck" -> ((s, _) => {
+      import java.nio.file.Files
+      val base = Files.createTempDirectory("graft_fsck")
+      val root = base.resolve("store")
+      Files.createDirectories(root.resolve("index"))
+      Files.createDirectories(root.resolve("v000000001"))
+      Files.createDirectories(root.resolve("_manifest"))
+      Files.write(root.resolve("_manifest").resolve("v000000001.json"),
+        "{}".getBytes("UTF-8"))
+      Files.createDirectories(root.resolve("v000000002")) // orphan
+      Files.write(root.resolve("_manifest").resolve("v000000003.json"),
+        "{}".getBytes("UTF-8")) // dangling
+      Files.createDirectories(base.resolve("store.staging-ab12"))
+      Files.createDirectories(base.resolve("store.old-cd34"))
+      graft.operators.IndexStore.fsck(s, root.toString)
+    }),
+
+    // ── DETERMINISTIC weighted interleave (Sampling
+    // .weightedInterleave — the data-MIXING SCHEDULE a training run
+    // consumes): integer per-source weights (src N weighs N%3+1),
+    // every prefix holds the target proportions to within one item
+    // per source via the error-diffusion key (2k−1)·(lcm/w) — pure
+    // integers, both engines order identically. No per-source
+    // window: two globalDenseSeq passes + a ≤|sources|-row offset
+    // broadcast (a giant source never pins a partition). ──
+    "q345_weighted_interleave" -> ((s, dir) => {
+      val weights = (0 until 20).map(n => s"src$n" -> ((n % 3) + 1).toLong).toMap
+      graft.operators.Sampling.weightedInterleave(
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .repartition(32, col("doc_id")),
+        "source", "doc_id", weights)
+    }),
+
     // ── CONTENT-DEFINED chunking (TextAnalysis.contentDefinedChunks
     // — the Rabin/CDC discipline on the token stream): boundaries
     // fall where the token hash's low 6 bits are zero, so they are
@@ -10906,6 +10948,33 @@ object SparkEntry {
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
         |FROM documents""".stripMargin,
+
+    // fsck mirror: the planted findings, closed-form (the healthy
+    // committed version contributes nothing)
+    "q344_store_fsck" ->
+      """SELECT * FROM (VALUES
+        |  ('dangling_manifest', 'v000000003', 'corrupt'),
+        |  ('orphan_version', 'v000000002', 'debris'),
+        |  ('stale_staging', 'store.old-cd34', 'debris'),
+        |  ('stale_staging', 'store.staging-ab12', 'debris'))
+        |  t(check_name, entry, severity)""".stripMargin,
+
+    // interleave mirror: per-source row_number, the same integer
+    // error-diffusion key (lcm 6 over weights {1,2,3}), one global
+    // row_number over (key, source)
+    "q345_weighted_interleave" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS k
+        |  FROM documents),
+        |ky AS (
+        |  SELECT doc_id, source, k,
+        |    (2 * k - 1) * (6 // (CAST(regexp_extract(source, 'src([0-9]+)', 1)
+        |      AS BIGINT) % 3 + 1)) AS key
+        |  FROM k)
+        |SELECT doc_id, source, CAST(k AS BIGINT) AS src_rank,
+        |  CAST(row_number() OVER (ORDER BY key, source) AS BIGINT) AS position
+        |FROM ky""".stripMargin,
 
     // cdc-chunk mirror: the q48 md5-12-hex device per token, boundary
     // where h % 64 = 0, running boundary count EXCLUSIVE of the

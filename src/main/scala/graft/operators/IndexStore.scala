@@ -132,6 +132,53 @@ object IndexStore {
     false
   }
 
+  /** Structural audit (fsck) of a MANIFEST-PROTOCOL store tree — the
+    * operations check the CDC / semantic-dedup ingest stores need
+    * after a crash: the protocol says a version exists IFF its
+    * `_manifest/v<id>.json` does, staging/swap/old siblings are
+    * transient, and nothing else should accumulate. Findings:
+    *
+    *   - `dangling_manifest` (CORRUPT): a manifest whose `v<id>/`
+    *     data directory is missing — reads resolve a version that
+    *     has no data; must be repaired before serving.
+    *   - `orphan_version` (debris): a `v<id>/` directory with no
+    *     manifest — a crash between data write and manifest rename;
+    *     invisible to readers by design, safe to delete.
+    *   - `stale_staging` (debris): leftover `<root>.staging-*` /
+    *     `.swap-*` / `.old-*` / `.trash-*` SIBLINGS of the store
+    *     root (the atomic-commit machinery's transient dirs — a
+    *     crash strands them next to, never inside, the tree).
+    *
+    * Metadata-only: one listing of the root, the `_manifest` dir and
+    * the parent — bounded by version count, never data-sized (the
+    * semDedupStoreState discipline). Returns
+    * (check_name, entry, severity) sorted, entries RELATIVE to the
+    * store root / parent so results are location-independent.
+    */
+  def fsck(spark: org.apache.spark.sql.SparkSession, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rootF = new File(root)
+    def names(f: File): Seq[String] =
+      Option(f.listFiles()).map(_.toSeq.map(_.getName)).getOrElse(Seq.empty)
+    val top = names(rootF)
+    val versionDirs = top.filter(_.matches("v\\d+"))
+      .filter(n => new File(rootF, n).isDirectory).toSet
+    val manifests = names(new File(rootF, "_manifest"))
+      .filter(_.matches("v\\d+\\.json"))
+      .map(_.stripSuffix(".json")).toSet
+    val siblings = names(rootF.getParentFile)
+      .filter(_.startsWith(rootF.getName + "."))
+      .filter(_.matches(".*\\.(staging|swap|old|trash)-.*"))
+    val findings =
+      (manifests -- versionDirs).toSeq
+        .map(v => ("dangling_manifest", v, "corrupt")) ++
+      (versionDirs -- manifests).toSeq
+        .map(v => ("orphan_version", v, "debris")) ++
+      siblings.map(n => ("stale_staging", n, "debris"))
+    findings.sorted.toDF("check_name", "entry", "severity")
+  }
+
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

@@ -56,6 +56,58 @@ object Sampling {
     * zero copies are filtered before the explode (Spark's sequence()
     * would generate a DESCENDING range for copies = 0).
     */
+  /** DETERMINISTIC weighted interleave — the data-MIXING SCHEDULE a
+    * training run consumes: given integer per-source weights, produce
+    * one global order in which every prefix holds the target source
+    * proportions to within one item per source (error-diffusion /
+    * low-discrepancy interleaving: item k of source s sits at
+    * rational position (k − ½)/w_s, realized as the INTEGER key
+    * (2k−1)·(L/w_s) with L = lcm(weights) — no doubles, both engines
+    * order identically). Sources absent from the map weigh 1.
+    *
+    * Contrast with [[temperatureMix]]/[[balancedMix]]: those decide
+    * WHICH rows are in the mix; this decides the ORDER they are seen
+    * in — upstream selection composes with this schedule.
+    *
+    * 100-TB shape: NO per-source window (a giant source would pin a
+    * partition) — the per-source rank comes from ONE
+    * [[Layout.globalDenseSeq]] over (source, order) minus broadcast
+    * per-source offsets (a ≤|sources|-row aggregate), and the final
+    * position from a second globalDenseSeq over the interleave key.
+    * Two range exchanges total; deterministic across cluster configs
+    * (the resumable-schedule contract).
+    *
+    * Returns the input columns + (src_rank, position), position
+    * 1..n.
+    */
+  def weightedInterleave(
+      df: DataFrame, sourceCol: String, orderCol: String,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = weights.values.foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val mult = weights.foldLeft(lit(lcm)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(lcm / w)).otherwise(acc)
+    }
+    val seqd = Layout.globalDenseSeq(df,
+      Seq(col(sourceCol), col(orderCol)), "__gseq")
+    val offs = seqd.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("__src")) - col("__n"), lit(0L)))
+      .select(col("__src"), col("__off"))
+    val ranked = seqd
+      .join(broadcast(offs), col(sourceCol) === col("__src"))
+      .withColumn("src_rank", col("__gseq") - col("__off"))
+      .drop("__src", "__off", "__gseq")
+      .withColumn("__key", (col("src_rank") * 2L - 1L) * mult)
+    Layout.globalDenseSeq(ranked,
+        Seq(col("__key"), col(sourceCol)), "position")
+      .drop("__key")
+  }
+
   def epochMix(
       df: DataFrame, stratumCol: String, key: Column,
       weights: Map[String, Double], defaultWeight: Double = 1.0,

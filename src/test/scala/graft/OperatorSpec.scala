@@ -162,4 +162,35 @@ class OperatorSpec extends SparkSpec {
       ("r1", "n2", 40L, 100L, 200L, 500000L, 400000L),
       ("r2", "n3", 100L, 100L, 200L, 500000L, 1000000L)))
   }
+
+  test("fsck: healthy manifest store is clean; each planted state " +
+      "classifies; findings are root-relative") {
+    import java.nio.file.Files
+    import graft.operators.IndexStore
+    val base = Files.createTempDirectory("fsck_spec")
+    val root = base.resolve("st")
+    Files.createDirectories(root.resolve("index"))
+    Files.createDirectories(root.resolve("_manifest"))
+    // healthy committed version: dir + manifest
+    Files.createDirectories(root.resolve("v000000007"))
+    Files.write(root.resolve("_manifest").resolve("v000000007.json"),
+      "{}".getBytes("UTF-8"))
+    assert(IndexStore.fsck(spark, root.toString).count() == 0)
+    // plant one of each
+    Files.createDirectories(root.resolve("v000000009"))
+    Files.write(root.resolve("_manifest").resolve("v000000011.json"),
+      "{}".getBytes("UTF-8"))
+    Files.createDirectories(base.resolve("st.swap-xx"))
+    Files.createDirectories(base.resolve("st.trash-yy"))
+    val got = IndexStore.fsck(spark, root.toString)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("dangling_manifest", "v000000011", "corrupt"),
+      ("orphan_version", "v000000009", "debris"),
+      ("stale_staging", "st.swap-xx", "debris"),
+      ("stale_staging", "st.trash-yy", "debris")))
+    // an unrelated sibling (no store prefix) is NOT flagged
+    Files.createDirectories(base.resolve("other.swap-zz"))
+    assert(IndexStore.fsck(spark, root.toString).count() == 4)
+  }
 }

@@ -297,4 +297,39 @@ class SamplingSpec extends SparkSpec {
     assert(exact == Map(1L -> true, 2L -> true, 3L -> false),
       s"cum==budget is selected: $exact")
   }
+
+  test("weightedInterleave: every prefix holds the target mix to " +
+      "within one item per source; deterministic under repartition") {
+    import graft.operators.Sampling
+    // three sources, weights 3:2:1 -> target shares 1/2, 1/3, 1/6
+    val df = (for (s <- Seq("a", "b", "c"); i <- 1 to 60)
+      yield (s, s + f"$i%03d")).toDF("src", "id")
+    val w = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    val out = Sampling.weightedInterleave(df, "src", "id", w)
+      .orderBy("position")
+      .select("src", "position").as[(String, Long)].collect()
+    assert(out.length == 180)
+    // error-diffusion bound: |count_s(P) - P*w_s/W| <= 1 for every
+    // prefix P while every source still has items (low-discrepancy)
+    val wsum = 6.0
+    var counts = Map("a" -> 0, "b" -> 0, "c" -> 0)
+    for ((src, pos) <- out.take(120)) {
+      counts = counts.updated(src, counts(src) + 1)
+      for ((s, c) <- counts) {
+        val target = pos * (w(s) / wsum)
+        assert(math.abs(c - target) <= 1.0,
+          s"prefix $pos: source $s has $c vs target $target")
+      }
+    }
+    // determinism: a hostile repartition yields the identical order
+    val again = Sampling.weightedInterleave(
+        df.repartition(7, col("id")), "src", "id", w)
+      .orderBy("position").select("src", "position")
+      .as[(String, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+    // unmapped sources weigh 1 (documented default)
+    val withUnknown = df.union(Seq(("d", "d001")).toDF("src", "id"))
+    assert(Sampling.weightedInterleave(withUnknown, "src", "id", w)
+      .count() == 181)
+  }
 }
