@@ -4125,6 +4125,68 @@ object SparkEntry {
           .otherwise(col("__nl")).cast("long").as("n_links_kept"))
     }),
 
+    // ── the ROBOTS POLICY STACK capstone (q346): all three
+    // certified robots levels in ONE decision chain — robots.txt
+    // gates the SITE (q223's longest-prefix decide over the messy-URL
+    // fixture), X-Robots-Tag the RESPONSE and meta robots the PAGE
+    // (q339's unioned directives, arms doc_id % 8) — ranked
+    // blocked_robots > drop_content (noindex) >
+    // keep_content_drop_links (nofollow) > keep, with the link
+    // effect live (denied and nofollow rows keep 0 of their 2
+    // links). The replay fetches everything and RANKS the classes
+    // (the q318 rule — production would never fetch a denied URL).
+    // Oracle: the shared RobotsDecideCtes + q339's closed-form
+    // directive arms under the one precedence CASE. ──
+    "q346_robots_policy_stack" -> ((s, dir) => {
+      import graft.ext.{HtmlExtract, HttpRecord, UrlCanon}
+      val id = col("doc_id")
+      val a = id % 8
+      val docs0 = t(s, dir, "documents")
+      val raw = urlFixture(docs0).drop("n_chars")
+        .filter(UrlCanon.canonicalUrl(col("url")).isNotNull)
+      val site = UrlCanon.robotsDecide(raw, "doc_id", "url",
+          robotsRulesFixture(s))
+        .select(id, col("decision").as("__rdec"))
+      // the q339 response fixture verbatim: header+meta directive arms
+      val metaTag =
+        when(a === 5 || a === 6,
+          lit("<meta name=\"robots\" content=\"noindex\">"))
+          .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), metaTag,
+        lit("</head><body><a href=\"http://ex.com/x\">x</a>" +
+          "<a href=\"http://ex.com/y\">y</a></body></html>"))
+      val hdr =
+        when(a === 1, lit("X-Robots-Tag: noindex\r\n"))
+          .when(a === 2, lit("X-Robots-Tag: nofollow\r\n"))
+          .when(a === 3, lit("X-Robots-Tag: none\r\n"))
+          .when(a === 4, lit("X-Robots-Tag: googlebot: noindex\r\n"))
+          .when(a === 6, lit("X-Robots-Tag: nofollow\r\n"))
+          .when(a === 7, lit("X-Robots-Tag: NOINDEX\r\n"))
+          .otherwise(lit(""))
+      val rawResp = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+        hdr, lit("\r\n"), html)
+      val page = docs0.select(id).repartition(32, id)
+        .select(id, explode_outer(array(struct(
+          HtmlExtract.robotsHeader(HttpRecord.header(rawResp, "X-Robots-Tag"))
+            .as("h"),
+          HtmlExtract.robotsMeta(HttpRecord.body(rawResp)).as("m"),
+          size(regexp_extract_all(HttpRecord.body(rawResp),
+            lit("href=\"([^\"]*)\""), lit(1))).as("__nl")))).as("x"))
+        .select(id,
+          (col("x.h.noindex") || col("x.m.noindex")).as("__noindex"),
+          (col("x.h.nofollow") || col("x.m.nofollow")).as("__nofollow"),
+          col("x.__nl").as("__nl"))
+      site.join(page, Seq("doc_id"))
+        .select(id,
+          when(col("__rdec") === "deny", lit("blocked_robots"))
+            .when(col("__noindex"), lit("drop_content"))
+            .when(col("__nofollow"), lit("keep_content_drop_links"))
+            .otherwise(lit("keep")).as("decision"),
+          when(col("__rdec") === "deny" || col("__nofollow"), lit(0))
+            .otherwise(col("__nl")).cast("long").as("n_links_kept"))
+    }),
+
     // ── store FSCK (IndexStore.fsck — the post-crash audit the
     // manifest-protocol stores need): a version exists IFF its
     // manifest does, so a v-dir without a manifest is invisible
@@ -8861,6 +8923,39 @@ object SparkEntry {
   private val CdcChunksSql: String = CdcChunksCtes +
     "SELECT doc_id, chunk_idx, n_tokens, chunk_fp FROM chunks"
 
+  /** q223/q346 shared oracle CTEs — the robotsDecide mirror over
+    * the messy-URL fixture (canon chain + rules + longest-prefix
+    * argmax); ONE definition so the policy capstone cannot drift
+    * from the certified site-level decision.
+    */
+  private val RobotsDecideCtes: String = UrlCanonChainSql +
+      """,
+        |f AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+        |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(rawpath, '/+$', '') END AS path
+        |  FROM canon WHERE canonical_url IS NOT NULL),
+        |ids AS (SELECT unnest(range(0, 20)) AS i),
+        |rl AS (
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com' AS host,
+        |    '/' AS prefix, TRUE AS allow FROM ids
+        |  UNION ALL
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+        |    '/Docs/' || CAST(i % 7 AS VARCHAR), FALSE FROM ids
+        |  UNION ALL
+        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
+        |    '/Docs/' || CAST(i % 7 AS VARCHAR) || '7', TRUE FROM ids),
+        |m AS (
+        |  SELECT f.doc_id, f.url, f.host, f.path, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY f.doc_id
+        |      ORDER BY length(r.prefix) DESC NULLS LAST, r.prefix ASC NULLS FIRST,
+        |        r.allow DESC NULLS LAST)
+        |      AS rk
+        |  FROM f LEFT JOIN rl r
+        |    ON r.host = f.host AND starts_with(f.path, r.prefix))
+        |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -10949,6 +11044,24 @@ object SparkEntry {
         |  text || ' caf' || chr(233) || ' 16' AS text
         |FROM documents""".stripMargin,
 
+    // policy-stack mirror: the shared robotsDecide CTEs + q339's
+    // closed-form directive arms under one precedence CASE
+    "q346_robots_policy_stack" -> (RobotsDecideCtes +
+      """,
+        |rd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END
+        |      AS rdec
+        |  FROM m WHERE rk = 1)
+        |SELECT rd.doc_id,
+        |  CASE WHEN rd.rdec = 'deny' THEN 'blocked_robots'
+        |       WHEN rd.doc_id % 8 IN (1, 3, 5, 6, 7) THEN 'drop_content'
+        |       WHEN rd.doc_id % 8 = 2 THEN 'keep_content_drop_links'
+        |       ELSE 'keep' END AS decision,
+        |  CAST(CASE WHEN rd.rdec = 'deny' OR rd.doc_id % 8 IN (2, 3, 6)
+        |       THEN 0 ELSE 2 END AS BIGINT) AS n_links_kept
+        |FROM rd""".stripMargin),
+
     // fsck mirror: the planted findings, closed-form (the healthy
     // committed version contributes nothing)
     "q344_store_fsck" ->
@@ -11469,33 +11582,8 @@ object SparkEntry {
         |  CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END AS decision
         |FROM m WHERE rk = 1""".stripMargin),
 
-    "q223_robots_filter" -> (UrlCanonChainSql +
-      """,
-        |f AS (
-        |  SELECT doc_id, url,
-        |    lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
-        |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
-        |         ELSE regexp_replace(rawpath, '/+$', '') END AS path
-        |  FROM canon WHERE canonical_url IS NOT NULL),
-        |ids AS (SELECT unnest(range(0, 20)) AS i),
-        |rl AS (
-        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com' AS host,
-        |    '/' AS prefix, TRUE AS allow FROM ids
-        |  UNION ALL
-        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
-        |    '/Docs/' || CAST(i % 7 AS VARCHAR), FALSE FROM ids
-        |  UNION ALL
-        |  SELECT 'www.src' || CAST(i AS VARCHAR) || '.example.com',
-        |    '/Docs/' || CAST(i % 7 AS VARCHAR) || '7', TRUE FROM ids),
-        |m AS (
-        |  SELECT f.doc_id, f.url, f.host, f.path, r.prefix, r.allow,
-        |    row_number() OVER (PARTITION BY f.doc_id
-        |      ORDER BY length(r.prefix) DESC NULLS LAST, r.prefix ASC NULLS FIRST,
-        |        r.allow DESC NULLS LAST)
-        |      AS rk
-        |  FROM f LEFT JOIN rl r
-        |    ON r.host = f.host AND starts_with(f.path, r.prefix))
-        |SELECT doc_id, url, host, path, prefix AS rule_prefix,
+    "q223_robots_filter" -> (RobotsDecideCtes +
+      """SELECT doc_id, url, host, path, prefix AS rule_prefix,
         |  CASE WHEN coalesce(allow, TRUE) THEN 'allow' ELSE 'deny' END AS decision
         |FROM m WHERE rk = 1""".stripMargin),
 
