@@ -4125,6 +4125,25 @@ object SparkEntry {
           .otherwise(col("__nl")).cast("long").as("n_links_kept"))
     }),
 
+    // ── QUALITY-CURRICULUM schedule (q348): the q336 quality score
+    // bucketed at fixed thresholds (≥80000 ppm high / ≥30000 mid /
+    // low — all three populated at every SF) and fed through
+    // weightedInterleave at weights 3:2:1 — the curriculum a
+    // quality-weighted training run consumes: high-quality docs are
+    // seen 3× as densely, every prefix holds the mix to within one
+    // item per bucket, and the whole order is deterministic (the
+    // resumable-schedule contract). Oracle: the shared PrScoreCtes +
+    // the integer error-diffusion interleave mirror. ──
+    "q348_curriculum_schedule" -> ((s, dir) => {
+      val scored = prScoredDocs(s, dir)
+      val bucketed = scored.select(col("doc_id"),
+        when(col("score") >= 80000L, lit("high"))
+          .when(col("score") >= 30000L, lit("mid"))
+          .otherwise(lit("low")).as("bucket"))
+      graft.operators.Sampling.weightedInterleave(bucketed, "bucket",
+        "doc_id", Map("high" -> 3L, "mid" -> 2L, "low" -> 1L))
+    }),
+
     // ── the ROBOTS POLICY STACK capstone (q346): all three
     // certified robots levels in ONE decision chain — robots.txt
     // gates the SITE (q223's longest-prefix decide over the messy-URL
@@ -4211,6 +4230,35 @@ object SparkEntry {
       Files.createDirectories(base.resolve("store.staging-ab12"))
       Files.createDirectories(base.resolve("store.old-cd34"))
       graft.operators.IndexStore.fsck(s, root.toString)
+    }),
+
+    // ── fsck REPAIR (IndexStore.fsckRepair — q344's audit acted on):
+    // debris deletes (orphans are invisible to readers by protocol,
+    // removal always safe), CORRUPT entries are REFUSED — deleting a
+    // dangling manifest would rewrite committed history; that fix is
+    // an operator decision. The query plants the q344 states, runs
+    // the repair, and returns the audit trail PLUS a post-repair
+    // re-audit appended as re_check rows — which must show ONLY the
+    // refused corruption surviving. ──
+    "q347_store_fsck_repair" -> ((s, _) => {
+      import java.nio.file.Files
+      val base = Files.createTempDirectory("graft_fsckr")
+      val root = base.resolve("store")
+      Files.createDirectories(root.resolve("index"))
+      Files.createDirectories(root.resolve("v000000001"))
+      Files.createDirectories(root.resolve("_manifest"))
+      Files.write(root.resolve("_manifest").resolve("v000000001.json"),
+        "{}".getBytes("UTF-8"))
+      Files.createDirectories(root.resolve("v000000002"))
+      Files.write(root.resolve("_manifest").resolve("v000000003.json"),
+        "{}".getBytes("UTF-8"))
+      Files.createDirectories(base.resolve("store.staging-ab12"))
+      Files.createDirectories(base.resolve("store.old-cd34"))
+      val trail = graft.operators.IndexStore.fsckRepair(s, root.toString)
+      val after = graft.operators.IndexStore.fsck(s, root.toString)
+        .select(concat(lit("re_check:"), col("check_name")).as("check_name"),
+          col("entry"), col("severity"), lit("").as("action"))
+      trail.unionByName(after)
     }),
 
     // ── DETERMINISTIC weighted interleave (Sampling
@@ -8839,7 +8887,11 @@ object SparkEntry {
     * ONE definition so the merged-state variant cannot drift from
     * the surface it must equal.
     */
-  private val PrCurveSql: String =
+  /** q336/q338/q348 shared score CTEs — per-doc en-stopword score
+    * and lang label (`lab(doc_id, is_en, score)`), ending WITHOUT a
+    * trailing comma.
+    */
+  private val PrScoreCtes: String =
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         |  FROM documents),
@@ -8858,7 +8910,10 @@ object SparkEntry {
         |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_it) THEN TRUE
         |         ELSE FALSE END AS is_en,
         |    CASE WHEN n = 0 THEN 0 ELSE (s_en * 1000000) // n END AS score
-        |  FROM sc),
+        |  FROM sc)""".stripMargin
+
+  private val PrCurveSql: String = PrScoreCtes +
+      """,
         |ps AS (
         |  SELECT score AS threshold, count(*) AS n,
         |    sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS npos
@@ -11044,6 +11099,30 @@ object SparkEntry {
         |  text || ' caf' || chr(233) || ' 16' AS text
         |FROM documents""".stripMargin,
 
+    // curriculum mirror: the shared score CTEs + fixed-threshold
+    // buckets + the same integer error-diffusion key (lcm 6 over
+    // weights 3:2:1 → multipliers 2/3/6)
+    "q348_curriculum_schedule" -> (PrScoreCtes +
+      """,
+        |bk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN score >= 80000 THEN 'high'
+        |         WHEN score >= 30000 THEN 'mid'
+        |         ELSE 'low' END AS bucket
+        |  FROM lab),
+        |k AS (
+        |  SELECT doc_id, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS k
+        |  FROM bk),
+        |ky AS (
+        |  SELECT doc_id, bucket, k,
+        |    (2 * k - 1) * (CASE bucket WHEN 'high' THEN 2
+        |      WHEN 'mid' THEN 3 ELSE 6 END) AS key
+        |  FROM k)
+        |SELECT doc_id, bucket, CAST(k AS BIGINT) AS src_rank,
+        |  CAST(row_number() OVER (ORDER BY key, bucket) AS BIGINT) AS position
+        |FROM ky""".stripMargin),
+
     // policy-stack mirror: the shared robotsDecide CTEs + q339's
     // closed-form directive arms under one precedence CASE
     "q346_robots_policy_stack" -> (RobotsDecideCtes +
@@ -11071,6 +11150,17 @@ object SparkEntry {
         |  ('stale_staging', 'store.old-cd34', 'debris'),
         |  ('stale_staging', 'store.staging-ab12', 'debris'))
         |  t(check_name, entry, severity)""".stripMargin,
+
+    // fsck-repair mirror: the audit trail + the post-repair re-audit
+    // (only the refused corruption survives), closed-form
+    "q347_store_fsck_repair" ->
+      """SELECT * FROM (VALUES
+        |  ('dangling_manifest', 'v000000003', 'corrupt', 'kept'),
+        |  ('orphan_version', 'v000000002', 'debris', 'deleted'),
+        |  ('stale_staging', 'store.old-cd34', 'debris', 'deleted'),
+        |  ('stale_staging', 'store.staging-ab12', 'debris', 'deleted'),
+        |  ('re_check:dangling_manifest', 'v000000003', 'corrupt', ''))
+        |  t(check_name, entry, severity, action)""".stripMargin,
 
     // interleave mirror: per-source row_number, the same integer
     // error-diffusion key (lcm 6 over weights {1,2,3}), one global

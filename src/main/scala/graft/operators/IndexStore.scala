@@ -179,6 +179,40 @@ object IndexStore {
     findings.sorted.toDF("check_name", "entry", "severity")
   }
 
+  /** Repair pass over [[fsck]]'s findings: DEBRIS-class entries
+    * (orphan versions, stale staging/swap/old/trash siblings) are
+    * deleted — they are invisible to readers by protocol, so removal
+    * is always safe; CORRUPT-class entries (dangling manifests) are
+    * REFUSED — deleting a manifest rewrites committed history, and
+    * the right fix (restore the data dir, or roll the store back) is
+    * an operator decision, not an automatic one. Returns the same
+    * findings table with an `action` column (`deleted` / `kept`),
+    * so the audit trail is the output.
+    */
+  def fsckRepair(spark: org.apache.spark.sql.SparkSession, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rootF = new File(root)
+    val findings = fsck(spark, root)
+      .as[(String, String, String)].collect().toSeq
+    val acted = findings.map { case (check, entry, severity) =>
+      val target = check match {
+        case "orphan_version" => new File(rootF, entry)
+        case "stale_staging"  => new File(rootF.getParentFile, entry)
+        case _                => null
+      }
+      val action =
+        if (severity == "debris" && target != null) {
+          deleteRecursively(target); "deleted"
+        } else "kept"
+      (check, entry, severity, action)
+    }
+    acted.sorted.toDF("check_name", "entry", "severity", "action")
+      .select(col("check_name"), col("entry"), col("severity"),
+        col("action"))
+  }
+
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

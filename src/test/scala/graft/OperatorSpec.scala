@@ -193,4 +193,32 @@ class OperatorSpec extends SparkSpec {
     Files.createDirectories(base.resolve("other.swap-zz"))
     assert(IndexStore.fsck(spark, root.toString).count() == 4)
   }
+
+  test("fsckRepair: debris deleted with an audit trail, corruption " +
+      "refused, repair is idempotent") {
+    import java.nio.file.Files
+    import graft.operators.IndexStore
+    val base = Files.createTempDirectory("fsckr_spec")
+    val root = base.resolve("st")
+    Files.createDirectories(root.resolve("_manifest"))
+    Files.createDirectories(root.resolve("v000000009"))          // orphan
+    Files.write(root.resolve("_manifest").resolve("v000000011.json"),
+      "{}".getBytes("UTF-8"))                                    // dangling
+    Files.createDirectories(base.resolve("st.swap-xx"))          // stale
+    val trail = IndexStore.fsckRepair(spark, root.toString)
+      .as[(String, String, String, String)].collect().toSet
+    assert(trail == Set(
+      ("dangling_manifest", "v000000011", "corrupt", "kept"),
+      ("orphan_version", "v000000009", "debris", "deleted"),
+      ("stale_staging", "st.swap-xx", "debris", "deleted")))
+    // debris really gone, corruption really kept
+    assert(!Files.exists(root.resolve("v000000009")))
+    assert(!Files.exists(base.resolve("st.swap-xx")))
+    assert(Files.exists(root.resolve("_manifest").resolve("v000000011.json")))
+    // idempotent: a second repair finds only the refused corruption
+    val again = IndexStore.fsckRepair(spark, root.toString)
+      .as[(String, String, String, String)].collect().toSet
+    assert(again == Set(
+      ("dangling_manifest", "v000000011", "corrupt", "kept")))
+  }
 }
