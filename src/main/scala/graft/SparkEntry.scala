@@ -4125,13 +4125,57 @@ object SparkEntry {
           .otherwise(col("__nl")).cast("long").as("n_links_kept"))
     }),
 
+    // ── embedding DRIFT report (SimSearch.embeddingDriftReport —
+    // the distribution-shift QA gate between corpus versions, the
+    // ScaleProbe drift device made a certified operator): per-dim
+    // integer-quantized sums (round(x·2²⁰)) and the cross-multiplied
+    // mean difference in exact floor division — no doubles after
+    // quantization. Version A = even vec_ids; version B = odd ids
+    // with a PLANTED +0.25 shift on dims 0..3 (double arithmetic on
+    // both sides — the float/double parity rule), so exactly those
+    // four dims must flag `drifted` at the 0.125 threshold while
+    // every natural even/odd difference stays `stable`. ──
+    "q350_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") % 2 === 0)
+      val b = emb.filter(col("vec_id") % 2 === 1)
+        .select(transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i < 4, lit(0.25d)).otherwise(lit(0.0d)))
+          .as("embedding"))
+      graft.ext.SimSearch.embeddingDriftReport(a, b, "embedding",
+        flagQUnits = 131072L)
+    }),
+
+    // ── schedule-mix AUDIT (Sampling.scheduleMixReport — the
+    // validation tool for ANY interleave order): at each arrival the
+    // deviation from the target mix is |src_rank·W − position·w_s|
+    // in exact integer 1/W units. Over the equal-sized 20-source
+    // fixture the report EXPOSES exhaustion drift — weight-3 sources
+    // run out early and the tail re-normalizes (max 481 units ≈ 12
+    // items at sf0.01, growing with corpus size) — which is the
+    // finding a mix audit exists to surface: the schedule holds the
+    // mix only while sources last, so size sources to their weights
+    // upstream (q262/q268's job). Pure per-row arithmetic + one
+    // small aggregate. ──
+    "q349_schedule_audit" -> ((s, dir) => {
+      val weights = (0 until 20).map(n => s"src$n" -> ((n % 3) + 1).toLong).toMap
+      val sched = graft.operators.Sampling.weightedInterleave(
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .repartition(32, col("doc_id")),
+        "source", "doc_id", weights)
+      graft.operators.Sampling.scheduleMixReport(
+        sched, "source", "src_rank", "position", weights)
+    }),
+
     // ── QUALITY-CURRICULUM schedule (q348): the q336 quality score
     // bucketed at fixed thresholds (≥80000 ppm high / ≥30000 mid /
     // low — all three populated at every SF) and fed through
     // weightedInterleave at weights 3:2:1 — the curriculum a
     // quality-weighted training run consumes: high-quality docs are
-    // seen 3× as densely, every prefix holds the mix to within one
-    // item per bucket, and the whole order is deterministic (the
+    // seen 3× as densely UNTIL THE BUCKET EXHAUSTS (the curriculum
+    // intent: quality front-loads, the tail re-normalizes over the
+    // survivors), and the whole order is deterministic (the
     // resumable-schedule contract). Oracle: the shared PrScoreCtes +
     // the integer error-diffusion interleave mirror. ──
     "q348_curriculum_schedule" -> ((s, dir) => {
@@ -4264,9 +4308,10 @@ object SparkEntry {
     // ── DETERMINISTIC weighted interleave (Sampling
     // .weightedInterleave — the data-MIXING SCHEDULE a training run
     // consumes): integer per-source weights (src N weighs N%3+1),
-    // every prefix holds the target proportions to within one item
-    // per source via the error-diffusion key (2k−1)·(lcm/w) — pure
-    // integers, both engines order identically. No per-source
+    // prefixes hold the target proportions while every source has
+    // items via the error-diffusion key (2k−1)·(lcm/w) — pure
+    // integers, both engines order identically (q349 audits the
+    // drift once finite sources exhaust). No per-source
     // window: two globalDenseSeq passes + a ≤|sources|-row offset
     // broadcast (a giant source never pins a partition). ──
     "q345_weighted_interleave" -> ((s, dir) => {
@@ -9011,6 +9056,26 @@ object SparkEntry {
         |    ON r.host = f.host AND starts_with(f.path, r.prefix))
         |""".stripMargin
 
+  /** q345/q349 shared oracle CTEs — the integer error-diffusion
+    * interleave over the 20-source residue weights, ending with
+    * `sch(doc_id, source, src_rank, position)`.
+    */
+  private val WeightedInterleaveCtes: String =
+    """WITH k AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS k
+      |  FROM documents),
+      |ky AS (
+      |  SELECT doc_id, source, k,
+      |    (2 * k - 1) * (6 // (CAST(regexp_extract(source, 'src([0-9]+)', 1)
+      |      AS BIGINT) % 3 + 1)) AS key
+      |  FROM k),
+      |sch AS (
+      |  SELECT doc_id, source, CAST(k AS BIGINT) AS src_rank,
+      |    CAST(row_number() OVER (ORDER BY key, source) AS BIGINT) AS position
+      |  FROM ky)
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -11099,6 +11164,38 @@ object SparkEntry {
         |  text || ' caf' || chr(233) || ' 16' AS text
         |FROM documents""".stripMargin,
 
+    // drift mirror: per-dim quantized sums both versions (1-based
+    // subscripts re-based to the operator's 0-based dims), the same
+    // cross-multiplied floor division, 0.25 planted on dims 1..4
+    // in DOUBLE
+    "q350_embedding_drift" ->
+      """WITH ea AS (
+        |  SELECT p - 1 AS dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS q
+        |  FROM (SELECT unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS p
+        |        FROM embeddings WHERE vec_id % 2 = 0)),
+        |eb AS (
+        |  SELECT p - 1 AS dim,
+        |    CAST(round((CAST(x AS DOUBLE) +
+        |      CASE WHEN p <= 4 THEN 0.25 ELSE 0.0 END) * 1048576)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS p
+        |        FROM embeddings WHERE vec_id % 2 = 1)),
+        |sa AS (SELECT dim, count(*) AS n_a, sum(q) AS sum_qa
+        |       FROM ea GROUP BY 1),
+        |sb AS (SELECT dim, count(*) AS n_b, sum(q) AS sum_qb
+        |       FROM eb GROUP BY 1)
+        |SELECT CAST(sa.dim AS BIGINT) AS dim,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(sum_qa AS BIGINT) AS sum_qa, CAST(sum_qb AS BIGINT) AS sum_qb,
+        |  CAST(abs(sum_qa * n_b - sum_qb * n_a) // (n_a * n_b) AS BIGINT)
+        |    AS mean_diff_q,
+        |  CASE WHEN abs(sum_qa * n_b - sum_qb * n_a) // (n_a * n_b)
+        |       >= 131072 THEN 'drifted' ELSE 'stable' END AS verdict
+        |FROM sa JOIN sb ON sa.dim = sb.dim""".stripMargin,
+
     // curriculum mirror: the shared score CTEs + fixed-threshold
     // buckets + the same integer error-diffusion key (lcm 6 over
     // weights 3:2:1 → multipliers 2/3/6)
@@ -11165,19 +11262,18 @@ object SparkEntry {
     // interleave mirror: per-source row_number, the same integer
     // error-diffusion key (lcm 6 over weights {1,2,3}), one global
     // row_number over (key, source)
-    "q345_weighted_interleave" ->
-      """WITH k AS (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS k
-        |  FROM documents),
-        |ky AS (
-        |  SELECT doc_id, source, k,
-        |    (2 * k - 1) * (6 // (CAST(regexp_extract(source, 'src([0-9]+)', 1)
-        |      AS BIGINT) % 3 + 1)) AS key
-        |  FROM k)
-        |SELECT doc_id, source, CAST(k AS BIGINT) AS src_rank,
-        |  CAST(row_number() OVER (ORDER BY key, source) AS BIGINT) AS position
-        |FROM ky""".stripMargin,
+    "q345_weighted_interleave" -> (WeightedInterleaveCtes +
+      """SELECT doc_id, source, src_rank, position FROM sch"""),
+
+    // schedule-audit mirror: the SAME interleave CTEs + the exact
+    // integer deviation arithmetic (W = 39 over the residue weights)
+    "q349_schedule_audit" -> (WeightedInterleaveCtes +
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(max(abs(src_rank * 39 - position *
+        |    (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT)
+        |      % 3 + 1))) AS BIGINT) AS max_dev_units,
+        |  CAST(39 AS BIGINT) AS w_total
+        |FROM sch GROUP BY source""".stripMargin),
 
     // cdc-chunk mirror: the q48 md5-12-hex device per token, boundary
     // where h % 64 = 0, running boundary count EXCLUSIVE of the

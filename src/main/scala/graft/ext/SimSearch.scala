@@ -648,6 +648,44 @@ object SimSearch {
       hashes.withColumn("__one", lit(0)), idCol, "__one", hashCol, maxDist)
       .drop("align")
 
+  /** Per-dimension embedding DRIFT report — the distribution-shift
+    * QA gate between two corpus versions (a re-embedded corpus, a
+    * new crawl, a model upgrade): per dimension, integer-quantized
+    * sums (round(x·2²⁰), the ScaleProbe device made a certified
+    * operator) and the cross-multiplied mean difference
+    * |sum_a·n_b − sum_b·n_a| div (n_a·n_b) — exact integer floor
+    * division, NO doubles after quantization, so both engines emit
+    * bit-identical reports. A dimension flags `drifted` when the
+    * mean moved ≥ `flagQUnits` quantized units (2²⁰ units = 1.0).
+    *
+    * Inputs are pre-cast per-element to DOUBLE before any arithmetic
+    * the caller adds (float math and double math round differently —
+    * the parity rule). 100-TB shape: one posexplode + per-dim
+    * partial-aggregable sums per side, a |dims|-row join — corpus
+    * scans are single-pass, the report is dims-sized.
+    * Returns (dim, n_a, n_b, sum_qa, sum_qb, mean_diff_q, verdict).
+    */
+  def embeddingDriftReport(
+      a: DataFrame, b: DataFrame, vecCol: String,
+      flagQUnits: Long = 131072L): DataFrame = {
+    val q = 1048576L
+    def per(df: DataFrame, tag: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("dim"),
+        round(col("__x").cast("double") * q).cast("long").as("__q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as(s"n_$tag"), sum(col("__q")).as(s"sum_q$tag"))
+    val joined = per(a, "a").join(per(b, "b"), Seq("dim"))
+    val cross = abs(col("sum_qa") * col("n_b") - col("sum_qb") * col("n_a"))
+    val md = ((cross - pmod(cross, col("n_a") * col("n_b"))) /
+      (col("n_a") * col("n_b"))).cast("long")
+    joined.select(col("dim").cast("long").as("dim"),
+      col("n_a"), col("n_b"), col("sum_qa"), col("sum_qb"),
+      md.as("mean_diff_q"),
+      when(md >= flagQUnits, lit("drifted")).otherwise(lit("stable"))
+        .as("verdict"))
+  }
+
   /** Batch-vs-corpus banded hamming probe (round 16 — the ingest
     * lifecycle's cross-wave leg): candidates pair a NEW hash against
     * a STORED one, same four-band pigeonhole recall, never

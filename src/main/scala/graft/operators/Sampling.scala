@@ -59,7 +59,11 @@ object Sampling {
   /** DETERMINISTIC weighted interleave — the data-MIXING SCHEDULE a
     * training run consumes: given integer per-source weights, produce
     * one global order in which every prefix holds the target source
-    * proportions to within one item per source (error-diffusion /
+    * proportions WHILE EVERY SOURCE STILL HAS ITEMS — to within a
+    * few items, bounded by the tie-block width (~#sources),
+    * INDEPENDENT of corpus length; once a finite source exhausts,
+    * the remainder re-normalizes over the survivors and
+    * [[scheduleMixReport]] reports the drift (error-diffusion /
     * low-discrepancy interleaving: item k of source s sits at
     * rational position (k − ½)/w_s, realized as the INTEGER key
     * (2k−1)·(L/w_s) with L = lcm(weights) — no doubles, both engines
@@ -106,6 +110,48 @@ object Sampling {
     Layout.globalDenseSeq(ranked,
         Seq(col("__key"), col(sourceCol)), "position")
       .drop("__key")
+  }
+
+  /** Schedule-mix AUDIT — the validation tool for ANY interleave
+    * order (ours or an external one): at every row's arrival, the
+    * source's running count is its src_rank and the prefix length is
+    * its position, so the deviation from the target mix is
+    * |src_rank·W − position·w_s| in exact integer units of 1/W — no
+    * doubles, no extra pass. Reports the worst arrival-point
+    * deviation per source. The audit catches BOTH failure modes:
+    * construction error (bounded by the tie-block width while all
+    * sources have items) and EXHAUSTION DRIFT — once a finite heavy
+    * source runs out, the tail re-normalizes over the survivors and
+    * the light sources' deviation grows with the remaining length
+    * (q349 measures exactly this on the equal-sized fixture: the
+    * drift scales with corpus size, which is the finding a real mix
+    * audit exists to surface — fix it upstream by sizing sources to
+    * their weights or resampling, q262/q268's job). Deviation
+    * BETWEEN arrivals is bounded by the next arrival's value + w_s
+    * and deliberately not enumerated.
+    *
+    * Input must carry (sourceCol, rankCol, positionCol) — exactly
+    * [[weightedInterleave]]'s output shape. Pure per-row arithmetic +
+    * one small aggregate; nothing global.
+    * Returns (source, n_items, max_dev_units, w_total) where
+    * max_dev_units/W items is the worst deviation.
+    */
+  def scheduleMixReport(
+      schedule: DataFrame, sourceCol: String, rankCol: String,
+      positionCol: String, weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wTotal = weights.values.sum
+    val w = weights.foldLeft(lit(1L)) { case (acc, (src, wt)) =>
+      when(col(sourceCol) === src, lit(wt)).otherwise(acc)
+    }
+    schedule
+      .select(col(sourceCol).as("source"),
+        abs(col(rankCol) * wTotal - col(positionCol) * w).as("__dev"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_items"),
+        max(col("__dev")).cast("long").as("max_dev_units"))
+      .withColumn("w_total", lit(wTotal))
   }
 
   def epochMix(
