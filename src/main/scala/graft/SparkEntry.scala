@@ -4147,6 +4147,33 @@ object SparkEntry {
         flagQUnits = 131072L)
     }),
 
+    // ── MERGEABLE drift state (SimSearch.driftState/mergeDriftStates
+    // /driftFromStates — the q338 discipline on the drift arc):
+    // per-batch per-dim quantized partials fold by re-group, so a
+    // day's embedding batch joins the report without rescanning
+    // history. Each version splits %4 into two batches whose states
+    // merge; the result must equal the ONE-SHOT q350 report —
+    // certified against q350's oracle VERBATIM (EmbDriftSql). Every
+    // dim lives in BOTH batches of both versions, so the merge
+    // re-aggregation is provably live. ──
+    "q351_drift_incremental" -> ((s, dir) => {
+      import graft.ext.SimSearch
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") % 2 === 0)
+      val b = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i < 4, lit(0.25d)).otherwise(lit(0.0d)))
+          .as("embedding"))
+      def merged(df: DataFrame, sel: Column) = SimSearch.mergeDriftStates(
+        SimSearch.driftState(df.filter(sel), "embedding"),
+        SimSearch.driftState(df.filter(!sel), "embedding"))
+      SimSearch.driftFromStates(
+        merged(a, col("vec_id") % 4 === 0),
+        merged(b, col("vec_id") % 4 === 1),
+        flagQUnits = 131072L)
+    }),
+
     // ── schedule-mix AUDIT (Sampling.scheduleMixReport — the
     // validation tool for ANY interleave order): at each arrival the
     // deviation from the target mix is |src_rank·W − position·w_s|
@@ -9076,6 +9103,38 @@ object SparkEntry {
       |  FROM ky)
       |""".stripMargin
 
+  /** q350/q351 shared oracle — the one-shot drift report; ONE
+    * definition so the merged-state variant cannot drift from the
+    * surface it must equal.
+    */
+  private val EmbDriftSql: String =
+      """WITH ea AS (
+        |  SELECT p - 1 AS dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS q
+        |  FROM (SELECT unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS p
+        |        FROM embeddings WHERE vec_id % 2 = 0)),
+        |eb AS (
+        |  SELECT p - 1 AS dim,
+        |    CAST(round((CAST(x AS DOUBLE) +
+        |      CASE WHEN p <= 4 THEN 0.25 ELSE 0.0 END) * 1048576)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS p
+        |        FROM embeddings WHERE vec_id % 2 = 1)),
+        |sa AS (SELECT dim, count(*) AS n_a, sum(q) AS sum_qa
+        |       FROM ea GROUP BY 1),
+        |sb AS (SELECT dim, count(*) AS n_b, sum(q) AS sum_qb
+        |       FROM eb GROUP BY 1)
+        |SELECT CAST(sa.dim AS BIGINT) AS dim,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(sum_qa AS BIGINT) AS sum_qa, CAST(sum_qb AS BIGINT) AS sum_qb,
+        |  CAST(abs(sum_qa * n_b - sum_qb * n_a) // (n_a * n_b) AS BIGINT)
+        |    AS mean_diff_q,
+        |  CASE WHEN abs(sum_qa * n_b - sum_qb * n_a) // (n_a * n_b)
+        |       >= 131072 THEN 'drifted' ELSE 'stable' END AS verdict
+        |FROM sa JOIN sb ON sa.dim = sb.dim""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -11168,33 +11227,11 @@ object SparkEntry {
     // subscripts re-based to the operator's 0-based dims), the same
     // cross-multiplied floor division, 0.25 planted on dims 1..4
     // in DOUBLE
-    "q350_embedding_drift" ->
-      """WITH ea AS (
-        |  SELECT p - 1 AS dim,
-        |    CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS q
-        |  FROM (SELECT unnest(embedding) AS x,
-        |          generate_subscripts(embedding, 1) AS p
-        |        FROM embeddings WHERE vec_id % 2 = 0)),
-        |eb AS (
-        |  SELECT p - 1 AS dim,
-        |    CAST(round((CAST(x AS DOUBLE) +
-        |      CASE WHEN p <= 4 THEN 0.25 ELSE 0.0 END) * 1048576)
-        |      AS BIGINT) AS q
-        |  FROM (SELECT unnest(embedding) AS x,
-        |          generate_subscripts(embedding, 1) AS p
-        |        FROM embeddings WHERE vec_id % 2 = 1)),
-        |sa AS (SELECT dim, count(*) AS n_a, sum(q) AS sum_qa
-        |       FROM ea GROUP BY 1),
-        |sb AS (SELECT dim, count(*) AS n_b, sum(q) AS sum_qb
-        |       FROM eb GROUP BY 1)
-        |SELECT CAST(sa.dim AS BIGINT) AS dim,
-        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        |  CAST(sum_qa AS BIGINT) AS sum_qa, CAST(sum_qb AS BIGINT) AS sum_qb,
-        |  CAST(abs(sum_qa * n_b - sum_qb * n_a) // (n_a * n_b) AS BIGINT)
-        |    AS mean_diff_q,
-        |  CASE WHEN abs(sum_qa * n_b - sum_qb * n_a) // (n_a * n_b)
-        |       >= 131072 THEN 'drifted' ELSE 'stable' END AS verdict
-        |FROM sa JOIN sb ON sa.dim = sb.dim""".stripMargin,
+    "q350_embedding_drift" -> EmbDriftSql,
+
+    // IDENTICAL SQL to q350: merged per-batch drift states must
+    // rebuild the one-shot report exactly (the q186/q338 discipline)
+    "q351_drift_incremental" -> EmbDriftSql,
 
     // curriculum mirror: the shared score CTEs + fixed-threshold
     // buckets + the same integer error-diffusion key (lcm 6 over

@@ -667,15 +667,39 @@ object SimSearch {
     */
   def embeddingDriftReport(
       a: DataFrame, b: DataFrame, vecCol: String,
-      flagQUnits: Long = 131072L): DataFrame = {
-    val q = 1048576L
-    def per(df: DataFrame, tag: String) = df
-      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
-      .select(col("dim"),
-        round(col("__x").cast("double") * q).cast("long").as("__q"))
+      flagQUnits: Long = 131072L): DataFrame =
+    driftFromStates(driftState(a, vecCol), driftState(b, vecCol),
+      flagQUnits)
+
+  /** Per-dimension quantized partial state (dim, __n, __sq) — the
+    * MERGEABLE half of [[embeddingDriftReport]] (the q338/
+    * IncrementalAgg discipline on the drift arc): counts and
+    * quantized sums fold by re-group, so a day's embedding batch
+    * joins the report without rescanning history. q351 certifies
+    * merge(batch states) == the one-shot q350 report VERBATIM.
+    */
+  def driftState(df: DataFrame, vecCol: String): DataFrame = df
+    .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+    .select(col("dim"),
+      round(col("__x").cast("double") * 1048576L).cast("long").as("__q"))
+    .groupBy("dim")
+    .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__sq"))
+
+  /** Fold partial drift states — sums of sums. */
+  def mergeDriftStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
       .groupBy("dim")
-      .agg(count(lit(1)).as(s"n_$tag"), sum(col("__q")).as(s"sum_q$tag"))
-    val joined = per(a, "a").join(per(b, "b"), Seq("dim"))
+      .agg(sum(col("__n")).as("__n"), sum(col("__sq")).as("__sq"))
+
+  /** The report from two (merged) version states — contract in
+    * [[embeddingDriftReport]].
+    */
+  def driftFromStates(
+      a: DataFrame, b: DataFrame, flagQUnits: Long): DataFrame = {
+    val joined = a
+      .select(col("dim"), col("__n").as("n_a"), col("__sq").as("sum_qa"))
+      .join(b.select(col("dim"), col("__n").as("n_b"),
+        col("__sq").as("sum_qb")), Seq("dim"))
     val cross = abs(col("sum_qa") * col("n_b") - col("sum_qb") * col("n_a"))
     val md = ((cross - pmod(cross, col("n_a") * col("n_b"))) /
       (col("n_a") * col("n_b"))).cast("long")
