@@ -4147,6 +4147,50 @@ object SparkEntry {
         flagQUnits = 131072L)
     }),
 
+    // ── text/plain media intake (FetchDecode's round-16 mediaTypes
+    // allowlist — real crawls carry plain-text documents the charset
+    // machinery decodes identically): arms (doc_id % 6): 0
+    // text/plain + declared cp1252 (the legacy-charset leg on a
+    // plain body), 1 text/plain undeclared utf-8 (strict leg), 2
+    // text/html control, 3 application/json — STILL bad_type under
+    // the extended allowlist, 4 text/plain + gzip (two-stage), 5
+    // text/plain whose body CONTAINS '<meta charset=koi8-r>' as
+    // literal text — under html the meta-sniff leg would fire, and
+    // it still does here BY DESIGN (the WHATWG prescan is
+    // content-sniffing; the arm pins that behavior so a future
+    // 'plain disables sniff' change must re-certify consciously —
+    // body authored in koi8-r so the sniff decodes it CORRECTLY). ──
+    "q352_fetch_text_plain" -> ((s, dir) => {
+      import graft.ext.FetchDecode
+      import graft.plans.{Inflate, Transcode}
+      val id = col("doc_id")
+      val a = id % 6
+      val docs = t(s, dir, "documents").select(id, col("text"))
+        .repartition(32, id)
+      def mkHead(lines: String*) = lit(lines.mkString("", "\r\n", "\r\n\r\n"))
+      val headC =
+        when(a === 0, mkHead("HTTP/1.1 200 OK",
+          "Content-Type: text/plain; charset=windows-1252"))
+          .when(a === 2, mkHead("HTTP/1.1 200 OK", "Content-Type: text/html"))
+          .when(a === 3, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: application/json"))
+          .when(a === 4, mkHead("HTTP/1.1 200 OK",
+            "Content-Type: text/plain", "Content-Encoding: gzip"))
+          .otherwise(mkHead("HTTP/1.1 200 OK", "Content-Type: text/plain"))
+      val body =
+        when(a === 0, Transcode.encode(
+          concat(col("text"), lit(" caf\u00E9 txt")), lit("windows-1252")))
+          .when(a === 4, Inflate.gzipCompress(col("text").cast("binary")))
+          .when(a === 5, Transcode.encode(
+            concat(lit("<meta charset=koi8-r> \u043C\u0438\u0440 "),
+              col("text")), lit("koi8-r")))
+          .otherwise(col("text").cast("binary"))
+      FetchDecode.decodeResponses(
+        docs.select(id, FetchDecode.responseRecord(headC, body).as("raw")),
+        "doc_id", "raw", maxBytes = FetchMaxBytes,
+        mediaTypes = FetchDecode.TextMediaTypes)
+    }),
+
     // ── MERGEABLE drift state (SimSearch.driftState/mergeDriftStates
     // /driftFromStates — the q338 discipline on the drift arc):
     // per-batch per-dim quantized partials fold by re-group, so a
@@ -11221,6 +11265,27 @@ object SparkEntry {
         |  CASE doc_id % 5 WHEN 4 THEN 'header' ELSE 'bom' END AS cs_source,
         |  'ok' AS decision,
         |  text || ' caf' || chr(233) || ' 16' AS text
+        |FROM documents""".stripMargin,
+
+    // text/plain mirror: closed-form per arm (the disjoint-arms
+    // discipline); arm 5 pins the WHATWG content-sniff firing on a
+    // plain body BY DESIGN
+    "q352_fetch_text_plain" ->
+      """SELECT doc_id, 200 AS status,
+        |  CASE doc_id % 6 WHEN 2 THEN 'text/html'
+        |    WHEN 3 THEN 'application/json' ELSE 'text/plain' END
+        |    AS content_type,
+        |  CASE doc_id % 6 WHEN 0 THEN 'windows-1252' WHEN 3 THEN ''
+        |    WHEN 5 THEN 'koi8-r' ELSE 'utf-8' END AS charset,
+        |  CASE doc_id % 6 WHEN 0 THEN 'header' WHEN 3 THEN ''
+        |    WHEN 5 THEN 'meta' ELSE 'utf8' END AS cs_source,
+        |  CASE doc_id % 6 WHEN 3 THEN 'bad_type' ELSE 'ok' END AS decision,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN text || ' caf' || chr(233) || ' txt'
+        |    WHEN 3 THEN NULL
+        |    WHEN 5 THEN '<meta charset=koi8-r> ' || chr(1084) || chr(1080)
+        |      || chr(1088) || ' ' || text
+        |    ELSE text END AS text
         |FROM documents""".stripMargin,
 
     // drift mirror: per-dim quantized sums both versions (1-based

@@ -57,8 +57,9 @@ import graft.plans.{Inflate, Transcode}
   * outside identity/chunked, a CHUNKED body whose chunk framing is
   * bad — `chunked` itself de-chunks in-line via
   * [[HttpRecord.decodeChunked]], round 16 — or a Content-Encoding
-  * outside identity/gzip/x-gzip/deflate/zstd) > `bad_type` (not
-  * text/html) > `bad_inflate` (corrupt/truncated/bomb gzip, deflate
+  * outside identity/gzip/x-gzip/deflate/zstd) > `bad_type` (media
+  * type outside the caller's allowlist — default html-only,
+  * [[HtmlMediaTypes]]) > `bad_inflate` (corrupt/truncated/bomb gzip, deflate
   * or zstd payload — the [[Inflate]] NULL routes) > `bad_charset`
   * (declared-but-unsupported charset) > `ok`. Per RFC 9112 TE wraps
   * CE on the wire, so de-chunking precedes the inflate stage. Non-ok rows carry NULL text and ''
@@ -92,9 +93,22 @@ object FetchDecode {
   /** (idCol, status, content_type, charset, cs_source, decision,
     * text) — contract above.
     */
+  /** Media types admitted past the `bad_type` rung. The default is
+    * html-only (every certified oracle predates the round-16
+    * parameter and stays byte-stable); a text corpus intake passes
+    * `TextMediaTypes` — real crawls carry plain-text documents
+    * (robots.txt bodies, READMEs, .txt mirrors) that the charset
+    * machinery decodes identically (the meta-sniff leg simply never
+    * fires on them, q352's certified arm).
+    */
+  val HtmlMediaTypes: Seq[String] = Seq("text/html")
+  val TextMediaTypes: Seq[String] = Seq("text/html", "text/plain")
+
   def decodeResponses(
       df: DataFrame, idCol: String, rawCol: String,
-      maxBytes: Int = Inflate.DefaultMaxBytes): DataFrame = {
+      maxBytes: Int = Inflate.DefaultMaxBytes,
+      mediaTypes: Seq[String] = HtmlMediaTypes): DataFrame = {
+    require(mediaTypes.nonEmpty, "mediaTypes allowlist must be non-empty")
     // ── stage 1: the latin-1 bridge + framing scalars, all through
     // the SHARED HttpRecord definitions (media type, charset param
     // incl. the RFC 9110 quoted form, and the malformed/bad_status/
@@ -196,7 +210,7 @@ object FetchDecode {
         .when(col("chunk_bad"), lit("bad_encoding"))
         .when(!col("ce").isin(SupportedEncodings: _*),
           lit("bad_encoding"))
-        .when(col("content_type") =!= "text/html", lit("bad_type"))
+        .when(!col("content_type").isin(mediaTypes: _*), lit("bad_type"))
         .when(col("inflate_null"), lit("bad_inflate"))
         .when(col("cs_source_raw") =!= "" && !csKnown, lit("bad_charset"))
         .otherwise(lit("ok"))
