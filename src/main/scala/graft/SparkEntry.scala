@@ -4147,6 +4147,26 @@ object SparkEntry {
         flagQUnits = 131072L)
     }),
 
+    // ── STREAMING drift ingest (StreamingReports.driftIngestReplay —
+    // the mergeable drift state live on a stream, the q316/q334
+    // lifecycle discipline on the QA arc): the shifted candidate
+    // version arrives in two waves, each folding O(dims) state; the
+    // accumulated state reports against the frozen reference and
+    // must equal the ONE-SHOT q350 report — certified against q350's
+    // oracle VERBATIM (EmbDriftSql). ──
+    "q353_drift_stream" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") % 2 === 0)
+      val b = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i < 4, lit(0.25d)).otherwise(lit(0.0d)))
+          .as("embedding"))
+      graft.streaming.StreamingReports.driftIngestReplay(
+        s, a, b, "embedding", waveA = col("vec_id") % 4 === 1,
+        flagQUnits = 131072L)
+    }),
+
     // ── text/plain media intake (FetchDecode's round-16 mediaTypes
     // allowlist — real crawls carry plain-text documents the charset
     // machinery decodes identically): arms (doc_id % 6): 0
@@ -11297,6 +11317,10 @@ object SparkEntry {
     // IDENTICAL SQL to q350: merged per-batch drift states must
     // rebuild the one-shot report exactly (the q186/q338 discipline)
     "q351_drift_incremental" -> EmbDriftSql,
+
+    // IDENTICAL SQL again: the streaming fold must accumulate the
+    // same report from two waves (the q232/q316 discipline)
+    "q353_drift_stream" -> EmbDriftSql,
 
     // curriculum mirror: the shared score CTEs + fixed-threshold
     // buckets + the same integer error-diffusion key (lcm 6 over

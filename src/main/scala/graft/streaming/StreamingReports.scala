@@ -1442,6 +1442,56 @@ object StreamingReports {
     pairs
   }
 
+  /** STREAMING drift-report ingest (round 16 — the mergeable-state
+    * discipline live on a stream): embedding waves of the CANDIDATE
+    * version fold into a running [[graft.ext.SimSearch.driftState]]
+    * via mergeDriftStates (sums of sums — O(dims) state per fold,
+    * the cheapest possible streaming aggregate), and after the
+    * stream drains the accumulated state reports against the frozen
+    * REFERENCE version — q353 certifies the result equals the
+    * one-shot q350 report VERBATIM. This is the production shape for
+    * continuous embedding QA: the reference state is computed once,
+    * each ingest batch folds in constant-size state, and the drift
+    * gate runs per microbatch at dims-cost.
+    */
+  def driftIngestReplay(
+      outer: SparkSession, reference: DataFrame, candidate: DataFrame,
+      vecCol: String, waveA: Column, flagQUnits: Long): DataFrame = {
+    import graft.ext.SimSearch
+    val spark = replaySession(outer)
+    val tmpR = java.nio.file.Files.createTempDirectory("graft-drift-ref")
+    reference.write.mode("overwrite").parquet(tmpR.toString)
+    val refState = SimSearch.driftState(
+      spark.read.parquet(tmpR.toString), vecCol).localCheckpoint()
+    val tmpC = java.nio.file.Files.createTempDirectory("graft-drift-cand")
+    candidate.write.mode("overwrite").parquet(tmpC.toString)
+    val cand = spark.read.parquet(tmpC.toString).localCheckpoint()
+    var candState: DataFrame = null
+    val landing = java.nio.file.Files.createTempDirectory("graft-drift-waves")
+    def deliverWave(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(landing.toString)
+    deliverWave(cand.filter(waveA))
+    val q = spark.readStream.schema(cand.schema).parquet(landing.toString)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val st = SimSearch.driftState(b.localCheckpoint(), vecCol)
+          candState = (if (candState == null) st
+            else SimSearch.mergeDriftStates(candState, st)).localCheckpoint()
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      deliverWave(cand.filter(!waveA))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      deleteRecursively(landing)
+      deleteRecursively(tmpR)
+      deleteRecursively(tmpC)
+    }
+    SimSearch.driftFromStates(refState, candState, flagQUnits)
+  }
+
   // ── EXACTLY-ONCE semantic-dedup ingest (round-15 forward item #3:
   // the replay-idempotency caveat on [[semDedupIngestReplay]],
   // closed by composing the q99/CDC manifest discipline onto the
