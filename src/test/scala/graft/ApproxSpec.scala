@@ -26,4 +26,33 @@ class ApproxSpec extends SparkSpec {
     val spread = events.select(max($"value") - min($"value")).as[Double].head()
     assert(math.abs(approx - exact) <= spread * 0.1)
   }
+
+  test("embeddingDriftReport: hand-computed quantized arithmetic, " +
+      "flag threshold, and state-merge equivalence") {
+    import graft.ext.SimSearch
+    val a = Seq(Tuple1(Seq(1.0f, -0.5f))).toDF("embedding")
+    val b = Seq(Tuple1(Seq(1.0f, 0.5f)), Tuple1(Seq(1.0f, 1.5f)))
+      .toDF("embedding")
+    val got = SimSearch.embeddingDriftReport(a, b, "embedding",
+        flagQUnits = 131072L)
+      .orderBy("dim")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    // dim0: means 1.0 vs 1.0 -> diff 0, stable
+    // dim1: means -0.5 vs 1.0 -> diff 1.5 = 1572864 q-units, drifted
+    assert(got == Seq(
+      (0L, 1L, 2L, 1048576L, 2097152L, 0L, "stable"),
+      (1L, 1L, 2L, -524288L, 2097152L, 1572864L, "drifted")))
+    // merging a split of b's rows reproduces the identical report
+    val merged = SimSearch.driftFromStates(
+      SimSearch.driftState(a, "embedding"),
+      SimSearch.mergeDriftStates(
+        SimSearch.driftState(
+          b.filter(element_at(col("embedding"), 2) < 1.0f), "embedding"),
+        SimSearch.driftState(
+          b.filter(element_at(col("embedding"), 2) >= 1.0f), "embedding")),
+      flagQUnits = 131072L)
+      .orderBy("dim")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(merged == got)
+  }
 }
