@@ -4147,6 +4147,30 @@ object SparkEntry {
         flagQUnits = 131072L)
     }),
 
+    // ── EXACTLY-ONCE perceptual-dedup ingest (q334's lifecycle
+    // under the q319 batchId-manifest guard — closing the same
+    // redelivery caveat on the hamming arc that round 15 closed on
+    // the semantic arc): waves publish hashes under versioned dirs
+    // with the manifest rename LAST, the corpus is the union of
+    // COMMITTED versions, and the harness re-delivers wave A
+    // verbatim under its original batchId after the drain — the
+    // guard no-ops it and the pair set still equals q326's one-shot
+    // brute-force oracle VERBATIM. The StreamingSpec negative probe
+    // re-delivers under a FRESH batchId and the within-wave pair
+    // duplicates — the guard is load-bearing. ──
+    "q354_hamming_exactly_once" -> ((s, _) => {
+      import graft.ext.Multimodal
+      val hashes = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_dhash")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      graft.streaming.StreamingReports.hammingDedupIngestIdempotentReplay(
+        s, hashes, "name", "dhash",
+        waveA = !col("name").isin("near1.bmp", "near2.bmp", "near3.bmp"),
+        maxDist = 3)
+    }),
+
     // ── STREAMING drift ingest (StreamingReports.driftIngestReplay —
     // the mergeable drift state live on a stream, the q316/q334
     // lifecycle discipline on the QA arc): the shifted candidate
@@ -11691,6 +11715,10 @@ object SparkEntry {
     // lifecycle must accumulate the one-shot all-pairs set (the q186
     // identical-oracle discipline)
     "q334_hamming_dedup_stream" -> ImageNearDupSql,
+
+    // IDENTICAL SQL again: the guarded redelivery must be invisible
+    // (the q319 discipline on the hamming arc)
+    "q354_hamming_exactly_once" -> ImageNearDupSql,
 
     // aHash mirror: the generator's independent python implementation
     // of the shared envelope-hash spec over formula samples

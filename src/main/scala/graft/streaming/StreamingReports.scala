@@ -1492,6 +1492,82 @@ object StreamingReports {
     SimSearch.driftFromStates(refState, candState, flagQUnits)
   }
 
+  /** EXACTLY-ONCE perceptual-dedup ingest (the q319 batchId-manifest
+    * discipline on the hamming arc — [[hammingDedupIngestReplay]]
+    * without this guard would double BOTH the within-wave pairs and
+    * the store rows on a crash redelivery): each wave publishes its
+    * hashes under `v<batchId>/` with the `_manifest/v<batchId>.json`
+    * rename LAST, the effective corpus is the union of COMMITTED
+    * versions, and a redelivered batchId no-ops before any fold.
+    * After the stream drains, the harness RE-DELIVERS wave A
+    * verbatim under its ORIGINAL batchId — the guard must make it
+    * invisible and the pair set still equals q326's one-shot oracle
+    * VERBATIM (q354). `redeliverGuarded = false` is the StreamingSpec
+    * NEGATIVE probe: the same redelivery under a FRESH batchId (the
+    * unguarded pipeline's view) duplicates wave A's within-wave
+    * pair, proving the guard is load-bearing.
+    */
+  def hammingDedupIngestIdempotentReplay(
+      outer: SparkSession, hashes: DataFrame, idCol: String,
+      hashCol: String, waveA: Column, maxDist: Int = 3,
+      redeliverGuarded: Boolean = true): DataFrame = {
+    import graft.ext.SimSearch
+    val spark = replaySession(outer)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hhx-corpus")
+    hashes.write.mode("overwrite").parquet(tmp.toString)
+    val h = spark.read.parquet(tmp.toString).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("graft-hhx-store")
+    java.nio.file.Files.createDirectories(store.resolve("_manifest"))
+    var pairs = SimSearch.hammingBandedPairs(h.limit(0), idCol, hashCol,
+      maxDist).localCheckpoint()
+    def committedDirs(): Seq[String] =
+      Option(store.resolve("_manifest").toFile.listFiles())
+        .map(_.toSeq.map(_.getName).filter(_.matches("v\\d{9}\\.json"))
+          .map(_.stripSuffix(".json")).sorted
+          .map(v => store.resolve(v).toString))
+        .getOrElse(Seq.empty)
+    def applyBatch(b: DataFrame, batchId: Long): Unit = {
+      val mf = store.resolve("_manifest").resolve(f"v$batchId%09d.json")
+      if (java.nio.file.Files.exists(mf)) return // redelivery no-op
+      if (b.isEmpty) return
+      val bb = b.localCheckpoint()
+      val dirs = committedDirs()
+      val corpus = if (dirs.isEmpty) h.limit(0)
+        else spark.read.parquet(dirs: _*).localCheckpoint()
+      val p = SimSearch.hammingBandedPairs(bb, idCol, hashCol, maxDist)
+        .unionByName(SimSearch.hammingBandedPairsAgainst(
+          bb, corpus, idCol, hashCol, maxDist))
+      pairs = pairs.unionByName(p).localCheckpoint()
+      // publish data FIRST, manifest rename LAST (the commit point)
+      bb.write.mode("overwrite")
+        .parquet(store.resolve(f"v$batchId%09d").toString)
+      val tmpMf = store.resolve("_manifest").resolve(
+        f".v$batchId%09d.json.tmp")
+      java.nio.file.Files.write(tmpMf, "{}".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmpMf, mf): Unit
+    }
+    val landing = java.nio.file.Files.createTempDirectory("graft-hhx-waves")
+    def deliverWave(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(landing.toString)
+    deliverWave(h.filter(waveA))
+    val q = spark.readStream.schema(h.schema).parquet(landing.toString)
+      .writeStream.foreachBatch(applyBatch _).start()
+    try {
+      q.processAllAvailable()
+      deliverWave(h.filter(!waveA))
+      q.processAllAvailable()
+      // the crash-redelivery a checkpoint produces: wave A verbatim,
+      // original batchId (guarded) or a fresh one (negative probe)
+      applyBatch(h.filter(waveA), if (redeliverGuarded) 0L else 999L)
+    } finally {
+      q.stop()
+      deleteRecursively(landing)
+      deleteRecursively(tmp)
+      deleteRecursively(store)
+    }
+    pairs
+  }
+
   // ── EXACTLY-ONCE semantic-dedup ingest (round-15 forward item #3:
   // the replay-idempotency caveat on [[semDedupIngestReplay]],
   // closed by composing the q99/CDC manifest discipline onto the

@@ -571,6 +571,32 @@ class StreamingSpec extends SparkSpec {
     assert(noAppend == Set(("base0.bmp", "near0.bmp")))
   }
 
+  test("hamming exactly-once ingest: the batchId guard is LOAD-BEARING") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Multimodal
+    val hashes = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, "/root/repo/fixtures/images_dhash")))
+      .toDF()
+      .select(regexp_extract($"path", "[^/]+$", 0).as("name"), $"dhash")
+    val waveA = !$"name".isin("near1.bmp", "near2.bmp", "near3.bmp")
+    // guarded: the wave-A redelivery is invisible — 4 pairs, no dups
+    val guarded = graft.streaming.StreamingReports
+      .hammingDedupIngestIdempotentReplay(spark, hashes, "name", "dhash",
+        waveA)
+      .select("id_a", "id_b").as[(String, String)].collect()
+    assert(guarded.length == 4 && guarded.toSet.size == 4)
+    // NEGATIVE PROBE: the same redelivery as a FRESH batch (the
+    // unguarded pipeline's view) duplicates wave A's within-wave
+    // pair AND re-probes the store — duplicates appear; if this ever
+    // comes back clean, the guard stopped being load-bearing
+    val unguarded = graft.streaming.StreamingReports
+      .hammingDedupIngestIdempotentReplay(spark, hashes, "name", "dhash",
+        waveA, redeliverGuarded = false)
+      .select("id_a", "id_b").as[(String, String)].collect()
+    assert(unguarded.length > unguarded.toSet.size,
+      s"unguarded redelivery must duplicate pairs, got ${unguarded.length}")
+  }
+
   test("semDedup exactly-once ingest: the batchId guard is LOAD-BEARING") {
     import org.apache.spark.sql.functions._
     import graft.ext.{Dedup, SimSearch}
