@@ -137,10 +137,13 @@ object SparkEntry {
     * encode (routing 'malformed' where the oracle says 'ok'), and the
     * arm-5 mirror (`text || chr(65533) || '!'`) assumes the text mints
     * no extra U+FFFDs. Verified 0 non-ASCII docs at every shipped SF;
-    * guarded by FetchDecodeSpec "fixture contract: documents.text is
-    * ASCII at every shipped SF" so a corpus retune fails loudly.
+    * guarded TWICE (round 17): FetchDecodeSpec's shipped-SF scan, and
+    * an in-plan `raise_error` at fixture-BUILD time below — a corpus
+    * retune that plants non-ASCII text fails the very first Verify
+    * run with a doc_id-bearing message instead of silently
+    * hash-mismatching four queries.
     */
-  private def fetchFixture(docs: DataFrame): DataFrame = {
+  private[graft] def fetchFixture(docs: DataFrame): DataFrame = {
     import graft.ext.FetchDecode
     import graft.plans.{Inflate, Transcode}
     val id = col("doc_id")
@@ -194,8 +197,25 @@ object SparkEntry {
         .otherwise(col("text").cast("binary"))
     val raw = when(a === 12, col("text").cast("binary"))
       .otherwise(FetchDecode.responseRecord(headCol, body))
-    docs.select(id, raw.as("raw"))
+    docs.select(id, when(asciiGuard("fetchFixture", id).isNull, raw).as("raw"))
   }
+
+  /** The fetch-family ASCII-dependence guard (round 17), evaluated
+    * per row at fixture-BUILD time: NULL (a no-op inside
+    * `when(guard.isNull, value)`) while `text` is pure ASCII, a
+    * loud doc_id-bearing `raise_error` the moment a corpus retune
+    * plants a non-ASCII doc — instead of a legacy-charset encode
+    * NULLing in-plan and silently hash-mismatching the closed-form
+    * q307/q308/q311/q312/q317/q318 oracles. One definition, applied
+    * at every builder of the family.
+    */
+  private def asciiGuard(site: String, id: Column): Column =
+    when(col("text").rlike("[^\\x00-\\x7F]"),
+      raise_error(concat(
+        lit(s"$site: non-ASCII documents.text at doc_id="),
+        id.cast("string"),
+        lit(" — the fetch-family closed-form oracles require ASCII " +
+          "fixture text (see fetchFixture scaladoc)"))))
 
   /** q310/q313 SHARED SemDeDup fixture (one builder so the min-id and
     * scored-keeper variants cannot drift): the embeddings corpus plus
@@ -676,7 +696,10 @@ object SparkEntry {
       // response bytes (per-row Deflater work is CPU-bound on the
       // single local split — spread first, the q241/q306 rule) ──
       val shared = docs0.filter(id === 1).select(col("text").as("__sh"))
-      val base = docs0.select(id, col("text")).repartition(32, id)
+      val base = docs0.select(id,
+          when(asciiGuard("bytesIntakeChain", id).isNull, col("text"))
+            .as("text"))
+        .repartition(32, id)
         .crossJoin(broadcast(shared))
       val ptext0 =
         when(a === 7, col("__sh"))
@@ -3665,7 +3688,8 @@ object SparkEntry {
           .when(a === 6, lit("utf-8")) // the wrong-declaration arm
           .otherwise(lit("iso-8859-1"))
       docs.select(id,
-        Transcode.toUtf8(bytes, declared).as("decoded"))
+        when(asciiGuard("q307_charset_transcode", id).isNull,
+          Transcode.toUtf8(bytes, declared)).as("decoded"))
     }),
 
     // ── the FETCH-DECODE capstone (ext.FetchDecode — q306's inflate

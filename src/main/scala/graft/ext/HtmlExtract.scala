@@ -167,12 +167,19 @@ object HtmlExtract {
     * Pure per-row column expression — no UDF, no shuffle.
     */
   def robotsMeta(html: Column): Column = {
+    // `robots` must END the name token (round-17 review fix): both
+    // quotes are optional for the unquoted-attribute form, so without
+    // a right anchor `name=robotsxyz` — a DIFFERENT name that merely
+    // starts with "robots" — parsed as a robots meta and minted false
+    // restrictions. An unquoted value ends at whitespace/'/'/'>' and
+    // a quoted one at its quote, so requiring one of those after the
+    // token (never a name character) anchors both spellings.
     val nameFirst = regexp_extract_all(html,
-      lit("(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*" +
+      lit("(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"'\\s/>][^>]*" +
         "content\\s*=\\s*[\"']([^\"'>]*)"), lit(1))
     val contentFirst = regexp_extract_all(html,
       lit("(?i)<meta[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
-        "[^>]*name\\s*=\\s*[\"']?robots[\"']?"), lit(1))
+        "[^>]*name\\s*=\\s*[\"']?robots[\"'\\s/>]"), lit(1))
     directivesOf(transform(
       flatten(transform(concat(nameFirst, contentFirst),
         c => split(lower(c), ","))),

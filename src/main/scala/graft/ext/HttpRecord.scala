@@ -73,10 +73,15 @@ object HttpRecord {
     * attributes — [[FetchDecode]]'s meta sniff accepts both). The
     * match is LEFT-ANCHORED to a parameter boundary (value start,
     * ';', or whitespace — round-16 review fix): without it the regex
-    * fired inside a longer parameter name (`xcharset=foo`) or inside
-    * another parameter's quoted value, extracting a bogus charset.
-    * The oracle mirrors this regex with the double quote written
-    * plainly inside its single-quoted SQL literal.
+    * fired inside a longer parameter NAME (`xcharset=foo` — the
+    * round-17 pinned adversarial arm) or mid-token inside another
+    * parameter's quoted value. SCOPE: full quoted-string SKIPPING is
+    * deliberately out of contract — a `charset=` preceded by a space
+    * INSIDE another parameter's quotes still matches (pinned in
+    * HttpRecordSpec); that shape only arises from an
+    * attacker-controlled Content-Type, where the header is untrusted
+    * anyway. The oracle mirrors this regex with the double quote
+    * written plainly inside its single-quoted SQL literal.
     */
   private[graft] val CharsetParamRe =
     "(?i)(?:^|[;\\s])charset=\"?([A-Za-z0-9_-]+)"

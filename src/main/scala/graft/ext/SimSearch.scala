@@ -700,13 +700,24 @@ object SimSearch {
       .select(col("dim"), col("__n").as("n_a"), col("__sq").as("sum_qa"))
       .join(b.select(col("dim"), col("__n").as("n_b"),
         col("__sq").as("sum_qb")), Seq("dim"))
-    val cross = abs(col("sum_qa") * col("n_b") - col("sum_qb") * col("n_a"))
-    val md = ((cross - pmod(cross, col("n_a") * col("n_b"))) /
-      (col("n_a") * col("n_b"))).cast("long")
+    // cross-multiplication in DECIMAL(38,0) (round-17 review fix):
+    // sum_q·n in Long wraps past 2⁶³ — at sum_q ≈ n·2²⁰ that is ~3e9
+    // rows per side, inside the 100-TB posture — and a silent wrap
+    // under non-ANSI Spark flips the verdict with no error. Decimal
+    // holds exact products to ~10³⁸ (n to ~10¹⁸ rows at full quant
+    // range); beyond THAT decimal arithmetic NULLs rather than wraps,
+    // and the explicit `overflow` verdict arm makes the failure loud.
+    // The oracle side is already exact (DuckDB sums are HUGEINT).
+    val dec = "CAST(%s AS DECIMAL(38,0))"
+    val cross = expr(s"abs(${dec.format("sum_qa")} * n_b - " +
+      s"${dec.format("sum_qb")} * n_a)")
+    val md = (cross - pmod(cross, expr(s"${dec.format("n_a")} * n_b")))
+      .divide(expr(s"${dec.format("n_a")} * n_b")).cast("long")
     joined.select(col("dim").cast("long").as("dim"),
       col("n_a"), col("n_b"), col("sum_qa"), col("sum_qb"),
       md.as("mean_diff_q"),
-      when(md >= flagQUnits, lit("drifted")).otherwise(lit("stable"))
+      when(md.isNull, lit("overflow"))
+        .when(md >= flagQUnits, lit("drifted")).otherwise(lit("stable"))
         .as("verdict"))
   }
 

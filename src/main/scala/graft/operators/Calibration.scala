@@ -36,11 +36,24 @@ object Calibration {
     * run without rescoring history. Certified: q338's merged curve ==
     * q336's one-shot oracle VERBATIM.
     */
-  def curveState(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+  def curveState(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    // the cast below truncates fractional scores, which would silently
+    // collapse distinct double scores onto one threshold row — a
+    // violation of the 'one row per DISTINCT score' contract. Require
+    // an integral score column (quality scorers emit integer ppm —
+    // the q309 idiom); a fractional scorer must quantize explicitly
+    // upstream so the resolution loss is a visible decision.
+    // (round-17 review fix: was a silent cast)
+    import org.apache.spark.sql.types._
+    val dt = df.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"curveState needs an integral score column (one row per DISTINCT " +
+        s"score); $scoreCol is $dt — quantize to integer units upstream")
     df.select(col(scoreCol).cast("long").as("threshold"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__pos"))
       .groupBy("threshold")
       .agg(count(lit(1)).as("__n"), sum(col("__pos")).as("__npos"))
+  }
 
   /** Fold partial states — counts are sums, so merge is a re-group. */
   def mergeStates(states: DataFrame*): DataFrame =

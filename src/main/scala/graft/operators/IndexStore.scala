@@ -167,7 +167,11 @@ object IndexStore {
     val manifests = names(new File(rootF, "_manifest"))
       .filter(_.matches("v\\d+\\.json"))
       .map(_.stripSuffix(".json")).toSet
-    val siblings = names(rootF.getParentFile)
+    // a store root with NO parent (filesystem root, or a bare
+    // relative name) has no sibling namespace to scan — skip the
+    // stale-staging check instead of NPEing on getParentFile
+    // (round-17 review fix)
+    val siblings = Option(rootF.getParentFile).map(names).getOrElse(Seq.empty)
       .filter(_.startsWith(rootF.getName + "."))
       .filter(_.matches(".*\\.(staging|swap|old|trash)-.*"))
     val findings =

@@ -131,8 +131,12 @@ object Sampling {
     * and deliberately not enumerated.
     *
     * Input must carry (sourceCol, rankCol, positionCol) — exactly
-    * [[weightedInterleave]]'s output shape. Pure per-row arithmetic +
-    * one small aggregate; nothing global.
+    * [[weightedInterleave]]'s output shape. Sources absent from the
+    * map weigh 1 (the interleave's default), and W sums the EFFECTIVE
+    * weights of the schedule's distinct sources — not the map's —
+    * so auditing a schedule with unmapped sources uses the same
+    * target mix the interleave produced. Pure per-row arithmetic +
+    * two small aggregates; nothing global.
     * Returns (source, n_items, max_dev_units, w_total) where
     * max_dev_units/W items is the worst deviation.
     */
@@ -141,17 +145,31 @@ object Sampling {
       positionCol: String, weights: Map[String, Long]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
-    val wTotal = weights.values.sum
     val w = weights.foldLeft(lit(1L)) { case (acc, (src, wt)) =>
       when(col(sourceCol) === src, lit(wt)).otherwise(acc)
     }
+    // W = Σ weights over the schedule's DISTINCT sources, each at its
+    // effective weight — mapped value, or 1 for a source absent from
+    // the map ([[weightedInterleave]]'s documented default). Round-17
+    // review fix: summing the MAP alone understated W whenever the
+    // schedule carried unmapped sources, skewing max_dev_units for
+    // every source. Computed in-plan (a ≤|sources|-row aggregate,
+    // broadcast back) so the audit stays one lazy query.
+    val wTot = schedule.select(col(sourceCol).as("__s"), w.as("__w"))
+      .groupBy("__s").agg(first(col("__w")).as("__w"))
+      .agg(sum(col("__w")).as("w_total"))
     schedule
-      .select(col(sourceCol).as("source"),
-        abs(col(rankCol) * wTotal - col(positionCol) * w).as("__dev"))
+      .select(col(sourceCol).as("source"), col(rankCol).as("__rk"),
+        col(positionCol).as("__pos"), w.as("__w"))
+      .crossJoin(broadcast(wTot))
+      .select(col("source"),
+        abs(col("__rk") * col("w_total") - col("__pos") * col("__w"))
+          .as("__dev"),
+        col("w_total"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_items"),
-        max(col("__dev")).cast("long").as("max_dev_units"))
-      .withColumn("w_total", lit(wTotal))
+        max(col("__dev")).cast("long").as("max_dev_units"),
+        first(col("w_total")).as("w_total"))
   }
 
   def epochMix(

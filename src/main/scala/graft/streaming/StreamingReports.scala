@@ -221,7 +221,7 @@ object StreamingReports {
     * the names are UUID-suffixed so it was a leak, never a collision).
     * Downstream transforms run on the checkpointed frame.
     */
-  private def drainMemorySink(spark: SparkSession, mem: String): DataFrame = {
+  private[graft] def drainMemorySink(spark: SparkSession, mem: String): DataFrame = {
     val out = spark.table(mem).localCheckpoint()
     spark.catalog.dropTempView(mem)
     out

@@ -55,4 +55,18 @@ class ApproxSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, String)].collect().toSeq
     assert(merged == got)
   }
+
+  test("driftFromStates: cross-multiplication is exact past the Long " +
+      "wrap point (round-17 review fix)") {
+    import graft.ext.SimSearch
+    // 4e9 rows per side at full quant range: sum_q·n ≈ 1.7e25 — far
+    // past 2⁶³, where the old Long math silently wrapped and could
+    // flip the verdict. Decimal(38,0) keeps it exact.
+    val a = Seq((0L, 4000000000L, 4194304000000000L))
+      .toDF("dim", "__n", "__sq") // mean = 1048576 q-units (1.0)
+    val b = Seq((0L, 4000000000L, 0L)).toDF("dim", "__n", "__sq")
+    val r = SimSearch.driftFromStates(a, b, flagQUnits = 131072L)
+      .select("mean_diff_q", "verdict").as[(Long, String)].head()
+    assert(r == ((1048576L, "drifted")), s"exact mean diff expected: $r")
+  }
 }

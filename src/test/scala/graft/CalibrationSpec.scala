@@ -26,6 +26,16 @@ class CalibrationSpec extends SparkSpec {
       (10L, 4L, 2L, 2L, 0L, 500000L, 1000000L)))
   }
 
+  test("fractional score columns are REFUSED, not silently truncated " +
+      "(one row per DISTINCT score — round-17 review fix)") {
+    val frac = Seq((0.4, true), (0.6, false)).toDF("score", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Calibration.prCurve(frac, "score", "label")
+    }
+    assert(ex.getMessage.contains("integral"),
+      s"must name the contract: ${ex.getMessage}")
+  }
+
   test("partition invariance: a hostile repartition changes nothing") {
     val base = rows.toDF("score", "label")
     val a = Calibration.prCurve(base, "score", "label")

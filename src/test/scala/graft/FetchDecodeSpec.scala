@@ -118,6 +118,25 @@ class FetchDecodeSpec extends SparkSpec {
       hdr.getString(3) == "café h32")
   }
 
+  test("BOM false-positive class, PINNED: a cp1252 page that genuinely " +
+      "starts with ÿþ is forced onto the UTF-16LE leg") {
+    // 'ÿþ' in cp1252 IS the bytes FF FE — indistinguishable from a
+    // UTF-16LE BOM at the byte level. The sniff (like the WHATWG
+    // prescan and every browser) takes the BOM reading: the page
+    // decodes as UTF-16LE and garbles ('ÿ' + 'þab' → U+6261 U+6463),
+    // EVEN over an explicit cp1252 header (a BOM wins over headers by
+    // rule 1). Accepted behavior, documented in the FetchDecode
+    // scaladoc; this arm pins the exact route so the trade-off is
+    // certified, not just described.
+    val r = decodeOne(head("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=windows-1252"),
+      concat(to_binary(lit("fffe"), lit("hex")),
+        lit("abcd").cast("binary")))
+    assert(r.getString(0) == "ok" && r.getString(1) == "utf-16le" &&
+      r.getString(2) == "bom" &&
+      r.getString(3) == "扡摣") // LE units of bytes 61 62 63 64
+  }
+
   test("undeclared cp1252 bytes fall through to the lenient fallback") {
     val r = decodeOne(okHtml,
       Transcode.encode(lit("caf\u00E9 legacy"), lit("windows-1252")))
@@ -191,5 +210,23 @@ class FetchDecodeSpec extends SparkSpec {
       assert(bad.getLong(0) == 0L, s"$dir: non-ASCII documents.text")
       assert(bad.getLong(1) == 0L, s"$dir: unencodable documents.text")
     }
+  }
+
+  test("asciiGuard trips at fixture-BUILD time: a planted non-ASCII " +
+      "doc fails the build loudly with a doc_id-bearing message") {
+    val docs = Seq((1L, "plain ascii doc"), (2L, "café planted"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Throwable] {
+      SparkEntry.fetchFixture(docs).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(ex).mkString("\n")
+    assert(all.contains("non-ASCII documents.text at doc_id=2"),
+      s"guard must name the site and doc_id, got: $all")
+    // and the guard is a no-op on a clean corpus
+    assert(SparkEntry.fetchFixture(docs.filter($"doc_id" === 1L))
+      .count() == 1L)
   }
 }

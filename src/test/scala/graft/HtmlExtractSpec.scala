@@ -205,6 +205,19 @@ class HtmlExtractSpec extends SparkSpec {
     // a noindex token inside ANOTHER meta's content must not leak
     assert(rm("<meta name=\"description\" content=\"how noindex works\">")
       == ((false, false)))
+    // round-17 review fix: a name that merely STARTS with "robots" is
+    // a different name — must not parse as a robots meta (the right
+    // anchor is load-bearing in BOTH attribute orders)
+    assert(rm("<meta name=\"robotsxyz\" content=\"noindex\">")
+      == ((false, false)))
+    assert(rm("<meta name=robotsxyz content=\"noindex\">")
+      == ((false, false)))
+    assert(rm("<meta content=\"noindex\" name=\"robotsxyz\">")
+      == ((false, false)))
+    // ...while the anchored forms still parse (tag-end and self-close
+    // right boundaries after an unquoted name)
+    assert(rm("<meta content=\"noindex\" name=robots>") == ((true, false)))
+    assert(rm("<meta content=\"nofollow\" name=robots/>") == ((false, true)))
   }
 
   test("robotsHeader: value semantics, bot-scope rule, null-permissive") {

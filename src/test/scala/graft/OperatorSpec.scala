@@ -192,6 +192,9 @@ class OperatorSpec extends SparkSpec {
     // an unrelated sibling (no store prefix) is NOT flagged
     Files.createDirectories(base.resolve("other.swap-zz"))
     assert(IndexStore.fsck(spark, root.toString).count() == 4)
+    // a root with NO parent (bare relative name) must not NPE on the
+    // sibling scan — the stale-staging check is skipped (round-17 fix)
+    assert(IndexStore.fsck(spark, "graft_fsck_no_such_store").count() == 0)
   }
 
   test("fsckRepair: debris deleted with an audit trail, corruption " +

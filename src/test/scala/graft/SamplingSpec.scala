@@ -332,4 +332,21 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedInterleave(withUnknown, "src", "id", w)
       .count() == 181)
   }
+
+  test("scheduleMixReport: W sums the EFFECTIVE weights of the " +
+      "schedule's sources — unmapped sources count at 1 (round-17 fix)") {
+    import graft.operators.Sampling
+    // hand-authored perfect 2:1 schedule; y is ABSENT from the map,
+    // so W must be 3 (2 + 1), not the map-sum 2
+    val sched = Seq(
+      ("x", 1L, 1L), ("y", 1L, 2L), ("x", 2L, 3L))
+      .toDF("src", "src_rank", "position")
+    val got = Sampling.scheduleMixReport(sched, "src", "src_rank",
+        "position", Map("x" -> 2L))
+      .as[(String, Long, Long, Long)].collect().toSet
+    // devs at W=3: x@pos1 |1·3−1·2|=1, x@pos3 |2·3−3·2|=0; y@pos2
+    // |1·3−2·1|=1 — the old map-only W=2 would have scored x as
+    // (0, 2) and reported w_total 2
+    assert(got == Set(("x", 2L, 1L, 3L), ("y", 1L, 1L, 3L)), got.toString)
+  }
 }

@@ -14,6 +14,22 @@ class StreamingSpec extends SparkSpec {
 
   val dir = s"${SparkEntry.FixturesDir}/events_json"
 
+  test("drainMemorySink: rows survive the drain and the sink's temp " +
+      "view leaves the catalog (replay-harness hygiene)") {
+    // every *Replay surface funnels its memory sink through this one
+    // seam — certifying it here certifies the ~30 twins' hygiene
+    val s = spark.newSession()
+    val mem = "graft_drain_spec_sink"
+    s.range(5).toDF("v").createOrReplaceTempView(mem)
+    assert(s.catalog.tableExists(mem), "precondition: view registered")
+    val out = StreamingReports.drainMemorySink(s, mem)
+    assert(out.count() == 5L, "drain must materialize the sink rows")
+    assert(!s.catalog.tableExists(mem),
+      "drain must drop the sink's temp view from the catalog")
+    // and the drained frame stays usable AFTER the drop (checkpointed)
+    assert(out.agg(sum($"v")).as[Long].head() == 10L)
+  }
+
   test("streaming daily counts == batch groupBy on the same files") {
     val q = StreamingReports.dailyCounts(StreamingReports.eventStream(spark, dir))
       .writeStream.format("memory").queryName("daily_counts")
