@@ -4461,6 +4461,49 @@ object SparkEntry {
         "source", "doc_id", weights)
     }),
 
+    // ── SIZED interleave audit (q355 — round 17's answer to q349's
+    // finding): the sizeSourcesToWeights pre-pass trims the SAME
+    // 20-source fixture to the longest exhaustion-free schedule
+    // (T = min n·W/w, largest-remainder apportioned), so every
+    // source runs out at the same position and the audit that
+    // measured 481 drift units on q349 stays tie-block-BOUNDED
+    // (36 < W = 39 at sf0.01) — the whole guarantee chain
+    // (size → interleave → audit) in one certified composition.
+    // Oracle: the sizing + interleave + deviation arithmetic
+    // mirrored closed-form (shared sizedInterleaveAuditSql). ──
+    "q355_sized_interleave_audit" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val weights = (0 until 20).map(n => s"src$n" -> ((n % 3) + 1).toLong).toMap
+      val sized = Sampling.sizeSourcesToWeights(
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .repartition(32, col("doc_id")),
+        "source", "doc_id", weights)
+      Sampling.scheduleMixReport(
+        Sampling.weightedInterleave(sized, "source", "doc_id", weights),
+        "source", "src_rank", "position", weights)
+    }),
+
+    // ── SIZED quality-curriculum audit (q356 — q348's composition
+    // re-run under the exhaustion fix, the capstone VERDICT r16
+    // asked for): quality buckets at 3:2:1 are sized to their
+    // weights BEFORE the curriculum interleave, so the high-quality
+    // bucket cannot run dry mid-schedule and the mix audit stays
+    // bounded end-to-end (bucketing → sizing → interleave → audit,
+    // every stage certified). ──
+    "q356_sized_curriculum_audit" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val scored = prScoredDocs(s, dir)
+      val bucketed = scored.select(col("doc_id"),
+        when(col("score") >= 80000L, lit("high"))
+          .when(col("score") >= 30000L, lit("mid"))
+          .otherwise(lit("low")).as("bucket"))
+      val w = Map("high" -> 3L, "mid" -> 2L, "low" -> 1L)
+      val sized = Sampling.sizeSourcesToWeights(bucketed, "bucket", "doc_id", w)
+      Sampling.scheduleMixReport(
+        Sampling.weightedInterleave(sized, "bucket", "doc_id", w),
+        "bucket", "src_rank", "position", w)
+    }),
+
     // ── CONTENT-DEFINED chunking (TextAnalysis.contentDefinedChunks
     // — the Rabin/CDC discipline on the token stream): boundaries
     // fall where the token hash's low 6 bits are zero, so they are
@@ -9215,6 +9258,61 @@ object SparkEntry {
       |  FROM ky)
       |""".stripMargin
 
+  /** q355/q356 shared oracle suffix — the sizeSourcesToWeights →
+    * weightedInterleave → scheduleMixReport chain, closed-form: the
+    * caller supplies an `inp(id, src)` CTE and the per-source weight
+    * expression; this mirrors T = min(n·W/w), the largest-remainder
+    * apportionment (remainder rank DESC, ties by src), the
+    * first-alloc trim, the lcm-6 error-diffusion interleave (both
+    * weight sets are {1,2,3}), and the exact integer deviation audit.
+    * ONE definition so the two certified compositions cannot drift.
+    */
+  private def sizedInterleaveAuditSql(wExpr: String): String =
+    s""",
+      |cnts AS (
+      |  SELECT src, CAST(count(*) AS BIGINT) AS n,
+      |    CAST($wExpr AS BIGINT) AS wgt
+      |  FROM inp GROUP BY src),
+      |tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS wt FROM cnts),
+      |tt AS (SELECT CAST(min((n * wt) // wgt) AS BIGINT) AS t
+      |       FROM cnts, tot),
+      |qa AS (
+      |  SELECT src, wgt, t, wt,
+      |    CAST((t * wgt) // wt AS BIGINT) AS quota,
+      |    CAST((t * wgt) % wt AS BIGINT) AS rem
+      |  FROM cnts, tot, tt),
+      |lv AS (SELECT CAST(t - sum(quota) AS BIGINT) AS lft
+      |       FROM qa GROUP BY t),
+      |al AS (
+      |  SELECT src, quota + CASE WHEN
+      |      row_number() OVER (ORDER BY rem DESC, src) <= lft
+      |    THEN 1 ELSE 0 END AS alloc
+      |  FROM qa, lv),
+      |ranked AS (
+      |  SELECT id, src,
+      |    row_number() OVER (PARTITION BY src ORDER BY id) AS srk
+      |  FROM inp),
+      |sized AS (
+      |  SELECT r.id, r.src FROM ranked r
+      |  JOIN al ON r.src = al.src WHERE r.srk <= al.alloc),
+      |k2 AS (
+      |  SELECT id, src,
+      |    row_number() OVER (PARTITION BY src ORDER BY id) AS k
+      |  FROM sized),
+      |ky2 AS (
+      |  SELECT k2.id, k2.src, k2.k, (2 * k2.k - 1) * (6 // c.wgt) AS key
+      |  FROM k2 JOIN cnts c ON k2.src = c.src),
+      |sch2 AS (
+      |  SELECT id, src, CAST(k AS BIGINT) AS src_rank,
+      |    CAST(row_number() OVER (ORDER BY key, src) AS BIGINT) AS position
+      |  FROM ky2)
+      |SELECT s.src AS source, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(max(abs(s.src_rank * t.wt - s.position * c.wgt)) AS BIGINT)
+      |    AS max_dev_units,
+      |  t.wt AS w_total
+      |FROM sch2 s JOIN cnts c ON s.src = c.src, tot t
+      |GROUP BY s.src, t.wt""".stripMargin
+
   /** q350/q351 shared oracle — the one-shot drift report; ONE
     * definition so the merged-state variant cannot drift from the
     * surface it must equal.
@@ -11438,6 +11536,26 @@ object SparkEntry {
     // row_number over (key, source)
     "q345_weighted_interleave" -> (WeightedInterleaveCtes +
       """SELECT doc_id, source, src_rank, position FROM sch"""),
+
+    // sized-interleave-audit mirror: the shared sizing + interleave +
+    // audit chain over the residue-weight sources
+    "q355_sized_interleave_audit" ->
+      ("""WITH inp AS (SELECT doc_id AS id, source AS src FROM documents)"""
+        + sizedInterleaveAuditSql(
+          "CAST(regexp_extract(src, 'src([0-9]+)', 1) AS BIGINT) % 3 + 1")),
+
+    // sized-curriculum mirror: the shared score CTEs feed the same
+    // sizing + interleave + audit chain at bucket weights 3:2:1
+    "q356_sized_curriculum_audit" -> (PrScoreCtes +
+      """,
+        |inp AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN score >= 80000 THEN 'high'
+        |         WHEN score >= 30000 THEN 'mid'
+        |         ELSE 'low' END AS src
+        |  FROM lab)""".stripMargin
+        + sizedInterleaveAuditSql(
+          "CASE src WHEN 'high' THEN 3 WHEN 'mid' THEN 2 ELSE 1 END")),
 
     // schedule-audit mirror: the SAME interleave CTEs + the exact
     // integer deviation arithmetic (W = 39 over the residue weights)

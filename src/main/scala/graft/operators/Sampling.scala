@@ -125,8 +125,9 @@ object Sampling {
     * the light sources' deviation grows with the remaining length
     * (q349 measures exactly this on the equal-sized fixture: the
     * drift scales with corpus size, which is the finding a real mix
-    * audit exists to surface — fix it upstream by sizing sources to
-    * their weights or resampling, q262/q268's job). Deviation
+    * audit exists to surface — fix it upstream with the
+    * [[sizeSourcesToWeights]] pre-pass, whose q355 composition flips
+    * exactly this fixture to a bounded audit). Deviation
     * BETWEEN arrivals is bounded by the next arrival's value + w_s
     * and deliberately not enumerated.
     *
@@ -170,6 +171,71 @@ object Sampling {
       .agg(count(lit(1)).as("n_items"),
         max(col("__dev")).cast("long").as("max_dev_units"),
         first(col("w_total")).as("w_total"))
+  }
+
+  /** SIZE-SOURCES-TO-WEIGHTS pre-pass — the upstream fix for the
+    * exhaustion drift [[scheduleMixReport]] surfaces (q349's finding):
+    * [[weightedInterleave]] holds the target mix only WHILE EVERY
+    * SOURCE STILL HAS ITEMS; once a finite heavy source runs dry the
+    * tail re-normalizes over the survivors and the light sources'
+    * deviation grows with the remaining length. This operator trims
+    * the corpus so that cannot happen: it computes the LONGEST total
+    * schedule T every source can supply at its target share —
+    * T = min_s floor(n_s·W / w_s), W = Σ effective weights over the
+    * sources PRESENT (unmapped sources weigh 1, the interleave's
+    * default) — apportions T across sources largest-remainder exact
+    * (the [[apportion]] discipline, proportional to WEIGHTS instead
+    * of counts; Σ alloc == T, and alloc_s ≤ n_s always: quota_s =
+    * floor(T·w_s/W) ≤ n_s by T's definition, and a remainder unit
+    * only lands where the quota strictly truncated), then keeps each
+    * source's first alloc_s rows in `orderCol` order. The sized
+    * corpus exhausts every source AT THE SAME SCHEDULE POSITION (to
+    * within the ±1 apportionment rounding), so the interleave's
+    * tie-block-bounded guarantee holds through the WHOLE schedule —
+    * q355 certifies the composition: q349's fixture flips from
+    * length-proportional drift to a bounded audit.
+    *
+    * All-integer arithmetic (contract: n_s·W fits a Long — at
+    * 100 TB, n_s ~ 10¹³ and W in the thousands leave two orders of
+    * headroom), so both engines produce the identical row set.
+    *
+    * 100-TB shape: ONE corpus-scale count aggregate; T, quotas, and
+    * remainders live on the STRATA frame (metadata-grain — the
+    * [[apportion]] argument: a single tiny-frame window is a
+    * non-issue by construction), broadcast back for one per-source
+    * rank-trim window (bounded per-stratum sort, the
+    * [[priorityApportion]] dynamic-limit shape). Never a global
+    * sort, never a driver collect.
+    */
+  def sizeSourcesToWeights(
+      df: DataFrame, sourceCol: String, orderCol: String,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    def wOf(c: Column): Column = weights.foldLeft(lit(1L)) {
+      case (acc, (src, wt)) => when(c === src, lit(wt)).otherwise(acc)
+    }
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .orderBy(col("__rem").desc, col("__src"))
+    val alloc = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wOf(col("__src")))
+      .withColumn("__Wt", sum(col("__w")).over(wAll))
+      .withColumn("__T", min(expr("(__n * __Wt) div __w")).over(wAll))
+      .withColumn("quota", expr("(__T * __w) div __Wt"))
+      .withColumn("__rem", expr("(__T * __w) % __Wt"))
+      .withColumn("__left", col("__T") - sum(col("quota")).over(wAll))
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__alloc",
+        col("quota") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select(col("__src"), col("__alloc"))
+    df.join(broadcast(alloc), col(sourceCol) === col("__src"))
+      .withColumn("__srk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sourceCol)).orderBy(col(orderCol))))
+      .filter(col("__srk") <= col("__alloc"))
+      .drop("__src", "__alloc", "__srk")
   }
 
   def epochMix(

@@ -333,6 +333,48 @@ class SamplingSpec extends SparkSpec {
       .count() == 181)
   }
 
+  test("sizeSourcesToWeights: exact longest exhaustion-free trim, and " +
+      "the sized interleave audits tie-block-BOUNDED where the unsized " +
+      "one drifts (the q349→q355 flip)") {
+    import graft.operators.Sampling
+    // equal-sized sources under weights 3:2:1 — the heavy sources are
+    // UNDERSIZED relative to their weights, q349's failure shape
+    val df = (for (s <- Seq("a", "b", "c"); i <- 1 to 60)
+      yield (s, s + f"$i%03d")).toDF("src", "id")
+    val w = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    val sized = Sampling.sizeSourcesToWeights(df, "src", "id", w)
+    // W=6, T = min(60·6/3, 60·6/2, 60·6/1) = 120 → exact 60/40/20
+    assert(sized.groupBy("src").count().as[(String, Long)].collect().toMap
+      == Map("a" -> 60L, "b" -> 40L, "c" -> 20L))
+    def maxDev(input: org.apache.spark.sql.DataFrame): Long =
+      Sampling.scheduleMixReport(
+          Sampling.weightedInterleave(input, "src", "id", w),
+          "src", "src_rank", "position", w)
+        .agg(max(col("max_dev_units"))).as[Long].head()
+    // unsized: c's tail runs alone after a and b exhaust — deviation
+    // grows with the remaining length (here 180 units = 30 items)
+    assert(maxDev(df) > 6L, "unsized fixture must exhibit the drift")
+    // sized: every source exhausts at the same schedule position (±1
+    // apportionment unit), so the whole schedule stays inside the
+    // tie-block bound W
+    assert(maxDev(sized) <= 6L, "sized schedule must stay bounded")
+    // determinism under hostile repartition (the resumable contract)
+    val again = Sampling.sizeSourcesToWeights(
+      df.repartition(7, col("id")), "src", "id", w)
+    assert(again.as[(String, String)].collect().sorted.toSeq
+      == sized.as[(String, String)].collect().sorted.toSeq)
+    // a remainder case: counts force non-zero leftovers — Σ == T and
+    // per-source alloc within 1 of the exact share
+    val df2 = (for ((s, n) <- Seq(("a", 11), ("b", 9), ("c", 50)); i <- 1 to n)
+      yield (s, s + f"$i%03d")).toDF("src", "id")
+    val c2 = Sampling.sizeSourcesToWeights(df2, "src", "id", w)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // T = min(11·6/3, 9·6/2, 50·6/1) = min(22, 27, 300) = 22
+    // quotas: a 11, b 7 (rem 2), c 3 (rem 4); left 1 → c gets it
+    assert(c2 == Map("a" -> 11L, "b" -> 7L, "c" -> 4L), c2.toString)
+    assert(c2.values.sum == 22L)
+  }
+
   test("scheduleMixReport: W sums the EFFECTIVE weights of the " +
       "schedule's sources — unmapped sources count at 1 (round-17 fix)") {
     import graft.operators.Sampling
