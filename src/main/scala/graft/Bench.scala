@@ -197,7 +197,8 @@ object Bench {
     "q349_schedule_audit", "q350_embedding_drift",
     "q351_drift_incremental", "q352_fetch_text_plain",
     "q353_drift_stream", "q354_hamming_exactly_once",
-    "q355_sized_interleave_audit", "q356_sized_curriculum_audit")
+    "q355_sized_interleave_audit", "q356_sized_curriculum_audit",
+    "q357_png_dhash", "q358_crossformat_neardup")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -4195,6 +4195,51 @@ object SparkEntry {
         maxDist = 3)
     }),
 
+    // ── REAL-format PNG perceptual hash (Multimodal.dHashPng — round
+    // 17, the VERDICT r16 ask: real image corpora are PNG/JPEG, not
+    // BMP): signature + chunk walk, IDAT zlib inflate, per-row
+    // filter INVERSION (all five filter types load-bearing — the
+    // fixture encodes row y with filter y%5), four color-type legs
+    // (gray/RGB/RGBA/gray+alpha, alpha ignored), then the SHARED
+    // dHashOfGrid fold. Out-of-contract files (interlaced, 16-bit,
+    // palette, truncated, bomb header, sub-grid) are SKIPPED — the
+    // drop-don't-fail discipline. Oracle = tools/gen_png_fixtures
+    // .py's independent python decode+hash over the authored formula
+    // pixels (the q178/q325 provenance discipline). ──
+    "q357_png_dhash" -> ((s, _) => {
+      import graft.ext.Multimodal
+      Multimodal.dHashPng(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_png")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // ── CROSS-FORMAT image near-dup (q358 — the real-world payoff of
+    // the shared cell spec): the BMP and PNG corpora hash through ONE
+    // dHashOfGrid fold, so a PNG re-encode of a BMP is a DISTANCE-0
+    // pair and the banded hamming join finds format-crossing
+    // duplicates with no special casing — 8 within-format planted
+    // pairs plus 16 cross-format re-encode pairs. The oracle computes
+    // brute-force ALL-pairs over the UNION of the two generators'
+    // independent expected hashes, with no knowledge of the banding
+    // OR the formats (the q310 brute-force-truth discipline). ──
+    "q358_crossformat_neardup" -> ((s, _) => {
+      import graft.ext.{Multimodal, SimSearch}
+      val bmp = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_dhash")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      val png = Multimodal.dHashPng(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_png")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      SimSearch.hammingBandedPairs(bmp.unionByName(png), "name", "dhash",
+        maxDist = 3)
+    }),
+
     // ── STREAMING drift ingest (StreamingReports.driftIngestReplay —
     // the mergeable drift state live on a stream, the q316/q334
     // lifecycle discipline on the QA arc): the shifted candidate
@@ -11861,6 +11906,29 @@ object SparkEntry {
     // IDENTICAL SQL again: the guarded redelivery must be invisible
     // (the q319 discipline on the hamming arc)
     "q354_hamming_exactly_once" -> ImageNearDupSql,
+
+    // PNG dHash mirror: the generator's independent python
+    // decode+hash of the authored formula pixels (never the Spark
+    // decoder — the q178/q325 provenance discipline)
+    "q357_png_dhash" ->
+      """SELECT name, width, height, dhash
+        |FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet')"""
+        .stripMargin,
+
+    // cross-format near-dup mirror: brute-force ALL-pairs hamming
+    // over the UNION of the two generators' expected hashes — no
+    // knowledge of the banding or the formats
+    "q358_crossformat_neardup" ->
+      """WITH u AS (
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet'))
+        |SELECT a.name AS id_a, b.name AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+        |FROM u a JOIN u b ON a.name < b.name
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
 
     // aHash mirror: the generator's independent python implementation
     // of the shared envelope-hash spec over formula samples

@@ -321,6 +321,166 @@ object Multimodal {
     h
   }
 
+  case class PngHashRow(path: String, width: Int, height: Int,
+      channels: Int, dhash: Long)
+
+  /** Perceptual dHash over REAL PNG files (ISO/IEC 15948 — the
+    * format most of a real image corpus actually arrives in, next to
+    * JPEG): signature + chunk walk, IHDR geometry, IDAT zlib inflate,
+    * per-row filter inversion, then the SHARED [[dHashOfGrid]] fold —
+    * one cell spec across BMP/PNG/video, so a PNG re-encode of a BMP
+    * hashes IDENTICALLY and the cross-format near-dup join (q358) is
+    * exact.
+    *
+    * Contract (hostile-input quarantine, the bmpGeom discipline —
+    * every bound validated BEFORE allocation, out-of-contract files
+    * DROPPED, never thrown):
+    *   - 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    *     6 (RGBA); PALETTE (3) and 16-bit images are routed out
+    *     (a palette decode needs PLTE application — different
+    *     operator); ALPHA IS IGNORED for luma (spec-pinned);
+    *   - interlace 0 only (Adam7 re-orders rows across seven passes —
+    *     out of contract, dropped);
+    *   - luma per pixel: gray g → g·1000 (the r=g=b case), RGB(A) →
+    *     r·299 + g·587 + b·114 — the BMP weighting verbatim;
+    *   - the inflated size is KNOWN exactly — height·(1+width·ch) —
+    *     and capped ([[PngMaxPixels]]) before the Inflater allocates,
+    *     so a decompression bomb dies at the header (the q306/Inflate
+    *     bomb-cap discipline); short or over-long streams drop;
+    *   - chunk lengths are bounds-checked at every step (a hostile
+    *     length cannot overrun or wrap — lengths > 2³¹ rejected);
+    *     CRCs are NOT validated (a flipped pixel bit changes the
+    *     hash anyway; corrupt STRUCTURE is what must not crash);
+    *   - images narrower than 9 px or shorter than 8 px are SKIPPED
+    *     (the empty-cell rule shared with the BMP leg).
+    *
+    * 100-TB shape: one mapPartitions pass, O(pixels) per file with
+    * two rows of filter state + 144 longs of grid state; only the
+    * hash survives downstream. Pair generation is the banded hamming
+    * join — never all-pairs.
+    */
+  def dHashPng(files: Dataset[MediaFile]): Dataset[PngHashRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f => parsePngDHash(f.path, f.content)))
+  }
+
+  /** Decoded-pixel budget: 2²⁴ px (a 4096×4096 RGBA inflates to
+    * ~67 MB — one task's working set; a header claiming more is a
+    * bomb or out of scope for a fixture-certified decoder).
+    */
+  val PngMaxPixels: Long = 1L << 24
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Pure parser, package-visible for direct spec coverage. */
+  private[graft] def parsePngDHash(
+      path: String, b: Array[Byte]): Option[PngHashRow] = {
+    if (b.length < 8 + 25 || !b.take(8).sameElements(PngSig)) return None
+    val buf = ByteBuffer.wrap(b) // PNG is big-endian (buffer default)
+    // ── chunk walk: collect IHDR + concatenated IDAT, stop at IEND ──
+    var off = 8
+    var w, h, depth, ct, interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var end = false
+    var first = true
+    while (!end && off + 12 <= b.length) {
+      val len = buf.getInt(off) // chunk data length, signed read
+      if (len < 0 || off + 12L + len > b.length) return None // hostile
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      if (first && typ != "IHDR") return None // IHDR must lead
+      typ match {
+        case "IHDR" =>
+          if (!first || len != 13) return None
+          w = buf.getInt(off + 8)
+          h = buf.getInt(off + 12)
+          depth = b(off + 16) & 0xff
+          ct = b(off + 17) & 0xff
+          // compression (18) and filter (19) methods must be 0
+          if ((b(off + 18) | b(off + 19)) != 0) return None
+          interlace = b(off + 20) & 0xff
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => end = true
+        case _ => // ancillary chunks (PLTE/tEXt/…) skipped
+      }
+      first = false
+      off += 12 + len
+    }
+    if (!end || w <= 0 || h <= 0) return None
+    // contract gates: 8-bit, non-palette color, no interlace
+    if (depth != 8 || !Seq(0, 2, 4, 6).contains(ct) || interlace != 0)
+      return None
+    val ch = ct match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+    if (w < 9 || h < 8) return None // sub-grid skip (shared rule)
+    if (w.toLong * h > PngMaxPixels) return None // bomb cap pre-alloc
+    val stride = w * ch // bytes per pixel row, ≤ PngMaxPixels·4
+    val need = h.toLong * (1 + stride)
+    if (need > Int.MaxValue) return None
+    // ── IDAT inflate: exact expected size, short/overlong drop ──
+    val raw = new Array[Byte](need.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = try inf.inflate(raw, got, raw.length - got)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } finally inf.end()
+    // ── per-row filter inversion + luma grid in one pass ──
+    val prev = new Array[Byte](stride) // reconstructed previous row
+    val cur = new Array[Byte](stride)
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val ft = raw(base) & 0xff
+      if (ft > 4) return None // undefined filter type: hostile
+      var i = 0
+      while (i < stride) {
+        val x = raw(base + 1 + i) & 0xff
+        val a = if (i >= ch) cur(i - ch) & 0xff else 0 // left
+        val up = prev(i) & 0xff                        // above
+        val c = if (i >= ch) prev(i - ch) & 0xff else 0 // upper-left
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + (a + up) / 2
+          case 4 => // Paeth predictor
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        cur(i) = v.toByte
+        i += 1
+      }
+      val cy = (y.toLong * 8 / h).toInt
+      var px = 0
+      while (px < w) {
+        val p = px * ch
+        val luma = ct match {
+          case 0 | 4 => (cur(p) & 0xff) * 1000L
+          case _ => (cur(p) & 0xff) * 299L + (cur(p + 1) & 0xff) * 587L +
+            (cur(p + 2) & 0xff) * 114L
+        }
+        val cx = (px.toLong * 9 / w).toInt
+        sums(cy)(cx) += luma
+        cnts(cy)(cx) += 1
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(PngHashRow(path, w, h, ch, dHashOfGrid(sums, cnts)))
+  }
+
   case class FrameHashRow(path: String, frameIndex: Int, width: Int,
       height: Int, dhash: Long)
 

@@ -210,6 +210,50 @@ class MultimodalSpec extends SparkSpec {
     assert(parseBmpDHash("x", b0).get.dhash == rows("base2.bmp"))
   }
 
+  test("dHashPng: fixture hashes match the generator's independent " +
+      "decode (all five filter types, four color types, alpha " +
+      "ignored); out-of-contract files skipped; cross-format parity " +
+      "with the BMP leg") {
+    import graft.ext.Multimodal.{dHashPng, parsePngDHash, parseBmpDHash}
+    val files = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/images_png"))
+    val rows = dHashPng(files).collect()
+      .map(r => r.path.split('/').last -> r).toMap
+    // interlaced/deep16/palette/trunc/notpng/tiny_8x4/bomb all SKIPPED
+    assert(rows.keySet ==
+      (0 until 4).flatMap(k => Seq(s"base$k.png", s"near$k.png")).toSet)
+    // channels report the color-type contract legs (gray/RGB/RGBA/GA)
+    assert(rows("base0.png").channels == 1 && rows("base1.png").channels == 3
+      && rows("base2.png").channels == 4 && rows("base3.png").channels == 2)
+    // CROSS-FORMAT PARITY — the q358 premise: the PNG luma formulas
+    // are the BMP set's verbatim, so a PNG re-encode hashes
+    // IDENTICALLY through the shared dHashOfGrid fold. This is also
+    // what proves the filter inversion and alpha-ignoring exact: any
+    // wrong reconstructed byte would shift a cell sum.
+    val bmps = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, "/root/repo/fixtures/images_dhash")))
+      .collect().map(r => r.path.split('/').last -> r.dhash).toMap
+    for (k <- 0 until 4; s <- Seq("base", "near"))
+      assert(rows(s"$s$k.png").dhash == bmps(s"$s$k.bmp"),
+        s"$s$k: png/bmp hash divergence")
+    // hostile arms direct through the pure parser — every
+    // out-of-contract class returns None, never throws
+    def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/repo/fixtures/images_png/$n"))
+    for (n <- Seq("interlaced.png", "deep16.png", "palette.png",
+        "trunc.png", "notpng.png", "tiny_8x4.png", "bomb.png"))
+      assert(parsePngDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    // truncated mid-FILE (not just mid-IDAT): a chunk length past EOF
+    val cut = bytesOf("base0.png")
+    assert(parsePngDHash("x", cut.take(cut.length - 20)).isEmpty)
+    assert(parsePngDHash("x", Array.emptyByteArray).isEmpty)
+    // self-consistency with the BMP parser on the same grid spec
+    assert(parseBmpDHash("x", java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/repo/fixtures/images_dhash/base3.bmp"))).get.dhash
+      == parsePngDHash("x", bytesOf("base3.png")).get.dhash)
+  }
+
   test("aHashWav: fixture hashes match the generator; sub-window and " +
       "float files skipped; gain invariance; planted pairs exact") {
     import graft.ext.Multimodal.{aHashWav, parseWavAHash}
