@@ -82,8 +82,16 @@ object FetchDecode {
 
   /** Content-Encoding values the pipeline decodes in-line. zstd
     * (RFC 8878) joined in round 16 — see [[Inflate.ZstdFmt]] for the
-    * strictness contract; `br` (brotli) remains `bad_encoding` (no
-    * decoder in the dependency surface).
+    * strictness contract. `br` (RFC 7932 brotli) remains
+    * `bad_encoding` — a DOCUMENTED dependency boundary, not an
+    * oversight: no brotli decoder exists in this build's dependency
+    * surface (Spark bundles zstd-jni, the JDK ships zlib; brotli4j
+    * does not resolve offline), and a from-scratch implementation
+    * (context modeling + the 122 KB static dictionary) is not a
+    * certifiable fixture-scale artifact. The route is deterministic
+    * and certified (q308 arm 8, FetchDecodeSpec); a production build
+    * adds brotli4j and one `Inflate.unbrotli` when-rung — the
+    * decision table's shape does not change.
     */
   val SupportedEncodings: Seq[String] =
     Seq("", "identity", "gzip", "x-gzip", "deflate", "zstd")
