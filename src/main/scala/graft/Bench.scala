@@ -198,7 +198,8 @@ object Bench {
     "q351_drift_incremental", "q352_fetch_text_plain",
     "q353_drift_stream", "q354_hamming_exactly_once",
     "q355_sized_interleave_audit", "q356_sized_curriculum_audit",
-    "q357_png_dhash", "q358_crossformat_neardup")
+    "q357_png_dhash", "q358_crossformat_neardup",
+    "q359_jpeg_dhash", "q360_reencode_triple")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -4240,6 +4240,54 @@ object SparkEntry {
         maxDist = 3)
     }),
 
+    // ── REAL-format JPEG perceptual hash (Jpeg.dHashJpeg — round 17,
+    // completing the real-corpus image pair with q357's PNG):
+    // baseline sequential decode FOR REAL — marker walk, generic DHT
+    // Huffman (the fixtures carry canonical-from-frequency tables, no
+    // Annex-K shortcut), dequant + un-zigzag, the PINNED integer IDCT
+    // (bit-exact across implementations by construction), DRI/RSTn
+    // restarts, grayscale + YCbCr 4:4:4 + 4:2:0 MCU layouts, partial
+    // edge blocks on non-multiple-of-8 dims — entropy-decoding ALL
+    // components but IDCT-ing only Y (dHash needs luma alone).
+    // Progressive/arithmetic/12-bit/16-bit-DQT/truncated inputs are
+    // SKIPPED. Oracle = tools/gen_jpeg_fixtures.py's independent
+    // python decoder over the bytes it wrote (expected pixels are the
+    // RECONSTRUCTED ones — the lossy-format version of the q178/q325
+    // provenance discipline). ──
+    "q359_jpeg_dhash" -> ((s, _) => {
+      import graft.ext.{Jpeg, Multimodal}
+      Jpeg.dHashJpeg(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_jpeg")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // ── the RE-ENCODE dedup capstone (q360): BMP + PNG + JPEG corpora
+    // hash through ONE shared cell spec, so every cross-format
+    // re-encode of the same image pairs at distance 0 (the fixture
+    // quant tables preserve the dHash exactly through the lossy round
+    // trip — spec-pinned) and the format-blind banded join returns
+    // the four 6-member re-encode clusters: C(6,2)·4 = 60 pairs,
+    // with jodd.jpg isolated (quadratic pattern — the q220 spread
+    // rule). Oracle: brute-force all-pairs over the UNION of the
+    // THREE generators' independent expected hashes. ──
+    "q360_reencode_triple" -> ((s, _) => {
+      import graft.ext.{Jpeg, Multimodal, SimSearch}
+      def named(df: org.apache.spark.sql.DataFrame) =
+        df.select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      val bmp = named(Multimodal.dHashBmp(Multimodal.asMediaFiles(
+        Multimodal.readMedia(s, FixturesDir + "/images_dhash"))).toDF())
+      val png = named(Multimodal.dHashPng(Multimodal.asMediaFiles(
+        Multimodal.readMedia(s, FixturesDir + "/images_png"))).toDF())
+      val jpg = named(Jpeg.dHashJpeg(Multimodal.asMediaFiles(
+        Multimodal.readMedia(s, FixturesDir + "/images_jpeg"))).toDF())
+      SimSearch.hammingBandedPairs(
+        bmp.unionByName(png).unionByName(jpg), "name", "dhash",
+        maxDist = 3)
+    }),
+
     // ── STREAMING drift ingest (StreamingReports.driftIngestReplay —
     // the mergeable drift state live on a stream, the q316/q334
     // lifecycle discipline on the QA arc): the shifted candidate
@@ -11914,6 +11962,31 @@ object SparkEntry {
       """SELECT name, width, height, dhash
         |FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet')"""
         .stripMargin,
+
+    // JPEG dHash mirror: the generator's independent python DECODER
+    // over the bytes it wrote (lossy format: expected pixels are the
+    // reconstructed ones, through the same pinned integer IDCT spec)
+    "q359_jpeg_dhash" ->
+      """SELECT name, width, height, dhash
+        |FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')"""
+        .stripMargin,
+
+    // re-encode capstone mirror: brute-force ALL-pairs over the union
+    // of the THREE generators' expected hashes — format-blind
+    "q360_reencode_triple" ->
+      """WITH u AS (
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet'))
+        |SELECT a.name AS id_a, b.name AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+        |FROM u a JOIN u b ON a.name < b.name
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
 
     // cross-format near-dup mirror: brute-force ALL-pairs hamming
     // over the UNION of the two generators' expected hashes — no

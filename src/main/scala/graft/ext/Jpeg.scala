@@ -1,0 +1,406 @@
+package graft.ext
+
+import org.apache.spark.sql.Dataset
+
+import graft.ext.Multimodal.MediaFile
+
+/** REAL-format JPEG perceptual hash — baseline sequential DCT decode
+  * (ITU-T T.81 / ISO 10918, the format most of a crawled image corpus
+  * actually arrives in) feeding the SHARED 9×8 dHash grid fold, so a
+  * JPEG re-encode of a BMP/PNG pairs through the same format-blind
+  * banded hamming join (q360).
+  *
+  * SHARED DECODE SPEC (tools/gen_jpeg_fixtures.py implements it
+  * independently in python — the two are the oracle pair):
+  *   - Baseline sequential (SOF0), 8-bit precision, 1 component
+  *     (grayscale) or 3 (YCbCr); sampling factors in {1, 2} and
+  *     component 0 (Y) must carry the max factors; one scan covering
+  *     all frame components (or the single component); DRI/RSTn
+  *     honored (byte-align, reset DC predictions).
+  *   - Entropy-decode EVERY component (the bitstream interleaves
+  *     them) but IDCT ONLY Y — dHash needs luma alone; luma of a
+  *     reconstructed Y sample g is g·1000 (the r=g=b case of the
+  *     shared cell spec). Chroma bits advance the reader and are
+  *     otherwise discarded.
+  *   - INTEGER IDCT, bit-exact across implementations by
+  *     construction: with the pinned 64-entry basis
+  *     A(u)(x) = round(C(u)·cos((2x+1)uπ/16)/2 · 8192), C(0)=1/√2:
+  *       S(x,y) = Σ_u Σ_v A(u)(x)·A(v)(y)·F(v,u)
+  *       sample = clamp(((S + 2²⁵) >> 26) + 128, 0, 255)
+  *     (arithmetic shift — floor — in both languages; |S| stays
+  *     under 2⁵⁰ for any 8-bit-quantized stream, no overflow).
+  *   - OUT OF CONTRACT (file SKIPPED, never thrown — the bmpGeom
+  *     hostile-input discipline): SOF1/SOF2/SOF9+ (extended/
+  *     progressive/arithmetic), 12-bit precision, 16-bit DQT
+  *     entries, factors outside {1,2}, Y not at max factors,
+  *     truncated or over-running entropy data, undefined Huffman
+  *     codes, sub-grid images (w<9 or h<8 — the shared rule).
+  *
+  * 100-TB shape: one mapPartitions pass, O(coefficients) per file
+  * with 64 longs of IDCT state per block and the 144-long grid;
+  * only the hash survives downstream. Pair generation is the banded
+  * hamming join — never all-pairs.
+  */
+object Jpeg {
+
+  case class JpegHashRow(path: String, width: Int, height: Int,
+      components: Int, dhash: Long)
+
+  def dHashJpeg(files: Dataset[MediaFile]): Dataset[JpegHashRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f => parseJpegDHash(f.path, f.content)))
+  }
+
+  /** The pinned integer-IDCT basis (see the object scaladoc; the
+    * python generator asserts these literals against the formula).
+    */
+  private val A: Array[Array[Long]] = Array(
+    Array(2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896),
+    Array(4017, 3406, 2276, 799, -799, -2276, -3406, -4017),
+    Array(3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784),
+    Array(3406, -799, -4017, -2276, 2276, 4017, 799, -3406),
+    Array(2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896),
+    Array(2276, -4017, 799, 3406, -3406, -799, 4017, -2276),
+    Array(1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567),
+    Array(799, -2276, 3406, -4017, 4017, -3406, 2276, -799))
+
+  /** Zigzag scan order: natural index of the k-th coefficient
+    * (generated algorithmically by the python side and pinned here).
+    */
+  private val ZZ: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Structural failure inside the entropy decode — caught at the
+    * file boundary and turned into a skip (private control flow).
+    */
+  private final class Malformed extends RuntimeException
+
+  private final class BitReader(d: Array[Byte], var p: Int) {
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (p >= d.length) throw new Malformed
+        val b = d(p) & 0xff
+        p += 1
+        if (b == 0xff) {
+          if (p >= d.length) throw new Malformed
+          if ((d(p) & 0xff) == 0x00) p += 1
+          else throw new Malformed // marker inside entropy data
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def alignToRst(): Unit = {
+      n = 0
+      if (p + 1 >= d.length || (d(p) & 0xff) != 0xff ||
+          (d(p + 1) & 0xff) < 0xd0 || (d(p + 1) & 0xff) > 0xd7)
+        throw new Malformed
+      p += 2
+    }
+  }
+
+  /** Canonical Huffman decode table: (code, length) → symbol, as a
+    * map keyed by (length << 16 | code) — tables are tiny.
+    */
+  private def huffTable(
+      bits: Array[Int], vals: Array[Int]): Map[Int, Int] = {
+    var code = 0
+    var vi = 0
+    val m = Map.newBuilder[Int, Int]
+    var ln = 1
+    while (ln <= 16) {
+      var i = 0
+      while (i < bits(ln - 1)) {
+        m += ((ln << 16) | code) -> vals(vi)
+        code += 1; vi += 1; i += 1
+      }
+      code <<= 1
+      ln += 1
+    }
+    m.result()
+  }
+
+  private def readSym(br: BitReader, t: Map[Int, Int]): Int = {
+    var code = 0
+    var ln = 0
+    while (ln < 16) {
+      code = (code << 1) | br.bit()
+      ln += 1
+      t.get((ln << 16) | code) match {
+        case Some(s) => return s
+        case None =>
+      }
+    }
+    throw new Malformed
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0 || v >= (1 << (t - 1))) v else v - (1 << t) + 1
+
+  /** Pure parser, package-visible for direct spec coverage. Every
+    * out-of-contract or hostile input returns None.
+    */
+  private[graft] def parseJpegDHash(
+      path: String, b: Array[Byte]): Option[JpegHashRow] = {
+    try decode(path, b)
+    catch {
+      // the entropy decoder signals structural damage by exception;
+      // any residual indexing slip on hostile bytes lands here too —
+      // a bad file must not kill a 100-TB scan
+      case _: Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  private def decode(path: String, b: Array[Byte]): Option[JpegHashRow] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    def u16(off: Int): Int =
+      if (off + 1 >= b.length) throw new Malformed
+      else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    // ── marker walk up to SOS ──
+    var p = 2
+    val qt = new Array[Array[Int]](4)
+    val dcTab = new Array[Map[Int, Int]](4)
+    val acTab = new Array[Map[Int, Int]](4)
+    var w = 0
+    var h = 0
+    var nf = 0
+    // per component: id, hf, vf, tq
+    var comps: Array[(Int, Int, Int, Int)] = null
+    var dri = 0
+    var scan: Array[(Int, Int, Int)] = null // (compIdx, td, ta)
+    while (scan == null) {
+      if (p + 3 >= b.length || (b(p) & 0xff) != 0xff) return None
+      val m = b(p + 1) & 0xff
+      if (m == 0xd9) return None // EOI before any scan
+      val len = u16(p + 2)
+      if (len < 2 || p + 2 + len > b.length) return None
+      val pay = p + 4
+      val payLen = len - 2
+      m match {
+        case 0xdb => // DQT: one or more (PqTq, 64 bytes) entries
+          var i = 0
+          while (i < payLen) {
+            if (i + 65 > payLen) return None
+            val pq = (b(pay + i) & 0xff) >> 4
+            val tq = b(pay + i) & 0x0f
+            if (pq != 0 || tq > 3) return None // 16-bit tables: out
+            val tab = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              tab(ZZ(k)) = b(pay + i + 1 + k) & 0xff
+              k += 1
+            }
+            qt(tq) = tab
+            i += 65
+          }
+        case 0xc0 => // SOF0 — the ONLY in-contract frame type
+          if (payLen < 6) return None
+          if ((b(pay) & 0xff) != 8) return None // 12-bit: out
+          h = u16(pay + 1); w = u16(pay + 3)
+          nf = b(pay + 5) & 0xff
+          if (w <= 0 || h <= 0 || (nf != 1 && nf != 3)) return None
+          if (payLen < 6 + 3 * nf) return None
+          comps = (0 until nf).map { ci =>
+            val o = pay + 6 + 3 * ci
+            val hf = (b(o + 1) & 0xff) >> 4
+            val vf = b(o + 1) & 0x0f
+            (b(o) & 0xff, hf, vf, b(o + 2) & 0x0f)
+          }.toArray
+          if (comps.exists(c => c._2 < 1 || c._2 > 2 || c._3 < 1 || c._3 > 2))
+            return None
+          val hmax = comps.map(_._2).max
+          val vmax = comps.map(_._3).max
+          if (comps(0)._2 != hmax || comps(0)._3 != vmax) return None
+        case 0xc4 => // DHT: one or more tables
+          var i = 0
+          while (i < payLen) {
+            if (i + 17 > payLen) return None
+            val tc = (b(pay + i) & 0xff) >> 4
+            val th = b(pay + i) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val bits = (0 until 16).map(k => b(pay + i + 1 + k) & 0xff).toArray
+            val nv = bits.sum
+            if (i + 17 + nv > payLen) return None
+            val vals = (0 until nv).map(k => b(pay + i + 17 + k) & 0xff).toArray
+            val t = huffTable(bits, vals)
+            if (tc == 0) dcTab(th) = t else acTab(th) = t
+            i += 17 + nv
+          }
+        case 0xdd =>
+          if (payLen != 2) return None
+          dri = u16(pay)
+        case 0xda => // SOS
+          if (comps == null) return None
+          val ns = b(pay) & 0xff
+          if (ns != nf) return None // multi-scan baseline: out
+          if (payLen < 1 + 2 * ns + 3) return None
+          scan = (0 until ns).map { i =>
+            val cs = b(pay + 1 + 2 * i) & 0xff
+            val ci = comps.indexWhere(_._1 == cs)
+            if (ci < 0) throw new Malformed
+            ((ci, (b(pay + 2 + 2 * i) & 0xff) >> 4,
+              b(pay + 2 + 2 * i) & 0x0f))
+          }.toArray
+        case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
+          return None // SOF1/2/9/…: progressive/extended/arithmetic out
+        case _ => // APPn / COM / others skipped
+      }
+      p += 2 + len
+    }
+    if (w < 9 || h < 8) return None // sub-grid skip (shared rule)
+    if (w.toLong * h > Multimodal.PngMaxPixels) return None // bomb cap
+    // every referenced table must exist
+    if (scan.exists(s => dcTab(s._2) == null || acTab(s._3) == null))
+      return None
+    if (comps.exists(c => qt(c._4) == null)) return None
+
+    val hmax = comps.map(_._2).max
+    val vmax = comps.map(_._3).max
+    val ybw = (w + 7) / 8
+    val ybh = (h + 7) / 8
+    val ypix = new Array[Byte](ybw * 8 * ybh * 8) // row-major, padded
+    val br = new BitReader(b, p)
+    val pred = new Array[Int](nf)
+    val zz = new Array[Int](64)
+
+    def decodeBlock(ci: Int, td: Int, ta: Int): Unit = {
+      java.util.Arrays.fill(zz, 0)
+      val s = readSym(br, dcTab(td))
+      if (s > 11) throw new Malformed
+      val diff = if (s == 0) 0 else extend(br.bits(s), s)
+      pred(ci) += diff
+      zz(0) = pred(ci)
+      var k = 1
+      while (k < 64) {
+        val sym = readSym(br, acTab(ta))
+        if (sym == 0x00) k = 64 // EOB
+        else if (sym == 0xf0) k += 16 // ZRL
+        else {
+          val r = sym >> 4
+          val sz = sym & 0x0f
+          if (sz == 0 || sz > 10) throw new Malformed
+          k += r
+          if (k > 63) throw new Malformed
+          zz(k) = extend(br.bits(sz), sz)
+          k += 1
+        }
+      }
+    }
+
+    def placeY(bx: Int, by: Int, q: Array[Int]): Unit = {
+      // dequantize + un-zigzag into natural order F(v)(u)
+      val coef = new Array[Long](64)
+      var k = 0
+      while (k < 64) {
+        coef(ZZ(k)) = zz(k).toLong * q(ZZ(k))
+        k += 1
+      }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0L
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              s += A(u)(x) * A(v)(y) * coef(v * 8 + u)
+              v += 1
+            }
+            u += 1
+          }
+          val px = ((s + (1L << 25)) >> 26) + 128
+          val cl = if (px < 0) 0 else if (px > 255) 255 else px.toInt
+          ypix((by * 8 + y) * ybw * 8 + bx * 8 + x) = cl.toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    val yq = qt(comps(0)._4)
+    var n = 0
+    def restartIfDue(): Unit =
+      if (dri > 0 && n > 0 && n % dri == 0) {
+        br.alignToRst()
+        java.util.Arrays.fill(pred, 0)
+      }
+    if (nf > 1) {
+      val mcux = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcuy = (h + 8 * vmax - 1) / (8 * vmax)
+      var my = 0
+      while (my < mcuy) {
+        var mx = 0
+        while (mx < mcux) {
+          restartIfDue(); n += 1
+          scan.foreach { case (ci, td, ta) =>
+            val hf = comps(ci)._2
+            val vf = comps(ci)._3
+            var v = 0
+            while (v < vf) {
+              var hh = 0
+              while (hh < hf) {
+                decodeBlock(ci, td, ta)
+                if (ci == 0) {
+                  val bx = mx * hf + hh
+                  val by = my * vf + v
+                  if (bx < ybw && by < ybh) placeY(bx, by, yq)
+                }
+                hh += 1
+              }
+              v += 1
+            }
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      val (_, td, ta) = scan(0)
+      var by = 0
+      while (by < ybh) {
+        var bx = 0
+        while (bx < ybw) {
+          restartIfDue(); n += 1
+          decodeBlock(0, td, ta)
+          placeY(bx, by, yq)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    // ── the shared grid fold over the W×H (padding discarded) ──
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      val base = y * ybw * 8
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 9 / w).toInt
+        sums(cy)(cx) += (ypix(base + x) & 0xff) * 1000L
+        cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some(JpegHashRow(path, w, h, nf, Multimodal.dHashOfGrid(sums, cnts)))
+  }
+}

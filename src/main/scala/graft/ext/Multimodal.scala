@@ -305,7 +305,7 @@ object Multimodal {
     * set iff cell (cx+1, cy)'s average luma strictly exceeds cell
     * (cx, cy)'s, compared as L2·n1 > L1·n2.
     */
-  private def dHashOfGrid(
+  private[graft] def dHashOfGrid(
       sums: Array[Array[Long]], cnts: Array[Array[Long]]): Long = {
     var h = 0L
     var cy = 0

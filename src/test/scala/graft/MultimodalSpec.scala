@@ -254,6 +254,51 @@ class MultimodalSpec extends SparkSpec {
       == parsePngDHash("x", bytesOf("base3.png")).get.dhash)
   }
 
+  test("dHashJpeg: baseline decode matches the generator's independent " +
+      "implementation (grayscale, restarts, 4:4:4, 4:2:0, partial edge " +
+      "blocks); out-of-contract files skipped; re-encode parity") {
+    import graft.ext.Jpeg
+    val files = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/images_jpeg"))
+    val rows = Jpeg.dHashJpeg(files).collect()
+      .map(r => r.path.split('/').last -> r).toMap
+    // progressive/arith/prec12/trunc/notjpeg/tiny_8x4 all SKIPPED
+    assert(rows.keySet == ((0 until 4).flatMap(k =>
+      Seq(s"base$k.jpg", s"near$k.jpg")) :+ "jodd.jpg").toSet)
+    // structure legs: grayscale / restart-marker / 4:4:4 / 4:2:0
+    assert(rows("base0.jpg").components == 1
+      && rows("base1.jpg").components == 1
+      && rows("base2.jpg").components == 3
+      && rows("base3.jpg").components == 3)
+    // non-multiple-of-8 dims: partial edge blocks decoded, pad discarded
+    assert(rows("jodd.jpg").width == 35 && rows("jodd.jpg").height == 19)
+    // RE-ENCODE PARITY — the q360 premise: at the fixture quant
+    // tables the dHash survives the lossy round trip EXACTLY, so a
+    // JPEG re-encode of a BMP is a distance-0 pair (and any slip in
+    // Huffman decode, dequant, the integer IDCT, restart handling, or
+    // Y placement inside a 4:2:0 MCU would shift a cell sum)
+    val bmps = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, "/root/repo/fixtures/images_dhash")))
+      .collect().map(r => r.path.split('/').last -> r.dhash).toMap
+    for (k <- 0 until 4; s <- Seq("base", "near"))
+      assert(rows(s"$s$k.jpg").dhash == bmps(s"$s$k.bmp"),
+        s"$s$k: jpeg/bmp hash divergence")
+    // hostile arms direct through the pure parser
+    def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/repo/fixtures/images_jpeg/$n"))
+    for (n <- Seq("progressive.jpg", "arith.jpg", "prec12.jpg",
+        "trunc.jpg", "notjpeg.jpg", "tiny_8x4.jpg"))
+      assert(Jpeg.parseJpegDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    // mid-file truncation + garbage-in-entropy never throw
+    val ok = bytesOf("base3.jpg")
+    assert(Jpeg.parseJpegDHash("x", ok.take(ok.length / 2)).isEmpty)
+    assert(Jpeg.parseJpegDHash("x", Array.emptyByteArray).isEmpty)
+    val corrupt = ok.clone()
+    corrupt(ok.length - 40) = 0x55 // flip a byte inside entropy data
+    // either decodes to SOME hash or skips — must not throw
+    Jpeg.parseJpegDHash("x", corrupt)
+  }
+
   test("aHashWav: fixture hashes match the generator; sub-window and " +
       "float files skipped; gain invariance; planted pairs exact") {
     import graft.ext.Multimodal.{aHashWav, parseWavAHash}

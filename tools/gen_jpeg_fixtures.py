@@ -1,0 +1,708 @@
+#!/usr/bin/env python3
+"""Author fixtures/images_jpeg/*.jpg and
+fixtures/images_jpeg_expected.parquet — the q359/q360 JPEG perceptual
+image-dedup oracle.
+
+Discipline (gen_png_fixtures.py's, adapted to a LOSSY format): the
+pixels that matter are the ones a decoder RECONSTRUCTS, so the
+expected hash is computed by this script's own INDEPENDENT baseline
+JPEG decoder (marker walk → Huffman decode → dequantize → the shared
+integer IDCT below) over the bytes it wrote — never by the Spark
+decoder. The Scala side (graft.ext.Jpeg.parseJpegDHash) implements
+the same written spec independently; hash equality certifies both.
+
+SHARED DECODE SPEC (implemented twice, here and in Jpeg.scala):
+  - Baseline sequential DCT (SOF0), 8-bit precision, 1 component
+    (grayscale) or 3 (YCbCr), Y must carry the max sampling factors,
+    factors in {1, 2}; one scan covering all frame components (or the
+    single component); DRI/RSTn honored (byte-align, reset DC preds).
+  - Entropy decode ALL components (the bitstream interleaves them)
+    but IDCT ONLY component 0 (Y) — dHash needs luma alone; luma of a
+    reconstructed Y sample g is g*1000 (the r=g=b case of the shared
+    cell spec).
+  - INTEGER IDCT, bit-exact by construction: with the 64-entry basis
+    table A[u][x] = round(C(u)·cos((2x+1)uπ/16)/2 · 8192), C(0)=1/√2
+    else 1 (the literal table below, PINNED in both implementations):
+      S(x,y) = Σ_u Σ_v A[u][x]·A[v][y]·F(u,v)   (64-bit exact)
+      sample  = clamp(((S + 2^25) >> 26) + 128, 0, 255)
+    (">>" is an arithmetic/floor shift in both languages.)
+  - Out of contract (decoder SKIPS the file): SOF1/SOF2/SOF9+
+    (progressive/extended/arithmetic), 12-bit precision, 16-bit DQT
+    entries, sampling factors outside {1,2}, Y not at max factors,
+    truncated entropy data, missing EOI scan structure, sub-grid
+    images (w<9 or h<8 — the shared rule).
+
+The ENCODER here is free to use float math (the file is the fixture;
+only DECODE must be bit-exact across implementations). Huffman tables
+are built canonical-from-frequencies with the libjpeg dummy-symbol
+trick (reserves the all-ones code), so the decoders' generic DHT
+paths are load-bearing — no Annex-K shortcut.
+"""
+import math
+import os
+import struct
+import duckdb
+
+OUT = "/root/repo/fixtures/images_jpeg"
+EXPECTED = "/root/repo/fixtures/images_jpeg_expected.parquet"
+W = H = 64
+
+# ── the shared integer-IDCT basis (PINNED; Jpeg.scala mirrors it) ──
+A = [
+    [2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896],
+    [4017, 3406, 2276, 799, -799, -2276, -3406, -4017],
+    [3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784],
+    [3406, -799, -4017, -2276, 2276, 4017, 799, -3406],
+    [2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896],
+    [2276, -4017, 799, 3406, -3406, -799, 4017, -2276],
+    [1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567],
+    [799, -2276, 3406, -4017, 4017, -3406, 2276, -799],
+]
+# regenerate and assert — the literals must never drift from the formula
+for u in range(8):
+    cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+    for x in range(8):
+        assert A[u][x] == round(cu * math.cos((2 * x + 1) * u * math.pi / 16)
+                                / 2 * 8192), (u, x)
+
+# zigzag: natural index of the k-th coefficient in scan order,
+# generated algorithmically (no transcription risk)
+def make_zigzag():
+    order, r, c, up = [], 0, 0, True
+    for _ in range(64):
+        order.append(r * 8 + c)
+        if up:
+            if c == 7: r += 1; up = False
+            elif r == 0: c += 1; up = False
+            else: r -= 1; c += 1
+        else:
+            if r == 7: c += 1; up = True
+            elif c == 0: r += 1; up = True
+            else: r += 1; c -= 1
+    return order
+
+ZZ = make_zigzag()
+assert ZZ[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24] and len(set(ZZ)) == 64
+
+# quant tables (natural order), gentle — high quality keeps the
+# perceptual geometry of the shared luma formulas intact
+QLUM = [[2 + r + c for c in range(8)] for r in range(8)]
+QCHR = [[8] * 8 for _ in range(8)]
+
+
+def fdct_quant(block, q):
+    """float forward DCT + quantize; encoder-side only."""
+    out = [[0] * 8 for _ in range(8)]
+    for u in range(8):
+        for v in range(8):
+            cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+            cv = (1 / math.sqrt(2)) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (block[y][x] - 128) * \
+                        math.cos((2 * x + 1) * u * math.pi / 16) * \
+                        math.cos((2 * y + 1) * v * math.pi / 16)
+            out[v][u] = int(round(0.25 * cu * cv * s / q[v][u]))
+    return out
+
+
+def idct_int(coef):
+    """THE SHARED SPEC: integer IDCT over dequantized coefficients
+    coef[v][u] (natural order)."""
+    px = [[0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            s = 0
+            for u in range(8):
+                for v in range(8):
+                    s += A[u][x] * A[v][y] * coef[v][u]
+            px[y][x] = max(0, min(255, ((s + (1 << 25)) >> 26) + 128))
+    return px
+
+
+# ── Huffman: canonical from frequencies, 16-bit cap, all-ones code
+# reserved via the dummy-symbol trick ──
+def build_huffman(freqs):
+    """freqs: {symbol: count}. Returns (bits[1..16], symbol list in
+    code order, {symbol: (code, length)})."""
+    import heapq
+    DUMMY = 256
+    # real counts scaled x2 so the dummy is UNIQUELY smallest: it then
+    # merges first, lands at MAX depth, sorts last there (256 > any
+    # real symbol), and owns the all-ones code — droppable without
+    # leaving a canonical gap (a tied dummy at a shallower depth left
+    # a gap the decoder's canonical reconstruction collapsed — the
+    # encoder/decoder code mismatch this comment memorializes)
+    items = [(2 * c, s) for s, c in freqs.items() if c > 0] + [(1, DUMMY)]
+    heap = [(c, i, [s]) for i, (c, s) in enumerate(sorted(items))]
+    heapq.heapify(heap)
+    depth = {s: 0 for _, _, ss in heap for s in ss}
+    nxt = len(heap)
+    while len(heap) > 1:
+        c1, _, s1 = heapq.heappop(heap)
+        c2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, nxt, s1 + s2))
+        nxt += 1
+    if len(freqs) == 0:
+        raise ValueError("empty huffman")
+    if len(depth) == 1:  # single real symbol + dummy impossible here
+        depth = {list(depth)[0]: 1}
+    assert max(depth.values()) <= 16, "code too deep; re-tune tables"
+    # canonical: sort by (length, symbol); dummy (256) sorts LAST among
+    # its length class, so it owns the all-ones code — then drop it
+    order = sorted(depth.items(), key=lambda kv: (kv[1], kv[0]))
+    codes, code, prev_len = {}, 0, 0
+    for sym, ln in order:
+        code <<= (ln - prev_len)
+        codes[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    codes.pop(DUMMY, None)
+    bits = [0] * 17
+    for sym, (c, ln) in codes.items():
+        bits[ln] += 1
+    vals = [s for s, _ in sorted(codes.items(),
+                                 key=lambda kv: (kv[1][1], kv[1][0]))]
+    return bits[1:], vals, codes
+
+
+def mag_cat(v):
+    """JPEG magnitude category + the appended bits."""
+    if v == 0:
+        return 0, 0
+    a, t = abs(v), 0
+    while a:
+        a >>= 1
+        t += 1
+    bits = v if v > 0 else v + (1 << t) - 1
+    return t, bits
+
+
+class BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def align(self):  # pad with 1s to a byte boundary
+        while self.n:
+            self.put(1, 1)
+
+
+def blocks_of(plane, bw, bh):
+    """Split a 2D plane (list of rows) into 8x8 blocks, edge-replicated."""
+    h, w = len(plane), len(plane[0])
+    out = {}
+    for by in range(bh):
+        for bx in range(bw):
+            blk = [[plane[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)]
+                    for x in range(8)] for y in range(8)]
+            out[(bx, by)] = blk
+    return out
+
+
+def encode_jpeg(w, h, comps, dri=0):
+    """comps: list of (plane, (Hf, Vf), qtable, qid). Component 0 is Y.
+    Single interleaved scan (or single-component scan when len==1)."""
+    hmax = max(c[1][0] for c in comps)
+    vmax = max(c[1][1] for c in comps)
+    # per-component quantized blocks
+    qblocks, bdims = [], []
+    for plane, (hf, vf), q, _ in comps:
+        cw = -(-w * hf // hmax)
+        chh = -(-h * vf // vmax)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        # pad plane to component size by edge replication
+        p = [[plane[min(y, len(plane) - 1)][min(x, len(plane[0]) - 1)]
+              for x in range(cw)] for y in range(chh)]
+        qblocks.append({k: [r[:] for r in fdct_quant(b, q)]
+                        for k, b in blocks_of(p, bw, bh).items()})
+        bdims.append((bw, bh))
+
+    interleaved = len(comps) > 1
+    if interleaved:
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        # MCU block-dims per component: mcux*Hf wide (may exceed bw — pad)
+        for ci, (_, (hf, vf), _, _) in enumerate(comps):
+            for by in range(mcuy * vf):
+                for bx in range(mcux * hf):
+                    if (bx, by) not in qblocks[ci]:
+                        qblocks[ci][(bx, by)] = [[0] * 8 for _ in range(8)]
+
+    def mcu_stream():
+        """yields (comp_index, block) in scan order, with restart cuts."""
+        if interleaved:
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and n and n % dri == 0:
+                        yield ("RST", None)
+                    n += 1
+                    for ci, (_, (hf, vf), _, _) in enumerate(comps):
+                        for v in range(vf):
+                            for hh in range(hf):
+                                yield (ci, qblocks[ci][(mx * hf + hh,
+                                                        my * vf + v)])
+        else:
+            bw, bh = bdims[0]
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if dri and n and n % dri == 0:
+                        yield ("RST", None)
+                    n += 1
+                    yield (0, qblocks[0][(bx, by)])
+
+    # pass 1: symbol stats (tables per class: 0 = luma/comp0, 1 = chroma)
+    def tclass(ci):
+        return 0 if ci == 0 else 1
+
+    dcf = [{}, {}]
+    acf = [{}, {}]
+    pred = [0] * len(comps)
+    for ci, blk in mcu_stream():
+        if ci == "RST":
+            pred = [0] * len(comps)
+            continue
+        zz = [blk[ZZ[k] // 8][ZZ[k] % 8] for k in range(64)]
+        t = tclass(ci)
+        d = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        s, _ = mag_cat(d)
+        dcf[t][s] = dcf[t].get(s, 0) + 1
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                acf[t][0xF0] = acf[t].get(0xF0, 0) + 1
+                run -= 16
+            s, _ = mag_cat(zz[k])
+            sym = (run << 4) | s
+            acf[t][sym] = acf[t].get(sym, 0) + 1
+            run = 0
+        if run:
+            acf[t][0x00] = acf[t].get(0x00, 0) + 1
+
+    ncls = 1 if len(comps) == 1 else 2
+    dct = [build_huffman(dcf[t]) for t in range(ncls)]
+    act = [build_huffman(acf[t]) for t in range(ncls)]
+
+    # pass 2: entropy-coded data
+    bwriter = BitWriter()
+    pred = [0] * len(comps)
+    rstn = 0
+    for ci, blk in mcu_stream():
+        if ci == "RST":
+            bwriter.align()
+            bwriter.out += bytes([0xFF, 0xD0 + (rstn % 8)])
+            rstn += 1
+            pred = [0] * len(comps)
+            continue
+        zz = [blk[ZZ[k] // 8][ZZ[k] % 8] for k in range(64)]
+        t = tclass(ci)
+        d = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        s, extra = mag_cat(d)
+        c, ln = dct[t][2][s]
+        bwriter.put(c, ln)
+        if s:
+            bwriter.put(extra, s)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = act[t][2][0xF0]
+                bwriter.put(c, ln)
+                run -= 16
+            s, extra = mag_cat(zz[k])
+            c, ln = act[t][2][(run << 4) | s]
+            bwriter.put(c, ln)
+            bwriter.put(extra, s)
+            run = 0
+        if run:
+            c, ln = act[t][2][0x00]
+            bwriter.put(c, ln)
+    bwriter.align()
+
+    # ── container ──
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    def dqt(tid, q):
+        zz = bytes(q[ZZ[k] // 8][ZZ[k] % 8] for k in range(64))
+        return seg(0xDB, bytes([tid]) + zz)
+
+    def dht(tc, th, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += dqt(0, QLUM)
+    if len(comps) > 1:
+        out += dqt(1, QCHR)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for ci, (_, (hf, vf), _, qid) in enumerate(comps):
+        sof += bytes([ci + 1, (hf << 4) | vf, qid])
+    out += seg(0xC0, sof)
+    for t in range(ncls):
+        out += dht(0, t, dct[t][0], dct[t][1])
+        out += dht(1, t, act[t][0], act[t][1])
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
+    sos = bytes([len(comps)])
+    for ci in range(len(comps)):
+        t = tclass(ci)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bwriter.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ───────────────────── independent DECODER (the oracle side) ─────────
+class BitReader:
+    def __init__(self, data, pos):
+        self.d, self.p, self.acc, self.n = data, pos, 0, 0
+
+    def bit(self):
+        if self.n == 0:
+            b = self.d[self.p]
+            self.p += 1
+            if b == 0xFF:
+                m = self.d[self.p]
+                if m == 0x00:
+                    self.p += 1
+                else:
+                    raise EOFError("marker in entropy data")
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_rst(self):
+        self.n = 0
+        assert self.d[self.p] == 0xFF and 0xD0 <= self.d[self.p + 1] <= 0xD7
+        self.p += 2
+
+
+def huff_decode_table(bits, vals):
+    """(code, length) -> symbol map."""
+    table, code, vi = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(code, ln)] = vals[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+def read_sym(br, table):
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        if (code, ln) in table:
+            return table[(code, ln)]
+    raise ValueError("bad huffman code")
+
+
+def extend(v, t):
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_luma(b):
+    """Independent baseline decode → (w, h, Y rows). Raises on
+    out-of-contract input (the generator only calls it on in-contract
+    fixtures)."""
+    assert b[:2] == b"\xff\xd8"
+    p = 2
+    qt, hufdc, hufac = {}, {}, {}
+    w = h = None
+    comps = []  # (cid, hf, vf, tq)
+    dri = 0
+    scomp = None
+    while p < len(b):
+        assert b[p] == 0xFF
+        m = b[p + 1]
+        if m == 0xD9:
+            break
+        ln = struct.unpack(">H", b[p + 2:p + 4])[0]
+        pay = b[p + 4:p + 2 + ln]
+        if m == 0xDB:
+            i = 0
+            while i < len(pay):
+                pq, tq = pay[i] >> 4, pay[i] & 15
+                assert pq == 0
+                tab = [0] * 64
+                for k in range(64):
+                    tab[ZZ[k]] = pay[i + 1 + k]
+                qt[tq] = tab
+                i += 65
+        elif m == 0xC0:
+            assert pay[0] == 8
+            h, w = struct.unpack(">HH", pay[1:5])
+            nf = pay[5]
+            for ci in range(nf):
+                o = 6 + 3 * ci
+                comps.append((pay[o], pay[o + 1] >> 4, pay[o + 1] & 15,
+                              pay[o + 2]))
+        elif m == 0xC4:
+            i = 0
+            while i < len(pay):
+                tc, th = pay[i] >> 4, pay[i] & 15
+                bits = list(pay[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(pay[i + 17:i + 17 + nv])
+                (hufdc if tc == 0 else hufac)[th] = \
+                    huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif m == 0xDD:
+            dri = struct.unpack(">H", pay)[0]
+        elif m == 0xDA:
+            ns = pay[0]
+            scomp = [(pay[1 + 2 * i], pay[2 + 2 * i] >> 4,
+                      pay[2 + 2 * i] & 15) for i in range(ns)]
+            p = p + 2 + ln
+            break
+        p = p + 2 + ln
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    ybw, ybh = -(-w // 8), -(-h // 8)
+    ypix = [[0] * (ybw * 8) for _ in range(ybh * 8)]
+    br = BitReader(b, p)
+    pred = {c[0]: 0 for c in comps}
+
+    def decode_block(cid, td, ta):
+        s = read_sym(br, hufdc[td])
+        diff = extend(br.bits(s), s) if s else 0
+        pred[cid] += diff
+        zz = [0] * 64
+        zz[0] = pred[cid]
+        k = 1
+        while k < 64:
+            sym = read_sym(br, hufac[ta])
+            if sym == 0x00:
+                break
+            r, s = sym >> 4, sym & 15
+            if sym == 0xF0:
+                k += 16
+                continue
+            k += r
+            zz[k] = extend(br.bits(s), s)
+            k += 1
+        return zz
+
+    def place_y(bx, by, zz, tq):
+        coef = [[0] * 8 for _ in range(8)]
+        for k in range(64):
+            nat = ZZ[k]
+            coef[nat // 8][nat % 8] = zz[k] * qt[tq][nat]
+        px = idct_int(coef)
+        for y in range(8):
+            for x in range(8):
+                ypix[by * 8 + y][bx * 8 + x] = px[y][x]
+
+    interleaved = len(scomp) > 1
+    n = 0
+    if interleaved:
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and n and n % dri == 0:
+                    br.align_to_rst()
+                    for k in pred:
+                        pred[k] = 0
+                n += 1
+                for (cid, td, ta) in scomp:
+                    _, hf, vf, tq = next(c for c in comps if c[0] == cid)
+                    for v in range(vf):
+                        for hh in range(hf):
+                            zz = decode_block(cid, td, ta)
+                            if cid == comps[0][0]:
+                                bx, by = mx * hf + hh, my * vf + v
+                                if bx < ybw and by < ybh:
+                                    place_y(bx, by, zz, tq)
+    else:
+        cid, td, ta = scomp[0]
+        tq = comps[0][3]
+        for by in range(ybh):
+            for bx in range(ybw):
+                if dri and n and n % dri == 0:
+                    br.align_to_rst()
+                    for k in pred:
+                        pred[k] = 0
+                n += 1
+                place_y(bx, by, decode_block(cid, td, ta), tq)
+    return w, h, [row[:w] for row in ypix[:h]]
+
+
+def dhash_rows(w, h, rows):
+    sums = [[0] * 9 for _ in range(8)]
+    cnts = [[0] * 9 for _ in range(8)]
+    for y in range(h):
+        for x in range(w):
+            cx, cy = x * 9 // w, y * 8 // h
+            sums[cy][cx] += 1000 * rows[y][x]
+            cnts[cy][cx] += 1
+    hh = 0
+    for cy in range(8):
+        for cx in range(8):
+            if sums[cy][cx + 1] * cnts[cy][cx] > \
+                    sums[cy][cx] * cnts[cy][cx + 1]:
+                hh |= 1 << (cy * 8 + cx)
+    return hh - (1 << 64) if hh >= (1 << 63) else hh
+
+
+# ─────────────────────────── fixture authoring ───────────────────────
+def base_l(k, x, y):
+    if k == 0:
+        return min(255, 2 * x + y // 8)
+    if k == 1:
+        return max(0, min(255, 128 - 2 * x + y // 8))
+    if k == 2:
+        return min(255, 2 * x + y // 8) if (y // 8) % 2 == 0 \
+            else max(0, min(255, 128 - 2 * x + y // 8))
+    return min(255, 3 * abs(x - 32) + y // 8)
+
+
+def luma_at(k, near, x, y):
+    l = base_l(k, x, y)
+    if near and 29 <= x < 36 and 0 <= y < 8:
+        l = min(255, l + 40)
+    return l
+
+
+def formula_dhash(lum):
+    return dhash_rows(W, H, [[lum(x, y) for x in range(W)]
+                             for y in range(H)])
+
+
+os.makedirs(OUT, exist_ok=True)
+rows_out = []  # (name, width, height, dhash)
+
+def author(name, w, h, comps, dri=0):
+    data = encode_jpeg(w, h, comps, dri)
+    with open(f"{OUT}/{name}", "wb") as f:
+        f.write(data)
+    dw, dh, rows = decode_jpeg_luma(data)
+    assert (dw, dh) == (w, h), name
+    hsh = dhash_rows(dw, dh, rows)
+    rows_out.append((name, w, h, hsh))
+    return hsh
+
+hashes = {}
+for k in range(4):
+    for near in (False, True):
+        name = f"{'near' if near else 'base'}{k}.jpg"
+        plane = [[luma_at(k, near, x, y) for x in range(W)]
+                 for y in range(H)]
+        chroma = [[(x * 5 + y * 3) % 256 for x in range(W)]
+                  for y in range(H)]
+        if k == 0:
+            comps, dri = [(plane, (1, 1), QLUM, 0)], 0
+        elif k == 1:  # grayscale + restart markers every 2 MCUs
+            comps, dri = [(plane, (1, 1), QLUM, 0)], 2
+        elif k == 2:  # YCbCr 4:4:4, chroma noise the decoder must skip
+            comps, dri = [(plane, (1, 1), QLUM, 0),
+                          (chroma, (1, 1), QCHR, 1),
+                          (chroma, (1, 1), QCHR, 1)], 0
+        else:  # YCbCr 4:2:0 — 4 Y blocks per MCU
+            half = [[128 for _ in range(W // 2)] for _ in range(H // 2)]
+            comps, dri = [(plane, (2, 2), QLUM, 0),
+                          (half, (1, 1), QCHR, 1),
+                          (half, (1, 1), QCHR, 1)], 0
+        hashes[name] = author(name, W, H, comps, dri)
+
+# a non-multiple-of-8 grayscale (partial edge blocks discarded); the
+# quadratic formula (the q220 value-spread lesson) keeps its hash far
+# from every planted pattern — a monotone gradient would COLLIDE with
+# pattern 0's all-ones hash and pollute the q360 pair set
+author("jodd.jpg", 35, 19,
+       [([[((x * x + 3 * y) % 17) * 15 for x in range(35)]
+          for y in range(19)], (1, 1), QLUM, 0)])
+
+# out-of-contract fixtures (decoder must SKIP)
+ok = open(f"{OUT}/base0.jpg", "rb").read()
+sof_at = ok.index(b"\xff\xc0")
+with open(f"{OUT}/progressive.jpg", "wb") as f:  # SOF2
+    f.write(ok[:sof_at] + b"\xff\xc2" + ok[sof_at + 2:])
+with open(f"{OUT}/arith.jpg", "wb") as f:  # SOF9 (arithmetic)
+    f.write(ok[:sof_at] + b"\xff\xc9" + ok[sof_at + 2:])
+with open(f"{OUT}/prec12.jpg", "wb") as f:  # 12-bit precision
+    body = bytearray(ok)
+    body[sof_at + 4] = 12
+    f.write(bytes(body))
+with open(f"{OUT}/trunc.jpg", "wb") as f:  # entropy data cut mid-flight
+    sos_at = ok.index(b"\xff\xda")
+    f.write(ok[:sos_at + 40])
+with open(f"{OUT}/notjpeg.jpg", "wb") as f:
+    f.write(b"JUNKJUNKJUNKJUNK" * 8)
+# sub-grid (w<9): valid baseline bytes, skipped by the shared rule
+author("tiny_8x4.jpg", 8, 4,
+       [([[7 * x for x in range(8)] for _ in range(4)], (1, 1), QLUM, 0)])
+rows_out = [r for r in rows_out if r[0] != "tiny_8x4.jpg"]
+
+# planted-pair geometry + cross-format story (q360): the lossy decode
+# must keep each jpeg hash within the banded join's exact-recall band
+# of its FORMULA hash, near-pairs within [1,3] of their base, and
+# cross-pattern pairs far outside
+def dist(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+for k in range(4):
+    for near in (False, True):
+        nm = f"{'near' if near else 'base'}{k}.jpg"
+        lum = (lambda kk, nn: lambda x, y: luma_at(kk, nn, x, y))(k, near)
+        d = dist(hashes[nm], formula_dhash(lum))
+        assert d <= 3, f"{nm}: jpeg-vs-formula dist {d} > 3 (retune Q)"
+for k in range(4):
+    d = dist(hashes[f"base{k}.jpg"], hashes[f"near{k}.jpg"])
+    assert 1 <= d <= 3, f"base{k}/near{k} dist {d} outside [1,3]"
+for a in range(4):
+    for bq in range(a + 1, 4):
+        for sa in ("base", "near"):
+            for sb in ("base", "near"):
+                d = dist(hashes[f"{sa}{a}.jpg"], hashes[f"{sb}{bq}.jpg"])
+                assert d > 3, f"{sa}{a}/{sb}{bq} dist {d} <= 3"
+# jodd must not collide into any planted cluster (q360 cleanliness)
+jodd = next(r[3] for r in rows_out if r[0] == "jodd.jpg")
+for k in range(4):
+    for s in ("base", "near"):
+        d = dist(jodd, hashes[f"{s}{k}.jpg"])
+        assert d > 3, f"jodd vs {s}{k} dist {d} <= 3"
+
+con = duckdb.connect()
+con.execute(
+    "CREATE TABLE e (name VARCHAR, width INT, height INT, dhash BIGINT)")
+for n, w, h, hsh in rows_out:
+    con.execute("INSERT INTO e VALUES (?, ?, ?, ?)", [n, w, h, hsh])
+con.execute(f"COPY e TO '{EXPECTED}' (FORMAT PARQUET)")
+print("wrote", len(rows_out), "expected rows to", EXPECTED)
+for n, w, h, hsh in rows_out:
+    print(f"  {n} {w}x{h}: {hsh:#018x}" if hsh >= 0
+          else f"  {n} {w}x{h}: -{-hsh:#017x}")
