@@ -14,6 +14,41 @@ class PropertyExtSpec extends SparkSpec {
   private def sample[T](g: Gen[T], seed: Long): T =
     g.apply(Gen.Parameters.default, Seed(seed)).get
 
+  test("property: binary image parsers never throw under deterministic " +
+      "byte-mutation fuzz (the drop-don't-fail discipline, adversarial)") {
+    import graft.ext.{Jpeg, Multimodal}
+    val rng = new scala.util.Random(42) // fixed seed — reproducible
+    def fuzz(orig: Array[Byte],
+        parse: Array[Byte] => Option[Any]): Unit = {
+      // 200 mutants per fixture: flip 1-8 bytes, truncate, extend
+      (0 until 200).foreach { i =>
+        val b = orig.clone()
+        val mutated = i % 10 match {
+          case 8 => b.take(rng.nextInt(b.length + 1)) // truncation
+          case 9 => b ++ Array.fill(rng.nextInt(64))(rng.nextInt().toByte)
+          case _ =>
+            (0 until 1 + rng.nextInt(8)).foreach { _ =>
+              b(rng.nextInt(b.length)) = rng.nextInt().toByte
+            }
+            b
+        }
+        parse(mutated) // Some or None — must never throw
+      }
+    }
+    def bytesOf(p: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p))
+    fuzz(bytesOf("/root/repo/fixtures/images_png/base2.png"),
+      b => Multimodal.parsePngDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_png/base3.png"),
+      b => Multimodal.parsePngDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_jpeg/base3.jpg"),
+      b => Jpeg.parseJpegDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_jpeg/base1.jpg"),
+      b => Jpeg.parseJpegDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_dhash/base0.bmp"),
+      b => Multimodal.parseBmpDHash("x", b))
+  }
+
   test("property: coalesceIntervals == in-memory sweep on random interval sets") {
     val genIv = Gen.listOfN(60, for {
       k <- Gen.oneOf("a", "b", "c")
