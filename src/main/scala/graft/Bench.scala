@@ -199,7 +199,8 @@ object Bench {
     "q353_drift_stream", "q354_hamming_exactly_once",
     "q355_sized_interleave_audit", "q356_sized_curriculum_audit",
     "q357_png_dhash", "q358_crossformat_neardup",
-    "q359_jpeg_dhash", "q360_reencode_triple")
+    "q359_jpeg_dhash", "q360_reencode_triple",
+    "q361_gif_dhash", "q362_reencode_quad")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

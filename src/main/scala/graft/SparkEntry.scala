@@ -4288,6 +4288,52 @@ object SparkEntry {
         maxDist = 3)
     }),
 
+    // ── REAL-format GIF perceptual hash (Gif.dHashGif — round 17,
+    // the legacy image QUAD closed: BMP, PNG, JPEG, GIF): 87a/89a
+    // first-frame decode — extension blocks skipped sub-block-wise,
+    // LSB-first LZW with the canonical width rule and the KwKwK
+    // case, PALETTE application (base3's REVERSED local table with
+    // inverted indices makes pass-through impossible), INTERLACED
+    // four-pass row order, and animation hashing its POSTER frame.
+    // Out-of-contract (bad magic, truncated LZW, offset first frame,
+    // no color table, sub-grid) SKIPPED. Oracle = tools/
+    // gen_gif_fixtures.py's independent decode (lossless — the
+    // formula pixels, certified through palette + LZW + interlace
+    // provenance). ──
+    "q361_gif_dhash" -> ((s, _) => {
+      import graft.ext.{Gif, Multimodal}
+      Gif.dHashGif(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_gif")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // ── the RE-ENCODE dedup QUAD capstone (q362): all four legacy
+    // image formats through ONE format-blind banded hamming join —
+    // every cross-format re-encode of the same image pairs within
+    // the exact-recall band, giving four 8-member re-encode clusters
+    // (C(8,2)·4 = 112 pairs), with jodd.jpg and ganim.gif isolated
+    // (quadratic patterns). Oracle: brute-force all-pairs over the
+    // UNION of the FOUR generators' independent expected hashes. ──
+    "q362_reencode_quad" -> ((s, _) => {
+      import graft.ext.{Gif, Jpeg, Multimodal, SimSearch}
+      def named(df: org.apache.spark.sql.DataFrame) =
+        df.select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      val bmp = named(Multimodal.dHashBmp(Multimodal.asMediaFiles(
+        Multimodal.readMedia(s, FixturesDir + "/images_dhash"))).toDF())
+      val png = named(Multimodal.dHashPng(Multimodal.asMediaFiles(
+        Multimodal.readMedia(s, FixturesDir + "/images_png"))).toDF())
+      val jpg = named(Jpeg.dHashJpeg(Multimodal.asMediaFiles(
+        Multimodal.readMedia(s, FixturesDir + "/images_jpeg"))).toDF())
+      val gif = named(Gif.dHashGif(Multimodal.asMediaFiles(
+        Multimodal.readMedia(s, FixturesDir + "/images_gif"))).toDF())
+      SimSearch.hammingBandedPairs(
+        bmp.unionByName(png).unionByName(jpg).unionByName(gif),
+        "name", "dhash", maxDist = 3)
+    }),
+
     // ── STREAMING drift ingest (StreamingReports.driftIngestReplay —
     // the mergeable drift state live on a stream, the q316/q334
     // lifecycle discipline on the QA arc): the shifted candidate
@@ -11983,6 +12029,33 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT name, dhash
         |  FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet'))
+        |SELECT a.name AS id_a, b.name AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+        |FROM u a JOIN u b ON a.name < b.name
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+
+    // GIF dHash mirror: the generator's independent decode of the
+    // formula pixels (lossless — palette + LZW + interlace provenance)
+    "q361_gif_dhash" ->
+      """SELECT name, width, height, dhash
+        |FROM read_parquet('/root/repo/fixtures/images_gif_expected.parquet')"""
+        .stripMargin,
+
+    // re-encode QUAD mirror: brute-force all-pairs over the union of
+    // the FOUR generators' expected hashes — format-blind
+    "q362_reencode_quad" ->
+      """WITH u AS (
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_gif_expected.parquet'))
         |SELECT a.name AS id_a, b.name AS id_b,
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
         |FROM u a JOIN u b ON a.name < b.name

@@ -299,6 +299,44 @@ class MultimodalSpec extends SparkSpec {
     Jpeg.parseJpegDHash("x", corrupt)
   }
 
+  test("dHashGif: first-frame decode matches the generator (LZW, " +
+      "palette application, interlace, extensions skipped, animation " +
+      "poster frame); out-of-contract files skipped; format parity") {
+    import graft.ext.Gif
+    val files = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/images_gif"))
+    val rows = Gif.dHashGif(files).collect()
+      .map(r => r.path.split('/').last -> r).toMap
+    // notgif/trunc/tiny_8x4/offset_frame/notable all SKIPPED
+    assert(rows.keySet == ((0 until 4).flatMap(k =>
+      Seq(s"base$k.gif", s"near$k.gif")) :+ "ganim.gif").toSet)
+    // structure legs: 87a, 89a+extensions, interlaced, local table
+    assert(rows("base2.gif").interlaced && !rows("base0.gif").interlaced)
+    // FORMAT PARITY — GIF is lossless, so the gray-palette formulas
+    // hash identically to the BMP originals (any LZW/palette/
+    // interlace slip shifts a cell sum); base3 uses a REVERSED local
+    // palette with inverted indices, so palette application — not
+    // index pass-through — is what makes it match
+    val bmps = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, "/root/repo/fixtures/images_dhash")))
+      .collect().map(r => r.path.split('/').last -> r.dhash).toMap
+    for (k <- 0 until 4; s <- Seq("base", "near"))
+      assert(rows(s"$s$k.gif").dhash == bmps(s"$s$k.bmp"),
+        s"$s$k: gif/bmp hash divergence")
+    // the animation hashes its POSTER frame (the quadratic pattern),
+    // not the pattern-0 second frame
+    assert(rows("ganim.gif").dhash != bmps("base0.bmp"))
+    // hostile arms direct through the pure parser
+    def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/repo/fixtures/images_gif/$n"))
+    for (n <- Seq("notgif.gif", "trunc.gif", "tiny_8x4.gif",
+        "offset_frame.gif", "notable.gif"))
+      assert(Gif.parseGifDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    assert(Gif.parseGifDHash("x", Array.emptyByteArray).isEmpty)
+    val cut = bytesOf("base2.gif")
+    assert(Gif.parseGifDHash("x", cut.take(cut.length - 10)).isEmpty)
+  }
+
   test("aHashWav: fixture hashes match the generator; sub-window and " +
       "float files skipped; gain invariance; planted pairs exact") {
     import graft.ext.Multimodal.{aHashWav, parseWavAHash}

@@ -47,6 +47,10 @@ class PropertyExtSpec extends SparkSpec {
       b => Jpeg.parseJpegDHash("x", b))
     fuzz(bytesOf("/root/repo/fixtures/images_dhash/base0.bmp"),
       b => Multimodal.parseBmpDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_gif/base2.gif"),
+      b => graft.ext.Gif.parseGifDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_gif/base3.gif"),
+      b => graft.ext.Gif.parseGifDHash("x", b))
   }
 
   test("property: coalesceIntervals == in-memory sweep on random interval sets") {
