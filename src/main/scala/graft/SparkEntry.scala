@@ -4334,6 +4334,35 @@ object SparkEntry {
         "name", "dhash", maxDist = 3)
     }),
 
+    // ── STREAMING re-encode ingest (q363 — the q334 lifecycle on the
+    // cross-format arc, the production shape of re-encode dedup): the
+    // ORIGINALS (every .bmp) land first and seed the store; the
+    // re-encodes (.png/.jpg/.gif) arrive on a LATER wave whose
+    // within-wave pairs cover only each other — their pairs against
+    // the originals exist ONLY through the store probe
+    // (hammingBandedPairsAgainst), so the cross-wave leg is
+    // load-bearing by construction. The accumulated set must equal
+    // q362's one-shot brute-force oracle VERBATIM (the shared
+    // ReencodeQuadSql — the identical-oracle discipline's fifth
+    // hamming consumer). ──
+    "q363_reencode_ingest_stream" -> ((s, _) => {
+      import graft.ext.{Gif, Jpeg, Multimodal}
+      def named(df: org.apache.spark.sql.DataFrame) =
+        df.select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      val all = named(Multimodal.dHashBmp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_dhash"))).toDF())
+        .unionByName(named(Multimodal.dHashPng(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_png"))).toDF()))
+        .unionByName(named(Jpeg.dHashJpeg(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_jpeg"))).toDF()))
+        .unionByName(named(Gif.dHashGif(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_gif"))).toDF()))
+      graft.streaming.StreamingReports.hammingDedupIngestReplay(
+        s, all, "name", "dhash",
+        waveA = col("name").endsWith(".bmp"), maxDist = 3)
+    }),
+
     // ── STREAMING drift ingest (StreamingReports.driftIngestReplay —
     // the mergeable drift state live on a stream, the q316/q334
     // lifecycle discipline on the QA arc): the shifted candidate
@@ -9452,6 +9481,30 @@ object SparkEntry {
       |FROM sch2 s JOIN cnts c ON s.src = c.src, tot t
       |GROUP BY s.src, t.wt""".stripMargin
 
+  /** q362/q363 shared oracle — brute-force all-pairs hamming over
+    * the UNION of the four image generators' independent expected
+    * hashes (format-blind, banding-blind); ONE definition so the
+    * streaming ingest cannot drift from the batch surface it must
+    * equal.
+    */
+  private val ReencodeQuadSql: String =
+    """WITH u AS (
+      |  SELECT name, dhash
+      |  FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet')
+      |  UNION ALL
+      |  SELECT name, dhash
+      |  FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet')
+      |  UNION ALL
+      |  SELECT name, dhash
+      |  FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')
+      |  UNION ALL
+      |  SELECT name, dhash
+      |  FROM read_parquet('/root/repo/fixtures/images_gif_expected.parquet'))
+      |SELECT a.name AS id_a, b.name AS id_b,
+      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+      |FROM u a JOIN u b ON a.name < b.name
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+
   /** q350/q351 shared oracle — the one-shot drift report; ONE
     * definition so the merged-state variant cannot drift from the
     * surface it must equal.
@@ -12043,23 +12096,12 @@ object SparkEntry {
 
     // re-encode QUAD mirror: brute-force all-pairs over the union of
     // the FOUR generators' expected hashes — format-blind
-    "q362_reencode_quad" ->
-      """WITH u AS (
-        |  SELECT name, dhash
-        |  FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet')
-        |  UNION ALL
-        |  SELECT name, dhash
-        |  FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet')
-        |  UNION ALL
-        |  SELECT name, dhash
-        |  FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')
-        |  UNION ALL
-        |  SELECT name, dhash
-        |  FROM read_parquet('/root/repo/fixtures/images_gif_expected.parquet'))
-        |SELECT a.name AS id_a, b.name AS id_b,
-        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
-        |FROM u a JOIN u b ON a.name < b.name
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+    "q362_reencode_quad" -> ReencodeQuadSql,
+
+    // IDENTICAL SQL: the streaming ingest must accumulate the same
+    // pair set — originals first, re-encodes on a later wave found
+    // through the store (the q186/q334 identical-oracle discipline)
+    "q363_reencode_ingest_stream" -> ReencodeQuadSql,
 
     // cross-format near-dup mirror: brute-force ALL-pairs hamming
     // over the UNION of the two generators' expected hashes — no
