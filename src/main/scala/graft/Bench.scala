@@ -201,7 +201,8 @@ object Bench {
     "q357_png_dhash", "q358_crossformat_neardup",
     "q359_jpeg_dhash", "q360_reencode_triple",
     "q361_gif_dhash", "q362_reencode_quad",
-    "q363_reencode_ingest_stream")
+    "q363_reencode_ingest_stream", "q364_aiff_ahash", "q365_au_ahash",
+    "q366_audio_reencode")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

@@ -4345,6 +4345,68 @@ object SparkEntry {
     // q362's one-shot brute-force oracle VERBATIM (the shared
     // ReencodeQuadSql — the identical-oracle discipline's fifth
     // hamming consumer). ──
+    // ── REAL-format AIFF amplitude hash (Multimodal.aHashAiff —
+    // round 17, the audio arc's second container): big-endian IFF
+    // chunk walk, the 80-bit extended-float sample rate parsed and
+    // gated to positive integers, SIGNED 8-bit + 16-bit BE PCM legs,
+    // the SHARED 65-window envelope spec — so an AIFF re-encode of a
+    // WAV hashes IDENTICALLY (q366's premise). Hostile/truncated/
+    // sub-window inputs skip. Oracle = tools/gen_audio_formats.py's
+    // independent implementation over the formula samples (lossless
+    // — the q325 provenance discipline), provenance-re-parsed. ──
+    "q364_aiff_ahash" -> ((s, _) => {
+      import graft.ext.Multimodal
+      Multimodal.aHashAiff(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/audio_formats")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"), col("ahash"))
+    }),
+
+    // ── Sun .au + G.711 μ-LAW (Multimodal.aHashAu — the audio arc's
+    // LOSSY-CODEC leg, q359's JPEG discipline on sound): encoding 1
+    // expands μ-law with the standard formula and the expected hash
+    // comes from the DECODED samples (the generator implements the
+    // same expansion independently); encoding 3 is 16-bit BE linear;
+    // A-law/ADPCM/float encodings and sub-window payloads skip;
+    // dataSize −1 reads to EOF per spec. The fixtures' geometric
+    // envelopes keep every inter-window gap ≥ 15%, so the μ-law ±3%
+    // half-step cannot flip a comparison — the planted [1,3]
+    // geometry survives the codec (generator-asserted). ──
+    "q365_au_ahash" -> ((s, _) => {
+      import graft.ext.Multimodal
+      Multimodal.aHashAu(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/audio_formats")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"), col("ahash"))
+    }),
+
+    // ── the AUDIO re-encode capstone (q366 — q362 on the sound arc):
+    // WAV + AIFF + AU corpora hash through ONE shared window spec, so
+    // the lossless AIFF re-encodes join their WAV originals at
+    // distance 0 (four 4-member clusters) while the μ-law arc's own
+    // planted pairs surface beside them — one format-blind banded
+    // hamming join, certified against a brute-force oracle over the
+    // UNION of the two generators' expected hashes. ──
+    "q366_audio_reencode" -> ((s, _) => {
+      import graft.ext.{Multimodal, SimSearch}
+      def named(df: org.apache.spark.sql.DataFrame) =
+        df.select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("ahash"))
+      val wav = named(Multimodal.aHashWav(Multimodal.asMediaFiles(
+        Multimodal.readMedia(s, FixturesDir + "/audio_ahash"))).toDF())
+      val fmts = Multimodal.asMediaFiles(
+        Multimodal.readMedia(s, FixturesDir + "/audio_formats"))
+      val aif = named(Multimodal.aHashAiff(fmts).toDF())
+      val au = named(Multimodal.aHashAu(fmts).toDF())
+      SimSearch.hammingBandedPairs(
+        wav.unionByName(aif).unionByName(au), "name", "ahash",
+        maxDist = 3)
+    }),
+
     "q363_reencode_ingest_stream" -> ((s, _) => {
       import graft.ext.{Gif, Jpeg, Multimodal}
       def named(df: org.apache.spark.sql.DataFrame) =
@@ -12086,6 +12148,35 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
         |FROM u a JOIN u b ON a.name < b.name
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+
+    // AIFF aHash mirror: the generator's independent implementation
+    // over the formula samples (lossless), provenance-re-parsed
+    "q364_aiff_ahash" ->
+      """SELECT name, sample_rate, n_samples, ahash
+        |FROM read_parquet('/root/repo/fixtures/audio_formats_expected.parquet')
+        |WHERE name LIKE '%.aif'""".stripMargin,
+
+    // AU aHash mirror: expected hashes computed from the generator's
+    // independent μ-law DECODE of the bytes it wrote (lossy-format
+    // provenance) + the linear leg
+    "q365_au_ahash" ->
+      """SELECT name, sample_rate, n_samples, ahash
+        |FROM read_parquet('/root/repo/fixtures/audio_formats_expected.parquet')
+        |WHERE name LIKE '%.au'""".stripMargin,
+
+    // audio re-encode mirror: brute-force all-pairs over the union of
+    // the WAV and formats generators' expected hashes — format-blind
+    "q366_audio_reencode" ->
+      """WITH u AS (
+        |  SELECT name, ahash
+        |  FROM read_parquet('/root/repo/fixtures/audio_ahash_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, ahash
+        |  FROM read_parquet('/root/repo/fixtures/audio_formats_expected.parquet'))
+        |SELECT a.name AS id_a, b.name AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS dist
+        |FROM u a JOIN u b ON a.name < b.name
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
 
     // GIF dHash mirror: the generator's independent decode of the
     // formula pixels (lossless — palette + LZW + interlace provenance)

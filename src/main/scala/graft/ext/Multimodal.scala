@@ -760,6 +760,150 @@ object Multimodal {
     Some(WavHashRow(path, g.rate, g.nSamples.toLong, h))
   }
 
+  /** Amplitude-envelope hash over REAL AIFF files (the Apple-世界's
+    * WAV; big-endian IFF, public spec) — the audio arc's second
+    * container, sharing [[parseWavAHash]]'s window spec verbatim so a
+    * lossless AIFF re-encode of a WAV hashes IDENTICALLY (q366's
+    * cross-container premise; mirrored independently by
+    * tools/gen_audio_formats.py).
+    *
+    * Contract: COMM + SSND chunks (big-endian sizes, odd-length pad
+    * honored), 8-bit SIGNED or 16-bit BE signed PCM (AIFF's 8-bit is
+    * signed, unlike WAV's unsigned — |amp| = |s| on both legs), the
+    * 80-bit extended-float sample rate parsed and required to be a
+    * positive integer ≤ 2³¹; fewer than 65 samples, truncated chunks,
+    * or malformed headers SKIP (drop-don't-fail).
+    */
+  def aHashAiff(files: Dataset[MediaFile]): Dataset[WavHashRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f => parseAiffAHash(f.path, f.content)))
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. */
+  private[graft] def parseAiffAHash(
+      path: String, b: Array[Byte]): Option[WavHashRow] = {
+    def ascii(off: Int, s: String): Boolean = off + s.length <= b.length &&
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+    if (b.length < 20 || !ascii(0, "FORM") || !ascii(8, "AIFF")) return None
+    val buf = ByteBuffer.wrap(b) // IFF is big-endian
+    var p = 12
+    var comm = -1
+    var ssnd = -1
+    var ssndLen = 0
+    var commLen = 0
+    while (p + 8 <= b.length && (comm < 0 || ssnd < 0)) {
+      val len = buf.getInt(p + 4)
+      if (len < 0 || p + 8L + len > b.length) return None // truncated
+      if (ascii(p, "COMM")) { comm = p + 8; commLen = len }
+      else if (ascii(p, "SSND")) { ssnd = p + 8; ssndLen = len }
+      p += 8 + len + (len & 1) // odd chunks carry a pad byte
+    }
+    if (comm < 0 || ssnd < 0 || commLen < 18 || ssndLen < 8) return None
+    val ch = buf.getShort(comm) & 0xffff
+    val frames = buf.getInt(comm + 2)
+    val bits = buf.getShort(comm + 6) & 0xffff
+    // 80-bit extended float: sign+exponent (u16), mantissa (u64 with
+    // explicit leading 1); in-contract rates are positive integers
+    val exp = buf.getShort(comm + 8) & 0xffff
+    val mant = buf.getLong(comm + 10)
+    val e = exp - 16383
+    if ((exp & 0x8000) != 0 || e < 0 || e > 31 || mant >= 0 ||
+        (mant << (e + 1)) != 0) return None // negative/huge/non-integer
+    val rate = (mant >>> (63 - e)).toInt
+    if (ch < 1 || frames < 0 || (bits != 8 && bits != 16) || rate <= 0)
+      return None
+    val off = buf.getInt(ssnd)
+    if (off < 0) return None
+    val dataStart = ssnd + 8 + off
+    val n = frames.toLong * ch
+    if (n < 65) return None // sub-window (shared rule)
+    if (dataStart + n * (bits / 8) > b.length ||
+        8L + off + n * (bits / 8) > ssndLen) return None
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0L
+    while (i < n) {
+      val amp =
+        if (bits == 16) math.abs(buf.getShort(dataStart + (i * 2).toInt).toInt)
+        else math.abs(b(dataStart + i.toInt).toInt) // SIGNED 8-bit
+      val w = (i * 65 / n).toInt
+      sums(w) += amp
+      cnts(w) += 1
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j + 1) * cnts(j) > sums(j) * cnts(j + 1)) h |= 1L << j
+      j += 1
+    }
+    Some(WavHashRow(path, rate, n, h))
+  }
+
+  /** Amplitude-envelope hash over REAL Sun .au files — the audio
+    * arc's LOSSY-CODEC leg: encoding 1 is G.711 μ-law, the telephony
+    * codec, expanded with the standard formula
+    * `u'=~u; t=(((u'&0x0F)<<3)+0x84)<<((u'&0x70)>>4); amp=t−0x84`
+    * (sign bit 0x80) — tools/gen_audio_formats.py implements the
+    * same expansion independently and the expected hash comes from
+    * the DECODED samples (the lossy-format provenance discipline,
+    * q359's on the audio arc). Encoding 3 (16-bit BE linear PCM) is
+    * the lossless leg. Anything else (A-law 27, floats, ADPCM)
+    * SKIPS; dataSize 0xFFFFFFFF ("unknown") reads to EOF per spec.
+    */
+  def aHashAu(files: Dataset[MediaFile]): Dataset[WavHashRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f => parseAuAHash(f.path, f.content)))
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. */
+  private[graft] def parseAuAHash(
+      path: String, b: Array[Byte]): Option[WavHashRow] = {
+    if (b.length < 24 || b(0) != '.'.toByte || b(1) != 's'.toByte ||
+        b(2) != 'n'.toByte || b(3) != 'd'.toByte) return None
+    val buf = ByteBuffer.wrap(b) // big-endian
+    val off = buf.getInt(4)
+    val size = buf.getInt(8) // -1 = unknown → rest of file
+    val enc = buf.getInt(12)
+    val rate = buf.getInt(16)
+    val channels = buf.getInt(20)
+    if (off < 24 || off > b.length || rate <= 0 || channels < 1) return None
+    val avail = b.length - off
+    val dataLen = if (size == -1) avail
+      else { if (size < 0 || size > avail) return None; size }
+    val bytesPer = enc match {
+      case 1 => 1 // G.711 μ-law
+      case 3 => 2 // 16-bit BE linear
+      case _ => return None // A-law/ADPCM/float: out of contract
+    }
+    val n = dataLen / bytesPer
+    if (n < 65) return None
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val amp = if (enc == 3) math.abs(buf.getShort(off + i * 2).toInt)
+        else {
+          val u = (~b(off + i)) & 0xff
+          val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+          t - 0x84 // sign (bit 0x80) dropped — the hash consumes |amp|
+        }
+      val w = (i.toLong * 65 / n).toInt
+      sums(w) += amp
+      cnts(w) += 1
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j + 1) * cnts(j) > sums(j) * cnts(j + 1)) h |= 1L << j
+      j += 1
+    }
+    Some(WavHashRow(path, rate, n.toLong, h))
+  }
+
   case class Mp4Row(path: String, brand: String, timescale: Long,
       durationUnits: Long, durationMs: Long, nTracks: Int, width: Int,
       height: Int)

@@ -337,6 +337,57 @@ class MultimodalSpec extends SparkSpec {
     assert(Gif.parseGifDHash("x", cut.take(cut.length - 10)).isEmpty)
   }
 
+  test("aHashAiff/aHashAu: AIFF re-encodes hash identically to their " +
+      "WAV originals; μ-law expansion matches the generator's; " +
+      "out-of-contract files skipped") {
+    import graft.ext.Multimodal.{aHashAiff, aHashAu, parseAiffAHash,
+      parseAuAHash, parseWavAHash}
+    val dir = "/root/repo/fixtures/audio_formats"
+    val aiffs = aHashAiff(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, dir)))
+      .collect().map(r => r.path.split('/').last -> r).toMap
+    // .au files and the hostile .aif arms never surface here
+    assert(aiffs.keySet == ((0 until 4).flatMap(k =>
+      Seq(s"fbase$k.aif", s"fnear$k.aif")) :+ "scaled8.aif").toSet)
+    // CROSS-CONTAINER PARITY — q366's premise: the AIFF re-encode of
+    // a WAV (same samples, big-endian storage, signed-8 vs unsigned-8
+    // conventions aside) hashes IDENTICALLY through the shared
+    // window spec
+    val wavs = Multimodal.aHashWav(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, "/root/repo/fixtures/audio_ahash")))
+      .collect().map(r => r.path.split('/').last -> r.ahash).toMap
+    for (k <- 0 until 4; (a, w) <- Seq(("fbase", "abase"), ("fnear", "anear")))
+      assert(aiffs(s"$a$k.aif").ahash == wavs(s"$w$k.wav"),
+        s"$a$k: aiff/wav hash divergence")
+    assert(aiffs("fbase0.aif").sampleRate == 8000)
+    // AU: μ-law + 16-bit-linear legs decode; A-law and sub-window skip
+    val aus = aHashAu(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, dir)))
+      .collect().map(r => r.path.split('/').last -> r).toMap
+    assert(aus.keySet == ((0 until 4).flatMap(k =>
+      Seq(s"ubase$k.au", s"unear$k.au")) :+ "lin16.au").toSet)
+    // the planted μ-law geometry survives the codec (generator-
+    // asserted; re-checked here through the Spark decoder)
+    for (k <- 0 until 4) {
+      val d = java.lang.Long.bitCount(
+        aus(s"ubase$k.au").ahash ^ aus(s"unear$k.au").ahash)
+      assert(d >= 1 && d <= 3, s"ubase$k/unear$k dist $d")
+    }
+    // hostile arms direct through the pure parsers
+    def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$n"))
+    for (n <- Seq("notaiff.aif", "trunc.aif", "short_64.aif"))
+      assert(parseAiffAHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    for (n <- Seq("notau.au", "alaw.au", "trunc.au"))
+      assert(parseAuAHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    assert(parseAiffAHash("x", Array.emptyByteArray).isEmpty)
+    assert(parseAuAHash("x", Array.emptyByteArray).isEmpty)
+    // container separation: the parsers reject each other's formats
+    assert(parseAuAHash("x", bytesOf("fbase0.aif")).isEmpty)
+    assert(parseAiffAHash("x", bytesOf("ubase0.au")).isEmpty)
+    assert(parseWavAHash("x", bytesOf("fbase0.aif")).isEmpty)
+  }
+
   test("aHashWav: fixture hashes match the generator; sub-window and " +
       "float files skipped; gain invariance; planted pairs exact") {
     import graft.ext.Multimodal.{aHashWav, parseWavAHash}

@@ -51,6 +51,10 @@ class PropertyExtSpec extends SparkSpec {
       b => graft.ext.Gif.parseGifDHash("x", b))
     fuzz(bytesOf("/root/repo/fixtures/images_gif/base3.gif"),
       b => graft.ext.Gif.parseGifDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/audio_formats/fbase2.aif"),
+      b => Multimodal.parseAiffAHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/audio_formats/ubase0.au"),
+      b => Multimodal.parseAuAHash("x", b))
   }
 
   test("property: coalesceIntervals == in-memory sweep on random interval sets") {

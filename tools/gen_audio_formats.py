@@ -1,0 +1,312 @@
+#!/usr/bin/env python3
+"""Author fixtures/audio_formats/*.{aif,au} and
+fixtures/audio_formats_expected.parquet — the q364/q365/q366 audio
+container/codec oracle (the image-quad discipline on the audio arc).
+
+Two new real-world containers next to the certified WAV leg:
+
+AIFF (lossless, big-endian IFF): fbase/fnear 0-3 are 16-bit BE mono
+re-encodes of the audio_ahash WAV fixtures' EXACT sample formulas, so
+their aHashes must equal the WAV hashes VERBATIM — the cross-container
+re-encode story (q366). scaled8.aif exercises the SIGNED 8-bit AIFF
+leg (unlike WAV's unsigned 8-bit) with its own isolated pattern.
+Expected hashes come from the formula (lossless — the PNG/GIF
+discipline); the script re-parses its own bytes (chunk walk + BE
+samples + the 80-bit extended-float sample rate) and asserts
+sample-exact provenance.
+
+Sun .au (the μ-LAW leg — a real lossy telephony codec, G.711): the
+decoder must implement the standard μ-law expansion
+    u' = ~u;  t = (((u' & 0x0F) << 3) + 0x84) << ((u' & 0x70) >> 4)
+    amp = t − 0x84, sign from bit 0x80
+so the expected hash is computed from the DECODED samples (the JPEG
+discipline: lossy ⇒ expected = independent decode of the written
+bytes). Envelopes are GEOMETRIC (7%/window) so the ±3% μ-law
+half-step cannot flip inter-window comparisons — asserted. lin16.au
+exercises encoding 3 (16-bit BE linear) with an isolated pattern.
+
+aHash SPEC: parseWavAHash's verbatim (65 windows over |amplitude| in
+storage order, strict cross-multiplied average comparisons, <65
+samples skipped).
+"""
+import math
+import os
+import struct
+import duckdb
+
+OUT = "/root/repo/fixtures/audio_formats"
+EXPECTED = "/root/repo/fixtures/audio_formats_expected.parquet"
+N = 4096
+RATE = 8000
+
+
+def win(i, n=N):
+    return i * 65 // n
+
+
+# ── the WAV fixture formulas, VERBATIM (gen_ahash_fixtures.py) ──
+def wav_base_amp(k, w):
+    if k == 0:
+        return 100 + 25 * w
+    if k == 1:
+        return 100 + 25 * (64 - w)
+    if k == 2:
+        return 500 + 400 * (w % 2)
+    return 100 + 30 * abs(w - 32)
+
+
+def wav_amp_at(k, near, i):
+    w = win(i)
+    a = wav_base_amp(k, w)
+    if near and w == 10:
+        a += 500
+    return a
+
+
+def signed_sample(amp, i):
+    return amp if i % 2 == 0 else -amp
+
+
+# ── μ-law envelopes: aHash encodes only the COMPARISON SHAPE, so a
+# monotone envelope would collide with the WAV arc's monotone
+# patterns (a legitimate aHash match — but the capstone wants the AU
+# clusters separable). These four shapes are comparison-distinct
+# from the WAV set AND each other, with inter-window gaps ≥ 15% so
+# the μ-law ±3% half-step cannot flip a bit (asserted below). ──
+def au_base_amp(k, w):
+    if k == 0:  # period-3 alternation (WAV's alternator is period-2)
+        return [500, 1500, 4500][w % 3]
+    if k == 1:  # zigzag, period 8
+        s = w % 8
+        return 300 * (1 << min(s, 8 - s))
+    if k == 2:  # period-4 staircase
+        return [400, 800, 3200, 1600][w % 4]
+    # two-valley W shape (WAV's valley pattern has one)
+    return int(200 * 1.15 ** min(abs(w - 16), abs(w - 48)))
+
+
+def au_amp_at(k, near, i):
+    w = win(i)
+    a = au_base_amp(k, w)
+    if near and w == 10:
+        # per-pattern perturbation sized to flip 1-3 comparison bits
+        # (a uniform x2 is swallowed by some neighbors): k0 x4 crosses
+        # the 4500 neighbor, k1 x2 TIES the 2400 neighbor (strictness
+        # flips), k2 /8 drops below both, k3 x2 crosses one side
+        a = a // 8 if k == 2 else a * (4 if k == 0 else 2)
+    return a
+
+
+def ahash(amp, n=N):
+    sums = [0] * 65
+    cnts = [0] * 65
+    for i in range(n):
+        w = win(i, n)
+        sums[w] += amp(i)
+        cnts[w] += 1
+    h = 0
+    for j in range(64):
+        if sums[j + 1] * cnts[j] > sums[j] * cnts[j + 1]:
+            h |= 1 << j
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ── G.711 μ-law (16-bit domain; BIAS 0x84) ──
+def mulaw_encode(x):
+    BIAS, CLIP = 0x84, 32635
+    sign = 0x80 if x < 0 else 0
+    x = min(abs(x), CLIP) + BIAS
+    seg = x.bit_length() - 8  # x >= 0x84 so bit_length >= 8
+    seg = max(0, min(7, seg))
+    mant = (x >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant)) & 0xFF
+
+
+def mulaw_decode(u):
+    u = (~u) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    amp = t - 0x84
+    return -amp if (u & 0x80) else amp
+
+
+# sanity: expansion inverts compression to within the segment step
+for v in (0, 1, 100, 1000, 8000, 30000, -5, -2500):
+    d = mulaw_decode(mulaw_encode(v))
+    assert abs(d - max(-32635, min(32635, v))) <= \
+        max(4, abs(v) * 0.07), (v, d)
+
+
+# ── AIFF container ──
+def ext80(rate):
+    """80-bit IEEE extended float for an integer sample rate."""
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def aiff_bytes(samples, bits):
+    ch = 1
+    frames = len(samples)
+    comm = struct.pack(">hIh", ch, frames, bits) + ext80(RATE)
+    if bits == 16:
+        data = b"".join(struct.pack(">h", s) for s in samples)
+    else:  # 8-bit AIFF is SIGNED
+        data = b"".join(struct.pack(">b", s) for s in samples)
+    ssnd = struct.pack(">II", 0, 0) + data
+
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack(">I", len(payload)) + payload + pad
+    body = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+# ── AU container ──
+def au_bytes(payload, encoding):
+    return struct.pack(">4sIIIII", b".snd", 24, len(payload), encoding,
+                       RATE, 1) + payload
+
+
+os.makedirs(OUT, exist_ok=True)
+rows = []  # (name, sample_rate, n_samples, ahash)
+
+# AIFF 16-bit re-encodes of the WAV formulas (hashes must equal WAV's)
+wav_expected = {}
+for k in range(4):
+    for near in (False, True):
+        name = f"{'fnear' if near else 'fbase'}{k}.aif"
+        samples = [signed_sample(wav_amp_at(k, near, i), i)
+                   for i in range(N)]
+        with open(f"{OUT}/{name}", "wb") as f:
+            f.write(aiff_bytes(samples, 16))
+        hsh = ahash((lambda kk, nn: lambda i: wav_amp_at(kk, nn, i))(k, near))
+        rows.append((name, RATE, N, hsh))
+        wav_expected[name] = hsh
+
+# signed-8-bit AIFF leg: quadratic isolated pattern, |amp| <= 120
+def s8_amp(i):
+    return 5 + ((win(i) * win(i) + 3) % 23) * 5
+
+with open(f"{OUT}/scaled8.aif", "wb") as f:
+    f.write(aiff_bytes([signed_sample(s8_amp(i), i) for i in range(N)], 8))
+rows.append(("scaled8.aif", RATE, N, ahash(s8_amp)))
+
+# AU μ-law: geometric envelopes; expected = DECODE of the written bytes
+au_hashes = {}
+for k in range(4):
+    for near in (False, True):
+        name = f"{'unear' if near else 'ubase'}{k}.au"
+        lin = [signed_sample(au_amp_at(k, near, i), i) for i in range(N)]
+        enc = bytes(mulaw_encode(s) for s in lin)
+        with open(f"{OUT}/{name}", "wb") as f:
+            f.write(au_bytes(enc, 1))
+        dec = [abs(mulaw_decode(u)) for u in enc]
+        hsh = ahash(lambda i: dec[i])
+        rows.append((name, RATE, N, hsh))
+        au_hashes[name] = hsh
+
+# AU 16-bit BE linear leg: isolated pattern
+def lin16_amp(i):
+    return 50 + ((win(i) * 7 + win(i) * win(i)) % 37) * 40
+
+lin = [signed_sample(lin16_amp(i), i) for i in range(N)]
+with open(f"{OUT}/lin16.au", "wb") as f:
+    f.write(au_bytes(b"".join(struct.pack(">h", s) for s in lin), 3))
+rows.append(("lin16.au", RATE, N, ahash(lin16_amp)))
+
+# hostile / out-of-contract fixtures
+with open(f"{OUT}/notaiff.aif", "wb") as f:
+    f.write(b"JUNKJUNKJUNKJUNK" * 8)
+ok = open(f"{OUT}/fbase0.aif", "rb").read()
+with open(f"{OUT}/trunc.aif", "wb") as f:
+    f.write(ok[:len(ok) // 2])
+with open(f"{OUT}/short_64.aif", "wb") as f:  # sub-window
+    f.write(aiff_bytes([100] * 64, 16))
+with open(f"{OUT}/notau.au", "wb") as f:
+    f.write(b"NOPE" + b"\x00" * 60)
+with open(f"{OUT}/alaw.au", "wb") as f:  # encoding 27 (A-law): out
+    f.write(au_bytes(b"\x55" * 256, 27))
+with open(f"{OUT}/trunc.au", "wb") as f:
+    f.write(au_bytes(b"\x7f" * 32, 1))  # 32 samples < 65 windows
+
+# ── provenance: re-parse the AIFF bytes independently ──
+def decode_aiff(b):
+    assert b[:4] == b"FORM" and b[8:12] == b"AIFF"
+    p = 12
+    comm = ssnd = None
+    while p + 8 <= len(b):
+        cid = b[p:p + 4]
+        ln = struct.unpack(">I", b[p + 4:p + 8])[0]
+        pay = b[p + 8:p + 8 + ln]
+        if cid == b"COMM":
+            comm = pay
+        elif cid == b"SSND":
+            ssnd = pay
+        p += 8 + ln + (ln & 1)
+    ch, frames, bits = struct.unpack(">hIh", comm[:8])
+    exp, mant = struct.unpack(">HQ", comm[8:18])
+    rate = mant >> (63 - (exp - 16383))
+    off = struct.unpack(">I", ssnd[:4])[0]
+    data = ssnd[8 + off:]
+    if bits == 16:
+        samples = [struct.unpack(">h", data[2 * i:2 * i + 2])[0]
+                   for i in range(frames * ch)]
+    else:
+        samples = [struct.unpack(">b", data[i:i + 1])[0]
+                   for i in range(frames * ch)]
+    return ch, frames, bits, rate, samples
+
+for k in range(4):
+    name = f"fbase{k}.aif"
+    ch, fr, bits, rate, samples = decode_aiff(open(f"{OUT}/{name}", "rb").read())
+    assert (ch, fr, bits, rate) == (1, N, 16, RATE), name
+    for i in range(0, N, 97):
+        assert samples[i] == signed_sample(wav_amp_at(k, False, i), i), \
+            (name, i)
+
+# the cross-container story: AIFF hashes equal the WAV expected hashes
+wavs = duckdb.sql(
+    "SELECT name, ahash FROM "
+    "read_parquet('/root/repo/fixtures/audio_ahash_expected.parquet')"
+).fetchall()
+wavmap = dict(wavs)
+for k in range(4):
+    for near in (False, True):
+        wn = f"{'anear' if near else 'abase'}{k}.wav"
+        an = f"{'fnear' if near else 'fbase'}{k}.aif"
+        assert wav_expected[an] == wavmap[wn], (an, wn)
+
+# planted geometry: μ-law base/near within [1,3]; every cross-pattern
+# and cross-arc distance > 3; the isolated legs isolated
+def dist(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+allh = {n: h for (n, _, _, h) in rows}
+for k in range(4):
+    d = dist(allh[f"ubase{k}.au"], allh[f"unear{k}.au"])
+    assert 1 <= d <= 3, f"ubase{k}/unear{k} dist {d}"
+keys = sorted(allh)
+clusters = {}
+for n in keys:
+    stem = n[0] + n[-6:-4] if False else None
+import itertools
+def family(n):
+    for k in range(4):
+        if n in (f"fbase{k}.aif", f"fnear{k}.aif"):
+            return f"wavfam{k}"
+        if n in (f"ubase{k}.au", f"unear{k}.au"):
+            return f"aufam{k}"
+    return n  # isolated legs
+for a, b in itertools.combinations(keys, 2):
+    if family(a) != family(b):
+        assert dist(allh[a], allh[b]) > 3, (a, b, dist(allh[a], allh[b]))
+
+con = duckdb.connect()
+con.execute("CREATE TABLE e (name VARCHAR, sample_rate INT, "
+            "n_samples BIGINT, ahash BIGINT)")
+for n, r, ns, h in rows:
+    con.execute("INSERT INTO e VALUES (?, ?, ?, ?)", [n, r, ns, h])
+con.execute(f"COPY e TO '{EXPECTED}' (FORMAT PARQUET)")
+print("wrote", len(rows), "expected rows to", EXPECTED)
+for n, r, ns, h in rows:
+    print(f"  {n}: {h:#018x}" if h >= 0 else f"  {n}: -{-h:#017x}")
