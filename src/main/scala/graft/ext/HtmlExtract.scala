@@ -171,15 +171,20 @@ object HtmlExtract {
     // quotes are optional for the unquoted-attribute form, so without
     // a right anchor `name=robotsxyz` — a DIFFERENT name that merely
     // starts with "robots" — parsed as a robots meta and minted false
-    // restrictions. An unquoted value ends at whitespace/'/'/'>' and
-    // a quoted one at its quote, so requiring one of those after the
-    // token (never a name character) anchors both spellings.
+    // restrictions. The anchor is a LOOKAHEAD, not a consuming class
+    // (second round-17 fix): a consuming [\s"'/>] class ATE the
+    // tag-closing '>' when an unquoted `name=robots` sat at tag end,
+    // letting [^>]* escape into the NEXT tag and attribute its
+    // content= to robots. The lookahead asserts the boundary without
+    // crossing it, so the match can never leave the tag. (Java regex
+    // lookahead — fine here; the no-lookahead rule binds oracle SQL,
+    // and the robots oracles are closed-form CASE arms.)
     val nameFirst = regexp_extract_all(html,
-      lit("(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"'\\s/>][^>]*" +
+      lit("(?i)<meta[^>]*name\\s*=\\s*[\"']?robots(?=[\"'\\s/>])[^>]*" +
         "content\\s*=\\s*[\"']([^\"'>]*)"), lit(1))
     val contentFirst = regexp_extract_all(html,
       lit("(?i)<meta[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
-        "[^>]*name\\s*=\\s*[\"']?robots[\"'\\s/>]"), lit(1))
+        "[^>]*name\\s*=\\s*[\"']?robots(?=[\"'\\s/>])"), lit(1))
     directivesOf(transform(
       flatten(transform(concat(nameFirst, contentFirst),
         c => split(lower(c), ","))),

@@ -112,37 +112,51 @@ object Jpeg {
     }
   }
 
-  /** Canonical Huffman decode table: (code, length) → symbol, as a
-    * map keyed by (length << 16 | code) — tables are tiny.
+  /** Canonical Huffman decode table in the ITU T.81 F.16 array form
+    * (mincode/maxcode/valptr per length + the flat value list):
+    * decoding is one array compare per bit and one indexed read at
+    * the end — no per-bit boxing or hashing in the entropy hot loop
+    * (round-17 review fix: the first cut did an immutable-Map lookup
+    * per decoded bit).
     */
-  private def huffTable(
-      bits: Array[Int], vals: Array[Int]): Map[Int, Int] = {
-    var code = 0
-    var vi = 0
-    val m = Map.newBuilder[Int, Int]
-    var ln = 1
-    while (ln <= 16) {
-      var i = 0
-      while (i < bits(ln - 1)) {
-        m += ((ln << 16) | code) -> vals(vi)
-        code += 1; vi += 1; i += 1
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    val values: Array[Int] = vals
+    locally {
+      var code = 0
+      var vi = 0
+      var ln = 1
+      while (ln <= 16) {
+        if (bits(ln - 1) == 0) { minCode(ln) = 0; maxCode(ln) = -1 }
+        else {
+          valPtr(ln) = vi
+          minCode(ln) = code
+          code += bits(ln - 1)
+          vi += bits(ln - 1)
+          maxCode(ln) = code - 1
+        }
+        code <<= 1
+        ln += 1
       }
-      code <<= 1
-      ln += 1
     }
-    m.result()
   }
 
-  private def readSym(br: BitReader, t: Map[Int, Int]): Int = {
+  private def huffTable(bits: Array[Int], vals: Array[Int]): HuffTable =
+    new HuffTable(bits, vals)
+
+  private def readSym(br: BitReader, t: HuffTable): Int = {
     var code = 0
     var ln = 0
     while (ln < 16) {
       code = (code << 1) | br.bit()
       ln += 1
-      t.get((ln << 16) | code) match {
-        case Some(s) => return s
-        case None =>
-      }
+      // canonical property: reaching length ln without a match
+      // implies code >= minCode(ln), so the <= maxCode test suffices
+      // and the value index cannot go negative even on hostile input
+      if (t.maxCode(ln) >= 0 && code <= t.maxCode(ln))
+        return t.values(t.valPtr(ln) + code - t.minCode(ln))
     }
     throw new Malformed
   }
@@ -174,8 +188,8 @@ object Jpeg {
     // ── marker walk up to SOS ──
     var p = 2
     val qt = new Array[Array[Int]](4)
-    val dcTab = new Array[Map[Int, Int]](4)
-    val acTab = new Array[Map[Int, Int]](4)
+    val dcTab = new Array[HuffTable](4)
+    val acTab = new Array[HuffTable](4)
     var w = 0
     var h = 0
     var nf = 0

@@ -417,7 +417,16 @@ object Multimodal {
     val stride = w * ch // bytes per pixel row, ≤ PngMaxPixels·4
     val need = h.toLong * (1 + stride)
     if (need > Int.MaxValue) return None
-    // ── IDAT inflate: exact expected size, short/overlong drop ──
+    // ── IDAT inflate: exact expected size, short/overlong drop.
+    // `n == 0 && !finished` covers EVERY stuck state — truncated
+    // input (needsInput), a preset-dictionary stream (FDICT set:
+    // needsDictionary never clears and a naive needsInput-only check
+    // SPINS FOREVER — round-17 review fix; PNG forbids FDICT anyway),
+    // and any other non-progress — as malformed. After the buffer
+    // fills, the stream must also be FINISHED: an over-long stream
+    // (more pixels than the header claims) is dropped per the
+    // contract, not silently truncated (round-17 review fix — the
+    // python oracle pair already dropped it). ──
     val raw = new Array[Byte](need.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -426,10 +435,18 @@ object Multimodal {
       while (got < raw.length && !inf.finished()) {
         val n = try inf.inflate(raw, got, raw.length - got)
           catch { case _: java.util.zip.DataFormatException => return None }
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        if (n == 0 && !inf.finished()) return None // stuck: malformed
         got += n
       }
-      if (got < raw.length) return None
+      if (got < raw.length) return None // short stream
+      if (!inf.finished()) {
+        // the final stream-end bytes may not be consumed yet — one
+        // zero-capacity-equivalent probe decides over-long vs done
+        val probe = new Array[Byte](1)
+        val extra = try inf.inflate(probe)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (extra > 0 || !inf.finished()) return None // over-long
+      }
     } finally inf.end()
     // ── per-row filter inversion + luma grid in one pass ──
     val prev = new Array[Byte](stride) // reconstructed previous row
@@ -742,12 +759,24 @@ object Multimodal {
     val g = wavGeom(b).getOrElse(return None)
     if (g.nSamples < 65) return None
     val buf = ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Some(WavHashRow(path, g.rate, g.nSamples.toLong,
+      envelopeHash(g.nSamples.toLong)(i => wavAmp(b, buf, g, i.toInt))))
+  }
+
+  /** The 65-window |amplitude|-envelope → 64-bit comparison fold
+    * shared by the WAV, AIFF, and .au hashes (the dHashOfGrid rule on
+    * the audio side — ONE definition, so the containers cannot drift
+    * and the cross-container distance-0 guarantee q366 depends on is
+    * enforced by construction, not by eyeballing three copies;
+    * round-17 review consolidation). Caller guarantees n ≥ 65.
+    */
+  private[graft] def envelopeHash(n: Long)(ampAt: Long => Int): Long = {
     val sums = new Array[Long](65)
     val cnts = new Array[Long](65)
-    var i = 0
-    while (i < g.nSamples) {
-      val w = (i.toLong * 65 / g.nSamples).toInt
-      sums(w) += wavAmp(b, buf, g, i)
+    var i = 0L
+    while (i < n) {
+      val w = (i * 65 / n).toInt
+      sums(w) += ampAt(i)
       cnts(w) += 1
       i += 1
     }
@@ -757,7 +786,7 @@ object Multimodal {
       if (sums(j + 1) * cnts(j) > sums(j) * cnts(j + 1)) h |= 1L << j
       j += 1
     }
-    Some(WavHashRow(path, g.rate, g.nSamples.toLong, h))
+    h
   }
 
   /** Amplitude-envelope hash over REAL AIFF files (the Apple-世界's
@@ -820,23 +849,9 @@ object Multimodal {
     if (n < 65) return None // sub-window (shared rule)
     if (dataStart + n * (bits / 8) > b.length ||
         8L + off + n * (bits / 8) > ssndLen) return None
-    val sums = new Array[Long](65)
-    val cnts = new Array[Long](65)
-    var i = 0L
-    while (i < n) {
-      val amp =
-        if (bits == 16) math.abs(buf.getShort(dataStart + (i * 2).toInt).toInt)
-        else math.abs(b(dataStart + i.toInt).toInt) // SIGNED 8-bit
-      val w = (i * 65 / n).toInt
-      sums(w) += amp
-      cnts(w) += 1
-      i += 1
-    }
-    var h = 0L
-    var j = 0
-    while (j < 64) {
-      if (sums(j + 1) * cnts(j) > sums(j) * cnts(j + 1)) h |= 1L << j
-      j += 1
+    val h = envelopeHash(n) { i =>
+      if (bits == 16) math.abs(buf.getShort(dataStart + (i * 2).toInt).toInt)
+      else math.abs(b(dataStart + i.toInt).toInt) // SIGNED 8-bit
     }
     Some(WavHashRow(path, rate, n, h))
   }
@@ -880,26 +895,13 @@ object Multimodal {
     }
     val n = dataLen / bytesPer
     if (n < 65) return None
-    val sums = new Array[Long](65)
-    val cnts = new Array[Long](65)
-    var i = 0
-    while (i < n) {
-      val amp = if (enc == 3) math.abs(buf.getShort(off + i * 2).toInt)
-        else {
-          val u = (~b(off + i)) & 0xff
-          val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
-          t - 0x84 // sign (bit 0x80) dropped — the hash consumes |amp|
-        }
-      val w = (i.toLong * 65 / n).toInt
-      sums(w) += amp
-      cnts(w) += 1
-      i += 1
-    }
-    var h = 0L
-    var j = 0
-    while (j < 64) {
-      if (sums(j + 1) * cnts(j) > sums(j) * cnts(j + 1)) h |= 1L << j
-      j += 1
+    val h = envelopeHash(n.toLong) { i =>
+      if (enc == 3) math.abs(buf.getShort(off + i.toInt * 2).toInt)
+      else {
+        val u = (~b(off + i.toInt)) & 0xff
+        val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+        t - 0x84 // sign (bit 0x80) dropped — the hash consumes |amp|
+      }
     }
     Some(WavHashRow(path, rate, n.toLong, h))
   }

@@ -218,6 +218,14 @@ class HtmlExtractSpec extends SparkSpec {
     // right boundaries after an unquoted name)
     assert(rm("<meta content=\"noindex\" name=robots>") == ((true, false)))
     assert(rm("<meta content=\"nofollow\" name=robots/>") == ((false, true)))
+    // the anchor must be NON-CONSUMING (second round-17 fix): a
+    // consuming class ate the tag-closing '>' of a content-less
+    // `<meta name=robots>` and attributed the NEXT tag's content= to
+    // robots — the match may never escape its tag
+    assert(rm("<meta name=robots><meta name=description " +
+      "content=\"noindex, how to block pages\">") == ((false, false)))
+    assert(rm("<meta name=robots><meta name=\"robots\" " +
+      "content=\"nofollow\">") == ((false, true)))
   }
 
   test("robotsHeader: value semantics, bot-scope rule, null-permissive") {

@@ -247,6 +247,27 @@ class MultimodalSpec extends SparkSpec {
     val cut = bytesOf("base0.png")
     assert(parsePngDHash("x", cut.take(cut.length - 20)).isEmpty)
     assert(parsePngDHash("x", Array.emptyByteArray).isEmpty)
+    // FDICT zlib header (0x78 0x20 — valid FCHECK, preset-dictionary
+    // flag set): Inflater reports needsDictionary forever, and a
+    // needsInput-only guard SPINS — must return None promptly
+    // (round-17 review fix; byte-flip fuzz can't reach it because
+    // flipping FDICT alone breaks FCHECK)
+    val fdict = bytesOf("base0.png").clone()
+    val idatAt = {
+      var p = 8
+      while (!(fdict(p + 4) == 'I' && fdict(p + 5) == 'D' &&
+        fdict(p + 6) == 'A' && fdict(p + 7) == 'T')) p += 12 +
+        java.nio.ByteBuffer.wrap(fdict).getInt(p)
+      p + 8
+    }
+    fdict(idatAt) = 0x78.toByte
+    fdict(idatAt + 1) = 0x20.toByte
+    assert(parsePngDHash("x", fdict).isEmpty, "FDICT stream must drop")
+    // OVER-LONG stream: the header claims one row fewer than the
+    // stream carries — must drop per contract, never truncate-and-hash
+    val shortH = bytesOf("base0.png").clone()
+    java.nio.ByteBuffer.wrap(shortH).putInt(8 + 8 + 4, 63) // IHDR height
+    assert(parsePngDHash("x", shortH).isEmpty, "over-long stream must drop")
     // self-consistency with the BMP parser on the same grid spec
     assert(parseBmpDHash("x", java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(
