@@ -4345,6 +4345,51 @@ object SparkEntry {
     // q362's one-shot brute-force oracle VERBATIM (the shared
     // ReencodeQuadSql — the identical-oracle discipline's fifth
     // hamming consumer). ──
+    // ── REAL-format TIFF perceptual hash (Multimodal.dHashTiff —
+    // round 17, the scanned-document format, closing a FIVE-format
+    // image family): classic TIFF in BOTH byte orders, first-IFD
+    // walk, multi-strip reassembly (StripOffsets/ByteCounts/
+    // RowsPerStrip, inline or pointed), RGB chunky, and the
+    // PhotometricInterpretation applied for real — WhiteIsZero
+    // samples are inverted before the luma (pass-through would hash
+    // the negative; the fixture plants exactly that trap). Any
+    // compression, 16-bit, planar-2, tiled, or strip-past-EOF input
+    // skips. Oracle = tools/gen_tiff_fixtures.py's independent
+    // decode (lossless provenance, both byte orders). ──
+    "q367_tiff_dhash" -> ((s, _) => {
+      import graft.ext.Multimodal
+      Multimodal.dHashTiff(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_tiff")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // ── the FIVE-format re-encode capstone (q368): BMP + PNG + JPEG
+    // + GIF + TIFF through ONE format-blind banded join — four
+    // 10-member re-encode clusters, C(10,2)·4 = 180 pairs, vs the
+    // brute-force oracle over the UNION of the five generators'
+    // expected hashes (q362's quad plus the TIFF leg; the quad's own
+    // oracle stays untouched — the identical-oracle discipline works
+    // forward, never by rewriting certified history). ──
+    "q368_reencode_quint" -> ((s, _) => {
+      import graft.ext.{Gif, Jpeg, Multimodal, SimSearch}
+      def named(df: org.apache.spark.sql.DataFrame) =
+        df.select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      val u = named(Multimodal.dHashBmp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_dhash"))).toDF())
+        .unionByName(named(Multimodal.dHashPng(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_png"))).toDF()))
+        .unionByName(named(Jpeg.dHashJpeg(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_jpeg"))).toDF()))
+        .unionByName(named(Gif.dHashGif(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_gif"))).toDF()))
+        .unionByName(named(Multimodal.dHashTiff(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_tiff"))).toDF()))
+      SimSearch.hammingBandedPairs(u, "name", "dhash", maxDist = 3)
+    }),
+
     // ── REAL-format AIFF amplitude hash (Multimodal.aHashAiff —
     // round 17, the audio arc's second container): big-endian IFF
     // chunk walk, the 80-bit extended-float sample rate parsed and
@@ -12144,6 +12189,36 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT name, dhash
         |  FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet'))
+        |SELECT a.name AS id_a, b.name AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+        |FROM u a JOIN u b ON a.name < b.name
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+
+    // TIFF dHash mirror: the generator's independent decode (both
+    // byte orders, strips, photometric), lossless provenance
+    "q367_tiff_dhash" ->
+      """SELECT name, width, height, dhash
+        |FROM read_parquet('/root/repo/fixtures/images_tiff_expected.parquet')"""
+        .stripMargin,
+
+    // five-format re-encode mirror: brute-force all-pairs over the
+    // union of ALL FIVE generators' expected hashes
+    "q368_reencode_quint" ->
+      """WITH u AS (
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_gif_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_tiff_expected.parquet'))
         |SELECT a.name AS id_a, b.name AS id_b,
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
         |FROM u a JOIN u b ON a.name < b.name

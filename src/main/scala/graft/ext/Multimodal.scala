@@ -906,6 +906,131 @@ object Multimodal {
     Some(WavHashRow(path, rate, n.toLong, h))
   }
 
+  case class TiffHashRow(path: String, width: Int, height: Int,
+      bigEndian: Boolean, dhash: Long)
+
+  /** Perceptual dHash over REAL classic-TIFF files (the scanned-
+    * document corpus format) — BOTH byte orders ("II"/"MM", magic
+    * 42), first IFD, 8-bit Compression-1 samples, strips reassembled
+    * via StripOffsets/StripByteCounts/RowsPerStrip (SHORT or LONG,
+    * inline when they fit the 4-byte slot), photometric 0/1/2 —
+    * WhiteIsZero samples are INVERTED before the luma (the palette-
+    * application analogue: pass-through would hash the negative),
+    * RGB chunky uses the shared 299/587/114 weighting, and the fold
+    * is the shared [[dHashOfGrid]] so a TIFF re-encode pairs with
+    * its BMP/PNG/JPEG/GIF siblings at distance 0 (q368). Mirrored
+    * independently by tools/gen_tiff_fixtures.py. Out of contract
+    * (SKIP): any compression, 16-bit, planar config 2, tiles (no
+    * strip tags), strip data past EOF, sub-grid.
+    */
+  def dHashTiff(files: Dataset[MediaFile]): Dataset[TiffHashRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f => parseTiffDHash(f.path, f.content)))
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. */
+  private[graft] def parseTiffDHash(
+      path: String, b: Array[Byte]): Option[TiffHashRow] = {
+    if (b.length < 8) return None
+    val big =
+      if (b(0) == 'M'.toByte && b(1) == 'M'.toByte) true
+      else if (b(0) == 'I'.toByte && b(1) == 'I'.toByte) false
+      else return None
+    val buf = ByteBuffer.wrap(b).order(
+      if (big) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    def u16(off: Int): Int =
+      if (off < 0 || off + 2 > b.length) -1 else buf.getShort(off) & 0xffff
+    def u32(off: Int): Long =
+      if (off < 0 || off + 4 > b.length) -1L
+      else Integer.toUnsignedLong(buf.getInt(off))
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd > Int.MaxValue) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0) return None
+    // tag → value list (SHORT type 3 / LONG type 4 only — others
+    // are out of this scan's contract and are simply not collected)
+    var tags = Map.empty[Int, IndexedSeq[Long]]
+    var i = 0
+    while (i < n) {
+      val o = ifd.toInt + 2 + 12 * i
+      val tag = u16(o)
+      val typ = u16(o + 2)
+      val cnt = u32(o + 4)
+      if (tag < 0 || cnt < 0) return None
+      if ((typ == 3 || typ == 4) && cnt > 0 && cnt <= (1 << 20)) {
+        val unit = if (typ == 3) 2 else 4
+        val size = cnt * unit
+        val at = if (size <= 4) o + 8 else {
+          val off = u32(o + 8)
+          if (off < 0 || off + size > b.length) return None
+          off.toInt
+        }
+        val vals = (0 until cnt.toInt).map { k =>
+          if (typ == 3) u16(at + 2 * k).toLong else u32(at + 4 * k)
+        }
+        if (vals.exists(_ < 0)) return None
+        tags += tag -> vals
+      }
+      i += 1
+    }
+    def one(tag: Int, default: Long = -1L): Long =
+      tags.get(tag).map(_.head).getOrElse(default)
+    val w = one(256)
+    val h = one(257)
+    if (w < 9 || h < 8) return None // sub-grid / missing dims
+    if (w * h > PngMaxPixels) return None // bomb cap
+    if (one(259, 1L) != 1L) return None // any compression: out
+    val photometric = one(262)
+    val spp = one(277, 1L).toInt
+    val okShape = (photometric == 2 && spp == 3) ||
+      ((photometric == 0 || photometric == 1) && spp == 1)
+    if (!okShape) return None
+    if (!tags.getOrElse(258, IndexedSeq(8L)).forall(_ == 8L)) return None
+    if (one(284, 1L) != 1L) return None // planar config 2: out
+    val offs = tags.getOrElse(273, return None)
+    val cnts = tags.getOrElse(279, return None)
+    if (offs.length != cnts.length) return None
+    // strips must cover exactly w*h pixels, in order, inside the file
+    val need = w * h * spp
+    if (cnts.map(c => c: BigInt).sum != need) return None
+    if (offs.zip(cnts).exists { case (o, c) => o + c > b.length }) return None
+    // flatten strip addressing: pixel index → file offset. The scan
+    // below visits pixel bytes in ascending order, so one monotone
+    // strip cursor suffices (never a per-byte strip search).
+    val stripStart = cnts.scanLeft(0L)(_ + _) // running pixel-byte base
+    var curStrip = 0
+    def byteAt(idx: Long): Int = {
+      while (stripStart(curStrip + 1) <= idx) curStrip += 1
+      b((offs(curStrip) + (idx - stripStart(curStrip))).toInt) & 0xff
+    }
+    val sums = Array.ofDim[Long](8, 9)
+    val gcnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = (y * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * spp
+        val luma =
+          if (spp == 3) byteAt(p) * 299L + byteAt(p + 1) * 587L +
+            byteAt(p + 2) * 114L
+          else {
+            val v = byteAt(p)
+            (if (photometric == 0) 255 - v else v) * 1000L
+          }
+        val cx = (x * 9 / w).toInt
+        sums(cy)(cx) += luma
+        gcnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some(TiffHashRow(path, w.toInt, h.toInt, big, dHashOfGrid(sums, gcnts)))
+  }
+
   case class Mp4Row(path: String, brand: String, timescale: Long,
       durationUnits: Long, durationMs: Long, nTracks: Int, width: Int,
       height: Int)

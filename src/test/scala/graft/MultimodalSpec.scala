@@ -320,6 +320,38 @@ class MultimodalSpec extends SparkSpec {
     Jpeg.parseJpegDHash("x", corrupt)
   }
 
+  test("dHashTiff: both byte orders, multi-strip reassembly, RGB " +
+      "chunky, WhiteIsZero photometric INVERSION; out-of-contract " +
+      "skipped; format parity with the BMP originals") {
+    import graft.ext.Multimodal.{dHashTiff, parseTiffDHash}
+    val files = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/images_tiff"))
+    val rows = dHashTiff(files).collect()
+      .map(r => r.path.split('/').last -> r).toMap
+    // nottiff/lzw/deep16/trunc/tiny_8x4 all SKIPPED
+    assert(rows.keySet == (0 until 4).flatMap(k =>
+      Seq(s"base$k.tif", s"near$k.tif")).toSet)
+    // structure legs: little/big endian, RGB, WhiteIsZero
+    assert(!rows("base0.tif").bigEndian && rows("base1.tif").bigEndian)
+    // FORMAT PARITY: lossless, shared formulas — any slip in the IFD
+    // walk, strip reassembly, byte order, or photometric inversion
+    // (base3 stores INVERTED samples) shifts a cell sum
+    val bmps = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, "/root/repo/fixtures/images_dhash")))
+      .collect().map(r => r.path.split('/').last -> r.dhash).toMap
+    for (k <- 0 until 4; s <- Seq("base", "near"))
+      assert(rows(s"$s$k.tif").dhash == bmps(s"$s$k.bmp"),
+        s"$s$k: tiff/bmp hash divergence")
+    def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/repo/fixtures/images_tiff/$n"))
+    for (n <- Seq("nottiff.tif", "lzw.tif", "deep16.tif", "trunc.tif",
+        "tiny_8x4.tif"))
+      assert(parseTiffDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    assert(parseTiffDHash("x", Array.emptyByteArray).isEmpty)
+    val cut = bytesOf("base0.tif")
+    assert(parseTiffDHash("x", cut.take(40)).isEmpty) // IFD past EOF
+  }
+
   test("dHashGif: first-frame decode matches the generator (LZW, " +
       "palette application, interlace, extensions skipped, animation " +
       "poster frame); out-of-contract files skipped; format parity") {

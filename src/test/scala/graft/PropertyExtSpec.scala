@@ -55,6 +55,8 @@ class PropertyExtSpec extends SparkSpec {
       b => Multimodal.parseAiffAHash("x", b))
     fuzz(bytesOf("/root/repo/fixtures/audio_formats/ubase0.au"),
       b => Multimodal.parseAuAHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_tiff/base1.tif"),
+      b => Multimodal.parseTiffDHash("x", b))
   }
 
   test("property: coalesceIntervals == in-memory sweep on random interval sets") {
