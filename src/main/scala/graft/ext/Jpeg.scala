@@ -399,6 +399,16 @@ object Jpeg {
       }
     }
 
+    // over-running entropy data is OUT of contract (scaladoc + the
+    // python oracle only ever sees streams that end at the last MCU):
+    // after the final block only the padding bits of the current byte
+    // may remain — the next whole bytes must be the EOI marker. A
+    // stream with extra decodable entropy bytes previously hashed
+    // silently, the same code-vs-doc split the round-17 PNG over-long-
+    // IDAT fix closed (round-18 review fix).
+    if (br.p + 1 >= b.length || (b(br.p) & 0xff) != 0xff ||
+        (b(br.p + 1) & 0xff) != 0xd9) return None
+
     // ── the shared grid fold over the W×H (padding discarded) ──
     val sums = Array.ofDim[Long](8, 9)
     val cnts = Array.ofDim[Long](8, 9)

@@ -335,14 +335,18 @@ object Multimodal {
     * Contract (hostile-input quarantine, the bmpGeom discipline —
     * every bound validated BEFORE allocation, out-of-contract files
     * DROPPED, never thrown):
-    *   - 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-    *     6 (RGBA); PALETTE (3) and 16-bit images are routed out
-    *     (a palette decode needs PLTE application — different
-    *     operator); ALPHA IS IGNORED for luma (spec-pinned);
+    *   - 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette —
+    *     round 18), 4 (gray+alpha), 6 (RGBA); 16-bit images are
+    *     routed out; ALPHA IS IGNORED for luma (spec-pinned);
     *   - interlace 0 only (Adam7 re-orders rows across seven passes —
     *     out of contract, dropped);
     *   - luma per pixel: gray g → g·1000 (the r=g=b case), RGB(A) →
     *     r·299 + g·587 + b·114 — the BMP weighting verbatim;
+    *     palette indices are APPLIED through the PLTE triples before
+    *     the RGB weighting (the Gif.scala discipline: the fixture
+    *     set's REVERSED palette makes index pass-through fail); an
+    *     index past the palette, a second/malformed/missing PLTE,
+    *     and depth-1/2/4 palettes all drop the file;
     *   - the inflated size is KNOWN exactly — height·(1+width·ch) —
     *     and capped ([[PngMaxPixels]]) before the Inflater allocates,
     *     so a decompression bomb dies at the header (the q306/Inflate
@@ -383,6 +387,7 @@ object Multimodal {
     var off = 8
     var w, h, depth, ct, interlace = -1
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var end = false
     var first = true
     while (!end && off + 12 <= b.length) {
@@ -401,17 +406,24 @@ object Multimodal {
           if ((b(off + 18) | b(off + 19)) != 0) return None
           interlace = b(off + 20) & 0xff
         case "IDAT" => idat.write(b, off + 8, len)
+        case "PLTE" => // RGB triples; a second or malformed one drops
+          if (plte != null || len == 0 || len % 3 != 0 || len > 768)
+            return None
+          plte = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
         case "IEND" => end = true
-        case _ => // ancillary chunks (PLTE/tEXt/…) skipped
+        case _ => // ancillary chunks (tEXt/tRNS/…) skipped
       }
       first = false
       off += 12 + len
     }
     if (!end || w <= 0 || h <= 0) return None
-    // contract gates: 8-bit, non-palette color, no interlace
-    if (depth != 8 || !Seq(0, 2, 4, 6).contains(ct) || interlace != 0)
+    // contract gates: 8-bit, gray/RGB/palette color, no interlace;
+    // a palette image without a PLTE is structurally broken
+    if (depth != 8 || !Seq(0, 2, 3, 4, 6).contains(ct) || interlace != 0)
       return None
-    val ch = ct match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+    if (ct == 3 && plte == null) return None
+    val ch =
+      ct match { case 0 | 3 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
     if (w < 9 || h < 8) return None // sub-grid skip (shared rule)
     if (w.toLong * h > PngMaxPixels) return None // bomb cap pre-alloc
     val stride = w * ch // bytes per pixel row, ≤ PngMaxPixels·4
@@ -484,6 +496,13 @@ object Multimodal {
         val p = px * ch
         val luma = ct match {
           case 0 | 4 => (cur(p) & 0xff) * 1000L
+          case 3 => // palette APPLIED (the GIF discipline: the
+            // reversed-palette fixture makes index pass-through fail);
+            // an index past the palette is hostile — drop the file
+            val idx = cur(p) & 0xff
+            if (idx * 3 + 2 >= plte.length) return None
+            (plte(idx * 3) & 0xff) * 299L + (plte(idx * 3 + 1) & 0xff) *
+              587L + (plte(idx * 3 + 2) & 0xff) * 114L
           case _ => (cur(p) & 0xff) * 299L + (cur(p + 1) & 0xff) * 587L +
             (cur(p + 2) & 0xff) * 114L
         }
@@ -929,9 +948,18 @@ object Multimodal {
     files.mapPartitions(_.flatMap(f => parseTiffDHash(f.path, f.content)))
   }
 
-  /** Pure parser, package-visible for direct spec coverage. */
+  /** Pure parser, package-visible for direct spec coverage. Wrapped
+    * in the same residual-indexing guard as the JPEG/GIF parsers: a
+    * crafted file must drop, never kill a 100-TB scan task.
+    */
   private[graft] def parseTiffDHash(
-      path: String, b: Array[Byte]): Option[TiffHashRow] = {
+      path: String, b: Array[Byte]): Option[TiffHashRow] =
+    try tiffBody(path, b)
+    // IndexOutOfBounds (not just the Array subtype): the strip
+    // cursor walks an IndexedSeq
+    catch { case _: IndexOutOfBoundsException => None }
+
+  private def tiffBody(path: String, b: Array[Byte]): Option[TiffHashRow] = {
     if (b.length < 8) return None
     val big =
       if (b(0) == 'M'.toByte && b(1) == 'M'.toByte) true
@@ -950,9 +978,17 @@ object Multimodal {
     if (ifd < 8 || ifd > Int.MaxValue) return None
     val n = u16(ifd.toInt)
     if (n <= 0) return None
-    // tag → value list (SHORT type 3 / LONG type 4 only — others
-    // are out of this scan's contract and are simply not collected)
-    var tags = Map.empty[Int, IndexedSeq[Long]]
+    // IFD scan records raw SLOTS (typ, cnt, entry offset) for the
+    // nine tags this decoder actually reads — values materialize
+    // LAZILY, after the relevance and bomb checks pass. Collecting
+    // eagerly was an OOM amplifier: a ~4 MB crafted file could
+    // declare 65535 entries × 2^20 boxed longs each (pointed slots
+    // may all alias one in-file region) and demand tens of GB of
+    // heap before any check ran (round-18 review fix). SHORT type 3
+    // / LONG type 4 only — other types are out of this scan's
+    // contract and are simply not collected.
+    val needed = Array(256, 257, 258, 259, 262, 273, 277, 279, 284)
+    var slots = Map.empty[Int, (Int, Long, Int)] // tag → (typ, cnt, o)
     var i = 0
     while (i < n) {
       val o = ifd.toInt + 2 + 12 * i
@@ -960,27 +996,43 @@ object Multimodal {
       val typ = u16(o + 2)
       val cnt = u32(o + 4)
       if (tag < 0 || cnt < 0) return None
-      if ((typ == 3 || typ == 4) && cnt > 0 && cnt <= (1 << 20)) {
-        val unit = if (typ == 3) 2 else 4
-        val size = cnt * unit
-        val at = if (size <= 4) o + 8 else {
-          val off = u32(o + 8)
-          if (off < 0 || off + size > b.length) return None
-          off.toInt
-        }
-        val vals = (0 until cnt.toInt).map { k =>
-          if (typ == 3) u16(at + 2 * k).toLong else u32(at + 4 * k)
-        }
-        if (vals.exists(_ < 0)) return None
-        tags += tag -> vals
-      }
+      if (needed.contains(tag) && (typ == 3 || typ == 4) && cnt > 0)
+        slots += tag -> ((typ, cnt, o))
       i += 1
     }
+    // materialize one slot's values, bounds-checked; over-cap or
+    // out-of-file slots read as ABSENT (same outcome the old eager
+    // collector gave cnt > 2^20: the tag just isn't there)
+    def read(tag: Int, maxCnt: Long): Option[IndexedSeq[Long]] =
+      slots.get(tag).flatMap { case (typ, cnt, o) =>
+        if (cnt > maxCnt) None
+        else {
+          val unit = if (typ == 3) 2 else 4
+          val size = cnt * unit // cnt ≤ maxCnt ≤ 2^21: no overflow
+          val at =
+            if (size <= 4) o + 8
+            else {
+              val off = u32(o + 8)
+              if (off < 0 || off + size > b.length) return None
+              off.toInt
+            }
+          val vals = (0 until cnt.toInt).map { k =>
+            if (typ == 3) u16(at + 2 * k).toLong else u32(at + 4 * k)
+          }
+          if (vals.exists(_ < 0)) return None
+          Some(vals)
+        }
+      }
     def one(tag: Int, default: Long = -1L): Long =
-      tags.get(tag).map(_.head).getOrElse(default)
+      read(tag, 8L).map(_.head).getOrElse(default)
     val w = one(256)
     val h = one(257)
     if (w < 9 || h < 8) return None // sub-grid / missing dims
+    // per-dimension cap FIRST: w and h are raw u32 (≤ 2^32−1 each),
+    // so the product alone can wrap Long negative and slip past the
+    // cap (round-18 review fix); with both ≤ 2^24 the product is
+    // overflow-free
+    if (w > PngMaxPixels || h > PngMaxPixels) return None
     if (w * h > PngMaxPixels) return None // bomb cap
     if (one(259, 1L) != 1L) return None // any compression: out
     val photometric = one(262)
@@ -988,10 +1040,13 @@ object Multimodal {
     val okShape = (photometric == 2 && spp == 3) ||
       ((photometric == 0 || photometric == 1) && spp == 1)
     if (!okShape) return None
-    if (!tags.getOrElse(258, IndexedSeq(8L)).forall(_ == 8L)) return None
+    if (!read(258, 8L).getOrElse(IndexedSeq(8L)).forall(_ == 8L)) return None
     if (one(284, 1L) != 1L) return None // planar config 2: out
-    val offs = tags.getOrElse(273, return None)
-    val cnts = tags.getOrElse(279, return None)
+    // strip arrays are bounded by h: RowsPerStrip ≥ 1 means a valid
+    // file never has more strips than rows (and h ≤ PngMaxPixels/9
+    // here, so the materialized arrays stay small)
+    val offs = read(273, h).getOrElse(return None)
+    val cnts = read(279, h).getOrElse(return None)
     if (offs.length != cnts.length) return None
     // strips must cover exactly w*h pixels, in order, inside the file
     val need = w * h * spp

@@ -318,6 +318,14 @@ class MultimodalSpec extends SparkSpec {
     corrupt(ok.length - 40) = 0x55 // flip a byte inside entropy data
     // either decodes to SOME hash or skips — must not throw
     Jpeg.parseJpegDHash("x", corrupt)
+    // over-running entropy data: extra decodable bytes spliced in
+    // before EOI must SKIP (the scaladoc contract) — the decoder
+    // previously stopped at the last MCU and hashed anyway
+    assert(Jpeg.parseJpegDHash("x", ok).isDefined) // positive control
+    val overrun = ok.dropRight(2) ++
+      Array[Byte](0x12, 0x34, 0x56) ++ ok.takeRight(2)
+    assert(Jpeg.parseJpegDHash("x", overrun).isEmpty,
+      "trailing entropy bytes before EOI must skip")
   }
 
   test("dHashTiff: both byte orders, multi-strip reassembly, RGB " +
@@ -350,6 +358,62 @@ class MultimodalSpec extends SparkSpec {
     assert(parseTiffDHash("x", Array.emptyByteArray).isEmpty)
     val cut = bytesOf("base0.tif")
     assert(parseTiffDHash("x", cut.take(40)).isEmpty) // IFD past EOF
+  }
+
+  test("parseTiffDHash hostile arms: Long-overflow bomb-cap bypass " +
+      "and IFD OOM-amplifier shapes drop the file, never throw") {
+    import graft.ext.Multimodal.parseTiffDHash
+    // little-endian TIFF builder: header + one IFD of (tag, typ, cnt,
+    // slotOrOffset) entries + raw tail data
+    def tiff(entries: Seq[(Int, Int, Long, Long)], tail: Array[Byte])
+        : Array[Byte] = {
+      val n = entries.length
+      val len = 8 + 2 + 12 * n + 4 + tail.length
+      val buf = java.nio.ByteBuffer.allocate(len)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      buf.putShort(n.toShort)
+      entries.foreach { case (tag, typ, cnt, v) =>
+        buf.putShort(tag.toShort).putShort(typ.toShort)
+          .putInt(cnt.toInt).putInt(v.toInt)
+      }
+      buf.putInt(0) // next-IFD
+      buf.put(tail)
+      buf.array()
+    }
+    // ── bomb-cap bypass: w·h = 12297829382473034415 ≥ 2^63 wraps
+    // NEGATIVE (slips a product-only `> cap` check) and ·spp=3 wraps
+    // AGAIN to exactly 13, matched by one 13-byte strip — under the
+    // pre-round-18 code the pixel loop then ran with h≈4.2e9 and the
+    // strip cursor walked off the table (task-killing throw). The
+    // per-dimension cap must drop it instead.
+    val extOff = 8 + 2 + 12 * 9 + 4 // ext data right after the IFD
+    val bitsExt = Array[Byte](8, 0, 8, 0, 8, 0) // BitsPerSample 8,8,8
+    val strip = Array.fill[Byte](13)(0x42)
+    val bomb = tiff(Seq(
+      (256, 4, 1L, 2900561549L), // ImageWidth (LONG, u32)
+      (257, 4, 1L, 4239809835L), // ImageLength
+      (258, 3, 3L, extOff.toLong), // BitsPerSample → pointed 8,8,8
+      (259, 3, 1L, 1L), // Compression none
+      (262, 3, 1L, 2L), // RGB
+      (273, 4, 1L, (extOff + 6).toLong), // StripOffsets → the strip
+      (277, 3, 1L, 3L), // spp 3
+      (279, 4, 1L, 13L), // StripByteCounts: the wrapped `need`
+      (284, 3, 1L, 1L)), bitsExt ++ strip)
+    assert(parseTiffDHash("x", bomb).isEmpty)
+    // ── OOM-amplifier shape: 64 pointed entries of a needed tag, each
+    // declaring 2^20 LONG values aliasing one in-file region. Eager
+    // collection materialized 64·2^20 boxed longs (multi-GB) before
+    // any relevance check; the lazy-slot scan must record 12-byte
+    // slots only and drop the file at the h-bounded strip read.
+    val bigTail = new Array[Byte]((1 << 22) + 16) // 4 MiB aliased region
+    val manyOff = 8 + 2 + 12 * 67 + 4
+    val many = tiff(
+      Seq((256, 4, 1L, 64L), (257, 4, 1L, 64L),
+        (262, 3, 1L, 1L)) ++
+        Seq.fill(64)((273, 4, (1L << 20), manyOff.toLong)),
+      bigTail)
+    assert(parseTiffDHash("x", many).isEmpty)
   }
 
   test("dHashGif: first-frame decode matches the generator (LZW, " +

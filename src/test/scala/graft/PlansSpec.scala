@@ -166,6 +166,27 @@ class PlansSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("q355/q356 end-to-end plans: no WindowExec partitioned by the " +
+      "source/bucket column (the sizeSourcesToWeights fix can't " +
+      "silently regress to a per-source window)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((q, srcCol) <- Seq("q355_sized_interleave_audit" -> "source",
+          "q356_sized_curriculum_audit" -> "bucket")) {
+        val bad = SparkEntry.queries(q)(spark, sf0001)
+          .queryExecution.executedPlan.collect {
+            case w: WindowExec if w.partitionSpec.exists(
+                _.references.exists(_.name == srcCol)) =>
+              w.partitionSpec.map(_.sql).mkString(",")
+          }
+        assert(bad.isEmpty,
+          s"$q windows partitioned by $srcCol: ${bad.mkString("; ")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("minhash_sig expression path == explode/aggregate path, band row for band row") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val base = graft.ext.TextAnalysis.withShingleSet(

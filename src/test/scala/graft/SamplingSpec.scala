@@ -375,6 +375,36 @@ class SamplingSpec extends SparkSpec {
     assert(c2.values.sum == 22L)
   }
 
+  test("sizeSourcesToWeights plan: no WindowExec partitioned by the " +
+      "source column — the trim rank must ride globalDenseSeq, never " +
+      "a per-source window (one source = one task at 100 TB)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def srcWindows(df: org.apache.spark.sql.DataFrame,
+        srcCol: String): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.exists(
+            _.references.exists(_.name == srcCol)) =>
+          w.partitionSpec.map(_.sql).mkString(",")
+      }
+    val df = (for (s <- Seq("a", "b", "c"); i <- 1 to 40)
+      yield (s, s + f"$i%03d")).toDF("src", "id")
+    val w = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain tree
+    try {
+      // positive control: the pre-round-18 shape (row_number over a
+      // per-source window) must trip the detector
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("id"))
+      assert(srcWindows(
+        df.withColumn("__srk", row_number().over(win)), "src").nonEmpty,
+        "detector failed to flag a per-source window")
+      assert(srcWindows(
+        Sampling.sizeSourcesToWeights(df, "src", "id", w), "src").isEmpty,
+        "trim must not window-partition by the source column")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("scheduleMixReport: W sums the EFFECTIVE weights of the " +
       "schedule's sources — unmapped sources count at 1 (round-17 fix)") {
     import graft.operators.Sampling
