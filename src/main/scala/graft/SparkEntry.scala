@@ -4312,8 +4312,9 @@ object SparkEntry {
     // ── the RE-ENCODE dedup QUAD capstone (q362): all four legacy
     // image formats through ONE format-blind banded hamming join —
     // every cross-format re-encode of the same image pairs within
-    // the exact-recall band, giving four 8-member re-encode clusters
-    // (C(8,2)·4 = 112 pairs), with jodd.jpg and ganim.gif isolated
+    // the exact-recall band, giving four 9-member re-encode clusters
+    // (C(9,2)·4 = 144 pairs — the palette-PNG members joined in
+    // round 18), with jodd.jpg and ganim.gif isolated
     // (quadratic patterns). Oracle: brute-force all-pairs over the
     // UNION of the FOUR generators' independent expected hashes. ──
     "q362_reencode_quad" -> ((s, _) => {
@@ -4367,7 +4368,8 @@ object SparkEntry {
 
     // ── the FIVE-format re-encode capstone (q368): BMP + PNG + JPEG
     // + GIF + TIFF through ONE format-blind banded join — four
-    // 10-member re-encode clusters, C(10,2)·4 = 180 pairs, vs the
+    // 11-member re-encode clusters, C(11,2)·4 = 220 pairs (the
+    // palette-PNG members joined in round 18), vs the
     // brute-force oracle over the UNION of the five generators'
     // expected hashes (q362's quad plus the TIFF leg; the quad's own
     // oracle stays untouched — the identical-oracle discipline works

@@ -219,12 +219,20 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.readMedia(spark, "/root/repo/fixtures/images_png"))
     val rows = dHashPng(files).collect()
       .map(r => r.path.split('/').last -> r).toMap
-    // interlaced/deep16/palette/trunc/notpng/tiny_8x4/bomb all SKIPPED
+    // interlaced/deep16/palette(out-of-range idx)/badplte/trunc/
+    // notpng/tiny_8x4/bomb all SKIPPED; pal0-3 now DECODE (round 18)
     assert(rows.keySet ==
-      (0 until 4).flatMap(k => Seq(s"base$k.png", s"near$k.png")).toSet)
+      ((0 until 4).flatMap(k => Seq(s"base$k.png", s"near$k.png")) ++
+        (0 until 4).map(k => s"pal$k.png")).toSet)
     // channels report the color-type contract legs (gray/RGB/RGBA/GA)
     assert(rows("base0.png").channels == 1 && rows("base1.png").channels == 3
       && rows("base2.png").channels == 4 && rows("base3.png").channels == 2)
+    // PALETTE APPLICATION is load-bearing: pal_k stores INVERTED
+    // indices against a REVERSED palette, so pass-through would hash
+    // the negative image — equality with base_k proves the lookup
+    for (k <- 0 until 4)
+      assert(rows(s"pal$k.png").dhash == rows(s"base$k.png").dhash,
+        s"pal$k: palette application broken")
     // CROSS-FORMAT PARITY — the q358 premise: the PNG luma formulas
     // are the BMP set's verbatim, so a PNG re-encode hashes
     // IDENTICALLY through the shared dHashOfGrid fold. This is also
@@ -241,8 +249,22 @@ class MultimodalSpec extends SparkSpec {
     def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"/root/repo/fixtures/images_png/$n"))
     for (n <- Seq("interlaced.png", "deep16.png", "palette.png",
-        "trunc.png", "notpng.png", "tiny_8x4.png", "bomb.png"))
+        "badplte.png", "trunc.png", "notpng.png", "tiny_8x4.png",
+        "bomb.png"))
       assert(parsePngDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    // a palette image missing its PLTE entirely is structurally broken
+    val pal0 = bytesOf("pal0.png")
+    val noPlte = {
+      val plteAt = {
+        var p = 8
+        while (!(pal0(p + 4) == 'P' && pal0(p + 5) == 'L')) p += 12 +
+          java.nio.ByteBuffer.wrap(pal0).getInt(p)
+        p
+      }
+      val plteLen = 12 + java.nio.ByteBuffer.wrap(pal0).getInt(plteAt)
+      pal0.take(plteAt) ++ pal0.drop(plteAt + plteLen)
+    }
+    assert(parsePngDHash("x", noPlte).isEmpty, "PLTE-less ct-3 must skip")
     // truncated mid-FILE (not just mid-IDAT): a chunk length past EOF
     val cut = bytesOf("base0.png")
     assert(parsePngDHash("x", cut.take(cut.length - 20)).isEmpty)

@@ -25,10 +25,18 @@ load-bearing in the Spark decoder):
   base2/near2: color type 6 (RGBA, alpha = (x*7+y)%256 — noise the
                decoder must IGNORE)
   base3/near3: color type 4 (gray+alpha, alpha = (x*3+2*y)%256)
+  pal0..pal3:  color type 3 (palette) re-encodes of the BASE
+               patterns -- REVERSED gray palette (entry i = 255-i)
+               with INVERTED indices (index = 255-l), so palette
+               APPLICATION, not index pass-through, is what makes
+               them distance-0 members of their clusters (the GIF
+               base3 trap, round 18)
 Out-of-contract fixtures (must be SKIPPED by the decoder):
   interlaced.png (Adam7 flag), deep16.png (16-bit), palette.png
-  (color type 3), trunc.png (IDAT cut mid-stream), notpng.png (bad
-  magic), tiny_8x4.png (sub-grid), bomb.png (header claims 1e10 px).
+  (color type 3 whose indices overrun its 2-entry PLTE -- hostile),
+  badplte.png (PLTE length not a multiple of 3), trunc.png (IDAT cut
+  mid-stream), notpng.png (bad magic), tiny_8x4.png (sub-grid),
+  bomb.png (header claims 1e10 px).
 """
 import os
 import struct
@@ -126,18 +134,30 @@ def filter_row(ft, cur, prev, ch):
     return bytes(out)
 
 
-def png_bytes(w, h, ct, lum):
-    ch = CH[ct]
+def png_bytes(w, h, ct, lum, plte=None):
+    """ct 3 stores INDEX bytes (index = 255 - l against the reversed
+    palette below); other types store pixel_bytes."""
+    ch = 1 if ct == 3 else CH[ct]
     raw = bytearray()
     prev = bytes(w * ch)
     for y in range(h):
-        cur = b"".join(pixel_bytes(ct, lum, x, y) for x in range(w))
+        if ct == 3:
+            cur = bytes(255 - lum(x, y) for x in range(w))
+        else:
+            cur = b"".join(pixel_bytes(ct, lum, x, y) for x in range(w))
         ft = y % 5  # every filter type exercised
         raw.append(ft)
         raw += filter_row(ft, cur, prev, ch)
         prev = cur
-    return (SIG + ihdr(w, h, 8, ct) + chunk(b"IDAT", zlib.compress(bytes(raw)))
+    plte_chunk = chunk(b"PLTE", plte) if plte is not None else b""
+    return (SIG + ihdr(w, h, 8, ct) + plte_chunk
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
+
+
+# the reversed gray palette: entry i holds gray 255-i, so index
+# pass-through hashes the NEGATIVE image (the GIF base3 discipline)
+REV_PLTE = bytes(v for i in range(256) for v in (255 - i,) * 3)
 
 
 def decode_png(b):
@@ -147,19 +167,22 @@ def decode_png(b):
     off = 8
     idat = b""
     w = h = depth = ct = il = None
+    plte = None
     while off + 12 <= len(b):
         ln = struct.unpack(">I", b[off:off + 4])[0]
         typ = b[off + 4:off + 8]
         if typ == b"IHDR":
             w, h, depth, ct, _, _, il = struct.unpack(
                 ">IIBBBBB", b[off + 8:off + 21])
+        elif typ == b"PLTE":
+            plte = b[off + 8:off + 8 + ln]
         elif typ == b"IDAT":
             idat += b[off + 8:off + 8 + ln]
         elif typ == b"IEND":
             break
         off += 12 + ln
     assert depth == 8 and il == 0
-    ch = CH[ct]
+    ch = 1 if ct == 3 else CH[ct]
     raw = zlib.decompress(idat)
     assert len(raw) == h * (1 + w * ch)
     rows, prev = [], bytearray(w * ch)
@@ -188,7 +211,7 @@ def decode_png(b):
             cur.append(v % 256)
         rows.append(bytes(cur))
         prev = cur
-    return w, h, ct, rows
+    return w, h, ct, rows, plte
 
 
 os.makedirs(OUT, exist_ok=True)
@@ -204,6 +227,17 @@ for k in range(4):
         names.append(name)
         hashes[name] = dhash(lum)
 
+# palette re-encodes of the BASE patterns -- reversed palette +
+# inverted indices (distance-0 cluster members iff the decoder
+# APPLIES the palette)
+for k in range(4):
+    name = f"pal{k}.png"
+    lum = (lambda kk: lambda x, y: luma_at(kk, False, x, y))(k)
+    with open(f"{OUT}/{name}", "wb") as f:
+        f.write(png_bytes(W, H, 3, lum, plte=REV_PLTE))
+    names.append(name)
+    hashes[name] = dhash(lum)
+
 # out-of-contract fixtures
 ok_gray = png_bytes(W, H, 0, lambda x, y: (2 * x + y) % 256)
 with open(f"{OUT}/interlaced.png", "wb") as f:  # Adam7 flag set
@@ -212,8 +246,16 @@ with open(f"{OUT}/interlaced.png", "wb") as f:  # Adam7 flag set
 with open(f"{OUT}/deep16.png", "wb") as f:
     f.write(SIG + ihdr(W, H, 16, 0) + ok_gray[8 + 25:])
 with open(f"{OUT}/palette.png", "wb") as f:
+    # color type 3 whose gray-image indices overrun the 2-entry PLTE:
+    # HOSTILE since the round-18 palette leg (was merely
+    # out-of-contract before) -- the decoder must drop, never index
+    # past the palette
     f.write(SIG + ihdr(W, H, 8, 3) +
             chunk(b"PLTE", bytes(range(3)) * 2) + ok_gray[8 + 25:])
+with open(f"{OUT}/badplte.png", "wb") as f:
+    # PLTE length not a multiple of 3 -- structurally broken palette
+    f.write(SIG + ihdr(W, H, 8, 3) +
+            chunk(b"PLTE", bytes(4)) + ok_gray[8 + 25:])
 with open(f"{OUT}/trunc.png", "wb") as f:
     full = png_bytes(W, H, 0, lambda x, y: (x + y) % 256)
     idat_off = 8 + 25
@@ -238,19 +280,22 @@ def dist(a, b):
 for k in range(4):
     d = dist(hashes[f"base{k}.png"], hashes[f"near{k}.png"])
     assert 1 <= d <= 3, f"base{k}/near{k} dist {d} outside [1,3]"
+    # palette re-encode of the base pattern: exact cluster member
+    assert hashes[f"pal{k}.png"] == hashes[f"base{k}.png"], k
 for a in range(4):
     for b in range(a + 1, 4):
-        for sa in ("base", "near"):
-            for sb in ("base", "near"):
+        for sa in ("base", "near", "pal"):
+            for sb in ("base", "near", "pal"):
                 d = dist(hashes[f"{sa}{a}.png"], hashes[f"{sb}{b}.png"])
                 assert d > 3, f"{sa}{a}/{sb}{b} dist {d} <= 3"
 
 # provenance: independently DECODE each written file and assert every
-# pixel's luma matches the formula (filters inverted, alpha ignored)
+# pixel's luma matches the formula (filters inverted, alpha ignored,
+# palette APPLIED)
 for k in range(4):
     for near in (False, True):
         name = f"{'near' if near else 'base'}{k}.png"
-        w, h, ct, rows = decode_png(open(f"{OUT}/{name}", "rb").read())
+        w, h, ct, rows, _ = decode_png(open(f"{OUT}/{name}", "rb").read())
         assert (w, h, ct) == (W, H, CTS[k]), name
         ch = CH[ct]
         for y in range(H):
@@ -260,6 +305,18 @@ for k in range(4):
                 if ct in (2, 6):  # g and b mirror r in the formula
                     assert rows[y][x * ch + 1] == got
                     assert rows[y][x * ch + 2] == got
+for k in range(4):
+    name = f"pal{k}.png"
+    w, h, ct, rows, plte = decode_png(open(f"{OUT}/{name}", "rb").read())
+    assert (w, h, ct) == (W, H, 3), name
+    for y in range(H):
+        for x in range(W):
+            idx = rows[y][x]
+            # stored index is the INVERSE; only the applied palette
+            # entry matches the formula
+            assert idx == 255 - luma_at(k, False, x, y), (name, x, y)
+            r, g, bl = plte[idx * 3], plte[idx * 3 + 1], plte[idx * 3 + 2]
+            assert r == g == bl == luma_at(k, False, x, y), (name, x, y)
 
 con = duckdb.connect()
 con.execute(
