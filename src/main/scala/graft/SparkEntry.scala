@@ -4368,8 +4368,9 @@ object SparkEntry {
 
     // ── the FIVE-format re-encode capstone (q368): BMP + PNG + JPEG
     // + GIF + TIFF through ONE format-blind banded join — four
-    // 11-member re-encode clusters, C(11,2)·4 = 220 pairs (the
-    // palette-PNG members joined in round 18), vs the
+    // 12-member re-encode clusters, C(12,2)·4 = 264 pairs (the
+    // palette-PNG and LZW-TIFF members joined in round 18) plus the
+    // lzwnoise singleton (joins nothing), vs the
     // brute-force oracle over the UNION of the five generators'
     // expected hashes (q362's quad plus the TIFF leg; the quad's own
     // oracle stays untouched — the identical-oracle discipline works

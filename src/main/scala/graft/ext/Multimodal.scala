@@ -937,15 +937,115 @@ object Multimodal {
     * application analogue: pass-through would hash the negative),
     * RGB chunky uses the shared 299/587/114 weighting, and the fold
     * is the shared [[dHashOfGrid]] so a TIFF re-encode pairs with
-    * its BMP/PNG/JPEG/GIF siblings at distance 0 (q368). Mirrored
-    * independently by tools/gen_tiff_fixtures.py. Out of contract
-    * (SKIP): any compression, 16-bit, planar config 2, tiles (no
+    * its BMP/PNG/JPEG/GIF siblings at distance 0 (q368). Compression
+    * 1 (none, zero-copy strip cursor) and 5 (LZW — MSB-first with
+    * the early-change width bump, [[lzwDecodeStrip]], round 18);
+    * each LZW strip is an independent stream. Mirrored independently
+    * by tools/gen_tiff_fixtures.py. Out of contract (SKIP): other
+    * compressions, predictor 2, 16-bit, planar config 2, tiles (no
     * strip tags), strip data past EOF, sub-grid.
     */
   def dHashTiff(files: Dataset[MediaFile]): Dataset[TiffHashRow] = {
     val spark = files.sparkSession
     import spark.implicits._
     files.mapPartitions(_.flatMap(f => parseTiffDHash(f.path, f.content)))
+  }
+
+  /** TIFF 6.0 §13 LZW strip decode — the OTHER LZW: MSB-first code
+    * packing (GIF packs LSB-first) with the EARLY-CHANGE width bump —
+    * the code width grows when the table reaches 2^w − 1 entries,
+    * one code EARLIER than GIF's 2^w (libtiff's `maxcodep =
+    * nbitsmask − 1` rule; a GIF-timed reader desynchronizes exactly
+    * at entry 511 and decodes garbage from there). ClearCode 256,
+    * EOI 257, first entry 258; every strip is an INDEPENDENT stream
+    * that must open with a Clear and decode to EXACTLY the strip's
+    * pixel bytes followed by EOI. Adds stop at 4094 (the writer must
+    * Clear there — our contract; a deferred-clear KwKwK is
+    * malformed, the Gif.scala discipline). Any violation — truncated
+    * codes, code beyond next-to-assign, first-after-clear not a
+    * literal, output overflow/underflow — returns false and the
+    * caller drops the whole file (never throws).
+    * Mirrored independently by tools/gen_tiff_fixtures.py, which
+    * authors code streams against a SIMULATION of this width
+    * schedule (the gen_gif_fixtures.py decoder-mirror trick).
+    */
+  private[graft] def lzwDecodeStrip(
+      b: Array[Byte], off: Int, len: Int,
+      out: Array[Byte], outStart: Int, outLen: Int): Boolean = {
+    val Clear = 256
+    val Eoi = 257
+    if (len <= 0 || off < 0 || off + len > b.length) return false
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val firstByte = new Array[Byte](4096)
+    var i = 0
+    while (i < 256) {
+      prefix(i) = -1; suffix(i) = i.toByte; firstByte(i) = i.toByte
+      i += 1
+    }
+    var dictLen = 258
+    var width = 9
+    var bitPos = 0
+    val nBits = len * 8
+    def readCode(): Int = {
+      if (bitPos + width > nBits) return -1
+      var v = 0
+      var k = 0
+      while (k < width) {
+        v = (v << 1) |
+          ((b(off + (bitPos >> 3)) >> (7 - (bitPos & 7))) & 1)
+        bitPos += 1
+        k += 1
+      }
+      v
+    }
+    def emitEntry(code: Int, at: Int): Int = {
+      // walk the suffix chain backwards; −1 = past the strip budget
+      var n = 0
+      var c = code
+      while (c >= 0) { n += 1; c = if (c < 256) -1 else prefix(c) }
+      if (at + n > outStart + outLen) return -1
+      var pos = at + n - 1
+      c = code
+      while (c >= 0) {
+        out(pos) = suffix(c); pos -= 1
+        c = if (c < 256) -1 else prefix(c)
+      }
+      n
+    }
+    if (readCode() != Clear) return false // streams open with a Clear
+    var got = 0
+    var prev = -1
+    while (got < outLen) {
+      val code = readCode()
+      if (code < 0 || code == Eoi) return false // short stream
+      if (code == Clear) {
+        dictLen = 258; width = 9; prev = -1
+      } else if (code > dictLen || (code == dictLen && prev < 0)) {
+        return false // beyond next-to-assign / KwKwK with no prior
+      } else {
+        if (prev >= 0) {
+          if (dictLen < 4094) {
+            prefix(dictLen) = prev
+            suffix(dictLen) =
+              if (code == dictLen) firstByte(prev) else firstByte(code)
+            firstByte(dictLen) = firstByte(prev)
+            dictLen += 1
+            // EARLY CHANGE: bump at 2^w − 1 (511/1023/2047)
+            if (dictLen == (1 << width) - 1 && width < 12) width += 1
+          } else if (code == dictLen) {
+            return false // table capped: cannot KwKwK
+          }
+        } else if (code >= 256) {
+          return false // first code after a clear must be a literal
+        }
+        val n = emitEntry(code, outStart + got)
+        if (n < 0) return false // overflows the strip's pixel budget
+        got += n
+        prev = code
+      }
+    }
+    readCode() == Eoi // exactly-full then terminated, nothing more
   }
 
   /** Pure parser, package-visible for direct spec coverage. Wrapped
@@ -987,7 +1087,8 @@ object Multimodal {
     // heap before any check ran (round-18 review fix). SHORT type 3
     // / LONG type 4 only — other types are out of this scan's
     // contract and are simply not collected.
-    val needed = Array(256, 257, 258, 259, 262, 273, 277, 279, 284)
+    val needed =
+      Array(256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317)
     var slots = Map.empty[Int, (Int, Long, Int)] // tag → (typ, cnt, o)
     var i = 0
     while (i < n) {
@@ -1034,7 +1135,8 @@ object Multimodal {
     // overflow-free
     if (w > PngMaxPixels || h > PngMaxPixels) return None
     if (w * h > PngMaxPixels) return None // bomb cap
-    if (one(259, 1L) != 1L) return None // any compression: out
+    val comp = one(259, 1L)
+    if (comp != 1L && comp != 5L) return None // none or LZW only
     val photometric = one(262)
     val spp = one(277, 1L).toInt
     val okShape = (photometric == 2 && spp == 3) ||
@@ -1048,18 +1150,44 @@ object Multimodal {
     val offs = read(273, h).getOrElse(return None)
     val cnts = read(279, h).getOrElse(return None)
     if (offs.length != cnts.length) return None
-    // strips must cover exactly w*h pixels, in order, inside the file
-    val need = w * h * spp
-    if (cnts.map(c => c: BigInt).sum != need) return None
-    if (offs.zip(cnts).exists { case (o, c) => o + c > b.length }) return None
-    // flatten strip addressing: pixel index → file offset. The scan
-    // below visits pixel bytes in ascending order, so one monotone
-    // strip cursor suffices (never a per-byte strip search).
-    val stripStart = cnts.scanLeft(0L)(_ + _) // running pixel-byte base
-    var curStrip = 0
-    def byteAt(idx: Long): Int = {
-      while (stripStart(curStrip + 1) <= idx) curStrip += 1
-      b((offs(curStrip) + (idx - stripStart(curStrip))).toInt) & 0xff
+    val need = w * h * spp // ≤ 3·2^24 after the caps above
+    if (offs.zip(cnts).exists { case (o, c) => o + c > b.length })
+      return None
+    val byteAt: Long => Int = if (comp == 1L) {
+      // uncompressed: strips must cover exactly w·h·spp bytes, in
+      // order, inside the file — read them ZERO-COPY. The scan below
+      // visits pixel bytes in ascending order, so one monotone strip
+      // cursor suffices (never a per-byte strip search).
+      if (cnts.map(c => c: BigInt).sum != need) return None
+      val stripStart = cnts.scanLeft(0L)(_ + _) // running byte base
+      var curStrip = 0
+      (idx: Long) => {
+        while (stripStart(curStrip + 1) <= idx) curStrip += 1
+        b((offs(curStrip) + (idx - stripStart(curStrip))).toInt) & 0xff
+      }
+    } else {
+      // LZW: StripByteCounts are COMPRESSED sizes; every strip is an
+      // independent code stream that must decode to exactly its rows'
+      // bytes (RowsPerStrip tag 278, default all rows — the last
+      // strip may be short). Predictor 2 (horizontal differencing)
+      // is out of this scan's contract.
+      if (one(317, 1L) != 1L) return None
+      val rps = one(278, h)
+      if (rps <= 0) return None
+      val nStrips = ((h + rps - 1) / rps).toInt
+      if (offs.length != nStrips) return None
+      val dec = new Array[Byte](need.toInt) // bounded by the pixel cap
+      var pos = 0
+      var si = 0
+      while (si < nStrips) {
+        val rows = math.min(rps, h - si * rps)
+        val expect = (rows * w * spp).toInt
+        if (!lzwDecodeStrip(b, offs(si).toInt, cnts(si).toInt,
+            dec, pos, expect)) return None
+        pos += expect
+        si += 1
+      }
+      (idx: Long) => dec(idx.toInt) & 0xff
     }
     val sums = Array.ofDim[Long](8, 9)
     val gcnts = Array.ofDim[Long](8, 9)

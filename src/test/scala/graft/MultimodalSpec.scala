@@ -358,9 +358,18 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.readMedia(spark, "/root/repo/fixtures/images_tiff"))
     val rows = dHashTiff(files).collect()
       .map(r => r.path.split('/').last -> r).toMap
-    // nottiff/lzw/deep16/trunc/tiny_8x4 all SKIPPED
-    assert(rows.keySet == (0 until 4).flatMap(k =>
-      Seq(s"base$k.tif", s"near$k.tif")).toSet)
+    // nottiff/lzw(raw-bytes-as-stream)/lzwtrunc/lzwover/deep16/trunc/
+    // tiny_8x4 all SKIPPED; lzw0-3 + lzwnoise DECODE (round 18)
+    assert(rows.keySet == ((0 until 4).flatMap(k =>
+      Seq(s"base$k.tif", s"near$k.tif", s"lzw$k.tif")) :+
+      "lzwnoise.tif").toSet)
+    // LZW legs are exact cluster members: byte order x multi-strip x
+    // photometric inversion all compose UNDER the codec (lzw1 is
+    // big-endian 4-strip, lzw3 is WhiteIsZero — each strip an
+    // independent MSB-first early-change stream)
+    for (k <- 0 until 4)
+      assert(rows(s"lzw$k.tif").dhash == rows(s"base$k.tif").dhash,
+        s"lzw$k: LZW decode diverges from the uncompressed sibling")
     // structure legs: little/big endian, RGB, WhiteIsZero
     assert(!rows("base0.tif").bigEndian && rows("base1.tif").bigEndian)
     // FORMAT PARITY: lossless, shared formulas — any slip in the IFD
@@ -374,8 +383,8 @@ class MultimodalSpec extends SparkSpec {
         s"$s$k: tiff/bmp hash divergence")
     def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"/root/repo/fixtures/images_tiff/$n"))
-    for (n <- Seq("nottiff.tif", "lzw.tif", "deep16.tif", "trunc.tif",
-        "tiny_8x4.tif"))
+    for (n <- Seq("nottiff.tif", "lzw.tif", "lzwtrunc.tif",
+        "lzwover.tif", "deep16.tif", "trunc.tif", "tiny_8x4.tif"))
       assert(parseTiffDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
     assert(parseTiffDHash("x", Array.emptyByteArray).isEmpty)
     val cut = bytesOf("base0.tif")

@@ -67,8 +67,137 @@ def dhash(lum):
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+# ── TIFF LZW (spec §13): MSB-first code packing, EARLY-CHANGE width
+# bump (the table reaching 2^w - 1 entries grows the width -- one
+# code EARLIER than GIF; libtiff's maxcodep rule). The encoder uses
+# the gen_gif_fixtures.py decoder-mirror trick: it simulates the
+# canonical decoder's dictionary state and sizes every emitted code
+# to the width the decoder will hold when reading it, killing the
+# encoder/decoder off-by-one divergence class by construction. ──
+CLEAR, EOI = 256, 257
+
+
+def lzw_encode(data, stats=None):
+    bits = []
+    dec = {"len": 258, "width": 9, "first": True}
+
+    def emit(code):
+        for i in range(dec["width"] - 1, -1, -1):  # MSB-first
+            bits.append((code >> i) & 1)
+
+    def emit_data(code):
+        emit(code)
+        if dec["first"]:
+            dec["first"] = False
+        elif dec["len"] < 4094:
+            dec["len"] += 1
+            if dec["len"] == (1 << dec["width"]) - 1 and dec["width"] < 12:
+                dec["width"] += 1
+                if stats is not None:
+                    stats["max_width"] = max(stats.get("max_width", 9),
+                                             dec["width"])
+
+    def emit_clear():
+        emit(CLEAR)
+        dec["len"] = 258
+        dec["width"] = 9
+        dec["first"] = True
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    emit_clear()
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+        else:
+            emit_data(table[w])
+            table[wk] = nxt
+            nxt += 1
+            w = bytes([ch])
+            if nxt == 4094:  # table full: reset (the decoder contract)
+                emit_clear()
+                table = {bytes([i]): i for i in range(256)}
+                nxt = 258
+                if stats is not None:
+                    stats["resets"] = stats.get("resets", 0) + 1
+    if w:
+        emit_data(table[w])
+    emit(EOI)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            byte |= bit << (7 - j)
+        out.append(byte)
+    return bytes(out)
+
+
+def lzw_decode(data, expect):
+    """Independent decoder (the oracle side of the pair): raises on
+    any malformed stream, returns exactly `expect` bytes."""
+    pos = 0
+    width = 9
+    nbits = len(data) * 8
+
+    def read():
+        nonlocal pos
+        if pos + width > nbits:
+            raise ValueError("truncated")
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    # next-to-assign index == len(table); 256/257 are placeholders
+    table = [bytes([i]) for i in range(256)] + [None, None]
+    if read() != CLEAR:
+        raise ValueError("stream must open with a Clear")
+    out = bytearray()
+    prev = None
+    while len(out) < expect:
+        code = read()
+        if code == EOI:
+            raise ValueError("short stream")
+        if code == CLEAR:
+            del table[258:]
+            width = 9
+            prev = None
+            continue
+        if code > len(table) or (code == len(table) and prev is None):
+            raise ValueError("beyond next-to-assign")
+        if prev is None:
+            if code >= 256:
+                raise ValueError("first code after clear must be literal")
+            s = table[code]
+        elif len(table) < 4094:
+            if code == len(table):  # KwKwK
+                s = table[prev] + table[prev][:1]
+                table.append(s)
+            else:
+                s = table[code]
+                table.append(table[prev] + s[:1])
+            # EARLY CHANGE: bump at 2^w - 1 (511/1023/2047)
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        else:
+            if code == len(table):
+                raise ValueError("capped table cannot KwKwK")
+            s = table[code]
+        out += s
+        if len(out) > expect:
+            raise ValueError("overflows the strip budget")
+        prev = code
+    if read() != EOI:
+        raise ValueError("exactly-full must be followed by EOI")
+    return bytes(out)
+
+
 def tiff_bytes(w, h, lum, *, big=False, rgb=False, white_is_zero=False,
-               rows_per_strip=None, compression=1, bits=8):
+               rows_per_strip=None, compression=1, bits=8,
+               strips_override=None, lzw_stats=None):
     """Author a classic TIFF. Strip data follows the IFD."""
     e = ">" if big else "<"
     spp = 3 if rgb else 1
@@ -83,6 +212,10 @@ def tiff_bytes(w, h, lum, *, big=False, rgb=False, white_is_zero=False,
                 v = (255 - l) if white_is_zero else l
                 row_bytes += bytes([v] * spp if rgb else [v])
         strips.append(bytes(row_bytes))
+    if compression == 5:
+        strips = [lzw_encode(s, lzw_stats) for s in strips]
+    if strips_override is not None:
+        strips = strips_override(strips)
     nstrips = len(strips)
 
     entries = []  # (tag, type, count, value_bytes_or_int, extra_data)
@@ -184,12 +317,22 @@ def decode_tiff_luma(b):
         fmt = "H" if typ == 3 else "I"
         tags[tag] = list(struct.unpack(e + fmt * cnt, raw))
     w, h = tags[256][0], tags[257][0]
-    assert tags.get(259, [1])[0] == 1
+    comp = tags.get(259, [1])[0]
+    assert comp in (1, 5)
     photometric = tags[262][0]
     spp = tags.get(277, [1])[0]
     rps = tags.get(278, [h])[0]
     offs, cnts = tags[273], tags[279]
-    data = b"".join(b[o:o + c] for o, c in zip(offs, cnts))
+    if comp == 5:
+        # every strip is an independent LZW stream decoding to exactly
+        # its rows' bytes
+        parts = []
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            rows = min(rps, h - i * rps)
+            parts.append(lzw_decode(b[o:o + c], rows * w * spp))
+        data = b"".join(parts)
+    else:
+        data = b"".join(b[o:o + c] for o, c in zip(offs, cnts))
     lum = [[0] * w for _ in range(h)]
     for y in range(h):
         for x in range(w):
@@ -225,11 +368,69 @@ for k in range(4):
         names.append(name)
         hashes[name] = dhash(lum)
 
+# ── LZW members of the clusters (round 18): each base pattern
+# re-encoded with Compression 5, exercising byte order x strips x
+# photometric UNDER the codec ──
+lzw_specs = {
+    0: dict(),                                     # LE gray, 1 strip
+    1: dict(big=True, rows_per_strip=16),          # BE gray, 4 strips
+    2: dict(rgb=True),                             # RGB chunky
+    3: dict(white_is_zero=True, rows_per_strip=8), # inverted samples
+}
+lzw_stats = {}
+for k in range(4):
+    name = f"lzw{k}.tif"
+    lum = (lambda kk: lambda x, y: luma_at(kk, False, x, y))(k)
+    st = {}
+    with open(f"{OUT}/{name}", "wb") as f:
+        f.write(tiff_bytes(W, H, lum, compression=5, lzw_stats=st,
+                           **lzw_specs[k]))
+    lzw_stats[name] = st
+    names.append(name)
+    hashes[name] = dhash(lum)
+# the RGB member (12288 symbols) must cross the first EARLY-CHANGE
+# boundary, or the width schedule is untested
+assert lzw_stats["lzw2.tif"].get("max_width", 9) >= 10, lzw_stats
+
+# high-entropy singleton: pushes the dictionary to 4094 (mid-stream
+# CLEAR + width 12 both load-bearing); quadratic/hash-style formula
+# per the fixture-spread discipline
+def noise_l(x, y):
+    return (x * x * 31 + y * y * 17 + x * y * 7 + x + 3 * y) % 256
+
+st = {}
+with open(f"{OUT}/lzwnoise.tif", "wb") as f:
+    f.write(tiff_bytes(W, H, noise_l, rgb=True, rows_per_strip=64,
+                       compression=5, lzw_stats=st))
+assert st.get("max_width", 9) == 12 and st.get("resets", 0) >= 1, st
+names.append("lzwnoise.tif")
+hashes["lzwnoise.tif"] = dhash(noise_l)
+
 # out-of-contract fixtures
 with open(f"{OUT}/nottiff.tif", "wb") as f:
     f.write(b"JUNKJUNKJUNKJUNK" * 8)
-with open(f"{OUT}/lzw.tif", "wb") as f:  # compression 5
-    f.write(tiff_bytes(W, H, lambda x, y: x % 256, compression=5))
+# compression 5 whose strip bytes are NOT an LZW stream (the raw
+# pixels -- the first 9 bits are not a ClearCode): hostile, must drop
+raw_gray = bytes(bytearray(x % 256 for y in range(H) for x in range(W)))
+with open(f"{OUT}/lzw.tif", "wb") as f:
+    f.write(tiff_bytes(W, H, lambda x, y: x % 256, compression=5,
+                       strips_override=lambda s: [raw_gray]))
+# a VALID stream truncated mid-codes (the byte count matches the cut,
+# so only the decode itself can reject it)
+with open(f"{OUT}/lzwtrunc.tif", "wb") as f:
+    f.write(tiff_bytes(W, H, lambda x, y: luma_at(0, False, x, y),
+                       compression=5,
+                       strips_override=lambda s: [s[0][:len(s[0]) // 2]]))
+# an OVERSUBSCRIBED code right after the Clear: 9-bit codes
+# [Clear=256, 65, 300] -- 300 > next-to-assign 259 -- then padding
+with open(f"{OUT}/lzwover.tif", "wb") as f:
+    over_bits = "".join(format(c, "09b") for c in (256, 65, 300))
+    over_bits += "0" * (-len(over_bits) % 8)
+    over = bytes(int(over_bits[i:i + 8], 2)
+                 for i in range(0, len(over_bits), 8))
+    f.write(tiff_bytes(W, H, lambda x, y: luma_at(0, False, x, y),
+                       compression=5,
+                       strips_override=lambda s: [over]))
 with open(f"{OUT}/deep16.tif", "wb") as f:  # 16-bit samples claimed
     f.write(tiff_bytes(W, H, lambda x, y: x % 256, bits=16))
 ok = open(f"{OUT}/base1.tif", "rb").read()
@@ -238,7 +439,8 @@ with open(f"{OUT}/trunc.tif", "wb") as f:  # strip data past EOF
 with open(f"{OUT}/tiny_8x4.tif", "wb") as f:
     f.write(tiff_bytes(8, 4, lambda x, y: 7 * x))
 
-# provenance: independently decode every in-contract file
+# provenance: independently decode every in-contract file (the LZW
+# members re-decode through the independent lzw_decode mirror)
 for k in range(4):
     for near in (False, True):
         name = f"{'near' if near else 'base'}{k}.tif"
@@ -248,6 +450,21 @@ for k in range(4):
             for x in range(W):
                 want = 1000 * luma_at(k, near, x, y)
                 assert lum[y][x] == want, (name, x, y, lum[y][x], want)
+for k in range(4):
+    name = f"lzw{k}.tif"
+    w, h, lum = decode_tiff_luma(open(f"{OUT}/{name}", "rb").read())
+    assert (w, h) == (W, H), name
+    for y in range(H):
+        for x in range(W):
+            want = 1000 * luma_at(k, False, x, y)
+            assert lum[y][x] == want, (name, x, y, lum[y][x], want)
+w, h, lum = decode_tiff_luma(open(f"{OUT}/lzwnoise.tif", "rb").read())
+assert (w, h) == (W, H)
+for y in range(H):
+    for x in range(W):
+        nl = noise_l(x, y)
+        want = nl * 299 + nl * 587 + nl * 114
+        assert lum[y][x] == want, ("lzwnoise", x, y, lum[y][x], want)
 
 # planted-pair geometry (matches the other formats by construction)
 def dist(a, b):
@@ -256,6 +473,12 @@ def dist(a, b):
 for k in range(4):
     d = dist(hashes[f"base{k}.tif"], hashes[f"near{k}.tif"])
     assert 1 <= d <= 3
+    # LZW re-encode of the base pattern: exact cluster member
+    assert hashes[f"lzw{k}.tif"] == hashes[f"base{k}.tif"], k
+# the noise singleton joins NO cluster
+for n2 in names:
+    if n2 != "lzwnoise.tif":
+        assert dist(hashes["lzwnoise.tif"], hashes[n2]) > 3, n2
 con = duckdb.connect()
 con.execute(
     "CREATE TABLE e (name VARCHAR, width INT, height INT, dhash BIGINT)")
