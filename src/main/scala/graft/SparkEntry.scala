@@ -4249,8 +4249,11 @@ object SparkEntry {
     // restarts, grayscale + YCbCr 4:4:4 + 4:2:0 MCU layouts, partial
     // edge blocks on non-multiple-of-8 dims — entropy-decoding ALL
     // components but IDCT-ing only Y (dHash needs luma alone).
-    // Progressive/arithmetic/12-bit/16-bit-DQT/truncated inputs are
-    // SKIPPED. Oracle = tools/gen_jpeg_fixtures.py's independent
+    // PROGRESSIVE (SOF2) decoded for real since round 18 — spectral
+    // selection + successive approximation, chroma AC scans skipped
+    // wholesale (marker-delimited; the decode-only-what-you-hash
+    // shape). Arithmetic/12-bit/16-bit-DQT/truncated/DRI-under-SOF2
+    // inputs are SKIPPED. Oracle = tools/gen_jpeg_fixtures.py's independent
     // python decoder over the bytes it wrote (expected pixels are the
     // RECONSTRUCTED ones — the lossy-format version of the q178/q325
     // provenance discipline). ──
@@ -4312,9 +4315,10 @@ object SparkEntry {
     // ── the RE-ENCODE dedup QUAD capstone (q362): all four legacy
     // image formats through ONE format-blind banded hamming join —
     // every cross-format re-encode of the same image pairs within
-    // the exact-recall band, giving four 9-member re-encode clusters
-    // (C(9,2)·4 = 144 pairs — the palette-PNG members joined in
-    // round 18), with jodd.jpg and ganim.gif isolated
+    // the exact-recall band, giving four 10-member re-encode clusters
+    // (C(10,2)·4 = 180 pairs — the palette-PNG and progressive-JPEG
+    // members joined in round 18) plus the jodd/progodd pair, with
+    // ganim.gif isolated
     // (quadratic patterns). Oracle: brute-force all-pairs over the
     // UNION of the FOUR generators' independent expected hashes. ──
     "q362_reencode_quad" -> ((s, _) => {
@@ -4368,9 +4372,10 @@ object SparkEntry {
 
     // ── the FIVE-format re-encode capstone (q368): BMP + PNG + JPEG
     // + GIF + TIFF through ONE format-blind banded join — four
-    // 12-member re-encode clusters, C(12,2)·4 = 264 pairs (the
-    // palette-PNG and LZW-TIFF members joined in round 18) plus the
-    // lzwnoise singleton (joins nothing), vs the
+    // 13-member re-encode clusters, C(13,2)·4 = 312 pairs (the
+    // palette-PNG, progressive-JPEG and LZW-TIFF members joined in
+    // round 18) plus the jodd/progodd pair and the lzwnoise
+    // singleton (joins nothing), vs the
     // brute-force oracle over the UNION of the five generators'
     // expected hashes (q362's quad plus the TIFF leg; the quad's own
     // oracle stays untouched — the identical-oracle discipline works
@@ -4412,16 +4417,19 @@ object SparkEntry {
           col("nSamples").as("n_samples"), col("ahash"))
     }),
 
-    // ── Sun .au + G.711 μ-LAW (Multimodal.aHashAu — the audio arc's
-    // LOSSY-CODEC leg, q359's JPEG discipline on sound): encoding 1
-    // expands μ-law with the standard formula and the expected hash
-    // comes from the DECODED samples (the generator implements the
-    // same expansion independently); encoding 3 is 16-bit BE linear;
-    // A-law/ADPCM/float encodings and sub-window payloads skip;
-    // dataSize −1 reads to EOF per spec. The fixtures' geometric
-    // envelopes keep every inter-window gap ≥ 15%, so the μ-law ±3%
-    // half-step cannot flip a comparison — the planted [1,3]
-    // geometry survives the codec (generator-asserted). ──
+    // ── Sun .au + G.711 μ-LAW AND A-LAW (Multimodal.aHashAu — the
+    // audio arc's LOSSY-CODEC leg, q359's JPEG discipline on sound):
+    // encoding 1 expands μ-law and encoding 27 A-law (round 18) with
+    // the standard formulas, each certified against the DECODED
+    // samples of its OWN bytes (the generator implements both
+    // expansions independently); encodings 2/3 are 8/16-bit linear;
+    // ADPCM/float encodings and sub-window payloads skip; dataSize
+    // −1 reads to EOF per spec. The fixtures' geometric envelopes
+    // keep every inter-window gap ≥ 15%, so neither codec's
+    // half-step can flip a comparison — the planted [1,3] geometry
+    // survives BOTH codecs, and the A-law re-encodes land
+    // window-for-window with their μ-law siblings (cross-codec
+    // distance 0, generator-asserted). ──
     "q365_au_ahash" -> ((s, _) => {
       import graft.ext.Multimodal
       Multimodal.aHashAu(Multimodal.asMediaFiles(
@@ -4435,10 +4443,12 @@ object SparkEntry {
     // ── the AUDIO re-encode capstone (q366 — q362 on the sound arc):
     // WAV + AIFF + AU corpora hash through ONE shared window spec, so
     // the lossless AIFF re-encodes join their WAV originals at
-    // distance 0 (four 4-member clusters) while the μ-law arc's own
-    // planted pairs surface beside them — one format-blind banded
-    // hamming join, certified against a brute-force oracle over the
-    // UNION of the two generators' expected hashes. ──
+    // distance 0 (four 4-member clusters) while the telephony arc's
+    // planted pairs surface beside them — the μ-law AND A-law
+    // re-encodes of each envelope land in ONE 4-member cluster per
+    // pattern (cross-CODEC distance 0, round 18) — one format-blind
+    // banded hamming join, certified against a brute-force oracle
+    // over the UNION of the two generators' expected hashes. ──
     "q366_audio_reencode" -> ((s, _) => {
       import graft.ext.{Multimodal, SimSearch}
       def named(df: org.apache.spark.sql.DataFrame) =

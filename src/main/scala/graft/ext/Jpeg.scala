@@ -29,12 +29,16 @@ import graft.ext.Multimodal.MediaFile
   *       sample = clamp(((S + 2²⁵) >> 26) + 128, 0, 255)
   *     (arithmetic shift — floor — in both languages; |S| stays
   *     under 2⁵⁰ for any 8-bit-quantized stream, no overflow).
+  *   - PROGRESSIVE (SOF2) decoded for real since round 18: spectral
+  *     selection + successive approximation per T.81 annex G — see
+  *     [[decodeProgressive]]; chroma AC scans are skipped wholesale
+  *     (marker-delimited), DC scans decode every component.
   *   - OUT OF CONTRACT (file SKIPPED, never thrown — the bmpGeom
-  *     hostile-input discipline): SOF1/SOF2/SOF9+ (extended/
-  *     progressive/arithmetic), 12-bit precision, 16-bit DQT
-  *     entries, factors outside {1,2}, Y not at max factors,
-  *     truncated or over-running entropy data, undefined Huffman
-  *     codes, sub-grid images (w<9 or h<8 — the shared rule).
+  *     hostile-input discipline): SOF1/SOF9+ (extended/arithmetic),
+  *     12-bit precision, 16-bit DQT entries, factors outside {1,2},
+  *     Y not at max factors, truncated or over-running entropy data,
+  *     undefined Huffman codes, DRI under SOF2, DC+AC in one SOF2
+  *     scan, sub-grid images (w<9 or h<8 — the shared rule).
   *
   * 100-TB shape: one mapPartitions pass, O(coefficients) per file
   * with 64 longs of IDCT state per block and the 144-long grid;
@@ -270,8 +274,10 @@ object Jpeg {
             ((ci, (b(pay + 2 + 2 * i) & 0xff) >> 4,
               b(pay + 2 + 2 * i) & 0x0f))
           }.toArray
+        case 0xc2 => // SOF2: route to the progressive decoder
+          return decodeProgressive(path, b)
         case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
-          return None // SOF1/2/9/…: progressive/extended/arithmetic out
+          return None // SOF1/9/…: extended/arithmetic out
         case _ => // APPn / COM / others skipped
       }
       p += 2 + len
@@ -405,9 +411,14 @@ object Jpeg {
     // may remain — the next whole bytes must be the EOI marker. A
     // stream with extra decodable entropy bytes previously hashed
     // silently, the same code-vs-doc split the round-17 PNG over-long-
-    // IDAT fix closed (round-18 review fix).
-    if (br.p + 1 >= b.length || (b(br.p) & 0xff) != 0xff ||
-        (b(br.p + 1) & 0xff) != 0xd9) return None
+    // IDAT fix closed (round-18 review fix). An UNREAD final padding
+    // byte of all 1-bits arrives stuffed as FF 00 — one such pair may
+    // sit before the marker (the encoder pads with 1s).
+    var eop = br.p
+    if (eop + 1 < b.length && (b(eop) & 0xff) == 0xff &&
+        (b(eop + 1) & 0xff) == 0x00) eop += 2
+    if (eop + 1 >= b.length || (b(eop) & 0xff) != 0xff ||
+        (b(eop + 1) & 0xff) != 0xd9) return None
 
     // ── the shared grid fold over the W×H (padding discarded) ──
     val sums = Array.ofDim[Long](8, 9)
@@ -426,5 +437,396 @@ object Jpeg {
       y += 1
     }
     Some(JpegHashRow(path, w, h, nf, Multimodal.dHashOfGrid(sums, cnts)))
+  }
+
+  /** PROGRESSIVE (SOF2) decode — round 18: spectral selection +
+    * successive approximation per ITU T.81 annex G (the libjpeg
+    * formulation), reusing the certified Huffman/IDCT machinery.
+    * The progression re-orders ENTROPY only, so a progressive
+    * re-encode reconstructs the baseline coefficients EXACTLY and
+    * hashes at distance 0 from its baseline sibling (fixture-
+    * asserted, both sides).
+    *
+    * 100-TB discipline: only component 0 (Y) is accumulated — DC
+    * scans (which may interleave components) decode every
+    * component's cheap DC stream, but CHROMA AC SCANS ARE SKIPPED
+    * WHOLESALE by seeking to the next marker (progressive scans are
+    * marker-delimited, so the luma hash never pays for chroma
+    * entropy — the decode-only-what-you-hash shape). Point
+    * transforms: DC shifts arithmetically, AC shifts the magnitude;
+    * refinement correction bits follow libjpeg's
+    * decode_mcu_AC_refine exactly. Out of contract (SKIP): DRI under
+    * SOF2, Ss==0 with Se!=0 (the flipped-marker hostile arm),
+    * multi-component AC scans, refinement s>1, any scan over-running
+    * its marker boundary.
+    */
+  private def decodeProgressive(
+      path: String, b: Array[Byte]): Option[JpegHashRow] = {
+    def u16(off: Int): Int =
+      if (off + 1 >= b.length) throw new Malformed
+      else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    var p = 2
+    val qt = new Array[Array[Int]](4)
+    val dcTab = new Array[HuffTable](4)
+    val acTab = new Array[HuffTable](4)
+    var w = 0
+    var h = 0
+    var nf = 0
+    var comps: Array[(Int, Int, Int, Int)] = null // id, hf, vf, tq
+    var hmax = 1
+    var vmax = 1
+    var mcux = 0
+    var mcuy = 0
+    var ybw = 0
+    var ybh = 0
+    var coefY: Array[Int] = null // quantized coefficients, natural
+    var scans = 0
+    var eoi = false
+    while (!eoi) {
+      if (p + 1 >= b.length || (b(p) & 0xff) != 0xff) return None
+      val m = b(p + 1) & 0xff
+      if (m == 0xd9) { eoi = true }
+      else {
+        val len = u16(p + 2)
+        if (len < 2 || p + 2 + len > b.length) return None
+        val pay = p + 4
+        val payLen = len - 2
+        var nextP = p + 2 + len
+        m match {
+          case 0xdb =>
+            var i = 0
+            while (i < payLen) {
+              if (i + 65 > payLen) return None
+              val pq = (b(pay + i) & 0xff) >> 4
+              val tq = b(pay + i) & 0x0f
+              if (pq != 0 || tq > 3) return None
+              val tab = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                tab(ZZ(k)) = b(pay + i + 1 + k) & 0xff
+                k += 1
+              }
+              qt(tq) = tab
+              i += 65
+            }
+          case 0xc2 =>
+            if (comps != null || payLen < 6) return None
+            if ((b(pay) & 0xff) != 8) return None // 12-bit: out
+            h = u16(pay + 1); w = u16(pay + 3)
+            nf = b(pay + 5) & 0xff
+            if (w <= 0 || h <= 0 || (nf != 1 && nf != 3)) return None
+            if (payLen < 6 + 3 * nf) return None
+            comps = (0 until nf).map { ci =>
+              val o = pay + 6 + 3 * ci
+              ((b(o) & 0xff, (b(o + 1) & 0xff) >> 4,
+                b(o + 1) & 0x0f, b(o + 2) & 0x0f))
+            }.toArray
+            if (comps.exists(c =>
+                c._2 < 1 || c._2 > 2 || c._3 < 1 || c._3 > 2))
+              return None
+            hmax = comps.map(_._2).max
+            vmax = comps.map(_._3).max
+            if (comps(0)._2 != hmax || comps(0)._3 != vmax) return None
+            if (w < 9 || h < 8) return None // sub-grid (shared rule)
+            if (w.toLong * h > Multimodal.PngMaxPixels) return None
+            mcux = (w + 8 * hmax - 1) / (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) / (8 * vmax)
+            ybw = (w + 7) / 8 // Y at max factors: its OWN grid
+            ybh = (h + 7) / 8
+            coefY = new Array[Int](ybw * ybh * 64)
+          case 0xc4 =>
+            var i = 0
+            while (i < payLen) {
+              if (i + 17 > payLen) return None
+              val tc = (b(pay + i) & 0xff) >> 4
+              val th = b(pay + i) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val bits = (0 until 16).map(k =>
+                b(pay + i + 1 + k) & 0xff).toArray
+              val nv = bits.sum
+              if (i + 17 + nv > payLen) return None
+              val vals = (0 until nv).map(k =>
+                b(pay + i + 17 + k) & 0xff).toArray
+              val t = huffTable(bits, vals)
+              if (tc == 0) dcTab(th) = t else acTab(th) = t
+              i += 17 + nv
+            }
+          case 0xdd => return None // DRI under SOF2: out of contract
+          case 0xda =>
+            if (comps == null) return None
+            nextP = decodeProgScan(b, pay, payLen, w, h, comps, hmax,
+              vmax, mcux, mcuy, ybw, ybh, dcTab, acTab, coefY)
+            scans += 1
+          case mm if mm >= 0xc0 && mm <= 0xcf && mm != 0xc4 &&
+              mm != 0xc8 =>
+            return None // a second frame header of any kind
+          case _ => // APPn / COM skipped
+        }
+        p = nextP
+      }
+    }
+    if (comps == null || scans == 0) return None
+    if (qt(comps(0)._4) == null) return None
+    val yq = qt(comps(0)._4)
+    // ── dequantize + IDCT each Y block, then the shared fold ──
+    val ypix = new Array[Byte](ybw * 8 * ybh * 8)
+    val coef = new Array[Long](64)
+    var bi = 0
+    while (bi < ybw * ybh) {
+      var k = 0
+      while (k < 64) {
+        coef(k) = coefY(bi * 64 + k).toLong * yq(k)
+        k += 1
+      }
+      val bx = bi % ybw
+      val by = bi / ybw
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0L
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              s += A(u)(x) * A(v)(y) * coef(v * 8 + u)
+              v += 1
+            }
+            u += 1
+          }
+          val px = ((s + (1L << 25)) >> 26) + 128
+          val cl = if (px < 0) 0 else if (px > 255) 255 else px.toInt
+          ypix((by * 8 + y) * ybw * 8 + bx * 8 + x) = cl.toByte
+          x += 1
+        }
+        y += 1
+      }
+      bi += 1
+    }
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      val base = y * ybw * 8
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 9 / w).toInt
+        sums(cy)(cx) += (ypix(base + x) & 0xff) * 1000L
+        cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some(JpegHashRow(path, w, h, nf, Multimodal.dHashOfGrid(sums, cnts)))
+  }
+
+  /** Decode one progressive scan; returns the byte offset of the
+    * marker that ends it. Throws Malformed on any structural
+    * violation. Chroma AC scans are skipped by marker-seeking.
+    */
+  private def decodeProgScan(
+      b: Array[Byte], pay: Int, payLen: Int, w: Int, h: Int,
+      comps: Array[(Int, Int, Int, Int)], hmax: Int, vmax: Int,
+      mcux: Int, mcuy: Int, ybw: Int, ybh: Int,
+      dcTab: Array[HuffTable], acTab: Array[HuffTable],
+      coefY: Array[Int]): Int = {
+    val ns = b(pay) & 0xff
+    if (ns < 1 || payLen < 1 + 2 * ns + 3) throw new Malformed
+    val scomp = (0 until ns).map { i =>
+      val cs = b(pay + 1 + 2 * i) & 0xff
+      val ci = comps.indexWhere(_._1 == cs)
+      if (ci < 0) throw new Malformed
+      ((ci, (b(pay + 2 + 2 * i) & 0xff) >> 4, b(pay + 2 + 2 * i) & 0x0f))
+    }.toArray
+    val ss = b(pay + 1 + 2 * ns) & 0xff
+    val se = b(pay + 2 + 2 * ns) & 0xff
+    val ahal = b(pay + 3 + 2 * ns) & 0xff
+    val ah = ahal >> 4
+    val al = ahal & 0x0f
+    val entStart = pay + payLen
+    // the scan's data runs to the next marker; locate it once (DRI is
+    // out of contract, so no RSTn can appear inside)
+    def scanEnd(from: Int): Int = {
+      var q = from
+      while (q + 1 < b.length &&
+        !((b(q) & 0xff) == 0xff && (b(q + 1) & 0xff) != 0x00)) q += 1
+      if (q + 1 >= b.length) throw new Malformed
+      q
+    }
+    if (ss == 0) {
+      // ── DC scan (Se must be 0 in SOF2 — the flipped-marker arm) ──
+      if (se != 0 || al > 13 || ah > 13) throw new Malformed
+      val br = new BitReader(b, entStart)
+      val pred = new Array[Int](comps.length)
+      val dcOf = new Array[HuffTable](comps.length)
+      scomp.foreach { case (ci, td, _) =>
+        dcOf(ci) = dcTab(td)
+        if (ah == 0 && dcOf(ci) == null) throw new Malformed
+      }
+      def block(ci: Int, bx: Int, by: Int): Unit = {
+        if (ah == 0) {
+          val s = readSym(br, dcOf(ci))
+          if (s > 11) throw new Malformed
+          val diff = if (s == 0) 0 else extend(br.bits(s), s)
+          pred(ci) += diff
+          if (ci == 0 && bx < ybw && by < ybh)
+            coefY((by * ybw + bx) * 64) = pred(ci) << al
+        } else {
+          val bit = br.bit()
+          if (ci == 0 && bx < ybw && by < ybh && bit != 0)
+            coefY((by * ybw + bx) * 64) |= (1 << al)
+        }
+      }
+      if (ns > 1) {
+        var my = 0
+        while (my < mcuy) {
+          var mx = 0
+          while (mx < mcux) {
+            scomp.foreach { case (ci, _, _) =>
+              val hf = comps(ci)._2
+              val vf = comps(ci)._3
+              var v = 0
+              while (v < vf) {
+                var hh = 0
+                while (hh < hf) {
+                  block(ci, mx * hf + hh, my * vf + v)
+                  hh += 1
+                }
+                v += 1
+              }
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // single-component scan: the component's OWN grid (ceil of
+        // its scaled dims over 8), NOT the MCU-padded one
+        val ci = scomp(0)._1
+        val hf = comps(ci)._2
+        val vf = comps(ci)._3
+        val cbw = ((w * hf + hmax - 1) / hmax + 7) / 8
+        val cbh = ((h * vf + vmax - 1) / vmax + 7) / 8
+        var by = 0
+        while (by < cbh) {
+          var bx = 0
+          while (bx < cbw) {
+            block(ci, bx, by)
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      endOfScan(b, br)
+    } else {
+      // ── AC scan: single component (T.81 G.1.1.1) ──
+      if (ns != 1 || se < ss || se > 63 || al > 13 || ah > 13)
+        throw new Malformed
+      val (ci, _, ta) = scomp(0)
+      if (ci != 0) return {
+        // chroma: skip the entropy data wholesale
+        scanEnd(entStart)
+      }
+      val tab = acTab(ta)
+      if (tab == null) throw new Malformed
+      val br = new BitReader(b, entStart)
+      var eobrun = 0
+      val p1 = 1 << al
+      val m1 = -(1 << al)
+      var bi = 0
+      val nBlocks = ybw * ybh
+      while (bi < nBlocks) {
+        val base = bi * 64
+        if (ah == 0) {
+          // ── first pass over this band ──
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var done = false
+            while (!done && k <= se) {
+              val sym = readSym(br, tab)
+              val r = sym >> 4
+              val s = sym & 15
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0) - 1
+                  done = true
+                }
+              } else {
+                if (s > 10) throw new Malformed
+                k += r
+                if (k > se) throw new Malformed
+                coefY(base + ZZ(k)) = extend(br.bits(s), s) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // ── refinement (libjpeg decode_mcu_AC_refine shape) ──
+          var k = ss
+          if (eobrun == 0) {
+            var done = false
+            while (!done && k <= se) {
+              val sym = readSym(br, tab)
+              val r0 = sym >> 4
+              val s = sym & 15
+              var r = r0
+              var newval = 0
+              if (s != 0) {
+                if (s != 1) throw new Malformed
+                newval = if (br.bit() != 0) p1 else m1
+              } else if (r != 15) {
+                eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0)
+                done = true
+              }
+              if (!done) {
+                var placed = false
+                while (!placed && k <= se) {
+                  val c = coefY(base + ZZ(k))
+                  if (c != 0) {
+                    if (br.bit() != 0 && (c & p1) == 0)
+                      coefY(base + ZZ(k)) = c + (if (c >= 0) p1 else m1)
+                    k += 1
+                  } else {
+                    r -= 1
+                    if (r < 0) placed = true else k += 1
+                  }
+                }
+                if (newval != 0) {
+                  if (k > se) throw new Malformed
+                  coefY(base + ZZ(k)) = newval
+                }
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) {
+            while (k <= se) {
+              val c = coefY(base + ZZ(k))
+              if (c != 0 && br.bit() != 0 && (c & p1) == 0)
+                coefY(base + ZZ(k)) = c + (if (c >= 0) p1 else m1)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        bi += 1
+      }
+      endOfScan(b, br)
+    }
+  }
+
+  /** A scan must end exactly at the next marker; an unread all-ones
+    * padding byte arrives stuffed as FF 00 (one pair allowed).
+    */
+  private def endOfScan(b: Array[Byte], br: BitReader): Int = {
+    var q = br.p
+    if (q + 1 < b.length && (b(q) & 0xff) == 0xff &&
+        (b(q + 1) & 0xff) == 0x00) q += 2
+    if (q + 1 >= b.length || (b(q) & 0xff) != 0xff ||
+        (b(q + 1) & 0xff) == 0x00) throw new Malformed
+    q
   }
 }

@@ -882,9 +882,13 @@ object Multimodal {
     * (sign bit 0x80) — tools/gen_audio_formats.py implements the
     * same expansion independently and the expected hash comes from
     * the DECODED samples (the lossy-format provenance discipline,
-    * q359's on the audio arc). Encoding 3 (16-bit BE linear PCM) is
-    * the lossless leg. Anything else (A-law 27, floats, ADPCM)
-    * SKIPS; dataSize 0xFFFFFFFF ("unknown") reads to EOF per spec.
+    * q359's on the audio arc). Encoding 27 is G.711 A-law (round 18)
+    * — the OTHER telephony codec, expanded per ITU G.711 table 2;
+    * the fixture pair proves the two codecs' reconstructions agree
+    * window-for-window (cross-codec distance 0, generator-asserted).
+    * Encodings 2 (8-bit signed linear) and 3 (16-bit BE linear) are
+    * the lossless legs. Anything else (floats, ADPCM) SKIPS;
+    * dataSize 0xFFFFFFFF ("unknown") reads to EOF per spec.
     */
   def aHashAu(files: Dataset[MediaFile]): Dataset[WavHashRow] = {
     val spark = files.sparkSession
@@ -908,18 +912,30 @@ object Multimodal {
     val dataLen = if (size == -1) avail
       else { if (size < 0 || size > avail) return None; size }
     val bytesPer = enc match {
-      case 1 => 1 // G.711 μ-law
+      case 1 | 2 | 27 => 1 // G.711 μ-law / 8-bit linear / G.711 A-law
       case 3 => 2 // 16-bit BE linear
-      case _ => return None // A-law/ADPCM/float: out of contract
+      case _ => return None // ADPCM/float: out of contract
     }
     val n = dataLen / bytesPer
     if (n < 65) return None
     val h = envelopeHash(n.toLong) { i =>
-      if (enc == 3) math.abs(buf.getShort(off + i.toInt * 2).toInt)
-      else {
-        val u = (~b(off + i.toInt)) & 0xff
-        val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
-        t - 0x84 // sign (bit 0x80) dropped — the hash consumes |amp|
+      enc match {
+        case 3 => math.abs(buf.getShort(off + i.toInt * 2).toInt)
+        case 2 => math.abs(b(off + i.toInt).toInt) // SIGNED 8-bit
+        case 27 =>
+          // G.711 A-law (round 18): even bits inverted by 0x55, then
+          // seg/mantissa expansion — the μ-law mirror with BIAS-less
+          // segment 0 (t += 8) and the 0x108 offset from segment 1 up
+          // (ITU G.711 table 2 / the Sun g711.c formulation); sign
+          // bit 0x80 dropped — the hash consumes |amp|
+          val a = (b(off + i.toInt) & 0xff) ^ 0x55
+          val t = ((a & 0x0f) << 4) + (if ((a & 0x70) == 0) 8 else 0x108)
+          val seg = (a & 0x70) >> 4
+          if (seg >= 2) t << (seg - 1) else t
+        case _ =>
+          val u = (~b(off + i.toInt)) & 0xff
+          val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+          t - 0x84 // sign (bit 0x80) dropped
       }
     }
     Some(WavHashRow(path, rate, n.toLong, h))

@@ -305,9 +305,24 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.readMedia(spark, "/root/repo/fixtures/images_jpeg"))
     val rows = Jpeg.dHashJpeg(files).collect()
       .map(r => r.path.split('/').last -> r).toMap
-    // progressive/arith/prec12/trunc/notjpeg/tiny_8x4 all SKIPPED
+    // progressive.jpg (DC+AC in ONE scan — SOF2-illegal)/arith/prec12/
+    // trunc/notjpeg/tiny_8x4/progdri/progtrunc all SKIPPED;
+    // prog0-3 + progodd now DECODE (round 18)
     assert(rows.keySet == ((0 until 4).flatMap(k =>
-      Seq(s"base$k.jpg", s"near$k.jpg")) :+ "jodd.jpg").toSet)
+      Seq(s"base$k.jpg", s"near$k.jpg", s"prog$k.jpg")) ++
+      Seq("jodd.jpg", "progodd.jpg")).toSet)
+    // PROGRESSIVE == BASELINE, coefficient for coefficient: the four
+    // progression scripts (full successive approximation; pure
+    // spectral selection; 4:4:4 with chroma AC scans INTERLEAVED
+    // between the Y scans — the skip path is load-bearing
+    // mid-sequence; 4:2:0 with interleaved-DC MCU grid vs
+    // single-component Y grid) all reconstruct the baseline
+    // coefficients exactly
+    for (k <- 0 until 4)
+      assert(rows(s"prog$k.jpg").dhash == rows(s"base$k.jpg").dhash,
+        s"prog$k: progressive/baseline divergence")
+    assert(rows("progodd.jpg").dhash == rows("jodd.jpg").dhash,
+      "progodd: partial-edge-block progressive divergence")
     // structure legs: grayscale / restart-marker / 4:4:4 / 4:2:0
     assert(rows("base0.jpg").components == 1
       && rows("base1.jpg").components == 1
@@ -330,8 +345,15 @@ class MultimodalSpec extends SparkSpec {
     def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"/root/repo/fixtures/images_jpeg/$n"))
     for (n <- Seq("progressive.jpg", "arith.jpg", "prec12.jpg",
-        "trunc.jpg", "notjpeg.jpg", "tiny_8x4.jpg"))
+        "trunc.jpg", "notjpeg.jpg", "tiny_8x4.jpg", "progdri.jpg",
+        "progtrunc.jpg"))
       assert(Jpeg.parseJpegDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    // progressive hostile beyond the authored arms: truncation at
+    // every marker boundary of prog2 must drop, never throw
+    val p2 = bytesOf("prog2.jpg")
+    for (cut <- Seq(p2.length / 4, p2.length / 2, p2.length - 3))
+      assert(Jpeg.parseJpegDHash("x", p2.take(cut)).isEmpty,
+        s"prog2 cut@$cut must skip")
     // mid-file truncation + garbage-in-entropy never throw
     val ok = bytesOf("base3.jpg")
     assert(Jpeg.parseJpegDHash("x", ok.take(ok.length / 2)).isEmpty)
@@ -508,25 +530,35 @@ class MultimodalSpec extends SparkSpec {
       assert(aiffs(s"$a$k.aif").ahash == wavs(s"$w$k.wav"),
         s"$a$k: aiff/wav hash divergence")
     assert(aiffs("fbase0.aif").sampleRate == 8000)
-    // AU: μ-law + 16-bit-linear legs decode; A-law and sub-window skip
+    // AU: μ-law + A-law + 8/16-bit-linear legs decode; float and
+    // sub-window skip
     val aus = aHashAu(Multimodal.asMediaFiles(
         Multimodal.readMedia(spark, dir)))
       .collect().map(r => r.path.split('/').last -> r).toMap
     assert(aus.keySet == ((0 until 4).flatMap(k =>
-      Seq(s"ubase$k.au", s"unear$k.au")) :+ "lin16.au").toSet)
+      Seq(s"ubase$k.au", s"unear$k.au", s"gbase$k.au", s"gnear$k.au")) ++
+      Seq("lin16.au", "lin8.au")).toSet)
     // the planted μ-law geometry survives the codec (generator-
     // asserted; re-checked here through the Spark decoder)
     for (k <- 0 until 4) {
       val d = java.lang.Long.bitCount(
         aus(s"ubase$k.au").ahash ^ aus(s"unear$k.au").ahash)
       assert(d >= 1 && d <= 3, s"ubase$k/unear$k dist $d")
+      // CROSS-CODEC: the A-law re-encode reconstructs through a
+      // DIFFERENT quantizer yet lands window-for-window with the
+      // μ-law member (the envelope formulas' headroom — generator-
+      // asserted, re-proven here through both Spark expansions)
+      assert(aus(s"gbase$k.au").ahash == aus(s"ubase$k.au").ahash,
+        s"gbase$k: a-law/μ-law divergence")
+      assert(aus(s"gnear$k.au").ahash == aus(s"unear$k.au").ahash,
+        s"gnear$k: a-law/μ-law divergence")
     }
     // hostile arms direct through the pure parsers
     def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/$n"))
     for (n <- Seq("notaiff.aif", "trunc.aif", "short_64.aif"))
       assert(parseAiffAHash("x", bytesOf(n)).isEmpty, s"$n must skip")
-    for (n <- Seq("notau.au", "alaw.au", "trunc.au"))
+    for (n <- Seq("notau.au", "float.au", "trunc.au"))
       assert(parseAuAHash("x", bytesOf(n)).isEmpty, s"$n must skip")
     assert(parseAiffAHash("x", Array.emptyByteArray).isEmpty)
     assert(parseAuAHash("x", Array.emptyByteArray).isEmpty)

@@ -136,6 +136,43 @@ for v in (0, 1, 100, 1000, 8000, 30000, -5, -2500):
         max(4, abs(v) * 0.07), (v, d)
 
 
+# ── G.711 A-law (13-bit domain, even bits inverted by 0x55; the
+# spandsp/Sun g711.c formulation on the 16-bit interface) ──
+def alaw_encode(x):
+    if x >= 0:
+        mask = 0xD5  # sign bit 0x80 set = POSITIVE in A-law
+        v = x >> 3
+    else:
+        mask = 0x55
+        v = (-x - 1) >> 3
+    seg_aend = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+    seg = 0
+    while seg < 8 and v > seg_aend[seg]:
+        seg += 1
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (v >> (1 if seg < 2 else seg)) & 0x0F
+    return aval ^ mask
+
+
+def alaw_decode(a):
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    else:
+        t += 0x108
+        t <<= seg - 1
+    return t if (a & 0x80) else -t
+
+
+for v in (0, 1, 100, 1000, 8000, 30000, -5, -2500):
+    d = alaw_decode(alaw_encode(v))
+    assert abs(d - v) <= max(16, abs(v) * 0.07), (v, d)
+
+
 # ── AIFF container ──
 def ext80(rate):
     """80-bit IEEE extended float for an integer sample rate."""
@@ -214,6 +251,34 @@ with open(f"{OUT}/lin16.au", "wb") as f:
     f.write(au_bytes(b"".join(struct.pack(">h", s) for s in lin), 3))
 rows.append(("lin16.au", RATE, N, ahash(lin16_amp)))
 
+# AU G.711 A-law (encoding 27, round 18): the SAME geometric envelope
+# formulas re-encoded through the OTHER telephony codec; expected =
+# DECODE of the written bytes (each lossy codec certifies against its
+# own reconstruction)
+alaw_hashes = {}
+for k in range(4):
+    for near in (False, True):
+        name = f"{'gnear' if near else 'gbase'}{k}.au"
+        lin = [signed_sample(au_amp_at(k, near, i), i) for i in range(N)]
+        enc = bytes(alaw_encode(s) for s in lin)
+        with open(f"{OUT}/{name}", "wb") as f:
+            f.write(au_bytes(enc, 27))
+        dec = [abs(alaw_decode(u)) for u in enc]
+        hsh = ahash(lambda i: dec[i])
+        rows.append((name, RATE, N, hsh))
+        alaw_hashes[name] = hsh
+
+# AU 8-bit SIGNED linear leg (encoding 2, round 18): isolated pattern,
+# |amp| <= 127 (lossless -- expected straight from the formula)
+def lin8_amp(i):
+    return 3 + ((win(i) * 11 + win(i) * win(i) * 5) % 25) * 5
+
+with open(f"{OUT}/lin8.au", "wb") as f:
+    f.write(au_bytes(b"".join(
+        struct.pack(">b", signed_sample(lin8_amp(i), i))
+        for i in range(N)), 2))
+rows.append(("lin8.au", RATE, N, ahash(lin8_amp)))
+
 # hostile / out-of-contract fixtures
 with open(f"{OUT}/notaiff.aif", "wb") as f:
     f.write(b"JUNKJUNKJUNKJUNK" * 8)
@@ -224,8 +289,8 @@ with open(f"{OUT}/short_64.aif", "wb") as f:  # sub-window
     f.write(aiff_bytes([100] * 64, 16))
 with open(f"{OUT}/notau.au", "wb") as f:
     f.write(b"NOPE" + b"\x00" * 60)
-with open(f"{OUT}/alaw.au", "wb") as f:  # encoding 27 (A-law): out
-    f.write(au_bytes(b"\x55" * 256, 27))
+with open(f"{OUT}/float.au", "wb") as f:  # encoding 6 (float): out
+    f.write(au_bytes(b"\x3f" * 256, 6))
 with open(f"{OUT}/trunc.au", "wb") as f:
     f.write(au_bytes(b"\x7f" * 32, 1))  # 32 samples < 65 windows
 
@@ -285,16 +350,22 @@ allh = {n: h for (n, _, _, h) in rows}
 for k in range(4):
     d = dist(allh[f"ubase{k}.au"], allh[f"unear{k}.au"])
     assert 1 <= d <= 3, f"ubase{k}/unear{k} dist {d}"
+    d = dist(allh[f"gbase{k}.au"], allh[f"gnear{k}.au"])
+    assert 1 <= d <= 3, f"gbase{k}/gnear{k} dist {d}"
+    # CROSS-CODEC: the two telephony codecs quantize differently, but
+    # the envelope formulas carry enough headroom that no window
+    # comparison flips -- the A-law re-encode is an EXACT member of
+    # the mu-law cluster (checked, not assumed)
+    assert allh[f"gbase{k}.au"] == allh[f"ubase{k}.au"], k
+    assert allh[f"gnear{k}.au"] == allh[f"unear{k}.au"], k
 keys = sorted(allh)
-clusters = {}
-for n in keys:
-    stem = n[0] + n[-6:-4] if False else None
 import itertools
 def family(n):
     for k in range(4):
         if n in (f"fbase{k}.aif", f"fnear{k}.aif"):
             return f"wavfam{k}"
-        if n in (f"ubase{k}.au", f"unear{k}.au"):
+        if n in (f"ubase{k}.au", f"unear{k}.au",
+                 f"gbase{k}.au", f"gnear{k}.au"):
             return f"aufam{k}"
     return n  # isolated legs
 for a, b in itertools.combinations(keys, 2):

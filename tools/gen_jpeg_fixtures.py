@@ -561,6 +561,422 @@ def decode_jpeg_luma(b):
     return w, h, [row[:w] for row in ypix[:h]]
 
 
+# ═══════════════ PROGRESSIVE (SOF2) — round 18 ═══════════════
+# Spectral selection + successive approximation per ITU T.81 annex G
+# (the libjpeg formulation). The progression re-orders ENTROPY only:
+# the reconstructed coefficients equal the baseline ones exactly once
+# every band is refined to Al=0, so a progressive re-encode of a
+# baseline fixture is a DISTANCE-0 cluster member (asserted below).
+#
+# Point transforms: DC uses an ARITHMETIC shift (>> Al, floor); AC
+# shifts the MAGNITUDE (abs(v) >> Al, toward zero) with the sign kept
+# aside — the refinement correction bits then converge exactly.
+
+def encode_jpeg_progressive(w, h, comps, script):
+    """comps as encode_jpeg; script: list of (comp_ids, Ss, Se, Ah, Al).
+    DC scans (Ss==0) may interleave several components; AC scans are
+    single-component (T.81 G.1.1.1). One DHT right before each SOS
+    that needs a table; no DRI (out of the progressive contract)."""
+    hmax = max(c[1][0] for c in comps)
+    vmax = max(c[1][1] for c in comps)
+    qblocks, bdims = [], []
+    for plane, (hf, vf), q, _ in comps:
+        cw = -(-w * hf // hmax)
+        chh = -(-h * vf // vmax)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        p = [[plane[min(y, len(plane) - 1)][min(x, len(plane[0]) - 1)]
+              for x in range(cw)] for y in range(chh)]
+        qblocks.append({k: [r[:] for r in fdct_quant(b, q)]
+                        for k, b in blocks_of(p, bw, bh).items()})
+        bdims.append((bw, bh))
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    for ci, (_, (hf, vf), _, _) in enumerate(comps):
+        for by in range(mcuy * vf):
+            for bx in range(mcux * hf):
+                if (bx, by) not in qblocks[ci]:
+                    qblocks[ci][(bx, by)] = [[0] * 8 for _ in range(8)]
+
+    def zz_of(blk):
+        return [blk[ZZ[k] // 8][ZZ[k] % 8] for k in range(64)]
+
+    pred = [0] * len(comps)  # DC predictors persist across scans? NO:
+    # each DC scan resets its own predictors (one first scan per
+    # component in a valid script, so a plain reset per scan is exact)
+
+    def scan_blocks(comp_ids):
+        """block iteration order for this scan (T.81: MCU order when
+        interleaved, the component's OWN grid when single)."""
+        if len(comp_ids) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in comp_ids:
+                        _, (hf, vf), _, _ = comps[ci]
+                        for v in range(vf):
+                            for hh in range(hf):
+                                yield ci, (mx * hf + hh, my * vf + v)
+        else:
+            ci = comp_ids[0]
+            bw, bh = bdims[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    yield ci, (bx, by)
+
+    def encode_scan(comp_ids, Ss, Se, Ah, Al):
+        """Returns (events, uses_dc_table, uses_ac_table): events are
+        ('sym', ci, s) and ('bits', v, n) in emission order."""
+        events = []
+
+        def sym(ci, s):
+            events.append(("sym", ci, s))
+
+        def bits(v, n):
+            if n:
+                events.append(("bits", v, n))
+
+        if Ss == 0:  # ── DC scan ──
+            assert Se == 0
+            if Ah == 0:
+                for ci in comp_ids:
+                    pred[ci] = 0
+                for ci, key in scan_blocks(comp_ids):
+                    v = zz_of(qblocks[ci][key])[0] >> Al  # arithmetic
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s, extra = mag_cat(diff)
+                    sym(ci, s)
+                    bits(extra, s)
+                return events, True, False
+            for ci, key in scan_blocks(comp_ids):  # DC refinement
+                bits((zz_of(qblocks[ci][key])[0] >> Al) & 1, 1)
+            return events, False, False
+
+        # ── AC scan: single component ──
+        assert len(comp_ids) == 1 and Ss >= 1
+        ci = comp_ids[0]
+        eobrun = 0
+        pend = []  # correction bits pending behind the open EOB run
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                sym(ci, nb << 4)
+                bits(eobrun - (1 << nb), nb)
+                for bb in pend:
+                    bits(bb, 1)
+                eobrun, pend = 0, []
+
+        if Ah == 0:  # first pass over this band
+            for _, key in scan_blocks(comp_ids):
+                zz = zz_of(qblocks[ci][key])
+                r = 0
+                for k in range(Ss, Se + 1):
+                    v = zz[k]
+                    t = abs(v) >> Al
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        sym(ci, 0xF0)
+                        r -= 16
+                    s, extra = mag_cat(t if v > 0 else -t)
+                    sym(ci, (r << 4) | s)
+                    bits(extra, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            return events, False, True
+
+        # AC refinement (the libjpeg encode_mcu_AC_refine shape)
+        for _, key in scan_blocks(comp_ids):
+            zz = zz_of(qblocks[ci][key])
+            t = [abs(zz[k]) >> Al for k in range(Ss, Se + 1)]
+            eob_idx = -1
+            for j, tv in enumerate(t):
+                if tv == 1:
+                    eob_idx = j
+            r = 0
+            br = []
+            for j, tv in enumerate(t):
+                if tv == 0:
+                    r += 1
+                    continue
+                while r > 15 and j <= eob_idx:
+                    flush_eob()
+                    sym(ci, 0xF0)
+                    r -= 16
+                    for bb in br:
+                        bits(bb, 1)
+                    br = []
+                if tv > 1:  # history coefficient: one correction bit
+                    br.append(tv & 1)
+                    continue
+                flush_eob()
+                sym(ci, (r << 4) | 1)
+                bits(1 if zz[Ss + j] > 0 else 0, 1)
+                for bb in br:
+                    bits(bb, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pend.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return events, False, True
+
+    # ── container ──
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    qids = sorted({c[3] for c in comps})
+    for qid in qids:
+        q = next(c[2] for c in comps if c[3] == qid)
+        zzq = bytes(q[ZZ[k] // 8][ZZ[k] % 8] for k in range(64))
+        out += seg(0xDB, bytes([qid]) + zzq)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for ci, (_, (hf, vf), _, qid) in enumerate(comps):
+        sof += bytes([ci + 1, (hf << 4) | vf, qid])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for comp_ids, Ss, Se, Ah, Al in script:
+        events, use_dc, use_ac = encode_scan(comp_ids, Ss, Se, Ah, Al)
+        # per-scan canonical tables from this scan's own symbol stats;
+        # component ci uses table id min(ci,1) of the scan's class
+        codes = {}
+        if use_dc or use_ac:
+            tc = 0 if use_dc else 1
+            freqs = {}
+            for ev in events:
+                if ev[0] == "sym":
+                    tid = min(ev[1], 1)
+                    freqs.setdefault(tid, {})
+                    freqs[tid][ev[2]] = freqs[tid].get(ev[2], 0) + 1
+            for tid, fr in sorted(freqs.items()):
+                hbits, hvals, hcodes = build_huffman(fr)
+                out += seg(0xC4, bytes([(tc << 4) | tid]) + bytes(hbits)
+                           + bytes(hvals))
+                codes[tid] = hcodes
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = min(ci, 1)
+            td = tid if Ss == 0 and Ah == 0 else 0
+            ta = tid if Ss > 0 else 0
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += seg(0xDA, sos)
+        bw = BitWriter()
+        for ev in events:
+            if ev[0] == "sym":
+                c, ln = codes[min(ev[1], 1)][ev[2]]
+                bw.put(c, ln)
+            else:
+                bw.put(ev[1], ev[2])
+        bw.align()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_luma_prog(b):
+    """Independent SOF2 decoder (the oracle side): full coefficient
+    accumulation across scans for EVERY component, then the shared
+    integer IDCT on Y. Raises on malformed input."""
+    assert b[:2] == b"\xff\xd8"
+    p = 2
+    qt, hufdc, hufac = {}, {}, {}
+    w = h = None
+    comps = []
+    coef = []  # per comp: {(bx,by): [64 coefficients, natural order]}
+    bdims = []
+    eoi = False
+    while not eoi:
+        assert b[p] == 0xFF
+        m = b[p + 1]
+        if m == 0xD9:
+            eoi = True
+            break
+        ln = struct.unpack(">H", b[p + 2:p + 4])[0]
+        pay = b[p + 4:p + 2 + ln]
+        nxt = p + 2 + ln
+        if m == 0xDB:
+            i = 0
+            while i < len(pay):
+                tq = pay[i] & 15
+                tab = [0] * 64
+                for k in range(64):
+                    tab[ZZ[k]] = pay[i + 1 + k]
+                qt[tq] = tab
+                i += 65
+        elif m == 0xC2:
+            assert pay[0] == 8
+            h, w = struct.unpack(">HH", pay[1:5])
+            nf = pay[5]
+            hmax = vmax = 1
+            for ci in range(nf):
+                o = 6 + 3 * ci
+                comps.append((pay[o], pay[o + 1] >> 4, pay[o + 1] & 15,
+                              pay[o + 2]))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hf, vf, _ in comps:
+                cw = -(-w * hf // hmax)
+                chh = -(-h * vf // vmax)
+                bw_, bh_ = -(-cw // 8), -(-chh // 8)
+                bdims.append((bw_, bh_))
+                coef.append({})
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        elif m == 0xC4:
+            i = 0
+            while i < len(pay):
+                tc, th = pay[i] >> 4, pay[i] & 15
+                hbits = list(pay[i + 1:i + 17])
+                nv = sum(hbits)
+                vals = list(pay[i + 17:i + 17 + nv])
+                (hufdc if tc == 0 else hufac)[th] = \
+                    huff_decode_table(hbits, vals)
+                i += 17 + nv
+        elif m == 0xDA:
+            ns = pay[0]
+            scomp = [(pay[1 + 2 * i] - 1, pay[2 + 2 * i] >> 4,
+                      pay[2 + 2 * i] & 15) for i in range(ns)]
+            Ss, Se, AhAl = pay[1 + 2 * ns:4 + 2 * ns]
+            Ah, Al = AhAl >> 4, AhAl & 15
+            br = BitReader(b, nxt)
+            eobrun = 0
+
+            def blk(ci, key):
+                return coef[ci].setdefault(key, [0] * 64)
+
+            def blocks(ids):
+                if len(ids) > 1:
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for ci in ids:
+                                _, hf, vf, _ = comps[ci]
+                                for v in range(vf):
+                                    for hh in range(hf):
+                                        yield ci, (mx * hf + hh,
+                                                   my * vf + v)
+                else:
+                    ci = ids[0]
+                    bw_, bh_ = bdims[ci]
+                    for by in range(bh_):
+                        for bx in range(bw_):
+                            yield ci, (bx, by)
+
+            ids = [s[0] for s in scomp]
+            tds = {s[0]: s[1] for s in scomp}
+            tas = {s[0]: s[2] for s in scomp}
+            if Ss == 0:
+                assert Se == 0
+                predl = {ci: 0 for ci in ids}
+                for ci, key in blocks(ids):
+                    cb = blk(ci, key)
+                    if Ah == 0:
+                        s = read_sym(br, hufdc[tds[ci]])
+                        diff = extend(br.bits(s), s) if s else 0
+                        predl[ci] += diff
+                        cb[0] = predl[ci] << Al
+                    else:
+                        if br.bit():
+                            cb[0] |= (1 << Al)
+            else:
+                assert len(ids) == 1
+                ci = ids[0]
+                tab = hufac[tas[ci]]
+                p1, m1 = (1 << Al), -(1 << Al)
+                for _, key in blocks(ids):
+                    cb = blk(ci, key)
+                    if Ah == 0:  # ── first pass ──
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = Ss
+                        while k <= Se:
+                            sym = read_sym(br, tab)
+                            r, s = sym >> 4, sym & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += br.bits(r)
+                                eobrun -= 1
+                                break
+                            k += r
+                            assert k <= Se, "band overrun"
+                            cb[ZZ[k]] = extend(br.bits(s), s) << Al
+                            k += 1
+                    else:  # ── refinement (libjpeg shape) ──
+                        k = Ss
+                        if eobrun == 0:
+                            while k <= Se:
+                                sym = read_sym(br, tab)
+                                r, s = sym >> 4, sym & 15
+                                newval = 0
+                                if s:
+                                    assert s == 1, "refine s must be 1"
+                                    newval = p1 if br.bit() else m1
+                                elif r != 15:
+                                    eobrun = (1 << r)
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                while k <= Se:
+                                    if cb[ZZ[k]] != 0:
+                                        if br.bit() and \
+                                                (cb[ZZ[k]] & p1) == 0:
+                                            cb[ZZ[k]] += p1 \
+                                                if cb[ZZ[k]] >= 0 else m1
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if newval:
+                                    assert k <= Se, "refine overrun"
+                                    cb[ZZ[k]] = newval
+                                k += 1
+                        if eobrun > 0:
+                            while k <= Se:
+                                if cb[ZZ[k]] != 0:
+                                    if br.bit() and (cb[ZZ[k]] & p1) == 0:
+                                        cb[ZZ[k]] += p1 \
+                                            if cb[ZZ[k]] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
+            # scan must end cleanly at the next marker
+            br.n = 0
+            nxt = br.p
+            assert b[nxt] == 0xFF and b[nxt + 1] != 0x00, "scan overrun"
+            p = nxt
+            continue
+        p = nxt
+    assert eoi
+    # reconstruct Y
+    ybw, ybh = bdims[0]
+    tq = comps[0][3]
+    ypix = [[0] * (ybw * 8) for _ in range(ybh * 8)]
+    for (bx, by), cb in coef[0].items():
+        if bx >= ybw or by >= ybh:
+            continue  # interleaved-DC padding blocks
+        dq = [[cb[v * 8 + u] * qt[tq][v * 8 + u] for u in range(8)]
+              for v in range(8)]
+        px = idct_int(dq)
+        for y in range(8):
+            for x in range(8):
+                ypix[by * 8 + y][bx * 8 + x] = px[y][x]
+    return w, h, [row[:w] for row in ypix[:h]]
+
+
 def dhash_rows(w, h, rows):
     sums = [[0] * 9 for _ in range(8)]
     cnts = [[0] * 9 for _ in range(8)]
@@ -646,6 +1062,75 @@ author("jodd.jpg", 35, 19,
        [([[((x * x + 3 * y) % 17) * 15 for x in range(35)]
           for y in range(19)], (1, 1), QLUM, 0)])
 
+
+# ── PROGRESSIVE (SOF2) members — round 18. Same planes, same quant
+# tables, a different ENTROPY ORDER: once every band refines to Al=0
+# the coefficients equal the baseline ones EXACTLY, so prog_k is a
+# distance-0 member of cluster k (asserted below, not assumed). ──
+def author_prog(name, w, h, comps, script):
+    data = encode_jpeg_progressive(w, h, comps, script)
+    with open(f"{OUT}/{name}", "wb") as f:
+        f.write(data)
+    dw, dh, rows = decode_jpeg_luma_prog(data)
+    assert (dw, dh) == (w, h), name
+    hsh = dhash_rows(dw, dh, rows)
+    rows_out.append((name, w, h, hsh))
+    return hsh
+
+prog_hashes = {}
+for k in range(4):
+    plane = [[luma_at(k, False, x, y) for x in range(W)]
+             for y in range(H)]
+    chroma = [[(x * 5 + y * 3) % 256 for x in range(W)]
+              for y in range(H)]
+    if k == 0:
+        # grayscale, FULL successive approximation on DC and AC
+        comps = [(plane, (1, 1), QLUM, 0)]
+        script = [([0], 0, 0, 0, 1), ([0], 0, 0, 1, 0),
+                  ([0], 1, 63, 0, 1), ([0], 1, 63, 1, 0)]
+    elif k == 1:
+        # grayscale, PURE spectral selection (no successive approx)
+        comps = [(plane, (1, 1), QLUM, 0)]
+        script = [([0], 0, 0, 0, 0), ([0], 1, 9, 0, 0),
+                  ([0], 10, 63, 0, 0)]
+    elif k == 2:
+        # YCbCr 4:4:4 — interleaved DC, Y bands split, CHROMA AC
+        # scans INTERLEAVED BETWEEN the Y scans (the Spark decoder
+        # must skip them mid-sequence, not just at the tail)
+        comps = [(plane, (1, 1), QLUM, 0),
+                 (chroma, (1, 1), QCHR, 1),
+                 (chroma, (1, 1), QCHR, 1)]
+        script = [([0, 1, 2], 0, 0, 0, 1),
+                  ([0], 1, 5, 0, 1),
+                  ([1], 1, 63, 0, 0),
+                  ([0], 6, 63, 0, 1),
+                  ([2], 1, 63, 0, 0),
+                  ([0, 1, 2], 0, 0, 1, 0),
+                  ([0], 1, 63, 1, 0)]
+    else:
+        # YCbCr 4:2:0 — interleaved DC over the MCU-PADDED grid but
+        # single-component AC scans over Y's OWN (non-padded) grid:
+        # the grid-discipline divergence that breaks naive ports
+        half = [[128 for _ in range(W // 2)] for _ in range(H // 2)]
+        comps = [(plane, (2, 2), QLUM, 0),
+                 (half, (1, 1), QCHR, 1),
+                 (half, (1, 1), QCHR, 1)]
+        script = [([0, 1, 2], 0, 0, 0, 1),
+                  ([0, 1, 2], 0, 0, 1, 0),
+                  ([0], 1, 63, 0, 1),
+                  ([1], 1, 63, 0, 0),
+                  ([0], 1, 63, 1, 0),
+                  ([2], 1, 63, 0, 0)]
+    prog_hashes[k] = author_prog(f"prog{k}.jpg", W, H, comps, script)
+
+# progressive twin of the odd-dimensioned singleton (partial edge
+# blocks on the non-interleaved grid)
+author_prog("progodd.jpg", 35, 19,
+            [([[((x * x + 3 * y) % 17) * 15 for x in range(35)]
+               for y in range(19)], (1, 1), QLUM, 0)],
+            [([0], 0, 0, 0, 1), ([0], 0, 0, 1, 0),
+             ([0], 1, 63, 0, 1), ([0], 1, 63, 1, 0)])
+
 # out-of-contract fixtures (decoder must SKIP)
 ok = open(f"{OUT}/base0.jpg", "rb").read()
 sof_at = ok.index(b"\xff\xc0")
@@ -695,6 +1180,26 @@ for k in range(4):
     for s in ("base", "near"):
         d = dist(jodd, hashes[f"{s}{k}.jpg"])
         assert d > 3, f"jodd vs {s}{k} dist {d} <= 3"
+
+# progressive re-encodes reconstruct the IDENTICAL coefficients, so
+# they are EXACT cluster members (distance 0 — stronger than the
+# baseline-vs-formula <=3 bound) and progodd pairs exactly with jodd
+for k in range(4):
+    assert prog_hashes[k] == hashes[f"base{k}.jpg"], \
+        f"prog{k}: progressive decode diverges from baseline"
+progodd = next(r[3] for r in rows_out if r[0] == "progodd.jpg")
+assert progodd == jodd, "progodd/jodd divergence"
+
+# hostile progressive arms: DRI under SOF2 (out of contract) and a
+# scan cut mid-codes
+pdata = open(f"{OUT}/prog0.jpg", "rb").read()
+sof2_at = pdata.index(b"\xff\xc2")
+with open(f"{OUT}/progdri.jpg", "wb") as f:
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    f.write(pdata[:sof2_at] + dri + pdata[sof2_at:])
+with open(f"{OUT}/progtrunc.jpg", "wb") as f:
+    last_sos = pdata.rindex(b"\xff\xda")
+    f.write(pdata[:last_sos + 20])
 
 con = duckdb.connect()
 con.execute(
