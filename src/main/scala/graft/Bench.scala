@@ -202,7 +202,8 @@ object Bench {
     "q359_jpeg_dhash", "q360_reencode_triple",
     "q361_gif_dhash", "q362_reencode_quad",
     "q363_reencode_ingest_stream", "q364_aiff_ahash", "q365_au_ahash",
-    "q366_audio_reencode", "q367_tiff_dhash", "q368_reencode_quint")
+    "q366_audio_reencode", "q367_tiff_dhash", "q368_reencode_quint",
+    "q369_webp_dhash", "q370_reencode_sext")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

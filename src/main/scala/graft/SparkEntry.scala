@@ -4398,6 +4398,54 @@ object SparkEntry {
       SimSearch.hammingBandedPairs(u, "name", "dhash", maxDist = 3)
     }),
 
+    // ── REAL-format WebP-LOSSLESS (VP8L) perceptual hash
+    // (Vp8l.dHashWebp — round 18, the SIXTH image format): RIFF walk
+    // to the VP8L chunk, LSB-first bits, canonical prefix codes in
+    // both the SIMPLE and NORMAL (code-length-coded, 16/17/18 RLE)
+    // forms, the LZ77 backref stream with the 120-entry 2D distance
+    // map AND raw distances, the color cache (hash 0x1E35A7BD,
+    // updated on every emitted pixel), and the SUBTRACT-GREEN
+    // transform applied for real. Lossy VP8/VP8X, other transforms,
+    // meta prefix images, cold-cache hits, truncation all SKIP.
+    // Oracle = tools/gen_webp_fixtures.py's independent decode of
+    // the bytes it wrote (lossless provenance). ──
+    "q369_webp_dhash" -> ((s, _) => {
+      import graft.ext.{Multimodal, Vp8l}
+      Vp8l.dHashWebp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_webp")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // ── the SIX-format re-encode capstone (q370): q368's quint plus
+    // the VP8L corpus through ONE format-blind banded join — webp_k
+    // joins the base side and webpnear_k the near side of cluster k,
+    // giving four 15-member clusters, C(15,2)·4 = 420 pairs, plus
+    // the jodd/progodd pair, vs the brute-force oracle over the
+    // UNION of the six generators' expected hashes (q368's own
+    // oracle stays untouched — the identical-oracle discipline
+    // works forward). ──
+    "q370_reencode_sext" -> ((s, _) => {
+      import graft.ext.{Gif, Jpeg, Multimodal, SimSearch, Vp8l}
+      def named(df: org.apache.spark.sql.DataFrame) =
+        df.select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      val u = named(Multimodal.dHashBmp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_dhash"))).toDF())
+        .unionByName(named(Multimodal.dHashPng(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_png"))).toDF()))
+        .unionByName(named(Jpeg.dHashJpeg(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_jpeg"))).toDF()))
+        .unionByName(named(Gif.dHashGif(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_gif"))).toDF()))
+        .unionByName(named(Multimodal.dHashTiff(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_tiff"))).toDF()))
+        .unionByName(named(Vp8l.dHashWebp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_webp"))).toDF()))
+      SimSearch.hammingBandedPairs(u, "name", "dhash", maxDist = 3)
+    }),
+
     // ── REAL-format AIFF amplitude hash (Multimodal.aHashAiff —
     // round 17, the audio arc's second container): big-endian IFF
     // chunk walk, the 80-bit extended-float sample rate parsed and
@@ -12232,6 +12280,39 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT name, dhash
         |  FROM read_parquet('/root/repo/fixtures/images_tiff_expected.parquet'))
+        |SELECT a.name AS id_a, b.name AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+        |FROM u a JOIN u b ON a.name < b.name
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+
+    // WebP/VP8L dHash mirror: the generator's independent decode of
+    // the bytes it wrote (lossless provenance)
+    "q369_webp_dhash" ->
+      """SELECT name, width, height, dhash
+        |FROM read_parquet('/root/repo/fixtures/images_webp_expected.parquet')"""
+        .stripMargin,
+
+    // six-format re-encode mirror: brute-force all-pairs over the
+    // union of ALL SIX generators' expected hashes, format-blind
+    "q370_reencode_sext" ->
+      """WITH u AS (
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_gif_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_tiff_expected.parquet')
+        |  UNION ALL
+        |  SELECT name, dhash
+        |  FROM read_parquet('/root/repo/fixtures/images_webp_expected.parquet'))
         |SELECT a.name AS id_a, b.name AS id_b,
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
         |FROM u a JOIN u b ON a.name < b.name

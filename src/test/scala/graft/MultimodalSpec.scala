@@ -507,6 +507,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Gif.parseGifDHash("x", cut.take(cut.length - 10)).isEmpty)
   }
 
+  test("dHashWebp: VP8L fixtures match the generator's independent " +
+      "decode (simple + normal prefix codes, LZ77 2D/raw distances, " +
+      "color cache, subtract-green); out-of-contract skipped; " +
+      "cross-format parity with the BMP originals") {
+    import graft.ext.Vp8l
+    val files = Multimodal.asMediaFiles(
+      Multimodal.readMedia(spark, "/root/repo/fixtures/images_webp"))
+    val rows = Vp8l.dHashWebp(files).collect()
+      .map(r => r.path.split('/').last -> r).toMap
+    // notwebp/lossy/trunc/predictor/tiny_8x4 all SKIPPED
+    assert(rows.keySet == (0 until 4).flatMap(k =>
+      Seq(s"webp$k.webp", s"webpnear$k.webp")).toSet)
+    // feature legs: webp2 carries the subtract-green transform
+    assert(rows("webp2.webp").subtractGreen
+      && !rows("webp0.webp").subtractGreen)
+    // CROSS-FORMAT PARITY — the q370 premise: VP8L is lossless and
+    // the luma formulas are the BMP set's verbatim, so any slip in
+    // the prefix-code reconstruction, LZ77 copy, cache hashing, or
+    // subtract-green inversion shifts a cell sum
+    val bmps = Multimodal.dHashBmp(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, "/root/repo/fixtures/images_dhash")))
+      .collect().map(r => r.path.split('/').last -> r.dhash).toMap
+    for (k <- 0 until 4) {
+      assert(rows(s"webp$k.webp").dhash == bmps(s"base$k.bmp"),
+        s"webp$k: vp8l/bmp hash divergence")
+      assert(rows(s"webpnear$k.webp").dhash == bmps(s"near$k.bmp"),
+        s"webpnear$k: vp8l/bmp hash divergence")
+    }
+    // hostile arms direct through the pure parser
+    def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/repo/fixtures/images_webp/$n"))
+    for (n <- Seq("notwebp.webp", "lossy.webp", "trunc.webp",
+        "predictor.webp", "tiny_8x4.webp"))
+      assert(Vp8l.parseVp8lDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    assert(Vp8l.parseVp8lDHash("x", Array.emptyByteArray).isEmpty)
+    // truncation at arbitrary points never throws
+    val ok = bytesOf("webp1.webp")
+    for (cut <- Seq(16, ok.length / 3, ok.length - 2))
+      assert(Vp8l.parseVp8lDHash("x", ok.take(cut)).isEmpty,
+        s"cut@$cut must skip")
+  }
+
   test("aHashAiff/aHashAu: AIFF re-encodes hash identically to their " +
       "WAV originals; μ-law expansion matches the generator's; " +
       "out-of-contract files skipped") {

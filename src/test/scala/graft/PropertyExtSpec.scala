@@ -57,6 +57,14 @@ class PropertyExtSpec extends SparkSpec {
       b => Multimodal.parseAuAHash("x", b))
     fuzz(bytesOf("/root/repo/fixtures/images_tiff/base1.tif"),
       b => Multimodal.parseTiffDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_tiff/lzw2.tif"),
+      b => Multimodal.parseTiffDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_jpeg/prog2.jpg"),
+      b => Jpeg.parseJpegDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_webp/webp1.webp"),
+      b => graft.ext.Vp8l.parseVp8lDHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/images_webp/webp2.webp"),
+      b => graft.ext.Vp8l.parseVp8lDHash("x", b))
   }
 
   test("property: coalesceIntervals == in-memory sweep on random interval sets") {
