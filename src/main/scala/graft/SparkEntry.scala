@@ -4497,8 +4497,12 @@ object SparkEntry {
     // pattern (cross-CODEC distance 0, round 18) — one format-blind
     // banded hamming join, certified against a brute-force oracle
     // over the UNION of the two generators' expected hashes. ──
+    // (round 18: the FLAC leg joined the union — cbase/cnear are
+    // lossless re-encodes of the WAV formulas, so the wavfam
+    // clusters grow to 6 members; the shared expected parquet
+    // carries the new rows and the oracle SQL is UNCHANGED)
     "q366_audio_reencode" -> ((s, _) => {
-      import graft.ext.{Multimodal, SimSearch}
+      import graft.ext.{Flac, Multimodal, SimSearch}
       def named(df: org.apache.spark.sql.DataFrame) =
         df.select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
           col("ahash"))
@@ -4508,9 +4512,33 @@ object SparkEntry {
         Multimodal.readMedia(s, FixturesDir + "/audio_formats"))
       val aif = named(Multimodal.aHashAiff(fmts).toDF())
       val au = named(Multimodal.aHashAu(fmts).toDF())
+      val flc = named(Flac.aHashFlac(fmts).toDF())
       SimSearch.hammingBandedPairs(
-        wav.unionByName(aif).unionByName(au), "name", "ahash",
-        maxDist = 3)
+        wav.unionByName(aif).unionByName(au).unionByName(flc),
+        "name", "ahash", maxDist = 3)
+    }),
+
+    // ── REAL-format FLAC amplitude hash (Flac.aHashFlac — round 18,
+    // the audio arc's lossless-CODEC leg): STREAMINFO walk, frame
+    // sync + UTF-8 frame numbers, CONSTANT/VERBATIM/FIXED(0-4)/LPC
+    // subframes, rice partitions WITH the escape hatch, and BOTH
+    // CRCs verified (a flipped byte is a detected drop, never a
+    // silent hash shift). Lossless: decoded samples equal the
+    // formula samples exactly (generator-asserted provenance), so
+    // cbase/cnear join the WAV clusters at distance 0. Multi-channel,
+    // non-16-bit, variable-blocksize, wasted-bits, rice-method-1,
+    // bad-CRC, truncated and trailing-garbage inputs all SKIP. MP3
+    // stays a documented boundary (see Flac.scala's scaladoc: the
+    // ISO 11172-3 table surface defeats fixture-scale
+    // certification; no decoder in the dependency surface). ──
+    "q371_flac_ahash" -> ((s, _) => {
+      import graft.ext.{Flac, Multimodal}
+      Flac.aHashFlac(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/audio_formats")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"), col("ahash"))
     }),
 
     "q363_reencode_ingest_stream" -> ((s, _) => {
@@ -12346,6 +12374,13 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS dist
         |FROM u a JOIN u b ON a.name < b.name
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
+
+    // FLAC aHash mirror: lossless provenance — the generator asserts
+    // its independent decoder reproduces the formula samples exactly
+    "q371_flac_ahash" ->
+      """SELECT name, sample_rate, n_samples, ahash
+        |FROM read_parquet('/root/repo/fixtures/audio_formats_expected.parquet')
+        |WHERE name LIKE '%.flac'""".stripMargin,
 
     // GIF dHash mirror: the generator's independent decode of the
     // formula pixels (lossless — palette + LZW + interlace provenance)

@@ -610,6 +610,47 @@ class MultimodalSpec extends SparkSpec {
     assert(parseWavAHash("x", bytesOf("fbase0.aif")).isEmpty)
   }
 
+  test("aHashFlac: all four subframe strategies decode to the WAV " +
+      "formulas exactly (lossless re-encode parity); CRCs verified; " +
+      "out-of-contract files skipped") {
+    import graft.ext.Flac
+    val dir = "/root/repo/fixtures/audio_formats"
+    val rows = Flac.aHashFlac(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, dir)))
+      .collect().map(r => r.path.split('/').last -> r).toMap
+    // notflac/trunc/badcrc skip; the non-FLAC containers never surface
+    assert(rows.keySet == (0 until 4).flatMap(k =>
+      Seq(s"cbase$k.flac", s"cnear$k.flac")).toSet)
+    // CROSS-CODEC PARITY — q366's flac leg: cbase/cnear carry the WAV
+    // formulas' exact samples through four different subframe
+    // strategies (fixed / verbatim / LPC+partitions / mixed+escape),
+    // so any slip in rice decode, prediction order, partition sizing,
+    // or the escape hatch shifts a window sum
+    val wavs = Multimodal.aHashWav(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, "/root/repo/fixtures/audio_ahash")))
+      .collect().map(r => r.path.split('/').last -> r.ahash).toMap
+    for (k <- 0 until 4; (c, w) <- Seq(("cbase", "abase"), ("cnear", "anear")))
+      assert(rows(s"$c$k.flac").ahash == wavs(s"$w$k.wav"),
+        s"$c$k: flac/wav hash divergence")
+    assert(rows("cbase0.flac").sampleRate == 8000
+      && rows("cbase0.flac").nSamples == 4096L)
+    // hostile arms direct through the pure parser; badcrc is the
+    // load-bearing one — the SAMPLES are intact, only the frame CRC
+    // is flipped, so skipping proves the CRC is actually CHECKED
+    def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$n"))
+    for (n <- Seq("notflac.flac", "trunc.flac", "badcrc.flac"))
+      assert(Flac.parseFlacAHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    assert(Flac.parseFlacAHash("x", Array.emptyByteArray).isEmpty)
+    // trailing garbage after the last frame must drop (the over-long
+    // contract shared with the PNG/JPEG legs)
+    val ok = bytesOf("cbase1.flac")
+    assert(Flac.parseFlacAHash("x", ok ++ Array[Byte](1, 2, 3)).isEmpty)
+    // container separation: FLAC parser rejects the other audio forms
+    assert(Flac.parseFlacAHash("x", bytesOf("fbase0.aif")).isEmpty)
+    assert(Flac.parseFlacAHash("x", bytesOf("ubase0.au")).isEmpty)
+  }
+
   test("aHashWav: fixture hashes match the generator; sub-window and " +
       "float files skipped; gain invariance; planted pairs exact") {
     import graft.ext.Multimodal.{aHashWav, parseWavAHash}

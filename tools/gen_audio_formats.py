@@ -279,6 +279,410 @@ with open(f"{OUT}/lin8.au", "wb") as f:
         for i in range(N)), 2))
 rows.append(("lin8.au", RATE, N, ahash(lin8_amp)))
 
+# ═══════════════ FLAC (round 18) ═══════════════
+# The free-lossless-audio-codec subset the 100-TB audio arc decodes:
+# mono 16-bit fixed-blocksize streams with CONSTANT / VERBATIM /
+# FIXED(0-4) / LPC subframes, rice-coded residuals with partitions
+# and the escape hatch, UTF-8 frame numbers, and BOTH CRCs (8-bit
+# header, 16-bit frame) written and verified. Lossless: the decoded
+# samples equal the formula samples exactly, so a FLAC re-encode of
+# a WAV joins its cluster at distance 0.
+
+def crc8(data):
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def crc16(data):
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                else (c << 1) & 0xFFFF
+    return c
+
+
+def utf8_coded(n):
+    if n < 0x80:
+        return bytes([n])
+    out, bits = [], []
+    while True:
+        bits.append(n & 0x3F)
+        n >>= 6
+        marker = (0xFF << (7 - len(bits))) & 0xFF
+        if n < (1 << (6 - len(bits))):
+            lead = marker | n
+            return bytes([lead] + [0x80 | b for b in reversed(bits)])
+
+
+class FlacBits:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):  # MSB-first (FLAC convention)
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def put_signed(self, v, n):
+        self.put(v & ((1 << n) - 1), n)
+
+    def unary(self, q):
+        self.bits.extend([0] * q + [1])
+
+    def put_bytes(self, bs):
+        for b in bs:
+            self.put(b, 8)
+
+    def bytes_align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i:i + 8]):
+                b |= bit << (7 - j)
+            out.append(b)
+        return bytes(out)
+
+
+def rice_write(fb, residuals, param):
+    for r in residuals:
+        u = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
+        fb.unary(u >> param)
+        if param:
+            fb.put(u & ((1 << param) - 1), param)
+
+
+def fixed_residuals(samples, warm, order):
+    full = warm + samples
+    o = order
+    res = []
+    for i in range(len(samples)):
+        j = i + o  # index into full... but warm has length o
+        s = full[o + i]
+        past = full[i:o + i]
+        if o == 0:
+            p = 0
+        elif o == 1:
+            p = past[-1]
+        elif o == 2:
+            p = 2 * past[-1] - past[-2]
+        elif o == 3:
+            p = 3 * past[-1] - 3 * past[-2] + past[-3]
+        else:
+            p = 4 * past[-1] - 6 * past[-2] + 4 * past[-3] - past[-4]
+        res.append(s - p)
+    return res
+
+
+def encode_flac(samples, rate, *, blocksize=512, strategy="fixed",
+                part_order=0, escape_parts=False):
+    """Mono 16-bit. strategy: fixed | verbatim | lpc | mixed."""
+    n = len(samples)
+    fb_out = bytearray(b"fLaC")
+    # STREAMINFO (last-block flag set, type 0, 34 bytes)
+    si = FlacBits()
+    si.put(blocksize, 16)
+    si.put(blocksize, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(rate, 20)
+    si.put(0, 3)   # channels - 1
+    si.put(15, 5)  # bits - 1
+    si.put(n, 36)
+    sib = si.bytes_align() + b"\x00" * 16  # md5 unset
+    fb_out += bytes([0x80]) + (34).to_bytes(3, "big") + sib
+    fidx = 0
+    pos = 0
+    while pos < n:
+        bs = min(blocksize, n - pos)
+        block = samples[pos:pos + bs]
+        fb = FlacBits()
+        fb.put(0b11111111111110, 14)
+        fb.put(0, 1)  # reserved
+        fb.put(0, 1)  # fixed blocksize stream
+        fb.put(0b0111, 4)  # blocksize: 16-bit value - 1 follows
+        fb.put(0b0100, 4)  # 8 kHz
+        fb.put(0, 4)   # channel assignment: mono
+        fb.put(0b100, 3)  # 16-bit
+        fb.put(0, 1)
+        fb.put_bytes(utf8_coded(fidx))
+        fb.put(bs - 1, 16)
+        hdr = fb.bytes_align()
+        fb = FlacBits()
+        fb.put_bytes(hdr)
+        fb.put(crc8(hdr), 8)
+        # ── subframe ──
+        kind = strategy
+        if strategy == "mixed":
+            kind = ("constant", "fixed", "verbatim", "lpc")[fidx % 4]
+        if kind == "constant" and len(set(block)) > 1:
+            kind = "fixed"
+        if kind == "constant":
+            fb.put(0, 1)
+            fb.put(0, 6)
+            fb.put(0, 1)
+            fb.put_signed(block[0], 16)
+        elif kind == "verbatim":
+            fb.put(0, 1)
+            fb.put(1, 6)
+            fb.put(0, 1)
+            for s in block:
+                fb.put_signed(s, 16)
+        elif kind == "lpc":
+            # order-2 LPC with pinned coefficients [3, -1], shift 1:
+            # prediction = (3*s[i-1] - 1*s[i-2]) >> 1 (floor shift)
+            order = 2
+            fb.put(0, 1)
+            fb.put(32 + (order - 1), 6)
+            fb.put(0, 1)
+            for s in block[:order]:
+                fb.put_signed(s, 16)
+            fb.put(4 - 1, 4)   # precision 4 bits
+            fb.put(1, 5)       # shift 1
+            fb.put_signed(3, 4)
+            fb.put_signed(-1, 4)
+            res = []
+            for i in range(order, bs):
+                p = (3 * block[i - 1] - block[i - 2]) >> 1
+                res.append(block[i] - p)
+            write_residual(fb, res, bs, order, part_order, escape_parts)
+        else:  # fixed: pick the best order 0-2 by |residual| sum
+            best, besto = None, 0
+            for o in range(3):
+                if bs <= o:
+                    continue
+                r = fixed_residuals(block[o:], block[:o], o)
+                c = sum(abs(x) for x in r)
+                if best is None or c < best[0]:
+                    best, besto = (c, r), o
+            o, res = besto, best[1]
+            fb.put(0, 1)
+            fb.put(8 + o, 6)
+            fb.put(0, 1)
+            for s in block[:o]:
+                fb.put_signed(s, 16)
+            write_residual(fb, res, bs, o, part_order, escape_parts)
+        body = fb.bytes_align()
+        fb_out += body + struct.pack(">H", crc16(body))
+        pos += bs
+        fidx += 1
+    return bytes(fb_out)
+
+
+def best_rice_param(res):
+    best, bestp = None, 0
+    for p in range(15):
+        c = sum((((r << 1) ^ (r >> 63)) if r >= 0 else ((-r) << 1) - 1)
+                >> p for r in res) + len(res) * (p + 1)
+        if best is None or c < best:
+            best, bestp = c, p
+    return bestp
+
+
+def write_residual(fb, res, bs, order, part_order, escape_parts):
+    fb.put(0, 2)  # rice method 0 (4-bit params)
+    fb.put(part_order, 4)
+    nparts = 1 << part_order
+    assert bs % nparts == 0 and bs // nparts > order
+    at = 0
+    for pi in range(nparts):
+        cnt = bs // nparts - (order if pi == 0 else 0)
+        part = res[at:at + cnt]
+        at += cnt
+        if escape_parts and pi == nparts - 1:
+            fb.put(0b1111, 4)  # escape: raw residuals
+            raw_bits = max(max((abs(r).bit_length() + 1) for r in part),
+                           2) if part else 2
+            fb.put(raw_bits, 5)
+            for r in part:
+                fb.put_signed(r, raw_bits)
+        else:
+            p = best_rice_param(part)
+            fb.put(p, 4)
+            rice_write(fb, part, p)
+    assert at == len(res)
+
+
+# ── independent FLAC decoder (the oracle side) ──
+def decode_flac(data):
+    assert data[:4] == b"fLaC"
+    p = 4
+    rate = nch = bits = total = None
+    while True:
+        last = data[p] & 0x80
+        typ = data[p] & 0x7F
+        ln = int.from_bytes(data[p + 1:p + 4], "big")
+        if typ == 0:
+            body = data[p + 4:p + 4 + ln]
+            rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            nch = ((body[12] >> 1) & 7) + 1
+            bits = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = ((body[13] & 0x0F) << 32) | \
+                int.from_bytes(body[14:18], "big")
+        p += 4 + ln
+        if last:
+            break
+    assert nch == 1 and bits == 16
+
+    class RD:
+        def __init__(self, d, byte):
+            self.d, self.pos = d, byte * 8
+
+        def read(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | ((self.d[self.pos >> 3] >>
+                                 (7 - (self.pos & 7))) & 1)
+                self.pos += 1
+            return v
+
+        def sread(self, n):
+            v = self.read(n)
+            return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+        def unary(self):
+            q = 0
+            while self.read(1) == 0:
+                q += 1
+            return q
+
+    out = []
+    rd = RD(data, p)
+    fidx = 0
+    while len(out) < total:
+        fstart = rd.pos // 8
+        assert rd.read(14) == 0b11111111111110
+        assert rd.read(1) == 0
+        assert rd.read(1) == 0  # fixed blocksize
+        bsc = rd.read(4)
+        src = rd.read(4)
+        assert rd.read(4) == 0  # mono
+        assert rd.read(3) == 0b100  # 16-bit
+        assert rd.read(1) == 0
+        lead = rd.read(8)  # utf8 frame number
+        extra = 0
+        if lead >= 0xC0:
+            t = lead
+            while t & 0x40:
+                extra += 1
+                t <<= 1
+        num = lead & (0x3F >> extra) if extra else lead
+        for _ in range(extra):
+            c = rd.read(8)
+            assert c & 0xC0 == 0x80
+            num = (num << 6) | (c & 0x3F)
+        assert num == fidx
+        assert bsc == 0b0111
+        bs = rd.read(16) + 1
+        assert src == 0b0100
+        hdr_end = rd.pos // 8
+        assert crc8(data[fstart:hdr_end]) == rd.read(8)
+        # subframe
+        assert rd.read(1) == 0
+        typ = rd.read(6)
+        assert rd.read(1) == 0, "wasted bits out of contract"
+        if typ == 0:
+            v = rd.sread(16)
+            block = [v] * bs
+        elif typ == 1:
+            block = [rd.sread(16) for _ in range(bs)]
+        elif 8 <= typ <= 12 or typ >= 32:
+            if typ >= 32:
+                order = typ - 32 + 1
+                warm = [rd.sread(16) for _ in range(order)]
+                prec = rd.read(4) + 1
+                shift = rd.read(5)
+                coefs = [rd.sread(prec) for _ in range(order)]
+            else:
+                order = typ - 8
+                warm = [rd.sread(16) for _ in range(order)]
+            # residuals
+            method = rd.read(2)
+            assert method == 0
+            porder = rd.read(4)
+            nparts = 1 << porder
+            res = []
+            for pi in range(nparts):
+                cnt = bs // nparts - (order if pi == 0 else 0)
+                prm = rd.read(4)
+                if prm == 0b1111:
+                    raw = rd.read(5)
+                    res += [rd.sread(raw) for _ in range(cnt)]
+                else:
+                    for _ in range(cnt):
+                        q = rd.unary()
+                        u = (q << prm) | (rd.read(prm) if prm else 0)
+                        res.append((u >> 1) ^ -(u & 1))
+            block = list(warm)
+            for r in res:
+                if typ >= 32:
+                    pred = sum(coefs[j] * block[-1 - j]
+                               for j in range(order)) >> shift
+                elif order == 0:
+                    pred = 0
+                elif order == 1:
+                    pred = block[-1]
+                elif order == 2:
+                    pred = 2 * block[-1] - block[-2]
+                elif order == 3:
+                    pred = 3 * block[-1] - 3 * block[-2] + block[-3]
+                else:
+                    pred = 4 * block[-1] - 6 * block[-2] + \
+                        4 * block[-3] - block[-4]
+                block.append(pred + r)
+        else:
+            raise ValueError("subframe type")
+        # frame footer: byte-align + CRC-16 over the whole frame
+        if rd.pos % 8:
+            assert rd.read(8 - rd.pos % 8) == 0
+        fend = rd.pos // 8
+        assert crc16(data[fstart:fend]) == rd.read(16)
+        out += block
+        fidx += 1
+    assert len(out) == total
+    assert rd.pos == len(data) * 8, "trailing bytes after the last frame"
+    return rate, out
+
+
+# FLAC members of the WAV clusters: the SAME signed samples as the
+# fbase/fnear AIFF re-encodes, four subframe strategies
+flac_variants = {
+    0: dict(strategy="fixed"),
+    1: dict(strategy="verbatim", blocksize=256),
+    2: dict(strategy="lpc", part_order=2),
+    3: dict(strategy="mixed", part_order=1, escape_parts=True),
+}
+for k in range(4):
+    for near in (False, True):
+        name = f"{'cnear' if near else 'cbase'}{k}.flac"
+        samples = [signed_sample(wav_amp_at(k, near, i), i)
+                   for i in range(N)]
+        data = encode_flac(samples, RATE, **flac_variants[k])
+        with open(f"{OUT}/{name}", "wb") as f:
+            f.write(data)
+        # lossless provenance: independent decode == the samples
+        drate, dsamp = decode_flac(data)
+        assert drate == RATE and dsamp == samples, name
+        hsh = ahash((lambda kk, nn: lambda i: wav_amp_at(kk, nn, i))(k, near))
+        rows.append((name, RATE, N, hsh))
+
+# hostile / out-of-contract FLAC arms
+okf = open(f"{OUT}/cbase0.flac", "rb").read()
+with open(f"{OUT}/notflac.flac", "wb") as f:
+    f.write(b"NOPE" + okf[4:64])
+with open(f"{OUT}/trunc.flac", "wb") as f:
+    f.write(okf[:len(okf) // 2])
+with open(f"{OUT}/badcrc.flac", "wb") as f:
+    bad = bytearray(okf)
+    bad[-1] ^= 0x5A  # last frame's CRC-16 low byte
+    f.write(bytes(bad))
+
 # hostile / out-of-contract fixtures
 with open(f"{OUT}/notaiff.aif", "wb") as f:
     f.write(b"JUNKJUNKJUNKJUNK" * 8)
@@ -362,7 +766,8 @@ keys = sorted(allh)
 import itertools
 def family(n):
     for k in range(4):
-        if n in (f"fbase{k}.aif", f"fnear{k}.aif"):
+        if n in (f"fbase{k}.aif", f"fnear{k}.aif",
+                 f"cbase{k}.flac", f"cnear{k}.flac"):
             return f"wavfam{k}"
         if n in (f"ubase{k}.au", f"unear{k}.au",
                  f"gbase{k}.au", f"gnear{k}.au"):
