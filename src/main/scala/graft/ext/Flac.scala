@@ -22,10 +22,12 @@ import graft.ext.Multimodal.{MediaFile, WavHashRow}
   *
   * OUT OF CONTRACT (file SKIPPED, never thrown): multi-channel and
   * non-16-bit streams, variable-blocksize streams, wasted bits,
-  * rice method 1 (5-bit params), reserved subframe types, CRC
-  * mismatches, truncation, trailing bytes after the last frame,
-  * sub-window payloads (<65 samples), and a total-samples bomb cap
-  * before any allocation.
+  * rice method 1 (5-bit params), reserved subframe types, 0-bit
+  * escape partitions (an all-zero partition written raw — our
+  * encoder never emits it and an untestable accept path is a
+  * liability), CRC mismatches, truncation, trailing bytes after the
+  * last frame, sub-window payloads (<65 samples), and a
+  * total-samples bomb cap before any allocation.
   *
   * MP3 BOUNDARY (the round-18 decision record, the brotli/ae1841c
   * pattern): MPEG-1 Layer III is NOT decodable at fixture scale — a

@@ -310,7 +310,13 @@ class MultimodalSpec extends SparkSpec {
     // prog0-3 + progodd now DECODE (round 18)
     assert(rows.keySet == ((0 until 4).flatMap(k =>
       Seq(s"base$k.jpg", s"near$k.jpg", s"prog$k.jpg")) ++
-      Seq("jodd.jpg", "progodd.jpg")).toSet)
+      Seq("jodd.jpg", "progodd.jpg", "progzrl.jpg")).toSet)
+    // progzrl exists to exercise the paths smooth gradients never
+    // reach: ZRL in BOTH passes, EOB runs > 1, history correction
+    // bits pending behind an open EOB run (generator-asserted via
+    // symbol-level stats); its hash parity vs the independent python
+    // decode is certified by q359's oracle sweep
+    assert(rows("progzrl.jpg").dhash != rows("prog0.jpg").dhash)
     // PROGRESSIVE == BASELINE, coefficient for coefficient: the four
     // progression scripts (full successive approximation; pure
     // spectral selection; 4:4:4 with chroma AC scans INTERLEAVED

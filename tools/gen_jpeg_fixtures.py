@@ -572,11 +572,16 @@ def decode_jpeg_luma(b):
 # shifts the MAGNITUDE (abs(v) >> Al, toward zero) with the sign kept
 # aside — the refinement correction bits then converge exactly.
 
-def encode_jpeg_progressive(w, h, comps, script):
+def encode_jpeg_progressive(w, h, comps, script, stats=None):
     """comps as encode_jpeg; script: list of (comp_ids, Ss, Se, Ah, Al).
     DC scans (Ss==0) may interleave several components; AC scans are
     single-component (T.81 G.1.1.1). One DHT right before each SOS
-    that needs a table; no DRI (out of the progressive contract)."""
+    that needs a table; no DRI (out of the progressive contract).
+    `stats` counts the load-bearing symbol classes so a fixture can
+    ASSERT it exercises them (the lzw_stats discipline)."""
+    def bump(key):
+        if stats is not None:
+            stats[key] = stats.get(key, 0) + 1
     hmax = max(c[1][0] for c in comps)
     vmax = max(c[1][1] for c in comps)
     qblocks, bdims = [], []
@@ -660,6 +665,10 @@ def encode_jpeg_progressive(w, h, comps, script):
             nonlocal eobrun, pend
             if eobrun > 0:
                 nb = eobrun.bit_length() - 1
+                if eobrun > 1:
+                    bump("eob_run_gt1")
+                if pend:
+                    bump("pend_bits_behind_eob")
                 sym(ci, nb << 4)
                 bits(eobrun - (1 << nb), nb)
                 for bb in pend:
@@ -680,6 +689,7 @@ def encode_jpeg_progressive(w, h, comps, script):
                     while r > 15:
                         sym(ci, 0xF0)
                         r -= 16
+                        bump("zrl_first")
                     s, extra = mag_cat(t if v > 0 else -t)
                     sym(ci, (r << 4) | s)
                     bits(extra, s)
@@ -709,13 +719,16 @@ def encode_jpeg_progressive(w, h, comps, script):
                     flush_eob()
                     sym(ci, 0xF0)
                     r -= 16
+                    bump("zrl_refine")
                     for bb in br:
                         bits(bb, 1)
                     br = []
                 if tv > 1:  # history coefficient: one correction bit
                     br.append(tv & 1)
+                    bump("refine_history")
                     continue
                 flush_eob()
+                bump("refine_new")
                 sym(ci, (r << 4) | 1)
                 bits(1 if zz[Ss + j] > 0 else 0, 1)
                 for bb in br:
@@ -1131,6 +1144,37 @@ author_prog("progodd.jpg", 35, 19,
             [([0], 0, 0, 0, 1), ([0], 0, 0, 1, 0),
              ([0], 1, 63, 0, 1), ([0], 1, 63, 1, 0)])
 
+# ZRL-coverage singleton: per-block checkerboard (+/-8 around a
+# quadratically varying base) puts ONE strong coefficient at zigzag 63
+# behind 62 zeros — the smooth-gradient fixtures never leave a >15-zero
+# gap, so the ZRL paths (first pass AND refinement), the refinement's
+# new-nonzero placements, history correction bits, and the
+# pending-bits-behind-EOBRUN flush were all reachable-but-unexercised
+# until this fixture (found by symbol-level coverage probing, round 18)
+def zrl_l(x, y):
+    base = 60 + (((x // 8) * (x // 8) + 3 * (y // 8)
+                  + (x // 8) * (y // 8)) % 23) * 6
+    # every other block-row is FLAT: whole-band-zero blocks in runs of
+    # 8, so first-pass AND refinement EOB runs exceed 1
+    amp = 0 if (y // 8) % 2 == 1 else 8
+    return max(0, min(255, base + (amp if (x + y) % 2 == 0 else -amp)))
+
+zrl_stats = {}
+zrl_plane = [[zrl_l(x, y) for x in range(W)] for y in range(H)]
+zrl_script = [([0], 0, 0, 0, 1), ([0], 0, 0, 1, 0),
+              ([0], 1, 63, 0, 1), ([0], 1, 63, 1, 0)]
+data = encode_jpeg_progressive(W, H, [(zrl_plane, (1, 1), QLUM, 0)],
+                               zrl_script, stats=zrl_stats)
+with open(f"{OUT}/progzrl.jpg", "wb") as f:
+    f.write(data)
+dw, dh, zrl_rows = decode_jpeg_luma_prog(data)
+assert (dw, dh) == (W, H)
+rows_out.append(("progzrl.jpg", W, H, dhash_rows(W, H, zrl_rows)))
+# the whole point: every subtle symbol class must actually occur
+for key in ("zrl_first", "zrl_refine", "refine_new", "refine_history",
+            "eob_run_gt1", "pend_bits_behind_eob"):
+    assert zrl_stats.get(key, 0) > 0, (key, zrl_stats)
+
 # out-of-contract fixtures (decoder must SKIP)
 ok = open(f"{OUT}/base0.jpg", "rb").read()
 sof_at = ok.index(b"\xff\xc0")
@@ -1189,6 +1233,13 @@ for k in range(4):
         f"prog{k}: progressive decode diverges from baseline"
 progodd = next(r[3] for r in rows_out if r[0] == "progodd.jpg")
 assert progodd == jodd, "progodd/jodd divergence"
+# the ZRL singleton joins NO cluster (q370 cleanliness)
+progzrl = next(r[3] for r in rows_out if r[0] == "progzrl.jpg")
+for k in range(4):
+    for s in ("base", "near"):
+        d = dist(progzrl, hashes[f"{s}{k}.jpg"])
+        assert d > 3, f"progzrl vs {s}{k} dist {d} <= 3"
+assert dist(progzrl, jodd) > 3
 
 # hostile progressive arms: DRI under SOF2 (out of contract) and a
 # scan cut mid-codes
