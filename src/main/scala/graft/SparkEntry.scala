@@ -4446,6 +4446,35 @@ object SparkEntry {
       SimSearch.hammingBandedPairs(u, "name", "dhash", maxDist = 3)
     }),
 
+    // ── STREAMING six-format re-encode ingest (q372 — q363's
+    // lifecycle on the sext arc): the BMP originals land first and
+    // seed the store; all FIVE re-encode formats (png/jpg/gif/tif/
+    // webp) arrive on a later wave whose within-wave pairs cover
+    // only each other — their pairs against the originals exist
+    // ONLY through the store probe. Accumulated set == q370's
+    // one-shot oracle VERBATIM (shared ReencodeSextSql). ──
+    "q372_reencode_sext_stream" -> ((s, _) => {
+      import graft.ext.{Gif, Jpeg, Multimodal, Vp8l}
+      def named(df: org.apache.spark.sql.DataFrame) =
+        df.select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("dhash"))
+      val all = named(Multimodal.dHashBmp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_dhash"))).toDF())
+        .unionByName(named(Multimodal.dHashPng(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_png"))).toDF()))
+        .unionByName(named(Jpeg.dHashJpeg(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_jpeg"))).toDF()))
+        .unionByName(named(Gif.dHashGif(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_gif"))).toDF()))
+        .unionByName(named(Multimodal.dHashTiff(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_tiff"))).toDF()))
+        .unionByName(named(Vp8l.dHashWebp(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_webp"))).toDF()))
+      graft.streaming.StreamingReports.hammingDedupIngestReplay(
+        s, all, "name", "dhash",
+        waveA = col("name").endsWith(".bmp"), maxDist = 3)
+    }),
+
     // ── REAL-format AIFF amplitude hash (Multimodal.aHashAiff —
     // round 17, the audio arc's second container): big-endian IFF
     // chunk walk, the 80-bit extended-float sample rate parsed and
@@ -9683,6 +9712,34 @@ object SparkEntry {
     * streaming ingest cannot drift from the batch surface it must
     * equal.
     */
+  /** q370/q372 shared oracle — the six-generator brute-force union
+    * (the identical-oracle discipline: the streaming twin must equal
+    * the one-shot capstone VERBATIM).
+    */
+  private val ReencodeSextSql: String =
+    """WITH u AS (
+      |  SELECT name, dhash
+      |  FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet')
+      |  UNION ALL
+      |  SELECT name, dhash
+      |  FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet')
+      |  UNION ALL
+      |  SELECT name, dhash
+      |  FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')
+      |  UNION ALL
+      |  SELECT name, dhash
+      |  FROM read_parquet('/root/repo/fixtures/images_gif_expected.parquet')
+      |  UNION ALL
+      |  SELECT name, dhash
+      |  FROM read_parquet('/root/repo/fixtures/images_tiff_expected.parquet')
+      |  UNION ALL
+      |  SELECT name, dhash
+      |  FROM read_parquet('/root/repo/fixtures/images_webp_expected.parquet'))
+      |SELECT a.name AS id_a, b.name AS id_b,
+      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+      |FROM u a JOIN u b ON a.name < b.name
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+
   private val ReencodeQuadSql: String =
     """WITH u AS (
       |  SELECT name, dhash
@@ -12321,30 +12378,11 @@ object SparkEntry {
         .stripMargin,
 
     // six-format re-encode mirror: brute-force all-pairs over the
-    // union of ALL SIX generators' expected hashes, format-blind
-    "q370_reencode_sext" ->
-      """WITH u AS (
-        |  SELECT name, dhash
-        |  FROM read_parquet('/root/repo/fixtures/images_dhash_expected.parquet')
-        |  UNION ALL
-        |  SELECT name, dhash
-        |  FROM read_parquet('/root/repo/fixtures/images_png_expected.parquet')
-        |  UNION ALL
-        |  SELECT name, dhash
-        |  FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')
-        |  UNION ALL
-        |  SELECT name, dhash
-        |  FROM read_parquet('/root/repo/fixtures/images_gif_expected.parquet')
-        |  UNION ALL
-        |  SELECT name, dhash
-        |  FROM read_parquet('/root/repo/fixtures/images_tiff_expected.parquet')
-        |  UNION ALL
-        |  SELECT name, dhash
-        |  FROM read_parquet('/root/repo/fixtures/images_webp_expected.parquet'))
-        |SELECT a.name AS id_a, b.name AS id_b,
-        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
-        |FROM u a JOIN u b ON a.name < b.name
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+    // union of ALL SIX generators' expected hashes, format-blind;
+    // IDENTICAL SQL for the streaming ingest twin (the q363
+    // discipline: the store-probe lifecycle must be invisible)
+    "q370_reencode_sext" -> ReencodeSextSql,
+    "q372_reencode_sext_stream" -> ReencodeSextSql,
 
     // AIFF aHash mirror: the generator's independent implementation
     // over the formula samples (lossless), provenance-re-parsed
