@@ -208,12 +208,18 @@ object Flac {
         case c if c >= 8 => 256 << (c - 8)
         case _ => throw new Malformed
       }
+      // RFC 9639 sample-rate codes: 1-11 are TABLE rates (22.05/24/
+      // 32 kHz are codes 6/7/8 — NO trailing bytes); the uncommon-
+      // rate trailing forms are 12 (8-bit kHz) and 13/14 (16-bit
+      // Hz / Hz×10). Round-18 review fix: a copy-paste of the
+      // blocksize match above read 8-16 spurious bits at codes
+      // 6/7/8, silently dropping every valid file at those three
+      // common rates (the fixture round-trip pinned only code 4).
       src match {
-        case 0x6 => br.read(8)
-        case 0x7 => br.read(16)
-        case 0x8 => br.read(16)
+        case 12 => br.read(8)
+        case 13 | 14 => br.read(16)
         case c if c >= 1 && c <= 11 => // table-coded rate: fine
-        case _ => throw new Malformed // 0 (from STREAMINFO) kept out
+        case _ => throw new Malformed // 0 (from STREAMINFO) / 15 out
       }
       if (got + bs > total) throw new Malformed
       val hdrEnd = br.pos >> 3
@@ -270,6 +276,11 @@ object Flac {
               val q = br.unary()
               val u = (q.toLong << prm) |
                 (if (prm > 0) br.read(prm) else 0)
+              // a 16-bit-domain residual never approaches 2^26; a
+              // larger u would truncate silently through .toInt and
+              // HASH wrong samples instead of dropping (round-18
+              // review fix — the decode-exactly-or-skip contract)
+              if (u > (1L << 26)) throw new Malformed
               val r = ((u >> 1) ^ -(u & 1L)).toInt
               out(got + i2) = predictAdd(out, got, i2, order, isLpc,
                 coefs, shift, r)
@@ -317,7 +328,11 @@ object Flac {
           4L * out(base + i - 3) - out(base + i - 4)
       }
     val v = pred + r
-    if (v < Int.MinValue || v > Int.MaxValue) throw new Malformed
+    // decoded samples must stay in the declared 16-bit domain — a
+    // stream escaping it is malformed, and the tight bound also keeps
+    // math.abs exact (Int.MinValue would negate to itself — round-18
+    // review fix)
+    if (v < -32768 || v > 32767) throw new Malformed
     v.toInt
   }
 }

@@ -207,37 +207,25 @@ object Gif {
       }
     }
     if (got < need) return None // short stream
-    // ── palette luma + interlace row order → the shared grid fold ──
-    val rows = new Array[Int](h)
+    // ── palette luma + interlace row order → the shared grid fold:
+    // rowOf(y) maps a DISPLAY row back to its decode-order row ──
+    val rowOf = new Array[Int](h)
     if (interlaced) {
       var ri = 0
       def pass(start: Int, step: Int): Unit = {
         var y = start
-        while (y < h) { rows(ri) = y; ri += 1; y += step }
+        while (y < h) { rowOf(y) = ri; ri += 1; y += step }
       }
       pass(0, 8); pass(4, 8); pass(2, 4); pass(1, 2)
     } else {
       var y = 0
-      while (y < h) { rows(y) = y; y += 1 }
+      while (y < h) { rowOf(y) = y; y += 1 }
     }
-    val sums = Array.ofDim[Long](8, 9)
-    val cnts = Array.ofDim[Long](8, 9)
-    var ri = 0
-    while (ri < h) {
-      val y = rows(ri)
-      val cy = (y.toLong * 8 / h).toInt
-      var x = 0
-      while (x < w) {
-        val idx = px(ri * w + x) & 0xff
-        if (idx >= table.length) throw new Malformed
-        val cx = (x.toLong * 9 / w).toInt
-        sums(cy)(cx) += table(idx).toLong
-        cnts(cy)(cx) += 1
-        x += 1
-      }
-      ri += 1
+    val hash = Multimodal.dHashOfLuma(w, h) { (x, y) =>
+      val idx = px(rowOf(y) * w + x) & 0xff
+      if (idx >= table.length) throw new Malformed
+      table(idx).toLong
     }
-    Some(GifHashRow(path, w, h, interlaced,
-      Multimodal.dHashOfGrid(sums, cnts)))
+    Some(GifHashRow(path, w, h, interlaced, hash))
   }
 }

@@ -204,6 +204,7 @@ object Jpeg {
     while (scan == null) {
       if (p + 3 >= b.length || (b(p) & 0xff) != 0xff) return None
       val m = b(p + 1) & 0xff
+      if (m == 0xff) { p += 1 } else { // T.81 B.1.1.2 fill byte
       if (m == 0xd9) return None // EOI before any scan
       val len = u16(p + 2)
       if (len < 2 || p + 2 + len > b.length) return None
@@ -281,6 +282,7 @@ object Jpeg {
         case _ => // APPn / COM / others skipped
       }
       p += 2 + len
+      }
     }
     if (w < 9 || h < 8) return None // sub-grid skip (shared rule)
     if (w.toLong * h > Multimodal.PngMaxPixels) return None // bomb cap
@@ -413,30 +415,21 @@ object Jpeg {
     // silently, the same code-vs-doc split the round-17 PNG over-long-
     // IDAT fix closed (round-18 review fix). An UNREAD final padding
     // byte of all 1-bits arrives stuffed as FF 00 — one such pair may
-    // sit before the marker (the encoder pads with 1s).
+    // sit before the marker (the encoder pads with 1s) — and T.81
+    // B.1.1.2 allows any number of 0xFF FILL bytes before a marker
+    // (round-18 review fix: FF FF D9 is a legal ending).
     var eop = br.p
     if (eop + 1 < b.length && (b(eop) & 0xff) == 0xff &&
         (b(eop + 1) & 0xff) == 0x00) eop += 2
+    while (eop + 1 < b.length && (b(eop) & 0xff) == 0xff &&
+        (b(eop + 1) & 0xff) == 0xff) eop += 1
     if (eop + 1 >= b.length || (b(eop) & 0xff) != 0xff ||
         (b(eop + 1) & 0xff) != 0xd9) return None
 
     // ── the shared grid fold over the W×H (padding discarded) ──
-    val sums = Array.ofDim[Long](8, 9)
-    val cnts = Array.ofDim[Long](8, 9)
-    var y = 0
-    while (y < h) {
-      val cy = (y.toLong * 8 / h).toInt
-      val base = y * ybw * 8
-      var x = 0
-      while (x < w) {
-        val cx = (x.toLong * 9 / w).toInt
-        sums(cy)(cx) += (ypix(base + x) & 0xff) * 1000L
-        cnts(cy)(cx) += 1
-        x += 1
-      }
-      y += 1
-    }
-    Some(JpegHashRow(path, w, h, nf, Multimodal.dHashOfGrid(sums, cnts)))
+    Some(JpegHashRow(path, w, h, nf, Multimodal.dHashOfLuma(w, h) {
+      (x, y) => (ypix(y * ybw * 8 + x) & 0xff) * 1000L
+    }))
   }
 
   /** PROGRESSIVE (SOF2) decode — round 18: spectral selection +
@@ -485,7 +478,8 @@ object Jpeg {
     while (!eoi) {
       if (p + 1 >= b.length || (b(p) & 0xff) != 0xff) return None
       val m = b(p + 1) & 0xff
-      if (m == 0xd9) { eoi = true }
+      if (m == 0xff) { p += 1 } // T.81 B.1.1.2 fill byte
+      else if (m == 0xd9) { eoi = true }
       else {
         val len = u16(p + 2)
         if (len < 2 || p + 2 + len > b.length) return None
@@ -603,22 +597,9 @@ object Jpeg {
       }
       bi += 1
     }
-    val sums = Array.ofDim[Long](8, 9)
-    val cnts = Array.ofDim[Long](8, 9)
-    var y = 0
-    while (y < h) {
-      val cy = (y.toLong * 8 / h).toInt
-      val base = y * ybw * 8
-      var x = 0
-      while (x < w) {
-        val cx = (x.toLong * 9 / w).toInt
-        sums(cy)(cx) += (ypix(base + x) & 0xff) * 1000L
-        cnts(cy)(cx) += 1
-        x += 1
-      }
-      y += 1
-    }
-    Some(JpegHashRow(path, w, h, nf, Multimodal.dHashOfGrid(sums, cnts)))
+    Some(JpegHashRow(path, w, h, nf, Multimodal.dHashOfLuma(w, h) {
+      (x, y) => (ypix(y * ybw * 8 + x) & 0xff) * 1000L
+    }))
   }
 
   /** Decode one progressive scan; returns the byte offset of the
@@ -651,6 +632,9 @@ object Jpeg {
       var q = from
       while (q + 1 < b.length &&
         !((b(q) & 0xff) == 0xff && (b(q + 1) & 0xff) != 0x00)) q += 1
+      // advance over T.81 fill bytes to the LAST 0xFF of the run, so
+      // the marker walk reads a real marker byte next
+      while (q + 1 < b.length && (b(q + 1) & 0xff) == 0xff) q += 1
       if (q + 1 >= b.length) throw new Malformed
       q
     }
@@ -819,12 +803,15 @@ object Jpeg {
   }
 
   /** A scan must end exactly at the next marker; an unread all-ones
-    * padding byte arrives stuffed as FF 00 (one pair allowed).
+    * padding byte arrives stuffed as FF 00 (one pair allowed), and
+    * T.81 B.1.1.2 fill bytes (runs of 0xFF) may precede the marker.
     */
   private def endOfScan(b: Array[Byte], br: BitReader): Int = {
     var q = br.p
     if (q + 1 < b.length && (b(q) & 0xff) == 0xff &&
         (b(q + 1) & 0xff) == 0x00) q += 2
+    while (q + 1 < b.length && (b(q) & 0xff) == 0xff &&
+        (b(q + 1) & 0xff) == 0xff) q += 1
     if (q + 1 >= b.length || (b(q) & 0xff) != 0xff ||
         (b(q + 1) & 0xff) == 0x00) throw new Malformed
     q

@@ -277,26 +277,13 @@ object Multimodal {
       path: String, b: Array[Byte]): Option[BmpHashRow] = {
     val g = bmpGeom(b).getOrElse(return None)
     if (g.width < 9 || g.height < 8) return None
-    val sums = Array.ofDim[Long](8, 9)
-    val cnts = Array.ofDim[Long](8, 9)
-    var y = 0
-    while (y < g.height) {
+    val h = dHashOfLuma(g.width, g.height) { (x, y) =>
       val storageRow = if (g.topDown) y else g.height - 1 - y
-      val base = g.offBits + storageRow * g.stride
-      val cy = (y.toLong * 8 / g.height).toInt
-      var x = 0
-      while (x < g.width) {
-        val p = base + x * g.px
-        val luma = (b(p + 2) & 0xff) * 299L + (b(p + 1) & 0xff) * 587L +
-          (b(p) & 0xff) * 114L
-        val cx = (x.toLong * 9 / g.width).toInt
-        sums(cy)(cx) += luma
-        cnts(cy)(cx) += 1
-        x += 1
-      }
-      y += 1
+      val p = g.offBits + storageRow * g.stride + x * g.px
+      (b(p + 2) & 0xff) * 299L + (b(p + 1) & 0xff) * 587L +
+        (b(p) & 0xff) * 114L
     }
-    Some(BmpHashRow(path, g.width, g.height, dHashOfGrid(sums, cnts)))
+    Some(BmpHashRow(path, g.width, g.height, h))
   }
 
   /** The 8×9-grid → 64-bit comparison fold shared by the image and
@@ -305,6 +292,39 @@ object Multimodal {
     * set iff cell (cx+1, cy)'s average luma strictly exceeds cell
     * (cx, cy)'s, compared as L2·n1 > L1·n2.
     */
+  /** The 9×8 floor-mapped luma ACCUMULATION + [[dHashOfGrid]] in one
+    * seam: `lumaAt(x, y)` returns the pixel's luma in the shared
+    * ·1000-scale units (gray g → g·1000; RGB → r·299+g·587+b·114).
+    * The cross-format distance-0 guarantee rests on every image
+    * parser folding through the IDENTICAL cell mapping, so the
+    * mapping lives HERE, once — the envelopeHash rule on the image
+    * side (round-18 review fix: the fold had been copy-pasted into
+    * six parsers). Iteration is row-major ascending, which the TIFF
+    * zero-copy strip cursor's monotonicity contract relies on. The
+    * PNG parser is the one deliberate exception: it folds row-by-row
+    * DURING filter inversion (two rows of state, never a full pixel
+    * buffer) and keeps a structurally-forced private copy of the two
+    * mapping lines.
+    */
+  private[graft] def dHashOfLuma(w: Int, h: Int)(
+      lumaAt: (Int, Int) => Long): Long = {
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 9 / w).toInt
+        sums(cy)(cx) += lumaAt(x, y)
+        cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    dHashOfGrid(sums, cnts)
+  }
+
   private[graft] def dHashOfGrid(
       sums: Array[Array[Long]], cnts: Array[Array[Long]]): Long = {
     var h = 0L
@@ -490,6 +510,11 @@ object Multimodal {
         cur(i) = v.toByte
         i += 1
       }
+      // the one DELIBERATE private copy of [[dHashOfLuma]]'s cell
+      // mapping: this parser folds row-by-row DURING filter inversion
+      // (two rows of state, never a full pixel buffer), so the shared
+      // (x, y)-random-access seam cannot apply — keep these two
+      // mapping lines bit-identical to dHashOfLuma's
       val cy = (y.toLong * 8 / h).toInt
       var px = 0
       while (px < w) {
@@ -542,25 +567,10 @@ object Multimodal {
     import spark.implicits._
     frames.mapPartitions(_.flatMap { fr =>
       if (fr.width < 9 || fr.height < 8) None
-      else {
-        val sums = Array.ofDim[Long](8, 9)
-        val cnts = Array.ofDim[Long](8, 9)
-        var y = 0
-        while (y < fr.height) {
-          val cy = (y.toLong * 8 / fr.height).toInt
-          val base = y * fr.width
-          var x = 0
-          while (x < fr.width) {
-            val cx = (x.toLong * 9 / fr.width).toInt
-            sums(cy)(cx) += (fr.pixels(base + x) & 0xff) * 1000L
-            cnts(cy)(cx) += 1
-            x += 1
-          }
-          y += 1
-        }
-        Some(FrameHashRow(fr.path, fr.frameIndex, fr.width, fr.height,
-          dHashOfGrid(sums, cnts)))
-      }
+      else Some(FrameHashRow(fr.path, fr.frameIndex, fr.width,
+        fr.height, dHashOfLuma(fr.width, fr.height) { (x, y) =>
+          (fr.pixels(y * fr.width + x) & 0xff) * 1000L
+        }))
     })
   }
 
@@ -1205,29 +1215,16 @@ object Multimodal {
       }
       (idx: Long) => dec(idx.toInt) & 0xff
     }
-    val sums = Array.ofDim[Long](8, 9)
-    val gcnts = Array.ofDim[Long](8, 9)
-    var y = 0
-    while (y < h) {
-      val cy = (y * 8 / h).toInt
-      var x = 0
-      while (x < w) {
-        val p = (y * w + x) * spp
-        val luma =
-          if (spp == 3) byteAt(p) * 299L + byteAt(p + 1) * 587L +
-            byteAt(p + 2) * 114L
-          else {
-            val v = byteAt(p)
-            (if (photometric == 0) 255 - v else v) * 1000L
-          }
-        val cx = (x * 9 / w).toInt
-        sums(cy)(cx) += luma
-        gcnts(cy)(cx) += 1
-        x += 1
+    val hash = dHashOfLuma(w.toInt, h.toInt) { (x, y) =>
+      val p = (y.toLong * w + x) * spp
+      if (spp == 3) byteAt(p) * 299L + byteAt(p + 1) * 587L +
+        byteAt(p + 2) * 114L
+      else {
+        val v = byteAt(p)
+        (if (photometric == 0) 255 - v else v) * 1000L
       }
-      y += 1
     }
-    Some(TiffHashRow(path, w.toInt, h.toInt, big, dHashOfGrid(sums, gcnts)))
+    Some(TiffHashRow(path, w.toInt, h.toInt, big, hash))
   }
 
   case class Mp4Row(path: String, brand: String, timescale: Long,

@@ -294,26 +294,14 @@ object Vp8l {
       }
     }
     // ── luma fold (subtract-green inverted per pixel) ──
-    val sums = Array.ofDim[Long](8, 9)
-    val cnts = Array.ofDim[Long](8, 9)
-    var y = 0
-    while (y < h) {
-      val cy = (y.toLong * 8 / h).toInt
-      var x = 0
-      while (x < w) {
-        val v = px(y * w + x)
-        val g = (v >> 8) & 0xff
-        var r = (v >> 16) & 0xff
-        var bl = v & 0xff
-        if (subtractGreen) { r = (r + g) & 0xff; bl = (bl + g) & 0xff }
-        val cx = (x.toLong * 9 / w).toInt
-        sums(cy)(cx) += r * 299L + g * 587L + bl * 114L
-        cnts(cy)(cx) += 1
-        x += 1
-      }
-      y += 1
+    val hash = Multimodal.dHashOfLuma(w, h) { (x, y) =>
+      val v = px(y * w + x)
+      val g = (v >> 8) & 0xff
+      var r = (v >> 16) & 0xff
+      var bl = v & 0xff
+      if (subtractGreen) { r = (r + g) & 0xff; bl = (bl + g) & 0xff }
+      r * 299L + g * 587L + bl * 114L
     }
-    Some(WebpHashRow(path, w, h, subtractGreen,
-      Multimodal.dHashOfGrid(sums, cnts)))
+    Some(WebpHashRow(path, w, h, subtractGreen, hash))
   }
 }

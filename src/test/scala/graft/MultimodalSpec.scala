@@ -376,6 +376,19 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](0x12, 0x34, 0x56) ++ ok.takeRight(2)
     assert(Jpeg.parseJpegDHash("x", overrun).isEmpty,
       "trailing entropy bytes before EOI must skip")
+    // T.81 B.1.1.2 FILL BYTES (0xFF runs before a marker) are LEGAL
+    // and must not change the hash (round-18 review fix: the strict
+    // EOI gate rejected FF FF D9)
+    val filled = ok.dropRight(2) ++
+      Array[Byte](-1, -1) ++ ok.takeRight(2)
+    assert(Jpeg.parseJpegDHash("x", filled).map(_.dhash)
+      == Jpeg.parseJpegDHash("x", ok).map(_.dhash),
+      "fill bytes before EOI must be transparent")
+    val p0 = bytesOf("prog0.jpg")
+    val p0filled = p0.dropRight(2) ++ Array[Byte](-1) ++ p0.takeRight(2)
+    assert(Jpeg.parseJpegDHash("x", p0filled).map(_.dhash)
+      == Jpeg.parseJpegDHash("x", p0).map(_.dhash),
+      "fill bytes after the last progressive scan must be transparent")
   }
 
   test("dHashTiff: both byte orders, multi-strip reassembly, RGB " +
@@ -625,8 +638,13 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.readMedia(spark, dir)))
       .collect().map(r => r.path.split('/').last -> r).toMap
     // notflac/trunc/badcrc skip; the non-FLAC containers never surface
-    assert(rows.keySet == (0 until 4).flatMap(k =>
-      Seq(s"cbase$k.flac", s"cnear$k.flac")).toSet)
+    assert(rows.keySet == ((0 until 4).flatMap(k =>
+      Seq(s"cbase$k.flac", s"cnear$k.flac")) :+ "c22k.flac").toSet)
+    // rate code 6 (22.05 kHz) — one of the three TABLE codes the
+    // round-18 review found misdecoded as trailing-byte forms; same
+    // samples as cbase0, so only the rate differs
+    assert(rows("c22k.flac").sampleRate == 22050
+      && rows("c22k.flac").ahash == rows("cbase0.flac").ahash)
     // CROSS-CODEC PARITY — q366's flac leg: cbase/cnear carry the WAV
     // formulas' exact samples through four different subframe
     // strategies (fixed / verbatim / LPC+partitions / mixed+escape),

@@ -380,6 +380,13 @@ def fixed_residuals(samples, warm, order):
     return res
 
 
+# RFC 9639 table-coded sample rates (codes 6/7/8 are the three the
+# round-18 review found misdecoded as trailing-byte forms)
+RATE_CODES = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
+              22050: 6, 24000: 7, 32000: 8, 44100: 9, 48000: 10,
+              96000: 11}
+
+
 def encode_flac(samples, rate, *, blocksize=512, strategy="fixed",
                 part_order=0, escape_parts=False):
     """Mono 16-bit. strategy: fixed | verbatim | lpc | mixed."""
@@ -407,7 +414,7 @@ def encode_flac(samples, rate, *, blocksize=512, strategy="fixed",
         fb.put(0, 1)  # reserved
         fb.put(0, 1)  # fixed blocksize stream
         fb.put(0b0111, 4)  # blocksize: 16-bit value - 1 follows
-        fb.put(0b0100, 4)  # 8 kHz
+        fb.put(RATE_CODES[rate], 4)  # table-coded sample rate
         fb.put(0, 4)   # channel assignment: mono
         fb.put(0b100, 3)  # 16-bit
         fb.put(0, 1)
@@ -580,7 +587,14 @@ def decode_flac(data):
         assert num == fidx
         assert bsc == 0b0111
         bs = rd.read(16) + 1
-        assert src == 0b0100
+        # RFC 9639: codes 1-11 are table rates (no trailing bytes);
+        # 12/13/14 carry 8/16/16 trailing bits
+        if src == 12:
+            rd.read(8)
+        elif src in (13, 14):
+            rd.read(16)
+        else:
+            assert 1 <= src <= 11
         hdr_end = rd.pos // 8
         assert crc8(data[fstart:hdr_end]) == rd.read(8)
         # subframe
@@ -671,6 +685,21 @@ for k in range(4):
         assert drate == RATE and dsamp == samples, name
         hsh = ahash((lambda kk, nn: lambda i: wav_amp_at(kk, nn, i))(k, near))
         rows.append((name, RATE, N, hsh))
+
+# a 22.05 kHz member (rate code 6 — one of the three table codes the
+# round-18 review found misdecoded as trailing-byte forms; this
+# fixture makes the whole 1-11 table path load-bearing). Same samples
+# as cbase0, so it joins wavfam0 at distance 0; only sample_rate
+# differs in the expected row.
+c22k_samples = [signed_sample(wav_amp_at(0, False, i), i)
+                for i in range(N)]
+c22k = encode_flac(c22k_samples, 22050, strategy="fixed")
+with open(f"{OUT}/c22k.flac", "wb") as f:
+    f.write(c22k)
+drate, dsamp = decode_flac(c22k)
+assert drate == 22050 and dsamp == c22k_samples
+rows.append(("c22k.flac", 22050, N,
+             ahash(lambda i: wav_amp_at(0, False, i))))
 
 # hostile / out-of-contract FLAC arms
 okf = open(f"{OUT}/cbase0.flac", "rb").read()
@@ -767,7 +796,8 @@ import itertools
 def family(n):
     for k in range(4):
         if n in (f"fbase{k}.aif", f"fnear{k}.aif",
-                 f"cbase{k}.flac", f"cnear{k}.flac"):
+                 f"cbase{k}.flac", f"cnear{k}.flac") or \
+                (k == 0 and n == "c22k.flac"):
             return f"wavfam{k}"
         if n in (f"ubase{k}.au", f"unear{k}.au",
                  f"gbase{k}.au", f"gnear{k}.au"):
