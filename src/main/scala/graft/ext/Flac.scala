@@ -7,20 +7,26 @@ import graft.ext.Multimodal.{MediaFile, WavHashRow}
 /** REAL-format FLAC amplitude-envelope hash — the audio arc's
   * LOSSLESS-CODEC leg (the format audio corpora actually archive in),
   * decoding the free-lossless-audio-codec subset a 100-TB audio scan
-  * needs: mono 16-bit fixed-blocksize streams with CONSTANT /
-  * VERBATIM / FIXED(0-4) / LPC subframes, rice-coded residuals with
-  * partitions and the 4-bit escape hatch, UTF-8-coded frame numbers,
+  * needs: mono AND stereo 16-bit fixed-blocksize streams — stereo in
+  * all four channel assignments (independent, left/side, side/right,
+  * mid/side; the SIDE subframe one bit deeper, the floor-mid
+  * reconstruction recovering the dropped sum bit from the side's
+  * parity — the shape every real stereo FLAC uses; round 18) — with
+  * CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes, rice-coded
+  * residuals with partitions and the 4-bit escape hatch, UTF-8-coded
+  * frame numbers,
   * and BOTH CRCs VERIFIED (8-bit header poly 0x07, 16-bit frame poly
   * 0x8005 — a flipped sample byte is a DETECTED drop, not a silent
   * hash shift; the zstd-checksum posture on the audio arc). FLAC is
   * lossless, so the decoded samples equal the encoder's exactly and a
   * FLAC re-encode of a WAV/AIFF sibling joins its cluster at distance
   * 0 through the shared [[Multimodal.envelopeHash]] 65-window spec
-  * (q372's premise). Mirrored independently by
+  * (stereo hashes over the INTERLEAVED |samples| — the WAV decoder's
+  * storage-order convention). Mirrored independently by
   * tools/gen_audio_formats.py (encoder + python decoder, the oracle
   * pair; provenance asserts decoded == formula samples).
   *
-  * OUT OF CONTRACT (file SKIPPED, never thrown): multi-channel and
+  * OUT OF CONTRACT (file SKIPPED, never thrown): 3+-channel and
   * non-16-bit streams, variable-blocksize streams, wasted bits,
   * rice method 1 (5-bit params), reserved subframe types, 0-bit
   * escape partitions (an all-zero partition written raw — our
@@ -49,9 +55,9 @@ import graft.ext.Multimodal.{MediaFile, WavHashRow}
   */
 object Flac {
 
-  /** Total-samples bomb cap: 2^24 mono 16-bit samples (~35 min at
-    * 8 kHz, a 64 MB working set) — a header claiming more is a bomb
-    * or out of scope for a fixture-certified decoder.
+  /** INTERLEAVED-samples bomb cap: 2^24 16-bit samples (~35 min of
+    * mono at 8 kHz, a 64 MB working set) — a header claiming more is
+    * a bomb or out of scope for a fixture-certified decoder.
     */
   val MaxSamples: Long = 1L << 24
 
@@ -139,7 +145,8 @@ object Flac {
     // ── metadata walk: STREAMINFO is mandatory-first; others skip ──
     var p = 4
     var rate = -1
-    var total = -1L
+    var total = -1L // inter-channel samples (frames)
+    var nchG = 1
     var last = false
     var sawInfo = false
     while (!last) {
@@ -159,15 +166,18 @@ object Flac {
         total = ((b(o + 13) & 0x0fL) << 32) |
           ((b(o + 14) & 0xffL) << 24) | ((b(o + 15) & 0xffL) << 16) |
           ((b(o + 16) & 0xffL) << 8) | (b(o + 17) & 0xffL)
-        if (nch != 1 || bits != 16) return None // mono 16-bit contract
+        if ((nch != 1 && nch != 2) || bits != 16)
+          return None // mono/stereo 16-bit contract
+        nchG = nch
         sawInfo = true
       }
       p += 4 + len
     }
     if (!sawInfo || rate <= 0) return None
-    if (total < 65) return None // sub-window (shared rule)
-    if (total > MaxSamples) return None // bomb cap pre-alloc
-    val out = new Array[Int](total.toInt)
+    val nch = nchG
+    if (total * nch < 65) return None // sub-window (shared rule)
+    if (total * nch > MaxSamples) return None // bomb cap pre-alloc
+    val out = new Array[Int]((total * nch).toInt)
     var got = 0
     var fidx = 0L
     val frames = java.util.Arrays.copyOfRange(b, p, b.length)
@@ -179,7 +189,12 @@ object Flac {
       if (br.read(1) != 0) throw new Malformed // fixed-blocksize only
       val bsc = br.read(4)
       val src = br.read(4)
-      if (br.read(4) != 0) throw new Malformed // mono
+      val ca = br.read(4)
+      // 0 = mono, 1 = independent stereo, 8/9/10 = left-side /
+      // side-right / mid-side; 3..8-channel layouts are out
+      val caOk = (ca == 0 && nch == 1) ||
+        ((ca == 1 || ca == 8 || ca == 9 || ca == 10) && nch == 2)
+      if (!caOk) throw new Malformed
       if (br.read(3) != 0x4) throw new Malformed // 16-bit
       if (br.read(1) != 0) throw new Malformed
       // UTF-8 coded frame number
@@ -225,71 +240,52 @@ object Flac {
       val hdrEnd = br.pos >> 3
       if ((br.pos & 7) != 0) throw new Malformed // header is byte-exact
       if (crc8(frames, fStart, hdrEnd) != br.read(8)) throw new Malformed
-      // ── one subframe (mono) ──
-      if (br.read(1) != 0) throw new Malformed
-      val typ = br.read(6)
-      if (br.read(1) != 0) throw new Malformed // wasted bits: out
-      if (typ == 0) {
-        val v = br.sread(16)
+      // ── subframes: one per channel. STEREO DECORRELATION
+      // (round 18): assignments 8/9/10 store left+side / side+right /
+      // mid+side, the SIDE subframe one bit deeper (bps+1) — the
+      // shape every real stereo FLAC actually uses. ──
+      val sideIdx = ca match {
+        case 8 => 1 // left/side
+        case 9 => 0 // side/right
+        case 10 => 1 // mid/side
+        case _ => -1
+      }
+      val chans = new Array[Array[Int]](nch)
+      var ci = 0
+      while (ci < nch) {
+        chans(ci) =
+          decodeSubframe(br, bs, if (ci == sideIdx) 17 else 16)
+        ci += 1
+      }
+      // reconstruct interleaved L/R (or pass mono through)
+      if (nch == 1) {
         var i = 0
-        while (i < bs) { out(got + i) = v; i += 1 }
-      } else if (typ == 1) {
+        while (i < bs) { out(got + i) = chans(0)(i); i += 1 }
+      } else {
+        val a = chans(0)
+        val bb2 = chans(1)
         var i = 0
-        while (i < bs) { out(got + i) = br.sread(16); i += 1 }
-      } else if ((typ >= 8 && typ <= 12) || typ >= 32) {
-        val isLpc = typ >= 32
-        val order = if (isLpc) typ - 32 + 1 else typ - 8
-        if (order > bs) throw new Malformed
-        var i = 0
-        while (i < order) { out(got + i) = br.sread(16); i += 1 }
-        var shift = 0
-        var coefs: Array[Int] = null
-        if (isLpc) {
-          val prec = br.read(4) + 1
-          if (prec > 15) throw new Malformed
-          shift = br.read(5)
-          coefs = new Array[Int](order)
-          var j = 0
-          while (j < order) { coefs(j) = br.sread(prec); j += 1 }
-        }
-        // residuals: rice method 0, partitions, escape hatch
-        if (br.read(2) != 0) throw new Malformed // method 1: out
-        val porder = br.read(4)
-        val nparts = 1 << porder
-        if (bs % nparts != 0 || bs / nparts <= order) throw new Malformed
-        var i2 = order
-        var pi = 0
-        while (pi < nparts) {
-          val cnt = bs / nparts - (if (pi == 0) order else 0)
-          val prm = br.read(4)
-          var c = 0
-          if (prm == 0xf) { // escape: raw residuals
-            val raw = br.read(5)
-            if (raw == 0) throw new Malformed
-            while (c < cnt) {
-              out(got + i2) = predictAdd(out, got, i2, order, isLpc,
-                coefs, shift, br.sread(raw))
-              i2 += 1; c += 1
-            }
-          } else {
-            while (c < cnt) {
-              val q = br.unary()
-              val u = (q.toLong << prm) |
-                (if (prm > 0) br.read(prm) else 0)
-              // a 16-bit-domain residual never approaches 2^26; a
-              // larger u would truncate silently through .toInt and
-              // HASH wrong samples instead of dropping (round-18
-              // review fix — the decode-exactly-or-skip contract)
-              if (u > (1L << 26)) throw new Malformed
-              val r = ((u >> 1) ^ -(u & 1L)).toInt
-              out(got + i2) = predictAdd(out, got, i2, order, isLpc,
-                coefs, shift, r)
-              i2 += 1; c += 1
-            }
+        while (i < bs) {
+          var l = 0
+          var r2 = 0
+          ca match {
+            case 1 => l = a(i); r2 = bb2(i)
+            case 8 => l = a(i); r2 = a(i) - bb2(i) // side = L − R
+            case 9 => r2 = bb2(i); l = bb2(i) + a(i)
+            case _ => // mid/side: mid = (L+R)>>1 floor, side = L−R;
+              // the dropped low bit of the sum is the side's parity
+              val side = bb2(i)
+              val mid2 = (a(i) << 1) | (side & 1)
+              l = (mid2 + side) >> 1
+              r2 = (mid2 - side) >> 1
           }
-          pi += 1
+          if (l < -32768 || l > 32767 || r2 < -32768 || r2 > 32767)
+            throw new Malformed
+          out((got + i) * 2) = l
+          out((got + i) * 2 + 1) = r2
+          i += 1
         }
-      } else throw new Malformed // reserved subframe types
+      }
       // footer: zero padding to a byte boundary, then CRC-16
       if ((br.pos & 7) != 0 && br.read(8 - (br.pos & 7)) != 0)
         throw new Malformed
@@ -300,39 +296,114 @@ object Flac {
     }
     // the stream must end exactly at the last frame's CRC
     if (br.pos != frames.length * 8) return None
-    val h = Multimodal.envelopeHash(total) { i =>
+    val h = Multimodal.envelopeHash(total * nch) { i =>
       math.abs(out(i.toInt))
     }
-    Some(WavHashRow(path, rate, total, h))
+    Some(WavHashRow(path, rate, total * nch, h))
   }
 
-  /** Reconstruct one sample: fixed/LPC prediction + residual. */
-  private def predictAdd(out: Array[Int], base: Int, i: Int, order: Int,
-      isLpc: Boolean, coefs: Array[Int], shift: Int, r: Int): Int = {
+  /** Decode ONE subframe of `bs` samples at `bps` bits (17 for a
+    * SIDE channel — stereo decorrelation stores L−R one bit deeper)
+    * into a fresh per-channel array; prediction never crosses the
+    * subframe boundary (warmups are its first `order` samples).
+    */
+  private def decodeSubframe(br: Msb, bs: Int, bps: Int): Array[Int] = {
+    val out = new Array[Int](bs)
+    if (br.read(1) != 0) throw new Malformed
+    val typ = br.read(6)
+    if (br.read(1) != 0) throw new Malformed // wasted bits: out
+    if (typ == 0) {
+      val v = br.sread(bps)
+      var i = 0
+      while (i < bs) { out(i) = v; i += 1 }
+    } else if (typ == 1) {
+      var i = 0
+      while (i < bs) { out(i) = br.sread(bps); i += 1 }
+    } else if ((typ >= 8 && typ <= 12) || typ >= 32) {
+      val isLpc = typ >= 32
+      val order = if (isLpc) typ - 32 + 1 else typ - 8
+      if (order > bs) throw new Malformed
+      var i = 0
+      while (i < order) { out(i) = br.sread(bps); i += 1 }
+      var shift = 0
+      var coefs: Array[Int] = null
+      if (isLpc) {
+        val prec = br.read(4) + 1
+        if (prec > 15) throw new Malformed
+        shift = br.read(5)
+        coefs = new Array[Int](order)
+        var j = 0
+        while (j < order) { coefs(j) = br.sread(prec); j += 1 }
+      }
+      // residuals: rice method 0, partitions, escape hatch
+      if (br.read(2) != 0) throw new Malformed // method 1: out
+      val porder = br.read(4)
+      val nparts = 1 << porder
+      if (bs % nparts != 0 || bs / nparts <= order) throw new Malformed
+      var i2 = order
+      var pi = 0
+      while (pi < nparts) {
+        val cnt = bs / nparts - (if (pi == 0) order else 0)
+        val prm = br.read(4)
+        var c = 0
+        if (prm == 0xf) { // escape: raw residuals
+          val raw = br.read(5)
+          if (raw == 0) throw new Malformed
+          while (c < cnt) {
+            out(i2) = predictAdd(out, i2, order, isLpc, coefs, shift,
+              br.sread(raw), bps)
+            i2 += 1; c += 1
+          }
+        } else {
+          while (c < cnt) {
+            val q = br.unary()
+            val u = (q.toLong << prm) |
+              (if (prm > 0) br.read(prm) else 0)
+            // a 17-bit-domain residual never approaches 2^26; a
+            // larger u would truncate silently through .toInt and
+            // HASH wrong samples instead of dropping (round-18
+            // review fix — the decode-exactly-or-skip contract)
+            if (u > (1L << 26)) throw new Malformed
+            val r = ((u >> 1) ^ -(u & 1L)).toInt
+            out(i2) = predictAdd(out, i2, order, isLpc, coefs, shift,
+              r, bps)
+            i2 += 1; c += 1
+          }
+        }
+        pi += 1
+      }
+    } else throw new Malformed // reserved subframe types
+    out
+  }
+
+  /** Reconstruct one sample: fixed/LPC prediction + residual, bounded
+    * to the subframe's declared bit depth — a stream escaping it is
+    * malformed, and the tight bound also keeps math.abs exact
+    * (Int.MinValue would negate to itself — round-18 review fix).
+    */
+  private def predictAdd(out: Array[Int], i: Int, order: Int,
+      isLpc: Boolean, coefs: Array[Int], shift: Int, r: Int,
+      bps: Int): Int = {
     val pred: Long =
       if (isLpc) {
         var s = 0L
         var j = 0
         while (j < order) {
-          s += coefs(j).toLong * out(base + i - 1 - j)
+          s += coefs(j).toLong * out(i - 1 - j)
           j += 1
         }
         s >> shift
       } else order match {
         case 0 => 0L
-        case 1 => out(base + i - 1).toLong
-        case 2 => 2L * out(base + i - 1) - out(base + i - 2)
-        case 3 => 3L * out(base + i - 1) - 3L * out(base + i - 2) +
-          out(base + i - 3)
-        case _ => 4L * out(base + i - 1) - 6L * out(base + i - 2) +
-          4L * out(base + i - 3) - out(base + i - 4)
+        case 1 => out(i - 1).toLong
+        case 2 => 2L * out(i - 1) - out(i - 2)
+        case 3 => 3L * out(i - 1) - 3L * out(i - 2) + out(i - 3)
+        case _ => 4L * out(i - 1) - 6L * out(i - 2) +
+          4L * out(i - 3) - out(i - 4)
       }
     val v = pred + r
-    // decoded samples must stay in the declared 16-bit domain — a
-    // stream escaping it is malformed, and the tight bound also keeps
-    // math.abs exact (Int.MinValue would negate to itself — round-18
-    // review fix)
-    if (v < -32768 || v > 32767) throw new Malformed
+    if (v < -(1L << (bps - 1)) || v > (1L << (bps - 1)) - 1)
+      throw new Malformed
     v.toInt
   }
 }

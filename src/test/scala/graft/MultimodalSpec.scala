@@ -639,7 +639,18 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.path.split('/').last -> r).toMap
     // notflac/trunc/badcrc skip; the non-FLAC containers never surface
     assert(rows.keySet == ((0 until 4).flatMap(k =>
-      Seq(s"cbase$k.flac", s"cnear$k.flac")) :+ "c22k.flac").toSet)
+      Seq(s"cbase$k.flac", s"cnear$k.flac")) ++
+      Seq("c22k.flac", "stind.flac", "stls.flac", "stsr.flac",
+        "stms.flac")).toSet)
+    // STEREO DECORRELATION: the same L/R audio through all FOUR
+    // channel assignments (independent / left-side / side-right /
+    // mid-side, the side subframes one bit deeper, the floor-mid
+    // parity reconstruction) must land on ONE hash — any slip in any
+    // decorrelation path splits the 4-member cluster
+    for (n <- Seq("stls.flac", "stsr.flac", "stms.flac"))
+      assert(rows(n).ahash == rows("stind.flac").ahash,
+        s"$n: stereo decorrelation divergence")
+    assert(rows("stind.flac").nSamples == 8192L) // interleaved count
     // rate code 6 (22.05 kHz) — one of the three TABLE codes the
     // round-18 review found misdecoded as trailing-byte forms; same
     // samples as cbase0, so only the rate differs

@@ -67,6 +67,8 @@ class PropertyExtSpec extends SparkSpec {
       b => graft.ext.Vp8l.parseVp8lDHash("x", b))
     fuzz(bytesOf("/root/repo/fixtures/audio_formats/cbase3.flac"),
       b => graft.ext.Flac.parseFlacAHash("x", b))
+    fuzz(bytesOf("/root/repo/fixtures/audio_formats/stms.flac"),
+      b => graft.ext.Flac.parseFlacAHash("x", b))
   }
 
   test("property: coalesceIntervals == in-memory sweep on random interval sets") {

@@ -387,10 +387,67 @@ RATE_CODES = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
               96000: 11}
 
 
+def write_subframe(fb, block, bs, bps, kind, part_order, escape_parts):
+    """One subframe at bps bits (17 for a SIDE channel)."""
+    if kind == "constant" and len(set(block)) > 1:
+        kind = "fixed"
+    if kind == "constant":
+        fb.put(0, 1)
+        fb.put(0, 6)
+        fb.put(0, 1)
+        fb.put_signed(block[0], bps)
+    elif kind == "verbatim":
+        fb.put(0, 1)
+        fb.put(1, 6)
+        fb.put(0, 1)
+        for s in block:
+            fb.put_signed(s, bps)
+    elif kind == "lpc":
+        # order-2 LPC with pinned coefficients [3, -1], shift 1:
+        # prediction = (3*s[i-1] - 1*s[i-2]) >> 1 (floor shift)
+        order = 2
+        fb.put(0, 1)
+        fb.put(32 + (order - 1), 6)
+        fb.put(0, 1)
+        for s in block[:order]:
+            fb.put_signed(s, bps)
+        fb.put(4 - 1, 4)   # precision 4 bits
+        fb.put(1, 5)       # shift 1
+        fb.put_signed(3, 4)
+        fb.put_signed(-1, 4)
+        res = []
+        for i in range(order, bs):
+            p = (3 * block[i - 1] - block[i - 2]) >> 1
+            res.append(block[i] - p)
+        write_residual(fb, res, bs, order, part_order, escape_parts)
+    else:  # fixed: pick the best order 0-2 by |residual| sum
+        best, besto = None, 0
+        for o in range(3):
+            if bs <= o:
+                continue
+            r = fixed_residuals(block[o:], block[:o], o)
+            c = sum(abs(x) for x in r)
+            if best is None or c < best[0]:
+                best, besto = (c, r), o
+        o, res = besto, best[1]
+        fb.put(0, 1)
+        fb.put(8 + o, 6)
+        fb.put(0, 1)
+        for s in block[:o]:
+            fb.put_signed(s, bps)
+        write_residual(fb, res, bs, o, part_order, escape_parts)
+
+
 def encode_flac(samples, rate, *, blocksize=512, strategy="fixed",
-                part_order=0, escape_parts=False):
-    """Mono 16-bit. strategy: fixed | verbatim | lpc | mixed."""
+                part_order=0, escape_parts=False, right=None, ca=0):
+    """16-bit mono, or stereo when `right` is given: ca 1 =
+    independent, 8 = left/side, 9 = side/right, 10 = mid/side (side
+    subframes one bit deeper; mid = (L+R)>>1 with the dropped sum bit
+    recovered from the side's parity). strategy: fixed | verbatim |
+    lpc | mixed."""
     n = len(samples)
+    nch = 2 if right is not None else 1
+    assert nch == 1 or ca in (1, 8, 9, 10)
     fb_out = bytearray(b"fLaC")
     # STREAMINFO (last-block flag set, type 0, 34 bytes)
     si = FlacBits()
@@ -399,7 +456,7 @@ def encode_flac(samples, rate, *, blocksize=512, strategy="fixed",
     si.put(0, 24)
     si.put(0, 24)
     si.put(rate, 20)
-    si.put(0, 3)   # channels - 1
+    si.put(nch - 1, 3)
     si.put(15, 5)  # bits - 1
     si.put(n, 36)
     sib = si.bytes_align() + b"\x00" * 16  # md5 unset
@@ -408,14 +465,13 @@ def encode_flac(samples, rate, *, blocksize=512, strategy="fixed",
     pos = 0
     while pos < n:
         bs = min(blocksize, n - pos)
-        block = samples[pos:pos + bs]
         fb = FlacBits()
         fb.put(0b11111111111110, 14)
         fb.put(0, 1)  # reserved
         fb.put(0, 1)  # fixed blocksize stream
         fb.put(0b0111, 4)  # blocksize: 16-bit value - 1 follows
         fb.put(RATE_CODES[rate], 4)  # table-coded sample rate
-        fb.put(0, 4)   # channel assignment: mono
+        fb.put(0 if nch == 1 else ca, 4)
         fb.put(0b100, 3)  # 16-bit
         fb.put(0, 1)
         fb.put_bytes(utf8_coded(fidx))
@@ -424,57 +480,24 @@ def encode_flac(samples, rate, *, blocksize=512, strategy="fixed",
         fb = FlacBits()
         fb.put_bytes(hdr)
         fb.put(crc8(hdr), 8)
-        # ── subframe ──
         kind = strategy
         if strategy == "mixed":
             kind = ("constant", "fixed", "verbatim", "lpc")[fidx % 4]
-        if kind == "constant" and len(set(block)) > 1:
-            kind = "fixed"
-        if kind == "constant":
-            fb.put(0, 1)
-            fb.put(0, 6)
-            fb.put(0, 1)
-            fb.put_signed(block[0], 16)
-        elif kind == "verbatim":
-            fb.put(0, 1)
-            fb.put(1, 6)
-            fb.put(0, 1)
-            for s in block:
-                fb.put_signed(s, 16)
-        elif kind == "lpc":
-            # order-2 LPC with pinned coefficients [3, -1], shift 1:
-            # prediction = (3*s[i-1] - 1*s[i-2]) >> 1 (floor shift)
-            order = 2
-            fb.put(0, 1)
-            fb.put(32 + (order - 1), 6)
-            fb.put(0, 1)
-            for s in block[:order]:
-                fb.put_signed(s, 16)
-            fb.put(4 - 1, 4)   # precision 4 bits
-            fb.put(1, 5)       # shift 1
-            fb.put_signed(3, 4)
-            fb.put_signed(-1, 4)
-            res = []
-            for i in range(order, bs):
-                p = (3 * block[i - 1] - block[i - 2]) >> 1
-                res.append(block[i] - p)
-            write_residual(fb, res, bs, order, part_order, escape_parts)
-        else:  # fixed: pick the best order 0-2 by |residual| sum
-            best, besto = None, 0
-            for o in range(3):
-                if bs <= o:
-                    continue
-                r = fixed_residuals(block[o:], block[:o], o)
-                c = sum(abs(x) for x in r)
-                if best is None or c < best[0]:
-                    best, besto = (c, r), o
-            o, res = besto, best[1]
-            fb.put(0, 1)
-            fb.put(8 + o, 6)
-            fb.put(0, 1)
-            for s in block[:o]:
-                fb.put_signed(s, 16)
-            write_residual(fb, res, bs, o, part_order, escape_parts)
+        if nch == 1:
+            write_subframe(fb, samples[pos:pos + bs], bs, 16, kind,
+                           part_order, escape_parts)
+        else:
+            lb = samples[pos:pos + bs]
+            rb = right[pos:pos + bs]
+            side = [l - r for l, r in zip(lb, rb)]
+            subs = {1: [(lb, 16), (rb, 16)],
+                    8: [(lb, 16), (side, 17)],
+                    9: [(side, 17), (rb, 16)],
+                    10: [([(l + r) >> 1 for l, r in zip(lb, rb)], 16),
+                         (side, 17)]}[ca]
+            for blk, bps in subs:
+                write_subframe(fb, blk, bs, bps, kind, part_order,
+                               escape_parts)
         body = fb.bytes_align()
         fb_out += body + struct.pack(">H", crc16(body))
         pos += bs
@@ -535,7 +558,7 @@ def decode_flac(data):
         p += 4 + ln
         if last:
             break
-    assert nch == 1 and bits == 16
+    assert nch in (1, 2) and bits == 16
 
     class RD:
         def __init__(self, d, byte):
@@ -559,64 +582,28 @@ def decode_flac(data):
                 q += 1
             return q
 
-    out = []
+    out = []  # INTERLEAVED samples (frames x channels)
     rd = RD(data, p)
     fidx = 0
-    while len(out) < total:
-        fstart = rd.pos // 8
-        assert rd.read(14) == 0b11111111111110
-        assert rd.read(1) == 0
-        assert rd.read(1) == 0  # fixed blocksize
-        bsc = rd.read(4)
-        src = rd.read(4)
-        assert rd.read(4) == 0  # mono
-        assert rd.read(3) == 0b100  # 16-bit
-        assert rd.read(1) == 0
-        lead = rd.read(8)  # utf8 frame number
-        extra = 0
-        if lead >= 0xC0:
-            t = lead
-            while t & 0x40:
-                extra += 1
-                t <<= 1
-        num = lead & (0x3F >> extra) if extra else lead
-        for _ in range(extra):
-            c = rd.read(8)
-            assert c & 0xC0 == 0x80
-            num = (num << 6) | (c & 0x3F)
-        assert num == fidx
-        assert bsc == 0b0111
-        bs = rd.read(16) + 1
-        # RFC 9639: codes 1-11 are table rates (no trailing bytes);
-        # 12/13/14 carry 8/16/16 trailing bits
-        if src == 12:
-            rd.read(8)
-        elif src in (13, 14):
-            rd.read(16)
-        else:
-            assert 1 <= src <= 11
-        hdr_end = rd.pos // 8
-        assert crc8(data[fstart:hdr_end]) == rd.read(8)
-        # subframe
+
+    def read_subframe(bs, bps):
         assert rd.read(1) == 0
         typ = rd.read(6)
         assert rd.read(1) == 0, "wasted bits out of contract"
         if typ == 0:
-            v = rd.sread(16)
-            block = [v] * bs
-        elif typ == 1:
-            block = [rd.sread(16) for _ in range(bs)]
-        elif 8 <= typ <= 12 or typ >= 32:
+            return [rd.sread(bps)] * bs
+        if typ == 1:
+            return [rd.sread(bps) for _ in range(bs)]
+        if 8 <= typ <= 12 or typ >= 32:
             if typ >= 32:
                 order = typ - 32 + 1
-                warm = [rd.sread(16) for _ in range(order)]
+                warm = [rd.sread(bps) for _ in range(order)]
                 prec = rd.read(4) + 1
                 shift = rd.read(5)
                 coefs = [rd.sread(prec) for _ in range(order)]
             else:
                 order = typ - 8
-                warm = [rd.sread(16) for _ in range(order)]
-            # residuals
+                warm = [rd.sread(bps) for _ in range(order)]
             method = rd.read(2)
             assert method == 0
             porder = rd.read(4)
@@ -650,16 +637,80 @@ def decode_flac(data):
                     pred = 4 * block[-1] - 6 * block[-2] + \
                         4 * block[-3] - block[-4]
                 block.append(pred + r)
+            return block
+        raise ValueError("subframe type")
+
+    frames_done = 0
+    while frames_done < total:
+        fstart = rd.pos // 8
+        assert rd.read(14) == 0b11111111111110
+        assert rd.read(1) == 0
+        assert rd.read(1) == 0  # fixed blocksize
+        bsc = rd.read(4)
+        src = rd.read(4)
+        ca = rd.read(4)
+        assert (ca == 0 and nch == 1) or \
+            (ca in (1, 8, 9, 10) and nch == 2)
+        assert rd.read(3) == 0b100  # 16-bit
+        assert rd.read(1) == 0
+        lead = rd.read(8)  # utf8 frame number
+        extra = 0
+        if lead >= 0xC0:
+            t = lead
+            while t & 0x40:
+                extra += 1
+                t <<= 1
+        num = lead & (0x3F >> extra) if extra else lead
+        for _ in range(extra):
+            c = rd.read(8)
+            assert c & 0xC0 == 0x80
+            num = (num << 6) | (c & 0x3F)
+        assert num == fidx
+        assert bsc == 0b0111
+        bs = rd.read(16) + 1
+        # RFC 9639: codes 1-11 are table rates (no trailing bytes);
+        # 12/13/14 carry 8/16/16 trailing bits
+        if src == 12:
+            rd.read(8)
+        elif src in (13, 14):
+            rd.read(16)
         else:
-            raise ValueError("subframe type")
+            assert 1 <= src <= 11
+        hdr_end = rd.pos // 8
+        assert crc8(data[fstart:hdr_end]) == rd.read(8)
+        if nch == 1:
+            frame = read_subframe(bs, 16)
+        else:
+            side_idx = {1: None, 8: 1, 9: 0, 10: 1}[ca]
+            a = read_subframe(bs, 17 if side_idx == 0 else 16)
+            bch = read_subframe(bs, 17 if side_idx == 1 else 16)
+            frame = []
+            for i in range(bs):
+                if ca == 1:
+                    l, r = a[i], bch[i]
+                elif ca == 8:
+                    l = a[i]
+                    r = a[i] - bch[i]
+                elif ca == 9:
+                    r = bch[i]
+                    l = bch[i] + a[i]
+                else:  # mid/side: recover the dropped sum bit from
+                    # the side's parity
+                    side = bch[i]
+                    mid2 = (a[i] << 1) | (side & 1)
+                    l = (mid2 + side) >> 1
+                    r = (mid2 - side) >> 1
+                assert -32768 <= l <= 32767 and -32768 <= r <= 32767
+                frame += [l, r]
         # frame footer: byte-align + CRC-16 over the whole frame
         if rd.pos % 8:
             assert rd.read(8 - rd.pos % 8) == 0
         fend = rd.pos // 8
         assert crc16(data[fstart:fend]) == rd.read(16)
-        out += block
+        out += frame
+        frames_done += bs
         fidx += 1
-    assert len(out) == total
+    assert len(out) == total * nch
     assert rd.pos == len(data) * 8, "trailing bytes after the last frame"
     return rate, out
 
@@ -700,6 +751,35 @@ drate, dsamp = decode_flac(c22k)
 assert drate == 22050 and dsamp == c22k_samples
 rows.append(("c22k.flac", 22050, N,
              ahash(lambda i: wav_amp_at(0, False, i))))
+
+# STEREO (round 18): the SAME left/right audio encoded through all
+# FOUR channel assignments -- independent, left/side, side/right,
+# mid/side (side subframes one bit deeper; floor-mid + side-parity
+# reconstruction) -- must land on ONE hash: a 4-member distance-0
+# cluster that certifies every decorrelation path against the same
+# truth. The envelope hashes INTERLEAVED |samples| (the WAV decoder's
+# storage-order convention), so the formula lives on the interleaved
+# index.
+def st_int(j):
+    w = win(j, 2 * N)
+    return 150 + ((w * 13 + w * w * 3) % 27) * 110
+
+stL = [signed_sample(st_int(2 * i), 2 * i) for i in range(N)]
+stR = [signed_sample(st_int(2 * i + 1), 2 * i + 1) for i in range(N)]
+st_hash = ahash(st_int, 2 * N)
+st_inter = [v for pair in zip(stL, stR) for v in pair]
+for name, ca, kw in (
+        ("stind.flac", 1, dict(strategy="fixed")),
+        ("stls.flac", 8, dict(strategy="verbatim", blocksize=256)),
+        ("stsr.flac", 9, dict(strategy="lpc", part_order=2)),
+        ("stms.flac", 10, dict(strategy="mixed", part_order=1,
+                               escape_parts=True))):
+    data = encode_flac(stL, RATE, right=stR, ca=ca, **kw)
+    with open(f"{OUT}/{name}", "wb") as f:
+        f.write(data)
+    drate, dsamp = decode_flac(data)
+    assert drate == RATE and dsamp == st_inter, name
+    rows.append((name, RATE, 2 * N, st_hash))
 
 # hostile / out-of-contract FLAC arms
 okf = open(f"{OUT}/cbase0.flac", "rb").read()
@@ -794,6 +874,8 @@ for k in range(4):
 keys = sorted(allh)
 import itertools
 def family(n):
+    if n in ("stind.flac", "stls.flac", "stsr.flac", "stms.flac"):
+        return "stfam"
     for k in range(4):
         if n in (f"fbase{k}.aif", f"fnear{k}.aif",
                  f"cbase{k}.flac", f"cnear{k}.flac") or \
