@@ -215,9 +215,26 @@ object Bench {
     * diffs are `git diff` on one file. Medians at 3 decimals (the raw
     * per-run numbers stay on the stdout detail line).
     */
+  /** First three /proc/loadavg fields ("0.42 1.07 2.31"), or "" where
+    * the file is absent (non-Linux). Round-19 verdict fix: two rounds
+    * of driver bench artifacts diverged from the committed quiet-
+    * machine numbers by uniform ~25% — the signature of ambient load —
+    * and adjudicating that required out-of-band evidence. The bench
+    * now samples load at start and end so a loaded run is
+    * self-documenting from the artifact alone.
+    */
+  def loadAvg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "" }
+
   def detailFileJson(
       medians: Seq[(String, Double)], errors: Map[String, String],
-      sf: String): String = {
+      sf: String, laStart: String = "", laEnd: String = "",
+      utc: String = ""): String = {
     val qs = medians.sortBy(_._1)
       .map { case (k, v) => s"    ${jstr(k)}: ${fmt(3, v)}" }
       .mkString("{\n", ",\n", "\n  }")
@@ -229,6 +246,9 @@ object Bench {
     s"""{
        |  "sf": ${jstr(sf)},
        |  "unit": "sec",
+       |  "utc": ${jstr(utc)},
+       |  "loadavg_start": ${jstr(laStart)},
+       |  "loadavg_end": ${jstr(laEnd)},
        |  "n_queries": ${medians.size},
        |  "medians": $qs,
        |  "errors": $errJson
@@ -237,7 +257,7 @@ object Bench {
   }
 
   def contractLine(medians: Seq[(String, Double)], errors: Map[String, String], sf: String,
-      nDetailOnly: Int = 0): String = {
+      nDetailOnly: Int = 0, la: String = ""): String = {
     // Per-value formatter for one precision rung. `mixed = true` is the
     // round-7 rung between uniform-1-decimal and uniform-integer: values
     // under ~1 s keep their 1 decimal (integer rounding would erase a
@@ -248,7 +268,8 @@ object Bench {
       val d = if (mixed && v >= 0.95) 0 else decimals
       fmt(d, math.round(v * math.pow(10, d)) / math.pow(10, d))
     }
-    def line(decimals: Int, withSf: Boolean, errCap: Int, mixed: Boolean = false): String = {
+    def line(decimals: Int, withSf: Boolean, errCap: Int, mixed: Boolean = false,
+        withLa: Boolean = true): String = {
       val printed = medians.map { case (k, v) => (k, fmtVal(decimals, mixed)(v)) }
       val qs = printed.map { case (k, p) => jstr(k) + ":" + p }.mkString("{", ",", "}")
       // Self-consistency: value is the DECIMAL sum of the printed
@@ -268,14 +289,20 @@ object Bench {
           .mkString("{", ",", "}")
       val sfJson = if (withSf) s""","sf":${jstr(sf)}""" else ""
       val detailJson = if (nDetailOnly > 0) s""","detail_only":$nDetailOnly""" else ""
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$detailJson$errJson$sfJson}"""
+      // load self-documentation (round-19 verdict fix): "s1 e1 e15" —
+      // start/end 1-min + end 15-min loadavg. ~20 bytes; degraded
+      // away only at the last-resort rungs (the medians matter more)
+      val laJson = if (withLa && la.nonEmpty) s""","la":${jstr(la)}""" else ""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$detailJson$errJson$sfJson$laJson}"""
     }
     val candidates = Iterator(
       line(2, withSf = true, errCap = 200), line(2, withSf = false, errCap = 200),
       line(1, withSf = false, errCap = 200), line(1, withSf = false, errCap = 40),
       line(1, withSf = false, errCap = 40, mixed = true),
-      line(0, withSf = false, errCap = 40), line(0, withSf = false, errCap = 0))
-    candidates.find(_.length <= LineBudget).getOrElse(line(0, withSf = false, errCap = 0))
+      line(0, withSf = false, errCap = 40, withLa = false),
+      line(0, withSf = false, errCap = 0, withLa = false))
+    candidates.find(_.length <= LineBudget).getOrElse(
+      line(0, withSf = false, errCap = 0, withLa = false))
   }
 
   def main(args: Array[String]): Unit = {
@@ -295,6 +322,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Load + wall-clock self-documentation (round-19 verdict fix):
+    // sampled before the warm-up and after the last run, emitted on
+    // every artifact so an ambient-load-inflated driver run is
+    // adjudicable from the artifact alone.
+    val laStart = loadAvg()
+    val utcStart = java.time.Instant.now().toString
 
     // Warm-up: JVM JIT + codegen + parquet footer reads; untimed.
     try runNoop(SparkEntry.queries("q1_agg")(spark, sfDir))
@@ -370,12 +404,19 @@ object Bench {
     // stdout line is the driver contract alone (contractLine: 2-decimal
     // medians, budget-guarded, locale-fixed). build.sbt strips sbt's
     // decoration around it (StdoutOutput + showSuccess := false).
+    val laEnd = loadAvg()
+    // compact contract-line form: start-1min, end-1min, end-15min
+    val laCompact = (laStart.split(" ").take(1) ++ {
+      val e = laEnd.split(" "); Seq(e.headOption.getOrElse(""),
+        e.lift(2).getOrElse(""))
+    }).mkString(" ")
     val runs = results.map { case (k, _, ts) => jstr(k) + ":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    println(s"""{"detail":"per-run seconds","runs":$runs$errJson}""")
+    println(s"""{"detail":"per-run seconds","utc":${jstr(utcStart)},"loadavg_start":${
+      jstr(laStart)},"loadavg_end":${jstr(laEnd)},"runs":$runs$errJson}""")
     // Contract-line medians exclude the detail-only set (see
     // DetailOnlyQueries scaladoc — full data is on the detail line above);
     // their errors still surface in the contract errors map.
@@ -389,10 +430,11 @@ object Bench {
     if (only.isEmpty) {
       val path = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        detailFileJson(results.map { case (k, v, _) => (k, v) }, errors, sfDir)
+        detailFileJson(results.map { case (k, v, _) => (k, v) }, errors, sfDir,
+          laStart, laEnd, utcStart)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    println(contractLine(tracked, errors, sfDir, nDetailOnly))
+    println(contractLine(tracked, errors, sfDir, nDetailOnly, laCompact))
     spark.stop()
   }
 }

@@ -39,6 +39,9 @@ import graft.ext.Multimodal.MediaFile
   *     Y not at max factors, truncated or over-running entropy data,
   *     undefined Huffman codes, DRI under SOF2, DC+AC in one SOF2
   *     scan, sub-grid images (w<9 or h<8 — the shared rule).
+  *     Post-scan COM/APPn segments before EOI are IN contract
+  *     (T.81 misc segments — length-skipped; round-19 advice fix);
+  *     any other marker between the scan and EOI stays out.
   *
   * 100-TB shape: one mapPartitions pass, O(coefficients) per file
   * with 64 longs of IDCT state per block and the 144-long grid;
@@ -410,21 +413,35 @@ object Jpeg {
     // over-running entropy data is OUT of contract (scaladoc + the
     // python oracle only ever sees streams that end at the last MCU):
     // after the final block only the padding bits of the current byte
-    // may remain — the next whole bytes must be the EOI marker. A
-    // stream with extra decodable entropy bytes previously hashed
-    // silently, the same code-vs-doc split the round-17 PNG over-long-
-    // IDAT fix closed (round-18 review fix). An UNREAD final padding
-    // byte of all 1-bits arrives stuffed as FF 00 — one such pair may
-    // sit before the marker (the encoder pads with 1s) — and T.81
-    // B.1.1.2 allows any number of 0xFF FILL bytes before a marker
-    // (round-18 review fix: FF FF D9 is a legal ending).
+    // may remain — the next whole bytes must be a MARKER. A stream
+    // with extra decodable entropy bytes previously hashed silently,
+    // the same code-vs-doc split the round-17 PNG over-long-IDAT fix
+    // closed (round-18 review fix). An UNREAD final padding byte of
+    // all 1-bits arrives stuffed as FF 00 — one such pair may sit
+    // before the marker (the encoder pads with 1s) — and T.81 B.1.1.2
+    // allows any number of 0xFF FILL bytes before a marker (round-18
+    // review fix: FF FF D9 is a legal ending). A legal baseline file
+    // may also carry COM/APPn SEGMENTS between the scan and EOI
+    // (T.81 allows misc segments anywhere between markers) — those
+    // are length-skipped, and EOI must follow them (round-19 advice
+    // fix; anything else after the scan stays out of contract).
     var eop = br.p
     if (eop + 1 < b.length && (b(eop) & 0xff) == 0xff &&
         (b(eop + 1) & 0xff) == 0x00) eop += 2
-    while (eop + 1 < b.length && (b(eop) & 0xff) == 0xff &&
-        (b(eop + 1) & 0xff) == 0xff) eop += 1
-    if (eop + 1 >= b.length || (b(eop) & 0xff) != 0xff ||
-        (b(eop + 1) & 0xff) != 0xd9) return None
+    var sawEoi = false
+    while (!sawEoi) {
+      while (eop + 1 < b.length && (b(eop) & 0xff) == 0xff &&
+          (b(eop + 1) & 0xff) == 0xff) eop += 1
+      if (eop + 1 >= b.length || (b(eop) & 0xff) != 0xff) return None
+      val mk = b(eop + 1) & 0xff
+      if (mk == 0xd9) sawEoi = true
+      else if ((mk >= 0xe0 && mk <= 0xef) || mk == 0xfe) {
+        if (eop + 4 > b.length) return None
+        val len = ((b(eop + 2) & 0xff) << 8) | (b(eop + 3) & 0xff)
+        if (len < 2 || eop + 2 + len > b.length) return None
+        eop += 2 + len
+      } else return None
+    }
 
     // ── the shared grid fold over the W×H (padding discarded) ──
     Some(JpegHashRow(path, w, h, nf, Multimodal.dHashOfLuma(w, h) {

@@ -1074,6 +1074,16 @@ object Multimodal {
     readCode() == Eoi // exactly-full then terminated, nothing more
   }
 
+  /** Control signal for the lazy IFD slot reader: a slot whose VALUE
+    * POINTER lands outside the file is hostile and must drop the whole
+    * file — treating it as merely ABSENT would let e.g. a BitsPerSample
+    * slot with a wild offset fall back to the 8-bit default and hash a
+    * 16-bit file as garbage (round-19 advice fix; the pre-round-18
+    * eager collector dropped the file on the same condition).
+    */
+  private object TiffDrop
+      extends RuntimeException with scala.util.control.NoStackTrace
+
   /** Pure parser, package-visible for direct spec coverage. Wrapped
     * in the same residual-indexing guard as the JPEG/GIF parsers: a
     * crafted file must drop, never kill a 100-TB scan task.
@@ -1083,7 +1093,10 @@ object Multimodal {
     try tiffBody(path, b)
     // IndexOutOfBounds (not just the Array subtype): the strip
     // cursor walks an IndexedSeq
-    catch { case _: IndexOutOfBoundsException => None }
+    catch {
+      case _: IndexOutOfBoundsException => None
+      case TiffDrop => None
+    }
 
   private def tiffBody(path: String, b: Array[Byte]): Option[TiffHashRow] = {
     if (b.length < 8) return None
@@ -1127,9 +1140,12 @@ object Multimodal {
         slots += tag -> ((typ, cnt, o))
       i += 1
     }
-    // materialize one slot's values, bounds-checked; over-cap or
-    // out-of-file slots read as ABSENT (same outcome the old eager
-    // collector gave cnt > 2^20: the tag just isn't there)
+    // materialize one slot's values, bounds-checked; over-cap slots
+    // read as ABSENT (same outcome the old eager collector gave
+    // cnt > 2^20: the tag just isn't there), but an OUT-OF-FILE value
+    // pointer is a hostile file, not a missing tag — it drops the
+    // whole file via [[TiffDrop]], so e.g. tag 258 with a wild offset
+    // can never fall back to the 8-bit default (round-19 advice fix)
     def read(tag: Int, maxCnt: Long): Option[IndexedSeq[Long]] =
       slots.get(tag).flatMap { case (typ, cnt, o) =>
         if (cnt > maxCnt) None
@@ -1140,13 +1156,13 @@ object Multimodal {
             if (size <= 4) o + 8
             else {
               val off = u32(o + 8)
-              if (off < 0 || off + size > b.length) return None
+              if (off < 0 || off + size > b.length) throw TiffDrop
               off.toInt
             }
           val vals = (0 until cnt.toInt).map { k =>
             if (typ == 3) u16(at + 2 * k).toLong else u32(at + 4 * k)
           }
-          if (vals.exists(_ < 0)) return None
+          if (vals.exists(_ < 0)) throw TiffDrop
           Some(vals)
         }
       }

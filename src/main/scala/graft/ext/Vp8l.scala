@@ -186,8 +186,15 @@ object Vp8l {
       if (subtractGreen) return None // a transform may appear once
       subtractGreen = true
     }
-    val cacheBits = if (br.read(1) == 1) br.read(4) else 0
-    if (cacheBits > 11) return None
+    // color_cache_code_bits is 1..11 WHEN THE FLAG IS SET (RFC 9649
+    // §5.2.3; libwebp rejects 0) — accepting 0 as "cache silently
+    // disabled" would decode a file real decoders reject, breaking
+    // the decode-exactly-or-skip posture (round-19 advice fix)
+    val cacheBits = if (br.read(1) == 1) {
+      val cb = br.read(4)
+      if (cb < 1 || cb > 11) return None
+      cb
+    } else 0
     if (br.read(1) != 0) return None // meta prefix image: out
 
     def readPrefixCode(alphabet: Int): Code = {

@@ -199,6 +199,17 @@ object Sampling {
     * 100 TB, n_s ~ 10¹³ and W in the thousands leave two orders of
     * headroom), so both engines produce the identical row set.
     *
+    * CONTRACT (round-19 advice fix): `(orderCol, tieBreak…)` must be
+    * a TOTAL order within each source — [[Layout.globalDenseSeq]]'s
+    * running sum uses the default RANGE frame, so duplicate keys are
+    * PEERS sharing one sequence value, and an alloc boundary landing
+    * inside a peer group keeps the whole group or none of it (the
+    * Σ alloc == T exhaustion-free invariant silently breaks, possibly
+    * to zero rows for a source). When `orderCol` alone is not unique
+    * per source (e.g. a quality score), pass a key-completing
+    * `tieBreak` (e.g. the document id) — it changes WHICH equal-score
+    * rows survive, never how many.
+    *
     * 100-TB shape: ONE corpus-scale count aggregate; T, quotas,
     * remainders AND per-source offsets live on the STRATA frame
     * (metadata-grain — the [[apportion]] argument: a single
@@ -214,7 +225,7 @@ object Sampling {
     */
   def sizeSourcesToWeights(
       df: DataFrame, sourceCol: String, orderCol: String,
-      weights: Map[String, Long]): DataFrame = {
+      weights: Map[String, Long], tieBreak: Seq[Column] = Nil): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
     def wOf(c: Column): Column = weights.foldLeft(lit(1L)) {
@@ -242,7 +253,7 @@ object Sampling {
           .orderBy("__src")) - col("__n"), lit(0L)))
       .select(col("__src"), col("__alloc"), col("__off"))
     val seqd = Layout.globalDenseSeq(
-      df, Seq(col(sourceCol), col(orderCol)), "__gseq")
+      df, Seq(col(sourceCol), col(orderCol)) ++ tieBreak, "__gseq")
     seqd.join(broadcast(alloc), col(sourceCol) === col("__src"))
       .filter(col("__gseq") - col("__off") <= col("__alloc"))
       .drop("__src", "__alloc", "__off", "__gseq")

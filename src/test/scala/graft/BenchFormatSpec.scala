@@ -22,11 +22,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(tracked.size == 89, s"tracked set changed size: ${tracked.size}")
     val meds = tracked.zipWithIndex.map { case (k, i) => (k, i * 0.137) }
     val line = Bench.contractLine(meds, Map.empty, "/root/testdata/sf0.1",
-      nDetailOnly = Bench.DetailOnlyQueries.size)
+      nDetailOnly = Bench.DetailOnlyQueries.size, la = "0.42 1.07 2.31")
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
     assert(line.startsWith("{\"metric\":\"total\""))
     assert(line.contains(".1") || line.contains(".4"),
       s"tracked map degraded to integer seconds: $line")
+    // round-19: the loadavg self-documentation field must survive at
+    // whatever precision rung the real tracked map lands on
+    assert(line.contains("\"la\":\"0.42 1.07 2.31\""),
+      s"la field missing from the contract line: $line")
+  }
+
+  test("la field degrades away at the integer rungs, never overflows") {
+    val line = Bench.contractLine(fakeMedians(300), Map.empty,
+      "/root/testdata/sf0.1", la = "9.99 9.99 9.99")
+    assert(!line.contains("\"la\""), "integer rung must drop la")
+    assert(line.endsWith("}"))
+    // loadAvg() itself: parseable three-field form on Linux, never throws
+    val la = Bench.loadAvg()
+    assert(la.isEmpty || la.split(" ").length == 3, la)
   }
 
   test("contract line degrades rather than overflows at absurd query counts") {
@@ -131,7 +145,13 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("detail file carries every query, name-sorted, as parseable JSON") {
     val meds = Seq(("q2_b", 1.23456), ("q1_a", 0.1), ("q10_c", -1.0))
-    val json = Bench.detailFileJson(meds, Map("q10_c" -> "boom \"x\""), "sfdir")
+    val json = Bench.detailFileJson(meds, Map("q10_c" -> "boom \"x\""), "sfdir",
+      laStart = "0.1 0.2 0.3", laEnd = "1.1 1.2 1.3",
+      utc = "2026-08-16T00:00:00Z")
+    // round-19: load/wall-clock self-documentation fields
+    assert(json.contains("\"loadavg_start\": \"0.1 0.2 0.3\""))
+    assert(json.contains("\"loadavg_end\": \"1.1 1.2 1.3\""))
+    assert(json.contains("\"utc\": \"2026-08-16T00:00:00Z\""))
     // every query present at 3 decimals, names in sorted order
     assert(json.contains("\"q1_a\": 0.100"))
     assert(json.contains("\"q2_b\": 1.235"))

@@ -310,7 +310,12 @@ class MultimodalSpec extends SparkSpec {
     // prog0-3 + progodd now DECODE (round 18)
     assert(rows.keySet == ((0 until 4).flatMap(k =>
       Seq(s"base$k.jpg", s"near$k.jpg", s"prog$k.jpg")) ++
-      Seq("jodd.jpg", "progodd.jpg", "progzrl.jpg")).toSet)
+      Seq("jodd.jpg", "progodd.jpg", "progzrl.jpg", "postcom.jpg")).toSet)
+    // post-scan COM/APPn segments are length-skipped (T.81 misc
+    // segments; round-19 advice fix) — same entropy as base0, so
+    // distance 0; the hostile sibling's COM length overruns the file
+    assert(rows("postcom.jpg").dhash == rows("base0.jpg").dhash,
+      "postcom: post-scan segments must be transparent")
     // progzrl exists to exercise the paths smooth gradients never
     // reach: ZRL in BOTH passes, EOB runs > 1, history correction
     // bits pending behind an open EOB run (generator-asserted via
@@ -352,7 +357,7 @@ class MultimodalSpec extends SparkSpec {
       java.nio.file.Paths.get(s"/root/repo/fixtures/images_jpeg/$n"))
     for (n <- Seq("progressive.jpg", "arith.jpg", "prec12.jpg",
         "trunc.jpg", "notjpeg.jpg", "tiny_8x4.jpg", "progdri.jpg",
-        "progtrunc.jpg"))
+        "progtrunc.jpg", "postcombad.jpg"))
       assert(Jpeg.parseJpegDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
     // progressive hostile beyond the authored arms: truncation at
     // every marker boundary of prog2 must drop, never throw
@@ -486,6 +491,32 @@ class MultimodalSpec extends SparkSpec {
         Seq.fill(64)((273, 4, (1L << 20), manyOff.toLong)),
       bigTail)
     assert(parseTiffDHash("x", many).isEmpty)
+    // ── out-of-file VALUE POINTER must DROP the file, never read as
+    // absent (round-19 advice fix): a BitsPerSample slot (pointed —
+    // cnt 3 SHORT = 6 bytes > 4) with a wild offset previously fell
+    // back to the 8-bit default and the file hashed as 8-bit garbage.
+    // Same file with the pointer fixed decodes; same file with the
+    // slot OVER-CAP (cnt 9 > the reader's 8) stays ABSENT → default 8
+    // → decodes. The three arms pin the absent/drop boundary.
+    def rgb9x8(bpsCnt: Long, bpsPtr: Long): Array[Byte] = {
+      val ext = 8 + 2 + 12 * 9 + 4
+      val bits = Array[Byte](8, 0, 8, 0, 8, 0)
+      val strip = Array.fill[Byte](9 * 8 * 3)(0x40)
+      tiff(Seq(
+        (256, 4, 1L, 9L), (257, 4, 1L, 8L),
+        (258, 3, bpsCnt, bpsPtr),
+        (259, 3, 1L, 1L), (262, 3, 1L, 2L),
+        (273, 4, 1L, (ext + 6).toLong), (277, 3, 1L, 3L),
+        (279, 4, 1L, (9 * 8 * 3).toLong), (284, 3, 1L, 1L)),
+        bits ++ strip)
+    }
+    val ext9 = 8 + 2 + 12 * 9 + 4
+    assert(parseTiffDHash("x", rgb9x8(3L, ext9.toLong)).nonEmpty,
+      "control: valid pointed BitsPerSample must decode")
+    assert(parseTiffDHash("x", rgb9x8(3L, 1L << 20)).isEmpty,
+      "hostile: out-of-file BitsPerSample pointer must drop the file")
+    assert(parseTiffDHash("x", rgb9x8(9L, 1L << 20)).nonEmpty,
+      "over-cap slot stays ABSENT (default 8) — bomb posture unchanged")
   }
 
   test("dHashGif: first-frame decode matches the generator (LZW, " +
@@ -566,6 +597,26 @@ class MultimodalSpec extends SparkSpec {
     for (cut <- Seq(16, ok.length / 3, ok.length - 2))
       assert(Vp8l.parseVp8lDHash("x", ok.take(cut)).isEmpty,
         s"cut@$cut must skip")
+    // round-19 advice fix: the color-cache flag set with
+    // color_cache_code_bits == 0 must REJECT (RFC 9649 range is
+    // 1..11; libwebp errors) — previously the cache was silently
+    // disabled and a file real decoders reject hashed here. Bit-
+    // crafted 9×8 header; LSB-first bits after the 32-bit dims word:
+    // 0 (no transform), 1 (cache flag), 0000 (cache bits), 0 (meta)
+    // = 0x02. The positive control for cache decoding is the fixture
+    // parity above (the generator emits cache_bits > 0 members).
+    def vp8lFile(headTail: Array[Byte]): Array[Byte] = {
+      val pay = Array[Byte](0x2f, 0x08, 0xc0.toByte, 0x01, 0x00) ++ headTail
+      val riff = java.nio.ByteBuffer.allocate(20 + pay.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      riff.put("RIFF".getBytes("US-ASCII")).putInt(12 + pay.length)
+        .put("WEBP".getBytes("US-ASCII"))
+        .put("VP8L".getBytes("US-ASCII")).putInt(pay.length).put(pay)
+      riff.array()
+    }
+    assert(Vp8l.parseVp8lDHash(
+      "x", vp8lFile(Array[Byte](0x02, 0, 0))).isEmpty,
+      "cache flag + cacheBits 0 must reject")
   }
 
   test("aHashAiff/aHashAu: AIFF re-encodes hash identically to their " +

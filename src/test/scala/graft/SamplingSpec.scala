@@ -373,6 +373,27 @@ class SamplingSpec extends SparkSpec {
     // quotas: a 11, b 7 (rem 2), c 3 (rem 4); left 1 → c gets it
     assert(c2 == Map("a" -> 11L, "b" -> 7L, "c" -> 4L), c2.toString)
     assert(c2.values.sum == 22L)
+    // ── TIE CONTRACT (round-19 advice fix): globalDenseSeq's running
+    // sum makes duplicate (src, order) keys PEERS sharing one
+    // sequence value, so an alloc boundary inside a peer group keeps
+    // all-or-none of it. With every key duplicated, the tie-less call
+    // violates Σ alloc == T (the negative control proving the
+    // documented hazard is real); a key-completing tieBreak restores
+    // the exact counts — changing WHICH equal-score rows survive,
+    // never how many.
+    val dup = (for ((s, n) <- Seq(("a", 11), ("b", 9), ("c", 50));
+        i <- 1 to n; copy <- Seq(0, 1))
+      yield (s, s + f"$i%03d", s"$i-$copy")).toDF("src", "score", "id")
+    val noTie = Sampling.sizeSourcesToWeights(dup, "src", "score", w)
+      .count()
+    assert(noTie != 44L, s"tie fixture must exhibit the drift ($noTie)")
+    val tied = Sampling.sizeSourcesToWeights(
+        dup, "src", "score", w, tieBreak = Seq(col("id")))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // doubled counts: T = min(22·6/3, 18·6/2, 100·6/1) = 44;
+    // quotas: a 22, b 14 (rem 4), c 7 (rem 2); left 1 → b gets it
+    assert(tied == Map("a" -> 22L, "b" -> 15L, "c" -> 7L), tied.toString)
+    assert(tied.values.sum == 44L)
   }
 
   test("sizeSourcesToWeights plan: no WindowExec partitioned by the " +

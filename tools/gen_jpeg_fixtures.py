@@ -1175,8 +1175,30 @@ for key in ("zrl_first", "zrl_refine", "refine_new", "refine_history",
             "eob_run_gt1", "pend_bits_behind_eob"):
     assert zrl_stats.get(key, 0) > 0, (key, zrl_stats)
 
-# out-of-contract fixtures (decoder must SKIP)
+# post-scan misc segments: T.81 allows COM/APPn between the scan data
+# and EOI (a real encoder appending a trailer comment emits exactly
+# this); the decoder length-skips them and still requires EOI after
+# (round-19 advice fix — the round-18 strict EOI gate dropped such
+# legal files). Same entropy bytes as base0, so the expected hash is
+# base0's; the independent decode below re-proves it.
 ok = open(f"{OUT}/base0.jpg", "rb").read()
+postcom = (ok[:-2]
+           + b"\xff\xfe" + struct.pack(">H", 10) + b"trailer!"
+           + b"\xff\xe9" + struct.pack(">H", 4) + b"zz"
+           + b"\xff\xd9")
+with open(f"{OUT}/postcom.jpg", "wb") as f:
+    f.write(postcom)
+dw, dh, pc_rows = decode_jpeg_luma(postcom)
+assert (dw, dh) == (W, H)
+pc_hash = dhash_rows(dw, dh, pc_rows)
+assert pc_hash == hashes["base0.jpg"], "postcom/base0 divergence"
+rows_out.append(("postcom.jpg", W, H, pc_hash))
+# hostile sibling: a post-scan COM whose declared length overruns the
+# file — must SKIP (spec-arm only, never in the expected parquet)
+with open(f"{OUT}/postcombad.jpg", "wb") as f:
+    f.write(ok[:-2] + b"\xff\xfe\x40\x00short")
+
+# out-of-contract fixtures (decoder must SKIP)
 sof_at = ok.index(b"\xff\xc0")
 with open(f"{OUT}/progressive.jpg", "wb") as f:  # SOF2
     f.write(ok[:sof_at] + b"\xff\xc2" + ok[sof_at + 2:])

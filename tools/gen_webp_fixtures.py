@@ -423,7 +423,13 @@ def decode_vp8l_luma(data):
         t = br.read(2)
         assert t == 2, "only subtract-green in contract"
         subtract_green = True
-    cache_bits = br.read(4) if br.read(1) else 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        # RFC 9649: color_cache_code_bits in 1..11 when the flag is
+        # set (libwebp rejects 0) — mirrors the Scala decoder's reject
+        assert 1 <= cache_bits <= 11, "color_cache_code_bits out of range"
+    else:
+        cache_bits = 0
     assert br.read(1) == 0, "meta prefix image out of contract"
 
     def read_code(codes_by_len):
