@@ -4266,6 +4266,27 @@ object SparkEntry {
           col("width"), col("height"), col("dhash"))
     }),
 
+    // ── EXIF-orientation-aware JPEG dHash (round 19, verdict item 1):
+    // APP1/EXIF tag 274 (values 1-8) applied to the luma grid before
+    // the dHash fold, so a rotated-at-capture phone photo and its
+    // upright re-encode hash at distance 0 (all eight members carry
+    // one hash — generator-proven by construction: mirrors flip DCT
+    // signs, transposes transpose, the symmetric quant commutes).
+    // width/height are the UPRIGHT dims (exif6odd: 19×35 stored reads
+    // back 35×19); hostile EXIF (corrupt TIFF, LONG-typed tag, value
+    // 0, IFD1-only/thumbnail orientation) skips the TAG never the
+    // file, and the FIRST APP1 wins (exifdup pins it). Oracle: the
+    // generator's independent decode + independent transform. ──
+    "q373_exif_orient" -> ((s, _) => {
+      import graft.ext.{Jpeg, Multimodal}
+      Jpeg.dHashJpeg(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/images_jpeg")))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("width"), col("height"), col("orientation"), col("dhash"))
+        .filter(col("name").startsWith("exif"))
+    }),
+
     // ── the RE-ENCODE dedup capstone (q360): BMP + PNG + JPEG corpora
     // hash through ONE shared cell spec, so every cross-format
     // re-encode of the same image pairs at distance 0 (the fixture
@@ -12321,6 +12342,15 @@ object SparkEntry {
     "q359_jpeg_dhash" ->
       """SELECT name, width, height, dhash
         |FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')"""
+        .stripMargin,
+
+    // EXIF-orientation mirror: the generator's independent decode +
+    // independent tag-274 transform over the bytes it wrote; the
+    // orientation column certifies the tag parse (ignore arms read 1)
+    "q373_exif_orient" ->
+      """SELECT name, width, height, orientation, dhash
+        |FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')
+        |WHERE name LIKE 'exif%'"""
         .stripMargin,
 
     // re-encode capstone mirror: brute-force ALL-pairs over the union

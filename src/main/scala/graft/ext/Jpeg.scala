@@ -50,8 +50,11 @@ import graft.ext.Multimodal.MediaFile
   */
 object Jpeg {
 
+  /** `width`/`height` are the UPRIGHT dims (post-EXIF-orientation);
+    * `orientation` is EXIF tag 274 (1 when absent/corrupt/ignored).
+    */
   case class JpegHashRow(path: String, width: Int, height: Int,
-      components: Int, dhash: Long)
+      components: Int, orientation: Int, dhash: Long)
 
   def dHashJpeg(files: Dataset[MediaFile]): Dataset[JpegHashRow] = {
     val spark = files.sparkSession
@@ -186,6 +189,115 @@ object Jpeg {
     }
   }
 
+  /** EXIF Orientation (tag 274) from the FIRST APP1 "Exif\0\0"
+    * segment before the scan — 1 everywhere else. Round 19 (verdict
+    * item 1): real photo corpora carry capture-time rotation in EXIF,
+    * and without it a rotated phone photo and its upright re-encode
+    * hash as DIFFERENT images, so the dedup arc misses the pair.
+    *
+    * Hostile posture is per-TAG, not per-file (the advice-fix
+    * boundary inverted: a wild orientation must not drop an otherwise
+    * valid photo — it is metadata, not pixels): any anomaly — bad
+    * TIFF magic, truncated IFD, out-of-file offsets, non-SHORT type,
+    * count ≠ 1, value outside 1..8 — IGNORES the tag and decodes
+    * upright. First APP1 wins; first tag-274 entry within it wins
+    * (pinned by the exifdup fixture). IFD0 only — the orientation of
+    * the EMBEDDED THUMBNAIL (IFD1) must never rotate the main image.
+    */
+  private[graft] def exifOrientation(b: Array[Byte]): Int = {
+    var p = 2
+    while (p + 3 < b.length && (b(p) & 0xff) == 0xff) {
+      val m = b(p + 1) & 0xff
+      if (m == 0xff) p += 1 // fill byte
+      else if (m == 0xda || m == 0xd9) return 1 // scan/EOI: no EXIF
+      else if (m >= 0xd0 && m <= 0xd7) p += 2 // bare RSTn (hostile)
+      else {
+        val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (len < 2 || p + 2 + len > b.length) return 1
+        if (m == 0xe1 && len >= 8 &&
+            b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+            b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0)
+          return exifTiffOrientation(b, p + 10, p + 2 + len)
+        p += 2 + len
+      }
+    }
+    1
+  }
+
+  /** IFD0 walk over the TIFF structure at [off, end); any anomaly
+    * reads as orientation 1 (skip the tag, never the file).
+    */
+  private def exifTiffOrientation(b: Array[Byte], off: Int, end: Int): Int = {
+    val lim = math.min(end, b.length)
+    if (off + 8 > lim) return 1
+    val little =
+      if (b(off) == 'I' && b(off + 1) == 'I') true
+      else if (b(off) == 'M' && b(off + 1) == 'M') false
+      else return 1
+    def u16(o: Int): Int =
+      if (o < off || o + 2 > lim) -1
+      else if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < off || o + 4 > lim) -1L
+      else if (little)
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else
+        ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u16(off + 2) != 42) return 1
+    val ifd = u32(off + 4)
+    if (ifd < 8L || ifd > Int.MaxValue - 8) return 1
+    val base = off + ifd.toInt
+    val n = u16(base)
+    if (n <= 0 || base + 2 + 12L * n > lim) return 1
+    var i = 0
+    while (i < n) {
+      val o = base + 2 + 12 * i
+      if (u16(o) == 274) {
+        // SHORT, count 1, value inline — anything else is not the
+        // orientation this scan trusts
+        if (u16(o + 2) != 3 || u32(o + 4) != 1L) return 1
+        val v = u16(o + 8)
+        return if (v >= 1 && v <= 8) v else 1
+      }
+      i += 1
+    }
+    1
+  }
+
+  /** The tag-274 display transform: hash the UPRIGHT image by mapping
+    * each upright (x, y) to its stored-grid source. Orientations 5-8
+    * swap the hashed dims. The table (upright → stored, stored dims
+    * w×h):
+    *   1 (x,y)  2 (w-1-x,y)  3 (w-1-x,h-1-y)  4 (x,h-1-y)
+    *   5 (y,x)  6 (y,h-1-x)  7 (w-1-y,h-1-x)  8 (w-1-y,x)
+    * 6 and 8 are each other's inverses, so a direction slip cannot
+    * hide (the exif6/exif8 fixtures differ); the rest are
+    * involutions.
+    */
+  private def orientedHash(
+      o: Int, w: Int, h: Int)(lumaAt: (Int, Int) => Int): Long = {
+    val uw = if (o >= 5) h else w
+    val uh = if (o >= 5) w else h
+    Multimodal.dHashOfLuma(uw, uh) { (x, y) =>
+      val sx = o match {
+        case 2 | 3 => w - 1 - x
+        case 5 | 6 => y
+        case 7 | 8 => w - 1 - y
+        case _ => x
+      }
+      val sy = o match {
+        case 3 | 4 => h - 1 - y
+        case 6 | 7 => h - 1 - x
+        case 5 | 8 => x
+        case _ => y
+      }
+      lumaAt(sx, sy) * 1000L
+    }
+  }
+
   private def decode(path: String, b: Array[Byte]): Option[JpegHashRow] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
@@ -287,7 +399,11 @@ object Jpeg {
       p += 2 + len
       }
     }
-    if (w < 9 || h < 8) return None // sub-grid skip (shared rule)
+    // sub-grid skip (shared rule) — evaluated on the UPRIGHT dims:
+    // an 8×64 stored image with orientation 6 is a 64×8 photo
+    val orient = exifOrientation(b)
+    if ((if (orient >= 5) h else w) < 9 ||
+        (if (orient >= 5) w else h) < 8) return None
     if (w.toLong * h > Multimodal.PngMaxPixels) return None // bomb cap
     // every referenced table must exist
     if (scan.exists(s => dcTab(s._2) == null || acTab(s._3) == null))
@@ -443,10 +559,13 @@ object Jpeg {
       } else return None
     }
 
-    // ── the shared grid fold over the W×H (padding discarded) ──
-    Some(JpegHashRow(path, w, h, nf, Multimodal.dHashOfLuma(w, h) {
-      (x, y) => (ypix(y * ybw * 8 + x) & 0xff) * 1000L
-    }))
+    // ── the shared grid fold over the UPRIGHT W×H (padding
+    // discarded, EXIF orientation applied — round 19) ──
+    Some(JpegHashRow(path,
+      if (orient >= 5) h else w, if (orient >= 5) w else h, nf, orient,
+      orientedHash(orient, w, h) {
+        (sx, sy) => ypix(sy * ybw * 8 + sx) & 0xff
+      }))
   }
 
   /** PROGRESSIVE (SOF2) decode — round 18: spectral selection +
@@ -476,6 +595,7 @@ object Jpeg {
       if (off + 1 >= b.length) throw new Malformed
       else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
     var p = 2
+    val orient = exifOrientation(b)
     val qt = new Array[Array[Int]](4)
     val dcTab = new Array[HuffTable](4)
     val acTab = new Array[HuffTable](4)
@@ -538,7 +658,9 @@ object Jpeg {
             hmax = comps.map(_._2).max
             vmax = comps.map(_._3).max
             if (comps(0)._2 != hmax || comps(0)._3 != vmax) return None
-            if (w < 9 || h < 8) return None // sub-grid (shared rule)
+            // sub-grid (shared rule) on the UPRIGHT dims (round 19)
+            if ((if (orient >= 5) h else w) < 9 ||
+                (if (orient >= 5) w else h) < 8) return None
             if (w.toLong * h > Multimodal.PngMaxPixels) return None
             mcux = (w + 8 * hmax - 1) / (8 * hmax)
             mcuy = (h + 8 * vmax - 1) / (8 * vmax)
@@ -614,9 +736,11 @@ object Jpeg {
       }
       bi += 1
     }
-    Some(JpegHashRow(path, w, h, nf, Multimodal.dHashOfLuma(w, h) {
-      (x, y) => (ypix(y * ybw * 8 + x) & 0xff) * 1000L
-    }))
+    Some(JpegHashRow(path,
+      if (orient >= 5) h else w, if (orient >= 5) w else h, nf, orient,
+      orientedHash(orient, w, h) {
+        (sx, sy) => ypix(sy * ybw * 8 + sx) & 0xff
+      }))
   }
 
   /** Decode one progressive scan; returns the byte offset of the

@@ -310,7 +310,36 @@ class MultimodalSpec extends SparkSpec {
     // prog0-3 + progodd now DECODE (round 18)
     assert(rows.keySet == ((0 until 4).flatMap(k =>
       Seq(s"base$k.jpg", s"near$k.jpg", s"prog$k.jpg")) ++
-      Seq("jodd.jpg", "progodd.jpg", "progzrl.jpg", "postcom.jpg")).toSet)
+      (1 to 8).map(o => s"exif$o.jpg") ++
+      Seq("jodd.jpg", "progodd.jpg", "progzrl.jpg", "postcom.jpg",
+        "exif6odd.jpg", "exifbad.jpg", "exiflong.jpg", "exifzero.jpg",
+        "exifdup.jpg", "exifthumb.jpg")).toSet)
+    // ── EXIF orientation (round 19): all eight tag values hash the
+    // UPRIGHT image — one hash across the whole family — and the
+    // ignore arms (corrupt TIFF, LONG-typed tag, value 0, first-APP1-
+    // wins decoy, IFD1-only thumbnail orientation) skip the TAG while
+    // still decoding the file
+    for (o <- 2 to 8)
+      assert(rows(s"exif$o.jpg").dhash == rows("exif1.jpg").dhash,
+        s"exif$o: oriented decode diverged from upright")
+    for (o <- 1 to 8)
+      assert(rows(s"exif$o.jpg").orientation == o, s"exif$o tag value")
+    for (n <- Seq("exifbad.jpg", "exiflong.jpg", "exifzero.jpg",
+        "exifthumb.jpg")) {
+      assert(rows(n).orientation == 1, s"$n: hostile tag must read 1")
+      assert(rows(n).dhash == rows("exif1.jpg").dhash, s"$n hash")
+    }
+    assert(rows("exifdup.jpg").orientation == 3, "first APP1 wins")
+    assert(rows("exifdup.jpg").dhash == rows("exif1.jpg").dhash)
+    // dim swap: 19×35 stored under orientation 6 reads back as the
+    // 35×19 upright photo and lands EXACTLY on jodd's hash (cross-
+    // membership into an existing capstone cluster)
+    assert(rows("exif6odd.jpg").width == 35
+      && rows("exif6odd.jpg").height == 19)
+    assert(rows("exif6odd.jpg").dhash == rows("jodd.jpg").dhash,
+      "exif6odd: dim-swapped member diverged from jodd")
+    // untagged files read orientation 1
+    assert(rows("base0.jpg").orientation == 1)
     // post-scan COM/APPn segments are length-skipped (T.81 misc
     // segments; round-19 advice fix) — same entropy as base0, so
     // distance 0; the hostile sibling's COM length overruns the file

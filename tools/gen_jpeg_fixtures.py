@@ -1274,11 +1274,153 @@ with open(f"{OUT}/progtrunc.jpg", "wb") as f:
     last_sos = pdata.rindex(b"\xff\xda")
     f.write(pdata[:last_sos + 20])
 
+# ═══════════════ EXIF ORIENTATION (tag 274) — round 19 ═══════════════
+# Real photo corpora carry capture-time rotation in APP1/EXIF; the
+# decoder must hash the UPRIGHT image so a rotated phone photo pairs
+# with its upright re-encode at distance 0. Shared spec (implemented
+# twice — here and Jpeg.scala): FIRST APP1 "Exif\0\0" wins; IFD0 only
+# (an IFD1/thumbnail orientation never rotates the main image); tag
+# 274 must be SHORT, count 1, value 1..8 — ANY anomaly ignores the
+# TAG (never the file). Upright(x,y) ← stored(sx,sy), stored dims w×h:
+#   1 (x,y)  2 (w-1-x,y)  3 (w-1-x,h-1-y)  4 (x,h-1-y)
+#   5 (y,x)  6 (y,h-1-x)  7 (w-1-y,h-1-x)  8 (w-1-y,x)
+# Distance-0 membership is BY CONSTRUCTION: mirrors flip DCT
+# coefficient signs ((-1)^u), transposes transpose them; QLUM = 2+r+c
+# is symmetric and python round() is sign-symmetric, so the stored
+# encode's reconstruction is exactly the transform of the upright
+# reconstruction — asserted below for all 8 values.
+
+def exif_transform(o, w, h, rows):
+    """Upright view of a STORED w×h grid per tag-274 value o — the
+    generator's INDEPENDENT transform (the oracle side)."""
+    uw, uh = (h, w) if o >= 5 else (w, h)
+    def src(x, y):
+        sx = {2: w-1-x, 3: w-1-x, 5: y, 6: y, 7: w-1-y, 8: w-1-y}.get(o, x)
+        sy = {3: h-1-y, 4: h-1-y, 5: x, 6: h-1-x, 7: h-1-x, 8: x}.get(o, y)
+        return rows[sy][sx]
+    return uw, uh, [[src(x, y) for x in range(uw)] for y in range(uh)]
+
+def inverse_store(o, uw, uh, upright):
+    """The stored grid whose exif_transform(o) is `upright` (bijection
+    inverted cell-by-cell; sanity-asserted)."""
+    w, h = (uh, uw) if o >= 5 else (uw, uh)
+    stored = [[None] * w for _ in range(h)]
+    for y in range(uh):
+        for x in range(uw):
+            sx = {2: w-1-x, 3: w-1-x, 5: y, 6: y, 7: w-1-y, 8: w-1-y}.get(o, x)
+            sy = {3: h-1-y, 4: h-1-y, 5: x, 6: h-1-x, 7: h-1-x, 8: x}.get(o, y)
+            stored[sy][sx] = upright[y][x]
+    assert all(v is not None for r in stored for v in r), "not a bijection"
+    assert exif_transform(o, w, h, stored)[2] == upright, "inverse slip"
+    return w, h, stored
+
+def exif_app1(orientation, little=True, typ=3, lead=True):
+    e = "<" if little else ">"
+    hdr = (b"II" if little else b"MM") + struct.pack(e + "H", 42) \
+        + struct.pack(e + "I", 8)
+    entries = []
+    if lead:  # an unrelated entry the walker must step past
+        entries.append(struct.pack(e + "HHI", 256, 3, 1)
+                       + struct.pack(e + "H", 64) + b"\x00\x00")
+    if typ == 3:  # SHORT inline: value in the FIRST two slot bytes
+        val = struct.pack(e + "H", orientation) + b"\x00\x00"
+    else:  # LONG-typed arm (out of the scan's trust — tag ignored)
+        val = struct.pack(e + "I", orientation)
+    entries.append(struct.pack(e + "HHI", 274, typ, 1) + val)
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) \
+        + struct.pack(e + "I", 0)
+    pay = b"Exif\x00\x00" + hdr + ifd
+    return b"\xff\xe1" + struct.pack(">H", len(pay) + 2) + pay
+
+# a fresh quadratic pattern (the q220 spread rule) so the orientation
+# family forms its OWN capstone cluster, colliding with nothing
+EXIF_W, EXIF_H = 64, 64
+exif_upright = [[((x * x + 5 * y * y + 3 * x) % 23) * 11
+                 for x in range(EXIF_W)] for y in range(EXIF_H)]
+orients = {}  # name → effective orientation (1 where the tag is ignored)
+
+def author_exif(name, app1s, o_eff, content_o, upright=exif_upright):
+    """content_o stores the plane; o_eff is what a CORRECT decoder
+    applies (1 for the ignore arms). The expected hash comes from this
+    script's independent decode + independent transform."""
+    uw0, uh0 = len(upright[0]), len(upright)
+    w, h, stored = inverse_store(content_o, uw0, uh0, upright)
+    data = encode_jpeg(w, h, [(stored, (1, 1), QLUM, 0)])
+    data = data[:2] + b"".join(app1s) + data[2:]
+    with open(f"{OUT}/{name}", "wb") as f:
+        f.write(data)
+    dw, dh, rows = decode_jpeg_luma(data)
+    assert (dw, dh) == (w, h), name
+    uw, uh, up = exif_transform(o_eff, dw, dh, rows)
+    hsh = dhash_rows(uw, uh, up)
+    rows_out.append((name, uw, uh, hsh))
+    orients[name] = o_eff
+    return hsh
+
+exif_hashes = {}
+for o in range(1, 9):
+    little = o % 2 == 1
+    exif_hashes[o] = author_exif(
+        f"exif{o}.jpg", [exif_app1(o, little=little)], o, o)
+# DISTANCE 0 ACROSS ALL EIGHT: the whole feature's contract. exif1 is
+# the plain upright encode, so equality proves the rotated re-encodes
+# reconstruct the transform of the upright reconstruction exactly.
+for o in range(2, 9):
+    assert exif_hashes[o] == exif_hashes[1], \
+        f"exif{o}: oriented re-encode not distance 0 from upright"
+# dim-swap + partial-edge-block member: jodd's 35×19 pattern stored
+# 19×35 under orientation 6 must land exactly on jodd's hash (the
+# stored grid pads 24×40 by edge replication — the transpose of the
+# upright pad, so reconstruction still commutes)
+jodd_up = [[((x * x + 3 * y) % 17) * 15 for x in range(35)]
+           for y in range(19)]
+h6 = author_exif("exif6odd.jpg", [exif_app1(6)], 6, 6, upright=jodd_up)
+assert h6 == jodd, "exif6odd: dim-swapped member diverged from jodd"
+# ignore arms — the tag (not the file) must be skipped; content is
+# upright, so a decoder that WRONGLY honors the tag rotates an upright
+# image and q359 catches the hash:
+#   corrupt TIFF header after Exif\0\0
+junk = b"Exif\x00\x00" + b"JUNKJUNKJUNK"
+exif_bad = b"\xff\xe1" + struct.pack(">H", len(junk) + 2) + junk
+assert author_exif("exifbad.jpg", [exif_bad], 1, 1) == exif_hashes[1]
+#   LONG-typed tag 274 (out of the scan's trust)
+assert author_exif("exiflong.jpg", [exif_app1(6, typ=3 + 1)], 1, 1) \
+    == exif_hashes[1]
+#   value 0 (outside 1..8)
+assert author_exif("exifzero.jpg", [exif_app1(0)], 1, 1) == exif_hashes[1]
+#   two APP1 segments: the FIRST wins (content stored under 3; a
+#   last-wins decoder would apply 6 and diverge)
+assert author_exif("exifdup.jpg",
+                   [exif_app1(3), exif_app1(6)], 3, 3) == exif_hashes[1]
+#   orientation only in IFD1 (the thumbnail IFD): IFD0 carries no tag
+#   274 but LINKS to an IFD1 that does — must be ignored
+e = "<"
+ifd1 = struct.pack(e + "H", 1) \
+    + struct.pack(e + "HHI", 274, 3, 1) + struct.pack(e + "H", 3) \
+    + b"\x00\x00" + struct.pack(e + "I", 0)
+ifd0_end = 8 + 2 + 12 + 4  # header + 1-entry IFD0 + next ptr
+ifd0 = struct.pack(e + "H", 1) \
+    + struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "H", 64) \
+    + b"\x00\x00" + struct.pack(e + "I", ifd0_end)
+tiff = b"II" + struct.pack(e + "H", 42) + struct.pack(e + "I", 8) \
+    + ifd0 + ifd1
+pay = b"Exif\x00\x00" + tiff
+exif_thumb = b"\xff\xe1" + struct.pack(">H", len(pay) + 2) + pay
+assert author_exif("exifthumb.jpg", [exif_thumb], 1, 1) == exif_hashes[1]
+# cluster cleanliness: the orientation family collides with nothing
+for k in range(4):
+    for s in ("base", "near"):
+        d = dist(exif_hashes[1], hashes[f"{s}{k}.jpg"])
+        assert d > 3, f"exif vs {s}{k} dist {d} <= 3"
+assert dist(exif_hashes[1], jodd) > 3 and dist(exif_hashes[1], progzrl) > 3
+
 con = duckdb.connect()
 con.execute(
-    "CREATE TABLE e (name VARCHAR, width INT, height INT, dhash BIGINT)")
+    "CREATE TABLE e (name VARCHAR, width INT, height INT, "
+    "orientation INT, dhash BIGINT)")
 for n, w, h, hsh in rows_out:
-    con.execute("INSERT INTO e VALUES (?, ?, ?, ?)", [n, w, h, hsh])
+    con.execute("INSERT INTO e VALUES (?, ?, ?, ?, ?)",
+                [n, w, h, orients.get(n, 1), hsh])
 con.execute(f"COPY e TO '{EXPECTED}' (FORMAT PARQUET)")
 print("wrote", len(rows_out), "expected rows to", EXPECTED)
 for n, w, h, hsh in rows_out:
