@@ -966,9 +966,12 @@ object Multimodal {
     * its BMP/PNG/JPEG/GIF siblings at distance 0 (q368). Compression
     * 1 (none, zero-copy strip cursor) and 5 (LZW — MSB-first with
     * the early-change width bump, [[lzwDecodeStrip]], round 18);
-    * each LZW strip is an independent stream. Mirrored independently
-    * by tools/gen_tiff_fixtures.py. Out of contract (SKIP): other
-    * compressions, predictor 2, 16-bit, planar config 2, tiles (no
+    * each LZW strip is an independent stream, and Predictor 2
+    * (horizontal differencing, TIFF 6.0 §14 — round 19) inverts per
+    * row per sample channel after the strip decode. Mirrored
+    * independently by tools/gen_tiff_fixtures.py. Out of contract
+    * (SKIP): other compressions, predictor 2 without LZW, predictor
+    * values other than 1/2, 16-bit, planar config 2, tiles (no
     * strip tags), strip data past EOF, sub-grid.
     */
   def dHashTiff(files: Dataset[MediaFile]): Dataset[TiffHashRow] = {
@@ -1195,6 +1198,14 @@ object Multimodal {
     val need = w * h * spp // ≤ 3·2^24 after the caps above
     if (offs.zip(cnts).exists { case (o, c) => o + c > b.length })
       return None
+    // Predictor (tag 317): 1 = none; 2 = horizontal differencing —
+    // IN contract for LZW since round 19 (verdict item 2: real-world
+    // LZW TIFFs overwhelmingly carry it — the delta is what makes LZW
+    // compress continuous-tone data). Out of contract: predictor 2
+    // on an UNCOMPRESSED file (no real writer emits it; drop rather
+    // than guess) and any other predictor value.
+    val pred = one(317, 1L)
+    if (pred != 1L && !(pred == 2L && comp == 5L)) return None
     val byteAt: Long => Int = if (comp == 1L) {
       // uncompressed: strips must cover exactly w·h·spp bytes, in
       // order, inside the file — read them ZERO-COPY. The scan below
@@ -1211,9 +1222,7 @@ object Multimodal {
       // LZW: StripByteCounts are COMPRESSED sizes; every strip is an
       // independent code stream that must decode to exactly its rows'
       // bytes (RowsPerStrip tag 278, default all rows — the last
-      // strip may be short). Predictor 2 (horizontal differencing)
-      // is out of this scan's contract.
-      if (one(317, 1L) != 1L) return None
+      // strip may be short).
       val rps = one(278, h)
       if (rps <= 0) return None
       val nStrips = ((h + rps - 1) / rps).toInt
@@ -1228,6 +1237,25 @@ object Multimodal {
             dec, pos, expect)) return None
         pos += expect
         si += 1
+      }
+      if (pred == 2L) {
+        // inverse horizontal differencing (TIFF 6.0 §14): per ROW,
+        // per SAMPLE CHANNEL — sample i adds sample i−spp of the
+        // same row, so an RGB row deltas R against R, G against G, B
+        // against B. Rows never span strips (RowsPerStrip ≥ 1), so
+        // one pass over the assembled buffer is row-exact. O(pixels),
+        // in place, mod-256 wraparound by construction.
+        val rowBytes = (w * spp).toInt
+        var y = 0
+        while (y < h) {
+          val base = y * rowBytes
+          var i = spp
+          while (i < rowBytes) {
+            dec(base + i) = ((dec(base + i) + dec(base + i - spp)) & 0xff).toByte
+            i += 1
+          }
+          y += 1
+        }
       }
       (idx: Long) => dec(idx.toInt) & 0xff
     }

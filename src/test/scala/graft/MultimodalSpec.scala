@@ -436,8 +436,9 @@ class MultimodalSpec extends SparkSpec {
     // nottiff/lzw(raw-bytes-as-stream)/lzwtrunc/lzwover/deep16/trunc/
     // tiny_8x4 all SKIPPED; lzw0-3 + lzwnoise DECODE (round 18)
     assert(rows.keySet == ((0 until 4).flatMap(k =>
-      Seq(s"base$k.tif", s"near$k.tif", s"lzw$k.tif")) :+
-      "lzwnoise.tif").toSet)
+      Seq(s"base$k.tif", s"near$k.tif", s"lzw$k.tif")) ++
+      Seq("lzwnoise.tif", "p2lzw0.tif", "p2lzw1.tif", "p2lzw2.tif",
+        "p2noise.tif")).toSet)
     // LZW legs are exact cluster members: byte order x multi-strip x
     // photometric inversion all compose UNDER the codec (lzw1 is
     // big-endian 4-strip, lzw3 is WhiteIsZero — each strip an
@@ -445,6 +446,15 @@ class MultimodalSpec extends SparkSpec {
     for (k <- 0 until 4)
       assert(rows(s"lzw$k.tif").dhash == rows(s"base$k.tif").dhash,
         s"lzw$k: LZW decode diverges from the uncompressed sibling")
+    // Predictor 2 (round 19): the inverse horizontal delta reproduces
+    // the exact cluster member — gray, BIG-endian multi-strip, RGB
+    // (per-SAMPLE delta: a byte-wise delta would smear channels and
+    // shift cells), and the noise pattern's mod-256 wraparounds
+    for (k <- 0 until 3)
+      assert(rows(s"p2lzw$k.tif").dhash == rows(s"base$k.tif").dhash,
+        s"p2lzw$k: predictor-2 decode diverges")
+    assert(rows("p2noise.tif").dhash == rows("lzwnoise.tif").dhash,
+      "p2noise: wraparound delta divergence")
     // structure legs: little/big endian, RGB, WhiteIsZero
     assert(!rows("base0.tif").bigEndian && rows("base1.tif").bigEndian)
     // FORMAT PARITY: lossless, shared formulas — any slip in the IFD
@@ -458,8 +468,11 @@ class MultimodalSpec extends SparkSpec {
         s"$s$k: tiff/bmp hash divergence")
     def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"/root/repo/fixtures/images_tiff/$n"))
+    // p2raw = predictor 2 without LZW (no real writer emits it);
+    // p2bad = unknown predictor 3 — both drop
     for (n <- Seq("nottiff.tif", "lzw.tif", "lzwtrunc.tif",
-        "lzwover.tif", "deep16.tif", "trunc.tif", "tiny_8x4.tif"))
+        "lzwover.tif", "deep16.tif", "trunc.tif", "tiny_8x4.tif",
+        "p2raw.tif", "p2bad.tif"))
       assert(parseTiffDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
     assert(parseTiffDHash("x", Array.emptyByteArray).isEmpty)
     val cut = bytesOf("base0.tif")

@@ -197,8 +197,10 @@ def lzw_decode(data, expect):
 
 def tiff_bytes(w, h, lum, *, big=False, rgb=False, white_is_zero=False,
                rows_per_strip=None, compression=1, bits=8,
-               strips_override=None, lzw_stats=None):
-    """Author a classic TIFF. Strip data follows the IFD."""
+               strips_override=None, lzw_stats=None, predictor=1):
+    """Author a classic TIFF. Strip data follows the IFD. predictor=2
+    forward-differences each row per sample channel (TIFF 6.0 §14)
+    before the LZW pass — the real-world LZW shape (round 19)."""
     e = ">" if big else "<"
     spp = 3 if rgb else 1
     photometric = 2 if rgb else (0 if white_is_zero else 1)
@@ -207,10 +209,17 @@ def tiff_bytes(w, h, lum, *, big=False, rgb=False, white_is_zero=False,
     for y0 in range(0, h, rps):
         row_bytes = bytearray()
         for y in range(y0, min(y0 + rps, h)):
+            row = bytearray()
             for x in range(w):
                 l = lum(x, y)
                 v = (255 - l) if white_is_zero else l
-                row_bytes += bytes([v] * spp if rgb else [v])
+                row += bytes([v] * spp if rgb else [v])
+            if predictor == 2:
+                # forward delta, right-to-left so each sample deltas
+                # against the SAME channel one pixel left
+                for i in range(len(row) - 1, spp - 1, -1):
+                    row[i] = (row[i] - row[i - spp]) & 0xFF
+            row_bytes += row
         strips.append(bytes(row_bytes))
     if compression == 5:
         strips = [lzw_encode(s, lzw_stats) for s in strips]
@@ -238,6 +247,8 @@ def tiff_bytes(w, h, lum, *, big=False, rgb=False, white_is_zero=False,
     tags.append((277, 3, 1, [spp]))
     tags.append((278, 3, 1, [rps]))
     tags.append((279, 4, nstrips, [len(s) for s in strips]))
+    if predictor != 1:
+        tags.append((317, 3, 1, [predictor]))
     tags.sort(key=lambda t: t[0])
     n = len(tags)
     ifd_off = 8
@@ -323,6 +334,8 @@ def decode_tiff_luma(b):
     spp = tags.get(277, [1])[0]
     rps = tags.get(278, [h])[0]
     offs, cnts = tags[273], tags[279]
+    pred = tags.get(317, [1])[0]
+    assert pred == 1 or (pred == 2 and comp == 5)
     if comp == 5:
         # every strip is an independent LZW stream decoding to exactly
         # its rows' bytes
@@ -333,6 +346,14 @@ def decode_tiff_luma(b):
         data = b"".join(parts)
     else:
         data = b"".join(b[o:o + c] for o, c in zip(offs, cnts))
+    if pred == 2:
+        # inverse horizontal differencing: per row, per sample channel
+        buf = bytearray(data)
+        for y in range(h):
+            base = y * w * spp
+            for i in range(spp, w * spp):
+                buf[base + i] = (buf[base + i] + buf[base + i - spp]) & 0xFF
+        data = bytes(buf)
     lum = [[0] * w for _ in range(h)]
     for y in range(h):
         for x in range(w):
@@ -406,6 +427,39 @@ assert st.get("max_width", 9) == 12 and st.get("resets", 0) >= 1, st
 names.append("lzwnoise.tif")
 hashes["lzwnoise.tif"] = dhash(noise_l)
 
+# ── Predictor 2 (horizontal differencing) members — round 19: the
+# variant real scanned-document corpora actually emit (the delta is
+# what makes LZW compress continuous-tone data). Gray single-strip,
+# BIG-endian multi-strip, RGB chunky (the per-SAMPLE delta: R deltas
+# against R, G against G, B against B — a byte-wise delta would smear
+# channels), and the high-entropy noise pattern (mod-256 wraparound
+# deltas under the full width schedule). All lossless → exact members
+# of their clusters. ──
+p2_specs = {
+    "p2lzw0.tif": (0, dict()),
+    "p2lzw1.tif": (1, dict(big=True, rows_per_strip=16)),
+    "p2lzw2.tif": (2, dict(rgb=True)),
+}
+for name, (k, spec) in p2_specs.items():
+    lum = (lambda kk: lambda x, y: luma_at(kk, False, x, y))(k)
+    with open(f"{OUT}/{name}", "wb") as f:
+        f.write(tiff_bytes(W, H, lum, compression=5, predictor=2, **spec))
+    names.append(name)
+    hashes[name] = dhash(lum)
+with open(f"{OUT}/p2noise.tif", "wb") as f:
+    f.write(tiff_bytes(W, H, noise_l, rgb=True, rows_per_strip=64,
+                       compression=5, predictor=2))
+names.append("p2noise.tif")
+hashes["p2noise.tif"] = dhash(noise_l)
+# hostile predictor arms: predictor 2 WITHOUT LZW and an unknown
+# predictor value — both out of contract, must drop
+with open(f"{OUT}/p2raw.tif", "wb") as f:
+    f.write(tiff_bytes(W, H, lambda x, y: luma_at(0, False, x, y),
+                       predictor=2))
+with open(f"{OUT}/p2bad.tif", "wb") as f:
+    f.write(tiff_bytes(W, H, lambda x, y: luma_at(0, False, x, y),
+                       compression=5, predictor=3))
+
 # out-of-contract fixtures
 with open(f"{OUT}/nottiff.tif", "wb") as f:
     f.write(b"JUNKJUNKJUNKJUNK" * 8)
@@ -465,6 +519,28 @@ for y in range(H):
         nl = noise_l(x, y)
         want = nl * 299 + nl * 587 + nl * 114
         assert lum[y][x] == want, ("lzwnoise", x, y, lum[y][x], want)
+# predictor-2 members: independent decode (inverse delta applied by
+# the MIRROR decoder, never the encoder's buffer) must reproduce the
+# formula pixels exactly
+for name, (k, spec) in p2_specs.items():
+    w, h, lum = decode_tiff_luma(open(f"{OUT}/{name}", "rb").read())
+    assert (w, h) == (W, H), name
+    for y in range(H):
+        for x in range(W):
+            l = luma_at(k, False, x, y)
+            want = (l * 299 + l * 587 + l * 114) if "rgb" in spec \
+                else l * 1000
+            assert lum[y][x] == want, (name, x, y, lum[y][x], want)
+w, h, lum = decode_tiff_luma(open(f"{OUT}/p2noise.tif", "rb").read())
+assert (w, h) == (W, H)
+for y in range(H):
+    for x in range(W):
+        nl = noise_l(x, y)
+        want = nl * 299 + nl * 587 + nl * 114
+        assert lum[y][x] == want, ("p2noise", x, y, lum[y][x], want)
+# and the delta actually changed the wire bytes (non-vacuity)
+assert open(f"{OUT}/p2lzw0.tif", "rb").read() != \
+    open(f"{OUT}/lzw0.tif", "rb").read()
 
 # planted-pair geometry (matches the other formats by construction)
 def dist(a, b):
@@ -475,9 +551,13 @@ for k in range(4):
     assert 1 <= d <= 3
     # LZW re-encode of the base pattern: exact cluster member
     assert hashes[f"lzw{k}.tif"] == hashes[f"base{k}.tif"], k
-# the noise singleton joins NO cluster
+for name, (k, spec) in p2_specs.items():
+    # predictor-2 re-encodes are exact cluster members
+    assert hashes[name] == hashes[f"base{k}.tif"], name
+assert hashes["p2noise.tif"] == hashes["lzwnoise.tif"]
+# the noise pair joins NO planted cluster
 for n2 in names:
-    if n2 != "lzwnoise.tif":
+    if n2 not in ("lzwnoise.tif", "p2noise.tif"):
         assert dist(hashes["lzwnoise.tif"], hashes[n2]) > 3, n2
 con = duckdb.connect()
 con.execute(
