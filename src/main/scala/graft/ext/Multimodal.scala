@@ -358,8 +358,15 @@ object Multimodal {
     *   - 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette —
     *     round 18), 4 (gray+alpha), 6 (RGBA); 16-bit images are
     *     routed out; ALPHA IS IGNORED for luma (spec-pinned);
-    *   - interlace 0 only (Adam7 re-orders rows across seven passes —
-    *     out of contract, dropped);
+    *   - interlace 0 AND 1 (Adam7 — round 19): each of the seven
+    *     passes is an independent filtered sub-image (own filter
+    *     bytes, first row against a zero row, per-pass width); a
+    *     pass made empty by the image dims contributes zero bytes;
+    *     pixels fold into the grid at their FULL-image coordinates,
+    *     so the interlaced re-encode hashes identically to the
+    *     sequential one; interlace values > 1 drop;
+    *   - the inflated size is the Adam7 per-pass sum when
+    *     interlaced (the h·(1+w·ch) rule applied per sub-image);
     *   - luma per pixel: gray g → g·1000 (the r=g=b case), RGB(A) →
     *     r·299 + g·587 + b·114 — the BMP weighting verbatim;
     *     palette indices are APPLIED through the PLTE triples before
@@ -437,9 +444,11 @@ object Multimodal {
       off += 12 + len
     }
     if (!end || w <= 0 || h <= 0) return None
-    // contract gates: 8-bit, gray/RGB/palette color, no interlace;
-    // a palette image without a PLTE is structurally broken
-    if (depth != 8 || !Seq(0, 2, 3, 4, 6).contains(ct) || interlace != 0)
+    // contract gates: 8-bit, gray/RGB/palette color, interlace 0 or
+    // Adam7 (round 19 — legacy web PNGs carry it); a palette image
+    // without a PLTE is structurally broken
+    if (depth != 8 || !Seq(0, 2, 3, 4, 6).contains(ct) ||
+        (interlace != 0 && interlace != 1))
       return None
     if (ct == 3 && plte == null) return None
     val ch =
@@ -447,7 +456,25 @@ object Multimodal {
     if (w < 9 || h < 8) return None // sub-grid skip (shared rule)
     if (w.toLong * h > PngMaxPixels) return None // bomb cap pre-alloc
     val stride = w * ch // bytes per pixel row, ≤ PngMaxPixels·4
-    val need = h.toLong * (1 + stride)
+    // Adam7 passes: (x0, y0, dx, dy). Each non-empty pass is an
+    // INDEPENDENT filtered sub-image — its own scanlines, its own
+    // filter bytes, its first row filtering against a zero row; a
+    // pass whose sub-image is empty (w ≤ x0 or h ≤ y0) contributes
+    // ZERO bytes, filter bytes included (the per-pass width change
+    // and the absent-pass rule are the two traps).
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val need = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) ph.toLong * (1 + pw.toLong * ch) else 0L
+    }.sum
     if (need > Int.MaxValue) return None
     // ── IDAT inflate: exact expected size, short/overlong drop.
     // `n == 0 && !finished` covers EVERY stuck state — truncated
@@ -480,64 +507,80 @@ object Multimodal {
         if (extra > 0 || !inf.finished()) return None // over-long
       }
     } finally inf.end()
-    // ── per-row filter inversion + luma grid in one pass ──
+    // ── per-row filter inversion + luma grid in one pass (per Adam7
+    // pass when interlaced — two rows of state either way, never a
+    // full pixel buffer) ──
     val prev = new Array[Byte](stride) // reconstructed previous row
     val cur = new Array[Byte](stride)
     val sums = Array.ofDim[Long](8, 9)
     val cnts = Array.ofDim[Long](8, 9)
-    var y = 0
-    while (y < h) {
-      val base = y * (1 + stride)
-      val ft = raw(base) & 0xff
-      if (ft > 4) return None // undefined filter type: hostile
-      var i = 0
-      while (i < stride) {
-        val x = raw(base + 1 + i) & 0xff
-        val a = if (i >= ch) cur(i - ch) & 0xff else 0 // left
-        val up = prev(i) & 0xff                        // above
-        val c = if (i >= ch) prev(i - ch) & 0xff else 0 // upper-left
-        val v = ft match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + up
-          case 3 => x + (a + up) / 2
-          case 4 => // Paeth predictor
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up)
-            val pc = math.abs(p - c)
-            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+    var pos = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = passDims(passes(pi))
+      if (pw > 0 && ph > 0) {
+        val strideP = pw * ch
+        java.util.Arrays.fill(prev, 0, strideP, 0.toByte)
+        var py = 0
+        while (py < ph) {
+          val ft = raw(pos) & 0xff
+          if (ft > 4) return None // undefined filter type: hostile
+          var i = 0
+          while (i < strideP) {
+            val x = raw(pos + 1 + i) & 0xff
+            val a = if (i >= ch) cur(i - ch) & 0xff else 0 // left
+            val up = prev(i) & 0xff                        // above
+            val c = if (i >= ch) prev(i - ch) & 0xff else 0 // upper-left
+            val v = ft match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + up
+              case 3 => x + (a + up) / 2
+              case 4 => // Paeth predictor
+                val p = a + up - c
+                val pa = math.abs(p - a); val pb = math.abs(p - up)
+                val pc = math.abs(p - c)
+                x + (if (pa <= pb && pa <= pc) a
+                     else if (pb <= pc) up else c)
+            }
+            cur(i) = v.toByte
+            i += 1
+          }
+          // the one DELIBERATE private copy of [[dHashOfLuma]]'s cell
+          // mapping (fold-during-inversion, see above) — cells are
+          // addressed by the FULL-image coordinates each interlaced
+          // pixel lands on, so the seven passes tile the same grid
+          // the sequential decode fills; keep these two mapping
+          // lines bit-identical to dHashOfLuma's
+          val cy = ((y0 + py.toLong * dy) * 8 / h).toInt
+          var px = 0
+          while (px < pw) {
+            val p = px * ch
+            val luma = ct match {
+              case 0 | 4 => (cur(p) & 0xff) * 1000L
+              case 3 => // palette APPLIED (the GIF discipline: the
+                // reversed-palette fixture makes index pass-through
+                // fail); an index past the palette drops the file
+                val idx = cur(p) & 0xff
+                if (idx * 3 + 2 >= plte.length) return None
+                (plte(idx * 3) & 0xff) * 299L +
+                  (plte(idx * 3 + 1) & 0xff) * 587L +
+                  (plte(idx * 3 + 2) & 0xff) * 114L
+              case _ => (cur(p) & 0xff) * 299L +
+                (cur(p + 1) & 0xff) * 587L + (cur(p + 2) & 0xff) * 114L
+            }
+            val cx = ((x0 + px.toLong * dx) * 9 / w).toInt
+            sums(cy)(cx) += luma
+            cnts(cy)(cx) += 1
+            px += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, strideP)
+          pos += 1 + strideP
+          py += 1
         }
-        cur(i) = v.toByte
-        i += 1
       }
-      // the one DELIBERATE private copy of [[dHashOfLuma]]'s cell
-      // mapping: this parser folds row-by-row DURING filter inversion
-      // (two rows of state, never a full pixel buffer), so the shared
-      // (x, y)-random-access seam cannot apply — keep these two
-      // mapping lines bit-identical to dHashOfLuma's
-      val cy = (y.toLong * 8 / h).toInt
-      var px = 0
-      while (px < w) {
-        val p = px * ch
-        val luma = ct match {
-          case 0 | 4 => (cur(p) & 0xff) * 1000L
-          case 3 => // palette APPLIED (the GIF discipline: the
-            // reversed-palette fixture makes index pass-through fail);
-            // an index past the palette is hostile — drop the file
-            val idx = cur(p) & 0xff
-            if (idx * 3 + 2 >= plte.length) return None
-            (plte(idx * 3) & 0xff) * 299L + (plte(idx * 3 + 1) & 0xff) *
-              587L + (plte(idx * 3 + 2) & 0xff) * 114L
-          case _ => (cur(p) & 0xff) * 299L + (cur(p + 1) & 0xff) * 587L +
-            (cur(p + 2) & 0xff) * 114L
-        }
-        val cx = (px.toLong * 9 / w).toInt
-        sums(cy)(cx) += luma
-        cnts(cy)(cx) += 1
-        px += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
+      pi += 1
     }
     Some(PngHashRow(path, w, h, ch, dHashOfGrid(sums, cnts)))
   }

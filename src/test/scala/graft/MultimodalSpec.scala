@@ -219,11 +219,26 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.readMedia(spark, "/root/repo/fixtures/images_png"))
     val rows = dHashPng(files).collect()
       .map(r => r.path.split('/').last -> r).toMap
-    // interlaced/deep16/palette(out-of-range idx)/badplte/trunc/
-    // notpng/tiny_8x4/bomb all SKIPPED; pal0-3 now DECODE (round 18)
+    // interlaced(flag over sequential layout → short stream)/deep16/
+    // palette(out-of-range idx)/badplte/trunc/notpng/tiny_8x4/bomb/
+    // ia2x/iatrunc all SKIPPED; pal0-3 DECODE (round 18); Adam7
+    // members ia0/ia2/iapal1/iamin DECODE (round 19)
     assert(rows.keySet ==
       ((0 until 4).flatMap(k => Seq(s"base$k.png", s"near$k.png")) ++
-        (0 until 4).map(k => s"pal$k.png")).toSet)
+        (0 until 4).map(k => s"pal$k.png") ++
+        Seq("ia0.png", "ia2.png", "iapal1.png", "iamin.png")).toSet)
+    // ── Adam7 (round 19): lossless re-ordering — each member must
+    // land EXACTLY on its sequential sibling (any pass placed at the
+    // wrong full-image coordinates, a wrong per-pass width, or a
+    // filter crossing a pass boundary shifts a cell sum); iamin's
+    // 9×8 drives passes down to 1×1
+    assert(rows("ia0.png").dhash == rows("base0.png").dhash,
+      "ia0: Adam7 gray divergence")
+    assert(rows("ia2.png").dhash == rows("base2.png").dhash,
+      "ia2: Adam7 RGBA divergence")
+    assert(rows("iapal1.png").dhash == rows("base1.png").dhash,
+      "iapal1: Adam7 palette divergence")
+    assert(rows("iamin.png").width == 9 && rows("iamin.png").height == 8)
     // channels report the color-type contract legs (gray/RGB/RGBA/GA)
     assert(rows("base0.png").channels == 1 && rows("base1.png").channels == 3
       && rows("base2.png").channels == 4 && rows("base3.png").channels == 2)
@@ -250,7 +265,7 @@ class MultimodalSpec extends SparkSpec {
       java.nio.file.Paths.get(s"/root/repo/fixtures/images_png/$n"))
     for (n <- Seq("interlaced.png", "deep16.png", "palette.png",
         "badplte.png", "trunc.png", "notpng.png", "tiny_8x4.png",
-        "bomb.png"))
+        "bomb.png", "ia2x.png", "iatrunc.png"))
       assert(parsePngDHash("x", bytesOf(n)).isEmpty, s"$n must skip")
     // a palette image missing its PLTE entirely is structurally broken
     val pal0 = bytesOf("pal0.png")

@@ -66,13 +66,13 @@ def luma_at(k, near, x, y):
     return l
 
 
-def dhash(lum):
+def dhash(lum, w=W, h=H):
     """Formula dHash, signed 64-bit (gen_dhash_fixtures.py verbatim)."""
     sums = [[0] * 9 for _ in range(8)]
     cnts = [[0] * 9 for _ in range(8)]
-    for y in range(H):
-        for x in range(W):
-            cx, cy = x * 9 // W, y * 8 // H
+    for y in range(h):
+        for x in range(w):
+            cx, cy = x * 9 // w, y * 8 // h
             sums[cy][cx] += 1000 * lum(x, y)
             cnts[cy][cx] += 1
     h = 0
@@ -159,6 +159,51 @@ def png_bytes(w, h, ct, lum, plte=None):
 # pass-through hashes the NEGATIVE image (the GIF base3 discipline)
 REV_PLTE = bytes(v for i in range(256) for v in (255 - i,) * 3)
 
+# ── Adam7 (round 19): seven (x0, y0, dx, dy) passes; each non-empty
+# pass is an INDEPENDENT filtered sub-image (own filter bytes, first
+# row against a zero row, per-pass width); an empty pass contributes
+# zero bytes. ──
+ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def adam7_plan(w, h, ch):
+    plan = []
+    for (x0, y0, dx, dy) in ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw > 0 and ph > 0:
+            plan.append((x0, y0, dx, dy, pw, ph))
+    return plan
+
+
+def png_bytes_adam7(w, h, ct, lum, plte=None):
+    """Interlaced encoder: same pixel/index conventions as png_bytes,
+    rows re-ordered into the seven passes; the rolling y%5-style
+    filter-type schedule keeps all five filters exercised ACROSS
+    passes (including filter-vs-zero-prev on each pass's first row)."""
+    ch = 1 if ct == 3 else CH[ct]
+    raw = bytearray()
+    r = 0
+    for (x0, y0, dx, dy, pw, ph) in adam7_plan(w, h, ch):
+        prev = bytes(pw * ch)
+        for j in range(ph):
+            y = y0 + j * dy
+            if ct == 3:
+                cur = bytes(255 - lum(x0 + i * dx, y) for i in range(pw))
+            else:
+                cur = b"".join(pixel_bytes(ct, lum, x0 + i * dx, y)
+                               for i in range(pw))
+            ft = r % 5
+            r += 1
+            raw.append(ft)
+            raw += filter_row(ft, cur, prev, ch)
+            prev = cur
+    plte_chunk = chunk(b"PLTE", plte) if plte is not None else b""
+    return (SIG + ihdr(w, h, 8, ct, interlace=1) + plte_chunk
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
 
 def decode_png(b):
     """INDEPENDENT decoder for provenance: inflate + filter inversion.
@@ -181,15 +226,11 @@ def decode_png(b):
         elif typ == b"IEND":
             break
         off += 12 + ln
-    assert depth == 8 and il == 0
+    assert depth == 8 and il in (0, 1)
     ch = 1 if ct == 3 else CH[ct]
     raw = zlib.decompress(idat)
-    assert len(raw) == h * (1 + w * ch)
-    rows, prev = [], bytearray(w * ch)
-    for y in range(h):
-        base = y * (1 + w * ch)
-        ft = raw[base]
-        line = raw[base + 1:base + 1 + w * ch]
+
+    def unfilter(ft, line, prev):
         cur = bytearray()
         for i, x in enumerate(line):
             a = cur[i - ch] if i >= ch else 0
@@ -209,8 +250,24 @@ def decode_png(b):
                 v = x + (a if pa <= pb and pa <= pc else
                          (up if pb <= pc else c))
             cur.append(v % 256)
-        rows.append(bytes(cur))
-        prev = cur
+        return cur
+
+    plan = [(0, 0, 1, 1, w, h)] if il == 0 else adam7_plan(w, h, ch)
+    assert len(raw) == sum(ph * (1 + pw * ch) for *_, pw, ph in plan)
+    full = [bytearray(w * ch) for _ in range(h)]
+    pos = 0
+    for (x0, y0, dx, dy, pw, ph) in plan:
+        prev = bytearray(pw * ch)
+        for j in range(ph):
+            ft = raw[pos]
+            cur = unfilter(ft, raw[pos + 1:pos + 1 + pw * ch], prev)
+            pos += 1 + pw * ch
+            y = y0 + j * dy
+            for i in range(pw):
+                full[y][(x0 + i * dx) * ch:(x0 + i * dx) * ch + ch] = \
+                    cur[i * ch:(i + 1) * ch]
+            prev = cur
+    rows = [bytes(r) for r in full]
     return w, h, ct, rows, plte
 
 
@@ -238,9 +295,48 @@ for k in range(4):
     names.append(name)
     hashes[name] = dhash(lum)
 
+# ── Adam7 interlaced members (round 19): lossless re-orderings of
+# the base patterns — exact cluster members iff every pass lands its
+# pixels on the right full-image coordinates ──
+dims = {}
+ia_members = [("ia0.png", 0, 0, None),        # gray
+              ("ia2.png", 2, 6, None),        # RGBA (alpha ignored)
+              ("iapal1.png", 1, 3, REV_PLTE)]  # palette under Adam7
+for name, k, ct, plte in ia_members:
+    lum = (lambda kk: lambda x, y: luma_at(kk, False, x, y))(k)
+    with open(f"{OUT}/{name}", "wb") as f:
+        f.write(png_bytes_adam7(W, H, ct, lum, plte=plte))
+    names.append(name)
+    hashes[name] = dhash(lum)
+# minimal-dims member: 9×8 drives passes down to 1 px wide / 1 row
+# tall (p2 is 1×1); own quadratic pattern (the q220 spread rule) so
+# it joins no cluster. scaled to the 9×8 grid: every cell is one px.
+def iamin_l(x, y):
+    return (x * x * 13 + y * y * 7 + 5 * x * y + 3 * x) % 256
+with open(f"{OUT}/iamin.png", "wb") as f:
+    f.write(png_bytes_adam7(9, 8, 0, iamin_l))
+names.append("iamin.png")
+dims["iamin.png"] = (9, 8)
+hashes["iamin.png"] = dhash(iamin_l, w=9, h=8)
+# hostile interlace arms: value 2 (undefined) and a truncated
+# interlaced stream — both drop
+ia0_bytes = open(f"{OUT}/ia0.png", "rb").read()
+with open(f"{OUT}/ia2x.png", "wb") as f:
+    f.write(SIG + ihdr(W, H, 8, 0, interlace=2) + ia0_bytes[8 + 25:])
+with open(f"{OUT}/iatrunc.png", "wb") as f:
+    ln = struct.unpack(">I", ia0_bytes[8 + 25:8 + 29])[0]
+    cut = ia0_bytes[8 + 25 + 8:8 + 25 + 8 + ln // 2]
+    f.write(SIG + ihdr(W, H, 8, 0, interlace=1) + chunk(b"IDAT", cut)
+            + chunk(b"IEND", b""))
+
 # out-of-contract fixtures
 ok_gray = png_bytes(W, H, 0, lambda x, y: (2 * x + y) % 256)
-with open(f"{OUT}/interlaced.png", "wb") as f:  # Adam7 flag set
+with open(f"{OUT}/interlaced.png", "wb") as f:
+    # Adam7 FLAG over a SEQUENTIAL-layout IDAT: the per-pass size sum
+    # (4216 for 64×64 gray) exceeds the sequential 4160, so the
+    # stream is short for what the header claims — malformed, drops
+    # (was the round-17 out-of-contract arm; the flag alone is now IN
+    # contract)
     f.write(SIG + ihdr(W, H, 8, 0, interlace=1) +
             ok_gray[8 + 25:])  # reuse IDAT+IEND of the gray image
 with open(f"{OUT}/deep16.png", "wb") as f:
@@ -317,12 +413,38 @@ for k in range(4):
             assert idx == 255 - luma_at(k, False, x, y), (name, x, y)
             r, g, bl = plte[idx * 3], plte[idx * 3 + 1], plte[idx * 3 + 2]
             assert r == g == bl == luma_at(k, False, x, y), (name, x, y)
+# Adam7 members: independent decode (the mirror re-assembles the
+# seven passes onto full-image coordinates) reproduces every pixel;
+# lossless, so exact cluster membership
+for name, k, ct, plte_in in ia_members:
+    w, h, ct2, rows, plte = decode_png(open(f"{OUT}/{name}", "rb").read())
+    assert (w, h, ct2) == (W, H, ct), name
+    ch = 1 if ct == 3 else CH[ct]
+    for y in range(H):
+        for x in range(W):
+            want = luma_at(k, False, x, y)
+            got = rows[y][x * ch]
+            if ct == 3:
+                assert got == 255 - want, (name, x, y, got)
+            else:
+                assert got == want, (name, x, y, got)
+    assert hashes[name] == hashes[f"base{k}.png"], name
+w, h, ct2, rows, _ = decode_png(open(f"{OUT}/iamin.png", "rb").read())
+assert (w, h, ct2) == (9, 8, 0)
+for y in range(8):
+    for x in range(9):
+        assert rows[y][x] == iamin_l(x, y), ("iamin", x, y)
+for n in names:
+    if n != "iamin.png":
+        d = dist(hashes["iamin.png"], hashes[n])
+        assert d > 3, f"iamin vs {n} dist {d} <= 3"
 
 con = duckdb.connect()
 con.execute(
     "CREATE TABLE e (name VARCHAR, width INT, height INT, dhash BIGINT)")
 for n in names:
-    con.execute("INSERT INTO e VALUES (?, ?, ?, ?)", [n, W, H, hashes[n]])
+    dw, dh = dims.get(n, (W, H))
+    con.execute("INSERT INTO e VALUES (?, ?, ?, ?)", [n, dw, dh, hashes[n]])
 con.execute(f"COPY e TO '{EXPECTED}' (FORMAT PARQUET)")
 print("wrote", len(names), "expected rows to", EXPECTED)
 for n in names:
