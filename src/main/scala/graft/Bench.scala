@@ -204,7 +204,8 @@ object Bench {
     "q363_reencode_ingest_stream", "q364_aiff_ahash", "q365_au_ahash",
     "q366_audio_reencode", "q367_tiff_dhash", "q368_reencode_quint",
     "q369_webp_dhash", "q370_reencode_sext", "q371_flac_ahash",
-    "q372_reencode_sext_stream", "q373_exif_orient")
+    "q372_reencode_sext_stream", "q373_exif_orient",
+    "q374_avi_vhash", "q375_video_crossarc")
 
   /** The COMPLETE per-query artifact (round-11 judge ask): the driver's
     * BENCH_r{N}.json is a ~2000-byte stdout tail, so the 136 detail-only

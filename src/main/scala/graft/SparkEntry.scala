@@ -4287,6 +4287,54 @@ object SparkEntry {
         .filter(col("name").startsWith("exif"))
     }),
 
+    // ── MJPEG-in-AVI per-frame hash (Avi.aviFrames — round 19,
+    // verdict item 4): a REAL public video format through the
+    // certified JPEG decoder. RIFF chunk walk (LIST nesting, even
+    // padding, strh 'vids'/'MJPG' gate, interleaved audio chunks
+    // transparent to frame indices), each sampled 00dc payload a
+    // complete baseline JPEG → Jpeg.decodeGrayFrame → the existing
+    // FrameRow engine. H.264/second-video-stream/garbage-frame/
+    // progressive-frame/truncated files all DROP (H.264 is the
+    // documented boundary: inter-frame codecs need reference-frame
+    // state, not per-frame decode). Oracle: the jpeg generator's
+    // independent-decode hashes, byte-provenance-asserted into the
+    // container. ──
+    "q374_avi_vhash" -> ((s, _) => {
+      import graft.ext.{Avi, Multimodal}
+      Multimodal.dHashFrames(Avi.aviFrames(Multimodal.asMediaFiles(
+          Multimodal.readMedia(s, FixturesDir + "/video_avi")),
+          everyN = 2))
+        .toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("frameIndex").as("frame_index"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // ── cross-container cross-codec VIDEO near-dup (round 19): the
+    // MJPEG capture (cam0.avi), its per-frame near edit
+    // (camnear.avi), and its RAW-codec re-encode (gstub.grf — the
+    // GRF1 stub arc) in ONE aligned-frame pair join. cam0↔gstub is
+    // ALIGNED DISTANCE 0 (the q360 lossy-round-trip exactness on
+    // moving pictures); camnear pairs within [1,3] per frame. Same
+    // videoNearDupPairs engine as q332 — format-blind by
+    // construction. ──
+    "q375_video_crossarc" -> ((s, _) => {
+      import graft.ext.{Avi, Multimodal}
+      val files = Multimodal.asMediaFiles(
+        Multimodal.readMedia(s, FixturesDir + "/video_avi"))
+      val avi = Multimodal.dHashFrames(
+          Avi.aviFrames(files, everyN = 2)).toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("frameIndex").as("frame_index"), col("dhash"))
+      val grf = Multimodal.dHashFrames(
+          Multimodal.frameSample(files, everyN = 2)).toDF()
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+          col("frameIndex").as("frame_index"), col("dhash"))
+      Multimodal.videoNearDupPairs(avi.unionByName(grf),
+        "name", "frame_index", "dhash",
+        maxDist = 3, tauNum = 1, tauDen = 2)
+    }),
+
     // ── the RE-ENCODE dedup capstone (q360): BMP + PNG + JPEG corpora
     // hash through ONE shared cell spec, so every cross-format
     // re-encode of the same image pairs at distance 0 (the fixture
@@ -12352,6 +12400,35 @@ object SparkEntry {
         |FROM read_parquet('/root/repo/fixtures/images_jpeg_expected.parquet')
         |WHERE name LIKE 'exif%'"""
         .stripMargin,
+
+    // MJPEG-AVI mirror: the jpeg generator's independent-decode
+    // hashes, containered byte-verbatim (gen_avi_fixtures.py asserts
+    // the embedded payloads equal the certified jpg files)
+    "q374_avi_vhash" ->
+      """SELECT name, frame_index, width, height, dhash
+        |FROM read_parquet('/root/repo/fixtures/video_avi_expected.parquet')
+        |WHERE name LIKE '%.avi'"""
+        .stripMargin,
+
+    // cross-arc video near-dup mirror: brute-force aligned all-pairs
+    // over the expected per-frame hashes (q332's SQL shape)
+    "q375_video_crossarc" ->
+      """WITH fh AS (
+        |  SELECT name, frame_index, dhash
+        |  FROM read_parquet('/root/repo/fixtures/video_avi_expected.parquet')),
+        |n AS (SELECT name, count(*) AS n FROM fh GROUP BY 1),
+        |m AS (
+        |  SELECT a.name AS id_a, b.name AS id_b, count(*) AS matched_frames
+        |  FROM fh a JOIN fh b
+        |    ON a.frame_index = b.frame_index AND a.name < b.name
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |  GROUP BY 1, 2)
+        |SELECT m.id_a, m.id_b, m.matched_frames,
+        |  na.n AS n_a, nb.n AS n_b
+        |FROM m
+        |JOIN n na ON na.name = m.id_a
+        |JOIN n nb ON nb.name = m.id_b
+        |WHERE m.matched_frames * 2 >= least(na.n, nb.n)""".stripMargin,
 
     // re-encode capstone mirror: brute-force ALL-pairs over the union
     // of the THREE generators' expected hashes — format-blind

@@ -1,0 +1,137 @@
+package graft.ext
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Dataset
+
+import graft.ext.Multimodal.{FrameRow, MediaFile}
+
+/** MJPEG-in-AVI frame extraction — a REAL public video format through
+  * the certified JPEG decoder (round 19, verdict item 4): the video
+  * near-dup arc previously decoded only the GRF1 stub codec; this puts
+  * motion-JPEG (the format security cameras, microscopes and legacy
+  * capture cards actually emit) through the same
+  * FrameRow → [[Multimodal.dHashFrames]] → [[Multimodal.videoNearDupPairs]]
+  * engine, so an MJPEG capture pairs with its raw-frame (GRF1)
+  * re-encode at distance 0 (q375 certifies the cross-container,
+  * cross-codec pair).
+  *
+  * CONTAINER (AVI RIFF, all little-endian; reference: the public
+  * OpenDML/AVI 1.0 spec every `ffmpeg -c:v mjpeg` file follows):
+  *   - "RIFF" size "AVI " then chunks: fourcc + u32 size + payload,
+  *     PADDED TO EVEN length (the pad byte is outside the size — the
+  *     classic RIFF walk bug; odd-sized JPEG frames exercise it);
+  *   - LIST chunks nest: hdrl (stream headers), strl per stream,
+  *     movi (frame data), rec (interleave groups — walked through);
+  *   - `strh`: fccType at +0 ("vids"/"auds"), fccHandler at +4 —
+  *     the video stream must be "MJPG"; H.264/VP9/anything else
+  *     DROPS the file (boundary record: inter-frame codecs need a
+  *     reference-frame engine, not a per-frame decode);
+  *   - stream NUMBERS are strh order; frame chunks are "NNdc"/"NNdb"
+  *     where NN is the two-digit stream number — only the video
+  *     stream's chunks are frames (an "01wb" audio chunk between
+  *     frames must not shift frame indices);
+  *   - `idx1`/odml indexes are skipped (the sequential movi walk is
+  *     the ground truth the index merely accelerates).
+  *
+  * Each sampled frame payload is a COMPLETE baseline JPEG decoded via
+  * [[Jpeg.decodeGrayFrame]] (the same machinery q359 certifies, EXIF
+  * orientation included); a frame that fails to decode drops the
+  * WHOLE file (decode-exactly-or-skip). Frames skipped by `everyN`
+  * are never decoded — the decode-only-what-you-hash shape: at 100 TB
+  * a 30 fps archive sampled at 1 fps pays 1/30th of the IDCT cost.
+  *
+  * 100-TB shape: one mapPartitions pass; bytes touched are O(header +
+  * sampled frames); per-frame allocation bounded by the JPEG bomb
+  * caps; the chunk walk is bounds-checked at every step and a hostile
+  * length can neither overrun nor wedge (monotone cursor).
+  */
+object Avi {
+
+  def aviFrames(
+      files: Dataset[MediaFile], everyN: Int): Dataset[FrameRow] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions(_.flatMap(f =>
+      parseAviFrames(f.path, f.content, everyN)))
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. Returns
+    * empty on ANY out-of-contract or hostile input.
+    */
+  private[graft] def parseAviFrames(
+      path: String, b: Array[Byte], everyN: Int): Iterator[FrameRow] = {
+    try {
+      if (b.length < 12) return Iterator.empty
+      def fcc(o: Int): String =
+        if (o + 4 > b.length) "" else new String(b, o, 4, "US-ASCII")
+      def u32(o: Int): Long =
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return Iterator.empty
+
+      var vidStream = -1 // strh-order index of the vids stream
+      var handlerOk = false
+      var strhIdx = 0
+      val frames = ArrayBuffer.empty[(Int, Int)] // (payload off, len)
+
+      def walk(from: Int, end: Int, inMovi: Boolean): Boolean = {
+        var p = from
+        while (p + 8 <= end) {
+          val id = fcc(p)
+          val len = u32(p + 4)
+          if (len > Int.MaxValue - 8) return false
+          val dataEnd = p + 8 + len.toInt
+          if (dataEnd > end) return false
+          if (id == "LIST") {
+            if (len < 4) return false
+            val lt = fcc(p + 8)
+            if (lt == "hdrl" || lt == "strl" || lt == "movi" ||
+                lt == "rec ") {
+              if (!walk(p + 12, dataEnd, inMovi || lt == "movi"))
+                return false
+            } // odml/INFO lists skipped wholesale
+          } else if (id == "strh") {
+            if (len < 8) return false
+            if (fcc(p + 8) == "vids") {
+              if (vidStream >= 0) return false // second video stream
+              vidStream = strhIdx
+              handlerOk = fcc(p + 12) == "MJPG"
+            }
+            strhIdx += 1
+          } else if (inMovi && id.length == 4 &&
+              id(0).isDigit && id(1).isDigit &&
+              id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')) {
+            val sn = (id(0) - '0') * 10 + (id(1) - '0')
+            if (sn == vidStream) frames += ((p + 8, len.toInt))
+          } // audio "NNwb", idx1, JUNK … skipped
+          p = dataEnd + (len.toInt & 1) // RIFF even padding
+        }
+        true
+      }
+
+      if (!walk(12, b.length, inMovi = false)) return Iterator.empty
+      if (vidStream < 0 || !handlerOk || frames.isEmpty)
+        return Iterator.empty
+      val out = ArrayBuffer.empty[FrameRow]
+      var i = 0
+      while (i < frames.length) {
+        if (i % everyN == 0) {
+          val (o, l) = frames(i)
+          Jpeg.decodeGrayFrame(
+              java.util.Arrays.copyOfRange(b, o, o + l)) match {
+            case Some((w, h, px)) => out += FrameRow(path, i, w, h, px)
+            case None => return Iterator.empty // one bad frame: drop
+          }
+        }
+        i += 1
+      }
+      out.iterator
+    } catch {
+      // residual-indexing guard: a crafted file must drop, never kill
+      // a 100-TB scan task
+      case _: IndexOutOfBoundsException => Iterator.empty
+    }
+  }
+}

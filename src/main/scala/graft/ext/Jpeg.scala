@@ -277,28 +277,88 @@ object Jpeg {
     * hide (the exif6/exif8 fixtures differ); the rest are
     * involutions.
     */
+  private def orientSx(o: Int, w: Int, x: Int, y: Int): Int = o match {
+    case 2 | 3 => w - 1 - x
+    case 5 | 6 => y
+    case 7 | 8 => w - 1 - y
+    case _ => x
+  }
+
+  private def orientSy(o: Int, h: Int, x: Int, y: Int): Int = o match {
+    case 3 | 4 => h - 1 - y
+    case 6 | 7 => h - 1 - x
+    case 5 | 8 => x
+    case _ => y
+  }
+
   private def orientedHash(
       o: Int, w: Int, h: Int)(lumaAt: (Int, Int) => Int): Long = {
     val uw = if (o >= 5) h else w
     val uh = if (o >= 5) w else h
     Multimodal.dHashOfLuma(uw, uh) { (x, y) =>
-      val sx = o match {
-        case 2 | 3 => w - 1 - x
-        case 5 | 6 => y
-        case 7 | 8 => w - 1 - y
-        case _ => x
-      }
-      val sy = o match {
-        case 3 | 4 => h - 1 - y
-        case 6 | 7 => h - 1 - x
-        case 5 | 8 => x
-        case _ => y
-      }
-      lumaAt(sx, sy) * 1000L
+      lumaAt(orientSx(o, w, x, y), orientSy(o, h, x, y)) * 1000L
     }
   }
 
-  private def decode(path: String, b: Array[Byte]): Option[JpegHashRow] = {
+  /** The baseline decode's product: stored dims, component count,
+    * EXIF orientation, and the padded Y grid (row stride ybw·8).
+    */
+  private final case class YGrid(w: Int, h: Int, nf: Int, orient: Int,
+      ybw: Int, ypix: Array[Byte])
+
+  /** Control signal: the marker walk met SOF2 — route to
+    * [[decodeProgressive]] (hash path) or drop (frame path: MJPEG is
+    * baseline by definition).
+    */
+  private object ProgressiveRoute
+      extends RuntimeException with scala.util.control.NoStackTrace
+
+  private def decode(path: String, b: Array[Byte]): Option[JpegHashRow] =
+    try baselineGrid(b).map { g =>
+      // ── the shared grid fold over the UPRIGHT W×H (padding
+      // discarded, EXIF orientation applied — round 19) ──
+      JpegHashRow(path,
+        if (g.orient >= 5) g.h else g.w,
+        if (g.orient >= 5) g.w else g.h, g.nf, g.orient,
+        orientedHash(g.orient, g.w, g.h) {
+          (sx, sy) => g.ypix(sy * g.ybw * 8 + sx) & 0xff
+        })
+    }
+    catch { case ProgressiveRoute => decodeProgressive(path, b) }
+
+  /** Baseline decode to a tightly-packed UPRIGHT gray (Y) frame —
+    * the MJPEG-in-AVI per-frame seam (round 19): [[graft.ext.Avi]]
+    * feeds each 00dc payload through here and the result rides the
+    * existing FrameRow → dHashFrames → videoNearDupPairs engine.
+    * Progressive payloads return None (MJPEG is baseline by
+    * definition); hostile bytes drop, never throw.
+    */
+  private[graft] def decodeGrayFrame(
+      b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try baselineGrid(b).map { g =>
+      val uw = if (g.orient >= 5) g.h else g.w
+      val uh = if (g.orient >= 5) g.w else g.h
+      val out = new Array[Byte](uw * uh)
+      var y = 0
+      while (y < uh) {
+        var x = 0
+        while (x < uw) {
+          out(y * uw + x) = g.ypix(
+            orientSy(g.orient, g.h, x, y) * g.ybw * 8 +
+              orientSx(g.orient, g.w, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      (uw, uh, out)
+    }
+    catch {
+      case ProgressiveRoute => None
+      case _: Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  private def baselineGrid(b: Array[Byte]): Option[YGrid] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     def u16(off: Int): Int =
@@ -390,8 +450,8 @@ object Jpeg {
             ((ci, (b(pay + 2 + 2 * i) & 0xff) >> 4,
               b(pay + 2 + 2 * i) & 0x0f))
           }.toArray
-        case 0xc2 => // SOF2: route to the progressive decoder
-          return decodeProgressive(path, b)
+        case 0xc2 => // SOF2: the caller routes (hash) or drops (frame)
+          throw ProgressiveRoute
         case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
           return None // SOF1/9/…: extended/arithmetic out
         case _ => // APPn / COM / others skipped
@@ -559,13 +619,7 @@ object Jpeg {
       } else return None
     }
 
-    // ── the shared grid fold over the UPRIGHT W×H (padding
-    // discarded, EXIF orientation applied — round 19) ──
-    Some(JpegHashRow(path,
-      if (orient >= 5) h else w, if (orient >= 5) w else h, nf, orient,
-      orientedHash(orient, w, h) {
-        (sx, sy) => ypix(sy * ybw * 8 + sx) & 0xff
-      }))
+    Some(YGrid(w, h, nf, orient, ybw, ypix))
   }
 
   /** PROGRESSIVE (SOF2) decode — round 18: spectral selection +

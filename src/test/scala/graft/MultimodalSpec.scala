@@ -844,6 +844,61 @@ class MultimodalSpec extends SparkSpec {
       "a 2x gain must not change the envelope hash")
   }
 
+  test("aviFrames: MJPEG-in-AVI frames decode through the certified " +
+      "JPEG machinery (RIFF walk, even padding, interleaved audio " +
+      "transparent); cross-arc distance 0 vs the GRF1 stub; hostile " +
+      "and boundary files skipped") {
+    import graft.ext.{Avi, Jpeg}
+    val dir = "/root/repo/fixtures/video_avi"
+    val files = Multimodal.asMediaFiles(Multimodal.readMedia(spark, dir))
+    val rows = Multimodal.dHashFrames(Avi.aviFrames(files, everyN = 2))
+      .collect()
+      .map(r => (r.path.split('/').last, r.frameIndex) -> r.dhash).toMap
+    // h264 (boundary record: inter-frame codec)/badframe/progframe/
+    // twovids/trunc/notavi and the .grf file all absent; sampled
+    // indices 0/2/4 of the two MJPEG captures present
+    assert(rows.keySet == (for (n <- Seq("cam0.avi", "camnear.avi");
+      i <- Seq(0, 2, 4)) yield (n, i)).toSet)
+    // frame hashes equal the certified still-image hashes: the AVI
+    // payloads ARE the jpg fixture bytes (generator byte-asserted),
+    // so any container-walk slip (pad handling, audio-chunk index
+    // shift, wrong stream) surfaces as a hash/index mismatch
+    val jpgs = Jpeg.dHashJpeg(Multimodal.asMediaFiles(
+        Multimodal.readMedia(spark, "/root/repo/fixtures/images_jpeg")))
+      .collect().map(r => r.path.split('/').last -> r.dhash).toMap
+    for ((fi, src) <- Seq(0 -> "base0.jpg", 2 -> "base2.jpg",
+        4 -> "base0.jpg"))
+      assert(rows(("cam0.avi", fi)) == jpgs(src), s"cam0 frame $fi")
+    for ((fi, src) <- Seq(0 -> "near0.jpg", 2 -> "near2.jpg",
+        4 -> "near0.jpg"))
+      assert(rows(("camnear.avi", fi)) == jpgs(src), s"camnear frame $fi")
+    // CROSS-ARC: the GRF1 raw re-encode's frames land at distance 0
+    // (lossy MJPEG round trip is dHash-exact — q360 on moving
+    // pictures)
+    val grf = Multimodal.dHashFrames(
+        Multimodal.frameSample(files, everyN = 2)).collect()
+      .map(r => r.frameIndex -> r.dhash).toMap
+    for (i <- Seq(0, 2, 4))
+      assert(grf(i) == rows(("cam0.avi", i)), s"gstub frame $i")
+    // everyN = 1 decodes all six frames
+    assert(Avi.parseAviFrames("x",
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/cam0.avi")), 1).size == 6)
+    // hostile arms direct through the pure parser
+    def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$n"))
+    for (n <- Seq("h264.avi", "badframe.avi", "progframe.avi",
+        "twovids.avi", "trunc.avi", "notavi.avi"))
+      assert(Avi.parseAviFrames("x", bytesOf(n), 2).isEmpty,
+        s"$n must skip")
+    assert(Avi.parseAviFrames("x", Array.emptyByteArray, 2).isEmpty)
+    // truncation at arbitrary points never throws
+    val ok = bytesOf("cam0.avi")
+    for (cut <- Seq(13, ok.length / 3, ok.length - 5))
+      assert(Avi.parseAviFrames("x", ok.take(cut), 2).isEmpty,
+        s"cut@$cut must skip")
+  }
+
   test("decodeMp4: real ISO-BMFF fixtures decode to spec-exact metadata; hostile files skipped") {
     import graft.ext.Multimodal.{decodeMp4, parseMp4}
     val files = Multimodal.asMediaFiles(
