@@ -736,8 +736,14 @@ object Multimodal {
     * [[parseWav]] and [[parseWavAHash]] (one definition — the bmpGeom
     * rule on the audio side).
     */
+  /** `format` 1 = integer PCM (bits 8/16), 3 = IEEE float-32
+    * (round 19), 17 = IMA/DVI ADPCM mono (round 19 — blockAlign and
+    * samplesPerBlock carried for the block decode; 0 elsewhere).
+    * `nSamples` is the DECODED count for every format.
+    */
   private[graft] final case class WavGeom(
-      channels: Int, rate: Int, bits: Int, dataOff: Int, nSamples: Int)
+      format: Int, channels: Int, rate: Int, bits: Int,
+      blockAlign: Int, samplesPerBlock: Int, dataOff: Int, nSamples: Int)
 
   private[graft] def wavGeom(b: Array[Byte]): Option[WavGeom] = {
     def ascii(off: Int, s: String): Boolean =
@@ -745,7 +751,8 @@ object Multimodal {
     if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
     val buf = ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var off = 12
-    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+    // (format, channels, rate, blockAlign, bits, samplesPerBlock)
+    var fmt: Option[(Int, Int, Int, Int, Int, Int)] = None
     var data: Option[(Int, Int)] = None          // (offset, length)
     // chunk walk: id(4) size(u32 LE) payload size-padded-to-word
     while (off + 8 <= b.length && data.isEmpty) {
@@ -756,16 +763,33 @@ object Multimodal {
         fmt = Some((buf.getShort(payload) & 0xffff,
           buf.getShort(payload + 2) & 0xffff,
           buf.getInt(payload + 4),
-          buf.getShort(payload + 14) & 0xffff))
+          buf.getShort(payload + 12) & 0xffff,
+          buf.getShort(payload + 14) & 0xffff,
+          // wSamplesPerBlock lives in the cbSize extension (ADPCM)
+          if (size >= 20) buf.getShort(payload + 18) & 0xffff else 0))
       else if (ascii(off, "data"))
         data = Some((payload, size.toInt))
       off = payload + size.toInt + (size.toInt & 1) // odd chunks carry a pad byte
     }
     (fmt, data) match {
-      case (Some((1, ch, rate, bits)), Some((dOff, dLen)))
+      case (Some((1, ch, rate, _, bits, _)), Some((dOff, dLen)))
           if ch >= 1 && rate > 0 && (bits == 8 || bits == 16) =>
-        Some(WavGeom(ch, rate, bits, dOff, dLen / (bits / 8)))
-      case _ => None // non-PCM, float, or no fmt/data chunk: skip
+        Some(WavGeom(1, ch, rate, bits, 0, 0, dOff, dLen / (bits / 8)))
+      case (Some((3, ch, rate, _, bits, _)), Some((dOff, dLen)))
+          if ch >= 1 && rate > 0 && bits == 32 =>
+        // IEEE float-32 (round 19); float-64 and float with a
+        // non-32 bit claim are out (the float32_ah hostile arm)
+        Some(WavGeom(3, ch, rate, 32, 0, 0, dOff, dLen / 4))
+      case (Some((17, 1, rate, ba, 4, spb)), Some((dOff, dLen)))
+          if rate > 0 && ba >= 5 && spb == (ba - 4) * 2 + 1 &&
+            dLen >= ba && dLen % ba == 0 &&
+            (dLen / ba).toLong * spb <= Int.MaxValue =>
+        // IMA/DVI ADPCM, MONO only (stereo interleaves 4-byte channel
+        // words — out of contract, drop); samplesPerBlock must match
+        // the blockAlign geometry exactly and data must be whole
+        // blocks, so nSamples is closed-form
+        Some(WavGeom(17, 1, rate, 4, ba, spb, dOff, dLen / ba * spb))
+      case _ => None // other codecs, or no fmt/data chunk: skip
     }
   }
 
@@ -779,6 +803,7 @@ object Multimodal {
 
   private[graft] def parseWav(path: String, b: Array[Byte]): Option[WavRow] = {
     val g = wavGeom(b).getOrElse(return None)
+    if (g.format != 1) return None // feature scan stays integer-PCM
     val buf = ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var sumAbs = 0L
     var peak = 0
@@ -825,14 +850,100 @@ object Multimodal {
     files.mapPartitions(_.flatMap(f => parseWavAHash(f.path, f.content)))
   }
 
-  /** Pure parser, package-visible for direct spec coverage. */
+  /** IMA/DVI ADPCM step-size table (the public IMA ADPCM spec /
+    * Microsoft WAVE format 17; 89 entries) and the index-advance
+    * table — shared verbatim by tools/gen_ahash_fixtures.py's
+    * independent encoder+decoder pair.
+    */
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+  private val ImaIndexAdv: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode mono IMA-ADPCM data into |amplitude|s. Each block:
+    * 4-byte header (s16 predictor = the block's FIRST sample, u8 step
+    * index, u8 reserved) then (blockAlign−4) nibble bytes, LOW nibble
+    * first. A header step index past 88 is hostile — drop the file
+    * (a clamp would silently decode garbage).
+    */
+  private def imaDecodeAmps(
+      b: Array[Byte], buf: ByteBuffer, g: WavGeom): Option[Array[Int]] = {
+    val nBlocks = g.nSamples / g.samplesPerBlock
+    val amps = new Array[Int](g.nSamples)
+    var out = 0
+    var bi = 0
+    while (bi < nBlocks) {
+      val bo = g.dataOff + bi * g.blockAlign
+      var pred = buf.getShort(bo).toInt
+      var idx = b(bo + 2) & 0xff
+      if (idx > 88) return None
+      amps(out) = math.abs(pred); out += 1
+      var p = bo + 4
+      val end = bo + g.blockAlign
+      while (p < end) {
+        val byte = b(p) & 0xff
+        var half = 0
+        while (half < 2) {
+          val n = if (half == 0) byte & 0x0f else byte >> 4
+          val step = ImaStep(idx)
+          var diff = step >> 3
+          if ((n & 1) != 0) diff += step >> 2
+          if ((n & 2) != 0) diff += step >> 1
+          if ((n & 4) != 0) diff += step
+          pred = if ((n & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767
+          else if (pred < -32768) pred = -32768
+          idx += ImaIndexAdv(n & 7)
+          if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+          amps(out) = math.abs(pred); out += 1
+          half += 1
+        }
+        p += 1
+      }
+      bi += 1
+    }
+    Some(amps)
+  }
+
+  /** Pure parser, package-visible for direct spec coverage. Formats:
+    * integer PCM (8/16-bit), IEEE float-32 (amplitude =
+    * rint(|f|·32768), the exact inverse of s/32768 encoding so a
+    * float re-encode of a PCM file hashes IDENTICALLY; any NaN/Inf
+    * sample drops the file — hostile, never a garbage hash), and
+    * mono IMA-ADPCM (round 19 — field-recording corpora carry both).
+    */
   private[graft] def parseWavAHash(
       path: String, b: Array[Byte]): Option[WavHashRow] = {
     val g = wavGeom(b).getOrElse(return None)
     if (g.nSamples < 65) return None
     val buf = ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    Some(WavHashRow(path, g.rate, g.nSamples.toLong,
-      envelopeHash(g.nSamples.toLong)(i => wavAmp(b, buf, g, i.toInt))))
+    val n = g.nSamples.toLong
+    val hash = g.format match {
+      case 1 => envelopeHash(n)(i => wavAmp(b, buf, g, i.toInt))
+      case 3 =>
+        var i = 0
+        while (i < g.nSamples) { // NaN/Inf prescan: drop, loudly
+          val f = java.lang.Float.intBitsToFloat(
+            buf.getInt(g.dataOff + i * 4))
+          if (f.isNaN || f.isInfinite) return None
+          i += 1
+        }
+        envelopeHash(n) { i =>
+          val f = java.lang.Float.intBitsToFloat(
+            buf.getInt(g.dataOff + i.toInt * 4))
+          math.rint(math.abs(f) * 32768.0).toInt
+        }
+      case _ => // 17: block decode first (state is sequential)
+        val amps = imaDecodeAmps(b, buf, g).getOrElse(return None)
+        envelopeHash(n)(i => amps(i.toInt))
+    }
+    Some(WavHashRow(path, g.rate, n, hash))
   }
 
   /** The 65-window |amplitude|-envelope → 64-bit comparison fold

@@ -802,9 +802,13 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.readMedia(spark, "/root/repo/fixtures/audio_ahash"))
     val rows = aHashWav(files).collect()
       .map(r => r.path.split('/').last -> r.ahash).toMap
-    // short_64 (sub-window) and float32_ah (fmt code 3) must be absent
+    // short_64 (sub-window) and float32_ah (format 3 claiming 16-bit
+    // — malformed: float is 32-bit by definition) absent; round-19
+    // hostile arms (NaN float, stereo/partial-block/bad-spb/bad-index
+    // ADPCM) absent; float + ADPCM members DECODE
     assert(rows.keySet ==
-      (0 until 4).flatMap(k => Seq(s"abase$k.wav", s"anear$k.wav")).toSet)
+      ((0 until 4).flatMap(k => Seq(s"abase$k.wav", s"anear$k.wav")) ++
+        Seq("fl0.wav", "fl3.wav", "ad0.wav", "ad2.wav")).toSet)
     // spot-pin against the generator's printed values
     assert(rows("abase0.wav") == -1L) // ascending envelope: all bits
     assert(rows("abase1.wav") == 0L)
@@ -814,13 +818,31 @@ class MultimodalSpec extends SparkSpec {
       val d = dist(rows(s"abase$k.wav"), rows(s"anear$k.wav"))
       assert(d >= 1 && d <= 3, s"abase$k/anear$k dist $d")
     }
-    // the generic banded join returns exactly the planted pairs
+    // ── round 19: the float-32 re-encode hashes IDENTICALLY
+    // (rint(|f|·32768) is the exact inverse of s/32768) and the
+    // IMA-ADPCM members land distance 0 through the full lossy
+    // round trip (block predictors + adapted step index)
+    assert(rows("fl0.wav") == rows("abase0.wav"), "fl0 float divergence")
+    assert(rows("fl3.wav") == rows("abase3.wav"), "fl3 float divergence")
+    assert(rows("ad0.wav") == rows("abase0.wav"), "ad0 ADPCM divergence")
+    assert(rows("ad2.wav") == rows("abase2.wav"), "ad2 ADPCM divergence")
+    // the generic banded join returns exactly the planted pairs plus
+    // the new members' cluster edges
     val hashes = aHashWav(files).toDF()
       .select(regexp_extract($"path", "[^/]+$", 0).as("name"), $"ahash")
     val pairs = SimSearch.hammingBandedPairs(hashes, "name", "ahash", 3)
       .select("id_a", "id_b").as[(String, String)].collect().toSet
-    assert(pairs ==
-      (0 until 4).map(k => (s"abase$k.wav", s"anear$k.wav")).toSet)
+    val member = Map("fl0.wav" -> 0, "fl3.wav" -> 3, "ad0.wav" -> 0,
+      "ad2.wav" -> 2)
+    val expected =
+      (0 until 4).map(k => (s"abase$k.wav", s"anear$k.wav")).toSet ++
+      member.toSeq.flatMap { case (m, k) =>
+        Seq(s"abase$k.wav", s"anear$k.wav").map(o =>
+          if (m < o) (m, o) else (o, m))
+      } ++
+      (for ((a, ka) <- member.toSeq; (b, kb) <- member.toSeq
+        if a < b && ka == kb) yield (a, b))
+    assert(pairs == expected, s"pair drift: $pairs")
     // GAIN INVARIANCE: doubling every sample preserves the hash (an
     // exact scalar gain scales both sides of every comparison)
     val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
@@ -842,6 +864,18 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(parseWavAHash("x", doubled).get.ahash == rows("abase3.wav"),
       "a 2x gain must not change the envelope hash")
+    // round-19 hostile arms direct through the pure parser
+    def bytesOf(n: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/repo/fixtures/audio_ahash/$n"))
+    for (n <- Seq("flnan.wav", "adstereo.wav", "adshort.wav",
+        "adbadspb.wav", "adbadidx.wav", "float32_ah.wav", "short_64.wav"))
+      assert(parseWavAHash("x", bytesOf(n)).isEmpty, s"$n must skip")
+    // truncation of the new formats never throws
+    for (n <- Seq("fl0.wav", "ad0.wav"); cut <- Seq(20, 200)) {
+      val fb = bytesOf(n)
+      assert(parseWavAHash("x", fb.take(fb.length - cut)).isEmpty,
+        s"$n cut-$cut must skip")
+    }
   }
 
   test("aviFrames: MJPEG-in-AVI frames decode through the certified " +
