@@ -26,9 +26,13 @@ import graft.ext.Multimodal.{MediaFile, WavHashRow}
   * tools/gen_audio_formats.py (encoder + python decoder, the oracle
   * pair; provenance asserts decoded == formula samples).
   *
+  * Rice methods 0 AND 1 (4- and 5-bit params — round 19; the m1.flac
+  * fixture carries params ≥ 16 that method 0 cannot express, so the
+  * 5-bit path is load-bearing, not a parse-and-ignore).
+  *
   * OUT OF CONTRACT (file SKIPPED, never thrown): 3+-channel and
   * non-16-bit streams, variable-blocksize streams, wasted bits,
-  * rice method 1 (5-bit params), reserved subframe types, 0-bit
+  * reserved residual methods 2/3, reserved subframe types, 0-bit
   * escape partitions (an all-zero partition written raw — our
   * encoder never emits it and an untestable accept path is a
   * liability), CRC mismatches, truncation, trailing bytes after the
@@ -335,8 +339,13 @@ object Flac {
         var j = 0
         while (j < order) { coefs(j) = br.sread(prec); j += 1 }
       }
-      // residuals: rice method 0, partitions, escape hatch
-      if (br.read(2) != 0) throw new Malformed // method 1: out
+      // residuals: rice methods 0 (4-bit params) AND 1 (5-bit params,
+      // round 19 — high-resolution streams emit it; the escape code
+      // widens with the field to 0x1f); reserved methods 2/3 drop
+      val method = br.read(2)
+      if (method > 1) throw new Malformed
+      val pbits = 4 + method
+      val escape = (1 << pbits) - 1
       val porder = br.read(4)
       val nparts = 1 << porder
       if (bs % nparts != 0 || bs / nparts <= order) throw new Malformed
@@ -344,9 +353,9 @@ object Flac {
       var pi = 0
       while (pi < nparts) {
         val cnt = bs / nparts - (if (pi == 0) order else 0)
-        val prm = br.read(4)
+        val prm = br.read(pbits)
         var c = 0
-        if (prm == 0xf) { // escape: raw residuals
+        if (prm == escape) { // escape: raw residuals
           val raw = br.read(5)
           if (raw == 0) throw new Malformed
           while (c < cnt) {

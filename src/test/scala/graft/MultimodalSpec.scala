@@ -748,8 +748,15 @@ class MultimodalSpec extends SparkSpec {
     // notflac/trunc/badcrc skip; the non-FLAC containers never surface
     assert(rows.keySet == ((0 until 4).flatMap(k =>
       Seq(s"cbase$k.flac", s"cnear$k.flac")) ++
-      Seq("c22k.flac", "stind.flac", "stls.flac", "stsr.flac",
-        "stms.flac")).toSet)
+      Seq("c22k.flac", "m1.flac", "stind.flac", "stls.flac",
+        "stsr.flac", "stms.flac")).toSet)
+    // rice METHOD 1 (round 19): m1 carries 5-bit params ≥ 16 that
+    // method 0's 4-bit field cannot express (generator-asserted
+    // against its own method-0 re-encode), so equality with cbase0
+    // proves the widened param/escape path decodes — not merely that
+    // the flag is tolerated
+    assert(rows("m1.flac").ahash == rows("cbase0.flac").ahash,
+      "m1: rice method-1 divergence")
     // STEREO DECORRELATION: the same L/R audio through all FOUR
     // channel assignments (independent / left-side / side-right /
     // mid-side, the side subframes one bit deeper, the floor-mid

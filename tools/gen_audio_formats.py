@@ -387,7 +387,8 @@ RATE_CODES = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
               96000: 11}
 
 
-def write_subframe(fb, block, bs, bps, kind, part_order, escape_parts):
+def write_subframe(fb, block, bs, bps, kind, part_order, escape_parts,
+                   method1=False):
     """One subframe at bps bits (17 for a SIDE channel)."""
     if kind == "constant" and len(set(block)) > 1:
         kind = "fixed"
@@ -419,7 +420,8 @@ def write_subframe(fb, block, bs, bps, kind, part_order, escape_parts):
         for i in range(order, bs):
             p = (3 * block[i - 1] - block[i - 2]) >> 1
             res.append(block[i] - p)
-        write_residual(fb, res, bs, order, part_order, escape_parts)
+        write_residual(fb, res, bs, order, part_order, escape_parts,
+                       method1)
     else:  # fixed: pick the best order 0-2 by |residual| sum
         best, besto = None, 0
         for o in range(3):
@@ -435,11 +437,13 @@ def write_subframe(fb, block, bs, bps, kind, part_order, escape_parts):
         fb.put(0, 1)
         for s in block[:o]:
             fb.put_signed(s, bps)
-        write_residual(fb, res, bs, o, part_order, escape_parts)
+        write_residual(fb, res, bs, o, part_order, escape_parts,
+                       method1)
 
 
 def encode_flac(samples, rate, *, blocksize=512, strategy="fixed",
-                part_order=0, escape_parts=False, right=None, ca=0):
+                part_order=0, escape_parts=False, right=None, ca=0,
+                method1=False):
     """16-bit mono, or stereo when `right` is given: ca 1 =
     independent, 8 = left/side, 9 = side/right, 10 = mid/side (side
     subframes one bit deeper; mid = (L+R)>>1 with the dropped sum bit
@@ -485,7 +489,7 @@ def encode_flac(samples, rate, *, blocksize=512, strategy="fixed",
             kind = ("constant", "fixed", "verbatim", "lpc")[fidx % 4]
         if nch == 1:
             write_subframe(fb, samples[pos:pos + bs], bs, 16, kind,
-                           part_order, escape_parts)
+                           part_order, escape_parts, method1)
         else:
             lb = samples[pos:pos + bs]
             rb = right[pos:pos + bs]
@@ -497,7 +501,7 @@ def encode_flac(samples, rate, *, blocksize=512, strategy="fixed",
                          (side, 17)]}[ca]
             for blk, bps in subs:
                 write_subframe(fb, blk, bs, bps, kind, part_order,
-                               escape_parts)
+                               escape_parts, method1)
         body = fb.bytes_align()
         fb_out += body + struct.pack(">H", crc16(body))
         pos += bs
@@ -515,8 +519,12 @@ def best_rice_param(res):
     return bestp
 
 
-def write_residual(fb, res, bs, order, part_order, escape_parts):
-    fb.put(0, 2)  # rice method 0 (4-bit params)
+def write_residual(fb, res, bs, order, part_order, escape_parts,
+                   method1=False):
+    # rice method 0 (4-bit params) or 1 (5-bit params — round 19; the
+    # escape code widens with the field)
+    fb.put(1 if method1 else 0, 2)
+    pbits = 5 if method1 else 4
     fb.put(part_order, 4)
     nparts = 1 << part_order
     assert bs % nparts == 0 and bs // nparts > order
@@ -526,7 +534,7 @@ def write_residual(fb, res, bs, order, part_order, escape_parts):
         part = res[at:at + cnt]
         at += cnt
         if escape_parts and pi == nparts - 1:
-            fb.put(0b1111, 4)  # escape: raw residuals
+            fb.put((1 << pbits) - 1, pbits)  # escape: raw residuals
             raw_bits = max(max((abs(r).bit_length() + 1) for r in part),
                            2) if part else 2
             fb.put(raw_bits, 5)
@@ -534,7 +542,11 @@ def write_residual(fb, res, bs, order, part_order, escape_parts):
                 fb.put_signed(r, raw_bits)
         else:
             p = best_rice_param(part)
-            fb.put(p, 4)
+            if method1:
+                # force a param method 0 CANNOT express, so the 5-bit
+                # path is load-bearing (suboptimal coding is legal)
+                p = max(p, 16)
+            fb.put(p, pbits)
             rice_write(fb, part, p)
     assert at == len(res)
 
@@ -605,14 +617,15 @@ def decode_flac(data):
                 order = typ - 8
                 warm = [rd.sread(bps) for _ in range(order)]
             method = rd.read(2)
-            assert method == 0
+            assert method in (0, 1)
+            pbits = 4 + method
             porder = rd.read(4)
             nparts = 1 << porder
             res = []
             for pi in range(nparts):
                 cnt = bs // nparts - (order if pi == 0 else 0)
-                prm = rd.read(4)
-                if prm == 0b1111:
+                prm = rd.read(pbits)
+                if prm == (1 << pbits) - 1:
                     raw = rd.read(5)
                     res += [rd.sread(raw) for _ in range(cnt)]
                 else:
@@ -752,6 +765,26 @@ assert drate == 22050 and dsamp == c22k_samples
 rows.append(("c22k.flac", 22050, N,
              ahash(lambda i: wav_amp_at(0, False, i))))
 
+# rice METHOD 1 member (round 19): cbase0's samples with 5-bit rice
+# params forced ≥ 16 — a stream method 0 CANNOT express (its 4-bit
+# field tops out at 14), so decoding it proves the 5-bit path, not
+# just a tolerated flag. Joins wavfam0 at distance 0.
+m1_samples = [signed_sample(wav_amp_at(0, False, i), i)
+              for i in range(N)]
+m1 = encode_flac(m1_samples, RATE, strategy="fixed", part_order=1,
+                 method1=True)
+with open(f"{OUT}/m1.flac", "wb") as f:
+    f.write(m1)
+drate, dsamp = decode_flac(m1)
+assert drate == RATE and dsamp == m1_samples
+# the stream really carries a 5-bit-only param (wire-level check:
+# method bits == 01 somewhere is too weak — re-encode under method 0
+# and require DIFFERENT bytes plus a larger method-1 stream)
+m0 = encode_flac(m1_samples, RATE, strategy="fixed", part_order=1)
+assert m1 != m0 and len(m1) > len(m0)
+rows.append(("m1.flac", RATE, N,
+             ahash(lambda i: wav_amp_at(0, False, i))))
+
 # STEREO (round 18): the SAME left/right audio encoded through all
 # FOUR channel assignments -- independent, left/side, side/right,
 # mid/side (side subframes one bit deeper; floor-mid + side-parity
@@ -879,7 +912,7 @@ def family(n):
     for k in range(4):
         if n in (f"fbase{k}.aif", f"fnear{k}.aif",
                  f"cbase{k}.flac", f"cnear{k}.flac") or \
-                (k == 0 and n == "c22k.flac"):
+                (k == 0 and n in ("c22k.flac", "m1.flac")):
             return f"wavfam{k}"
         if n in (f"ubase{k}.au", f"unear{k}.au",
                  f"gbase{k}.au", f"gnear{k}.au"):
