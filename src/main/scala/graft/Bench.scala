@@ -407,10 +407,14 @@ object Bench {
     // decoration around it (StdoutOutput + showSuccess := false).
     val laEnd = loadAvg()
     // compact contract-line form: start-1min, end-1min, end-15min
-    val laCompact = (laStart.split(" ").take(1) ++ {
-      val e = laEnd.split(" "); Seq(e.headOption.getOrElse(""),
-        e.lift(2).getOrElse(""))
-    }).mkString(" ")
+    // (empty — and therefore omitted — where /proc/loadavg is absent)
+    val laCompact =
+      if (laStart.isEmpty || laEnd.isEmpty) ""
+      else {
+        val e = laEnd.split(" ")
+        Seq(laStart.split(" ").head, e.head, e.lift(2).getOrElse("?"))
+          .mkString(" ")
+      }
     val runs = results.map { case (k, _, ts) => jstr(k) + ":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errJson =

@@ -76,7 +76,13 @@ object Avi {
       var strhIdx = 0
       val frames = ArrayBuffer.empty[(Int, Int)] // (payload off, len)
 
-      def walk(from: Int, end: Int, inMovi: Boolean): Boolean = {
+      def walk(from: Int, end: Int, inMovi: Boolean,
+          depth: Int): Boolean = {
+        // real AVIs nest ≤ 3 (RIFF → hdrl/movi → strl/rec); a crafted
+        // file of thousands of nested LISTs must drop here, not
+        // overflow the stack (StackOverflowError is an Error — it
+        // would sail past the exception guard and kill the task)
+        if (depth > 8) return false
         var p = from
         while (p + 8 <= end) {
           val id = fcc(p)
@@ -89,7 +95,8 @@ object Avi {
             val lt = fcc(p + 8)
             if (lt == "hdrl" || lt == "strl" || lt == "movi" ||
                 lt == "rec ") {
-              if (!walk(p + 12, dataEnd, inMovi || lt == "movi"))
+              if (!walk(p + 12, dataEnd, inMovi || lt == "movi",
+                  depth + 1))
                 return false
             } // odml/INFO lists skipped wholesale
           } else if (id == "strh") {
@@ -111,7 +118,8 @@ object Avi {
         true
       }
 
-      if (!walk(12, b.length, inMovi = false)) return Iterator.empty
+      if (!walk(12, b.length, inMovi = false, depth = 0))
+        return Iterator.empty
       if (vidStream < 0 || !handlerOk || frames.isEmpty)
         return Iterator.empty
       val out = ArrayBuffer.empty[FrameRow]

@@ -937,7 +937,10 @@ object Multimodal {
         envelopeHash(n) { i =>
           val f = java.lang.Float.intBitsToFloat(
             buf.getInt(g.dataOff + i.toInt * 4))
-          math.rint(math.abs(f) * 32768.0).toInt
+          // clamp at full scale: real decoders saturate over-range
+          // floats, and an unclamped hostile 1e30 would overflow the
+          // window-sum cross products into a garbage hash
+          math.min(32768L, math.rint(math.abs(f) * 32768.0).toLong).toInt
         }
       case _ => // 17: block decode first (state is sequential)
         val amps = imaDecodeAmps(b, buf, g).getOrElse(return None)

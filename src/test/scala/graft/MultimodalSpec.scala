@@ -883,6 +883,34 @@ class MultimodalSpec extends SparkSpec {
       assert(parseWavAHash("x", fb.take(fb.length - cut)).isEmpty,
         s"$n cut-$cut must skip")
     }
+    // OVER-RANGE floats saturate at full scale (review fix: an
+    // unclamped 1e30 would overflow the window-sum cross products):
+    // a file with one 1e30 sample must hash IDENTICALLY to the same
+    // file with that sample at exactly 1.0
+    def floatWav(vals: Seq[Float]): Array[Byte] = {
+      val data = java.nio.ByteBuffer.allocate(vals.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(data.putFloat)
+      val fmt = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fmt.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(3).putShort(1).putInt(8000).putInt(32000)
+        .putShort(4).putShort(32)
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt.array() ++
+        "data".getBytes("US-ASCII") ++
+        java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(vals.length * 4).array() ++ data.array()
+      "RIFF".getBytes("US-ASCII") ++
+        java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(body.length).array() ++ body
+    }
+    val ramp = (0 until 130).map(i => 0.001f * i)
+    val hot = parseWavAHash("x", floatWav(ramp.updated(70, 1e30f)))
+    val sat = parseWavAHash("x", floatWav(ramp.updated(70, 1.0f)))
+    assert(hot.isDefined && hot.map(_.ahash) == sat.map(_.ahash),
+      "over-range float must saturate, not overflow")
   }
 
   test("aviFrames: MJPEG-in-AVI frames decode through the certified " +
@@ -938,6 +966,28 @@ class MultimodalSpec extends SparkSpec {
     for (cut <- Seq(13, ok.length / 3, ok.length - 5))
       assert(Avi.parseAviFrames("x", ok.take(cut), 2).isEmpty,
         s"cut@$cut must skip")
+    // DEEP-NESTING bomb (review fix): thousands of nested LISTs must
+    // DROP at the depth cap — StackOverflowError is an Error and
+    // would sail past the exception guard and kill a scan task
+    val nested = {
+      val depth = 20000
+      val innerLen = 4 // just the list-type fourcc
+      val buf = java.nio.ByteBuffer
+        .allocate(12 + depth * 12 + innerLen + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(0)
+        .put("AVI ".getBytes("US-ASCII"))
+      for (d <- 0 until depth) {
+        val remaining = (depth - 1 - d) * 12 + innerLen + 8
+        buf.put("LIST".getBytes("US-ASCII")).putInt(4 + remaining)
+          .put("hdrl".getBytes("US-ASCII"))
+      }
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("hdrl".getBytes("US-ASCII"))
+      buf.array()
+    }
+    assert(Avi.parseAviFrames("x", nested, 2).isEmpty,
+      "nested-LIST bomb must drop, not overflow the stack")
   }
 
   test("decodeMp4: real ISO-BMFF fixtures decode to spec-exact metadata; hostile files skipped") {

@@ -132,8 +132,9 @@ for k in (0, 3):
     amps = []
     for i in range(N):
         (fv,) = struct.unpack("<f", b[doff + 4 * i: doff + 4 * i + 4])
-        # python round() and JVM Math.rint are both half-even
-        amps.append(round(abs(fv) * 32768.0))
+        # python round() and JVM Math.rint are both half-even; clamp
+        # at full scale (over-range floats saturate — both sides)
+        amps.append(min(32768, round(abs(fv) * 32768.0)))
         assert amps[-1] == abs(sample(k, False, i)), (name, i)
     names.append(name)
     hashes[name] = ahash(lambda i: amps[i])
