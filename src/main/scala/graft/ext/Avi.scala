@@ -43,10 +43,21 @@ import graft.ext.Multimodal.{FrameRow, MediaFile}
   *
   * 100-TB shape: one mapPartitions pass; bytes touched are O(header +
   * sampled frames); per-frame allocation bounded by the JPEG bomb
-  * caps; the chunk walk is bounds-checked at every step and a hostile
-  * length can neither overrun nor wedge (monotone cursor).
+  * caps and TOTAL retained pixels by the per-file [[MaxTotalPixels]]
+  * budget (the drop-on-bad-frame contract retains frames until the
+  * file is accepted); the chunk walk is Long-bounds-checked at every
+  * step and a hostile length can neither overrun, wrap, nor wedge
+  * (monotone cursor by construction).
   */
 object Avi {
+
+  /** Per-file budget for SAMPLED decoded pixels (~32 MB of gray
+    * bytes): the all-frames-before-emit drop contract means decoded
+    * frames are retained until the file is accepted, so the budget —
+    * not just the per-frame JPEG cap — is what bounds memory against
+    * a long highly-compressible MJPEG (decompression-bomb posture).
+    */
+  private val MaxTotalPixels: Long = 1L << 25
 
   def aviFrames(
       files: Dataset[MediaFile], everyN: Int): Dataset[FrameRow] = {
@@ -87,9 +98,13 @@ object Avi {
         while (p + 8 <= end) {
           val id = fcc(p)
           val len = u32(p + 4)
-          if (len > Int.MaxValue - 8) return false
+          // Long-domain bound BEFORE any Int conversion: a len near
+          // 2^31 would wrap `p + 8 + len` negative and slip past a
+          // post-conversion check, sending the cursor backwards
+          // (review fix — the walk must stay monotone by
+          // construction, not by the exception backstop)
+          if (8L + len > end.toLong - p) return false
           val dataEnd = p + 8 + len.toInt
-          if (dataEnd > end) return false
           if (id == "LIST") {
             if (len < 4) return false
             val lt = fcc(p + 8)
@@ -123,13 +138,24 @@ object Avi {
       if (vidStream < 0 || !handlerOk || frames.isEmpty)
         return Iterator.empty
       val out = ArrayBuffer.empty[FrameRow]
+      var budget = MaxTotalPixels
       var i = 0
       while (i < frames.length) {
         if (i % everyN == 0) {
           val (o, l) = frames(i)
           Jpeg.decodeGrayFrame(
               java.util.Arrays.copyOfRange(b, o, o + l)) match {
-            case Some((w, h, px)) => out += FrameRow(path, i, w, h, px)
+            case Some((w, h, px)) =>
+              // per-FILE decoded-pixel budget (review fix): the
+              // drop-on-bad-frame contract forces all sampled frames
+              // to be held before any is emitted, so without this cap
+              // a long highly-compressible MJPEG could expand to many
+              // GB of retained pixel buffers inside one flatMap
+              // element — the decompression-bomb shape, capped like
+              // every other decoder's, before it accumulates
+              budget -= w.toLong * h
+              if (budget < 0) return Iterator.empty
+              out += FrameRow(path, i, w, h, px)
             case None => return Iterator.empty // one bad frame: drop
           }
         }

@@ -988,6 +988,63 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(Avi.parseAviFrames("x", nested, 2).isEmpty,
       "nested-LIST bomb must drop, not overflow the stack")
+    // WRAPPING chunk length (review fix): len ≈ 2^31 would wrap
+    // `p + 8 + len` negative and send the cursor backwards — must
+    // drop at the Long-domain bound, monotone by construction
+    val wrap = ok.clone()
+    val moviAt = {
+      var i = 12
+      while (!(wrap(i) == 'L' && wrap(i + 1) == 'I' &&
+        wrap(i + 8) == 'm' && wrap(i + 9) == 'o')) i += 1
+      i
+    }
+    val wb = java.nio.ByteBuffer.wrap(wrap)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wb.putInt(moviAt + 4, 0x7ffffff0)
+    assert(Avi.parseAviFrames("x", wrap, 2).isEmpty,
+      "wrapping chunk length must drop")
+    // PIXEL-BUDGET bomb (review fix): a file of thousands of small
+    // valid frames exceeds the per-file decoded-pixel budget and
+    // drops rather than retaining GBs of frame buffers
+    val oneFrame = {
+      val f = extractFirst00dc(ok)
+      val padded = if (f.length % 2 == 1) f :+ 0.toByte else f
+      "00dc".getBytes("US-ASCII") ++
+        java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(f.length).array() ++ padded
+    }
+    val nFrames = (1 << 25) / (64 * 64) + 2 // just past the budget
+    val bombMovi = new java.io.ByteArrayOutputStream()
+    bombMovi.write("movi".getBytes("US-ASCII"))
+    for (_ <- 0 until nFrames) bombMovi.write(oneFrame)
+    val hdrlEnd = moviAt // everything before the movi LIST
+    val bombBody = new java.io.ByteArrayOutputStream()
+    bombBody.write(ok, 8, hdrlEnd - 8) // "AVI " + hdrl (+JUNK)
+    val moviBytes = bombMovi.toByteArray
+    bombBody.write("LIST".getBytes("US-ASCII"))
+    bombBody.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(moviBytes.length).array())
+    bombBody.write(moviBytes)
+    val bombAll = new java.io.ByteArrayOutputStream()
+    bombAll.write("RIFF".getBytes("US-ASCII"))
+    bombAll.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(bombBody.size()).array())
+    bombBody.writeTo(bombAll)
+    assert(Avi.parseAviFrames("x", bombAll.toByteArray, 1).isEmpty,
+      "pixel-budget bomb must drop")
+  }
+
+  /** First 00dc payload of an AVI (test helper for the bomb arm). */
+  private def extractFirst00dc(b: Array[Byte]): Array[Byte] = {
+    var i = 12
+    while (!(b(i) == '0' && b(i + 1) == '0' && b(i + 2) == 'd' &&
+      b(i + 3) == 'c')) i += 1
+    val len = java.nio.ByteBuffer.wrap(b, i + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
   }
 
   test("decodeMp4: real ISO-BMFF fixtures decode to spec-exact metadata; hostile files skipped") {
