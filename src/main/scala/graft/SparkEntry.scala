@@ -767,18 +767,26 @@ object SparkEntry {
       val ext = fetched.filter(col("__fd") === "ok")
         .select(id, HtmlExtract.mainText(col("__ftext")).as("text"))
         .localCheckpoint() // feeds lang gate, LM scorer AND dedup
+      // lang / dmg / lm each feed TWO consumers (the dedup-scope
+      // pre-filter AND the final decision table) — left lazy, each
+      // re-ran its scoring pipeline per consumer, lm's even rebuilding
+      // the bigram model aggregation twice (the q69 multi-consumer
+      // discipline; round-19 optimization)
       val lang = TextAnalysis.withLangGuess(ext, "text", "__lang")
         .select(id, col("__lang"))
+        .localCheckpoint()
       // the mojibake gate (q309's detector, LIVE on the extracted
       // text — cheap regex counts over the checkpointed ext)
       val dmg = if (damageGate)
         TextAnalysis.encodingDamage(ext, "doc_id", "text")
           .select(id, col("verdict").as("__dmg"))
+          .localCheckpoint()
       else null
       val (lmc2, lmc1) = TextAnalysis.lmModel(
         docs0.filter(id % 5 =!= 0), "text")
       val lm = TextAnalysis.lmScoreWith(lmc2, lmc1, ext, "doc_id", "text")
         .select(id, col("flag").as("__lmflag"))
+        .localCheckpoint()
       // ── exact content dedup over the survivors of every earlier
       // gate (real pipeline order: dedup what you would otherwise
       // keep; the shuffle key is the extracted text — at corpus scale
@@ -1371,8 +1379,13 @@ object SparkEntry {
     "q46_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") % 50 === 0)
+      // the exact truth feeds FOUR consumers (semi-join + n_exact agg,
+      // × two contract rows) — materialize once instead of re-running
+      // the brute-force broadcast join per consumer (the q69
+      // multi-consumer discipline; round-19 optimization)
       val exact = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
+        .localCheckpoint()
       def contract(method: String, approx: DataFrame): DataFrame =
         exact.join(approx.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")
@@ -2715,11 +2728,15 @@ object SparkEntry {
         .join(rp, "doc_id").localCheckpoint()
       val surviving = flags.filter(col("dominant") === "latin" &&
         col("__gq") === "keep" && col("__rp") === "keep").select(id)
+      // toks feeds the budget draw AND the final join-back — left
+      // lazy, the whole paragraph-dedup subtree ran twice (the q69
+      // rule; round-19 optimization)
       val toks = Dedup.dedupParagraphsCorpus(
           fx.join(surviving, "doc_id"), "doc_id", "text")
         .select(id, col("n_kept"),
           size(filter(split(col("text_dedup"), "[ \t\r\n]+"),
             w => w =!= "")).cast("long").as("n_tokens"))
+        .localCheckpoint()
       val sel = graft.operators.Sampling.selectByBudget(
           toks.filter(col("n_kept") > 0)
             .select(id,
@@ -7396,7 +7413,10 @@ object SparkEntry {
       import graft.ext.ProductQuant
       val emb = s.read.parquet(FixturesDir + "/embeddings_clustered.parquet")
       val qs = emb.filter(col("vec_id") % 43 === 0 || col("vec_id") >= 1045)
-      val cb = ProductQuant.exactCodebook(emb, "embedding", m = 8, dim = 64)
+      // codebook feeds encode AND the ADC LUT build — materialize the
+      // distinct+rank pass once (the q69 rule; round-19 optimization)
+      val cb0 = ProductQuant.exactCodebook(emb, "embedding", m = 8, dim = 64)
+      val cb = cb0.copy(centroids = cb0.centroids.localCheckpoint())
       ProductQuant.pqTopK(
         ProductQuant.encode(emb, "vec_id", "embedding", cb),
         qs, "vec_id", "embedding", cb, k = 5)
@@ -7417,10 +7437,16 @@ object SparkEntry {
       import graft.ext.ProductQuant
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") % 50 === 0)
+      // exact truth: two consumers (semi-join + n_exact agg); codebook:
+      // two consumers (encode + the ADC LUT build) — each would re-run
+      // its full pipeline per consumer if left lazy (the q69 rule;
+      // round-19 optimization)
       val exact = ProductQuant.bruteForceTopKDot(emb, qs, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
-      val cb = ProductQuant.trainCodebook(emb, "vec_id", "embedding",
+        .localCheckpoint()
+      val cb0 = ProductQuant.trainCodebook(emb, "vec_id", "embedding",
         m = 16, dim = 64, k = 16, lloydIters = 1)
+      val cb = cb0.copy(centroids = cb0.centroids.localCheckpoint())
       val approx = ProductQuant.pqRerankTopK(
         ProductQuant.encode(emb, "vec_id", "embedding", cb),
         emb, qs, "vec_id", "embedding", cb, shortlist = 50, k = 5)
@@ -7437,8 +7463,10 @@ object SparkEntry {
       // queries: a spread of hub spokes plus EVERY bridge vector (ids
       // ≥ 1045) — the boundary cases are the whole point of the fixture
       val qs = emb.filter(col("vec_id") % 43 === 0 || col("vec_id") >= 1045)
+      // four consumers (the q46 rule; round-19 optimization)
       val exact = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
+        .localCheckpoint()
       def contract(method: String, approx: DataFrame): DataFrame =
         exact.join(approx.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")
@@ -7779,8 +7807,11 @@ object SparkEntry {
       import graft.ext.ProductQuant
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") % 50 === 0)
+      // four consumers across the two contract rows (the q46 rule;
+      // round-19 optimization); idx is checkpointed inside buildIvfPq
       val exact = ProductQuant.bruteForceTopKDot(emb, qs, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
+        .localCheckpoint()
       val idx = ProductQuant.buildIvfPq(emb, "vec_id", "embedding",
         nlist = 8, m = 16, dim = 64, pqK = 16, coarseLloyd = 1, pqLloyd = 1)
       def contract(method: String, nprobe: Int): DataFrame = {

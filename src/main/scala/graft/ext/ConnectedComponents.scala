@@ -26,13 +26,23 @@ import org.apache.spark.sql.functions._
   * was called, else a local checkpoint) — without lineage truncation
   * an iterative DataFrame loop re-optimizes a plan that doubles per
   * round and re-executes the whole history on failure. Convergence is
-  * detected by an (edge count, order-independent xxhash64 sum)
-  * fingerprint: one tiny aggregate per round, no edge-set `except`.
+  * detected by testing the fixpoint shape directly ([[isStarForest]]
+  * — one narrow aggregate per round, no edge-set `except`), so the
+  * loop stops at the FIRST min-rooted star forest instead of paying a
+  * full extra contraction round to observe an unchanged fingerprint.
   */
 object ConnectedComponents {
 
   /** Large-star: every node w connects its LARGER neighbors to
     * m = min(N(w) ∪ {w}). Input/output edges satisfy u < v.
+    *
+    * No `.distinct()` here (round-19 optimization — one exchange per
+    * round removed): the output has at most |e| rows with or without
+    * it (each undirected edge survives the v > u filter exactly once),
+    * duplicates only arise when two nodes share both a minimum and a
+    * neighbor, and [[smallStar]] is duplicate-insensitive — its
+    * per-v window min ignores multiplicity and its own terminal
+    * `.distinct()` restores set semantics before the fixpoint test.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -41,7 +51,6 @@ object ConnectedComponents {
       .withColumn("m", least(min(col("v")).over(w), col("u")))
       .filter(col("v") > col("u"))
       .select(col("m").as("u"), col("v"))
-      .distinct()
   }
 
   /** Small-star: every node w connects its SMALLER-or-self closure to
@@ -59,19 +68,27 @@ object ConnectedComponents {
     attachSmaller.union(attachLarge).distinct()
   }
 
-  /** (row count, order-independent content hash) — equal fingerprints
-    * on consecutive rounds == converged. The hash is a bit_xor of
-    * per-edge xxhash64 (edges are distinct, so xor is a well-defined
-    * set hash; unlike a long sum it can't ANSI-overflow). A collision
-    * needs a simultaneous count match AND a 64-bit xor collision on
-    * adversarial edge sets; for defense in depth the caller still
-    * bounds rounds with `maxIter`.
+  /** Direct fixpoint test (round-19 optimization): a distinct u < v
+    * edge set is a min-rooted star forest — the algorithm's proven
+    * fixpoint shape (Kiveris et al. §3) — iff no node appears both as
+    * a root (u) and a leaf (v), and no leaf has two parents. Both
+    * conditions fold into ONE narrow aggregate over 2|e| rows plus a
+    * take(1). largeStar and smallStar each map a star forest to
+    * itself (roots have only larger neighbors; leaves' only smaller
+    * neighbor is their root), so stopping at the FIRST star forest
+    * returns the exact edge set the previous fingerprint-equality
+    * criterion converged to — one whole contraction round (4 shuffles
+    * + a checkpoint) cheaper, and the test itself replaces the old
+    * per-round fingerprint aggregate at the same O(|e|) cost. The
+    * caller still bounds rounds with `maxIter` for defense in depth.
     */
-  private def fingerprint(e: DataFrame): (Long, Long) = {
-    val r = e.select(xxhash64(col("u"), col("v")).as("h"))
-      .agg(count(lit(1)), expr("bit_xor(h)")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("v").as("n"), lit(1L).as("lf"), lit(0L).as("rt"))
+      .union(e.select(col("u").as("n"), lit(0L).as("lf"), lit(1L).as("rt")))
+      .groupBy("n")
+      .agg(sum(col("lf")).as("lf"), sum(col("rt")).as("rt"))
+      .filter(col("lf") > 1 || (col("lf") > 0 && col("rt") > 0))
+      .isEmpty
 
   /** Connected components of an undirected graph given as an edge
     * list. Returns one row per non-isolated node:
@@ -94,15 +111,11 @@ object ConnectedComponents {
         .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct())
-    var fp = fingerprint(e)
-    var converged = false
+    var converged = isStarForest(e)
     var it = 0
     while (!converged && it < maxIter) {
-      val next = truncate(smallStar(largeStar(e)))
-      val nfp = fingerprint(next)
-      converged = nfp == fp
-      e = next
-      fp = nfp
+      e = truncate(smallStar(largeStar(e)))
+      converged = isStarForest(e)
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -683,7 +683,13 @@ object Dedup {
     // regex per element_at — 8 re-tokenizations per position, measured
     // 17.6 s vs 0.7 s for the explode at sf0.1 (the expression-tree
     // duplication postmortem, BASELINE.md).
+    // repartition by doc id BEFORE the tokenize/shingle/md5 work (the
+    // nearDupPairsMinhash rule — round-19: this operator was the one
+    // member of the shingle family missing it, so on a single-split
+    // corpus the whole n-gram scan ran on one task)
     val pos = docs
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol), posexplode(
           TextAnalysis.shingles(col("__toks"), n))

@@ -15,41 +15,57 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** The count-family aggregates (all long buffers — hash-aggregable)
+    * and the min/max renders (string buffers after the cast) are
+    * computed in SEPARATE passes and recombined with a crossJoin of
+    * two 1-row frames (round-19 optimization). In one combined
+    * aggregate, the string-typed min/max buffers disqualify
+    * HashAggregateExec for the WHOLE aggregate, so the multi-distinct
+    * Expand (|cols|+1 row replicas) ran through Sort + SortAggregate —
+    * the sort of the expanded stream dominated the pass (measured 2.5 s
+    * → 0.8 s on the sf0.1 orders profile; plan: Sort+SortAggregate×4
+    * over Expand → HashAggregate×4 over Expand, plus a sortless
+    * SortAggregate over the un-expanded scan for min/max). At scale the
+    * trade is one extra column-pruned scan versus sorting (|cols|+1)×
+    * the table — the scan is cheaper in every regime where a profile
+    * pass is run.
+    */
+  private def splitAgg(
+      df: DataFrame, cols: Seq[String],
+      distinctAgg: String => Column): DataFrame = {
+    val countAggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__rows"),
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        distinctAgg(c).as(s"${c}__distinct"))
+    }
+    val mmAggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    df.agg(countAggs.head, countAggs.tail: _*)
+      .crossJoin(df.agg(mmAggs.head, mmAggs.tail: _*))
+  }
+
   /** One row per profiled column: (column, n_rows, n_null, n_distinct,
     * min_val, max_val) with min/max rendered as strings so mixed-type
     * tables profile into one frame.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(lit(1)).as(s"${c}__rows"),
-        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    unpivot(wide, cols)
+    unpivot(splitAgg(df, cols, c => count_distinct(col(c))), cols)
   }
 
   /** Approximate profile: same shape with HLL distinct counts
-    * (rsd ~2.3%) — no multi-distinct Expand, so the aggregate stays a
-    * single narrow pass; the right default when the profile feeds
-    * sizing heuristics rather than exact reporting (see q67's
+    * (rsd ~2.3%) — no multi-distinct Expand, so the count pass stays a
+    * single narrow hash aggregate; the right default when the profile
+    * feeds sizing heuristics rather than exact reporting (see q67's
     * BASELINE note: the exact form's Expand is ~2× the suite cost).
     */
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(lit(1)).as(s"${c}__rows"),
-        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-        approx_count_distinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
+    unpivot(splitAgg(df, cols, c => approx_count_distinct(col(c))), cols)
   }
 
   /** KEY-SKEW profile — "measure before you salt": the top-N heaviest
