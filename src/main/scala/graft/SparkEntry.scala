@@ -3922,7 +3922,12 @@ object SparkEntry {
       // readIvfIndex from the store)
       val idx = SimSearch.buildIvfIndex(old, "vec_id", "embedding",
         nlist = 8, seed = 7L, lloydIters = 1)
+      // the old assignment feeds incrementalClusters THREE times
+      // (touched draw, member semi-join, untouched anti-join) — the
+      // replay harnesses checkpoint their running assignment per wave;
+      // this one-shot composition needs the same (round-19 optimization)
       val oldAssign = Dedup.semDedupWithIndex(idx, old, "vec_id", tau = 0.9)
+        .localCheckpoint()
       Dedup.semDedupIncremental(idx, oldAssign, batch,
         "vec_id", "embedding", tau = 0.9)
     }),
@@ -6118,8 +6123,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val toked = docs.withColumn("__nt",
         size(TextAnalysis.tokens(col("text"))).cast("long"))
+      // quality feeds the exact-dedup draw AND the join back into
+      // unique — left lazy, the tokenize+repetition scan ran twice
+      // (round-19 optimization, the localCheckpoint note below)
       val quality = TextAnalysis.repetitionRatio(toked, "text", 2, "__rep")
         .filter(col("__nt") >= 30 && col("__rep") < 0.5)
+        .localCheckpoint()
       val keepIds = Dedup.exactDedup(quality, "doc_id", md5(col("text")))
         .select(col("keep_id").as("doc_id"))
       // the deduped corpus feeds FOUR consumers (minhash signatures ×2
@@ -7702,11 +7711,17 @@ object SparkEntry {
           old, "doc_id", Dedup.nearDupPairsFromIndex(idx, threshold = 0.8),
           "doc_a", "doc_b")
         .localCheckpoint()
-      val cross = Dedup.nearDupPairsMinhashAgainstIndex(
-          batch, idx, "doc_id", "text", threshold = 0.8)
+      // ONE batch-side minhash pass too (round-19 optimization): the
+      // index probe and the batch-internal pairs both derive from one
+      // checkpointed batch index (nearDupPairsFromIndex ==
+      // nearDupPairsMinhash is ExtSpec-certified)
+      val bIdx0 = Dedup.buildMinhashIndex(batch, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32)
+      val bIdx = bIdx0.copy(bands = bIdx0.bands.localCheckpoint(),
+        sets = bIdx0.sets.localCheckpoint())
+      val cross = Dedup.nearDupPairsBetweenIndexes(bIdx, idx, threshold = 0.8)
         .localCheckpoint()
-      val bp = Dedup.nearDupPairsMinhash(batch, "doc_id", "text",
-        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val bp = Dedup.nearDupPairsFromIndex(bIdx, threshold = 0.8)
       val assign = graft.ext.ConnectedComponents.incrementalClusters(
           oldAssign, "doc_id", batchIds,
           cross, "new_id", "corpus_id", bp, "doc_a", "doc_b")
@@ -7873,11 +7888,16 @@ object SparkEntry {
         .dedupClusters(old, "doc_id",
           Dedup.nearDupPairsFromIndex(idx, threshold = 0.8), "doc_a", "doc_b")
         .localCheckpoint()
-      val cross = Dedup.nearDupPairsMinhashAgainstIndex(
-          batch, idx, "doc_id", "text", threshold = 0.8)
+      // ONE batch-side minhash pass (the q189 rule; round-19
+      // optimization): probe + batch-internal pairs from one
+      // checkpointed batch index
+      val bIdx0 = Dedup.buildMinhashIndex(batch, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32)
+      val bIdx = bIdx0.copy(bands = bIdx0.bands.localCheckpoint(),
+        sets = bIdx0.sets.localCheckpoint())
+      val cross = Dedup.nearDupPairsBetweenIndexes(bIdx, idx, threshold = 0.8)
         .localCheckpoint()
-      val bp = Dedup.nearDupPairsMinhash(batch, "doc_id", "text",
-        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val bp = Dedup.nearDupPairsFromIndex(bIdx, threshold = 0.8)
       graft.ext.ConnectedComponents.incrementalClusters(
         oldAssign, "doc_id", batch.select("doc_id"),
         cross, "new_id", "corpus_id", bp, "doc_a", "doc_b")

@@ -186,6 +186,12 @@ object Dedup {
         docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
           .repartition(col("__id")), "__text", shingleK, "__sh")
       .select(col("__id"), col("__sh"))
+    // NOT checkpointed (round-19 measured): the posting self-join's two
+    // sides and the df aggregate shuffle on the same __f key, so
+    // ReuseExchange already covers the expensive branches — an eager
+    // materialization of the exploded postings bought nothing locally
+    // (3.65 → 3.73 s) and would cost a full write of the exploded
+    // stream at scale.
     val feat = base
       .select(col("__id"), explode_outer(col("__sh")).as("__f"))
       .filter(col("__f").isNotNull)
@@ -296,6 +302,30 @@ object Dedup {
       .write.mode("append").parquet(path + "/sets")
   }
 
+  /** Append the rows of a PRE-BUILT batch index for the given ids —
+    * the write-back half of [[appendToMinhashIndex]] when the caller
+    * already built (and checkpointed) the batch's index frames for a
+    * probe/self-dedup pass (round-19 optimization: the crawl-ingest
+    * microbatch was shingling the same docs a third time just to
+    * append the survivors). Geometry is verified against the stored
+    * params; `ids`' first column names the ids to keep.
+    */
+  private[graft] def appendFromIndex(
+      batch: MinhashIndex, ids: DataFrame, path: String): Unit = {
+    val spark = batch.bands.sparkSession
+    val p = spark.read.parquet(path + "/params").head()
+    require(batch.shingleK == p.getInt(0) && batch.numHashes == p.getInt(1) &&
+      batch.numBands == p.getInt(2),
+      s"appendFromIndex geometry mismatch vs stored params at $path")
+    val keep = ids.select(col(ids.columns.head).as("__kid"))
+    batch.bands.join(keep, batch.bands("__id") === col("__kid"), "left_semi")
+      .select(col("__id").as("id"), col("band"), col("bh"))
+      .write.mode("append").parquet(path + "/bands")
+    batch.sets.join(keep, batch.sets("__id") === col("__kid"), "left_semi")
+      .select(col("__id").as("id"), col("__sh").as("shingles"))
+      .write.mode("append").parquet(path + "/sets")
+  }
+
   /** Load a persisted index; the stored params travel with the data so
     * a batch probe can never band with mismatched hash geometry.
     */
@@ -375,14 +405,35 @@ object Dedup {
       newDocs: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
     val nbase = shingled(newDocs, idCol, textCol, idx.shingleK)
-    val nband = bandedOf(nbase, idx.numHashes, idx.numBands)
-    val cands = nband.as("x")
+    nearDupPairsBetweenIndexes(
+      MinhashIndex(bandedOf(nbase, idx.numHashes, idx.numBands), nbase,
+        idx.shingleK, idx.numHashes, idx.numBands),
+      idx, threshold)
+  }
+
+  /** The probe half of [[nearDupPairsMinhashAgainstIndex]] taking a
+    * PRE-BUILT batch index (round-19 optimization seam): callers that
+    * also need the batch's self-pairs ([[nearDupPairsFromIndex]]) or
+    * its index rows for an append were shingling/minhashing the same
+    * batch two or three times — build the batch index ONCE
+    * (checkpointed) and derive every product from it, the q189
+    * one-scan-side-pass rule generalized. Geometry must match: banding
+    * with mismatched hash parameters would silently find nothing.
+    */
+  private[graft] def nearDupPairsBetweenIndexes(
+      batch: MinhashIndex, idx: MinhashIndex,
+      threshold: Double): DataFrame = {
+    require(batch.shingleK == idx.shingleK &&
+      batch.numHashes == idx.numHashes && batch.numBands == idx.numBands,
+      s"index geometry mismatch: batch (${batch.shingleK},${batch.numHashes},${batch.numBands})" +
+        s" vs corpus (${idx.shingleK},${idx.numHashes},${idx.numBands})")
+    val cands = batch.bands.as("x")
       .join(idx.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.__id").as("new_id"), col("y.__id").as("corpus_id"))
       .distinct()
     cands
-      .join(nbase.select(col("__id"), col("__sh").as("__sha")), col("new_id") === col("__id"))
+      .join(batch.sets.select(col("__id"), col("__sh").as("__sha")), col("new_id") === col("__id"))
       .drop("__id")
       .join(idx.sets.select(col("__id"), col("__sh").as("__shb")), col("corpus_id") === col("__id"))
       .drop("__id")
@@ -942,9 +993,13 @@ object Dedup {
     val bm = b.join(cids, Seq("__bid")).localCheckpoint()
     val old = idx.lists.select(col("__cid"),
       col("neighbor_id").as("__oid"), col("__cv2").as("__ov"))
+    // crossPairs feeds incrementalClusters TWICE (the touched-cluster
+    // draw and the edge union) — left lazy, the batch×stored-list
+    // cosine join ran per consumer (round-19 optimization)
     val crossPairs = bm.join(old, Seq("__cid"))
       .filter(SimSearch.cosineSim(spark, col("__bv"), col("__ov")) >= tau)
       .select(col("__bid"), col("__oid"))
+      .localCheckpoint()
     val batchPairs = bm.as("a")
       .join(bm.as("b"),
         col("a.__cid") === col("b.__cid") && col("a.__bid") < col("b.__bid"))

@@ -511,7 +511,14 @@ object SimSearch {
           s => s.getField("__m").cast("float")).as("__mv"))
       as.join(means, Seq("__cid"), "left")
         .select(col("__cid"), coalesce(col("__mv"), col("__cv")).as("__cv"))
-    }
+    // trained-artifact checkpoint (the buildIvfPq postmortem rule,
+    // round-19: now applied at the source): anchors feed the final
+    // assignment below AND every consumer's probe ranking — left lazy,
+    // each consumer re-ran the sample+Lloyd pipeline (a corpus pass per
+    // Lloyd iteration), and a re-executed avg() may drift in the last
+    // ulp between the lists a corpus was assigned to and the anchors a
+    // probe ranks. nlist rows — the materialization is free.
+    }.localCheckpoint()
     val lists = n.join(assign(anchors), Seq("__id"))
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv2"), col("__cid"))
     IvfIndex(anchors, lists, nlist)

@@ -75,15 +75,26 @@ object CrawlIngest {
       .select("j.*")
     val docs = parsed.filter(col(CorruptCol).isNull).select(col("new_id"), col("text"))
 
+    var batchIdx: Option[Dedup.MinhashIndex] = None
     if (!destWhole) {
       val idx = Dedup.readMinhashIndex(spark, indexPath)
+      // ONE batch shingle/minhash pass (round-19 optimization — the
+      // q189 one-scan-side-pass rule inside the microbatch): the index
+      // probe and the batch self-dedup both derive from the same
+      // checkpointed batch index instead of re-hashing the batch per
+      // product (nearDupPairsFromIndex == nearDupPairsMinhash is
+      // ExtSpec-certified; the probe seam requires identical geometry)
+      val bIdx0 = Dedup.buildMinhashIndex(docs, "new_id", "text",
+        idx.shingleK, idx.numHashes, idx.numBands)
+      val bIdx = bIdx0.copy(bands = bIdx0.bands.localCheckpoint(),
+        sets = bIdx0.sets.localCheckpoint())
+      batchIdx = Some(bIdx)
       val idxMatches = Dedup
-        .nearDupPairsMinhashAgainstIndex(docs, idx, "new_id", "text", threshold)
+        .nearDupPairsBetweenIndexes(bIdx, idx, threshold)
         .groupBy("new_id")
         .agg(count_distinct(col("corpus_id")).as("__n_idx"))
       val suppressed = Dedup
-        .nearDupPairsMinhash(docs, "new_id", "text",
-          idx.shingleK, idx.numHashes, idx.numBands, threshold)
+        .nearDupPairsFromIndex(bIdx, threshold)
         .select(col("doc_b").as("new_id")).distinct()
         .withColumn("__supp", lit(1))
       val decided = docs.select("new_id")
@@ -124,7 +135,13 @@ object CrawlIngest {
     val novel = docs
       .join(ingestedIds, Seq("new_id"), "left_semi")
       .join(present, Seq("new_id"), "left_anti")
-    if (!novel.isEmpty) Dedup.appendToMinhashIndex(novel, indexPath, "new_id", "text")
+    // fresh-batch path: append straight from the checkpointed batch
+    // index (no third shingle pass); crash-replay path (decisions
+    // committed, batchIdx never built): re-shingle just the novel docs
+    if (!novel.isEmpty) batchIdx match {
+      case Some(b) => Dedup.appendFromIndex(b, novel.select("new_id"), indexPath)
+      case None => Dedup.appendToMinhashIndex(novel, indexPath, "new_id", "text")
+    }
     StreamingReports.commitManifest(storeRoot, batchId, dest.getPath)
   }
 

@@ -1233,9 +1233,22 @@ class ExtSpec extends SparkSpec {
           case _: TakeOrderedAndProjectExec => 1 // orderBy().limit(n) fuses
           case _: BaseAggregateExec => 1
         }
-        assert(bounded.nonEmpty,
+        // round-19: buildIvfIndex localCheckpoints the trained anchors
+        // (the trained-artifact rule), so the broadcast side may now be
+        // a materialized RDD scan whose boundedness the plan can no
+        // longer prove statically — assert it DYNAMICALLY (≤ nlist
+        // rows). The probe keeps its teeth: a raw-corpus broadcast
+        // would surface as scan/exchange nodes under the broadcast (no
+        // RDD scan) or as a materialized side far larger than nlist.
+        val ckScans = b.collect {
+          case r: org.apache.spark.sql.execution.RDDScanExec => r }
+        assert(bounded.nonEmpty || ckScans.nonEmpty,
           s"a broadcast subtree with neither a limit nor an aggregate " +
-            s"beneath it — the raw corpus is being broadcast:\n$b")
+            s"nor a checkpointed-artifact scan beneath it — the raw " +
+            s"corpus is being broadcast:\n$b")
+        if (bounded.isEmpty)
+          ckScans.foreach(r => assert(r.rdd.count() <= 4,
+            "the checkpointed broadcast side must be the nlist-row quantizer"))
       }
       // the within-cluster pair join: equi on the cluster key, and with
       // nothing hinted it must plan WITHOUT any broadcast at all
