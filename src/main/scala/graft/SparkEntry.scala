@@ -7719,9 +7719,14 @@ object SparkEntry {
         shingleK = 3, numHashes = 128, bands = 32)
       val bIdx = bIdx0.copy(bands = bIdx0.bands.localCheckpoint(),
         sets = bIdx0.sets.localCheckpoint())
-      val cross = Dedup.nearDupPairsBetweenIndexes(bIdx, idx, threshold = 0.8)
+      // the batch side is the bounded fold input (the incremental-batch
+      // contract) — broadcast it so neither probe exchanges the corpus
+      // index (round-20, guide §3.1)
+      val cross = Dedup.nearDupPairsBetweenIndexes(bIdx, idx, threshold = 0.8,
+          broadcastBatch = true)
         .localCheckpoint()
-      val bp = Dedup.nearDupPairsFromIndex(bIdx, threshold = 0.8)
+      val bp = Dedup.nearDupPairsFromIndex(bIdx, threshold = 0.8,
+        broadcastIndex = true)
       val assign = graft.ext.ConnectedComponents.incrementalClusters(
           oldAssign, "doc_id", batchIds,
           cross, "new_id", "corpus_id", bp, "doc_a", "doc_b")
@@ -7895,9 +7900,13 @@ object SparkEntry {
         shingleK = 3, numHashes = 128, bands = 32)
       val bIdx = bIdx0.copy(bands = bIdx0.bands.localCheckpoint(),
         sets = bIdx0.sets.localCheckpoint())
-      val cross = Dedup.nearDupPairsBetweenIndexes(bIdx, idx, threshold = 0.8)
+      // bounded-batch probes broadcast the batch side (round-20, §3.1 —
+      // the q189 note above)
+      val cross = Dedup.nearDupPairsBetweenIndexes(bIdx, idx, threshold = 0.8,
+          broadcastBatch = true)
         .localCheckpoint()
-      val bp = Dedup.nearDupPairsFromIndex(bIdx, threshold = 0.8)
+      val bp = Dedup.nearDupPairsFromIndex(bIdx, threshold = 0.8,
+        broadcastIndex = true)
       graft.ext.ConnectedComponents.incrementalClusters(
         oldAssign, "doc_id", batch.select("doc_id"),
         cross, "new_id", "corpus_id", bp, "doc_a", "doc_b")

@@ -313,11 +313,16 @@ object Dedup {
   private[graft] def appendFromIndex(
       batch: MinhashIndex, ids: DataFrame, path: String): Unit = {
     val spark = batch.bands.sparkSession
+    // by-name access (round-20 ADVICE fix): positional getInt silently
+    // coupled the geometry require to the params parquet column order
     val p = spark.read.parquet(path + "/params").head()
-    require(batch.shingleK == p.getInt(0) && batch.numHashes == p.getInt(1) &&
-      batch.numBands == p.getInt(2),
+    require(batch.shingleK == p.getAs[Int]("shingle_k") &&
+      batch.numHashes == p.getAs[Int]("num_hashes") &&
+      batch.numBands == p.getAs[Int]("num_bands"),
       s"appendFromIndex geometry mismatch vs stored params at $path")
-    val keep = ids.select(col(ids.columns.head).as("__kid"))
+    // keep-ids are a bounded batch id list — broadcast both semi-joins
+    // so the append never exchanges the batch frames (round-20, §3.1)
+    val keep = broadcast(ids.select(col(ids.columns.head).as("__kid")))
     batch.bands.join(keep, batch.bands("__id") === col("__kid"), "left_semi")
       .select(col("__id").as("id"), col("band"), col("bh"))
       .write.mode("append").parquet(path + "/bands")
@@ -339,11 +344,15 @@ object Dedup {
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (bands, sets) =
       if (fs.exists(tombPath)) {
-        val tomb = spark.read.parquet(path + "/tombstones").select("id")
+        // "broadcast fodder, never the index" (deleteFromMinhashIndex
+        // scaladoc) — made explicit so the anti-join never exchanges
+        // the corpus side (round-20, §3.1)
+        val tomb = broadcast(spark.read.parquet(path + "/tombstones").select("id"))
         (bands0.join(tomb, bands0("__id") === tomb("id"), "left_anti"),
           sets0.join(tomb, sets0("__id") === tomb("id"), "left_anti"))
       } else (bands0, sets0)
-    MinhashIndex(bands, sets, p.getInt(0), p.getInt(1), p.getInt(2))
+    MinhashIndex(bands, sets, p.getAs[Int]("shingle_k"),
+      p.getAs[Int]("num_hashes"), p.getAs[Int]("num_bands"))
   }
 
   /** Tombstone ids in a persisted index — the RETRACTION path
@@ -422,19 +431,29 @@ object Dedup {
     */
   private[graft] def nearDupPairsBetweenIndexes(
       batch: MinhashIndex, idx: MinhashIndex,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastBatch: Boolean = false): DataFrame = {
     require(batch.shingleK == idx.shingleK &&
       batch.numHashes == idx.numHashes && batch.numBands == idx.numBands,
       s"index geometry mismatch: batch (${batch.shingleK},${batch.numHashes},${batch.numBands})" +
         s" vs corpus (${idx.shingleK},${idx.numHashes},${idx.numBands})")
-    val cands = batch.bands.as("x")
+    // broadcastBatch (round-20, guide §3.1): when the probe side is a
+    // bounded MICROBATCH (the ingest harnesses — per-batch work is
+    // O(|batch|·bands) by contract), broadcast every batch-derived side
+    // so the corpus-sized bands/ and sets/ are never exchanged: the
+    // candidate join streams idx.bands against a broadcast batch hash
+    // table, and the verify join streams idx.sets against the bounded
+    // candidate set. Default false — a large batch (corpus refresh)
+    // keeps the shuffle join.
+    def bc(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    val cands = bc(batch.bands).as("x")
       .join(idx.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.__id").as("new_id"), col("y.__id").as("corpus_id"))
       .distinct()
-    cands
-      .join(batch.sets.select(col("__id"), col("__sh").as("__sha")), col("new_id") === col("__id"))
-      .drop("__id")
+    bc(cands
+        .join(bc(batch.sets.select(col("__id"), col("__sh").as("__sha"))),
+          col("new_id") === col("__id"))
+        .drop("__id"))
       .join(idx.sets.select(col("__id"), col("__sh").as("__shb")), col("corpus_id") === col("__id"))
       .drop("__id")
       .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
@@ -622,16 +641,25 @@ object Dedup {
     * scan-side pass — at 100 TB, the scan-side minhash IS the
     * dominant cost, so deriving both products from one pass matters.
     */
-  def nearDupPairsFromIndex(idx: MinhashIndex, threshold: Double = 0.8): DataFrame = {
+  def nearDupPairsFromIndex(idx: MinhashIndex, threshold: Double = 0.8,
+      broadcastIndex: Boolean = false): DataFrame = {
+    // broadcastIndex (round-20, guide §3.1): for the ingest harnesses'
+    // BATCH self-dedup the "index" is the bounded microbatch's own
+    // frames — broadcast them so the self-join and both verify joins
+    // plan as broadcast-hash with no exchange. Default false: the
+    // corpus-internal pair derivation (q186/q189 old-old pairs) stays
+    // a shuffle self-join, the only shape that scales to a full index.
+    def bc(df: DataFrame): DataFrame = if (broadcastIndex) broadcast(df) else df
     val cands = idx.bands.as("x")
-      .join(idx.bands.as("y"),
+      .join(bc(idx.bands.as("y")),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"))
       .distinct()
-    cands
-      .join(idx.sets.select(col("__id"), col("__sh").as("__sha")), col("doc_a") === col("__id"))
-      .drop("__id")
+    bc(cands
+        .join(bc(idx.sets.select(col("__id"), col("__sh").as("__sha"))),
+          col("doc_a") === col("__id"))
+        .drop("__id"))
       .join(idx.sets.select(col("__id"), col("__sh").as("__shb")), col("doc_b") === col("__id"))
       .drop("__id")
       .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
@@ -978,30 +1006,45 @@ object Dedup {
     */
   def semDedupIncremental(
       idx: SimSearch.IvfIndex, oldAssign: DataFrame, batch: DataFrame,
-      idCol: String, vecCol: String, tau: Double): DataFrame = {
-    val spark = batch.sparkSession
-    val b = batch.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
-      .repartition(col("__bid"))
-    // the buildIvfIndex argmax idiom: bounded anchor broadcast + one
-    // keyed partial agg (no corpus-wide window), vectors joined back
-    val cids = b.crossJoin(broadcast(idx.anchors))
-      .select(col("__bid"),
-        struct((-SimSearch.cosineSim(spark, col("__bv"), col("__cv")))
-          .as("negCos"), col("__cid").as("cid")).as("__sc"))
-      .groupBy("__bid")
-      .agg(min(col("__sc")).getField("cid").as("__cid"))
-    val bm = b.join(cids, Seq("__bid")).localCheckpoint()
+      idCol: String, vecCol: String, tau: Double): DataFrame =
+    semDedupIncrementalAssigned(idx, oldAssign,
+      SimSearch.assignToAnchors(batch, idx.anchors, idCol, vecCol)
+        .localCheckpoint(),
+      idCol, tau)
+
+  /** [[semDedupIncremental]] taking the batch ALREADY coarse-assigned
+    * — rows in [[SimSearch.assignToAnchors]]'s output shape
+    * (id, vec, cid), caller-materialized. The ingest harnesses need
+    * the identical assignment twice per wave (the fold here AND the
+    * wave's persisted list delta), and the one-shot form was running
+    * the crossJoin-argmax once per consumer; assigning once and
+    * passing the rows is the q189 one-pass rule on the semantic arc
+    * (round-20 optimization, guide §1.2 step 1 / §2.4).
+    *
+    * Join strategy (guide §3.1): the batch side is BOUNDED by the
+    * operator's own cost contract (O(|batch|·avg-cluster), a
+    * microbatch — never the corpus), so the batch↔stored-lists and
+    * batch↔batch pair joins broadcast the batch side outright — the
+    * stored inverted lists (the corpus-sized side) are never
+    * exchanged by the fold.
+    */
+  def semDedupIncrementalAssigned(
+      idx: SimSearch.IvfIndex, oldAssign: DataFrame, assigned: DataFrame,
+      idCol: String, tau: Double): DataFrame = {
+    val spark = assigned.sparkSession
+    val bm = assigned.select(col("id").as("__bid"), col("vec").as("__bv"),
+      col("cid").as("__cid"))
     val old = idx.lists.select(col("__cid"),
       col("neighbor_id").as("__oid"), col("__cv2").as("__ov"))
     // crossPairs feeds incrementalClusters TWICE (the touched-cluster
     // draw and the edge union) — left lazy, the batch×stored-list
     // cosine join ran per consumer (round-19 optimization)
-    val crossPairs = bm.join(old, Seq("__cid"))
+    val crossPairs = broadcast(bm).join(old, Seq("__cid"))
       .filter(SimSearch.cosineSim(spark, col("__bv"), col("__ov")) >= tau)
       .select(col("__bid"), col("__oid"))
       .localCheckpoint()
     val batchPairs = bm.as("a")
-      .join(bm.as("b"),
+      .join(broadcast(bm.as("b")),
         col("a.__cid") === col("b.__cid") && col("a.__bid") < col("b.__bid"))
       .filter(SimSearch.cosineSim(spark,
         col("a.__bv"), col("b.__bv")) >= tau)
@@ -1010,7 +1053,7 @@ object Dedup {
       col("keep_id").as("cluster"), col("n_members").as("cluster_size"),
       (!col("is_dup")).as("is_representative"))
     ConnectedComponents.incrementalClusters(
-        assignShape, idCol, batch.select(col(idCol)),
+        assignShape, idCol, bm.select(col("__bid").as(idCol)),
         crossPairs, "__bid", "__oid", batchPairs, "pa", "pb")
       .select(col(idCol), col("cluster").as("keep_id"),
         col("cluster_size").as("n_members"),

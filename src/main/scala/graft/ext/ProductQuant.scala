@@ -348,6 +348,30 @@ object ProductQuant {
         zip_with(col("__v"), col("__cv"), (x, c) => x - c).as("__res"))
   }
 
+  /** [[encode]] over an [[assignResiduals]] frame, carrying each
+    * vector's coarse list id through the argmin aggregation
+    * (first(__cid) — constant within every (__id, sub) group, so the
+    * value is deterministic). The build/append paths previously
+    * re-attached __cid by joining the corpus-sized codes frame back to
+    * the corpus-sized residual frame — one corpus-keyed shuffle join
+    * removed (round-20 optimization, guide §2.4).
+    */
+  private def encodeResiduals(resid: DataFrame, cb: PqCodebook): DataFrame =
+    resid
+      .select(col("neighbor_id").as("__id"), col("__cid"),
+        posexplode(subSlices(col("__res"), cb.m, cb.dim)).as(Seq("sub", "__sv")))
+      .join(broadcast(cb.centroids), Seq("sub"))
+      .select(col("__id"), col("__cid"), col("sub"),
+        struct(dist2(col("__sv"), col("cvec")).as("d2"), col("code").as("code")).as("__sc"))
+      .groupBy("__id", "sub")
+      .agg(first(col("__cid")).as("__cid"),
+        min(col("__sc")).getField("code").as("code"))
+      .groupBy("__id")
+      .agg(first(col("__cid")).as("__cid"),
+        transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          s => s.getField("code")).as("codes"))
+      .select(col("__id").as("neighbor_id"), col("__cid"), col("codes"))
+
   def buildIvfPq(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, m: Int, dim: Int, pqK: Int,
@@ -369,9 +393,7 @@ object ProductQuant {
       if (pqK == 0) exactCodebook(resid, "__res", m, dim)
       else trainCodebook(resid, "neighbor_id", "__res", m, dim, pqK, pqSeed, pqLloyd)
     val cb = cb0.copy(centroids = cb0.centroids.localCheckpoint())
-    val codes = encode(resid, "neighbor_id", "__res", cb)
-      .join(resid.select("neighbor_id", "__cid"), Seq("neighbor_id"))
-      .localCheckpoint()
+    val codes = encodeResiduals(resid, cb).localCheckpoint()
     IvfPqIndex(anchors, cb, codes, nlist)
   }
 
@@ -474,8 +496,7 @@ object ProductQuant {
       newVecs: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
     val idx = readIvfPqIndex(newVecs.sparkSession, path)
     val resid = assignResiduals(newVecs, idCol, vecCol, idx.anchors).localCheckpoint()
-    encode(resid, "neighbor_id", "__res", idx.cb)
-      .join(resid.select("neighbor_id", "__cid"), Seq("neighbor_id"))
+    encodeResiduals(resid, idx.cb)
       .select(col("neighbor_id").as("id"), col("__cid").as("cid"), col("codes"))
       .write.mode("append").parquet(path + "/codes")
   }

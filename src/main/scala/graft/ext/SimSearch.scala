@@ -517,8 +517,14 @@ object SimSearch {
     // each consumer re-ran the sample+Lloyd pipeline (a corpus pass per
     // Lloyd iteration), and a re-executed avg() may drift in the last
     // ulp between the lists a corpus was assigned to and the anchors a
-    // probe ranks. nlist rows — the materialization is free.
-    }.localCheckpoint()
+    // probe ranks. nlist rows — the materialization is free. Reliable
+    // checkpoint when a checkpoint dir is configured (round-20 ADVICE
+    // fix, the ConnectedComponents truncate rule): on a real cluster an
+    // executor loss must not strand the trained anchors with no lineage.
+    } match {
+      case as if spark.sparkContext.getCheckpointDir.isDefined => as.checkpoint()
+      case as => as.localCheckpoint()
+    }
     val lists = n.join(assign(anchors), Seq("__id"))
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv2"), col("__cid"))
     IvfIndex(anchors, lists, nlist)
@@ -567,7 +573,9 @@ object SimSearch {
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lists =
       if (fs.exists(tombPath)) {
-        val tomb = spark.read.parquet(path + "/tombstones").select("id")
+        // bounded-by-lifetime-deletions side — broadcast the anti-join
+        // build so the corpus lists are never exchanged (round-20, §3.1)
+        val tomb = broadcast(spark.read.parquet(path + "/tombstones").select("id"))
         lists0.join(tomb, lists0("neighbor_id") === tomb("id"), "left_anti")
       } else lists0
     IvfIndex(

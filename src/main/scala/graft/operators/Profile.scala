@@ -29,6 +29,14 @@ object Profile {
     * trade is one extra column-pruned scan versus sorting (|cols|+1)×
     * the table — the scan is cheaper in every regime where a profile
     * pass is run.
+    *
+    * DETERMINISM ASSUMPTION (round-20 ADVICE): the two passes are
+    * independent jobs over `df` — on a deterministic input they see the
+    * same rows and the recombined row is bit-identical to the single
+    * aggregate's. A non-deterministic or concurrently-changing input
+    * (sample(), rand-derived frames, a table being appended) could put
+    * the count columns and the min/max columns on different snapshots;
+    * callers profiling such inputs must localCheckpoint `df` first.
     */
   private def splitAgg(
       df: DataFrame, cols: Seq[String],

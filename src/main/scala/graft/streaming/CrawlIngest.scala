@@ -89,17 +89,21 @@ object CrawlIngest {
       val bIdx = bIdx0.copy(bands = bIdx0.bands.localCheckpoint(),
         sets = bIdx0.sets.localCheckpoint())
       batchIdx = Some(bIdx)
+      // batch-derived frames are microbatch-bounded: broadcast the
+      // probe/self-dedup sides so the corpus index and the decision
+      // joins never exchange (round-20, guide §3.1)
       val idxMatches = Dedup
-        .nearDupPairsBetweenIndexes(bIdx, idx, threshold)
+        .nearDupPairsBetweenIndexes(bIdx, idx, threshold,
+          broadcastBatch = true)
         .groupBy("new_id")
         .agg(count_distinct(col("corpus_id")).as("__n_idx"))
       val suppressed = Dedup
-        .nearDupPairsFromIndex(bIdx, threshold)
+        .nearDupPairsFromIndex(bIdx, threshold, broadcastIndex = true)
         .select(col("doc_b").as("new_id")).distinct()
         .withColumn("__supp", lit(1))
       val decided = docs.select("new_id")
-        .join(idxMatches, Seq("new_id"), "left")
-        .join(suppressed, Seq("new_id"), "left")
+        .join(broadcast(idxMatches), Seq("new_id"), "left")
+        .join(broadcast(suppressed), Seq("new_id"), "left")
         .select(
           col("new_id"),
           when(coalesce(col("__n_idx"), lit(0L)) > 0, lit("dup_index"))
@@ -130,17 +134,33 @@ object CrawlIngest {
     // nothing on replay)
     val ingestedIds = spark.read.parquet(dest.getPath)
       .filter(col("status") === "ingested").select("new_id")
-    val present = spark.read.parquet(indexPath + "/sets")
-      .select(col("id").as("new_id")).distinct()
-    val novel = docs
-      .join(ingestedIds, Seq("new_id"), "left_semi")
-      .join(present, Seq("new_id"), "left_anti")
+    val novel0 = docs
+      .join(broadcast(ingestedIds), Seq("new_id"), "left_semi")
+    // the already-present guard matters ONLY on the crash-replay path
+    // (decisions committed by a PREVIOUS invocation — destWhole — whose
+    // append may also have landed before the manifest). On the fresh
+    // path THIS invocation just committed the decisions, and the append
+    // runs strictly after that commit, so no append for this batch can
+    // exist yet — skip the per-wave distinct over the full index id set
+    // (round-20, guide §2.4 remove shuffles outright).
+    val novel =
+      if (batchIdx.isDefined) novel0
+      else {
+        val present = spark.read.parquet(indexPath + "/sets")
+          .select(col("id").as("new_id")).distinct()
+        novel0.join(present, Seq("new_id"), "left_anti")
+      }
     // fresh-batch path: append straight from the checkpointed batch
     // index (no third shingle pass); crash-replay path (decisions
     // committed, batchIdx never built): re-shingle just the novel docs
+    // — MATERIALIZED first (round-20 ADVICE fix): novel's lineage there
+    // reads indexPath/sets, the very directory the append writes into;
+    // checkpointing severs that read so the append jobs carry no live
+    // read of the directory being appended
     if (!novel.isEmpty) batchIdx match {
       case Some(b) => Dedup.appendFromIndex(b, novel.select("new_id"), indexPath)
-      case None => Dedup.appendToMinhashIndex(novel, indexPath, "new_id", "text")
+      case None => Dedup.appendToMinhashIndex(
+        novel.localCheckpoint(), indexPath, "new_id", "text")
     }
     StreamingReports.commitManifest(storeRoot, batchId, dest.getPath)
   }

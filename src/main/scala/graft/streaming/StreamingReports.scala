@@ -1354,16 +1354,20 @@ object StreamingReports {
     val q = spark.readStream.schema(batch.schema).parquet(landing.toString)
       .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
-          val bb = b.localCheckpoint()
           val idx = SimSearch.readIvfIndex(spark, store.toString)
-          assign = Dedup.semDedupIncremental(
-            idx, assign, bb, "vec_id", "embedding", tau).localCheckpoint()
+          // ONE coarse-assignment pass per wave (round-20, the q189
+          // one-pass rule): the fold and the index append need the
+          // identical argmax rows — appendToIvfIndex would re-read the
+          // store and re-run the crossJoin-argmax for the same batch
+          val assigned = SimSearch.assignToAnchors(
+            b, idx.anchors, "vec_id", "embedding").localCheckpoint()
+          assign = Dedup.semDedupIncrementalAssigned(
+            idx, assign, assigned, "vec_id", tau).localCheckpoint()
           // appendWaves=false is the StreamingSpec NEGATIVE PROBE: it
           // must break cross-wave dedup, proving the append is
           // load-bearing (the non-vacuous-assertion discipline)
           if (appendWaves)
-            SimSearch.appendToIvfIndex(bb, store.toString,
-              "vec_id", "embedding")
+            assigned.write.mode("append").parquet(store.toString + "/lists")
         }
       }.start()
     try {
@@ -1635,11 +1639,14 @@ object StreamingReports {
     if (dest.exists() && !destWhole) deleteRecursively(dest.toPath)
     if (!destWhole) {
       val (idx, prev) = semDedupStoreState(spark, storeRoot)
-      val bb = batch.localCheckpoint()
-      val next = Dedup.semDedupIncremental(
-        idx, prev, bb, "vec_id", "embedding", tau)
+      // ONE coarse-assignment pass (round-20, the q189 one-pass rule):
+      // the fold and the wave's persisted list delta need the identical
+      // argmax rows — assign once, checkpoint, feed both (the fold
+      // previously re-ran the crossJoin-argmax internally)
       val delta = SimSearch.assignToAnchors(
-        bb, idx.anchors, "vec_id", "embedding")
+        batch, idx.anchors, "vec_id", "embedding").localCheckpoint()
+      val next = Dedup.semDedupIncrementalAssigned(
+        idx, prev, delta, "vec_id", tau)
       val staging = new java.io.File(
         s"$storeRoot/.staging-v$batchId-" +
           java.util.UUID.randomUUID().toString.take(8))
@@ -1744,8 +1751,11 @@ object StreamingReports {
     deliverWave(batch.filter(waveA))
     val q = spark.readStream.schema(batch.schema).parquet(landing.toString)
       .writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
+        // no batch checkpoint: the fold consumes the wave exactly once
+        // (the assignToAnchors pass inside applySemDedupIngestBatch is
+        // the materialization point — round-20)
         if (!b.isEmpty) applySemDedupIngestBatch(
-          b.localCheckpoint(), store.toString, batchId, tau)
+          b, store.toString, batchId, tau)
       }.start()
     try {
       q.processAllAvailable()
