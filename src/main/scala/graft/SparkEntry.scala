@@ -2716,7 +2716,11 @@ object SparkEntry {
             .otherwise(para("p", id % 9)))
         .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(59)),
           k => format_string("м%03d", k))))
-      val fx = t(s, dir, "documents").select(id).repartition(32)
+      // hash by doc_id, not round-robin (round-20, guide §2.4): the
+      // checkpoint preserves the partitioning, so the sc/gq projections
+      // and the flags/toks/sel join chain — all doc_id-keyed — reuse it
+      // instead of exchanging every side
+      val fx = t(s, dir, "documents").select(id).repartition(32, id)
         .select(id, text.as("text")).localCheckpoint()
       val sc = TextAnalysis.scriptProfile(fx, "doc_id", "text")
         .select(id, col("dominant"))
@@ -7697,28 +7701,28 @@ object SparkEntry {
       val d = graft.operators.Diff.diff(docs, v2, "doc_id", Seq("text"))
       val batchIds = d.filter(col("status").isin("added", "changed"))
         .select("doc_id").localCheckpoint()
-      val old = v2.join(batchIds, Seq("doc_id"), "left_anti")
-      val batch = v2.join(batchIds, Seq("doc_id"), "left_semi")
+      // batchIds is the bounded refresh delta — broadcast the splits
+      // (round-20, §3.1)
+      val old = v2.join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      val batch = v2.join(broadcast(batchIds), Seq("doc_id"), "left_semi")
       // ONE scan-side minhash pass over the old corpus: the index is
       // checkpointed and BOTH products (old-old pairs, batch probe)
       // derive from it — at 100 TB the shingle/hash scan dominates, so
-      // not running it twice is the composition win
-      val idx0 = Dedup.buildMinhashIndex(old, "doc_id", "text",
+      // not running it twice is the composition win (the round-20
+      // materialized builder shingles once for BOTH frames)
+      val idx = Dedup.buildMinhashIndexMaterialized(old, "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32)
-      val idx = idx0.copy(bands = idx0.bands.localCheckpoint(),
-        sets = idx0.sets.localCheckpoint())
       val oldAssign = graft.ext.ConnectedComponents.dedupClusters(
           old, "doc_id", Dedup.nearDupPairsFromIndex(idx, threshold = 0.8),
           "doc_a", "doc_b")
         .localCheckpoint()
-      // ONE batch-side minhash pass too (round-19 optimization): the
-      // index probe and the batch-internal pairs both derive from one
-      // checkpointed batch index (nearDupPairsFromIndex ==
+      // ONE batch-side minhash pass too (round-19 optimization; the
+      // round-20 materialized builder shingles once for BOTH frames):
+      // the index probe and the batch-internal pairs both derive from
+      // one checkpointed batch index (nearDupPairsFromIndex ==
       // nearDupPairsMinhash is ExtSpec-certified)
-      val bIdx0 = Dedup.buildMinhashIndex(batch, "doc_id", "text",
+      val bIdx = Dedup.buildMinhashIndexMaterialized(batch, "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32)
-      val bIdx = bIdx0.copy(bands = bIdx0.bands.localCheckpoint(),
-        sets = bIdx0.sets.localCheckpoint())
       // the batch side is the bounded fold input (the incremental-batch
       // contract) — broadcast it so neither probe exchanges the corpus
       // index (round-20, guide §3.1)
@@ -7884,22 +7888,17 @@ object SparkEntry {
       val old = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
       // one scan-side minhash pass: old-old pairs AND the batch probe
-      // both derive from the checkpointed index (the q189 discipline)
-      val idx0 = Dedup.buildMinhashIndex(old, "doc_id", "text",
+      // both derive from the checkpointed index (the q189 discipline;
+      // the round-20 materialized builder shingles once for BOTH frames)
+      val idx = Dedup.buildMinhashIndexMaterialized(old, "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32)
-      val idx = idx0.copy(bands = idx0.bands.localCheckpoint(),
-        sets = idx0.sets.localCheckpoint())
       val oldAssign = graft.ext.ConnectedComponents
         .dedupClusters(old, "doc_id",
           Dedup.nearDupPairsFromIndex(idx, threshold = 0.8), "doc_a", "doc_b")
         .localCheckpoint()
-      // ONE batch-side minhash pass (the q189 rule; round-19
-      // optimization): probe + batch-internal pairs from one
-      // checkpointed batch index
-      val bIdx0 = Dedup.buildMinhashIndex(batch, "doc_id", "text",
+      // ONE batch-side minhash pass (the q189 rule)
+      val bIdx = Dedup.buildMinhashIndexMaterialized(batch, "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32)
-      val bIdx = bIdx0.copy(bands = bIdx0.bands.localCheckpoint(),
-        sets = bIdx0.sets.localCheckpoint())
       // bounded-batch probes broadcast the batch side (round-20, §3.1 —
       // the q189 note above)
       val cross = Dedup.nearDupPairsBetweenIndexes(bIdx, idx, threshold = 0.8,

@@ -263,6 +263,26 @@ object Dedup {
     MinhashIndex(bandedOf(base, numHashes, bands), base, shingleK, numHashes, bands)
   }
 
+  /** [[buildMinhashIndex]] with BOTH frames materialized from ONE
+    * scan-side pass (round-20 optimization, guide §1.2 step 1): the
+    * shingle sets are checkpointed first and the band keys derive from
+    * the CHECKPOINTED sets, so tokenize+shingle runs once and the
+    * minhash signatures once. The previous idiom — checkpointing
+    * `idx.bands` and `idx.sets` independently — re-ran the whole
+    * CPU-heavy scan-side pipeline per frame (shingling twice, once of
+    * those through the signature expression). This is the microbatch/
+    * bounded-batch shape (probe + self-dedup + append all want both
+    * frames pinned); corpus-scale builds go through
+    * [[writeMinhashIndex]], which persists instead of caching.
+    */
+  def buildMinhashIndexMaterialized(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32): MinhashIndex = {
+    val base = shingled(corpus, idCol, textCol, shingleK).localCheckpoint()
+    MinhashIndex(bandedOf(base, numHashes, bands).localCheckpoint(), base,
+      shingleK, numHashes, bands)
+  }
+
   /** Persist an index as three parquet tables under `path`:
     * bands/ (id, band, bh), sets/ (id, shingles), params/ (1 row).
     * On a real cluster you'd bucket bands/ by (band, bh) at write time
@@ -271,11 +291,23 @@ object Dedup {
     * join shape is identical.
     */
   def writeMinhashIndex(idx: MinhashIndex, path: String): Unit = {
-    idx.bands.select(col("__id").as("id"), col("band"), col("bh"))
-      .write.mode("overwrite").parquet(path + "/bands")
+    val spark = idx.bands.sparkSession
+    // sets FIRST, then bands DERIVED FROM THE WRITTEN SETS (round-20
+    // optimization, guide §1.2 step 1): writing the two frames from
+    // their lazy plans ran the scan-side tokenize+shingle pipeline
+    // twice (once more through the signature expression). Re-reading
+    // the just-written shingle arrays costs one pruned parquet scan —
+    // at 100 TB strictly cheaper than re-tokenizing the corpus — and
+    // the parquet round-trip of array<string> is lossless, so the band
+    // hashes are bit-identical. Callers that already hold materialized
+    // frames ([[buildMinhashIndexMaterialized]]) skip the re-read.
     idx.sets.select(col("__id").as("id"), col("__sh").as("shingles"))
       .write.mode("overwrite").parquet(path + "/sets")
-    val spark = idx.bands.sparkSession
+    val base = spark.read.parquet(path + "/sets")
+      .select(col("id").as("__id"), col("shingles").as("__sh"))
+    bandedOf(base, idx.numHashes, idx.numBands)
+      .select(col("__id").as("id"), col("band"), col("bh"))
+      .write.mode("overwrite").parquet(path + "/bands")
     import spark.implicits._
     Seq((idx.shingleK, idx.numHashes, idx.numBands))
       .toDF("shingle_k", "num_hashes", "num_bands")

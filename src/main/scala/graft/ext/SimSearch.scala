@@ -486,14 +486,20 @@ object SimSearch {
         col("__v").as("__cv"))
     // argmax-cosine assignment via min(struct(-cos, cid)): one bounded
     // broadcast cross join + one partial-agg keyed by id (the corpus is
-    // already id-partitioned, so neither the aggregate nor the
-    // vector join-back exchanges anything) — no corpus-wide window
+    // already id-partitioned, so the aggregate exchanges nothing) — no
+    // corpus-wide window. The vector rides the aggregate as first(__v)
+    // (constant per id — deterministic), so no consumer needs a
+    // corpus-keyed join-back to re-attach it (round-20 optimization,
+    // guide §2.4: the Lloyd means pass and the final lists each paid a
+    // join of two corpus-sized frames for a column the aggregate
+    // already had in hand).
     def assign(anchors: DataFrame): DataFrame = n.crossJoin(broadcast(anchors))
-      .select(col("__id"),
+      .select(col("__id"), col("__v"),
         struct((-cosineSim(spark, col("__v"), col("__cv"))).as("negCos"),
           col("__cid").as("cid")).as("__sc"))
       .groupBy("__id")
-      .agg(min(col("__sc")).getField("cid").as("__cid"))
+      .agg(first(col("__v")).as("__v"),
+        min(col("__sc")).getField("cid").as("__cid"))
     // optional Lloyd refinement → true k-means centroids: new centroid =
     // elementwise mean of its members (posexplode + (cid, pos) partial
     // agg — never a collect of vectors), array rebuilt in position
@@ -501,7 +507,7 @@ object SimSearch {
     // cannot leak into the result. A list that loses every member
     // keeps its previous centroid (left join + coalesce).
     val anchors = (0 until lloydIters).foldLeft(sampled) { (as, _) =>
-      val means = n.join(assign(as), Seq("__id"))
+      val means = assign(as)
         .select(col("__cid"), posexplode(col("__v")).as(Seq("__p", "__x")))
         .groupBy("__cid", "__p")
         .agg(avg(col("__x").cast("double")).as("__m"))
@@ -525,7 +531,7 @@ object SimSearch {
       case as if spark.sparkContext.getCheckpointDir.isDefined => as.checkpoint()
       case as => as.localCheckpoint()
     }
-    val lists = n.join(assign(anchors), Seq("__id"))
+    val lists = assign(anchors)
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv2"), col("__cid"))
     IvfIndex(anchors, lists, nlist)
   }

@@ -84,10 +84,8 @@ object CrawlIngest {
       // checkpointed batch index instead of re-hashing the batch per
       // product (nearDupPairsFromIndex == nearDupPairsMinhash is
       // ExtSpec-certified; the probe seam requires identical geometry)
-      val bIdx0 = Dedup.buildMinhashIndex(docs, "new_id", "text",
+      val bIdx = Dedup.buildMinhashIndexMaterialized(docs, "new_id", "text",
         idx.shingleK, idx.numHashes, idx.numBands)
-      val bIdx = bIdx0.copy(bands = bIdx0.bands.localCheckpoint(),
-        sets = bIdx0.sets.localCheckpoint())
       batchIdx = Some(bIdx)
       // batch-derived frames are microbatch-bounded: broadcast the
       // probe/self-dedup sides so the corpus index and the decision

@@ -211,6 +211,11 @@ object StreamingReports {
   private[streaming] def replaySession(outer: SparkSession): SparkSession = {
     val s = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // Measured and DECLINED (round-20, the §1 discipline): AQE off for
+    // the replays cuts job count ~25 % (q319 101→77) but RAISES wall
+    // time (q324 8.4→12.4 s, q190 7.2→8.8 s) — the adaptive runtime
+    // join conversions and partition coalescing on the fold joins are
+    // worth more than the per-stage-job scheduling overhead they cost.
     s
   }
 

@@ -31,8 +31,19 @@ object OptProbe {
 
     @volatile var jobs = 0
     @volatile var stages = 0
+    // SPARK_GRAFT_JOBDUMP=1: per-query histogram of job call sites, so a
+    // 100-job replay can be attributed to its actions (round-20)
+    val jobDump = sys.env.get("SPARK_GRAFT_JOBDUMP").contains("1")
+    val sites = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs += 1
+        if (jobDump) {
+          val site = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          sites.merge(site, 1, (a, b) => a + b)
+        }
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = stages += 1
     })
     def time[T](name: String)(f: => T): T = {
@@ -94,7 +105,13 @@ object OptProbe {
           val fn = graft.SparkEntry.queries(name)
           (1 to 2).foreach { i =>
             System.gc(); Thread.sleep(200)
+            sites.clear()
             time(s"$name#$i")(noop(fn(spark, sfDir)))
+            if (jobDump && i == 2) {
+              import scala.jdk.CollectionConverters._
+              sites.asScala.toSeq.sortBy(-_._2)
+                .foreach { case (s, n) => println(f"  JOBSITE $n%-4d $s") }
+            }
           }
       }
       spark.stop(); return
