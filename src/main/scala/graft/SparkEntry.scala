@@ -2716,11 +2716,15 @@ object SparkEntry {
             .otherwise(para("p", id % 9)))
         .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(59)),
           k => format_string("м%03d", k))))
-      // hash by doc_id, not round-robin (round-20, guide §2.4): the
-      // checkpoint preserves the partitioning, so the sc/gq projections
-      // and the flags/toks/sel join chain — all doc_id-keyed — reuse it
-      // instead of exchanging every side
-      val fx = t(s, dir, "documents").select(id).repartition(32, id)
+      // hash by doc_id at session width, not round-robin at a pinned 32
+      // (round-20): the family convention for CPU-heavy per-row text
+      // work; also avoids round-robin's sort-before-repartition pass
+      // (SPARK-23207 — keyless repartition locally sorts its input so
+      // retries reproduce the assignment). NOTE measured: the
+      // localCheckpoint does NOT carry hash partitioning through to the
+      // downstream joins in Spark 4.1 (plans/r20/q264 before==after on
+      // Exchange count), so this is a small win, not a join-reuse one.
+      val fx = t(s, dir, "documents").select(id).repartition(id)
         .select(id, text.as("text")).localCheckpoint()
       val sc = TextAnalysis.scriptProfile(fx, "doc_id", "text")
         .select(id, col("dominant"))

@@ -204,13 +204,17 @@ object StreamingReports {
     * shuffle/state partitions sized to the FIXTURE volume (hundreds of
     * rows). Every stateful microbatch commits one state-store file per
     * partition, so 32-wide state on a bounded replay is pure fixed
-    * cost — measured ~2x of several replays' wall time. Production
-    * streams set the same dial to their key cardinality; the stream
-    * operators themselves are partition-agnostic.
+    * cost — measured ~2x of several replays' wall time (round 6), and
+    * 4 → 1 a further −8 % over the 13-replay family (median-of-3
+    * A/B, round 20: q324 −17 %, q316 −17 %, q263 −29 %, q190 −13 %;
+    * q124 +0.9 s is the one loss — its per-user state fold serializes
+    * — accepted against the −5.2 s family total). Production streams
+    * set the same dial to their key cardinality; the stream operators
+    * themselves are partition-agnostic.
     */
   private[streaming] def replaySession(outer: SparkSession): SparkSession = {
     val s = outer.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     // Measured and DECLINED (round-20, the §1 discipline): AQE off for
     // the replays cuts job count ~25 % (q319 101→77) but RAISES wall
     // time (q324 8.4→12.4 s, q190 7.2→8.8 s) — the adaptive runtime
