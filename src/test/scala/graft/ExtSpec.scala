@@ -629,6 +629,41 @@ class ExtSpec extends SparkSpec {
     assert(direct.nonEmpty, "corpus produced no pairs — test is vacuous")
   }
 
+  test("buildMinhashIndexMaterialized frames == lazy build; " +
+      "writeMinhashIndex round-trip derives identical bands (round-20)") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val lazyIdx = Dedup.buildMinhashIndex(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 128, bands = 32)
+    val mat = Dedup.buildMinhashIndexMaterialized(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 128, bands = 32)
+    // the one-pass materialized builder must produce row-identical frames
+    val lb = lazyIdx.bands.select("__id", "band", "bh")
+      .as[(Long, Int, Long)].collect().toSet
+    val mb = mat.bands.select("__id", "band", "bh")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(mb == lb, "materialized bands diverged from the lazy build")
+    assert(lb.nonEmpty, "no band rows — test is vacuous")
+    assert(mat.sets.count() == lazyIdx.sets.count())
+    // writeMinhashIndex derives bands/ from the WRITTEN sets (one
+    // scan-side pass): the stored rows must equal the in-memory frame —
+    // i.e. the array<string> parquet round-trip is lossless under the
+    // signature expression
+    val dir = java.nio.file.Files.createTempDirectory("mh_write_rt").toString
+    Dedup.writeMinhashIndex(lazyIdx, dir)
+    val storedBands = spark.read.parquet(dir + "/bands")
+      .select("id", "band", "bh").as[(Long, Int, Long)].collect().toSet
+    assert(storedBands == lb, "written bands diverged from bandedOf(sets)")
+    // and the read-back index probes identically
+    val fromStore = Dedup.nearDupPairsFromIndex(
+        Dedup.readMinhashIndex(spark, dir), threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val direct2 = Dedup.nearDupPairsFromIndex(lazyIdx, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(fromStore == direct2)
+  }
+
   test("appendToIvfIndex: appended batch probes like a from-scratch build; " +
       "stored assignments never move") {
     import graft.ext.SimSearch
